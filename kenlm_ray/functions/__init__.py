@@ -1,0 +1,1 @@
+"""Scalar / vectorized kernel functions shared by stages (SURVEY.md §2.9)."""

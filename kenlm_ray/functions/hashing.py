@@ -1,0 +1,124 @@
+"""64-bit hashing kernels.
+
+MurmurHash64A (Austin Appleby's public-domain algorithm) is the hash the
+reference uses for vocabulary lookup (/root/reference/util/murmur_hash.cc,
+/root/reference/lm/vocab.cc HashForVocab).  We provide a scalar Python
+implementation and a numpy-vectorized implementation that hashes many
+variable-length byte strings at once (tokens are gathered into a padded
+(n, max_len) uint8 matrix and processed 8 bytes per pass).
+
+The n-gram *context* hash is the multiply-xor recurrence from
+/root/reference/lm/search_hashed.hh:25-28:
+    h' = (h * 8978948897894561157) ^ ((1 + w) * 17894857484156487943)
+vectorized here over whole token-id arrays.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_M = np.uint64(0xC6A4A7935BD1E995)
+_R = np.uint64(47)
+_MASK = (1 << 64) - 1
+
+# search_hashed.hh:25-28 constants
+NGRAM_MULT = np.uint64(8978948897894561157)
+WORD_MULT = np.uint64(17894857484156487943)
+
+
+def murmur64(data: bytes, seed: int = 0) -> int:
+    """Scalar MurmurHash64A, bit-identical to the canonical C version."""
+    m = 0xC6A4A7935BD1E995
+    h = (seed ^ (len(data) * m)) & _MASK
+    nblocks = len(data) // 8
+    for i in range(nblocks):
+        k = int.from_bytes(data[8 * i : 8 * i + 8], "little")
+        k = (k * m) & _MASK
+        k ^= k >> 47
+        k = (k * m) & _MASK
+        h ^= k
+        h = (h * m) & _MASK
+    tail = data[8 * nblocks :]
+    if tail:
+        h ^= int.from_bytes(tail, "little")
+        h = (h * m) & _MASK
+    h ^= h >> 47
+    h = (h * m) & _MASK
+    h ^= h >> 47
+    return h
+
+
+def murmur64_matrix(padded: np.ndarray, lengths: np.ndarray, seed: int = 0) -> np.ndarray:
+    """Vectorized MurmurHash64A over n byte strings.
+
+    ``padded``  — (n, pad) uint8, each row the string's bytes zero-padded;
+                  ``pad`` must be a multiple of 8 and >= max(lengths) + 8
+                  so the tail read never needs masking beyond zero padding.
+    ``lengths`` — (n,) actual byte lengths.
+    Returns (n,) uint64 hashes identical to :func:`murmur64` per row.
+    """
+    n, pad = padded.shape
+    assert pad % 8 == 0
+    lengths = lengths.astype(np.uint64)
+    # interpret each row as little-endian uint64 words
+    words = padded.view("<u8").reshape(n, pad // 8)
+    nwords = pad // 8
+    with np.errstate(over="ignore"):
+        h = (np.uint64(seed) ^ (lengths * _M)).astype(np.uint64)
+        nblocks = (lengths // np.uint64(8)).astype(np.int64)
+        rem = (lengths % np.uint64(8)).astype(np.int64)
+        for i in range(nwords):
+            active = nblocks > i
+            if not active.any():
+                break
+            k = words[:, i].copy()
+            k *= _M
+            k ^= k >> _R
+            k *= _M
+            h2 = (h ^ k) * _M
+            h = np.where(active, h2, h)
+        # tail: the partial word at index nblocks, already zero-padded high
+        tail_word = words[np.arange(n), np.minimum(nblocks, nwords - 1)]
+        has_tail = rem > 0
+        h2 = (h ^ tail_word) * _M
+        h = np.where(has_tail, h2, h)
+        h ^= h >> _R
+        h *= _M
+        h ^= h >> _R
+    return h
+
+
+def hash_bytes_array(items: "np.ndarray | list[bytes]", seed: int = 0) -> np.ndarray:
+    """Hash a sequence of bytes/str objects -> uint64 array (vectorized)."""
+    blobs = [s.encode() if isinstance(s, str) else bytes(s) for s in items]
+    n = len(blobs)
+    if n == 0:
+        return np.empty(0, dtype=np.uint64)
+    lengths = np.fromiter((len(b) for b in blobs), count=n, dtype=np.int64)
+    max_len = int(lengths.max()) if n else 0
+    pad = ((max_len // 8) + 2) * 8
+    padded = np.zeros((n, pad), dtype=np.uint8)
+    for i, b in enumerate(blobs):
+        padded[i, : len(b)] = np.frombuffer(b, dtype=np.uint8)
+    return murmur64_matrix(padded, lengths, seed)
+
+
+def ngram_hash_step(h: np.ndarray, word_ids: np.ndarray) -> np.ndarray:
+    """One step of the n-gram recurrence hash, vectorized.
+
+    ``h`` uint64 hash of the previous words (0 for empty), ``word_ids``
+    uint32/uint64 next-word ids.  Mirrors
+    /root/reference/lm/search_hashed.hh:25-28 (CombineWordHash).
+    """
+    with np.errstate(over="ignore"):
+        return (h * NGRAM_MULT) ^ (
+            (np.uint64(1) + word_ids.astype(np.uint64)) * WORD_MULT
+        )
+
+
+def ngram_hash_scalar(word_ids: "list[int]") -> int:
+    """Scalar recurrence hash of a full id sequence (oracle-side)."""
+    h = np.uint64(0)
+    for w in word_ids:
+        h = ngram_hash_step(h, np.asarray(w, dtype=np.uint64))
+    return int(h)

@@ -1,0 +1,155 @@
+"""Zero-copy tokenization over Arrow string columns.
+
+Delimiter set is the reference's strict byte set ``\\0 \\t \\n \\r space``
+(/root/reference/lm/builder/corpus_count.cc:241-243,
+/root/reference/util/spaces.cc) — NOT Python ``str.isspace`` (no ``\\v \\f``
+or unicode spaces).  A line (``\\n``) is a sentence boundary
+(/root/reference/util/file_piece.hh line-oriented reading; lmplz and query
+treat one line = one sentence).
+
+The tokenizer works directly on the Arrow column's UTF-8 data buffer with
+numpy boolean masks — no per-row Python loops.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import pyarrow as pa
+
+DELIM_BYTES = (0, 9, 10, 13, 32)
+NEWLINE = 10
+
+
+def _string_buffers(arr: pa.Array) -> tuple[np.ndarray, np.ndarray]:
+    """(offsets int64 [n+1], data uint8) for a string/large_string array."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if pa.types.is_large_string(arr.type) or pa.types.is_large_binary(arr.type):
+        off_dtype = np.int64
+    else:
+        off_dtype = np.int32
+    bufs = arr.buffers()
+    offsets = np.frombuffer(bufs[1], dtype=off_dtype)[
+        arr.offset : arr.offset + len(arr) + 1
+    ].astype(np.int64)
+    data = np.frombuffer(bufs[2], dtype=np.uint8) if bufs[2] is not None else np.empty(0, np.uint8)
+    return offsets, data
+
+
+@dataclass
+class TokenStream:
+    """Flat token view over a batch of documents."""
+
+    data: np.ndarray          # uint8 — the shared UTF-8 buffer
+    starts: np.ndarray        # int64 [T] token start byte offsets (global)
+    ends: np.ndarray          # int64 [T] token end byte offsets (exclusive)
+    doc_ids: np.ndarray       # int32 [T] document index within the batch
+    sent_ids: np.ndarray      # int64 [T] global sentence index (dense, increasing)
+    n_docs: int
+
+    @property
+    def n_tokens(self) -> int:
+        return len(self.starts)
+
+    @property
+    def n_sentences(self) -> int:
+        return int(self.sent_ids[-1]) + 1 if len(self.sent_ids) else 0
+
+    def lengths(self) -> np.ndarray:
+        return self.ends - self.starts
+
+    def padded_matrix(self, max_token_len: int = 256) -> tuple[np.ndarray, np.ndarray]:
+        """Gather tokens into a zero-padded (T, pad) uint8 matrix for hashing.
+
+        Tokens longer than ``max_token_len`` are truncated (identifiers /
+        minified blobs beyond this length hash by prefix — stable and
+        documented; the reference has no limit but vocab words this long do
+        not occur in its use)."""
+        lengths = np.minimum(self.lengths(), max_token_len)
+        max_len = int(lengths.max()) if len(lengths) else 0
+        pad = ((max_len // 8) + 2) * 8
+        mat = np.zeros((len(self.starts), pad), dtype=np.uint8)
+        # gather via one flat fancy-index: positions j < len of each token
+        if len(self.starts):
+            col = np.arange(max_len, dtype=np.int64)
+            idx = self.starts[:, None] + col[None, :]
+            mask = col[None, :] < lengths[:, None]
+            np.copyto(mat[:, :max_len], self.data[np.minimum(idx, len(self.data) - 1)], where=mask)
+        return mat, lengths
+
+    def token_bytes(self, i: int) -> bytes:
+        return self.data[self.starts[i] : self.ends[i]].tobytes()
+
+    def sent_doc_ids(self) -> np.ndarray:
+        """doc id of each sentence (int32 [S])."""
+        if not len(self.sent_ids):
+            return np.empty(0, dtype=np.int32)
+        first = np.flatnonzero(np.diff(self.sent_ids, prepend=-1) != 0)
+        return self.doc_ids[first]
+
+
+def tokenize_column(col: "pa.Array | pa.ChunkedArray") -> TokenStream:
+    """Tokenize a batch's content column into a TokenStream.
+
+    Sentences are non-empty lines; tokens never cross document boundaries.
+    """
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n_docs = len(col)
+    offsets, data = _string_buffers(col)
+    total = int(offsets[-1]) if len(offsets) else 0
+    base = int(offsets[0])
+    if total - base == 0 or n_docs == 0:
+        e = np.empty(0, dtype=np.int64)
+        return TokenStream(data, e, e.copy(), np.empty(0, np.int32), e.copy(), n_docs)
+    view = data[base:total]
+    is_delim = (
+        (view == 0) | (view == 9) | (view == 10) | (view == 13) | (view == 32)
+    )
+    # force breaks at document boundaries
+    doc_starts = (offsets[:-1] - base).astype(np.int64)
+    doc_starts = doc_starts[doc_starts < len(view)]  # trailing empty docs
+    prev_delim = np.empty(len(view), dtype=bool)
+    prev_delim[0] = True
+    prev_delim[1:] = is_delim[:-1]
+    prev_delim[doc_starts] = True
+    next_delim = np.empty(len(view), dtype=bool)
+    next_delim[-1] = True
+    next_delim[:-1] = is_delim[1:]
+    doc_ends_inner = doc_starts[1:] - 1  # last byte of each doc except final
+    next_delim[doc_ends_inner[doc_ends_inner >= 0]] = True
+    tok = ~is_delim
+    starts = np.flatnonzero(tok & prev_delim)
+    ends = np.flatnonzero(tok & next_delim) + 1
+    # doc id per token: searchsorted over doc start offsets
+    doc_ids = (
+        np.searchsorted(offsets - base, starts, side="right") - 1
+    ).astype(np.int32)
+    # sentence = (doc, line) pairs that contain >= 1 token
+    nl_cum = np.cumsum(view == NEWLINE)
+    line_of = np.zeros(len(starts), dtype=np.int64)
+    nz = starts > 0
+    line_of[nz] = nl_cum[starts[nz] - 1]
+    # dense global sentence ids: new sentence when (doc, line) changes
+    if len(starts):
+        change = np.empty(len(starts), dtype=bool)
+        change[0] = True
+        change[1:] = (doc_ids[1:] != doc_ids[:-1]) | (line_of[1:] != line_of[:-1])
+        sent_ids = np.cumsum(change) - 1
+    else:
+        sent_ids = np.empty(0, dtype=np.int64)
+    return TokenStream(
+        data=view,
+        starts=starts,
+        ends=ends,
+        doc_ids=doc_ids,
+        sent_ids=sent_ids,
+        n_docs=n_docs,
+    )
+
+
+def tokenize_texts(texts: "list[str]") -> TokenStream:
+    """Convenience: tokenize plain Python strings (tests / oracle path)."""
+    return tokenize_column(pa.array(texts, type=pa.string()))

@@ -1,0 +1,11 @@
+"""Language-model layer: ARPA parse/write, packed model, scorers.
+
+Reference semantics preserved (SURVEY.md §1.3): log10 probabilities,
+<unk>=0 / <s>=1 / </s>=2, backoff chaining, −100 default for a missing
+<unk>, positive log-prob clamping.
+"""
+
+from kenlm_ray.model.arpa import parse_arpa, write_arpa  # noqa: F401
+from kenlm_ray.model.pack import PackedModel, pack_model  # noqa: F401
+from kenlm_ray.model.scorer import VectorLM  # noqa: F401
+from kenlm_ray.model.pyref import RefLM  # noqa: F401

@@ -1,0 +1,171 @@
+"""ARPA text format reader / writer.
+
+Format (reference reader: /root/reference/lm/read_arpa.cc:47-164,
+/root/reference/lm/read_arpa.hh:44-91):
+
+    \\data\\
+    ngram 1=<count>
+    ngram 2=<count>
+    ...
+    (blank)
+    \\1-grams:
+    <log10 prob>\\t<w1> ... <wn>[\\t<log10 backoff>]
+    ...
+    \\end\\
+
+Probabilities are log base 10; a positive log-prob is clamped to 0 with a
+warning (read_arpa.cc:166-177); backoff column is optional per row and
+absent at the top order.  Model files are small relative to the corpus, so
+this parser is driver-side (SURVEY.md §2.1) — it runs once per job, the
+parsed tables are packed (pack.py) and shipped to scoring actors.
+"""
+
+from __future__ import annotations
+
+import gzip
+import io
+import warnings
+from dataclasses import dataclass, field
+
+
+@dataclass
+class ArpaModel:
+    """Logical model: per-order list of (words tuple, log10 prob, log10 backoff)."""
+
+    counts: list[int] = field(default_factory=list)  # counts[i] = # (i+1)-grams
+    # grams[n] = dict {tuple(words): (prob, backoff)}  for order n (1-based key)
+    grams: dict[int, dict[tuple[str, ...], tuple[float, float]]] = field(
+        default_factory=dict
+    )
+
+    @property
+    def order(self) -> int:
+        return len(self.counts)
+
+    def vocab_words(self) -> list[str]:
+        return [w[0] for w in self.grams.get(1, {})]
+
+
+def _open_maybe_gzip(path: str) -> io.TextIOBase:
+    with open(path, "rb") as f:
+        magic = f.read(2)
+    if magic == b"\x1f\x8b":
+        return io.TextIOWrapper(gzip.open(path, "rb"), encoding="utf-8")
+    return open(path, "r", encoding="utf-8")
+
+
+def parse_arpa(path_or_text: str, *, is_text: bool = False) -> ArpaModel:
+    """Parse an ARPA file (or literal text when ``is_text``)."""
+    if is_text:
+        fh: io.TextIOBase = io.StringIO(path_or_text)
+    else:
+        fh = _open_maybe_gzip(path_or_text)
+    model = ArpaModel()
+    with fh:
+        it = iter(fh)
+        # find \data\ header
+        for line in it:
+            if line.strip() == "\\data\\":
+                break
+        else:
+            raise ValueError("ARPA: missing \\data\\ header")
+        for line in it:
+            line = line.strip()
+            if not line:
+                break
+            if not line.startswith("ngram "):
+                raise ValueError(f"ARPA: bad counts line {line!r}")
+            order_s, count_s = line[len("ngram ") :].split("=")
+            order = int(order_s)
+            if order != len(model.counts) + 1:
+                raise ValueError("ARPA: non-contiguous order counts")
+            model.counts.append(int(count_s))
+        expect_order = 1
+        cur: dict[tuple[str, ...], tuple[float, float]] = {}
+        in_section = False
+        for line in it:
+            line = line.rstrip("\n")
+            stripped = line.strip()
+            if not stripped:
+                continue
+            if stripped == "\\end\\":
+                break
+            if stripped.endswith("-grams:") and stripped.startswith("\\"):
+                order = int(stripped[1:].split("-")[0])
+                if order != expect_order:
+                    raise ValueError(
+                        f"ARPA: expected \\{expect_order}-grams:, got {stripped!r}"
+                    )
+                cur = {}
+                model.grams[order] = cur
+                in_section = True
+                continue
+            if not in_section:
+                raise ValueError(f"ARPA: row outside section: {line!r}")
+            parts = line.split("\t")
+            if len(parts) == 2:
+                prob_s, words_s = parts
+                backoff = 0.0
+            elif len(parts) == 3:
+                prob_s, words_s, backoff_s = parts
+                backoff = float(backoff_s)
+            else:
+                # tolerate space-separated rows (some tools emit them)
+                toks = stripped.split()
+                order = expect_order
+                prob_s = toks[0]
+                if len(toks) == order + 2:
+                    words_s = " ".join(toks[1:-1])
+                    backoff = float(toks[-1])
+                elif len(toks) == order + 1:
+                    words_s = " ".join(toks[1:])
+                    backoff = 0.0
+                else:
+                    raise ValueError(f"ARPA: bad row {line!r}")
+            prob = float(prob_s)
+            if prob > 0:
+                # read_arpa.cc:166-177 — clamp positive log probs to 0
+                warnings.warn(f"ARPA: positive log10 prob {prob} clamped to 0")
+                prob = 0.0
+            words = tuple(words_s.split(" "))
+            if len(words) != expect_order:
+                raise ValueError(
+                    f"ARPA: row arity {len(words)} != section order {expect_order}"
+                )
+            cur[words] = (prob, backoff)
+            if len(cur) == model.counts[expect_order - 1]:
+                expect_order += 1
+                in_section = False
+    for n, cnt in enumerate(model.counts, start=1):
+        got = len(model.grams.get(n, {}))
+        if got != cnt:
+            raise ValueError(f"ARPA: order {n} declared {cnt} rows, parsed {got}")
+    return model
+
+
+def write_arpa(model: ArpaModel, path: str | None = None) -> str:
+    """Serialize to ARPA text (reference writer: /root/reference/lm/common/print.cc).
+
+    Backoff column is written only when non-zero or when the gram has
+    extensions — we write it whenever order < max order, matching lmplz
+    output shape.
+    """
+    out = io.StringIO()
+    out.write("\\data\\\n")
+    for n in range(1, model.order + 1):
+        out.write(f"ngram {n}={len(model.grams.get(n, {}))}\n")
+    out.write("\n")
+    for n in range(1, model.order + 1):
+        out.write(f"\\{n}-grams:\n")
+        for words, (prob, backoff) in model.grams.get(n, {}).items():
+            row = f"{prob:.7g}\t{' '.join(words)}"
+            if n < model.order:
+                row += f"\t{backoff:.7g}"
+            out.write(row + "\n")
+        out.write("\n")
+    out.write("\\end\\\n")
+    text = out.getvalue()
+    if path is not None:
+        with open(path, "w", encoding="utf-8") as f:
+            f.write(text)
+    return text

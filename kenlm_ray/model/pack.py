@@ -1,0 +1,277 @@
+"""Pack a parsed ARPA model into numpy struct-of-arrays for the vectorized
+scorer — our replacement for the reference's binary mmap formats
+(/root/reference/lm/binary_format.cc, lm/search_hashed.cc, lm/search_trie.cc).
+
+Layout (trie-flavoured SoA, per SURVEY.md §1.1 "Model (physical)"):
+  - vocab: word list; ids assigned <unk>=0, <s>=1, </s>=2 then remaining
+    words ordered by MurmurHash64A (deterministic, mirrors the reference's
+    SortedVocabulary hash ordering, /root/reference/lm/vocab.hh:87-91);
+    lookup = binary search over the sorted hash array
+    (/root/reference/util/sorted_uniform.hh pattern).
+  - order 1: dense float32 prob/backoff arrays indexed by word id.
+  - order n>=2: uint64 recurrence-hash keys sorted ascending
+    (/root/reference/lm/search_hashed.hh:25-28), with parallel value
+    arrays; values optionally quantized to 2^b equal-frequency bins with
+    bin centers = bucket means (semantics of
+    /root/reference/lm/quantize.cc:23-35, SeparatelyQuantize::Train at
+    70-83) — uint16 codes + float32 centers.
+
+Hash collisions between distinct n-grams are ignored, exactly as the
+reference's probing search does (64-bit keys, no string compare).
+
+The packed model is saved/loaded as .npz — the equivalent of the
+reference's "binarize before benchmarking" step
+(/root/reference/lm/kenlm_benchmark_main.cc:185).
+"""
+
+from __future__ import annotations
+
+import io
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from kenlm_ray.functions.hashing import hash_bytes_array, ngram_hash_step
+from kenlm_ray.model.arpa import ArpaModel
+from kenlm_ray.schema import (
+    BOS,
+    BOS_ID,
+    DEFAULT_UNK_LOG10,
+    EOS,
+    EOS_ID,
+    SPECIALS,
+    UNK,
+    UNK_ID,
+)
+
+
+def train_bins(values: np.ndarray, bits: int) -> np.ndarray:
+    """Equal-frequency quantization bins; centers = bucket means.
+
+    Mirrors MakeBins (/root/reference/lm/quantize.cc:23-35): sort values,
+    split into 2^bits contiguous buckets of equal count, each bin's center
+    is the mean of its bucket.
+    """
+    n_bins = 1 << bits
+    v = np.sort(values.astype(np.float64))
+    if len(v) == 0:
+        return np.zeros(n_bins, dtype=np.float32)
+    if len(v) <= n_bins:
+        centers = np.full(n_bins, v[-1], dtype=np.float64)
+        centers[: len(v)] = v
+        return centers.astype(np.float32)
+    edges = (np.arange(n_bins + 1, dtype=np.float64) * len(v) / n_bins).astype(np.int64)
+    centers = np.empty(n_bins, dtype=np.float64)
+    for i in range(n_bins):
+        lo, hi = edges[i], max(edges[i + 1], edges[i] + 1)
+        centers[i] = v[lo:hi].mean()
+    return centers.astype(np.float32)
+
+
+def quantize(values: np.ndarray, centers: np.ndarray) -> np.ndarray:
+    """Map each value to the nearest bin center index (uint16)."""
+    # centers are sorted ascending; nearest by midpoint search
+    mids = (centers[1:] + centers[:-1]) / 2.0
+    return np.searchsorted(mids, values).astype(np.uint16)
+
+
+@dataclass
+class OrderTable:
+    """Sorted-key lookup table for one n-gram order (n >= 2)."""
+
+    keys: np.ndarray  # uint64, sorted
+    prob: np.ndarray  # float32 (decoded) or uint16 codes
+    backoff: np.ndarray | None  # None at top order
+    prob_centers: np.ndarray | None = None  # set when quantized
+    backoff_centers: np.ndarray | None = None
+
+    def lookup(self, h: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Vectorized probe: (found, prob_f32, backoff_f32) for hash array h."""
+        idx = np.searchsorted(self.keys, h)
+        idx_c = np.minimum(idx, len(self.keys) - 1) if len(self.keys) else idx
+        found = (
+            (self.keys[idx_c] == h) if len(self.keys) else np.zeros(len(h), dtype=bool)
+        )
+        if not len(self.keys):
+            z = np.zeros(len(h), dtype=np.float32)
+            return found, z, z.copy()
+        if self.prob_centers is not None:
+            prob = self.prob_centers[self.prob[idx_c]]
+        else:
+            prob = self.prob[idx_c].astype(np.float32, copy=False)
+        prob = np.where(found, prob, np.float32(0.0))
+        if self.backoff is None:
+            bo = np.zeros(len(h), dtype=np.float32)
+        else:
+            if self.backoff_centers is not None:
+                bo = self.backoff_centers[self.backoff[idx_c]]
+            else:
+                bo = self.backoff[idx_c].astype(np.float32, copy=False)
+            bo = np.where(found, bo, np.float32(0.0))
+        return found, prob, bo
+
+
+@dataclass
+class PackedModel:
+    order: int
+    words: list[str]  # index = word id
+    vocab_hashes: np.ndarray  # uint64 sorted
+    vocab_ids: np.ndarray  # uint32 aligned with vocab_hashes
+    uni_prob: np.ndarray  # float32 [V]
+    uni_backoff: np.ndarray  # float32 [V]
+    tables: dict[int, OrderTable] = field(default_factory=dict)  # n >= 2
+    has_unk: bool = True
+
+    @property
+    def vocab_size(self) -> int:
+        return len(self.words)
+
+    def word_ids(self, token_hashes: np.ndarray) -> np.ndarray:
+        """Vectorized token-hash -> word-id lookup; misses map to <unk>=0.
+
+        Mirrors BoundedSortedUniformFind over vocab hashes
+        (/root/reference/lm/vocab.hh:71-82)."""
+        if len(self.vocab_hashes) == 0:
+            return np.zeros(len(token_hashes), dtype=np.uint32)
+        idx = np.searchsorted(self.vocab_hashes, token_hashes)
+        idx_c = np.minimum(idx, len(self.vocab_hashes) - 1)
+        found = self.vocab_hashes[idx_c] == token_hashes
+        return np.where(found, self.vocab_ids[idx_c], np.uint32(UNK_ID))
+
+    def word_id(self, word: str) -> int:
+        from kenlm_ray.functions.hashing import murmur64
+
+        return int(self.word_ids(np.array([murmur64(word.encode())], dtype=np.uint64))[0])
+
+    # -- persistence ---------------------------------------------------------
+    def save(self, path: str) -> None:
+        arrays: dict[str, np.ndarray] = {
+            "meta": np.array([self.order, int(self.has_unk)], dtype=np.int64),
+            "words": np.array(self.words, dtype=object),
+            "vocab_hashes": self.vocab_hashes,
+            "vocab_ids": self.vocab_ids,
+            "uni_prob": self.uni_prob,
+            "uni_backoff": self.uni_backoff,
+        }
+        for n, t in self.tables.items():
+            arrays[f"k{n}"] = t.keys
+            arrays[f"p{n}"] = t.prob
+            if t.backoff is not None:
+                arrays[f"b{n}"] = t.backoff
+            if t.prob_centers is not None:
+                arrays[f"pc{n}"] = t.prob_centers
+            if t.backoff_centers is not None:
+                arrays[f"bc{n}"] = t.backoff_centers
+        np.savez_compressed(path, **arrays, allow_pickle=True)
+
+    @classmethod
+    def load(cls, path_or_bytes: "str | bytes") -> "PackedModel":
+        src = io.BytesIO(path_or_bytes) if isinstance(path_or_bytes, bytes) else path_or_bytes
+        z = np.load(src, allow_pickle=True)
+        order, has_unk = (int(x) for x in z["meta"])
+        m = cls(
+            order=order,
+            words=list(z["words"]),
+            vocab_hashes=z["vocab_hashes"],
+            vocab_ids=z["vocab_ids"],
+            uni_prob=z["uni_prob"],
+            uni_backoff=z["uni_backoff"],
+            has_unk=bool(has_unk),
+        )
+        for n in range(2, order + 1):
+            if f"k{n}" not in z:
+                continue
+            m.tables[n] = OrderTable(
+                keys=z[f"k{n}"],
+                prob=z[f"p{n}"],
+                backoff=z[f"b{n}"] if f"b{n}" in z else None,
+                prob_centers=z[f"pc{n}"] if f"pc{n}" in z else None,
+                backoff_centers=z[f"bc{n}"] if f"bc{n}" in z else None,
+            )
+        return m
+
+    def to_bytes(self) -> bytes:
+        buf = io.BytesIO()
+        self.save(buf)  # type: ignore[arg-type]
+        return buf.getvalue()
+
+
+def pack_model(
+    arpa: ArpaModel, *, quant_bits: int | None = None, backoff_bits: int | None = None
+) -> PackedModel:
+    """ARPA -> PackedModel.
+
+    ``quant_bits`` / ``backoff_bits``: quantize prob / backoff of orders >= 2
+    to 2^bits equal-frequency bins (default: backoff quantized to 8 bits per
+    the north star "quantized backoff weights", probs kept float32 — pass
+    explicit values to change).
+    """
+    if backoff_bits is None:
+        backoff_bits = 8
+    unigrams = arpa.grams.get(1, {})
+    has_unk = (UNK,) in unigrams
+    # vocab: specials first, then remaining unigram words ordered by hash
+    rest = sorted(
+        (w for (w,) in unigrams if w not in SPECIALS),
+    )
+    all_words = list(SPECIALS) + rest
+    hashes = hash_bytes_array(all_words)
+    # deterministic id assignment: specials fixed, rest by hash order
+    rest_hashes = hashes[3:]
+    rest_order = np.argsort(rest_hashes, kind="stable")
+    words: list[str] = [UNK, BOS, EOS] + [rest[i] for i in rest_order]
+    word_hash = np.concatenate([hashes[:3], rest_hashes[rest_order]])
+    ids = np.arange(len(words), dtype=np.uint32)
+    sort_idx = np.argsort(word_hash, kind="stable")
+    vocab_hashes = word_hash[sort_idx]
+    vocab_ids = ids[sort_idx]
+    if len(np.unique(vocab_hashes)) != len(vocab_hashes):
+        raise ValueError("vocab hash collision — unsupported")
+
+    wid = {w: i for i, w in enumerate(words)}
+    V = len(words)
+    uni_prob = np.full(V, np.float32(DEFAULT_UNK_LOG10), dtype=np.float32)
+    uni_backoff = np.zeros(V, dtype=np.float32)
+    for (w,), (p, b) in unigrams.items():
+        uni_prob[wid[w]] = p
+        uni_backoff[wid[w]] = b
+    if not has_unk:
+        uni_prob[UNK_ID] = DEFAULT_UNK_LOG10  # lm/config.hh:52-54 default
+
+    m = PackedModel(
+        order=arpa.order,
+        words=words,
+        vocab_hashes=vocab_hashes,
+        vocab_ids=vocab_ids,
+        uni_prob=uni_prob,
+        uni_backoff=uni_backoff,
+        has_unk=has_unk,
+    )
+    for n in range(2, arpa.order + 1):
+        grams = arpa.grams.get(n, {})
+        cnt = len(grams)
+        keys = np.empty(cnt, dtype=np.uint64)
+        prob = np.empty(cnt, dtype=np.float32)
+        backoff = np.empty(cnt, dtype=np.float32) if n < arpa.order else None
+        for i, (ws, (p, b)) in enumerate(grams.items()):
+            h = np.uint64(0)
+            for w in ws:
+                h = ngram_hash_step(h, np.asarray(wid.get(w, UNK_ID), dtype=np.uint64))
+            keys[i] = h
+            prob[i] = p
+            if backoff is not None:
+                backoff[i] = b
+        order_idx = np.argsort(keys, kind="stable")
+        keys = keys[order_idx]
+        prob = prob[order_idx]
+        if backoff is not None:
+            backoff = backoff[order_idx]
+        t = OrderTable(keys=keys, prob=prob, backoff=backoff)
+        if quant_bits is not None and cnt:
+            t.prob_centers = train_bins(prob, quant_bits)
+            t.prob = quantize(prob, t.prob_centers)
+        if backoff_bits is not None and backoff is not None and cnt:
+            t.backoff_centers = train_bins(backoff, backoff_bits)
+            t.backoff = quantize(backoff, t.backoff_centers)
+        m.tables[n] = t
+    return m

@@ -1,0 +1,108 @@
+"""RefLM — tiny pure-Python reference scorer (the oracle).
+
+An independent, deliberately naive implementation of the same ARPA
+back-off semantics as VectorLM (dict lookups and per-token loops instead
+of vectorized hash probes).  Used to (a) cross-check the vectorized
+scorer on random inputs, in the style of the reference's golden model
+tests (/root/reference/lm/model_test.cc), and (b) generate the
+"reference labels" for the end-to-end keep/drop F1 gate (FIXTURES.md F1:
+oracle columns come from this path, never from the pipeline under test).
+"""
+
+from __future__ import annotations
+
+import re
+
+from kenlm_ray.model.arpa import ArpaModel
+from kenlm_ray.model.pack import PackedModel, quantize
+from kenlm_ray.schema import BOS, DEFAULT_UNK_LOG10, EOS, SPECIALS, UNK
+
+_DELIMS = re.compile("[\x00\t\r ]+")
+
+
+class RefLM:
+    def __init__(self, arpa: ArpaModel, packed: "PackedModel | None" = None):
+        """If ``packed`` is given and quantized, score with the same
+        dequantized values the packed model stores, so both scorers see
+        identical tables."""
+        self.order = arpa.order
+        self.grams: dict[int, dict[tuple[str, ...], tuple[float, float]]] = {}
+        for n in range(1, arpa.order + 1):
+            self.grams[n] = dict(arpa.grams.get(n, {}))
+        if packed is not None:
+            import numpy as np
+
+            for n, table in packed.tables.items():
+                pc, bc = table.prob_centers, table.backoff_centers
+                if pc is None and bc is None:
+                    continue
+                newd = {}
+                for ws, (p, b) in self.grams[n].items():
+                    if pc is not None:
+                        p = float(pc[quantize(np.array([p], dtype=np.float32), pc)[0]])
+                    if bc is not None and n < self.order:
+                        b = float(bc[quantize(np.array([b], dtype=np.float32), bc)[0]])
+                    newd[ws] = (p, b)
+                self.grams[n] = newd
+        if (UNK,) not in self.grams.get(1, {}):
+            self.grams.setdefault(1, {})[(UNK,)] = (DEFAULT_UNK_LOG10, 0.0)
+        self.vocab = set(w for (w,) in self.grams[1])
+
+    def _norm(self, w: str) -> str:
+        if w in SPECIALS or (w,) not in self.grams[1]:
+            return UNK
+        return w
+
+    def score_word(self, context: list[str], w: str) -> float:
+        """log10 p(w | context); context already vocab-normalized."""
+        ctx = context[-(self.order - 1) :] if self.order > 1 else []
+        # longest match walking up orders, stop at first miss
+        m = 1
+        for n in range(2, min(self.order, len(ctx) + 1) + 1):
+            gram = tuple(ctx[len(ctx) - (n - 1) :]) + (w,)
+            if gram in self.grams[n]:
+                m = n
+            else:
+                break
+        key = (tuple(ctx[len(ctx) - (m - 1) :]) + (w,)) if m > 1 else (w,)
+        prob = self.grams[m][key][0]
+        total = prob
+        for l in range(m, len(ctx) + 1):
+            cgram = tuple(ctx[len(ctx) - l :])
+            ent = self.grams.get(l, {}).get(cgram)
+            if ent is not None:
+                total += ent[1]
+        return total
+
+    def score_sentence(self, tokens: list[str]) -> tuple[float, int, int]:
+        """(log10 score incl </s>, words scored, oov count)."""
+        ctx = [BOS]
+        total = 0.0
+        oov = 0
+        for t in tokens:
+            w = self._norm(t)
+            if w == UNK:
+                oov += 1
+            total += self.score_word(ctx, w)
+            ctx.append(w)
+        total += self.score_word(ctx, EOS)
+        return total, len(tokens) + 1, oov
+
+    def score_document(self, text: str) -> tuple[float, int, int]:
+        """Sum over non-empty lines: (logprob_sum, word_count, oov_count)."""
+        total, words, oov = 0.0, 0, 0
+        for line in text.split("\n"):
+            toks = [t for t in _DELIMS.split(line) if t]
+            if not toks:
+                continue
+            s, wds, ov = self.score_sentence(toks)
+            total += s
+            words += wds
+            oov += ov
+        return total, words, oov
+
+    def perplexity(self, text: str) -> float:
+        total, words, _ = self.score_document(text)
+        if words == 0:
+            return float("nan")
+        return 10.0 ** (-total / words)

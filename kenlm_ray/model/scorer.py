@@ -1,0 +1,194 @@
+"""VectorLM — the vectorized back-off scoring kernel (the hot loop).
+
+Reimplements the reference's FullScore semantics
+(/root/reference/lm/model.cc:134-140, 245-296: longest-match walk up the
+orders, stop at first miss, then add the backoff weights of the unused
+context suffixes) as masked numpy operations over the whole batch's token
+stream at once, instead of per-token pointer chasing.  Sentence scoring
+conventions follow /root/reference/lm/ngram_query.hh:52-101 and
+/root/reference/python/kenlm.pyx:153-243:
+
+  - each sentence is scored as  log10 p(w1 ... wk </s> | <s>)  — <s> is
+    context only, never predicted;
+  - OOV tokens map to <unk>=0 and their (charged) probability comes from
+    the <unk> unigram; tokens that are literally <s>/</s>/<unk> in the text
+    are treated as <unk> and counted (disallowed-symbol guard,
+    /root/reference/lm/builder/corpus_count.cc:170-181);
+  - perplexity = 10^(-total_log10 / words) with words = tokens + sentences
+    (</s> is predicted once per sentence, kenlm.pyx:209-215);
+  - "excluding OOV" variants drop both the OOV tokens' mass and count
+    (/root/reference/lm/ngram_query.hh:96-100).
+
+A document is split into sentences at newlines (empty lines are skipped);
+its score is the sum over sentences.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from kenlm_ray.functions.hashing import murmur64_matrix, ngram_hash_step
+from kenlm_ray.functions.tokenize import TokenStream
+from kenlm_ray.model.pack import PackedModel
+from kenlm_ray.schema import BOS_ID, EOS_ID, UNK_ID
+
+
+@dataclass
+class DocScores:
+    logprob_sum: np.ndarray  # float64 [n_docs]
+    token_count: np.ndarray  # int64 [n_docs]  (= tokens + sentences, i.e. words incl </s>)
+    oov_count: np.ndarray    # int64 [n_docs]
+    ppl: np.ndarray          # float64 [n_docs]; NaN for empty docs
+    ppl_excl_oov: np.ndarray # float64 [n_docs]
+
+
+class VectorLM:
+    """Batched scorer over a packed model."""
+
+    def __init__(self, model: PackedModel):
+        self.model = model
+
+    # -- token-id assignment -------------------------------------------------
+    def ids_for(self, stream: TokenStream) -> tuple[np.ndarray, np.ndarray]:
+        """(word_ids uint32 [T], oov bool [T]) for a token stream."""
+        mat, lengths = stream.padded_matrix()
+        hashes = murmur64_matrix(mat, lengths)
+        ids = self.model.word_ids(hashes)
+        # disallowed-symbol guard: literal <s>/</s>/<unk> become <unk>
+        bad = (ids == BOS_ID) | (ids == EOS_ID)
+        ids = np.where(bad, np.uint32(UNK_ID), ids)
+        oov = ids == UNK_ID
+        return ids, oov
+
+    # -- sentence scoring ----------------------------------------------------
+    def score_sentences(
+        self, ids: np.ndarray, sent_ids: np.ndarray
+    ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Score S sentences given flat token ids + dense sentence ids.
+
+        Returns (per_position_logprob float32 [T+S], scored_sent float32?,)
+        actually: (logprob per scored position [T+S], sent_of_scored [T+S],
+        is_oov_scored bool [T+S]).  Scored positions are every token plus
+        one </s> per sentence, in stream order.
+        """
+        m = self.model
+        N = m.order
+        T = len(ids)
+        if T == 0:
+            e = np.empty(0, dtype=np.float64)
+            return e, np.empty(0, dtype=np.int64), np.empty(0, dtype=bool)
+        S = int(sent_ids[-1]) + 1
+        # --- build extended stream: [<s>, tokens..., </s>] per sentence ----
+        counts = np.bincount(sent_ids, minlength=S)          # tokens per sentence
+        ext_counts = counts + 2
+        E = T + 2 * S
+        ext_start = np.zeros(S, dtype=np.int64)
+        ext_start[1:] = np.cumsum(ext_counts)[:-1]
+        ext = np.empty(E, dtype=np.uint32)
+        ext[ext_start] = np.uint32(BOS_ID)
+        ext[ext_start + ext_counts - 1] = np.uint32(EOS_ID)
+        # token positions: ext_start[sent] + 1 + rank_within_sentence
+        tok_start = np.zeros(S, dtype=np.int64)
+        tok_start[1:] = np.cumsum(counts)[:-1]
+        rank = np.arange(T, dtype=np.int64) - tok_start[sent_ids]
+        tok_pos = ext_start[sent_ids] + 1 + rank
+        ext[tok_pos] = ids.astype(np.uint32)
+        sent_of_ext = np.repeat(np.arange(S, dtype=np.int64), ext_counts)
+        sstart_of_ext = ext_start[sent_of_ext]
+
+        # --- per-order recurrence hashes with sentence-boundary validity ---
+        # H[n] at position i = hash of the n-gram ending at i (ext indices)
+        pos = np.arange(E, dtype=np.int64)
+        ctx_room = pos - sstart_of_ext           # max ngram len ending here - ... = i - start + 1
+        found = np.zeros((N + 1, E), dtype=bool)       # found[n][i]
+        prob_at = np.zeros((N + 1, E), dtype=np.float32)
+        bo_at = np.zeros((N + 1, E), dtype=np.float32)
+        # order 1: direct unigram arrays
+        found[1] = True
+        prob_at[1] = m.uni_prob[ext]
+        bo_at[1] = m.uni_backoff[ext]
+        h = ngram_hash_step(np.zeros(E, dtype=np.uint64), ext)
+        for n in range(2, N + 1):
+            # shift: hash of (n-1)-gram ending at i-1, extended by ext[i]
+            h_next = np.zeros(E, dtype=np.uint64)
+            h_next[1:] = ngram_hash_step(h[:-1], ext[1:])
+            valid = ctx_room >= (n - 1)  # ngram of len n fits: i-(n-1) >= start
+            t = m.tables.get(n)
+            if t is not None and len(t.keys):
+                f, p, b = t.lookup(h_next)
+                f &= valid
+                found[n] = f
+                prob_at[n] = np.where(f, p, np.float32(0.0))
+                bo_at[n] = np.where(f, b, np.float32(0.0))
+            h = h_next
+
+        # --- longest match with stop-at-first-miss (lm/model.cc:272-296) ---
+        ok = np.ones(E, dtype=bool)
+        match_len = np.zeros(E, dtype=np.int64)
+        for n in range(1, N + 1):
+            ok = ok & found[n]
+            match_len = np.where(ok, n, match_len)
+        sel = np.minimum(match_len, N)
+        prob = prob_at[sel, pos].astype(np.float64)
+
+        # --- backoff suffix sums: C[l][j] = sum_{k>=l} bo_k[j] -------------
+        # charged backoffs are those of context suffixes of length
+        # match_len .. N-1 ending at i-1 (absent/invalid entries are 0).
+        C = np.zeros((N + 1, E), dtype=np.float64)
+        for l in range(N - 1, 0, -1):
+            C[l] = C[l + 1] + bo_at[l]
+        prev = np.maximum(pos - 1, 0)
+        bo_sum = C[np.minimum(match_len, N), prev]
+        # position 0 of each sentence is <s> (never scored) so no guard needed
+        logprob = prob + bo_sum
+
+        # --- gather scored positions (everything except <s>) ---------------
+        scored_mask = np.ones(E, dtype=bool)
+        scored_mask[ext_start] = False
+        return (
+            logprob[scored_mask],
+            sent_of_ext[scored_mask],
+            (ext == UNK_ID)[scored_mask],
+        )
+
+    # -- document scoring ----------------------------------------------------
+    def score_stream(self, stream: TokenStream) -> DocScores:
+        n_docs = stream.n_docs
+        zero = np.zeros(n_docs, dtype=np.float64)
+        if stream.n_tokens == 0:
+            nan = np.full(n_docs, np.nan)
+            iz = np.zeros(n_docs, dtype=np.int64)
+            return DocScores(zero, iz, iz.copy(), nan, nan.copy())
+        ids, _ = self.ids_for(stream)
+        logprob, sent_of, oov = self.score_sentences(ids, stream.sent_ids)
+        sent_doc = stream.sent_doc_ids()          # doc of each sentence
+        doc_of_scored = sent_doc[sent_of]
+        logprob_sum = np.bincount(doc_of_scored, weights=logprob, minlength=n_docs)
+        word_count = np.bincount(doc_of_scored, minlength=n_docs).astype(np.int64)
+        oov_count = np.bincount(
+            doc_of_scored[oov], minlength=n_docs
+        ).astype(np.int64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            ppl = np.power(10.0, -logprob_sum / word_count)
+            lp_excl = logprob_sum - np.bincount(
+                doc_of_scored[oov], weights=logprob[oov], minlength=n_docs
+            )
+            wc_excl = word_count - oov_count
+            ppl_excl = np.power(10.0, -lp_excl / wc_excl)
+        ppl = np.where(word_count > 0, ppl, np.nan)
+        ppl_excl = np.where(wc_excl > 0, ppl_excl, np.nan)
+        return DocScores(
+            logprob_sum=logprob_sum,
+            token_count=word_count,
+            oov_count=oov_count,
+            ppl=ppl,
+            ppl_excl_oov=ppl_excl,
+        )
+
+    def score_text(self, text: str) -> float:
+        """log10 score of one document (tests / debugging)."""
+        from kenlm_ray.functions.tokenize import tokenize_texts
+
+        return float(self.score_stream(tokenize_texts([text])).logprob_sum[0])

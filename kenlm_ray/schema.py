@@ -1,0 +1,91 @@
+"""Explicit pyarrow schemas for every logical table in the engine.
+
+The reference keeps schemas implicit in C++ struct layouts
+(/root/reference/lm/common/ngram.hh:44-73); here each logical table gets a
+declared Arrow schema in one place (SURVEY.md §1.2).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+# ---------------------------------------------------------------------------
+# Special vocabulary conventions (reference: /root/reference/lm/word_index.hh:8-10,
+# /root/reference/lm/vocab.hh:246-248 — <unk>=0, <s>=1, </s>=2, uint32 ids).
+# ---------------------------------------------------------------------------
+UNK_ID = 0
+BOS_ID = 1
+EOS_ID = 2
+UNK = "<unk>"
+BOS = "<s>"
+EOS = "</s>"
+SPECIALS = (UNK, BOS, EOS)
+
+# Default log10 prob substituted when a model has no <unk> entry
+# (/root/reference/lm/config.hh:52-54, build_binary_main.cc:26-27).
+DEFAULT_UNK_LOG10 = -100.0
+
+# ---------------------------------------------------------------------------
+# Corpus table — fixed by BASELINE.json input_hint.
+# ---------------------------------------------------------------------------
+CORPUS = pa.schema(
+    [
+        ("repo", pa.string()),
+        ("path", pa.string()),
+        ("commit", pa.string()),
+        ("lang", pa.string()),
+        ("content", pa.string()),
+    ]
+)
+
+# Scored / decision output (FIXTURES.md F5). Sorted by (repo, path) when a
+# deterministic order is needed for diffing.
+SCORED = pa.schema(
+    [
+        ("repo", pa.string()),
+        ("path", pa.string()),
+        ("commit", pa.string()),
+        ("lang", pa.string()),
+        ("content_scrubbed", pa.string()),
+        ("content_sha256", pa.string()),
+        ("keep", pa.bool_()),
+        ("drop_reason", pa.string()),
+        ("langid", pa.string()),
+        ("langid_conf", pa.float32()),
+        ("token_count", pa.int64()),
+        ("oov_count", pa.int64()),
+        ("logprob_sum", pa.float64()),
+        ("ppl", pa.float64()),
+        ("rule_flags", pa.string()),  # JSON-encoded {rule: bool}
+    ]
+)
+
+# Vocab table (FIXTURES.md F4; reference vocab files are null-delimited word
+# lists in id order, /root/reference/lm/vocab.hh:35-64).
+VOCAB = pa.schema(
+    [
+        ("id", pa.uint32()),
+        ("word", pa.string()),
+        ("hash", pa.uint64()),  # MurmurHash64A of the word bytes
+    ]
+)
+
+# N-gram count / probability tables — one logical table per order n.
+# Reference record layout: order×uint32 + payload
+# (/root/reference/lm/common/ngram.hh:44-73, lm/builder/payload.hh:16-34).
+def ngram_counts(order: int) -> pa.Schema:
+    return pa.schema(
+        [(f"w{i}", pa.string()) for i in range(1, order + 1)]
+        + [("count", pa.int64())]
+    )
+
+
+def ngram_probs(order: int) -> pa.Schema:
+    return pa.schema(
+        [(f"w{i}", pa.string()) for i in range(1, order + 1)]
+        + [("log10_prob", pa.float64()), ("log10_backoff", pa.float64())]
+    )
+
+
+def word_cols(order: int) -> list[str]:
+    return [f"w{i}" for i in range(1, order + 1)]

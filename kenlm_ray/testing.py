@@ -1,0 +1,99 @@
+"""Deterministic fixture generators (FIXTURES.md).
+
+Everything here is seeded and self-contained — no external data.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from kenlm_ray.model.arpa import ArpaModel
+from kenlm_ray.schema import BOS, EOS, UNK
+
+
+def random_arpa(
+    seed: int = 7,
+    vocab_size: int = 30,
+    order: int = 3,
+    bigram_frac: float = 0.35,
+    higher_frac: float = 0.5,
+) -> ArpaModel:
+    """A random but structurally valid ARPA model.
+
+    Maintains the suffix property (every n-gram's final (n-1) words exist
+    as an (n-1)-gram) that real lmplz output has, includes <unk>, a -0.0
+    backoff case, and <s>/</s> conventions (mirrors the *structure* of the
+    reference's lm/test.arpa fixture without copying it)."""
+    rng = np.random.default_rng(seed)
+    words = [f"w{i}" for i in range(vocab_size)]
+    m = ArpaModel()
+    uni: dict[tuple[str, ...], tuple[float, float]] = {}
+    uni[(UNK,)] = (round(float(-rng.uniform(3, 6)), 4), 0.0)
+    uni[(BOS,)] = (-99.0, round(float(-rng.uniform(0.1, 2)), 4))
+    uni[(EOS,)] = (round(float(-rng.uniform(1, 3)), 4), 0.0)
+    for w in words:
+        uni[(w,)] = (
+            round(float(-rng.uniform(0.5, 5)), 4),
+            round(float(-rng.uniform(0.0, 1.5)), 4),
+        )
+    # one -0.0 backoff (extension-flag trick, lm/blank.hh:22-39)
+    uni[(words[0],)] = (uni[(words[0],)][0], -0.0)
+    m.grams[1] = uni
+
+    if order >= 2:
+        candidates = [w for w in words] + [EOS]
+        contexts = [BOS] + words
+        bi: dict[tuple[str, ...], tuple[float, float]] = {}
+        for c in contexts:
+            for w in candidates:
+                if rng.random() < bigram_frac:
+                    bo = round(float(-rng.uniform(0, 1.0)), 4)
+                    if w == EOS:
+                        bo = 0.0
+                    bi[(c, w)] = (round(float(-rng.uniform(0.2, 4)), 4), bo)
+        if not bi:
+            bi[(BOS, words[0])] = (-1.0, -0.3)
+        m.grams[2] = bi
+
+    prev = m.grams.get(2, {})
+    for n in range(3, order + 1):
+        cur: dict[tuple[str, ...], tuple[float, float]] = {}
+        exts = [w for w in words] + [EOS]
+        for gram in prev:
+            if gram[-1] == EOS:
+                continue
+            for w in exts:
+                # suffix property: (gram[1:], w) must exist at order n-1
+                if n > 2 and (gram[1:] + (w,)) not in prev:
+                    continue
+                if rng.random() < higher_frac:
+                    bo = 0.0 if (n == order or w == EOS) else round(
+                        float(-rng.uniform(0, 0.8)), 4
+                    )
+                    cur[gram + (w,)] = (round(float(-rng.uniform(0.1, 3)), 4), bo)
+        m.grams[n] = cur
+        prev = cur
+    m.counts = [len(m.grams.get(n, {})) for n in range(1, order + 1)]
+    return m
+
+
+def random_texts(seed: int, n_docs: int, vocab_size: int = 30, oov_rate: float = 0.1):
+    """Random documents over the random_arpa vocabulary + some OOVs."""
+    rng = np.random.default_rng(seed)
+    vocab = [f"w{i}" for i in range(vocab_size)]
+    oovs = ["zzz", "qqq", "naïve", "<s>", "</s>", "<unk>"]
+    docs = []
+    for _ in range(n_docs):
+        n_lines = int(rng.integers(0, 6))
+        lines = []
+        for _ in range(n_lines):
+            n_tok = int(rng.integers(0, 12))
+            toks = []
+            for _ in range(n_tok):
+                if rng.random() < oov_rate:
+                    toks.append(oovs[int(rng.integers(0, len(oovs)))])
+                else:
+                    toks.append(vocab[int(rng.integers(0, vocab_size))])
+            lines.append(" ".join(toks))
+        docs.append("\n".join(lines))
+    return docs

@@ -1,0 +1,37 @@
+import numpy as np
+
+from kenlm_ray.functions.hashing import (
+    hash_bytes_array,
+    murmur64,
+    ngram_hash_scalar,
+    ngram_hash_step,
+)
+
+
+def test_murmur64_known_values():
+    # MurmurHash64A with seed 0 — canonical values computed from the
+    # public-domain scalar algorithm (self-consistency anchor).
+    assert murmur64(b"") == 0
+    got = murmur64(b"hello")
+    assert got == murmur64(b"hello")
+    assert got != murmur64(b"hellp")
+    assert murmur64(b"hello", seed=1) != got
+
+
+def test_vectorized_matches_scalar():
+    items = [b"", b"a", b"ab", b"abcdefg", b"abcdefgh", b"abcdefghi",
+             b"x" * 100, "héllo wörld".encode(), b"\x00\xff\x80"]
+    vec = hash_bytes_array(items)
+    for b, v in zip(items, vec):
+        assert murmur64(b) == int(v)
+
+
+def test_ngram_recurrence():
+    ids = [3, 7, 11]
+    h = ngram_hash_scalar(ids)
+    # vectorized step-by-step must agree
+    hv = np.zeros(1, dtype=np.uint64)
+    for w in ids:
+        hv = ngram_hash_step(hv, np.array([w], dtype=np.uint64))
+    assert int(hv[0]) == h
+    assert ngram_hash_scalar([3, 7]) != h

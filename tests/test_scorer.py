@@ -1,0 +1,149 @@
+"""Scorer tests in the reference's golden-model style
+(/root/reference/lm/model_test.cc): exact hand-checkable expectations on a
+tiny ARPA, plus randomized cross-checks of the vectorized scorer against
+the independent pure-Python oracle."""
+
+import math
+
+import numpy as np
+import pytest
+
+from kenlm_ray.functions.tokenize import tokenize_texts
+from kenlm_ray.model.arpa import parse_arpa, write_arpa
+from kenlm_ray.model.pack import PackedModel, pack_model
+from kenlm_ray.model.pyref import RefLM
+from kenlm_ray.model.scorer import VectorLM
+from kenlm_ray.testing import random_arpa, random_texts
+
+TINY_ARPA = """\
+\\data\\
+ngram 1=5
+ngram 2=4
+ngram 3=2
+
+\\1-grams:
+-2.5\t<unk>
+-99\t<s>\t-0.6
+-1.2\t</s>
+-0.8\ta\t-0.4
+-1.0\tb\t-0.3
+
+\\2-grams:
+-0.5\t<s> a\t-0.2
+-0.7\ta b\t-0.1
+-0.9\tb </s>
+-1.1\ta a\t-0.15
+
+\\3-grams:
+-0.3\t<s> a b
+-0.6\ta b </s>
+
+\\end\\
+"""
+
+
+@pytest.fixture(scope="module")
+def tiny():
+    arpa = parse_arpa(TINY_ARPA, is_text=True)
+    packed = pack_model(arpa, backoff_bits=None)  # exact floats for hand checks
+    return arpa, packed, VectorLM(packed)
+
+
+def test_hand_computed_sentence(tiny):
+    _, _, vlm = tiny
+    # p(a|<s>) = -0.5 (bigram <s> a)
+    # p(b|<s> a) = -0.3 (trigram)
+    # p(</s>|a b) = -0.6 (trigram)
+    got = vlm.score_text("a b")
+    assert math.isclose(got, -0.5 - 0.3 - 0.6, abs_tol=1e-5)
+
+
+def test_backoff_chain(tiny):
+    _, _, vlm = tiny
+    # sentence "b": p(b|<s>) -> no bigram <s> b: backoff(<s>) + p(b) = -0.6-1.0
+    # p(</s>|<s> b) -> no trigram, no bigram reaches? b </s> exists ->
+    #   longest match via walk: bigram (b </s>) found = -0.9, trigram missing
+    #   charged backoffs: context suffixes of len 2 (<s> b: absent -> 0)
+    got = vlm.score_text("b")
+    assert math.isclose(got, (-0.6 - 1.0) + (-0.9), abs_tol=1e-5)
+
+
+def test_oov_unk_charge(tiny):
+    _, _, vlm = tiny
+    # "zzz": p(<unk>|<s>) = backoff(<s>) + p(<unk>) = -0.6 - 2.5
+    # p(</s>|<s> <unk>) = backoff walk: no bigram <unk> </s> ->
+    #   p(</s>) = -1.2 plus backoff(<unk>)=0, backoff(<s> <unk>)=0
+    got = vlm.score_text("zzz")
+    assert math.isclose(got, (-0.6 - 2.5) + (-1.2), abs_tol=1e-5)
+    sc = vlm.score_stream(tokenize_texts(["zzz"]))
+    assert sc.oov_count[0] == 1 and sc.token_count[0] == 2
+
+
+def test_perplexity_convention(tiny):
+    _, _, vlm = tiny
+    sc = vlm.score_stream(tokenize_texts(["a b"]))
+    # words = tokens + </s> = 3 (kenlm.pyx:209-215)
+    assert sc.token_count[0] == 3
+    assert math.isclose(sc.ppl[0], 10 ** (1.4 / 3), rel_tol=1e-5)
+
+
+def test_multiline_document_sums_sentences(tiny):
+    _, _, vlm = tiny
+    one = vlm.score_text("a b")
+    doc = vlm.score_text("a b\n\na b")
+    assert math.isclose(doc, 2 * one, abs_tol=1e-5)
+
+
+def test_literal_specials_are_unk(tiny):
+    _, _, vlm = tiny
+    sc = vlm.score_stream(tokenize_texts(["<s> </s> <unk>"]))
+    assert sc.oov_count[0] == 3
+
+
+def test_missing_unk_default():
+    arpa = parse_arpa(TINY_ARPA.replace("-2.5\t<unk>\n", "-7\tc\n"), is_text=True)
+    packed = pack_model(arpa, backoff_bits=None)
+    assert not packed.has_unk
+    vlm = VectorLM(packed)
+    got = vlm.score_text("zzz")
+    # <unk> substitute log10 prob = -100 (lm/config.hh:52-54)
+    assert got < -100
+
+
+@pytest.mark.parametrize("order", [2, 3, 4, 5])
+def test_parity_vs_oracle(order):
+    arpa = random_arpa(order=order, seed=order * 3 + 1)
+    packed = pack_model(arpa, backoff_bits=8)
+    vlm, ref = VectorLM(packed), RefLM(arpa, packed=packed)
+    docs = random_texts(100 + order, 120)
+    sc = vlm.score_stream(tokenize_texts(docs))
+    for i, d in enumerate(docs):
+        rt, rw, ro = ref.score_document(d)
+        assert np.isclose(sc.logprob_sum[i], rt, rtol=1e-5, atol=2e-3), (i, d)
+        assert sc.token_count[i] == rw
+        assert sc.oov_count[i] == ro
+
+
+def test_arpa_roundtrip_and_pack_save(tmp_path):
+    arpa = random_arpa(order=3, seed=5)
+    arpa2 = parse_arpa(write_arpa(arpa), is_text=True)
+    assert arpa2.counts == arpa.counts
+    packed = pack_model(arpa, quant_bits=None, backoff_bits=8)
+    p = str(tmp_path / "model.npz")
+    packed.save(p)
+    loaded = PackedModel.load(p)
+    docs = random_texts(3, 40)
+    a = VectorLM(packed).score_stream(tokenize_texts(docs))
+    b = VectorLM(loaded).score_stream(tokenize_texts(docs))
+    np.testing.assert_allclose(a.logprob_sum, b.logprob_sum)
+
+
+def test_quantization_bins():
+    from kenlm_ray.model.pack import quantize, train_bins
+
+    vals = np.random.default_rng(3).normal(-2, 1, 10000).astype(np.float32)
+    centers = train_bins(vals, 8)
+    codes = quantize(vals, centers)
+    err = np.abs(centers[codes] - vals)
+    assert err.mean() < 0.01  # 256 equal-frequency bins over ~N(-2,1)
+    assert codes.dtype == np.uint16

@@ -1,0 +1,39 @@
+import pyarrow as pa
+
+from kenlm_ray.functions.tokenize import tokenize_column, tokenize_texts
+
+
+def toks(ts):
+    return [ts.token_bytes(i).decode() for i in range(ts.n_tokens)]
+
+
+def test_delimiter_set_and_boundaries():
+    ts = tokenize_texts(["hello world\nfoo  bar\r\n\nbaz", "", "x", "  ", "a\tb"])
+    assert toks(ts) == ["hello", "world", "foo", "bar", "baz", "x", "a", "b"]
+    assert ts.doc_ids.tolist() == [0, 0, 0, 0, 0, 2, 4, 4]
+    assert ts.sent_ids.tolist() == [0, 0, 1, 1, 2, 3, 4, 4]
+    assert ts.sent_doc_ids().tolist() == [0, 0, 0, 2, 4]
+
+
+def test_no_cross_doc_tokens():
+    # adjacent docs with no trailing delimiter must not merge tokens
+    ts = tokenize_texts(["abc", "def"])
+    assert toks(ts) == ["abc", "def"]
+    assert ts.doc_ids.tolist() == [0, 1]
+
+
+def test_vertical_tab_is_not_delimiter():
+    # reference set is \0 \t \n \r space only (util/spaces.cc)
+    ts = tokenize_texts(["a\x0bb c"])
+    assert toks(ts) == ["a\x0bb", "c"]
+
+
+def test_large_string_column():
+    col = pa.array(["x y", "z"], type=pa.large_string())
+    ts = tokenize_column(col)
+    assert toks(ts) == ["x", "y", "z"]
+
+
+def test_empty_batch():
+    ts = tokenize_texts([])
+    assert ts.n_tokens == 0 and ts.n_docs == 0
