@@ -192,3 +192,8 @@ class VectorLM:
         from kenlm_ray.functions.tokenize import tokenize_texts
 
         return float(self.score_stream(tokenize_texts([text])).logprob_sum[0])
+
+    def ppl_text(self, text: str) -> float:
+        from kenlm_ray.functions.tokenize import tokenize_texts
+
+        return float(self.score_stream(tokenize_texts([text])).ppl[0])

@@ -1,0 +1,174 @@
+"""In-memory interpolated Kneser-Ney trainer (driver-side).
+
+A compact single-process implementation of the same modified-Kneser-Ney
+estimation that the reference's ``lmplz`` computes out-of-core
+(/root/reference/lm/builder/pipeline.cc:331-383; formulas in
+lm/builder/adjust_counts.cc:24-105 and initial_probabilities.cc:143-274).
+Used (a) to train the seed quality-filter model from the deterministic
+seed corpus and (b) as the oracle for the distributed Ray Data estimator
+(kenlm_ray/ngram/estimate.py), which must reproduce these tables.
+
+Semantics:
+  - raw counts at the top order; for n < N, *adjusted* counts = number of
+    distinct left extensions, except n-grams starting with <s> which keep
+    raw counts (adjust_counts.cc:264-320);
+  - modified KN discounts D1..D3+ per order from t1..t4 statistics
+    (Chen-Goodman eq. 26; adjust_counts.cc:56-61), falling back to 0.5/1.0
+    clamped into [0, j] when the closed form is degenerate;
+  - interpolated probabilities p_n = p̂_n + γ(ctx) · p_{n-1}
+    (interpolate.cc:95-128), unigrams interpolated with the uniform
+    distribution 1/|vocab| (vocab includes <unk>);
+  - ARPA backoff weight of a context = log10 γ(ctx).
+"""
+
+from __future__ import annotations
+
+import math
+from collections import Counter, defaultdict
+
+from kenlm_ray.model.arpa import ArpaModel
+from kenlm_ray.schema import BOS, EOS, UNK
+
+
+def mkn_discounts(adjusted: "dict | Counter") -> list[float]:
+    """[D1, D2, D3+] from count-of-count statistics t1..t4."""
+    t = Counter()
+    for c in adjusted.values():
+        if 1 <= c <= 4:
+            t[c] += 1
+    d = [0.0, 0.0, 0.0]
+    for j in (1, 2, 3):
+        if t[1] > 0 and t[2] > 0 and t[j] > 0 and t[j + 1] >= 0:
+            y = t[1] / (t[1] + 2.0 * t[2])
+            dj = j - (j + 1) * y * t[j + 1] / t[j]
+        else:
+            dj = j * 0.5
+        d[j - 1] = min(max(dj, 0.0), float(j))
+    return d
+
+
+def train_kn(
+    sentences: "list[list[str]]", order: int = 3, vocab_min_count: int = 1
+) -> ArpaModel:
+    """Train an interpolated modified-KN model; returns a valid ArpaModel
+    (normalized: sum_w p(w|ctx) == 1 for every context)."""
+    # ---- vocab ----
+    word_counts = Counter(w for s in sentences for w in s)
+    vocab = {w for w, c in word_counts.items() if c >= vocab_min_count}
+    vocab -= {UNK, BOS, EOS}
+
+    def norm(w: str) -> str:
+        return w if w in vocab else UNK
+
+    # ---- raw counts at the top order (padded <s> ... </s>) ----
+    raw: list[Counter] = [Counter() for _ in range(order + 1)]  # raw[n]
+    for s in sentences:
+        toks = [BOS] + [norm(w) for w in s] + [EOS]
+        L = len(toks)
+        for n in range(1, order + 1):
+            for i in range(L - n + 1):
+                g = tuple(toks[i : i + n])
+                raw[n][g] += 1
+
+    # ---- adjusted counts (adjust_counts.cc:264-320) ----
+    adj: list[Counter] = [Counter() for _ in range(order + 1)]
+    adj[order] = raw[order]
+    for n in range(order - 1, 0, -1):
+        left = Counter()
+        for g in raw[n + 1]:
+            left[g[1:]] += 1
+        a = Counter()
+        for g in raw[n]:
+            if g[0] == BOS:
+                a[g] = raw[n][g]
+            else:
+                a[g] = left.get(g, 0)
+                if a[g] == 0:
+                    # occurs only sentence-initially at higher order
+                    a[g] = raw[n][g]
+        adj[n] = a
+    # <s> is context only, never predicted: drop its unigram row from the
+    # distribution (its ARPA row gets the conventional -99 prob).
+    adj[1].pop((BOS,), None)
+
+    # ---- discounts per order ----
+    D: list[list[float]] = [[0, 0, 0]] * (order + 1)
+    D = [None] + [
+        mkn_discounts({g: c for g, c in adj[n].items() if g[0] != BOS or n == order})
+        for n in range(1, order + 1)
+    ]
+
+    def disc(n: int, c: int) -> float:
+        if c <= 0:
+            return 0.0
+        return D[n][min(c, 3) - 1]
+
+    # ---- uninterpolated probs + gammas per context ----
+    # context sums
+    probs: list[dict] = [None] * (order + 1)
+    gammas: list[dict] = [None] * (order + 1)
+    for n in range(1, order + 1):
+        ctx_sum = defaultdict(int)
+        ctx_disc = defaultdict(float)
+        for g, c in adj[n].items():
+            ctx_sum[g[:-1]] += c
+            ctx_disc[g[:-1]] += disc(n, c)
+        p = {}
+        for g, c in adj[n].items():
+            denom = ctx_sum[g[:-1]]
+            p[g] = (c - disc(n, c)) / denom if denom else 0.0
+        gam = {
+            ctx: (ctx_disc[ctx] / ctx_sum[ctx]) if ctx_sum[ctx] else 1.0
+            for ctx in ctx_sum
+        }
+        probs[n], gammas[n] = p, gam
+
+    # ---- interpolate down the orders (interpolate.cc:95-128) ----
+    # unigram base: uniform over vocab incl <unk> and </s> (not <s>)
+    words1 = sorted({g[0] for g in adj[1]} | {UNK, EOS})
+    V = len([w for w in words1 if w != BOS])
+    uni_gamma = gammas[1].get((), 1.0)
+    p1 = {}
+    for w in words1:
+        if w == BOS:
+            continue
+        p1[w] = probs[1].get((w,), 0.0) + uni_gamma / V
+    # normalize away any tiny drift, keep exact sum 1
+    s1 = sum(p1.values())
+    p1 = {w: p / s1 for w, p in p1.items()}
+
+    interp: list[dict] = [None] * (order + 1)
+    interp[1] = p1
+    for n in range(2, order + 1):
+        pn = {}
+        for g in adj[n]:
+            lower = interp[n - 1].get(g[1:], interp[1].get(g[-1], 1.0 / V)) if n > 2 else interp[1].get(g[-1], 1.0 / V)
+            pn[g] = probs[n][g] + gammas[n].get(g[:-1], 0.0) * lower
+        interp[n] = pn
+
+    # ---- assemble ARPA ----
+    m = ArpaModel()
+    g1 = {}
+    g1[(UNK,)] = (math.log10(max(p1.get(UNK, 1e-12), 1e-12)), 0.0)
+    bos_gamma = gammas[2].get((BOS,), 1.0) if order >= 2 else 1.0
+    g1[(BOS,)] = (-99.0, math.log10(max(bos_gamma, 1e-12)) if order >= 2 else 0.0)
+    for w in words1:
+        if w in (UNK, BOS):
+            continue
+        bo = 0.0
+        if order >= 2:
+            gm = gammas[2].get((w,))
+            bo = math.log10(max(gm, 1e-12)) if gm is not None else 0.0
+        g1[(w,)] = (math.log10(max(p1[w], 1e-12)), bo)
+    m.grams[1] = g1
+    for n in range(2, order + 1):
+        gn = {}
+        for g, p in interp[n].items():
+            bo = 0.0
+            if n < order:
+                gm = gammas[n + 1].get(g)
+                bo = math.log10(max(gm, 1e-12)) if gm is not None else 0.0
+            gn[g] = (math.log10(max(p, 1e-12)), bo)
+        m.grams[n] = gn
+    m.counts = [len(m.grams.get(n, {})) for n in range(1, order + 1)]
+    return m

@@ -1,0 +1,125 @@
+"""Pure-Python oracle for the full quality-filter pipeline.
+
+Independent per-document implementation (loops + dicts + Python re) of
+every stage's semantics; produces the "reference labels" the pipeline
+under test must match at F1 >= 0.99 (FIXTURES.md F1: oracle columns come
+from this path, never from the pipeline).  Mirrors the reference's
+golden-test style (/root/reference/lm/model_test.cc) at pipeline scope.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import re
+from collections import Counter
+
+from kenlm_ray.functions.hashing import murmur64
+from kenlm_ray.model.pyref import RefLM
+from kenlm_ray.stages.decide import QualityConfig
+from kenlm_ray.stages.heuristics import (
+    LINE_HASH_PREFIX,
+    MIN_TOKENS_FOR_NGRAM,
+    TOP_NGRAM_NS,
+)
+from kenlm_ray.stages.langid import classify_scalar
+from kenlm_ray.stages.scrub import scrub_text
+
+_DELIMS = re.compile("[\x00\t\r ]+")
+
+
+def heuristics_doc(text: str) -> dict:
+    data = text.encode()
+    n_bytes = len(data)
+    lines = data.split(b"\n")
+    n_lines = len(lines)
+    max_line = max((len(ln) for ln in lines), default=0)
+    mean_line = (n_bytes - (n_lines - 1)) / n_lines
+    alpha = sum(1 for b in data if 65 <= b <= 90 or 97 <= b <= 122)
+    tokens: list[bytes] = []
+    for ln in lines:
+        for t in re.split(b"[\x00\t\r ]+", ln):
+            if t:
+                tokens.append(t)
+    n_tokens = len(tokens)
+    mean_token_len = sum(len(t) for t in tokens) / max(n_tokens, 1)
+    nonempty = [ln for ln in lines if len(ln) > 0]
+    if len(nonempty) >= 2:
+        keys = {
+            (murmur64(ln[:LINE_HASH_PREFIX]) ^ ((len(ln) * 0x9E3779B97F4A7C15) % (1 << 64)))
+            for ln in nonempty
+        }
+        dup_line_frac = 1.0 - len(keys) / len(nonempty)
+    else:
+        dup_line_frac = 0.0
+    out = {
+        "n_bytes": n_bytes,
+        "n_lines": n_lines,
+        "max_line_len": max_line,
+        "mean_line_len": mean_line,
+        "alpha_ratio": alpha / max(n_bytes, 1),
+        "n_tokens": n_tokens,
+        "mean_token_len": mean_token_len,
+        "dup_line_frac": dup_line_frac,
+    }
+    for k in TOP_NGRAM_NS:
+        if n_tokens >= MIN_TOKENS_FOR_NGRAM and n_tokens >= k:
+            c = Counter(tuple(tokens[i : i + k]) for i in range(n_tokens - k + 1))
+            top = c.most_common(1)[0][1]
+            out[f"top{k}gram_frac"] = top * k / n_tokens
+        else:
+            out[f"top{k}gram_frac"] = 0.0
+    return out
+
+
+def decide_doc(metrics: dict, cfg: QualityConfig) -> tuple[bool, "str | None", dict]:
+    checks = [
+        ("too_short", metrics["n_bytes"] >= cfg.min_bytes),
+        ("too_long", metrics["n_bytes"] <= cfg.max_bytes),
+        ("too_few_tokens", metrics["n_tokens"] >= cfg.min_tokens),
+        ("long_lines", metrics["max_line_len"] <= cfg.max_line_len),
+        ("long_mean_line", metrics["mean_line_len"] <= cfg.max_mean_line_len),
+        ("low_alpha", metrics["alpha_ratio"] >= cfg.min_alpha_ratio),
+        ("dup_lines", metrics["dup_line_frac"] <= cfg.max_dup_line_frac),
+        ("repetitive_2gram", metrics["top2gram_frac"] <= cfg.max_top2gram_frac),
+        ("repetitive_3gram", metrics["top3gram_frac"] <= cfg.max_top3gram_frac),
+        ("repetitive_4gram", metrics["top4gram_frac"] <= cfg.max_top4gram_frac),
+        (
+            "lang_filter",
+            metrics["langid"] in cfg.allowed_langs
+            or metrics["langid_conf"] < cfg.langid_conf_threshold,
+        ),
+        ("high_perplexity", not (metrics["ppl"] > cfg.max_ppl)),
+    ]
+    keep = True
+    reason = None
+    flags = {}
+    for name, ok in checks:
+        flags[name] = bool(ok)
+        if keep and not ok:
+            keep = False
+            reason = name
+    return keep, reason, flags
+
+
+def label_row(text: str, ref_lm: RefLM, cfg: QualityConfig) -> dict:
+    m = heuristics_doc(text)
+    lang, conf = classify_scalar(text)
+    m["langid"], m["langid_conf"] = lang, conf
+    lp, words, oov = ref_lm.score_document(text)
+    m["logprob_sum"] = lp
+    m["token_count"] = words
+    m["oov_count"] = oov
+    m["ppl"] = 10.0 ** (-lp / words) if words else float("nan")
+    keep, reason, flags = decide_doc(m, cfg)
+    m["keep"] = keep
+    m["drop_reason"] = reason
+    m["rule_flags"] = json.dumps(flags, separators=(",", ":"))
+    m["content_sha256"] = hashlib.sha256(text.encode()).hexdigest()
+    m["content_scrubbed"] = scrub_text(text)
+    return m
+
+
+def label_corpus(texts: "list[str]", ref_lm: RefLM, cfg: "QualityConfig | None" = None):
+    cfg = cfg or QualityConfig()
+    return [label_row(t, ref_lm, cfg) for t in texts]

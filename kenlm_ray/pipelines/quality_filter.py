@@ -1,0 +1,182 @@
+"""The flagship pipeline: corpus quality filter (north star).
+
+read_parquet(corpus) → heuristics (stateless tasks) → langid (actor pool)
+→ perplexity scoring (actor pool, packed LM loaded once per actor) →
+scrub + sha256 (stateless) → keep/drop decision → scored table
+(FIXTURES.md F5 schema).
+
+Everything is lazy/streaming; the caller consumes via write_parquet /
+iter_batches / aggregates.  No stage materializes the full dataset.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+import ray.data
+
+from kenlm_ray.model.pack import PackedModel, pack_model
+from kenlm_ray.model.train_quick import train_kn
+from kenlm_ray.sources.synth_corpus import seed_sentences
+from kenlm_ray.stages.decide import QualityConfig, decide_stage
+from kenlm_ray.stages.heuristics import heuristics_stage
+from kenlm_ray.stages.langid import LangId
+from kenlm_ray.stages.ppl import PplScorer
+from kenlm_ray.stages.scrub import scrub_stage
+
+SCORED_COLUMNS = [
+    "repo", "path", "commit", "lang",
+    "content_scrubbed", "content_sha256",
+    "keep", "drop_reason", "langid", "langid_conf",
+    "token_count", "oov_count", "logprob_sum", "ppl", "rule_flags",
+]
+
+_SEED_MODEL_CACHE = "/tmp/kenlm_ray_cache/seed_kn3.npz"
+
+
+def seed_model_path(order: int = 3, *, cache: str = _SEED_MODEL_CACHE) -> str:
+    """Train (once) and cache the deterministic seed quality-filter LM."""
+    if not os.path.exists(cache):
+        os.makedirs(os.path.dirname(cache), exist_ok=True)
+        arpa = train_kn(seed_sentences(), order=order)
+        packed = pack_model(arpa, backoff_bits=8)
+        tmp = cache + f".{os.getpid()}.tmp.npz"  # .npz suffix: savez won't rename
+        packed.save(tmp)
+        os.replace(tmp, cache)
+    return cache
+
+
+def build_quality_pipeline(
+    ds: "ray.data.Dataset",
+    model_path: "str | None" = None,
+    cfg: "QualityConfig | None" = None,
+    *,
+    scorer_concurrency=(1, 8),
+    langid_concurrency=(1, 4),
+    batch_size: int = 1024,
+    project: bool = True,
+) -> "ray.data.Dataset":
+    """Assemble the lazy scored-Dataset plan over a corpus Dataset."""
+    cfg = cfg or QualityConfig()
+    model_path = model_path or seed_model_path()
+    ds = ds.map_batches(heuristics_stage, batch_format="pyarrow", batch_size=batch_size)
+    ds = ds.map_batches(
+        LangId,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=langid_concurrency,
+    )
+    ds = ds.map_batches(
+        PplScorer,
+        fn_constructor_args=(model_path,),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=scorer_concurrency,
+    )
+    ds = ds.map_batches(scrub_stage, batch_format="pyarrow", batch_size=batch_size)
+    ds = ds.map_batches(decide_stage, batch_format="pyarrow", batch_size=batch_size)
+    if project:
+        ds = ds.select_columns(SCORED_COLUMNS)
+    return ds
+
+
+def corpus_from_documents(sf_dir: str) -> "ray.data.Dataset":
+    """Adapt the testdata ``documents`` table to the corpus schema
+    (input_hint shape) so the flagship pipeline can run on driver-provided
+    tables: repo=source, path=doc_id, commit=sha1(doc_id), lang, content=text."""
+    import hashlib
+
+    import pyarrow as pa
+
+    def adapt(batch: pa.Table) -> pa.Table:
+        doc_ids = batch["doc_id"].to_pylist()
+        return pa.table(
+            {
+                "repo": batch["source"],
+                "path": pa.array([f"doc/{d}.txt" for d in doc_ids]),
+                "commit": pa.array(
+                    [hashlib.sha1(str(d).encode()).hexdigest() for d in doc_ids]
+                ),
+                "lang": batch["lang"],
+                "content": batch["text"],
+            }
+        )
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text", "lang", "source"],
+    )
+    return ds.map_batches(adapt, batch_format="pyarrow")
+
+
+def repo_stats(scored: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Per-repo quality stats as partial-then-final aggregation.
+
+    The partial per-batch combine (Arrow ``group_by`` inside map_batches)
+    bounds the shuffle at one row per (repo, batch) — the giant-monorepo
+    skew never concentrates raw rows on one reducer (SURVEY.md §7.4; the
+    same partial/final shape as the reference's CombineCounts,
+    /root/reference/lm/builder/combine_counts.hh)."""
+    import pyarrow as pa
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "repo": batch["repo"],
+                "files": pa.array(np.ones(len(batch), dtype=np.int64)),
+                "kept": batch["keep"].cast(pa.int64()),
+                "ppl_sum": pa.array(
+                    np.nan_to_num(batch["ppl"].to_numpy(zero_copy_only=False), nan=0.0)
+                ),
+                "ppl_n": pa.array(
+                    np.isfinite(batch["ppl"].to_numpy(zero_copy_only=False)).astype(np.int64)
+                ),
+                "tokens": batch["token_count"],
+                "oov": batch["oov_count"],
+            }
+        )
+        return t.group_by("repo").aggregate(
+            [
+                ("files", "sum"),
+                ("kept", "sum"),
+                ("ppl_sum", "sum"),
+                ("ppl_n", "sum"),
+                ("tokens", "sum"),
+                ("oov", "sum"),
+            ]
+        )
+
+    from ray.data.aggregate import Sum
+
+    part = scored.map_batches(partial, batch_format="pyarrow")
+    agg = part.groupby("repo").aggregate(
+        Sum("files_sum", alias_name="files"),
+        Sum("kept_sum", alias_name="kept"),
+        Sum("ppl_sum_sum", alias_name="ppl_sum"),
+        Sum("ppl_n_sum", alias_name="ppl_n"),
+        Sum("tokens_sum", alias_name="tokens"),
+        Sum("oov_sum", alias_name="oov"),
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        files = batch["files"].to_numpy(zero_copy_only=False).astype(np.int64)
+        kept = batch["kept"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ppl_sum = batch["ppl_sum"].to_numpy(zero_copy_only=False)
+        ppl_n = batch["ppl_n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "repo": batch["repo"],
+                "files": pa.array(files),
+                "kept": pa.array(kept),
+                "keep_rate": pa.array(kept / np.maximum(files, 1)),
+                "mean_ppl": pa.array(ppl_sum / np.maximum(ppl_n, 1)),
+                "tokens": batch["tokens"],
+                "oov": batch["oov"],
+            }
+        )
+
+    return agg.map_batches(finalize, batch_format="pyarrow")

@@ -1,0 +1,1 @@
+"""Sources: synthetic corpus generator, parquet readers (SURVEY.md §2.1)."""

@@ -1,0 +1,6 @@
+"""Pipeline stages (SURVEY.md §7.2).
+
+Stateless stages are plain callables used as ``ds.map_batches(fn)``;
+stateful stages are callable classes (actor pools) whose ``__init__``
+loads state once per actor.
+"""

@@ -1,0 +1,98 @@
+"""Keep/drop decision stage: ordered rule evaluation over the metric
+columns produced by the heuristics / langid / ppl stages.
+
+Each rule is a named predicate over columns (the reference's filter
+concept: PassNGram/AddNGram, /root/reference/lm/filter/wrapper.hh:14-32 —
+here a registry of vectorized predicates).  ``drop_reason`` is the FIRST
+failing rule in the fixed order; ``rule_flags`` is a JSON object of every
+rule's pass/fail for observability.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass, field
+
+import numpy as np
+import pyarrow as pa
+
+
+@dataclass(frozen=True)
+class QualityConfig:
+    min_bytes: int = 24
+    max_bytes: int = 1_000_000
+    max_line_len: int = 3000
+    max_mean_line_len: float = 400.0
+    min_alpha_ratio: float = 0.20
+    max_dup_line_frac: float = 0.50
+    max_top2gram_frac: float = 0.40
+    max_top3gram_frac: float = 0.30
+    max_top4gram_frac: float = 0.25
+    min_tokens: int = 4
+    allowed_langs: tuple[str, ...] = ("en", "code", "und")
+    langid_conf_threshold: float = 0.60
+    max_ppl: float = 2500.0
+
+    def to_json(self) -> str:
+        d = self.__dict__.copy()
+        d["allowed_langs"] = list(self.allowed_langs)
+        return json.dumps(d)
+
+
+# rule name -> vectorized predicate(batch_dict, cfg) -> bool mask (True = PASS)
+def _rules(cfg: QualityConfig):
+    return [
+        ("too_short", lambda c: c["n_bytes"] >= cfg.min_bytes),
+        ("too_long", lambda c: c["n_bytes"] <= cfg.max_bytes),
+        ("too_few_tokens", lambda c: c["n_tokens"] >= cfg.min_tokens),
+        ("long_lines", lambda c: c["max_line_len"] <= cfg.max_line_len),
+        ("long_mean_line", lambda c: c["mean_line_len"] <= cfg.max_mean_line_len),
+        ("low_alpha", lambda c: c["alpha_ratio"] >= cfg.min_alpha_ratio),
+        ("dup_lines", lambda c: c["dup_line_frac"] <= cfg.max_dup_line_frac),
+        ("repetitive_2gram", lambda c: c["top2gram_frac"] <= cfg.max_top2gram_frac),
+        ("repetitive_3gram", lambda c: c["top3gram_frac"] <= cfg.max_top3gram_frac),
+        ("repetitive_4gram", lambda c: c["top4gram_frac"] <= cfg.max_top4gram_frac),
+        (
+            "lang_filter",
+            lambda c: np.isin(c["langid"], list(cfg.allowed_langs))
+            | (c["langid_conf"] < cfg.langid_conf_threshold),
+        ),
+        (
+            "high_perplexity",
+            lambda c: ~(np.asarray(c["ppl"]) > cfg.max_ppl),  # NaN passes (caught by token rules)
+        ),
+    ]
+
+
+RULE_NAMES = [name for name, _ in _rules(QualityConfig())]
+
+
+class Decide:
+    def __init__(self, cfg: "QualityConfig | None" = None):
+        self.cfg = cfg or QualityConfig()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        cols = {name: batch[name].to_numpy(zero_copy_only=False) for name in batch.column_names}
+        keep = np.ones(n, dtype=bool)
+        reason = np.full(n, None, dtype=object)
+        flags: dict[str, np.ndarray] = {}
+        for name, pred in _rules(self.cfg):
+            mask = np.asarray(pred(cols), dtype=bool)
+            flags[name] = mask
+            newly_failed = keep & ~mask & (reason == None)  # noqa: E711
+            reason[newly_failed] = name
+            keep &= mask
+        flag_json = [
+            json.dumps({k: bool(v[i]) for k, v in flags.items()}, separators=(",", ":"))
+            for i in range(n)
+        ]
+        return (
+            batch.append_column("keep", pa.array(keep))
+            .append_column("drop_reason", pa.array(reason, type=pa.string()))
+            .append_column("rule_flags", pa.array(flag_json, type=pa.string()))
+        )
+
+
+def decide_stage(batch: pa.Table, cfg: "QualityConfig | None" = None) -> pa.Table:
+    return Decide(cfg)(batch)

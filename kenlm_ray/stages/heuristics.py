@@ -1,0 +1,212 @@
+"""Gopher/CCNet-style heuristic quality metrics, vectorized.
+
+All metrics are defined on UTF-8 *bytes* (deterministic and identical
+between this vectorized stage and the pure-Python oracle in
+kenlm_ray/oracle.py):
+
+  - n_bytes, n_lines (= '\\n' count + 1)
+  - max_line_len / mean_line_len (bytes, over all lines; mean excludes
+    the newline bytes themselves)
+  - alpha_ratio: [A-Za-z] bytes / n_bytes
+  - n_tokens / mean_token_len over the reference delimiter split
+  - dup_line_frac: 1 − unique/total over non-empty lines (0 when < 2);
+    line identity = (MurmurHash64A of first 512 bytes, byte length)
+  - top{2,3,4}gram_frac: (count of the most frequent word n-gram) · n /
+    n_tokens over the document's flat token sequence (0 when
+    n_tokens < MIN_TOKENS_FOR_NGRAM) — the Gopher repetition rules.
+
+This is a stateless task stage (pure numpy; no model to load).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from kenlm_ray.functions.hashing import murmur64_matrix, ngram_hash_step
+from kenlm_ray.functions.tokenize import TokenStream, _string_buffers, tokenize_column
+
+LINE_HASH_PREFIX = 512
+MIN_TOKENS_FOR_NGRAM = 16
+TOP_NGRAM_NS = (2, 3, 4)
+
+
+def _per_doc_max_over_runs(keys_doc: np.ndarray, keys_val: np.ndarray, n_docs: int) -> np.ndarray:
+    """Given (doc, value) pairs, return per-doc maximum run length of equal
+    (doc, value) after sorting — i.e. the count of the most frequent value
+    within each doc."""
+    if len(keys_doc) == 0:
+        return np.zeros(n_docs, dtype=np.int64)
+    order = np.lexsort((keys_val, keys_doc))
+    d = keys_doc[order]
+    v = keys_val[order]
+    new_run = np.empty(len(d), dtype=bool)
+    new_run[0] = True
+    new_run[1:] = (d[1:] != d[:-1]) | (v[1:] != v[:-1])
+    run_ids = np.cumsum(new_run) - 1
+    run_len = np.bincount(run_ids)
+    run_doc = d[new_run]
+    out = np.zeros(n_docs, dtype=np.int64)
+    np.maximum.at(out, run_doc, run_len)
+    return out
+
+
+def _per_doc_unique_runs(keys_doc: np.ndarray, keys_val: np.ndarray, n_docs: int) -> np.ndarray:
+    """Count of distinct values per doc."""
+    if len(keys_doc) == 0:
+        return np.zeros(n_docs, dtype=np.int64)
+    order = np.lexsort((keys_val, keys_doc))
+    d = keys_doc[order]
+    v = keys_val[order]
+    new_run = np.empty(len(d), dtype=bool)
+    new_run[0] = True
+    new_run[1:] = (d[1:] != d[:-1]) | (v[1:] != v[:-1])
+    return np.bincount(d[new_run], minlength=n_docs)
+
+
+def line_table(col: "pa.Array | pa.ChunkedArray"):
+    """(line_doc, line_start, line_end) over the batch: segments between
+    newlines, per document (includes empty lines)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    offsets, data = _string_buffers(col)
+    n = len(offsets) - 1
+    base = int(offsets[0])
+    total = int(offsets[-1]) - base
+    view = data[base : base + total]
+    doc_starts = (offsets[:-1] - base).astype(np.int64)
+    doc_ends = (offsets[1:] - base).astype(np.int64)
+    nl = np.flatnonzero(view == 10)
+    # line starts: every doc start + every position after a newline; an
+    # after-newline start belongs to the doc CONTAINING the newline (a
+    # newline as a doc's final byte yields that doc's empty trailing line,
+    # matching Python's split('\n') — never a start in the next doc).
+    doc_of_nl = np.searchsorted(doc_starts, nl, side="right") - 1
+    starts_all = np.concatenate([doc_starts, nl + 1])
+    doc_of = np.concatenate([np.arange(n, dtype=np.int64), doc_of_nl])
+    keep = starts_all <= doc_ends[doc_of]
+    starts_all = starts_all[keep]
+    doc_of = doc_of[keep]
+    order = np.lexsort((starts_all, doc_of))
+    starts_all = starts_all[order]
+    doc_of = doc_of[order]
+    # line end = next newline within doc or doc end
+    if len(nl):
+        nl_idx = np.searchsorted(nl, starts_all)
+        next_nl = np.where(nl_idx < len(nl), nl[np.minimum(nl_idx, len(nl) - 1)], total)
+    else:
+        next_nl = np.full(len(starts_all), total, dtype=np.int64)
+    ends_all = np.minimum(next_nl, doc_ends[doc_of])
+    return view, doc_of, starts_all, ends_all
+
+
+def compute_heuristics(
+    col: "pa.Array | pa.ChunkedArray", stream: "TokenStream | None" = None
+) -> dict[str, np.ndarray]:
+    """All heuristic metric columns for a content column."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    offsets, data = _string_buffers(col)
+    base = int(offsets[0])
+    total = int(offsets[-1]) - base
+    view = data[base : base + total]
+    doc_len = (offsets[1:] - offsets[:-1]).astype(np.int64)
+    seg_starts = (offsets[:-1] - base).astype(np.int64)
+
+    # byte-class counts per doc: cumulative sums differenced at boundaries
+    is_alpha = ((view >= 65) & (view <= 90)) | ((view >= 97) & (view <= 122))
+    is_nl = view == 10
+    if total:
+        seg_ends = seg_starts + doc_len
+        ca = np.concatenate([[0], np.cumsum(is_alpha, dtype=np.int64)])
+        cn = np.concatenate([[0], np.cumsum(is_nl, dtype=np.int64)])
+        alpha = ca[seg_ends] - ca[seg_starts]
+        nls = cn[seg_ends] - cn[seg_starts]
+    else:
+        alpha = np.zeros(n, dtype=np.int64)
+        nls = np.zeros(n, dtype=np.int64)
+    n_lines = nls + 1
+    alpha_ratio = alpha / np.maximum(doc_len, 1)
+
+    # line lengths
+    _, line_doc, line_start, line_end = line_table(col)
+    line_len = line_end - line_start
+    max_line = np.zeros(n, dtype=np.int64)
+    np.maximum.at(max_line, line_doc, line_len)
+    mean_line = (doc_len - nls) / n_lines
+
+    # duplicate non-empty lines: hash of first LINE_HASH_PREFIX bytes + len
+    nonempty = line_len > 0
+    ne_doc = line_doc[nonempty]
+    ne_start = line_start[nonempty]
+    ne_len = np.minimum(line_len[nonempty], LINE_HASH_PREFIX)
+    if len(ne_start):
+        max_len = int(ne_len.max())
+        pad = ((max_len // 8) + 2) * 8
+        mat = np.zeros((len(ne_start), pad), dtype=np.uint8)
+        colix = np.arange(max_len, dtype=np.int64)
+        idx = ne_start[:, None] + colix[None, :]
+        mask = colix[None, :] < ne_len[:, None]
+        np.copyto(mat[:, :max_len], view[np.minimum(idx, total - 1)], where=mask)
+        lh = murmur64_matrix(mat, ne_len)
+        # mix in the full line length so prefix-equal long lines differ
+        lh = lh ^ (line_len[nonempty].astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+        ne_count = np.bincount(ne_doc, minlength=n)
+        uniq = _per_doc_unique_runs(ne_doc, lh, n)
+        dup_line_frac = np.where(
+            ne_count >= 2, 1.0 - uniq / np.maximum(ne_count, 1), 0.0
+        )
+    else:
+        dup_line_frac = np.zeros(n, dtype=np.float64)
+
+    # token stats + top-ngram fractions
+    if stream is None:
+        stream = tokenize_column(col)
+    tok_doc = stream.doc_ids.astype(np.int64)
+    n_tokens = np.bincount(tok_doc, minlength=n)
+    tok_len_sum = np.bincount(tok_doc, weights=stream.lengths().astype(np.float64), minlength=n)
+    mean_token_len = tok_len_sum / np.maximum(n_tokens, 1)
+
+    out = {
+        "n_bytes": doc_len,
+        "n_lines": n_lines,
+        "max_line_len": max_line,
+        "mean_line_len": mean_line,
+        "alpha_ratio": alpha_ratio,
+        "n_tokens": n_tokens,
+        "mean_token_len": mean_token_len,
+        "dup_line_frac": dup_line_frac,
+    }
+
+    T = stream.n_tokens
+    if T:
+        mat, lens = stream.padded_matrix()
+        tok_hash = murmur64_matrix(mat, lens)
+        # n-gram recurrence hashes over the flat per-doc token sequence:
+        # h[j] holds the (k)-gram hash ending at j at loop iteration k
+        h = ngram_hash_step(np.zeros(T, dtype=np.uint64), tok_hash)
+        for k in range(2, max(TOP_NGRAM_NS) + 1):
+            h2 = np.zeros(T, dtype=np.uint64)
+            valid = np.zeros(T, dtype=bool)
+            if T >= k:
+                h2[k - 1 :] = ngram_hash_step(h[k - 2 : T - 1], tok_hash[k - 1 :])
+                valid[k - 1 :] = tok_doc[k - 1 :] == tok_doc[: T - (k - 1)]
+            h = h2
+            if k in TOP_NGRAM_NS:
+                top = _per_doc_max_over_runs(tok_doc[valid], h2[valid], n)
+                out[f"top{k}gram_frac"] = np.where(
+                    n_tokens >= MIN_TOKENS_FOR_NGRAM,
+                    top * k / np.maximum(n_tokens, 1),
+                    0.0,
+                )
+    for k in TOP_NGRAM_NS:
+        out.setdefault(f"top{k}gram_frac", np.zeros(n, dtype=np.float64))
+    return out
+
+
+def heuristics_stage(batch: pa.Table, text_col: str = "content") -> pa.Table:
+    metrics = compute_heuristics(batch[text_col])
+    for name, arr in metrics.items():
+        batch = batch.append_column(name, pa.array(arr))
+    return batch

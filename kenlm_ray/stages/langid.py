@@ -1,0 +1,190 @@
+"""fastText-style language identification, self-contained.
+
+Architecture mirrors fastText langid (hashed character n-gram features →
+linear model → softmax) but is trained deterministically at build time
+from small seed texts embedded below — no external data or models (the
+sandbox has no network).  The role matches the north star's "fastText
+language ID" stage; the reference has no langid (its NPLM wrapper,
+/root/reference/lm/wrappers/nplm.hh, is the analogous "foreign model
+behind the same interface" extension point).
+
+Feature space (shared by the vectorized stage and the pure-Python oracle
+in kenlm_ray/oracle.py — the two implementations must agree exactly):
+  - bytes of the first ``MAX_BYTES`` of the document;
+  - unigram bucket   b0                              (256)
+  - bigram bucket    256  + (b0*31 + b1)   % 2048    (2048)
+  - trigram bucket   2304 + (b0*961 + b1*31 + b2) % 8192  (8192)
+  - score_l = Σ_f count_f · W[l, f];  conf = softmax over languages of
+    TEMPERATURE · score_l / max(1, n_features)  (temperature spreads the
+    per-feature-normalized logits into a usable 0..1 confidence).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+MAX_BYTES = 2048
+N_FEATURES = 256 + 2048 + 8192
+TEMPERATURE = 10.0
+
+LANGS = ["en", "fr", "de", "es", "code"]
+
+# Seed texts written for this module (deterministic training data).
+_SEED = {
+    "en": (
+        "the quick brown fox jumps over the lazy dog . this function returns "
+        "the value of the first element in the list . when the input is empty "
+        "the result is none . each number is computed from the given index . "
+        "note that this uses a simple algorithm for sorting the output . "
+        "it is important that the string is not empty and the count is right ."
+    ),
+    "fr": (
+        "le renard brun saute par dessus le chien paresseux . cette fonction "
+        "retourne la valeur du premier élément dans la liste . quand l'entrée "
+        "est vide le résultat est nul . chaque nombre est calculé à partir de "
+        "l'index donné . notez que ceci utilise un algorithme simple pour "
+        "trier la sortie . il est important que la chaîne ne soit pas vide ."
+    ),
+    "de": (
+        "der schnelle braune fuchs springt über den faulen hund . diese "
+        "funktion gibt den wert des ersten elements in der liste zurück . "
+        "wenn die eingabe leer ist ist das ergebnis nichts . jede zahl wird "
+        "aus dem gegebenen index berechnet . beachten sie dass dies einen "
+        "einfachen algorithmus verwendet um die ausgabe zu sortieren ."
+    ),
+    "es": (
+        "el rápido zorro marrón salta sobre el perro perezoso . esta función "
+        "devuelve el valor del primer elemento de la lista . cuando la "
+        "entrada está vacía el resultado es nulo . cada número se calcula a "
+        "partir del índice dado . tenga en cuenta que esto utiliza un "
+        "algoritmo simple para ordenar la salida ."
+    ),
+    "code": (
+        "def main ( args ) : return x + y\n"
+        "for i in range ( n ) : total += data [ i ]\n"
+        "if value == None : raise ValueError ( 'empty' )\n"
+        "class Node : self . left = None ; self . right = None\n"
+        "while cur != null { cur = cur -> next ; count ++ ; }\n"
+        "int main ( void ) { printf ( \"%d\" , x ) ; return 0 ; }\n"
+        "result = [ f ( k ) for k in items if k > 0 ]\n"
+    ),
+}
+
+
+def feature_buckets_scalar(data: bytes) -> "list[int]":
+    """Pure-Python bucket extraction (oracle path)."""
+    data = data[:MAX_BYTES]
+    out = []
+    n = len(data)
+    for i in range(n):
+        out.append(data[i])
+    for i in range(n - 1):
+        out.append(256 + (data[i] * 31 + data[i + 1]) % 2048)
+    for i in range(n - 2):
+        out.append(2304 + (data[i] * 961 + data[i + 1] * 31 + data[i + 2]) % 8192)
+    return out
+
+
+def _train_weights() -> np.ndarray:
+    """log P(feature | lang) with add-one smoothing, (L, F) float64."""
+    W = np.zeros((len(LANGS), N_FEATURES), dtype=np.float64)
+    for li, lang in enumerate(LANGS):
+        counts = np.ones(N_FEATURES, dtype=np.float64)  # add-1
+        for b in feature_buckets_scalar(_SEED[lang].encode()):
+            counts[b] += 1
+        W[li] = np.log(counts / counts.sum())
+    return W
+
+
+_WEIGHTS: "np.ndarray | None" = None
+
+
+def get_weights() -> np.ndarray:
+    global _WEIGHTS
+    if _WEIGHTS is None:
+        _WEIGHTS = _train_weights()
+    return _WEIGHTS
+
+
+def classify_scalar(text: str) -> tuple[str, float]:
+    """Oracle-path classification: loops + dicts, same math."""
+    W = get_weights()
+    buckets = feature_buckets_scalar(text.encode())
+    if not buckets:
+        return "und", 0.0
+    counts: dict[int, int] = {}
+    for b in buckets:
+        counts[b] = counts.get(b, 0) + 1
+    scores = np.zeros(len(LANGS))
+    for b, c in counts.items():
+        scores += c * W[:, b]
+    scores = scores / len(buckets) * TEMPERATURE
+    e = np.exp(scores - scores.max())
+    p = e / e.sum()
+    best = int(np.argmax(p))
+    return LANGS[best], float(p[best])
+
+
+class LangId:
+    """Actor-pool stage: weights built once per actor in __init__."""
+
+    def __init__(self, text_col: str = "content"):
+        self.W = get_weights()
+        self.text_col = text_col
+
+    def _scores(self, col: "pa.ChunkedArray | pa.Array") -> tuple[np.ndarray, np.ndarray]:
+        """(scores (n, L) summed log-likelihoods, nfeat (n,)) without
+        materializing a per-doc count matrix: one weighted bincount per
+        language over the flat occurrence stream."""
+        from kenlm_ray.functions.tokenize import _string_buffers
+
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        offsets, data = _string_buffers(col)
+        n = len(offsets) - 1
+        L = self.W.shape[0]
+        starts = offsets[:-1]
+        ends = np.minimum(offsets[1:], starts + MAX_BYTES)
+        lens = (ends - starts).astype(np.int64)
+        total = int(lens.sum())
+        scores = np.zeros((n, L), dtype=np.float64)
+        nfeat = np.zeros(n, dtype=np.int64)
+        if total == 0:
+            return scores, nfeat
+        # flat byte view of the truncated prefixes
+        pos = np.repeat(starts, lens) + (
+            np.arange(total) - np.repeat(np.cumsum(lens) - lens, lens)
+        )
+        b = data[pos].astype(np.int64)
+        doc = np.repeat(np.arange(n), lens)
+        # n-grams must not cross doc boundaries
+        same2 = doc[:-1] == doc[1:] if total > 1 else np.empty(0, dtype=bool)
+        same3 = doc[:-2] == doc[2:] if total > 2 else np.empty(0, dtype=bool)
+        uni = b
+        bi = (256 + (b[:-1] * 31 + b[1:]) % 2048)[same2]
+        tri = (2304 + (b[:-2] * 961 + b[1:-1] * 31 + b[2:]) % 8192)[same3]
+        occ_bucket = np.concatenate([uni, bi, tri])
+        occ_doc = np.concatenate([doc, doc[:-1][same2], doc[:-2][same3]])
+        for l in range(L):
+            scores[:, l] = np.bincount(
+                occ_doc, weights=self.W[l, occ_bucket], minlength=n
+            )
+        nfeat = np.bincount(occ_doc, minlength=n)
+        return scores, nfeat
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        scores, nfeat = self._scores(batch[self.text_col])
+        denom = np.maximum(nfeat, 1)[:, None]
+        scores = scores / denom * TEMPERATURE
+        e = np.exp(scores - scores.max(axis=1, keepdims=True))
+        p = e / e.sum(axis=1, keepdims=True)
+        best = np.argmax(p, axis=1)
+        conf = p[np.arange(len(p)), best].astype(np.float32)
+        labels = np.array(LANGS, dtype=object)[best]
+        empty = nfeat == 0
+        labels = np.where(empty, "und", labels)
+        conf = np.where(empty, np.float32(0.0), conf)
+        return batch.append_column(
+            "langid", pa.array(labels, type=pa.string())
+        ).append_column("langid_conf", pa.array(conf, type=pa.float32()))

@@ -1,0 +1,51 @@
+"""Perplexity-scoring actor stage — the engine's hot loop.
+
+A callable class for ``ds.map_batches(PplScorer, concurrency=(a, b),
+batch_format="pyarrow")``: the packed model is loaded ONCE per actor in
+``__init__`` (the reference loads its mmap binary once per process and
+shares it read-only across threads, /root/reference/lm/model.cc:59-90,
+kenlm_benchmark_main.cc:33-71).  The model arrives either as a path to an
+``.npz`` (each actor reads it from shared storage) or as a
+``ray.ObjectRef`` (``ray.put`` once on the driver → plasma-shared per
+node, the moral equivalent of mmap page sharing).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from kenlm_ray.functions.tokenize import tokenize_column
+from kenlm_ray.model.pack import PackedModel
+from kenlm_ray.model.scorer import VectorLM
+
+
+class PplScorer:
+    def __init__(self, model_ref, text_col: str = "content"):
+        import ray
+
+        if isinstance(model_ref, ray.ObjectRef):
+            model = ray.get(model_ref)
+            if isinstance(model, bytes):
+                model = PackedModel.load(model)
+        elif isinstance(model_ref, (str,)):
+            model = PackedModel.load(model_ref)
+        elif isinstance(model_ref, PackedModel):
+            model = model_ref
+        else:
+            raise TypeError(f"unsupported model_ref {type(model_ref)}")
+        self.lm = VectorLM(model)
+        self.text_col = text_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        stream = tokenize_column(batch[self.text_col])
+        sc = self.lm.score_stream(stream)
+        return (
+            batch.append_column("logprob_sum", pa.array(sc.logprob_sum, type=pa.float64()))
+            .append_column("token_count", pa.array(sc.token_count, type=pa.int64()))
+            .append_column("oov_count", pa.array(sc.oov_count, type=pa.int64()))
+            .append_column("ppl", pa.array(sc.ppl, type=pa.float64()))
+            .append_column(
+                "ppl_excl_oov", pa.array(sc.ppl_excl_oov, type=pa.float64())
+            )
+        )

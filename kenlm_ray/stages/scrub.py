@@ -1,0 +1,88 @@
+"""Regex PII / secret scrubbing — stateless, vectorized via Arrow RE2.
+
+Pattern list is shared with the pure-Python oracle (which applies the
+same patterns with Python ``re`` in the same order); a pytest asserts the
+two engines produce byte-identical output on the synthetic corpus, so
+patterns must stay within the RE2 ∩ Python-re common subset (no
+lookaround, no backreferences in the pattern itself).
+
+The scrubbed text goes to ``content_scrubbed``; ``content_sha256`` is the
+hash of the ORIGINAL content (the per-row invariant from
+BASELINE.json input_hint: kept rows preserve original-content sha256).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# (name, pattern, replacement) applied in order.  \1 etc refer to groups
+# (same syntax in RE2 rewrite and Python re.sub).
+SCRUB_PATTERNS: list[tuple[str, str, str]] = [
+    (
+        "private_key",
+        r"-----BEGIN [A-Z ]*PRIVATE KEY-----[\s\S]*?-----END [A-Z ]*PRIVATE KEY-----",
+        "<PRIVATE_KEY>",
+    ),
+    (
+        "email",
+        r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}",
+        "<EMAIL>",
+    ),
+    (
+        "ipv4",
+        r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
+        "<IP>",
+    ),
+    (
+        "aws_key",
+        r"\bAKIA[0-9A-Z]{16}\b",
+        "<AWS_KEY>",
+    ),
+    (
+        "phone",
+        r"\+?[0-9]{1,3}[-. ][0-9]{3}[-. ][0-9]{3,4}[-. ][0-9]{4}\b",
+        "<PHONE>",
+    ),
+    (
+        "secret_assign",
+        r"(?i)\b(password|passwd|secret|api_key|apikey|auth_token|aws_key|token)"
+        r"(\s*[:=]\s*)[\"'][^\"'\n]{4,}[\"']",
+        "\\1\\2\"<SECRET>\"",
+    ),
+]
+
+
+def sha256_column(col: "pa.Array | pa.ChunkedArray") -> pa.Array:
+    """Hex sha256 per row of a string column (hashlib is C-speed; the
+    loop is over rows, not bytes)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    buf = col.to_pylist()
+    return pa.array(
+        [hashlib.sha256(s.encode()).hexdigest() if s is not None else None for s in buf],
+        type=pa.string(),
+    )
+
+
+def scrub_stage(batch: pa.Table, text_col: str = "content") -> pa.Table:
+    """Adds content_sha256 (of the original) and content_scrubbed."""
+    col = batch[text_col]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    batch = batch.append_column("content_sha256", sha256_column(col))
+    scrubbed = col
+    for _, pattern, repl in SCRUB_PATTERNS:
+        scrubbed = pc.replace_substring_regex(scrubbed, pattern=pattern, replacement=repl)
+    return batch.append_column("content_scrubbed", scrubbed)
+
+
+def scrub_text(text: str) -> str:
+    """Oracle-path scrub: Python re, same patterns, same order."""
+    import re
+
+    for _, pattern, repl in SCRUB_PATTERNS:
+        text = re.sub(pattern, repl, text)
+    return text

@@ -1,0 +1,110 @@
+"""End-to-end: full quality-filter pipeline over the synthetic corpus vs
+the pure-Python oracle labels (the F1 >= 0.99 gate from BASELINE.json),
+plus the content-sha256 invariant on kept rows."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from kenlm_ray.model.pack import PackedModel
+from kenlm_ray.model.pyref import RefLM
+from kenlm_ray.model.train_quick import train_kn
+from kenlm_ray.oracle import label_corpus
+from kenlm_ray.pipelines.quality_filter import (
+    build_quality_pipeline,
+    repo_stats,
+    seed_model_path,
+)
+from kenlm_ray.sources.synth_corpus import gen_row, seed_sentences, write_corpus
+
+N_DOCS = 400
+
+
+@pytest.fixture(scope="module")
+def scored_and_labels(ray_session, tmp_path_factory):
+    import ray.data
+
+    corpus_dir = str(tmp_path_factory.mktemp("corpus"))
+    paths = write_corpus(corpus_dir, N_DOCS, seed=42, n_shards=4)
+    mp = seed_model_path()
+    scored = build_quality_pipeline(ray.data.read_parquet(paths), mp).to_pandas()
+    scored = scored.sort_values("path").reset_index(drop=True)
+
+    rows = [gen_row(42, i) for i in range(N_DOCS)]
+    arpa = train_kn(seed_sentences(), order=3)
+    ref = RefLM(arpa, packed=PackedModel.load(mp))
+    labels = pd.DataFrame(label_corpus([r["content"] for r in rows], ref))
+    labels["path"] = [r["path"] for r in rows]
+    labels = labels.sort_values("path").reset_index(drop=True)
+    return scored, labels, rows
+
+
+def f1(pred, truth):
+    tp = int(np.sum(pred & truth))
+    fp = int(np.sum(pred & ~truth))
+    fn = int(np.sum(~pred & truth))
+    p = tp / max(tp + fp, 1)
+    r = tp / max(tp + fn, 1)
+    return 2 * p * r / max(p + r, 1e-12)
+
+
+def test_keep_drop_f1(scored_and_labels):
+    scored, labels, _ = scored_and_labels
+    score = f1(scored["keep"].to_numpy(), labels["keep"].to_numpy())
+    assert score >= 0.99, score
+
+
+def test_drop_reasons_match(scored_and_labels):
+    scored, labels, _ = scored_and_labels
+    agree = (
+        scored["drop_reason"].fillna("") == labels["drop_reason"].fillna("")
+    ).mean()
+    assert agree >= 0.99, agree
+
+
+def test_sha256_invariant_on_kept_rows(scored_and_labels):
+    """Kept rows preserve the sha256 of the ORIGINAL content (input_hint)."""
+    import hashlib
+
+    scored, _, rows = scored_and_labels
+    by_path = {r["path"]: r["content"] for r in rows}
+    kept = scored[scored["keep"]]
+    assert len(kept) > 0
+    for _, row in kept.iterrows():
+        assert row["content_sha256"] == hashlib.sha256(
+            by_path[row["path"]].encode()
+        ).hexdigest()
+
+
+def test_scrubbed_content_matches_oracle(scored_and_labels):
+    scored, labels, _ = scored_and_labels
+    assert (scored["content_scrubbed"] == labels["content_scrubbed"]).all()
+
+
+def test_langid_and_ppl_match(scored_and_labels):
+    scored, labels, _ = scored_and_labels
+    assert (scored["langid"] == labels["langid"]).mean() >= 0.995
+    ok = np.isclose(scored["ppl"], labels["ppl"], rtol=1e-4, equal_nan=True)
+    assert ok.mean() >= 0.995
+
+
+def test_every_drop_reason_exercised(scored_and_labels):
+    """The synthetic corpus must exercise a healthy mix of rules."""
+    scored, _, _ = scored_and_labels
+    reasons = set(scored["drop_reason"].dropna())
+    assert {"too_short", "long_lines", "dup_lines", "high_perplexity"} <= reasons
+    keep_rate = scored["keep"].mean()
+    assert 0.3 < keep_rate < 0.9, keep_rate
+
+
+def test_repo_stats(ray_session, tmp_path_factory):
+    import ray.data
+
+    corpus_dir = str(tmp_path_factory.mktemp("corpus_rs"))
+    paths = write_corpus(corpus_dir, 200, seed=42, n_shards=2)
+    scored = build_quality_pipeline(ray.data.read_parquet(paths), seed_model_path())
+    rs = repo_stats(scored).to_pandas()
+    assert rs["files"].sum() == 200
+    big = rs[rs["repo"] == "bigcorp/monorepo"]
+    assert len(big) == 1 and big["files"].iloc[0] > 30  # skewed repo present
+    assert ((rs["keep_rate"] >= 0) & (rs["keep_rate"] <= 1)).all()

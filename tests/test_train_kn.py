@@ -1,0 +1,50 @@
+"""KN trainer: normalization property + discrimination sanity."""
+
+import numpy as np
+import pytest
+
+from kenlm_ray.model.pack import pack_model
+from kenlm_ray.model.pyref import RefLM
+from kenlm_ray.model.scorer import VectorLM
+from kenlm_ray.model.train_quick import train_kn
+from kenlm_ray.schema import BOS, UNK
+from kenlm_ray.sources.synth_corpus import seed_sentences
+
+
+@pytest.fixture(scope="module")
+def trained():
+    sents = seed_sentences(n_docs=150)
+    return train_kn(sents, order=3), sents
+
+
+@pytest.mark.parametrize(
+    "ctx",
+    [[BOS], [BOS, "def"], ["x", "="], ["return"], ["zzz_unseen"], ["value", "+"]],
+)
+def test_distribution_normalizes(trained, ctx):
+    """sum_w p(w|ctx) == 1 through the full ARPA backoff path — a strong
+    joint test of trainer + scorer semantics."""
+    arpa, _ = trained
+    ref = RefLM(arpa)
+    vocab = [w for (w,) in arpa.grams[1] if w != BOS]
+    nc = [w if (w,) in arpa.grams[1] else UNK for w in ctx]
+    total = sum(10 ** ref.score_word(nc, w) for w in vocab)
+    assert abs(total - 1.0) < 1e-6
+
+
+def test_discrimination(trained):
+    arpa, _ = trained
+    vlm = VectorLM(pack_model(arpa))
+    good = vlm.ppl_text("x = value + count\nreturn result")
+    junk = vlm.ppl_text("qqq www zzz aaa bbb ccc\n!!! ### $$$ %%%")
+    assert good < junk
+
+
+def test_suffix_property(trained):
+    """Every n-gram's (n-1)-suffix exists — required by the longest-match
+    walk (the ARPA invariant real lmplz output has)."""
+    arpa, _ = trained
+    for n in range(2, arpa.order + 1):
+        lower = arpa.grams[n - 1]
+        for g in arpa.grams[n]:
+            assert g[1:] in lower or (len(g) == 2 and (g[1],) in lower), g
