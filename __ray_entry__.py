@@ -1,44 +1,423 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported; nothing
+here (or in kenlm_ray) calls ray.init()/ray.shutdown().
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+- ``entry()``      — flagship quality-filter pipeline on sf0.001.
+- ``queries()``    — one entry per implemented operator (SURVEY.md §2 +
+                     the training-data ops suite); each takes ``sf_dir``.
+- ``oracle_sql()`` — DuckDB-equivalent SQL per SQL-expressible query
+                     (tables pre-registered as views).  Float aggregates
+                     are rounded identically on both sides.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 from typing import Any
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# ---------------------------------------------------------------------------
+# shared SQL fragments (tokenization must mirror kenlm_ray's delimiter set:
+# \0 \t \n \r space — testdata text contains no \0, and RE2 char classes
+# handle the rest)
+# ---------------------------------------------------------------------------
+_TOKS = (
+    "SELECT doc_id, list_filter(regexp_split_to_array(text, '[\\t\\n\\r ]+'), "
+    "x -> x <> '') AS w FROM documents"
+)
+_FLAT = (
+    f"WITH toks AS ({_TOKS}) "
+    "SELECT doc_id, t.tok FROM toks, unnest(w) AS t(tok)"
+)
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on /root/testdata/sf0.001 (driver smoke check)."""
+    from kenlm_ray.pipelines.quality_filter import (
+        build_quality_pipeline,
+        corpus_from_documents,
+        seed_model_path,
+    )
+
+    ds = corpus_from_documents("/root/testdata/sf0.001")
+    return build_quality_pipeline(ds, seed_model_path())
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+def _documents(sf_dir):
+    import ray.data
+
+    return ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+
+
+def _q_pricing_summary(sf_dir):
+    from kenlm_ray.ops.analytics import pricing_summary
+
+    import pyarrow.compute as pc
+
+    def rounder(t):
+        for col, nd in (
+            ("sum_qty", 2),
+            ("sum_base_price", 2),
+            ("sum_disc_price", 2),
+            ("avg_qty", 6),
+            ("avg_disc", 6),
+        ):
+            t = t.set_column(
+                t.schema.get_field_index(col), col, pc.round(t[col], ndigits=nd)
+            )
+        return t
+
+    return pricing_summary(sf_dir).map_batches(rounder, batch_format="pyarrow")
+
+
+def _q_top_orders(sf_dir):
+    from kenlm_ray.ops.analytics import top_orders_by_revenue
+
+    return top_orders_by_revenue(sf_dir, k=10)
+
+
+def _q_segment_sales(sf_dir):
+    import pyarrow.compute as pc
+
+    from kenlm_ray.ops.analytics import segment_sales
+
+    return segment_sales(sf_dir).map_batches(
+        lambda t: t.set_column(
+            t.schema.get_field_index("total_price"),
+            "total_price",
+            pc.round(t["total_price"], ndigits=2),
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def _q_source_stats(sf_dir):
+    from kenlm_ray.ops.analytics import source_stats
+
+    return source_stats(sf_dir)
+
+
+def _q_events_hourly(sf_dir):
+    import pyarrow.compute as pc
+
+    from kenlm_ray.ops.analytics import events_hourly
+
+    return events_hourly(sf_dir).map_batches(
+        lambda t: t.set_column(
+            t.schema.get_field_index("total_value"),
+            "total_value",
+            pc.round(t["total_value"], ndigits=4),
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def _q_doc_token_stats(sf_dir):
+    from kenlm_ray.ops.text import token_stats
+
+    return token_stats(_documents(sf_dir))
+
+
+def _q_doc_quality(sf_dir):
+    import numpy as np
+    import pyarrow as pa
+
+    from kenlm_ray.stages.heuristics import compute_heuristics
+
+    def metrics(batch: pa.Table) -> pa.Table:
+        m = compute_heuristics(batch["text"])
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_bytes": pa.array(m["n_bytes"].astype(np.int64)),
+                "n_lines": pa.array(m["n_lines"].astype(np.int64)),
+                "max_line_len": pa.array(m["max_line_len"].astype(np.int64)),
+                "n_tokens": pa.array(m["n_tokens"].astype(np.int64)),
+            }
+        )
+
+    return _documents(sf_dir).map_batches(metrics, batch_format="pyarrow")
+
+
+def _ngram_q(n):
+    def q(sf_dir):
+        from kenlm_ray.ops.text import ngram_counts
+
+        return ngram_counts(_documents(sf_dir), n, text_col="text")
+
+    return q
+
+
+def _q_exact_dedup(sf_dir):
+    from kenlm_ray.ops.dedup import exact_dedup_groups
+
+    return exact_dedup_groups(_documents(sf_dir))
+
+
+def _q_adjusted_unigrams(sf_dir):
+    from ray.data.aggregate import Count
+
+    from kenlm_ray.ops.text import ngram_counts
+
+    big = ngram_counts(_documents(sf_dir), 2, text_col="text")
+    out = big.groupby("w2").aggregate(Count(alias_name="adjusted_count"))
+    return out.map_batches(
+        lambda t: t.rename_columns(["word", "adjusted_count"]), batch_format="pyarrow"
+    )
+
+
+def _q_vocab_filter(sf_dir):
+    from kenlm_ray.ops.text import vocab_filter_docs
+
+    return vocab_filter_docs(_documents(sf_dir), vocab_size=500)
+
+
+def _q_knn(sf_dir):
+    from kenlm_ray.ops.knn import knn_brute_force, query_vector
+
+    import ray.data
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    return knn_brute_force(ds, query_vector(sf_dir, 0), k=10)
+
+
+def _q_embedding_near_dup(sf_dir):
+    import ray.data
+
+    from kenlm_ray.ops.knn import embedding_near_dup_pairs
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    # testdata embeddings are near-orthogonal random vectors (max pairwise
+    # cos ≈ 0.5-0.6); 0.45 exercises the operator with a non-empty result
+    return embedding_near_dup_pairs(ds, threshold=0.45)
+
+
+# ---- rows-only (non-SQL-expressible) --------------------------------------
+
+def _q_quality_filter(sf_dir):
+    from kenlm_ray.pipelines.quality_filter import (
+        build_quality_pipeline,
+        corpus_from_documents,
+        seed_model_path,
+    )
+
+    return build_quality_pipeline(corpus_from_documents(sf_dir), seed_model_path())
+
+
+def _q_repo_stats(sf_dir):
+    from kenlm_ray.pipelines.quality_filter import (
+        build_quality_pipeline,
+        corpus_from_documents,
+        repo_stats,
+        seed_model_path,
+    )
+
+    return repo_stats(
+        build_quality_pipeline(corpus_from_documents(sf_dir), seed_model_path())
+    )
+
+
+def _q_ppl_score(sf_dir):
+    from kenlm_ray.pipelines.quality_filter import seed_model_path
+    from kenlm_ray.stages.ppl import PplScorer
+
+    return _documents(sf_dir).map_batches(
+        PplScorer,
+        fn_constructor_args=(seed_model_path(),),
+        fn_constructor_kwargs={"text_col": "text"},
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+    )
+
+
+def _q_langid(sf_dir):
+    from kenlm_ray.stages.langid import LangId
+
+    return _documents(sf_dir).map_batches(
+        LangId,
+        fn_constructor_kwargs={"text_col": "text"},
+        batch_format="pyarrow",
+        concurrency=(1, 2),
+    )
+
+
+def _q_minhash_pairs(sf_dir):
+    from kenlm_ray.ops.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(_documents(sf_dir), jaccard_threshold=0.7)
+
+
+def _q_simhash(sf_dir):
+    from kenlm_ray.ops.dedup import simhash_column
+
+    return simhash_column(_documents(sf_dir))
+
+
+def _q_lsh_knn(sf_dir):
+    import ray.data
+
+    from kenlm_ray.ops.knn import lsh_bucket_knn, query_vector
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    return lsh_bucket_knn(ds, query_vector(sf_dir, 0), k=10)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "pricing_summary": _q_pricing_summary,
+        "top_orders_by_revenue": _q_top_orders,
+        "segment_sales": _q_segment_sales,
+        "source_stats": _q_source_stats,
+        "events_hourly": _q_events_hourly,
+        "doc_token_stats": _q_doc_token_stats,
+        "doc_quality_metrics": _q_doc_quality,
+        "unigram_counts": _ngram_q(1),
+        "bigram_counts": _ngram_q(2),
+        "trigram_counts": _ngram_q(3),
+        "exact_dedup_groups": _q_exact_dedup,
+        "kn_adjusted_unigrams": _q_adjusted_unigrams,
+        "vocab_filter_semijoin": _q_vocab_filter,
+        "knn_cosine_top10": _q_knn,
+        "embedding_near_dup": _q_embedding_near_dup,
+        # rows-only checks (stateful / model-driven, not SQL-expressible)
+        "quality_filter_flagship": _q_quality_filter,
+        "repo_quality_stats": _q_repo_stats,
+        "ppl_score": _q_ppl_score,
+        "langid": _q_langid,
+        "minhash_near_dup_pairs": _q_minhash_pairs,
+        "simhash_fingerprints": _q_simhash,
+        "lsh_knn_top10": _q_lsh_knn,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2)                        AS sum_qty,
+                   round(sum(l_extendedprice), 2)                   AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   count(*)::BIGINT                                 AS count_order,
+                   round(avg(l_quantity), 6)                        AS avg_qty,
+                   round(avg(l_discount), 6)                        AS avg_disc
+            FROM lineitem
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "top_orders_by_revenue": """
+            SELECT l_orderkey, revenue FROM (
+                SELECT l_orderkey,
+                       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+                FROM lineitem GROUP BY l_orderkey
+            ) ORDER BY revenue DESC, l_orderkey LIMIT 10
+        """,
+        "segment_sales": """
+            SELECT c_mktsegment,
+                   round(sum(o_totalprice), 2) AS total_price,
+                   count(*)::BIGINT            AS n_orders
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment
+        """,
+        "source_stats": """
+            SELECT source,
+                   count(*)::BIGINT  AS n_docs,
+                   sum(n_chars)::BIGINT AS total_chars,
+                   max(n_chars)::BIGINT AS max_chars,
+                   min(n_chars)::BIGINT AS min_chars
+            FROM documents GROUP BY source
+        """,
+        "events_hourly": """
+            SELECT event_type,
+                   CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour,
+                   round(sum(value), 4) AS total_value,
+                   count(*)::BIGINT     AS n_events
+            FROM events GROUP BY event_type, hour
+        """,
+        "doc_token_stats": """
+            SELECT doc_id,
+                   len(list_filter(regexp_split_to_array(text, '[\\t\\n\\r ]+'),
+                       x -> x <> ''))::BIGINT AS n_tokens,
+                   strlen(text)::BIGINT AS n_bytes
+            FROM documents
+        """,
+        "doc_quality_metrics": """
+            SELECT doc_id,
+                   strlen(text)::BIGINT AS n_bytes,
+                   (1 + strlen(text) - strlen(replace(text, chr(10), '')))::BIGINT AS n_lines,
+                   list_aggregate(list_transform(string_split(text, chr(10)),
+                                  x -> strlen(x)), 'max')::BIGINT AS max_line_len,
+                   len(list_filter(regexp_split_to_array(text, '[\\t\\n\\r ]+'),
+                       x -> x <> ''))::BIGINT AS n_tokens
+            FROM documents
+        """,
+        "unigram_counts": f"""
+            WITH flat AS ({_FLAT})
+            SELECT tok AS w1, count(*)::BIGINT AS count
+            FROM flat GROUP BY tok
+        """,
+        "bigram_counts": f"""
+            WITH toks AS ({_TOKS})
+            SELECT w[i] AS w1, w[i+1] AS w2, count(*)::BIGINT AS count
+            FROM toks, unnest(range(1, len(w))) AS u(i)
+            GROUP BY w1, w2
+        """,
+        "trigram_counts": f"""
+            WITH toks AS ({_TOKS})
+            SELECT w[i] AS w1, w[i+1] AS w2, w[i+2] AS w3, count(*)::BIGINT AS count
+            FROM toks, unnest(range(1, len(w) - 1)) AS u(i)
+            GROUP BY w1, w2, w3
+        """,
+        "exact_dedup_groups": """
+            SELECT min(doc_id)::BIGINT AS doc_id, count(*)::BIGINT AS dup_count
+            FROM documents GROUP BY text
+        """,
+        "kn_adjusted_unigrams": f"""
+            WITH toks AS ({_TOKS}),
+            big AS (
+                SELECT DISTINCT w[i] AS w1, w[i+1] AS w2
+                FROM toks, unnest(range(1, len(w))) AS u(i)
+            )
+            SELECT w2 AS word, count(*)::BIGINT AS adjusted_count
+            FROM big GROUP BY w2
+        """,
+        "vocab_filter_semijoin": f"""
+            WITH flat AS ({_FLAT}),
+            vocab AS (
+                SELECT tok FROM flat GROUP BY tok
+                ORDER BY count(*) DESC, tok LIMIT 500
+            )
+            SELECT doc_id FROM flat GROUP BY doc_id
+            HAVING bool_and(tok IN (SELECT tok FROM vocab))
+        """,
+        "knn_cosine_top10": """
+            SELECT vec_id, cos_sim FROM (
+                SELECT vec_id,
+                       round(list_cosine_similarity(embedding::DOUBLE[],
+                            (SELECT embedding FROM embeddings WHERE vec_id = 0)::DOUBLE[]),
+                            3) AS cos_sim
+                FROM embeddings
+            ) ORDER BY cos_sim DESC, vec_id LIMIT 10
+        """,
+        "embedding_near_dup": """
+            SELECT a.vec_id::BIGINT AS id_a, b.vec_id::BIGINT AS id_b,
+                   round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                                b.embedding::DOUBLE[]), 3) AS cos_sim
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.45
+        """,
+    }

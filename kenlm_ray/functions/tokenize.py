@@ -79,6 +79,23 @@ class TokenStream:
             np.copyto(mat[:, :max_len], self.data[np.minimum(idx, len(self.data) - 1)], where=mask)
         return mat, lengths
 
+    def to_arrow(self) -> pa.Array:
+        """Materialize the tokens as a pyarrow string array (one gather)."""
+        T = len(self.starts)
+        lens = self.lengths()
+        offsets = np.zeros(T + 1, dtype=np.int32)
+        np.cumsum(lens, out=offsets[1:])
+        total = int(offsets[-1])
+        flat = np.empty(total, dtype=np.uint8)
+        if total:
+            pos = np.repeat(self.starts, lens) + (
+                np.arange(total) - np.repeat(offsets[:-1], lens)
+            )
+            flat[:] = self.data[pos]
+        return pa.StringArray.from_buffers(
+            T, pa.py_buffer(offsets.tobytes()), pa.py_buffer(flat.tobytes())
+        )
+
     def token_bytes(self, i: int) -> bytes:
         return self.data[self.starts[i] : self.ends[i]].tobytes()
 

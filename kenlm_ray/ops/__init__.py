@@ -1,0 +1,1 @@
+"""Reusable Dataset operators (SURVEY.md §2 inventory + training-data ops)."""

@@ -1,0 +1,192 @@
+"""Relational operator pipelines over the testdata tables — the engine's
+general query capabilities (groupby/aggregate, broadcast join, sort+topk,
+window bucketing), each with a DuckDB-checkable SQL twin in
+``__ray_entry__.oracle_sql``.
+
+Design rules (SURVEY.md §7.4): pre-aggregate inside map_batches before
+every groupby; broadcast small sides instead of shuffle joins; prune
+columns at the read.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+from ray.data.aggregate import Count, Max, Mean, Min, Sum
+
+
+def read(sf_dir: str, table: str, columns=None) -> "ray.data.Dataset":
+    return ray.data.read_parquet(
+        os.path.join(sf_dir, f"{table}.parquet"), columns=columns
+    )
+
+
+def pricing_summary(sf_dir: str) -> "ray.data.Dataset":
+    """TPC-H Q1-shaped grouped aggregate with per-batch partial combine."""
+    ds = read(
+        sf_dir,
+        "lineitem",
+        columns=[
+            "l_returnflag",
+            "l_linestatus",
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+        ],
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        disc_price = pc.multiply(
+            batch["l_extendedprice"], pc.subtract(pa.scalar(1.0), batch["l_discount"])
+        )
+        t = pa.table(
+            {
+                "l_returnflag": batch["l_returnflag"],
+                "l_linestatus": batch["l_linestatus"],
+                "qty": batch["l_quantity"],
+                "price": batch["l_extendedprice"],
+                "disc_price": disc_price,
+                "disc": batch["l_discount"],
+                "n": pa.array(np.ones(len(batch), dtype=np.int64)),
+            }
+        )
+        return t.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("qty", "sum"), ("price", "sum"), ("disc_price", "sum"), ("disc", "sum"), ("n", "sum")]
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("qty_sum", alias_name="sum_qty"),
+            Sum("price_sum", alias_name="sum_base_price"),
+            Sum("disc_price_sum", alias_name="sum_disc_price"),
+            Sum("disc_sum", alias_name="sum_disc"),
+            Sum("n_sum", alias_name="count_order"),
+        )
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        n = batch["count_order"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return (
+            batch.append_column(
+                "avg_qty",
+                pa.array(batch["sum_qty"].to_numpy(zero_copy_only=False) / n),
+            )
+            .append_column(
+                "avg_disc",
+                pa.array(batch["sum_disc"].to_numpy(zero_copy_only=False) / n),
+            )
+            .drop_columns(["sum_disc"])
+        )
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+def top_orders_by_revenue(sf_dir: str, k: int = 10) -> "ray.data.Dataset":
+    """Grouped revenue then global top-k: sort + limit."""
+    ds = read(sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        rev = pc.multiply(
+            batch["l_extendedprice"], pc.subtract(pa.scalar(1.0), batch["l_discount"])
+        )
+        t = pa.table({"l_orderkey": batch["l_orderkey"], "rev": rev})
+        return t.group_by("l_orderkey").aggregate([("rev", "sum")])
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("l_orderkey")
+        .aggregate(Sum("rev_sum", alias_name="revenue"))
+    )
+    # round to stabilize float association before ranking/compare
+    agg = agg.map_batches(
+        lambda t: t.set_column(
+            t.schema.get_field_index("revenue"),
+            "revenue",
+            pc.round(t["revenue"], ndigits=2),
+        ),
+        batch_format="pyarrow",
+    )
+    return agg.sort(["revenue", "l_orderkey"], descending=[True, False]).limit(k)
+
+
+def segment_sales(sf_dir: str) -> "ray.data.Dataset":
+    """Broadcast hash join (small side = customer) + grouped aggregate:
+    per market segment order count and total price."""
+    cust = read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]).to_pandas()
+    lookup_ref = ray.put(
+        dict(zip(cust["c_custkey"].to_numpy(), cust["c_mktsegment"].to_numpy()))
+    )
+    orders = read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+
+    def join_partial(batch: pa.Table) -> pa.Table:
+        lookup = ray.get(lookup_ref)
+        keys = batch["o_custkey"].to_numpy(zero_copy_only=False)
+        seg = np.array([lookup.get(int(kk), None) for kk in keys], dtype=object)
+        t = pa.table(
+            {
+                "c_mktsegment": pa.array(seg, type=pa.string()),
+                "total": batch["o_totalprice"],
+                "n": pa.array(np.ones(len(batch), dtype=np.int64)),
+            }
+        )
+        return t.group_by("c_mktsegment").aggregate([("total", "sum"), ("n", "sum")])
+
+    return (
+        orders.map_batches(join_partial, batch_format="pyarrow")
+        .groupby("c_mktsegment")
+        .aggregate(
+            Sum("total_sum", alias_name="total_price"),
+            Sum("n_sum", alias_name="n_orders"),
+        )
+    )
+
+
+def source_stats(sf_dir: str) -> "ray.data.Dataset":
+    """documents grouped by source: count + mean n_chars."""
+    ds = read(sf_dir, "documents", columns=["source", "n_chars"])
+    return ds.groupby("source").aggregate(
+        Count(alias_name="n_docs"),
+        Sum("n_chars", alias_name="total_chars"),
+        Max("n_chars", alias_name="max_chars"),
+        Min("n_chars", alias_name="min_chars"),
+    )
+
+
+def events_hourly(sf_dir: str) -> "ray.data.Dataset":
+    """Tumbling-window aggregate: per (event_type, hour) count + value sum.
+
+    Ray Data has no event-time windows (SURVEY.md §2.10); a tumbling window
+    over a bounded table IS a grouped aggregate on the bucketed timestamp."""
+    ds = read(sf_dir, "events", columns=["event_type", "ts", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        us = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        hour = us // 3_600_000_000
+        t = pa.table(
+            {
+                "event_type": batch["event_type"],
+                "hour": pa.array(hour),
+                "value": batch["value"],
+                "n": pa.array(np.ones(len(batch), dtype=np.int64)),
+            }
+        )
+        return t.group_by(["event_type", "hour"]).aggregate(
+            [("value", "sum"), ("n", "sum")]
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "hour"])
+        .aggregate(
+            Sum("value_sum", alias_name="total_value"),
+            Sum("n_sum", alias_name="n_events"),
+        )
+    )

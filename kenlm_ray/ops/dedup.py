@@ -1,0 +1,316 @@
+"""Deduplication operators over a text column.
+
+Exact dedup: hash-partition on content hash, keep the first (smallest id)
+per group — the shuffle-with-combiner shape of the reference's
+CombineCounts (/root/reference/lm/builder/combine_counts.hh) applied to
+documents instead of n-grams.
+
+MinHash-LSH near-dup: shingle → minhash signature → band buckets →
+groupby(band, bucket) → candidate pairs → Jaccard verify.  SimHash and
+n-gram-Jaccard variants share the shingle machinery.  All signatures are
+computed vectorized per batch; only the (band, bucket) explosion is
+shuffled, never raw text.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data
+from ray.data.aggregate import Count, Min, Sum
+
+from kenlm_ray.functions.hashing import murmur64_matrix, ngram_hash_step
+from kenlm_ray.functions.tokenize import tokenize_column
+from kenlm_ray.stages.scrub import sha256_column
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_dedup_groups(
+    ds: "ray.data.Dataset", text_col: str = "text", id_col: str = "doc_id"
+) -> "ray.data.Dataset":
+    """One row per distinct content: (keeper id = min id, dup_count)."""
+
+    def hash_batch(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "h": sha256_column(batch[text_col]),
+            }
+        )
+
+    hashed = ds.map_batches(hash_batch, batch_format="pyarrow")
+    agg = hashed.groupby("h").aggregate(
+        Min(id_col, alias_name=id_col), Count(alias_name="dup_count")
+    )
+    return agg.drop_columns(["h"])
+
+
+def exact_dedup(
+    ds: "ray.data.Dataset", text_col: str = "text", id_col: str = "doc_id"
+) -> "ray.data.Dataset":
+    """Keep only the first (min id) row of each duplicate group, with all
+    original columns, via groupby(hash).map_groups."""
+
+    def add_hash(batch: pa.Table) -> pa.Table:
+        return batch.append_column("__h", sha256_column(batch[text_col]))
+
+    import pandas as pd
+
+    def first(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(id_col).head(1)
+
+    return (
+        ds.map_batches(add_hash, batch_format="pyarrow")
+        .groupby("__h")
+        .map_groups(first, batch_format="pandas")
+        .drop_columns(["__h"])
+    )
+
+
+# ---------------------------------------------------------------------------
+# shingles + minhash
+# ---------------------------------------------------------------------------
+
+def _shingle_hashes(batch: pa.Table, text_col: str, shingle_n: int):
+    """(doc_local_idx, shingle uint64 hash) arrays for a batch — word
+    shingles over each doc's flat token stream."""
+    stream = tokenize_column(batch[text_col])
+    T = stream.n_tokens
+    n_docs = len(batch)
+    if T == 0:
+        return np.empty(0, np.int64), np.empty(0, np.uint64), n_docs
+    mat, lens = stream.padded_matrix()
+    th = murmur64_matrix(mat, lens)
+    doc = stream.doc_ids.astype(np.int64)
+    if T < shingle_n:
+        return np.empty(0, np.int64), np.empty(0, np.uint64), n_docs
+    h = ngram_hash_step(np.zeros(T, dtype=np.uint64), th)
+    for k in range(2, shingle_n + 1):
+        h2 = np.zeros(T, dtype=np.uint64)
+        h2[k - 1 :] = ngram_hash_step(h[k - 2 : T - 1], th[k - 1 :])
+        h = h2
+    valid = np.zeros(T, dtype=bool)
+    valid[shingle_n - 1 :] = doc[shingle_n - 1 :] == doc[: T - (shingle_n - 1)]
+    return doc[valid], h[valid], n_docs
+
+
+_MERSENNE = (1 << 61) - 1
+
+
+def _minhash_params(num_perm: int, seed: int = 1):
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, _MERSENNE, num_perm, dtype=np.uint64)
+    b = rng.integers(0, _MERSENNE, num_perm, dtype=np.uint64)
+    return a, b
+
+
+def minhash_signatures(
+    batch: pa.Table,
+    text_col: str,
+    shingle_n: int,
+    num_perm: int,
+    a: np.ndarray,
+    b: np.ndarray,
+) -> tuple[np.ndarray, np.ndarray]:
+    """(n_docs, num_perm) uint64 signature matrix + per-doc shingle count.
+
+    minhash_p(d) = min over shingles s of (a_p·s + b_p mod M) — the
+    classic universal-hash permutation family.  Docs with no shingles get
+    all-ones signatures (never collide)."""
+    doc, sh, n_docs = _shingle_hashes(batch, text_col, shingle_n)
+    sig = np.full((n_docs, num_perm), np.iinfo(np.uint64).max, dtype=np.uint64)
+    cnt = np.bincount(doc, minlength=n_docs) if len(doc) else np.zeros(n_docs, np.int64)
+    if len(sh) == 0:
+        return sig, cnt
+    # dedupe shingles per doc first (set semantics)
+    order = np.lexsort((sh, doc))
+    d_s, s_s = doc[order], sh[order]
+    keep = np.empty(len(d_s), dtype=bool)
+    keep[0] = True
+    keep[1:] = (d_s[1:] != d_s[:-1]) | (s_s[1:] != s_s[:-1])
+    d_u, s_u = d_s[keep], s_s[keep]
+    with np.errstate(over="ignore"):
+        for p in range(num_perm):
+            hv = (a[p] * (s_u % _MERSENNE) + b[p]) % np.uint64(_MERSENNE)
+            np.minimum.at(sig[:, p], d_u, hv)
+    return sig, np.bincount(d_u, minlength=n_docs)
+
+
+def minhash_lsh_pairs(
+    ds: "ray.data.Dataset",
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    num_perm: int = 64,
+    bands: int = 16,
+    jaccard_threshold: float = 0.8,
+    seed: int = 1,
+) -> "ray.data.Dataset":
+    """Near-duplicate pairs via MinHash-LSH.
+
+    Stage 1 (map): signatures per batch → explode to (band, bucket_hash,
+    id, signature bytes) rows.  Stage 2 (shuffle): groupby(band, bucket)
+    collects candidates.  Stage 3 (map_groups): pairwise estimated Jaccard
+    (signature agreement) over each bucket, emit pairs >= threshold.
+    Dedup final pairs with a groupby.  Bucket skew: buckets are capped at
+    MAX_BUCKET (boilerplate explosion guard) — dropped buckets are exact
+    duplicates that the exact pass already catches.
+    """
+    rows_per_band = num_perm // bands
+    a, b = _minhash_params(num_perm, seed)
+    MAX_BUCKET = 200
+
+    def to_bands(batch: pa.Table) -> pa.Table:
+        sig, cnt = minhash_signatures(batch, text_col, shingle_n, num_perm, a, b)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        has = cnt > 0
+        n = int(has.sum())
+        if n == 0:
+            return pa.table(
+                {
+                    "band": pa.array([], type=pa.int32()),
+                    "bucket": pa.array([], type=pa.uint64()),
+                    id_col: pa.array([], type=pa.int64()),
+                    "sig": pa.array([], type=pa.binary()),
+                }
+            )
+        sig = sig[has]
+        ids = ids[has]
+        band_ids = []
+        buckets = []
+        out_ids = []
+        sigs = []
+        sig_bytes = [s.tobytes() for s in sig]
+        for bi in range(bands):
+            seg = sig[:, bi * rows_per_band : (bi + 1) * rows_per_band]
+            # hash each row segment to one uint64 bucket key
+            bh = np.zeros(n, dtype=np.uint64)
+            for c in range(seg.shape[1]):
+                bh = ngram_hash_step(bh, seg[:, c])
+            band_ids.append(np.full(n, bi, dtype=np.int32))
+            buckets.append(bh)
+            out_ids.append(ids)
+            sigs.extend(sig_bytes)
+        return pa.table(
+            {
+                "band": pa.array(np.concatenate(band_ids)),
+                "bucket": pa.array(np.concatenate(buckets)),
+                id_col: pa.array(np.concatenate(out_ids)),
+                "sig": pa.array(sigs, type=pa.binary()),
+            }
+        )
+
+    import pandas as pd
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2 or len(g) > MAX_BUCKET:
+            return pd.DataFrame({"id_a": [], "id_b": [], "est_jaccard": []})
+        ids = g[id_col].to_numpy()
+        sigs = np.stack([np.frombuffer(s, dtype=np.uint64) for s in g["sig"]])
+        order = np.argsort(ids, kind="stable")
+        ids, sigs = ids[order], sigs[order]
+        ia, ib, ej = [], [], []
+        for i in range(len(ids)):
+            agree = (sigs[i + 1 :] == sigs[i]).mean(axis=1)
+            hit = np.flatnonzero(agree >= jaccard_threshold)
+            for j in hit:
+                if ids[i] != ids[i + 1 + j]:
+                    ia.append(ids[i])
+                    ib.append(ids[i + 1 + j])
+                    ej.append(float(agree[j]))
+        return pd.DataFrame({"id_a": ia, "id_b": ib, "est_jaccard": ej})
+
+    pairs = (
+        ds.map_batches(to_bands, batch_format="pyarrow")
+        .groupby(["band", "bucket"])
+        .map_groups(bucket_pairs, batch_format="pandas")
+    )
+    # a pair can surface from multiple bands — dedupe
+    return pairs.groupby(["id_a", "id_b"]).aggregate(
+        Min("est_jaccard", alias_name="est_jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# simhash
+# ---------------------------------------------------------------------------
+
+def simhash_column(
+    ds: "ray.data.Dataset",
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 2,
+) -> "ray.data.Dataset":
+    """64-bit SimHash fingerprint per document over word shingles."""
+
+    def sim(batch: pa.Table) -> pa.Table:
+        doc, sh, n_docs = _shingle_hashes(batch, text_col, shingle_n)
+        votes = np.zeros((n_docs, 64), dtype=np.int64)
+        if len(sh):
+            bits = ((sh[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(np.int64)
+            contrib = bits * 2 - 1
+            np.add.at(votes, doc, contrib)
+        fp = (votes > 0).astype(np.uint64)
+        out = np.zeros(n_docs, dtype=np.uint64)
+        for bit in range(64):
+            out |= fp[:, bit] << np.uint64(bit)
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "simhash": pa.array(out),
+            }
+        )
+
+    return ds.map_batches(sim, batch_format="pyarrow")
+
+
+def ngram_jaccard_pairs(
+    ds: "ray.data.Dataset",
+    candidate_pairs: "list[tuple[int, int]]",
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+) -> "ray.data.Dataset":
+    """Exact n-gram Jaccard for given candidate pairs: broadcast the pair
+    list, ship only the needed docs' shingle sets to the reducer."""
+    import ray
+
+    wanted = sorted({i for p in candidate_pairs for i in p})
+    wanted_ref = ray.put(np.array(wanted, dtype=np.int64))
+
+    def shingle_sets(batch: pa.Table) -> pa.Table:
+        want = ray.get(wanted_ref)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        sel = np.isin(ids, want)
+        if not sel.any():
+            return pa.table({id_col: pa.array([], type=pa.int64()), "shingles": pa.array([], type=pa.binary())})
+        sub = batch.filter(pa.array(sel))
+        doc, sh, n_docs = _shingle_hashes(sub, text_col, shingle_n)
+        out_ids, blobs = [], []
+        for d in range(n_docs):
+            s = np.unique(sh[doc == d])
+            out_ids.append(int(sub[id_col][d].as_py()))
+            blobs.append(s.tobytes())
+        return pa.table({id_col: pa.array(out_ids, type=pa.int64()), "shingles": pa.array(blobs, type=pa.binary())})
+
+    sets = ds.map_batches(shingle_sets, batch_format="pyarrow").to_pandas()
+    lookup = {int(r[id_col]): np.frombuffer(r["shingles"], dtype=np.uint64) for _, r in sets.iterrows()}
+    rows = []
+    for x, y in candidate_pairs:
+        sx, sy = lookup.get(x), lookup.get(y)
+        if sx is None or sy is None or (len(sx) == 0 and len(sy) == 0):
+            j = 0.0
+        else:
+            inter = len(np.intersect1d(sx, sy))
+            union = len(sx) + len(sy) - inter
+            j = inter / union if union else 0.0
+        rows.append({"id_a": x, "id_b": y, "jaccard": j})
+    import pandas as pd
+
+    return ray.data.from_pandas(pd.DataFrame(rows))

@@ -1,0 +1,196 @@
+"""Similarity search over an embedding column (list<float>).
+
+Brute-force cosine top-k: the query matrix is broadcast once (ray.put)
+and each batch does one numpy matmul — the baseline.  The scale path is
+LSH-bucketed search (random hyperplane signatures → candidate buckets),
+which turns the all-pairs scan into a bucketed groupby.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data
+
+
+def _emb_matrix(batch: pa.Table, col: str) -> np.ndarray:
+    arr = batch[col]
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    # list<float32> -> (n, dim) via flat values (fixed dim assumed)
+    values = np.asarray(arr.values, dtype=np.float64)
+    n = len(arr)
+    return values.reshape(n, -1) if n else values.reshape(0, 0)
+
+
+def knn_brute_force(
+    ds: "ray.data.Dataset",
+    query: np.ndarray,
+    k: int = 10,
+    *,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_digits: "int | None" = 3,
+) -> "ray.data.Dataset":
+    """Top-k rows by cosine similarity to ``query``.
+
+    Per-batch: matmul + local top-k (so only k rows per batch reach the
+    final sort) → global sort + limit.
+    """
+    q = np.asarray(query, dtype=np.float64)
+    qn = q / np.linalg.norm(q)
+    q_ref = ray.put(qn)
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        qv = ray.get(q_ref)
+        m = _emb_matrix(batch, emb_col)
+        if m.size == 0:
+            return pa.table(
+                {id_col: pa.array([], type=pa.int64()), "cos_sim": pa.array([], type=pa.float64())}
+            )
+        norms = np.linalg.norm(m, axis=1)
+        sims = (m @ qv) / np.maximum(norms, 1e-30)
+        if round_digits is not None:
+            sims = np.round(sims, round_digits)
+        kk = min(k, len(sims))
+        # total order (sim desc, id asc) locally and globally, so the
+        # per-batch cut can never disagree with the oracle's tie-break
+        ids_np = batch[id_col].to_numpy(zero_copy_only=False)
+        idx = np.lexsort((ids_np, -sims))[:kk]
+        return pa.table(
+            {
+                id_col: batch[id_col].take(pa.array(idx)),
+                "cos_sim": pa.array(sims[idx]),
+            }
+        )
+
+    part = ds.map_batches(local_topk, batch_format="pyarrow")
+    return part.sort(["cos_sim", id_col], descending=[True, False]).limit(k)
+
+
+def lsh_bucket_knn(
+    ds: "ray.data.Dataset",
+    query: np.ndarray,
+    k: int = 10,
+    *,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_planes: int = 6,
+    n_tables: int = 8,
+    seed: int = 7,
+) -> "ray.data.Dataset":
+    """Approximate top-k: random-hyperplane LSH restricted scan.
+
+    Each of ``n_tables`` tables hashes vectors by the sign pattern against
+    ``n_planes`` Gaussian hyperplanes; only vectors sharing a bucket with
+    the query in ANY table are scored.  At scale the buckets would be a
+    precomputed partitioned index; here the bucket check runs inside the
+    same map pass (no shuffle at all — a strict filter on the brute scan).
+    """
+    q = np.asarray(query, dtype=np.float64)
+    dim = len(q)
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_tables, n_planes, dim))
+    q_sig = (np.einsum("tpd,d->tp", planes, q) > 0)
+    state_ref = ray.put((q / np.linalg.norm(q), planes, q_sig))
+
+    def bucket_scan(batch: pa.Table) -> pa.Table:
+        qv, pl, qs = ray.get(state_ref)
+        m = _emb_matrix(batch, emb_col)
+        if m.size == 0:
+            return pa.table(
+                {id_col: pa.array([], type=pa.int64()), "cos_sim": pa.array([], type=pa.float64())}
+            )
+        sigs = np.einsum("tpd,nd->tnp", pl, m) > 0  # (tables, n, planes)
+        match = (sigs == qs[:, None, :]).all(axis=2).any(axis=0)
+        if not match.any():
+            return pa.table(
+                {id_col: pa.array([], type=pa.int64()), "cos_sim": pa.array([], type=pa.float64())}
+            )
+        sel = np.flatnonzero(match)
+        mm = m[sel]
+        sims = (mm @ qv) / np.maximum(np.linalg.norm(mm, axis=1), 1e-30)
+        return pa.table(
+            {
+                id_col: batch[id_col].take(pa.array(sel)),
+                "cos_sim": pa.array(sims),
+            }
+        )
+
+    part = ds.map_batches(bucket_scan, batch_format="pyarrow")
+    return part.sort(["cos_sim", id_col], descending=[True, False]).limit(k)
+
+
+def query_vector(sf_dir: str, vec_id: int = 0, emb_col: str = "embedding") -> np.ndarray:
+    """Fetch one embedding to use as the query (driver-side, tiny read)."""
+    import pyarrow.parquet as pq
+    import pyarrow.compute as pc
+
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    row = t.filter(pc.equal(t["vec_id"], pa.scalar(vec_id)))
+    return np.asarray(row[emb_col][0].as_py(), dtype=np.float64)
+
+
+def embedding_near_dup_pairs(
+    ds: "ray.data.Dataset",
+    threshold: float = 0.95,
+    *,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    block: int = 2048,
+) -> "ray.data.Dataset":
+    """All pairs (a < b) with cosine >= threshold — embedding near-dup.
+
+    Implemented as a blocked self-join: normalize per batch, materialize
+    the (small) normalized matrix driver-side in blocks, and scan block
+    pairs as Ray tasks.  For 100 TB-scale this is replaced by LSH
+    bucketing (see minhash_lsh_pairs for the pattern); the blocked scan is
+    the exact baseline."""
+
+    def normalize(batch: pa.Table) -> pa.Table:
+        m = _emb_matrix(batch, emb_col)
+        n = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "norm_emb": pa.array(list(n)),  # float64: keep oracle parity
+            }
+        )
+
+    normed = ds.map_batches(normalize, batch_format="pyarrow").to_pandas()
+    ids = normed[id_col].to_numpy()
+    M = np.stack(normed["norm_emb"].to_numpy()).astype(np.float64)
+    order = np.argsort(ids, kind="stable")
+    ids, M = ids[order], M[order]
+
+    @ray.remote
+    def block_pair(i0, i1, j0, j1, Mi, Mj, ids_i, ids_j):
+        sims = Mi @ Mj.T
+        out = []
+        for r, c in zip(*np.nonzero(sims >= threshold)):
+            a, b = ids_i[r], ids_j[c]
+            if a < b:
+                out.append((int(a), int(b), float(np.round(sims[r, c], 3))))
+        return out
+
+    futures = []
+    for i in range(0, len(ids), block):
+        for j in range(i, len(ids), block):
+            futures.append(
+                block_pair.remote(
+                    i, i + block, j, j + block,
+                    M[i : i + block], M[j : j + block],
+                    ids[i : i + block], ids[j : j + block],
+                )
+            )
+    rows = [r for f in ray.get(futures) for r in f]
+    import pandas as pd
+
+    df = pd.DataFrame(rows, columns=["id_a", "id_b", "cos_sim"]).astype(
+        {"id_a": np.int64, "id_b": np.int64, "cos_sim": np.float64}
+    )
+    return ray.data.from_pandas(df)

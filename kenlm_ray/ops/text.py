@@ -1,0 +1,127 @@
+"""Text / n-gram Dataset operators over a text column.
+
+The n-gram counting pipeline is the Ray Data re-expression of the
+reference's CorpusCount → Sort<SuffixOrder, CombineCounts> phase
+(/root/reference/lm/builder/corpus_count.cc:90-123, combine_counts.hh):
+partial counts are combined inside each batch (Arrow hash group-by, the
+analog of the reference's in-block dedupe probing table) before the
+global hash-shuffle ``groupby().sum()`` — the canonical partial+final
+aggregate (SURVEY.md §2.6).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data
+from ray.data.aggregate import Sum
+
+from kenlm_ray.functions.tokenize import tokenize_column
+
+
+def _token_frame(batch: pa.Table, text_col: str, n: int) -> pa.Table:
+    """Explode a batch into n-gram rows (w1..wn) over each doc's flat
+    token sequence (newlines are plain delimiters here, matching the
+    SQL oracle's regexp_split semantics)."""
+    stream = tokenize_column(batch[text_col])
+    toks = stream.to_arrow()
+    T = len(toks)
+    if T < n:
+        return pa.table({f"w{i+1}": pa.array([], type=pa.string()) for i in range(n)})
+    doc = stream.doc_ids
+    valid = doc[n - 1 :] == doc[: T - (n - 1)]
+    vmask = pa.array(valid)
+    cols = {
+        f"w{i+1}": toks.slice(i, T - (n - 1)).filter(vmask) for i in range(n)
+    }
+    return pa.table(cols)
+
+
+def ngram_counts(
+    ds: "ray.data.Dataset", n: int, text_col: str = "text"
+) -> "ray.data.Dataset":
+    """Distributed n-gram counting: per-batch partial combine → global sum.
+
+    Output columns: w1..wn, count (int64).
+    """
+    keys = [f"w{i+1}" for i in range(n)]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = _token_frame(batch, text_col, n)
+        if len(t) == 0:
+            return t.append_column("count_partial", pa.array([], type=pa.int64()))
+        t = t.append_column("count_partial", pa.array(np.ones(len(t), dtype=np.int64)))
+        return t.group_by(keys).aggregate([("count_partial", "sum")])
+
+    part = ds.map_batches(partial, batch_format="pyarrow")
+    agg = part.groupby(keys).aggregate(Sum("count_partial_sum", alias_name="count"))
+    return agg
+
+
+def token_stats(ds: "ray.data.Dataset", text_col: str = "text", id_col: str = "doc_id"):
+    """Per-document token statistics: n_tokens, n_bytes."""
+
+    def stats(batch: pa.Table) -> pa.Table:
+        stream = tokenize_column(batch[text_col])
+        n = len(batch)
+        n_tokens = np.bincount(stream.doc_ids, minlength=n).astype(np.int64)
+        from kenlm_ray.functions.tokenize import _string_buffers
+
+        offsets, _ = _string_buffers(
+            batch[text_col].combine_chunks()
+            if isinstance(batch[text_col], pa.ChunkedArray)
+            else batch[text_col]
+        )
+        n_bytes = (offsets[1:] - offsets[:-1]).astype(np.int64)
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "n_tokens": pa.array(n_tokens),
+                "n_bytes": pa.array(n_bytes),
+            }
+        )
+
+    return ds.map_batches(stats, batch_format="pyarrow")
+
+
+def vocab_filter_docs(
+    ds: "ray.data.Dataset", vocab_size: int, text_col: str = "text", id_col: str = "doc_id"
+):
+    """Model-filter analog (semi-join, /root/reference/lm/filter/vocab.hh:37-53
+    Single::PassNGram): keep documents whose EVERY token is in the
+    top-``vocab_size`` vocabulary (ties broken by token string).
+
+    The vocabulary is computed with the distributed unigram counter, then
+    broadcast (small side) into a stateless filter — no shuffle join.
+    """
+    import ray
+
+    vocab_tbl = (
+        ngram_counts(ds, 1, text_col)
+        .to_pandas()
+        .sort_values(["count", "w1"], ascending=[False, True], kind="mergesort")
+    )
+    from kenlm_ray.functions.hashing import hash_bytes_array
+
+    top_words = list(vocab_tbl.head(vocab_size)["w1"])
+    vocab_hashes = np.sort(hash_bytes_array(top_words))
+    top_ref = ray.put(vocab_hashes)
+
+    def passes(batch: pa.Table) -> pa.Table:
+        vh = ray.get(top_ref)
+        stream = tokenize_column(batch[text_col])
+        mat, lens = stream.padded_matrix()
+        from kenlm_ray.functions.hashing import murmur64_matrix
+
+        th = murmur64_matrix(mat, lens)
+        idx = np.searchsorted(vh, th)
+        in_vocab = (idx < len(vh)) & (vh[np.minimum(idx, len(vh) - 1)] == th)
+        n = len(batch)
+        bad = np.zeros(n, dtype=np.int64)
+        np.add.at(bad, stream.doc_ids[~in_vocab], 1)
+        has_tok = np.bincount(stream.doc_ids, minlength=n) > 0
+        keep = (bad == 0) & has_tok
+        return pa.table({id_col: batch[id_col].filter(pa.array(keep))})
+
+    return ds.map_batches(passes, batch_format="pyarrow")

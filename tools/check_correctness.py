@@ -1,0 +1,127 @@
+"""Local replica of the driver's correctness gate.
+
+Runs each __ray_entry__.queries() entry at a given sf dir, runs the
+matching oracle_sql() through DuckDB over the same parquet files, and
+compares: row count, column set, and order-insensitive values (rows
+sorted by all columns; floats compared with np.isclose).
+
+Usage: python tools/check_correctness.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+import numpy as np
+import pandas as pd
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def to_pandas(res) -> pd.DataFrame:
+    if isinstance(res, pd.DataFrame):
+        return res
+    if hasattr(res, "to_pandas"):
+        return res.to_pandas()
+    return pd.DataFrame(res)
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    df = df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
+    return df
+
+
+def compare(a: pd.DataFrame, b: pd.DataFrame) -> "str | None":
+    if set(a.columns) != set(b.columns):
+        return f"columns differ: {sorted(a.columns)} vs {sorted(b.columns)}"
+    if len(a) != len(b):
+        return f"row counts differ: {len(a)} vs {len(b)}"
+    a, b = canon(a), canon(b)
+    for col in a.columns:
+        av, bv = a[col].to_numpy(), b[col].to_numpy()
+        if np.issubdtype(av.dtype, np.floating) or np.issubdtype(bv.dtype, np.floating):
+            ok = np.isclose(
+                av.astype(np.float64), bv.astype(np.float64),
+                rtol=1e-9, atol=1e-9, equal_nan=True,
+            )
+            if not ok.all():
+                i = int(np.flatnonzero(~ok)[0])
+                return f"col {col} differs at sorted row {i}: {av[i]!r} vs {bv[i]!r}"
+        else:
+            eq = pd.Series(av).astype(str).eq(pd.Series(bv).astype(str))
+            if not eq.all():
+                i = int((~eq).idxmax())
+                return f"col {col} differs at sorted row {i}: {av[i]!r} vs {bv[i]!r}"
+    return None
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import duckdb
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local", num_cpus=8, include_dashboard=False,
+            ignore_reinit_error=True, logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    import __ray_entry__ as entrymod
+
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    n_pass = n_fail = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            mine = to_pandas(fn(sf_dir))
+        except Exception as e:
+            print(f"FAIL {name}: query raised {type(e).__name__}: {e}")
+            n_fail += 1
+            continue
+        dt = time.time() - t0
+        if name not in oracles:
+            print(f"ok   {name}: rows={len(mine)} ({dt:.1f}s) [rows-only]")
+            n_pass += 1
+            continue
+        try:
+            ref = con.sql(oracles[name]).df()
+        except Exception as e:
+            print(f"FAIL {name}: oracle SQL raised {e}")
+            n_fail += 1
+            continue
+        err = compare(mine, ref)
+        if err:
+            print(f"FAIL {name}: {err} ({dt:.1f}s)")
+            n_fail += 1
+        else:
+            print(f"PASS {name}: rows={len(mine)} ({dt:.1f}s)")
+            n_pass += 1
+    print(f"\n{n_pass} passed, {n_fail} failed")
+    ray.shutdown()
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
