@@ -267,6 +267,16 @@ def _q_simhash(sf_dir):
     return simhash_column(_documents(sf_dir))
 
 
+def _q_mkn_bigram(sf_dir):
+    """Distributed modified-Kneser-Ney bigram estimation over documents
+    (the lmplz re-expression; parity with the in-memory oracle is gated
+    in tests/test_estimate.py)."""
+    from kenlm_ray.ngram.estimate import estimate_mkn
+
+    result = estimate_mkn(_documents(sf_dir), order=2, num_partitions=8)
+    return result["arpa_tables"][2]
+
+
 def _q_lsh_knn(sf_dir):
     import ray.data
 
@@ -303,6 +313,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_near_dup_pairs": _q_minhash_pairs,
         "simhash_fingerprints": _q_simhash,
         "lsh_knn_top10": _q_lsh_knn,
+        "mkn_bigram_model": _q_mkn_bigram,
     }
 
 

@@ -1,0 +1,176 @@
+"""Benchmark runner.
+
+Default: runs the headline pipelines over $GRAFT_SF_DIR (default
+/root/testdata/sf0.1) under ray.init(num_cpus=$RAY_GRAFT_CPUS, default
+32) and prints ONE JSON line:
+  {"metric": ..., "value": <headline sec>, "unit": "sec",
+   "queries": {...}, "sf": ..., "num_cpus": N, ...}
+
+--scaling: runs the flagship quality-filter job twice in fresh
+subprocesses at num_cpus=8 and num_cpus=32 on the same input and reports
+both throughputs + scaling efficiency (the sandbox stand-in for the
+north rule's N vs 4N cluster sizes).
+
+The flagship corpus is a deterministic synthetic source-code corpus
+(kenlm_ray.sources.synth_corpus) sized by CORPUS_ROWS, generated once
+and cached under /tmp; model load time is excluded from throughput, as
+the reference benchmark does (/root/reference/lm/kenlm_benchmark_main.cc
+"binarize first, warm page cache").
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+CORPUS_ROWS = int(os.environ.get("BENCH_CORPUS_ROWS", "360000"))
+SF_LABEL = os.path.basename(SF_DIR.rstrip("/")) or "sf"
+
+
+def corpus_paths() -> "list[str]":
+    from kenlm_ray.sources.synth_corpus import write_corpus
+
+    out = f"/tmp/kenlm_ray_bench/{SF_LABEL}_{CORPUS_ROWS}"
+    return write_corpus(out, CORPUS_ROWS, seed=42, n_shards=64)
+
+
+def run_flagship(paths: "list[str]") -> dict:
+    """Score the corpus; returns wall seconds + files/sec (model pre-built
+    and page cache warmed before timing)."""
+    import ray.data
+
+    from kenlm_ray.pipelines.quality_filter import (
+        build_quality_pipeline,
+        seed_model_path,
+    )
+
+    mp = seed_model_path()  # excluded from timing (train+pack once, cached)
+    # warm the page cache with an untimed metadata+first-block read
+    ray.data.read_parquet(paths).count()
+    t0 = time.time()
+    ds = ray.data.read_parquet(paths)
+    # fixed-size pools: every actor starts immediately instead of the
+    # autoscaler ramping up through the measurement window
+    scored = build_quality_pipeline(
+        ds, mp, scorer_concurrency=max(2, NUM_CPUS // 2),
+        langid_concurrency=max(2, NUM_CPUS // 4),
+    )
+    out_dir = f"/tmp/kenlm_ray_bench/out_{SF_LABEL}_{os.getpid()}"
+    scored.write_parquet(out_dir)
+    wall = time.time() - t0
+    import shutil
+
+    n = CORPUS_ROWS
+    shutil.rmtree(out_dir, ignore_errors=True)
+    return {"sec": round(wall, 3), "files_per_sec": round(n / wall, 1), "rows": n}
+
+
+def run_queries() -> dict[str, float]:
+    """Time a representative operator set over the sf tables."""
+    import __ray_entry__ as em
+
+    qs = em.queries()
+    names = [
+        "pricing_summary",
+        "top_orders_by_revenue",
+        "segment_sales",
+        "events_hourly",
+        "bigram_counts",
+        "exact_dedup_groups",
+        "knn_cosine_top10",
+        "minhash_near_dup_pairs",
+        "simhash_fingerprints",
+        "ppl_score",
+        "langid",
+    ]
+    out = {}
+    for name in names:
+        t0 = time.time()
+        res = qs[name](SF_DIR)
+        if hasattr(res, "to_pandas"):
+            res.to_pandas()
+        out[name] = round(time.time() - t0, 3)
+    return out
+
+
+def main_bench() -> None:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=NUM_CPUS,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    paths = corpus_paths()
+    flag = run_flagship(paths)
+    queries = {} if os.environ.get("BENCH_SKIP_QUERIES") else run_queries()
+    result = {
+        "metric": "quality-filter files/sec + operator wall times",
+        "value": flag["sec"],
+        "unit": "sec",
+        "files_per_sec": flag["files_per_sec"],
+        "corpus_rows": flag["rows"],
+        "queries": queries,
+        "sf": SF_LABEL,
+        "num_cpus": NUM_CPUS,
+    }
+    print(json.dumps(result))
+    ray.shutdown()
+
+
+def main_scaling() -> None:
+    def run(ncpu: int) -> dict:
+        env = dict(
+            os.environ,
+            RAY_GRAFT_CPUS=str(ncpu),
+            BENCH_SKIP_QUERIES="1",
+        )
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo_cpus, hi_cpus = 8, 32
+    lo = run(lo_cpus)
+    hi = run(hi_cpus)
+    eff = (lo["value"] / hi["value"]) / (hi_cpus / lo_cpus)
+    print(
+        json.dumps(
+            {
+                "metric": "scaling efficiency (N vs 4N parallelism, fresh sessions)",
+                "value": round(eff, 3),
+                "unit": "efficiency",
+                "sec_8": lo["value"],
+                "sec_32": hi["value"],
+                "files_per_sec_8": lo["files_per_sec"],
+                "files_per_sec_32": hi["files_per_sec"],
+                "corpus_rows": lo["corpus_rows"],
+                "sf": SF_LABEL,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        main_scaling()
+    else:
+        main_bench()

@@ -88,6 +88,56 @@ def murmur64_matrix(padded: np.ndarray, lengths: np.ndarray, seed: int = 0) -> n
     return h
 
 
+def murmur64_stream(
+    data: np.ndarray, starts: np.ndarray, lengths: np.ndarray, seed: int = 0
+) -> np.ndarray:
+    """Vectorized MurmurHash64A over n substrings of one shared uint8
+    buffer — without materializing a padded matrix.  Work is proportional
+    to total substring bytes: each pass gathers one 8-byte word for the
+    substrings still long enough (the active set shrinks fast for
+    natural-language/code token length distributions).
+    """
+    n = len(starts)
+    if n == 0:
+        return np.empty(0, dtype=np.uint64)
+    starts = starts.astype(np.int64, copy=False)
+    lengths = lengths.astype(np.int64, copy=False)
+    nblocks = lengths >> 3
+    rem = lengths & 7
+    with np.errstate(over="ignore"):
+        h = (np.uint64(seed) ^ (lengths.astype(np.uint64) * _M)).astype(np.uint64)
+        max_blocks = int(nblocks.max())
+        sel = np.arange(n, dtype=np.int64)
+        for i in range(max_blocks):
+            sel = sel[nblocks[sel] > i]
+            if not len(sel):
+                break
+            base = starts[sel] + 8 * i
+            k = data[base].astype(np.uint64)
+            for j in range(1, 8):
+                k |= data[base + j].astype(np.uint64) << np.uint64(8 * j)
+            k *= _M
+            k ^= k >> _R
+            k *= _M
+            h[sel] = (h[sel] ^ k) * _M
+        tsel = np.flatnonzero(rem > 0)
+        if len(tsel):
+            base = starts[tsel] + 8 * nblocks[tsel]
+            trem = rem[tsel]
+            k = data[base].astype(np.uint64)
+            for j in range(1, 7):
+                m = trem > j
+                kj = np.zeros(len(tsel), dtype=np.uint64)
+                idx = base[m] + j
+                kj[m] = data[idx].astype(np.uint64)
+                k |= kj << np.uint64(8 * j)
+            h[tsel] = (h[tsel] ^ k) * _M
+        h ^= h >> _R
+        h *= _M
+        h ^= h >> _R
+    return h
+
+
 def hash_bytes_array(items: "np.ndarray | list[bytes]", seed: int = 0) -> np.ndarray:
     """Hash a sequence of bytes/str objects -> uint64 array (vectorized)."""
     blobs = [s.encode() if isinstance(s, str) else bytes(s) for s in items]

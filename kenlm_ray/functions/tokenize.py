@@ -60,6 +60,15 @@ class TokenStream:
     def lengths(self) -> np.ndarray:
         return self.ends - self.starts
 
+    def hashes(self, max_token_len: int = 256) -> np.ndarray:
+        """MurmurHash64A per token (vectorized streaming kernel; tokens
+        longer than ``max_token_len`` hash by prefix — stable, documented)."""
+        from kenlm_ray.functions.hashing import murmur64_stream
+
+        return murmur64_stream(
+            self.data, self.starts, np.minimum(self.lengths(), max_token_len)
+        )
+
     def padded_matrix(self, max_token_len: int = 256) -> tuple[np.ndarray, np.ndarray]:
         """Gather tokens into a zero-padded (T, pad) uint8 matrix for hashing.
 

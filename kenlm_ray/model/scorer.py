@@ -53,8 +53,7 @@ class VectorLM:
     # -- token-id assignment -------------------------------------------------
     def ids_for(self, stream: TokenStream) -> tuple[np.ndarray, np.ndarray]:
         """(word_ids uint32 [T], oov bool [T]) for a token stream."""
-        mat, lengths = stream.padded_matrix()
-        hashes = murmur64_matrix(mat, lengths)
+        hashes = stream.hashes()
         ids = self.model.word_ids(hashes)
         # disallowed-symbol guard: literal <s>/</s>/<unk> become <unk>
         bad = (ids == BOS_ID) | (ids == EOS_ID)
@@ -98,50 +97,45 @@ class VectorLM:
         sent_of_ext = np.repeat(np.arange(S, dtype=np.int64), ext_counts)
         sstart_of_ext = ext_start[sent_of_ext]
 
-        # --- per-order recurrence hashes with sentence-boundary validity ---
-        # H[n] at position i = hash of the n-gram ending at i (ext indices)
+        # --- single walk up the orders, stop-at-first-miss, with running
+        # accumulators instead of (N+1, E) matrices (the stage is memory-
+        # bandwidth-bound at high actor counts; semantics identical to
+        # lm/model.cc:245-296).
+        #   ok_n[i]   = n-gram ending at i found for ALL k <= n
+        #   prob[i]   = prob of the longest found n-gram (running update)
+        #   bo_sum[i] = Σ over context lengths l >= m[i] of bo_l[i-1];
+        #               since l >= m[i] ⟺ NOT ok_{l+1}[i], we add
+        #               prev_bo[i-1] whenever ok_n[i] is False at order n.
         pos = np.arange(E, dtype=np.int64)
-        ctx_room = pos - sstart_of_ext           # max ngram len ending here - ... = i - start + 1
-        found = np.zeros((N + 1, E), dtype=bool)       # found[n][i]
-        prob_at = np.zeros((N + 1, E), dtype=np.float32)
-        bo_at = np.zeros((N + 1, E), dtype=np.float32)
-        # order 1: direct unigram arrays
-        found[1] = True
-        prob_at[1] = m.uni_prob[ext]
-        bo_at[1] = m.uni_backoff[ext]
+        ctx_room = pos - sstart_of_ext
+        ok = np.ones(E, dtype=bool)
+        prob = m.uni_prob[ext].astype(np.float64)
+        prev_bo = m.uni_backoff[ext]  # float32, backoff of (n-1)-grams
+        bo_sum = np.zeros(E, dtype=np.float64)
         h = ngram_hash_step(np.zeros(E, dtype=np.uint64), ext)
         for n in range(2, N + 1):
-            # shift: hash of (n-1)-gram ending at i-1, extended by ext[i]
             h_next = np.zeros(E, dtype=np.uint64)
             h_next[1:] = ngram_hash_step(h[:-1], ext[1:])
-            valid = ctx_room >= (n - 1)  # ngram of len n fits: i-(n-1) >= start
             t = m.tables.get(n)
             if t is not None and len(t.keys):
                 f, p, b = t.lookup(h_next)
-                f &= valid
-                found[n] = f
-                prob_at[n] = np.where(f, p, np.float32(0.0))
-                bo_at[n] = np.where(f, b, np.float32(0.0))
+                f &= ctx_room >= (n - 1)
+                b = np.where(f, b, np.float32(0.0))  # zero hash-matched but invalid
+                ok_next = ok & f
+            else:
+                p = b = None
+                ok_next = np.zeros(E, dtype=bool)
+            # positions whose walk stops before order n charge the backoff
+            # of the (n-1)-length context suffix ending at i-1
+            stopped = ~ok_next
+            bo_sum[1:] += np.where(stopped[1:], prev_bo[:-1].astype(np.float64), 0.0)
+            if p is not None:
+                np.copyto(prob, p.astype(np.float64), where=ok_next)
+                prev_bo = b
+            else:
+                prev_bo = np.zeros(E, dtype=np.float32)
+            ok = ok_next
             h = h_next
-
-        # --- longest match with stop-at-first-miss (lm/model.cc:272-296) ---
-        ok = np.ones(E, dtype=bool)
-        match_len = np.zeros(E, dtype=np.int64)
-        for n in range(1, N + 1):
-            ok = ok & found[n]
-            match_len = np.where(ok, n, match_len)
-        sel = np.minimum(match_len, N)
-        prob = prob_at[sel, pos].astype(np.float64)
-
-        # --- backoff suffix sums: C[l][j] = sum_{k>=l} bo_k[j] -------------
-        # charged backoffs are those of context suffixes of length
-        # match_len .. N-1 ending at i-1 (absent/invalid entries are 0).
-        C = np.zeros((N + 1, E), dtype=np.float64)
-        for l in range(N - 1, 0, -1):
-            C[l] = C[l + 1] + bo_at[l]
-        prev = np.maximum(pos - 1, 0)
-        bo_sum = C[np.minimum(match_len, N), prev]
-        # position 0 of each sentence is <s> (never scored) so no guard needed
         logprob = prob + bo_sum
 
         # --- gather scored positions (everything except <s>) ---------------

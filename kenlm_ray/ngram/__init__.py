@@ -1,0 +1,2 @@
+"""N-gram counting and modified-Kneser-Ney estimation — the Ray Data
+re-expression of the reference's lmplz pipeline (SURVEY.md §3.2)."""

@@ -1,0 +1,550 @@
+"""Distributed interpolated modified-Kneser-Ney estimation.
+
+The reference's lmplz phases (/root/reference/lm/builder/pipeline.cc:331-383)
+re-expressed as grouped aggregates and hash joins (SURVEY.md §2.6):
+
+  [1] CorpusCount  (corpus_count.cc:225-257, suffix-sort + CombineCounts)
+      → padded n-gram window emission with in-batch partial counting,
+        then groupby(gram).sum — one pass per order.
+  [2] AdjustCounts (adjust_counts.cc:218-348, sequential suffix-order scan)
+      → adjusted(g) = COUNT(DISTINCT left extension) via
+        groupby(suffix-of-(n+1)-gram).count, except <s>-initial grams
+        which keep raw counts; discount stats t1..t4 are a tiny grouped
+        count (StatCollector, adjust_counts.cc:24-105).
+  [3] InitialProbabilities (initial_probabilities.cc:143-274, context-order
+      synchronized readers) → groupby(context).sum for (denominator,
+      discount mass) then a hash join back on the context key.
+  [4] InterpolateProbabilities (interpolate.cc:95-128, joint suffix-order
+      walk) → per-order hash join on the (n-1)-suffix key, low→high.
+
+Every cross-record dependency is keyed (no ordered-scan assumptions —
+Ray Data blocks are unordered, SURVEY.md §2.10).  The in-memory oracle
+(kenlm_ray.model.train_quick.train_kn) computes the same tables; the
+pytest parity gate diffs them exactly.
+
+Scale notes: gram keys are carried as strings for clarity/interop; the
+shuffle key is the gram columns (w1..wn).  The vocabulary (post
+min-count cutoff) is assumed driver-manageable and is broadcast — the
+same assumption as the reference's in-memory GrowableVocab
+(/root/reference/lm/vocab.hh:237-278).  Unigram tables materialize on
+the driver (vocab-sized); all higher orders stay distributed.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+from ray.data.aggregate import Count, Sum
+
+from kenlm_ray.functions.hashing import murmur64_stream  # noqa: F401
+from kenlm_ray.functions.tokenize import tokenize_column
+from kenlm_ray.ops.join import hash_join
+from kenlm_ray.model.train_quick import mkn_discounts
+from kenlm_ray.schema import BOS, EOS, UNK
+from kenlm_ray.sources.synth_corpus import seed_sentences  # noqa: F401  (docs)
+
+
+def _wcols(n: int) -> list[str]:
+    return [f"w{i+1}" for i in range(n)]
+
+
+def _padded_window_frame(
+    batch: pa.Table, n: int, vocab_hashes: "np.ndarray | None", text_col: str
+) -> pa.Table:
+    """Emit all order-n windows of every padded sentence ([<s>] line [</s>])
+    in the batch, vocabulary-normalized (OOV → <unk>)."""
+    stream = tokenize_column(batch[text_col])
+    T = stream.n_tokens
+    cols = {c: pa.array([], type=pa.string()) for c in _wcols(n)}
+    if T == 0:
+        return pa.table(cols)
+    toks = stream.to_arrow()
+    if vocab_hashes is not None:
+        th = stream.hashes()
+        idx = np.searchsorted(vocab_hashes, th)
+        in_vocab = (idx < len(vocab_hashes)) & (
+            vocab_hashes[np.minimum(idx, len(vocab_hashes) - 1)] == th
+        )
+        toks = pc.if_else(pa.array(in_vocab), toks, pa.scalar(UNK))
+    sent_ids = stream.sent_ids
+    S = int(sent_ids[-1]) + 1
+    counts = np.bincount(sent_ids, minlength=S)
+    ext_counts = counts + 2
+    E = T + 2 * S
+    ext_start = np.zeros(S, dtype=np.int64)
+    ext_start[1:] = np.cumsum(ext_counts)[:-1]
+    # combined dictionary: [tokens..., <s>, </s>]
+    comb = pa.concat_arrays(
+        [toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks,
+         pa.array([BOS, EOS], type=pa.string())]
+    )
+    ext_idx = np.empty(E, dtype=np.int64)
+    ext_idx[ext_start] = T
+    ext_idx[ext_start + ext_counts - 1] = T + 1
+    tok_start = np.zeros(S, dtype=np.int64)
+    tok_start[1:] = np.cumsum(counts)[:-1]
+    rank = np.arange(T, dtype=np.int64) - tok_start[sent_ids]
+    ext_idx[ext_start[sent_ids] + 1 + rank] = np.arange(T, dtype=np.int64)
+    sstart_of_ext = ext_start[np.repeat(np.arange(S, dtype=np.int64), ext_counts)]
+    pos = np.arange(E, dtype=np.int64)
+    valid = (pos - sstart_of_ext) >= (n - 1)  # window fits in sentence
+    vidx = np.flatnonzero(valid)
+    for j in range(n):
+        take = ext_idx[vidx - (n - 1) + j]
+        cols[f"w{j+1}"] = pa.Array.take(comb, pa.array(take))
+    return pa.table(cols)
+
+
+def raw_counts(
+    ds: "ray.data.Dataset", n: int, vocab_hashes: "np.ndarray | None",
+    text_col: str = "text",
+) -> "ray.data.Dataset":
+    """Phase [1]: raw order-n counts over padded sentences (partial combine
+    per batch, then hash-shuffle sum)."""
+    keys = _wcols(n)
+    vh_ref = ray.put(vocab_hashes)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        vh = ray.get(vh_ref)
+        t = _padded_window_frame(batch, n, vh, text_col)
+        if len(t) == 0:
+            return t.append_column("c", pa.array([], type=pa.int64()))
+        t = t.append_column("c", pa.array(np.ones(len(t), dtype=np.int64)))
+        return t.group_by(keys).aggregate([("c", "sum")])
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(keys)
+        .aggregate(Sum("c_sum", alias_name="count"))
+    )
+
+
+def build_vocab(
+    ds: "ray.data.Dataset", min_count: int = 1, text_col: str = "text"
+) -> np.ndarray:
+    """Distributed unigram count → sorted MurmurHash64A array of retained
+    words (the broadcastable vocabulary)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        stream = tokenize_column(batch[text_col])
+        if stream.n_tokens == 0:
+            return pa.table(
+                {"w": pa.array([], type=pa.string()), "c": pa.array([], type=pa.int64())}
+            )
+        t = pa.table(
+            {
+                "w": stream.to_arrow(),
+                "c": pa.array(np.ones(stream.n_tokens, dtype=np.int64)),
+            }
+        )
+        return t.group_by("w").aggregate([("c", "sum")])
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("w")
+        .aggregate(Sum("c_sum", alias_name="count"))
+    )
+    vt = agg.to_pandas()
+    words = [
+        w
+        for w, c in zip(vt["w"], vt["count"])
+        if c >= min_count and w not in (UNK, BOS, EOS)
+    ]
+    from kenlm_ray.functions.hashing import hash_bytes_array
+
+    return np.sort(hash_bytes_array(words))
+
+
+def adjusted_counts(
+    raw_n: "ray.data.Dataset", raw_np1: "ray.data.Dataset | None", n: int,
+    num_partitions: int = 16,
+) -> "ray.data.Dataset":
+    """Phase [2]: adjusted counts for order n given raw order-(n+1) counts.
+
+    adjusted(g) = |{v : raw(v·g) > 0}|  except g starting with <s> (raw),
+    falling back to raw when a gram never occurs mid-sentence
+    (adjust_counts.cc:264-320 semantics, keyed instead of scanned)."""
+    keys = _wcols(n)
+    if raw_np1 is None:
+        return raw_n.map_batches(
+            lambda t: t.rename_columns(keys + ["adjusted"]), batch_format="pyarrow"
+        )
+
+    np1_keys = _wcols(n + 1)
+
+    def suffix_project(batch: pa.Table) -> pa.Table:
+        cols = {keys[i]: batch[np1_keys[i + 1]] for i in range(n)}
+        t = pa.table({**cols, "e": pa.array(np.ones(len(batch), dtype=np.int64))})
+        return t.group_by(keys).aggregate([("e", "sum")])
+
+    left_ext = (
+        raw_np1.map_batches(suffix_project, batch_format="pyarrow")
+        .groupby(keys)
+        .aggregate(Sum("e_sum", alias_name="left_ext"))
+    )
+    from kenlm_ray.ops.join import hash_join
+
+    str_keys = {k: pa.string() for k in keys}
+    joined = hash_join(
+        raw_n,
+        left_ext,
+        on=keys,
+        left_cols={**str_keys, "count": pa.int64()},
+        right_cols={**str_keys, "left_ext": pa.int64()},
+        how="left",
+        num_partitions=num_partitions,
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        raw = batch["count"].to_numpy(zero_copy_only=False)
+        le = batch["left_ext"].to_numpy(zero_copy_only=False)
+        le = np.where(np.isnan(le.astype(np.float64)), 0, le).astype(np.int64)
+        bos = pc.equal(batch["w1"], pa.scalar(BOS)).to_numpy(zero_copy_only=False)
+        adjusted = np.where(bos | (le == 0), raw, le)
+        out = {k: batch[k] for k in keys}
+        out["adjusted"] = pa.array(adjusted.astype(np.int64))
+        return pa.table(out)
+
+    return joined.map_batches(finalize, batch_format="pyarrow")
+
+
+def discount_stats(adj_n: "ray.data.Dataset", exclude_bos: bool = False) -> list[float]:
+    """Phase [2b]: t1..t4 → [D1, D2, D3+] (tiny grouped count + driver math)."""
+    if exclude_bos:
+        adj_n = adj_n.map_batches(
+            lambda t: t.filter(pc.invert(pc.equal(t["w1"], pa.scalar(BOS)))),
+            batch_format="pyarrow",
+        )
+    hist = (
+        adj_n.map_batches(
+            lambda t: pa.table(
+                {
+                    "bucket": pc.min_element_wise(t["adjusted"], pa.scalar(5)),
+                    "n": pa.array(np.ones(len(t), dtype=np.int64)),
+                }
+            )
+            .group_by("bucket")
+            .aggregate([("n", "sum")]),
+            batch_format="pyarrow",
+        )
+        .groupby("bucket")
+        .aggregate(Sum("n_sum", alias_name="t"))
+        .to_pandas()
+    )
+    counts = {int(r["bucket"]): int(r["t"]) for _, r in hist.iterrows()}
+    # closed-form MKN discounts (Chen-Goodman eq. 26, adjust_counts.cc:56-61)
+    t1, t2, t3, t4 = (counts.get(i, 0) for i in (1, 2, 3, 4))
+    D = []
+    for j, (tj, tj1) in enumerate(((t1, t2), (t2, t3), (t3, t4)), start=1):
+        if t1 > 0 and t2 > 0 and tj > 0:
+            y = t1 / (t1 + 2.0 * t2)
+            dj = j - (j + 1) * y * tj1 / tj
+        else:
+            dj = j * 0.5
+        D.append(min(max(dj, 0.0), float(j)))
+    return D
+
+
+def _apply_discount(adjusted: np.ndarray, D: list[float]) -> np.ndarray:
+    d = np.zeros(len(adjusted), dtype=np.float64)
+    d[adjusted == 1] = D[0]
+    d[adjusted == 2] = D[1]
+    d[adjusted >= 3] = D[2]
+    d[adjusted <= 0] = 0.0
+    return d
+
+
+def initial_probs(
+    adj_n: "ray.data.Dataset", n: int, D: list[float], num_partitions: int = 16
+) -> tuple["ray.data.Dataset", "ray.data.Dataset"]:
+    """Phase [3]: uninterpolated p̂ per gram and γ per context.
+
+    Returns (rows with pseudo_prob, context table with gamma)."""
+    keys = _wcols(n)
+    ctx = keys[:-1]
+
+    def with_disc(batch: pa.Table) -> pa.Table:
+        adj = batch["adjusted"].to_numpy(zero_copy_only=False)
+        return batch.append_column("disc", pa.array(_apply_discount(adj, D)))
+
+    rows = adj_n.map_batches(with_disc, batch_format="pyarrow")
+    if not ctx:
+        # unigram: single context — driver-side reduce
+        agg = rows.map_batches(
+            lambda t: pa.table(
+                {
+                    "denom": pa.array([float(pc.sum(t["adjusted"]).as_py() or 0.0)]),
+                    "disc": pa.array([float(pc.sum(t["disc"]).as_py() or 0.0)]),
+                }
+            ),
+            batch_format="pyarrow",
+        ).to_pandas()
+        denom = float(agg["denom"].sum())
+        dsum = float(agg["disc"].sum())
+        gamma = dsum / denom if denom else 1.0
+
+        def uni_prob(batch: pa.Table) -> pa.Table:
+            adj = batch["adjusted"].to_numpy(zero_copy_only=False).astype(np.float64)
+            disc = batch["disc"].to_numpy(zero_copy_only=False)
+            p = (adj - disc) / denom if denom else np.zeros(len(batch))
+            out = {k: batch[k] for k in keys}
+            out["pseudo_prob"] = pa.array(p)
+            return pa.table(out)
+
+        probs = rows.map_batches(uni_prob, batch_format="pyarrow")
+        gamma_ds = ray.data.from_items([{"gamma": gamma, "denom": denom}])
+        return probs, gamma_ds
+
+    ctx_agg = rows.groupby(ctx).aggregate(
+        Sum("adjusted", alias_name="denom"), Sum("disc", alias_name="disc_mass")
+    )
+    from kenlm_ray.ops.join import hash_join
+
+    str_keys = {k: pa.string() for k in keys}
+    str_ctx = {k: pa.string() for k in ctx}
+    joined = hash_join(
+        rows,
+        ctx_agg,
+        on=ctx,
+        left_cols={**str_keys, "adjusted": pa.int64(), "disc": pa.float64()},
+        right_cols={**str_ctx, "denom": pa.int64(), "disc_mass": pa.float64()},
+        how="inner",
+        num_partitions=num_partitions,
+    )
+
+    def fin(batch: pa.Table) -> pa.Table:
+        adj = batch["adjusted"].to_numpy(zero_copy_only=False).astype(np.float64)
+        disc = batch["disc"].to_numpy(zero_copy_only=False)
+        denom = batch["denom"].to_numpy(zero_copy_only=False).astype(np.float64)
+        p = np.where(denom > 0, (adj - disc) / np.maximum(denom, 1e-300), 0.0)
+        out = {k: batch[k] for k in keys}
+        out["pseudo_prob"] = pa.array(p)
+        return pa.table(out)
+
+    probs = joined.map_batches(fin, batch_format="pyarrow")
+
+    def gam(batch: pa.Table) -> pa.Table:
+        denom = batch["denom"].to_numpy(zero_copy_only=False).astype(np.float64)
+        dm = batch["disc_mass"].to_numpy(zero_copy_only=False)
+        out = {k: batch[k] for k in ctx}
+        out["gamma"] = pa.array(np.where(denom > 0, dm / np.maximum(denom, 1e-300), 1.0))
+        return pa.table(out)
+
+    gamma_ds = ctx_agg.map_batches(gam, batch_format="pyarrow")
+    return probs, gamma_ds
+
+
+def estimate_mkn(
+    ds: "ray.data.Dataset",
+    order: int = 3,
+    *,
+    text_col: str = "text",
+    min_count: int = 1,
+    num_partitions: int = 16,
+) -> dict:
+    """Full pipeline: returns {"arpa_tables": {n: Dataset(w1..wn,
+    log10_prob, log10_backoff)}, "discounts": {n: [D1,D2,D3]}}.
+
+    Unigram interpolation with the uniform 1/|vocab| distribution and the
+    -99 <s> convention match train_kn (the in-memory oracle) exactly.
+    """
+    vocab_hashes = build_vocab(ds, min_count=min_count, text_col=text_col)
+
+    raws = {
+        n: raw_counts(ds, n, vocab_hashes, text_col=text_col)
+        for n in range(1, order + 1)
+    }
+    # phase 2: adjusted counts high→low (each needs raw at n+1)
+    adjs = {}
+    for n in range(1, order + 1):
+        adjs[n] = adjusted_counts(
+            raws[n], raws.get(n + 1), n, num_partitions=num_partitions
+        ) if n < order else raws[n].map_batches(
+            lambda t, _k=_wcols(n): t.rename_columns(_k + ["adjusted"]),
+            batch_format="pyarrow",
+        )
+    # drop the <s> unigram row from the unigram distribution (train_quick)
+    adjs[1] = adjs[1].filter(
+        lambda row: row["w1"] != BOS
+    )
+    # checkpoint the adjusted-count tables: they are consumed by several
+    # downstream materializations (discounts, probs, gammas) and are small
+    # relative to the corpus (distinct grams, not occurrences) — the
+    # sanctioned use of materialize() on reused intermediates.
+    adjs = {n: d.materialize() for n, d in adjs.items()}
+    discounts = {
+        n: discount_stats(adjs[n], exclude_bos=(n < order))
+        for n in range(1, order + 1)
+    }
+
+    probs = {}
+    gammas = {}
+    for n in range(1, order + 1):
+        p, g = initial_probs(
+            adjs[n], n, discounts[n], num_partitions=num_partitions
+        )
+        probs[n], gammas[n] = p.materialize(), g.materialize()
+
+    # phase 4: interpolate — unigrams on the driver (vocab-sized)
+    p1 = probs[1].to_pandas()
+    g1 = gammas[1].to_pandas()
+    uni_gamma = float(g1["gamma"].iloc[0])
+    words = list(p1["w1"])
+    pp = dict(zip(words, p1["pseudo_prob"]))
+    vocab_words = sorted(set(words) | {UNK, EOS})
+    V = len(vocab_words)
+    interp1 = {w: pp.get(w, 0.0) + uni_gamma / V for w in vocab_words}
+    s1 = sum(interp1.values())
+    interp1 = {w: p / s1 for w, p in interp1.items()}
+
+    arpa_tables: dict[int, "ray.data.Dataset | pa.Table"] = {}
+    # unigram ARPA rows (driver-side table): backoff = log10 gamma_2(w)
+    interp_lower_ref = ray.put(interp1)
+
+    prev_interp_ds: "ray.data.Dataset | None" = None
+    for n in range(2, order + 1):
+        keys = _wcols(n)
+        sfx = keys[1:]
+        if n == 2:
+            def add_lower2(batch: pa.Table, _last=keys[-1]) -> pa.Table:
+                low = ray.get(interp_lower_ref)
+                lastw = batch[_last].to_pylist()
+                lp = np.array([low.get(w, 0.0) for w in lastw])
+                return batch.append_column("p_lower", pa.array(lp))
+
+            with_lower = probs[2].map_batches(add_lower2, batch_format="pyarrow")
+        else:
+            lower = prev_interp_ds.select_columns(_wcols(n - 1) + ["prob"])
+            lower = lower.map_batches(
+                lambda t, _n=n: t.rename_columns(
+                    [f"w{i+2}" for i in range(_n - 1)] + ["p_lower"]
+                ),
+                batch_format="pyarrow",
+            )
+            with_lower = hash_join(
+                probs[n],
+                lower,
+                on=list(sfx),
+                left_cols={**{k: pa.string() for k in keys}, "pseudo_prob": pa.float64()},
+                right_cols={**{k: pa.string() for k in sfx}, "p_lower": pa.float64()},
+                how="left",
+                num_partitions=num_partitions,
+            )
+        gamma_n = gammas[n].map_batches(
+            lambda t, _c=keys[:-1]: t.rename_columns(list(_c) + ["gamma_ctx"]),
+            batch_format="pyarrow",
+        )
+        wl_cols = {**{k: pa.string() for k in keys}, "pseudo_prob": pa.float64()}
+        if n > 2:
+            wl_cols["p_lower"] = pa.float64()
+        else:
+            wl_cols["p_lower"] = pa.float64()
+        with_gamma = hash_join(
+            with_lower,
+            gamma_n,
+            on=list(keys[:-1]),
+            left_cols=wl_cols,
+            right_cols={**{k: pa.string() for k in keys[:-1]}, "gamma_ctx": pa.float64()},
+            how="inner",
+            num_partitions=num_partitions,
+        )
+
+        def interp(batch: pa.Table, _k=tuple(keys)) -> pa.Table:
+            ph = batch["pseudo_prob"].to_numpy(zero_copy_only=False)
+            gl = batch["gamma_ctx"].to_numpy(zero_copy_only=False)
+            pl = batch["p_lower"].to_numpy(zero_copy_only=False).astype(np.float64)
+            pl = np.nan_to_num(pl, nan=0.0)
+            out = {k: batch[k] for k in _k}
+            out["prob"] = pa.array(ph + gl * pl)
+            return pa.table(out)
+
+        prev_interp_ds = with_gamma.map_batches(interp, batch_format="pyarrow").materialize()
+        # backoff of an n-gram = log10 gamma_{n+1}(gram) (absent → no row)
+        if n < order:
+            gnext = gammas[n + 1].map_batches(
+                lambda t, _k=tuple(keys): t.rename_columns(list(_k) + ["gamma_bo"]),
+                batch_format="pyarrow",
+            )
+            merged = hash_join(
+                prev_interp_ds,
+                gnext,
+                on=list(keys),
+                left_cols={**{k: pa.string() for k in keys}, "prob": pa.float64()},
+                right_cols={**{k: pa.string() for k in keys}, "gamma_bo": pa.float64()},
+                how="left",
+                num_partitions=num_partitions,
+            )
+        else:
+            merged = prev_interp_ds.map_batches(
+                lambda t: t.append_column(
+                    "gamma_bo", pa.array(np.full(len(t), np.nan))
+                ),
+                batch_format="pyarrow",
+            )
+
+        def to_arpa(batch: pa.Table, _k=tuple(keys)) -> pa.Table:
+            p = np.maximum(batch["prob"].to_numpy(zero_copy_only=False), 1e-12)
+            g = batch["gamma_bo"].to_numpy(zero_copy_only=False).astype(np.float64)
+            bo = np.where(np.isnan(g), 0.0, np.log10(np.maximum(np.abs(g), 1e-12)))
+            out = {k: batch[k] for k in _k}
+            out["log10_prob"] = pa.array(np.log10(p))
+            out["log10_backoff"] = pa.array(bo)
+            return pa.table(out)
+
+        arpa_tables[n] = merged.map_batches(to_arpa, batch_format="pyarrow")
+
+    # unigram ARPA table: needs gamma_2 per word (context table of order 2)
+    if order >= 2:
+        g2 = gammas[2].to_pandas()
+        g2map = dict(zip(g2["w1"], g2["gamma"]))
+    else:
+        g2map = {}
+    uni_rows = []
+    for w in vocab_words:
+        if w == BOS:
+            continue
+        prob = math.log10(max(interp1[w], 1e-12))
+        bo = g2map.get(w)
+        uni_rows.append(
+            {
+                "w1": w,
+                "log10_prob": prob,
+                "log10_backoff": math.log10(max(bo, 1e-12)) if bo is not None else 0.0,
+            }
+        )
+    uni_rows.append(
+        {
+            "w1": BOS,
+            "log10_prob": -99.0,
+            "log10_backoff": math.log10(max(g2map.get(BOS, 1.0), 1e-12)),
+        }
+    )
+    arpa_tables[1] = pa.Table.from_pylist(uni_rows)
+    return {"arpa_tables": arpa_tables, "discounts": discounts}
+
+
+def to_arpa_model(result: dict, order: int):
+    """Collect the distributed tables into an ArpaModel (test/interop path;
+    at scale you would write_parquet each order instead)."""
+    from kenlm_ray.model.arpa import ArpaModel
+
+    m = ArpaModel()
+    for n in range(1, order + 1):
+        t = result["arpa_tables"][n]
+        df = t.to_pandas()
+        grams = {}
+        wc = _wcols(n)
+        for _, r in df.iterrows():
+            grams[tuple(r[c] for c in wc)] = (
+                float(r["log10_prob"]),
+                float(r["log10_backoff"]),
+            )
+        m.grams[n] = grams
+    m.counts = [len(m.grams.get(n, {})) for n in range(1, order + 1)]
+    return m

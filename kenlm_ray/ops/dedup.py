@@ -82,8 +82,7 @@ def _shingle_hashes(batch: pa.Table, text_col: str, shingle_n: int):
     n_docs = len(batch)
     if T == 0:
         return np.empty(0, np.int64), np.empty(0, np.uint64), n_docs
-    mat, lens = stream.padded_matrix()
-    th = murmur64_matrix(mat, lens)
+    th = stream.hashes()
     doc = stream.doc_ids.astype(np.int64)
     if T < shingle_n:
         return np.empty(0, np.int64), np.empty(0, np.uint64), n_docs

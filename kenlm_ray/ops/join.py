@@ -1,0 +1,98 @@
+"""Explicit partitioned hash join.
+
+Ray Data 2.49's native ``Dataset.join`` fails with ArrowInvalid when a
+hash partition comes up empty (empty schema-less blocks reach the
+pyarrow join); this implementation is the portable pattern from the Ray
+guide: add ``bucket = hash(key) % P`` to both sides, union, group by
+bucket, and pandas-merge each bucket — P pandas merges total, each fully
+vectorized.  Skew note: a hot key lands one bucket; callers join on
+n-gram/context keys whose cardinality ≫ P, so buckets stay balanced.
+
+Caller supplies each side's schema (the union step needs the other
+side's columns typed before any data is seen — asking the Dataset for
+its schema would trigger an extra execution).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+
+from kenlm_ray.functions.hashing import hash_bytes_array
+
+
+def _key_bucket(batch: pa.Table, on: "list[str]", P: int) -> np.ndarray:
+    from kenlm_ray.functions.hashing import murmur64_stream
+    from kenlm_ray.functions.tokenize import _string_buffers
+
+    key = None
+    for c in on:
+        col = batch[c]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
+            offsets, data = _string_buffers(col)
+            h = murmur64_stream(data, offsets[:-1], offsets[1:] - offsets[:-1])
+        else:
+            h = hash_bytes_array([str(x) for x in col.to_pylist()])
+        with np.errstate(over="ignore"):
+            key = h if key is None else (key * np.uint64(1099511628211)) ^ h
+    return (key % np.uint64(P)).astype(np.int64)
+
+
+def hash_join(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    on: "list[str]",
+    left_cols: dict,
+    right_cols: dict,
+    how: str = "left",
+    num_partitions: int = 16,
+) -> "ray.data.Dataset":
+    """Join two Datasets on ``on``.
+
+    ``left_cols`` / ``right_cols``: {column: pyarrow type} for ALL columns
+    of each side (including keys).  Value columns must not overlap.
+    ``how``: "left" or "inner".
+    """
+    all_cols: dict = dict(left_cols)
+    for c, t in right_cols.items():
+        if c not in all_cols:
+            all_cols[c] = t
+    names = list(all_cols)
+
+    def widen(side: int, have: dict):
+        def fn(batch: pa.Table) -> pa.Table:
+            n = len(batch)
+            arrays = {}
+            for c in names:
+                if c in have:
+                    arrays[c] = batch[c]
+                else:
+                    arrays[c] = pa.nulls(n, type=all_cols[c])
+            arrays["__side"] = pa.array(np.full(n, side, dtype=np.int8))
+            arrays["__bucket"] = pa.array(_key_bucket(batch, on, num_partitions))
+            return pa.table(arrays)
+
+        return fn
+
+    u = left.map_batches(widen(0, left_cols), batch_format="pyarrow").union(
+        right.map_batches(widen(1, right_cols), batch_format="pyarrow")
+    )
+    # bound the shuffle width: without this, groupby inherits the input
+    # block count (hundreds of near-empty blocks after upstream shuffles)
+    u = u.repartition(num_partitions)
+
+    lval = [c for c in left_cols if c not in on]
+    rval = [c for c in right_cols if c not in on]
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        lg = g[g["__side"] == 0][on + lval]
+        rg = g[g["__side"] == 1][on + rval]
+        out = lg.merge(rg, on=on, how="inner" if how == "inner" else "left")
+        return out[names]
+
+    return u.groupby("__bucket").map_groups(merge, batch_format="pandas")

@@ -111,10 +111,7 @@ def vocab_filter_docs(
     def passes(batch: pa.Table) -> pa.Table:
         vh = ray.get(top_ref)
         stream = tokenize_column(batch[text_col])
-        mat, lens = stream.padded_matrix()
-        from kenlm_ray.functions.hashing import murmur64_matrix
-
-        th = murmur64_matrix(mat, lens)
+        th = stream.hashes()
         idx = np.searchsorted(vh, th)
         in_vocab = (idx < len(vh)) & (vh[np.minimum(idx, len(vh) - 1)] == th)
         n = len(batch)

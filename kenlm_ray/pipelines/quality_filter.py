@@ -53,15 +53,18 @@ def build_quality_pipeline(
     model_path: "str | None" = None,
     cfg: "QualityConfig | None" = None,
     *,
-    scorer_concurrency=(1, 8),
-    langid_concurrency=(1, 4),
+    scorer_concurrency=(1, 16),
+    langid_concurrency=(1, 16),
     batch_size: int = 1024,
     project: bool = True,
 ) -> "ray.data.Dataset":
     """Assemble the lazy scored-Dataset plan over a corpus Dataset."""
     cfg = cfg or QualityConfig()
     model_path = model_path or seed_model_path()
-    ds = ds.map_batches(heuristics_stage, batch_format="pyarrow", batch_size=batch_size)
+    # actor-pool stages first, then every stateless stage together — Ray
+    # Data fuses consecutive map ops into the UPSTREAM operator, so a
+    # stateless stage placed before an actor pool would get pinned to the
+    # pool's fixed concurrency instead of the elastic task pool.
     ds = ds.map_batches(
         LangId,
         batch_format="pyarrow",
@@ -75,6 +78,7 @@ def build_quality_pipeline(
         batch_size=batch_size,
         concurrency=scorer_concurrency,
     )
+    ds = ds.map_batches(heuristics_stage, batch_format="pyarrow", batch_size=batch_size)
     ds = ds.map_batches(scrub_stage, batch_format="pyarrow", batch_size=batch_size)
     ds = ds.map_batches(decide_stage, batch_format="pyarrow", batch_size=batch_size)
     if project:

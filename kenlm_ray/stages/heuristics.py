@@ -31,15 +31,25 @@ MIN_TOKENS_FOR_NGRAM = 16
 TOP_NGRAM_NS = (2, 3, 4)
 
 
+def _combined_key(keys_doc: np.ndarray, keys_val: np.ndarray) -> np.ndarray:
+    """(doc << 40) | (val >> 24): one uint64 sort key for (doc, value)
+    grouping.  Values are 64-bit hashes truncated to 40 bits — within-doc
+    collision probability ~T²/2⁴¹ per doc (negligible for any real batch),
+    and identical on every run (deterministic)."""
+    return (keys_doc.astype(np.uint64) << np.uint64(40)) | (
+        keys_val >> np.uint64(24)
+    )
+
+
 def _per_doc_max_over_runs(keys_doc: np.ndarray, keys_val: np.ndarray, n_docs: int) -> np.ndarray:
     """Given (doc, value) pairs, return per-doc maximum run length of equal
     (doc, value) after sorting — i.e. the count of the most frequent value
     within each doc."""
     if len(keys_doc) == 0:
         return np.zeros(n_docs, dtype=np.int64)
-    order = np.lexsort((keys_val, keys_doc))
+    order = np.argsort(_combined_key(keys_doc, keys_val), kind="stable")
     d = keys_doc[order]
-    v = keys_val[order]
+    v = keys_val[order] >> np.uint64(24)
     new_run = np.empty(len(d), dtype=bool)
     new_run[0] = True
     new_run[1:] = (d[1:] != d[:-1]) | (v[1:] != v[:-1])
@@ -55,9 +65,9 @@ def _per_doc_unique_runs(keys_doc: np.ndarray, keys_val: np.ndarray, n_docs: int
     """Count of distinct values per doc."""
     if len(keys_doc) == 0:
         return np.zeros(n_docs, dtype=np.int64)
-    order = np.lexsort((keys_val, keys_doc))
+    order = np.argsort(_combined_key(keys_doc, keys_val), kind="stable")
     d = keys_doc[order]
-    v = keys_val[order]
+    v = keys_val[order] >> np.uint64(24)
     new_run = np.empty(len(d), dtype=bool)
     new_run[0] = True
     new_run[1:] = (d[1:] != d[:-1]) | (v[1:] != v[:-1])
@@ -119,10 +129,14 @@ def compute_heuristics(
     is_nl = view == 10
     if total:
         seg_ends = seg_starts + doc_len
-        ca = np.concatenate([[0], np.cumsum(is_alpha, dtype=np.int64)])
-        cn = np.concatenate([[0], np.cumsum(is_nl, dtype=np.int64)])
-        alpha = ca[seg_ends] - ca[seg_starts]
-        nls = cn[seg_ends] - cn[seg_starts]
+        ca = np.empty(total + 1, dtype=np.int32)
+        ca[0] = 0
+        np.cumsum(is_alpha, dtype=np.int32, out=ca[1:])
+        cn = np.empty(total + 1, dtype=np.int32)
+        cn[0] = 0
+        np.cumsum(is_nl, dtype=np.int32, out=cn[1:])
+        alpha = (ca[seg_ends] - ca[seg_starts]).astype(np.int64)
+        nls = (cn[seg_ends] - cn[seg_starts]).astype(np.int64)
     else:
         alpha = np.zeros(n, dtype=np.int64)
         nls = np.zeros(n, dtype=np.int64)
@@ -142,14 +156,9 @@ def compute_heuristics(
     ne_start = line_start[nonempty]
     ne_len = np.minimum(line_len[nonempty], LINE_HASH_PREFIX)
     if len(ne_start):
-        max_len = int(ne_len.max())
-        pad = ((max_len // 8) + 2) * 8
-        mat = np.zeros((len(ne_start), pad), dtype=np.uint8)
-        colix = np.arange(max_len, dtype=np.int64)
-        idx = ne_start[:, None] + colix[None, :]
-        mask = colix[None, :] < ne_len[:, None]
-        np.copyto(mat[:, :max_len], view[np.minimum(idx, total - 1)], where=mask)
-        lh = murmur64_matrix(mat, ne_len)
+        from kenlm_ray.functions.hashing import murmur64_stream
+
+        lh = murmur64_stream(view, ne_start, ne_len)
         # mix in the full line length so prefix-equal long lines differ
         lh = lh ^ (line_len[nonempty].astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
         ne_count = np.bincount(ne_doc, minlength=n)
@@ -181,8 +190,7 @@ def compute_heuristics(
 
     T = stream.n_tokens
     if T:
-        mat, lens = stream.padded_matrix()
-        tok_hash = murmur64_matrix(mat, lens)
+        tok_hash = stream.hashes()
         # n-gram recurrence hashes over the flat per-doc token sequence:
         # h[j] holds the (k)-gram hash ending at j at loop iteration k
         h = ngram_hash_step(np.zeros(T, dtype=np.uint64), tok_hash)

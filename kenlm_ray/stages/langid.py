@@ -11,12 +11,16 @@ behind the same interface" extension point).
 Feature space (shared by the vectorized stage and the pure-Python oracle
 in kenlm_ray/oracle.py — the two implementations must agree exactly):
   - bytes of the first ``MAX_BYTES`` of the document;
-  - unigram bucket   b0                              (256)
-  - bigram bucket    256  + (b0*31 + b1)   % 2048    (2048)
-  - trigram bucket   2304 + (b0*961 + b1*31 + b2) % 8192  (8192)
+  - trigram bucket  (b0*961 + b1*31 + b2) % 8192
   - score_l = Σ_f count_f · W[l, f];  conf = softmax over languages of
     TEMPERATURE · score_l / max(1, n_features)  (temperature spreads the
     per-feature-normalized logits into a usable 0..1 confidence).
+
+Trigrams-only over a 512-byte prefix keeps the hot kernel's memory
+traffic at ~4 KB/doc — the stage is bandwidth-bound at high actor
+counts, not compute-bound, so feature volume IS the throughput knob
+(measured: uni+bi+tri over 2 KB ran 4x slower per actor at 16-way
+parallelism on one node).
 """
 
 from __future__ import annotations
@@ -24,8 +28,8 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-MAX_BYTES = 2048
-N_FEATURES = 256 + 2048 + 8192
+MAX_BYTES = 512
+N_FEATURES = 8192
 TEMPERATURE = 10.0
 
 LANGS = ["en", "fr", "de", "es", "code"]
@@ -75,15 +79,11 @@ _SEED = {
 def feature_buckets_scalar(data: bytes) -> "list[int]":
     """Pure-Python bucket extraction (oracle path)."""
     data = data[:MAX_BYTES]
-    out = []
     n = len(data)
-    for i in range(n):
-        out.append(data[i])
-    for i in range(n - 1):
-        out.append(256 + (data[i] * 31 + data[i + 1]) % 2048)
-    for i in range(n - 2):
-        out.append(2304 + (data[i] * 961 + data[i + 1] * 31 + data[i + 2]) % 8192)
-    return out
+    return [
+        (data[i] * 961 + data[i + 1] * 31 + data[i + 2]) % 8192
+        for i in range(n - 2)
+    ]
 
 
 def _train_weights() -> np.ndarray:
@@ -158,14 +158,10 @@ class LangId:
         )
         b = data[pos].astype(np.int64)
         doc = np.repeat(np.arange(n), lens)
-        # n-grams must not cross doc boundaries
-        same2 = doc[:-1] == doc[1:] if total > 1 else np.empty(0, dtype=bool)
+        # trigrams must not cross doc boundaries
         same3 = doc[:-2] == doc[2:] if total > 2 else np.empty(0, dtype=bool)
-        uni = b
-        bi = (256 + (b[:-1] * 31 + b[1:]) % 2048)[same2]
-        tri = (2304 + (b[:-2] * 961 + b[1:-1] * 31 + b[2:]) % 8192)[same3]
-        occ_bucket = np.concatenate([uni, bi, tri])
-        occ_doc = np.concatenate([doc, doc[:-1][same2], doc[:-2][same3]])
+        occ_bucket = ((b[:-2] * 961 + b[1:-1] * 31 + b[2:]) % 8192)[same3] if total > 2 else np.empty(0, np.int64)
+        occ_doc = doc[:-2][same3] if total > 2 else np.empty(0, np.int64)
         for l in range(L):
             scores[:, l] = np.bincount(
                 occ_doc, weights=self.W[l, occ_bucket], minlength=n

@@ -1,0 +1,1 @@
+"""Run state: partition lineage, checkpoint/resume."""

@@ -1,0 +1,169 @@
+"""Per-partition checkpointed execution with lineage (SURVEY.md §7.5).
+
+A run is split into deterministic partitions (groups of input fragments).
+Each partition executes as its own parallel Ray Data job and commits
+atomically: output parquet is written to a temp dir and renamed, then a
+lineage record `_lineage/partition-<id>.json` is written (its existence
+is the completion marker).  Resume = skip partitions whose lineage
+exists.  The reference has no resume at all (a crashed lmplz rerun starts
+over, /root/reference/lm/builder/pipeline.cc:379-382) — this is the
+engine-side capability the north rule adds.
+
+At 100 TB scale: fragments are the input parquet files; a partition is
+sized to keep the whole cluster busy for minutes (e.g. 256 files), so
+the sequential driver loop over partitions costs nothing while bounding
+re-execution after a failure to one partition.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import shutil
+import time
+from dataclasses import dataclass
+
+import pyarrow.dataset as pads
+import pyarrow.parquet as pq
+
+
+@dataclass(frozen=True)
+class Partition:
+    part_id: str
+    fragments: tuple[str, ...]
+
+
+def plan_partitions(input_paths: "list[str]", files_per_partition: int = 4) -> "list[Partition]":
+    """Deterministic partitioning of the input fragment list.
+
+    The id hashes the fragment basenames, so replanning the same input
+    yields the same ids regardless of listing order."""
+    paths = sorted(input_paths)
+    parts = []
+    for i in range(0, len(paths), files_per_partition):
+        frag = tuple(paths[i : i + files_per_partition])
+        digest = hashlib.sha1(
+            "|".join(os.path.basename(p) for p in frag).encode()
+        ).hexdigest()[:12]
+        parts.append(Partition(part_id=f"{i // files_per_partition:05d}-{digest}", fragments=frag))
+    return parts
+
+
+def _lineage_path(out_dir: str, part: Partition) -> str:
+    return os.path.join(out_dir, "_lineage", f"partition-{part.part_id}.json")
+
+
+def completed_partitions(out_dir: str) -> set[str]:
+    d = os.path.join(out_dir, "_lineage")
+    if not os.path.isdir(d):
+        return set()
+    out = set()
+    for f in os.listdir(d):
+        if f.startswith("partition-") and f.endswith(".json"):
+            out.add(f[len("partition-") : -len(".json")])
+    return out
+
+
+def _collect_metrics(part_dir: str) -> dict:
+    """Read back the partition's output (lineage metrics: row counts,
+    drop-reason histogram, sha256 xor invariant)."""
+    ds = pads.dataset(part_dir, format="parquet")
+    cols = [c for c in ("keep", "drop_reason", "content_sha256") if c in ds.schema.names]
+    rows_out = 0
+    kept = 0
+    reasons: dict[str, int] = {}
+    sha_xor = 0
+    if cols:
+        t = ds.to_table(columns=cols)
+        rows_out = t.num_rows
+        if "keep" in cols:
+            kept = int(sum(1 for v in t["keep"].to_pylist() if v))
+        if "drop_reason" in cols:
+            for r in t["drop_reason"].to_pylist():
+                if r:
+                    reasons[r] = reasons.get(r, 0) + 1
+        if "content_sha256" in cols:
+            for h in t["content_sha256"].to_pylist():
+                if h:
+                    sha_xor ^= int(h[:16], 16)
+    else:
+        rows_out = ds.count_rows()
+    return {
+        "rows_out": rows_out,
+        "rows_kept": kept,
+        "drop_reasons": reasons,
+        "content_sha256_xor16": f"{sha_xor:016x}",
+    }
+
+
+def run_resumable(
+    input_paths: "list[str]",
+    out_dir: str,
+    pipeline_fn,
+    *,
+    files_per_partition: int = 4,
+    max_partitions: "int | None" = None,
+) -> dict:
+    """Run ``pipeline_fn(Dataset) -> Dataset`` over the input, partition by
+    partition, committing each atomically.  Returns a run summary.
+
+    ``max_partitions`` bounds how many incomplete partitions are executed
+    this call (used by the kill/resume test to simulate a crash)."""
+    import ray.data
+
+    os.makedirs(os.path.join(out_dir, "_lineage"), exist_ok=True)
+    parts = plan_partitions(input_paths, files_per_partition)
+    done = completed_partitions(out_dir)
+    ran, skipped = [], []
+    for part in parts:
+        if part.part_id in done:
+            skipped.append(part.part_id)
+            continue
+        if max_partitions is not None and len(ran) >= max_partitions:
+            break
+        t0 = time.time()
+        rows_in = sum(pq.read_metadata(p).num_rows for p in part.fragments)
+        ds = ray.data.read_parquet(list(part.fragments))
+        result = pipeline_fn(ds)
+        final_dir = os.path.join(out_dir, f"part-{part.part_id}")
+        tmp_dir = final_dir + ".tmp"
+        if os.path.isdir(tmp_dir):
+            shutil.rmtree(tmp_dir)
+        result.write_parquet(tmp_dir)
+        if os.path.isdir(final_dir):
+            shutil.rmtree(final_dir)
+        os.rename(tmp_dir, final_dir)
+        metrics = _collect_metrics(final_dir)
+        lineage = {
+            "partition_id": part.part_id,
+            "input_fragments": list(part.fragments),
+            "rows_in": rows_in,
+            "wall_s": round(time.time() - t0, 3),
+            "committed_at": time.time(),
+            **metrics,
+        }
+        lp = _lineage_path(out_dir, part)
+        with open(lp + ".tmp", "w") as f:
+            json.dump(lineage, f, indent=1)
+        os.replace(lp + ".tmp", lp)
+        ran.append(part.part_id)
+    return {
+        "partitions_total": len(parts),
+        "partitions_ran": ran,
+        "partitions_skipped": skipped,
+        "complete": len(completed_partitions(out_dir)) == len(parts),
+    }
+
+
+def read_output(out_dir: str):
+    """pyarrow table of every committed partition's output."""
+    files = []
+    for d in sorted(os.listdir(out_dir)):
+        full = os.path.join(out_dir, d)
+        if d.startswith("part-") and not d.endswith(".tmp") and os.path.isdir(full):
+            files.extend(
+                os.path.join(full, f) for f in sorted(os.listdir(full))
+                if f.endswith(".parquet")
+            )
+    return pads.dataset(files, format="parquet").to_table()

@@ -1,0 +1,92 @@
+"""Kill/resume: a run interrupted after K partitions resumes without
+re-executing them, and the final output equals an uninterrupted run."""
+
+import json
+import os
+
+import pyarrow.compute as pc
+import pytest
+
+from kenlm_ray.pipelines.quality_filter import build_quality_pipeline, seed_model_path
+from kenlm_ray.sources.synth_corpus import write_corpus
+from kenlm_ray.state.checkpoint import (
+    completed_partitions,
+    plan_partitions,
+    read_output,
+    run_resumable,
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("ckpt_corpus"))
+    return write_corpus(d, 240, seed=42, n_shards=8)
+
+
+def _pipeline(ds):
+    return build_quality_pipeline(ds, seed_model_path())
+
+
+def _canon(tbl):
+    return tbl.sort_by([("repo", "ascending"), ("path", "ascending")])
+
+
+def test_plan_is_deterministic(corpus):
+    a = plan_partitions(corpus, 2)
+    b = plan_partitions(list(reversed(corpus)), 2)
+    assert [p.part_id for p in a] == [p.part_id for p in b]
+    assert len(a) == 4
+
+
+def test_kill_resume_byte_identical(ray_session, corpus, tmp_path):
+    out_interrupted = str(tmp_path / "out_a")
+    out_clean = str(tmp_path / "out_b")
+
+    # phase 1: "crash" after 2 of 4 partitions
+    s1 = run_resumable(corpus, out_interrupted, _pipeline, files_per_partition=2, max_partitions=2)
+    assert len(s1["partitions_ran"]) == 2 and not s1["complete"]
+    done_before = completed_partitions(out_interrupted)
+    lineage_dir = os.path.join(out_interrupted, "_lineage")
+    stamps = {
+        f: json.load(open(os.path.join(lineage_dir, f)))["committed_at"]
+        for f in os.listdir(lineage_dir)
+    }
+
+    # phase 2: resume
+    s2 = run_resumable(corpus, out_interrupted, _pipeline, files_per_partition=2)
+    assert set(s2["partitions_skipped"]) == done_before  # no rescoring
+    assert s2["complete"]
+    for f, ts in stamps.items():
+        assert json.load(open(os.path.join(lineage_dir, f)))["committed_at"] == ts
+
+    # uninterrupted reference run
+    s3 = run_resumable(corpus, out_clean, _pipeline, files_per_partition=2)
+    assert s3["complete"]
+
+    a = _canon(read_output(out_interrupted))
+    b = _canon(read_output(out_clean))
+    assert a.num_rows == b.num_rows == 240
+    import numpy as np
+    import pyarrow as pa
+
+    for col in a.column_names:
+        if pa.types.is_floating(a.schema.field(col).type):
+            av = a[col].to_numpy(zero_copy_only=False)
+            bv = b[col].to_numpy(zero_copy_only=False)
+            assert np.array_equal(av, bv, equal_nan=True), col
+        else:
+            assert a[col].to_pylist() == b[col].to_pylist(), col
+
+
+def test_lineage_records_metrics(ray_session, corpus, tmp_path):
+    out = str(tmp_path / "out_m")
+    run_resumable(corpus[:2], out, _pipeline, files_per_partition=2)
+    lineage_dir = os.path.join(out, "_lineage")
+    recs = [json.load(open(os.path.join(lineage_dir, f))) for f in os.listdir(lineage_dir)]
+    assert len(recs) == 1
+    r = recs[0]
+    assert r["rows_in"] == r["rows_out"] > 0
+    assert r["rows_kept"] > 0
+    assert isinstance(r["drop_reasons"], dict) and r["drop_reasons"]
+    assert len(r["content_sha256_xor16"]) == 16
+    assert r["input_fragments"] == sorted(corpus[:2])

@@ -1,0 +1,87 @@
+"""Distributed MKN estimation vs the in-memory oracle (train_kn): the
+per-order probability and backoff tables must agree exactly (same counts,
+same discounts, probs within float tolerance)."""
+
+import numpy as np
+import pytest
+
+from kenlm_ray.model.train_quick import train_kn
+from kenlm_ray.ngram.estimate import estimate_mkn, to_arpa_model
+
+CORPUS_LINES = [
+    "a b c a b",
+    "a b c d",
+    "b c a",
+    "c a b c",
+    "a a a b",
+    "d c b a",
+    "a b",
+    "c",
+    "b c d a b c",
+    "a d a d a",
+]
+
+
+@pytest.fixture(scope="module")
+def both(ray_session):
+    import ray.data
+
+    docs = [{"text": ln} for ln in CORPUS_LINES]
+    ds = ray.data.from_items(docs)
+    result = estimate_mkn(ds, order=3, num_partitions=4)
+    distributed = to_arpa_model(result, 3)
+    oracle = train_kn([ln.split() for ln in CORPUS_LINES], order=3)
+    return distributed, oracle, result
+
+
+def test_same_gram_sets(both):
+    dist, orc, _ = both
+    for n in (1, 2, 3):
+        assert set(dist.grams[n]) == set(orc.grams[n]), n
+
+
+def test_same_probs_and_backoffs(both):
+    dist, orc, _ = both
+    for n in (1, 2, 3):
+        for g, (p, b) in orc.grams[n].items():
+            dp, db = dist.grams[n][g]
+            assert np.isclose(dp, p, rtol=1e-9, atol=1e-9), (n, g, dp, p)
+            assert np.isclose(db, b, rtol=1e-9, atol=1e-9), (n, g, db, b)
+
+
+def test_normalization_through_scorer(both):
+    """The distributed model, packed and scored, still sums to 1."""
+    from kenlm_ray.model.pyref import RefLM
+    from kenlm_ray.schema import BOS, UNK
+
+    dist, _, _ = both
+    ref = RefLM(dist)
+    vocab = [w for (w,) in dist.grams[1] if w != BOS]
+    for ctx in ([BOS], ["a"], ["a", "b"], ["zzz"]):
+        nc = [w if (w,) in dist.grams[1] else UNK for w in ctx]
+        total = sum(10 ** ref.score_word(nc, w) for w in vocab)
+        assert abs(total - 1.0) < 1e-6, (ctx, total)
+
+
+def test_larger_corpus_sampled_parity(ray_session):
+    """Bigger deterministic corpus: spot-check counts + discounts equality."""
+    import ray.data
+
+    from kenlm_ray.sources.synth_corpus import seed_sentences
+
+    sents = seed_sentences(n_docs=15)
+    lines = [" ".join(s) for s in sents]
+    ds = ray.data.from_items([{"text": ln} for ln in lines])
+    result = estimate_mkn(ds, order=3, num_partitions=4)
+    dist = to_arpa_model(result, 3)
+    orc = train_kn([ln.split() for ln in lines], order=3)
+    assert dist.counts == orc.counts
+    rng = np.random.default_rng(0)
+    for n in (1, 2, 3):
+        grams = list(orc.grams[n])
+        for i in rng.choice(len(grams), size=min(60, len(grams)), replace=False):
+            g = grams[i]
+            p, b = orc.grams[n][g]
+            dp, db = dist.grams[n][g]
+            assert np.isclose(dp, p, rtol=1e-8, atol=1e-9), (n, g)
+            assert np.isclose(db, b, rtol=1e-8, atol=1e-9), (n, g)
