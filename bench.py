@@ -30,7 +30,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
-CORPUS_ROWS = int(os.environ.get("BENCH_CORPUS_ROWS", "360000"))
+CORPUS_ROWS = int(os.environ.get("BENCH_CORPUS_ROWS", "720000"))
 SF_LABEL = os.path.basename(SF_DIR.rstrip("/")) or "sf"
 
 
@@ -57,10 +57,14 @@ def run_flagship(paths: "list[str]") -> dict:
     t0 = time.time()
     ds = ray.data.read_parquet(paths)
     # fixed-size pools: every actor starts immediately instead of the
-    # autoscaler ramping up through the measurement window
+    # autoscaler ramping up through the measurement window.  Pools are
+    # sized at cpus/4 and cpus/8 — measured optimum on this node: larger
+    # pools LOWER throughput (memory-bandwidth contention) while starving
+    # the read/stateless/write task slots.
     scored = build_quality_pipeline(
-        ds, mp, scorer_concurrency=max(2, NUM_CPUS // 2),
-        langid_concurrency=max(2, NUM_CPUS // 4),
+        ds, mp, scorer_concurrency=max(2, NUM_CPUS // 4),
+        langid_concurrency=max(1, NUM_CPUS // 8),
+        batch_size=512,
     )
     out_dir = f"/tmp/kenlm_ray_bench/out_{SF_LABEL}_{os.getpid()}"
     scored.write_parquet(out_dir)

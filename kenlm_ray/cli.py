@@ -1,0 +1,193 @@
+"""CLI entry points — analogs of the reference's tools
+(query_main.cc, lmplz_main.cc, build_binary_main.cc, filter_main.cc).
+
+    python -m kenlm_ray.cli pack   model.arpa model.npz [--backoff-bits 8]
+    python -m kenlm_ray.cli query  model.npz  [--text "a b c"]   (stdin default)
+    python -m kenlm_ray.cli train  corpus_dir out_dir --order 3 [--text-col content]
+    python -m kenlm_ray.cli score  corpus_dir out_dir --model model.npz
+    python -m kenlm_ray.cli filter model_buffer_dir out_dir --vocab "a b c ..."
+    python -m kenlm_ray.cli quality corpus_dir out_dir [--model model.npz]
+
+These own the Ray session (guarded init) — library code never does.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+
+def _ray_init():
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=int(os.environ.get("RAY_GRAFT_CPUS", "8")),
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+
+def cmd_pack(args) -> int:
+    from kenlm_ray.model.arpa import parse_arpa
+    from kenlm_ray.model.pack import pack_model
+
+    arpa = parse_arpa(args.arpa)
+    packed = pack_model(
+        arpa,
+        quant_bits=args.quant_bits,
+        backoff_bits=args.backoff_bits,
+    )
+    packed.save(args.out)
+    print(f"packed order={packed.order} vocab={packed.vocab_size} -> {args.out}")
+    return 0
+
+
+def cmd_query(args) -> int:
+    """Per-sentence scores like the reference's `query` (ngram_query.hh)."""
+    import numpy as np
+
+    from kenlm_ray.model.pack import PackedModel
+    from kenlm_ray.model.scorer import VectorLM
+
+    lm = VectorLM(PackedModel.load(args.model))
+    text = args.text if args.text is not None else sys.stdin.read()
+    from kenlm_ray.functions.tokenize import tokenize_texts
+
+    sc = lm.score_stream(tokenize_texts([text]))
+    print(
+        f"logprob_sum={sc.logprob_sum[0]:.4f} words={sc.token_count[0]} "
+        f"oov={sc.oov_count[0]} ppl={sc.ppl[0]:.4f} ppl_excl_oov={sc.ppl_excl_oov[0]:.4f}"
+    )
+    return 0
+
+
+def cmd_train(args) -> int:
+    _ray_init()
+    import ray.data
+
+    from kenlm_ray.ngram.estimate import estimate_mkn
+    from kenlm_ray.sources.model_buffer import save_model_buffer
+
+    ds = ray.data.read_parquet(args.corpus)
+    result = estimate_mkn(
+        ds, order=args.order, text_col=args.text_col, min_count=args.min_count
+    )
+    save_model_buffer(args.out, result["arpa_tables"])
+    print(f"model buffer written to {args.out}")
+    return 0
+
+
+def cmd_score(args) -> int:
+    _ray_init()
+    import ray.data
+
+    from kenlm_ray.stages.ppl import PplScorer
+
+    ds = ray.data.read_parquet(args.corpus)
+    out = ds.map_batches(
+        PplScorer,
+        fn_constructor_args=(args.model,),
+        fn_constructor_kwargs={"text_col": args.text_col},
+        batch_format="pyarrow",
+        batch_size=512,
+        concurrency=(1, 8),
+    )
+    out.write_parquet(args.out)
+    print(f"scored -> {args.out}")
+    return 0
+
+
+def cmd_filter(args) -> int:
+    _ray_init()
+    from kenlm_ray.ops.model_filter import filter_single
+    from kenlm_ray.sources.model_buffer import load_model_buffer, save_model_buffer
+
+    buf = load_model_buffer(args.model_buffer)
+    vocab = set(args.vocab.split())
+    out_tables = {
+        n: filter_single(t, vocab) for n, t in buf["tables"].items()
+    }
+    save_model_buffer(args.out, out_tables)
+    print(f"filtered model buffer -> {args.out}")
+    return 0
+
+
+def cmd_quality(args) -> int:
+    _ray_init()
+    from kenlm_ray.pipelines.quality_filter import (
+        build_quality_pipeline,
+        seed_model_path,
+    )
+    from kenlm_ray.state.checkpoint import run_resumable
+
+    import glob
+
+    paths = sorted(glob.glob(os.path.join(args.corpus, "*.parquet")))
+    model = args.model or seed_model_path()
+    summary = run_resumable(
+        paths,
+        args.out,
+        lambda ds: build_quality_pipeline(ds, model),
+        files_per_partition=args.files_per_partition,
+    )
+    print(summary)
+    return 0
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="kenlm_ray")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    sp = sub.add_parser("pack")
+    sp.add_argument("arpa")
+    sp.add_argument("out")
+    sp.add_argument("--quant-bits", type=int, default=None)
+    sp.add_argument("--backoff-bits", type=int, default=8)
+    sp.set_defaults(fn=cmd_pack)
+
+    sq = sub.add_parser("query")
+    sq.add_argument("model")
+    sq.add_argument("--text", default=None)
+    sq.set_defaults(fn=cmd_query)
+
+    st = sub.add_parser("train")
+    st.add_argument("corpus")
+    st.add_argument("out")
+    st.add_argument("--order", type=int, default=3)
+    st.add_argument("--text-col", default="content")
+    st.add_argument("--min-count", type=int, default=1)
+    st.set_defaults(fn=cmd_train)
+
+    ss = sub.add_parser("score")
+    ss.add_argument("corpus")
+    ss.add_argument("out")
+    ss.add_argument("--model", required=True)
+    ss.add_argument("--text-col", default="content")
+    ss.set_defaults(fn=cmd_score)
+
+    sf = sub.add_parser("filter")
+    sf.add_argument("model_buffer")
+    sf.add_argument("out")
+    sf.add_argument("--vocab", required=True)
+    sf.set_defaults(fn=cmd_filter)
+
+    sQ = sub.add_parser("quality")
+    sQ.add_argument("corpus")
+    sQ.add_argument("out")
+    sQ.add_argument("--model", default=None)
+    sQ.add_argument("--files-per-partition", type=int, default=4)
+    sQ.set_defaults(fn=cmd_quality)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -21,6 +21,10 @@ import pyarrow as pa
 DELIM_BYTES = (0, 9, 10, 13, 32)
 NEWLINE = 10
 
+_DELIM_LUT = np.zeros(256, dtype=np.int8)
+for _b in DELIM_BYTES:
+    _DELIM_LUT[_b] = 1
+
 
 def _string_buffers(arr: pa.Array) -> tuple[np.ndarray, np.ndarray]:
     """(offsets int64 [n+1], data uint8) for a string/large_string array."""
@@ -131,33 +135,33 @@ def tokenize_column(col: "pa.Array | pa.ChunkedArray") -> TokenStream:
         e = np.empty(0, dtype=np.int64)
         return TokenStream(data, e, e.copy(), np.empty(0, np.int32), e.copy(), n_docs)
     view = data[base:total]
-    is_delim = (
-        (view == 0) | (view == 9) | (view == 10) | (view == 13) | (view == 32)
-    )
-    # force breaks at document boundaries
+    # one LUT gather instead of five comparisons + ORs (this function is
+    # the shared front of every text stage and is bandwidth-bound at high
+    # parallelism — temp-array count matters more than op count)
+    d8 = _DELIM_LUT[view]  # int8: 1 = delimiter
+    diff = d8[1:].astype(np.int8) - d8[:-1]
+    starts = np.flatnonzero(diff == -1) + 1  # delim -> token transitions
+    ends = np.flatnonzero(diff == 1) + 1     # token -> delim transitions
+    if d8[0] == 0:
+        starts = np.concatenate([[0], starts])
+    if d8[-1] == 0:
+        ends = np.concatenate([ends, [len(view)]])
+    # force breaks at document boundaries that fall inside a token run
     doc_starts = (offsets[:-1] - base).astype(np.int64)
     doc_starts = doc_starts[doc_starts < len(view)]  # trailing empty docs
-    prev_delim = np.empty(len(view), dtype=bool)
-    prev_delim[0] = True
-    prev_delim[1:] = is_delim[:-1]
-    prev_delim[doc_starts] = True
-    next_delim = np.empty(len(view), dtype=bool)
-    next_delim[-1] = True
-    next_delim[:-1] = is_delim[1:]
-    doc_ends_inner = doc_starts[1:] - 1  # last byte of each doc except final
-    next_delim[doc_ends_inner[doc_ends_inner >= 0]] = True
-    tok = ~is_delim
-    starts = np.flatnonzero(tok & prev_delim)
-    ends = np.flatnonzero(tok & next_delim) + 1
+    inner = np.unique(doc_starts[(doc_starts > 0)])  # dedupe empty-doc repeats
+    split_at = inner[(d8[inner] == 0) & (d8[inner - 1] == 0)]
+    if len(split_at):
+        starts = np.sort(np.concatenate([starts, split_at]))
+        ends = np.sort(np.concatenate([ends, split_at]))
     # doc id per token: searchsorted over doc start offsets
     doc_ids = (
         np.searchsorted(offsets - base, starts, side="right") - 1
     ).astype(np.int32)
-    # sentence = (doc, line) pairs that contain >= 1 token
-    nl_cum = np.cumsum(view == NEWLINE)
-    line_of = np.zeros(len(starts), dtype=np.int64)
-    nz = starts > 0
-    line_of[nz] = nl_cum[starts[nz] - 1]
+    # sentence = (doc, line) pairs that contain >= 1 token; line index via
+    # searchsorted over the (sparse) newline positions — no cumsum pass
+    nl_pos = np.flatnonzero(view == NEWLINE)
+    line_of = np.searchsorted(nl_pos, starts).astype(np.int64)
     # dense global sentence ids: new sentence when (doc, line) changes
     if len(starts):
         change = np.empty(len(starts), dtype=bool)

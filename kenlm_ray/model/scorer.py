@@ -98,45 +98,57 @@ class VectorLM:
         sstart_of_ext = ext_start[sent_of_ext]
 
         # --- single walk up the orders, stop-at-first-miss, with running
-        # accumulators instead of (N+1, E) matrices (the stage is memory-
-        # bandwidth-bound at high actor counts; semantics identical to
-        # lm/model.cc:245-296).
+        # accumulators instead of (N+1, E) matrices, processed in cache-
+        # sized chunks (the stage is memory-bandwidth-bound at high actor
+        # counts; semantics identical to lm/model.cc:245-296).
         #   ok_n[i]   = n-gram ending at i found for ALL k <= n
         #   prob[i]   = prob of the longest found n-gram (running update)
         #   bo_sum[i] = Σ over context lengths l >= m[i] of bo_l[i-1];
         #               since l >= m[i] ⟺ NOT ok_{l+1}[i], we add
         #               prev_bo[i-1] whenever ok_n[i] is False at order n.
-        pos = np.arange(E, dtype=np.int64)
-        ctx_room = pos - sstart_of_ext
-        ok = np.ones(E, dtype=bool)
-        prob = m.uni_prob[ext].astype(np.float64)
-        prev_bo = m.uni_backoff[ext]  # float32, backoff of (n-1)-grams
-        bo_sum = np.zeros(E, dtype=np.float64)
-        h = ngram_hash_step(np.zeros(E, dtype=np.uint64), ext)
-        for n in range(2, N + 1):
-            h_next = np.zeros(E, dtype=np.uint64)
-            h_next[1:] = ngram_hash_step(h[:-1], ext[1:])
-            t = m.tables.get(n)
-            if t is not None and len(t.keys):
-                f, p, b = t.lookup(h_next)
-                f &= ctx_room >= (n - 1)
-                b = np.where(f, b, np.float32(0.0))  # zero hash-matched but invalid
-                ok_next = ok & f
-            else:
-                p = b = None
-                ok_next = np.zeros(E, dtype=bool)
-            # positions whose walk stops before order n charge the backoff
-            # of the (n-1)-length context suffix ending at i-1
-            stopped = ~ok_next
-            bo_sum[1:] += np.where(stopped[1:], prev_bo[:-1].astype(np.float64), 0.0)
-            if p is not None:
-                np.copyto(prob, p.astype(np.float64), where=ok_next)
-                prev_bo = b
-            else:
-                prev_bo = np.zeros(E, dtype=np.float32)
-            ok = ok_next
-            h = h_next
-        logprob = prob + bo_sum
+        # Each chunk carries an (N-1)-position halo so the i-1 shifts and
+        # the depth-(N-1) hash recurrence never cross chunk boundaries.
+        logprob = np.empty(E, dtype=np.float64)
+        CHUNK = 65536
+        halo = N - 1
+        for a in range(0, E, CHUNK):
+            b0 = min(a + CHUNK, E)
+            lo = max(a - halo, 0)
+            cut = a - lo  # local index of the first kept position
+            exl = ext[lo:b0]
+            L = len(exl)
+            ctx_room = np.arange(lo, b0, dtype=np.int64) - sstart_of_ext[lo:b0]
+            ok = np.ones(L, dtype=bool)
+            prob = m.uni_prob[exl].astype(np.float64)
+            prev_bo = m.uni_backoff[exl]  # float32, backoff of (n-1)-grams
+            bo_sum = np.zeros(L, dtype=np.float64)
+            h = ngram_hash_step(np.zeros(L, dtype=np.uint64), exl)
+            for n in range(2, N + 1):
+                h_next = np.zeros(L, dtype=np.uint64)
+                h_next[1:] = ngram_hash_step(h[:-1], exl[1:])
+                t = m.tables.get(n)
+                if t is not None and len(t.keys):
+                    f, p, bo = t.lookup(h_next)
+                    f &= ctx_room >= (n - 1)
+                    bo = np.where(f, bo, np.float32(0.0))  # zero invalid matches
+                    ok_next = ok & f
+                else:
+                    p = bo = None
+                    ok_next = np.zeros(L, dtype=bool)
+                # positions whose walk stops before order n charge the
+                # backoff of the (n-1)-length context suffix ending at i-1
+                stopped = ~ok_next
+                bo_sum[1:] += np.where(
+                    stopped[1:], prev_bo[:-1].astype(np.float64), 0.0
+                )
+                if p is not None:
+                    np.copyto(prob, p.astype(np.float64), where=ok_next)
+                    prev_bo = bo
+                else:
+                    prev_bo = np.zeros(L, dtype=np.float32)
+                ok = ok_next
+                h = h_next
+            logprob[a:b0] = (prob + bo_sum)[cut:]
 
         # --- gather scored positions (everything except <s>) ---------------
         scored_mask = np.ones(E, dtype=bool)

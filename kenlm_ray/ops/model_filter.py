@@ -1,0 +1,155 @@
+"""Model filtering — the reference's ``filter`` tool re-expressed on
+Dataset n-gram tables (/root/reference/lm/filter/filter_main.cc,
+lm/filter/vocab.hh:37-128).
+
+Modes (applied to a model table with columns w1..wn [+ payload cols]):
+  - ``single``   : keep rows whose every non-tag word is in ONE vocabulary
+                   (Single::PassNGram, vocab.hh:37-53) — broadcast semi-join.
+  - ``union``    : per-word posting lists of output ids; keep rows whose
+                   words' lists intersect (Union::PassNGram, vocab.hh:55-77).
+  - ``multiple`` : fan-out — emit a copy of the row for EVERY output id in
+                   the intersection (Multiple::AddNGram, vocab.hh:79-128),
+                   as an added ``target_id`` column (partitioned write
+                   replaces the reference's per-file outputs).
+  - ``context``  : wrap any of the above applying the predicate to all but
+                   the last word (ContextFilter, lm/filter/wrapper.hh:35-52).
+
+Tag words (``<s> </s> <unk>`` and anything ``<...>``) always pass, as in
+the reference (vocab.hh:31-35 IsTag).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data
+
+
+def _is_tag(word: str) -> bool:
+    return len(word) >= 2 and word[0] == "<" and word[-1] == ">"
+
+
+def _word_cols(table: pa.Table) -> list[str]:
+    return [c for c in table.column_names if c.startswith("w") and c[1:].isdigit()]
+
+
+def filter_single(
+    model: "ray.data.Dataset", vocab: "set[str]", *, context: bool = False
+) -> "ray.data.Dataset":
+    """Semi-join: keep n-grams whose every (non-tag) word ∈ vocab."""
+    vocab_ref = ray.put(frozenset(vocab))
+
+    def keep(batch: pa.Table) -> pa.Table:
+        v = ray.get(vocab_ref)
+        wcols = _word_cols(batch)
+        if context and len(wcols) > 1:
+            wcols = wcols[:-1]
+        mask = np.ones(len(batch), dtype=bool)
+        for c in wcols:
+            words = batch[c].to_pylist()
+            mask &= np.fromiter(
+                ((w in v) or _is_tag(w) for w in words), count=len(words), dtype=bool
+            )
+        return batch.filter(pa.array(mask))
+
+    return model.map_batches(keep, batch_format="pyarrow")
+
+
+def filter_union(
+    model: "ray.data.Dataset",
+    postings: "dict[str, set[int]]",
+    *,
+    context: bool = False,
+) -> "ray.data.Dataset":
+    """Keep rows where the intersection of the words' posting lists is
+    non-empty (words absent from ``postings`` fail unless tags)."""
+    post_ref = ray.put({w: frozenset(s) for w, s in postings.items()})
+
+    def keep(batch: pa.Table) -> pa.Table:
+        post = ray.get(post_ref)
+        wcols = _word_cols(batch)
+        if context and len(wcols) > 1:
+            wcols = wcols[:-1]
+        cols = [batch[c].to_pylist() for c in wcols]
+        n = len(batch)
+        mask = np.zeros(n, dtype=bool)
+        for i in range(n):
+            inter = None
+            ok = True
+            for col in cols:
+                w = col[i]
+                if _is_tag(w):
+                    continue
+                s = post.get(w)
+                if s is None:
+                    ok = False
+                    break
+                inter = s if inter is None else inter & s
+                if not inter:
+                    ok = False
+                    break
+            mask[i] = ok and (inter is None or bool(inter))
+        return batch.filter(pa.array(mask))
+
+    return model.map_batches(keep, batch_format="pyarrow")
+
+
+def filter_multiple(
+    model: "ray.data.Dataset",
+    postings: "dict[str, set[int]]",
+    *,
+    context: bool = False,
+) -> "ray.data.Dataset":
+    """Fan-out: one output row per (row, target id in intersection);
+    rows whose words all are tags go to EVERY target (reference semantics:
+    AllIntersection over sorted ranges, util/multi_intersection.hh)."""
+    all_targets = sorted({t for s in postings.values() for t in s})
+    post_ref = ray.put(
+        ({w: frozenset(s) for w, s in postings.items()}, tuple(all_targets))
+    )
+
+    def fanout(batch: pa.Table) -> pa.Table:
+        post, targets = ray.get(post_ref)
+        wcols = _word_cols(batch)
+        pred_cols = wcols[:-1] if context and len(wcols) > 1 else wcols
+        cols = {c: batch[c].to_pylist() for c in batch.column_names}
+        n = len(batch)
+        take_idx: list[int] = []
+        target_col: list[int] = []
+        for i in range(n):
+            inter = None
+            ok = True
+            for c in pred_cols:
+                w = cols[c][i]
+                if _is_tag(w):
+                    continue
+                s = post.get(w)
+                if s is None:
+                    ok = False
+                    break
+                inter = s if inter is None else inter & s
+                if not inter:
+                    ok = False
+                    break
+            if not ok:
+                continue
+            outs = targets if inter is None else sorted(inter)
+            for t in outs:
+                take_idx.append(i)
+                target_col.append(t)
+        out = batch.take(pa.array(take_idx, type=pa.int64()))
+        return out.append_column("target_id", pa.array(target_col, type=pa.int64()))
+
+    return model.map_batches(fanout, batch_format="pyarrow")
+
+
+def vocab_from_sentences(sentences: "list[list[str]]") -> "dict[str, set[int]]":
+    """Posting lists word -> {sentence ids} (the reference reads these from
+    per-line vocab files, lm/filter/vocab.cc:11-52 ReadMultiple)."""
+    post: dict[str, set[int]] = {}
+    for sid, sent in enumerate(sentences):
+        for w in sent:
+            post.setdefault(w, set()).add(sid)
+    return post

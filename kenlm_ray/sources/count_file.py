@@ -1,0 +1,62 @@
+"""Count-file ("raw" format) reader/writer: rows ``w1 w2 ... wn\\tcount``
+(/root/reference/lm/filter/count_io.hh:34-77 CountBatch).
+
+Reader: ray.data.read_text → vectorized split inside map_batches.
+Writer: per-block text shards (a directory, like every sink here).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+
+def read_count_file(paths: "str | list[str]", order: int) -> "ray.data.Dataset":
+    ds = ray.data.read_text(paths)
+
+    def parse(batch: pa.Table) -> pa.Table:
+        lines = batch["text"]
+        split = pc.split_pattern(lines, pattern="\t")
+        words = pc.list_element(split, 0)
+        counts = pc.cast(pc.list_element(split, 1), pa.int64())
+        wsplit = pc.split_pattern(words, pattern=" ")
+        cols = {}
+        for i in range(order):
+            cols[f"w{i+1}"] = pc.list_element(wsplit, i)
+        cols["count"] = counts
+        return pa.table(cols)
+
+    return ds.map_batches(parse, batch_format="pyarrow")
+
+
+def write_count_file(ds: "ray.data.Dataset", out_dir: str, order: int) -> None:
+    os.makedirs(out_dir, exist_ok=True)
+    wcols = [f"w{i+1}" for i in range(order)]
+
+    def to_lines(batch: pa.Table) -> pa.Table:
+        words = batch[wcols[0]]
+        for c in wcols[1:]:
+            words = pc.binary_join_element_wise(words, batch[c], " ")
+        lines = pc.binary_join_element_wise(
+            words, pc.cast(batch["count"], pa.string()), "\t"
+        )
+        return pa.table({"text": lines})
+
+    def _opts():
+        # built on the worker: WriteOptions is not picklable
+        import pyarrow.csv as pacsv
+
+        return {
+            "write_options": pacsv.WriteOptions(
+                include_header=False, quoting_style="none"
+            )
+        }
+
+    ds.map_batches(to_lines, batch_format="pyarrow").write_csv(
+        out_dir, arrow_csv_args_fn=_opts
+    )

@@ -1,0 +1,65 @@
+"""Intermediate model exchange format — the reference's ModelBuffer
+(/root/reference/lm/common/model_buffer.hh:24-70: per-order raw files
+``base.1 … base.N`` + null-delimited vocab + metadata) re-expressed as
+per-order Parquet datasets + a vocab Parquet + metadata JSON.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+import ray.data
+
+
+def save_model_buffer(out_dir: str, arpa_tables: dict, *, counts: "dict[int, int] | None" = None) -> None:
+    """``arpa_tables``: {order: Dataset | pa.Table with w1..wn,
+    log10_prob, log10_backoff}."""
+    os.makedirs(out_dir, exist_ok=True)
+    meta = {"order": max(arpa_tables), "counts": {}}
+    for n, t in sorted(arpa_tables.items()):
+        d = os.path.join(out_dir, f"order-{n}")
+        if isinstance(t, pa.Table):
+            os.makedirs(d, exist_ok=True)
+            pq.write_table(t, os.path.join(d, "part-0.parquet"))
+            meta["counts"][n] = t.num_rows
+        else:
+            t.write_parquet(d)
+            meta["counts"][n] = (
+                counts.get(n) if counts else pq.ParquetDataset(d).read().num_rows
+            )
+    with open(os.path.join(out_dir, "metadata.json"), "w") as f:
+        json.dump(meta, f)
+
+
+def load_model_buffer(in_dir: str) -> dict:
+    with open(os.path.join(in_dir, "metadata.json")) as f:
+        meta = json.load(f)
+    tables = {}
+    for n in range(1, meta["order"] + 1):
+        tables[n] = ray.data.read_parquet(os.path.join(in_dir, f"order-{n}"))
+    return {"order": meta["order"], "counts": meta["counts"], "tables": tables}
+
+
+def model_buffer_to_arpa(in_dir: str):
+    """Collect a (small) model buffer into an ArpaModel for packing."""
+    from kenlm_ray.model.arpa import ArpaModel
+
+    with open(os.path.join(in_dir, "metadata.json")) as f:
+        meta = json.load(f)
+    m = ArpaModel()
+    for n in range(1, meta["order"] + 1):
+        t = pq.ParquetDataset(os.path.join(in_dir, f"order-{n}")).read()
+        wcols = [f"w{i+1}" for i in range(n)]
+        grams = {}
+        cols = [t[c].to_pylist() for c in wcols]
+        probs = t["log10_prob"].to_pylist()
+        backs = t["log10_backoff"].to_pylist()
+        for i in range(t.num_rows):
+            grams[tuple(col[i] for col in cols)] = (probs[i], backs[i])
+        m.grams[n] = grams
+    m.counts = [len(m.grams.get(n, {})) for n in range(1, meta["order"] + 1)]
+    return m

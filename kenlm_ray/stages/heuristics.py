@@ -31,47 +31,37 @@ MIN_TOKENS_FOR_NGRAM = 16
 TOP_NGRAM_NS = (2, 3, 4)
 
 
-def _combined_key(keys_doc: np.ndarray, keys_val: np.ndarray) -> np.ndarray:
-    """(doc << 40) | (val >> 24): one uint64 sort key for (doc, value)
-    grouping.  Values are 64-bit hashes truncated to 40 bits — within-doc
-    collision probability ~T²/2⁴¹ per doc (negligible for any real batch),
-    and identical on every run (deterministic)."""
-    return (keys_doc.astype(np.uint64) << np.uint64(40)) | (
-        keys_val >> np.uint64(24)
-    )
-
-
 def _per_doc_max_over_runs(keys_doc: np.ndarray, keys_val: np.ndarray, n_docs: int) -> np.ndarray:
-    """Given (doc, value) pairs, return per-doc maximum run length of equal
-    (doc, value) after sorting — i.e. the count of the most frequent value
-    within each doc."""
-    if len(keys_doc) == 0:
-        return np.zeros(n_docs, dtype=np.int64)
-    order = np.argsort(_combined_key(keys_doc, keys_val), kind="stable")
-    d = keys_doc[order]
-    v = keys_val[order] >> np.uint64(24)
-    new_run = np.empty(len(d), dtype=bool)
-    new_run[0] = True
-    new_run[1:] = (d[1:] != d[:-1]) | (v[1:] != v[:-1])
-    run_ids = np.cumsum(new_run) - 1
-    run_len = np.bincount(run_ids)
-    run_doc = d[new_run]
+    """Count of the most frequent value within each doc.
+
+    ``keys_doc`` MUST be non-decreasing (token streams are emitted in doc
+    order).  Each doc's values are processed as a small cache-resident
+    slice — a global sort over the batch would move the whole token
+    stream through DRAM, and this stage is bandwidth-bound at high
+    parallelism."""
     out = np.zeros(n_docs, dtype=np.int64)
-    np.maximum.at(out, run_doc, run_len)
+    if len(keys_doc) == 0:
+        return out
+    bounds = np.searchsorted(keys_doc, np.arange(n_docs + 1, dtype=keys_doc.dtype))
+    for d in range(n_docs):
+        lo, hi = bounds[d], bounds[d + 1]
+        if hi > lo:
+            _, counts = np.unique(keys_val[lo:hi], return_counts=True)
+            out[d] = counts.max()
     return out
 
 
 def _per_doc_unique_runs(keys_doc: np.ndarray, keys_val: np.ndarray, n_docs: int) -> np.ndarray:
-    """Count of distinct values per doc."""
+    """Count of distinct values per doc (``keys_doc`` non-decreasing)."""
+    out = np.zeros(n_docs, dtype=np.int64)
     if len(keys_doc) == 0:
-        return np.zeros(n_docs, dtype=np.int64)
-    order = np.argsort(_combined_key(keys_doc, keys_val), kind="stable")
-    d = keys_doc[order]
-    v = keys_val[order] >> np.uint64(24)
-    new_run = np.empty(len(d), dtype=bool)
-    new_run[0] = True
-    new_run[1:] = (d[1:] != d[:-1]) | (v[1:] != v[:-1])
-    return np.bincount(d[new_run], minlength=n_docs)
+        return out
+    bounds = np.searchsorted(keys_doc, np.arange(n_docs + 1, dtype=keys_doc.dtype))
+    for d in range(n_docs):
+        lo, hi = bounds[d], bounds[d + 1]
+        if hi > lo:
+            out[d] = len(np.unique(keys_val[lo:hi]))
+    return out
 
 
 def line_table(col: "pa.Array | pa.ChunkedArray"):

@@ -1,0 +1,144 @@
+"""Multimodal column stages — Ray-side plumbing for image/audio/video
+payloads carried as opaque ``binary`` columns with typed metadata.
+
+The decode kernels require codec libraries not present in this
+container, so the decoders are STUBS behind an import-try: when
+pillow/soundfile are absent, ``decode='fake'`` produces deterministic
+fake decodes (seeded by the payload hash) so the batch plumbing —
+schema, actor pool, batch sizing for large binary rows, output layout —
+is real and tested end-to-end.  The reference has no multimodal support;
+this is part of the engine's training-data-pipeline surface.
+
+Schema convention:
+    payload: binary, media_type: string ("image/png", "audio/wav", ...),
+    meta: string (JSON: width/height/sample_rate/duration...).
+"""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+import pyarrow as pa
+
+from kenlm_ray.functions.hashing import murmur64
+
+
+def _try_import_pil():
+    try:
+        from PIL import Image  # noqa: F401
+
+        return Image
+    except Exception:
+        return None
+
+
+class ImageDecode:
+    """Actor-pool stage: binary payload -> (height, width, channels,
+    mean_luma float32, thumb binary).  Small batch sizes are mandatory for
+    multi-MB payloads (see build_multimodal_pipeline)."""
+
+    def __init__(self, mode: str = "auto", thumb_size: int = 8):
+        self.pil = _try_import_pil() if mode in ("auto", "real") else None
+        if mode == "real" and self.pil is None:
+            raise NotImplementedError(
+                "real image decode requires pillow, which this environment "
+                "does not provide — use mode='fake' (deterministic) instead"
+            )
+        self.thumb_size = thumb_size
+
+    def _fake_decode(self, payload: bytes) -> tuple[int, int, int, np.ndarray]:
+        # deterministic fake: dimensions + pixels derived from payload hash
+        h = murmur64(payload[:64])
+        rng = np.random.default_rng(h & 0xFFFFFFFF)
+        height = 16 + (h % 48)
+        width = 16 + ((h >> 8) % 48)
+        pixels = rng.integers(0, 256, (int(height), int(width), 3), dtype=np.uint8)
+        return int(height), int(width), 3, pixels
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch["payload"].to_pylist()
+        hs, ws, cs, lumas, thumbs = [], [], [], [], []
+        for p in payloads:
+            if p is None:
+                hs.append(0); ws.append(0); cs.append(0)
+                lumas.append(float("nan")); thumbs.append(None)
+                continue
+            if self.pil is not None:
+                import io
+
+                img = self.pil.open(io.BytesIO(p)).convert("RGB")
+                arr = np.asarray(img)
+            else:
+                _, _, _, arr = self._fake_decode(p)
+            hs.append(arr.shape[0]); ws.append(arr.shape[1]); cs.append(arr.shape[2])
+            lumas.append(float(arr.mean()))
+            t = self.thumb_size
+            ys = np.linspace(0, arr.shape[0] - 1, t).astype(int)
+            xs = np.linspace(0, arr.shape[1] - 1, t).astype(int)
+            thumbs.append(arr[np.ix_(ys, xs)].tobytes())
+        return (
+            batch.append_column("height", pa.array(hs, type=pa.int32()))
+            .append_column("width", pa.array(ws, type=pa.int32()))
+            .append_column("channels", pa.array(cs, type=pa.int32()))
+            .append_column("mean_luma", pa.array(lumas, type=pa.float32()))
+            .append_column("thumb", pa.array(thumbs, type=pa.binary()))
+        )
+
+
+class AudioFeatures:
+    """Actor-pool stage: audio payload -> (n_samples, sample_rate, rms).
+    Real decode needs soundfile/librosa (absent) — fake mode derives a
+    deterministic waveform from the payload hash."""
+
+    def __init__(self, mode: str = "auto"):
+        if mode == "real":
+            raise NotImplementedError(
+                "real audio decode requires soundfile, not available here"
+            )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch["payload"].to_pylist()
+        ns, srs, rms = [], [], []
+        for p in payloads:
+            if p is None:
+                ns.append(0); srs.append(0); rms.append(float("nan"))
+                continue
+            h = murmur64(p[:64])
+            rng = np.random.default_rng(h & 0xFFFFFFFF)
+            n = 1000 + (h % 8000)
+            wave = rng.standard_normal(int(n)).astype(np.float32)
+            ns.append(int(n)); srs.append(16000)
+            rms.append(float(np.sqrt(np.mean(wave**2))))
+        return (
+            batch.append_column("n_samples", pa.array(ns, type=pa.int64()))
+            .append_column("sample_rate", pa.array(srs, type=pa.int32()))
+            .append_column("rms", pa.array(rms, type=pa.float32()))
+        )
+
+
+def synth_media_table(n: int, seed: int = 7, kind: str = "image/png") -> pa.Table:
+    """Deterministic fake media rows for tests/benchmarks."""
+    rng = np.random.default_rng(seed)
+    payloads = [rng.integers(0, 256, int(rng.integers(256, 4096)), dtype=np.uint8).tobytes() for _ in range(n)]
+    meta = [json.dumps({"idx": i}) for i in range(n)]
+    return pa.table(
+        {
+            "media_id": pa.array(range(n), type=pa.int64()),
+            "payload": pa.array(payloads, type=pa.binary()),
+            "media_type": pa.array([kind] * n, type=pa.string()),
+            "meta": pa.array(meta, type=pa.string()),
+        }
+    )
+
+
+def build_multimodal_pipeline(ds, stage_cls=ImageDecode, batch_size: int = 64, concurrency=(1, 4)):
+    """Large binary rows need SMALL batches: batch_bytes ≈ batch_size ×
+    payload size must fit the worker heap alongside the decode buffers
+    (SURVEY.md 'wide content rows')."""
+    return ds.map_batches(
+        stage_cls,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )

@@ -1,0 +1,199 @@
+"""Operator tests: model filter modes, count-file IO, model buffer,
+multimodal stubs, dedup ops, knn."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+@pytest.fixture(scope="module")
+def ngram_model_ds(ray_session):
+    import ray.data
+
+    rows = [
+        {"w1": "a", "w2": "b", "log10_prob": -0.5},
+        {"w1": "a", "w2": "c", "log10_prob": -0.7},
+        {"w1": "b", "w2": "d", "log10_prob": -0.9},
+        {"w1": "<s>", "w2": "a", "log10_prob": -0.3},
+        {"w1": "c", "w2": "</s>", "log10_prob": -0.2},
+    ]
+    return ray.data.from_items(rows)
+
+
+def test_filter_single(ngram_model_ds):
+    from kenlm_ray.ops.model_filter import filter_single
+
+    out = filter_single(ngram_model_ds, {"a", "b"}).to_pandas()
+    got = set(zip(out["w1"], out["w2"]))
+    # tags always pass; c/d are OOV
+    assert got == {("a", "b"), ("<s>", "a")}
+
+
+def test_filter_single_context(ngram_model_ds):
+    from kenlm_ray.ops.model_filter import filter_single
+
+    out = filter_single(ngram_model_ds, {"a", "b"}, context=True).to_pandas()
+    got = set(zip(out["w1"], out["w2"]))
+    # predicate applies to w1 only
+    assert got == {("a", "b"), ("a", "c"), ("b", "d"), ("<s>", "a")}
+
+
+def test_filter_union_and_multiple(ngram_model_ds):
+    from kenlm_ray.ops.model_filter import (
+        filter_multiple,
+        filter_union,
+        vocab_from_sentences,
+    )
+
+    post = vocab_from_sentences([["a", "b"], ["a", "c"], ["d"]])
+    out = filter_union(ngram_model_ds, post).to_pandas()
+    got = set(zip(out["w1"], out["w2"]))
+    # (a,b): {0,1}∩{0} -> keep; (a,c): {0,1}∩{1} keep; (b,d): {0}∩{2} drop
+    assert got == {("a", "b"), ("a", "c"), ("<s>", "a"), ("c", "</s>")}
+
+    fan = filter_multiple(ngram_model_ds, post).to_pandas()
+    pairs = set(zip(fan["w1"], fan["w2"], fan["target_id"]))
+    assert ("a", "b", 0) in pairs and ("a", "c", 1) in pairs
+    assert ("b", "d", 2) not in pairs
+    # all-tag rows fan out to every target
+    assert {p for p in pairs if p[0] == "<s>"} == {("<s>", "a", 0), ("<s>", "a", 1)}
+
+
+def test_count_file_roundtrip(ray_session, tmp_path):
+    import ray.data
+
+    from kenlm_ray.sources.count_file import read_count_file, write_count_file
+
+    rows = [
+        {"w1": "a", "w2": "b", "count": 3},
+        {"w1": "x", "w2": "y", "count": 7},
+    ]
+    out = str(tmp_path / "counts")
+    write_count_file(ray.data.from_items(rows), out, order=2)
+    back = read_count_file([str(tmp_path / "counts" / f) for f in
+                            __import__("os").listdir(out)], order=2).to_pandas()
+    got = {(r["w1"], r["w2"]): r["count"] for _, r in back.iterrows()}
+    assert got == {("a", "b"): 3, ("x", "y"): 7}
+
+
+def test_model_buffer_roundtrip(ray_session, tmp_path):
+    from kenlm_ray.model.arpa import write_arpa
+    from kenlm_ray.sources.model_buffer import (
+        model_buffer_to_arpa,
+        save_model_buffer,
+    )
+    from kenlm_ray.testing import random_arpa
+
+    arpa = random_arpa(order=2, seed=3, vocab_size=10)
+    tables = {}
+    for n in (1, 2):
+        rows = []
+        for g, (p, b) in arpa.grams[n].items():
+            row = {f"w{i+1}": w for i, w in enumerate(g)}
+            row["log10_prob"] = p
+            row["log10_backoff"] = b
+            rows.append(row)
+        tables[n] = pa.Table.from_pylist(rows)
+    d = str(tmp_path / "buf")
+    save_model_buffer(d, tables)
+    back = model_buffer_to_arpa(d)
+    assert back.counts == arpa.counts
+    for n in (1, 2):
+        for g, (p, b) in arpa.grams[n].items():
+            bp, bb = back.grams[n][g]
+            assert np.isclose(bp, p) and np.isclose(bb, b)
+
+
+def test_multimodal_image_stub(ray_session):
+    import ray.data
+
+    from kenlm_ray.stages.multimodal import (
+        ImageDecode,
+        build_multimodal_pipeline,
+        synth_media_table,
+    )
+
+    tbl = synth_media_table(20, seed=5)
+    ds = ray.data.from_arrow(tbl)
+    out = build_multimodal_pipeline(ds, ImageDecode, batch_size=8).to_pandas()
+    assert len(out) == 20
+    assert (out["height"] > 0).all() and (out["width"] > 0).all()
+    assert out["thumb"].map(lambda b: len(b)).eq(8 * 8 * 3).all()
+    # determinism: same payload -> same decode
+    out2 = build_multimodal_pipeline(
+        ray.data.from_arrow(tbl), ImageDecode, batch_size=4
+    ).to_pandas()
+    assert (out.sort_values("media_id")["mean_luma"].to_numpy()
+            == out2.sort_values("media_id")["mean_luma"].to_numpy()).all()
+
+
+def test_multimodal_real_mode_raises_cleanly():
+    from kenlm_ray.stages.multimodal import AudioFeatures
+
+    with pytest.raises(NotImplementedError):
+        AudioFeatures(mode="real")
+
+
+def test_simhash_similar_docs_close(ray_session):
+    import ray.data
+
+    from kenlm_ray.ops.dedup import simhash_column
+
+    base = "the quick brown fox jumps over the lazy dog " * 10
+    docs = [
+        {"doc_id": 0, "text": base},
+        {"doc_id": 1, "text": base.replace("lazy", "sleepy")},
+        {"doc_id": 2, "text": "completely different words entirely unrelated " * 10},
+    ]
+    out = simhash_column(ray.data.from_items(docs)).to_pandas().sort_values("doc_id")
+    h = [int(x) for x in out["simhash"]]
+    d01 = bin(h[0] ^ h[1]).count("1")
+    d02 = bin(h[0] ^ h[2]).count("1")
+    assert d01 < d02
+
+
+def test_minhash_finds_near_dups(ray_session):
+    import ray.data
+
+    from kenlm_ray.ops.dedup import minhash_lsh_pairs
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa " * 8).split()
+    near = list(base)
+    near[5] = "changed"
+    docs = [
+        {"doc_id": 0, "text": " ".join(base)},
+        {"doc_id": 1, "text": " ".join(near)},
+        {"doc_id": 2, "text": "totally unrelated content with other tokens " * 8},
+    ]
+    pairs = minhash_lsh_pairs(
+        ray.data.from_items(docs), jaccard_threshold=0.5
+    ).to_pandas()
+    got = set(zip(pairs["id_a"], pairs["id_b"]))
+    assert (0, 1) in got
+    assert (0, 2) not in got and (1, 2) not in got
+
+
+def test_hash_join(ray_session):
+    import ray.data
+
+    from kenlm_ray.ops.join import hash_join
+
+    left = ray.data.from_items(
+        [{"k": "a", "x": 1}, {"k": "b", "x": 2}, {"k": "c", "x": 3}]
+    )
+    right = ray.data.from_items([{"k": "a", "y": 10.0}, {"k": "c", "y": 30.0}])
+    out = hash_join(
+        left, right, on=["k"],
+        left_cols={"k": pa.string(), "x": pa.int64()},
+        right_cols={"k": pa.string(), "y": pa.float64()},
+        how="left", num_partitions=3,
+    ).to_pandas().sort_values("k").reset_index(drop=True)
+    assert list(out["k"]) == ["a", "b", "c"]
+    assert out["y"].isna().tolist() == [False, True, False]
+    inner = hash_join(
+        left, right, on=["k"],
+        left_cols={"k": pa.string(), "x": pa.int64()},
+        right_cols={"k": pa.string(), "y": pa.float64()},
+        how="inner", num_partitions=3,
+    ).to_pandas()
+    assert set(inner["k"]) == {"a", "c"}
