@@ -62,11 +62,14 @@ def run_flagship(paths: "list[str]") -> dict:
     # pools LOWER throughput (memory-bandwidth contention) while starving
     # the read/stateless/write task slots.
     scored = build_quality_pipeline(
-        ds, mp, scorer_concurrency=max(2, NUM_CPUS // 4),
+        ds, mp, scorer_concurrency=max(2, (NUM_CPUS * 5) // 16),
         langid_concurrency=max(1, NUM_CPUS // 8),
         batch_size=512,
     )
     out_dir = f"/tmp/kenlm_ray_bench/out_{SF_LABEL}_{os.getpid()}"
+    # NOTE: min_rows_per_file makes Ray coalesce blocks BEFORE the fused
+    # stateless-map+write stage (measured: 256 -> 15 tasks, +60% wall);
+    # many small output files are the right trade here.
     scored.write_parquet(out_dir)
     wall = time.time() - t0
     import shutil

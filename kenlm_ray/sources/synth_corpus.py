@@ -204,10 +204,13 @@ def write_corpus(
     """Write the corpus as ``n_shards`` parquet files; returns their paths.
 
     Idempotent: skips generation when all shards already exist with the
-    expected row counts (cached fixture for tests/bench)."""
+    expected row counts (cached fixture for tests/bench).  Shards are
+    generated as parallel Ray tasks when a Ray session is up (per-row
+    seeding makes every shard independent of chunking)."""
     os.makedirs(out_dir, exist_ok=True)
     bounds = np.linspace(0, n_rows, n_shards + 1).astype(int)
     paths = []
+    todo = []
     for s in range(n_shards):
         p = os.path.join(out_dir, f"corpus-{s:04d}.parquet")
         paths.append(p)
@@ -218,7 +221,28 @@ def write_corpus(
                     continue
             except Exception:
                 pass
-        pq.write_table(gen_table(seed, lo, hi), p)
+        todo.append((p, lo, hi))
+    if not todo:
+        return paths
+    try:
+        import ray
+
+        use_ray = ray.is_initialized()
+    except Exception:
+        use_ray = False
+    if use_ray:
+        import ray
+
+        @ray.remote
+        def _gen(p, lo, hi):
+            tmp = p + ".tmp"
+            pq.write_table(gen_table(seed, lo, hi), tmp)
+            os.replace(tmp, p)
+
+        ray.get([_gen.remote(p, lo, hi) for p, lo, hi in todo])
+    else:
+        for p, lo, hi in todo:
+            pq.write_table(gen_table(seed, lo, hi), p)
     return paths
 
 
