@@ -59,25 +59,30 @@ def _documents(sf_dir):
     )
 
 
+def _round_cols(ds, spec: dict):
+    """np.round the given float columns (np.round reproduces DuckDB's
+    round() bit-for-bit on these values; pyarrow.compute.round differs at
+    the last ulp, which breaks exact row alignment in the comparator)."""
+    import numpy as np
+    import pyarrow as pa
+
+    def f(t: pa.Table) -> pa.Table:
+        for col, nd in spec.items():
+            v = np.round(t[col].to_numpy(zero_copy_only=False).astype(np.float64), nd)
+            t = t.set_column(t.schema.get_field_index(col), col, pa.array(v))
+        return t
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
 def _q_pricing_summary(sf_dir):
     from kenlm_ray.ops.analytics import pricing_summary
 
-    import pyarrow.compute as pc
-
-    def rounder(t):
-        for col, nd in (
-            ("sum_qty", 2),
-            ("sum_base_price", 2),
-            ("sum_disc_price", 2),
-            ("avg_qty", 6),
-            ("avg_disc", 6),
-        ):
-            t = t.set_column(
-                t.schema.get_field_index(col), col, pc.round(t[col], ndigits=nd)
-            )
-        return t
-
-    return pricing_summary(sf_dir).map_batches(rounder, batch_format="pyarrow")
+    return _round_cols(
+        pricing_summary(sf_dir),
+        {"sum_qty": 2, "sum_base_price": 2, "sum_disc_price": 2,
+         "avg_qty": 6, "avg_disc": 6},
+    )
 
 
 def _q_top_orders(sf_dir):
@@ -87,18 +92,9 @@ def _q_top_orders(sf_dir):
 
 
 def _q_segment_sales(sf_dir):
-    import pyarrow.compute as pc
-
     from kenlm_ray.ops.analytics import segment_sales
 
-    return segment_sales(sf_dir).map_batches(
-        lambda t: t.set_column(
-            t.schema.get_field_index("total_price"),
-            "total_price",
-            pc.round(t["total_price"], ndigits=2),
-        ),
-        batch_format="pyarrow",
-    )
+    return _round_cols(segment_sales(sf_dir), {"total_price": 2})
 
 
 def _q_source_stats(sf_dir):
@@ -108,18 +104,9 @@ def _q_source_stats(sf_dir):
 
 
 def _q_events_hourly(sf_dir):
-    import pyarrow.compute as pc
-
     from kenlm_ray.ops.analytics import events_hourly
 
-    return events_hourly(sf_dir).map_batches(
-        lambda t: t.set_column(
-            t.schema.get_field_index("total_value"),
-            "total_value",
-            pc.round(t["total_value"], ndigits=4),
-        ),
-        batch_format="pyarrow",
-    )
+    return _round_cols(events_hourly(sf_dir), {"total_value": 4})
 
 
 def _q_doc_token_stats(sf_dir):
@@ -267,6 +254,44 @@ def _q_simhash(sf_dir):
     return simhash_column(_documents(sf_dir))
 
 
+def _q_sliding_windows(sf_dir):
+    import pyarrow.compute as pc
+
+    import ray.data
+
+    from kenlm_ray.ops.windows import sliding_window_counts
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_type", "ts", "value"]
+    )
+    return _round_cols(sliding_window_counts(ds), {"total_value": 4})
+
+
+def _q_user_sessions(sf_dir):
+    import ray.data
+
+    from kenlm_ray.ops.windows import session_windows
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["user_id", "ts"]
+    )
+    return session_windows(ds)
+
+
+def _q_repo_top_ppl(sf_dir):
+    from kenlm_ray.ops.salted import repo_top_ppl
+    from kenlm_ray.pipelines.quality_filter import (
+        build_quality_pipeline,
+        corpus_from_documents,
+        seed_model_path,
+    )
+
+    scored = build_quality_pipeline(corpus_from_documents(sf_dir), seed_model_path())
+    # the documents-derived corpus is OOV-heavy vs the seed model, so the
+    # query ranks all finite-ppl files rather than kept-only
+    return repo_top_ppl(scored, k=3, require_keep=False)
+
+
 def _q_mkn_bigram(sf_dir):
     """Distributed modified-Kneser-Ney bigram estimation over documents
     (the lmplz re-expression; parity with the in-memory oracle is gated
@@ -305,6 +330,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_filter_semijoin": _q_vocab_filter,
         "knn_cosine_top10": _q_knn,
         "embedding_near_dup": _q_embedding_near_dup,
+        "sliding_window_counts": _q_sliding_windows,
+        "user_sessions": _q_user_sessions,
         # rows-only checks (stateful / model-driven, not SQL-expressible)
         "quality_filter_flagship": _q_quality_filter,
         "repo_quality_stats": _q_repo_stats,
@@ -314,6 +341,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_fingerprints": _q_simhash,
         "lsh_knn_top10": _q_lsh_knn,
         "mkn_bigram_model": _q_mkn_bigram,
+        "repo_top_ppl_salted": _q_repo_top_ppl,
     }
 
 
@@ -423,6 +451,40 @@ def oracle_sql() -> dict[str, str]:
                             3) AS cos_sim
                 FROM embeddings
             ) ORDER BY cos_sim DESC, vec_id LIMIT 10
+        """,
+        "sliding_window_counts": """
+            SELECT event_type,
+                   ((floor(epoch_us(ts) / 1800000000) - i) * 1800000000)::BIGINT
+                       AS window_start,
+                   round(sum(value), 4) AS total_value,
+                   count(*)::BIGINT     AS n_events
+            FROM events, unnest([0, 1]) AS u(i)
+            WHERE (floor(epoch_us(ts) / 1800000000) - i) >= 0
+              AND (floor(epoch_us(ts) / 1800000000) - i) * 1800000000 <= epoch_us(ts)
+              AND epoch_us(ts) <
+                  (floor(epoch_us(ts) / 1800000000) - i) * 1800000000 + 3600000000
+            GROUP BY event_type, window_start
+        """,
+        "user_sessions": """
+            WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+            m AS (
+                SELECT user_id, us,
+                       CASE WHEN lag(us) OVER w IS NULL
+                              OR us - lag(us) OVER w > 1800000000
+                            THEN 1 ELSE 0 END AS new
+                FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)
+            ),
+            s AS (
+                SELECT user_id,
+                       sum(new) OVER (PARTITION BY user_id ORDER BY us
+                                      ROWS UNBOUNDED PRECEDING) AS sid
+                FROM m
+            ),
+            c AS (SELECT user_id, sid, count(*) AS cnt FROM s GROUP BY user_id, sid)
+            SELECT user_id,
+                   max(sid)::BIGINT AS n_sessions,
+                   max(cnt)::BIGINT AS longest_session_events
+            FROM c GROUP BY user_id
         """,
         "embedding_near_dup": """
             SELECT a.vec_id::BIGINT AS id_a, b.vec_id::BIGINT AS id_b,

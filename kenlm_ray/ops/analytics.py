@@ -106,14 +106,13 @@ def top_orders_by_revenue(sf_dir: str, k: int = 10) -> "ray.data.Dataset":
         .aggregate(Sum("rev_sum", alias_name="revenue"))
     )
     # round to stabilize float association before ranking/compare
-    agg = agg.map_batches(
-        lambda t: t.set_column(
-            t.schema.get_field_index("revenue"),
-            "revenue",
-            pc.round(t["revenue"], ndigits=2),
-        ),
-        batch_format="pyarrow",
-    )
+    # (np.round matches DuckDB's round() bit-for-bit; pc.round can differ
+    # at the last ulp)
+    def _r(t: pa.Table) -> pa.Table:
+        v = np.round(t["revenue"].to_numpy(zero_copy_only=False), 2)
+        return t.set_column(t.schema.get_field_index("revenue"), "revenue", pa.array(v))
+
+    agg = agg.map_batches(_r, batch_format="pyarrow")
     return agg.sort(["revenue", "l_orderkey"], descending=[True, False]).limit(k)
 
 

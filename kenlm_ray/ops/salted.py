@@ -1,0 +1,95 @@
+"""Salted grouped execution — explicit skew handling (north rule:
+"giant monorepos salted across partitions"; SURVEY.md §7.4).
+
+Two layers:
+  - ``repo_stats``-style metric aggregation never needs salting at all:
+    the partial-per-batch combine bounds any key's traffic at one row per
+    (key, batch) (see pipelines/quality_filter.repo_stats).
+  - when per-row grouped WORK is unavoidable (per-repo dedup, per-repo
+    top-k, per-repo sampling), ``salted_map_groups`` splits each hot key
+    into ``salt`` sub-groups via a content hash, applies the per-group
+    function to sub-groups (parallelism ∝ salt for the hot key), then
+    applies a combine function across each key's sub-results.
+
+The function pair must form a valid (map, combine) decomposition:
+e.g. top-k per repo: map = local top-k, combine = top-k of the union;
+exact dedup: map = local dedup by hash, combine = dedup again.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+
+from kenlm_ray.functions.hashing import murmur64_stream
+from kenlm_ray.functions.tokenize import _string_buffers
+
+
+def add_salt(
+    ds: "ray.data.Dataset", key: str, salt: int, salt_from: "str | None" = None
+) -> "ray.data.Dataset":
+    """Append ``__salt`` = hash(salt_from or row-position) % salt."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        if salt_from is not None:
+            col = batch[salt_from]
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            offsets, data = _string_buffers(col)
+            h = murmur64_stream(data, offsets[:-1], offsets[1:] - offsets[:-1])
+            s = (h % np.uint64(salt)).astype(np.int32)
+        else:
+            s = (np.arange(n) % salt).astype(np.int32)
+        return batch.append_column("__salt", pa.array(s))
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def salted_map_groups(
+    ds: "ray.data.Dataset",
+    key: str,
+    map_fn,
+    combine_fn=None,
+    *,
+    salt: int = 8,
+    salt_from: "str | None" = None,
+) -> "ray.data.Dataset":
+    """groupby(key) with hot keys split ``salt`` ways.
+
+    ``map_fn(df)``: per (key, salt) sub-group — must be decomposable.
+    ``combine_fn(df)``: per key across sub-results (default: map_fn again).
+    """
+    combine_fn = combine_fn or map_fn
+    salted = add_salt(ds, key, salt, salt_from)
+
+    def map_wrap(g: pd.DataFrame) -> pd.DataFrame:
+        return map_fn(g.drop(columns="__salt"))
+
+    partial = salted.groupby([key, "__salt"]).map_groups(
+        map_wrap, batch_format="pandas"
+    )
+
+    def combine_wrap(g: pd.DataFrame) -> pd.DataFrame:
+        return combine_fn(g)
+
+    return partial.groupby(key).map_groups(combine_wrap, batch_format="pandas")
+
+
+def repo_top_ppl(
+    scored: "ray.data.Dataset", k: int = 3, salt: int = 8, require_keep: bool = True
+) -> "ray.data.Dataset":
+    """Example consumer: per repo, the k lowest-perplexity (kept) files —
+    grouped top-k with salting for the monorepo key."""
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g[np.isfinite(g["ppl"])]
+        if require_keep:
+            g = g[g["keep"]]
+        return g.sort_values(["ppl", "path"]).head(k)[["repo", "path", "ppl"]]
+
+    sub = scored.select_columns(["repo", "path", "ppl", "keep"])
+    return salted_map_groups(sub, "repo", topk, salt=salt, salt_from="path")

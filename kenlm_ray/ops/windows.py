@@ -1,0 +1,109 @@
+"""Event-time window operators over a bounded event log.
+
+Ray Data has no native event-time windows (SURVEY.md §2.10 — neither
+does the reference); over a bounded table every window kind reduces to a
+keyed grouped computation:
+
+  - tumbling: grouped aggregate on the bucketed timestamp (see
+    ops/analytics.events_hourly);
+  - sliding: emit each row into every window it overlaps (flat emission
+    inside map_batches), then the same grouped aggregate;
+  - session: per-key sort by ts + gap split inside map_groups (the
+    ordering assumption is per-group, never cross-block).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+from ray.data.aggregate import Sum
+
+
+def sliding_window_counts(
+    ds: "ray.data.Dataset",
+    *,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    window_us: int = 3_600_000_000,
+    slide_us: int = 1_800_000_000,
+) -> "ray.data.Dataset":
+    """Count + value sum per (key, sliding window).  window/slide in µs;
+    window start buckets are multiples of ``slide_us``; a row lands in
+    ``window_us / slide_us`` windows."""
+    k = window_us // slide_us
+
+    def emit(batch: pa.Table) -> pa.Table:
+        us = batch[ts_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        vals = batch["value"].to_numpy(zero_copy_only=False)
+        keys = batch[key_col]
+        n = len(batch)
+        first_win = us // slide_us - (k - 1)  # earliest window containing ts
+        rows_key = []
+        starts = np.empty(n * k, dtype=np.int64)
+        values = np.empty(n * k, dtype=np.float64)
+        idx = np.repeat(np.arange(n), k)
+        offs = np.tile(np.arange(k), n)
+        win = (first_win[idx] + offs)
+        # a window [w*slide, w*slide+window) contains ts iff w*slide <= ts
+        valid = (win * slide_us <= us[idx]) & (us[idx] < win * slide_us + window_us) & (win >= 0)
+        win = win[valid]
+        idx = idx[valid]
+        t = pa.table(
+            {
+                key_col: keys.take(pa.array(idx)),
+                "window_start": pa.array(win * slide_us),
+                "value": pa.array(vals[idx]),
+                "n": pa.array(np.ones(len(idx), dtype=np.int64)),
+            }
+        )
+        return t.group_by([key_col, "window_start"]).aggregate(
+            [("value", "sum"), ("n", "sum")]
+        )
+
+    return (
+        ds.map_batches(emit, batch_format="pyarrow")
+        .groupby([key_col, "window_start"])
+        .aggregate(
+            Sum("value_sum", alias_name="total_value"),
+            Sum("n_sum", alias_name="n_events"),
+        )
+    )
+
+
+def session_windows(
+    ds: "ray.data.Dataset",
+    *,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    gap_us: int = 1_800_000_000,
+) -> "ray.data.Dataset":
+    """Per-key session stats: sessions split at gaps > ``gap_us``.
+
+    Output: key, n_sessions, longest_session_events.
+    Ordering assumption: rows of ONE key are sorted inside map_groups —
+    no cross-block ordering is relied on."""
+
+    def sess(g: pd.DataFrame) -> pd.DataFrame:
+        ts = np.sort(g[ts_col].astype("int64").to_numpy())
+        if len(ts) == 0:
+            return pd.DataFrame(
+                {key_col: [], "n_sessions": [], "longest_session_events": []}
+            )
+        new = np.ones(len(ts), dtype=bool)
+        new[1:] = (ts[1:] - ts[:-1]) > gap_us
+        sid = np.cumsum(new) - 1
+        counts = np.bincount(sid)
+        return pd.DataFrame(
+            {
+                key_col: [g[key_col].iloc[0]],
+                "n_sessions": [int(sid[-1]) + 1],
+                "longest_session_events": [int(counts.max())],
+            }
+        )
+
+    return ds.select_columns([key_col, ts_col]).groupby(key_col).map_groups(
+        sess, batch_format="pandas"
+    )

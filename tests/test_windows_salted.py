@@ -1,0 +1,87 @@
+"""Window operators + salted grouping tests."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+def test_sliding_windows_small(ray_session):
+    import pyarrow as pa
+
+    import ray.data
+
+    from kenlm_ray.ops.windows import sliding_window_counts
+
+    # events at minutes 0, 20, 50, 70 (µs); window 1h, slide 30min
+    us = [0, 20 * 60_000_000, 50 * 60_000_000, 70 * 60_000_000]
+    t = pa.table(
+        {
+            "event_type": ["a"] * 4,
+            "ts": pa.array(us, type=pa.timestamp("us")),
+            "value": [1.0, 2.0, 4.0, 8.0],
+        }
+    )
+    out = (
+        sliding_window_counts(ray.data.from_arrow(t))
+        .to_pandas()
+        .set_index("window_start")
+        .sort_index()
+    )
+    # windows: [0,60): {0,20,50}, [30,90): {50,70}, [60,120): {70}
+    assert out.loc[0]["n_events"] == 3 and out.loc[0]["total_value"] == 7.0
+    assert out.loc[1_800_000_000]["n_events"] == 2
+    assert out.loc[3_600_000_000]["n_events"] == 1
+
+
+def test_session_windows_small(ray_session):
+    import pyarrow as pa
+
+    import ray.data
+
+    from kenlm_ray.ops.windows import session_windows
+
+    mins = [0, 10, 20, 120, 125, 300]  # gaps: 100min and 175min -> 3 sessions
+    t = pa.table(
+        {
+            "user_id": [1] * 6 + [2],
+            "ts": pa.array(
+                [m * 60_000_000 for m in mins] + [0], type=pa.timestamp("us")
+            ),
+        }
+    )
+    out = session_windows(ray.data.from_arrow(t)).to_pandas().set_index("user_id")
+    assert out.loc[1]["n_sessions"] == 3
+    assert out.loc[1]["longest_session_events"] == 3
+    assert out.loc[2]["n_sessions"] == 1
+
+
+def test_salted_map_groups_matches_unsalted(ray_session):
+    import ray.data
+
+    from kenlm_ray.ops.salted import salted_map_groups
+
+    rng = np.random.default_rng(0)
+    rows = [
+        {"k": "hot" if i % 3 else f"k{i%7}", "v": float(rng.integers(0, 1000)), "id": i}
+        for i in range(500)
+    ]
+    ds = ray.data.from_items(rows)
+
+    def top2(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(["v", "id"]).head(2)[["k", "v", "id"]]
+
+    salted = (
+        salted_map_groups(ds, "k", top2, salt=4, salt_from=None)
+        .to_pandas()
+        .sort_values(["k", "v", "id"])
+        .reset_index(drop=True)
+    )
+    # oracle: plain pandas groupby
+    df = pd.DataFrame(rows)
+    expect = (
+        df.groupby("k", group_keys=False)
+        .apply(top2)
+        .sort_values(["k", "v", "id"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(salted[["k", "v", "id"]], expect[["k", "v", "id"]])
