@@ -40,11 +40,11 @@ def entry() -> Any:
     from kenlm_ray.pipelines.quality_filter import (
         build_quality_pipeline,
         corpus_from_documents,
-        seed_model_path,
+        domain_model_path,
     )
 
-    ds = corpus_from_documents("/root/testdata/sf0.001")
-    return build_quality_pipeline(ds, seed_model_path())
+    sf = "/root/testdata/sf0.001"
+    return build_quality_pipeline(corpus_from_documents(sf), domain_model_path(sf))
 
 
 # ---------------------------------------------------------------------------
@@ -199,32 +199,36 @@ def _q_quality_filter(sf_dir):
     from kenlm_ray.pipelines.quality_filter import (
         build_quality_pipeline,
         corpus_from_documents,
-        seed_model_path,
+        domain_model_path,
     )
 
-    return build_quality_pipeline(corpus_from_documents(sf_dir), seed_model_path())
+    return build_quality_pipeline(
+        corpus_from_documents(sf_dir), domain_model_path(sf_dir)
+    )
 
 
 def _q_repo_stats(sf_dir):
     from kenlm_ray.pipelines.quality_filter import (
         build_quality_pipeline,
         corpus_from_documents,
+        domain_model_path,
         repo_stats,
-        seed_model_path,
     )
 
     return repo_stats(
-        build_quality_pipeline(corpus_from_documents(sf_dir), seed_model_path())
+        build_quality_pipeline(
+            corpus_from_documents(sf_dir), domain_model_path(sf_dir)
+        )
     )
 
 
 def _q_ppl_score(sf_dir):
-    from kenlm_ray.pipelines.quality_filter import seed_model_path
+    from kenlm_ray.pipelines.quality_filter import domain_model_path
     from kenlm_ray.stages.ppl import PplScorer
 
     return _documents(sf_dir).map_batches(
         PplScorer,
-        fn_constructor_args=(seed_model_path(),),
+        fn_constructor_args=(domain_model_path(sf_dir),),
         fn_constructor_kwargs={"text_col": "text"},
         batch_format="pyarrow",
         concurrency=(1, 4),
@@ -283,13 +287,13 @@ def _q_repo_top_ppl(sf_dir):
     from kenlm_ray.pipelines.quality_filter import (
         build_quality_pipeline,
         corpus_from_documents,
-        seed_model_path,
+        domain_model_path,
     )
 
-    scored = build_quality_pipeline(corpus_from_documents(sf_dir), seed_model_path())
-    # the documents-derived corpus is OOV-heavy vs the seed model, so the
-    # query ranks all finite-ppl files rather than kept-only
-    return repo_top_ppl(scored, k=3, require_keep=False)
+    scored = build_quality_pipeline(
+        corpus_from_documents(sf_dir), domain_model_path(sf_dir)
+    )
+    return repo_top_ppl(scored, k=3)
 
 
 def _q_mkn_bigram(sf_dir):

@@ -1,0 +1,130 @@
+"""Multi-model interpolation — the capability of the reference's
+``interpolate`` tool (/root/reference/lm/interpolate/pipeline.cc:64-187,
+merge_probabilities.hh, merge_vocab.cc) as static linear interpolation
+with exact backoff recomputation.
+
+Semantics:
+  - union vocabulary / union gram set per order (MergeVocab analog);
+  - probability rows: p(w|ctx) = Σ_i λ_i · p_i(w|ctx), each p_i evaluated
+    through model i's own full backoff (OOV words hit model i's <unk>);
+    merged unigrams renormalized over the union vocab (each model charges
+    its <unk> mass once per foreign word, so the raw mix sums > 1);
+  - backoff weights recomputed so every context distribution sums to
+    exactly 1:  γ(c) = (1 − Σ_seen p(w|c)) / (1 − Σ_seen p_low(w|c′))
+    (the standard ARPA renormalization identity).
+
+The reference instead tunes per-context interpolation with suffix-order
+merges; weight TUNING (lm/interpolate/tune_*) is out of scope.  Models
+are small relative to the corpus, so this runs driver-side, like model
+packing (SURVEY.md §3.3); the hot path (scoring with the merged model)
+stays distributed.
+"""
+
+from __future__ import annotations
+
+import math
+
+from kenlm_ray.model.arpa import ArpaModel
+from kenlm_ray.model.pyref import RefLM
+from kenlm_ray.schema import BOS, EOS, UNK
+
+
+def interpolate_models(
+    models: "list[ArpaModel]", weights: "list[float]"
+) -> ArpaModel:
+    assert len(models) == len(weights) and abs(sum(weights) - 1.0) < 1e-9
+    refs = [RefLM(m) for m in models]
+    order = max(m.order for m in models)
+
+    # union gram sets per order
+    union: dict[int, set] = {n: set() for n in range(1, order + 1)}
+    for m in models:
+        for n in range(1, m.order + 1):
+            union[n] |= set(m.grams[n])
+    vocab = sorted({w for (w,) in union[1]} | {UNK, EOS})
+
+    def mix(ctx: "tuple[str, ...]", w: str) -> float:
+        p = 0.0
+        for lam, ref in zip(weights, refs):
+            nc = [x if (x,) in ref.grams[1] else UNK for x in ctx]
+            ww = ref._norm(w)
+            p += lam * (10.0 ** ref.score_word(nc, ww))
+        return p
+
+    # --- order 1: mixed + renormalized over the union vocab -------------
+    p1 = {w: mix((), w) for w in vocab if w != BOS}
+    s = sum(p1.values())
+    p1 = {w: p / s for w, p in p1.items()}
+
+    merged_probs: dict[int, dict] = {1: p1}
+    # conditional of the merged model at order n (with its own backoffs),
+    # built incrementally to evaluate the γ formula's lower term
+    gammas: dict[tuple, float] = {}
+
+    def merged_cond(ctx: "tuple[str, ...]", w: str) -> float:
+        """Evaluate the merged model built so far (orders <= len(ctx)+1):
+        longest-match prob times the γ of every longer context suffix."""
+        best_k = 0
+        for k in range(min(len(ctx), order - 1), 0, -1):
+            if (ctx[len(ctx) - k :] + (w,)) in merged_probs.get(k + 1, {}):
+                best_k = k
+                break
+        if best_k > 0:
+            total = merged_probs[best_k + 1][ctx[len(ctx) - best_k :] + (w,)]
+        else:
+            total = merged_probs[1].get(w, 0.0)
+        for l in range(best_k + 1, len(ctx) + 1):
+            total *= gammas.get(ctx[len(ctx) - l :], 1.0)
+        return total
+
+    # --- higher orders: mixed probs, then γ per context ------------------
+    for n in range(2, order + 1):
+        pn = {}
+        for g in union[n]:
+            ctx, w = g[:-1], g[-1]
+            pn[g] = mix(ctx, w)
+        merged_probs[n] = pn
+        # γ for every context of the order-n grams
+        ctx_groups: dict[tuple, list] = {}
+        for g in union[n]:
+            ctx_groups.setdefault(g[:-1], []).append(g[-1])
+        for ctx, words in ctx_groups.items():
+            seen = sum(pn[ctx + (w,)] for w in words)
+            lower = sum(
+                (
+                    merged_probs[1].get(w, 0.0)
+                    if n == 2
+                    else merged_cond(ctx[1:], w)
+                )
+                for w in words
+            )
+            denom = 1.0 - lower
+            gammas[ctx] = (1.0 - seen) / denom if abs(denom) > 1e-12 else 1.0
+
+    # --- assemble ARPA ---------------------------------------------------
+    out = ArpaModel()
+    g1 = {}
+    for w in vocab:
+        if w == BOS:
+            continue
+        bo = gammas.get((w,))
+        g1[(w,)] = (
+            math.log10(max(p1[w], 1e-12)),
+            math.log10(max(bo, 1e-12)) if bo is not None else 0.0,
+        )
+    g1[(BOS,)] = (
+        -99.0,
+        math.log10(max(gammas.get((BOS,), 1.0), 1e-12)),
+    )
+    out.grams[1] = g1
+    for n in range(2, order + 1):
+        gn = {}
+        for g, p in merged_probs[n].items():
+            bo = gammas.get(g) if n < order else None
+            gn[g] = (
+                math.log10(max(p, 1e-12)),
+                math.log10(max(bo, 1e-12)) if bo is not None else 0.0,
+            )
+        out.grams[n] = gn
+    out.counts = [len(out.grams.get(n, {})) for n in range(1, order + 1)]
+    return out

@@ -91,5 +91,9 @@ def repo_top_ppl(
             g = g[g["keep"]]
         return g.sort_values(["ppl", "path"]).head(k)[["repo", "path", "ppl"]]
 
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        # sub-results already filtered & projected; just re-rank
+        return g.sort_values(["ppl", "path"]).head(k)[["repo", "path", "ppl"]]
+
     sub = scored.select_columns(["repo", "path", "ppl", "keep"])
-    return salted_map_groups(sub, "repo", topk, salt=salt, salt_from="path")
+    return salted_map_groups(sub, "repo", topk, combine, salt=salt, salt_from="path")

@@ -48,6 +48,30 @@ def seed_model_path(order: int = 3, *, cache: str = _SEED_MODEL_CACHE) -> str:
     return cache
 
 
+def domain_model_path(
+    sf_dir: str, order: int = 3, *, cache_dir: str = "/tmp/kenlm_ray_cache"
+) -> str:
+    """Train (once, driver-side) a KN model on the ``documents`` table of
+    an sf dir — the in-domain model for scoring that corpus (the synthetic
+    seed model is for the source-code corpus)."""
+    label = sf_dir.strip("/").replace("/", "_")
+    cache = os.path.join(cache_dir, f"domain_{label}_o{order}.npz")
+    if not os.path.exists(cache):
+        import pyarrow.parquet as pq
+
+        os.makedirs(cache_dir, exist_ok=True)
+        texts = pq.read_table(
+            os.path.join(sf_dir, "documents.parquet"), columns=["text"]
+        )["text"].to_pylist()
+        sents = [t.split() for t in texts if t]
+        arpa = train_kn(sents, order=order)
+        packed = pack_model(arpa, backoff_bits=8)
+        tmp = cache + f".{os.getpid()}.tmp.npz"
+        packed.save(tmp)
+        os.replace(tmp, cache)
+    return cache
+
+
 def build_quality_pipeline(
     ds: "ray.data.Dataset",
     model_path: "str | None" = None,

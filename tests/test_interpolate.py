@@ -1,0 +1,67 @@
+"""Model interpolation: normalization + blending properties."""
+
+import numpy as np
+import pytest
+
+from kenlm_ray.model.interpolate import interpolate_models
+from kenlm_ray.model.pyref import RefLM
+from kenlm_ray.model.train_quick import train_kn
+from kenlm_ray.schema import BOS, UNK
+
+CORPUS_A = [["a", "b", "c"], ["a", "b", "d"], ["b", "c"], ["c", "a", "b"],
+            ["a", "a"], ["d", "c", "b", "a"]]
+CORPUS_B = [["x", "y", "b"], ["y", "x"], ["b", "x", "y", "z"], ["z", "z", "y"],
+            ["x", "b", "c"], ["y", "b"]]
+
+
+@pytest.fixture(scope="module")
+def merged():
+    ma = train_kn(CORPUS_A, order=3)
+    mb = train_kn(CORPUS_B, order=3)
+    return ma, mb, interpolate_models([ma, mb], [0.7, 0.3])
+
+
+def test_union_vocab(merged):
+    ma, mb, mm = merged
+    va = {w for (w,) in ma.grams[1]}
+    vb = {w for (w,) in mb.grams[1]}
+    vm = {w for (w,) in mm.grams[1]}
+    assert va | vb <= vm
+
+
+@pytest.mark.parametrize(
+    "ctx", [[BOS], ["a"], ["x"], ["a", "b"], ["x", "y"], ["zzz_unseen"], ["b"]]
+)
+def test_merged_normalizes(merged, ctx):
+    _, _, mm = merged
+    ref = RefLM(mm)
+    vocab = [w for (w,) in mm.grams[1] if w != BOS]
+    nc = [w if (w,) in mm.grams[1] else UNK for w in ctx]
+    total = sum(10 ** ref.score_word(nc, w) for w in vocab)
+    assert abs(total - 1.0) < 1e-6, (ctx, total)
+
+
+def test_merged_blends(merged):
+    ma, mb, mm = merged
+    ra, rb, rm = RefLM(ma), RefLM(mb), RefLM(mm)
+    # a word seen in both: merged unigram between the two (up to the
+    # union-vocab renormalization factor)
+    pa = 10 ** ra.score_word([], "b")
+    pb = 10 ** rb.score_word([], "b")
+    pm = 10 ** rm.score_word([], "b")
+    lo, hi = min(pa, pb), max(pa, pb)
+    assert lo * 0.5 < pm < hi * 1.5
+    # a-words dominate with weight 0.7
+    assert 10 ** rm.score_word([], "a") > 10 ** rm.score_word([], "z")
+
+
+def test_scores_through_vector_scorer(merged):
+    from kenlm_ray.model.pack import pack_model
+    from kenlm_ray.model.scorer import VectorLM
+
+    _, _, mm = merged
+    vlm = VectorLM(pack_model(mm, backoff_bits=None))
+    ref = RefLM(mm)
+    for text in ["a b c", "x y", "a b\nx y z", "unknown words here"]:
+        rt, _, _ = ref.score_document(text)
+        assert np.isclose(vlm.score_text(text), rt, rtol=1e-5, atol=1e-3)
