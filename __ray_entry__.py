@@ -97,6 +97,12 @@ def _q_segment_sales(sf_dir):
     return _round_cols(segment_sales(sf_dir), {"total_price": 2})
 
 
+def _q_region_sales(sf_dir):
+    from kenlm_ray.ops.analytics import region_sales
+
+    return _round_cols(region_sales(sf_dir), {"total_price": 2})
+
+
 def _q_source_stats(sf_dir):
     from kenlm_ray.ops.analytics import source_stats
 
@@ -322,6 +328,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pricing_summary": _q_pricing_summary,
         "top_orders_by_revenue": _q_top_orders,
         "segment_sales": _q_segment_sales,
+        "region_sales": _q_region_sales,
         "source_stats": _q_source_stats,
         "events_hourly": _q_events_hourly,
         "doc_token_stats": _q_doc_token_stats,
@@ -375,6 +382,16 @@ def oracle_sql() -> dict[str, str]:
                    count(*)::BIGINT            AS n_orders
             FROM orders JOIN customer ON o_custkey = c_custkey
             GROUP BY c_mktsegment
+        """,
+        "region_sales": """
+            SELECT r_name,
+                   round(sum(o_totalprice), 2) AS total_price,
+                   count(*)::BIGINT            AS n_orders
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation   ON c_nationkey = n_nationkey
+            JOIN region   ON n_regionkey = r_regionkey
+            GROUP BY r_name
         """,
         "source_stats": """
             SELECT source,

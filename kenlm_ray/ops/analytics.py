@@ -148,6 +148,44 @@ def segment_sales(sf_dir: str) -> "ray.data.Dataset":
     )
 
 
+def region_sales(sf_dir: str) -> "ray.data.Dataset":
+    """Three-table broadcast join chain (customer→nation→region) +
+    grouped aggregate: order count and total price per region."""
+    nation = read(sf_dir, "nation").to_pandas()
+    region = read(sf_dir, "region").to_pandas()
+    cust = read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]).to_pandas()
+    n2r = dict(zip(nation["n_nationkey"], nation["n_regionkey"]))
+    r2name = dict(zip(region["r_regionkey"], region["r_name"]))
+    c2r = {
+        int(c): r2name[n2r[int(n)]]
+        for c, n in zip(cust["c_custkey"], cust["c_nationkey"])
+    }
+    lookup_ref = ray.put(c2r)
+    orders = read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+
+    def join_partial(batch: pa.Table) -> pa.Table:
+        lookup = ray.get(lookup_ref)
+        keys = batch["o_custkey"].to_numpy(zero_copy_only=False)
+        reg = np.array([lookup.get(int(kk)) for kk in keys], dtype=object)
+        t = pa.table(
+            {
+                "r_name": pa.array(reg, type=pa.string()),
+                "total": batch["o_totalprice"],
+                "n": pa.array(np.ones(len(batch), dtype=np.int64)),
+            }
+        )
+        return t.group_by("r_name").aggregate([("total", "sum"), ("n", "sum")])
+
+    return (
+        orders.map_batches(join_partial, batch_format="pyarrow")
+        .groupby("r_name")
+        .aggregate(
+            Sum("total_sum", alias_name="total_price"),
+            Sum("n_sum", alias_name="n_orders"),
+        )
+    )
+
+
 def source_stats(sf_dir: str) -> "ray.data.Dataset":
     """documents grouped by source: count + mean n_chars."""
     ds = read(sf_dir, "documents", columns=["source", "n_chars"])

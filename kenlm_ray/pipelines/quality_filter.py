@@ -81,10 +81,33 @@ def build_quality_pipeline(
     langid_concurrency=(1, 16),
     batch_size: int = 1024,
     project: bool = True,
+    dedupe: bool = False,
 ) -> "ray.data.Dataset":
-    """Assemble the lazy scored-Dataset plan over a corpus Dataset."""
+    """Assemble the lazy scored-Dataset plan over a corpus Dataset.
+
+    ``dedupe=True`` prepends an exact content dedup (hash-partition on
+    sha256, keep the (repo, path)-smallest row per distinct content) —
+    the optional corpus-dedup stage of SURVEY.md §7.4."""
     cfg = cfg or QualityConfig()
     model_path = model_path or seed_model_path()
+    if dedupe:
+        import pandas as pd
+        import pyarrow as pa
+
+        from kenlm_ray.stages.scrub import sha256_column
+
+        def add_hash(batch: pa.Table) -> pa.Table:
+            return batch.append_column("__h", sha256_column(batch["content"]))
+
+        def first(g: pd.DataFrame) -> pd.DataFrame:
+            return g.sort_values(["repo", "path"]).head(1)
+
+        ds = (
+            ds.map_batches(add_hash, batch_format="pyarrow")
+            .groupby("__h")
+            .map_groups(first, batch_format="pandas")
+            .drop_columns(["__h"])
+        )
     # actor-pool stages first, then every stateless stage together — Ray
     # Data fuses consecutive map ops into the UPSTREAM operator, so a
     # stateless stage placed before an actor pool would get pinned to the

@@ -1,0 +1,73 @@
+"""CLI end-to-end: quality command with resume, pack+query."""
+
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_pack_and_query_roundtrip(tmp_path):
+    from kenlm_ray.model.arpa import write_arpa
+    from kenlm_ray.testing import random_arpa
+
+    arpa_path = str(tmp_path / "m.arpa")
+    write_arpa(random_arpa(order=3, seed=9, vocab_size=12), arpa_path)
+    npz = str(tmp_path / "m.npz")
+    out = subprocess.run(
+        [sys.executable, "-m", "kenlm_ray.cli", "pack", arpa_path, npz],
+        capture_output=True, text=True, cwd=REPO, check=True,
+    )
+    assert "packed order=3" in out.stdout
+    out = subprocess.run(
+        [sys.executable, "-m", "kenlm_ray.cli", "query", npz, "--text", "w1 w2 zzz"],
+        capture_output=True, text=True, cwd=REPO, check=True,
+    )
+    assert "oov=1" in out.stdout and "ppl=" in out.stdout
+
+
+def test_quality_command_with_resume(ray_session, tmp_path):
+    """Drive the flagship through its CLI surface (in-process to reuse the
+    Ray session), interrupted then resumed."""
+    from kenlm_ray import cli
+    from kenlm_ray.sources.synth_corpus import write_corpus
+    from kenlm_ray.state.checkpoint import read_output
+
+    corpus = str(tmp_path / "corpus")
+    write_corpus(corpus, 120, seed=42, n_shards=4)
+    out = str(tmp_path / "out")
+    rc = cli.main(
+        ["quality", corpus, out, "--files-per-partition", "2"]
+    )
+    assert rc == 0
+    t = read_output(out)
+    assert t.num_rows == 120
+    # resume run: everything skipped
+    rc = cli.main(["quality", corpus, out, "--files-per-partition", "2"])
+    assert rc == 0
+
+
+def test_quality_pipeline_dedupe_option(ray_session):
+    import pyarrow as pa
+
+    import ray.data
+
+    from kenlm_ray.pipelines.quality_filter import (
+        build_quality_pipeline,
+        seed_model_path,
+    )
+
+    rows = [
+        {"repo": "r", "path": f"p{i}", "commit": "c", "lang": "python",
+         "content": "x = value + count\nreturn result"}
+        for i in range(4)
+    ] + [
+        {"repo": "r", "path": "q", "commit": "c", "lang": "python",
+         "content": "different = content here\nreturn other"}
+    ]
+    ds = ray.data.from_items(rows)
+    out = build_quality_pipeline(ds, seed_model_path(), dedupe=True).to_pandas()
+    assert len(out) == 2  # 4 duplicates collapse to the path-smallest
+    assert set(out["path"]) == {"p0", "q"}
