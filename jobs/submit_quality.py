@@ -1,0 +1,75 @@
+"""`ray job submit` entrypoint for the flagship quality filter.
+
+On a real cluster:
+
+    ray job submit --address http://<head>:8265 \
+        --working-dir /path/to/repo -- \
+        python jobs/submit_quality.py \
+            --corpus s3://bucket/corpus --out s3://bucket/scored \
+            --files-per-partition 256
+
+The job is resumable: re-submitting with the same --out skips completed
+partitions via their lineage records (kenlm_ray/state/checkpoint.py).
+In this sandbox it runs against a local Ray session instead; the code
+path is identical apart from ray.init(address=...).
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("--corpus", required=True, help="directory of parquet shards")
+    p.add_argument("--out", required=True)
+    p.add_argument("--model", default=None, help="packed .npz (default: seed model)")
+    p.add_argument("--files-per-partition", type=int, default=4)
+    p.add_argument("--dedupe", action="store_true")
+    args = p.parse_args()
+
+    import ray
+
+    if not ray.is_initialized():
+        # under `ray job submit` RAY_ADDRESS points at the cluster; the
+        # sandbox presets RAY_ADDRESS=local
+        ray.init(
+            address=os.environ.get("RAY_ADDRESS", "auto"),
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    from kenlm_ray.pipelines.quality_filter import (
+        build_quality_pipeline,
+        seed_model_path,
+    )
+    from kenlm_ray.state.checkpoint import run_resumable
+
+    paths = sorted(glob.glob(os.path.join(args.corpus, "*.parquet")))
+    if not paths:
+        print(f"no parquet shards under {args.corpus}", file=sys.stderr)
+        return 2
+    model = args.model or seed_model_path()
+    summary = run_resumable(
+        paths,
+        args.out,
+        lambda ds: build_quality_pipeline(ds, model, dedupe=args.dedupe),
+        files_per_partition=args.files_per_partition,
+    )
+    print(json.dumps(summary))
+    ray.shutdown()
+    return 0 if summary["complete"] else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

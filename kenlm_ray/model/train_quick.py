@@ -63,6 +63,11 @@ def train_kn(
     # ---- raw counts at the top order (padded <s> ... </s>) ----
     raw: list[Counter] = [Counter() for _ in range(order + 1)]  # raw[n]
     for s in sentences:
+        if not s:
+            # empty sentences are skipped (engine convention: the scorer
+            # also skips empty lines; the distributed estimator's
+            # tokenizer yields no sentence for them)
+            continue
         toks = [BOS] + [norm(w) for w in s] + [EOS]
         L = len(toks)
         for n in range(1, order + 1):

@@ -63,6 +63,23 @@ def test_normalization_through_scorer(both):
         assert abs(total - 1.0) < 1e-6, (ctx, total)
 
 
+def test_order4_parity(ray_session):
+    """Higher-order path: 4-gram estimation matches the oracle."""
+    import ray.data
+
+    lines = CORPUS_LINES + ["a b c d a b c d", "d d d d", "b a b a b a"]
+    ds = ray.data.from_items([{"text": ln} for ln in lines])
+    result = estimate_mkn(ds, order=4, num_partitions=2)
+    dist = to_arpa_model(result, 4)
+    orc = train_kn([ln.split() for ln in lines], order=4)
+    assert dist.counts == orc.counts
+    for n in (1, 2, 3, 4):
+        for g, (p, b) in orc.grams[n].items():
+            dp, db = dist.grams[n][g]
+            assert np.isclose(dp, p, rtol=1e-8, atol=1e-9), (n, g)
+            assert np.isclose(db, b, rtol=1e-8, atol=1e-9), (n, g)
+
+
 def test_larger_corpus_sampled_parity(ray_session):
     """Bigger deterministic corpus: spot-check counts + discounts equality."""
     import ray.data

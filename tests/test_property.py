@@ -1,0 +1,89 @@
+"""Property-based tests (hypothesis): the vectorized kernels against
+trivial pure-Python references on adversarial random inputs."""
+
+import re
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from kenlm_ray.functions.hashing import murmur64, murmur64_stream
+from kenlm_ray.functions.tokenize import tokenize_texts
+
+text_strategy = st.lists(
+    st.text(
+        alphabet=st.sampled_from(
+            list("ab xyz\t\n\r\x00\x0b\x0c") + ["é", "語", " "]
+        ),
+        max_size=60,
+    ),
+    max_size=8,
+)
+
+
+def _ref_tokens(docs):
+    out = []
+    for d, text in enumerate(docs):
+        data = text.encode()
+        for line_i, line in enumerate(data.split(b"\n")):
+            toks = [t for t in re.split(b"[\x00\t\r ]+", line) if t]
+            for t in toks:
+                out.append((d, t))
+    return out
+
+
+@settings(max_examples=200, deadline=None)
+@given(text_strategy)
+def test_tokenizer_matches_reference(docs):
+    ts = tokenize_texts(docs)
+    got = [
+        (int(ts.doc_ids[i]), ts.token_bytes(i)) for i in range(ts.n_tokens)
+    ]
+    assert got == _ref_tokens(docs)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.binary(max_size=40), min_size=1, max_size=30))
+def test_streaming_murmur_matches_scalar(blobs):
+    flat = b"".join(blobs)
+    data = np.frombuffer(flat, dtype=np.uint8)
+    lens = np.array([len(b) for b in blobs], dtype=np.int64)
+    starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+    h = murmur64_stream(data, starts, lens)
+    for b, v in zip(blobs, h):
+        assert murmur64(b) == int(v)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(
+        st.text(alphabet=st.sampled_from(list("abwxyz @.:-\n\"'=0123456789")), max_size=120),
+        max_size=5,
+    )
+)
+def test_scrub_arrow_matches_python_re(docs):
+    import pyarrow as pa
+
+    from kenlm_ray.stages.scrub import scrub_stage, scrub_text
+
+    out = scrub_stage(pa.table({"content": pa.array(docs, type=pa.string())}))
+    got = out["content_scrubbed"].to_pylist()
+    assert got == [scrub_text(d) for d in docs]
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.sampled_from("abcdw0 w1 w2 zz".split() + ["<s>"]), max_size=12))
+def test_scorer_matches_oracle_on_random_tokens(tokens):
+    from kenlm_ray.functions.tokenize import tokenize_texts as tt
+    from kenlm_ray.model.pack import pack_model
+    from kenlm_ray.model.pyref import RefLM
+    from kenlm_ray.model.scorer import VectorLM
+    from kenlm_ray.testing import random_arpa
+
+    arpa = random_arpa(order=3, seed=77, vocab_size=8)
+    packed = pack_model(arpa, backoff_bits=None)
+    text = " ".join(tokens)
+    got = VectorLM(packed).score_stream(tt([text]))
+    rt, rw, ro = RefLM(arpa).score_document(text)
+    assert np.isclose(got.logprob_sum[0], rt, rtol=1e-5, atol=1e-3)
+    assert got.token_count[0] == rw and got.oov_count[0] == ro
