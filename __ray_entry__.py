@@ -264,6 +264,12 @@ def _q_simhash(sf_dir):
     return simhash_column(_documents(sf_dir))
 
 
+def _q_winnow(sf_dir):
+    from kenlm_ray.ops.dedup import winnow_fingerprints
+
+    return winnow_fingerprints(_documents(sf_dir))
+
+
 def _q_sliding_windows(sf_dir):
     import pyarrow.compute as pc
 
@@ -350,6 +356,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid": _q_langid,
         "minhash_near_dup_pairs": _q_minhash_pairs,
         "simhash_fingerprints": _q_simhash,
+        "winnow_fingerprints": _q_winnow,
         "lsh_knn_top10": _q_lsh_knn,
         "mkn_bigram_model": _q_mkn_bigram,
         "repo_top_ppl_salted": _q_repo_top_ppl,

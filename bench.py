@@ -79,6 +79,40 @@ def run_flagship(paths: "list[str]") -> dict:
     return {"sec": round(wall, 3), "files_per_sec": round(n / wall, 1), "rows": n}
 
 
+def scoring_kernel_throughput() -> dict:
+    """Raw scoring throughput, kenlm_benchmark style
+    (/root/reference/lm/kenlm_benchmark_main.cc: binary model pre-loaded,
+    vocab ids pre-converted conceptually, load excluded): token-scores/sec
+    of the vectorized backoff walk on one core."""
+    import numpy as np
+
+    from kenlm_ray.functions.tokenize import tokenize_column
+    from kenlm_ray.model.pack import PackedModel
+    from kenlm_ray.model.scorer import VectorLM
+    from kenlm_ray.sources.synth_corpus import gen_table
+
+    lm = VectorLM(PackedModel.load(seed_model_path_cached()))
+    tbl = gen_table(42, 0, 2000)
+    stream = tokenize_column(tbl["content"])
+    lm.score_stream(stream)  # warm
+    t0 = time.time()
+    reps = 5
+    for _ in range(reps):
+        sc = lm.score_stream(stream)
+    dt = time.time() - t0
+    tokens = int(np.sum(sc.token_count))
+    return {
+        "token_scores_per_sec_single_core": round(tokens * reps / dt),
+        "tokens_per_rep": tokens,
+    }
+
+
+def seed_model_path_cached():
+    from kenlm_ray.pipelines.quality_filter import seed_model_path
+
+    return seed_model_path()
+
+
 def run_queries() -> dict[str, float]:
     """Time a representative operator set over the sf tables."""
     import __ray_entry__ as em
@@ -132,6 +166,7 @@ def main_bench() -> None:
         "files_per_sec": flag["files_per_sec"],
         "corpus_rows": flag["rows"],
         "queries": queries,
+        "scoring_kernel": scoring_kernel_throughput(),
         "sf": SF_LABEL,
         "num_cpus": NUM_CPUS,
     }

@@ -143,6 +143,21 @@ class PackedModel:
 
         return int(self.word_ids(np.array([murmur64(word.encode())], dtype=np.uint64))[0])
 
+    def vocab_table(self):
+        """FIXTURES.md F4 vocab table: (id uint32, word, hash uint64) in
+        id order (the reference's vocab file is a word list in id order,
+        lm/vocab.hh:35-64)."""
+        import pyarrow as pa
+
+        order = np.argsort(self.vocab_ids, kind="stable")
+        return pa.table(
+            {
+                "id": pa.array(self.vocab_ids[order]),
+                "word": pa.array([self.words[i] for i in self.vocab_ids[order]]),
+                "hash": pa.array(self.vocab_hashes[order]),
+            }
+        )
+
     # -- persistence ---------------------------------------------------------
     def save(self, path: str) -> None:
         arrays: dict[str, np.ndarray] = {

@@ -203,3 +203,16 @@ class VectorLM:
         from kenlm_ray.functions.tokenize import tokenize_texts
 
         return float(self.score_stream(tokenize_texts([text])).ppl[0])
+
+    def full_scores(self, text: str) -> "list[tuple[float, bool]]":
+        """Per-word (log10 prob, is_oov) including the </s> terms — the
+        reference Python API's full_scores (python/kenlm.pyx:216-243);
+        sum of the probs equals score_text (python/example.py invariant)."""
+        from kenlm_ray.functions.tokenize import tokenize_texts
+
+        stream = tokenize_texts([text])
+        if stream.n_tokens == 0:
+            return []
+        ids, _ = self.ids_for(stream)
+        logprob, _, oov = self.score_sentences(ids, stream.sent_ids)
+        return [(float(p), bool(o)) for p, o in zip(logprob, oov)]

@@ -268,6 +268,59 @@ def simhash_column(
     return ds.map_batches(sim, batch_format="pyarrow")
 
 
+def winnow_fingerprints(
+    ds: "ray.data.Dataset",
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    window: int = 8,
+) -> "ray.data.Dataset":
+    """Winnowing document fingerprints (Schleimer et al., MOSS): rolling
+    k-token hashes, keep the minimum of every ``window`` consecutive
+    hashes (rightmost tie-break), dedupe per doc.  Output: one row per
+    (doc, fingerprint) — the sketch used for plagiarism/near-dup lookup.
+    """
+
+    def fp(batch: pa.Table) -> pa.Table:
+        doc, h, n_docs = _shingle_hashes(batch, text_col, k)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        if len(h) == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([], type=pa.int64()),
+                    "fingerprint": pa.array([], type=pa.uint64()),
+                }
+            )
+        out_doc, out_fp = [], []
+        bounds = np.searchsorted(doc, np.arange(n_docs + 1))
+        for d in range(n_docs):
+            lo, hi = bounds[d], bounds[d + 1]
+            hs = h[lo:hi]
+            if len(hs) == 0:
+                continue
+            if len(hs) <= window:
+                sel = np.array([len(hs) - 1 - int(np.argmin(hs[::-1]))])
+            else:
+                # sliding-window minima via stride tricks (small per-doc
+                # arrays — cache-resident)
+                sw = np.lib.stride_tricks.sliding_window_view(hs, window)
+                # rightmost minimum per window
+                rev = sw[:, ::-1]
+                sel = np.unique((window - 1 - np.argmin(rev, axis=1)) + np.arange(len(sw)))
+            fps = np.unique(hs[sel])
+            out_doc.extend([int(ids[d])] * len(fps))
+            out_fp.extend(fps.tolist())
+        return pa.table(
+            {
+                id_col: pa.array(out_doc, type=pa.int64()),
+                "fingerprint": pa.array(out_fp, type=pa.uint64()),
+            }
+        )
+
+    return ds.map_batches(fp, batch_format="pyarrow")
+
+
 def ngram_jaccard_pairs(
     ds: "ray.data.Dataset",
     candidate_pairs: "list[tuple[int, int]]",

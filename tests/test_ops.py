@@ -197,3 +197,52 @@ def test_hash_join(ray_session):
         how="inner", num_partitions=3,
     ).to_pandas()
     assert set(inner["k"]) == {"a", "c"}
+
+
+def test_winnow_fingerprints(ray_session):
+    import ray.data
+
+    from kenlm_ray.ops.dedup import winnow_fingerprints
+
+    base = " ".join(f"tok{i}" for i in range(60))
+    docs = [
+        {"doc_id": 0, "text": base},
+        {"doc_id": 1, "text": "alpha beta " + base + " gamma delta"},
+        {"doc_id": 2, "text": " ".join(f"other{i}" for i in range(60))},
+    ]
+    out = winnow_fingerprints(ray.data.from_items(docs)).to_pandas()
+    fp = {d: set(out[out.doc_id == d]["fingerprint"]) for d in (0, 1, 2)}
+    j01 = len(fp[0] & fp[1]) / len(fp[0] | fp[1])
+    j02 = len(fp[0] & fp[2]) / len(fp[0] | fp[2])
+    assert j01 > 0.5 > j02
+    # deterministic across batch splits
+    out2 = winnow_fingerprints(
+        ray.data.from_items(docs).repartition(3)
+    ).to_pandas()
+    fp2 = {d: set(out2[out2.doc_id == d]["fingerprint"]) for d in (0, 1, 2)}
+    assert fp == fp2
+
+
+def test_full_scores_api():
+    import numpy as np
+
+    from kenlm_ray.model.pack import pack_model
+    from kenlm_ray.model.scorer import VectorLM
+    from kenlm_ray.testing import random_arpa
+
+    vlm = VectorLM(pack_model(random_arpa(order=3, seed=4)))
+    text = "w1 w2 zzz w3\nw4 w5"
+    fs = vlm.full_scores(text)
+    # python/example.py invariant: sum(full_scores) == score
+    assert np.isclose(sum(p for p, _ in fs), vlm.score_text(text), atol=1e-4)
+    assert sum(o for _, o in fs) == 1  # exactly one OOV
+    assert len(fs) == 6 + 2  # six words + two </s>
+
+
+def test_vocab_table_layout():
+    from kenlm_ray.model.pack import pack_model
+    from kenlm_ray.testing import random_arpa
+
+    vt = pack_model(random_arpa(order=2, seed=1, vocab_size=6)).vocab_table()
+    assert vt["id"].to_pylist() == list(range(len(vt)))
+    assert vt["word"].to_pylist()[:3] == ["<unk>", "<s>", "</s>"]
