@@ -103,10 +103,24 @@ def decide_doc(metrics: dict, cfg: QualityConfig) -> tuple[bool, "str | None", d
 
 
 def label_row(text: str, ref_lm: RefLM, cfg: QualityConfig) -> dict:
-    m = heuristics_doc(text)
+    n_bytes = len(text.encode())
+    gated = not (cfg.min_bytes <= n_bytes <= cfg.max_bytes)
+    if gated:
+        # size-gated: the pipeline skips the expensive per-byte work for
+        # docs the size rules already doom (stages/*.py size_gate) —
+        # metrics default to 0, scrubbed text is null, LM scoring skipped
+        from kenlm_ray.stages.heuristics import METRIC_COLUMNS
+
+        m = {k: 0 for k in METRIC_COLUMNS}
+        m["n_bytes"] = n_bytes
+    else:
+        m = heuristics_doc(text)
     lang, conf = classify_scalar(text)
     m["langid"], m["langid_conf"] = lang, conf
-    lp, words, oov = ref_lm.score_document(text)
+    if gated:
+        lp, words, oov = 0.0, 0, 0
+    else:
+        lp, words, oov = ref_lm.score_document(text)
     m["logprob_sum"] = lp
     m["token_count"] = words
     m["oov_count"] = oov
@@ -116,7 +130,7 @@ def label_row(text: str, ref_lm: RefLM, cfg: QualityConfig) -> dict:
     m["drop_reason"] = reason
     m["rule_flags"] = json.dumps(flags, separators=(",", ":"))
     m["content_sha256"] = hashlib.sha256(text.encode()).hexdigest()
-    m["content_scrubbed"] = scrub_text(text)
+    m["content_scrubbed"] = None if gated else scrub_text(text)
     return m
 
 

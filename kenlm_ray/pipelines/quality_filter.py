@@ -121,12 +121,24 @@ def build_quality_pipeline(
     ds = ds.map_batches(
         PplScorer,
         fn_constructor_args=(model_path,),
+        fn_constructor_kwargs={"size_gate": (cfg.min_bytes, cfg.max_bytes)},
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=scorer_concurrency,
     )
-    ds = ds.map_batches(heuristics_stage, batch_format="pyarrow", batch_size=batch_size)
-    ds = ds.map_batches(scrub_stage, batch_format="pyarrow", batch_size=batch_size)
+    gate = (cfg.min_bytes, cfg.max_bytes)
+    ds = ds.map_batches(
+        heuristics_stage,
+        fn_kwargs={"size_gate": gate},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+    )
+    ds = ds.map_batches(
+        scrub_stage,
+        fn_kwargs={"size_gate": gate},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+    )
     ds = ds.map_batches(decide_stage, batch_format="pyarrow", batch_size=batch_size)
     if project:
         ds = ds.select_columns(SCORED_COLUMNS)

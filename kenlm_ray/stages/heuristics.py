@@ -30,6 +30,13 @@ LINE_HASH_PREFIX = 512
 MIN_TOKENS_FOR_NGRAM = 16
 TOP_NGRAM_NS = (2, 3, 4)
 
+METRIC_COLUMNS = [
+    "n_bytes", "n_lines", "max_line_len", "mean_line_len", "alpha_ratio",
+    "n_tokens", "mean_token_len", "dup_line_frac",
+    "top2gram_frac", "top3gram_frac", "top4gram_frac",
+]
+INT_METRICS = {"n_bytes", "n_lines", "max_line_len", "n_tokens"}
+
 
 def _per_doc_max_over_runs(keys_doc: np.ndarray, keys_val: np.ndarray, n_docs: int) -> np.ndarray:
     """Count of the most frequent value within each doc.
@@ -203,8 +210,37 @@ def compute_heuristics(
     return out
 
 
-def heuristics_stage(batch: pa.Table, text_col: str = "content") -> pa.Table:
-    metrics = compute_heuristics(batch[text_col])
+def heuristics_stage(
+    batch: pa.Table,
+    text_col: str = "content",
+    size_gate: "tuple[int, int] | None" = None,
+) -> pa.Table:
+    """``size_gate=(lo, hi)``: docs outside the byte bounds get only
+    n_bytes (the doom-certain size rules fire on it); every other metric
+    defaults to 0 — the expensive per-byte/per-token work is skipped."""
+    col = batch[text_col]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if size_gate is not None:
+        offsets, _ = _string_buffers(col)
+        n_bytes_all = (offsets[1:] - offsets[:-1]).astype(np.int64)
+        lo, hi = size_gate
+        ok = (n_bytes_all >= lo) & (n_bytes_all <= hi)
+        if not ok.all():
+            n = len(batch)
+            sel = np.flatnonzero(ok)
+            sub_metrics = compute_heuristics(col.take(pa.array(sel))) if len(sel) else None
+            for name in METRIC_COLUMNS:
+                if name == "n_bytes":
+                    batch = batch.append_column(name, pa.array(n_bytes_all))
+                    continue
+                dtype = np.int64 if name in INT_METRICS else np.float64
+                arr = np.zeros(n, dtype=dtype)
+                if sub_metrics is not None:
+                    arr[sel] = sub_metrics[name]
+                batch = batch.append_column(name, pa.array(arr))
+            return batch
+    metrics = compute_heuristics(col)
     for name, arr in metrics.items():
         batch = batch.append_column(name, pa.array(arr))
     return batch

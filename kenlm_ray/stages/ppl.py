@@ -21,7 +21,16 @@ from kenlm_ray.model.scorer import VectorLM
 
 
 class PplScorer:
-    def __init__(self, model_ref, text_col: str = "content"):
+    def __init__(
+        self,
+        model_ref,
+        text_col: str = "content",
+        size_gate: "tuple[int, int] | None" = None,
+    ):
+        """``size_gate=(min_bytes, max_bytes)``: documents outside the
+        bounds are NOT scored (they are doomed by the cheap size rules
+        anyway) — logprob 0, counts 0, ppl NaN.  The gate costs nothing:
+        byte lengths come straight from the Arrow offsets."""
         import ray
 
         if isinstance(model_ref, ray.ObjectRef):
@@ -36,16 +45,43 @@ class PplScorer:
             raise TypeError(f"unsupported model_ref {type(model_ref)}")
         self.lm = VectorLM(model)
         self.text_col = text_col
+        self.size_gate = size_gate
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        stream = tokenize_column(batch[self.text_col])
-        sc = self.lm.score_stream(stream)
-        return (
-            batch.append_column("logprob_sum", pa.array(sc.logprob_sum, type=pa.float64()))
-            .append_column("token_count", pa.array(sc.token_count, type=pa.int64()))
-            .append_column("oov_count", pa.array(sc.oov_count, type=pa.int64()))
-            .append_column("ppl", pa.array(sc.ppl, type=pa.float64()))
-            .append_column(
-                "ppl_excl_oov", pa.array(sc.ppl_excl_oov, type=pa.float64())
+        col = batch[self.text_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if self.size_gate is not None:
+            from kenlm_ray.functions.tokenize import _string_buffers
+
+            offsets, _ = _string_buffers(col)
+            n_bytes = offsets[1:] - offsets[:-1]
+            lo, hi = self.size_gate
+            ok = (n_bytes >= lo) & (n_bytes <= hi)
+            n = len(batch)
+            lp = np.zeros(n, dtype=np.float64)
+            tc = np.zeros(n, dtype=np.int64)
+            oc = np.zeros(n, dtype=np.int64)
+            ppl = np.full(n, np.nan)
+            pplx = np.full(n, np.nan)
+            if ok.any():
+                sel = np.flatnonzero(ok)
+                sub = col.take(pa.array(sel))
+                sc = self.lm.score_stream(tokenize_column(sub))
+                lp[sel] = sc.logprob_sum
+                tc[sel] = sc.token_count
+                oc[sel] = sc.oov_count
+                ppl[sel] = sc.ppl
+                pplx[sel] = sc.ppl_excl_oov
+        else:
+            sc = self.lm.score_stream(tokenize_column(col))
+            lp, tc, oc, ppl, pplx = (
+                sc.logprob_sum, sc.token_count, sc.oov_count, sc.ppl, sc.ppl_excl_oov
             )
+        return (
+            batch.append_column("logprob_sum", pa.array(lp, type=pa.float64()))
+            .append_column("token_count", pa.array(tc, type=pa.int64()))
+            .append_column("oov_count", pa.array(oc, type=pa.int64()))
+            .append_column("ppl", pa.array(ppl, type=pa.float64()))
+            .append_column("ppl_excl_oov", pa.array(pplx, type=pa.float64()))
         )

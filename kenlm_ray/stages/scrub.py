@@ -67,12 +67,42 @@ def sha256_column(col: "pa.Array | pa.ChunkedArray") -> pa.Array:
     )
 
 
-def scrub_stage(batch: pa.Table, text_col: str = "content") -> pa.Table:
-    """Adds content_sha256 (of the original) and content_scrubbed."""
+def scrub_stage(
+    batch: pa.Table,
+    text_col: str = "content",
+    size_gate: "tuple[int, int] | None" = None,
+) -> pa.Table:
+    """Adds content_sha256 (of the original) and content_scrubbed.
+
+    ``size_gate``: docs outside the byte bounds are dropped by the size
+    rules and never emitted downstream, so their scrubbed text is null
+    (sha256 is still computed — the lineage invariant covers every row)."""
     col = batch[text_col]
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
     batch = batch.append_column("content_sha256", sha256_column(col))
+    if size_gate is not None:
+        import numpy as np
+
+        from kenlm_ray.functions.tokenize import _string_buffers
+
+        offsets, _ = _string_buffers(col)
+        n_bytes = offsets[1:] - offsets[:-1]
+        lo, hi = size_gate
+        ok = (n_bytes >= lo) & (n_bytes <= hi)
+        if not ok.all():
+            sel = np.flatnonzero(ok)
+            scrubbed_sub = col.take(pa.array(sel))
+            for _, pattern, repl in SCRUB_PATTERNS:
+                scrubbed_sub = pc.replace_substring_regex(
+                    scrubbed_sub, pattern=pattern, replacement=repl
+                )
+            vals = np.full(len(batch), None, dtype=object)
+            for i, s in zip(sel, scrubbed_sub.to_pylist()):
+                vals[i] = s
+            return batch.append_column(
+                "content_scrubbed", pa.array(vals, type=pa.string())
+            )
     scrubbed = col
     for _, pattern, repl in SCRUB_PATTERNS:
         scrubbed = pc.replace_substring_regex(scrubbed, pattern=pattern, replacement=repl)

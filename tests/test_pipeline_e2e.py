@@ -78,7 +78,9 @@ def test_sha256_invariant_on_kept_rows(scored_and_labels):
 
 def test_scrubbed_content_matches_oracle(scored_and_labels):
     scored, labels, _ = scored_and_labels
-    assert (scored["content_scrubbed"] == labels["content_scrubbed"]).all()
+    a = scored["content_scrubbed"].fillna("\0NULL")
+    b = labels["content_scrubbed"].fillna("\0NULL")
+    assert (a == b).all()
 
 
 def test_langid_and_ppl_match(scored_and_labels):
