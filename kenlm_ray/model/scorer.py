@@ -29,7 +29,7 @@ from dataclasses import dataclass
 
 import numpy as np
 
-from kenlm_ray.functions.hashing import murmur64_matrix, ngram_hash_step
+from kenlm_ray.functions.hashing import ngram_hash_step
 from kenlm_ray.functions.tokenize import TokenStream
 from kenlm_ray.model.pack import PackedModel
 from kenlm_ray.schema import BOS_ID, EOS_ID, UNK_ID

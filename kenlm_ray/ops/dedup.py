@@ -20,7 +20,7 @@ import pyarrow as pa
 import ray.data
 from ray.data.aggregate import Count, Min, Sum
 
-from kenlm_ray.functions.hashing import murmur64_matrix, ngram_hash_step
+from kenlm_ray.functions.hashing import ngram_hash_step
 from kenlm_ray.functions.tokenize import tokenize_column
 from kenlm_ray.stages.scrub import sha256_column
 

@@ -23,7 +23,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from kenlm_ray.functions.hashing import murmur64_matrix, ngram_hash_step
+from kenlm_ray.functions.hashing import ngram_hash_step
 from kenlm_ray.functions.tokenize import TokenStream, _string_buffers, tokenize_column
 
 LINE_HASH_PREFIX = 512

@@ -246,3 +246,26 @@ def test_vocab_table_layout():
     vt = pack_model(random_arpa(order=2, seed=1, vocab_size=6)).vocab_table()
     assert vt["id"].to_pylist() == list(range(len(vt)))
     assert vt["word"].to_pylist()[:3] == ["<unk>", "<s>", "</s>"]
+
+
+def test_minhash_estimates_jaccard(ray_session):
+    """MinHash signature agreement approximates the true shingle Jaccard."""
+    import ray.data
+
+    from kenlm_ray.ops.dedup import minhash_lsh_pairs, ngram_jaccard_pairs
+
+    rng = np.random.default_rng(3)
+    base = [f"w{i}" for i in rng.integers(0, 50, 200)]
+    variant = list(base)
+    for i in rng.integers(0, len(variant), 20):
+        variant[int(i)] = "CHANGED"
+    docs = [
+        {"doc_id": 0, "text": " ".join(base)},
+        {"doc_id": 1, "text": " ".join(variant)},
+    ]
+    ds = ray.data.from_items(docs)
+    pairs = minhash_lsh_pairs(ds, jaccard_threshold=0.3, num_perm=128, bands=32).to_pandas()
+    assert len(pairs) == 1
+    est = float(pairs["est_jaccard"].iloc[0])
+    exact = ngram_jaccard_pairs(ds, [(0, 1)]).to_pandas()["jaccard"].iloc[0]
+    assert abs(est - exact) < 0.15, (est, exact)
