@@ -109,6 +109,12 @@ def _q_source_stats(sf_dir):
     return source_stats(sf_dir)
 
 
+def _q_orders_monthly(sf_dir):
+    from kenlm_ray.ops.analytics import orders_monthly
+
+    return _round_cols(orders_monthly(sf_dir), {"total_price": 2})
+
+
 def _q_events_hourly(sf_dir):
     from kenlm_ray.ops.analytics import events_hourly
 
@@ -336,6 +342,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "segment_sales": _q_segment_sales,
         "region_sales": _q_region_sales,
         "source_stats": _q_source_stats,
+        "orders_monthly": _q_orders_monthly,
         "events_hourly": _q_events_hourly,
         "doc_token_stats": _q_doc_token_stats,
         "doc_quality_metrics": _q_doc_quality,
@@ -407,6 +414,14 @@ def oracle_sql() -> dict[str, str]:
                    max(n_chars)::BIGINT AS max_chars,
                    min(n_chars)::BIGINT AS min_chars
             FROM documents GROUP BY source
+        """,
+        "orders_monthly": """
+            SELECT o_orderpriority,
+                   ((year(o_orderdate) - 1970) * 12 + month(o_orderdate) - 1)::BIGINT
+                       AS month_id,
+                   round(sum(o_totalprice), 2) AS total_price,
+                   count(*)::BIGINT            AS n_orders
+            FROM orders GROUP BY o_orderpriority, month_id
         """,
         "events_hourly": """
             SELECT event_type,

@@ -141,6 +141,33 @@ def run_queries() -> dict[str, float]:
     return out
 
 
+def _scaling_legs() -> dict:
+    """Run the flagship at 8 and 32 CPUs in fresh subprocesses (the north
+    rule's N vs 4N evidence) and return both throughputs + efficiency."""
+
+    def run(ncpu: int) -> dict:
+        env = dict(
+            os.environ,
+            RAY_GRAFT_CPUS=str(ncpu),
+            BENCH_SKIP_QUERIES="1",
+            BENCH_INNER="1",
+        )
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True, check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = run(8), run(32)
+    return {
+        "sec_8": lo["value"],
+        "sec_32": hi["value"],
+        "files_per_sec_8": lo["files_per_sec"],
+        "files_per_sec_32": hi["files_per_sec"],
+        "efficiency_8_to_32": round((lo["value"] / hi["value"]) / 4.0, 3),
+    }
+
+
 def main_bench() -> None:
     import ray
 
@@ -170,8 +197,10 @@ def main_bench() -> None:
         "sf": SF_LABEL,
         "num_cpus": NUM_CPUS,
     }
-    print(json.dumps(result))
     ray.shutdown()
+    if not os.environ.get("BENCH_INNER") and not os.environ.get("BENCH_SKIP_SCALING"):
+        result["scaling"] = _scaling_legs()
+    print(json.dumps(result))
 
 
 def main_scaling() -> None:
@@ -180,6 +209,7 @@ def main_scaling() -> None:
             os.environ,
             RAY_GRAFT_CPUS=str(ncpu),
             BENCH_SKIP_QUERIES="1",
+            BENCH_INNER="1",
         )
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],

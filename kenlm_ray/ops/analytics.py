@@ -197,6 +197,41 @@ def source_stats(sf_dir: str) -> "ray.data.Dataset":
     )
 
 
+def orders_monthly(sf_dir: str) -> "ray.data.Dataset":
+    """Month-bucketed order stats: count + total price per (month, priority)."""
+    ds = read(sf_dir, "orders", columns=["o_orderdate", "o_orderpriority", "o_totalprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        d = batch["o_orderdate"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        # month id = year*12 + (month-1), from µs epoch, UTC-naive
+        import datetime
+
+        days = d // 86_400_000_000
+        # vectorized civil-date from days since epoch (proleptic Gregorian)
+        dt = (days.astype("datetime64[D]")).astype("datetime64[M]")
+        month_id = dt.astype(np.int64)  # months since 1970-01
+        t = pa.table(
+            {
+                "o_orderpriority": batch["o_orderpriority"],
+                "month_id": pa.array(month_id),
+                "total": batch["o_totalprice"],
+                "n": pa.array(np.ones(len(batch), dtype=np.int64)),
+            }
+        )
+        return t.group_by(["o_orderpriority", "month_id"]).aggregate(
+            [("total", "sum"), ("n", "sum")]
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["o_orderpriority", "month_id"])
+        .aggregate(
+            Sum("total_sum", alias_name="total_price"),
+            Sum("n_sum", alias_name="n_orders"),
+        )
+    )
+
+
 def events_hourly(sf_dir: str) -> "ray.data.Dataset":
     """Tumbling-window aggregate: per (event_type, hour) count + value sum.
 
