@@ -77,24 +77,86 @@ def quantize(values: np.ndarray, centers: np.ndarray) -> np.ndarray:
 
 @dataclass
 class OrderTable:
-    """Sorted-key lookup table for one n-gram order (n >= 2)."""
+    """Lookup table for one n-gram order (n >= 2).
+
+    Two physical layouts over the same logical keys (mirrors the
+    reference's probing-vs-sorted duality, lm/model.hh:136-141):
+      - sorted uint64 keys (binary search fallback, and the persisted form);
+      - an open-addressing probing table (multiplier ~1.5, like
+        lm/config.hh:56-61) built at load: expected ~1.2 memory touches
+        per lookup instead of log2(n) binary-search touches — the hot
+        path's dominant win."""
 
     keys: np.ndarray  # uint64, sorted
     prob: np.ndarray  # float32 (decoded) or uint16 codes
     backoff: np.ndarray | None  # None at top order
     prob_centers: np.ndarray | None = None  # set when quantized
     backoff_centers: np.ndarray | None = None
+    _probe_keys: "np.ndarray | None" = None  # uint64, 0 = empty slot
+    _probe_idx: "np.ndarray | None" = None   # int32 into keys/prob/backoff
+
+    def build_probing(self, multiplier: float = 1.5) -> None:
+        n = len(self.keys)
+        if n == 0 or (self.keys == 0).any():
+            return  # keep binary-search path (0 is the empty sentinel)
+        size = 1
+        while size < n * multiplier:
+            size <<= 1
+        mask = np.uint64(size - 1)
+        table = np.zeros(size, dtype=np.uint64)
+        idx = np.zeros(size, dtype=np.int32)
+        pos = (self.keys & mask).astype(np.int64)
+        pending = np.arange(n)
+        while len(pending):
+            p = pos[pending]
+            free = table[p] == 0
+            # first writer wins per slot: np.unique keeps first occurrence
+            slots, first = np.unique(p[free], return_index=True)
+            winners = pending[free][first]
+            ok = table[slots] == 0  # still free (unique guarantees within batch)
+            table[slots] = self.keys[winners]
+            idx[slots] = winners
+            placed = np.zeros(len(pending), dtype=bool)
+            placed[np.flatnonzero(free)[first]] = True
+            pending = pending[~placed]
+            pos[pending] = (pos[pending] + 1) % size
+        self._probe_keys = table
+        self._probe_idx = idx
+
+    def _probing_find(self, h: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """(found bool, index int64 clamped) via linear probing."""
+        table, idx = self._probe_keys, self._probe_idx
+        mask = np.uint64(len(table) - 1)
+        pos = (h & mask).astype(np.int64)
+        found = np.zeros(len(h), dtype=bool)
+        out = np.zeros(len(h), dtype=np.int64)
+        active = np.arange(len(h))
+        for _ in range(len(table)):
+            k = table[pos[active]]
+            hit = k == h[active]
+            miss = k == 0
+            if hit.any():
+                ai = active[hit]
+                found[ai] = True
+                out[ai] = idx[pos[ai]]
+            done = hit | miss
+            active = active[~done]
+            if not len(active):
+                break
+            pos[active] = (pos[active] + 1) & np.int64(mask)
+        return found, out
 
     def lookup(self, h: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         """Vectorized probe: (found, prob_f32, backoff_f32) for hash array h."""
-        idx = np.searchsorted(self.keys, h)
-        idx_c = np.minimum(idx, len(self.keys) - 1) if len(self.keys) else idx
-        found = (
-            (self.keys[idx_c] == h) if len(self.keys) else np.zeros(len(h), dtype=bool)
-        )
         if not len(self.keys):
             z = np.zeros(len(h), dtype=np.float32)
-            return found, z, z.copy()
+            return np.zeros(len(h), dtype=bool), z, z.copy()
+        if self._probe_keys is not None:
+            found, idx_c = self._probing_find(h)
+        else:
+            idx = np.searchsorted(self.keys, h)
+            idx_c = np.minimum(idx, len(self.keys) - 1)
+            found = self.keys[idx_c] == h
         if self.prob_centers is not None:
             prob = self.prob_centers[self.prob[idx_c]]
         else:
@@ -196,13 +258,15 @@ class PackedModel:
         for n in range(2, order + 1):
             if f"k{n}" not in z:
                 continue
-            m.tables[n] = OrderTable(
+            t = OrderTable(
                 keys=z[f"k{n}"],
                 prob=z[f"p{n}"],
                 backoff=z[f"b{n}"] if f"b{n}" in z else None,
                 prob_centers=z[f"pc{n}"] if f"pc{n}" in z else None,
                 backoff_centers=z[f"bc{n}"] if f"bc{n}" in z else None,
             )
+            t.build_probing()
+            m.tables[n] = t
         return m
 
     def to_bytes(self) -> bytes:
@@ -288,5 +352,6 @@ def pack_model(
         if backoff_bits is not None and backoff is not None and cnt:
             t.backoff_centers = train_bins(backoff, backoff_bits)
             t.backoff = quantize(backoff, t.backoff_centers)
+        t.build_probing()
         m.tables[n] = t
     return m
