@@ -269,3 +269,27 @@ def test_minhash_estimates_jaccard(ray_session):
     est = float(pairs["est_jaccard"].iloc[0])
     exact = ngram_jaccard_pairs(ds, [(0, 1)]).to_pandas()["jaccard"].iloc[0]
     assert abs(est - exact) < 0.15, (est, exact)
+
+
+def test_plasma_shared_model(ray_session):
+    """ray.put(model) -> actors resolve the arrays zero-copy from the
+    object store (the mmap-page-sharing equivalent, SURVEY §2.4): results
+    identical to per-actor disk loads."""
+    import ray
+    import ray.data
+
+    from kenlm_ray.model.pack import PackedModel
+    from kenlm_ray.pipelines.quality_filter import seed_model_path
+    from kenlm_ray.sources.synth_corpus import gen_table
+    from kenlm_ray.stages.ppl import PplScorer
+
+    ref = ray.put(PackedModel.load(seed_model_path()))
+    ds = ray.data.from_arrow(gen_table(42, 0, 120))
+    a = ds.map_batches(
+        PplScorer, fn_constructor_args=(ref,), batch_format="pyarrow", concurrency=2
+    ).to_pandas().sort_values("path")
+    b = ds.map_batches(
+        PplScorer, fn_constructor_args=(seed_model_path(),),
+        batch_format="pyarrow", concurrency=2,
+    ).to_pandas().sort_values("path")
+    assert np.array_equal(a["ppl"].to_numpy(), b["ppl"].to_numpy(), equal_nan=True)
