@@ -32,7 +32,7 @@ MAX_BYTES = 512
 N_FEATURES = 8192
 TEMPERATURE = 10.0
 
-LANGS = ["en", "fr", "de", "es", "code"]
+LANGS = ["en", "fr", "de", "es", "it", "pt", "zh", "code"]
 
 # Seed texts written for this module (deterministic training data).
 _SEED = {
@@ -63,6 +63,26 @@ _SEED = {
         "entrada está vacía el resultado es nulo . cada número se calcula a "
         "partir del índice dado . tenga en cuenta que esto utiliza un "
         "algoritmo simple para ordenar la salida ."
+    ),
+    "it": (
+        "la rapida volpe marrone salta sopra il cane pigro . questa funzione "
+        "restituisce il valore del primo elemento della lista . quando "
+        "l'ingresso è vuoto il risultato è nullo . ogni numero viene "
+        "calcolato dall'indice dato . si noti che questo utilizza un "
+        "algoritmo semplice per ordinare l'uscita ."
+    ),
+    "pt": (
+        "a rápida raposa marrom salta sobre o cão preguiçoso . esta função "
+        "retorna o valor do primeiro elemento da lista . quando a entrada "
+        "está vazia o resultado é nulo . cada número é calculado a partir "
+        "do índice dado . observe que isto usa um algoritmo simples para "
+        "ordenar a saída ."
+    ),
+    "zh": (
+        "敏捷的棕色狐狸跳过了懒惰的狗。这个函数返回列表中第一个元素的值。"
+        "当输入为空时，结果为空。每个数字都是根据给定的索引计算的。"
+        "请注意，这使用了一个简单的算法来对输出进行排序。"
+        "重要的是字符串不能为空，并且计数是正确的。"
     ),
     "code": (
         "def main ( args ) : return x + y\n"
