@@ -44,8 +44,8 @@ def cmd_pack(args) -> int:
         quant_bits=args.quant_bits,
         backoff_bits=args.backoff_bits,
     )
-    packed.save(args.out)
-    print(f"packed order={packed.order} vocab={packed.vocab_size} -> {args.out}")
+    out = packed.save(args.out)
+    print(f"packed order={packed.order} vocab={packed.vocab_size} -> {out}")
     return 0
 
 

@@ -64,14 +64,19 @@ class TokenStream:
     def lengths(self) -> np.ndarray:
         return self.ends - self.starts
 
-    def hashes(self, max_token_len: int = 256) -> np.ndarray:
-        """MurmurHash64A per token (vectorized streaming kernel; tokens
-        longer than ``max_token_len`` hash by prefix — stable, documented)."""
+    def hashes(self) -> np.ndarray:
+        """MurmurHash64A per token over the FULL token bytes.
+
+        No length truncation: the reference hashes whole words
+        (/root/reference/lm/vocab.cc HashForVocab over the full StringPiece),
+        and ``pack_model`` / ``build_vocab`` hash full vocab words — a
+        truncated token hash here would silently map long in-vocab tokens
+        (minified blobs, long identifiers) to ``<unk>``.  The streaming
+        kernel's cost is proportional to actual token bytes, so rare long
+        tokens only pay for themselves."""
         from kenlm_ray.functions.hashing import murmur64_stream
 
-        return murmur64_stream(
-            self.data, self.starts, np.minimum(self.lengths(), max_token_len)
-        )
+        return murmur64_stream(self.data, self.starts, self.lengths())
 
     def padded_matrix(self, max_token_len: int = 256) -> tuple[np.ndarray, np.ndarray]:
         """Gather tokens into a zero-padded (T, pad) uint8 matrix for hashing.

@@ -221,7 +221,17 @@ class PackedModel:
         )
 
     # -- persistence ---------------------------------------------------------
-    def save(self, path: str) -> None:
+    def save(self, path: str) -> str:
+        """Save as .npz; returns the actual path written.
+
+        ``np.savez_compressed`` appends ``.npz`` when the suffix is absent —
+        normalize here so save and :meth:`load` always agree on the name."""
+        if isinstance(path, str) and not path.endswith(".npz"):
+            path = path + ".npz"
+        self._save(path)
+        return path
+
+    def _save(self, path) -> None:
         arrays: dict[str, np.ndarray] = {
             "meta": np.array([self.order, int(self.has_unk)], dtype=np.int64),
             "words": np.array(self.words, dtype=object),
@@ -271,8 +281,68 @@ class PackedModel:
 
     def to_bytes(self) -> bytes:
         buf = io.BytesIO()
-        self.save(buf)  # type: ignore[arg-type]
+        self._save(buf)
         return buf.getvalue()
+
+
+NO_EXTENSION_BACKOFF = -0.0  # lm/blank.hh:22 kNoExtensionBackoff
+
+
+def _backoff_score(
+    gdict: dict, uni_prob: np.ndarray, uni_backoff: np.ndarray, ids: tuple
+) -> float:
+    """Standard backoff-walk log10 p(ids[-1] | ids[:-1]) over orders < len(ids).
+
+    Longest-match then charge the backoffs of the unused context suffixes —
+    the value the reference hallucinates into a blank entry
+    (/root/reference/lm/search_hashed.cc:57-120 FindLower/AdjustLower)."""
+    w = ids[-1]
+    matched = 1
+    base = float(uni_prob[w])
+    for k in range(2, len(ids)):
+        e = gdict[k].get(ids[-k:])
+        if e is None:
+            break
+        base = e[0]
+        matched = k
+    # -fabs: AdjustLower guards against broken positive probs the same way
+    total = -abs(base)
+    ctx = ids[:-1]
+    for l in range(matched, len(ctx) + 1):
+        suffix = ctx[len(ctx) - l :]
+        if l == 1:
+            total += float(uni_backoff[suffix[0]])
+        else:
+            e = gdict[l].get(suffix)
+            if e is not None:
+                total += e[1]
+    return total
+
+
+def _insert_blanks(
+    gdict: dict, order: int, uni_prob: np.ndarray, uni_backoff: np.ndarray
+) -> None:
+    """Hallucinate entries for missing right-aligned sub-grams ("blanks").
+
+    The scorer's walk stops at the first missing order; an ARPA hole — e.g.
+    SRI pruning leaves "foo bar baz quux" but drops "bar baz quux" — would
+    hide the surviving higher-order entry.  The reference inserts blank
+    entries with prob = the backoff-computed value and backoff 0 so the walk
+    passes through (/root/reference/lm/search_hashed.cc:57-120,
+    lm/blank.hh:11-25); parity cases in lm/model_test.cc Blanks().
+    Processed bottom-up so a blank's prob only reads completed lower orders.
+    """
+    for n in range(2, order):
+        required: set = set()
+        for m_ord in range(n + 1, order + 1):
+            for g in gdict[m_ord]:
+                required.add(g[m_ord - n :])
+        have = gdict[n]
+        for g in sorted(required - set(have)):
+            have[g] = (
+                _backoff_score(gdict, uni_prob, uni_backoff, g),
+                NO_EXTENSION_BACKOFF,
+            )
 
 
 def pack_model(
@@ -326,20 +396,31 @@ def pack_model(
         uni_backoff=uni_backoff,
         has_unk=has_unk,
     )
+    # convert n-grams (n >= 2) to id-tuple dicts so blank insertion and
+    # key hashing work in id space
+    gdict: dict[int, dict[tuple, tuple[float, float]]] = {}
     for n in range(2, arpa.order + 1):
-        grams = arpa.grams.get(n, {})
+        gdict[n] = {
+            tuple(wid.get(w, UNK_ID) for w in ws): (float(p), float(b))
+            for ws, (p, b) in arpa.grams.get(n, {}).items()
+        }
+    _insert_blanks(gdict, arpa.order, uni_prob, uni_backoff)
+    for n in range(2, arpa.order + 1):
+        grams = gdict[n]
         cnt = len(grams)
-        keys = np.empty(cnt, dtype=np.uint64)
-        prob = np.empty(cnt, dtype=np.float32)
-        backoff = np.empty(cnt, dtype=np.float32) if n < arpa.order else None
-        for i, (ws, (p, b)) in enumerate(grams.items()):
-            h = np.uint64(0)
-            for w in ws:
-                h = ngram_hash_step(h, np.asarray(wid.get(w, UNK_ID), dtype=np.uint64))
-            keys[i] = h
-            prob[i] = p
-            if backoff is not None:
-                backoff[i] = b
+        prob = np.fromiter(
+            (p for p, _ in grams.values()), dtype=np.float32, count=cnt
+        )
+        backoff = (
+            np.fromiter((b for _, b in grams.values()), dtype=np.float32, count=cnt)
+            if n < arpa.order
+            else None
+        )
+        # vectorized recurrence hash over the (cnt, n) id matrix
+        ids_mat = np.array(list(grams.keys()), dtype=np.uint64).reshape(cnt, n)
+        keys = np.zeros(cnt, dtype=np.uint64)
+        for col in range(n):
+            keys = ngram_hash_step(keys, ids_mat[:, col])
         order_idx = np.argsort(keys, kind="stable")
         keys = keys[order_idx]
         prob = prob[order_idx]

@@ -63,36 +63,52 @@ class VectorLM:
 
     # -- sentence scoring ----------------------------------------------------
     def score_sentences(
-        self, ids: np.ndarray, sent_ids: np.ndarray
-    ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        self,
+        ids: np.ndarray,
+        sent_ids: np.ndarray,
+        *,
+        bos: bool = True,
+        eos: bool = True,
+    ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
         """Score S sentences given flat token ids + dense sentence ids.
 
-        Returns (per_position_logprob float32 [T+S], scored_sent float32?,)
-        actually: (logprob per scored position [T+S], sent_of_scored [T+S],
-        is_oov_scored bool [T+S]).  Scored positions are every token plus
-        one </s> per sentence, in stream order.
+        Returns (logprob per scored position, sent_of_scored,
+        is_oov_scored bool, ngram_length uint8) — scored positions are every
+        token plus one </s> per sentence (when ``eos``), in stream order.
+        ``bos=False`` scores from the null context instead of <s>
+        (lm/model_test.cc NullContextState cases).  ``ngram_length`` is the
+        order of the longest matched entry, blanks included
+        (lm/return.hh:20-25).
         """
         m = self.model
         N = m.order
         T = len(ids)
         if T == 0:
             e = np.empty(0, dtype=np.float64)
-            return e, np.empty(0, dtype=np.int64), np.empty(0, dtype=bool)
+            return (
+                e,
+                np.empty(0, dtype=np.int64),
+                np.empty(0, dtype=bool),
+                np.empty(0, dtype=np.uint8),
+            )
         S = int(sent_ids[-1]) + 1
-        # --- build extended stream: [<s>, tokens..., </s>] per sentence ----
+        # --- build extended stream: [<s>?, tokens..., </s>?] per sentence --
         counts = np.bincount(sent_ids, minlength=S)          # tokens per sentence
-        ext_counts = counts + 2
-        E = T + 2 * S
+        n_extra = int(bos) + int(eos)
+        ext_counts = counts + n_extra
+        E = T + n_extra * S
         ext_start = np.zeros(S, dtype=np.int64)
         ext_start[1:] = np.cumsum(ext_counts)[:-1]
         ext = np.empty(E, dtype=np.uint32)
-        ext[ext_start] = np.uint32(BOS_ID)
-        ext[ext_start + ext_counts - 1] = np.uint32(EOS_ID)
-        # token positions: ext_start[sent] + 1 + rank_within_sentence
+        if bos:
+            ext[ext_start] = np.uint32(BOS_ID)
+        if eos:
+            ext[ext_start + ext_counts - 1] = np.uint32(EOS_ID)
+        # token positions: ext_start[sent] + bos + rank_within_sentence
         tok_start = np.zeros(S, dtype=np.int64)
         tok_start[1:] = np.cumsum(counts)[:-1]
         rank = np.arange(T, dtype=np.int64) - tok_start[sent_ids]
-        tok_pos = ext_start[sent_ids] + 1 + rank
+        tok_pos = ext_start[sent_ids] + int(bos) + rank
         ext[tok_pos] = ids.astype(np.uint32)
         sent_of_ext = np.repeat(np.arange(S, dtype=np.int64), ext_counts)
         sstart_of_ext = ext_start[sent_of_ext]
@@ -109,6 +125,7 @@ class VectorLM:
         # Each chunk carries an (N-1)-position halo so the i-1 shifts and
         # the depth-(N-1) hash recurrence never cross chunk boundaries.
         logprob = np.empty(E, dtype=np.float64)
+        mlen = np.empty(E, dtype=np.uint8)
         CHUNK = 65536
         halo = N - 1
         for a in range(0, E, CHUNK):
@@ -122,6 +139,7 @@ class VectorLM:
             prob = m.uni_prob[exl].astype(np.float64)
             prev_bo = m.uni_backoff[exl]  # float32, backoff of (n-1)-grams
             bo_sum = np.zeros(L, dtype=np.float64)
+            match = np.ones(L, dtype=np.uint8)
             h = ngram_hash_step(np.zeros(L, dtype=np.uint64), exl)
             for n in range(2, N + 1):
                 h_next = np.zeros(L, dtype=np.uint64)
@@ -137,26 +155,33 @@ class VectorLM:
                     ok_next = np.zeros(L, dtype=bool)
                 # positions whose walk stops before order n charge the
                 # backoff of the (n-1)-length context suffix ending at i-1
-                stopped = ~ok_next
+                # — only if the sentence actually has n-1 context words
+                # (guards the bos=False null-context path against charging
+                # across a sentence boundary; no-op when bos=True)
+                stopped = (~ok_next) & (ctx_room >= (n - 1))
                 bo_sum[1:] += np.where(
                     stopped[1:], prev_bo[:-1].astype(np.float64), 0.0
                 )
                 if p is not None:
                     np.copyto(prob, p.astype(np.float64), where=ok_next)
+                    np.copyto(match, np.uint8(n), where=ok_next)
                     prev_bo = bo
                 else:
                     prev_bo = np.zeros(L, dtype=np.float32)
                 ok = ok_next
                 h = h_next
             logprob[a:b0] = (prob + bo_sum)[cut:]
+            mlen[a:b0] = match[cut:]
 
         # --- gather scored positions (everything except <s>) ---------------
         scored_mask = np.ones(E, dtype=bool)
-        scored_mask[ext_start] = False
+        if bos:
+            scored_mask[ext_start] = False
         return (
             logprob[scored_mask],
             sent_of_ext[scored_mask],
             (ext == UNK_ID)[scored_mask],
+            mlen[scored_mask],
         )
 
     # -- document scoring ----------------------------------------------------
@@ -168,7 +193,7 @@ class VectorLM:
             iz = np.zeros(n_docs, dtype=np.int64)
             return DocScores(zero, iz, iz.copy(), nan, nan.copy())
         ids, _ = self.ids_for(stream)
-        logprob, sent_of, oov = self.score_sentences(ids, stream.sent_ids)
+        logprob, sent_of, oov, _ = self.score_sentences(ids, stream.sent_ids)
         sent_doc = stream.sent_doc_ids()          # doc of each sentence
         doc_of_scored = sent_doc[sent_of]
         logprob_sum = np.bincount(doc_of_scored, weights=logprob, minlength=n_docs)
@@ -204,15 +229,23 @@ class VectorLM:
 
         return float(self.score_stream(tokenize_texts([text])).ppl[0])
 
-    def full_scores(self, text: str) -> "list[tuple[float, bool]]":
-        """Per-word (log10 prob, is_oov) including the </s> terms — the
-        reference Python API's full_scores (python/kenlm.pyx:216-243);
-        sum of the probs equals score_text (python/example.py invariant)."""
+    def full_scores(
+        self, text: str, *, bos: bool = True, eos: bool = True
+    ) -> "list[tuple[float, int, bool]]":
+        """Per-word (log10 prob, matched ngram length, is_oov) including the
+        </s> term — the reference Python API's full_scores
+        (python/kenlm.pyx:216-243, lm/return.hh:8-39); sum of the probs
+        equals score_text (python/example.py invariant).  ``bos=False``
+        scores from the null context (kenlm.pyx exposes the same flags)."""
         from kenlm_ray.functions.tokenize import tokenize_texts
 
         stream = tokenize_texts([text])
         if stream.n_tokens == 0:
             return []
         ids, _ = self.ids_for(stream)
-        logprob, _, oov = self.score_sentences(ids, stream.sent_ids)
-        return [(float(p), bool(o)) for p, o in zip(logprob, oov)]
+        logprob, _, oov, mlen = self.score_sentences(
+            ids, stream.sent_ids, bos=bos, eos=eos
+        )
+        return [
+            (float(p), int(n), bool(o)) for p, n, o in zip(logprob, mlen, oov)
+        ]

@@ -135,6 +135,56 @@ def query_vector(sf_dir: str, vec_id: int = 0, emb_col: str = "embedding") -> np
     return np.asarray(row[emb_col][0].as_py(), dtype=np.float64)
 
 
+_PAIR_SCHEMA = pa.schema(
+    [("id_a", pa.int64()), ("id_b", pa.int64()), ("cos_sim", pa.float64())]
+)
+
+
+def _normalize_batch(batch: pa.Table, emb_col: str, id_col: str) -> pa.Table:
+    m = _emb_matrix(batch, emb_col)
+    n = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
+    dim = n.shape[1] if n.size else 0
+    emb = pa.FixedSizeListArray.from_arrays(
+        pa.array(n.reshape(-1), type=pa.float64()), dim or 1
+    )
+    return pa.table({id_col: batch[id_col], "norm_emb": emb})
+
+
+def _fixed_matrix(col) -> np.ndarray:
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    vals = np.asarray(col.values, dtype=np.float64)
+    return vals.reshape(n, -1) if n else vals.reshape(0, 0)
+
+
+@ray.remote
+def _block_pair_sims(ti, tj, same_block, threshold, id_col):
+    """Exact cosine between two normalized blocks; emits qualifying pairs.
+
+    Blocks arrive as pyarrow Tables straight from the object store (the
+    driver only ever handles ObjectRefs)."""
+    Mi, ids_i = _fixed_matrix(ti["norm_emb"]), ti[id_col].to_numpy(zero_copy_only=False)
+    Mj, ids_j = _fixed_matrix(tj["norm_emb"]), tj[id_col].to_numpy(zero_copy_only=False)
+    if Mi.size == 0 or Mj.size == 0:
+        return _PAIR_SCHEMA.empty_table()
+    sims = Mi @ Mj.T
+    hit = sims >= threshold
+    if same_block:
+        hit &= ids_i[:, None] != ids_j[None, :]
+    r, c = np.nonzero(hit)
+    if not len(r):
+        return _PAIR_SCHEMA.empty_table()
+    a = np.minimum(ids_i[r], ids_j[c]).astype(np.int64)
+    b = np.maximum(ids_i[r], ids_j[c]).astype(np.int64)
+    s = np.round(sims[r, c], 3)
+    # same-block pairs appear twice (r,c)+(c,r): keep the a<b orientation once
+    if same_block:
+        keep = ids_i[r] < ids_j[c]
+        a, b, s = a[keep], b[keep], s[keep]
+    return pa.table({"id_a": a, "id_b": b, "cos_sim": s}, schema=_PAIR_SCHEMA)
+
+
 def embedding_near_dup_pairs(
     ds: "ray.data.Dataset",
     threshold: float = 0.95,
@@ -142,55 +192,157 @@ def embedding_near_dup_pairs(
     emb_col: str = "embedding",
     id_col: str = "vec_id",
     block: int = 2048,
+    method: str = "auto",
+    n_planes: int = 8,
+    seed: int = 11,
 ) -> "ray.data.Dataset":
     """All pairs (a < b) with cosine >= threshold — embedding near-dup.
 
-    Implemented as a blocked self-join: normalize per batch, materialize
-    the (small) normalized matrix driver-side in blocks, and scan block
-    pairs as Ray tasks.  For 100 TB-scale this is replaced by LSH
-    bucketing (see minhash_lsh_pairs for the pattern); the blocked scan is
-    the exact baseline."""
+    Two executions, chosen by ``method``:
 
-    def normalize(batch: pa.Table) -> pa.Table:
+    - ``"exact"``: distributed blocked self-join.  Normalized blocks stay
+      in the object store (``to_arrow_refs``); the driver schedules one
+      task per block pair and never touches vector data.  Work is
+      O(P^2) block pairs — the honest cost of an exact low-threshold
+      all-pairs — with total object-store reads O(n * P).
+    - ``"lsh"``: random-hyperplane bucketing (scale path): sign-signature
+      bands -> groupby(table, bucket) -> exact cosine inside buckets ->
+      dedupe.  Recall for a pair at exactly ``threshold`` is
+      1 - (1 - p^b)^L with p = 1 - arccos(t)/pi; L is sized so the miss
+      probability is <= 1e-9 (capped at 64 tables).
+    - ``"auto"``: ``lsh`` when the bound is achievable with <= 64 tables
+      (high thresholds, the real near-dup regime), else ``exact``.
+    """
+    if method == "auto":
+        method = "lsh" if _lsh_tables_needed(threshold, n_planes) <= 64 else "exact"
+    if method == "lsh":
+        return _lsh_near_dup_pairs(
+            ds, threshold, emb_col=emb_col, id_col=id_col,
+            n_planes=n_planes, seed=seed,
+        )
+
+    normed = ds.map_batches(
+        lambda b: _normalize_batch(b, emb_col, id_col), batch_format="pyarrow"
+    ).materialize()
+    n_rows = normed.count()
+    P = max(1, -(-n_rows // block))
+    if normed.num_blocks() != P:
+        normed = normed.repartition(P).materialize()
+    refs = normed.to_arrow_refs()
+    futures = [
+        _block_pair_sims.remote(refs[i], refs[j], i == j, threshold, id_col)
+        for i in range(len(refs))
+        for j in range(i, len(refs))
+    ]
+    return ray.data.from_arrow_refs(futures)
+
+
+def _lsh_tables_needed(threshold: float, n_planes: int, target_miss: float = 1e-9) -> int:
+    """Tables L so that a pair at exactly ``threshold`` is missed with
+    probability <= target_miss: miss = (1 - p^b)^L, p = 1 - arccos(t)/pi."""
+    import math
+
+    p_plane = 1.0 - math.acos(min(max(threshold, -1.0), 1.0)) / math.pi
+    p_band = p_plane ** n_planes
+    if p_band >= 1.0:
+        return 1
+    if p_band <= 1e-12:
+        return 1 << 30
+    return max(1, int(math.ceil(math.log(target_miss) / math.log(1.0 - p_band))))
+
+
+def _lsh_near_dup_pairs(
+    ds: "ray.data.Dataset",
+    threshold: float,
+    *,
+    emb_col: str,
+    id_col: str,
+    n_planes: int,
+    seed: int,
+    group_chunk: int = 4096,
+) -> "ray.data.Dataset":
+    """Hyperplane-LSH near-dup: only (table, bucket, id, normalized vector)
+    rows shuffle — never more than L copies of each vector, no driver
+    materialization.  Within a bucket the cosine check is exact, so false
+    positives are impossible; recall is the documented 1-(1-p^b)^L bound.
+    A pair colliding in several tables is deduped by a final groupby."""
+    from ray.data.aggregate import Min
+
+    L = min(_lsh_tables_needed(threshold, n_planes), 64)
+
+    def bucketize(batch: pa.Table) -> pa.Table:
         m = _emb_matrix(batch, emb_col)
-        n = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
+        n = len(m)
+        if n == 0 or m.size == 0:
+            return pa.table(
+                {
+                    "table_i": pa.array([], type=pa.int32()),
+                    "bucket": pa.array([], type=pa.uint32()),
+                    id_col: pa.array([], type=pa.int64()),
+                    "norm_emb": pa.array([], type=pa.list_(pa.float64())),
+                }
+            )
+        dim = m.shape[1]
+        m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
+        # same seed + dim on every worker -> identical planes, no broadcast
+        planes = np.random.default_rng(seed).standard_normal((L, n_planes, dim))
+        bits = np.einsum("tpd,nd->tnp", planes, m) > 0  # (L, n, planes)
+        codes = np.zeros((L, n), dtype=np.uint32)
+        for p in range(n_planes):
+            codes |= bits[:, :, p].astype(np.uint32) << np.uint32(p)
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        flat_emb = pa.array(np.tile(m.reshape(-1), L), type=pa.float64())
         return pa.table(
             {
-                id_col: batch[id_col],
-                "norm_emb": pa.array(list(n)),  # float64: keep oracle parity
+                "table_i": pa.array(np.repeat(np.arange(L, dtype=np.int32), n)),
+                "bucket": pa.array(codes.reshape(-1)),
+                id_col: pa.array(np.tile(ids, L)),
+                "norm_emb": pa.FixedSizeListArray.from_arrays(flat_emb, dim),
             }
         )
 
-    normed = ds.map_batches(normalize, batch_format="pyarrow").to_pandas()
-    ids = normed[id_col].to_numpy()
-    M = np.stack(normed["norm_emb"].to_numpy()).astype(np.float64)
-    order = np.argsort(ids, kind="stable")
-    ids, M = ids[order], M[order]
-
-    @ray.remote
-    def block_pair(i0, i1, j0, j1, Mi, Mj, ids_i, ids_j):
-        sims = Mi @ Mj.T
-        out = []
-        for r, c in zip(*np.nonzero(sims >= threshold)):
-            a, b = ids_i[r], ids_j[c]
-            if a < b:
-                out.append((int(a), int(b), float(np.round(sims[r, c], 3))))
-        return out
-
-    futures = []
-    for i in range(0, len(ids), block):
-        for j in range(i, len(ids), block):
-            futures.append(
-                block_pair.remote(
-                    i, i + block, j, j + block,
-                    M[i : i + block], M[j : j + block],
-                    ids[i : i + block], ids[j : j + block],
-                )
-            )
-    rows = [r for f in ray.get(futures) for r in f]
     import pandas as pd
 
-    df = pd.DataFrame(rows, columns=["id_a", "id_b", "cos_sim"]).astype(
-        {"id_a": np.int64, "id_b": np.int64, "cos_sim": np.float64}
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        n = len(g)
+        if n < 2:
+            return pd.DataFrame(
+                {"id_a": pd.Series(dtype=np.int64), "id_b": pd.Series(dtype=np.int64),
+                 "cos_sim": pd.Series(dtype=np.float64)}
+            )
+        M = np.stack(g["norm_emb"].to_numpy()).astype(np.float64)
+        ids = g[id_col].to_numpy().astype(np.int64)
+        outs = []
+        # chunk rows so a giant bucket never allocates an n^2 matrix at once
+        for lo in range(0, n, group_chunk):
+            hi = min(lo + group_chunk, n)
+            sims = M[lo:hi] @ M.T
+            r, c = np.nonzero(sims >= threshold)
+            keep = ids[lo + r] < ids[c]
+            r, c = r[keep], c[keep]
+            if len(r):
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "id_a": ids[lo + r],
+                            "id_b": ids[c],
+                            "cos_sim": np.round(sims[r, c], 3),
+                        }
+                    )
+                )
+        if not outs:
+            return pd.DataFrame(
+                {"id_a": pd.Series(dtype=np.int64), "id_b": pd.Series(dtype=np.int64),
+                 "cos_sim": pd.Series(dtype=np.float64)}
+            )
+        return pd.concat(outs, ignore_index=True)
+
+    pairs = (
+        ds.map_batches(bucketize, batch_format="pyarrow")
+        .groupby(["table_i", "bucket"])
+        .map_groups(bucket_pairs, batch_format="pandas")
     )
-    return ray.data.from_pandas(df)
+    # a pair can collide in several tables — dedupe (values identical)
+    return pairs.groupby(["id_a", "id_b"]).aggregate(
+        Min("cos_sim", alias_name="cos_sim")
+    )

@@ -1,0 +1,247 @@
+"""Score-level parity against the reference's OWN golden fixture.
+
+Loads /root/reference/lm/test.arpa (and test_nounk.arpa) and asserts the
+exact per-word (log10 prob, matched ngram length) expectations transcribed
+from /root/reference/lm/model_test.cc:51-220 (Starters, Continuation,
+Blanks, Unknowns, MinimalState, NoUnkCheck).  This proves parity with
+kpu/kenlm itself — including the blank-entry semantics for ARPA holes
+(lm/blank.hh, lm/search_hashed.cc FindLower/AdjustLower) — rather than
+self-consistency against our internal oracle.
+"""
+
+import math
+
+import pytest
+
+from kenlm_ray.model.arpa import parse_arpa
+from kenlm_ray.model.pack import pack_model
+from kenlm_ray.model.scorer import VectorLM
+
+REF_ARPA = "/root/reference/lm/test.arpa"
+REF_NOUNK = "/root/reference/lm/test_nounk.arpa"
+
+
+@pytest.fixture(scope="module")
+def model():
+    arpa = parse_arpa(REF_ARPA)
+    return VectorLM(pack_model(arpa, quant_bits=None, backoff_bits=None))
+
+
+@pytest.fixture(scope="module")
+def model_nounk():
+    arpa = parse_arpa(REF_NOUNK)
+    return VectorLM(pack_model(arpa, quant_bits=None, backoff_bits=None))
+
+
+def check(vlm, text, expected, *, bos, eos):
+    """expected: list of (word, ngram_length, log10_prob) per scored
+    position (</s> included when eos).  Mirrors model_test.cc AppendTest:
+    SLOPPY_CHECK_CLOSE(score, ret.prob, 0.001) + exact ngram_length."""
+    fs = vlm.full_scores(text, bos=bos, eos=eos)
+    assert len(fs) == len(expected), (text, fs, expected)
+    for (p, n, _), (word, e_len, e_prob) in zip(fs, expected):
+        assert n == e_len, (text, word, n, e_len)
+        assert math.isclose(p, e_prob, rel_tol=1e-3, abs_tol=1e-4), (
+            text,
+            word,
+            p,
+            e_prob,
+        )
+
+
+def test_vocab_enumeration(model):
+    # model_test.cc ExpectEnumerateVocab: 37 words, <unk> first
+    assert model.model.vocab_size == 37
+    assert model.model.words[0] == "<unk>"
+
+
+def test_starters(model):
+    # model_test.cc:69-80 Starters()
+    check(model, "looking", [("looking", 2, -0.4846522)], bos=True, eos=False)
+    check(model, ",", [(",", 1, -1.383514 + -0.4149733)], bos=True, eos=False)
+    check(
+        model,
+        "this_is_not_found",
+        [("this_is_not_found", 1, -1.995635 + -0.4149733)],
+        bos=True,
+        eos=False,
+    )
+    assert model.full_scores("this_is_not_found", bos=True, eos=False)[0][2]
+
+
+def test_continuation(model):
+    # model_test.cc:82-103 Continuation()
+    check(
+        model,
+        "looking on a little the biarritz not_found more .",
+        [
+            ("looking", 2, -0.484652),
+            ("on", 3, -0.348837),
+            ("a", 4, -0.0155266),
+            ("little", 5, -0.00306122),
+            ("the", 1, -4.04005),
+            ("biarritz", 1, -1.9889),
+            ("not_found", 1, -2.29666),
+            ("more", 1, -1.20632 - 20.0),
+            (".", 2, -0.51363),
+            ("</s>", 3, -0.0191651),
+        ],
+        bos=True,
+        eos=True,
+    )
+    # the preserved-state branch: ... little -> more -> loin
+    check(
+        model,
+        "looking on a little more loin",
+        [
+            ("looking", 2, -0.484652),
+            ("on", 3, -0.348837),
+            ("a", 4, -0.0155266),
+            ("little", 5, -0.00306122),
+            ("more", 5, -0.00181395),
+            ("loin", 5, -0.0432557),
+        ],
+        bos=True,
+        eos=False,
+    )
+
+
+def test_blanks(model):
+    # model_test.cc:105-144 Blanks() — null-context scoring over ARPA holes
+    check(
+        model,
+        "also would consider higher looking",
+        [
+            ("also", 1, -1.687872),
+            ("would", 2, -2.0),
+            ("consider", 3, -3.0),
+            ("higher", 4, -4.0),
+            ("looking", 5, -5.0),
+        ],
+        bos=False,
+        eos=False,
+    )
+    check(
+        model,
+        "also would consider not_found",
+        [
+            ("also", 1, -1.687872),
+            ("would", 2, -2.0),
+            ("consider", 3, -3.0),
+            ("not_found", 1, -1.995635 - 7.0 - 0.30103),
+        ],
+        bos=False,
+        eos=False,
+    )
+    # "higher looking" is a blank bigram: backoff-computed prob, length 2
+    check(
+        model,
+        "higher looking",
+        [("higher", 1, -1.509559), ("looking", 2, -1.285941 - 0.30103)],
+        bos=False,
+        eos=False,
+    )
+    check(
+        model,
+        "higher looking not_found",
+        [
+            ("higher", 1, -1.509559),
+            ("looking", 2, -1.285941 - 0.30103),
+            ("not_found", 1, -1.995635 - 0.4771212),
+        ],
+        bos=False,
+        eos=False,
+    )
+    check(
+        model,
+        "higher looking consider",
+        [
+            ("higher", 1, -1.509559),
+            ("looking", 2, -1.285941 - 0.30103),
+            ("consider", 1, -1.687872 - 0.4771212),
+        ],
+        bos=False,
+        eos=False,
+    )
+    # blanks cascade: every right-aligned sub-gram of the 5-gram walks through
+    check(
+        model,
+        "would consider higher looking",
+        [
+            ("would", 1, -1.687872),
+            ("consider", 2, -1.687872 - 0.30103),
+            ("higher", 3, -1.509559 - 0.30103),
+            ("looking", 4, -1.285941 - 0.30103),
+        ],
+        bos=False,
+        eos=False,
+    )
+
+
+def test_unknowns(model):
+    # model_test.cc:146-159 Unknowns() — explicit <unk> n-grams
+    check(model, "not_found", [("not_found", 1, -1.995635)], bos=False, eos=False)
+    check(
+        model,
+        "not_found not_found2 not_found3",
+        [
+            ("not_found", 1, -1.995635),
+            ("not_found2", 2, -15.0),
+            ("not_found3", 2, -15.0 - 2.0),
+        ],
+        bos=False,
+        eos=False,
+    )
+    check(
+        model,
+        "not_found however not_found3",
+        [
+            ("not_found", 1, -1.995635),
+            ("however", 2, -4.0),
+            ("not_found3", 3, -6.0),
+        ],
+        bos=False,
+        eos=False,
+    )
+
+
+def test_minimal_state(model):
+    # model_test.cc:161-181 MinimalState()
+    check(model, "baz", [("baz", 1, -6.535897)], bos=False, eos=False)
+    check(
+        model,
+        "foo bar bar",
+        [
+            ("foo", 1, -3.141592),
+            ("bar", 2, -6.0),
+            ("bar", 1, -2.718281 + 3.0),  # positive unigram backoff charged
+        ],
+        bos=False,
+        eos=False,
+    )
+    check(
+        model,
+        "to look a",
+        [("to", 1, -1.687872), ("look", 2, -0.2922095), ("a", 3, -7.0)],
+        bos=False,
+        eos=False,
+    )
+
+
+def test_no_unk_default(model_nounk):
+    # model_test.cc:281-287 NoUnkCheck(): missing <unk> scores -100
+    # (lm/config.hh:52-54 default)
+    assert not model_nounk.model.has_unk
+    fs = model_nounk.full_scores("this_is_not_found", bos=False, eos=False)
+    assert math.isclose(fs[0][0], -100.0, abs_tol=0.01)
+
+
+def test_quantized_backoff_still_close(model):
+    # the default pack (backoff_bits=8) must stay within the same sloppy
+    # tolerance on the reference fixture (lm/quantize.cc semantics)
+    arpa = parse_arpa(REF_ARPA)
+    q = VectorLM(pack_model(arpa, quant_bits=None, backoff_bits=8))
+    for text in ("looking on a little the biarritz not_found more .",):
+        a = model.score_text(text)
+        b = q.score_text(text)
+        assert math.isclose(a, b, rel_tol=5e-3, abs_tol=5e-2)

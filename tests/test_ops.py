@@ -234,9 +234,11 @@ def test_full_scores_api():
     text = "w1 w2 zzz w3\nw4 w5"
     fs = vlm.full_scores(text)
     # python/example.py invariant: sum(full_scores) == score
-    assert np.isclose(sum(p for p, _ in fs), vlm.score_text(text), atol=1e-4)
-    assert sum(o for _, o in fs) == 1  # exactly one OOV
+    assert np.isclose(sum(p for p, _, _ in fs), vlm.score_text(text), atol=1e-4)
+    assert sum(o for _, _, o in fs) == 1  # exactly one OOV
     assert len(fs) == 6 + 2  # six words + two </s>
+    # matched ngram lengths are within [1, order] (kenlm.pyx:216-243)
+    assert all(1 <= n <= 3 for _, n, _ in fs)
 
 
 def test_vocab_table_layout():
@@ -293,3 +295,39 @@ def test_plasma_shared_model(ray_session):
         batch_format="pyarrow", concurrency=2,
     ).to_pandas().sort_values("path")
     assert np.array_equal(a["ppl"].to_numpy(), b["ppl"].to_numpy(), equal_nan=True)
+
+
+def test_embedding_near_dup_lsh_matches_exact(ray_session):
+    """Planted near-dup clusters: the LSH-bucketed path returns the same
+    pairs (ids + rounded cosine) as the exact blocked self-join at a high
+    threshold, where its documented recall bound (miss <= 1e-9) applies."""
+    import pandas as pd
+    import ray.data
+
+    from kenlm_ray.ops.knn import embedding_near_dup_pairs
+
+    rng = np.random.default_rng(5)
+    base = rng.standard_normal((40, 16))
+    rows = []
+    vid = 0
+    for i in range(40):
+        rows.append((vid, base[i])); vid += 1
+        if i % 8 == 0:  # plant a near-duplicate (tiny perturbation)
+            rows.append((vid, base[i] + 0.01 * rng.standard_normal(16))); vid += 1
+    df = pd.DataFrame(
+        {"vec_id": [r[0] for r in rows],
+         "embedding": [r[1].astype(np.float32).tolist() for r in rows]}
+    )
+    ds = ray.data.from_pandas(df).repartition(3)
+    exact = (
+        embedding_near_dup_pairs(ds, 0.95, method="exact", block=16)
+        .to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    )
+    lsh = (
+        embedding_near_dup_pairs(ds, 0.95, method="lsh")
+        .to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    )
+    assert len(exact) >= 5  # all five planted pairs found
+    pd.testing.assert_frame_equal(
+        exact, lsh[exact.columns], check_dtype=False
+    )
