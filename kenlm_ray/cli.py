@@ -76,8 +76,12 @@ def cmd_train(args) -> int:
     from kenlm_ray.sources.model_buffer import save_model_buffer
 
     ds = ray.data.read_parquet(args.corpus)
+    prune = (
+        [int(x) for x in args.prune.split(",")] if args.prune else None
+    )
     result = estimate_mkn(
-        ds, order=args.order, text_col=args.text_col, min_count=args.min_count
+        ds, order=args.order, text_col=args.text_col, min_count=args.min_count,
+        prune_thresholds=prune,
     )
     save_model_buffer(args.out, result["arpa_tables"])
     print(f"model buffer written to {args.out}")
@@ -116,6 +120,30 @@ def cmd_filter(args) -> int:
     }
     save_model_buffer(args.out, out_tables)
     print(f"filtered model buffer -> {args.out}")
+    return 0
+
+
+def cmd_interpolate(args) -> int:
+    """Merge N ARPA models; tune weights on held-out text when given
+    (the reference's interpolate tool, lm/interpolate/pipeline.cc +
+    tune_derivatives.cc objective via EM)."""
+    from kenlm_ray.model.arpa import parse_arpa, write_arpa
+    from kenlm_ray.model.interpolate import interpolate_models, tune_weights
+
+    models = [parse_arpa(p) for p in args.arpa]
+    if args.tune is not None:
+        with open(args.tune) as f:
+            heldout = [ln.strip() for ln in f if ln.strip()]
+        lam = tune_weights(models, heldout)
+        print("tuned lambdas:", " ".join(f"{x:.6f}" for x in lam))
+    elif args.weights:
+        lam = [float(x) for x in args.weights.split(",")]
+    else:
+        lam = [1.0 / len(models)] * len(models)
+    merged = interpolate_models(models, lam)
+    with open(args.out, "w") as f:
+        f.write(write_arpa(merged))
+    print(f"merged {len(models)} models -> {args.out}")
     return 0
 
 
@@ -163,6 +191,10 @@ def main(argv=None) -> int:
     st.add_argument("--order", type=int, default=3)
     st.add_argument("--text-col", default="content")
     st.add_argument("--min-count", type=int, default=1)
+    st.add_argument(
+        "--prune", default=None,
+        help="comma-separated per-order raw-count thresholds (lmplz --prune)",
+    )
     st.set_defaults(fn=cmd_train)
 
     ss = sub.add_parser("score")
@@ -177,6 +209,13 @@ def main(argv=None) -> int:
     sf.add_argument("out")
     sf.add_argument("--vocab", required=True)
     sf.set_defaults(fn=cmd_filter)
+
+    si = sub.add_parser("interpolate")
+    si.add_argument("arpa", nargs="+")
+    si.add_argument("--out", required=True)
+    si.add_argument("--weights", default=None, help="comma-separated lambdas")
+    si.add_argument("--tune", default=None, help="held-out text file (one sentence per line)")
+    si.set_defaults(fn=cmd_interpolate)
 
     sQ = sub.add_parser("quality")
     sQ.add_argument("corpus")

@@ -13,8 +13,12 @@ Semantics:
     exactly 1:  γ(c) = (1 − Σ_seen p(w|c)) / (1 − Σ_seen p_low(w|c′))
     (the standard ARPA renormalization identity).
 
-The reference instead tunes per-context interpolation with suffix-order
-merges; weight TUNING (lm/interpolate/tune_*) is out of scope.  Models
+Weight TUNING: ``tune_weights`` learns λ by maximizing held-out
+log-likelihood with EM on the simplex — the same objective
+lm/interpolate/tune_derivatives.cc optimizes with Newton steps (its
+objective at tune_derivatives.cc:20-40 is the held-out cross-entropy of
+the λ-mix); EM is the Eigen-free fixed point for the same stationary
+condition and increases the likelihood monotonically every step.  Models
 are small relative to the corpus, so this runs driver-side, like model
 packing (SURVEY.md §3.3); the hot path (scoring with the merged model)
 stays distributed.
@@ -24,9 +28,95 @@ from __future__ import annotations
 
 import math
 
+import numpy as np
+
 from kenlm_ray.model.arpa import ArpaModel
 from kenlm_ray.model.pyref import RefLM
 from kenlm_ray.schema import BOS, EOS, UNK
+
+
+def _token_prob_matrix(models: "list[ArpaModel]", heldout: "list[str]") -> np.ndarray:
+    """(n_models, T) per-token probabilities of every held-out position
+    (each sentence scored as w1..wk </s> from <s>, each model through its
+    own backoff — the instance matrix of lm/interpolate/tune_instances.cc)."""
+    refs = [RefLM(m) for m in models]
+    cols: list[list[float]] = [[] for _ in refs]
+    for line in heldout:
+        toks = line.split()
+        if not toks:
+            continue
+        for i, ref in enumerate(refs):
+            ctx = [BOS]
+            for w in toks + [EOS]:
+                ww = ref._norm(w)
+                cols[i].append(10.0 ** ref.score_word(ctx, ww))
+                ctx = ctx + [ww]
+    return np.array(cols, dtype=np.float64)
+
+
+def tune_weights(
+    models: "list[ArpaModel]",
+    heldout: "list[str]",
+    *,
+    max_iter: int = 200,
+    tol: float = 1e-8,
+) -> list[float]:
+    """Learn interpolation weights λ maximizing held-out log-likelihood.
+
+    EM for a token-level mixture: responsibilities
+    r_it = λ_i p_i(t) / Σ_j λ_j p_j(t), then λ_i = mean_t r_it.  Each
+    iteration increases Σ_t log Σ_i λ_i p_i(t); the fixed point satisfies
+    the same stationarity condition tune_derivatives.cc solves by Newton.
+    """
+    P = _token_prob_matrix(models, heldout)
+    if P.size == 0:
+        return [1.0 / len(models)] * len(models)
+    M, T = P.shape
+    lam = np.full(M, 1.0 / M)
+    prev = -np.inf
+    for _ in range(max_iter):
+        mix = lam @ P  # (T,)
+        mix = np.maximum(mix, 1e-300)
+        ll = np.log(mix).sum()
+        if ll - prev < tol * max(1.0, abs(prev)):
+            break
+        prev = ll
+        lam = (P * (lam[:, None] / mix[None, :])).mean(axis=1)
+        lam = np.maximum(lam, 1e-12)
+        lam /= lam.sum()
+    # EM approaches simplex corners only geometrically; when a single
+    # model is optimal, hand the exact corner back instead of the
+    # almost-converged iterate
+    def _ll(v: np.ndarray) -> float:
+        return float(np.log(np.maximum(v @ P, 1e-300)).sum())
+
+    best, best_ll = lam, _ll(lam)
+    for i in range(M):
+        corner = np.zeros(M)
+        corner[i] = 1.0
+        cll = _ll(corner)
+        if cll > best_ll:
+            best, best_ll = corner, cll
+    return [float(x) for x in best]
+
+
+def heldout_perplexity(model: ArpaModel, heldout: "list[str]") -> float:
+    """10^(-Σ log10 p / words), words = tokens + sentences (kenlm.pyx)."""
+    ref = RefLM(model)
+    total, words = 0.0, 0
+    for line in heldout:
+        t, w, _ = ref.score_sentence(line.split())
+        total += t
+        words += w
+    return 10.0 ** (-total / max(words, 1))
+
+
+def interpolate_tuned(
+    models: "list[ArpaModel]", heldout: "list[str]", **tune_kwargs
+) -> "tuple[ArpaModel, list[float]]":
+    """Tune λ on held-out text, then statically merge with those weights."""
+    lam = tune_weights(models, heldout, **tune_kwargs)
+    return interpolate_models(models, lam), lam
 
 
 def interpolate_models(

@@ -48,10 +48,19 @@ def mkn_discounts(adjusted: "dict | Counter") -> list[float]:
 
 
 def train_kn(
-    sentences: "list[list[str]]", order: int = 3, vocab_min_count: int = 1
+    sentences: "list[list[str]]",
+    order: int = 3,
+    vocab_min_count: int = 1,
+    prune_thresholds: "list[int] | None" = None,
 ) -> ArpaModel:
     """Train an interpolated modified-KN model; returns a valid ArpaModel
-    (normalized: sum_w p(w|ctx) == 1 for every context)."""
+    (normalized: sum_w p(w|ctx) == 1 for every context).
+
+    ``prune_thresholds`` mirrors lmplz --prune (adjust_counts.cc:136-145 +
+    initial_probabilities.cc:159-190): grams with RAW count <= the
+    per-order threshold are dropped from the output; their adjusted mass
+    folds into the context's gamma so every context still sums to 1.
+    Must be non-decreasing with first element 0."""
     # ---- vocab ----
     word_counts = Counter(w for s in sentences for w in s)
     vocab = {w for w, c in word_counts.items() if c >= vocab_min_count}
@@ -96,6 +105,18 @@ def train_kn(
     # distribution (its ARPA row gets the conventional -99 prob).
     adj[1].pop((BOS,), None)
 
+    # ---- prune marks (raw counts; specials exempt at order 1) ----
+    pruned: list[set] = [set() for _ in range(order + 1)]
+    if prune_thresholds is not None:
+        assert len(prune_thresholds) == order
+        assert prune_thresholds[0] == 0
+        assert all(b >= a for a, b in zip(prune_thresholds, prune_thresholds[1:]))
+        for n in range(1, order + 1):
+            tau = prune_thresholds[n - 1]
+            for g, c in raw[n].items():
+                if c <= tau and not (n == 1 and g[0] in (UNK, BOS, EOS)):
+                    pruned[n].add(g)
+
     # ---- discounts per order ----
     D: list[list[float]] = [[0, 0, 0]] * (order + 1)
     D = [None] + [
@@ -117,9 +138,13 @@ def train_kn(
         ctx_disc = defaultdict(float)
         for g, c in adj[n].items():
             ctx_sum[g[:-1]] += c
-            ctx_disc[g[:-1]] += disc(n, c)
+            # a pruned gram's whole mass joins the gamma numerator
+            # (initial_probabilities.cc "normalizer")
+            ctx_disc[g[:-1]] += float(c) if g in pruned[n] else disc(n, c)
         p = {}
         for g, c in adj[n].items():
+            if g in pruned[n]:
+                continue
             denom = ctx_sum[g[:-1]]
             p[g] = (c - disc(n, c)) / denom if denom else 0.0
         gam = {
@@ -147,6 +172,8 @@ def train_kn(
     for n in range(2, order + 1):
         pn = {}
         for g in adj[n]:
+            if g in pruned[n]:
+                continue
             lower = interp[n - 1].get(g[1:], interp[1].get(g[-1], 1.0 / V)) if n > 2 else interp[1].get(g[-1], 1.0 / V)
             pn[g] = probs[n][g] + gammas[n].get(g[:-1], 0.0) * lower
         interp[n] = pn

@@ -11,6 +11,16 @@ re-expressed as grouped aggregates and hash joins (SURVEY.md §2.6):
         groupby(suffix-of-(n+1)-gram).count, except <s>-initial grams
         which keep raw counts; discount stats t1..t4 are a tiny grouped
         count (StatCollector, adjust_counts.cc:24-105).
+  [2c] Pruning (adjust_counts.cc:136-145, 218-280 + payload.hh Mark/
+      CutoffCount): a gram is pruned when its RAW count <= the per-order
+      threshold (specials exempt at order 1).  Pruned grams still feed
+      denominators and discount stats; their entire adjusted mass moves
+      into the context's gamma (initial_probabilities.cc:159-190
+      "normalizer"), and their rows are dropped from the output
+      (PruneNGramStream).  Thresholds must be non-decreasing with
+      threshold[0] == 0 — then raw(prefix) >= raw(gram) and
+      raw(suffix) >= raw(gram) guarantee every surviving gram's context
+      and backoff target also survive (same invariant lmplz relies on).
   [3] InitialProbabilities (initial_probabilities.cc:143-274, context-order
       synchronized readers) → groupby(context).sum for (denominator,
       discount mass) then a hash join back on the context key.
@@ -22,8 +32,10 @@ Ray Data blocks are unordered, SURVEY.md §2.10).  The in-memory oracle
 (kenlm_ray.model.train_quick.train_kn) computes the same tables; the
 pytest parity gate diffs them exactly.
 
-Scale notes: gram keys are carried as strings for clarity/interop; the
-shuffle key is the gram columns (w1..wn).  The vocabulary (post
+Scale notes: every shuffle key is a uint32 WORD-ID column (i1..in) — the
+reference moves 4-byte ids for the same reason (lm/word_index.hh); token
+STRINGS never leave the counting map task and only reappear in the final
+ARPA projection (broadcast id→word gather).  The vocabulary (post
 min-count cutoff) is assumed driver-manageable and is broadcast — the
 same assumption as the reference's in-memory GrowableVocab
 (/root/reference/lm/vocab.hh:237-278).  Unigram tables materialize on
@@ -33,6 +45,7 @@ the driver (vocab-sized); all higher orders stay distributed.
 from __future__ import annotations
 
 import math
+from dataclasses import dataclass
 
 import numpy as np
 import pyarrow as pa
@@ -40,96 +53,60 @@ import pyarrow.compute as pc
 
 import ray
 import ray.data
-from ray.data.aggregate import Count, Sum
+from ray.data.aggregate import Sum
 
-from kenlm_ray.functions.hashing import murmur64_stream  # noqa: F401
+from kenlm_ray.functions.hashing import hash_bytes_array
 from kenlm_ray.functions.tokenize import tokenize_column
 from kenlm_ray.ops.join import hash_join
-from kenlm_ray.model.train_quick import mkn_discounts
-from kenlm_ray.schema import BOS, EOS, UNK
-from kenlm_ray.sources.synth_corpus import seed_sentences  # noqa: F401  (docs)
+from kenlm_ray.schema import BOS, BOS_ID, EOS, EOS_ID, UNK, UNK_ID
+
+_SPECIAL_IDS = (UNK_ID, BOS_ID, EOS_ID)
+
+
+def _icols(n: int) -> list[str]:
+    return [f"i{i+1}" for i in range(n)]
 
 
 def _wcols(n: int) -> list[str]:
     return [f"w{i+1}" for i in range(n)]
 
 
-def _padded_window_frame(
-    batch: pa.Table, n: int, vocab_hashes: "np.ndarray | None", text_col: str
-) -> pa.Table:
-    """Emit all order-n windows of every padded sentence ([<s>] line [</s>])
-    in the batch, vocabulary-normalized (OOV → <unk>)."""
-    stream = tokenize_column(batch[text_col])
-    T = stream.n_tokens
-    cols = {c: pa.array([], type=pa.string()) for c in _wcols(n)}
-    if T == 0:
-        return pa.table(cols)
-    toks = stream.to_arrow()
-    if vocab_hashes is not None:
-        th = stream.hashes()
-        idx = np.searchsorted(vocab_hashes, th)
-        in_vocab = (idx < len(vocab_hashes)) & (
-            vocab_hashes[np.minimum(idx, len(vocab_hashes) - 1)] == th
+@dataclass
+class VocabMap:
+    """Driver-side vocabulary: id-indexed word list + broadcastable
+    (sorted hash, id) lookup arrays.  Specials get fixed ids (<unk>=0,
+    <s>=1, </s>=2 — lm/word_index.hh) but are NOT in the lookup table, so
+    literal <s>/</s>/<unk> text tokens map to <unk> (the disallowed-symbol
+    guard, corpus_count.cc:170-181)."""
+
+    words: list[str]
+    lookup_hashes: np.ndarray  # uint64 sorted, words[3:] only
+    lookup_ids: np.ndarray  # uint32 aligned with lookup_hashes
+
+    @property
+    def size(self) -> int:
+        return len(self.words)
+
+    def ids_for_hashes(self, th: np.ndarray) -> np.ndarray:
+        if len(self.lookup_hashes) == 0:
+            return np.zeros(len(th), dtype=np.uint32)
+        idx = np.minimum(
+            np.searchsorted(self.lookup_hashes, th), len(self.lookup_hashes) - 1
         )
-        toks = pc.if_else(pa.array(in_vocab), toks, pa.scalar(UNK))
-    sent_ids = stream.sent_ids
-    S = int(sent_ids[-1]) + 1
-    counts = np.bincount(sent_ids, minlength=S)
-    ext_counts = counts + 2
-    E = T + 2 * S
-    ext_start = np.zeros(S, dtype=np.int64)
-    ext_start[1:] = np.cumsum(ext_counts)[:-1]
-    # combined dictionary: [tokens..., <s>, </s>]
-    comb = pa.concat_arrays(
-        [toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks,
-         pa.array([BOS, EOS], type=pa.string())]
-    )
-    ext_idx = np.empty(E, dtype=np.int64)
-    ext_idx[ext_start] = T
-    ext_idx[ext_start + ext_counts - 1] = T + 1
-    tok_start = np.zeros(S, dtype=np.int64)
-    tok_start[1:] = np.cumsum(counts)[:-1]
-    rank = np.arange(T, dtype=np.int64) - tok_start[sent_ids]
-    ext_idx[ext_start[sent_ids] + 1 + rank] = np.arange(T, dtype=np.int64)
-    sstart_of_ext = ext_start[np.repeat(np.arange(S, dtype=np.int64), ext_counts)]
-    pos = np.arange(E, dtype=np.int64)
-    valid = (pos - sstart_of_ext) >= (n - 1)  # window fits in sentence
-    vidx = np.flatnonzero(valid)
-    for j in range(n):
-        take = ext_idx[vidx - (n - 1) + j]
-        cols[f"w{j+1}"] = pa.Array.take(comb, pa.array(take))
-    return pa.table(cols)
+        found = self.lookup_hashes[idx] == th
+        return np.where(found, self.lookup_ids[idx], np.uint32(UNK_ID))
 
-
-def raw_counts(
-    ds: "ray.data.Dataset", n: int, vocab_hashes: "np.ndarray | None",
-    text_col: str = "text",
-) -> "ray.data.Dataset":
-    """Phase [1]: raw order-n counts over padded sentences (partial combine
-    per batch, then hash-shuffle sum)."""
-    keys = _wcols(n)
-    vh_ref = ray.put(vocab_hashes)
-
-    def partial(batch: pa.Table) -> pa.Table:
-        vh = ray.get(vh_ref)
-        t = _padded_window_frame(batch, n, vh, text_col)
-        if len(t) == 0:
-            return t.append_column("c", pa.array([], type=pa.int64()))
-        t = t.append_column("c", pa.array(np.ones(len(t), dtype=np.int64)))
-        return t.group_by(keys).aggregate([("c", "sum")])
-
-    return (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby(keys)
-        .aggregate(Sum("c_sum", alias_name="count"))
-    )
+    def id_of(self, word: str) -> int:
+        try:
+            return self.words.index(word)
+        except ValueError:
+            return UNK_ID
 
 
 def build_vocab(
     ds: "ray.data.Dataset", min_count: int = 1, text_col: str = "text"
-) -> np.ndarray:
-    """Distributed unigram count → sorted MurmurHash64A array of retained
-    words (the broadcastable vocabulary)."""
+) -> VocabMap:
+    """Distributed unigram count → VocabMap of retained words."""
 
     def partial(batch: pa.Table) -> pa.Table:
         stream = tokenize_column(batch[text_col])
@@ -151,14 +128,83 @@ def build_vocab(
         .aggregate(Sum("c_sum", alias_name="count"))
     )
     vt = agg.to_pandas()
-    words = [
+    rest = [
         w
         for w, c in zip(vt["w"], vt["count"])
         if c >= min_count and w not in (UNK, BOS, EOS)
     ]
-    from kenlm_ray.functions.hashing import hash_bytes_array
+    rest_hashes = hash_bytes_array(rest)
+    order = np.argsort(rest_hashes, kind="stable")
+    words = [UNK, BOS, EOS] + [rest[i] for i in order]
+    lookup_hashes = rest_hashes[order]
+    lookup_ids = (np.arange(len(rest), dtype=np.uint32) + np.uint32(3))
+    if len(np.unique(lookup_hashes)) != len(lookup_hashes):
+        raise ValueError("vocab hash collision — unsupported")
+    return VocabMap(words=words, lookup_hashes=lookup_hashes, lookup_ids=lookup_ids)
 
-    return np.sort(hash_bytes_array(words))
+
+def _padded_window_ids(
+    batch: pa.Table, n: int, vocab: VocabMap, text_col: str
+) -> pa.Table:
+    """All order-n id windows of every padded sentence ([<s>] line [</s>]).
+
+    Emits uint32 id columns i1..in — strings never leave this function."""
+    stream = tokenize_column(batch[text_col])
+    T = stream.n_tokens
+    cols = {c: pa.array([], type=pa.uint32()) for c in _icols(n)}
+    if T == 0:
+        return pa.table(cols)
+    ids = vocab.ids_for_hashes(stream.hashes())
+    sent_ids = stream.sent_ids
+    S = int(sent_ids[-1]) + 1
+    counts = np.bincount(sent_ids, minlength=S)
+    ext_counts = counts + 2
+    E = T + 2 * S
+    ext_start = np.zeros(S, dtype=np.int64)
+    ext_start[1:] = np.cumsum(ext_counts)[:-1]
+    ext = np.empty(E, dtype=np.uint32)
+    ext[ext_start] = np.uint32(BOS_ID)
+    ext[ext_start + ext_counts - 1] = np.uint32(EOS_ID)
+    tok_start = np.zeros(S, dtype=np.int64)
+    tok_start[1:] = np.cumsum(counts)[:-1]
+    rank = np.arange(T, dtype=np.int64) - tok_start[sent_ids]
+    ext[ext_start[sent_ids] + 1 + rank] = ids
+    sstart_of_ext = ext_start[np.repeat(np.arange(S, dtype=np.int64), ext_counts)]
+    pos = np.arange(E, dtype=np.int64)
+    vidx = np.flatnonzero((pos - sstart_of_ext) >= (n - 1))  # window fits
+    out = {}
+    for j in range(n):
+        out[f"i{j+1}"] = pa.array(ext[vidx - (n - 1) + j])
+    return pa.table(out)
+
+
+def raw_counts(
+    ds: "ray.data.Dataset", n: int, vocab: VocabMap, text_col: str = "text"
+) -> "ray.data.Dataset":
+    """Phase [1]: raw order-n counts over padded sentences (partial combine
+    per batch, then hash-shuffle sum over uint32 id keys)."""
+    keys = _icols(n)
+    vocab_ref = ray.put(vocab)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = ray.get(vocab_ref)
+        t = _padded_window_ids(batch, n, v, text_col)
+        if len(t) == 0:
+            return t.append_column("c", pa.array([], type=pa.int64()))
+        t = t.append_column("c", pa.array(np.ones(len(t), dtype=np.int64)))
+        return t.group_by(keys).aggregate([("c", "sum")])
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(keys)
+        .aggregate(Sum("c_sum", alias_name="count"))
+    )
+
+
+def _sel(batch: pa.Table, mapping: "dict[str, str]") -> pa.Table:
+    """Project/rename BY NAME (never positional — aggregate output column
+    order is undocumented Ray Data behavior)."""
+    return pa.table({new: batch[old] for new, old in mapping.items()})
 
 
 def adjusted_counts(
@@ -169,14 +215,16 @@ def adjusted_counts(
 
     adjusted(g) = |{v : raw(v·g) > 0}|  except g starting with <s> (raw),
     falling back to raw when a gram never occurs mid-sentence
-    (adjust_counts.cc:264-320 semantics, keyed instead of scanned)."""
-    keys = _wcols(n)
+    (adjust_counts.cc:264-320 semantics, keyed instead of scanned).
+    Output columns: i1..in, raw, adjusted  (raw kept for pruning)."""
+    keys = _icols(n)
     if raw_np1 is None:
         return raw_n.map_batches(
-            lambda t: t.rename_columns(keys + ["adjusted"]), batch_format="pyarrow"
+            lambda t: _sel(t, {**{k: k for k in keys}, "raw": "count", "adjusted": "count"}),
+            batch_format="pyarrow",
         )
 
-    np1_keys = _wcols(n + 1)
+    np1_keys = _icols(n + 1)
 
     def suffix_project(batch: pa.Table) -> pa.Table:
         cols = {keys[i]: batch[np1_keys[i + 1]] for i in range(n)}
@@ -188,15 +236,13 @@ def adjusted_counts(
         .groupby(keys)
         .aggregate(Sum("e_sum", alias_name="left_ext"))
     )
-    from kenlm_ray.ops.join import hash_join
-
-    str_keys = {k: pa.string() for k in keys}
+    id_keys = {k: pa.uint32() for k in keys}
     joined = hash_join(
         raw_n,
         left_ext,
         on=keys,
-        left_cols={**str_keys, "count": pa.int64()},
-        right_cols={**str_keys, "left_ext": pa.int64()},
+        left_cols={**id_keys, "count": pa.int64()},
+        right_cols={**id_keys, "left_ext": pa.int64()},
         how="left",
         num_partitions=num_partitions,
     )
@@ -205,20 +251,59 @@ def adjusted_counts(
         raw = batch["count"].to_numpy(zero_copy_only=False)
         le = batch["left_ext"].to_numpy(zero_copy_only=False)
         le = np.where(np.isnan(le.astype(np.float64)), 0, le).astype(np.int64)
-        bos = pc.equal(batch["w1"], pa.scalar(BOS)).to_numpy(zero_copy_only=False)
+        bos = (
+            batch["i1"].to_numpy(zero_copy_only=False).astype(np.int64) == BOS_ID
+        )
         adjusted = np.where(bos | (le == 0), raw, le)
         out = {k: batch[k] for k in keys}
+        out["raw"] = pa.array(raw.astype(np.int64))
         out["adjusted"] = pa.array(adjusted.astype(np.int64))
         return pa.table(out)
 
     return joined.map_batches(finalize, batch_format="pyarrow")
 
 
+def mark_pruned(
+    adj_n: "ray.data.Dataset", n: int, threshold: int,
+    disallowed_ids: "np.ndarray | None" = None,
+) -> "ray.data.Dataset":
+    """Phase [2c]: append bool ``pruned``: raw <= threshold (specials
+    exempt at order 1, adjust_counts.cc:226-231), or any word outside the
+    vocabulary limit (--limit_vocab_file, adjust_counts.cc:138-145)."""
+    keys = _icols(n)
+    dis_ref = ray.put(
+        np.sort(disallowed_ids.astype(np.uint32)) if disallowed_ids is not None else None
+    )
+
+    def mark(batch: pa.Table) -> pa.Table:
+        raw = batch["raw"].to_numpy(zero_copy_only=False)
+        pruned = raw <= threshold
+        if n == 1:
+            ids = batch["i1"].to_numpy(zero_copy_only=False)
+            pruned &= ids > max(_SPECIAL_IDS)
+        dis = ray.get(dis_ref)
+        if dis is not None and len(dis):
+            hit = np.zeros(len(batch), dtype=bool)
+            for k in keys:
+                col = batch[k].to_numpy(zero_copy_only=False).astype(np.uint32)
+                idx = np.minimum(np.searchsorted(dis, col), len(dis) - 1)
+                hit |= dis[idx] == col
+            pruned |= hit
+        return batch.append_column("pruned", pa.array(pruned))
+
+    return adj_n.map_batches(mark, batch_format="pyarrow")
+
+
 def discount_stats(adj_n: "ray.data.Dataset", exclude_bos: bool = False) -> list[float]:
-    """Phase [2b]: t1..t4 → [D1, D2, D3+] (tiny grouped count + driver math)."""
+    """Phase [2b]: t1..t4 → [D1, D2, D3+] (tiny grouped count + driver
+    math).  Pruned grams are INCLUDED — StatCollector.Add counts every
+    adjusted count into n[1..4] regardless of the prune mark
+    (adjust_counts.cc:76-88)."""
     if exclude_bos:
         adj_n = adj_n.map_batches(
-            lambda t: t.filter(pc.invert(pc.equal(t["w1"], pa.scalar(BOS)))),
+            lambda t: t.filter(
+                pc.invert(pc.equal(t["i1"], pa.scalar(BOS_ID, type=pa.uint32())))
+            ),
             batch_format="pyarrow",
         )
     hist = (
@@ -263,15 +348,26 @@ def _apply_discount(adjusted: np.ndarray, D: list[float]) -> np.ndarray:
 def initial_probs(
     adj_n: "ray.data.Dataset", n: int, D: list[float], num_partitions: int = 16
 ) -> tuple["ray.data.Dataset", "ray.data.Dataset"]:
-    """Phase [3]: uninterpolated p̂ per gram and γ per context.
+    """Phase [3]: uninterpolated p̂ per SURVIVING gram and γ per context.
+
+    Pruning semantics (initial_probabilities.cc:159-190): the denominator
+    sums adjusted counts of ALL grams; a pruned gram's discount is its
+    whole adjusted count (its mass joins gamma — the "normalizer"); its
+    p̂ row is dropped (PruneNGramStream).  Without a ``pruned`` column the
+    behavior is identical to the unpruned path.
 
     Returns (rows with pseudo_prob, context table with gamma)."""
-    keys = _wcols(n)
+    keys = _icols(n)
     ctx = keys[:-1]
+    has_prune = "pruned" in adj_n.schema().names
 
     def with_disc(batch: pa.Table) -> pa.Table:
         adj = batch["adjusted"].to_numpy(zero_copy_only=False)
-        return batch.append_column("disc", pa.array(_apply_discount(adj, D)))
+        disc = _apply_discount(adj, D)
+        if has_prune:
+            pr = batch["pruned"].to_numpy(zero_copy_only=False)
+            disc = np.where(pr, adj.astype(np.float64), disc)
+        return batch.append_column("disc", pa.array(disc))
 
     rows = adj_n.map_batches(with_disc, batch_format="pyarrow")
     if not ctx:
@@ -290,6 +386,9 @@ def initial_probs(
         gamma = dsum / denom if denom else 1.0
 
         def uni_prob(batch: pa.Table) -> pa.Table:
+            if has_prune:
+                batch = batch.filter(pc.invert(batch["pruned"].combine_chunks()
+                    if isinstance(batch["pruned"], pa.ChunkedArray) else batch["pruned"]))
             adj = batch["adjusted"].to_numpy(zero_copy_only=False).astype(np.float64)
             disc = batch["disc"].to_numpy(zero_copy_only=False)
             p = (adj - disc) / denom if denom else np.zeros(len(batch))
@@ -304,21 +403,25 @@ def initial_probs(
     ctx_agg = rows.groupby(ctx).aggregate(
         Sum("adjusted", alias_name="denom"), Sum("disc", alias_name="disc_mass")
     )
-    from kenlm_ray.ops.join import hash_join
-
-    str_keys = {k: pa.string() for k in keys}
-    str_ctx = {k: pa.string() for k in ctx}
+    id_keys = {k: pa.uint32() for k in keys}
+    id_ctx = {k: pa.uint32() for k in ctx}
+    left_cols = {**id_keys, "adjusted": pa.int64(), "disc": pa.float64()}
+    if has_prune:
+        left_cols["pruned"] = pa.bool_()
     joined = hash_join(
         rows,
         ctx_agg,
         on=ctx,
-        left_cols={**str_keys, "adjusted": pa.int64(), "disc": pa.float64()},
-        right_cols={**str_ctx, "denom": pa.int64(), "disc_mass": pa.float64()},
+        left_cols=left_cols,
+        right_cols={**id_ctx, "denom": pa.int64(), "disc_mass": pa.float64()},
         how="inner",
         num_partitions=num_partitions,
     )
 
     def fin(batch: pa.Table) -> pa.Table:
+        if has_prune:
+            keep = ~batch["pruned"].to_numpy(zero_copy_only=False).astype(bool)
+            batch = batch.filter(pa.array(keep))
         adj = batch["adjusted"].to_numpy(zero_copy_only=False).astype(np.float64)
         disc = batch["disc"].to_numpy(zero_copy_only=False)
         denom = batch["denom"].to_numpy(zero_copy_only=False).astype(np.float64)
@@ -347,31 +450,61 @@ def estimate_mkn(
     text_col: str = "text",
     min_count: int = 1,
     num_partitions: int = 16,
+    prune_thresholds: "list[int] | None" = None,
+    limit_vocab: "set[str] | None" = None,
 ) -> dict:
     """Full pipeline: returns {"arpa_tables": {n: Dataset(w1..wn,
-    log10_prob, log10_backoff)}, "discounts": {n: [D1,D2,D3]}}.
+    log10_prob, log10_backoff)}, "discounts": {n: [D1,D2,D3]},
+    "vocab": VocabMap}.
+
+    ``prune_thresholds``: per-order raw-count thresholds (lmplz --prune):
+    grams with raw count <= threshold[n-1] are dropped, their mass folded
+    into the context's backoff.  Must be non-decreasing, first element 0
+    (lmplz pipeline.cc validation — guarantees suffix/prefix closure of
+    the surviving set).  ``limit_vocab``: if given, grams containing any
+    word OUTSIDE this set are pruned (--limit_vocab_file).
 
     Unigram interpolation with the uniform 1/|vocab| distribution and the
     -99 <s> convention match train_kn (the in-memory oracle) exactly.
     """
-    vocab_hashes = build_vocab(ds, min_count=min_count, text_col=text_col)
+    if prune_thresholds is not None:
+        if len(prune_thresholds) != order:
+            raise ValueError("prune_thresholds must have one entry per order")
+        if prune_thresholds[0] != 0:
+            raise ValueError("unigram prune threshold must be 0 (lmplz rule)")
+        if any(b < a for a, b in zip(prune_thresholds, prune_thresholds[1:])):
+            raise ValueError("prune_thresholds must be non-decreasing")
+    vocab = build_vocab(ds, min_count=min_count, text_col=text_col)
+    pruning = prune_thresholds is not None or limit_vocab is not None
+    thresholds = prune_thresholds or [0] * order
+    disallowed = None
+    if limit_vocab is not None:
+        disallowed = np.array(
+            [
+                i
+                for i, w in enumerate(vocab.words)
+                if i > max(_SPECIAL_IDS) and w not in limit_vocab
+            ],
+            dtype=np.uint32,
+        )
 
     raws = {
-        n: raw_counts(ds, n, vocab_hashes, text_col=text_col)
-        for n in range(1, order + 1)
+        n: raw_counts(ds, n, vocab, text_col=text_col) for n in range(1, order + 1)
     }
-    # phase 2: adjusted counts high→low (each needs raw at n+1)
+    # phase 2: adjusted counts (each needs raw at n+1)
     adjs = {}
     for n in range(1, order + 1):
         adjs[n] = adjusted_counts(
             raws[n], raws.get(n + 1), n, num_partitions=num_partitions
-        ) if n < order else raws[n].map_batches(
-            lambda t, _k=_wcols(n): t.rename_columns(_k + ["adjusted"]),
-            batch_format="pyarrow",
         )
+        if pruning:
+            adjs[n] = mark_pruned(adjs[n], n, thresholds[n - 1], disallowed)
     # drop the <s> unigram row from the unigram distribution (train_quick)
-    adjs[1] = adjs[1].filter(
-        lambda row: row["w1"] != BOS
+    adjs[1] = adjs[1].map_batches(
+        lambda t: t.filter(
+            pc.invert(pc.equal(t["i1"], pa.scalar(BOS_ID, type=pa.uint32())))
+        ),
+        batch_format="pyarrow",
     )
     # checkpoint the adjusted-count tables: they are consumed by several
     # downstream materializations (discounts, probs, gammas) and are small
@@ -395,35 +528,56 @@ def estimate_mkn(
     p1 = probs[1].to_pandas()
     g1 = gammas[1].to_pandas()
     uni_gamma = float(g1["gamma"].iloc[0])
-    words = list(p1["w1"])
-    pp = dict(zip(words, p1["pseudo_prob"]))
-    vocab_words = sorted(set(words) | {UNK, EOS})
-    V = len(vocab_words)
-    interp1 = {w: pp.get(w, 0.0) + uni_gamma / V for w in vocab_words}
-    s1 = sum(interp1.values())
-    interp1 = {w: p / s1 for w, p in interp1.items()}
+    uni_ids = p1["i1"].to_numpy().astype(np.int64)
+    uni_pp = p1["pseudo_prob"].to_numpy().astype(np.float64)
+    # survived unigram ids ∪ {<unk>, </s>} — the interpolated distribution
+    vocab_ids = np.unique(np.concatenate([uni_ids, [UNK_ID, EOS_ID]]))
+    V = len(vocab_ids)
+    pp_sorted = np.zeros(V, dtype=np.float64)
+    pos = np.searchsorted(vocab_ids, uni_ids)
+    pp_sorted[pos] = uni_pp
+    interp1 = pp_sorted + uni_gamma / V
+    interp1 /= interp1.sum()
+    # broadcast (sorted ids, interpolated probs) for the order-2 join
+    interp_lower_ref = ray.put((vocab_ids, interp1))
+    words_ref = ray.put(np.array(vocab.words, dtype=object))
 
     arpa_tables: dict[int, "ray.data.Dataset | pa.Table"] = {}
-    # unigram ARPA rows (driver-side table): backoff = log10 gamma_2(w)
-    interp_lower_ref = ray.put(interp1)
+
+    def project_words(batch: pa.Table, _n: int) -> pa.Table:
+        """id columns -> word columns (broadcast gather) + prob/backoff."""
+        words = ray.get(words_ref)
+        out = {}
+        for j in range(_n):
+            ids = batch[f"i{j+1}"].to_numpy(zero_copy_only=False).astype(np.int64)
+            out[f"w{j+1}"] = pa.array(words[ids], type=pa.string())
+        out["log10_prob"] = batch["log10_prob"]
+        out["log10_backoff"] = batch["log10_backoff"]
+        return pa.table(out)
 
     prev_interp_ds: "ray.data.Dataset | None" = None
     for n in range(2, order + 1):
-        keys = _wcols(n)
+        keys = _icols(n)
         sfx = keys[1:]
+        id_keys = {k: pa.uint32() for k in keys}
         if n == 2:
+
             def add_lower2(batch: pa.Table, _last=keys[-1]) -> pa.Table:
-                low = ray.get(interp_lower_ref)
-                lastw = batch[_last].to_pylist()
-                lp = np.array([low.get(w, 0.0) for w in lastw])
-                return batch.append_column("p_lower", pa.array(lp))
+                lid, lp = ray.get(interp_lower_ref)
+                wids = batch[_last].to_numpy(zero_copy_only=False).astype(np.int64)
+                idx = np.minimum(np.searchsorted(lid, wids), len(lid) - 1)
+                p = np.where(lid[idx] == wids, lp[idx], 0.0)
+                return batch.append_column("p_lower", pa.array(p))
 
             with_lower = probs[2].map_batches(add_lower2, batch_format="pyarrow")
         else:
-            lower = prev_interp_ds.select_columns(_wcols(n - 1) + ["prob"])
-            lower = lower.map_batches(
-                lambda t, _n=n: t.rename_columns(
-                    [f"w{i+2}" for i in range(_n - 1)] + ["p_lower"]
+            lower = prev_interp_ds.map_batches(
+                lambda t, _n=n: _sel(
+                    t,
+                    {
+                        **{f"i{i+2}": f"i{i+1}" for i in range(_n - 1)},
+                        "p_lower": "prob",
+                    },
                 ),
                 batch_format="pyarrow",
             )
@@ -431,26 +585,23 @@ def estimate_mkn(
                 probs[n],
                 lower,
                 on=list(sfx),
-                left_cols={**{k: pa.string() for k in keys}, "pseudo_prob": pa.float64()},
-                right_cols={**{k: pa.string() for k in sfx}, "p_lower": pa.float64()},
+                left_cols={**id_keys, "pseudo_prob": pa.float64()},
+                right_cols={**{k: pa.uint32() for k in sfx}, "p_lower": pa.float64()},
                 how="left",
                 num_partitions=num_partitions,
             )
         gamma_n = gammas[n].map_batches(
-            lambda t, _c=keys[:-1]: t.rename_columns(list(_c) + ["gamma_ctx"]),
+            lambda t, _c=tuple(keys[:-1]): _sel(
+                t, {**{k: k for k in _c}, "gamma_ctx": "gamma"}
+            ),
             batch_format="pyarrow",
         )
-        wl_cols = {**{k: pa.string() for k in keys}, "pseudo_prob": pa.float64()}
-        if n > 2:
-            wl_cols["p_lower"] = pa.float64()
-        else:
-            wl_cols["p_lower"] = pa.float64()
         with_gamma = hash_join(
             with_lower,
             gamma_n,
             on=list(keys[:-1]),
-            left_cols=wl_cols,
-            right_cols={**{k: pa.string() for k in keys[:-1]}, "gamma_ctx": pa.float64()},
+            left_cols={**id_keys, "pseudo_prob": pa.float64(), "p_lower": pa.float64()},
+            right_cols={**{k: pa.uint32() for k in keys[:-1]}, "gamma_ctx": pa.float64()},
             how="inner",
             num_partitions=num_partitions,
         )
@@ -468,15 +619,17 @@ def estimate_mkn(
         # backoff of an n-gram = log10 gamma_{n+1}(gram) (absent → no row)
         if n < order:
             gnext = gammas[n + 1].map_batches(
-                lambda t, _k=tuple(keys): t.rename_columns(list(_k) + ["gamma_bo"]),
+                lambda t, _k=tuple(keys): _sel(
+                    t, {**{k: k for k in _k}, "gamma_bo": "gamma"}
+                ),
                 batch_format="pyarrow",
             )
             merged = hash_join(
                 prev_interp_ds,
                 gnext,
                 on=list(keys),
-                left_cols={**{k: pa.string() for k in keys}, "prob": pa.float64()},
-                right_cols={**{k: pa.string() for k in keys}, "gamma_bo": pa.float64()},
+                left_cols={**id_keys, "prob": pa.float64()},
+                right_cols={**id_keys, "gamma_bo": pa.float64()},
                 how="left",
                 num_partitions=num_partitions,
             )
@@ -497,36 +650,52 @@ def estimate_mkn(
             out["log10_backoff"] = pa.array(bo)
             return pa.table(out)
 
-        arpa_tables[n] = merged.map_batches(to_arpa, batch_format="pyarrow")
+        arpa_ids = merged.map_batches(to_arpa, batch_format="pyarrow")
+        arpa_tables[n] = arpa_ids.map_batches(
+            lambda t, _n=n: project_words(t, _n), batch_format="pyarrow"
+        )
 
     # unigram ARPA table: needs gamma_2 per word (context table of order 2)
     if order >= 2:
         g2 = gammas[2].to_pandas()
-        g2map = dict(zip(g2["w1"], g2["gamma"]))
+        g2_ids = g2["i1"].to_numpy().astype(np.int64)
+        g2_order = np.argsort(g2_ids, kind="stable")
+        g2_ids = g2_ids[g2_order]
+        g2_gam = g2["gamma"].to_numpy().astype(np.float64)[g2_order]
+
+        def g2_of(wid: int) -> "float | None":
+            i = np.searchsorted(g2_ids, wid)
+            if i < len(g2_ids) and g2_ids[i] == wid:
+                return float(g2_gam[i])
+            return None
     else:
-        g2map = {}
+
+        def g2_of(wid: int) -> "float | None":
+            return None
+
     uni_rows = []
-    for w in vocab_words:
-        if w == BOS:
+    for j, wid in enumerate(vocab_ids):
+        if wid == BOS_ID:
             continue
-        prob = math.log10(max(interp1[w], 1e-12))
-        bo = g2map.get(w)
+        prob = math.log10(max(interp1[j], 1e-12))
+        bo = g2_of(int(wid))
         uni_rows.append(
             {
-                "w1": w,
+                "w1": vocab.words[int(wid)],
                 "log10_prob": prob,
                 "log10_backoff": math.log10(max(bo, 1e-12)) if bo is not None else 0.0,
             }
         )
+    bos_g = g2_of(BOS_ID)
     uni_rows.append(
         {
             "w1": BOS,
             "log10_prob": -99.0,
-            "log10_backoff": math.log10(max(g2map.get(BOS, 1.0), 1e-12)),
+            "log10_backoff": math.log10(max(bos_g if bos_g is not None else 1.0, 1e-12)),
         }
     )
     arpa_tables[1] = pa.Table.from_pylist(uni_rows)
-    return {"arpa_tables": arpa_tables, "discounts": discounts}
+    return {"arpa_tables": arpa_tables, "discounts": discounts, "vocab": vocab}
 
 
 def to_arpa_model(result: dict, order: int):

@@ -120,15 +120,19 @@ def segment_sales(sf_dir: str) -> "ray.data.Dataset":
     """Broadcast hash join (small side = customer) + grouped aggregate:
     per market segment order count and total price."""
     cust = read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]).to_pandas()
-    lookup_ref = ray.put(
-        dict(zip(cust["c_custkey"].to_numpy(), cust["c_mktsegment"].to_numpy()))
-    )
+    ck = cust["c_custkey"].to_numpy(dtype=np.int64)
+    order = np.argsort(ck, kind="stable")
+    # broadcast (sorted keys, values) arrays; map side is a vectorized
+    # searchsorted gather, not a per-row dict probe
+    lookup_ref = ray.put((ck[order], cust["c_mktsegment"].to_numpy()[order]))
     orders = read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
 
     def join_partial(batch: pa.Table) -> pa.Table:
-        lookup = ray.get(lookup_ref)
+        lk, lv = ray.get(lookup_ref)
         keys = batch["o_custkey"].to_numpy(zero_copy_only=False)
-        seg = np.array([lookup.get(int(kk), None) for kk in keys], dtype=object)
+        idx = np.minimum(np.searchsorted(lk, keys), max(len(lk) - 1, 0))
+        seg = lv[idx]
+        seg = np.where(lk[idx] == keys, seg, None)
         t = pa.table(
             {
                 "c_mktsegment": pa.array(seg, type=pa.string()),
@@ -154,19 +158,22 @@ def region_sales(sf_dir: str) -> "ray.data.Dataset":
     nation = read(sf_dir, "nation").to_pandas()
     region = read(sf_dir, "region").to_pandas()
     cust = read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]).to_pandas()
-    n2r = dict(zip(nation["n_nationkey"], nation["n_regionkey"]))
-    r2name = dict(zip(region["r_regionkey"], region["r_name"]))
-    c2r = {
-        int(c): r2name[n2r[int(n)]]
-        for c, n in zip(cust["c_custkey"], cust["c_nationkey"])
-    }
-    lookup_ref = ray.put(c2r)
+    # driver-side chain over the tiny dims, then broadcast sorted arrays
+    chain = cust.merge(
+        nation[["n_nationkey", "n_regionkey"]],
+        left_on="c_nationkey", right_on="n_nationkey",
+    ).merge(region[["r_regionkey", "r_name"]], left_on="n_regionkey", right_on="r_regionkey")
+    ck = chain["c_custkey"].to_numpy(dtype=np.int64)
+    order = np.argsort(ck, kind="stable")
+    lookup_ref = ray.put((ck[order], chain["r_name"].to_numpy()[order]))
     orders = read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
 
     def join_partial(batch: pa.Table) -> pa.Table:
-        lookup = ray.get(lookup_ref)
+        lk, lv = ray.get(lookup_ref)
         keys = batch["o_custkey"].to_numpy(zero_copy_only=False)
-        reg = np.array([lookup.get(int(kk)) for kk in keys], dtype=object)
+        idx = np.minimum(np.searchsorted(lk, keys), max(len(lk) - 1, 0))
+        reg = lv[idx]
+        reg = np.where(lk[idx] == keys, reg, None)
         t = pa.table(
             {
                 "r_name": pa.array(reg, type=pa.string()),

@@ -138,6 +138,22 @@ def minhash_signatures(
     return sig, np.bincount(d_u, minlength=n_docs)
 
 
+def _sig_matrix(col, num_perm: int) -> np.ndarray:
+    """binary column of fixed num_perm*8-byte signatures -> (n, num_perm)
+    uint64, zero-copy from the Arrow values buffer."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    if n == 0:
+        return np.empty((0, num_perm), dtype=np.uint64)
+    bufs = col.buffers()
+    data = np.frombuffer(bufs[2], dtype=np.uint8)
+    off_dtype = np.int64 if pa.types.is_large_binary(col.type) else np.int32
+    off = np.frombuffer(bufs[1], dtype=off_dtype)[col.offset : col.offset + n + 1]
+    flat = data[off[0] : off[0] + n * num_perm * 8]
+    return flat.view(np.uint64).reshape(n, num_perm)
+
+
 def minhash_lsh_pairs(
     ds: "ray.data.Dataset",
     *,
@@ -148,90 +164,141 @@ def minhash_lsh_pairs(
     bands: int = 16,
     jaccard_threshold: float = 0.8,
     seed: int = 1,
+    max_bucket: int = 200,
 ) -> "ray.data.Dataset":
-    """Near-duplicate pairs via MinHash-LSH.
+    """Near-duplicate pairs via MinHash-LSH, signatures shipped ONCE.
 
-    Stage 1 (map): signatures per batch → explode to (band, bucket_hash,
-    id, signature bytes) rows.  Stage 2 (shuffle): groupby(band, bucket)
-    collects candidates.  Stage 3 (map_groups): pairwise estimated Jaccard
-    (signature agreement) over each bucket, emit pairs >= threshold.
-    Dedup final pairs with a groupby.  Bucket skew: buckets are capped at
-    MAX_BUCKET (boilerplate explosion guard) — dropped buckets are exact
-    duplicates that the exact pass already catches.
+    Stage 1 (map + materialize): signatures per batch -> a (id, sig) table
+    kept in the object store (~num_perm*8 B/doc), reused three times.
+    Stage 2: derive narrow (band, bucket, id) rows from the sig table —
+    the LSH shuffle carries ~20 B/row instead of the full signature
+    (the old layout shipped all 64 hashes into each of the 16 band rows:
+    16x avoidable bytes).  Stage 3: groupby(band, bucket) -> vectorized
+    candidate pair generation.  Oversized buckets (> ``max_bucket``) are
+    not dropped: they degrade to a star around the min id — every member
+    stays reachable from the representative (connected-component
+    coverage) without the O(B^2) pair explosion.  Stage 4: dedupe pairs,
+    join each side back to the sig table, keep pairs whose full-signature
+    agreement >= ``jaccard_threshold``.
     """
-    rows_per_band = num_perm // bands
-    a, b = _minhash_params(num_perm, seed)
-    MAX_BUCKET = 200
+    import pandas as pd
 
-    def to_bands(batch: pa.Table) -> pa.Table:
+    from kenlm_ray.ops.join import hash_join
+
+    a, b = _minhash_params(num_perm, seed)
+    rows_per_band = num_perm // bands
+
+    def to_sigs(batch: pa.Table) -> pa.Table:
         sig, cnt = minhash_signatures(batch, text_col, shingle_n, num_perm, a, b)
         ids = batch[id_col].to_numpy(zero_copy_only=False)
         has = cnt > 0
-        n = int(has.sum())
+        sig, ids = sig[has], ids[has]
+        return pa.table(
+            {
+                id_col: pa.array(ids.astype(np.int64)),
+                "sig": pa.array([s.tobytes() for s in sig], type=pa.binary()),
+            }
+        )
+
+    sigs = ds.map_batches(to_sigs, batch_format="pyarrow").materialize()
+
+    def to_bands(batch: pa.Table) -> pa.Table:
+        sig = _sig_matrix(batch["sig"], num_perm)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        n = len(ids)
         if n == 0:
             return pa.table(
                 {
                     "band": pa.array([], type=pa.int32()),
                     "bucket": pa.array([], type=pa.uint64()),
                     id_col: pa.array([], type=pa.int64()),
-                    "sig": pa.array([], type=pa.binary()),
                 }
             )
-        sig = sig[has]
-        ids = ids[has]
-        band_ids = []
-        buckets = []
-        out_ids = []
-        sigs = []
-        sig_bytes = [s.tobytes() for s in sig]
+        band_ids, buckets, out_ids = [], [], []
         for bi in range(bands):
             seg = sig[:, bi * rows_per_band : (bi + 1) * rows_per_band]
-            # hash each row segment to one uint64 bucket key
-            bh = np.zeros(n, dtype=np.uint64)
+            bh = np.full(n, np.uint64(bi + 1), dtype=np.uint64)
             for c in range(seg.shape[1]):
                 bh = ngram_hash_step(bh, seg[:, c])
             band_ids.append(np.full(n, bi, dtype=np.int32))
             buckets.append(bh)
             out_ids.append(ids)
-            sigs.extend(sig_bytes)
         return pa.table(
             {
                 "band": pa.array(np.concatenate(band_ids)),
                 "bucket": pa.array(np.concatenate(buckets)),
-                id_col: pa.array(np.concatenate(out_ids)),
-                "sig": pa.array(sigs, type=pa.binary()),
+                id_col: pa.array(np.concatenate(out_ids).astype(np.int64)),
             }
         )
 
-    import pandas as pd
+    def bucket_cands(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"id_a": pd.Series(dtype=np.int64), "id_b": pd.Series(dtype=np.int64)}
+        )
+        if len(g) < 2:  # also covers Ray's empty schema-probe call
+            return empty
+        ids = np.unique(g[id_col].to_numpy())
+        n = len(ids)
+        if n < 2:
+            return empty
+        if n <= max_bucket:
+            r, c = np.triu_indices(n, k=1)
+            ia, ib = ids[r], ids[c]
+        else:
+            ia, ib = np.full(n - 1, ids[0]), ids[1:]
+        return pd.DataFrame({"id_a": ia, "id_b": ib})
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2 or len(g) > MAX_BUCKET:
-            return pd.DataFrame({"id_a": [], "id_b": [], "est_jaccard": []})
-        ids = g[id_col].to_numpy()
-        sigs = np.stack([np.frombuffer(s, dtype=np.uint64) for s in g["sig"]])
-        order = np.argsort(ids, kind="stable")
-        ids, sigs = ids[order], sigs[order]
-        ia, ib, ej = [], [], []
-        for i in range(len(ids)):
-            agree = (sigs[i + 1 :] == sigs[i]).mean(axis=1)
-            hit = np.flatnonzero(agree >= jaccard_threshold)
-            for j in hit:
-                if ids[i] != ids[i + 1 + j]:
-                    ia.append(ids[i])
-                    ib.append(ids[i + 1 + j])
-                    ej.append(float(agree[j]))
-        return pd.DataFrame({"id_a": ia, "id_b": ib, "est_jaccard": ej})
-
-    pairs = (
-        ds.map_batches(to_bands, batch_format="pyarrow")
+    cands = (
+        sigs.map_batches(to_bands, batch_format="pyarrow")
         .groupby(["band", "bucket"])
-        .map_groups(bucket_pairs, batch_format="pandas")
+        .map_groups(bucket_cands, batch_format="pandas")
+        .groupby(["id_a", "id_b"])
+        .aggregate(Count(alias_name="__nb"))
+        .drop_columns(["__nb"])
     )
-    # a pair can surface from multiple bands — dedupe
-    return pairs.groupby(["id_a", "id_b"]).aggregate(
-        Min("est_jaccard", alias_name="est_jaccard")
+
+    i64, binv = pa.int64(), pa.binary()
+    sigs_a = sigs.map_batches(
+        lambda t: pa.table({"id_a": t[id_col], "sig_a": t["sig"]}),
+        batch_format="pyarrow",
     )
+    sigs_b = sigs.map_batches(
+        lambda t: pa.table({"id_b": t[id_col], "sig_b": t["sig"]}),
+        batch_format="pyarrow",
+    )
+    j1 = hash_join(
+        cands, sigs_a, ["id_a"],
+        {"id_a": i64, "id_b": i64}, {"id_a": i64, "sig_a": binv}, how="inner",
+    )
+    j2 = hash_join(
+        j1, sigs_b, ["id_b"],
+        {"id_a": i64, "id_b": i64, "sig_a": binv}, {"id_b": i64, "sig_b": binv},
+        how="inner",
+    )
+
+    def verify(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        if n == 0:
+            return pa.table(
+                {
+                    "id_a": pa.array([], type=pa.int64()),
+                    "id_b": pa.array([], type=pa.int64()),
+                    "est_jaccard": pa.array([], type=pa.float64()),
+                }
+            )
+        sa = _sig_matrix(batch["sig_a"], num_perm)
+        sb = _sig_matrix(batch["sig_b"], num_perm)
+        est = (sa == sb).mean(axis=1)
+        keep = est >= jaccard_threshold
+        return pa.table(
+            {
+                "id_a": batch["id_a"].filter(pa.array(keep)),
+                "id_b": batch["id_b"].filter(pa.array(keep)),
+                "est_jaccard": pa.array(est[keep], type=pa.float64()),
+            }
+        )
+
+    return j2.map_batches(verify, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------

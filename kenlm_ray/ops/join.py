@@ -37,7 +37,20 @@ def _key_bucket(batch: pa.Table, on: "list[str]", P: int) -> np.ndarray:
             offsets, data = _string_buffers(col)
             h = murmur64_stream(data, offsets[:-1], offsets[1:] - offsets[:-1])
         else:
-            h = hash_bytes_array([str(x) for x in col.to_pylist()])
+            v = col.to_numpy(zero_copy_only=False)
+            if v.dtype.kind in "iu":
+                x = v.astype(np.uint64)
+            elif v.dtype.kind == "f":
+                x = np.asarray(v, dtype=np.float64).view(np.uint64)
+            elif v.dtype.kind == "b":
+                x = v.astype(np.uint64)
+            else:  # rare: datetimes/objects
+                x = hash_bytes_array([str(s) for s in v])
+            # splitmix64 finalizer — vectorized spread for numeric keys
+            with np.errstate(over="ignore"):
+                x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+                x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+                h = x ^ (x >> np.uint64(31))
         with np.errstate(over="ignore"):
             key = h if key is None else (key * np.uint64(1099511628211)) ^ h
     return (key % np.uint64(P)).astype(np.int64)
@@ -93,6 +106,16 @@ def hash_join(
         lg = g[g["__side"] == 0][on + lval]
         rg = g[g["__side"] == 1][on + rval]
         out = lg.merge(rg, on=on, how="inner" if how == "inner" else "left")
-        return out[names]
+        out = out[names]
+        # the union fills the other side's columns with nulls, which floats
+        # integer columns through the pandas conversion; restore DECLARED
+        # integer dtypes where no nulls survive so chained joins keep exact
+        # key types and all blocks share one schema (left-join misses
+        # legitimately stay float-NaN)
+        for c in names:
+            t = all_cols[c]
+            if pa.types.is_integer(t) and not out[c].isna().any():
+                out[c] = out[c].astype(t.to_pandas_dtype())
+        return out
 
     return u.groupby("__bucket").map_groups(merge, batch_format="pandas")

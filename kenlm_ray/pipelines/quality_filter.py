@@ -49,20 +49,32 @@ def seed_model_path(order: int = 3, *, cache: str = _SEED_MODEL_CACHE) -> str:
 
 
 def domain_model_path(
-    sf_dir: str, order: int = 3, *, cache_dir: str = "/tmp/kenlm_ray_cache"
+    sf_dir: str,
+    order: int = 3,
+    *,
+    cache_dir: str = "/tmp/kenlm_ray_cache",
+    sample_cap: int = 50_000,
 ) -> str:
-    """Train (once, driver-side) a KN model on the ``documents`` table of
-    an sf dir — the in-domain model for scoring that corpus (the synthetic
-    seed model is for the source-code corpus)."""
+    """Train (once) a KN model on the ``documents`` table of an sf dir —
+    the in-domain model for scoring that corpus.
+
+    The in-memory trainer only ever sees a bounded sample: above
+    ``sample_cap`` rows the read is down-sampled (``random_sample`` with a
+    fixed seed) so pointing this at a web-scale corpus trains on ~cap
+    documents instead of reading everything to the driver.  Seed-model
+    quality is statistical — a fixed-size sample is the standard practice
+    (CCNet trains its LM on a Wikipedia sample, not the corpus)."""
     label = sf_dir.strip("/").replace("/", "_")
     cache = os.path.join(cache_dir, f"domain_{label}_o{order}.npz")
     if not os.path.exists(cache):
-        import pyarrow.parquet as pq
-
         os.makedirs(cache_dir, exist_ok=True)
-        texts = pq.read_table(
+        ds = ray.data.read_parquet(
             os.path.join(sf_dir, "documents.parquet"), columns=["text"]
-        )["text"].to_pylist()
+        )
+        n = ds.count()
+        if n > sample_cap:
+            ds = ds.random_sample(sample_cap / n, seed=17)
+        texts = [r["text"] for r in ds.take_all()]  # bounded by ~sample_cap
         sents = [t.split() for t in texts if t]
         arpa = train_kn(sents, order=order)
         packed = pack_model(arpa, backoff_bits=8)

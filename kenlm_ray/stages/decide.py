@@ -76,17 +76,28 @@ class Decide:
         cols = {name: batch[name].to_numpy(zero_copy_only=False) for name in batch.column_names}
         keep = np.ones(n, dtype=bool)
         reason = np.full(n, None, dtype=object)
-        flags: dict[str, np.ndarray] = {}
-        for name, pred in _rules(self.cfg):
+        rules = _rules(self.cfg)
+        code = np.zeros(n, dtype=np.uint32)  # bit i = rule i passed
+        for i, (name, pred) in enumerate(rules):
             mask = np.asarray(pred(cols), dtype=bool)
-            flags[name] = mask
+            code |= mask.astype(np.uint32) << np.uint32(i)
             newly_failed = keep & ~mask & (reason == None)  # noqa: E711
             reason[newly_failed] = name
             keep &= mask
-        flag_json = [
-            json.dumps({k: bool(v[i]) for k, v in flags.items()}, separators=(",", ":"))
-            for i in range(n)
-        ]
+        # JSON built once per DISTINCT flag combination (usually a handful
+        # per batch), then gathered — no per-row Python loop
+        uniq, inv = np.unique(code, return_inverse=True)
+        rendered = np.array(
+            [
+                json.dumps(
+                    {name: bool((u >> i) & 1) for i, (name, _) in enumerate(rules)},
+                    separators=(",", ":"),
+                )
+                for u in uniq
+            ],
+            dtype=object,
+        )
+        flag_json = rendered[inv]
         return (
             batch.append_column("keep", pa.array(keep))
             .append_column("drop_reason", pa.array(reason, type=pa.string()))

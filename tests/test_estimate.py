@@ -102,3 +102,56 @@ def test_larger_corpus_sampled_parity(ray_session):
             dp, db = dist.grams[n][g]
             assert np.isclose(dp, p, rtol=1e-8, atol=1e-9), (n, g)
             assert np.isclose(db, b, rtol=1e-8, atol=1e-9), (n, g)
+
+
+def test_pruned_parity(ray_session):
+    """lmplz --prune semantics: distributed pruning matches the oracle
+    extended with the same thresholds, and the pruned model still sums
+    to 1 per context (the pruned mass moves into the backoff)."""
+    import ray.data
+
+    lines = CORPUS_LINES + ["a b c d a b c d", "d d d d", "b a b a b a"]
+    thresholds = [0, 1, 1]
+    ds = ray.data.from_items([{"text": ln} for ln in lines])
+    result = estimate_mkn(
+        ds, order=3, num_partitions=4, prune_thresholds=thresholds
+    )
+    dist = to_arpa_model(result, 3)
+    orc = train_kn(
+        [ln.split() for ln in lines], order=3, prune_thresholds=thresholds
+    )
+    unpruned = train_kn([ln.split() for ln in lines], order=3)
+    assert dist.counts == orc.counts
+    # pruning actually removed something
+    assert sum(dist.counts) < sum(unpruned.counts)
+    for n in (1, 2, 3):
+        assert set(dist.grams[n]) == set(orc.grams[n]), n
+        for g, (p, b) in orc.grams[n].items():
+            dp, db = dist.grams[n][g]
+            assert np.isclose(dp, p, rtol=1e-8, atol=1e-9), (n, g, dp, p)
+            assert np.isclose(db, b, rtol=1e-8, atol=1e-9), (n, g, db, b)
+    # normalization survives pruning
+    from kenlm_ray.model.pyref import RefLM
+    from kenlm_ray.schema import BOS
+
+    ref = RefLM(dist)
+    vocab = [w for (w,) in dist.grams[1] if w != BOS]
+    for ctx in ([BOS], ["a"], ["a", "b"], ["d", "d"]):
+        total = sum(10 ** ref.score_word(ctx, w) for w in vocab)
+        assert abs(total - 1.0) < 1e-6, (ctx, total)
+
+
+def test_limit_vocab_pruning(ray_session):
+    """--limit_vocab_file analog: grams containing out-of-limit words are
+    dropped; specials survive."""
+    import ray.data
+
+    ds = ray.data.from_items([{"text": ln} for ln in CORPUS_LINES])
+    result = estimate_mkn(
+        ds, order=2, num_partitions=2, limit_vocab={"a", "b", "c"}
+    )
+    dist = to_arpa_model(result, 2)
+    words = {g[0] for g in dist.grams[1]}
+    assert "d" not in words
+    for g in dist.grams[2]:
+        assert "d" not in g, g

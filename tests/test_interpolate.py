@@ -65,3 +65,43 @@ def test_scores_through_vector_scorer(merged):
     for text in ["a b c", "x y", "a b\nx y z", "unknown words here"]:
         rt, _, _ = ref.score_document(text)
         assert np.isclose(vlm.score_text(text), rt, rtol=1e-5, atol=1e-3)
+
+
+def test_tuned_weights_beat_endpoints():
+    """EM λ-tuning (tune_derivatives.cc objective): held-out likelihood of
+    the tuned mix is at least as good as either endpoint model, and the
+    learned λ leans toward the in-domain model."""
+    from kenlm_ray.model.interpolate import (
+        heldout_perplexity,
+        interpolate_tuned,
+        tune_weights,
+        _token_prob_matrix,
+    )
+
+    ma = train_kn(CORPUS_A, order=3)
+    mb = train_kn(CORPUS_B, order=3)
+    # held-out text drawn mostly from domain A
+    heldout = ["a b c", "a b d", "c a b", "x y", "b c a b"]
+    lam = tune_weights([ma, mb], heldout)
+    assert abs(sum(lam) - 1.0) < 1e-9
+    assert lam[0] > 0.5  # A-domain heldout -> A-heavy weights
+
+    # EM objective: tuned lambda's mixture likelihood >= both corners
+    # (concave in lambda for a 2-mix, so the optimum dominates)
+    P = _token_prob_matrix([ma, mb], heldout)
+    ll = lambda l: np.log(np.maximum(l @ P, 1e-300)).sum()
+    tuned_ll = ll(np.array(lam))
+    assert tuned_ll >= ll(np.array([1.0, 0.0])) - 1e-9
+    assert tuned_ll >= ll(np.array([0.0, 1.0])) - 1e-9
+    assert tuned_ll >= ll(np.array([0.5, 0.5])) - 1e-9
+
+    # apples-to-apples: through the SAME union-vocab merge, tuned weights
+    # give heldout perplexity at least as good as fixed alternatives
+    # (endpoint-model ppl is not comparable: the union-vocab renorm
+    # redistributes <unk> mass, see module docstring)
+    merged, lam2 = interpolate_tuned([ma, mb], heldout)
+    assert lam2 == lam
+    ppl_t = heldout_perplexity(merged, heldout)
+    for alt in ([0.5, 0.5], [0.1, 0.9], [0.9, 0.1]):
+        ppl_alt = heldout_perplexity(interpolate_models([ma, mb], alt), heldout)
+        assert ppl_t <= ppl_alt * 1.02, (alt, ppl_t, ppl_alt)
