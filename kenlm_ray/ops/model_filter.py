@@ -153,3 +153,136 @@ def vocab_from_sentences(sentences: "list[list[str]]") -> "dict[str, set[int]]":
         for w in sent:
             post.setdefault(w, set()).add(sid)
     return post
+
+
+# ---------------------------------------------------------------------------
+# phrase filter (lm/filter/phrase.cc)
+# ---------------------------------------------------------------------------
+
+class PhraseSubstrings:
+    """Driver-side phrase-piece index (lm/filter/phrase.hh Substrings).
+
+    For every contiguous piece of every phrase, four sentence-id sets:
+      substring — sentences with a phrase CONTAINING the piece;
+      left      — phrase BEGINNING with the piece (left aligned);
+      right     — phrase ENDING with the piece (right aligned);
+      phrase    — the piece IS a phrase.
+    The reference keys by a chained MurmurHash and unions colliding
+    strings ("slightly more permissive", phrase.hh:38-43); we key by the
+    word tuple itself — exact, never more permissive."""
+
+    def __init__(self) -> None:
+        self.substring: dict[tuple, set] = {}
+        self.left: dict[tuple, set] = {}
+        self.right: dict[tuple, set] = {}
+        self.phrase: dict[tuple, set] = {}
+
+    def add_phrase(self, sentence_id: int, words: "list[str]") -> None:
+        # mirror of Substrings::AddPhrase (phrase.hh:62-78)
+        n = len(words)
+        for start in range(n):
+            for finish in range(start, n):
+                piece = tuple(words[start : finish + 1])
+                self.substring.setdefault(piece, set()).add(sentence_id)
+                if start == 0:
+                    self.left.setdefault(piece, set()).add(sentence_id)
+            piece = tuple(words[start:n])
+            self.right.setdefault(piece, set()).add(sentence_id)
+        self.phrase.setdefault(tuple(words), set()).add(sentence_id)
+
+
+def phrase_table_from_sentences(
+    sentences: "list[list[list[str]]]",
+) -> PhraseSubstrings:
+    """sentences[i] = list of phrases (each a word list) — the parsed form
+    of the reference's tab-delimited phrase files (phrase.cc:17-49
+    ReadMultiple)."""
+    table = PhraseSubstrings()
+    for sid, phrases in enumerate(sentences):
+        for ph in phrases:
+            if ph:
+                table.add_phrase(sid, ph)
+    return table
+
+
+def parse_phrase_table(text: str) -> PhraseSubstrings:
+    """One sentence per line; tab-delimited phrases of space-separated
+    words (phrase.cc ReadMultiple's file format)."""
+    sentences = []
+    for line in text.splitlines():
+        phrases = [p.split() for p in line.split("\t")]
+        phrases = [p for p in phrases if p]
+        if phrases:
+            sentences.append(phrases)
+    return phrase_table_from_sentences(sentences)
+
+
+def _phrase_match(table: PhraseSubstrings, words: "tuple[str, ...]") -> bool:
+    """Does some single sentence cover the n-gram?  The n-gram must
+    segment into [suffix-of-a-phrase] [whole phrases]* [prefix-of-a-
+    phrase], all pieces agreeing on one sentence id — the agreement
+    intersection the reference computes with its arc/vertex NFA
+    (phrase.cc:56-186).  Equivalent DP: R[i] = sentence ids for which
+    words[:i] has a valid segmentation closed at i; R[n] non-empty ⇔ pass.
+    A single piece spanning the whole n-gram may sit strictly inside one
+    phrase (substring)."""
+    n = len(words)
+    if n == 0:
+        return False
+    if table.substring.get(words):
+        return True
+    # R[i]: None = not reachable; set = agreeing sentence ids.  Position 0
+    # is reachable with no constraint yet (universal).
+    R: list = [None] * (n + 1)
+    for i in range(n):
+        here_universal = i == 0
+        base = R[i]
+        if not here_universal and base is None:
+            continue
+        for j in range(i + 1, n + 1):
+            piece = words[i:j]
+            if i == 0 and j == n:
+                continue  # whole-gram handled by substring above
+            if i == 0:
+                s = table.right.get(piece)
+            elif j == n:
+                s = table.left.get(piece)
+            else:
+                s = table.phrase.get(piece)
+            if not s:
+                continue
+            agree = s if here_universal else (base & s)
+            if not agree:
+                continue
+            R[j] = agree if R[j] is None else (R[j] | agree)
+    return R[n] is not None and len(R[n]) > 0
+
+
+def phrase_filter(
+    model: "ray.data.Dataset", table: PhraseSubstrings, *, context: bool = False
+) -> "ray.data.Dataset":
+    """Keep n-grams covered by the phrase table with sentence agreement
+    (the reference's phrase mode, lm/filter/phrase.cc:56-186).  The table
+    is broadcast once; the per-row DP mirrors the reference's own per-row
+    NFA walk (n <= model order, so each row is O(order^2) dict probes)."""
+    import ray as _ray
+
+    table_ref = _ray.put(table)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        tb = _ray.get(table_ref)
+        wcols = _word_cols(batch)
+        if context and len(wcols) > 1:
+            wcols = wcols[:-1]
+        cols = [batch[c].to_pylist() for c in wcols]
+        mask = np.fromiter(
+            (
+                _phrase_match(tb, tuple(col[i] for col in cols))
+                for i in range(len(batch))
+            ),
+            count=len(batch),
+            dtype=bool,
+        )
+        return batch.filter(pa.array(mask))
+
+    return model.map_batches(keep, batch_format="pyarrow")

@@ -331,3 +331,55 @@ def test_embedding_near_dup_lsh_matches_exact(ray_session):
     pd.testing.assert_frame_equal(
         exact, lsh[exact.columns], check_dtype=False
     )
+
+
+def test_phrase_filter_agreement(ray_session):
+    """Transcribed phrase-mode semantics (lm/filter/phrase.cc): an n-gram
+    passes iff ONE sentence's phrases cover it as
+    [phrase-suffix][whole phrases...][phrase-prefix]; pieces matching
+    different sentences must NOT pass (the agreement NFA)."""
+    import ray.data
+
+    from kenlm_ray.ops.model_filter import (
+        parse_phrase_table,
+        phrase_filter,
+    )
+
+    # sentence 0: phrases "a b c" and "d e"; sentence 1: "b c", "e f"
+    table = parse_phrase_table("a b c\td e\nb c\te f\n")
+    grams = [
+        {"w1": "c", "w2": "d", "w3": "e"},    # [c]right(0,1) [d e]left(0) -> 0
+        {"w1": "c", "w2": "e", "w3": "f"},    # [c]right(0,1) [e f]left(1) -> 1
+        {"w1": "b", "w2": "c", "w3": "d"},    # [b c]right(0,1) [d]left(0) -> 0
+        {"w1": "a", "w2": "b", "w3": "c"},    # whole phrase (0)
+        {"w1": "b", "w2": "c", "w3": "f"},    # [f] not a prefix anywhere -> drop
+        {"w1": "d", "w2": "c", "w3": "a"},    # nothing aligns -> drop
+    ]
+    ds = ray.data.from_items(grams)
+    out = phrase_filter(ds, table).to_pandas()
+    got = {tuple(r) for r in out[["w1", "w2", "w3"]].itertuples(index=False)}
+    assert ("c", "d", "e") in got
+    assert ("c", "e", "f") in got
+    assert ("b", "c", "d") in got
+    assert ("a", "b", "c") in got
+    assert ("b", "c", "f") not in got
+    assert ("d", "c", "a") not in got
+
+    # cross-sentence agreement: s0="a b", s1="c d"; "b c" pieces match
+    # different sentences only -> must FAIL (a vocab-union filter passes it)
+    t2 = parse_phrase_table("a b\nc d\n")
+    ds2 = ray.data.from_items([{"w1": "b", "w2": "c"}])
+    assert len(phrase_filter(ds2, t2).to_pandas()) == 0
+    # but "a b" itself passes (substring of s0's phrase)
+    ds3 = ray.data.from_items([{"w1": "a", "w2": "b"}, {"w1": "b", "w2": "d"}])
+    out3 = phrase_filter(ds3, t2).to_pandas()
+    assert len(out3) == 1 and out3.iloc[0]["w1"] == "a"
+
+    # unigrams: pass iff inside some phrase
+    ds4 = ray.data.from_items([{"w1": "c"}, {"w1": "z"}])
+    out4 = phrase_filter(ds4, t2).to_pandas()
+    assert list(out4["w1"]) == ["c"]
+
+    # context mode: predicate over all but the last word
+    ds5 = ray.data.from_items([{"w1": "a", "w2": "b", "w3": "zzz"}])
+    assert len(phrase_filter(ds5, t2, context=True).to_pandas()) == 1
