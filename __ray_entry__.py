@@ -324,6 +324,43 @@ def _q_mkn_bigram(sf_dir):
     return result["arpa_tables"][2]
 
 
+def _q_mkn_pruned_bigram(sf_dir):
+    """Pruned MKN estimation (lmplz --prune semantics): bigrams with raw
+    count <= 1 dropped, their mass folded into the backoff; parity with
+    the pruning-extended oracle is gated in tests/test_estimate.py."""
+    from kenlm_ray.ngram.estimate import estimate_mkn
+
+    result = estimate_mkn(
+        _documents(sf_dir), order=2, num_partitions=8, prune_thresholds=[0, 1]
+    )
+    return result["arpa_tables"][2]
+
+
+def _q_phrase_filter(sf_dir):
+    """Phrase-mode model filter (lm/filter/phrase.cc agreement NFA):
+    keep trigrams covered by phrases of a single held-out sentence —
+    phrase table = the first 200 documents' first lines."""
+    import pyarrow.parquet as pq
+
+    from kenlm_ray.ops.model_filter import (
+        phrase_filter,
+        phrase_table_from_sentences,
+    )
+    from kenlm_ray.ops.text import ngram_counts
+
+    head = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    ).sort_by("doc_id").slice(0, 200)
+    sentences = []
+    for t in head["text"].to_pylist():
+        first = (t or "").split("\n", 1)[0].split()
+        if first:
+            sentences.append([first])  # one phrase per sentence
+    table = phrase_table_from_sentences(sentences)
+    tri = ngram_counts(_documents(sf_dir), 3, text_col="text")
+    return phrase_filter(tri, table)
+
+
 def _q_lsh_knn(sf_dir):
     import ray.data
 
@@ -366,6 +403,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "winnow_fingerprints": _q_winnow,
         "lsh_knn_top10": _q_lsh_knn,
         "mkn_bigram_model": _q_mkn_bigram,
+        "mkn_pruned_bigram": _q_mkn_pruned_bigram,
+        "phrase_filter_trigrams": _q_phrase_filter,
         "repo_top_ppl_salted": _q_repo_top_ppl,
     }
 

@@ -88,6 +88,9 @@ def murmur64_matrix(padded: np.ndarray, lengths: np.ndarray, seed: int = 0) -> n
     return h
 
 
+LONG_TOKEN_CUTOFF = 256
+
+
 def murmur64_stream(
     data: np.ndarray, starts: np.ndarray, lengths: np.ndarray, seed: int = 0
 ) -> np.ndarray:
@@ -96,14 +99,41 @@ def murmur64_stream(
     to total substring bytes: each pass gathers one 8-byte word for the
     substrings still long enough (the active set shrinks fast for
     natural-language/code token length distributions).
-    """
+
+    Hashes the FULL bytes of every substring (reference parity — KenLM
+    hashes whole words).  Rare very long substrings (> LONG_TOKEN_CUTOFF
+    bytes: minified blobs, long identifiers) are split out and hashed
+    through the padded-matrix kernel so one outlier doesn't drive the
+    block loop's iteration count for the whole batch."""
     n = len(starts)
     if n == 0:
         return np.empty(0, dtype=np.uint64)
     starts = starts.astype(np.int64, copy=False)
     lengths = lengths.astype(np.int64, copy=False)
+    if n > 1 and int(lengths.max()) > LONG_TOKEN_CUTOFF:
+        out = np.empty(n, dtype=np.uint64)
+        long_sel = np.flatnonzero(lengths > LONG_TOKEN_CUTOFF)
+        short_sel = np.flatnonzero(lengths <= LONG_TOKEN_CUTOFF)
+        out[short_sel] = murmur64_stream(
+            data, starts[short_sel], lengths[short_sel], seed
+        )
+        llen = lengths[long_sel]
+        pad = ((int(llen.max()) // 8) + 2) * 8
+        mat = np.zeros((len(long_sel), pad), dtype=np.uint8)
+        col = np.arange(int(llen.max()), dtype=np.int64)
+        idx = starts[long_sel][:, None] + col[None, :]
+        mask = col[None, :] < llen[:, None]
+        np.copyto(
+            mat[:, : int(llen.max())],
+            data[np.minimum(idx, len(data) - 1)],
+            where=mask,
+        )
+        out[long_sel] = murmur64_matrix(mat, llen, seed)
+        return out
     nblocks = lengths >> 3
     rem = lengths & 7
+    off8 = np.arange(8, dtype=np.int64)
+    limit = np.int64(len(data) - 1)
     with np.errstate(over="ignore"):
         h = (np.uint64(seed) ^ (lengths.astype(np.uint64) * _M)).astype(np.uint64)
         max_blocks = int(nblocks.max())
@@ -113,9 +143,10 @@ def murmur64_stream(
             if not len(sel):
                 break
             base = starts[sel] + 8 * i
-            k = data[base].astype(np.uint64)
-            for j in range(1, 8):
-                k |= data[base + j].astype(np.uint64) << np.uint64(8 * j)
+            # one 2D gather -> little-endian u64 view (single numpy
+            # dispatch instead of 8 byte-column gathers)
+            k = data[base[:, None] + off8[None, :]].view("<u8").ravel()
+            k = k.copy()
             k *= _M
             k ^= k >> _R
             k *= _M
@@ -124,13 +155,10 @@ def murmur64_stream(
         if len(tsel):
             base = starts[tsel] + 8 * nblocks[tsel]
             trem = rem[tsel]
-            k = data[base].astype(np.uint64)
-            for j in range(1, 7):
-                m = trem > j
-                kj = np.zeros(len(tsel), dtype=np.uint64)
-                idx = base[m] + j
-                kj[m] = data[idx].astype(np.uint64)
-                k |= kj << np.uint64(8 * j)
+            idx = np.minimum(base[:, None] + off8[None, :], limit)
+            kb = data[idx]
+            kb[off8[None, :] >= trem[:, None]] = 0  # zero bytes past length
+            k = kb.view("<u8").ravel()
             h[tsel] = (h[tsel] ^ k) * _M
         h ^= h >> _R
         h *= _M

@@ -52,6 +52,7 @@ class TokenStream:
     doc_ids: np.ndarray       # int32 [T] document index within the batch
     sent_ids: np.ndarray      # int64 [T] global sentence index (dense, increasing)
     n_docs: int
+    _hash_cache: "np.ndarray | None" = None  # memoized hashes()
 
     @property
     def n_tokens(self) -> int:
@@ -73,10 +74,15 @@ class TokenStream:
         truncated token hash here would silently map long in-vocab tokens
         (minified blobs, long identifiers) to ``<unk>``.  The streaming
         kernel's cost is proportional to actual token bytes, so rare long
-        tokens only pay for themselves."""
-        from kenlm_ray.functions.hashing import murmur64_stream
+        tokens only pay for themselves.  Memoized: scorer and heuristics
+        stages sharing one stream hash each token once."""
+        if self._hash_cache is None:
+            from kenlm_ray.functions.hashing import murmur64_stream
 
-        return murmur64_stream(self.data, self.starts, self.lengths())
+            self._hash_cache = murmur64_stream(
+                self.data, self.starts, self.lengths()
+            )
+        return self._hash_cache
 
     def padded_matrix(self, max_token_len: int = 256) -> tuple[np.ndarray, np.ndarray]:
         """Gather tokens into a zero-padded (T, pad) uint8 matrix for hashing.

@@ -144,10 +144,11 @@ class VectorLM:
             for n in range(2, N + 1):
                 h_next = np.zeros(L, dtype=np.uint64)
                 h_next[1:] = ngram_hash_step(h[:-1], exl[1:])
+                room = ctx_room >= (n - 1)
                 t = m.tables.get(n)
                 if t is not None and len(t.keys):
                     f, p, bo = t.lookup(h_next)
-                    f &= ctx_room >= (n - 1)
+                    f &= room
                     bo = np.where(f, bo, np.float32(0.0))  # zero invalid matches
                     ok_next = ok & f
                 else:
@@ -158,7 +159,7 @@ class VectorLM:
                 # — only if the sentence actually has n-1 context words
                 # (guards the bos=False null-context path against charging
                 # across a sentence boundary; no-op when bos=True)
-                stopped = (~ok_next) & (ctx_room >= (n - 1))
+                stopped = (~ok_next) & room
                 bo_sum[1:] += np.where(
                     stopped[1:], prev_bo[:-1].astype(np.float64), 0.0
                 )

@@ -165,28 +165,31 @@ def minhash_lsh_pairs(
     jaccard_threshold: float = 0.8,
     seed: int = 1,
     max_bucket: int = 200,
+    num_partitions: int = 64,
 ) -> "ray.data.Dataset":
     """Near-duplicate pairs via MinHash-LSH, signatures shipped ONCE.
 
     Stage 1 (map + materialize): signatures per batch -> a (id, sig) table
-    kept in the object store (~num_perm*8 B/doc), reused three times.
-    Stage 2: derive narrow (band, bucket, id) rows from the sig table —
-    the LSH shuffle carries ~20 B/row instead of the full signature
-    (the old layout shipped all 64 hashes into each of the 16 band rows:
-    16x avoidable bytes).  Stage 3: groupby(band, bucket) -> vectorized
-    candidate pair generation.  Oversized buckets (> ``max_bucket``) are
-    not dropped: they degrade to a star around the min id — every member
-    stays reachable from the representative (connected-component
-    coverage) without the O(B^2) pair explosion.  Stage 4: dedupe pairs,
-    join each side back to the sig table, keep pairs whose full-signature
-    agreement >= ``jaccard_threshold``.
+    kept in the object store (~num_perm*8 B/doc), reused twice.
+    Stage 2: narrow (bucket, id) rows (the band index is folded into the
+    bucket hash seed) -> COARSE-partition groupby (bucket % P, not one
+    group per bucket: per-group pandas overhead dominated the old shape)
+    -> vectorized run detection + candidate pair generation.  Oversized
+    buckets (> ``max_bucket``) are not dropped: they degrade to a star
+    around the min id — every member stays reachable from the
+    representative (connected-component coverage) without the O(B^2)
+    pair explosion.  Stage 3: dedupe pairs (a pair can collide in many
+    bands; dedupe BEFORE the sig fetch bounds verify work).
+    Stage 4: one exploded shuffle fetches both sides' signatures — pair
+    halves keyed by the id they need, unioned with the sig table, coarse
+    groupby(id % P) attaches signatures (searchsorted, no pandas merge),
+    then coarse groupby(pair % P) pairs the halves and keeps pairs with
+    full-signature agreement >= ``jaccard_threshold``.  Signature bytes
+    cross the wire exactly once (plus one copy per surviving candidate).
     """
-    import pandas as pd
-
-    from kenlm_ray.ops.join import hash_join
-
     a, b = _minhash_params(num_perm, seed)
     rows_per_band = num_perm // bands
+    P = num_partitions
 
     def to_sigs(batch: pa.Table) -> pa.Table:
         sig, cnt = minhash_signatures(batch, text_col, shingle_n, num_perm, a, b)
@@ -209,96 +212,188 @@ def minhash_lsh_pairs(
         if n == 0:
             return pa.table(
                 {
-                    "band": pa.array([], type=pa.int32()),
                     "bucket": pa.array([], type=pa.uint64()),
                     id_col: pa.array([], type=pa.int64()),
+                    "__pb": pa.array([], type=pa.int64()),
                 }
             )
-        band_ids, buckets, out_ids = [], [], []
+        buckets, out_ids = [], []
         for bi in range(bands):
             seg = sig[:, bi * rows_per_band : (bi + 1) * rows_per_band]
+            # band index seeds the hash, so one uint64 key distinguishes
+            # (band, slice-values) — no separate band column to shuffle
             bh = np.full(n, np.uint64(bi + 1), dtype=np.uint64)
             for c in range(seg.shape[1]):
                 bh = ngram_hash_step(bh, seg[:, c])
-            band_ids.append(np.full(n, bi, dtype=np.int32))
             buckets.append(bh)
             out_ids.append(ids)
+        bk = np.concatenate(buckets)
         return pa.table(
             {
-                "band": pa.array(np.concatenate(band_ids)),
-                "bucket": pa.array(np.concatenate(buckets)),
+                "bucket": pa.array(bk),
                 id_col: pa.array(np.concatenate(out_ids).astype(np.int64)),
+                "__pb": pa.array((bk % np.uint64(P)).astype(np.int64)),
             }
         )
 
-    def bucket_cands(g: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame(
-            {"id_a": pd.Series(dtype=np.int64), "id_b": pd.Series(dtype=np.int64)}
+    def part_cands(t: pa.Table) -> pa.Table:
+        """Vectorized pair generation over one coarse partition: sort by
+        bucket, emit within-run pairs (runs = true buckets)."""
+        empty = pa.table(
+            {"id_a": pa.array([], type=pa.int64()), "id_b": pa.array([], type=pa.int64())}
         )
-        if len(g) < 2:  # also covers Ray's empty schema-probe call
+        if len(t) < 2:
             return empty
-        ids = np.unique(g[id_col].to_numpy())
-        n = len(ids)
-        if n < 2:
+        bk = t["bucket"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((ids, bk))
+        bk, ids = bk[order], ids[order]
+        keep = np.ones(len(bk), dtype=bool)  # drop (bucket, id) repeats
+        keep[1:] = (bk[1:] != bk[:-1]) | (ids[1:] != ids[:-1])
+        bk, ids = bk[keep], ids[keep]
+        starts = np.flatnonzero(np.concatenate([[True], bk[1:] != bk[:-1]]))
+        lens = np.diff(np.append(starts, len(bk)))
+        ia, ib = [], []
+        for s, L in zip(starts[lens >= 2], lens[lens >= 2]):
+            run = ids[s : s + int(L)]
+            if L > max_bucket:
+                ia.append(np.full(int(L) - 1, run[0]))
+                ib.append(run[1:])
+            else:
+                r, c = np.triu_indices(int(L), k=1)
+                ia.append(run[r])
+                ib.append(run[c])
+        if not ia:
             return empty
-        if n <= max_bucket:
-            r, c = np.triu_indices(n, k=1)
-            ia, ib = ids[r], ids[c]
-        else:
-            ia, ib = np.full(n - 1, ids[0]), ids[1:]
-        return pd.DataFrame({"id_a": ia, "id_b": ib})
+        return pa.table(
+            {"id_a": pa.array(np.concatenate(ia)), "id_b": pa.array(np.concatenate(ib))}
+        )
 
     cands = (
         sigs.map_batches(to_bands, batch_format="pyarrow")
-        .groupby(["band", "bucket"])
-        .map_groups(bucket_cands, batch_format="pandas")
+        .groupby("__pb")
+        .map_groups(part_cands, batch_format="pyarrow")
         .groupby(["id_a", "id_b"])
         .aggregate(Count(alias_name="__nb"))
         .drop_columns(["__nb"])
     )
 
-    i64, binv = pa.int64(), pa.binary()
-    sigs_a = sigs.map_batches(
-        lambda t: pa.table({"id_a": t[id_col], "sig_a": t["sig"]}),
-        batch_format="pyarrow",
-    )
-    sigs_b = sigs.map_batches(
-        lambda t: pa.table({"id_b": t[id_col], "sig_b": t["sig"]}),
-        batch_format="pyarrow",
-    )
-    j1 = hash_join(
-        cands, sigs_a, ["id_a"],
-        {"id_a": i64, "id_b": i64}, {"id_a": i64, "sig_a": binv}, how="inner",
-    )
-    j2 = hash_join(
-        j1, sigs_b, ["id_b"],
-        {"id_a": i64, "id_b": i64, "sig_a": binv}, {"id_b": i64, "sig_b": binv},
-        how="inner",
-    )
+    SIG_ROW = -1
 
-    def verify(batch: pa.Table) -> pa.Table:
-        n = len(batch)
-        if n == 0:
-            return pa.table(
-                {
-                    "id_a": pa.array([], type=pa.int64()),
-                    "id_b": pa.array([], type=pa.int64()),
-                    "est_jaccard": pa.array([], type=pa.float64()),
-                }
-            )
-        sa = _sig_matrix(batch["sig_a"], num_perm)
-        sb = _sig_matrix(batch["sig_b"], num_perm)
-        est = (sa == sb).mean(axis=1)
-        keep = est >= jaccard_threshold
+    def explode_pairs(t: pa.Table) -> pa.Table:
+        """Each candidate pair -> two half-rows keyed by the id whose
+        signature it needs; pair identity = (id_a, id_b) carried along."""
+        n = len(t)
+        ida = t["id_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        idb = t["id_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        key = np.concatenate([ida, idb])
+        which = np.concatenate(
+            [np.zeros(n, dtype=np.int8), np.ones(n, dtype=np.int8)]
+        )
         return pa.table(
             {
-                "id_a": batch["id_a"].filter(pa.array(keep)),
-                "id_b": batch["id_b"].filter(pa.array(keep)),
+                "key": pa.array(key),
+                "which": pa.array(which),
+                "id_a": pa.array(np.concatenate([ida, ida])),
+                "id_b": pa.array(np.concatenate([idb, idb])),
+                "sig": pa.array([b""] * (2 * n), type=pa.binary()),
+                "__pk": pa.array(key % np.int64(P)),
+            }
+        )
+
+    def sig_rows(t: pa.Table) -> pa.Table:
+        n = len(t)
+        key = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "key": pa.array(key),
+                "which": pa.array(np.full(n, SIG_ROW, dtype=np.int8)),
+                "id_a": pa.array(np.zeros(n, dtype=np.int64)),
+                "id_b": pa.array(np.zeros(n, dtype=np.int64)),
+                "sig": t["sig"],
+                "__pk": pa.array(key % np.int64(P)),
+            }
+        )
+
+    def attach(t: pa.Table) -> pa.Table:
+        """Within a key-partition: searchsorted the sig rows onto the
+        half-rows (no pandas merge)."""
+        empty = pa.table(
+            {
+                "which": pa.array([], type=pa.int8()),
+                "id_a": pa.array([], type=pa.int64()),
+                "id_b": pa.array([], type=pa.int64()),
+                "sig": pa.array([], type=pa.binary()),
+                "__pp": pa.array([], type=pa.int64()),
+            }
+        )
+        if len(t) == 0:
+            return empty
+        which = t["which"].to_numpy(zero_copy_only=False)
+        is_sig = which == SIG_ROW
+        if is_sig.all() or not is_sig.any():
+            return empty
+        sig_t = t.filter(pa.array(is_sig))
+        need_t = t.filter(pa.array(~is_sig))
+        skey = sig_t["key"].to_numpy(zero_copy_only=False)
+        order = np.argsort(skey, kind="stable")
+        skey = skey[order]
+        svals = sig_t["sig"].combine_chunks().take(pa.array(order))
+        nkey = need_t["key"].to_numpy(zero_copy_only=False)
+        idx = np.minimum(np.searchsorted(skey, nkey), len(skey) - 1)
+        found = skey[idx] == nkey  # ids from buckets always have sigs
+        need_t = need_t.filter(pa.array(found))
+        idx = idx[found]
+        ida = need_t["id_a"].to_numpy(zero_copy_only=False)
+        idb = need_t["id_b"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "which": need_t["which"],
+                "id_a": need_t["id_a"],
+                "id_b": need_t["id_b"],
+                "sig": svals.take(pa.array(idx)),
+                "__pp": pa.array(((ida * np.int64(1000003)) ^ idb) % np.int64(P)),
+            }
+        )
+
+    def pair_up(t: pa.Table) -> pa.Table:
+        """Within a pair-partition: sort halves by (id_a, id_b, which) —
+        consecutive (a, b) rows — and keep pairs whose full-signature
+        agreement clears the threshold."""
+        empty = pa.table(
+            {
+                "id_a": pa.array([], type=pa.int64()),
+                "id_b": pa.array([], type=pa.int64()),
+                "est_jaccard": pa.array([], type=pa.float64()),
+            }
+        )
+        if len(t) < 2:
+            return empty
+        ida = t["id_a"].to_numpy(zero_copy_only=False)
+        idb = t["id_b"].to_numpy(zero_copy_only=False)
+        which = t["which"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((which, idb, ida))
+        t2 = t.take(pa.array(order))
+        sa = _sig_matrix(t2["sig"], num_perm)
+        est = (sa[0::2] == sa[1::2]).mean(axis=1)
+        keep = est >= jaccard_threshold
+        ida2 = ida[order][0::2]
+        idb2 = idb[order][0::2]
+        return pa.table(
+            {
+                "id_a": pa.array(ida2[keep]),
+                "id_b": pa.array(idb2[keep]),
                 "est_jaccard": pa.array(est[keep], type=pa.float64()),
             }
         )
 
-    return j2.map_batches(verify, batch_format="pyarrow")
+    halves = cands.map_batches(explode_pairs, batch_format="pyarrow").union(
+        sigs.map_batches(sig_rows, batch_format="pyarrow")
+    )
+    attached = (
+        halves.groupby("__pk").map_groups(attach, batch_format="pyarrow")
+    )
+    return attached.groupby("__pp").map_groups(pair_up, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------

@@ -94,6 +94,7 @@ def build_quality_pipeline(
     batch_size: int = 1024,
     project: bool = True,
     dedupe: bool = False,
+    fuse_heuristics: bool = True,
 ) -> "ray.data.Dataset":
     """Assemble the lazy scored-Dataset plan over a corpus Dataset.
 
@@ -130,21 +131,30 @@ def build_quality_pipeline(
         batch_size=batch_size,
         concurrency=langid_concurrency,
     )
+    gate = (cfg.min_bytes, cfg.max_bytes)
+    # fuse_heuristics: the scorer actor emits the heuristics metric
+    # columns from its own TokenStream — tokenize + token hashing (the
+    # dominant shared cost of the two heaviest stages) run ONCE per doc
+    # instead of twice, and the content column crosses the object store
+    # one fewer time
     ds = ds.map_batches(
         PplScorer,
         fn_constructor_args=(model_path,),
-        fn_constructor_kwargs={"size_gate": (cfg.min_bytes, cfg.max_bytes)},
+        fn_constructor_kwargs={
+            "size_gate": gate,
+            "with_metrics": fuse_heuristics,
+        },
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=scorer_concurrency,
     )
-    gate = (cfg.min_bytes, cfg.max_bytes)
-    ds = ds.map_batches(
-        heuristics_stage,
-        fn_kwargs={"size_gate": gate},
-        batch_format="pyarrow",
-        batch_size=batch_size,
-    )
+    if not fuse_heuristics:
+        ds = ds.map_batches(
+            heuristics_stage,
+            fn_kwargs={"size_gate": gate},
+            batch_format="pyarrow",
+            batch_size=batch_size,
+        )
     ds = ds.map_batches(
         scrub_stage,
         fn_kwargs={"size_gate": gate},

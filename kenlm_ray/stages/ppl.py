@@ -26,11 +26,17 @@ class PplScorer:
         model_ref,
         text_col: str = "content",
         size_gate: "tuple[int, int] | None" = None,
+        with_metrics: bool = False,
     ):
         """``size_gate=(min_bytes, max_bytes)``: documents outside the
         bounds are NOT scored (they are doomed by the cheap size rules
         anyway) — logprob 0, counts 0, ppl NaN.  The gate costs nothing:
-        byte lengths come straight from the Arrow offsets."""
+        byte lengths come straight from the Arrow offsets.
+
+        ``with_metrics=True``: also emit the heuristics metric columns,
+        computed from the SAME TokenStream (tokenize + token hashing run
+        once for scoring AND repetition stats — the dominant shared cost;
+        replaces the separate heuristics task stage)."""
         import ray
 
         if isinstance(model_ref, ray.ObjectRef):
@@ -46,19 +52,22 @@ class PplScorer:
         self.lm = VectorLM(model)
         self.text_col = text_col
         self.size_gate = size_gate
+        self.with_metrics = with_metrics
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         col = batch[self.text_col]
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
+        metrics = None
+        sel = None
+        n = len(batch)
         if self.size_gate is not None:
             from kenlm_ray.functions.tokenize import _string_buffers
 
             offsets, _ = _string_buffers(col)
-            n_bytes = offsets[1:] - offsets[:-1]
+            n_bytes = (offsets[1:] - offsets[:-1]).astype(np.int64)
             lo, hi = self.size_gate
             ok = (n_bytes >= lo) & (n_bytes <= hi)
-            n = len(batch)
             lp = np.zeros(n, dtype=np.float64)
             tc = np.zeros(n, dtype=np.int64)
             oc = np.zeros(n, dtype=np.int64)
@@ -67,17 +76,48 @@ class PplScorer:
             if ok.any():
                 sel = np.flatnonzero(ok)
                 sub = col.take(pa.array(sel))
-                sc = self.lm.score_stream(tokenize_column(sub))
+                stream = tokenize_column(sub)
+                sc = self.lm.score_stream(stream)
                 lp[sel] = sc.logprob_sum
                 tc[sel] = sc.token_count
                 oc[sel] = sc.oov_count
                 ppl[sel] = sc.ppl
                 pplx[sel] = sc.ppl_excl_oov
+                if self.with_metrics:
+                    from kenlm_ray.stages.heuristics import compute_heuristics
+
+                    metrics = compute_heuristics(sub, stream=stream)
         else:
-            sc = self.lm.score_stream(tokenize_column(col))
+            stream = tokenize_column(col)
+            sc = self.lm.score_stream(stream)
             lp, tc, oc, ppl, pplx = (
                 sc.logprob_sum, sc.token_count, sc.oov_count, sc.ppl, sc.ppl_excl_oov
             )
+            if self.with_metrics:
+                from kenlm_ray.stages.heuristics import compute_heuristics
+
+                metrics = compute_heuristics(col, stream=stream)
+        if self.with_metrics:
+            from kenlm_ray.stages.heuristics import (
+                INT_METRICS,
+                METRIC_COLUMNS,
+            )
+
+            if self.size_gate is not None:
+                # gated-out rows: n_bytes real (size rules fire on it),
+                # everything else 0 — same contract as heuristics_stage
+                for name in METRIC_COLUMNS:
+                    if name == "n_bytes":
+                        batch = batch.append_column(name, pa.array(n_bytes))
+                        continue
+                    dtype = np.int64 if name in INT_METRICS else np.float64
+                    arr = np.zeros(n, dtype=dtype)
+                    if metrics is not None and sel is not None:
+                        arr[sel] = metrics[name]
+                    batch = batch.append_column(name, pa.array(arr))
+            else:
+                for name in METRIC_COLUMNS:
+                    batch = batch.append_column(name, pa.array(metrics[name]))
         return (
             batch.append_column("logprob_sum", pa.array(lp, type=pa.float64()))
             .append_column("token_count", pa.array(tc, type=pa.int64()))
