@@ -324,6 +324,12 @@ def _q_mkn_bigram(sf_dir):
     return result["arpa_tables"][2]
 
 
+def _q_bpe_token_counts(sf_dir):
+    from kenlm_ray.ops.text import bpe_token_counts
+
+    return bpe_token_counts(_documents(sf_dir))
+
+
 def _q_mkn_pruned_bigram(sf_dir):
     """Pruned MKN estimation (lmplz --prune semantics): bigrams with raw
     count <= 1 dropped, their mass folded into the backoff; parity with
@@ -388,6 +394,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "trigram_counts": _ngram_q(3),
         "exact_dedup_groups": _q_exact_dedup,
         "kn_adjusted_unigrams": _q_adjusted_unigrams,
+        "bpe_token_counts": _q_bpe_token_counts,
         "vocab_filter_semijoin": _q_vocab_filter,
         "knn_cosine_top10": _q_knn,
         "embedding_near_dup": _q_embedding_near_dup,
@@ -515,6 +522,12 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT w2 AS word, count(*)::BIGINT AS adjusted_count
             FROM big GROUP BY w2
+        """,
+        "bpe_token_counts": r"""
+            SELECT doc_id,
+                   len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]'))::BIGINT
+                       AS n_bpe_tokens
+            FROM documents
         """,
         "vocab_filter_semijoin": f"""
             WITH flat AS ({_FLAT}),

@@ -122,3 +122,29 @@ def vocab_filter_docs(
         return pa.table({id_col: batch[id_col].filter(pa.array(keep))})
 
     return ds.map_batches(passes, batch_format="pyarrow")
+
+
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+
+
+def bpe_token_counts(
+    ds: "ray.data.Dataset", text_col: str = "text", id_col: str = "doc_id"
+) -> "ray.data.Dataset":
+    """Per-document BPE-ish token count: RE2 pattern matching letter runs,
+    single digits, and single punctuation marks — the pre-tokenization
+    granularity a GPT-2-style byte-pair encoder splits on (the digit and
+    punctuation isolation rules).  Vectorized via
+    pyarrow.compute.count_substring_regex (RE2, the same engine DuckDB's
+    regexp_extract_all uses, so the oracle matches exactly)."""
+    import pyarrow.compute as pc
+
+    def count(batch: pa.Table) -> pa.Table:
+        n = pc.count_substring_regex(batch[text_col], BPE_ISH_PATTERN)
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "n_bpe_tokens": n.cast(pa.int64()) if hasattr(n, "cast") else n,
+            }
+        )
+
+    return ds.map_batches(count, batch_format="pyarrow")
