@@ -378,6 +378,24 @@ def _q_lsh_knn(sf_dir):
     return lsh_bucket_knn(ds, query_vector(sf_dir, 0), k=10)
 
 
+def _q_lsh_index_knn(sf_dir):
+    """kNN against the PREBUILT bucket-partitioned LSH index (built once
+    per sf dir under /tmp); the query reads only its buckets' files."""
+    import ray.data
+
+    from kenlm_ray.ops.knn import build_lsh_index, lsh_index_knn, query_vector
+
+    label = sf_dir.strip("/").replace("/", "_")
+    idx = f"/tmp/kenlm_ray_cache/lsh_index_{label}"
+    if not os.path.isdir(idx):
+        ds = ray.data.read_parquet(
+            os.path.join(sf_dir, "embeddings.parquet"),
+            columns=["vec_id", "embedding"],
+        )
+        build_lsh_index(ds, idx)
+    return lsh_index_knn(idx, query_vector(sf_dir, 0), k=10)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "pricing_summary": _q_pricing_summary,
@@ -409,6 +427,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_fingerprints": _q_simhash,
         "winnow_fingerprints": _q_winnow,
         "lsh_knn_top10": _q_lsh_knn,
+        "lsh_index_knn_top10": _q_lsh_index_knn,
         "mkn_bigram_model": _q_mkn_bigram,
         "mkn_pruned_bigram": _q_mkn_pruned_bigram,
         "phrase_filter_trigrams": _q_phrase_filter,

