@@ -378,6 +378,15 @@ def _q_lsh_knn(sf_dir):
     return lsh_bucket_knn(ds, query_vector(sf_dir, 0), k=10)
 
 
+def _q_simhash_pairs(sf_dir):
+    """Banded SimHash near-dup pairs (hamming <= 3; banding is EXACT for
+    this bound by pigeonhole — recall 1, unlike the probabilistic
+    MinHash-LSH path)."""
+    from kenlm_ray.ops.dedup import simhash_near_dup_pairs
+
+    return simhash_near_dup_pairs(_documents(sf_dir), max_hamming=3)
+
+
 def _q_lsh_index_knn(sf_dir):
     """kNN against the PREBUILT bucket-partitioned LSH index (built once
     per sf dir under /tmp); the query reads only its buckets' files."""
@@ -425,6 +434,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid": _q_langid,
         "minhash_near_dup_pairs": _q_minhash_pairs,
         "simhash_fingerprints": _q_simhash,
+        "simhash_near_dup_pairs": _q_simhash_pairs,
         "winnow_fingerprints": _q_winnow,
         "lsh_knn_top10": _q_lsh_knn,
         "lsh_index_knn_top10": _q_lsh_index_knn,

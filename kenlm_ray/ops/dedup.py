@@ -528,3 +528,124 @@ def ngram_jaccard_pairs(
     import pandas as pd
 
     return ray.data.from_pandas(pd.DataFrame(rows))
+
+
+def simhash_near_dup_pairs(
+    ds: "ray.data.Dataset",
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 2,
+    max_hamming: int = 3,
+    num_partitions: int = 64,
+    max_bucket: int = 1000,
+) -> "ray.data.Dataset":
+    """Near-duplicate pairs by SimHash Hamming distance <= ``max_hamming``.
+
+    The 64-bit fingerprint is split into ``max_hamming + 1`` bands; two
+    fingerprints within the distance bound MUST agree on at least one
+    whole band (pigeonhole), so banded exact-match candidate generation
+    has recall 1 — unlike MinHash-LSH this path is exact, not
+    probabilistic.  Shape: fingerprint map -> narrow (band-key, id, fp)
+    rows -> coarse-partition groupby -> vectorized within-run pairs ->
+    dedupe -> exact popcount verify.  Only (8B key, 8B fp, id) rows
+    shuffle."""
+    n_bands = max_hamming + 1
+    width = 64 // n_bands
+    P = num_partitions
+
+    fps = simhash_column(ds, text_col=text_col, id_col=id_col, shingle_n=shingle_n)
+
+    def to_bands(batch: pa.Table) -> pa.Table:
+        fp = batch["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(fp)
+        keys, out_ids, out_fp = [], [], []
+        mask = np.uint64((1 << width) - 1)
+        for bi in range(n_bands):
+            seg = (fp >> np.uint64(bi * width)) & mask
+            # band index seeds the key so bands never cross-collide
+            k = ngram_hash_step(
+                np.full(n, np.uint64(bi + 1), dtype=np.uint64), seg
+            )
+            keys.append(k)
+            out_ids.append(ids)
+            out_fp.append(fp)
+        kk = np.concatenate(keys) if n else np.empty(0, np.uint64)
+        return pa.table(
+            {
+                "bkey": pa.array(kk),
+                id_col: pa.array(
+                    np.concatenate(out_ids) if n else np.empty(0, np.int64)
+                ),
+                "fp": pa.array(
+                    np.concatenate(out_fp) if n else np.empty(0, np.uint64)
+                ),
+                "__pb": pa.array((kk % np.uint64(P)).astype(np.int64)),
+            }
+        )
+
+    def part_pairs(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "id_a": pa.array([], type=pa.int64()),
+                "id_b": pa.array([], type=pa.int64()),
+                "hamming": pa.array([], type=pa.int64()),
+            }
+        )
+        if len(t) < 2:
+            return empty
+        bk = t["bkey"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        fp = t["fp"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        order = np.lexsort((ids, bk))
+        bk, ids, fp = bk[order], ids[order], fp[order]
+        keep = np.ones(len(bk), dtype=bool)
+        keep[1:] = (bk[1:] != bk[:-1]) | (ids[1:] != ids[:-1])
+        bk, ids, fp = bk[keep], ids[keep], fp[keep]
+        starts = np.flatnonzero(np.concatenate([[True], bk[1:] != bk[:-1]]))
+        lens = np.diff(np.append(starts, len(bk)))
+        ia, ib, hd = [], [], []
+        for s, L in zip(starts[lens >= 2], lens[lens >= 2]):
+            run_ids = ids[s : s + int(L)]
+            run_fp = fp[s : s + int(L)]
+            if L > max_bucket:
+                a = np.full(int(L) - 1, run_ids[0])
+                b = run_ids[1:]
+                x = run_fp[0] ^ run_fp[1:]
+            else:
+                r, c = np.triu_indices(int(L), k=1)
+                a, b = run_ids[r], run_ids[c]
+                x = run_fp[r] ^ run_fp[c]
+            h = np.zeros(len(x), dtype=np.int64)
+            for shift in range(0, 64, 8):  # byte-wise popcount via LUT
+                h += _POPCNT8[((x >> np.uint64(shift)) & np.uint64(0xFF)).astype(np.int64)]
+            ok = h <= max_hamming
+            if ok.any():
+                lo = np.minimum(a[ok], b[ok])
+                hi = np.maximum(a[ok], b[ok])
+                ia.append(lo)
+                ib.append(hi)
+                hd.append(h[ok])
+        if not ia:
+            return empty
+        return pa.table(
+            {
+                "id_a": pa.array(np.concatenate(ia)),
+                "id_b": pa.array(np.concatenate(ib)),
+                "hamming": pa.array(np.concatenate(hd)),
+            }
+        )
+
+    pairs = (
+        fps.map_batches(to_bands, batch_format="pyarrow")
+        .groupby("__pb")
+        .map_groups(part_pairs, batch_format="pyarrow")
+    )
+    # a pair can agree on several bands — dedupe
+    return pairs.groupby(["id_a", "id_b"]).aggregate(
+        Min("hamming", alias_name="hamming")
+    )
+
+
+_POPCNT8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.int64)

@@ -421,3 +421,32 @@ def test_lsh_index_knn_matches_scan(ray_session, tmp_path):
     # hive layout exists and the query touched a strict subset of buckets
     tables = [d for d in os.listdir(idx_path) if d.startswith("table_i=")]
     assert len(tables) == 8
+
+
+def test_simhash_near_dup_pairs(ray_session):
+    """Banded SimHash pairs: hamming <= max_hamming implies a whole band
+    matches (pigeonhole), so recall is exact; planted near-identical docs
+    pair up, unrelated docs don't."""
+    import ray.data
+
+    from kenlm_ray.ops.dedup import simhash_near_dup_pairs, simhash_column
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa " * 10).split()
+    near = list(base)
+    near[7] = "changed"
+    docs = [
+        {"doc_id": 0, "text": " ".join(base)},
+        {"doc_id": 1, "text": " ".join(near)},
+        {"doc_id": 2, "text": "other content entirely unrelated tokens here " * 10},
+        {"doc_id": 3, "text": " ".join(base)},  # exact dup of 0
+    ]
+    ds = ray.data.from_items(docs).repartition(2)
+    # choose the bound from the actual fingerprints so the test is stable
+    fp = simhash_column(ds).to_pandas().set_index("doc_id")["simhash"]
+    d01 = bin(int(fp[0]) ^ int(fp[1])).count("1")
+    assert d01 <= 6  # near-dup is close in hamming space
+    pairs = simhash_near_dup_pairs(ds, max_hamming=max(3, d01)).to_pandas()
+    got = {(a, b): h for a, b, h in pairs.itertuples(index=False)}
+    assert got.get((0, 3)) == 0          # exact dup: distance 0
+    assert (0, 1) in got and got[(0, 1)] == d01
+    assert all(2 not in p for p in got)  # unrelated never pairs
