@@ -49,24 +49,49 @@ def exact_dedup_groups(
 
 
 def exact_dedup(
-    ds: "ray.data.Dataset", text_col: str = "text", id_col: str = "doc_id"
+    ds: "ray.data.Dataset",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    order_cols: "list[str] | None" = None,
+    num_partitions: int = 64,
 ) -> "ray.data.Dataset":
-    """Keep only the first (min id) row of each duplicate group, with all
-    original columns, via groupby(hash).map_groups."""
+    """Keep only the first row of each duplicate-content group (ordered by
+    ``order_cols``, default the id column), with all original columns.
+
+    One full-row shuffle into COARSE hash partitions (hash % P), then a
+    vectorized lexsort + run-boundary pick inside each partition — no
+    one-pandas-call-per-group (millions of tiny groups at corpus scale)."""
+    order_cols = order_cols or [id_col]
 
     def add_hash(batch: pa.Table) -> pa.Table:
-        return batch.append_column("__h", sha256_column(batch[text_col]))
+        h = sha256_column(batch[text_col])
+        # hex digest = 64 bytes -> view as 8 uint64 words for partitioning
+        # and vectorized grouping
+        hm = _sig_matrix(h, 8)
+        pb = (hm[:, 0] % np.uint64(num_partitions)).astype(np.int64)
+        return batch.append_column("__h", h).append_column("__pb", pa.array(pb))
 
-    import pandas as pd
-
-    def first(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values(id_col).head(1)
+    def part_first(t: pa.Table) -> pa.Table:
+        out_cols = [c for c in t.column_names if c not in ("__h", "__pb")]
+        if len(t) == 0:
+            return t.select(out_cols)
+        hm = _sig_matrix(t["__h"], 8)
+        okeys = [
+            t[c].to_numpy(zero_copy_only=False) for c in reversed(order_cols)
+        ]
+        order = np.lexsort(
+            (*okeys, *[hm[:, j] for j in range(7, -1, -1)])
+        )
+        hs = hm[order]
+        first = np.ones(len(order), dtype=bool)
+        first[1:] = (hs[1:] != hs[:-1]).any(axis=1)
+        return t.take(pa.array(order[first])).select(out_cols)
 
     return (
         ds.map_batches(add_hash, batch_format="pyarrow")
-        .groupby("__h")
-        .map_groups(first, batch_format="pandas")
-        .drop_columns(["__h"])
+        .groupby("__pb")
+        .map_groups(part_first, batch_format="pyarrow")
     )
 
 

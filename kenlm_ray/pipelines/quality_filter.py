@@ -104,23 +104,11 @@ def build_quality_pipeline(
     cfg = cfg or QualityConfig()
     model_path = model_path or seed_model_path()
     if dedupe:
-        import pandas as pd
-        import pyarrow as pa
+        from kenlm_ray.ops.dedup import exact_dedup
 
-        from kenlm_ray.stages.scrub import sha256_column
-
-        def add_hash(batch: pa.Table) -> pa.Table:
-            return batch.append_column("__h", sha256_column(batch["content"]))
-
-        def first(g: pd.DataFrame) -> pd.DataFrame:
-            return g.sort_values(["repo", "path"]).head(1)
-
-        ds = (
-            ds.map_batches(add_hash, batch_format="pyarrow")
-            .groupby("__h")
-            .map_groups(first, batch_format="pandas")
-            .drop_columns(["__h"])
-        )
+        # keep the (repo, path)-smallest row per distinct content —
+        # coarse-partition vectorized first-pick, no per-group pandas
+        ds = exact_dedup(ds, text_col="content", order_cols=["repo", "path"])
     # actor-pool stages first, then every stateless stage together — Ray
     # Data fuses consecutive map ops into the UPSTREAM operator, so a
     # stateless stage placed before an actor pool would get pinned to the

@@ -450,3 +450,26 @@ def test_simhash_near_dup_pairs(ray_session):
     assert got.get((0, 3)) == 0          # exact dup: distance 0
     assert (0, 1) in got and got[(0, 1)] == d01
     assert all(2 not in p for p in got)  # unrelated never pairs
+
+
+def test_exact_dedup_keeps_first(ray_session):
+    """Coarse-partition exact dedup: min-order row kept per distinct
+    content, all columns preserved, works across partitions."""
+    import ray.data
+
+    from kenlm_ray.ops.dedup import exact_dedup
+
+    docs = [
+        {"doc_id": 5, "text": "same content here", "tag": "e"},
+        {"doc_id": 2, "text": "same content here", "tag": "b"},
+        {"doc_id": 9, "text": "same content here", "tag": "z"},
+        {"doc_id": 1, "text": "unique one", "tag": "u"},
+        {"doc_id": 7, "text": "another unique", "tag": "v"},
+    ]
+    out = (
+        exact_dedup(ray.data.from_items(docs).repartition(3), num_partitions=4)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert list(out["doc_id"]) == [1, 2, 7]
+    assert set(out.columns) == {"doc_id", "text", "tag"}
+    assert out.loc[out.doc_id == 2, "tag"].iloc[0] == "b"
