@@ -142,3 +142,51 @@ def build_multimodal_pipeline(ds, stage_cls=ImageDecode, batch_size: int = 64, c
         batch_size=batch_size,
         concurrency=concurrency,
     )
+
+
+class VideoFrameSample:
+    """Actor-pool stage: video payload -> sampled frame thumbnails +
+    duration stats.  Real decode needs pyav/ffmpeg (absent from this
+    container) — fake mode derives a deterministic frame sequence from
+    the payload hash, so the frame-sampling plumbing (stride selection,
+    per-frame thumb layout, list-typed output column) is real and
+    tested."""
+
+    def __init__(self, mode: str = "auto", n_frames: int = 4, thumb_size: int = 8):
+        if mode == "real":
+            raise NotImplementedError(
+                "real video decode requires pyav/ffmpeg, not available here"
+            )
+        self.n_frames = n_frames
+        self.thumb_size = thumb_size
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch["payload"].to_pylist()
+        n_total, fps_col, sampled = [], [], []
+        t = self.thumb_size
+        for p in payloads:
+            if p is None:
+                n_total.append(0)
+                fps_col.append(0.0)
+                sampled.append(None)
+                continue
+            h = murmur64(p[:64])
+            rng = np.random.default_rng(h & 0xFFFFFFFF)
+            frames = 24 + (h % 240)  # 1-11 s at 24 fps
+            n_total.append(int(frames))
+            fps_col.append(24.0)
+            # evenly-strided frame sample (the real kernel seeks these
+            # timestamps; the fake generates deterministic frames)
+            picks = np.linspace(0, frames - 1, self.n_frames).astype(int)
+            thumbs = [
+                rng.integers(0, 256, (t, t, 3), dtype=np.uint8).tobytes()
+                for _ in picks
+            ]
+            sampled.append(thumbs)
+        return (
+            batch.append_column("n_frames", pa.array(n_total, type=pa.int64()))
+            .append_column("fps", pa.array(fps_col, type=pa.float32()))
+            .append_column(
+                "frame_thumbs", pa.array(sampled, type=pa.list_(pa.binary()))
+            )
+        )

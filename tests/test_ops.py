@@ -473,3 +473,22 @@ def test_exact_dedup_keeps_first(ray_session):
     assert list(out["doc_id"]) == [1, 2, 7]
     assert set(out.columns) == {"doc_id", "text", "tag"}
     assert out.loc[out.doc_id == 2, "tag"].iloc[0] == "b"
+
+
+def test_multimodal_video_frame_sample(ray_session):
+    import ray.data
+
+    from kenlm_ray.stages.multimodal import (
+        VideoFrameSample,
+        build_multimodal_pipeline,
+        synth_media_table,
+    )
+
+    ds = ray.data.from_arrow(synth_media_table(12, kind="video/mp4"))
+    out = build_multimodal_pipeline(ds, VideoFrameSample, batch_size=4).to_pandas()
+    assert len(out) == 12
+    assert (out["n_frames"] > 0).all()
+    assert all(len(f) == 4 for f in out["frame_thumbs"])
+    # deterministic across runs
+    out2 = build_multimodal_pipeline(ds, VideoFrameSample, batch_size=4).to_pandas()
+    assert list(out["n_frames"]) == list(out2["n_frames"])
