@@ -137,7 +137,11 @@ def interpolate_models(
         p = 0.0
         for lam, ref in zip(weights, refs):
             nc = [x if (x,) in ref.grams[1] else UNK for x in ctx]
-            ww = ref._norm(w)
+            # </s> is a real predicted EVENT here (unlike a literal text
+            # token, which the scorer's disallowed-symbol guard maps to
+            # <unk>): evaluate each model's own p(</s>|ctx).  BOS is
+            # never predicted.
+            ww = UNK if (w == BOS or (w,) not in ref.grams[1]) else w
             p += lam * (10.0 ** ref.score_word(nc, ww))
         return p
 

@@ -1,0 +1,346 @@
+"""Distributed multi-model interpolation — the streaming-merge shape of
+the reference's interpolate pipeline
+(/root/reference/lm/interpolate/merge_probabilities.cc:22-37,
+pipeline.cc:64-187) re-expressed on Ray Datasets.
+
+Division of labor (mirrors the reference's):
+  - the UNION GRAM TABLES (the big side — every order of every model)
+    live in Datasets; the per-gram work — evaluating every input model's
+    full-backoff conditional and the merged model's lower-order
+    conditional, λ-mixing — runs vectorized inside ``map_batches`` with
+    the packed models broadcast once via ``ray.put`` (plasma-shared per
+    node, the analog of the reference's shared mmaps);
+  - per-context Σ's come from a distributed groupby;
+  - the γ tables and the incrementally-merged packed model are
+    MODEL-sized (one float per context) and live on the driver between
+    orders — the same memory assumption as the reference's in-RAM
+    gamma streams and our vocab broadcast (SURVEY.md §2.4).
+
+Semantics are identical to the driver-side
+:func:`kenlm_ray.model.interpolate.interpolate_models` (λ-mix through
+each model's own backoff, union vocab renormalization at order 1,
+γ(c) = (1−Σ_seen p)/(1−Σ_seen p_lower)); the equality is pytest-gated.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data
+from ray.data.aggregate import Count, Sum
+
+from kenlm_ray.functions.hashing import murmur64_stream
+from kenlm_ray.functions.tokenize import _string_buffers
+from kenlm_ray.model.arpa import ArpaModel
+from kenlm_ray.model.pack import PackedModel, pack_model
+from kenlm_ray.model.scorer import VectorLM
+from kenlm_ray.schema import BOS, EOS, UNK
+
+
+def _wcols(n: int) -> list[str]:
+    return [f"w{i+1}" for i in range(n)]
+
+
+def _col_word_ids(packed: PackedModel, col) -> np.ndarray:
+    """string column -> this model's word ids (OOV -> its <unk>)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    offsets, data = _string_buffers(col)
+    h = murmur64_stream(data, offsets[:-1], offsets[1:] - offsets[:-1])
+    return packed.word_ids(h)
+
+
+def _gram_table(model: ArpaModel, n: int) -> pa.Table:
+    cols = {c: [] for c in _wcols(n)}
+    for ws in model.grams.get(n, {}):
+        for j, w in enumerate(ws):
+            cols[f"w{j+1}"].append(w)
+    return pa.table({c: pa.array(v, type=pa.string()) for c, v in cols.items()})
+
+
+class _MergedSoFar:
+    """Incrementally-built packed merged model (driver-side arrays,
+    broadcast per order): probs arrive as each order is mixed, backoffs
+    (log10 γ) as the next order's γ is computed."""
+
+    def __init__(self, words: "list[str]", uni_log10: np.ndarray):
+        base = ArpaModel()
+        base.grams[1] = {
+            (w,): (float(uni_log10[i]), 0.0) for i, w in enumerate(words)
+        }
+        base.counts = [len(words)]
+        self.packed = pack_model(base, quant_bits=None, backoff_bits=None)
+
+    def vlm(self) -> VectorLM:
+        return VectorLM(self.packed)
+
+    def ids_for_words(self, words_cols: "list") -> np.ndarray:
+        return np.stack(
+            [_col_word_ids(self.packed, c) for c in words_cols], axis=1
+        )
+
+    def set_backoffs(self, n: int, ctx_ids: np.ndarray, gammas: np.ndarray) -> None:
+        """backoff(log10 γ_{n+1}) onto the order-n entries (n >= 1)."""
+        bo = np.log10(np.maximum(gammas, 1e-12)).astype(np.float32)
+        if n == 1:
+            self.packed.uni_backoff[ctx_ids[:, 0].astype(np.int64)] = bo
+            return
+        t = self.packed.tables[n]
+        keys = self._keys(ctx_ids)
+        idx = np.searchsorted(t.keys, keys)
+        idx = np.minimum(idx, len(t.keys) - 1)
+        ok = t.keys[idx] == keys
+        t.backoff[idx[ok]] = bo[ok]
+
+    def add_order(self, n: int, ids: np.ndarray, log10_probs: np.ndarray) -> None:
+        from kenlm_ray.model.pack import OrderTable
+
+        keys = self._keys(ids)
+        order = np.argsort(keys, kind="stable")
+        t = OrderTable(
+            keys=keys[order],
+            prob=log10_probs[order].astype(np.float32),
+            backoff=np.zeros(len(keys), dtype=np.float32),
+        )
+        t.build_probing()
+        self.packed.tables[n] = t
+        self.packed.order = max(self.packed.order, n)
+
+    def _keys(self, ids: np.ndarray) -> np.ndarray:
+        from kenlm_ray.functions.hashing import ngram_hash_step
+
+        h = np.zeros(len(ids), dtype=np.uint64)
+        for j in range(ids.shape[1]):
+            h = ngram_hash_step(h, ids[:, j].astype(np.uint64))
+        return h
+
+
+def interpolate_distributed(
+    models: "list[ArpaModel]",
+    weights: "list[float]",
+    *,
+    num_partitions: int = 16,
+) -> "dict[int, ray.data.Dataset | pa.Table]":
+    """λ-interpolate N models; per-gram model evaluation and per-context
+    sums run distributed.  Returns {order: table(w1..wn, log10_prob,
+    log10_backoff)} — same contract as estimate_mkn's arpa_tables.
+
+    For test-scale inputs the union tables come straight from the
+    ArpaModels; at scale the caller feeds model-buffer parquet Datasets
+    into the same per-order loop."""
+    assert len(models) == len(weights) and abs(sum(weights) - 1.0) < 1e-9
+    order = max(m.order for m in models)
+    packed = [pack_model(m, quant_bits=None, backoff_bits=None) for m in models]
+    packed_refs = [ray.put(p) for p in packed]
+    lam = list(map(float, weights))
+
+    # ---- order 1 (vocab-sized, driver) --------------------------------
+    vocab = sorted(
+        {w for m in models for (w,) in m.grams[1]} | {UNK, EOS}
+    )
+    vq = pa.array([w for w in vocab if w != BOS], type=pa.string())
+    mix1 = np.zeros(len(vq), dtype=np.float64)
+    for lm_w, p in zip(lam, packed):
+        ids = _col_word_ids(p, vq).reshape(-1, 1)
+        mix1 += lm_w * np.power(10.0, VectorLM(p).cond_logprob(ids))
+    mix1 /= mix1.sum()
+    words_no_bos = [w for w in vocab if w != BOS]
+    uni_words = words_no_bos + [BOS]
+    uni_log10 = np.concatenate(
+        [np.log10(np.maximum(mix1, 1e-12)), [-99.0]]
+    )
+    merged = _MergedSoFar(uni_words, uni_log10)
+
+    probs_ds: dict[int, ray.data.Dataset] = {}
+    gammas: dict[int, dict] = {}  # n -> {"ids": (C, n-1) merged ids, "gamma": (C,)}
+
+    for n in range(2, order + 1):
+        keys = _wcols(n)
+        union = None
+        for m in models:
+            if n > m.order or not m.grams.get(n):
+                continue
+            t = ray.data.from_arrow(_gram_table(m, n))
+            union = t if union is None else union.union(t)
+        if union is None:
+            break
+        union = (
+            union.groupby(keys).aggregate(Count(alias_name="__c")).drop_columns(["__c"])
+        )
+
+        merged_ref = ray.put(merged.packed)
+
+        def mix_batch(
+            batch: pa.Table, _n=n, _keys=tuple(keys), _m_ref=merged_ref
+        ) -> pa.Table:
+            R = len(batch)
+            cols = [batch[c] for c in _keys]
+            p_mix = np.zeros(R, dtype=np.float64)
+            for lw, pref in zip(lam, packed_refs):
+                pm = ray.get(pref)
+                ids = np.stack([_col_word_ids(pm, c) for c in cols], axis=1)
+                p_mix += lw * np.power(10.0, VectorLM(pm).cond_logprob(ids))
+            # merged lower-order conditional of (ctx[1:], w) — the γ
+            # denominator term, evaluated against the broadcast
+            # merged-so-far model (orders < n complete)
+            mp = ray.get(_m_ref)
+            low_ids = np.stack(
+                [_col_word_ids(mp, c) for c in cols[1:]], axis=1
+            )
+            l_low = np.power(10.0, VectorLM(mp).cond_logprob(low_ids))
+            out = {c: batch[c] for c in _keys}
+            out["p_mix"] = pa.array(p_mix)
+            out["l_low"] = pa.array(l_low)
+            return pa.table(out)
+
+        probs_n = union.map_batches(mix_batch, batch_format="pyarrow").materialize()
+        probs_ds[n] = probs_n
+
+        ctx_cols = keys[:-1]
+        sums = (
+            probs_n.groupby(ctx_cols)
+            .aggregate(
+                Sum("p_mix", alias_name="seen"), Sum("l_low", alias_name="lower")
+            )
+            .to_pandas()  # one row per context — model-sized
+        )
+        seen = sums["seen"].to_numpy()
+        lower = sums["lower"].to_numpy()
+        denom = 1.0 - lower
+        gam = np.where(np.abs(denom) > 1e-12, (1.0 - seen) / denom, 1.0)
+        ctx_ids = merged.ids_for_words([pa.array(sums[c]) for c in ctx_cols])
+        gammas[n] = {"ids": ctx_ids, "gamma": gam}
+        # γ_n becomes the backoff of the order-(n-1) merged entries
+        merged.set_backoffs(n - 1, ctx_ids, gam)
+        # and the order-n probs join the merged model
+        pn = probs_n.to_pandas()  # model-sized
+        ids_n = merged.ids_for_words([pa.array(pn[c]) for c in keys])
+        merged.add_order(
+            n, ids_n, np.log10(np.maximum(pn["p_mix"].to_numpy(), 1e-12))
+        )
+
+    # ---- assemble output tables ---------------------------------------
+    out_tables: dict[int, "ray.data.Dataset | pa.Table"] = {}
+    # order 1 (driver table)
+    g2 = gammas.get(2)
+    uni_rows = []
+    bos_bo = 0.0
+    if g2 is not None:
+        g2_ids = g2["ids"][:, 0].astype(np.int64)
+        g2_sorted = np.argsort(g2_ids, kind="stable")
+        g2_ids_s = g2_ids[g2_sorted]
+        g2_gam_s = g2["gamma"][g2_sorted]
+
+        def uni_gamma(wid: int) -> "float | None":
+            i = np.searchsorted(g2_ids_s, wid)
+            if i < len(g2_ids_s) and g2_ids_s[i] == wid:
+                return float(g2_gam_s[i])
+            return None
+    else:
+
+        def uni_gamma(wid: int) -> "float | None":
+            return None
+
+    for i, w in enumerate(words_no_bos):
+        wid = merged.packed.word_id(w)
+        bo = uni_gamma(wid)
+        uni_rows.append(
+            {
+                "w1": w,
+                "log10_prob": math.log10(max(mix1[i], 1e-12)),
+                "log10_backoff": math.log10(max(bo, 1e-12)) if bo is not None else 0.0,
+            }
+        )
+    bos_g = uni_gamma(merged.packed.word_id(BOS))
+    uni_rows.append(
+        {
+            "w1": BOS,
+            "log10_prob": -99.0,
+            "log10_backoff": math.log10(max(bos_g, 1e-12)) if bos_g is not None else 0.0,
+        }
+    )
+    out_tables[1] = pa.Table.from_pylist(uni_rows)
+
+    for n in range(2, order + 1):
+        if n not in probs_ds:
+            break
+        keys = _wcols(n)
+        gnext = gammas.get(n + 1)
+        if gnext is not None:
+            gk = np.argsort(
+                _pack_key(gnext["ids"]), kind="stable"
+            )
+            g_keys = _pack_key(gnext["ids"])[gk]
+            g_vals = gnext["gamma"][gk]
+        else:
+            g_keys = np.empty(0, dtype=np.uint64)
+            g_vals = np.empty(0, dtype=np.float64)
+        g_ref = ray.put((g_keys, g_vals))
+        merged_ref2 = ray.put(merged.packed)
+
+        def finalize(
+            batch: pa.Table,
+            _keys=tuple(keys),
+            _g_ref=g_ref,
+            _m_ref=merged_ref2,
+        ) -> pa.Table:
+            # defaults bind per-iteration values (lazy execution would
+            # otherwise see the LAST loop iteration's refs)
+            gk, gv = ray.get(_g_ref)
+            mp = ray.get(_m_ref)
+            ids = np.stack(
+                [_col_word_ids(mp, batch[c]) for c in _keys], axis=1
+            )
+            kk = _pack_key(ids)
+            if len(gk):
+                idx = np.minimum(np.searchsorted(gk, kk), len(gk) - 1)
+                bo = np.where(
+                    gk[idx] == kk,
+                    np.log10(np.maximum(gv[idx], 1e-12)),
+                    0.0,
+                )
+            else:
+                bo = np.zeros(len(batch), dtype=np.float64)
+            out = {c: batch[c] for c in _keys}
+            out["log10_prob"] = pa.array(
+                np.log10(
+                    np.maximum(batch["p_mix"].to_numpy(zero_copy_only=False), 1e-12)
+                )
+            )
+            out["log10_backoff"] = pa.array(bo)
+            return pa.table(out)
+
+        out_tables[n] = probs_ds[n].map_batches(finalize, batch_format="pyarrow")
+    return out_tables
+
+
+def _pack_key(ids: np.ndarray) -> np.ndarray:
+    from kenlm_ray.functions.hashing import ngram_hash_step
+
+    h = np.zeros(len(ids), dtype=np.uint64)
+    for j in range(ids.shape[1]):
+        h = ngram_hash_step(h, ids[:, j].astype(np.uint64))
+    return h
+
+
+def to_arpa_model(tables: dict, order: int) -> ArpaModel:
+    m = ArpaModel()
+    for n in range(1, order + 1):
+        t = tables.get(n)
+        if t is None:
+            break
+        df = t.to_pandas() if hasattr(t, "to_pandas") else t.to_pandas()
+        grams = {}
+        wc = _wcols(n)
+        for _, r in df.iterrows():
+            grams[tuple(r[c] for c in wc)] = (
+                float(r["log10_prob"]),
+                float(r["log10_backoff"]),
+            )
+        m.grams[n] = grams
+    m.counts = [len(m.grams.get(n, {})) for n in range(1, order + 1)]
+    return m

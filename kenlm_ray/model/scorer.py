@@ -230,6 +230,22 @@ class VectorLM:
 
         return float(self.score_stream(tokenize_texts([text])).ppl[0])
 
+    def cond_logprob(self, ids: np.ndarray) -> np.ndarray:
+        """log10 p(ids[:, -1] | ids[:, :-1]) for R rows of word-id
+        n-grams, via the same backoff walk (each row scored as a
+        null-context sentence; the last position's score IS the
+        conditional).  Vectorized across all rows at once — the
+        distributed interpolation's per-gram model evaluation."""
+        R, n = ids.shape
+        if R == 0:
+            return np.empty(0, dtype=np.float64)
+        flat = ids.reshape(-1).astype(np.uint32)
+        sent_ids = np.repeat(np.arange(R, dtype=np.int64), n)
+        logprob, _, _, _ = self.score_sentences(
+            flat, sent_ids, bos=False, eos=False
+        )
+        return logprob.reshape(R, n)[:, -1]
+
     def full_scores(
         self, text: str, *, bos: bool = True, eos: bool = True
     ) -> "list[tuple[float, int, bool]]":

@@ -105,3 +105,26 @@ def test_tuned_weights_beat_endpoints():
     for alt in ([0.5, 0.5], [0.1, 0.9], [0.9, 0.1]):
         ppl_alt = heldout_perplexity(interpolate_models([ma, mb], alt), heldout)
         assert ppl_t <= ppl_alt * 1.02, (alt, ppl_t, ppl_alt)
+
+
+def test_distributed_interpolation_matches_driver(ray_session):
+    """The Dataset-based interpolation (merge_probabilities.cc shape —
+    per-gram model evaluation and per-context sums distributed) produces
+    the same merged ARPA as the driver-side interpolate_models, to
+    float32 packed-table precision."""
+    from kenlm_ray.model.merge_distributed import (
+        interpolate_distributed,
+        to_arpa_model,
+    )
+
+    ma = train_kn(CORPUS_A, order=3)
+    mb = train_kn(CORPUS_B, order=3)
+    ref = interpolate_models([ma, mb], [0.7, 0.3])
+    tables = interpolate_distributed([ma, mb], [0.7, 0.3])
+    got = to_arpa_model(tables, 3)
+    for n in (1, 2, 3):
+        assert set(got.grams[n]) == set(ref.grams[n]), n
+        for g, (p, b) in ref.grams[n].items():
+            dp, db = got.grams[n][g]
+            assert np.isclose(dp, p, rtol=1e-4, atol=1e-4), (n, g, dp, p)
+            assert np.isclose(db, b, rtol=1e-4, atol=1e-4), (n, g, db, b)
