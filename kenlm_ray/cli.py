@@ -147,6 +147,38 @@ def cmd_interpolate(args) -> int:
     return 0
 
 
+def cmd_dedup(args) -> int:
+    """Deduplicate a parquet corpus: exact content dedup, or emit
+    near-duplicate pairs (minhash | simhash)."""
+    _ray_init()
+    import ray.data
+
+    ds = ray.data.read_parquet(args.corpus)
+    if args.method == "exact":
+        from kenlm_ray.ops.dedup import exact_dedup
+
+        out = exact_dedup(ds, text_col=args.text_col, id_col=args.id_col)
+    elif args.method == "minhash":
+        from kenlm_ray.ops.dedup import minhash_lsh_pairs
+
+        out = minhash_lsh_pairs(
+            ds, text_col=args.text_col, id_col=args.id_col,
+            jaccard_threshold=args.threshold,
+        )
+    elif args.method == "simhash":
+        from kenlm_ray.ops.dedup import simhash_near_dup_pairs
+
+        out = simhash_near_dup_pairs(
+            ds, text_col=args.text_col, id_col=args.id_col,
+            max_hamming=args.max_hamming,
+        )
+    else:
+        raise SystemExit(f"unknown method {args.method}")
+    out.write_parquet(args.out)
+    print(f"dedup ({args.method}) -> {args.out}")
+    return 0
+
+
 def cmd_quality(args) -> int:
     _ray_init()
     from kenlm_ray.pipelines.quality_filter import (
@@ -216,6 +248,16 @@ def main(argv=None) -> int:
     si.add_argument("--weights", default=None, help="comma-separated lambdas")
     si.add_argument("--tune", default=None, help="held-out text file (one sentence per line)")
     si.set_defaults(fn=cmd_interpolate)
+
+    sd = sub.add_parser("dedup")
+    sd.add_argument("corpus")
+    sd.add_argument("out")
+    sd.add_argument("--method", default="exact", choices=["exact", "minhash", "simhash"])
+    sd.add_argument("--text-col", default="content")
+    sd.add_argument("--id-col", default="doc_id")
+    sd.add_argument("--threshold", type=float, default=0.8)
+    sd.add_argument("--max-hamming", type=int, default=3)
+    sd.set_defaults(fn=cmd_dedup)
 
     sQ = sub.add_parser("quality")
     sQ.add_argument("corpus")

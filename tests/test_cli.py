@@ -71,3 +71,26 @@ def test_quality_pipeline_dedupe_option(ray_session):
     out = build_quality_pipeline(ds, seed_model_path(), dedupe=True).to_pandas()
     assert len(out) == 2  # 4 duplicates collapse to the path-smallest
     assert set(out["path"]) == {"p0", "q"}
+
+
+def test_cli_dedup_exact(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from kenlm_ray.cli import main
+
+    src = tmp_path / "corpus"
+    src.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([3, 1, 2], type=pa.int64()),
+                "content": pa.array(["dup text", "dup text", "unique"]),
+            }
+        ),
+        str(src / "part.parquet"),
+    )
+    out = tmp_path / "out"
+    assert main(["dedup", str(src), str(out), "--method", "exact"]) == 0
+    got = pq.read_table(str(out)).to_pandas().sort_values("doc_id")
+    assert list(got["doc_id"]) == [1, 2]
