@@ -405,6 +405,24 @@ def _q_lsh_index_knn(sf_dir):
     return lsh_index_knn(idx, query_vector(sf_dir, 0), k=10)
 
 
+def _q_ivf_knn(sf_dir):
+    """kNN against a prebuilt IVF inverted-list index (coarse k-means
+    quantizer; query probes the nprobe closest lists only)."""
+    import ray.data
+
+    from kenlm_ray.ops.knn import build_ivf_index, ivf_knn, query_vector
+
+    label = sf_dir.strip("/").replace("/", "_")
+    idx = f"/tmp/kenlm_ray_cache/ivf_index_{label}"
+    if not os.path.isdir(idx):
+        ds = ray.data.read_parquet(
+            os.path.join(sf_dir, "embeddings.parquet"),
+            columns=["vec_id", "embedding"],
+        )
+        build_ivf_index(ds, idx, n_centroids=32)
+    return ivf_knn(idx, query_vector(sf_dir, 0), k=10, nprobe=8)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "pricing_summary": _q_pricing_summary,
@@ -438,6 +456,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "winnow_fingerprints": _q_winnow,
         "lsh_knn_top10": _q_lsh_knn,
         "lsh_index_knn_top10": _q_lsh_index_knn,
+        "ivf_knn_top10": _q_ivf_knn,
         "mkn_bigram_model": _q_mkn_bigram,
         "mkn_pruned_bigram": _q_mkn_pruned_bigram,
         "phrase_filter_trigrams": _q_phrase_filter,

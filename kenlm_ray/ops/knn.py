@@ -486,3 +486,148 @@ def lsh_index_knn(
     # a vector matching in several tables appears once per table — dedupe
     dedup = scored.groupby(id_col).aggregate(Max("cos_sim", alias_name="cos_sim"))
     return dedup.sort(["cos_sim", id_col], descending=[True, False]).limit(k)
+
+
+# ---------------------------------------------------------------------------
+# IVF index (coarse k-means quantizer -> inverted lists)
+# ---------------------------------------------------------------------------
+
+def _spherical_kmeans(
+    sample: np.ndarray, n_centroids: int, iters: int, seed: int
+) -> np.ndarray:
+    """Driver-side spherical k-means (cosine) on a BOUNDED sample — the
+    standard IVF training step (the coarse quantizer is always trained on
+    a sample, never the corpus)."""
+    rng = np.random.default_rng(seed)
+    m = sample / np.maximum(np.linalg.norm(sample, axis=1, keepdims=True), 1e-30)
+    k = min(n_centroids, len(m))
+    cents = m[rng.choice(len(m), k, replace=False)]
+    for _ in range(iters):
+        sims = m @ cents.T
+        assign = np.argmax(sims, axis=1)
+        for c in range(k):
+            sel = assign == c
+            if sel.any():
+                v = m[sel].sum(axis=0)
+                n = np.linalg.norm(v)
+                if n > 1e-30:
+                    cents[c] = v / n
+    return cents
+
+
+def build_ivf_index(
+    ds: "ray.data.Dataset",
+    index_path: str,
+    *,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_centroids: int = 64,
+    iters: int = 5,
+    seed: int = 13,
+    sample_cap: int = 20000,
+) -> str:
+    """IVF index: train a coarse quantizer on a bounded sample, then one
+    streaming assignment pass writes each vector into its centroid's
+    inverted list (hive partition ``list=<c>/``).  Queries probe only the
+    ``nprobe`` closest lists.  Centroids persist as ``centroids.npy``."""
+    import os as _os
+
+    n = ds.count()
+    sample_ds = ds if n <= sample_cap else ds.random_sample(sample_cap / n, seed=seed)
+    sample = np.stack(
+        [np.asarray(r[emb_col], dtype=np.float64) for r in sample_ds.take_all()]
+    )
+    cents = _spherical_kmeans(sample, n_centroids, iters, seed)
+    cents_ref = ray.put(cents)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        cs = ray.get(cents_ref)
+        m = _emb_matrix(batch, emb_col)
+        if m.size == 0:
+            return pa.table(
+                {
+                    "list": pa.array([], type=pa.int32()),
+                    id_col: pa.array([], type=pa.int64()),
+                    "emb": pa.array([], type=pa.list_(pa.float64())),
+                }
+            )
+        mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
+        lists = np.argmax(mn @ cs.T, axis=1).astype(np.int32)
+        dim = m.shape[1]
+        return pa.table(
+            {
+                "list": pa.array(lists),
+                id_col: batch[id_col].cast(pa.int64()),
+                "emb": pa.FixedSizeListArray.from_arrays(
+                    pa.array(m.reshape(-1), type=pa.float64()), dim
+                ),
+            }
+        )
+
+    ds.map_batches(assign, batch_format="pyarrow").write_parquet(
+        index_path, partition_cols=["list"]
+    )
+    np.save(_os.path.join(index_path, "centroids.npy"), cents)
+    return index_path
+
+
+def ivf_knn(
+    index_path: str,
+    query: np.ndarray,
+    k: int = 10,
+    *,
+    id_col: str = "vec_id",
+    nprobe: int = 4,
+    round_digits: "int | None" = 3,
+) -> "ray.data.Dataset":
+    """Approximate top-k against a ``build_ivf_index`` index: rank the
+    inverted lists by query-centroid similarity, read only the ``nprobe``
+    best lists' partitions, exact cosine + top-k.  ``nprobe`` = number of
+    centroids recovers brute force exactly."""
+    import os as _os
+
+    cents = np.load(_os.path.join(index_path, "centroids.npy"))
+    q = np.asarray(query, dtype=np.float64)
+    qn = q / np.linalg.norm(q)
+    ranked = np.argsort(-(cents @ qn), kind="stable")[: min(nprobe, len(cents))]
+    paths = [
+        _os.path.join(d, f)
+        for c in ranked
+        for d in [_os.path.join(index_path, f"list={int(c)}")]
+        if _os.path.isdir(d)
+        for f in sorted(_os.listdir(d))
+        if f.endswith(".parquet")
+    ]
+    if not paths:
+        return ray.data.from_arrow(
+            pa.table(
+                {id_col: pa.array([], type=pa.int64()),
+                 "cos_sim": pa.array([], type=pa.float64())}
+            )
+        )
+    q_ref = ray.put(qn)
+    cand = ray.data.read_parquet(paths, columns=[id_col, "emb"])
+
+    def score(batch: pa.Table) -> pa.Table:
+        qv = ray.get(q_ref)
+        m = _fixed_matrix(batch["emb"])
+        if m.size == 0:
+            return pa.table(
+                {id_col: pa.array([], type=pa.int64()),
+                 "cos_sim": pa.array([], type=pa.float64())}
+            )
+        sims = (m @ qv) / np.maximum(np.linalg.norm(m, axis=1), 1e-30)
+        if round_digits is not None:
+            sims = np.round(sims, round_digits)
+        kk = min(k, len(sims))
+        ids_np = batch[id_col].to_numpy(zero_copy_only=False)
+        idx = np.lexsort((ids_np, -sims))[:kk]
+        return pa.table(
+            {
+                id_col: batch[id_col].take(pa.array(idx)),
+                "cos_sim": pa.array(sims[idx]),
+            }
+        )
+
+    scored = cand.map_batches(score, batch_format="pyarrow")
+    return scored.sort(["cos_sim", id_col], descending=[True, False]).limit(k)

@@ -492,3 +492,30 @@ def test_multimodal_video_frame_sample(ray_session):
     # deterministic across runs
     out2 = build_multimodal_pipeline(ds, VideoFrameSample, batch_size=4).to_pandas()
     assert list(out["n_frames"]) == list(out2["n_frames"])
+
+
+def test_ivf_knn(ray_session, tmp_path):
+    """IVF inverted-list index: probing ALL lists reproduces brute force
+    exactly; a small nprobe still finds the identical query vector."""
+    import os
+
+    import ray.data
+
+    from kenlm_ray.ops.knn import build_ivf_index, ivf_knn, knn_brute_force, query_vector
+
+    sf = "/root/testdata/sf0.001"
+    ds = ray.data.read_parquet(
+        os.path.join(sf, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    q = query_vector(sf, 3)
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(ds, idx, n_centroids=16)
+    full = (
+        ivf_knn(idx, q, k=10, nprobe=16)
+        .to_pandas().reset_index(drop=True)
+    )
+    brute = knn_brute_force(ds, q, k=10).to_pandas().reset_index(drop=True)
+    assert list(full["vec_id"]) == list(brute["vec_id"])
+    # small probe: the query's own vector (cos 1.0) lives in the top list
+    small = ivf_knn(idx, q, k=5, nprobe=2).to_pandas()
+    assert small.iloc[0]["vec_id"] == 3 and small.iloc[0]["cos_sim"] == 1.0
