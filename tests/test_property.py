@@ -87,3 +87,101 @@ def test_scorer_matches_oracle_on_random_tokens(tokens):
     rt, rw, ro = RefLM(arpa).score_document(text)
     assert np.isclose(got.logprob_sum[0], rt, rtol=1e-5, atol=1e-3)
     assert got.token_count[0] == rw and got.oov_count[0] == ro
+
+
+def test_phrase_match_equals_bruteforce():
+    """DP agreement matcher == brute-force enumeration of segmentations
+    on random small phrase tables (pure functions, no Ray)."""
+    import itertools
+    import random
+
+    from kenlm_ray.ops.model_filter import (
+        _phrase_match,
+        phrase_table_from_sentences,
+    )
+
+    rng = random.Random(17)
+    words = ["a", "b", "c", "d", "e"]
+
+    def brute(sentences, gram):
+        n = len(gram)
+        # whole gram inside one phrase
+        for sid, phrases in enumerate(sentences):
+            for ph in phrases:
+                for i in range(len(ph) - n + 1):
+                    if tuple(ph[i : i + n]) == gram:
+                        return True
+        # segmentations: suffix piece + whole phrases + prefix piece
+        def pieces_ok(sid, pieces):
+            phrases = [tuple(p) for p in sentences[sid]]
+            for pi, piece in enumerate(pieces):
+                first, last = pi == 0, pi == len(pieces) - 1
+                ok = False
+                for ph in phrases:
+                    if first and last and len(pieces) == 1:
+                        ok = ok or any(
+                            ph[i : i + len(piece)] == piece
+                            for i in range(len(ph) - len(piece) + 1)
+                        )
+                    elif first:
+                        ok = ok or ph[len(ph) - len(piece):] == piece
+                    elif last:
+                        ok = ok or ph[: len(piece)] == piece
+                    else:
+                        ok = ok or ph == piece
+                if not ok:
+                    return False
+            return True
+
+        for sid in range(len(sentences)):
+            for cuts in itertools.product([0, 1], repeat=n - 1):
+                bounds = [0] + [i + 1 for i, c in enumerate(cuts) if c] + [n]
+                pieces = [
+                    tuple(gram[bounds[j] : bounds[j + 1]])
+                    for j in range(len(bounds) - 1)
+                ]
+                if pieces_ok(sid, pieces):
+                    return True
+        return False
+
+    for trial in range(150):
+        sentences = [
+            [
+                [rng.choice(words) for _ in range(rng.randint(1, 4))]
+                for _ in range(rng.randint(1, 3))
+            ]
+            for _ in range(rng.randint(1, 3))
+        ]
+        table = phrase_table_from_sentences(sentences)
+        gram = tuple(rng.choice(words) for _ in range(rng.randint(1, 4)))
+        assert _phrase_match(table, gram) == brute(sentences, gram), (
+            sentences,
+            gram,
+        )
+
+
+def test_pruned_training_normalizes(ray_session):
+    """Random corpora + random non-decreasing prune thresholds: the
+    pruned oracle model still sums to 1 over every sampled context."""
+    import random
+
+    from kenlm_ray.model.pyref import RefLM
+    from kenlm_ray.model.train_quick import train_kn
+    from kenlm_ray.schema import BOS
+
+    rng = random.Random(23)
+    words = ["a", "b", "c", "d", "e", "f"]
+    for trial in range(5):
+        sents = [
+            [rng.choice(words) for _ in range(rng.randint(1, 7))]
+            for _ in range(rng.randint(8, 20))
+        ]
+        t2 = rng.randint(0, 2)
+        thresholds = [0, t2, max(t2, rng.randint(0, 3))]
+        m = train_kn(sents, order=3, prune_thresholds=thresholds)
+        ref = RefLM(m)
+        vocab = [w for (w,) in m.grams[1] if w != BOS]
+        for ctx in ([BOS], [rng.choice(words)], [rng.choice(words), rng.choice(words)]):
+            nc = [w if (w,) in m.grams[1] else "<unk>" for w in ctx]
+            total = sum(10 ** ref.score_word(nc, w) for w in vocab)
+            assert abs(total - 1.0) < 1e-6, (trial, ctx, total, thresholds)
