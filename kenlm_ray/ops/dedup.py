@@ -398,16 +398,29 @@ def minhash_lsh_pairs(
         idb = t["id_b"].to_numpy(zero_copy_only=False)
         which = t["which"].to_numpy(zero_copy_only=False)
         order = np.lexsort((which, idb, ida))
-        t2 = t.take(pa.array(order))
+        ka, kb, wh = ida[order], idb[order], which[order]
+        # every pair should contribute exactly two halves (which 0 then 1);
+        # verify by run detection instead of assuming — a stray odd row
+        # would otherwise misalign every later pair silently
+        new = np.ones(len(ka), dtype=bool)
+        new[1:] = (ka[1:] != ka[:-1]) | (kb[1:] != kb[:-1])
+        starts = np.flatnonzero(new)
+        lens = np.diff(np.append(starts, len(ka)))
+        good = starts[(lens == 2)]
+        good = good[(wh[good] == 0) & (wh[good + 1] == 1)]
+        if not len(good):
+            return empty
+        take_idx = np.empty(2 * len(good), dtype=np.int64)
+        take_idx[0::2] = good
+        take_idx[1::2] = good + 1
+        t2 = t.take(pa.array(order[take_idx]))
         sa = _sig_matrix(t2["sig"], num_perm)
         est = (sa[0::2] == sa[1::2]).mean(axis=1)
         keep = est >= jaccard_threshold
-        ida2 = ida[order][0::2]
-        idb2 = idb[order][0::2]
         return pa.table(
             {
-                "id_a": pa.array(ida2[keep]),
-                "id_b": pa.array(idb2[keep]),
+                "id_a": pa.array(ka[good][keep]),
+                "id_b": pa.array(kb[good][keep]),
                 "est_jaccard": pa.array(est[keep], type=pa.float64()),
             }
         )
