@@ -138,6 +138,12 @@ def cmd_interpolate(args) -> int:
         print("tuned lambdas:", " ".join(f"{x:.6f}" for x in lam))
     elif args.weights:
         lam = [float(x) for x in args.weights.split(",")]
+        if len(lam) != len(models):
+            raise SystemExit(
+                f"--weights has {len(lam)} entries for {len(models)} models"
+            )
+        if abs(sum(lam) - 1.0) > 1e-9:
+            raise SystemExit(f"--weights must sum to 1 (got {sum(lam)})")
     else:
         lam = [1.0 / len(models)] * len(models)
     merged = interpolate_models(models, lam)

@@ -111,12 +111,7 @@ class _MergedSoFar:
         self.packed.order = max(self.packed.order, n)
 
     def _keys(self, ids: np.ndarray) -> np.ndarray:
-        from kenlm_ray.functions.hashing import ngram_hash_step
-
-        h = np.zeros(len(ids), dtype=np.uint64)
-        for j in range(ids.shape[1]):
-            h = ngram_hash_step(h, ids[:, j].astype(np.uint64))
-        return h
+        return _pack_key(ids)
 
 
 def interpolate_distributed(
@@ -333,7 +328,7 @@ def to_arpa_model(tables: dict, order: int) -> ArpaModel:
         t = tables.get(n)
         if t is None:
             break
-        df = t.to_pandas() if hasattr(t, "to_pandas") else t.to_pandas()
+        df = t.to_pandas()
         grams = {}
         wc = _wcols(n)
         for _, r in df.iterrows():

@@ -65,7 +65,13 @@ def exact_dedup(
     order_cols = order_cols or [id_col]
 
     def add_hash(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
         h = sha256_column(batch[text_col])
+        # null content hashes to a fixed 64-char non-hex sentinel: all
+        # null rows form one dedup group (like the old groupby-on-hash
+        # path) and the fixed-width matrix view below stays aligned
+        h = pc.fill_null(h, "!" * 64)
         # hex digest = 64 bytes -> view as 8 uint64 words for partitioning
         # and vectorized grouping
         hm = _sig_matrix(h, 8)
@@ -583,8 +589,11 @@ def simhash_near_dup_pairs(
     The 64-bit fingerprint is split into ``max_hamming + 1`` bands; two
     fingerprints within the distance bound MUST agree on at least one
     whole band (pigeonhole), so banded exact-match candidate generation
-    has recall 1 — unlike MinHash-LSH this path is exact, not
-    probabilistic.  Shape: fingerprint map -> narrow (band-key, id, fp)
+    has recall 1 for buckets up to ``max_bucket`` — unlike MinHash-LSH
+    this path is exact, not probabilistic.  Buckets beyond ``max_bucket``
+    degrade to a star around the min id (connected-component coverage,
+    not all pairs), so mass-boilerplate clusters trade per-pair recall
+    for bounded work — raise ``max_bucket`` to restore exactness there.  Shape: fingerprint map -> narrow (band-key, id, fp)
     rows -> coarse-partition groupby -> vectorized within-run pairs ->
     dedupe -> exact popcount verify.  Only (8B key, 8B fp, id) rows
     shuffle."""

@@ -128,10 +128,16 @@ def compute_heuristics(
     is_alpha = ((view >= 65) & (view <= 90)) | ((view >= 97) & (view <= 122))
     is_nl = view == 10
     if total:
-        idx = np.minimum(seg_starts, total - 1)
+        # trailing empty docs have seg_start == total, which reduceat
+        # cannot take (and clamping would steal the previous doc's final
+        # byte) — run reduceat only over in-range starts and scatter back
+        in_range = seg_starts < total
+        idx = seg_starts[in_range]
+        alpha = np.zeros(n, dtype=np.int64)
+        nls = np.zeros(n, dtype=np.int64)
         # bool view as uint8 + int64 accumulator (np.add on bool is OR)
-        alpha = np.add.reduceat(is_alpha.view(np.uint8), idx, dtype=np.int64)
-        nls = np.add.reduceat(is_nl.view(np.uint8), idx, dtype=np.int64)
+        alpha[in_range] = np.add.reduceat(is_alpha.view(np.uint8), idx, dtype=np.int64)
+        nls[in_range] = np.add.reduceat(is_nl.view(np.uint8), idx, dtype=np.int64)
         # reduceat quirk: an empty segment (empty doc) returns the element
         # AT the index instead of 0 — zero those out
         empty_doc = doc_len == 0

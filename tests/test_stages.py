@@ -81,3 +81,37 @@ def test_sha256_is_of_original():
     out = scrub_stage(pa.table({"content": ["email bob@x.io"]}))
     assert out["content_sha256"].to_pylist()[0] == hashlib.sha256(b"email bob@x.io").hexdigest()
     assert out["content_scrubbed"].to_pylist()[0] == "email <EMAIL>"
+
+
+def test_heuristics_trailing_empty_docs():
+    """Regression: a batch ending in empty documents must not steal the
+    previous document's final byte from the reduceat segment sums."""
+    import numpy as np
+    import pyarrow as pa
+
+    from kenlm_ray.oracle import heuristics_doc
+    from kenlm_ray.stages.heuristics import compute_heuristics
+
+    texts = ["abc", "", "ab\ncd\n", "", "", "xyz", ""]
+    got = compute_heuristics(pa.array(texts))
+    for i, t in enumerate(texts):
+        o = heuristics_doc(t)
+        for k in ("n_bytes", "n_lines", "alpha_ratio", "max_line_len"):
+            assert np.isclose(got[k][i], o[k]), (i, repr(t), k)
+    assert got["alpha_ratio"][0] == 1.0
+
+
+def test_exact_dedup_null_text(ray_session):
+    """Regression: null content rows dedupe as one group instead of
+    crashing the fixed-width hash matrix."""
+    import ray.data
+
+    from kenlm_ray.ops.dedup import exact_dedup
+
+    docs = [
+        {"doc_id": 1, "text": "real"},
+        {"doc_id": 5, "text": None},
+        {"doc_id": 3, "text": None},
+    ]
+    out = exact_dedup(ray.data.from_items(docs)).to_pandas().sort_values("doc_id")
+    assert list(out["doc_id"]) == [1, 3]
