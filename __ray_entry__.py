@@ -345,7 +345,10 @@ def _q_mkn_pruned_bigram(sf_dir):
 def _q_phrase_filter(sf_dir):
     """Phrase-mode model filter (lm/filter/phrase.cc agreement NFA):
     keep trigrams covered by phrases of a single held-out sentence —
-    phrase table = the first 200 documents' first lines."""
+    phrase table = the first 200 documents' first lines (capped at 8
+    tokens: the Substrings index is O(length^2) pieces per phrase, and
+    the broadcast dictionary should stay small like the reference's
+    in-RAM table)."""
     import pyarrow.parquet as pq
 
     from kenlm_ray.ops.model_filter import (
@@ -359,7 +362,7 @@ def _q_phrase_filter(sf_dir):
     ).sort_by("doc_id").slice(0, 200)
     sentences = []
     for t in head["text"].to_pylist():
-        first = (t or "").split("\n", 1)[0].split()
+        first = (t or "").split("\n", 1)[0].split()[:8]
         if first:
             sentences.append([first])  # one phrase per sentence
     table = phrase_table_from_sentences(sentences)

@@ -144,6 +144,12 @@ def run_queries() -> dict[str, float]:
         "knn_cosine_top10",
         "minhash_near_dup_pairs",
         "simhash_fingerprints",
+        "simhash_near_dup_pairs",
+        "bpe_token_counts",
+        "lsh_index_knn_top10",
+        "ivf_knn_top10",
+        "mkn_pruned_bigram",
+        "phrase_filter_trigrams",
         "ppl_score",
         "langid",
     ]

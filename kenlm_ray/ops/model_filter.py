@@ -176,10 +176,12 @@ class PhraseSubstrings:
         self.left: dict[tuple, set] = {}
         self.right: dict[tuple, set] = {}
         self.phrase: dict[tuple, set] = {}
+        self.words: set = set()  # every word of every phrase (prefilter)
 
     def add_phrase(self, sentence_id: int, words: "list[str]") -> None:
         # mirror of Substrings::AddPhrase (phrase.hh:62-78)
         n = len(words)
+        self.words.update(words)
         for start in range(n):
             for finish in range(start, n):
                 piece = tuple(words[start : finish + 1])
@@ -274,15 +276,19 @@ def phrase_filter(
         wcols = _word_cols(batch)
         if context and len(wcols) > 1:
             wcols = wcols[:-1]
-        cols = [batch[c].to_pylist() for c in wcols]
-        mask = np.fromiter(
-            (
-                _phrase_match(tb, tuple(col[i] for col in cols))
-                for i in range(len(batch))
-            ),
-            count=len(batch),
-            dtype=bool,
-        )
+        # vectorized prefilter: a gram containing ANY word outside the
+        # phrase table's vocabulary cannot be covered by any segmentation
+        # — only the survivors pay the per-row agreement DP
+        vocab = np.array(sorted(tb.words), dtype=object)
+        cand = np.ones(len(batch), dtype=bool)
+        for c in wcols:
+            w = batch[c].to_numpy(zero_copy_only=False)
+            cand &= np.isin(w, vocab)
+        mask = np.zeros(len(batch), dtype=bool)
+        if cand.any():
+            cols = [batch[c].to_pylist() for c in wcols]
+            for i in np.flatnonzero(cand):
+                mask[i] = _phrase_match(tb, tuple(col[i] for col in cols))
         return batch.filter(pa.array(mask))
 
     return model.map_batches(keep, batch_format="pyarrow")
