@@ -122,7 +122,10 @@ def interpolate_tuned(
 def interpolate_models(
     models: "list[ArpaModel]", weights: "list[float]"
 ) -> ArpaModel:
-    assert len(models) == len(weights) and abs(sum(weights) - 1.0) < 1e-9
+    if len(models) != len(weights):
+        raise ValueError(f"{len(weights)} weights for {len(models)} models")
+    if abs(sum(weights) - 1.0) > 1e-9:
+        raise ValueError(f"weights must sum to 1 (got {sum(weights)})")
     refs = [RefLM(m) for m in models]
     order = max(m.order for m in models)
 

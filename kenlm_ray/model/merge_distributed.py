@@ -20,6 +20,12 @@ Semantics are identical to the driver-side
 :func:`kenlm_ray.model.interpolate.interpolate_models` (λ-mix through
 each model's own backoff, union vocab renormalization at order 1,
 γ(c) = (1−Σ_seen p)/(1−Σ_seen p_lower)); the equality is pytest-gated.
+
+Input models are assumed SUFFIX-CLOSED (every n-gram's (n-1)-suffix
+present) — true of KN-estimated models (ours and lmplz's).  SRI-pruned
+models with suffix holes would diverge from the driver oracle: the
+per-model packed walk passes through hallucinated blanks while RefLM
+longest-matches, and the merged-so-far tables carry no blanks.
 """
 
 from __future__ import annotations
@@ -127,7 +133,10 @@ def interpolate_distributed(
     For test-scale inputs the union tables come straight from the
     ArpaModels; at scale the caller feeds model-buffer parquet Datasets
     into the same per-order loop."""
-    assert len(models) == len(weights) and abs(sum(weights) - 1.0) < 1e-9
+    if len(models) != len(weights):
+        raise ValueError(f"{len(weights)} weights for {len(models)} models")
+    if abs(sum(weights) - 1.0) > 1e-9:
+        raise ValueError(f"weights must sum to 1 (got {sum(weights)})")
     order = max(m.order for m in models)
     packed = [pack_model(m, quant_bits=None, backoff_bits=None) for m in models]
     packed_refs = [ray.put(p) for p in packed]
@@ -164,7 +173,10 @@ def interpolate_distributed(
         if union is None:
             break
         union = (
-            union.groupby(keys).aggregate(Count(alias_name="__c")).drop_columns(["__c"])
+            union.repartition(num_partitions)
+            .groupby(keys)
+            .aggregate(Count(alias_name="__c"))
+            .drop_columns(["__c"])
         )
 
         merged_ref = ray.put(merged.packed)
@@ -260,22 +272,22 @@ def interpolate_distributed(
     )
     out_tables[1] = pa.Table.from_pylist(uni_rows)
 
+    merged_final_ref = ray.put(merged.packed)
     for n in range(2, order + 1):
         if n not in probs_ds:
             break
         keys = _wcols(n)
         gnext = gammas.get(n + 1)
         if gnext is not None:
-            gk = np.argsort(
-                _pack_key(gnext["ids"]), kind="stable"
-            )
-            g_keys = _pack_key(gnext["ids"])[gk]
+            raw_keys = _pack_key(gnext["ids"])
+            gk = np.argsort(raw_keys, kind="stable")
+            g_keys = raw_keys[gk]
             g_vals = gnext["gamma"][gk]
         else:
             g_keys = np.empty(0, dtype=np.uint64)
             g_vals = np.empty(0, dtype=np.float64)
         g_ref = ray.put((g_keys, g_vals))
-        merged_ref2 = ray.put(merged.packed)
+        merged_ref2 = merged_final_ref
 
         def finalize(
             batch: pa.Table,

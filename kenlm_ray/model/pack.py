@@ -346,17 +346,18 @@ def _insert_blanks(
 
 
 def pack_model(
-    arpa: ArpaModel, *, quant_bits: int | None = None, backoff_bits: int | None = None
+    arpa: ArpaModel, *, quant_bits: "int | None" = None, backoff_bits: "int | None" = 8
 ) -> PackedModel:
     """ARPA -> PackedModel.
 
     ``quant_bits`` / ``backoff_bits``: quantize prob / backoff of orders >= 2
-    to 2^bits equal-frequency bins (default: backoff quantized to 8 bits per
-    the north star "quantized backoff weights", probs kept float32 — pass
-    explicit values to change).
+    to 2^bits equal-frequency bins.  Default: backoff quantized to 8 bits
+    (the north star's "quantized backoff weights"), probs kept float32.
+    ``None`` disables quantization for that family (exact float32) — it
+    previously coerced back to 8 bits, silently quantizing callers that
+    asked for exact tables (only observable once a model has > 256
+    distinct backoff values).
     """
-    if backoff_bits is None:
-        backoff_bits = 8
     unigrams = arpa.grams.get(1, {})
     has_unk = (UNK,) in unigrams
     # vocab: specials first, then remaining unigram words ordered by hash

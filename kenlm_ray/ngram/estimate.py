@@ -110,13 +110,12 @@ def build_vocab(
 
     def partial(batch: pa.Table) -> pa.Table:
         stream = tokenize_column(batch[text_col])
-        if stream.n_tokens == 0:
-            return pa.table(
-                {"w": pa.array([], type=pa.string()), "c": pa.array([], type=pa.int64())}
-            )
+        # empty batches flow through the same group_by so every block has
+        # the post-aggregate schema ("c_sum") — a mixed ("c" vs "c_sum")
+        # schema kills the downstream aggregate
         t = pa.table(
             {
-                "w": stream.to_arrow(),
+                "w": stream.to_arrow() if stream.n_tokens else pa.array([], type=pa.string()),
                 "c": pa.array(np.ones(stream.n_tokens, dtype=np.int64)),
             }
         )
@@ -189,8 +188,7 @@ def raw_counts(
     def partial(batch: pa.Table) -> pa.Table:
         v = ray.get(vocab_ref)
         t = _padded_window_ids(batch, n, v, text_col)
-        if len(t) == 0:
-            return t.append_column("c", pa.array([], type=pa.int64()))
+        # empty blocks go through the same group_by -> uniform "c_sum" schema
         t = t.append_column("c", pa.array(np.ones(len(t), dtype=np.int64)))
         return t.group_by(keys).aggregate([("c", "sum")])
 
@@ -371,7 +369,9 @@ def initial_probs(
 
     rows = adj_n.map_batches(with_disc, batch_format="pyarrow")
     if not ctx:
-        # unigram: single context — driver-side reduce
+        # unigram: single context — driver-side reduce.  materialize so
+        # the reduce and the prob map don't re-run with_disc twice
+        rows = rows.materialize()
         agg = rows.map_batches(
             lambda t: pa.table(
                 {
@@ -678,7 +678,10 @@ def estimate_mkn(
         if wid == BOS_ID:
             continue
         prob = math.log10(max(interp1[j], 1e-12))
-        bo = g2_of(int(wid))
+        # the reference never writes a backoff for grams ending in <unk>
+        # (lm/builder/interpolate.cc:101-127 "Not a context" -> 1.0); the
+        # oracle hardcodes 0.0 the same way
+        bo = None if wid == UNK_ID else g2_of(int(wid))
         uni_rows.append(
             {
                 "w1": vocab.words[int(wid)],

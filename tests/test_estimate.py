@@ -155,3 +155,25 @@ def test_limit_vocab_pruning(ray_session):
     assert "d" not in words
     for g in dist.grams[2]:
         assert "d" not in g, g
+
+
+def test_min_count_parity(ray_session):
+    """Regression (review finding): with a vocabulary cutoff, <unk>
+    absorbs rare words and gains bigram contexts — the distributed
+    estimator and the oracle must still agree exactly, including the
+    <unk> unigram backoff (the reference writes NO backoff for grams
+    ending in <unk>, lm/builder/interpolate.cc:101-127)."""
+    import ray.data
+
+    lines = CORPUS_LINES + ["rare1 b c", "a rare2", "rare1 rare2 d"]
+    ds = ray.data.from_items([{"text": ln} for ln in lines])
+    result = estimate_mkn(ds, order=3, num_partitions=4, min_count=2)
+    dist = to_arpa_model(result, 3)
+    orc = train_kn([ln.split() for ln in lines], order=3, vocab_min_count=2)
+    assert dist.counts == orc.counts
+    for n in (1, 2, 3):
+        assert set(dist.grams[n]) == set(orc.grams[n]), n
+        for g, (p, b) in orc.grams[n].items():
+            dp, db = dist.grams[n][g]
+            assert np.isclose(dp, p, rtol=1e-8, atol=1e-9), (n, g, dp, p)
+            assert np.isclose(db, b, rtol=1e-8, atol=1e-9), (n, g, db, b)

@@ -128,3 +128,29 @@ def test_distributed_interpolation_matches_driver(ray_session):
             dp, db = got.grams[n][g]
             assert np.isclose(dp, p, rtol=1e-4, atol=1e-4), (n, g, dp, p)
             assert np.isclose(db, b, rtol=1e-4, atol=1e-4), (n, g, db, b)
+
+
+def test_distributed_interpolation_large_backoff_space(ray_session):
+    """Regression (review finding): with > 256 distinct backoff values,
+    pack_model(backoff_bits=None) used to coerce back to 8-bit bins and
+    the distributed merge silently diverged from the oracle.  Larger
+    models now stay within float32 tolerance."""
+    from kenlm_ray.model.merge_distributed import (
+        interpolate_distributed,
+        to_arpa_model,
+    )
+    from kenlm_ray.testing import random_arpa
+
+    # random backoffs -> far more than 256 distinct values per table
+    ma = random_arpa(order=3, seed=31, vocab_size=60, bigram_frac=0.35)
+    mb = random_arpa(order=3, seed=32, vocab_size=60, bigram_frac=0.35)
+    assert len({b for (_, b) in ma.grams[2].values()}) > 256  # regime check
+    ref = interpolate_models([ma, mb], [0.6, 0.4])
+    got = to_arpa_model(interpolate_distributed([ma, mb], [0.6, 0.4]), 3)
+    worst = 0.0
+    for n in (1, 2, 3):
+        assert set(got.grams[n]) == set(ref.grams[n]), n
+        for g, (p, b) in ref.grams[n].items():
+            dp, db = got.grams[n][g]
+            worst = max(worst, abs(dp - p), abs(db - b))
+    assert worst < 5e-4, worst
