@@ -264,6 +264,12 @@ def _q_minhash_pairs(sf_dir):
     return minhash_lsh_pairs(_documents(sf_dir), jaccard_threshold=0.7)
 
 
+def _q_jaccard_pairs(sf_dir):
+    from kenlm_ray.ops.dedup import jaccard_near_dup_pairs
+
+    return jaccard_near_dup_pairs(_documents(sf_dir), tau=0.5)
+
+
 def _q_simhash(sf_dir):
     from kenlm_ray.ops.dedup import simhash_column
 
@@ -448,6 +454,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_near_dup": _q_embedding_near_dup,
         "sliding_window_counts": _q_sliding_windows,
         "user_sessions": _q_user_sessions,
+        "jaccard_near_dup_pairs": _q_jaccard_pairs,
         # rows-only checks (stateful / model-driven, not SQL-expressible)
         "quality_filter_flagship": _q_quality_filter,
         "repo_quality_stats": _q_repo_stats,
@@ -631,6 +638,31 @@ def oracle_sql() -> dict[str, str]:
                    max(sid)::BIGINT AS n_sessions,
                    max(cnt)::BIGINT AS longest_session_events
             FROM c GROUP BY user_id
+        """,
+        "jaccard_near_dup_pairs": """
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(text, '[\\t\\n\\r ]+'),
+                                 x -> x <> '') AS ts
+              FROM documents
+            ), sh AS (
+              SELECT DISTINCT doc_id,
+                     ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS s
+              FROM toks, UNNEST(generate_series(1, len(ts)-2)) AS g(i)
+              WHERE len(ts) >= 3
+            ), cnt AS (
+              SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+            ), inter AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ints
+              FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY a.doc_id, b.doc_id
+            )
+            SELECT id_a, id_b,
+                   round(ints / (ca.n + cb.n - ints), 6) AS jaccard
+            FROM inter
+            JOIN cnt ca ON ca.doc_id = id_a
+            JOIN cnt cb ON cb.doc_id = id_b
+            WHERE ints / (ca.n + cb.n - ints) >= 0.5
         """,
         "embedding_near_dup": """
             SELECT a.vec_id::BIGINT AS id_a, b.vec_id::BIGINT AS id_b,

@@ -574,6 +574,143 @@ def ngram_jaccard_pairs(
     return ray.data.from_pandas(pd.DataFrame(rows))
 
 
+def jaccard_near_dup_pairs(
+    ds: "ray.data.Dataset",
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    tau: float = 0.5,
+    max_df: "int | None" = None,
+    num_partitions: int = 64,
+) -> "ray.data.Dataset":
+    """EXACT n-gram-Jaccard near-duplicate pairs, fully distributed.
+
+    Unlike :func:`minhash_lsh_pairs` (probabilistic recall) this computes
+    the true Jaccard similarity of every document pair that shares at
+    least one distinct word ``shingle_n``-gram, via the inverted-index
+    shape (the dedup analog of the reference's n-gram combine shuffle,
+    /root/reference/lm/builder/combine_counts.hh):
+
+    1. map: per doc, DISTINCT shingle hashes -> narrow
+       ``(shingle u64, id, n_shingles)`` rows (never raw text);
+    2. coarse groupby(shingle % P) -> run detection -> within-run pair
+       rows carrying both docs' shingle counts;
+    3. groupby(pair) count = |A∩B|; jaccard = inter/(|A|+|B|-inter),
+       filter ``>= tau``.
+
+    Exactness costs O(df²) pair rows per shingle.  ``max_df`` (default
+    None = exact) caps that for web scale: shingles occurring in more
+    than ``max_df`` docs contribute no intersection rows (per-doc counts
+    keep them), so the reported jaccard becomes a LOWER BOUND — recall
+    loss only, never a spurious pair.  Leave None when an exact answer
+    is required and the corpus is deduped enough that no shingle is hot.
+
+    Returns ``(id_a, id_b, jaccard)`` with ``id_a < id_b``, jaccard
+    rounded to 6 places.
+    """
+    P = num_partitions
+
+    def to_shingles(batch: pa.Table) -> pa.Table:
+        doc, sh, n_docs = _shingle_hashes(batch, text_col, shingle_n)
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(sh) == 0:
+            return pa.table(
+                {
+                    "shingle": pa.array([], type=pa.uint64()),
+                    id_col: pa.array([], type=pa.int64()),
+                    "n_sh": pa.array([], type=pa.int64()),
+                    "__pb": pa.array([], type=pa.int64()),
+                }
+            )
+        # distinct shingles per doc (set semantics)
+        order = np.lexsort((sh, doc))
+        d_s, s_s = doc[order], sh[order]
+        keep = np.empty(len(d_s), dtype=bool)
+        keep[0] = True
+        keep[1:] = (d_s[1:] != d_s[:-1]) | (s_s[1:] != s_s[:-1])
+        d_u, s_u = d_s[keep], s_s[keep]
+        cnt = np.bincount(d_u, minlength=n_docs).astype(np.int64)
+        return pa.table(
+            {
+                "shingle": pa.array(s_u),
+                id_col: pa.array(ids[d_u]),
+                "n_sh": pa.array(cnt[d_u]),
+                "__pb": pa.array((s_u % np.uint64(P)).astype(np.int64)),
+            }
+        )
+
+    def part_pairs(t: pa.Table) -> pa.Table:
+        """One coarse partition: sort by shingle, emit all within-run
+        (id_a < id_b) pairs with both docs' shingle counts."""
+        empty = pa.table(
+            {
+                "id_a": pa.array([], type=pa.int64()),
+                "id_b": pa.array([], type=pa.int64()),
+                "ca": pa.array([], type=pa.int64()),
+                "cb": pa.array([], type=pa.int64()),
+            }
+        )
+        if len(t) < 2:
+            return empty
+        sh = t["shingle"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        cnt = t["n_sh"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((ids, sh))
+        sh, ids, cnt = sh[order], ids[order], cnt[order]
+        starts = np.flatnonzero(np.concatenate([[True], sh[1:] != sh[:-1]]))
+        lens = np.diff(np.append(starts, len(sh)))
+        ia, ib, ca, cb = [], [], [], []
+        for s, L in zip(starts[lens >= 2], lens[lens >= 2]):
+            L = int(L)
+            if max_df is not None and L > max_df:
+                continue
+            r, c = np.triu_indices(L, k=1)
+            ia.append(ids[s + r])
+            ib.append(ids[s + c])
+            ca.append(cnt[s + r])
+            cb.append(cnt[s + c])
+        if not ia:
+            return empty
+        return pa.table(
+            {
+                "id_a": pa.array(np.concatenate(ia)),
+                "id_b": pa.array(np.concatenate(ib)),
+                "ca": pa.array(np.concatenate(ca)),
+                "cb": pa.array(np.concatenate(cb)),
+            }
+        )
+
+    def finish(t: pa.Table) -> pa.Table:
+        inter = t["inter"].to_numpy(zero_copy_only=False).astype(np.float64)
+        ca = t["ca"].to_numpy(zero_copy_only=False).astype(np.float64)
+        cb = t["cb"].to_numpy(zero_copy_only=False).astype(np.float64)
+        union = ca + cb - inter
+        j = np.where(union > 0, inter / np.maximum(union, 1.0), 0.0)
+        sel = j >= tau
+        return pa.table(
+            {
+                "id_a": t["id_a"].filter(pa.array(sel)),
+                "id_b": t["id_b"].filter(pa.array(sel)),
+                "jaccard": pa.array(np.round(j[sel], 6)),
+            }
+        )
+
+    pairs = (
+        ds.map_batches(to_shingles, batch_format="pyarrow")
+        .groupby("__pb")
+        .map_groups(part_pairs, batch_format="pyarrow")
+        .groupby(["id_a", "id_b"])
+        .aggregate(
+            Count(alias_name="inter"),
+            Min("ca", alias_name="ca"),
+            Min("cb", alias_name="cb"),
+        )
+        .map_batches(finish, batch_format="pyarrow")
+    )
+    return pairs
+
+
 def simhash_near_dup_pairs(
     ds: "ray.data.Dataset",
     *,

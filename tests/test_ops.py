@@ -519,3 +519,74 @@ def test_ivf_knn(ray_session, tmp_path):
     # small probe: the query's own vector (cos 1.0) lives in the top list
     small = ivf_knn(idx, q, k=5, nprobe=2).to_pandas()
     assert small.iloc[0]["vec_id"] == 3 and small.iloc[0]["cos_sim"] == 1.0
+
+
+def test_jaccard_near_dup_exact(ray_session):
+    """jaccard_near_dup_pairs == brute-force set Jaccard on every pair."""
+    import itertools
+
+    import ray.data
+
+    from kenlm_ray.ops.dedup import jaccard_near_dup_pairs
+
+    rng = __import__("random").Random(7)
+    vocab = [f"w{i}" for i in range(40)]
+    docs = []
+    for d in range(12):
+        toks = [vocab[rng.randrange(len(vocab))] for _ in range(60)]
+        docs.append({"doc_id": d, "text": " ".join(toks)})
+    # planted near-dup
+    near = docs[0]["text"].split()
+    near[10] = "CHANGED"
+    docs.append({"doc_id": 12, "text": " ".join(near)})
+    docs.append({"doc_id": 13, "text": "a b"})  # < shingle_n tokens
+
+    def shingles(text, n=3):
+        t = text.split()
+        return {" ".join(t[i : i + n]) for i in range(len(t) - n + 1)}
+
+    expect = {}
+    for a, b in itertools.combinations(range(len(docs)), 2):
+        sa, sb = shingles(docs[a]["text"]), shingles(docs[b]["text"])
+        inter = len(sa & sb)
+        if inter == 0:
+            continue  # pairs sharing no shingle are never emitted
+        j = inter / (len(sa) + len(sb) - inter)
+        if j >= 0.05:
+            expect[(a, b)] = round(j, 6)
+
+    got = jaccard_near_dup_pairs(
+        ray.data.from_items(docs), tau=0.05
+    ).to_pandas()
+    got_map = {
+        (int(r.id_a), int(r.id_b)): round(float(r.jaccard), 6)
+        for r in got.itertuples()
+    }
+    assert got_map == expect
+    # planted near-dup is the top pair
+    top = max(got_map, key=got_map.get)
+    assert top == (0, 12) and got_map[top] > 0.9
+
+
+def test_jaccard_max_df_lower_bound(ray_session):
+    """With max_df set, reported jaccard never exceeds the exact value."""
+    import ray.data
+
+    from kenlm_ray.ops.dedup import jaccard_near_dup_pairs
+
+    # one hot shingle ("x y z") in every doc + doc-specific tails
+    docs = [
+        {"doc_id": d, "text": "x y z " + " ".join(f"t{d}_{i}" for i in range(10))}
+        for d in range(6)
+    ]
+    exact = jaccard_near_dup_pairs(
+        ray.data.from_items(docs), tau=0.0
+    ).to_pandas()
+    capped = jaccard_near_dup_pairs(
+        ray.data.from_items(docs), tau=0.0, max_df=3
+    ).to_pandas()
+    ex = {(int(r.id_a), int(r.id_b)): float(r.jaccard) for r in exact.itertuples()}
+    cp = {(int(r.id_a), int(r.id_b)): float(r.jaccard) for r in capped.itertuples()}
+    assert set(cp) <= set(ex)
+    for k, v in cp.items():
+        assert v <= ex[k] + 1e-9
