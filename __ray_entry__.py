@@ -264,6 +264,26 @@ def _q_minhash_pairs(sf_dir):
     return minhash_lsh_pairs(_documents(sf_dir), jaccard_threshold=0.7)
 
 
+def _q_asof_attribution(sf_dir):
+    from kenlm_ray.ops.asof import purchase_click_attribution
+
+    return purchase_click_attribution(sf_dir)
+
+
+def _q_quantity_quantiles(sf_dir):
+    from kenlm_ray.ops.analytics import quantity_quantiles
+
+    return _round_cols(
+        quantity_quantiles(sf_dir), {"p50": 6, "p90": 6, "p99": 6}
+    )
+
+
+def _q_supplier_distinct_parts(sf_dir):
+    from kenlm_ray.ops.analytics import supplier_distinct_parts
+
+    return supplier_distinct_parts(sf_dir)
+
+
 def _q_jaccard_pairs(sf_dir):
     from kenlm_ray.ops.dedup import jaccard_near_dup_pairs
 
@@ -455,6 +475,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sliding_window_counts": _q_sliding_windows,
         "user_sessions": _q_user_sessions,
         "jaccard_near_dup_pairs": _q_jaccard_pairs,
+        "purchase_click_attribution": _q_asof_attribution,
+        "quantity_quantiles": _q_quantity_quantiles,
+        "supplier_distinct_parts": _q_supplier_distinct_parts,
         # rows-only checks (stateful / model-driven, not SQL-expressible)
         "quality_filter_flagship": _q_quality_filter,
         "repo_quality_stats": _q_repo_stats,
@@ -638,6 +661,30 @@ def oracle_sql() -> dict[str, str]:
                    max(sid)::BIGINT AS n_sessions,
                    max(cnt)::BIGINT AS longest_session_events
             FROM c GROUP BY user_id
+        """,
+        "purchase_click_attribution": """
+            WITH p AS (
+              SELECT event_id, user_id, ts FROM events
+              WHERE event_type = 'purchase'
+            ), c AS (
+              SELECT user_id, ts, max(event_id) AS click_event_id
+              FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+            )
+            SELECT p.event_id, c.click_event_id,
+                   ((epoch_us(p.ts) - epoch_us(c.ts)) // 1000000)::BIGINT AS gap_s
+            FROM p ASOF JOIN c
+              ON p.user_id = c.user_id AND p.ts >= c.ts
+        """,
+        "quantity_quantiles": """
+            SELECT l_returnflag,
+                   round(quantile_cont(l_quantity, 0.5), 6)  AS p50,
+                   round(quantile_cont(l_quantity, 0.9), 6)  AS p90,
+                   round(quantile_cont(l_quantity, 0.99), 6) AS p99
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "supplier_distinct_parts": """
+            SELECT l_suppkey, count(DISTINCT l_partkey)::BIGINT AS n_parts
+            FROM lineitem GROUP BY l_suppkey
         """,
         "jaccard_near_dup_pairs": """
             WITH toks AS (

@@ -269,3 +269,86 @@ def events_hourly(sf_dir: str) -> "ray.data.Dataset":
             Sum("n_sum", alias_name="n_events"),
         )
     )
+
+
+def quantity_quantiles(sf_dir: str) -> "ray.data.Dataset":
+    """EXACT grouped quantiles via the value-histogram shape.
+
+    A distributed exact quantile over a low-cardinality value column
+    never ships rows: per-batch (group, value) partial counts -> one
+    small groupby -> per-group interpolation identical to DuckDB/numpy
+    ``quantile_cont`` (h = (n-1)q, linear between floor/ceil).  This is
+    the scale path whenever values are discrete (quantities, ratings,
+    sizes, token counts); continuous columns would instead bucket or
+    t-digest (approximate, so not offered as an oracle-checked op).
+    """
+    ds = read(sf_dir, "lineitem", columns=["l_returnflag", "l_quantity"])
+    QS = (0.5, 0.9, 0.99)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "l_returnflag": batch["l_returnflag"],
+                "q": batch["l_quantity"],
+                "n": pa.array(np.ones(len(batch), dtype=np.int64)),
+            }
+        )
+        return t.group_by(["l_returnflag", "q"]).aggregate([("n", "sum")])
+
+    hist = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["l_returnflag", "q"])
+        .aggregate(Sum("n_sum", alias_name="n"))
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table(
+                {
+                    "l_returnflag": pa.array([], type=pa.string()),
+                    **{f"p{int(q * 100)}": pa.array([], type=pa.float64()) for q in QS},
+                }
+            )
+        v = t["q"].to_numpy(zero_copy_only=False).astype(np.float64)
+        n = t["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(v)
+        v, n = v[order], n[order]
+        cum = np.cumsum(n)
+        total = int(cum[-1])
+
+        def value_at(i: np.ndarray) -> np.ndarray:
+            # i = 0-based index into the expanded sorted multiset
+            return v[np.searchsorted(cum, i, side="right")]
+
+        out = {"l_returnflag": [t["l_returnflag"][0].as_py()]}
+        for q in QS:
+            h = (total - 1) * q
+            lo, hi = np.floor(h), np.ceil(h)
+            vl = value_at(np.array([lo], dtype=np.int64))[0]
+            vh = value_at(np.array([hi], dtype=np.int64))[0]
+            out[f"p{int(q * 100)}"] = [vl + (h - lo) * (vh - vl)]
+        return pa.table(out)
+
+    return hist.groupby("l_returnflag").map_groups(finish, batch_format="pyarrow")
+
+
+def supplier_distinct_parts(sf_dir: str) -> "ray.data.Dataset":
+    """Exact COUNT(DISTINCT) via the two-level groupby shape: per-batch
+    distinct (suppkey, partkey) -> global distinct -> count per suppkey.
+    The partial distinct bounds shuffle rows at |distinct pairs|, not
+    |lineitem| — the same partial-then-final rule every aggregate here
+    follows (SURVEY.md §7.4)."""
+    ds = read(sf_dir, "lineitem", columns=["l_suppkey", "l_partkey"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({"l_suppkey": batch["l_suppkey"], "l_partkey": batch["l_partkey"]})
+        return t.group_by(["l_suppkey", "l_partkey"]).aggregate([])
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["l_suppkey", "l_partkey"])
+        .aggregate(Count(alias_name="__c"))
+        .drop_columns(["__c"])
+        .groupby("l_suppkey")
+        .aggregate(Count(alias_name="n_parts"))
+    )

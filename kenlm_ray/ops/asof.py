@@ -1,0 +1,188 @@
+"""As-of (nearest-predecessor) join — a custom operator Ray Data lacks.
+
+For each left row, find the single right row with the same ``by`` key and
+the greatest ``on`` value <= the left row's ``on`` (direction="backward";
+"forward" = smallest >= ).  The classic use is event attribution: join
+each purchase to the user's most recent prior click.
+
+Shape: both sides are projected to narrow tables, tagged, unioned, and
+hash-shuffled ONCE on coarse ``by % P`` partitions (not one group per
+key); inside each partition one vectorized lexsort by (key, on, side)
+plus a ``searchsorted`` over right-row POSITIONS does the merge — if the
+nearest preceding right row in (key, on) order shares the left row's
+key, it is exactly the as-of match; if it has a different key, no match
+exists.  No full-dataset sort, no driver materialization.
+
+Partitioning assumption (documented per SURVEY §2.10): all rows of one
+``by`` key must fit in one partition's memory — the same per-key
+assumption the reference's stream chains make for context blocks
+(/root/reference/lm/builder/ngram_stream.hh).  Keys are users/devices/
+sessions in practice, far smaller than a block.  Ties on ``on`` within
+the right side resolve by input order (the internal sort is stable);
+dedupe the right side per (by, on) beforehand when determinism matters.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data
+
+
+def asof_join(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    *,
+    by: str,
+    on: str,
+    direction: str = "backward",
+    left_cols: "list[str]",
+    right_cols: "list[str]",
+    right_suffix: str = "_right",
+    num_partitions: int = 64,
+) -> "ray.data.Dataset":
+    """Inner as-of join.  Output columns: ``left_cols`` then, for each of
+    ``right_cols``, the matched right value — renamed with
+    ``right_suffix`` when the name collides with a left column (``on``
+    always becomes ``on + right_suffix``).  Left rows with no match are
+    dropped (inner semantics, like DuckDB ``ASOF JOIN``)."""
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    P = num_partitions
+    l_extra = [c for c in left_cols if c not in (by, on)]
+    r_extra = [c for c in right_cols if c not in (by, on)]
+    def _arrow_types(schema, cols):
+        base = schema.base_schema
+        if isinstance(base, pa.Schema):
+            return {c: base.field(c).type for c in cols}
+        # pandas-block dataset: numpy dtypes -> arrow types
+        by_name = dict(zip(schema.names, schema.types))
+        return {
+            c: (t if isinstance(t, pa.DataType) else pa.from_numpy_dtype(t))
+            for c, t in ((c, by_name[c]) for c in cols)
+        }
+
+    l_types = _arrow_types(left.schema(), l_extra)
+    r_types = _arrow_types(right.schema(), r_extra)
+
+    def tag(side: int):
+        def f(batch: pa.Table) -> pa.Table:
+            n = len(batch)
+            cols = {by: batch[by], on: batch[on]}
+            for c in l_extra:
+                cols["l_" + c] = (
+                    batch[c] if side == 1 else pa.nulls(n, type=l_types[c])
+                )
+            for c in r_extra:
+                cols["r_" + c] = (
+                    batch[c] if side == 0 else pa.nulls(n, type=r_types[c])
+                )
+            t = pa.table(cols)
+            k = t[by].to_numpy(zero_copy_only=False).astype(np.int64)
+            return t.append_column(
+                "__side", pa.array(np.full(n, side, dtype=np.int8))
+            ).append_column("__pb", pa.array((k % P).astype(np.int64)))
+
+        return f
+
+    lt = left.map_batches(tag(1), batch_format="pyarrow")
+    rt = right.map_batches(tag(0), batch_format="pyarrow")
+    out_right = [(c, c + right_suffix if c in left_cols else c) for c in r_extra]
+    on_right = on + right_suffix
+
+    def merge(t: pa.Table) -> pa.Table:
+        side = t["__side"].to_numpy(zero_copy_only=False)
+        key = t[by].to_numpy(zero_copy_only=False).astype(np.int64)
+        onv = t[on].to_numpy(zero_copy_only=False)
+        is_l = side == 1
+
+        def build(lsel: np.ndarray, rsel: np.ndarray) -> pa.Table:
+            cols: dict = {}
+            for c in left_cols:
+                src = t[by] if c == by else (t[on] if c == on else t["l_" + c])
+                cols[c] = src.take(pa.array(lsel))
+            for c, out_name in out_right:
+                cols[out_name] = t["r_" + c].take(pa.array(rsel))
+            cols[on_right] = t[on].take(pa.array(rsel))
+            return pa.table(cols)
+
+        none = np.empty(0, dtype=np.int64)
+        if not is_l.any() or is_l.all():
+            return build(none, none)
+        # one stable sort: (key, on, side) — for "backward" right rows
+        # sort BEFORE left rows at equal (key, on) so an equal-on right
+        # row is a valid predecessor; "forward" flips that
+        side_key = side if direction == "backward" else -side
+        order = np.lexsort((side_key, onv, key))
+        skey = key[order]
+        s_isl = is_l[order]
+        lpos = np.flatnonzero(s_isl)
+        rpos = np.flatnonzero(~s_isl)
+        if direction == "backward":
+            j = np.searchsorted(rpos, lpos) - 1
+            ok = j >= 0
+        else:
+            j = np.searchsorted(rpos, lpos)
+            ok = j < len(rpos)
+        cand = rpos[np.clip(j, 0, len(rpos) - 1)]
+        # nearest right row (position-wise) has the same key  <=>  an
+        # as-of match exists, and this row is it
+        ok &= skey[cand] == skey[lpos]
+        return build(order[lpos[ok]], order[cand[ok]])
+
+    return (
+        lt.union(rt)
+        .groupby("__pb")
+        .map_groups(merge, batch_format="pyarrow")
+    )
+
+
+def purchase_click_attribution(sf_dir: str) -> "ray.data.Dataset":
+    """Each purchase event joined to the user's most recent prior (or
+    simultaneous) click: (event_id, click_event_id, gap_s).  The DuckDB
+    twin is an ``ASOF JOIN`` (see ``__ray_entry__.oracle_sql``)."""
+    import os
+
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Max
+
+    ev = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "user_id", "event_type", "ts"],
+    )
+    purchases = ev.filter(expr="event_type == 'purchase'").drop_columns(
+        ["event_type"]
+    )
+    # dedupe clicks to one row per (user, ts): max event_id — keeps the
+    # as-of tie-break deterministic on both engines
+    clicks = (
+        ev.filter(expr="event_type == 'click'")
+        .groupby(["user_id", "ts"])
+        .aggregate(Max("event_id", alias_name="click_event_id"))
+    )
+    joined = asof_join(
+        purchases,
+        clicks,
+        by="user_id",
+        on="ts",
+        direction="backward",
+        left_cols=["event_id", "user_id", "ts"],
+        right_cols=["user_id", "ts", "click_event_id"],
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        gap = pc.divide(
+            pc.cast(pc.subtract(t["ts"], t["ts_right"]), pa.int64()),
+            pa.scalar(1_000_000, pa.int64()),
+        )
+        return pa.table(
+            {
+                "event_id": t["event_id"],
+                "click_event_id": t["click_event_id"],
+                "gap_s": pc.cast(gap, pa.int64()),
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pyarrow")

@@ -590,3 +590,99 @@ def test_jaccard_max_df_lower_bound(ray_session):
     assert set(cp) <= set(ex)
     for k, v in cp.items():
         assert v <= ex[k] + 1e-9
+
+
+def test_asof_join_directions(ray_session):
+    import ray.data
+
+    from kenlm_ray.ops.asof import asof_join
+
+    L = ray.data.from_items(
+        [
+            {"k": 1, "t": 5, "lv": 10},
+            {"k": 1, "t": 11, "lv": 20},
+            {"k": 2, "t": 3, "lv": 30},   # key with no right rows
+        ]
+    )
+    R = ray.data.from_items(
+        [
+            {"k": 1, "t": 5, "rv": 100},  # equal-on match
+            {"k": 1, "t": 9, "rv": 200},
+            {"k": 3, "t": 1, "rv": 300},  # right-only key
+        ]
+    )
+    bwd = (
+        asof_join(L, R, by="k", on="t", direction="backward",
+                  left_cols=["k", "t", "lv"], right_cols=["t", "rv"])
+        .to_pandas().sort_values("t").reset_index(drop=True)
+    )
+    assert bwd[["k", "t", "rv", "t_right"]].values.tolist() == [
+        [1, 5, 100, 5],   # equal on counts as predecessor
+        [1, 11, 200, 9],
+    ]
+    fwd = (
+        asof_join(L, R, by="k", on="t", direction="forward",
+                  left_cols=["k", "t", "lv"], right_cols=["t", "rv"])
+        .to_pandas().sort_values("t").reset_index(drop=True)
+    )
+    assert fwd[["k", "t", "rv", "t_right"]].values.tolist() == [[1, 5, 100, 5]]
+
+
+def test_asof_matches_pandas_merge_asof(ray_session):
+    """Randomized parity vs pandas.merge_asof (backward, by-key)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from kenlm_ray.ops.asof import asof_join
+
+    rng = np.random.default_rng(11)
+    left = pd.DataFrame(
+        {
+            "k": rng.integers(0, 8, 200),
+            "t": rng.integers(0, 1000, 200),
+            "lv": np.arange(200),
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "k": rng.integers(0, 8, 150),
+            "t": rng.integers(0, 1000, 150),
+            "rv": np.arange(150),
+        }
+    )
+    # merge_asof needs unique (k, t) on the right for determinism
+    right = right.drop_duplicates(["k", "t"]).reset_index(drop=True)
+    exp = pd.merge_asof(
+        left.sort_values("t", kind="stable"),
+        right.sort_values("t", kind="stable"),
+        on="t", by="k", direction="backward", suffixes=("", "_right"),
+    ).dropna(subset=["rv"])
+    got = (
+        asof_join(
+            ray.data.from_pandas(left), ray.data.from_pandas(right),
+            by="k", on="t", direction="backward",
+            left_cols=["k", "t", "lv"], right_cols=["rv"],
+        )
+        .to_pandas()
+    )
+    exp_s = exp[["k", "t", "lv", "rv"]].astype(int).sort_values(["k", "t", "lv"]).reset_index(drop=True)
+    got_s = got[["k", "t", "lv", "rv"]].astype(int).sort_values(["k", "t", "lv"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got_s, exp_s)
+
+
+def test_quantity_quantiles_matches_numpy(ray_session):
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from kenlm_ray.ops.analytics import quantity_quantiles
+
+    sf = "/root/testdata/sf0.001"
+    got = quantity_quantiles(sf).to_pandas().set_index("l_returnflag")
+    t = pq.read_table(
+        f"{sf}/lineitem.parquet", columns=["l_returnflag", "l_quantity"]
+    ).to_pandas()
+    for flag, grp in t.groupby("l_returnflag"):
+        v = grp["l_quantity"].to_numpy()
+        for q, col in [(0.5, "p50"), (0.9, "p90"), (0.99, "p99")]:
+            assert abs(got.loc[flag, col] - np.quantile(v, q)) < 1e-9
