@@ -39,6 +39,16 @@ def cmd_pack(args) -> int:
     from kenlm_ray.model.pack import pack_model
 
     arpa = parse_arpa(args.arpa)
+    if args.kenlm_binary or args.out.endswith(".binary"):
+        # export the reference's mmap format (build_binary equivalent,
+        # probing layout) — loadable by kpu/kenlm itself
+        from kenlm_ray.model.kenlm_binary import write_kenlm_binary
+
+        out = write_kenlm_binary(
+            arpa, args.out, probing_multiplier=args.probing_multiplier
+        )
+        print(f"kenlm binary order={arpa.order} -> {out}")
+        return 0
     packed = pack_model(
         arpa,
         quant_bits=args.quant_bits,
@@ -56,7 +66,12 @@ def cmd_query(args) -> int:
     from kenlm_ray.model.pack import PackedModel
     from kenlm_ray.model.scorer import VectorLM
 
-    lm = VectorLM(PackedModel.load(args.model))
+    from kenlm_ray.model.kenlm_binary import is_kenlm_binary, read_kenlm_binary
+
+    if is_kenlm_binary(args.model):
+        lm = VectorLM(read_kenlm_binary(args.model))
+    else:
+        lm = VectorLM(PackedModel.load(args.model))
     text = args.text if args.text is not None else sys.stdin.read()
     from kenlm_ray.functions.tokenize import tokenize_texts
 
@@ -216,6 +231,12 @@ def main(argv=None) -> int:
     sp.add_argument("out")
     sp.add_argument("--quant-bits", type=int, default=None)
     sp.add_argument("--backoff-bits", type=int, default=8)
+    sp.add_argument(
+        "--kenlm-binary",
+        action="store_true",
+        help="write the reference's mmap .binary (probing) instead of .npz",
+    )
+    sp.add_argument("--probing-multiplier", type=float, default=1.5)
     sp.set_defaults(fn=cmd_pack)
 
     sq = sub.add_parser("query")

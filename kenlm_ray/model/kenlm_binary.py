@@ -1,0 +1,500 @@
+"""Read/write the reference's mmap ``.binary`` format (PROBING layout).
+
+This is the missing interop piece: a user with models built by the
+reference's ``build_binary`` can load them here unchanged, and models
+trained here export to a ``.binary`` the reference loads.  Everything is
+transcribed from the reference sources (cited per element):
+
+File layout (64-bit, PROBING model_type=0, search_version=0):
+
+  Sanity header, 88 bytes         binary_format.cc:46-63
+    magic[56] = "mmap lm http://kheafield.com/code format version 5\\n\\0"
+                zero-padded to ALIGN8(53)=56
+    float 0.0, 1.0, -0.5; uint32 1, 0xffffffff, 0(pad); uint64 1
+  FixedWidthParameters, 20 bytes  binary_format.hh:27-35 (natural C align)
+    uint8 order, pad[3], float32 probing_multiplier, int32 model_type,
+    uint8 has_vocabulary, pad[3], uint32 search_version
+  uint64 counts[order]            binary_format.cc:70-80
+  (whole header padded to ALIGN8)  binary_format.cc:65-67
+  Vocab region                    vocab.cc:231-244
+    { uint32 version=0, uint32 bound }   vocab.cc:222-226, ALIGN8(8)=8
+    probing table of 12-byte {uint64 murmur64a(word,0), uint32 id}
+    entries (pack(4), vocab.hh:136-153); buckets =
+    max(counts[0]+1, float32(multiplier)*float32(counts[0]))
+    (probing_hash_table.hh:108-111, DivMod identity rounding);
+    linear probing, ideal slot = key % buckets, empty slot key = 0
+  Search region                   search_hashed.cc:206-221
+    unigram: (counts[0]+1) x {float32 prob, float32 backoff}
+             (search_hashed.hh:156-158, +1 hallucinates <unk>)
+    for n in 2..order-1: probing table of 16-byte
+             {uint64 key, float32 prob, float32 backoff} (value.hh:77-83)
+    longest: probing table of 12-byte {uint64 key, float32 prob}
+             (search_hashed.hh:32-39)
+  Vocab strings (if has_vocabulary): "<unk>\\0" + each word "\\0"
+    in id order               vocab.cc:251-256, vocab.hh:219-229
+
+Semantics transcribed:
+  - word ids: <unk>/<UNK> -> 0 (never inserted in the table), all other
+    unigrams numbered 1.. in ARPA order (vocab.cc:258-269)
+  - n-gram keys: CombineWordHash chain over word ids starting from the
+    LAST word's raw id and folding leftwards (search_hashed.cc:184-186,
+    search_hashed.hh:25-28) — note the chain seed is the raw id, unlike
+    this repo's own PackedModel chain which seeds from 0
+  - prob sign bit = "does not extend left": set at insert
+    (search_hashed.cc:189), unset on the right-aligned (n-1)-suffix of
+    every n-gram (FindLower/MarkExtends, search_hashed.cc:58-78,
+    value_build.hh:26-29); readers recover prob as -|stored|
+    (GenericProbingProxy::Prob, value.hh:24-29)
+  - backoff ±0.0 sentinel: zero backoffs stored as -0.0 (read_arpa.cc:
+    112-121), flipped to +0.0 when the entry is the CONTEXT (prefix) of
+    a longer n-gram (ActivateUnigram/ActivateLowerMiddle,
+    search_hashed.cc:25-55; blank.hh:22-29)
+  - pruned-suffix holes: missing right-aligned suffixes are hallucinated
+    with backoff-estimated pseudo probabilities (FindLower FindOrInsert +
+    AdjustLower, search_hashed.cc:58-137)
+  - missing <unk>: unigram[0] = {-100.0, +0.0} (model.cc:121-126,
+    config.cc:15)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from kenlm_ray.functions.hashing import hash_bytes_array, murmur64
+from kenlm_ray.model.arpa import ArpaModel
+from kenlm_ray.model.pack import OrderTable, PackedModel
+
+MAGIC = b"mmap lm http://kheafield.com/code format version 5\n\x00"
+MAGIC_FIELD = 56  # ALIGN8(sizeof(kMagicBytes)=53)
+SANITY_SIZE = 88
+FIXED_SIZE = 20
+PROBING_MODEL_TYPE = 0
+SEARCH_VERSION = 0
+VOCAB_HEADER_SIZE = 8  # ALIGN8({uint32 version, uint32 bound}) == 8
+PROBING_VOCAB_VERSION = 0  # vocab.cc:218
+UNK_LOG10 = -100.0  # config.cc:15 unknown_missing_logprob
+
+K_UNK_HASH = murmur64(b"<unk>")
+K_UNK_CAP_HASH = murmur64(b"<UNK>")
+
+VOCAB_ENTRY = np.dtype([("key", "<u8"), ("id", "<u4")])        # 12 B, pack(4)
+MIDDLE_ENTRY = np.dtype([("key", "<u8"), ("prob", "<f4"), ("backoff", "<f4")])
+LONGEST_ENTRY = np.dtype([("key", "<u8"), ("prob", "<f4")])
+
+_NGRAM_MULT = np.uint64(8978948897894561157)
+_WORD_MULT = np.uint64(17894857484156487943)
+
+
+def _align8(n: int) -> int:
+    return ((n - 1) // 8 + 1) * 8
+
+
+def _header_size(order: int) -> int:
+    return _align8(SANITY_SIZE + FIXED_SIZE + 8 * order)
+
+
+def _buckets(entries: int, multiplier: float) -> int:
+    """max(entries+1, uint64(float32(multiplier) * float32(entries))) —
+    probing_hash_table.hh:108-110 with DivMod identity rounding; the
+    product is computed in float32 exactly as the C++ float math does."""
+    scaled = int(np.float32(multiplier) * np.float32(entries))
+    return max(entries + 1, scaled)
+
+
+def _combine(h, wid):
+    """CombineWordHash (search_hashed.hh:25-28), elementwise."""
+    with np.errstate(over="ignore"):
+        return (h * _NGRAM_MULT) ^ (
+            (np.uint64(1) + np.asarray(wid, dtype=np.uint64)) * _WORD_MULT
+        )
+
+
+def _set_sign(p: np.ndarray) -> np.ndarray:
+    """util::SetSign — force the sign bit on (+0.0 becomes -0.0)."""
+    return -np.abs(p)
+
+
+class _Table:
+    """Insertion-ordered mutable n-gram table; serialized with the exact
+    sequential linear-probe placement the reference's UncheckedInsert
+    produces (probing_hash_table.hh:146-152, 222-229)."""
+
+    def __init__(self) -> None:
+        self.keys: list[int] = []
+        self.prob: list[float] = []
+        self.backoff: list[float] = []
+        self.index: dict[int, int] = {}
+
+    def insert(self, key: int, prob: float, backoff: float) -> int:
+        i = len(self.keys)
+        self.keys.append(key)
+        self.prob.append(prob)
+        self.backoff.append(backoff)
+        self.index[key] = i
+        return i
+
+    def find(self, key: int) -> "int | None":
+        return self.index.get(key)
+
+
+def _place(keys: np.ndarray, buckets: int) -> np.ndarray:
+    """Sequential linear-probe slot assignment (insertion order matters:
+    later keys skip slots taken by earlier ones)."""
+    slots = np.full(buckets, -1, dtype=np.int64)
+    out = np.empty(len(keys), dtype=np.int64)
+    ideal = (keys % np.uint64(buckets)).astype(np.int64)
+    for i in range(len(keys)):
+        s = ideal[i]
+        while slots[s] != -1:
+            s += 1
+            if s == buckets:
+                s = 0
+        slots[s] = i
+        out[i] = s
+    return out
+
+
+def write_kenlm_binary(
+    arpa: ArpaModel,
+    path: str,
+    *,
+    probing_multiplier: float = 1.5,
+    include_vocab: bool = True,
+) -> str:
+    """ArpaModel -> reference-format PROBING ``.binary`` file."""
+    order = arpa.order
+    if order < 2:
+        raise ValueError("probing binary needs order >= 2 (model.cc:100)")
+    counts = [len(arpa.grams.get(n, {})) for n in range(1, order + 1)]
+
+    # ---- vocab ids in ARPA order (vocab.cc:258-269) ----------------------
+    uni_items = list(arpa.grams[1].items())  # ((word,), (prob, backoff))
+    words = [w for (w,), _ in uni_items]
+    hashes = hash_bytes_array(words)
+    ids = np.empty(len(words), dtype=np.uint32)
+    saw_unk = False
+    bound = 1
+    vocab_entries: list[tuple[int, int]] = []  # (hash, id) insertion order
+    for i, h in enumerate(hashes):
+        if h == K_UNK_HASH or h == K_UNK_CAP_HASH:
+            ids[i] = 0
+            saw_unk = True
+        else:
+            ids[i] = bound
+            vocab_entries.append((int(h), bound))
+            bound += 1
+
+    # ---- unigram weights (read_arpa.hh:44-60; zero backoff -> -0.0) ------
+    uni_prob = np.zeros(counts[0] + 1, dtype=np.float32)
+    uni_backoff = np.zeros(counts[0] + 1, dtype=np.float32)
+    for i, ((_,), (p, b)) in enumerate(uni_items):
+        wid = ids[i]
+        uni_prob[wid] = min(p, 0.0)
+        uni_backoff[wid] = np.float32(-0.0) if b == 0.0 else np.float32(b)
+    if not saw_unk:
+        uni_prob[0] = UNK_LOG10  # model.cc:121-126
+        uni_backoff[0] = 0.0
+
+    word_by_id = {int(ids[i]): words[i] for i in range(len(words))}
+    wid_of = {words[i]: int(ids[i]) for i in range(len(words))}
+
+    # ---- n-gram tables with sign/extension semantics ---------------------
+    tables: dict[int, _Table] = {n: _Table() for n in range(2, order + 1)}
+
+    def uni_unset_sign(wid: int) -> None:
+        uni_prob[wid] = abs(uni_prob[wid])
+
+    def uni_set_extension(wid: int) -> None:
+        b = uni_backoff[wid]
+        if b == 0.0 and np.signbit(b):
+            uni_backoff[wid] = np.float32(0.0)
+
+    def tab_set_extension(t: _Table, idx: int) -> None:
+        b = t.backoff[idx]
+        if b == 0.0 and np.signbit(np.float32(b)):
+            t.backoff[idx] = 0.0
+
+    for n in range(2, order + 1):
+        grams = arpa.grams.get(n, {})
+        t = tables[n]
+        is_longest = n == order
+        for ws, (p, b) in grams.items():
+            vocab_ids = []  # reversed: [wn, wn-1, ..., w1]
+            for w in reversed(ws):
+                j = wid_of.get(w)
+                if j is None:
+                    if w in ("<unk>", "<UNK>"):
+                        j = 0
+                    else:
+                        raise ValueError(
+                            f"n-gram word {w!r} not in unigrams (read_arpa.hh:83)"
+                        )
+                vocab_ids.append(j)
+            # keys chain: raw id of last word, fold leftwards
+            keys = [np.uint64(vocab_ids[0])]
+            for h_i in range(1, n):
+                keys.append(_combine(keys[-1], vocab_ids[h_i]))
+            entry_key = int(keys[-1])
+            prob_stored = float(_set_sign(np.float32(min(p, 0.0))))
+            if is_longest:
+                if b != 0.0:
+                    raise ValueError(
+                        "non-zero backoff on top order (read_arpa.cc:93-99)"
+                    )
+                bo_stored = 0.0
+            else:
+                bo_stored = -0.0 if b == 0.0 else float(np.float32(b))
+            t.insert(entry_key, prob_stored, bo_stored)
+            _mark_lower(n, vocab_ids, keys, tables, uni_prob, uni_backoff,
+                        uni_unset_sign, tab_set_extension)
+            # activation: SetExtension on the PREFIX (w1..wn-1)
+            if n == 2:
+                uni_set_extension(vocab_ids[1])
+            else:
+                pk = np.uint64(vocab_ids[1])
+                for i2 in range(2, n):
+                    pk = _combine(pk, vocab_ids[i2])
+                pidx = tables[n - 1].find(int(pk))
+                if pidx is None:
+                    raise ValueError(
+                        f"context of a {n}-gram missing as a {n-1}-gram "
+                        "(search_hashed.cc:37)"
+                    )
+                tab_set_extension(tables[n - 1], pidx)
+
+    # ---- serialize -------------------------------------------------------
+    m = probing_multiplier
+    header = bytearray(_header_size(order))
+    header[0:len(MAGIC)] = MAGIC
+    import struct
+
+    struct.pack_into("<fff", header, MAGIC_FIELD, 0.0, 1.0, -0.5)
+    struct.pack_into("<IIIQ", header, MAGIC_FIELD + 12, 1, 0xFFFFFFFF, 0, 1)
+    struct.pack_into("<B3xfi?3xI", header, SANITY_SIZE, order,
+                     np.float32(m), PROBING_MODEL_TYPE, include_vocab,
+                     SEARCH_VERSION)
+    for i, c in enumerate(counts):
+        struct.pack_into("<Q", header, SANITY_SIZE + FIXED_SIZE + 8 * i, c)
+
+    vb = _buckets(counts[0], m)
+    vocab_region = np.zeros(vb, dtype=VOCAB_ENTRY)
+    ve_keys = np.array([k for k, _ in vocab_entries], dtype=np.uint64)
+    ve_slots = _place(ve_keys, vb)
+    vocab_region["key"][ve_slots] = ve_keys
+    vocab_region["id"][ve_slots] = np.array(
+        [v for _, v in vocab_entries], dtype=np.uint32
+    )
+    vocab_hdr = struct.pack("<II", PROBING_VOCAB_VERSION, bound)
+
+    parts = [bytes(header), vocab_hdr, vocab_region.tobytes()]
+    uni_arr = np.zeros(counts[0] + 1, dtype=np.dtype([("prob", "<f4"), ("backoff", "<f4")]))
+    uni_arr["prob"] = uni_prob
+    uni_arr["backoff"] = uni_backoff
+    parts.append(uni_arr.tobytes())
+    for n in range(2, order + 1):
+        t = tables[n]
+        nb = _buckets(counts[n - 1], m)
+        if len(t.keys) >= nb:
+            raise ValueError(
+                f"order-{n} probing table overflow ({len(t.keys)} entries, "
+                f"{nb} buckets) — raise probing_multiplier "
+                "(search_hashed.cc:288)"
+            )
+        dt = LONGEST_ENTRY if n == order else MIDDLE_ENTRY
+        region = np.zeros(nb, dtype=dt)
+        tk = np.array(t.keys, dtype=np.uint64)
+        slots = _place(tk, nb)
+        region["key"][slots] = tk
+        region["prob"][slots] = np.array(t.prob, dtype=np.float32)
+        if n != order:
+            region["backoff"][slots] = np.array(t.backoff, dtype=np.float32)
+        parts.append(region.tobytes())
+    if include_vocab:
+        blob = b"<unk>\x00" + b"".join(
+            word_by_id[i].encode("utf-8") + b"\x00" for i in range(1, bound)
+        )
+        parts.append(blob)
+    with open(path, "wb") as f:
+        for p in parts:
+            f.write(p)
+    return path
+
+
+def _mark_lower(n, vocab_ids, keys, tables, uni_prob, uni_backoff,
+                uni_unset_sign, tab_set_extension) -> None:
+    """FindLower + AdjustLower (search_hashed.cc:58-137): mark the
+    right-aligned suffix as extending left, hallucinating pruned holes
+    with backoff-estimated pseudo probabilities."""
+    between: list[tuple[int, int]] = []  # (order, index); order 1 -> (1, wid)
+    found_at = None
+    for k in range(n - 1, 1, -1):  # suffix order n-1 .. 2
+        t = tables[k]
+        key = int(keys[k - 1])
+        idx = t.find(key)
+        if idx is not None:
+            between.append((k, idx))
+            found_at = k
+            break
+        # FindOrInsert blank: backoff=kNoExtensionBackoff, prob set below
+        idx = t.insert(key, 0.0, -0.0)
+        between.append((k, idx))
+    if found_at is None:
+        between.append((1, vocab_ids[0]))
+
+    if len(between) == 1:
+        k, idx = between[0]
+        if k == 1:
+            uni_unset_sign(idx)
+        else:
+            t = tables[k]
+            t.prob[idx] = abs(t.prob[idx])
+        return
+
+    # AdjustLower: pseudo probabilities for the inserted blanks
+    bk, bidx = between[-1]
+    base_prob = -abs(uni_prob[bidx] if bk == 1 else tables[bk].prob[bidx])
+    prob = float(base_prob)
+    basis = n - len(between)
+    change = len(between) - 2  # skip the basis (deepest, found) entry
+    if basis == 1:
+        wid = vocab_ids[1]
+        uni_backoff_val = uni_backoff[wid]
+        # SetExtension on the unigram backoff (search_hashed.cc:104-105)
+        if uni_backoff_val == 0.0 and np.signbit(uni_backoff_val):
+            uni_backoff[wid] = np.float32(0.0)
+        prob += float(uni_backoff[wid])
+        ck, cidx = between[change]
+        tables[ck].prob[cidx] = prob
+        basis = 2
+        change -= 1
+    backoff_hash = np.uint64(vocab_ids[1])
+    for i in range(2, basis + 1):
+        backoff_hash = _combine(backoff_hash, vocab_ids[i])
+    while basis < n - 1:
+        t = tables[basis]
+        gidx = t.find(int(backoff_hash))
+        if gidx is not None:
+            tab_set_extension(t, gidx)
+            prob += t.backoff[gidx]
+        ck, cidx = between[change]
+        tables[ck].prob[cidx] = prob
+        backoff_hash = _combine(backoff_hash, vocab_ids[basis + 1])
+        basis += 1
+        change -= 1
+
+    # MarkExtends down the chain (search_hashed.cc:128-136)
+    for k, idx in between:
+        if k == 1:
+            uni_unset_sign(idx)
+        else:
+            t = tables[k]
+            t.prob[idx] = abs(t.prob[idx])
+
+
+def is_kenlm_binary(path: str) -> bool:
+    with open(path, "rb") as f:
+        head = f.read(len(MAGIC))
+    return head == MAGIC
+
+
+def read_kenlm_binary(path: str) -> PackedModel:
+    """Load a reference-built PROBING ``.binary`` into a PackedModel
+    scored by VectorLM (key_scheme='kenlm': chain seeded with the raw
+    word id, matching search_hashed.cc:184-186)."""
+    import struct
+
+    raw = np.memmap(path, dtype=np.uint8, mode="r")
+    buf = raw[: SANITY_SIZE + FIXED_SIZE].tobytes()
+    if buf[: len(MAGIC)] != MAGIC:
+        raise ValueError("not a kenlm v5 binary (binary_format.cc:21-22)")
+    zf, of, mh = struct.unpack_from("<fff", buf, MAGIC_FIELD)
+    if (zf, of, mh) != (0.0, 1.0, -0.5):
+        raise ValueError("sanity float check failed (binary_format.cc:46-63)")
+    order, mult, model_type, has_vocab, search_version = struct.unpack_from(
+        "<B3xfi?3xI", buf, SANITY_SIZE
+    )
+    if model_type != PROBING_MODEL_TYPE:
+        raise ValueError(
+            f"model_type {model_type} is not PROBING; only the probing "
+            "layout is supported here (binary_format.cc:18)"
+        )
+    if search_version != SEARCH_VERSION:
+        raise ValueError(f"search_version {search_version} != {SEARCH_VERSION}")
+    counts = np.frombuffer(
+        raw[SANITY_SIZE + FIXED_SIZE : SANITY_SIZE + FIXED_SIZE + 8 * order].tobytes(),
+        dtype="<u8",
+    ).astype(np.int64)
+    off = _header_size(order)
+
+    version, bound = struct.unpack_from(
+        "<II", raw[off : off + VOCAB_HEADER_SIZE].tobytes()
+    )
+    if version != PROBING_VOCAB_VERSION:
+        raise ValueError(f"probing vocab version {version} (vocab.cc:279)")
+    off += VOCAB_HEADER_SIZE
+    vb = _buckets(int(counts[0]), mult)
+    ventries = np.frombuffer(raw[off : off + vb * 12].tobytes(), dtype=VOCAB_ENTRY)
+    off += vb * 12
+    live = ventries["key"] != 0
+    vh = ventries["key"][live]
+    vi = ventries["id"][live]
+    vorder = np.argsort(vh, kind="stable")
+    vocab_hashes = vh[vorder]
+    vocab_ids = vi[vorder].astype(np.uint32)
+
+    nuni = int(counts[0]) + 1
+    uni = np.frombuffer(
+        raw[off : off + nuni * 8].tobytes(),
+        dtype=np.dtype([("prob", "<f4"), ("backoff", "<f4")]),
+    )
+    off += nuni * 8
+    V = int(bound)
+    uni_prob = -np.abs(uni["prob"][:V])  # Prob() forces sign on, value.hh:24-29
+    uni_backoff = uni["backoff"][:V].copy()
+
+    tables: dict[int, OrderTable] = {}
+    for n in range(2, order + 1):
+        nb = _buckets(int(counts[n - 1]), mult)
+        dt = LONGEST_ENTRY if n == order else MIDDLE_ENTRY
+        ent = np.frombuffer(raw[off : off + nb * dt.itemsize].tobytes(), dtype=dt)
+        off += nb * dt.itemsize
+        live = ent["key"] != 0
+        k = ent["key"][live]
+        p = -np.abs(ent["prob"][live])
+        bo = None if n == order else ent["backoff"][live].copy()
+        o = np.argsort(k, kind="stable")
+        tables[n] = OrderTable(
+            keys=k[o],
+            prob=p[o],
+            backoff=bo[o] if bo is not None else None,
+        )
+        tables[n].build_probing()
+
+    words = [""] * V
+    if has_vocab:
+        blob = raw[off:].tobytes()
+        parts = blob.split(b"\x00")
+        for i in range(min(V, len(parts))):
+            words[i] = parts[i].decode("utf-8", errors="replace")
+
+    def _find_id(word: str) -> int:
+        h = murmur64(word.encode())
+        i = np.searchsorted(vocab_hashes, np.uint64(h))
+        if i < len(vocab_hashes) and vocab_hashes[i] == np.uint64(h):
+            return int(vocab_ids[i])
+        return 0
+
+    model = PackedModel(
+        order=int(order),
+        words=words,
+        vocab_hashes=vocab_hashes,
+        vocab_ids=vocab_ids,
+        uni_prob=uni_prob.astype(np.float32),
+        uni_backoff=uni_backoff.astype(np.float32),
+        tables=tables,
+        has_unk=True,
+        key_scheme="kenlm",
+        bos_id=_find_id("<s>"),
+        eos_id=_find_id("</s>"),
+    )
+    return model

@@ -183,6 +183,14 @@ class PackedModel:
     uni_backoff: np.ndarray  # float32 [V]
     tables: dict[int, OrderTable] = field(default_factory=dict)  # n >= 2
     has_unk: bool = True
+    # n-gram key chain seed: "repo" = ngram_hash_step(0, w) (this repo's
+    # native packing); "kenlm" = raw word id (the reference binary format,
+    # /root/reference/lm/search_hashed.cc:184).  Special-token ids are
+    # fixed (<unk>=0,<s>=1,</s>=2) for repo models but follow ARPA order
+    # in kenlm binaries, so they are instance fields here.
+    key_scheme: str = "repo"
+    bos_id: int = BOS_ID
+    eos_id: int = EOS_ID
 
     @property
     def vocab_size(self) -> int:
@@ -233,7 +241,16 @@ class PackedModel:
 
     def _save(self, path) -> None:
         arrays: dict[str, np.ndarray] = {
-            "meta": np.array([self.order, int(self.has_unk)], dtype=np.int64),
+            "meta": np.array(
+                [
+                    self.order,
+                    int(self.has_unk),
+                    int(self.key_scheme == "kenlm"),
+                    self.bos_id,
+                    self.eos_id,
+                ],
+                dtype=np.int64,
+            ),
             "words": np.array(self.words, dtype=object),
             "vocab_hashes": self.vocab_hashes,
             "vocab_ids": self.vocab_ids,
@@ -255,7 +272,12 @@ class PackedModel:
     def load(cls, path_or_bytes: "str | bytes") -> "PackedModel":
         src = io.BytesIO(path_or_bytes) if isinstance(path_or_bytes, bytes) else path_or_bytes
         z = np.load(src, allow_pickle=True)
-        order, has_unk = (int(x) for x in z["meta"])
+        meta = [int(x) for x in z["meta"]]
+        order, has_unk = meta[0], meta[1]
+        # older files carry a 2-element meta: repo scheme, fixed specials
+        kenlm_scheme = bool(meta[2]) if len(meta) > 2 else False
+        bos_id = meta[3] if len(meta) > 3 else BOS_ID
+        eos_id = meta[4] if len(meta) > 4 else EOS_ID
         m = cls(
             order=order,
             words=list(z["words"]),
@@ -264,6 +286,9 @@ class PackedModel:
             uni_prob=z["uni_prob"],
             uni_backoff=z["uni_backoff"],
             has_unk=bool(has_unk),
+            key_scheme="kenlm" if kenlm_scheme else "repo",
+            bos_id=bos_id,
+            eos_id=eos_id,
         )
         for n in range(2, order + 1):
             if f"k{n}" not in z:

@@ -56,7 +56,11 @@ class VectorLM:
         hashes = stream.hashes()
         ids = self.model.word_ids(hashes)
         # disallowed-symbol guard: literal <s>/</s>/<unk> become <unk>
-        bad = (ids == BOS_ID) | (ids == EOS_ID)
+        # (ids are instance fields: kenlm binaries number specials by
+        # ARPA position, not the repo's fixed 1/2)
+        bad = (ids == np.uint32(self.model.bos_id)) | (
+            ids == np.uint32(self.model.eos_id)
+        )
         ids = np.where(bad, np.uint32(UNK_ID), ids)
         oov = ids == UNK_ID
         return ids, oov
@@ -101,9 +105,9 @@ class VectorLM:
         ext_start[1:] = np.cumsum(ext_counts)[:-1]
         ext = np.empty(E, dtype=np.uint32)
         if bos:
-            ext[ext_start] = np.uint32(BOS_ID)
+            ext[ext_start] = np.uint32(m.bos_id)
         if eos:
-            ext[ext_start + ext_counts - 1] = np.uint32(EOS_ID)
+            ext[ext_start + ext_counts - 1] = np.uint32(m.eos_id)
         # token positions: ext_start[sent] + bos + rank_within_sentence
         tok_start = np.zeros(S, dtype=np.int64)
         tok_start[1:] = np.cumsum(counts)[:-1]
@@ -140,10 +144,26 @@ class VectorLM:
             prev_bo = m.uni_backoff[exl]  # float32, backoff of (n-1)-grams
             bo_sum = np.zeros(L, dtype=np.float64)
             match = np.ones(L, dtype=np.uint8)
-            h = ngram_hash_step(np.zeros(L, dtype=np.uint64), exl)
+            # key chains differ by packing.  repo: fold FORWARD from a
+            # zero-seeded step on the oldest word (h[i] = chain ending at
+            # i, extended rightward each order).  kenlm binaries: fold
+            # BACKWARD from the raw id of the newest word
+            # (lm/search_hashed.cc:184-186: keys[0]=Combine(w_n, w_{n-1})
+            # seeded by w_n itself), so K_n[i] = Combine(K_{n-1}[i],
+            # w_{i-(n-1)}) — same position, word n-1 back.
+            kenlm_keys = m.key_scheme == "kenlm"
+            if kenlm_keys:
+                h = exl.astype(np.uint64)
+            else:
+                h = ngram_hash_step(np.zeros(L, dtype=np.uint64), exl)
             for n in range(2, N + 1):
                 h_next = np.zeros(L, dtype=np.uint64)
-                h_next[1:] = ngram_hash_step(h[:-1], exl[1:])
+                if kenlm_keys:
+                    s = n - 1
+                    if L > s:
+                        h_next[s:] = ngram_hash_step(h[s:], exl[:-s])
+                else:
+                    h_next[1:] = ngram_hash_step(h[:-1], exl[1:])
                 room = ctx_room >= (n - 1)
                 t = m.tables.get(n)
                 if t is not None and len(t.keys):

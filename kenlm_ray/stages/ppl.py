@@ -44,7 +44,16 @@ class PplScorer:
             if isinstance(model, bytes):
                 model = PackedModel.load(model)
         elif isinstance(model_ref, (str,)):
-            model = PackedModel.load(model_ref)
+            from kenlm_ray.model.kenlm_binary import is_kenlm_binary
+
+            if is_kenlm_binary(model_ref):
+                # a reference-built mmap .binary loads directly into the
+                # same actor pool (lm/binary_format.cc interop)
+                from kenlm_ray.model.kenlm_binary import read_kenlm_binary
+
+                model = read_kenlm_binary(model_ref)
+            else:
+                model = PackedModel.load(model_ref)
         elif isinstance(model_ref, PackedModel):
             model = model_ref
         else:

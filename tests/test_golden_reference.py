@@ -21,16 +21,27 @@ REF_ARPA = "/root/reference/lm/test.arpa"
 REF_NOUNK = "/root/reference/lm/test_nounk.arpa"
 
 
-@pytest.fixture(scope="module")
-def model():
-    arpa = parse_arpa(REF_ARPA)
-    return VectorLM(pack_model(arpa, quant_bits=None, backoff_bits=None))
+def _load(fixture_path: str, how: str, tmpdir) -> VectorLM:
+    arpa = parse_arpa(fixture_path)
+    if how == "repo":
+        return VectorLM(pack_model(arpa, quant_bits=None, backoff_bits=None))
+    # "binary": roundtrip through the reference's mmap .binary format —
+    # every golden expectation below must hold on the re-read file too
+    from kenlm_ray.model.kenlm_binary import read_kenlm_binary, write_kenlm_binary
+
+    path = str(tmpdir / (fixture_path.split("/")[-1] + ".binary"))
+    write_kenlm_binary(arpa, path)
+    return VectorLM(read_kenlm_binary(path))
 
 
-@pytest.fixture(scope="module")
-def model_nounk():
-    arpa = parse_arpa(REF_NOUNK)
-    return VectorLM(pack_model(arpa, quant_bits=None, backoff_bits=None))
+@pytest.fixture(scope="module", params=["repo", "binary"])
+def model(request, tmp_path_factory):
+    return _load(REF_ARPA, request.param, tmp_path_factory.mktemp("golden"))
+
+
+@pytest.fixture(scope="module", params=["repo", "binary"])
+def model_nounk(request, tmp_path_factory):
+    return _load(REF_NOUNK, request.param, tmp_path_factory.mktemp("golden"))
 
 
 def check(vlm, text, expected, *, bos, eos):
@@ -231,7 +242,10 @@ def test_minimal_state(model):
 def test_no_unk_default(model_nounk):
     # model_test.cc:281-287 NoUnkCheck(): missing <unk> scores -100
     # (lm/config.hh:52-54 default)
-    assert not model_nounk.model.has_unk
+    if model_nounk.model.key_scheme == "repo":
+        # the binary format bakes the -100 default into unigram[0] at
+        # write time and does not record SawUnk (model.cc:121-126)
+        assert not model_nounk.model.has_unk
     fs = model_nounk.full_scores("this_is_not_found", bos=False, eos=False)
     assert math.isclose(fs[0][0], -100.0, abs_tol=0.01)
 

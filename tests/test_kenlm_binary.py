@@ -1,0 +1,209 @@
+"""Format-level checks for the reference ``.binary`` interop
+(kenlm_ray/model/kenlm_binary.py) — byte layout per
+/root/reference/lm/binary_format.cc, probing semantics per
+/root/reference/util/probing_hash_table.hh and lm/search_hashed.cc.
+Score-level golden parity lives in test_golden_reference.py (the whole
+suite runs against the binary roundtrip as a fixture param).
+"""
+
+import struct
+
+import numpy as np
+import pytest
+
+from kenlm_ray.model.arpa import parse_arpa
+from kenlm_ray.model.kenlm_binary import (
+    FIXED_SIZE,
+    LONGEST_ENTRY,
+    MAGIC,
+    MAGIC_FIELD,
+    MIDDLE_ENTRY,
+    SANITY_SIZE,
+    VOCAB_ENTRY,
+    VOCAB_HEADER_SIZE,
+    _buckets,
+    _header_size,
+    is_kenlm_binary,
+    read_kenlm_binary,
+    write_kenlm_binary,
+)
+
+REF_ARPA = "/root/reference/lm/test.arpa"
+
+
+@pytest.fixture(scope="module")
+def binary(tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("kb") / "m.binary")
+    arpa = parse_arpa(REF_ARPA)
+    write_kenlm_binary(arpa, path)
+    return path, arpa
+
+
+def test_header_bytes(binary):
+    path, arpa = binary
+    raw = open(path, "rb").read()
+    assert raw[: len(MAGIC)] == MAGIC
+    assert raw[len(MAGIC) : MAGIC_FIELD] == b"\x00" * (MAGIC_FIELD - len(MAGIC))
+    zero, one, mhalf = struct.unpack_from("<fff", raw, MAGIC_FIELD)
+    assert (zero, one, mhalf) == (0.0, 1.0, -0.5)
+    w1, wmax, pad, u1 = struct.unpack_from("<IIIQ", raw, MAGIC_FIELD + 12)
+    assert (w1, wmax, pad, u1) == (1, 0xFFFFFFFF, 0, 1)
+    order, mult, mtype, has_vocab, sver = struct.unpack_from(
+        "<B3xfi?3xI", raw, SANITY_SIZE
+    )
+    assert order == arpa.order and mtype == 0 and sver == 0 and has_vocab
+    assert abs(mult - 1.5) < 1e-6
+    counts = struct.unpack_from(f"<{order}Q", raw, SANITY_SIZE + FIXED_SIZE)
+    assert list(counts) == arpa.counts
+
+
+def test_probing_invariant(binary):
+    """Every stored entry must be reachable by forward linear probing
+    from key % buckets with no empty slot in between — the property
+    ProbingHashTable::Find relies on (probing_hash_table.hh:159-169)."""
+    path, arpa = binary
+    raw = np.fromfile(path, dtype=np.uint8)
+    off = _header_size(arpa.order) + VOCAB_HEADER_SIZE
+    # vocab region
+    nb = _buckets(arpa.counts[0], 1.5)
+    tab = np.frombuffer(raw[off : off + nb * 12].tobytes(), dtype=VOCAB_ENTRY)
+    _check_probing(tab["key"], nb)
+    off += nb * 12
+    off += (arpa.counts[0] + 1) * 8  # unigram array
+    for n in range(2, arpa.order + 1):
+        dt = LONGEST_ENTRY if n == arpa.order else MIDDLE_ENTRY
+        nb = _buckets(arpa.counts[n - 1], 1.5)
+        tab = np.frombuffer(
+            raw[off : off + nb * dt.itemsize].tobytes(), dtype=dt
+        )
+        _check_probing(tab["key"], nb)
+        off += nb * dt.itemsize
+
+
+def _check_probing(keys: np.ndarray, buckets: int):
+    occupied = keys != 0
+    for s in np.flatnonzero(occupied):
+        k = keys[s]
+        p = int(k % np.uint64(buckets))
+        # walk from ideal to s; every slot on the way must be occupied
+        while p != s:
+            assert keys[p] != 0, (int(k), p, s)
+            p = (p + 1) % buckets
+
+
+def test_backoff_sentinels_and_sign_bits(binary):
+    """Raw-byte semantics: zero backoffs are -0.0 unless the entry is a
+    context of a longer gram (+0.0); probs carry the extends-left flag
+    in the sign bit (stored positive iff some (n+1)-gram right-aligns on
+    the entry)."""
+    path, arpa = binary
+    m_raw = np.fromfile(path, dtype=np.uint8)
+    order = arpa.order
+    off = _header_size(order) + VOCAB_HEADER_SIZE
+    off += _buckets(arpa.counts[0], 1.5) * 12
+    nuni = arpa.counts[0] + 1
+    uni = np.frombuffer(
+        m_raw[off : off + nuni * 8].tobytes(),
+        dtype=np.dtype([("prob", "<f4"), ("backoff", "<f4")]),
+    )
+    # "," has backoff -0.4149733 (nonzero, stored as-is); every word that
+    # starts a bigram gets its zero backoff promoted to +0.0
+    starters = {ws[0] for ws in arpa.grams[2]}
+    enders = {ws[-1] for ws in arpa.grams[2]}
+    # word id assignment: ARPA order, <unk> -> 0
+    ids = {}
+    bound = 1
+    for (w,) in arpa.grams[1]:
+        if w in ("<unk>", "<UNK>"):
+            ids[w] = 0
+        else:
+            ids[w] = bound
+            bound += 1
+    for (w,), (p, b) in arpa.grams[1].items():
+        wid = ids[w]
+        stored_b = uni["backoff"][wid]
+        if b == 0.0:
+            if w in starters:
+                assert not np.signbit(stored_b), w  # SetExtension applied
+            else:
+                assert np.signbit(stored_b), w  # kNoExtensionBackoff
+        stored_p = uni["prob"][wid]
+        assert abs(abs(stored_p) - abs(p)) < 1e-5
+        if w in enders:
+            assert not np.signbit(stored_p), w  # marked extends-left
+    # reader recovers -|prob| regardless of the flag
+    m = read_kenlm_binary(path)
+    for (w,), (p, b) in arpa.grams[1].items():
+        assert abs(float(m.uni_prob[ids[w]]) - min(p, 0.0)) < 1e-5
+
+
+def test_blank_hallucination(binary):
+    """test.arpa has SRI-style holes (e.g. trigram 'also would consider'
+    without bigram 'would consider'); the writer must hallucinate the
+    suffix chain with backoff-estimated pseudo probs exactly like
+    FindLower/AdjustLower (search_hashed.cc:58-137)."""
+    path, arpa = binary
+    m = read_kenlm_binary(path)
+    extra = {
+        n: len(m.tables[n].keys) - arpa.counts[n - 1]
+        for n in range(2, arpa.order + 1)
+    }
+    # holes in test.arpa: would consider / consider higher / look a /
+    # higher looking / however <unk> (order 2); two order-3 suffixes; one
+    # order-4 suffix; none at the top order
+    assert extra == {2: 5, 3: 2, 4: 1, 5: 0}
+    # blank ('higher','looking') must score exactly like the backoff
+    # estimate — model_test.cc:137-141 expects -1.285941 - 0.30103
+    from kenlm_ray.model.scorer import VectorLM
+
+    fs = VectorLM(m).full_scores("higher looking", bos=False, eos=False)
+    assert fs[1][1] == 2  # matched the (blank) bigram
+    assert abs(fs[1][0] - (-1.285941 - 0.30103)) < 1e-4
+
+
+def test_no_vocab_strings_mode(tmp_path):
+    arpa = parse_arpa(REF_ARPA)
+    path = str(tmp_path / "nostrings.binary")
+    write_kenlm_binary(arpa, path, include_vocab=False)
+    m = read_kenlm_binary(path)
+    # words unknown, but hash->id scoring still works
+    assert all(w == "" for w in m.words)
+    from kenlm_ray.model.scorer import VectorLM
+
+    fs = VectorLM(m).full_scores("looking", bos=True, eos=False)
+    assert abs(fs[0][0] - (-0.4846522)) < 1e-4
+
+
+def test_probing_multiplier_roundtrip(tmp_path):
+    arpa = parse_arpa(REF_ARPA)
+    path = str(tmp_path / "m2.binary")
+    write_kenlm_binary(arpa, path, probing_multiplier=2.25)
+    m = read_kenlm_binary(path)
+    from kenlm_ray.model.scorer import VectorLM
+
+    fs = VectorLM(m).full_scores("looking", bos=True, eos=False)
+    assert abs(fs[0][0] - (-0.4846522)) < 1e-4
+
+
+def test_npz_roundtrip_keeps_scheme(binary, tmp_path):
+    path, _ = binary
+    from kenlm_ray.model.pack import PackedModel
+
+    m = read_kenlm_binary(path)
+    p = m.save(str(tmp_path / "kb"))
+    m2 = PackedModel.load(p)
+    assert m2.key_scheme == "kenlm"
+    assert (m2.bos_id, m2.eos_id) == (m.bos_id, m.eos_id)
+    from kenlm_ray.model.scorer import VectorLM
+
+    a = VectorLM(m).score_text("looking on a little more loin")
+    b = VectorLM(m2).score_text("looking on a little more loin")
+    assert abs(a - b) < 1e-9
+
+
+def test_is_kenlm_binary(binary, tmp_path):
+    path, _ = binary
+    assert is_kenlm_binary(path)
+    other = tmp_path / "not.binary"
+    other.write_bytes(b"definitely not a model file")
+    assert not is_kenlm_binary(str(other))
