@@ -284,6 +284,18 @@ def _q_supplier_distinct_parts(sf_dir):
     return supplier_distinct_parts(sf_dir)
 
 
+def _q_customers_without_orders(sf_dir):
+    from kenlm_ray.ops.analytics import customers_without_orders
+
+    return customers_without_orders(sf_dir)
+
+
+def _q_customer_top_orders(sf_dir):
+    from kenlm_ray.ops.analytics import customer_top_orders
+
+    return customer_top_orders(sf_dir, k=3)
+
+
 def _q_jaccard_pairs(sf_dir):
     from kenlm_ray.ops.dedup import jaccard_near_dup_pairs
 
@@ -476,6 +488,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_sessions": _q_user_sessions,
         "jaccard_near_dup_pairs": _q_jaccard_pairs,
         "purchase_click_attribution": _q_asof_attribution,
+        "customers_without_orders": _q_customers_without_orders,
+        "customer_top3_orders": _q_customer_top_orders,
         "quantity_quantiles": _q_quantity_quantiles,
         "supplier_distinct_parts": _q_supplier_distinct_parts,
         # rows-only checks (stateful / model-driven, not SQL-expressible)
@@ -674,6 +688,24 @@ def oracle_sql() -> dict[str, str]:
                    ((epoch_us(p.ts) - epoch_us(c.ts)) // 1000000)::BIGINT AS gap_s
             FROM p ASOF JOIN c
               ON p.user_id = c.user_id AND p.ts >= c.ts
+        """,
+        "customers_without_orders": """
+            SELECT c_custkey, c_name, c_acctbal
+            FROM customer c
+            WHERE NOT EXISTS (
+                SELECT 1 FROM orders o
+                WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000
+            )
+        """,
+        "customer_top3_orders": """
+            SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+                SELECT o_custkey, o_orderkey, o_totalprice,
+                       row_number() OVER (
+                           PARTITION BY o_custkey
+                           ORDER BY o_totalprice DESC, o_orderkey
+                       )::BIGINT AS rn
+                FROM orders
+            ) WHERE rn <= 3
         """,
         "quantity_quantiles": """
             SELECT l_returnflag,

@@ -352,3 +352,92 @@ def supplier_distinct_parts(sf_dir: str) -> "ray.data.Dataset":
         .groupby("l_suppkey")
         .aggregate(Count(alias_name="n_parts"))
     )
+
+
+def customers_without_orders(
+    sf_dir: str, min_price: float = 300_000.0
+) -> "ray.data.Dataset":
+    """Broadcast ANTI-join: customers with no order above ``min_price``.
+
+    The distinct qualifying custkeys are reduced distributively
+    (per-batch distinct -> groupby) and broadcast once via ``ray.put``;
+    the probe side then streams.  At 100 TB the broadcast side must stay
+    small — when it does not, flip to the partitioned anti-join (hash
+    both sides on the key like ops/join.py and keep left rows with no
+    right match); the broadcast shape is right whenever
+    |distinct keys| << |probe rows|.  The row filter is pushed into the
+    parquet read.
+    """
+    cust = read(sf_dir, "customer", columns=["c_custkey", "c_name", "c_acctbal"])
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_custkey", "o_totalprice"],
+    ).filter(expr=f"o_totalprice > {min_price!r}")
+
+    def batch_distinct(batch: pa.Table) -> pa.Table:
+        return batch.select(["o_custkey"]).group_by(["o_custkey"]).aggregate([])
+
+    have = (
+        orders.map_batches(batch_distinct, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .aggregate(Count(alias_name="__c"))
+        .to_pandas()["o_custkey"]
+        .to_numpy()
+    )
+    have_ref = ray.put(np.sort(have.astype(np.int64)))
+
+    def anti(batch: pa.Table) -> pa.Table:
+        keys = np.sort(ray.get(have_ref))
+        ck = batch["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        idx = np.searchsorted(keys, ck)
+        idx_c = np.minimum(idx, max(len(keys) - 1, 0))
+        hit = (len(keys) > 0) & (keys[idx_c] == ck)
+        return batch.filter(pa.array(~hit))
+
+    return cust.map_batches(anti, batch_format="pyarrow")
+
+
+def customer_top_orders(sf_dir: str, k: int = 3) -> "ray.data.Dataset":
+    """Grouped window rank: each customer's top-k orders by price.
+
+    The SQL twin is ROW_NUMBER() OVER (PARTITION BY ... ORDER BY ...).
+    Shape: per-batch local top-k per key (a batch can only contribute k
+    candidates per key) -> one groupby(key) -> vectorized final rank.
+    The partial cut bounds the shuffle at k rows per (key, batch).
+    """
+    ds = read(sf_dir, "orders", columns=["o_custkey", "o_orderkey", "o_totalprice"])
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return batch
+        ck = batch["o_custkey"].to_numpy(zero_copy_only=False)
+        price = batch["o_totalprice"].to_numpy(zero_copy_only=False)
+        okey = batch["o_orderkey"].to_numpy(zero_copy_only=False)
+        # sort (custkey asc, price desc, orderkey asc) then keep first k
+        # per custkey run — deterministic tie-break on orderkey
+        order = np.lexsort((okey, -price, ck))
+        cks = ck[order]
+        starts = np.concatenate([[True], cks[1:] != cks[:-1]])
+        run_id = np.cumsum(starts) - 1
+        start_pos = np.flatnonzero(starts)
+        pos_in_run = np.arange(len(cks)) - start_pos[run_id]
+        keep = order[pos_in_run < k]
+        return batch.take(pa.array(np.sort(keep)))
+
+    def final_topk(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return t.append_column("rn", pa.array([], type=pa.int64()))
+        price = t["o_totalprice"].to_numpy(zero_copy_only=False)
+        okey = t["o_orderkey"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((okey, -price))
+        sel = order[:k]
+        out = t.take(pa.array(sel))
+        return out.append_column(
+            "rn", pa.array(np.arange(1, len(sel) + 1, dtype=np.int64))
+        )
+
+    return (
+        ds.map_batches(partial_topk, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .map_groups(final_topk, batch_format="pyarrow")
+    )

@@ -686,3 +686,53 @@ def test_quantity_quantiles_matches_numpy(ray_session):
         v = grp["l_quantity"].to_numpy()
         for q, col in [(0.5, "p50"), (0.9, "p90"), (0.99, "p99")]:
             assert abs(got.loc[flag, col] - np.quantile(v, q)) < 1e-9
+
+
+def test_customer_top_orders_partial_cut(ray_session):
+    """partial_topk may only cut per-batch candidates, never change the
+    global answer — force multi-batch input with ties."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from kenlm_ray.ops.analytics import customer_top_orders
+
+    rng = np.random.default_rng(5)
+    n = 2000
+    df = pd.DataFrame(
+        {
+            "o_custkey": rng.integers(0, 40, n),
+            "o_orderkey": np.arange(n),
+            # few distinct prices -> many ties, exercising the orderkey
+            # tie-break in both partial and final stages
+            "o_totalprice": rng.integers(1, 6, n).astype(float),
+        }
+    )
+    import os, tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        df.to_parquet(os.path.join(d, "orders.parquet"))
+        got = (
+            customer_top_orders(d, k=3)
+            .to_pandas()
+            .sort_values(["o_custkey", "rn"])
+            .reset_index(drop=True)
+        )
+    exp = (
+        df.sort_values(
+            ["o_custkey", "o_totalprice", "o_orderkey"],
+            ascending=[True, False, True],
+        )
+        .groupby("o_custkey")
+        .head(3)
+    )
+    exp["rn"] = exp.groupby("o_custkey").cumcount() + 1
+    exp = exp.sort_values(["o_custkey", "rn"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got[["o_custkey", "o_orderkey", "o_totalprice", "rn"]].astype(
+            {"o_custkey": int, "o_orderkey": int, "rn": int}
+        ),
+        exp[["o_custkey", "o_orderkey", "o_totalprice", "rn"]].astype(
+            {"o_custkey": int, "o_orderkey": int, "rn": int}
+        ),
+    )
