@@ -150,6 +150,10 @@ def run_queries() -> dict[str, float]:
         "ivf_knn_top10",
         "mkn_pruned_bigram",
         "phrase_filter_trigrams",
+        "jaccard_near_dup_pairs",
+        "purchase_click_attribution",
+        "customer_top3_orders",
+        "supplier_distinct_parts",
         "ppl_score",
         "langid",
     ]

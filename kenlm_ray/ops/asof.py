@@ -46,7 +46,11 @@ def asof_join(
     ``right_cols``, the matched right value — renamed with
     ``right_suffix`` when the name collides with a left column (``on``
     always becomes ``on + right_suffix``).  Left rows with no match are
-    dropped (inner semantics, like DuckDB ``ASOF JOIN``)."""
+    dropped (inner semantics, like DuckDB ``ASOF JOIN``).
+
+    ``by`` must be an integer column (user/device/session ids; it feeds
+    the coarse ``% P`` partitioner directly).  Hash string keys to int64
+    upstream when needed."""
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
     P = num_partitions

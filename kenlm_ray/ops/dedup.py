@@ -267,12 +267,40 @@ def minhash_lsh_pairs(
             }
         )
 
+    def _pair_dedupe(ia: np.ndarray, ib: np.ndarray):
+        order = np.lexsort((ib, ia))
+        ia, ib = ia[order], ib[order]
+        keep = np.concatenate(
+            [[True], (ia[1:] != ia[:-1]) | (ib[1:] != ib[:-1])]
+        )
+        return ia[keep], ib[keep]
+
+    def _pair_table(ia: np.ndarray, ib: np.ndarray) -> pa.Table:
+        with np.errstate(over="ignore"):
+            mix = (
+                ia.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+            ) ^ ib.astype(np.uint64)
+        return pa.table(
+            {
+                "id_a": pa.array(ia),
+                "id_b": pa.array(ib),
+                "__pb2": pa.array((mix % np.uint64(P)).astype(np.int64)),
+            }
+        )
+
+    PAIR_EMPTY = pa.table(
+        {
+            "id_a": pa.array([], type=pa.int64()),
+            "id_b": pa.array([], type=pa.int64()),
+            "__pb2": pa.array([], type=pa.int64()),
+        }
+    )
+
     def part_cands(t: pa.Table) -> pa.Table:
         """Vectorized pair generation over one coarse partition: sort by
-        bucket, emit within-run pairs (runs = true buckets)."""
-        empty = pa.table(
-            {"id_a": pa.array([], type=pa.int64()), "id_b": pa.array([], type=pa.int64())}
-        )
+        bucket, emit within-run pairs (runs = true buckets), deduped
+        locally (one pair can collide in many bands of this partition)."""
+        empty = PAIR_EMPTY
         if len(t) < 2:
             return empty
         bk = t["bucket"].to_numpy(zero_copy_only=False).astype(np.uint64)
@@ -296,17 +324,31 @@ def minhash_lsh_pairs(
                 ib.append(run[c])
         if not ia:
             return empty
-        return pa.table(
-            {"id_a": pa.array(np.concatenate(ia)), "id_b": pa.array(np.concatenate(ib))}
+        return _pair_table(*_pair_dedupe(np.concatenate(ia), np.concatenate(ib)))
+
+    def dedupe_cands(t: pa.Table) -> pa.Table:
+        """Global pair dedupe inside one coarse pair partition — replaces
+        a groupby((id_a, id_b)) that made one group per candidate pair
+        (the dominant aggregate cost at sf0.1)."""
+        if len(t) == 0:
+            return pa.table(
+                {
+                    "id_a": pa.array([], type=pa.int64()),
+                    "id_b": pa.array([], type=pa.int64()),
+                }
+            )
+        ia, ib = _pair_dedupe(
+            t["id_a"].to_numpy(zero_copy_only=False).astype(np.int64),
+            t["id_b"].to_numpy(zero_copy_only=False).astype(np.int64),
         )
+        return pa.table({"id_a": pa.array(ia), "id_b": pa.array(ib)})
 
     cands = (
         sigs.map_batches(to_bands, batch_format="pyarrow")
         .groupby("__pb")
         .map_groups(part_cands, batch_format="pyarrow")
-        .groupby(["id_a", "id_b"])
-        .aggregate(Count(alias_name="__nb"))
-        .drop_columns(["__nb"])
+        .groupby("__pb2")
+        .map_groups(dedupe_cands, batch_format="pyarrow")
     )
 
     SIG_ROW = -1
@@ -640,19 +682,39 @@ def jaccard_near_dup_pairs(
             }
         )
 
-    def part_pairs(t: pa.Table) -> pa.Table:
-        """One coarse partition: sort by shingle, emit all within-run
-        (id_a < id_b) pairs with both docs' shingle counts."""
-        empty = pa.table(
-            {
-                "id_a": pa.array([], type=pa.int64()),
-                "id_b": pa.array([], type=pa.int64()),
-                "ca": pa.array([], type=pa.int64()),
-                "cb": pa.array([], type=pa.int64()),
-            }
+    def _combine_pairs(ia, ib, ca, cb, inter):
+        """Sum ``inter`` per (id_a, id_b) via lexsort + run detection —
+        a per-key groupby would make one group per pair (millions of
+        tiny groups; measured 200+ s of aggregate time at sf0.1 vs <1 s
+        for this combine)."""
+        order = np.lexsort((ib, ia))
+        ia, ib, ca, cb, inter = (
+            ia[order], ib[order], ca[order], cb[order], inter[order]
         )
+        starts = np.flatnonzero(
+            np.concatenate([[True], (ia[1:] != ia[:-1]) | (ib[1:] != ib[:-1])])
+        )
+        sums = np.add.reduceat(inter, starts)
+        return ia[starts], ib[starts], ca[starts], cb[starts], sums
+
+    PAIR_EMPTY = pa.table(
+        {
+            "id_a": pa.array([], type=pa.int64()),
+            "id_b": pa.array([], type=pa.int64()),
+            "ca": pa.array([], type=pa.int64()),
+            "cb": pa.array([], type=pa.int64()),
+            "inter": pa.array([], type=pa.int64()),
+            "__pb2": pa.array([], type=pa.int64()),
+        }
+    )
+
+    def part_pairs(t: pa.Table) -> pa.Table:
+        """One coarse shingle partition: sort by shingle, emit within-run
+        (id_a < id_b) pairs with both docs' shingle counts, then combine
+        locally (the same pair recurs across this partition's shingles)
+        so only one row per (pair, partition) shuffles."""
         if len(t) < 2:
-            return empty
+            return PAIR_EMPTY
         sh = t["shingle"].to_numpy(zero_copy_only=False).astype(np.uint64)
         ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
         cnt = t["n_sh"].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -671,44 +733,67 @@ def jaccard_near_dup_pairs(
             ca.append(cnt[s + r])
             cb.append(cnt[s + c])
         if not ia:
-            return empty
+            return PAIR_EMPTY
+        ia_all = np.concatenate(ia)
+        ia, ib, ca, cb, inter = _combine_pairs(
+            ia_all,
+            np.concatenate(ib),
+            np.concatenate(ca),
+            np.concatenate(cb),
+            np.ones(len(ia_all), dtype=np.int64),
+        )
+        with np.errstate(over="ignore"):
+            mix = (
+                ia.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+            ) ^ ib.astype(np.uint64)
         return pa.table(
             {
-                "id_a": pa.array(np.concatenate(ia)),
-                "id_b": pa.array(np.concatenate(ib)),
-                "ca": pa.array(np.concatenate(ca)),
-                "cb": pa.array(np.concatenate(cb)),
+                "id_a": pa.array(ia),
+                "id_b": pa.array(ib),
+                "ca": pa.array(ca),
+                "cb": pa.array(cb),
+                "inter": pa.array(inter),
+                "__pb2": pa.array((mix % np.uint64(P)).astype(np.int64)),
             }
         )
 
-    def finish(t: pa.Table) -> pa.Table:
-        inter = t["inter"].to_numpy(zero_copy_only=False).astype(np.float64)
-        ca = t["ca"].to_numpy(zero_copy_only=False).astype(np.float64)
-        cb = t["cb"].to_numpy(zero_copy_only=False).astype(np.float64)
-        union = ca + cb - inter
+    def final_pairs(t: pa.Table) -> pa.Table:
+        """One coarse pair partition: sum partial intersections per pair,
+        compute jaccard, filter."""
+        empty = pa.table(
+            {
+                "id_a": pa.array([], type=pa.int64()),
+                "id_b": pa.array([], type=pa.int64()),
+                "jaccard": pa.array([], type=pa.float64()),
+            }
+        )
+        if len(t) == 0:
+            return empty
+        ia, ib, ca, cb, inter = _combine_pairs(
+            t["id_a"].to_numpy(zero_copy_only=False).astype(np.int64),
+            t["id_b"].to_numpy(zero_copy_only=False).astype(np.int64),
+            t["ca"].to_numpy(zero_copy_only=False).astype(np.int64),
+            t["cb"].to_numpy(zero_copy_only=False).astype(np.int64),
+            t["inter"].to_numpy(zero_copy_only=False).astype(np.int64),
+        )
+        union = (ca + cb - inter).astype(np.float64)
         j = np.where(union > 0, inter / np.maximum(union, 1.0), 0.0)
         sel = j >= tau
         return pa.table(
             {
-                "id_a": t["id_a"].filter(pa.array(sel)),
-                "id_b": t["id_b"].filter(pa.array(sel)),
+                "id_a": pa.array(ia[sel]),
+                "id_b": pa.array(ib[sel]),
                 "jaccard": pa.array(np.round(j[sel], 6)),
             }
         )
 
-    pairs = (
+    return (
         ds.map_batches(to_shingles, batch_format="pyarrow")
         .groupby("__pb")
         .map_groups(part_pairs, batch_format="pyarrow")
-        .groupby(["id_a", "id_b"])
-        .aggregate(
-            Count(alias_name="inter"),
-            Min("ca", alias_name="ca"),
-            Min("cb", alias_name="cb"),
-        )
-        .map_batches(finish, batch_format="pyarrow")
+        .groupby("__pb2")
+        .map_groups(final_pairs, batch_format="pyarrow")
     )
-    return pairs
 
 
 def simhash_near_dup_pairs(
@@ -775,6 +860,7 @@ def simhash_near_dup_pairs(
                 "id_a": pa.array([], type=pa.int64()),
                 "id_b": pa.array([], type=pa.int64()),
                 "hamming": pa.array([], type=pa.int64()),
+                "__pb2": pa.array([], type=pa.int64()),
             }
         )
         if len(t) < 2:
@@ -813,22 +899,59 @@ def simhash_near_dup_pairs(
                 hd.append(h[ok])
         if not ia:
             return empty
+        ia, ib, hd = (
+            np.concatenate(ia), np.concatenate(ib), np.concatenate(hd)
+        )
+        with np.errstate(over="ignore"):
+            mix = (
+                ia.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+            ) ^ ib.astype(np.uint64)
         return pa.table(
             {
-                "id_a": pa.array(np.concatenate(ia)),
-                "id_b": pa.array(np.concatenate(ib)),
-                "hamming": pa.array(np.concatenate(hd)),
+                "id_a": pa.array(ia),
+                "id_b": pa.array(ib),
+                "hamming": pa.array(hd),
+                "__pb2": pa.array(
+                    (mix % np.uint64(num_partitions)).astype(np.int64)
+                ),
             }
         )
 
-    pairs = (
+    def dedupe_pairs(t: pa.Table) -> pa.Table:
+        """min(hamming) per pair via lexsort + reduceat inside one coarse
+        partition — a pair can agree on several bands, and a per-pair
+        groupby would make one group per pair."""
+        if len(t) == 0:
+            return pa.table(
+                {
+                    "id_a": pa.array([], type=pa.int64()),
+                    "id_b": pa.array([], type=pa.int64()),
+                    "hamming": pa.array([], type=pa.int64()),
+                }
+            )
+        ia = t["id_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ib = t["id_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        hd = t["hamming"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((ib, ia))
+        ia, ib, hd = ia[order], ib[order], hd[order]
+        starts = np.flatnonzero(
+            np.concatenate([[True], (ia[1:] != ia[:-1]) | (ib[1:] != ib[:-1])])
+        )
+        mins = np.minimum.reduceat(hd, starts)
+        return pa.table(
+            {
+                "id_a": pa.array(ia[starts]),
+                "id_b": pa.array(ib[starts]),
+                "hamming": pa.array(mins),
+            }
+        )
+
+    return (
         fps.map_batches(to_bands, batch_format="pyarrow")
         .groupby("__pb")
         .map_groups(part_pairs, batch_format="pyarrow")
-    )
-    # a pair can agree on several bands — dedupe
-    return pairs.groupby(["id_a", "id_b"]).aggregate(
-        Min("hamming", alias_name="hamming")
+        .groupby("__pb2")
+        .map_groups(dedupe_pairs, batch_format="pyarrow")
     )
 
 
