@@ -100,20 +100,46 @@ def top_orders_by_revenue(sf_dir: str, k: int = 10) -> "ray.data.Dataset":
         t = pa.table({"l_orderkey": batch["l_orderkey"], "rev": rev})
         return t.group_by("l_orderkey").aggregate([("rev", "sum")])
 
-    agg = (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby("l_orderkey")
-        .aggregate(Sum("rev_sum", alias_name="revenue"))
-    )
-    # round to stabilize float association before ranking/compare
-    # (np.round matches DuckDB's round() bit-for-bit; pc.round can differ
-    # at the last ulp)
-    def _r(t: pa.Table) -> pa.Table:
-        v = np.round(t["revenue"].to_numpy(zero_copy_only=False), 2)
-        return t.set_column(t.schema.get_field_index("revenue"), "revenue", pa.array(v))
+    P = 64
 
-    agg = agg.map_batches(_r, batch_format="pyarrow")
-    return agg.sort(["revenue", "l_orderkey"], descending=[True, False]).limit(k)
+    def add_pb(t: pa.Table) -> pa.Table:
+        key = t["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.append_column("__pb", pa.array(key % P))
+
+    def part_topk(t: pa.Table) -> pa.Table:
+        """One coarse key partition: final per-orderkey sums via
+        lexsort+reduceat (a groupby(l_orderkey) would make one group per
+        order — ~150k tiny groups at sf0.1, the dominant cost), round to
+        stabilize float association (np.round matches DuckDB's round()
+        bit-for-bit), then keep only the local top-k — the global sort
+        sees P*k rows."""
+        if len(t) == 0:
+            return pa.table(
+                {
+                    "l_orderkey": pa.array([], type=pa.int64()),
+                    "revenue": pa.array([], type=pa.float64()),
+                }
+            )
+        key = t["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        rev = t["rev_sum"].to_numpy(zero_copy_only=False).astype(np.float64)
+        order = np.argsort(key, kind="stable")
+        key, rev = key[order], rev[order]
+        starts = np.flatnonzero(np.concatenate([[True], key[1:] != key[:-1]]))
+        sums = np.round(np.add.reduceat(rev, starts), 2)
+        keys = key[starts]
+        top = np.lexsort((keys, -sums))[:k]
+        return pa.table(
+            {"l_orderkey": pa.array(keys[top]), "revenue": pa.array(sums[top])}
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .map_batches(add_pb, batch_format="pyarrow")
+        .groupby("__pb")
+        .map_groups(part_topk, batch_format="pyarrow")
+        .sort(["revenue", "l_orderkey"], descending=[True, False])
+        .limit(k)
+    )
 
 
 def segment_sales(sf_dir: str) -> "ray.data.Dataset":
@@ -340,17 +366,46 @@ def supplier_distinct_parts(sf_dir: str) -> "ray.data.Dataset":
     follows (SURVEY.md §7.4)."""
     ds = read(sf_dir, "lineitem", columns=["l_suppkey", "l_partkey"])
 
+    P = 64
+
     def partial(batch: pa.Table) -> pa.Table:
         t = pa.table({"l_suppkey": batch["l_suppkey"], "l_partkey": batch["l_partkey"]})
-        return t.group_by(["l_suppkey", "l_partkey"]).aggregate([])
+        t = t.group_by(["l_suppkey", "l_partkey"]).aggregate([])
+        s = t["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        p = t["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        with np.errstate(over="ignore"):
+            mix = (s.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) ^ p.astype(
+                np.uint64
+            )
+        return t.append_column("__pb", pa.array((mix % np.uint64(P)).astype(np.int64)))
+
+    def part_counts(t: pa.Table) -> pa.Table:
+        """One coarse (suppkey, partkey)-hash partition: global distinct
+        via lexsort + run detection, then per-suppkey partial counts —
+        avoids a groupby with one group per distinct pair."""
+        if len(t) == 0:
+            return pa.table(
+                {
+                    "l_suppkey": pa.array([], type=pa.int64()),
+                    "n": pa.array([], type=pa.int64()),
+                }
+            )
+        s = t["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        p = t["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((p, s))
+        s, p = s[order], p[order]
+        keep = np.concatenate([[True], (s[1:] != s[:-1]) | (p[1:] != p[:-1])])
+        s = s[keep]
+        starts = np.flatnonzero(np.concatenate([[True], s[1:] != s[:-1]]))
+        lens = np.diff(np.append(starts, len(s))).astype(np.int64)
+        return pa.table({"l_suppkey": pa.array(s[starts]), "n": pa.array(lens)})
 
     return (
         ds.map_batches(partial, batch_format="pyarrow")
-        .groupby(["l_suppkey", "l_partkey"])
-        .aggregate(Count(alias_name="__c"))
-        .drop_columns(["__c"])
+        .groupby("__pb")
+        .map_groups(part_counts, batch_format="pyarrow")
         .groupby("l_suppkey")
-        .aggregate(Count(alias_name="n_parts"))
+        .aggregate(Sum("n", alias_name="n_parts"))
     )
 
 

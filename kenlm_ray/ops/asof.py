@@ -150,8 +150,6 @@ def purchase_click_attribution(sf_dir: str) -> "ray.data.Dataset":
 
     import pyarrow.compute as pc
 
-    from ray.data.aggregate import Max
-
     ev = ray.data.read_parquet(
         os.path.join(sf_dir, "events.parquet"),
         columns=["event_id", "user_id", "event_type", "ts"],
@@ -159,12 +157,56 @@ def purchase_click_attribution(sf_dir: str) -> "ray.data.Dataset":
     purchases = ev.filter(expr="event_type == 'purchase'").drop_columns(
         ["event_type"]
     )
+
     # dedupe clicks to one row per (user, ts): max event_id — keeps the
-    # as-of tie-break deterministic on both engines
+    # as-of tie-break deterministic on both engines.  Partial max per
+    # batch, final max per coarse user partition (a groupby((user, ts))
+    # would make one tiny group per click).
+    def click_max(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table(
+                {
+                    "user_id": pa.array([], type=pa.int64()),
+                    "ts": pa.array([], type=pa.timestamp("us")),
+                    "click_event_id": pa.array([], type=pa.int64()),
+                    "__pbc": pa.array([], type=pa.int64()),
+                }
+            )
+        u = batch["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = batch["ts"].to_numpy(zero_copy_only=False)
+        eid = batch["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((eid, ts, u))
+        u, ts, eid = u[order], ts[order], eid[order]
+        starts = np.flatnonzero(
+            np.concatenate([[True], (u[1:] != u[:-1]) | (ts[1:] != ts[:-1])])
+        )
+        maxes = np.maximum.reduceat(eid, starts)
+        return pa.table(
+            {
+                "user_id": pa.array(u[starts]),
+                "ts": pa.array(ts[starts]),
+                "click_event_id": pa.array(maxes),
+                "__pbc": pa.array(u[starts] % 64),
+            }
+        )
+
+    def click_final(t: pa.Table) -> pa.Table:
+        out = click_max(
+            pa.table(
+                {
+                    "user_id": t["user_id"],
+                    "ts": t["ts"],
+                    "event_id": t["click_event_id"],
+                }
+            )
+        )
+        return out.drop_columns(["__pbc"])
+
     clicks = (
         ev.filter(expr="event_type == 'click'")
-        .groupby(["user_id", "ts"])
-        .aggregate(Max("event_id", alias_name="click_event_id"))
+        .map_batches(click_max, batch_format="pyarrow")
+        .groupby("__pbc")
+        .map_groups(click_final, batch_format="pyarrow")
     )
     joined = asof_join(
         purchases,
