@@ -308,6 +308,28 @@ def _q_simhash(sf_dir):
     return simhash_column(_documents(sf_dir))
 
 
+def _q_approx_distinct(sf_dir):
+    import ray.data
+
+    from kenlm_ray.ops.sketch import hll_distinct
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"), columns=["o_custkey"]
+    )
+    return hll_distinct(ds, "o_custkey")
+
+
+def _q_approx_quantiles(sf_dir):
+    import ray.data
+
+    from kenlm_ray.ops.sketch import approx_quantiles
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"), columns=["l_extendedprice"]
+    )
+    return approx_quantiles(ds, "l_extendedprice", [0.25, 0.5, 0.75], k=512)
+
+
 def _q_winnow(sf_dir):
     from kenlm_ray.ops.dedup import winnow_fingerprints
 
@@ -501,6 +523,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_fingerprints": _q_simhash,
         "simhash_near_dup_pairs": _q_simhash_pairs,
         "winnow_fingerprints": _q_winnow,
+        "approx_distinct_custkeys": _q_approx_distinct,
+        "approx_price_quantiles": _q_approx_quantiles,
         "lsh_knn_top10": _q_lsh_knn,
         "lsh_index_knn_top10": _q_lsh_index_knn,
         "ivf_knn_top10": _q_ivf_knn,

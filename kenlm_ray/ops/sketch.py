@@ -1,0 +1,268 @@
+"""Mergeable sketches — the approximate counterparts of the exact
+aggregates in ops/analytics.py, for columns where the exact shape stops
+scaling (count-distinct over billions of keys, quantiles of continuous
+values, per-key frequencies under skew).
+
+All three follow the same Ray Data shape: ``map_batches`` builds one
+small partial sketch per batch (numpy-vectorized), a single ``sum``-like
+reduction merges them (register-wise max / elementwise add / centroid
+merge), and the final estimate is computed from the merged state.  The
+merge is associative and commutative, so Ray can combine partials in any
+order — the property the reference's CombineCounts shuffle relies on for
+exact counts (/root/reference/lm/builder/combine_counts.hh), applied to
+approximate state.
+
+- HyperLogLog (Flajolet et al. 2007): 2^p byte registers, register =
+  max leading-zero rank of the hash suffix; standard alpha_m bias
+  constant + small-range linear counting correction.
+- Count-Min (Cormode & Muthukrishnan 2005): d x w counter matrix,
+  point estimate = min over d hash rows; overestimates only, error
+  <= eps * N with probability 1 - delta for w = ceil(e / eps),
+  d = ceil(ln(1 / delta)).
+- Quantile digest: equi-depth centroid compaction (a t-digest with a
+  uniform scale function): each partial is (centroid, weight) pairs from
+  the batch's sorted values; merge concatenates, re-sorts, and compacts
+  back to K centroids; quantile lookup interpolates the weighted CDF.
+  Exact when total distinct values <= K.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data
+
+from kenlm_ray.functions.hashing import murmur64
+
+_HLL_SEED = np.uint64(0x9E3779B97F4A7C15)
+_MIX1 = np.uint64(0xFF51AFD7ED558CCD)
+_MIX2 = np.uint64(0xC4CEB9FE1A85EC53)
+
+
+def _mix64(x: np.ndarray) -> np.ndarray:
+    """splitmix64-style avalanche: turn arbitrary int64 keys into
+    uniform uint64 hashes (the input columns are often sequential ids,
+    which raw modulo would bias)."""
+    with np.errstate(over="ignore"):
+        x = x.astype(np.uint64)
+        x ^= x >> np.uint64(33)
+        x *= _MIX1
+        x ^= x >> np.uint64(33)
+        x *= _MIX2
+        x ^= x >> np.uint64(33)
+    return x
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog
+# ---------------------------------------------------------------------------
+
+def hll_partial(values: np.ndarray, p: int = 12) -> np.ndarray:
+    """One batch -> 2^p uint8 registers."""
+    m = 1 << p
+    h = _mix64(values)
+    idx = (h >> np.uint64(64 - p)).astype(np.int64)
+    rest = (h << np.uint64(p)) | np.uint64((1 << p) - 1)  # pad tail with 1s
+    # rank = leading zeros + 1.  Exact clz via 32-bit halves: float64
+    # represents 32-bit ints exactly, while log2 of a full 64-bit value
+    # rounds near 2^64 and would off-by-one the top ranks.
+    hi = (rest >> np.uint64(32)).astype(np.float64)
+    lo = (rest & np.uint64(0xFFFFFFFF)).astype(np.float64)
+    lz = np.where(
+        hi > 0,
+        31 - np.floor(np.log2(np.maximum(hi, 1.0))),
+        63 - np.floor(np.log2(np.maximum(lo, 1.0))),
+    ).astype(np.int64)
+    rank = (lz + 1).astype(np.uint8)
+    regs = np.zeros(m, dtype=np.uint8)
+    np.maximum.at(regs, idx, rank)
+    return regs
+
+
+def hll_merge(parts: "list[np.ndarray]") -> np.ndarray:
+    out = parts[0].copy()
+    for q in parts[1:]:
+        np.maximum(out, q, out=out)
+    return out
+
+
+def hll_estimate(regs: np.ndarray) -> float:
+    m = len(regs)
+    alpha = 0.7213 / (1 + 1.079 / m)
+    est = alpha * m * m / np.sum(np.power(2.0, -regs.astype(np.float64)))
+    zeros = int(np.count_nonzero(regs == 0))
+    if est <= 2.5 * m and zeros:
+        est = m * np.log(m / zeros)  # linear counting for small ranges
+    return float(est)
+
+
+def hll_distinct(
+    ds: "ray.data.Dataset", col: str, *, p: int = 12
+) -> "ray.data.Dataset":
+    """Approximate COUNT(DISTINCT col) as a one-row Dataset.
+
+    Standard error ~= 1.04 / sqrt(2^p) (~1.6% at p=12, 4 KiB of state).
+    The registers cross the wire once per batch; the driver merges
+    byte-max — no shuffle at all."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = batch[col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"regs": pa.array([hll_partial(v, p).tobytes()])})
+
+    parts = [
+        np.frombuffer(r["regs"], dtype=np.uint8)
+        for r in ds.map_batches(partial, batch_format="pyarrow").take_all()
+    ]
+    est = hll_estimate(hll_merge(parts)) if parts else 0.0
+    return ray.data.from_items([{"approx_distinct": est}])
+
+
+# ---------------------------------------------------------------------------
+# Count-Min
+# ---------------------------------------------------------------------------
+
+def cm_params(eps: float, delta: float) -> tuple[int, int]:
+    w = int(np.ceil(np.e / eps))
+    d = int(np.ceil(np.log(1.0 / delta)))
+    return d, w
+
+
+def cm_partial(values: np.ndarray, d: int, w: int) -> np.ndarray:
+    """(d, w) int64 counter matrix for one batch."""
+    mat = np.zeros((d, w), dtype=np.int64)
+    h = _mix64(values)
+    for row in range(d):
+        with np.errstate(over="ignore"):
+            hr = _mix64(h + np.uint64(row) * _HLL_SEED)
+        mat[row] = np.bincount(
+            (hr % np.uint64(w)).astype(np.int64), minlength=w
+        )
+    return mat
+
+
+def cm_query(mat: np.ndarray, keys: np.ndarray) -> np.ndarray:
+    d, w = mat.shape
+    h = _mix64(keys.astype(np.int64))
+    est = np.full(len(keys), np.iinfo(np.int64).max, dtype=np.int64)
+    for row in range(d):
+        with np.errstate(over="ignore"):
+            hr = _mix64(h + np.uint64(row) * _HLL_SEED)
+        np.minimum(est, mat[row][(hr % np.uint64(w)).astype(np.int64)], out=est)
+    return est
+
+
+def cm_frequencies(
+    ds: "ray.data.Dataset",
+    col: str,
+    query_keys: "np.ndarray | list[int]",
+    *,
+    eps: float = 0.001,
+    delta: float = 0.01,
+) -> "ray.data.Dataset":
+    """Approximate frequencies of ``query_keys`` in ``col``.
+
+    One (d, w) matrix per batch, elementwise-summed on the driver —
+    d*w*8 bytes of state per batch (no raw-row shuffle).  Estimates
+    never undercount; overcount <= eps * N w.p. 1 - delta."""
+    d, w = cm_params(eps, delta)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = batch[col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"mat": pa.array([cm_partial(v, d, w).tobytes()])})
+
+    mats = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    total = np.zeros((d, w), dtype=np.int64)
+    for r in mats:
+        total += np.frombuffer(r["mat"], dtype=np.int64).reshape(d, w)
+    keys = np.asarray(query_keys, dtype=np.int64)
+    est = cm_query(total, keys)
+    return ray.data.from_items(
+        [
+            {"key": int(k), "approx_count": int(e)}
+            for k, e in zip(keys, est)
+        ]
+    )
+
+
+# ---------------------------------------------------------------------------
+# Quantile digest (uniform-scale t-digest)
+# ---------------------------------------------------------------------------
+
+def qd_partial(values: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
+    """(centroids, weights): equi-depth compaction of one batch."""
+    v = np.sort(values.astype(np.float64))
+    n = len(v)
+    if n <= k:
+        return v, np.ones(n, dtype=np.int64)
+    edges = np.linspace(0, n, k + 1).astype(np.int64)
+    w = np.diff(edges)
+    sums = np.add.reduceat(v, edges[:-1])
+    return sums / w, w
+
+
+def qd_merge(
+    parts: "list[tuple[np.ndarray, np.ndarray]]", k: int
+) -> tuple[np.ndarray, np.ndarray]:
+    c = np.concatenate([p[0] for p in parts])
+    w = np.concatenate([p[1] for p in parts])
+    order = np.argsort(c, kind="stable")
+    c, w = c[order], w[order]
+    n = int(w.sum())
+    if len(c) <= k:
+        return c, w
+    # weighted equi-depth re-compaction
+    cum = np.cumsum(w)
+    bucket = np.minimum((cum - 1) * k // n, k - 1)
+    starts = np.flatnonzero(np.concatenate([[True], bucket[1:] != bucket[:-1]]))
+    wsum = np.add.reduceat(w, starts)
+    csum = np.add.reduceat(c * w, starts)
+    return csum / wsum, wsum
+
+
+def qd_quantile(c: np.ndarray, w: np.ndarray, qs: "list[float]") -> np.ndarray:
+    """Interpolated quantiles from the weighted centroid CDF."""
+    if len(c) == 0:
+        return np.full(len(qs), np.nan)
+    cum = np.cumsum(w) - w / 2.0
+    total = w.sum()
+    pos = cum / total
+    return np.interp(np.asarray(qs, dtype=np.float64), pos, c)
+
+
+def approx_quantiles(
+    ds: "ray.data.Dataset",
+    col: str,
+    qs: "list[float]",
+    *,
+    k: int = 256,
+) -> "ray.data.Dataset":
+    """Approximate quantiles via mergeable equi-depth digests: one
+    (<=k centroids) digest per batch, merged + re-compacted on the
+    driver.  State per batch is k*16 bytes; no shuffle.  Error is
+    bounded by the per-bucket weight (~n/k of the CDF)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = batch[col].to_numpy(zero_copy_only=False).astype(np.float64)
+        c, w = qd_partial(v, k)
+        return pa.table(
+            {"c": pa.array([c.tobytes()]), "w": pa.array([w.tobytes()])}
+        )
+
+    rows = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    parts = [
+        (
+            np.frombuffer(r["c"], dtype=np.float64),
+            np.frombuffer(r["w"], dtype=np.int64),
+        )
+        for r in rows
+    ]
+    if not parts:
+        return ray.data.from_items(
+            [{"q": float(q), "value": float("nan")} for q in qs]
+        )
+    c, w = qd_merge(parts, k)
+    vals = qd_quantile(c, w, qs)
+    return ray.data.from_items(
+        [{"q": float(q), "value": float(v)} for q, v in zip(qs, vals)]
+    )

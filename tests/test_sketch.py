@@ -1,0 +1,167 @@
+"""Mergeable-sketch tests: HyperLogLog, Count-Min, quantile digest.
+
+Each sketch is checked two ways: (a) the end-to-end Dataset helper lands
+within the sketch's published error bound against the exact answer
+computed with numpy/duckdb on the same data, and (b) the merge is
+order-independent (associative + commutative), which is what lets Ray
+combine partials in any order.
+"""
+
+import numpy as np
+import pytest
+
+from kenlm_ray.ops.sketch import (
+    approx_quantiles,
+    cm_frequencies,
+    cm_params,
+    cm_partial,
+    cm_query,
+    hll_distinct,
+    hll_estimate,
+    hll_merge,
+    hll_partial,
+    qd_merge,
+    qd_partial,
+    qd_quantile,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+# ---------------------------------------------------------------------------
+# pure-kernel properties (no Ray)
+# ---------------------------------------------------------------------------
+
+def test_hll_accuracy_and_merge_order():
+    rng = np.random.default_rng(7)
+    # 50k draws from 20k distinct keys
+    vals = rng.integers(0, 20_000, size=50_000)
+    exact = len(np.unique(vals))
+    p = 12
+    chunks = np.array_split(vals, 13)
+    parts = [hll_partial(c, p) for c in chunks]
+    est = hll_estimate(hll_merge(parts))
+    # standard error 1.04/sqrt(2^12) ~ 1.6%; allow 4 sigma
+    assert abs(est - exact) / exact < 0.065
+    # merge order must not matter
+    rev = hll_estimate(hll_merge(parts[::-1]))
+    assert est == rev
+    # merging a sketch with itself is idempotent
+    again = hll_estimate(hll_merge(parts + parts))
+    assert again == est
+
+
+def test_hll_small_range_linear_counting():
+    vals = np.arange(37, dtype=np.int64)
+    est = hll_estimate(hll_partial(vals, 12))
+    assert abs(est - 37) < 3
+
+
+def test_cm_never_undercounts_and_bounds_overcount():
+    rng = np.random.default_rng(11)
+    # zipf-ish skew: heavy hitters + long tail
+    vals = np.concatenate(
+        [
+            np.repeat(np.arange(10), 2_000),  # 10 keys x 2000
+            rng.integers(100, 50_000, size=30_000),
+        ]
+    )
+    rng.shuffle(vals)
+    d, w = cm_params(eps=0.001, delta=0.01)
+    chunks = np.array_split(vals, 7)
+    mat = np.zeros((d, w), dtype=np.int64)
+    for c in chunks:
+        mat += cm_partial(c, d, w)
+    keys = np.arange(10)
+    est = cm_query(mat, keys)
+    exact = np.array([(vals == k).sum() for k in keys])
+    assert (est >= exact).all()  # CM never undercounts
+    n = len(vals)
+    assert (est - exact <= 0.001 * n * 4).all()  # loose eps*N bound
+
+
+def test_qd_quantiles_close_to_exact():
+    rng = np.random.default_rng(3)
+    vals = rng.lognormal(mean=2.0, sigma=1.0, size=40_000)
+    k = 256
+    chunks = np.array_split(vals, 9)
+    parts = [qd_partial(c, k) for c in chunks]
+    c, w = qd_merge(parts, k)
+    assert len(c) <= k
+    qs = [0.01, 0.25, 0.5, 0.75, 0.99]
+    approx = qd_quantile(c, w, qs)
+    exact = np.quantile(vals, qs)
+    # each centroid holds ~n/k of the mass; values should land within
+    # the CDF-neighbourhood of the true quantile
+    for a, e, q in zip(approx, exact, qs):
+        lo = np.quantile(vals, max(0.0, q - 2.5 / k * 2))
+        hi = np.quantile(vals, min(1.0, q + 2.5 / k * 2))
+        assert lo * 0.98 <= a <= hi * 1.02, (q, a, e)
+
+
+def test_qd_exact_when_few_values():
+    vals = np.array([1.0, 2.0, 3.0, 4.0])
+    c, w = qd_partial(vals, 256)
+    assert np.allclose(qd_quantile(c, w, [0.0, 1.0]), [1.0, 4.0])
+
+
+# ---------------------------------------------------------------------------
+# Dataset helpers vs exact answers on the testdata tables
+# ---------------------------------------------------------------------------
+
+@pytest.mark.usefixtures("ray_session")
+def test_hll_distinct_on_orders():
+    import duckdb
+    import ray.data
+
+    ds = ray.data.read_parquet(
+        f"{SF}/orders.parquet", columns=["o_custkey"]
+    )
+    est = hll_distinct(ds, "o_custkey").take_all()[0]["approx_distinct"]
+    exact = duckdb.sql(
+        f"SELECT COUNT(DISTINCT o_custkey) FROM '{SF}/orders.parquet'"
+    ).fetchone()[0]
+    assert abs(est - exact) / exact < 0.065
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_cm_frequencies_on_lineitem():
+    import duckdb
+    import ray.data
+
+    ds = ray.data.read_parquet(
+        f"{SF}/lineitem.parquet", columns=["l_suppkey"]
+    )
+    keys = [1, 2, 3]
+    rows = cm_frequencies(ds, "l_suppkey", keys, eps=0.0005).take_all()
+    exact = dict(
+        duckdb.sql(
+            f"SELECT l_suppkey, COUNT(*) FROM '{SF}/lineitem.parquet' "
+            "WHERE l_suppkey IN (1,2,3) GROUP BY 1"
+        ).fetchall()
+    )
+    n = duckdb.sql(
+        f"SELECT COUNT(*) FROM '{SF}/lineitem.parquet'"
+    ).fetchone()[0]
+    for r in rows:
+        ex = exact.get(r["key"], 0)
+        assert r["approx_count"] >= ex
+        assert r["approx_count"] - ex <= 0.0005 * n * 4
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_approx_quantiles_on_lineitem():
+    import duckdb
+    import ray.data
+
+    ds = ray.data.read_parquet(
+        f"{SF}/lineitem.parquet", columns=["l_extendedprice"]
+    )
+    qs = [0.25, 0.5, 0.75]
+    rows = approx_quantiles(ds, "l_extendedprice", qs, k=512).take_all()
+    exact = duckdb.sql(
+        f"SELECT quantile_cont(l_extendedprice, [0.25, 0.5, 0.75]) "
+        f"FROM '{SF}/lineitem.parquet'"
+    ).fetchone()[0]
+    for r, e in zip(sorted(rows, key=lambda r: r["q"]), exact):
+        assert abs(r["value"] - e) / e < 0.02, (r, e)
