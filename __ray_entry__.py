@@ -290,6 +290,12 @@ def _q_customers_without_orders(sf_dir):
     return customers_without_orders(sf_dir)
 
 
+def _q_parts_never_ordered(sf_dir):
+    from kenlm_ray.ops.analytics import parts_never_ordered
+
+    return parts_never_ordered(sf_dir)
+
+
 def _q_customer_top_orders(sf_dir):
     from kenlm_ray.ops.analytics import customer_top_orders
 
@@ -511,6 +517,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jaccard_near_dup_pairs": _q_jaccard_pairs,
         "purchase_click_attribution": _q_asof_attribution,
         "customers_without_orders": _q_customers_without_orders,
+        "parts_never_ordered": _q_parts_never_ordered,
         "customer_top3_orders": _q_customer_top_orders,
         "quantity_quantiles": _q_quantity_quantiles,
         "supplier_distinct_parts": _q_supplier_distinct_parts,
@@ -719,6 +726,14 @@ def oracle_sql() -> dict[str, str]:
             WHERE NOT EXISTS (
                 SELECT 1 FROM orders o
                 WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000
+            )
+        """,
+        "parts_never_ordered": """
+            SELECT p_partkey, p_name, p_retailprice
+            FROM part p
+            WHERE NOT EXISTS (
+                SELECT 1 FROM lineitem l
+                WHERE l.l_partkey = p.p_partkey AND l.l_quantity >= 49
             )
         """,
         "customer_top3_orders": """

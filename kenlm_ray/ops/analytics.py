@@ -452,6 +452,48 @@ def customers_without_orders(
     return cust.map_batches(anti, batch_format="pyarrow")
 
 
+def parts_never_ordered(
+    sf_dir: str, min_qty: float = 49.0
+) -> "ray.data.Dataset":
+    """PARTITIONED anti-join (large x large): parts never shipped in a
+    lineitem with quantity >= ``min_qty``.
+
+    The broadcast shape (customers_without_orders) needs the right
+    side's distinct keys to fit on every worker; here both sides are
+    hash-partitioned on the key instead (ops/join.py how="anti"), so
+    neither needs to fit anywhere — each partition sees only its slice,
+    and the right side ships distinct keys per batch, not rows.  This is
+    the scale path for "documents whose hash appears in a trillion-row
+    blocklist"-type filters.  The quantity filter is pushed into the
+    parquet scan.
+    """
+    from kenlm_ray.ops.join import hash_join
+
+    part = read(
+        sf_dir, "part", columns=["p_partkey", "p_name", "p_retailprice"]
+    )
+    li = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_partkey", "l_quantity"],
+    ).filter(expr=f"l_quantity >= {min_qty!r}")
+    keys = li.map_batches(
+        lambda t: pa.table({"p_partkey": t["l_partkey"]}),
+        batch_format="pyarrow",
+    )
+    return hash_join(
+        part,
+        keys,
+        on=["p_partkey"],
+        left_cols={
+            "p_partkey": pa.int64(),
+            "p_name": pa.string(),
+            "p_retailprice": pa.float64(),
+        },
+        right_cols={"p_partkey": pa.int64()},
+        how="anti",
+    )
+
+
 def customer_top_orders(sf_dir: str, k: int = 3) -> "ray.data.Dataset":
     """Grouped window rank: each customer's top-k orders by price.
 

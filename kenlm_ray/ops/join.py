@@ -69,19 +69,35 @@ def hash_join(
 
     ``left_cols`` / ``right_cols``: {column: pyarrow type} for ALL columns
     of each side (including keys).  Value columns must not overlap.
-    ``how``: "left" or "inner".
+    ``how``: "left", "inner", "semi", or "anti".
+
+    "semi"/"anti" keep only left columns and never multiply rows: semi
+    keeps left rows whose key appears on the right, anti keeps those
+    whose key does not.  This is the PARTITIONED shape for when the right
+    side is too large to broadcast (the broadcast shape lives in
+    ops/analytics.customers_without_orders) — only the right side's KEY
+    columns cross the shuffle, deduplicated per batch first, so a
+    billion-row right side ships |distinct keys| values per partition.
     """
+    semi_anti = how in ("semi", "anti")
+    if semi_anti:
+        right_cols = {c: t for c, t in right_cols.items() if c in on}
     all_cols: dict = dict(left_cols)
     for c, t in right_cols.items():
         if c not in all_cols:
             all_cols[c] = t
-    names = list(all_cols)
+    names = list(left_cols) if semi_anti else list(all_cols)
+
+    union_names = list(all_cols)
 
     def widen(side: int, have: dict):
         def fn(batch: pa.Table) -> pa.Table:
+            if side == 1 and semi_anti:
+                # only distinct keys need to cross the shuffle
+                batch = batch.select(on).group_by(on).aggregate([])
             n = len(batch)
             arrays = {}
-            for c in names:
+            for c in union_names:
                 if c in have:
                     arrays[c] = batch[c]
                 else:
@@ -104,9 +120,15 @@ def hash_join(
 
     def merge(g: pd.DataFrame) -> pd.DataFrame:
         lg = g[g["__side"] == 0][on + lval]
-        rg = g[g["__side"] == 1][on + rval]
-        out = lg.merge(rg, on=on, how="inner" if how == "inner" else "left")
-        out = out[names]
+        if semi_anti:
+            rkeys = g[g["__side"] == 1][on].drop_duplicates()
+            m = lg.merge(rkeys, on=on, how="left", indicator=True)
+            want = "both" if how == "semi" else "left_only"
+            out = m[m["_merge"] == want][names]
+        else:
+            rg = g[g["__side"] == 1][on + rval]
+            out = lg.merge(rg, on=on, how="inner" if how == "inner" else "left")
+            out = out[names]
         # the union fills the other side's columns with nulls, which floats
         # integer columns through the pandas conversion; restore DECLARED
         # integer dtypes where no nulls survive so chained joins keep exact

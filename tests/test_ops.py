@@ -199,6 +199,58 @@ def test_hash_join(ray_session):
     assert set(inner["k"]) == {"a", "c"}
 
 
+def test_hash_join_semi_anti(ray_session):
+    import ray.data
+
+    from kenlm_ray.ops.join import hash_join
+
+    left = ray.data.from_items(
+        [{"k": "a", "x": 1}, {"k": "b", "x": 2}, {"k": "c", "x": 3}]
+    )
+    # right has duplicate keys: semi must NOT multiply left rows
+    right = ray.data.from_items(
+        [{"k": "a", "y": 10.0}, {"k": "a", "y": 11.0}, {"k": "c", "y": 30.0}]
+    )
+    kw = dict(
+        on=["k"],
+        left_cols={"k": pa.string(), "x": pa.int64()},
+        right_cols={"k": pa.string(), "y": pa.float64()},
+        num_partitions=3,
+    )
+    semi = hash_join(left, right, how="semi", **kw).to_pandas()
+    assert sorted(semi["k"]) == ["a", "c"]
+    assert list(semi.columns) == ["k", "x"]  # left columns only
+    anti = hash_join(left, right, how="anti", **kw).to_pandas()
+    assert list(anti["k"]) == ["b"]
+    assert int(anti["x"].iloc[0]) == 2
+
+
+def test_parts_never_ordered_matches_duckdb(ray_session):
+    import duckdb
+
+    from kenlm_ray.ops.analytics import parts_never_ordered
+
+    sf = "/root/testdata/sf0.001"
+    got = (
+        parts_never_ordered(sf)
+        .to_pandas()
+        .sort_values("p_partkey")
+        .reset_index(drop=True)
+    )
+    want = duckdb.sql(
+        f"""SELECT p_partkey, p_name, p_retailprice
+            FROM '{sf}/part.parquet' p
+            WHERE NOT EXISTS (
+                SELECT 1 FROM '{sf}/lineitem.parquet' l
+                WHERE l.l_partkey = p.p_partkey AND l.l_quantity >= 49)
+            ORDER BY p_partkey"""
+    ).df()
+    assert len(got) == len(want) > 0
+    assert list(got["p_partkey"]) == list(want["p_partkey"])
+    assert list(got["p_name"]) == list(want["p_name"])
+    assert np.allclose(got["p_retailprice"], want["p_retailprice"])
+
+
 def test_winnow_fingerprints(ray_session):
     import ray.data
 
