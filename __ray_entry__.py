@@ -336,6 +336,12 @@ def _q_approx_quantiles(sf_dir):
     return approx_quantiles(ds, "l_extendedprice", [0.25, 0.5, 0.75], k=512)
 
 
+def _q_tf_idf(sf_dir):
+    from kenlm_ray.ops.text import tf_idf
+
+    return tf_idf(_documents(sf_dir))
+
+
 def _q_winnow(sf_dir):
     from kenlm_ray.ops.dedup import winnow_fingerprints
 
@@ -521,6 +527,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_top3_orders": _q_customer_top_orders,
         "quantity_quantiles": _q_quantity_quantiles,
         "supplier_distinct_parts": _q_supplier_distinct_parts,
+        "tf_idf": _q_tf_idf,
         # rows-only checks (stateful / model-driven, not SQL-expressible)
         "quality_filter_flagship": _q_quality_filter,
         "repo_quality_stats": _q_repo_stats,
@@ -756,6 +763,20 @@ def oracle_sql() -> dict[str, str]:
         "supplier_distinct_parts": """
             SELECT l_suppkey, count(DISTINCT l_partkey)::BIGINT AS n_parts
             FROM lineitem GROUP BY l_suppkey
+        """,
+        "tf_idf": f"""
+            WITH flat AS ({_FLAT}),
+            tf AS (
+                SELECT doc_id, tok AS token, count(*)::BIGINT AS tf
+                FROM flat GROUP BY doc_id, tok
+            ),
+            df AS (
+                SELECT token, count(*)::BIGINT AS df FROM tf GROUP BY token
+            ),
+            n AS (SELECT count(*)::DOUBLE AS n FROM documents)
+            SELECT tf.doc_id, tf.token, tf.tf, df.df,
+                   round(tf.tf * ln(n.n / df.df), 6) AS tfidf
+            FROM tf JOIN df USING (token), n
         """,
         "jaccard_near_dup_pairs": """
             WITH toks AS (

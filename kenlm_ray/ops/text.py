@@ -124,6 +124,78 @@ def vocab_filter_docs(
     return ds.map_batches(passes, batch_format="pyarrow")
 
 
+def tf_idf(
+    ds: "ray.data.Dataset",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_partitions: int = 16,
+) -> "ray.data.Dataset":
+    """Per-(document, token) TF-IDF: ``tf * ln(N / df)``.
+
+    Shape (all stages scale): term frequencies are computed entirely
+    map-side (one Arrow group-by per batch — a document never spans
+    batches, so per-batch TF is already global); document frequency is a
+    small groupby over the TF rows (vocabulary-sized); the DF column is
+    joined back with the partitioned hash join (exact, no broadcast —
+    at web scale the vocabulary of a code/URL-heavy corpus can itself be
+    too large to ship to every worker).  N (total docs) is the only
+    driver-side scalar.
+
+    Output columns: id_col, token, tf (int64), df (int64),
+    tfidf (float64, rounded to 6 — np.round matches DuckDB round()).
+    """
+    from ray.data.aggregate import Count
+
+    from kenlm_ray.ops.join import hash_join
+
+    n_docs = ds.count()
+
+    def tf_partial(batch: pa.Table) -> pa.Table:
+        stream = tokenize_column(batch[text_col])
+        toks = stream.to_arrow()
+        if len(toks) == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([], type=pa.int64()),
+                    "token": pa.array([], type=pa.string()),
+                    "tf": pa.array([], type=pa.int64()),
+                }
+            )
+        ids = batch[id_col].combine_chunks() if isinstance(
+            batch[id_col], pa.ChunkedArray
+        ) else batch[id_col]
+        t = pa.table(
+            {
+                id_col: ids.take(pa.array(stream.doc_ids)),
+                "token": toks,
+                "one": pa.array(np.ones(len(toks), dtype=np.int64)),
+            }
+        )
+        g = t.group_by([id_col, "token"]).aggregate([("one", "sum")])
+        g = g.select([id_col, "token", "one_sum"])
+        return g.rename_columns([id_col, "token", "tf"])
+
+    tf = ds.map_batches(tf_partial, batch_format="pyarrow")
+    df = tf.groupby("token").aggregate(Count(alias_name="df"))
+    joined = hash_join(
+        tf,
+        df,
+        on=["token"],
+        left_cols={id_col: pa.int64(), "token": pa.string(), "tf": pa.int64()},
+        right_cols={"token": pa.string(), "df": pa.int64()},
+        how="inner",
+        num_partitions=num_partitions,
+    )
+
+    def score(batch: pa.Table) -> pa.Table:
+        tfv = batch["tf"].to_numpy(zero_copy_only=False).astype(np.float64)
+        dfv = batch["df"].to_numpy(zero_copy_only=False).astype(np.float64)
+        tfidf = np.round(tfv * np.log(n_docs / dfv), 6)
+        return batch.append_column("tfidf", pa.array(tfidf))
+
+    return joined.map_batches(score, batch_format="pyarrow")
+
+
 BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
 
 

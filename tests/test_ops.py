@@ -251,6 +251,50 @@ def test_parts_never_ordered_matches_duckdb(ray_session):
     assert np.allclose(got["p_retailprice"], want["p_retailprice"])
 
 
+def test_tf_idf_matches_duckdb(ray_session):
+    import duckdb
+    import ray.data
+
+    from kenlm_ray.ops.text import tf_idf
+
+    sf = "/root/testdata/sf0.001"
+    ds = ray.data.read_parquet(
+        f"{sf}/documents.parquet", columns=["doc_id", "text"]
+    )
+    got = (
+        tf_idf(ds)
+        .to_pandas()
+        .sort_values(["doc_id", "token"])
+        .reset_index(drop=True)
+    )
+    want = duckdb.sql(
+        f"""WITH toks AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(text, '[\\t\\n\\r ]+'),
+                                 x -> x <> '') AS w
+              FROM '{sf}/documents.parquet'
+            ), flat AS (
+              SELECT doc_id, t.tok FROM toks, unnest(w) AS t(tok)
+            ), tf AS (
+              SELECT doc_id, tok AS token, count(*)::BIGINT AS tf
+              FROM flat GROUP BY doc_id, tok
+            ), df AS (
+              SELECT token, count(*)::BIGINT AS df FROM tf GROUP BY token
+            ), n AS (
+              SELECT count(*)::DOUBLE AS n
+              FROM '{sf}/documents.parquet'
+            )
+            SELECT tf.doc_id, tf.token, tf.tf, df.df,
+                   round(tf.tf * ln(n.n / df.df), 6) AS tfidf
+            FROM tf JOIN df USING (token), n
+            ORDER BY doc_id, token"""
+    ).df()
+    assert len(got) == len(want) > 0
+    assert list(got["tf"]) == list(want["tf"])
+    assert list(got["df"]) == list(want["df"])
+    assert np.allclose(got["tfidf"], want["tfidf"], atol=0)
+
+
 def test_winnow_fingerprints(ray_session):
     import ray.data
 
