@@ -314,6 +314,41 @@ def _q_simhash(sf_dir):
     return simhash_column(_documents(sf_dir))
 
 
+def _q_heavy_hitters(sf_dir):
+    import ray.data
+
+    from kenlm_ray.ops.sketch import heavy_hitters
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"), columns=["l_suppkey"]
+    )
+    return heavy_hitters(ds, "l_suppkey", k=500)
+
+
+def _q_supplier_approx_distinct(sf_dir):
+    import ray.data
+
+    from kenlm_ray.ops.sketch import grouped_hll_distinct
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_suppkey", "l_partkey"],
+    )
+    return grouped_hll_distinct(ds, "l_suppkey", "l_partkey", p=10)
+
+
+def _q_deterministic_sample(sf_dir):
+    import ray.data
+
+    from kenlm_ray.ops.sample import deterministic_sample
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_totalprice"],
+    )
+    return deterministic_sample(ds, "o_orderkey", 100, seed=7)
+
+
 def _q_approx_distinct(sf_dir):
     import ray.data
 
@@ -539,6 +574,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "winnow_fingerprints": _q_winnow,
         "approx_distinct_custkeys": _q_approx_distinct,
         "approx_price_quantiles": _q_approx_quantiles,
+        "heavy_hitter_suppkeys": _q_heavy_hitters,
+        "supplier_approx_distinct_parts": _q_supplier_approx_distinct,
+        "deterministic_sample_orders": _q_deterministic_sample,
         "lsh_knn_top10": _q_lsh_knn,
         "lsh_index_knn_top10": _q_lsh_index_knn,
         "ivf_knn_top10": _q_ivf_knn,

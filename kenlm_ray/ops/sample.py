@@ -1,0 +1,66 @@
+"""Deterministic distributed sampling.
+
+``ds.random_sample`` gives a Bernoulli fraction (nondeterministic, only
+approximately sized); training-data pipelines need EXACT-k, seeded,
+re-runnable samples ("the same held-out 10k docs every run").  The
+mergeable shape is bottom-k-by-hash: rank every row by
+``splitmix64(seed ^ id)`` — a fixed uniform permutation of the id space
+— and keep the k smallest ranks.  Each batch contributes at most its
+local bottom-k, so only k rows per batch cross the wire and the global
+merge is a k-row sort+limit.  Deterministic across runs, partitionings,
+and cluster sizes; adding new ids later leaves the old sample mostly
+intact (consistent sampling — the property weighted reservoir schemes
+share, cf. Efraimidis & Spirakis 2006).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data
+
+_S1 = np.uint64(0xBF58476D1CE4E5B9)
+_S2 = np.uint64(0x94D049BB133111EB)
+
+
+def _rank(ids: np.ndarray, seed: int) -> np.ndarray:
+    with np.errstate(over="ignore"):
+        x = ids.astype(np.uint64) ^ np.uint64(seed)
+        x = (x ^ (x >> np.uint64(30))) * _S1
+        x = (x ^ (x >> np.uint64(27))) * _S2
+        return x ^ (x >> np.uint64(31))
+
+
+def deterministic_sample(
+    ds: "ray.data.Dataset",
+    id_col: str,
+    k: int,
+    *,
+    seed: int = 0,
+) -> "ray.data.Dataset":
+    """Exact-k uniform sample, keyed by ``splitmix64(seed ^ id)``.
+
+    Requires ``id_col`` values to be unique (they are the sampling
+    universe).  Shape: per-batch bottom-k (argpartition, no sort of the
+    full batch) -> global ``sort + limit`` over <= k * n_batches rows.
+    The ``__rank`` column is dropped from the output."""
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        r = _rank(ids, seed)
+        if len(r) > k:
+            keep = np.argpartition(r, k)[:k]
+            batch = batch.take(pa.array(keep))
+            r = r[keep]
+        # uint64 ranks don't fit Arrow's default int64 sort path — shift
+        # to signed int64 preserving order
+        signed = (r - np.uint64(1 << 63)).view(np.int64)
+        return batch.append_column("__rank", pa.array(signed))
+
+    out = (
+        ds.map_batches(local_topk, batch_format="pyarrow")
+        .sort("__rank")
+        .limit(k)
+    )
+    return out.drop_columns(["__rank"])

@@ -186,6 +186,170 @@ def cm_frequencies(
 
 
 # ---------------------------------------------------------------------------
+# Misra-Gries heavy hitters
+# ---------------------------------------------------------------------------
+
+def mg_partial(values: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
+    """(keys, counts): Misra-Gries summary of one batch, <= k entries.
+
+    Exact per-batch counts (np.unique — the batch fits in memory),
+    compressed to k by subtracting the (k+1)-th largest count from all
+    and keeping the positive ones (the vectorized form of the MG
+    decrement loop).  Undercount <= n_batch / (k+1)."""
+    keys, counts = np.unique(values, return_counts=True)
+    return _mg_compress(keys, counts.astype(np.int64), k)
+
+
+def _mg_compress(
+    keys: np.ndarray, counts: np.ndarray, k: int
+) -> tuple[np.ndarray, np.ndarray]:
+    if len(keys) <= k:
+        return keys, counts
+    kth = np.partition(counts, len(counts) - k - 1)[len(counts) - k - 1]
+    out = counts - kth
+    keep = out > 0
+    return keys[keep], out[keep]
+
+
+def mg_merge(
+    parts: "list[tuple[np.ndarray, np.ndarray]]", k: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Merge summaries: sum counts per key, re-compress to k.  The
+    merged summary keeps the mergeable-summaries guarantee (Agarwal et
+    al. 2012): total undercount <= n_total / (k+1)."""
+    keys = np.concatenate([p[0] for p in parts])
+    counts = np.concatenate([p[1] for p in parts])
+    order = np.argsort(keys, kind="stable")
+    keys, counts = keys[order], counts[order]
+    starts = np.flatnonzero(
+        np.concatenate([[True], keys[1:] != keys[:-1]])
+    )
+    merged_keys = keys[starts]
+    merged_counts = np.add.reduceat(counts, starts)
+    return _mg_compress(merged_keys, merged_counts, k)
+
+
+def heavy_hitters(
+    ds: "ray.data.Dataset", col: str, *, k: int = 1000
+) -> "ray.data.Dataset":
+    """Approximate heavy hitters: every key with true frequency
+    > n/(k+1) is guaranteed present; reported counts undercount by at
+    most n/(k+1).  One <=k-entry summary per batch crosses the wire
+    (16k bytes), merged on the driver — no shuffle.  Output columns:
+    key (int64), approx_count (int64, lower bound)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = batch[col].to_numpy(zero_copy_only=False).astype(np.int64)
+        mk, mc = mg_partial(v, k)
+        return pa.table(
+            {"k": pa.array([mk.tobytes()]), "c": pa.array([mc.tobytes()])}
+        )
+
+    rows = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    parts = [
+        (
+            np.frombuffer(r["k"], dtype=np.int64),
+            np.frombuffer(r["c"], dtype=np.int64),
+        )
+        for r in rows
+    ]
+    if not parts:
+        return ray.data.from_items([{"key": 0, "approx_count": 0}]).limit(0)
+    keys, counts = mg_merge(parts, k)
+    order = np.argsort(-counts, kind="stable")
+    return ray.data.from_items(
+        [
+            {"key": int(kk), "approx_count": int(cc)}
+            for kk, cc in zip(keys[order], counts[order])
+        ]
+    )
+
+
+# ---------------------------------------------------------------------------
+# Grouped HyperLogLog (approx COUNT(DISTINCT v) GROUP BY key)
+# ---------------------------------------------------------------------------
+
+def grouped_hll_distinct(
+    ds: "ray.data.Dataset",
+    key_col: str,
+    val_col: str,
+    *,
+    p: int = 10,
+) -> "ray.data.Dataset":
+    """Approximate per-key distinct counts.
+
+    The exact shape (ops/analytics.supplier_distinct_parts) shuffles
+    every distinct (key, value) pair; this one shuffles one 2^p-byte
+    register blob per (key, batch) — constant per key regardless of how
+    many distinct values it has, the scale path when values-per-key is
+    huge.  Per-batch registers are built with one np.maximum.at over a
+    flattened (key_index * m + register) array; the groupby merges
+    byte-max.  Output: key_col, approx_distinct (float64, ~3.2% stderr
+    at p=10)."""
+    m = 1 << p
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keys = batch[key_col].to_numpy(zero_copy_only=False)
+        vals = batch[val_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        uk, inv = np.unique(keys, return_inverse=True)
+        h = _mix64(vals)
+        idx = (h >> np.uint64(64 - p)).astype(np.int64)
+        rest = (h << np.uint64(p)) | np.uint64((1 << p) - 1)
+        hi = (rest >> np.uint64(32)).astype(np.float64)
+        lo = (rest & np.uint64(0xFFFFFFFF)).astype(np.float64)
+        lz = np.where(
+            hi > 0,
+            31 - np.floor(np.log2(np.maximum(hi, 1.0))),
+            63 - np.floor(np.log2(np.maximum(lo, 1.0))),
+        ).astype(np.int64)
+        flat = np.zeros(len(uk) * m, dtype=np.uint8)
+        np.maximum.at(flat, inv * m + idx, (lz + 1).astype(np.uint8))
+        return pa.table(
+            {
+                key_col: pa.array(uk),
+                "regs": pa.array(
+                    [flat[i * m : (i + 1) * m].tobytes() for i in range(len(uk))]
+                ),
+            }
+        )
+
+    def finalize(g: pa.Table) -> pa.Table:
+        keys = g[key_col].to_numpy(zero_copy_only=False)
+        blobs = g["regs"].to_pylist()
+        uk, inv = np.unique(keys, return_inverse=True)
+        regs = np.zeros((len(uk), m), dtype=np.uint8)
+        for i, b in enumerate(blobs):
+            np.maximum(
+                regs[inv[i]],
+                np.frombuffer(b, dtype=np.uint8),
+                out=regs[inv[i]],
+            )
+        ests = np.array([hll_estimate(regs[i]) for i in range(len(uk))])
+        return pa.table(
+            {key_col: pa.array(uk), "approx_distinct": pa.array(ests)}
+        )
+
+    part = ds.map_batches(partial, batch_format="pyarrow")
+    # coarse partition: many keys per group, one vectorized merge each
+    P = 16
+
+    def bucketed(batch: pa.Table) -> pa.Table:
+        keys = batch[key_col].to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "__pb", pa.array((_mix64(keys) % np.uint64(P)).astype(np.int64))
+        )
+
+    return (
+        part.map_batches(bucketed, batch_format="pyarrow")
+        .groupby("__pb")
+        .map_groups(
+            lambda g: finalize(g.drop_columns(["__pb"])),
+            batch_format="pyarrow",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Quantile digest (uniform-scale t-digest)
 # ---------------------------------------------------------------------------
 

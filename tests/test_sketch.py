@@ -25,6 +25,13 @@ from kenlm_ray.ops.sketch import (
     qd_quantile,
 )
 
+from kenlm_ray.ops.sketch import (  # noqa: E402
+    grouped_hll_distinct,
+    heavy_hitters,
+    mg_merge,
+    mg_partial,
+)
+
 SF = "/root/testdata/sf0.001"
 
 
@@ -105,6 +112,30 @@ def test_qd_exact_when_few_values():
     assert np.allclose(qd_quantile(c, w, [0.0, 1.0]), [1.0, 4.0])
 
 
+def test_mg_guarantees():
+    rng = np.random.default_rng(5)
+    # 5 true heavy hitters + uniform noise
+    vals = np.concatenate(
+        [np.repeat(np.arange(5), 3_000), rng.integers(1000, 100_000, 25_000)]
+    )
+    rng.shuffle(vals)
+    n = len(vals)
+    k = 100
+    parts = [mg_partial(c, k) for c in np.array_split(vals, 11)]
+    keys, counts = mg_merge(parts, k)
+    est = dict(zip(keys.tolist(), counts.tolist()))
+    for hh in range(5):
+        exact = int((vals == hh).sum())
+        assert exact > n / (k + 1)  # is a true heavy hitter
+        assert hh in est  # guaranteed retained
+        assert est[hh] <= exact  # never overcounts
+        assert exact - est[hh] <= n / (k + 1) * 11  # per-part undercount sums
+    # merge order independence
+    keys2, counts2 = mg_merge(parts[::-1], k)
+    assert set(keys.tolist()) >= {0, 1, 2, 3, 4}
+    assert set(keys2.tolist()) >= {0, 1, 2, 3, 4}
+
+
 # ---------------------------------------------------------------------------
 # Dataset helpers vs exact answers on the testdata tables
 # ---------------------------------------------------------------------------
@@ -165,3 +196,94 @@ def test_approx_quantiles_on_lineitem():
     ).fetchone()[0]
     for r, e in zip(sorted(rows, key=lambda r: r["q"]), exact):
         assert abs(r["value"] - e) / e < 0.02, (r, e)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_heavy_hitters_on_lineitem():
+    import duckdb
+    import ray.data
+
+    ds = ray.data.read_parquet(
+        f"{SF}/lineitem.parquet", columns=["l_suppkey"]
+    )
+    got = {
+        r["key"]: r["approx_count"]
+        for r in heavy_hitters(ds, "l_suppkey", k=500).take_all()
+    }
+    exact = dict(
+        duckdb.sql(
+            f"SELECT l_suppkey, count(*) FROM '{SF}/lineitem.parquet' GROUP BY 1"
+        ).fetchall()
+    )
+    n = sum(exact.values())
+    thresh = n / 501
+    for key, cnt in exact.items():
+        if cnt > thresh:
+            assert key in got
+        if key in got:
+            assert got[key] <= cnt  # lower bound
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_grouped_hll_vs_exact_distinct():
+    import duckdb
+    import ray.data
+
+    ds = ray.data.read_parquet(
+        f"{SF}/lineitem.parquet", columns=["l_suppkey", "l_partkey"]
+    )
+    got = {
+        r["l_suppkey"]: r["approx_distinct"]
+        for r in grouped_hll_distinct(
+            ds, "l_suppkey", "l_partkey", p=10
+        ).take_all()
+    }
+    exact = dict(
+        duckdb.sql(
+            f"SELECT l_suppkey, count(DISTINCT l_partkey) "
+            f"FROM '{SF}/lineitem.parquet' GROUP BY 1"
+        ).fetchall()
+    )
+    assert set(got) == set(exact)
+    for key, ex in exact.items():
+        assert abs(got[key] - ex) / max(ex, 1) < 0.15  # ~4.5 sigma at p=10
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_deterministic_sample():
+    import ray.data
+
+    from kenlm_ray.ops.sample import deterministic_sample
+
+    ds = ray.data.read_parquet(
+        f"{SF}/orders.parquet", columns=["o_orderkey", "o_totalprice"]
+    )
+    s1 = sorted(
+        r["o_orderkey"]
+        for r in deterministic_sample(ds, "o_orderkey", 50, seed=7).take_all()
+    )
+    # re-run with a different partitioning: same sample
+    s2 = sorted(
+        r["o_orderkey"]
+        for r in deterministic_sample(
+            ds.repartition(13), "o_orderkey", 50, seed=7
+        ).take_all()
+    )
+    assert s1 == s2 and len(s1) == 50
+    # different seed: different sample
+    s3 = sorted(
+        r["o_orderkey"]
+        for r in deterministic_sample(ds, "o_orderkey", 50, seed=8).take_all()
+    )
+    assert s1 != s3
+    # matches the driver-side definition exactly
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from kenlm_ray.ops.sample import _rank
+
+    ids = pq.read_table(
+        f"{SF}/orders.parquet", columns=["o_orderkey"]
+    )["o_orderkey"].to_numpy()
+    want = sorted(ids[np.argsort(_rank(ids, 7), kind="stable")[:50]].tolist())
+    assert s1 == want
