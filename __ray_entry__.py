@@ -296,6 +296,24 @@ def _q_parts_never_ordered(sf_dir):
     return parts_never_ordered(sf_dir)
 
 
+def _q_running_total(sf_dir):
+    from kenlm_ray.ops.analytics import customer_running_total
+
+    return customer_running_total(sf_dir)
+
+
+def _q_lineitem_rollup(sf_dir):
+    from kenlm_ray.ops.analytics import lineitem_rollup
+
+    return lineitem_rollup(sf_dir)
+
+
+def _q_parts_hi_lo_intersect(sf_dir):
+    from kenlm_ray.ops.analytics import parts_hi_lo_intersect
+
+    return parts_hi_lo_intersect(sf_dir)
+
+
 def _q_customer_top_orders(sf_dir):
     from kenlm_ray.ops.analytics import customer_top_orders
 
@@ -559,6 +577,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "purchase_click_attribution": _q_asof_attribution,
         "customers_without_orders": _q_customers_without_orders,
         "parts_never_ordered": _q_parts_never_ordered,
+        "customer_running_total": _q_running_total,
+        "lineitem_rollup": _q_lineitem_rollup,
+        "parts_hi_lo_intersect": _q_parts_hi_lo_intersect,
         "customer_top3_orders": _q_customer_top_orders,
         "quantity_quantiles": _q_quantity_quantiles,
         "supplier_distinct_parts": _q_supplier_distinct_parts,
@@ -772,6 +793,25 @@ def oracle_sql() -> dict[str, str]:
                 SELECT 1 FROM orders o
                 WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000
             )
+        """,
+        "customer_running_total": """
+            SELECT o_custkey, o_orderkey,
+                   round(sum(o_totalprice) OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY o_orderdate, o_orderkey
+                       ROWS UNBOUNDED PRECEDING), 2) AS running_total
+            FROM orders
+        """,
+        "lineitem_rollup": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty
+            FROM lineitem
+            GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        """,
+        "parts_hi_lo_intersect": """
+            SELECT l_partkey FROM lineitem WHERE l_quantity >= 49
+            INTERSECT
+            SELECT l_partkey FROM lineitem WHERE l_quantity <= 2
         """,
         "parts_never_ordered": """
             SELECT p_partkey, p_name, p_retailprice

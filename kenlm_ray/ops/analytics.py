@@ -452,6 +452,168 @@ def customers_without_orders(
     return cust.map_batches(anti, batch_format="pyarrow")
 
 
+def lineitem_rollup(sf_dir: str) -> "ray.data.Dataset":
+    """GROUP BY ROLLUP(l_returnflag, l_linestatus) — sum_qty at three
+    levels: (flag, status), (flag), and grand total.
+
+    Only the finest level touches the data (partial per-batch combine →
+    one small groupby); the coarser levels are re-aggregated from the
+    finest RESULT (cardinality = |flags| x |statuses| rows), never from
+    the input — the standard rollup-from-cube trick, so a 100 TB scan
+    pays one aggregation.  Rolled-up key columns are NULL, matching the
+    SQL ROLLUP output.
+    """
+    ds = read(
+        sf_dir, "lineitem", columns=["l_returnflag", "l_linestatus", "l_quantity"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        return batch.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("l_quantity", "sum")]
+        )
+
+    base = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(Sum("l_quantity_sum", alias_name="sum_qty"))
+        .to_pandas()  # finest level: a handful of rows
+    )
+    flags, statuses, sums = (
+        list(base["l_returnflag"]),
+        list(base["l_linestatus"]),
+        [float(np.round(s, 2)) for s in base["sum_qty"]],
+    )
+    for rf, g in base.groupby("l_returnflag"):
+        flags.append(rf)
+        statuses.append(None)
+        sums.append(float(np.round(g["sum_qty"].sum(), 2)))
+    flags.append(None)
+    statuses.append(None)
+    sums.append(float(np.round(base["sum_qty"].sum(), 2)))
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "l_returnflag": pa.array(flags, type=pa.string()),
+                "l_linestatus": pa.array(statuses, type=pa.string()),
+                "sum_qty": pa.array(sums, type=pa.float64()),
+            }
+        )
+    )
+
+
+def _distinct_partkeys(sf_dir: str, expr: str) -> "ray.data.Dataset":
+    """Distinct l_partkey under a pushed-down row filter: per-batch
+    distinct -> global groupby (only distinct keys shuffle)."""
+    li = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_partkey", "l_quantity"],
+    ).filter(expr=expr)
+
+    def batch_distinct(batch: pa.Table) -> pa.Table:
+        return batch.select(["l_partkey"]).group_by(["l_partkey"]).aggregate([])
+
+    return (
+        li.map_batches(batch_distinct, batch_format="pyarrow")
+        .groupby("l_partkey")
+        .aggregate(Count(alias_name="__c"))
+        .drop_columns(["__c"])
+    )
+
+
+def parts_hi_lo_intersect(
+    sf_dir: str, hi: float = 49.0, lo: float = 2.0
+) -> "ray.data.Dataset":
+    """INTERSECT: parts that ship in both very-large and very-small
+    quantities.  Each side reduces to its distinct keys map-side, then
+    the partitioned semi-join (ops/join.py) intersects them — the
+    general large x large set-intersection shape (EXCEPT is the same
+    with how="anti"; parts_never_ordered demonstrates it)."""
+    from kenlm_ray.ops.join import hash_join
+
+    a = _distinct_partkeys(sf_dir, f"l_quantity >= {hi!r}")
+    b = _distinct_partkeys(sf_dir, f"l_quantity <= {lo!r}")
+    return hash_join(
+        a,
+        b,
+        on=["l_partkey"],
+        left_cols={"l_partkey": pa.int64()},
+        right_cols={"l_partkey": pa.int64()},
+        how="semi",
+    )
+
+
+def customer_running_total(sf_dir: str) -> "ray.data.Dataset":
+    """Cumulative window aggregate: each customer's running order total
+    in (o_orderdate, o_orderkey) order — SUM(...) OVER (PARTITION BY
+    custkey ORDER BY date, key ROWS UNBOUNDED PRECEDING).
+
+    Shape: hash-bucket custkeys into P coarse partitions (many keys per
+    group, ONE vectorized kernel per group — never a pandas group per
+    key), lexsort each partition by (custkey, date, orderkey), and
+    compute a segment-reset cumsum (global cumsum minus each run's
+    leading offset).  Per-key rows must fit one partition's memory —
+    true for any bounded-history key; salts exist for pathological keys
+    (ops/salted.py).  Additions happen in the same ascending order the
+    SQL window does, so the float64 running sums are bit-identical.
+    """
+    ds = read(
+        sf_dir,
+        "orders",
+        columns=["o_custkey", "o_orderkey", "o_totalprice", "o_orderdate"],
+    )
+    P = 16
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        ck = batch["o_custkey"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            x = (ck ^ (ck >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+            x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+            x ^= x >> np.uint64(31)
+        return batch.append_column(
+            "__pb", pa.array((x % np.uint64(P)).astype(np.int64))
+        )
+
+    def running(g: pa.Table) -> pa.Table:
+        if len(g) == 0:
+            return pa.table(
+                {
+                    "o_custkey": pa.array([], type=pa.int64()),
+                    "o_orderkey": pa.array([], type=pa.int64()),
+                    "running_total": pa.array([], type=pa.float64()),
+                }
+            )
+        ck = g["o_custkey"].to_numpy(zero_copy_only=False)
+        ok = g["o_orderkey"].to_numpy(zero_copy_only=False)
+        dt = g["o_orderdate"].to_numpy(zero_copy_only=False)
+        price = g["o_totalprice"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ok, dt, ck))
+        cks, prices = ck[order], price[order]
+        starts = np.concatenate([[True], cks[1:] != cks[:-1]])
+        cum = np.cumsum(prices)
+        # segment-reset cumsum: global cumsum minus the total just
+        # before each run's first row (2-decimal inputs keep the
+        # subtraction exact well past round(…, 2))
+        run_id = np.cumsum(starts) - 1
+        prior = np.concatenate([[0.0], cum[:-1]])[np.flatnonzero(starts)]
+        rt = cum - prior[run_id]
+        return pa.table(
+            {
+                "o_custkey": pa.array(cks),
+                "o_orderkey": pa.array(ok[order]),
+                "running_total": pa.array(np.round(rt, 2)),
+            }
+        )
+
+    return (
+        ds.map_batches(bucket, batch_format="pyarrow")
+        .groupby("__pb")
+        .map_groups(
+            lambda g: running(g.drop_columns(["__pb"])),
+            batch_format="pyarrow",
+        )
+    )
+
+
 def parts_never_ordered(
     sf_dir: str, min_qty: float = 49.0
 ) -> "ray.data.Dataset":

@@ -832,3 +832,55 @@ def test_customer_top_orders_partial_cut(ray_session):
             {"o_custkey": int, "o_orderkey": int, "rn": int}
         ),
     )
+
+
+def test_running_total_rollup_intersect_match_duckdb(ray_session):
+    import duckdb
+    import pandas as pd
+
+    from kenlm_ray.ops.analytics import (
+        customer_running_total,
+        lineitem_rollup,
+        parts_hi_lo_intersect,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    for t in ["orders", "lineitem"]:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+
+    def canon(df):
+        c = sorted(df.columns)
+        return df[c].sort_values(c).reset_index(drop=True)
+
+    rt = canon(customer_running_total(sf).to_pandas())
+    rt_sql = canon(
+        con.execute(
+            """SELECT o_custkey, o_orderkey,
+                   round(sum(o_totalprice) OVER (
+                       PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                       ROWS UNBOUNDED PRECEDING), 2) AS running_total
+               FROM orders"""
+        ).df()
+    )
+    pd.testing.assert_frame_equal(rt, rt_sql, check_dtype=False)
+
+    ru = canon(lineitem_rollup(sf).to_pandas())
+    ru_sql = canon(
+        con.execute(
+            """SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty
+               FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)"""
+        ).df()
+    )
+    pd.testing.assert_frame_equal(ru, ru_sql, check_dtype=False)
+
+    ix = canon(parts_hi_lo_intersect(sf).to_pandas())
+    ix_sql = canon(
+        con.execute(
+            """SELECT l_partkey FROM lineitem WHERE l_quantity >= 49
+               INTERSECT
+               SELECT l_partkey FROM lineitem WHERE l_quantity <= 2"""
+        ).df()
+    )
+    pd.testing.assert_frame_equal(ix, ix_sql, check_dtype=False)
