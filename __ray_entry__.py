@@ -314,6 +314,24 @@ def _q_parts_hi_lo_intersect(sf_dir):
     return parts_hi_lo_intersect(sf_dir)
 
 
+def _q_event_lag_gaps(sf_dir):
+    import ray.data
+
+    from kenlm_ray.ops.windows import event_lag_gaps
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "user_id", "ts"],
+    )
+    return event_lag_gaps(ds)
+
+
+def _q_order_price_histogram(sf_dir):
+    from kenlm_ray.ops.analytics import order_price_histogram
+
+    return order_price_histogram(sf_dir)
+
+
 def _q_customer_top_orders(sf_dir):
     from kenlm_ray.ops.analytics import customer_top_orders
 
@@ -580,6 +598,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_running_total": _q_running_total,
         "lineitem_rollup": _q_lineitem_rollup,
         "parts_hi_lo_intersect": _q_parts_hi_lo_intersect,
+        "event_lag_gaps": _q_event_lag_gaps,
+        "order_price_histogram": _q_order_price_histogram,
         "customer_top3_orders": _q_customer_top_orders,
         "quantity_quantiles": _q_quantity_quantiles,
         "supplier_distinct_parts": _q_supplier_distinct_parts,
@@ -793,6 +813,18 @@ def oracle_sql() -> dict[str, str]:
                 SELECT 1 FROM orders o
                 WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000
             )
+        """,
+        "event_lag_gaps": """
+            SELECT event_id, user_id,
+                   (epoch_us(ts) - epoch_us(lag(ts) OVER (
+                       PARTITION BY user_id
+                       ORDER BY ts, event_id)))::BIGINT AS gap_us
+            FROM events
+        """,
+        "order_price_histogram": """
+            SELECT floor(o_totalprice / 50000.0)::BIGINT AS bin,
+                   count(*)::BIGINT AS n
+            FROM orders GROUP BY bin
         """,
         "customer_running_total": """
             SELECT o_custkey, o_orderkey,

@@ -154,6 +154,10 @@ def run_queries() -> dict[str, float]:
         "purchase_click_attribution",
         "customer_top3_orders",
         "supplier_distinct_parts",
+        "tf_idf",
+        "parts_never_ordered",
+        "customer_running_total",
+        "heavy_hitter_suppkeys",
         "ppl_score",
         "langid",
     ]

@@ -700,3 +700,29 @@ def customer_top_orders(sf_dir: str, k: int = 3) -> "ray.data.Dataset":
         .groupby("o_custkey")
         .map_groups(final_topk, batch_format="pyarrow")
     )
+
+
+def order_price_histogram(
+    sf_dir: str, bin_width: float = 50_000.0
+) -> "ray.data.Dataset":
+    """Fixed-width histogram of o_totalprice: bin = floor(price / w).
+
+    Classic partial+final: one bincount per batch (bins are dense small
+    ints), then a tiny groupby over |bins| rows — the input never
+    shuffles.  Output: bin (int64), n (int64).
+    """
+    ds = read(sf_dir, "orders", columns=["o_totalprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        p = batch["o_totalprice"].to_numpy(zero_copy_only=False)
+        bins = np.floor(p / bin_width).astype(np.int64)
+        u, c = np.unique(bins, return_counts=True)
+        return pa.table(
+            {"bin": pa.array(u), "n_partial": pa.array(c.astype(np.int64))}
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("bin")
+        .aggregate(Sum("n_partial", alias_name="n"))
+    )

@@ -107,3 +107,67 @@ def session_windows(
     return ds.select_columns([key_col, ts_col]).groupby(key_col).map_groups(
         sess, batch_format="pandas"
     )
+
+
+def event_lag_gaps(
+    ds: "ray.data.Dataset",
+    *,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    num_partitions: int = 16,
+) -> "ray.data.Dataset":
+    """LAG window: microseconds since each user's previous event
+    (NULL on the first) — LAG(ts) OVER (PARTITION BY key ORDER BY ts,
+    id) as a keyed grouped computation.
+
+    Shape mirrors customer_running_total: coarse hash-bucket the keys
+    into ``num_partitions`` groups, ONE lexsort + shifted-diff per
+    group; run boundaries (key changes) produce NULL.  Output:
+    id_col, key_col, gap_us (int64, nullable).
+    """
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        k = batch[key_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            x = (k ^ (k >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+            x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+            x ^= x >> np.uint64(31)
+        return batch.append_column(
+            "__pb",
+            pa.array((x % np.uint64(num_partitions)).astype(np.int64)),
+        )
+
+    def lag(g: pa.Table) -> pa.Table:
+        if len(g) == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([], type=pa.int64()),
+                    key_col: pa.array([], type=pa.int64()),
+                    "gap_us": pa.array([], type=pa.int64()),
+                }
+            )
+        keys = g[key_col].to_numpy(zero_copy_only=False)
+        ids = g[id_col].to_numpy(zero_copy_only=False)
+        us = g[ts_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, us, keys))
+        ks, uss = keys[order], us[order]
+        starts = np.concatenate([[True], ks[1:] != ks[:-1]])
+        gap = np.empty(len(uss), dtype=np.int64)
+        gap[1:] = uss[1:] - uss[:-1]
+        gap[0] = 0
+        return pa.table(
+            {
+                id_col: pa.array(ids[order]),
+                key_col: pa.array(ks),
+                "gap_us": pa.array(gap, mask=starts),
+            }
+        )
+
+    return (
+        ds.map_batches(bucket, batch_format="pyarrow")
+        .groupby("__pb")
+        .map_groups(
+            lambda g: lag(g.drop_columns(["__pb"])), batch_format="pyarrow"
+        )
+    )

@@ -85,3 +85,42 @@ def test_salted_map_groups_matches_unsalted(ray_session):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(salted[["k", "v", "id"]], expect[["k", "v", "id"]])
+
+
+def test_event_lag_and_histogram_match_duckdb(ray_session):
+    import duckdb
+    import pandas as pd
+    import ray.data
+
+    from kenlm_ray.ops.analytics import order_price_histogram
+    from kenlm_ray.ops.windows import event_lag_gaps
+
+    sf = "/root/testdata/sf0.001"
+
+    def canon(df):
+        c = sorted(df.columns)
+        return df[c].sort_values(c).reset_index(drop=True)
+
+    ds = ray.data.read_parquet(
+        f"{sf}/events.parquet", columns=["event_id", "user_id", "ts"]
+    )
+    got = canon(event_lag_gaps(ds).to_pandas())
+    want = canon(
+        duckdb.sql(
+            f"""SELECT event_id, user_id,
+                   (epoch_us(ts) - epoch_us(lag(ts) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id)))::BIGINT AS gap_us
+               FROM '{sf}/events.parquet'"""
+        ).df()
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    gh = canon(order_price_histogram(sf).to_pandas())
+    wh = canon(
+        duckdb.sql(
+            f"""SELECT floor(o_totalprice / 50000.0)::BIGINT AS bin,
+                   count(*)::BIGINT AS n
+               FROM '{sf}/orders.parquet' GROUP BY bin"""
+        ).df()
+    )
+    pd.testing.assert_frame_equal(gh, wh, check_dtype=False)
