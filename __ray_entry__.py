@@ -344,6 +344,14 @@ def _q_jaccard_pairs(sf_dir):
     return jaccard_near_dup_pairs(_documents(sf_dir), tau=0.5)
 
 
+def _q_jaccard_clusters(sf_dir):
+    from kenlm_ray.ops.cluster import connected_components
+    from kenlm_ray.ops.dedup import jaccard_near_dup_pairs
+
+    pairs = jaccard_near_dup_pairs(_documents(sf_dir), tau=0.5)
+    return connected_components(pairs)
+
+
 def _q_simhash(sf_dir):
     from kenlm_ray.ops.dedup import simhash_column
 
@@ -592,6 +600,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sliding_window_counts": _q_sliding_windows,
         "user_sessions": _q_user_sessions,
         "jaccard_near_dup_pairs": _q_jaccard_pairs,
+        "jaccard_dedup_clusters": _q_jaccard_clusters,
         "purchase_click_attribution": _q_asof_attribution,
         "customers_without_orders": _q_customers_without_orders,
         "parts_never_ordered": _q_parts_never_ordered,
@@ -873,6 +882,40 @@ def oracle_sql() -> dict[str, str]:
         "supplier_distinct_parts": """
             SELECT l_suppkey, count(DISTINCT l_partkey)::BIGINT AS n_parts
             FROM lineitem GROUP BY l_suppkey
+        """,
+        "jaccard_dedup_clusters": """
+            WITH RECURSIVE toks AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(text, '[\\t\\n\\r ]+'),
+                                 x -> x <> '') AS ts
+              FROM documents
+            ), sh AS (
+              SELECT DISTINCT doc_id,
+                     ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS s
+              FROM toks, UNNEST(generate_series(1, len(ts)-2)) AS g(i)
+              WHERE len(ts) >= 3
+            ), cnt AS (
+              SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+            ), inter AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ints
+              FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY a.doc_id, b.doc_id
+            ), pairs AS (
+              SELECT id_a, id_b FROM inter
+              JOIN cnt ca ON ca.doc_id = id_a
+              JOIN cnt cb ON cb.doc_id = id_b
+              WHERE ints / (ca.n + cb.n - ints) >= 0.5
+            ), sym AS (
+              SELECT id_a AS a, id_b AS b FROM pairs
+              UNION ALL
+              SELECT id_b, id_a FROM pairs
+            ), reach(a, b) AS (
+              SELECT a, b FROM sym
+              UNION
+              SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+            )
+            SELECT a AS doc_id, least(a, min(b))::BIGINT AS cluster_id
+            FROM reach GROUP BY a
         """,
         "tf_idf": f"""
             WITH flat AS ({_FLAT}),

@@ -1,0 +1,105 @@
+"""Connected components over a candidate-pair edge list — the step that
+turns near-duplicate PAIRS (minhash/jaccard/simhash output) into
+duplicate CLUSTERS ("keep one doc per component"), which is what a
+dedup pipeline actually deletes by.
+
+Algorithm: hash-min label propagation.  Every node starts labeled with
+its own id; each round, every node takes the min label among itself and
+its neighbours; converges in <= diameter rounds (duplicate clusters are
+near-cliques, so 2-3 rounds in practice — max_iter is a safety bound,
+not the expected cost).  Each round is two Ray Data primitives: a
+partitioned hash join (labels onto edge endpoints) and a groupby-min —
+both shuffle only the EDGE list and the label table, never documents.
+Convergence is detected by the monotone label sum (labels only ever
+decrease, so an unchanged sum is a fixed point).
+
+The driver materializes the (node, label) table between rounds — it is
+candidate-pair-sized (nodes that appear in some pair), orders of
+magnitude smaller than the corpus; docs in no pair are singletons and
+never enter the loop.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data
+from ray.data.aggregate import Min, Sum
+
+from kenlm_ray.ops.join import hash_join
+
+
+def connected_components(
+    pairs: "ray.data.Dataset",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    *,
+    max_iter: int = 50,
+    num_partitions: int = 16,
+) -> "ray.data.Dataset":
+    """(doc_id, cluster_id) for every node appearing in ``pairs``;
+    cluster_id = min doc id in the connected component."""
+
+    def symmetrize(batch: pa.Table) -> pa.Table:
+        a = batch[id_a].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = batch[id_b].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "src": pa.array(np.concatenate([a, b])),
+                "dst": pa.array(np.concatenate([b, a])),
+            }
+        )
+
+    edges = pairs.map_batches(symmetrize, batch_format="pyarrow").materialize()
+
+    def init_labels(batch: pa.Table) -> pa.Table:
+        s = np.unique(batch["src"].to_numpy(zero_copy_only=False))
+        return pa.table({"node": pa.array(s), "label": pa.array(s)})
+
+    labels = (
+        edges.map_batches(init_labels, batch_format="pyarrow")
+        .groupby("node")
+        .aggregate(Min("label", alias_name="label"))
+        .materialize()
+    )
+
+    prev_sum = None
+    for _ in range(max_iter):
+        # neighbour messages: each edge forwards its dst's label to src
+        msgs = hash_join(
+            edges,
+            labels.map_batches(
+                lambda t: t.select(["node", "label"]).rename_columns(
+                    ["dst", "label"]
+                ),
+                batch_format="pyarrow",
+            ),
+            on=["dst"],
+            left_cols={"src": pa.int64(), "dst": pa.int64()},
+            right_cols={"dst": pa.int64(), "label": pa.int64()},
+            how="inner",
+            num_partitions=num_partitions,
+        ).map_batches(
+            lambda t: t.select(["src", "label"]).rename_columns(
+                ["node", "label"]
+            ),
+            batch_format="pyarrow",
+        )
+        labels = (
+            msgs.union(labels)
+            .groupby("node")
+            .aggregate(Min("label", alias_name="label"))
+            .materialize()
+        )
+        s = labels.aggregate(Sum("label", alias_name="s"))["s"]
+        if s == prev_sum:
+            break
+        prev_sum = s
+
+    return labels.map_batches(
+        lambda t: t.select(["node", "label"]).rename_columns(
+            ["doc_id", "cluster_id"]
+        ),
+        batch_format="pyarrow",
+    )

@@ -884,3 +884,29 @@ def test_running_total_rollup_intersect_match_duckdb(ray_session):
         ).df()
     )
     pd.testing.assert_frame_equal(ix, ix_sql, check_dtype=False)
+
+
+def test_connected_components_chain_and_islands(ray_session):
+    """Label propagation resolves a long chain (needs multiple rounds),
+    a separate triangle, and leaves disjoint components distinct."""
+    import ray.data
+
+    from kenlm_ray.ops.cluster import connected_components
+
+    # chain 10-11-...-17 (diameter 7), triangle 30-31-32, pair 50-51
+    chain = [(i, i + 1) for i in range(10, 17)]
+    tri = [(30, 31), (31, 32), (30, 32)]
+    pair = [(50, 51)]
+    pairs = ray.data.from_items(
+        [{"id_a": a, "id_b": b} for a, b in chain + tri + pair]
+    )
+    got = (
+        connected_components(pairs)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    want = {i: 10 for i in range(10, 18)}
+    want.update({i: 30 for i in (30, 31, 32)})
+    want.update({50: 50, 51: 50})
+    assert dict(zip(got["doc_id"], got["cluster_id"])) == want
