@@ -352,6 +352,15 @@ def _q_jaccard_clusters(sf_dir):
     return connected_components(pairs)
 
 
+def _q_jaccard_dedup_docs(sf_dir):
+    from kenlm_ray.ops.cluster import dedup_keep_representatives
+    from kenlm_ray.ops.dedup import jaccard_near_dup_pairs
+
+    docs = _documents(sf_dir)
+    pairs = jaccard_near_dup_pairs(docs, tau=0.5)
+    return dedup_keep_representatives(docs, pairs).select_columns(["doc_id"])
+
+
 def _q_simhash(sf_dir):
     from kenlm_ray.ops.dedup import simhash_column
 
@@ -601,6 +610,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_sessions": _q_user_sessions,
         "jaccard_near_dup_pairs": _q_jaccard_pairs,
         "jaccard_dedup_clusters": _q_jaccard_clusters,
+        "jaccard_dedup_docs": _q_jaccard_dedup_docs,
         "purchase_click_attribution": _q_asof_attribution,
         "customers_without_orders": _q_customers_without_orders,
         "parts_never_ordered": _q_parts_never_ordered,
@@ -916,6 +926,44 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT a AS doc_id, least(a, min(b))::BIGINT AS cluster_id
             FROM reach GROUP BY a
+        """,
+        "jaccard_dedup_docs": """
+            WITH RECURSIVE toks AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(text, '[\\t\\n\\r ]+'),
+                                 x -> x <> '') AS ts
+              FROM documents
+            ), sh AS (
+              SELECT DISTINCT doc_id,
+                     ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS s
+              FROM toks, UNNEST(generate_series(1, len(ts)-2)) AS g(i)
+              WHERE len(ts) >= 3
+            ), cnt AS (
+              SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+            ), inter AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ints
+              FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY a.doc_id, b.doc_id
+            ), pairs AS (
+              SELECT id_a, id_b FROM inter
+              JOIN cnt ca ON ca.doc_id = id_a
+              JOIN cnt cb ON cb.doc_id = id_b
+              WHERE ints / (ca.n + cb.n - ints) >= 0.5
+            ), sym AS (
+              SELECT id_a AS a, id_b AS b FROM pairs
+              UNION ALL
+              SELECT id_b, id_a FROM pairs
+            ), reach(a, b) AS (
+              SELECT a, b FROM sym
+              UNION
+              SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+            ), clusters AS (
+              SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+              FROM reach GROUP BY a
+            )
+            SELECT d.doc_id FROM documents d
+            LEFT JOIN clusters c ON c.doc_id = d.doc_id
+            WHERE c.cluster_id IS NULL OR c.cluster_id = d.doc_id
         """,
         "tf_idf": f"""
             WITH flat AS ({_FLAT}),

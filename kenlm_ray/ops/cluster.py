@@ -103,3 +103,45 @@ def connected_components(
         ),
         batch_format="pyarrow",
     )
+
+
+def dedup_keep_representatives(
+    docs: "ray.data.Dataset",
+    pairs: "ray.data.Dataset",
+    id_col: str = "doc_id",
+    **cc_kwargs,
+) -> "ray.data.Dataset":
+    """Drop every near-duplicate except its cluster representative.
+
+    The deletion step of a dedup pipeline: pairs -> connected
+    components -> keep the min-id doc per component plus every doc in
+    no pair.  The drop list (non-representatives) is candidate-pair
+    sized — orders of magnitude smaller than the corpus — so it is
+    collected once, broadcast via ``ray.put``, and applied as a
+    map-side sorted-array filter: the DOCUMENTS never shuffle, which is
+    what makes this shape survive 100 TB (reshuffling the corpus to
+    delete <1%% of it would dominate the whole pipeline).
+    """
+    labels = connected_components(pairs, **cc_kwargs)
+    ldf = labels.to_pandas()
+    if len(ldf) == 0:
+        # no pairs at all -> empty frame with no columns; nothing to drop
+        drop = np.empty(0, dtype=np.int64)
+    else:
+        drop = (
+            ldf.loc[ldf["doc_id"] != ldf["cluster_id"], "doc_id"]
+            .to_numpy()
+            .astype(np.int64)
+        )
+    drop_ref = ray.put(np.sort(drop))
+
+    def keep(batch: pa.Table) -> pa.Table:
+        d = np.asarray(ray.get(drop_ref))
+        if len(d) == 0:
+            return batch
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        idx = np.minimum(np.searchsorted(d, ids), len(d) - 1)
+        hit = d[idx] == ids
+        return batch.filter(pa.array(~hit))
+
+    return docs.map_batches(keep, batch_format="pyarrow")

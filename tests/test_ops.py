@@ -910,3 +910,36 @@ def test_connected_components_chain_and_islands(ray_session):
     want.update({i: 30 for i in (30, 31, 32)})
     want.update({50: 50, 51: 50})
     assert dict(zip(got["doc_id"], got["cluster_id"])) == want
+
+
+def test_dedup_keep_representatives(ray_session):
+    """Survivors = min-id per pair-component plus docs in no pair."""
+    import ray.data
+
+    from kenlm_ray.ops.cluster import dedup_keep_representatives
+
+    docs = ray.data.from_items(
+        [{"doc_id": i, "text": f"doc {i}"} for i in range(8)]
+    )
+    # components {1,2,3} and {5,6}; 0,4,7 untouched
+    pairs = ray.data.from_items(
+        [
+            {"id_a": 1, "id_b": 2},
+            {"id_a": 2, "id_b": 3},
+            {"id_a": 5, "id_b": 6},
+        ]
+    )
+    out = dedup_keep_representatives(docs, pairs).to_pandas()
+    assert sorted(out["doc_id"]) == [0, 1, 4, 5, 7]
+    assert set(out.columns) == {"doc_id", "text"}
+
+    # zero pairs -> schema-less empty label table; everything survives
+    import pyarrow as pa
+
+    empty = ray.data.from_arrow(
+        pa.table(
+            {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())}
+        )
+    )
+    all_kept = dedup_keep_representatives(docs, empty).to_pandas()
+    assert sorted(all_kept["doc_id"]) == list(range(8))
