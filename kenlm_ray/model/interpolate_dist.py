@@ -1,0 +1,503 @@
+"""Distributed multi-model interpolation — the STREAMING shape of the
+reference's interpolate pipeline (/root/reference/lm/interpolate/
+merge_probabilities.cc:22-37 multi-way merge over model streams,
+merge_vocab.cc vocab union), re-expressed Ray-Data-first.
+
+``model/interpolate.py:interpolate_models`` holds every model in driver
+dicts — fine while models are small, but the reference's headline
+interpolate runs over model files that can rival the corpus.  This
+module keeps every gram table a Dataset and expresses the merge as
+keyed joins + groupbys, so model size is bounded by the cluster, not
+the driver:
+
+  per order n = 1..N over the UNION gram set (a Dataset):
+    - resolved p_i per input model via the backoff recurrence
+      p_i(w|ctx) = b_i(ctx) * p_i(w|ctx[1:]) — two hash joins against
+      model i's order-n / order-(n-1) row tables plus one against the
+      previous order's resolved table (all model-table-sized shuffles,
+      never corpus-sized);
+    - mixed p = sum_i lambda_i * resolved_i, map-side;
+    - gamma(ctx) = (1 - sum_seen p) / (1 - sum_seen p_lower): one join
+      (suffix -> merged order n-1) and one groupby(ctx) — the ARPA
+      renormalization identity, exactly as the driver-side version.
+
+Join keys are uint64 recurrence hashes of the token sequence
+(functions/hashing.ngram_hash_step — the reference's CombineWordHash
+constants), NOT gram strings: the string crosses the shuffle once in
+the union table, while the 3K per-model probe keys are 8 bytes each —
+the id-keyed-shuffle lesson from the MKN estimator applied here.
+Per-model keys are computed over model-i-NORMALIZED tokens (OOV ->
+<unk>, final <s> -> <unk>), reproducing the driver scorer's vocabulary
+mapping without materializing normalized strings.
+
+The driver holds only: lambda, per-model vocab hash arrays (the
+merge_vocab analog — vocab-sized, broadcast once via ray.put), and the
+unigram renormalization scalar.
+
+Assumes unpruned, <unk>-bearing inputs (every suffix of an explicit
+n-gram is explicit — true of kenlm-built unpruned models); pruned
+models would need the resolved-table walk extended below the suffix.
+
+Exact-parity tested against ``interpolate_models`` (same grams, probs,
+backoffs to float tolerance) in tests/test_interpolate.py.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data
+from ray.data.aggregate import Count, Max, Sum
+
+from kenlm_ray.functions.hashing import hash_bytes_array, ngram_hash_step
+from kenlm_ray.model.arpa import ArpaModel
+from kenlm_ray.ops.join import hash_join
+from kenlm_ray.schema import BOS, EOS, UNK
+
+I64 = pa.int64()  # fold keys travel as int64 BIT VIEWS of the uint64
+# recurrence hash: Ray 2.49's groupby/aggregate re-encodes uint64 key
+# columns as pickled-object extension arrays (silently unjoinable), and
+# pandas keeps int64 exact — the view is consistent on every side.
+F64 = pa.float64()
+
+
+def arpa_order_table(model: ArpaModel, n: int) -> pa.Table:
+    """Model order-n rows as Arrow: gram (space-joined), linear p and b."""
+    grams = model.grams.get(n, {})
+    keys = list(grams.keys())
+    lp = np.array([grams[g][0] for g in keys], dtype=np.float64)
+    lb = np.array([grams[g][1] for g in keys], dtype=np.float64)
+    return pa.table(
+        {
+            "gram": pa.array([" ".join(g) for g in keys], pa.string()),
+            "p": pa.array(10.0**lp),
+            "b": pa.array(10.0**lb),
+        }
+    )
+
+
+def _tok_hash_matrix(grams: pa.ChunkedArray | pa.Array, n: int) -> np.ndarray:
+    """(rows, n) uint64 token hashes of space-joined gram strings."""
+    if isinstance(grams, pa.ChunkedArray):
+        grams = grams.combine_chunks()
+    toks: list[str] = []
+    for g in grams.to_pylist():
+        toks.extend(g.split(" "))
+    return hash_bytes_array(toks).reshape(len(grams), n)
+
+
+def _fold(H: np.ndarray) -> np.ndarray:
+    """Recurrence-hash fold across the columns of a (rows, k) matrix."""
+    h = np.zeros(len(H), dtype=np.uint64)
+    for j in range(H.shape[1]):
+        h = ngram_hash_step(h, H[:, j])
+    return h.view(np.int64)
+
+
+def _normalize(H: np.ndarray, vocab_sorted: np.ndarray, unk_h: np.uint64) -> np.ndarray:
+    """Map token hashes outside ``vocab_sorted`` to <unk>'s hash."""
+    if len(vocab_sorted) == 0:
+        return np.full_like(H, unk_h)
+    idx = np.minimum(np.searchsorted(vocab_sorted, H), len(vocab_sorted) - 1)
+    return np.where(vocab_sorted[idx] == H, H, unk_h)
+
+
+def _lj(left, left_schema, right, right_schema, key, num_partitions):
+    """hash_join LEFT wrapper threading explicit schema dicts."""
+    return (
+        hash_join(
+            left,
+            right,
+            on=[key],
+            left_cols=dict(left_schema),
+            right_cols=dict(right_schema),
+            how="left",
+            num_partitions=num_partitions,
+        ),
+        {**left_schema, **{c: t for c, t in right_schema.items() if c != key}},
+    )
+
+
+def interpolate_models_dist(
+    models: "list[ArpaModel]",
+    weights: "list[float]",
+    *,
+    num_partitions: int = 16,
+) -> "ray.data.Dataset":
+    """Merge ``models`` with fixed ``weights`` entirely through Ray Data.
+
+    Returns a Dataset of ARPA rows {n, gram, logp, logb} (every order
+    unioned); ``dataset_to_arpa`` collects it into an ArpaModel for
+    writing/tests.  Semantics identical to
+    ``interpolate.interpolate_models`` (see module docstring there).
+    """
+    if len(models) != len(weights):
+        raise ValueError(f"{len(weights)} weights for {len(models)} models")
+    if abs(sum(weights) - 1.0) > 1e-9:
+        raise ValueError(f"weights must sum to 1 (got {sum(weights)})")
+    K = len(models)
+    N = max(m.order for m in models)
+    lam = [float(w) for w in weights]
+
+    bos_h = np.uint64(hash_bytes_array([BOS])[0])
+    unk_h = np.uint64(hash_bytes_array([UNK])[0])
+    # merge_vocab analog: per-model vocab hash arrays, broadcast once
+    vocab_refs = [
+        ray.put(np.sort(hash_bytes_array([w for (w,) in m.grams[1]])))
+        for m in models
+    ]
+
+    # model order tables as Datasets keyed by the recurrence hash
+    def model_order_ds(i: int, n: int) -> "ray.data.Dataset":
+        tbl = arpa_order_table(models[i], n)
+        if len(tbl):
+            H = _tok_hash_matrix(tbl["gram"], n)
+            k = _fold(H)
+        else:
+            k = np.empty(0, dtype=np.uint64)
+        return ray.data.from_arrow(
+            pa.table({"k": pa.array(k), "p": tbl["p"], "b": tbl["b"]})
+        )
+
+    # ---- order 1: union vocab, per-model resolved, renormalized mix ----
+    vocab_parts = [
+        pa.table({"gram": pa.array(sorted({w for (w,) in m.grams[1]}))})
+        for m in models
+    ] + [pa.table({"gram": pa.array([UNK, EOS])})]
+    vocab = (
+        ray.data.from_arrow(pa.concat_tables(vocab_parts))
+        .groupby("gram")
+        .aggregate(Count(alias_name="__c"))
+        .map_batches(lambda b: b.select(["gram"]), batch_format="pyarrow")
+    )
+
+    def key_cols_1(batch: pa.Table) -> pa.Table:
+        H = _tok_hash_matrix(batch["gram"], 1)
+        out = {"gram": batch["gram"], "rawkey": pa.array(_fold(H))}
+        for i in range(K):
+            vs = np.asarray(ray.get(vocab_refs[i]))
+            Hn = _normalize(H, vs, unk_h)
+            Hn = np.where(Hn == bos_h, unk_h, Hn)  # BOS never predicted
+            out[f"nk{i}"] = pa.array(_fold(Hn))
+        return pa.table(out)
+
+    t = vocab.map_batches(key_cols_1, batch_format="pyarrow")
+    schema = {"gram": pa.string(), "rawkey": I64}
+    schema.update({f"nk{i}": I64 for i in range(K)})
+    for i in range(K):
+        t = t.map_batches(
+            lambda b, i=i: b.rename_columns(
+                [("k" if c == f"nk{i}" else c) for c in b.column_names]
+            ),
+            batch_format="pyarrow",
+        )
+        sch = {("k" if c == f"nk{i}" else c): ty for c, ty in schema.items()}
+        t, sch = _lj(
+            t, sch, model_order_ds(i, 1), {"k": I64, "p": F64}, "k", num_partitions
+        )
+        t = t.map_batches(
+            lambda b, i=i: b.rename_columns(
+                [
+                    (f"nk{i}" if c == "k" else (f"r{i}" if c == "p" else c))
+                    for c in b.column_names
+                ]
+            ),
+            batch_format="pyarrow",
+        )
+        schema = {
+            (f"nk{i}" if c == "k" else (f"r{i}" if c == "p" else c)): ty
+            for c, ty in sch.items()
+        }
+
+    def mix1(batch: pa.Table) -> pa.Table:
+        p = np.zeros(len(batch), dtype=np.float64)
+        for i in range(K):
+            ri = batch[f"r{i}"].to_numpy(zero_copy_only=False)
+            p += lam[i] * np.nan_to_num(ri, nan=0.0)
+        keep = {
+            "gram": batch["gram"],
+            "rawkey": batch["rawkey"],
+            "p": pa.array(p),
+        }
+        for i in range(K):
+            keep[f"nk{i}"] = batch[f"nk{i}"]
+            keep[f"r{i}"] = pa.array(
+                np.nan_to_num(
+                    batch[f"r{i}"].to_numpy(zero_copy_only=False), nan=0.0
+                )
+            )
+        return pa.table(keep)
+
+    base = t.map_batches(mix1, batch_format="pyarrow").materialize()
+
+    is_bos = f"gram == '{BOS}'"
+    nb = base.filter(expr=f"gram != '{BOS}'")
+    s = nb.aggregate(Sum("p", alias_name="s"))["s"]
+    merged_1 = nb.map_batches(
+        lambda b: pa.table(
+            {
+                "gram": b["gram"],
+                "rawkey": b["rawkey"],
+                "p": pa.array(b["p"].to_numpy(zero_copy_only=False) / s),
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+
+    # per-model resolved order-1 tables (normalized-key -> p), deduped:
+    # distinct union grams can normalize to the same <unk>-gram
+    resolved: list["ray.data.Dataset"] = []
+    for i in range(K):
+        resolved.append(
+            base.map_batches(
+                lambda b, i=i: pa.table({"k": b[f"nk{i}"], "p": b[f"r{i}"]}),
+                batch_format="pyarrow",
+            )
+            .groupby("k")
+            .aggregate(Max("p", alias_name="p"))
+            .materialize()
+        )
+
+    merged: dict[int, "ray.data.Dataset"] = {1: merged_1}
+    gammas: dict[int, "ray.data.Dataset"] = {}  # n -> {k(ctx rawkey), gamma}
+
+    # ---- orders 2..N ---------------------------------------------------
+    for n in range(2, N + 1):
+        parts = []
+        for i in range(K):
+            tbl = arpa_order_table(models[i], n)
+            if len(tbl):
+                parts.append(tbl.select(["gram"]))
+        union_n = (
+            ray.data.from_arrow(
+                pa.concat_tables(parts)
+                if parts
+                else pa.table({"gram": pa.array([], pa.string())})
+            )
+            .groupby("gram")
+            .aggregate(Count(alias_name="__c"))
+            .map_batches(lambda b: b.select(["gram"]), batch_format="pyarrow")
+        )
+
+        def key_cols_n(batch: pa.Table, n=n) -> pa.Table:
+            H = _tok_hash_matrix(batch["gram"], n)
+            out = {
+                "gram": batch["gram"],
+                "rawkey": pa.array(_fold(H)),
+                "ctxkey": pa.array(_fold(H[:, :-1])),
+                "sufkey": pa.array(_fold(H[:, 1:])),
+            }
+            for i in range(K):
+                vs = np.asarray(ray.get(vocab_refs[i]))
+                Hn = _normalize(H, vs, unk_h)
+                Hn[:, -1] = np.where(Hn[:, -1] == bos_h, unk_h, Hn[:, -1])
+                out[f"nk{i}"] = pa.array(_fold(Hn))
+                out[f"ck{i}"] = pa.array(_fold(Hn[:, :-1]))
+                out[f"sk{i}"] = pa.array(_fold(Hn[:, 1:]))
+            return pa.table(out)
+
+        t = union_n.map_batches(key_cols_n, batch_format="pyarrow")
+        schema = {"gram": pa.string(), "rawkey": I64, "ctxkey": I64, "sufkey": I64}
+        for i in range(K):
+            schema.update({f"nk{i}": I64, f"ck{i}": I64, f"sk{i}": I64})
+
+        def rekey(ds, sch, frm, to):
+            ds2 = ds.map_batches(
+                lambda b: b.rename_columns(
+                    [(to if c == frm else c) for c in b.column_names]
+                ),
+                batch_format="pyarrow",
+            )
+            return ds2, {(to if c == frm else c): ty for c, ty in sch.items()}
+
+        for i in range(K):
+            # explicit p at order n
+            t, schema = rekey(t, schema, f"nk{i}", "k")
+            t, schema = _lj(
+                t, schema, model_order_ds(i, n), {"k": I64, "p": F64},
+                "k", num_partitions,
+            )
+            t, schema = rekey(t, schema, "k", f"nk{i}")
+            t, schema = rekey(t, schema, "p", f"pe{i}")
+            # backoff of the (normalized) context from order n-1 rows
+            bo_tbl = model_order_ds(i, n - 1).map_batches(
+                lambda b: b.select(["k", "b"]), batch_format="pyarrow"
+            )
+            t, schema = rekey(t, schema, f"ck{i}", "k")
+            t, schema = _lj(
+                t, schema, bo_tbl, {"k": I64, "b": F64}, "k", num_partitions
+            )
+            t, schema = rekey(t, schema, "k", f"ck{i}")
+            t, schema = rekey(t, schema, "b", f"bo{i}")
+            # lower-order resolved p of the (normalized) suffix
+            t, schema = rekey(t, schema, f"sk{i}", "k")
+            t, schema = _lj(
+                t, schema, resolved[i], {"k": I64, "p": F64}, "k", num_partitions
+            )
+            t, schema = rekey(t, schema, "k", f"sk{i}")
+            t, schema = rekey(t, schema, "p", f"pl{i}")
+
+        def resolve_mix(batch: pa.Table) -> pa.Table:
+            m = len(batch)
+            p = np.zeros(m, dtype=np.float64)
+            out = {
+                "gram": batch["gram"],
+                "rawkey": batch["rawkey"],
+                "ctxkey": batch["ctxkey"],
+                "sufkey": batch["sufkey"],
+            }
+            for i in range(K):
+                pe = batch[f"pe{i}"].to_numpy(zero_copy_only=False)
+                bo = np.nan_to_num(
+                    batch[f"bo{i}"].to_numpy(zero_copy_only=False), nan=1.0
+                )
+                pl = np.nan_to_num(
+                    batch[f"pl{i}"].to_numpy(zero_copy_only=False), nan=0.0
+                )
+                ri = np.where(np.isnan(pe), bo * pl, pe)
+                out[f"nk{i}"] = batch[f"nk{i}"]
+                out[f"r{i}"] = pa.array(ri)
+                p += lam[i] * ri
+            out["p"] = pa.array(p)
+            return pa.table(out)
+
+        rows = t.map_batches(resolve_mix, batch_format="pyarrow").materialize()
+
+        merged[n] = rows.map_batches(
+            lambda b: b.select(["gram", "rawkey", "p"]), batch_format="pyarrow"
+        ).materialize()
+        for i in range(K):
+            resolved[i] = (
+                rows.map_batches(
+                    lambda b, i=i: pa.table({"k": b[f"nk{i}"], "p": b[f"r{i}"]}),
+                    batch_format="pyarrow",
+                )
+                .groupby("k")
+                .aggregate(Max("p", alias_name="p"))
+                .materialize()
+            )
+
+        # gamma(ctx) = (1 - sum p) / (1 - sum p_lower_merged)
+        g_in = rows.map_batches(
+            lambda b: pa.table(
+                {"ctxkey": b["ctxkey"], "k": b["sufkey"], "p": b["p"]}
+            ),
+            batch_format="pyarrow",
+        )
+        low = merged[n - 1].map_batches(
+            lambda b: pa.table({"k": b["rawkey"], "plow": b["p"]}),
+            batch_format="pyarrow",
+        )
+        g_join, _ = _lj(
+            g_in,
+            {"ctxkey": I64, "k": I64, "p": F64},
+            low,
+            {"k": I64, "plow": F64},
+            "k",
+            num_partitions,
+        )
+
+        def gfix(batch: pa.Table) -> pa.Table:
+            pl = np.nan_to_num(
+                batch["plow"].to_numpy(zero_copy_only=False), nan=0.0
+            )
+            return pa.table(
+                {"ctxkey": batch["ctxkey"], "p": batch["p"], "plow": pa.array(pl)}
+            )
+
+        g_agg = (
+            g_join.map_batches(gfix, batch_format="pyarrow")
+            .groupby("ctxkey")
+            .aggregate(Sum("p", alias_name="seen"), Sum("plow", alias_name="lower"))
+        )
+
+        def gam(batch: pa.Table) -> pa.Table:
+            seen = batch["seen"].to_numpy(zero_copy_only=False)
+            lower = batch["lower"].to_numpy(zero_copy_only=False)
+            denom = 1.0 - lower
+            g = np.where(np.abs(denom) > 1e-12, (1.0 - seen) / denom, 1.0)
+            return pa.table({"k": batch["ctxkey"], "gamma": pa.array(g)})
+
+        gammas[n] = g_agg.map_batches(gam, batch_format="pyarrow").materialize()
+
+    # ---- assemble ARPA rows per order ----------------------------------
+    def finish(n: int, rows_ds) -> "ray.data.Dataset":
+        keyed = rows_ds.map_batches(
+            lambda b: pa.table(
+                {"gram": b["gram"], "k": b["rawkey"], "p": b["p"]}
+            ),
+            batch_format="pyarrow",
+        )
+        if n + 1 in gammas:
+            keyed, _ = _lj(
+                keyed,
+                {"gram": pa.string(), "k": I64, "p": F64},
+                gammas[n + 1],
+                {"k": I64, "gamma": F64},
+                "k",
+                num_partitions,
+            )
+        else:
+            keyed = keyed.map_batches(
+                lambda b: b.append_column(
+                    "gamma", pa.array(np.full(len(b), np.nan))
+                ),
+                batch_format="pyarrow",
+            )
+
+        def to_arpa(batch: pa.Table, n=n) -> pa.Table:
+            p = batch["p"].to_numpy(zero_copy_only=False)
+            g = batch["gamma"].to_numpy(zero_copy_only=False)
+            logp = np.log10(np.maximum(p, 1e-12))
+            logb = np.where(
+                np.isnan(g), 0.0, np.log10(np.maximum(g, 1e-12))
+            )
+            return pa.table(
+                {
+                    "n": pa.array(np.full(len(batch), n, dtype=np.int32)),
+                    "gram": batch["gram"],
+                    "logp": pa.array(logp),
+                    "logb": pa.array(logb),
+                }
+            )
+
+        return keyed.map_batches(to_arpa, batch_format="pyarrow")
+
+    out = finish(1, merged_1)
+    # the BOS unigram: -99 logp, gamma from order-2 contexts
+    bos = base.filter(expr=is_bos).map_batches(
+        lambda b: pa.table({"gram": b["gram"], "rawkey": b["rawkey"],
+                            "p": pa.array(np.full(len(b), 1e-99))}),
+        batch_format="pyarrow",
+    )
+    bos_rows = finish(1, bos).map_batches(
+        lambda b: pa.table(
+            {
+                "n": b["n"],
+                "gram": b["gram"],
+                "logp": pa.array(np.full(len(b), -99.0)),
+                "logb": b["logb"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    out = out.union(bos_rows)
+    for n in range(2, N + 1):
+        out = out.union(finish(n, merged[n]))
+    return out
+
+
+def dataset_to_arpa(ds: "ray.data.Dataset") -> ArpaModel:
+    """Collect {n, gram, logp, logb} rows into a driver-side ArpaModel."""
+    out = ArpaModel()
+    for row in ds.take_all():
+        g = tuple(row["gram"].split(" "))
+        out.grams.setdefault(int(row["n"]), {})[g] = (
+            float(row["logp"]),
+            float(row["logb"]),
+        )
+    order = max(out.grams) if out.grams else 0
+    out.counts = [len(out.grams.get(n, {})) for n in range(1, order + 1)]
+    return out

@@ -118,26 +118,63 @@ def hash_join(
     lval = [c for c in left_cols if c not in on]
     rval = [c for c in right_cols if c not in on]
 
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
-        lg = g[g["__side"] == 0][on + lval]
-        if semi_anti:
-            rkeys = g[g["__side"] == 1][on].drop_duplicates()
-            m = lg.merge(rkeys, on=on, how="left", indicator=True)
-            want = "both" if how == "semi" else "left_only"
-            out = m[m["_merge"] == want][names]
-        else:
-            rg = g[g["__side"] == 1][on + rval]
-            out = lg.merge(rg, on=on, how="inner" if how == "inner" else "left")
-            out = out[names]
-        # the union fills the other side's columns with nulls, which floats
-        # integer columns through the pandas conversion; restore DECLARED
-        # integer dtypes where no nulls survive so chained joins keep exact
-        # key types and all blocks share one schema (left-join misses
-        # legitimately stay float-NaN)
-        for c in names:
-            t = all_cols[c]
-            if pa.types.is_integer(t) and not out[c].isna().any():
-                out[c] = out[c].astype(t.to_pandas_dtype())
-        return out
+    # Per-bucket join: pandas matches ONLY (key columns, row index) —
+    # each side's key columns are null-free there, so uint64/int64 keys
+    # keep exact 64-bit values (the full-block pandas merge used before
+    # floated int-with-null columns through float64, silently rounding
+    # hash keys above 2^53 — matches survived within a block but any
+    # carried 64-bit key corrupted for later joins, and distinct keys
+    # could collide).  Payload columns never enter pandas: they are
+    # gathered with Arrow ``take`` on the matched row indices, which
+    # also allocates freshly-owned buffers that Ray's zero-copy block
+    # serializer handles (pyarrow 16's Acero join was tried here and
+    # emits corrupt string offsets).  Left-join misses become typed
+    # Arrow nulls via null take indices, so every block keeps the
+    # declared schema.
 
-    return u.groupby("__bucket").map_groups(merge, batch_format="pandas")
+    def _match(lg: pa.Table, rg: pa.Table):
+        ldf = pd.DataFrame(
+            {c: lg[c].to_numpy(zero_copy_only=False) for c in on}
+        )
+        ldf["__li"] = np.arange(len(lg), dtype=np.int64)
+        rdf = pd.DataFrame(
+            {c: rg[c].to_numpy(zero_copy_only=False) for c in on}
+        )
+        rdf["__ri"] = np.arange(len(rg), dtype=np.int64)
+        return ldf, rdf
+
+    def merge(g: pa.Table) -> pa.Table:
+        side = g["__side"].to_numpy(zero_copy_only=False)
+        lg = g.filter(pa.array(side == 0)).select(on + lval)
+        rg = g.filter(pa.array(side == 1)).select(
+            on if semi_anti else on + rval
+        )
+        ldf, rdf = _match(lg, rg)
+        if semi_anti:
+            hit = (
+                ldf.merge(
+                    rdf[on].drop_duplicates(), on=on, how="left", indicator=True
+                )["_merge"]
+                == "both"
+            ).to_numpy()
+            li = np.flatnonzero(hit if how == "semi" else ~hit)
+            idx = pa.array(li, pa.int64())
+            return pa.Table.from_arrays(
+                [lg[c].take(idx) for c in names], names=names
+            )
+        m = ldf.merge(rdf, on=on, how="inner" if how == "inner" else "left")
+        li = pa.array(m["__li"].to_numpy().astype(np.int64), pa.int64())
+        ri_raw = m["__ri"].to_numpy()
+        miss = pd.isna(ri_raw)
+        ri = pa.array(
+            np.where(miss, 0, ri_raw).astype(np.int64), pa.int64(), mask=miss
+        )
+        cols = []
+        for c in names:
+            if c in left_cols:
+                cols.append(lg[c].take(li))
+            else:
+                cols.append(rg[c].take(ri))
+        return pa.Table.from_arrays(cols, names=names)
+
+    return u.groupby("__bucket").map_groups(merge, batch_format="pyarrow")

@@ -154,3 +154,49 @@ def test_distributed_interpolation_large_backoff_space(ray_session):
             dp, db = got.grams[n][g]
             worst = max(worst, abs(dp - p), abs(db - b))
     assert worst < 5e-4, worst
+
+
+def test_join_based_interpolation_exact_parity(ray_session):
+    """interpolate_models_dist (the all-Dataset, join-keyed merge — no
+    model-sized driver state) reproduces the driver-side
+    interpolate_models bit-for-bit up to float noise, including OOV
+    cross-model contexts and gamma renormalization."""
+    from kenlm_ray.model.interpolate_dist import (
+        dataset_to_arpa,
+        interpolate_models_dist,
+    )
+
+    ma = train_kn(CORPUS_A, order=3)
+    mb = train_kn(CORPUS_B, order=3)
+    ref = interpolate_models([ma, mb], [0.7, 0.3])
+    got = dataset_to_arpa(
+        interpolate_models_dist([ma, mb], [0.7, 0.3], num_partitions=4)
+    )
+    for n in (1, 2, 3):
+        assert set(got.grams[n]) == set(ref.grams[n]), n
+        for g, (p, b) in ref.grams[n].items():
+            dp, db = got.grams[n][g]
+            assert np.isclose(dp, p, rtol=1e-9, atol=1e-9), (n, g, dp, p)
+            assert np.isclose(db, b, rtol=1e-9, atol=1e-9), (n, g, db, b)
+
+
+def test_join_based_interpolation_mixed_orders(ray_session):
+    """A trigram mixed with a bigram model: the shorter model's missing
+    orders resolve through its backoff chain distributed-side."""
+    from kenlm_ray.model.interpolate_dist import (
+        dataset_to_arpa,
+        interpolate_models_dist,
+    )
+
+    ma = train_kn(CORPUS_A, order=3)
+    mb = train_kn(CORPUS_B, order=2)
+    ref = interpolate_models([ma, mb], [0.4, 0.6])
+    got = dataset_to_arpa(
+        interpolate_models_dist([ma, mb], [0.4, 0.6], num_partitions=4)
+    )
+    for n in sorted(ref.grams):
+        assert set(got.grams[n]) == set(ref.grams[n]), n
+        for g, (p, b) in ref.grams[n].items():
+            dp, db = got.grams[n][g]
+            assert np.isclose(dp, p, rtol=1e-9, atol=1e-9), (n, g, dp, p)
+            assert np.isclose(db, b, rtol=1e-9, atol=1e-9), (n, g, db, b)
