@@ -474,14 +474,33 @@ def _q_repo_top_ppl(sf_dir):
     return repo_top_ppl(scored, k=3)
 
 
+def _round_arpa6(ds):
+    """Round ARPA float columns to 6 decimals (np.round matches DuckDB
+    round(); the driver's value hash needs identical bytes)."""
+    import numpy as np
+    import pyarrow as pa
+
+    def fn(b: "pa.Table") -> "pa.Table":
+        out = {c: b[c] for c in b.column_names}
+        for c in ("log10_prob", "log10_backoff"):
+            out[c] = pa.array(
+                np.round(b[c].to_numpy(zero_copy_only=False), 6)
+            )
+        return pa.table(out)
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
 def _q_mkn_bigram(sf_dir):
     """Distributed modified-Kneser-Ney bigram estimation over documents
     (the lmplz re-expression; parity with the in-memory oracle is gated
-    in tests/test_estimate.py)."""
+    in tests/test_estimate.py, and the full estimation — counts, adjusted
+    counts, discounts, interpolation, renormalization — is transcribed
+    as a DuckDB CTE chain in oracle_sql)."""
     from kenlm_ray.ngram.estimate import estimate_mkn
 
     result = estimate_mkn(_documents(sf_dir), order=2, num_partitions=8)
-    return result["arpa_tables"][2]
+    return _round_arpa6(result["arpa_tables"][2])
 
 
 def _q_bpe_token_counts(sf_dir):
@@ -499,7 +518,7 @@ def _q_mkn_pruned_bigram(sf_dir):
     result = estimate_mkn(
         _documents(sf_dir), order=2, num_partitions=8, prune_thresholds=[0, 1]
     )
-    return result["arpa_tables"][2]
+    return _round_arpa6(result["arpa_tables"][2])
 
 
 def _q_phrase_filter(sf_dir):
@@ -623,6 +642,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantity_quantiles": _q_quantity_quantiles,
         "supplier_distinct_parts": _q_supplier_distinct_parts,
         "tf_idf": _q_tf_idf,
+        "mkn_bigram_model": _q_mkn_bigram,
+        "mkn_pruned_bigram": _q_mkn_pruned_bigram,
         # rows-only checks (stateful / model-driven, not SQL-expressible)
         "quality_filter_flagship": _q_quality_filter,
         "repo_quality_stats": _q_repo_stats,
@@ -640,11 +661,127 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lsh_knn_top10": _q_lsh_knn,
         "lsh_index_knn_top10": _q_lsh_index_knn,
         "ivf_knn_top10": _q_ivf_knn,
-        "mkn_bigram_model": _q_mkn_bigram,
-        "mkn_pruned_bigram": _q_mkn_pruned_bigram,
         "phrase_filter_trigrams": _q_phrase_filter,
         "repo_top_ppl_salted": _q_repo_top_ppl,
     }
+
+
+def _mkn_bigram_sql(prune: bool) -> str:
+    """Interpolated modified-Kneser-Ney bigram estimation as a DuckDB CTE
+    chain — the SQL transcription of model/train_quick.train_kn (itself
+    the in-memory spec of lm/builder's lmplz phases): sentence padding,
+    raw/adjusted counts, Chen-Goodman discounts from t1..t4, context
+    gamma renormalization, unigram-uniform interpolation.  ``prune``
+    adds the --prune [0,1] semantics: bigrams with raw count <= 1 leave
+    the output and their whole mass joins the context's gamma."""
+    big_dmass = (
+        """sum(CASE WHEN c <= 1 THEN c
+                    WHEN c = 2 THEN (SELECT D2 FROM d2)
+                    ELSE (SELECT D3 FROM d2) END) AS dmass"""
+        if prune
+        else """sum(CASE WHEN c = 1 THEN (SELECT D1 FROM d2)
+                    WHEN c = 2 THEN (SELECT D2 FROM d2)
+                    ELSE (SELECT D3 FROM d2) END) AS dmass"""
+    )
+    final_where = "WHERE b.c > 1" if prune else ""
+    return f"""
+        WITH lines AS (
+            SELECT unnest(string_split(text, chr(10))) AS line FROM documents
+        ),
+        sents AS (
+            SELECT list_filter(
+                     list_transform(
+                       regexp_split_to_array(line, '[\\x00\\t\\r ]+'),
+                       x -> CASE WHEN x IN ('<s>', '</s>', '<unk>')
+                            THEN '<unk>' ELSE x END),
+                     x -> x <> '') AS w
+            FROM lines
+        ),
+        toks AS (
+            SELECT ['<s>'] || w || ['</s>'] AS t FROM sents WHERE len(w) > 0
+        ),
+        big AS (
+            SELECT t[i] AS w1, t[i+1] AS w2, count(*)::DOUBLE AS c
+            FROM toks, unnest(range(1, len(t))) AS u(i)
+            GROUP BY w1, w2
+        ),
+        adj1 AS (
+            SELECT w2 AS w, count(*)::DOUBLE AS c FROM big GROUP BY w2
+        ),
+        h1 AS (
+            SELECT sum((c = 1)::INT)::DOUBLE AS t1, sum((c = 2)::INT)::DOUBLE AS t2,
+                   sum((c = 3)::INT)::DOUBLE AS t3, sum((c = 4)::INT)::DOUBLE AS t4
+            FROM adj1
+        ),
+        h2 AS (
+            SELECT sum((c = 1)::INT)::DOUBLE AS t1, sum((c = 2)::INT)::DOUBLE AS t2,
+                   sum((c = 3)::INT)::DOUBLE AS t3, sum((c = 4)::INT)::DOUBLE AS t4
+            FROM big
+        ),
+        d1 AS (
+            SELECT
+              greatest(0.0, least(1.0, CASE WHEN t1 > 0 AND t2 > 0
+                THEN 1.0 - 2.0 * (t1 / (t1 + 2.0 * t2)) * t2 / t1 ELSE 0.5 END)) AS D1,
+              greatest(0.0, least(2.0, CASE WHEN t1 > 0 AND t2 > 0
+                THEN 2.0 - 3.0 * (t1 / (t1 + 2.0 * t2)) * t3 / t2 ELSE 1.0 END)) AS D2,
+              greatest(0.0, least(3.0, CASE WHEN t1 > 0 AND t2 > 0 AND t3 > 0
+                THEN 3.0 - 4.0 * (t1 / (t1 + 2.0 * t2)) * t4 / t3 ELSE 1.5 END)) AS D3
+            FROM h1
+        ),
+        d2 AS (
+            SELECT
+              greatest(0.0, least(1.0, CASE WHEN t1 > 0 AND t2 > 0
+                THEN 1.0 - 2.0 * (t1 / (t1 + 2.0 * t2)) * t2 / t1 ELSE 0.5 END)) AS D1,
+              greatest(0.0, least(2.0, CASE WHEN t1 > 0 AND t2 > 0
+                THEN 2.0 - 3.0 * (t1 / (t1 + 2.0 * t2)) * t3 / t2 ELSE 1.0 END)) AS D2,
+              greatest(0.0, least(3.0, CASE WHEN t1 > 0 AND t2 > 0 AND t3 > 0
+                THEN 3.0 - 4.0 * (t1 / (t1 + 2.0 * t2)) * t4 / t3 ELSE 1.5 END)) AS D3
+            FROM h2
+        ),
+        u1 AS (
+            SELECT w, c,
+                   CASE WHEN c = 1 THEN (SELECT D1 FROM d1)
+                        WHEN c = 2 THEN (SELECT D2 FROM d1)
+                        ELSE (SELECT D3 FROM d1) END AS dc
+            FROM adj1
+        ),
+        s1 AS (SELECT sum(c) AS tot, sum(dc) AS dmass FROM u1),
+        vsz AS (
+            SELECT (count(*) + CASE WHEN count(*) FILTER (w = '<unk>') > 0
+                               THEN 0 ELSE 1 END)::DOUBLE AS V
+            FROM adj1
+        ),
+        p1raw AS (
+            SELECT w,
+                   (c - dc) / (SELECT tot FROM s1)
+                     + (SELECT dmass / tot FROM s1) / (SELECT V FROM vsz) AS p
+            FROM u1
+            UNION ALL
+            SELECT '<unk>' AS w,
+                   (SELECT dmass / tot FROM s1) / (SELECT V FROM vsz) AS p
+            WHERE NOT EXISTS (SELECT 1 FROM adj1 WHERE w = '<unk>')
+        ),
+        p1 AS (
+            SELECT w, p / (SELECT sum(p) FROM p1raw) AS p FROM p1raw
+        ),
+        ctx2 AS (
+            SELECT w1, sum(c) AS s,
+                   {big_dmass}
+            FROM big GROUP BY w1
+        )
+        SELECT b.w1, b.w2,
+               round(log10(greatest(
+                 (b.c - CASE WHEN b.c = 1 THEN (SELECT D1 FROM d2)
+                             WHEN b.c = 2 THEN (SELECT D2 FROM d2)
+                             ELSE (SELECT D3 FROM d2) END) / x.s
+                   + (x.dmass / x.s) * p1.p,
+                 1e-12)), 6) AS log10_prob,
+               0.0 AS log10_backoff
+        FROM big b
+        JOIN ctx2 x ON b.w1 = x.w1
+        JOIN p1 ON b.w2 = p1.w
+        {final_where}
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1011,4 +1148,6 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.45
         """,
+        "mkn_bigram_model": _mkn_bigram_sql(prune=False),
+        "mkn_pruned_bigram": _mkn_bigram_sql(prune=True),
     }
