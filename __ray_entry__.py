@@ -332,6 +332,42 @@ def _q_order_price_histogram(sf_dir):
     return order_price_histogram(sf_dir)
 
 
+def _q_returnflag_price_stats(sf_dir):
+    from kenlm_ray.ops.analytics import returnflag_price_stats
+
+    return returnflag_price_stats(sf_dir)
+
+
+def _q_order_priority_pivot(sf_dir):
+    from kenlm_ray.ops.analytics import order_priority_pivot
+
+    return order_priority_pivot(sf_dir)
+
+
+def _q_latest_event_per_user(sf_dir):
+    import ray.data
+
+    from kenlm_ray.ops.analytics import latest_event_per_user
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "user_id", "ts", "event_type", "value"],
+    )
+    return latest_event_per_user(ds)
+
+
+def _q_event_moving_avg(sf_dir):
+    import ray.data
+
+    from kenlm_ray.ops.windows import event_moving_avg
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "user_id", "ts", "value"],
+    )
+    return event_moving_avg(ds, window=3)
+
+
 def _q_customer_top_orders(sf_dir):
     from kenlm_ray.ops.analytics import customer_top_orders
 
@@ -644,6 +680,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tf_idf": _q_tf_idf,
         "mkn_bigram_model": _q_mkn_bigram,
         "mkn_pruned_bigram": _q_mkn_pruned_bigram,
+        "returnflag_price_stats": _q_returnflag_price_stats,
+        "order_priority_pivot": _q_order_priority_pivot,
+        "latest_event_per_user": _q_latest_event_per_user,
+        "event_moving_avg": _q_event_moving_avg,
         # rows-only checks (stateful / model-driven, not SQL-expressible)
         "quality_filter_flagship": _q_quality_filter,
         "repo_quality_stats": _q_repo_stats,
@@ -1150,4 +1190,35 @@ def oracle_sql() -> dict[str, str]:
         """,
         "mkn_bigram_model": _mkn_bigram_sql(prune=False),
         "mkn_pruned_bigram": _mkn_bigram_sql(prune=True),
+        "returnflag_price_stats": """
+            SELECT l_returnflag,
+                   count(*)::BIGINT AS n,
+                   round(stddev_samp(l_extendedprice), 2) AS std_price,
+                   round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "order_priority_pivot": """
+            SELECT o_orderpriority,
+                   count(*) FILTER (o_orderstatus = 'F')::BIGINT AS n_f,
+                   count(*) FILTER (o_orderstatus = 'O')::BIGINT AS n_o,
+                   count(*) FILTER (o_orderstatus = 'P')::BIGINT AS n_p,
+                   round(coalesce(sum(o_totalprice)
+                         FILTER (o_orderstatus = 'F'), 0.0), 2) AS total_f
+            FROM orders GROUP BY o_orderpriority
+        """,
+        "latest_event_per_user": """
+            SELECT user_id, event_id,
+                   CAST(epoch_us(ts) AS BIGINT) AS ts_us, event_type, value
+            FROM events
+            QUALIFY row_number() OVER (
+                PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+        """,
+        "event_moving_avg": """
+            SELECT event_id, user_id,
+                   round(avg(value) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6)
+                       AS moving_avg
+            FROM events
+        """,
     }

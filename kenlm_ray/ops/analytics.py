@@ -726,3 +726,205 @@ def order_price_histogram(
         .groupby("bin")
         .aggregate(Sum("n_partial", alias_name="n"))
     )
+
+
+def returnflag_price_stats(sf_dir: str) -> "ray.data.Dataset":
+    """Grouped second-moment statistics: per l_returnflag the sample
+    stddev of l_extendedprice and the (quantity, extendedprice) sample
+    correlation — STDDEV_SAMP / CORR as MERGEABLE moment sums.
+
+    Shape: each batch emits one row per key with (n, Σx, Σx², Σy, Σy²,
+    Σxy); a |keys|-row groupby sums them; the closed forms finish on the
+    driver-sized result.  Only 7 doubles per key per batch cross the
+    shuffle regardless of input size.  Output: l_returnflag,
+    n (int64), std_price (round 2), corr_qty_price (round 6).
+    """
+    ds = read(
+        sf_dir,
+        "lineitem",
+        columns=["l_returnflag", "l_quantity", "l_extendedprice"],
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keys = batch["l_returnflag"]
+        x = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+        y = batch["l_quantity"].to_numpy(zero_copy_only=False)
+        enc = keys.dictionary_encode().combine_chunks()
+        codes = enc.indices.to_numpy(zero_copy_only=False)
+        uniq = enc.dictionary.to_pylist()
+        k = len(uniq)
+        return pa.table(
+            {
+                "l_returnflag": pa.array(uniq),
+                "n": pa.array(np.bincount(codes, minlength=k).astype(np.int64)),
+                "sx": pa.array(np.bincount(codes, weights=x, minlength=k)),
+                "sxx": pa.array(np.bincount(codes, weights=x * x, minlength=k)),
+                "sy": pa.array(np.bincount(codes, weights=y, minlength=k)),
+                "syy": pa.array(np.bincount(codes, weights=y * y, minlength=k)),
+                "sxy": pa.array(np.bincount(codes, weights=x * y, minlength=k)),
+            }
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("l_returnflag")
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("sx", alias_name="sx"),
+            Sum("sxx", alias_name="sxx"),
+            Sum("sy", alias_name="sy"),
+            Sum("syy", alias_name="syy"),
+            Sum("sxy", alias_name="sxy"),
+        )
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = t["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        sx = t["sx"].to_numpy(zero_copy_only=False)
+        sxx = t["sxx"].to_numpy(zero_copy_only=False)
+        sy = t["sy"].to_numpy(zero_copy_only=False)
+        syy = t["syy"].to_numpy(zero_copy_only=False)
+        sxy = t["sxy"].to_numpy(zero_copy_only=False)
+        vx = np.maximum(sxx - sx * sx / n, 0.0)
+        vy = np.maximum(syy - sy * sy / n, 0.0)
+        cov = sxy - sx * sy / n
+        std = np.sqrt(vx / np.maximum(n - 1, 1.0))
+        corr = cov / np.maximum(np.sqrt(vx * vy), 1e-300)
+        return pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "n": t["n"],
+                "std_price": pa.array(np.round(std, 2)),
+                "corr_qty_price": pa.array(np.round(corr, 6)),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def order_priority_pivot(sf_dir: str) -> "ray.data.Dataset":
+    """Conditional aggregation (SQL FILTER / pivot): per o_orderpriority,
+    order counts and revenue split by o_orderstatus into columns.
+
+    Shape: the CASE masks fold into per-batch bincounts keyed by
+    priority (partial), then a |priorities|-row groupby sum — the
+    classic pivot-without-shuffle.  Output: o_orderpriority, n_f, n_o,
+    n_p (int64), total_f (round 2).
+    """
+    ds = read(
+        sf_dir, "orders", columns=["o_orderpriority", "o_orderstatus", "o_totalprice"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        enc = batch["o_orderpriority"].dictionary_encode().combine_chunks()
+        codes = enc.indices.to_numpy(zero_copy_only=False)
+        uniq = enc.dictionary.to_pylist()
+        k = len(uniq)
+        status = batch["o_orderstatus"].to_numpy(zero_copy_only=False)
+        price = batch["o_totalprice"].to_numpy(zero_copy_only=False)
+        out = {"o_orderpriority": pa.array(uniq)}
+        for s in ("F", "O", "P"):
+            m = status == s
+            out[f"n_{s.lower()}"] = pa.array(
+                np.bincount(codes[m], minlength=k).astype(np.int64)
+            )
+        mf = status == "F"
+        out["total_f"] = pa.array(
+            np.bincount(codes[mf], weights=price[mf], minlength=k)
+        )
+        return pa.table(out)
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("o_orderpriority")
+        .aggregate(
+            Sum("n_f", alias_name="n_f"),
+            Sum("n_o", alias_name="n_o"),
+            Sum("n_p", alias_name="n_p"),
+            Sum("total_f", alias_name="total_f"),
+        )
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return t.set_column(
+            t.column_names.index("total_f"),
+            "total_f",
+            pa.array(np.round(t["total_f"].to_numpy(zero_copy_only=False), 2)),
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def latest_event_per_user(
+    ds: "ray.data.Dataset", num_partitions: int = 16
+) -> "ray.data.Dataset":
+    """ARG_MAX per key: each user's most recent event row, ties broken
+    by event_id — ROW_NUMBER() OVER (PARTITION BY user ORDER BY ts DESC,
+    id DESC) = 1.
+
+    Shape: per-batch argmax first (one surviving row per user per
+    batch), then coarse hash-bucket groupby with ONE vectorized
+    lexsort-take-last kernel per partition — never a pandas group per
+    user.  Output: user_id, event_id, ts_us (int64 epoch micros),
+    event_type, value.
+    """
+
+    def argmax_rows(g: pa.Table) -> pa.Table:
+        users = g["user_id"].to_numpy(zero_copy_only=False)
+        ids = g["event_id"].to_numpy(zero_copy_only=False)
+        us = g["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, us, users))
+        last = np.concatenate(
+            [users[order][1:] != users[order][:-1], [True]]
+        )
+        take = pa.array(order[last], pa.int64())
+        return pa.table(
+            {
+                "user_id": g["user_id"].take(take),
+                "event_id": g["event_id"].take(take),
+                "ts_us": pa.array(us[order[last]]),
+                "event_type": g["event_type"].take(take),
+                "value": g["value"].take(take),
+            }
+        )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = argmax_rows(batch)
+        k = t["user_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            x = (k ^ (k >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+            x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+            x ^= x >> np.uint64(31)
+        return t.append_column(
+            "__pb", pa.array((x % np.uint64(num_partitions)).astype(np.int64))
+        )
+
+    def final(g: pa.Table) -> pa.Table:
+        if len(g) == 0:
+            return pa.table(
+                {
+                    "user_id": pa.array([], type=pa.int64()),
+                    "event_id": pa.array([], type=pa.int64()),
+                    "ts_us": pa.array([], type=pa.int64()),
+                    "event_type": pa.array([], type=pa.string()),
+                    "value": pa.array([], type=pa.float64()),
+                }
+            )
+        users = g["user_id"].to_numpy(zero_copy_only=False)
+        ids = g["event_id"].to_numpy(zero_copy_only=False)
+        us = g["ts_us"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, us, users))
+        last = np.concatenate([users[order][1:] != users[order][:-1], [True]])
+        take = pa.array(order[last], pa.int64())
+        return pa.table(
+            {c: g[c].take(take) for c in
+             ("user_id", "event_id", "ts_us", "event_type", "value")}
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("__pb")
+        .map_groups(
+            lambda g: final(g.drop_columns(["__pb"])), batch_format="pyarrow"
+        )
+    )

@@ -171,3 +171,77 @@ def event_lag_gaps(
             lambda g: lag(g.drop_columns(["__pb"])), batch_format="pyarrow"
         )
     )
+
+
+def event_moving_avg(
+    ds: "ray.data.Dataset",
+    *,
+    window: int = 3,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+    num_partitions: int = 16,
+) -> "ray.data.Dataset":
+    """Framed window aggregate: AVG(value) OVER (PARTITION BY key
+    ORDER BY ts, id ROWS BETWEEN ``window-1`` PRECEDING AND CURRENT
+    ROW).
+
+    Shape mirrors event_lag_gaps: coarse hash-bucket the keys, ONE
+    lexsort per partition, then the frame sums come from a global
+    cumsum clipped at each key-run's start — no per-row loop, no
+    per-key pandas group.  Output: id_col, key_col, moving_avg
+    (float64, round 6).
+    """
+    w = int(window)
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        k = batch[key_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            x = (k ^ (k >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+            x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+            x ^= x >> np.uint64(31)
+        return batch.append_column(
+            "__pb",
+            pa.array((x % np.uint64(num_partitions)).astype(np.int64)),
+        )
+
+    def mov(g: pa.Table) -> pa.Table:
+        if len(g) == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([], type=pa.int64()),
+                    key_col: pa.array([], type=pa.int64()),
+                    "moving_avg": pa.array([], type=pa.float64()),
+                }
+            )
+        keys = g[key_col].to_numpy(zero_copy_only=False)
+        ids = g[id_col].to_numpy(zero_copy_only=False)
+        us = g[ts_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        vals = g[value_col].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, us, keys))
+        ks, vs = keys[order], vals[order]
+        n = len(vs)
+        starts = np.concatenate([[True], ks[1:] != ks[:-1]])
+        run_id = np.cumsum(starts) - 1
+        run_start = np.flatnonzero(starts)
+        # frame start: max(run start, i - w + 1)
+        i = np.arange(n, dtype=np.int64)
+        fs = np.maximum(run_start[run_id], i - (w - 1))
+        cum = np.concatenate([[0.0], np.cumsum(vs)])
+        avg = (cum[i + 1] - cum[fs]) / (i - fs + 1)
+        return pa.table(
+            {
+                id_col: pa.array(ids[order]),
+                key_col: pa.array(ks),
+                "moving_avg": pa.array(np.round(avg, 6)),
+            }
+        )
+
+    return (
+        ds.map_batches(bucket, batch_format="pyarrow")
+        .groupby("__pb")
+        .map_groups(
+            lambda g: mov(g.drop_columns(["__pb"])), batch_format="pyarrow"
+        )
+    )

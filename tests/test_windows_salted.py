@@ -124,3 +124,84 @@ def test_event_lag_and_histogram_match_duckdb(ray_session):
         ).df()
     )
     pd.testing.assert_frame_equal(gh, wh, check_dtype=False)
+
+
+def test_moving_avg_stats_pivot_argmax_match_duckdb(ray_session):
+    """event_moving_avg / returnflag_price_stats / order_priority_pivot /
+    latest_event_per_user against their DuckDB twins at sf0.001."""
+    import duckdb
+    import pandas as pd
+    import ray.data
+
+    from kenlm_ray.ops.analytics import (
+        latest_event_per_user,
+        order_priority_pivot,
+        returnflag_price_stats,
+    )
+    from kenlm_ray.ops.windows import event_moving_avg
+
+    sf = "/root/testdata/sf0.001"
+
+    def canon(df):
+        c = sorted(df.columns)
+        return df[c].sort_values(c).reset_index(drop=True)
+
+    ds = ray.data.read_parquet(
+        f"{sf}/events.parquet", columns=["event_id", "user_id", "ts", "value"]
+    )
+    got = canon(event_moving_avg(ds, window=3).to_pandas())
+    want = canon(
+        duckdb.sql(
+            f"""SELECT event_id, user_id,
+                   round(avg(value) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6)
+                       AS moving_avg
+               FROM '{sf}/events.parquet'"""
+        ).df()
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    gs = canon(returnflag_price_stats(sf).to_pandas())
+    ws = canon(
+        duckdb.sql(
+            f"""SELECT l_returnflag, count(*)::BIGINT AS n,
+                   round(stddev_samp(l_extendedprice), 2) AS std_price,
+                   round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price
+               FROM '{sf}/lineitem.parquet' GROUP BY l_returnflag"""
+        ).df()
+    )
+    assert (gs["l_returnflag"] == ws["l_returnflag"]).all()
+    assert (gs["n"] == ws["n"]).all()
+    assert (gs["std_price"] - ws["std_price"]).abs().max() < 1e-9
+    assert (gs["corr_qty_price"] - ws["corr_qty_price"]).abs().max() < 1e-9
+
+    gp = canon(order_priority_pivot(sf).to_pandas())
+    wp = canon(
+        duckdb.sql(
+            f"""SELECT o_orderpriority,
+                   count(*) FILTER (o_orderstatus = 'F')::BIGINT AS n_f,
+                   count(*) FILTER (o_orderstatus = 'O')::BIGINT AS n_o,
+                   count(*) FILTER (o_orderstatus = 'P')::BIGINT AS n_p,
+                   round(coalesce(sum(o_totalprice)
+                         FILTER (o_orderstatus = 'F'), 0.0), 2) AS total_f
+               FROM '{sf}/orders.parquet' GROUP BY o_orderpriority"""
+        ).df()
+    )
+    pd.testing.assert_frame_equal(gp, wp, check_dtype=False)
+
+    de = ray.data.read_parquet(
+        f"{sf}/events.parquet",
+        columns=["event_id", "user_id", "ts", "event_type", "value"],
+    )
+    ga = canon(latest_event_per_user(de).to_pandas())
+    wa = canon(
+        duckdb.sql(
+            f"""SELECT user_id, event_id,
+                   CAST(epoch_us(ts) AS BIGINT) AS ts_us, event_type, value
+               FROM '{sf}/events.parquet'
+               QUALIFY row_number() OVER (
+                   PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1"""
+        ).df()
+    )
+    pd.testing.assert_frame_equal(ga, wa, check_dtype=False)
