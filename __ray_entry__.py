@@ -344,6 +344,24 @@ def _q_order_priority_pivot(sf_dir):
     return order_priority_pivot(sf_dir)
 
 
+def _q_quantity_mode_per_flag(sf_dir):
+    from kenlm_ray.ops.analytics import quantity_mode_per_flag
+
+    return quantity_mode_per_flag(sf_dir)
+
+
+def _q_returnflag_revenue_share(sf_dir):
+    from kenlm_ray.ops.analytics import returnflag_revenue_share
+
+    return returnflag_revenue_share(sf_dir)
+
+
+def _q_parts_hi_lo_except_all(sf_dir):
+    from kenlm_ray.ops.analytics import parts_hi_lo_except_all
+
+    return parts_hi_lo_except_all(sf_dir)
+
+
 def _q_latest_event_per_user(sf_dir):
     import ray.data
 
@@ -684,6 +702,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_priority_pivot": _q_order_priority_pivot,
         "latest_event_per_user": _q_latest_event_per_user,
         "event_moving_avg": _q_event_moving_avg,
+        "quantity_mode_per_flag": _q_quantity_mode_per_flag,
+        "returnflag_revenue_share": _q_returnflag_revenue_share,
+        "parts_hi_lo_except_all": _q_parts_hi_lo_except_all,
         # rows-only checks (stateful / model-driven, not SQL-expressible)
         "quality_filter_flagship": _q_quality_filter,
         "repo_quality_stats": _q_repo_stats,
@@ -1220,5 +1241,28 @@ def oracle_sql() -> dict[str, str]:
                        ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6)
                        AS moving_avg
             FROM events
+        """,
+        "quantity_mode_per_flag": """
+            SELECT l_returnflag, l_quantity AS mode_qty, n AS mode_n FROM (
+                SELECT l_returnflag, l_quantity, count(*)::BIGINT AS n,
+                       row_number() OVER (PARTITION BY l_returnflag
+                                          ORDER BY count(*) DESC, l_quantity) AS rn
+                FROM lineitem GROUP BY l_returnflag, l_quantity
+            ) WHERE rn = 1
+        """,
+        "returnflag_revenue_share": """
+            SELECT l_returnflag,
+                   round(rev, 2) AS revenue,
+                   round(rev / sum(rev) OVER (), 6) AS share
+            FROM (
+                SELECT l_returnflag,
+                       sum(l_extendedprice * (1 - l_discount)) AS rev
+                FROM lineitem GROUP BY l_returnflag
+            )
+        """,
+        "parts_hi_lo_except_all": """
+            SELECT l_partkey FROM lineitem WHERE l_extendedprice > 4000.0
+            EXCEPT ALL
+            SELECT l_partkey FROM lineitem WHERE l_extendedprice < 1500.0
         """,
     }

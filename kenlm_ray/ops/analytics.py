@@ -855,6 +855,151 @@ def order_priority_pivot(sf_dir: str) -> "ray.data.Dataset":
     return agg.map_batches(finish, batch_format="pyarrow")
 
 
+def quantity_mode_per_flag(sf_dir: str) -> "ray.data.Dataset":
+    """MODE per group with a deterministic tie-break: the most frequent
+    l_quantity per l_returnflag (smallest value wins ties) — the
+    two-level-groupby shape shared with exact COUNT(DISTINCT): batch
+    partial counts on (flag, qty), a (flag, qty)-keyed groupby sum, then
+    an argmax over the tiny per-flag result.  Output: l_returnflag,
+    mode_qty (double), mode_n (int64).
+    """
+    ds = read(sf_dir, "lineitem", columns=["l_returnflag", "l_quantity"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.group_by(["l_returnflag", "l_quantity"]).aggregate(
+            [([], "count_all")]
+        )
+        # rename by NAME (pyarrow's aggregate column order is not
+        # contractual; positional renames mislabel counts as keys)
+        return pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "l_quantity": t["l_quantity"],
+                "n_partial": t["count_all"],
+            }
+        )
+
+    counts = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_quantity"])
+        .aggregate(Sum("n_partial", alias_name="n"))
+    )
+
+    def argmax(t: pa.Table) -> pa.Table:
+        flags = t["l_returnflag"].to_numpy(zero_copy_only=False)
+        qty = t["l_quantity"].to_numpy(zero_copy_only=False)
+        n = t["n"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((qty, -n, flags))
+        f = flags[order]
+        first = np.concatenate([[True], f[1:] != f[:-1]])
+        take = order[first]
+        return pa.table(
+            {
+                "l_returnflag": pa.array(flags[take]),
+                "mode_qty": pa.array(qty[take]),
+                "mode_n": pa.array(n[take].astype(np.int64)),
+            }
+        )
+
+    # |flags| × |distinct qty| rows — tiny; one final kernel
+    return counts.repartition(1).map_batches(argmax, batch_format="pyarrow")
+
+
+def returnflag_revenue_share(sf_dir: str) -> "ray.data.Dataset":
+    """Percent-of-total window (SUM(x) / SUM(SUM(x)) OVER ()): each
+    return flag's share of total revenue.  Partial per-batch sums, one
+    |keys|-row groupby, and the grand total folds in a single final
+    kernel over the tiny result (the OVER () window never needs a
+    second pass over the input).  Output: l_returnflag, revenue
+    (round 2), share (round 6).
+    """
+    ds = read(
+        sf_dir, "lineitem", columns=["l_returnflag", "l_extendedprice", "l_discount"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        enc = batch["l_returnflag"].dictionary_encode().combine_chunks()
+        codes = enc.indices.to_numpy(zero_copy_only=False)
+        uniq = enc.dictionary.to_pylist()
+        x = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+        d = batch["l_discount"].to_numpy(zero_copy_only=False)
+        rev = x * (1.0 - d)
+        return pa.table(
+            {
+                "l_returnflag": pa.array(uniq),
+                "rev_partial": pa.array(
+                    np.bincount(codes, weights=rev, minlength=len(uniq))
+                ),
+            }
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("l_returnflag")
+        .aggregate(Sum("rev_partial", alias_name="revenue"))
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        rev = t["revenue"].to_numpy(zero_copy_only=False)
+        total = float(rev.sum())
+        return pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "revenue": pa.array(np.round(rev, 2)),
+                "share": pa.array(np.round(rev / total, 6)),
+            }
+        )
+
+    return agg.repartition(1).map_batches(finish, batch_format="pyarrow")
+
+
+def parts_hi_lo_except_all(
+    sf_dir: str, hi: float = 4000.0, lo: float = 1500.0
+) -> "ray.data.Dataset":
+    """EXCEPT ALL (multiset difference with multiplicities): partkeys of
+    expensive lineitems minus, occurrence-for-occurrence, partkeys of
+    cheap ones.  Shape: per-batch counts for each side -> one keyed
+    groupby summing both sides' counts -> emit max(0, n_hi - n_lo)
+    copies per key via np.repeat.  Counts, not rows, cross the shuffle.
+    Output: l_partkey (with multiplicity).
+    """
+    base = read(sf_dir, "lineitem", columns=["l_partkey", "l_extendedprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keys = batch["l_partkey"].to_numpy(zero_copy_only=False)
+        price = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+        out_k, out_h, out_l = [], [], []
+        for mask, is_hi in ((price > hi, True), (price < lo, False)):
+            u, c = np.unique(keys[mask], return_counts=True)
+            out_k.append(u)
+            out_h.append(c if is_hi else np.zeros_like(c))
+            out_l.append(np.zeros_like(c) if is_hi else c)
+        return pa.table(
+            {
+                "l_partkey": pa.array(np.concatenate(out_k)),
+                "n_hi": pa.array(np.concatenate(out_h).astype(np.int64)),
+                "n_lo": pa.array(np.concatenate(out_l).astype(np.int64)),
+            }
+        )
+
+    agg = (
+        base.map_batches(partial, batch_format="pyarrow")
+        .groupby("l_partkey")
+        .aggregate(Sum("n_hi", alias_name="n_hi"), Sum("n_lo", alias_name="n_lo"))
+    )
+
+    def emit(t: pa.Table) -> pa.Table:
+        k = t["l_partkey"].to_numpy(zero_copy_only=False)
+        mult = np.maximum(
+            t["n_hi"].to_numpy(zero_copy_only=False)
+            - t["n_lo"].to_numpy(zero_copy_only=False),
+            0,
+        )
+        return pa.table({"l_partkey": pa.array(np.repeat(k, mult))})
+
+    return agg.map_batches(emit, batch_format="pyarrow")
+
+
 def latest_event_per_user(
     ds: "ray.data.Dataset", num_partitions: int = 16
 ) -> "ray.data.Dataset":

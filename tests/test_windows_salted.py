@@ -205,3 +205,59 @@ def test_moving_avg_stats_pivot_argmax_match_duckdb(ray_session):
         ).df()
     )
     pd.testing.assert_frame_equal(ga, wa, check_dtype=False)
+
+
+def test_mode_share_except_all_match_duckdb(ray_session):
+    import duckdb
+    import pandas as pd
+
+    from kenlm_ray.ops.analytics import (
+        parts_hi_lo_except_all,
+        quantity_mode_per_flag,
+        returnflag_revenue_share,
+    )
+
+    sf = "/root/testdata/sf0.001"
+
+    def canon(df):
+        c = sorted(df.columns)
+        return df[c].sort_values(c).reset_index(drop=True)
+
+    gm = canon(quantity_mode_per_flag(sf).to_pandas())
+    wm = canon(
+        duckdb.sql(
+            f"""SELECT l_returnflag, l_quantity AS mode_qty, n AS mode_n FROM (
+                   SELECT l_returnflag, l_quantity, count(*)::BIGINT AS n,
+                          row_number() OVER (PARTITION BY l_returnflag
+                                             ORDER BY count(*) DESC, l_quantity) AS rn
+                   FROM '{sf}/lineitem.parquet' GROUP BY l_returnflag, l_quantity
+               ) WHERE rn = 1"""
+        ).df()
+    )
+    pd.testing.assert_frame_equal(gm, wm, check_dtype=False)
+
+    gs = canon(returnflag_revenue_share(sf).to_pandas())
+    ws = canon(
+        duckdb.sql(
+            f"""SELECT l_returnflag, round(rev, 2) AS revenue,
+                      round(rev / sum(rev) OVER (), 6) AS share
+               FROM (SELECT l_returnflag,
+                            sum(l_extendedprice * (1 - l_discount)) AS rev
+                     FROM '{sf}/lineitem.parquet' GROUP BY l_returnflag)"""
+        ).df()
+    )
+    assert (gs["l_returnflag"] == ws["l_returnflag"]).all()
+    assert (gs["revenue"] - ws["revenue"]).abs().max() < 1e-6
+    assert (gs["share"] - ws["share"]).abs().max() < 1e-9
+
+    ge = canon(parts_hi_lo_except_all(sf).to_pandas())
+    we = canon(
+        duckdb.sql(
+            f"""SELECT l_partkey FROM '{sf}/lineitem.parquet'
+                   WHERE l_extendedprice > 4000.0
+               EXCEPT ALL
+               SELECT l_partkey FROM '{sf}/lineitem.parquet'
+                   WHERE l_extendedprice < 1500.0"""
+        ).df()
+    )
+    pd.testing.assert_frame_equal(ge, we, check_dtype=False)
