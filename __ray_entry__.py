@@ -344,6 +344,19 @@ def _q_order_priority_pivot(sf_dir):
     return order_priority_pivot(sf_dir)
 
 
+def _q_heavy_hitters_exact(sf_dir):
+    """Exact heavy hitters (> n/501 of lineitem rows): Misra-Gries
+    candidate superset -> broadcast exact recount -> threshold cut."""
+    import ray.data
+
+    from kenlm_ray.ops.sketch import heavy_hitters_exact
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"), columns=["l_suppkey"]
+    )
+    return heavy_hitters_exact(ds, "l_suppkey", k=500)
+
+
 def _q_quantity_mode_per_flag(sf_dir):
     from kenlm_ray.ops.analytics import quantity_mode_per_flag
 
@@ -703,6 +716,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "latest_event_per_user": _q_latest_event_per_user,
         "event_moving_avg": _q_event_moving_avg,
         "quantity_mode_per_flag": _q_quantity_mode_per_flag,
+        "heavy_hitter_exact_suppkeys": _q_heavy_hitters_exact,
         "returnflag_revenue_share": _q_returnflag_revenue_share,
         "parts_hi_lo_except_all": _q_parts_hi_lo_except_all,
         # rows-only checks (stateful / model-driven, not SQL-expressible)
@@ -1264,5 +1278,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT l_partkey FROM lineitem WHERE l_extendedprice > 4000.0
             EXCEPT ALL
             SELECT l_partkey FROM lineitem WHERE l_extendedprice < 1500.0
+        """,
+        "heavy_hitter_exact_suppkeys": """
+            SELECT l_suppkey AS key, count(*)::BIGINT AS n_occurrences
+            FROM lineitem GROUP BY l_suppkey
+            HAVING count(*) > (SELECT count(*) FROM lineitem) / 501.0
         """,
     }

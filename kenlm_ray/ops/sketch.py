@@ -265,6 +265,54 @@ def heavy_hitters(
     )
 
 
+def heavy_hitters_exact(
+    ds: "ray.data.Dataset", col: str, *, k: int = 500
+) -> "ray.data.Dataset":
+    """EXACT heavy hitters: every key with true frequency > n/(k+1),
+    with its exact count.
+
+    Two passes: (1) the Misra-Gries sketch pass above — its survivors
+    are a GUARANTEED superset of every key above the threshold, at most
+    k of them, no shuffle; (2) a broadcast recount — the candidate set
+    ships once via the closure, each batch bincounts only candidate
+    rows, and a |candidates|-row groupby sum finishes.  The input is
+    never shuffled at any size; the second pass moves <= k counters per
+    batch.  Sketch recall + exact recount = exact answer, so this is
+    SQL-checkable (GROUP BY / HAVING count > n/(k+1)) unlike the
+    raw lower-bound sketch output.  Output: key (int64),
+    n_occurrences (int64)."""
+    from ray.data.aggregate import Sum
+
+    cand_rows = heavy_hitters(ds, col, k=k).take_all()
+    cand = np.sort(np.array([r["key"] for r in cand_rows], dtype=np.int64))
+    n_total = ds.count()
+    thresh = n_total / (k + 1.0)
+
+    def recount(batch: pa.Table) -> pa.Table:
+        v = batch[col].to_numpy(zero_copy_only=False).astype(np.int64)
+        idx = np.searchsorted(cand, v)
+        idx = np.minimum(idx, len(cand) - 1)
+        hit = cand[idx] == v
+        c = np.bincount(idx[hit], minlength=len(cand)).astype(np.int64)
+        nz = np.flatnonzero(c)
+        return pa.table(
+            {"key": pa.array(cand[nz]), "c": pa.array(c[nz])}
+        )
+
+    counted = (
+        ds.map_batches(recount, batch_format="pyarrow")
+        .groupby("key")
+        .aggregate(Sum("c", alias_name="n_occurrences"))
+    )
+
+    def cut(t: pa.Table) -> pa.Table:
+        n = t["n_occurrences"].to_numpy(zero_copy_only=False)
+        keep = pa.array(n > thresh)
+        return t.filter(keep)
+
+    return counted.map_batches(cut, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # Grouped HyperLogLog (approx COUNT(DISTINCT v) GROUP BY key)
 # ---------------------------------------------------------------------------

@@ -287,3 +287,37 @@ def test_deterministic_sample():
     )["o_orderkey"].to_numpy()
     want = sorted(ids[np.argsort(_rank(ids, 7), kind="stable")[:50]].tolist())
     assert s1 == want
+
+
+def test_heavy_hitters_exact_skewed(ray_session):
+    """heavy_hitters_exact returns EXACTLY the keys above n/(k+1) with
+    exact counts on a planted-skew stream (uniform background + two hot
+    keys), across many partitions."""
+    import collections
+
+    import numpy as np
+    import ray.data
+
+    from kenlm_ray.ops.sketch import heavy_hitters_exact
+
+    rng = np.random.default_rng(7)
+    vals = np.concatenate(
+        [
+            rng.integers(0, 1000, size=20_000),  # background
+            np.full(3_000, 1_000_001),           # hot key A
+            np.full(1_500, 1_000_002),           # hot key B
+        ]
+    )
+    rng.shuffle(vals)
+    ds = ray.data.from_arrow(
+        __import__("pyarrow").table({"v": vals})
+    ).repartition(13)
+    k = 20
+    got = {
+        r["key"]: r["n_occurrences"]
+        for r in heavy_hitters_exact(ds, "v", k=k).take_all()
+    }
+    truth = collections.Counter(vals.tolist())
+    n = len(vals)
+    want = {kk: c for kk, c in truth.items() if c > n / (k + 1)}
+    assert got == want and 1_000_001 in got
