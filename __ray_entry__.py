@@ -357,6 +357,58 @@ def _q_heavy_hitters_exact(sf_dir):
     return heavy_hitters_exact(ds, "l_suppkey", k=500)
 
 
+def _q_purchase_clicks_1h(sf_dir):
+    """Windowed interval join: every purchase with the count + value sum
+    of the same user's clicks in the preceding hour (inclusive)."""
+    import ray.data
+
+    from kenlm_ray.ops.interval import interval_join_agg
+
+    ev = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "ts", "user_id", "event_type", "value"],
+    )
+    purchases = ev.filter(expr="event_type == 'purchase'")
+    clicks = ev.filter(expr="event_type == 'click'")
+    out = interval_join_agg(
+        purchases,
+        clicks,
+        key="user_id",
+        ts_col="ts",
+        window_us=3_600_000_000,
+        value_col="value",
+        id_col="event_id",
+    )
+
+    def finish(t):
+        import pyarrow as pa
+        import pyarrow.compute as _pc
+
+        return pa.table(
+            {
+                "user_id": t["k"],
+                "event_id": t["rid"],
+                "ts_us": t["ts_us"],
+                "n_clicks": t["n_matches"],
+                "click_value_sum": _pc.round(t["value_sum"], ndigits=4),
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+def _q_orders_above_customer_avg(sf_dir):
+    from kenlm_ray.ops.analytics import orders_above_customer_avg
+
+    return orders_above_customer_avg(sf_dir, factor=1.5)
+
+
+def _q_regex_match_stats(sf_dir):
+    from kenlm_ray.ops.analytics import regex_match_stats
+
+    return regex_match_stats(sf_dir)
+
+
 def _q_quantity_mode_per_flag(sf_dir):
     from kenlm_ray.ops.analytics import quantity_mode_per_flag
 
@@ -719,6 +771,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heavy_hitter_exact_suppkeys": _q_heavy_hitters_exact,
         "returnflag_revenue_share": _q_returnflag_revenue_share,
         "parts_hi_lo_except_all": _q_parts_hi_lo_except_all,
+        "orders_above_customer_avg": _q_orders_above_customer_avg,
+        "purchase_clicks_1h": _q_purchase_clicks_1h,
+        "regex_match_stats": _q_regex_match_stats,
         # rows-only checks (stateful / model-driven, not SQL-expressible)
         "quality_filter_flagship": _q_quality_filter,
         "repo_quality_stats": _q_repo_stats,
@@ -1283,5 +1338,41 @@ def oracle_sql() -> dict[str, str]:
             SELECT l_suppkey AS key, count(*)::BIGINT AS n_occurrences
             FROM lineitem GROUP BY l_suppkey
             HAVING count(*) > (SELECT count(*) FROM lineitem) / 501.0
+        """,
+        "orders_above_customer_avg": """
+            WITH ca AS (
+                SELECT o_custkey, avg(o_totalprice) AS avg_price
+                FROM orders GROUP BY o_custkey
+            )
+            SELECT o.o_orderpriority,
+                   count(*)::BIGINT            AS n_above,
+                   round(sum(o.o_totalprice), 2) AS sum_above
+            FROM orders o JOIN ca ON o.o_custkey = ca.o_custkey
+            WHERE o.o_totalprice > 1.5 * ca.avg_price
+            GROUP BY o.o_orderpriority
+        """,
+        "purchase_clicks_1h": """
+            SELECT p.user_id, p.event_id, epoch_us(p.ts) AS ts_us,
+                   count(c.event_id)::BIGINT AS n_clicks,
+                   round(coalesce(sum(c.value), 0), 4) AS click_value_sum
+            FROM events p
+            LEFT JOIN events c
+              ON c.user_id = p.user_id
+             AND c.event_type = 'click'
+             AND c.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts
+            WHERE p.event_type = 'purchase'
+            GROUP BY p.user_id, p.event_id, ts_us
+        """,
+        "regex_match_stats": r"""
+            SELECT lang,
+                   count(*)::BIGINT AS n_docs,
+                   sum(CASE WHEN nm > 0 THEN 1 ELSE 0 END)::BIGINT
+                       AS docs_matching,
+                   sum(nm)::BIGINT AS total_matches
+            FROM (
+                SELECT lang,
+                       len(regexp_extract_all(text, '(key|hash) \w+')) AS nm
+                FROM documents
+            ) GROUP BY lang
         """,
     }

@@ -1073,3 +1073,140 @@ def latest_event_per_user(
             lambda g: final(g.drop_columns(["__pb"])), batch_format="pyarrow"
         )
     )
+
+
+def orders_above_customer_avg(
+    sf_dir: str, factor: float = 1.5, num_partitions: int = 16
+) -> "ray.data.Dataset":
+    """Correlated-subquery shape: orders whose price exceeds ``factor`` x
+    their own customer's average order price, aggregated by priority.
+
+    Shape: per-batch partial (custkey -> sum, n) -> small groupby to the
+    per-customer average -> PARTITIONED hash join back onto orders (the
+    average table is per-customer — at 100 TB that side is too large to
+    broadcast, so both sides shuffle by custkey bucket) -> filter ->
+    per-batch partial -> final groupby.  Output: o_orderpriority,
+    n_above, sum_above.
+    """
+    from kenlm_ray.ops.join import hash_join
+
+    base = read(
+        sf_dir, "orders",
+        columns=["o_custkey", "o_totalprice", "o_orderpriority"],
+    )
+
+    def partial_avg(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "o_custkey": batch["o_custkey"],
+                "s": batch["o_totalprice"],
+                "n": pa.array(np.ones(len(batch), dtype=np.int64)),
+            }
+        )
+        return t.group_by(["o_custkey"]).aggregate([("s", "sum"), ("n", "sum")])
+
+    avgs = (
+        base.map_batches(partial_avg, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .aggregate(Sum("s_sum", alias_name="s"), Sum("n_sum", alias_name="n"))
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "o_custkey": t["o_custkey"],
+                    "avg_price": pc.divide(
+                        t["s"], pc.cast(t["n"], pa.float64())
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+    joined = hash_join(
+        base,
+        avgs,
+        on=["o_custkey"],
+        left_cols={
+            "o_custkey": pa.int64(),
+            "o_totalprice": pa.float64(),
+            "o_orderpriority": pa.string(),
+        },
+        right_cols={"o_custkey": pa.int64(), "avg_price": pa.float64()},
+        how="inner",
+        num_partitions=num_partitions,
+    )
+
+    def partial_cut(batch: pa.Table) -> pa.Table:
+        price = batch["o_totalprice"].to_numpy(zero_copy_only=False)
+        avg = batch["avg_price"].to_numpy(zero_copy_only=False)
+        mask = price > factor * avg
+        t = pa.table(
+            {
+                "o_orderpriority": batch["o_orderpriority"].filter(
+                    pa.array(mask)
+                ),
+                "sum_above": pa.array(price[mask]),
+                "n_above": pa.array(np.ones(int(mask.sum()), dtype=np.int64)),
+            }
+        )
+        return t.group_by(["o_orderpriority"]).aggregate(
+            [("sum_above", "sum"), ("n_above", "sum")]
+        )
+
+    agg = (
+        joined.map_batches(partial_cut, batch_format="pyarrow")
+        .groupby("o_orderpriority")
+        .aggregate(
+            Sum("sum_above_sum", alias_name="sum_above_raw"),
+            Sum("n_above_sum", alias_name="n_above"),
+        )
+    )
+    return agg.map_batches(
+        lambda t: pa.table(
+            {
+                "o_orderpriority": t["o_orderpriority"],
+                "n_above": t["n_above"],
+                "sum_above": pc.round(t["sum_above_raw"], ndigits=2),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def regex_match_stats(
+    sf_dir: str, pattern: str = r"(key|hash) \w+"
+) -> "ray.data.Dataset":
+    """Per-language regexp occurrence stats over documents: docs with at
+    least one match and total non-overlapping match count.  Both this
+    engine (pyarrow.compute) and the DuckDB oracle run RE2, so the
+    match semantics are identical by construction.  Per-batch partial
+    combine; only (lang, counts) rows cross the shuffle.
+    Output: lang, n_docs, docs_matching, total_matches.
+    """
+    ds = read(sf_dir, "documents", columns=["lang", "text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        n = pc.count_substring_regex(batch["text"], pattern=pattern)
+        n = pc.cast(n, pa.int64())
+        t = pa.table(
+            {
+                "lang": batch["lang"],
+                "n_docs": pa.array(np.ones(len(batch), dtype=np.int64)),
+                "docs_matching": pc.cast(
+                    pc.greater(n, pa.scalar(0, pa.int64())), pa.int64()
+                ),
+                "total_matches": n,
+            }
+        )
+        return t.group_by(["lang"]).aggregate(
+            [("n_docs", "sum"), ("docs_matching", "sum"), ("total_matches", "sum")]
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(
+            Sum("n_docs_sum", alias_name="n_docs"),
+            Sum("docs_matching_sum", alias_name="docs_matching"),
+            Sum("total_matches_sum", alias_name="total_matches"),
+        )
+    )

@@ -1,0 +1,58 @@
+"""Interval (windowed-aggregate) join: brute-force parity on random data."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def _brute(lk, lts, rk, rts, rval, window):
+    n = np.zeros(len(lk), dtype=np.int64)
+    s = np.zeros(len(lk), dtype=np.float64)
+    for i in range(len(lk)):
+        m = (rk == lk[i]) & (rts >= lts[i] - window) & (rts <= lts[i])
+        n[i] = m.sum()
+        s[i] = rval[m].sum()
+    return n, s
+
+
+@pytest.mark.parametrize("seed", [0, 7])
+def test_interval_join_matches_brute_force(ray_session, seed):
+    import ray.data
+
+    from kenlm_ray.ops.interval import interval_join_agg
+
+    rng = np.random.default_rng(seed)
+    nl, nr, window = 300, 900, 50
+    lk = rng.integers(0, 20, nl).astype(np.int64)
+    lts = rng.integers(0, 1000, nl).astype(np.int64)
+    rk = rng.integers(0, 20, nr).astype(np.int64)
+    # include exact boundary collisions: some right rows land exactly at
+    # a left ts and exactly at left ts - window (BETWEEN is inclusive)
+    rts = rng.integers(0, 1000, nr).astype(np.int64)
+    rts[:50] = lts[:50]
+    rts[50:100] = lts[:50] - window
+    rval = np.round(rng.normal(size=nr), 3)
+
+    left = ray.data.from_arrow(
+        pa.table(
+            {
+                "user_id": lk,
+                "ts": lts,
+                "event_id": np.arange(nl, dtype=np.int64),
+            }
+        )
+    ).repartition(5)
+    right = ray.data.from_arrow(
+        pa.table({"user_id": rk, "ts": rts, "value": rval})
+    ).repartition(7)
+
+    out = interval_join_agg(
+        left, right, key="user_id", ts_col="ts", window_us=window,
+        value_col="value", id_col="event_id",
+    ).to_pandas().sort_values("rid").reset_index(drop=True)
+
+    n, s = _brute(lk, lts, rk, rts, rval, window)
+    assert len(out) == nl
+    order = out["rid"].to_numpy()
+    assert np.array_equal(out["n_matches"].to_numpy(), n[order])
+    assert np.allclose(out["value_sum"].to_numpy(), s[order], atol=1e-9)
