@@ -357,6 +357,18 @@ def _q_heavy_hitters_exact(sf_dir):
     return heavy_hitters_exact(ds, "l_suppkey", k=500)
 
 
+def _q_doc_normalized_fingerprints(sf_dir):
+    from kenlm_ray.ops.normalize import normalized_fingerprints
+
+    return normalized_fingerprints(_documents(sf_dir))
+
+
+def _q_normalized_dedup_groups(sf_dir):
+    from kenlm_ray.ops.normalize import normalized_dedup_groups
+
+    return normalized_dedup_groups(_documents(sf_dir))
+
+
 def _q_purchase_clicks_1h(sf_dir):
     """Windowed interval join: every purchase with the count + value sum
     of the same user's clicks in the preceding hour (inclusive)."""
@@ -773,6 +785,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "parts_hi_lo_except_all": _q_parts_hi_lo_except_all,
         "orders_above_customer_avg": _q_orders_above_customer_avg,
         "purchase_clicks_1h": _q_purchase_clicks_1h,
+        "doc_normalized_fingerprints": _q_doc_normalized_fingerprints,
+        "normalized_dedup_groups": _q_normalized_dedup_groups,
         "regex_match_stats": _q_regex_match_stats,
         # rows-only checks (stateful / model-driven, not SQL-expressible)
         "quality_filter_flagship": _q_quality_filter,
@@ -1362,6 +1376,27 @@ def oracle_sql() -> dict[str, str]:
              AND c.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts
             WHERE p.event_type = 'purchase'
             GROUP BY p.user_id, p.event_id, ts_us
+        """,
+        "doc_normalized_fingerprints": r"""
+            SELECT doc_id,
+                   sha256(trim(regexp_replace(
+                       lower(nfc_normalize(text)), '\s+', ' ', 'g'
+                   ))) AS norm_sha256,
+                   length(trim(regexp_replace(
+                       lower(nfc_normalize(text)), '\s+', ' ', 'g'
+                   )))::BIGINT AS norm_chars
+            FROM documents
+        """,
+        "normalized_dedup_groups": r"""
+            WITH fp AS (
+                SELECT doc_id,
+                       sha256(trim(regexp_replace(
+                           lower(nfc_normalize(text)), '\s+', ' ', 'g'
+                       ))) AS h
+                FROM documents
+            )
+            SELECT doc_id, min(doc_id) OVER (PARTITION BY h) AS group_id
+            FROM fp
         """,
         "regex_match_stats": r"""
             SELECT lang,

@@ -1,0 +1,122 @@
+"""Text canonicalization — the normalization pass that runs before
+exact / near dedup in a training-data pipeline (NFC unicode form,
+case-fold, whitespace collapse), plus the canonical-hash fingerprint
+used for normalized exact dedup.
+
+Every kernel is a pyarrow.compute call (utf8proc + RE2 under the hood),
+so the DuckDB oracle (`nfc_normalize` / `lower` / `regexp_replace`
+— also utf8proc + RE2-compatible) matches by construction; no Python
+row loop anywhere.
+
+Reference analog: kpu/kenlm normalizes only whitespace at tokenization
+(`util/file_piece.cc` delimiter set — see functions/tokenize.py); the
+unicode/case canonicalization is an engine addition for web-scale
+corpus dedup (CCNet/Gopher-style pipelines).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+
+def _nfc(col: "pa.Array") -> "pa.Array":
+    """NFC-compose a string array.
+
+    pyarrow 16's ``pc.utf8_normalize(form="NFC")`` DECOMPOSES (it
+    behaves as NFD — verified: U+00E9 comes back as e + U+0301), so it
+    cannot be used for composition.  ASCII is NFC-invariant, so the
+    vectorized fast path is a byte-length == char-length check (equal
+    iff pure ASCII); only the non-ASCII rows — rare in web corpora —
+    take the unicodedata per-row fallback."""
+    import unicodedata
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    non_ascii = pc.not_equal(pc.binary_length(col), pc.utf8_length(col))
+    non_ascii = pc.fill_null(non_ascii, False)
+    if not pc.any(non_ascii).as_py():
+        return col
+    idx = pc.indices_nonzero(non_ascii)
+    fixed = pa.array(
+        [
+            unicodedata.normalize("NFC", s) if s is not None else None
+            for s in col.take(idx).to_pylist()
+        ],
+        type=col.type,
+    )
+    out = col.to_pylist()
+    for i, v in zip(idx.to_pylist(), fixed.to_pylist()):
+        out[i] = v
+    return pa.array(out, type=col.type)
+
+
+def normalize_column(col: "pa.ChunkedArray | pa.Array") -> "pa.ChunkedArray":
+    """NFC -> lower -> collapse ``\\s+`` to one space -> trim."""
+    x = _nfc(col)
+    x = pc.utf8_lower(x)
+    x = pc.replace_substring_regex(x, pattern=r"\s+", replacement=" ")
+    return pc.utf8_trim_whitespace(x)
+
+
+def normalized_fingerprints(
+    ds: "ray.data.Dataset",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> "ray.data.Dataset":
+    """Per-doc canonical fingerprint: sha256 + char length of the
+    normalized text.  Pure map — no shuffle; the fingerprint column is
+    what a normalized exact-dedup groupby keys on (64 bytes/doc crosses
+    the wire, never the text)."""
+    from kenlm_ray.stages.scrub import sha256_column
+
+    def f(batch: pa.Table) -> pa.Table:
+        norm = normalize_column(batch[text_col])
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "norm_sha256": sha256_column(norm),
+                "norm_chars": pc.cast(pc.utf8_length(norm), pa.int64()),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def normalized_dedup_groups(
+    ds: "ray.data.Dataset",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> "ray.data.Dataset":
+    """Exact dedup under normalization: each doc labeled with the min
+    doc-id of its canonical-text group (the group representative).
+    Shape: fingerprint map -> per-batch partial min -> groupby(sha) min
+    -> partitioned join back onto the fingerprints.  Only hashes and
+    ids shuffle.  Output: id_col, group_id."""
+    import numpy as np
+
+    from ray.data.aggregate import Min
+
+    fps = normalized_fingerprints(ds, text_col, id_col)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({"norm_sha256": batch["norm_sha256"], "m": batch[id_col]})
+        return t.group_by(["norm_sha256"]).aggregate([("m", "min")])
+
+    reps = (
+        fps.map_batches(partial, batch_format="pyarrow")
+        .groupby("norm_sha256")
+        .aggregate(Min("m_min", alias_name="group_id"))
+    )
+    from kenlm_ray.ops.join import hash_join
+
+    return hash_join(
+        fps.select_columns([id_col, "norm_sha256"]),
+        reps,
+        on=["norm_sha256"],
+        left_cols={id_col: pa.int64(), "norm_sha256": pa.string()},
+        right_cols={"norm_sha256": pa.string(), "group_id": pa.int64()},
+        how="inner",
+    ).select_columns([id_col, "group_id"])

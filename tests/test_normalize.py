@@ -1,0 +1,33 @@
+"""Normalization parity vs DuckDB on adversarial unicode (the sf
+testdata is ASCII; this pins the non-ASCII behavior the oracle relies
+on: NFC composition, full case mapping, \\s collapse)."""
+
+import duckdb
+import pyarrow as pa
+
+
+CASES = [
+    "Hello\t\tWORLD  ",
+    "Café NAÏVE",          # decomposed accents -> NFC composes
+    "Ångström ß TEST",  # precomposed + sharp s
+    "  　ideographic　space ", # U+3000 is \s in RE2 and DuckDB
+    "mixed\r\nlines\nhere",
+    "",
+    "\t \r\n",
+    "ΣΟΦΙΑ ΤΕΛΟΣ",                    # greek capitals incl. final sigma
+]
+
+
+def test_normalize_matches_duckdb_on_unicode():
+    from kenlm_ray.ops.normalize import normalize_column
+
+    ours = normalize_column(pa.array(CASES)).to_pylist()
+    con = duckdb.connect()
+    theirs = [
+        con.execute(
+            r"SELECT trim(regexp_replace(lower(nfc_normalize(?)), '\s+', ' ', 'g'))",
+            [s],
+        ).fetchone()[0]
+        for s in CASES
+    ]
+    assert ours == theirs
