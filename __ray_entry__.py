@@ -357,6 +357,56 @@ def _q_heavy_hitters_exact(sf_dir):
     return heavy_hitters_exact(ds, "l_suppkey", k=500)
 
 
+def _q_top_decile_orders(sf_dir):
+    """Exact top-10%-by-price cut (histogram refinement, no global
+    sort), aggregated by priority."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+
+    from kenlm_ray.ops.percentile import top_fraction
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_totalprice", "o_orderpriority"],
+    )
+    top = top_fraction(ds, "o_totalprice", 0.1, "o_orderkey")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "o_orderpriority": batch["o_orderpriority"],
+                "sum_top": batch["o_totalprice"],
+                "n_top": pa.array(np.ones(len(batch), dtype=np.int64)),
+            }
+        )
+        return t.group_by(["o_orderpriority"]).aggregate(
+            [("sum_top", "sum"), ("n_top", "sum")]
+        )
+
+    from ray.data.aggregate import Sum
+
+    agg = (
+        top.map_batches(partial, batch_format="pyarrow")
+        .groupby("o_orderpriority")
+        .aggregate(
+            Sum("sum_top_sum", alias_name="s"),
+            Sum("n_top_sum", alias_name="n_top"),
+        )
+    )
+    return agg.map_batches(
+        lambda t: pa.table(
+            {
+                "o_orderpriority": t["o_orderpriority"],
+                "n_top": t["n_top"],
+                "sum_top": pc.round(t["s"], ndigits=2),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def _q_doc_normalized_fingerprints(sf_dir):
     from kenlm_ray.ops.normalize import normalized_fingerprints
 
@@ -786,6 +836,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_above_customer_avg": _q_orders_above_customer_avg,
         "purchase_clicks_1h": _q_purchase_clicks_1h,
         "doc_normalized_fingerprints": _q_doc_normalized_fingerprints,
+        "top_decile_orders": _q_top_decile_orders,
         "normalized_dedup_groups": _q_normalized_dedup_groups,
         "regex_match_stats": _q_regex_match_stats,
         # rows-only checks (stateful / model-driven, not SQL-expressible)
@@ -1376,6 +1427,21 @@ def oracle_sql() -> dict[str, str]:
              AND c.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts
             WHERE p.event_type = 'purchase'
             GROUP BY p.user_id, p.event_id, ts_us
+        """,
+        "top_decile_orders": """
+            WITH ranked AS (
+                SELECT o_orderpriority, o_totalprice,
+                       row_number() OVER (
+                           ORDER BY o_totalprice DESC, o_orderkey
+                       ) AS rn
+                FROM orders
+            )
+            SELECT o_orderpriority,
+                   count(*)::BIGINT            AS n_top,
+                   round(sum(o_totalprice), 2) AS sum_top
+            FROM ranked
+            WHERE rn <= (SELECT count(*) // 10 FROM orders)
+            GROUP BY o_orderpriority
         """,
         "doc_normalized_fingerprints": r"""
             SELECT doc_id,

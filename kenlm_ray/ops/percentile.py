@@ -1,0 +1,169 @@
+"""Exact top-fraction cut without a global sort.
+
+``top_fraction`` selects exactly the rows ROW_NUMBER() OVER (ORDER BY
+value DESC, id ASC) <= floor(n * frac) — the "keep the best X% by
+quality score" primitive of a curation pipeline — using histogram
+refinement instead of a global sort:
+
+  pass 0: count + min/max            (streaming aggregate)
+  pass i: 4096-bin histogram of the surviving range, walked from the
+          top to find the bin holding the k-th largest; the range
+          narrows 4096x per pass     (per-batch np.bincount partials,
+                                      one tiny groupby each)
+  final:  values in the last narrow range (<= ~n/4096^p rows) come to
+          the driver for the exact threshold; ties AT the threshold
+          are broken by id with one more bounded fetch
+
+so a 100-TB input is scanned O(log_4096(range)) times and shuffles
+nothing — each pass moves 4096 counters per batch.  Contrast with the
+local-topk + global sort shape in ops/analytics.top_orders_by_revenue:
+that is right for k in the thousands, wrong for k = n/10 (it would
+shuffle a tenth of the corpus to one node).
+
+Engine addition (kpu/kenlm has no analog; its only thresholding is
+count pruning in lm/builder/adjust_counts.cc — see
+ngram/estimate.py's prune_thresholds).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+from ray.data.aggregate import Count, Max, Min, Sum
+
+_BINS = 4096
+
+
+def _hist_counts(ds, col: str, lo: float, hi: float) -> np.ndarray:
+    """Distributed fixed-width histogram of values in [lo, hi]."""
+    width = (hi - lo) / _BINS
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = batch[col].to_numpy(zero_copy_only=False).astype(np.float64)
+        v = v[(v >= lo) & (v <= hi)]
+        b = np.minimum(((v - lo) / width).astype(np.int64), _BINS - 1)
+        c = np.bincount(b, minlength=_BINS)
+        nz = np.nonzero(c)[0]
+        return pa.table(
+            {"bin": pa.array(nz.astype(np.int64)), "n": pa.array(c[nz])}
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("bin")
+        .aggregate(Sum("n", alias_name="n"))
+        .take_all()
+    )
+    out = np.zeros(_BINS, dtype=np.int64)
+    for row in agg:
+        out[row["bin"]] = row["n"]
+    return out
+
+
+def topk_threshold(
+    ds: "ray.data.Dataset",
+    col: str,
+    k: int,
+    id_col: str,
+    driver_budget: int = 200_000,
+) -> "tuple[float, int, int]":
+    """Exact selection boundary of the k largest ``col`` values (ties by
+    smallest ``id_col``): returns ``(v, n_at_v, id_cutoff)`` such that
+    the selected set is exactly {col > v} ∪ {col == v and id <=
+    id_cutoff} (id_cutoff = -1 excludes the == v band entirely).
+
+    ``ds`` is scanned multiple times — pass a cached/materialized
+    Dataset if upstream compute is expensive.
+    """
+    if k <= 0:
+        raise ValueError("k must be positive")
+    stats = ds.aggregate(
+        Count(), Min(col, alias_name="lo"), Max(col, alias_name="hi")
+    )
+    n, lo, hi = stats["count()"], float(stats["lo"]), float(stats["hi"])
+    if k >= n:
+        return -np.inf, 0, -1
+    n_above = 0  # rows strictly above the current [lo, hi] range
+    # narrow until the range's row count fits the driver budget; when
+    # the range collapses below a double's ULP (fat tie band) the bin
+    # bounds stop moving — break and let the exact distinct-value
+    # finish below handle it (a sub-ULP range holds <= 2 doubles)
+    while hi > lo and np.isfinite(hi - lo):
+        counts = _hist_counts(ds, col, lo, hi)
+        in_range = int(counts.sum())
+        if in_range <= driver_budget:
+            break
+        cum_from_top = np.cumsum(counts[::-1])[::-1]
+        need = k - n_above
+        # cum_from_top is non-increasing; the k-th largest lives in the
+        # LAST bin whose from-the-top cumulative still reaches `need`
+        b = int(np.nonzero(cum_from_top >= need)[0][-1])
+        width = (hi - lo) / _BINS
+        n_above += int(cum_from_top[b] - counts[b])
+        new_lo = lo + b * width
+        new_hi = hi if b == _BINS - 1 else lo + (b + 1) * width
+        if (new_lo == lo and new_hi == hi) or new_lo >= new_hi:
+            break  # sub-ULP range: cannot shrink further
+        lo, hi = new_lo, new_hi
+    # exact finish: distinct-value counts of the remaining range (bounded
+    # by driver_budget distinct values on the normal path, <= 2 doubles
+    # on the collapsed-tie path); counts, not rows, come to the driver
+    def vc_partial(batch: pa.Table) -> pa.Table:
+        v = batch[col].to_numpy(zero_copy_only=False).astype(np.float64)
+        v = v[(v >= lo) & (v <= hi)]
+        u, c = np.unique(v, return_counts=True)
+        return pa.table({"v": pa.array(u), "n": pa.array(c.astype(np.int64))})
+
+    rows = (
+        ds.map_batches(vc_partial, batch_format="pyarrow")
+        .groupby("v")
+        .aggregate(Sum("n", alias_name="n"))
+        .take_all()
+    )
+    uvals = np.array([r["v"] for r in rows])
+    ucnt = np.array([r["n"] for r in rows], dtype=np.int64)
+    order = np.argsort(uvals)[::-1]
+    uvals, ucnt = uvals[order], ucnt[order]
+    cum = np.cumsum(ucnt)
+    need = k - n_above
+    j = int(np.nonzero(cum >= need)[0][0])
+    thresh = float(uvals[j])
+    n_at = need - (int(cum[j - 1]) if j > 0 else 0)
+    if n_at <= 0:
+        return thresh, 0, -1
+    # tie-break: fetch ids at exactly the threshold (bounded by the
+    # duplicate count of one float value)
+    ties = (
+        ds.filter(expr=f"{col} == {thresh!r}")
+        .select_columns([id_col])
+        .take_all()
+    )
+    tie_ids = np.sort(np.array([r[id_col] for r in ties]))
+    id_cutoff = int(tie_ids[n_at - 1])
+    return thresh, n_at, id_cutoff
+
+
+def top_fraction(
+    ds: "ray.data.Dataset",
+    col: str,
+    frac: float,
+    id_col: str,
+) -> "ray.data.Dataset":
+    """Exactly the top ``floor(n*frac)`` rows by (col DESC, id ASC) —
+    ROW_NUMBER semantics, no global sort.  Returns the filtered rows."""
+    n = ds.count()
+    k = int(n * frac)
+    if k <= 0:
+        return ds.filter(expr=f"{id_col} != {id_col}")  # empty
+    thresh, n_at, id_cutoff = topk_threshold(ds, col, k, id_col)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        v = batch[col].to_numpy(zero_copy_only=False)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        mask = (v > thresh) | ((v == thresh) & (ids <= id_cutoff))
+        return batch.filter(pa.array(mask))
+
+    return ds.map_batches(keep, batch_format="pyarrow")

@@ -1,0 +1,48 @@
+"""Exact top-fraction cut: parity vs numpy ROW_NUMBER semantics,
+including heavy float ties at the threshold and a driver budget small
+enough to force several histogram-refinement passes."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def _expected_ids(vals, ids, k):
+    order = np.lexsort((ids, -vals))
+    return set(ids[order[:k]].tolist())
+
+
+@pytest.mark.parametrize(
+    "seed,tie_heavy", [(0, False), (1, True), (2, True)]
+)
+def test_top_fraction_row_number_parity(ray_session, seed, tie_heavy):
+    import ray.data
+
+    from kenlm_ray.ops.percentile import top_fraction, topk_threshold
+
+    rng = np.random.default_rng(seed)
+    n = 20_000
+    if tie_heavy:
+        # few distinct values -> the k-th largest sits inside a fat tie
+        # band and the histogram range stops shrinking
+        vals = rng.choice([1.0, 2.5, 2.5 + 1e-12, 7.0, 42.0], size=n)
+    else:
+        vals = np.round(rng.normal(1000.0, 250.0, n), 2)
+    ids = rng.permutation(n).astype(np.int64)
+    ds = ray.data.from_arrow(
+        pa.table({"v": vals, "id": ids})
+    ).repartition(8)
+
+    frac = 0.1
+    k = int(n * frac)
+    got = top_fraction(ds, "v", frac, "id").to_pandas()
+    assert len(got) == k
+    assert set(got["id"].tolist()) == _expected_ids(vals, ids, k)
+
+    # force multi-pass refinement with a tiny driver budget
+    thresh, n_at, id_cutoff = topk_threshold(
+        ds, "v", k, "id", driver_budget=500
+    )
+    mask = (vals > thresh) | ((vals == thresh) & (ids <= id_cutoff))
+    assert int(mask.sum()) == k
+    assert set(ids[mask].tolist()) == _expected_ids(vals, ids, k)
