@@ -357,6 +357,64 @@ def _q_heavy_hitters_exact(sf_dir):
     return heavy_hitters_exact(ds, "l_suppkey", k=500)
 
 
+def _q_dup_span_stats(sf_dir):
+    """Span-level exact substring dedup (ExactSubstr, arXiv:2107.06499):
+    per-doc stats of maximal duplicated >=5-token spans."""
+    import numpy as np
+    import pyarrow as pa
+    from ray.data.aggregate import Count, Sum
+
+    from kenlm_ray.ops.spandedup import duplicated_spans
+
+    spans = duplicated_spans(_documents(sf_dir), L=5)
+
+    def widen(t: pa.Table) -> pa.Table:
+        length = pa.array(
+            t["tok_end"].to_numpy(zero_copy_only=False)
+            - t["tok_start"].to_numpy(zero_copy_only=False)
+        )
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_windows": t["n_windows"],
+                "span_tokens": length,
+            }
+        )
+
+    return (
+        spans.map_batches(widen, batch_format="pyarrow")
+        .groupby("doc_id")
+        .aggregate(
+            Count(alias_name="n_spans"),
+            Sum("n_windows", alias_name="n_dup_windows"),
+            Sum("span_tokens", alias_name="dup_tokens"),
+        )
+    )
+
+
+def _q_span_dedup_docs(sf_dir):
+    """Cleaned documents: every duplicated >=5-token span occurrence cut
+    out; returns doc_id, n_cut_tokens, cleaned length."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from kenlm_ray.ops.spandedup import duplicated_spans, remove_duplicated_spans
+
+    docs = _documents(sf_dir)
+    spans = duplicated_spans(docs, L=5)
+    cleaned = remove_duplicated_spans(docs, spans)
+    return cleaned.map_batches(
+        lambda t: pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_cut_tokens": t["n_cut_tokens"],
+                "clean_chars": pc.cast(pc.utf8_length(t["text"]), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def _q_top_decile_orders(sf_dir):
     """Exact top-10%-by-price cut (histogram refinement, no global
     sort), aggregated by priority."""
@@ -837,6 +895,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "purchase_clicks_1h": _q_purchase_clicks_1h,
         "doc_normalized_fingerprints": _q_doc_normalized_fingerprints,
         "top_decile_orders": _q_top_decile_orders,
+        "dup_span_stats": _q_dup_span_stats,
+        "span_dedup_docs": _q_span_dedup_docs,
         "normalized_dedup_groups": _q_normalized_dedup_groups,
         "regex_match_stats": _q_regex_match_stats,
         # rows-only checks (stateful / model-driven, not SQL-expressible)
@@ -1427,6 +1487,55 @@ def oracle_sql() -> dict[str, str]:
              AND c.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts
             WHERE p.event_type = 'purchase'
             GROUP BY p.user_id, p.event_id, ts_us
+        """,
+        "dup_span_stats": """
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(
+                           string_split_regex(text, '[\t\n\r ]+'),
+                           x -> x <> ''
+                       ) AS t
+                FROM documents
+            ),
+            grams0 AS (
+                SELECT doc_id, t,
+                       unnest(generate_series(1, len(t) - 4)) AS i
+                FROM toks WHERE len(t) >= 5
+            ),
+            grams AS (
+                SELECT doc_id, i, array_to_string(t[i:i+4], ' ') AS g
+                FROM grams0
+            ),
+            dup AS (SELECT g FROM grams GROUP BY g HAVING count(*) >= 2),
+            pos AS (
+                SELECT doc_id, i - 1 AS p
+                FROM grams WHERE g IN (SELECT g FROM dup)
+            ),
+            marked AS (
+                SELECT doc_id, p,
+                       CASE WHEN p - lag(p) OVER (
+                           PARTITION BY doc_id ORDER BY p
+                       ) >= 5 THEN 1 ELSE 0 END AS brk
+                FROM pos
+            ),
+            islands AS (
+                SELECT doc_id, p,
+                       sum(brk) OVER (
+                           PARTITION BY doc_id ORDER BY p
+                           ROWS UNBOUNDED PRECEDING
+                       ) AS isl
+                FROM marked
+            ),
+            spans AS (
+                SELECT doc_id, isl, count(*) AS n_windows,
+                       min(p) AS s, max(p) + 5 AS e
+                FROM islands GROUP BY doc_id, isl
+            )
+            SELECT doc_id,
+                   count(*)::BIGINT        AS n_spans,
+                   sum(n_windows)::BIGINT  AS n_dup_windows,
+                   sum(e - s)::BIGINT      AS dup_tokens
+            FROM spans GROUP BY doc_id
         """,
         "top_decile_orders": """
             WITH ranked AS (

@@ -1,0 +1,291 @@
+"""Span-level exact substring deduplication (Lee et al. 2022,
+"Deduplicating Training Data Makes Language Models Better",
+arXiv:2107.06499 — the ExactSubstr method, re-expressed for Ray Data).
+
+The reference implementation builds a monolithic suffix array over the
+whole corpus; that is inherently single-image.  The distributable
+equivalent used here: hash every L-token window (stride 1), shuffle
+only (window_hash, doc_id, position) triples, keep hashes occurring
+>= 2 times, and merge surviving overlapping windows into maximal
+duplicated spans per doc.  A duplicated substring of length >= L tokens
+is a run of >= 1 duplicated windows, so recall is exact for spans of
+>= L tokens (modulo 64-bit hash collisions — negligible below ~2^32
+windows per collision on average; a production run chasing certainty
+adds one verify join of the actual window text per candidate hash).
+
+Tokenization is the engine's reference-strict tokenizer
+(functions/tokenize.py — delimiter set \\0 \\t \\n \\r space, from
+/root/reference/lm/builder/corpus_count.cc:241-243), so spans are
+token-aligned and the byte offsets used for cutting fall on ASCII
+delimiter boundaries (never mid-codepoint).
+
+Scale shape: the map side emits ~1 row per token (hash + id + int —
+no text); the only shuffles are a count groupby on window hashes, a
+partitioned semi-join, and a coarse per-doc merge.  Nothing
+materializes on the driver.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data
+from ray.data.aggregate import Sum
+
+from kenlm_ray.functions.tokenize import tokenize_column
+
+_P = np.uint64(0x9E3779B97F4A7C15)  # odd golden-ratio multiplier
+
+
+def _window_hash(h: np.ndarray, L: int) -> np.ndarray:
+    """Order-sensitive combine of L consecutive token hashes,
+    vectorized as L-1 shifted passes (L is small, T is huge)."""
+    n = len(h) - L + 1
+    out = h[:n].copy()
+    with np.errstate(over="ignore"):
+        for j in range(1, L):
+            out *= _P
+            out ^= h[j : j + n]
+    return out
+
+
+def window_rows(
+    batch: pa.Table, text_col: str, id_col: str, L: int
+) -> pa.Table:
+    """All L-token window hashes of a batch: (h, doc_id, pos) where pos
+    is the 0-based token index of the window start within its doc."""
+    empty = pa.table(
+        {
+            "h": pa.array([], type=pa.int64()),
+            "doc_id": pa.array([], type=pa.int64()),
+            "pos": pa.array([], type=pa.int64()),
+        }
+    )
+    if len(batch) == 0:
+        return empty
+    ts = tokenize_column(batch[text_col])
+    T = ts.n_tokens
+    if T < L:
+        return empty
+    H = _window_hash(ts.hashes(), L)
+    n = T - L + 1
+    # windows must not cross document boundaries
+    valid = ts.doc_ids[:n] == ts.doc_ids[L - 1 :]
+    win = np.flatnonzero(valid)
+    if len(win) == 0:
+        return empty
+    # token index within the doc: global index minus the doc's first
+    first_of_doc = np.zeros(ts.n_docs, dtype=np.int64)
+    starts = np.flatnonzero(np.diff(ts.doc_ids, prepend=-1) != 0)
+    first_of_doc[ts.doc_ids[starts]] = starts
+    pos = win - first_of_doc[ts.doc_ids[win]]
+    real = batch[id_col].to_numpy(zero_copy_only=False)
+    return pa.table(
+        {
+            "h": pa.array(H[win].view(np.int64)),
+            "doc_id": pa.array(real[ts.doc_ids[win]].astype(np.int64)),
+            "pos": pa.array(pos),
+        }
+    )
+
+
+def duplicated_window_positions(
+    ds: "ray.data.Dataset",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    L: int = 5,
+) -> "ray.data.Dataset":
+    """(doc_id, pos) of every L-token window whose hash occurs >= 2
+    times corpus-wide (within-doc repeats count)."""
+    from kenlm_ray.ops.join import hash_join
+
+    wins = ds.map_batches(
+        lambda b: window_rows(b, text_col, id_col, L),
+        batch_format="pyarrow",
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "h": batch["h"],
+                "n": pa.array(np.ones(len(batch), dtype=np.int64)),
+            }
+        )
+        return t.group_by(["h"]).aggregate([("n", "sum")])
+
+    dup_hashes = (
+        wins.map_batches(partial, batch_format="pyarrow")
+        .groupby("h")
+        .aggregate(Sum("n_sum", alias_name="n"))
+        .filter(expr="n >= 2")
+        .select_columns(["h"])
+    )
+    return hash_join(
+        wins,
+        dup_hashes,
+        on=["h"],
+        left_cols={"h": pa.int64(), "doc_id": pa.int64(), "pos": pa.int64()},
+        right_cols={"h": pa.int64()},
+        how="semi",
+    ).select_columns(["doc_id", "pos"])
+
+
+def duplicated_spans(
+    ds: "ray.data.Dataset",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    L: int = 5,
+    num_partitions: int = 16,
+) -> "ray.data.Dataset":
+    """Maximal duplicated spans per doc: overlapping duplicated windows
+    merged (windows at p, p' share tokens iff p' - p < L).  Output one
+    row per span: doc_id, span_id (0-based per doc), tok_start,
+    tok_end (EXCLUSIVE token index), n_windows."""
+    pos = duplicated_window_positions(ds, text_col, id_col, L)
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        k = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            x = (k ^ (k >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+            x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+            x ^= x >> np.uint64(31)
+        return batch.append_column(
+            "__pb",
+            pa.array((x % np.uint64(num_partitions)).astype(np.int64)),
+        )
+
+    def merge(g: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], type=pa.int64()),
+                "span_id": pa.array([], type=pa.int64()),
+                "tok_start": pa.array([], type=pa.int64()),
+                "tok_end": pa.array([], type=pa.int64()),
+                "n_windows": pa.array([], type=pa.int64()),
+            }
+        )
+        if len(g) == 0:
+            return empty
+        d = g["doc_id"].to_numpy(zero_copy_only=False)
+        p = g["pos"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((p, d))
+        d, p = d[order], p[order]
+        new_doc = np.diff(d, prepend=d[0] - 1) != 0
+        gap = np.diff(p, prepend=p[0]) >= L
+        brk = new_doc | (gap & ~new_doc)
+        span = np.cumsum(brk) - 1  # 0-based global span index
+        # per-span reductions via reduceat on span starts
+        starts = np.flatnonzero(brk)
+        tok_start = p[starts]
+        ends_idx = np.concatenate([starts[1:], [len(p)]]) - 1
+        tok_end = p[ends_idx] + L
+        n_windows = np.diff(np.concatenate([starts, [len(p)]]))
+        span_doc = d[starts]
+        # span_id 0-based within each doc
+        doc_first_span = np.flatnonzero(
+            np.diff(span_doc, prepend=span_doc[0] - 1) != 0
+        )
+        base = np.repeat(
+            np.arange(len(doc_first_span)),
+            np.diff(np.concatenate([doc_first_span, [len(span_doc)]])),
+        )
+        span_id = np.arange(len(span_doc)) - doc_first_span[base]
+        return pa.table(
+            {
+                "doc_id": pa.array(span_doc),
+                "span_id": pa.array(span_id),
+                "tok_start": pa.array(tok_start),
+                "tok_end": pa.array(tok_end),
+                "n_windows": pa.array(n_windows),
+            }
+        )
+
+    return (
+        pos.map_batches(bucket, batch_format="pyarrow")
+        .groupby("__pb")
+        .map_groups(
+            lambda g: merge(g.drop_columns(["__pb"])),
+            batch_format="pyarrow",
+        )
+    )
+
+
+def remove_duplicated_spans(
+    ds: "ray.data.Dataset",
+    spans: "ray.data.Dataset",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_partitions: int = 16,
+) -> "ray.data.Dataset":
+    """Cut every duplicated span out of its document (the strictest
+    policy: ALL occurrences go — callers wanting keep-one feed a span
+    set with the kept occurrence's rows withheld).  Spans are joined
+    back onto the docs by a partitioned hash join; each batch then
+    re-tokenizes its docs once and splices the surviving byte ranges.
+    Output: id_col, ``text`` (cleaned), n_cut_tokens."""
+    from kenlm_ray.ops.join import hash_join
+
+    joined = hash_join(
+        ds.select_columns([id_col, text_col]),
+        spans.select_columns(["doc_id", "tok_start", "tok_end"]).map_batches(
+            lambda t: t.rename_columns([id_col, "tok_start", "tok_end"]),
+            batch_format="pyarrow",
+        ),
+        on=[id_col],
+        left_cols={id_col: pa.int64(), text_col: pa.string()},
+        right_cols={
+            id_col: pa.int64(),
+            "tok_start": pa.float64(),
+            "tok_end": pa.float64(),
+        },
+        how="left",
+        num_partitions=num_partitions,
+    )
+    # NOTE on right_cols types: hash_join's left join emits NaN for
+    # docs with no spans, so the span bounds arrive as float64
+
+    def cut(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([], type=pa.int64()),
+                    text_col: pa.array([], type=pa.string()),
+                    "n_cut_tokens": pa.array([], type=pa.int64()),
+                }
+            )
+        import pandas as pd
+
+        df = batch.to_pandas()
+        out_ids, out_text, out_cut = [], [], []
+        for did, grp in df.groupby(id_col, sort=False):
+            text = grp[text_col].iloc[0]
+            bounds = grp[["tok_start", "tok_end"]].dropna()
+            if len(bounds) == 0:
+                out_ids.append(did)
+                out_text.append(text)
+                out_cut.append(0)
+                continue
+            ts = tokenize_column(pa.array([text]))
+            tstarts, tends = ts.starts, ts.ends
+            keep = np.ones(len(text.encode()), dtype=bool)
+            cut_toks = 0
+            for s, e in bounds.itertuples(index=False):
+                s, e = int(s), int(e)
+                keep[tstarts[s] : tends[e - 1]] = False
+                cut_toks += e - s
+            data = np.frombuffer(text.encode(), dtype=np.uint8)
+            out_ids.append(did)
+            out_text.append(bytes(data[keep]).decode())
+            out_cut.append(cut_toks)
+        return pa.table(
+            {
+                id_col: pa.array(np.asarray(out_ids, dtype=np.int64)),
+                text_col: pa.array(out_text, type=pa.string()),
+                "n_cut_tokens": pa.array(
+                    np.asarray(out_cut, dtype=np.int64)
+                ),
+            }
+        )
+
+    return joined.map_batches(cut, batch_format="pyarrow")

@@ -1,0 +1,102 @@
+"""Span-level exact substring dedup (ExactSubstr): planted-span
+boundary exactness, brute-force window parity, and the removal
+invariant (no duplicated window survives the cut)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def _brute_dup_positions(texts, L):
+    """(doc_idx, pos) of every L-token window occurring >= 2 times."""
+    from collections import Counter
+
+    grams = []
+    for d, t in enumerate(texts):
+        toks = t.split()
+        for i in range(len(toks) - L + 1):
+            grams.append((d, i, " ".join(toks[i : i + L])))
+    c = Counter(g for _, _, g in grams)
+    return {(d, i) for d, i, g in grams if c[g] >= 2}
+
+
+def _docs_ds(texts):
+    import ray.data
+
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": np.arange(len(texts), dtype=np.int64),
+                "text": texts,
+            }
+        )
+    ).repartition(3)
+
+
+WORDS = "alpha bravo charlie delta echo foxtrot golf hotel india juliet".split()
+
+
+def _random_text(rng, n):
+    return " ".join(rng.choice(WORDS, n))
+
+
+def test_duplicated_spans_planted_and_brute_force(ray_session):
+    from kenlm_ray.ops.spandedup import duplicated_spans
+
+    rng = np.random.default_rng(3)
+    texts = [_random_text(rng, 40) for _ in range(20)]
+    planted = "zig zag zip zap zoom boom vroom"  # 7 tokens, unique words
+    texts[2] = texts[2] + " " + planted
+    texts[11] = planted + " " + texts[11]
+
+    L = 5
+    spans = (
+        duplicated_spans(_docs_ds(texts), L=L)
+        .to_pandas()
+        .sort_values(["doc_id", "span_id"])
+    )
+
+    # the planted 7-token span = 3 overlapping windows merged into one
+    s2 = spans[spans.doc_id == 2]
+    s11 = spans[spans.doc_id == 11]
+    assert list(s11.iloc[0][["tok_start", "tok_end", "n_windows"]]) == [0, 7, 3]
+    assert s2.iloc[-1]["tok_end"] - s2.iloc[-1]["tok_start"] >= 7
+    assert s2.iloc[-1]["tok_end"] == 47  # doc 2 has 40 + 7 tokens
+
+    # full brute-force parity of duplicated window positions
+    from kenlm_ray.ops.spandedup import duplicated_window_positions
+
+    got = {
+        (r["doc_id"], r["pos"])
+        for r in duplicated_window_positions(_docs_ds(texts), L=L)
+        .take_all()
+    }
+    assert got == _brute_dup_positions(texts, L)
+
+
+def test_remove_spans_leaves_no_duplicates(ray_session):
+    from kenlm_ray.ops.spandedup import (
+        duplicated_spans,
+        remove_duplicated_spans,
+    )
+
+    rng = np.random.default_rng(9)
+    texts = [_random_text(rng, 60) for _ in range(12)]
+    texts[1] = texts[0]  # whole-doc duplicate
+    ds = _docs_ds(texts)
+    L = 5
+    spans = duplicated_spans(ds, L=L)
+    cleaned = remove_duplicated_spans(ds, spans).to_pandas()
+    assert len(cleaned) == len(texts)
+    # no L-window occurs twice in the cleaned corpus
+    assert not _brute_dup_positions(cleaned["text"].tolist(), L)
+    # whole-doc duplicates vanish entirely (all their windows duplicated)
+    assert cleaned.set_index("doc_id").loc[0, "text"].strip() == ""
+    # untouched docs keep their text byte-identical
+    virgin = {
+        (r.doc_id)
+        for r in cleaned.itertuples()
+        if r.n_cut_tokens == 0
+    }
+    for d in virgin:
+        assert cleaned.set_index("doc_id").loc[d, "text"] == texts[d]
