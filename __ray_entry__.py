@@ -357,6 +357,59 @@ def _q_heavy_hitters_exact(sf_dir):
     return heavy_hitters_exact(ds, "l_suppkey", k=500)
 
 
+def _q_embedding_kmeans(sf_dir):
+    """Distributed k-means over the embeddings table: per-cluster size
+    and mean distance (clusters renumbered by size for stability)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+    from ray.data.aggregate import Count, Sum
+
+    from kenlm_ray.ops.cluster import kmeans_assign, kmeans_fit
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+    )
+    cents = kmeans_fit(ds, k=10, seed=0)
+    labeled = kmeans_assign(ds, cents)
+
+    def partial(t: pa.Table) -> pa.Table:
+        tt = pa.table(
+            {
+                "cluster": t["cluster"],
+                "n": pa.array(np.ones(len(t), dtype=np.int64)),
+                "dist": t["dist"],
+            }
+        )
+        return tt.group_by(["cluster"]).aggregate(
+            [("n", "sum"), ("dist", "sum")]
+        )
+
+    agg = (
+        labeled.map_batches(partial, batch_format="pyarrow")
+        .groupby("cluster")
+        .aggregate(
+            Sum("n_sum", alias_name="n"), Sum("dist_sum", alias_name="d")
+        )
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+
+        n = t["n"].to_numpy(zero_copy_only=False)
+        d = t["d"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "cluster": t["cluster"],
+                "n": t["n"],
+                "mean_dist": pa.array(np.round(d / n, 6)),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
 def _q_dup_span_stats(sf_dir):
     """Span-level exact substring dedup (ExactSubstr, arXiv:2107.06499):
     per-doc stats of maximal duplicated >=5-token spans."""
@@ -913,6 +966,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heavy_hitter_suppkeys": _q_heavy_hitters,
         "supplier_approx_distinct_parts": _q_supplier_approx_distinct,
         "deterministic_sample_orders": _q_deterministic_sample,
+        "embedding_kmeans": _q_embedding_kmeans,
         "lsh_knn_top10": _q_lsh_knn,
         "lsh_index_knn_top10": _q_lsh_index_knn,
         "ivf_knn_top10": _q_ivf_knn,

@@ -145,3 +145,149 @@ def dedup_keep_representatives(
         return batch.filter(pa.array(~hit))
 
     return docs.map_batches(keep, batch_format="pyarrow")
+
+
+def kmeans_fit(
+    ds: "ray.data.Dataset",
+    emb_col: str = "embedding",
+    k: int = 10,
+    n_iter: int = 20,
+    seed: int = 0,
+    sample_size: int = 4096,
+    tol: float = 1e-6,
+    id_col: str = "vec_id",
+) -> np.ndarray:
+    """Distributed Lloyd's k-means over an embedding column (euclidean).
+
+    Per iteration: centroids broadcast once via ``ray.put``; each batch
+    assigns rows with one matmul and emits k x (d+1) partial sums
+    flattened to (cid, dim, val) rows; a tiny groupby reduces them.
+    The input embeddings are materialized ONCE so the iterations re-read
+    Arrow blocks from the object store instead of re-executing the
+    upstream pipeline (the standard iterative-ML tradeoff: pin one
+    copy, stream k*d-sized updates).
+
+    Init is deterministic: k-means++ on a partitioning-invariant sample
+    (ops/sample.deterministic_sample by a seeded row hash).  Empty
+    clusters keep their previous centroid.  Returns (k, d) float64
+    centroids; early-stops when the max centroid shift drops below
+    ``tol``.
+
+    Engine addition (cluster-based curation / SemDeDup-style pruning);
+    kpu/kenlm has no analog.  The distributed E-step/M-step shape is
+    the classic MapReduce k-means (Chu et al., NIPS'06 "Map-Reduce for
+    Machine Learning on Multicore").
+    """
+    import ray
+
+    from ray.data.aggregate import Sum
+
+    mat = ds.select_columns([id_col, emb_col]).materialize()
+
+    # ---- deterministic init: k-means++ on a bounded sample, chosen
+    # partitioning-invariantly by seeded id hash ----
+    from kenlm_ray.ops.sample import deterministic_sample
+
+    sample_rows = deterministic_sample(
+        mat, id_col, min(sample_size, mat.count()), seed=seed
+    ).take_all()
+    sample = np.array([r[emb_col] for r in sample_rows], dtype=np.float64)
+    rng = np.random.default_rng(seed)
+    cents = np.empty((k, sample.shape[1]), dtype=np.float64)
+    cents[0] = sample[rng.integers(len(sample))]
+    d2 = np.sum((sample - cents[0]) ** 2, axis=1)
+    for c in range(1, k):
+        p = d2 / d2.sum() if d2.sum() > 0 else None
+        cents[c] = sample[rng.choice(len(sample), p=p)]
+        d2 = np.minimum(d2, np.sum((sample - cents[c]) ** 2, axis=1))
+
+    d = cents.shape[1]
+    for _ in range(n_iter):
+        ref = ray.put(cents)
+
+        def partial(batch: pa.Table, _ref=ref) -> pa.Table:
+            import ray as _ray
+
+            cs = _ray.get(_ref)
+            m = np.asarray(
+                batch[emb_col].to_numpy(zero_copy_only=False).tolist(),
+                dtype=np.float64,
+            )
+            # ||x-c||^2 = ||x||^2 - 2 x.c + ||c||^2; argmin drops ||x||^2
+            assign = np.argmin(
+                -2.0 * (m @ cs.T) + np.sum(cs * cs, axis=1)[None, :], axis=1
+            )
+            kk, dd = cs.shape
+            sums = np.zeros((kk, dd), dtype=np.float64)
+            np.add.at(sums, assign, m)
+            cnt = np.bincount(assign, minlength=kk).astype(np.float64)
+            flat = np.concatenate([sums, cnt[:, None]], axis=1).ravel()
+            cid = np.repeat(np.arange(kk, dtype=np.int64), dd + 1)
+            dim = np.tile(np.arange(dd + 1, dtype=np.int64), kk)
+            nz = flat != 0.0
+            return pa.table(
+                {
+                    "cid": pa.array(cid[nz]),
+                    "dim": pa.array(dim[nz]),
+                    "val": pa.array(flat[nz]),
+                }
+            )
+
+        rows = (
+            mat.map_batches(partial, batch_format="pyarrow")
+            .groupby(["cid", "dim"])
+            .aggregate(Sum("val", alias_name="val"))
+            .take_all()
+        )
+        sums = np.zeros((k, d))
+        cnt = np.zeros(k)
+        for r in rows:
+            if r["dim"] == d:
+                cnt[r["cid"]] = r["val"]
+            else:
+                sums[r["cid"], r["dim"]] = r["val"]
+        new = cents.copy()
+        nonzero = cnt > 0
+        new[nonzero] = sums[nonzero] / cnt[nonzero, None]
+        shift = float(np.max(np.abs(new - cents)))
+        cents = new
+        if shift < tol:
+            break
+    return cents
+
+
+def kmeans_assign(
+    ds: "ray.data.Dataset",
+    centroids: np.ndarray,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> "ray.data.Dataset":
+    """Label every row with its nearest centroid: (id_col, cluster,
+    dist).  Pure map over a broadcast (k, d) array."""
+    import ray
+
+    ref = ray.put(np.asarray(centroids, dtype=np.float64))
+
+    def f(batch: pa.Table) -> pa.Table:
+        cs = ray.get(ref)
+        m = np.asarray(
+            batch[emb_col].to_numpy(zero_copy_only=False).tolist(),
+            dtype=np.float64,
+        )
+        d2 = (
+            np.sum(m * m, axis=1)[:, None]
+            - 2.0 * (m @ cs.T)
+            + np.sum(cs * cs, axis=1)[None, :]
+        )
+        a = np.argmin(d2, axis=1)
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "cluster": pa.array(a.astype(np.int64)),
+                "dist": pa.array(
+                    np.sqrt(np.maximum(d2[np.arange(len(a)), a], 0.0))
+                ),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow")

@@ -1,0 +1,120 @@
+"""Distributed k-means: blob recovery, partitioning invariance, and
+label purity on the planted-cluster embeddings testdata."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def _purity(assign, labels):
+    """Fraction of rows whose cluster's majority label is their label."""
+    total = 0
+    for c in np.unique(assign):
+        sel = labels[assign == c]
+        total += np.bincount(sel).max()
+    return total / len(labels)
+
+
+def _blob_table(rng, k=4, n=400, d=8, spread=0.05):
+    centers = rng.normal(size=(k, d)) * 3.0
+    labels = rng.integers(0, k, n)
+    pts = centers[labels] + rng.normal(size=(n, d)) * spread
+    return (
+        pa.table(
+            {
+                "vec_id": np.arange(n, dtype=np.int64),
+                "embedding": list(pts.astype(np.float32)),
+                "label": labels.astype(np.int32),
+            }
+        ),
+        labels,
+    )
+
+
+def test_kmeans_recovers_blobs_and_is_partitioning_invariant(ray_session):
+    import ray.data
+
+    from kenlm_ray.ops.cluster import kmeans_assign, kmeans_fit
+
+    rng = np.random.default_rng(5)
+    tbl, labels = _blob_table(rng)
+    c1 = kmeans_fit(
+        ray.data.from_arrow(tbl).repartition(2), k=4, seed=1
+    )
+    c2 = kmeans_fit(
+        ray.data.from_arrow(tbl).repartition(9), k=4, seed=1
+    )
+    # same seed + same data => same clustering regardless of
+    # partitioning (float sums may differ in the last ulp)
+    assert np.allclose(np.sort(c1, axis=0), np.sort(c2, axis=0), atol=1e-8)
+
+    out = (
+        kmeans_assign(ray.data.from_arrow(tbl), c1)
+        .to_pandas()
+        .sort_values("vec_id")
+    )
+    assert _purity(out["cluster"].to_numpy(), labels) == 1.0
+    # tight blobs: every point lands near its centroid
+    assert out["dist"].max() < 1.0
+
+
+def _local_lloyd(m, ids, k, n_iter, seed, tol=1e-6):
+    """Single-machine replica of kmeans_fit's exact algorithm (same
+    deterministic-sample init, same update rule)."""
+    from kenlm_ray.ops.sample import _rank
+
+    order = np.argsort(_rank(ids.astype(np.int64), seed))
+    sample = m[order[: min(4096, len(m))]]
+    # re-sort the sample rows the way take_all returns them (rank order)
+    rng = np.random.default_rng(seed)
+    cents = np.empty((k, m.shape[1]))
+    cents[0] = sample[rng.integers(len(sample))]
+    d2 = np.sum((sample - cents[0]) ** 2, axis=1)
+    for c in range(1, k):
+        p = d2 / d2.sum() if d2.sum() > 0 else None
+        cents[c] = sample[rng.choice(len(sample), p=p)]
+        d2 = np.minimum(d2, np.sum((sample - cents[c]) ** 2, axis=1))
+    for _ in range(n_iter):
+        a = np.argmin(
+            -2.0 * (m @ cents.T) + np.sum(cents * cents, axis=1)[None, :],
+            axis=1,
+        )
+        new = cents.copy()
+        for c in range(k):
+            sel = a == c
+            if sel.any():
+                new[c] = m[sel].mean(axis=0)
+        shift = float(np.max(np.abs(new - cents)))
+        cents = new
+        if shift < tol:
+            break
+    return cents
+
+
+def test_kmeans_distributed_matches_local_lloyd_on_testdata(ray_session):
+    import ray.data
+
+    from kenlm_ray.ops.cluster import kmeans_assign, kmeans_fit
+
+    ds = ray.data.read_parquet(
+        "/root/testdata/sf0.001/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+    )
+    cents = kmeans_fit(ds, k=10, seed=0, n_iter=8)
+
+    df = ds.to_pandas().sort_values("vec_id")
+    m = np.array(df["embedding"].tolist(), dtype=np.float64)
+    ids = df["vec_id"].to_numpy()
+    ref = _local_lloyd(m, ids, k=10, n_iter=8, seed=0)
+    assert np.allclose(
+        np.sort(cents, axis=0), np.sort(ref, axis=0), atol=1e-6
+    )
+
+    # and the distributed assignment is the true nearest-centroid argmin
+    out = kmeans_assign(ds, cents).to_pandas().sort_values("vec_id")
+    d2 = (
+        np.sum(m * m, axis=1)[:, None]
+        - 2.0 * (m @ cents.T)
+        + np.sum(cents * cents, axis=1)[None, :]
+    )
+    assert np.array_equal(out["cluster"].to_numpy(), np.argmin(d2, axis=1))
