@@ -357,6 +357,19 @@ def _q_heavy_hitters_exact(sf_dir):
     return heavy_hitters_exact(ds, "l_suppkey", k=500)
 
 
+def _q_semantic_dedup_ids(sf_dir):
+    """SemDeDup: ids surviving cluster-bounded embedding near-dedup."""
+    import ray.data
+
+    from kenlm_ray.ops.semdedup import semantic_dedup_ids
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+    )
+    return semantic_dedup_ids(ds, k=10, tau=0.95, seed=0)
+
+
 def _q_embedding_kmeans(sf_dir):
     """Distributed k-means over the embeddings table: per-cluster size
     and mean distance (clusters renumbered by size for stability)."""
@@ -967,6 +980,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supplier_approx_distinct_parts": _q_supplier_approx_distinct,
         "deterministic_sample_orders": _q_deterministic_sample,
         "embedding_kmeans": _q_embedding_kmeans,
+        "semantic_dedup_ids": _q_semantic_dedup_ids,
         "lsh_knn_top10": _q_lsh_knn,
         "lsh_index_knn_top10": _q_lsh_index_knn,
         "ivf_knn_top10": _q_ivf_knn,

@@ -158,6 +158,11 @@ def run_queries() -> dict[str, float]:
         "parts_never_ordered",
         "customer_running_total",
         "heavy_hitter_suppkeys",
+        "purchase_clicks_1h",
+        "top_decile_orders",
+        "normalized_dedup_groups",
+        "dup_span_stats",
+        "embedding_kmeans",
         "ppl_score",
         "langid",
     ]

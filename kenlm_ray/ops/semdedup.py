@@ -1,0 +1,141 @@
+"""Semantic deduplication over an embedding column (SemDeDup,
+arXiv:2303.09540: k-means the embedding space, find near-duplicate
+pairs WITHIN each cluster only, keep one representative per duplicate
+group).
+
+The cluster pass bounds the quadratic step: pairwise cosine runs inside
+a cluster of ~n/k rows instead of across the corpus, and the clusters
+shuffle independently.  The pair -> group -> representative chain
+reuses the engine's dedup machinery (ops/cluster.connected_components,
+dedup_keep_representatives), so the output contract matches the
+minhash/jaccard dedup paths: callers get the kept ids.
+
+Skew note: k must grow with n (n/k rows per cluster is the quadratic
+budget — SemDeDup uses k ~ sqrt(n) at scale).  A cluster cap guards the
+worst case: clusters above ``max_cluster`` rows are sub-split by a
+seeded hash before the pairwise step (recall inside an oversized
+cluster degrades gracefully rather than wedging a worker).
+
+Engine addition; kpu/kenlm has no embedding-space analog.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data
+
+
+def semantic_near_dup_pairs(
+    ds: "ray.data.Dataset",
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 10,
+    tau: float = 0.97,
+    seed: int = 0,
+    max_cluster: int = 20_000,
+) -> "ray.data.Dataset":
+    """(id_a, id_b) with cosine >= tau and the same k-means cluster."""
+    from kenlm_ray.ops.cluster import kmeans_fit
+
+    cents = kmeans_fit(ds, emb_col=emb_col, k=k, seed=seed, id_col=id_col)
+    import ray
+
+    ref = ray.put(np.asarray(cents, dtype=np.float64))
+
+    def assign_keep_vec(batch: pa.Table) -> pa.Table:
+        cs = ray.get(ref)
+        m = np.asarray(
+            batch[emb_col].to_numpy(zero_copy_only=False).tolist(),
+            dtype=np.float64,
+        )
+        a = np.argmin(
+            -2.0 * (m @ cs.T) + np.sum(cs * cs, axis=1)[None, :], axis=1
+        )
+        # sub-split guard for oversized clusters: second-level hash of
+        # the id decides a sub-bucket; normal clusters use bucket 0
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            x = (ids ^ np.uint64(seed)) * np.uint64(0x9E3779B97F4A7C15)
+        sub = (x >> np.uint64(48)).astype(np.int64)
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                emb_col: batch[emb_col],
+                "cluster": pa.array(a.astype(np.int64)),
+                "__sub": pa.array(sub),
+            }
+        )
+
+    labeled = ds.map_batches(assign_keep_vec, batch_format="pyarrow")
+
+    n_sub_bits = 0  # resolved per group below
+
+    def pairs(g: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "id_a": pa.array([], type=pa.int64()),
+                "id_b": pa.array([], type=pa.int64()),
+                "cos": pa.array([], type=pa.float64()),
+            }
+        )
+        if len(g) < 2:
+            return empty
+        if len(g) > max_cluster:
+            # sub-split: recurse by the precomputed hash sub-bucket
+            n_parts = int(np.ceil(len(g) / max_cluster))
+            sub = g["__sub"].to_numpy(zero_copy_only=False) % n_parts
+            outs = []
+            for s in range(n_parts):
+                piece = g.filter(pa.array(sub == s))
+                if len(piece) >= 2:
+                    outs.append(pairs(piece))
+            return (
+                pa.concat_tables([t for t in outs if len(t)])
+                if outs
+                else empty
+            )
+        ids = g[id_col].to_numpy(zero_copy_only=False)
+        m = np.asarray(
+            g[emb_col].to_numpy(zero_copy_only=False).tolist(),
+            dtype=np.float64,
+        )
+        m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
+        sims = m @ m.T
+        iu, ju = np.triu_indices(len(ids), k=1)
+        hit = sims[iu, ju] >= tau
+        a, b = ids[iu[hit]], ids[ju[hit]]
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        return pa.table(
+            {
+                "id_a": pa.array(lo.astype(np.int64)),
+                "id_b": pa.array(hi.astype(np.int64)),
+                "cos": pa.array(sims[iu[hit], ju[hit]]),
+            }
+        )
+
+    return labeled.groupby("cluster").map_groups(
+        lambda g: pairs(g.drop_columns(["cluster"])),
+        batch_format="pyarrow",
+    )
+
+
+def semantic_dedup_ids(
+    ds: "ray.data.Dataset",
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 10,
+    tau: float = 0.97,
+    seed: int = 0,
+) -> "ray.data.Dataset":
+    """Ids that SURVIVE semantic dedup: one representative (min id) per
+    near-duplicate component, all non-duplicated ids untouched."""
+    from kenlm_ray.ops.cluster import dedup_keep_representatives
+
+    pairs = semantic_near_dup_pairs(
+        ds, emb_col=emb_col, id_col=id_col, k=k, tau=tau, seed=seed
+    ).select_columns(["id_a", "id_b"])
+    return dedup_keep_representatives(
+        ds.select_columns([id_col]), pairs, id_col=id_col
+    )

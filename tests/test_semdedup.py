@@ -1,0 +1,52 @@
+"""SemDeDup (cluster-bounded embedding near-dup): planted duplicate
+groups are collapsed to one representative; distinct vectors survive."""
+
+import numpy as np
+import pyarrow as pa
+
+
+def test_semantic_dedup_collapses_planted_groups(ray_session):
+    import ray.data
+
+    from kenlm_ray.ops.semdedup import (
+        semantic_dedup_ids,
+        semantic_near_dup_pairs,
+    )
+
+    rng = np.random.default_rng(11)
+    d, base_n = 16, 60
+    base = rng.normal(size=(base_n, d))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    # plant two duplicate groups: ids (100, 101, 102) ~ base[0],
+    # ids (200, 201) ~ base[1]; jitter keeps cosine > 0.999
+    rows = [(i, base[i]) for i in range(base_n)]
+    for new_id, src in ((100, 0), (101, 0), (102, 0), (200, 1), (201, 1)):
+        v = base[src] + rng.normal(size=d) * 1e-4
+        rows.append((new_id, v / np.linalg.norm(v)))
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    vecs = [np.asarray(r[1], dtype=np.float32) for r in rows]
+    ds = ray.data.from_arrow(
+        pa.table({"vec_id": ids, "embedding": vecs})
+    ).repartition(4)
+
+    pairs = semantic_near_dup_pairs(
+        ds, k=4, tau=0.995, seed=3
+    ).to_pandas()
+    got_pairs = set(map(tuple, pairs[["id_a", "id_b"]].to_numpy()))
+    # the planted groups appear (k-means cannot split identical points)
+    assert {(0, 100), (0, 101), (0, 102), (100, 101), (100, 102), (101, 102)} <= got_pairs
+    assert {(1, 200), (1, 201), (200, 201)} <= got_pairs
+
+    kept = set(
+        semantic_dedup_ids(ds, k=4, tau=0.995, seed=3)
+        .to_pandas()["vec_id"]
+        .tolist()
+    )
+    # representatives (min id) stay, the rest of each group goes
+    assert {0, 1} <= kept
+    assert kept.isdisjoint({100, 101, 102, 200, 201})
+    # every non-planted id survives unless it fell into a planted pair
+    others = set(range(2, base_n)) - {
+        int(x) for p in got_pairs for x in p if 2 <= x < base_n
+    }
+    assert others <= kept
