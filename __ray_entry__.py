@@ -357,6 +357,68 @@ def _q_heavy_hitters_exact(sf_dir):
     return heavy_hitters_exact(ds, "l_suppkey", k=500)
 
 
+def _q_customer_value_quartiles(sf_dir):
+    """NTILE(4) over per-customer revenue without a global sort: each
+    tile boundary is a fixed rank resolved by histogram refinement."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from kenlm_ray.ops.percentile import ntile_assign
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_custkey", "o_totalprice"],
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {"o_custkey": batch["o_custkey"], "total": batch["o_totalprice"]}
+        )
+        return t.group_by(["o_custkey"]).aggregate([("total", "sum")])
+
+    totals = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .aggregate(Sum("total_sum", alias_name="total"))
+        .materialize()
+    )
+    tiled = ntile_assign(totals, "total", "o_custkey", 4)
+
+    def tile_partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "tile": batch["tile"],
+                "n_customers": pa.array(np.ones(len(batch), dtype=np.int64)),
+                "s": batch["total"],
+            }
+        )
+        return t.group_by(["tile"]).aggregate(
+            [("n_customers", "sum"), ("s", "sum")]
+        )
+
+    agg = (
+        tiled.map_batches(tile_partial, batch_format="pyarrow")
+        .groupby("tile")
+        .aggregate(
+            Sum("n_customers_sum", alias_name="n_customers"),
+            Sum("s_sum", alias_name="s"),
+        )
+    )
+    return agg.map_batches(
+        lambda t: pa.table(
+            {
+                "tile": t["tile"],
+                "n_customers": t["n_customers"],
+                "sum_total": pc.round(t["s"], ndigits=2),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def _q_semantic_dedup_ids(sf_dir):
     """SemDeDup: ids surviving cluster-bounded embedding near-dedup."""
     import ray.data
@@ -961,6 +1023,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "purchase_clicks_1h": _q_purchase_clicks_1h,
         "doc_normalized_fingerprints": _q_doc_normalized_fingerprints,
         "top_decile_orders": _q_top_decile_orders,
+        "customer_value_quartiles": _q_customer_value_quartiles,
         "dup_span_stats": _q_dup_span_stats,
         "span_dedup_docs": _q_span_dedup_docs,
         "normalized_dedup_groups": _q_normalized_dedup_groups,
@@ -1555,6 +1618,21 @@ def oracle_sql() -> dict[str, str]:
              AND c.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts
             WHERE p.event_type = 'purchase'
             GROUP BY p.user_id, p.event_id, ts_us
+        """,
+        "customer_value_quartiles": """
+            WITH ct AS (
+                SELECT o_custkey, sum(o_totalprice) AS total
+                FROM orders GROUP BY o_custkey
+            ),
+            t AS (
+                SELECT o_custkey, total,
+                       ntile(4) OVER (ORDER BY total DESC, o_custkey) AS tile
+                FROM ct
+            )
+            SELECT tile::BIGINT     AS tile,
+                   count(*)::BIGINT AS n_customers,
+                   round(sum(total), 2) AS sum_total
+            FROM t GROUP BY tile
         """,
         "dup_span_stats": """
             WITH toks AS (

@@ -63,6 +63,25 @@ def _hist_counts(ds, col: str, lo: float, hi: float) -> np.ndarray:
     return out
 
 
+def _distinct_value_counts(ds, col: str, lo=-np.inf, hi=np.inf):
+    """[(value, count)] of distinct ``col`` values in [lo, hi] — the
+    exact-finish primitive shared by topk_threshold and ntile_assign."""
+
+    def vc_partial(batch: pa.Table) -> pa.Table:
+        v = batch[col].to_numpy(zero_copy_only=False).astype(np.float64)
+        v = v[(v >= lo) & (v <= hi)]
+        u, c = np.unique(v, return_counts=True)
+        return pa.table({"v": pa.array(u), "n": pa.array(c.astype(np.int64))})
+
+    rows = (
+        ds.map_batches(vc_partial, batch_format="pyarrow")
+        .groupby("v")
+        .aggregate(Sum("n", alias_name="n"))
+        .take_all()
+    )
+    return [(r["v"], r["n"]) for r in rows]
+
+
 def topk_threshold(
     ds: "ray.data.Dataset",
     col: str,
@@ -167,3 +186,87 @@ def top_fraction(
         return batch.filter(pa.array(mask))
 
     return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def ntile_assign(
+    ds: "ray.data.Dataset",
+    col: str,
+    id_col: str,
+    n_tiles: int,
+) -> "ray.data.Dataset":
+    """NTILE(n) OVER (ORDER BY col DESC, id ASC) without a global sort.
+
+    SQL NTILE hands the first ``n_total %% n`` tiles one extra row; the
+    tile boundaries are therefore fixed RANKS, and each is resolved with
+    one ``topk_threshold`` histogram refinement.  Rows are then labeled
+    map-side by comparing against the n-1 broadcast (value, id) cut
+    points — the input shuffles zero times.  Output: the input columns
+    plus ``tile`` (1-based).
+
+    Designed for n_tiles small (quartiles/deciles); each boundary costs
+    O(log_4096(range)) scans.
+    """
+    n = ds.count()
+    q, r = divmod(n, n_tiles)
+    ranks = []
+    cum = 0
+    for t in range(n_tiles - 1):
+        cum += q + (1 if t < r else 0)
+        ranks.append(cum)
+    cuts = [None] * len(ranks)
+    # shared fast path: one distinct-value pass resolves EVERY boundary
+    # when the value-count table is driver-sized (always true right
+    # after a per-key aggregate at moderate key cardinality; the
+    # per-rank refinement below kicks in only beyond the budget)
+    if n <= 200_000:
+        rows = _distinct_value_counts(ds, col)
+        uvals = np.array([x[0] for x in rows])
+        ucnt = np.array([x[1] for x in rows], dtype=np.int64)
+        order = np.argsort(uvals)[::-1]
+        uvals, ucnt = uvals[order], ucnt[order]
+        cum_top = np.cumsum(ucnt)
+        tie_cache: dict = {}
+        for i, kk in enumerate(ranks):
+            if kk <= 0:
+                cuts[i] = (np.inf, -1)
+                continue
+            if kk >= n:
+                cuts[i] = (-np.inf, np.iinfo(np.int64).max)
+                continue
+            j = int(np.nonzero(cum_top >= kk)[0][0])
+            thresh = float(uvals[j])
+            n_at = kk - (int(cum_top[j - 1]) if j > 0 else 0)
+            if n_at <= 0:
+                cuts[i] = (thresh, -1)
+                continue
+            if thresh not in tie_cache:
+                ties = (
+                    ds.filter(expr=f"{col} == {thresh!r}")
+                    .select_columns([id_col])
+                    .take_all()
+                )
+                tie_cache[thresh] = np.sort(
+                    np.array([x[id_col] for x in ties])
+                )
+            cuts[i] = (thresh, int(tie_cache[thresh][n_at - 1]))
+    else:
+        for i, kk in enumerate(ranks):
+            if kk <= 0:
+                cuts[i] = (np.inf, -1)  # empty tile: nothing reaches it
+            elif kk >= n:
+                cuts[i] = (-np.inf, np.iinfo(np.int64).max)
+            else:
+                cuts[i] = topk_threshold(ds, col, kk, id_col)[0::2]
+
+    def label(batch: pa.Table) -> pa.Table:
+        v = batch[col].to_numpy(zero_copy_only=False)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        tile = np.ones(len(v), dtype=np.int64) * n_tiles
+        # a row is in tile <= t+1 iff it belongs to the top-cum(t) set
+        for t in range(n_tiles - 2, -1, -1):
+            thresh, id_cutoff = cuts[t]
+            in_top = (v > thresh) | ((v == thresh) & (ids <= id_cutoff))
+            tile[in_top] = t + 1
+        return batch.append_column("tile", pa.array(tile))
+
+    return ds.map_batches(label, batch_format="pyarrow")

@@ -64,3 +64,47 @@ def deterministic_sample(
         .limit(k)
     )
     return out.drop_columns(["__rank"])
+
+
+def weighted_sample(
+    ds: "ray.data.Dataset",
+    id_col: str,
+    weight_col: str,
+    k: int,
+    *,
+    seed: int = 0,
+) -> "ray.data.Dataset":
+    """Exact-k weighted sample WITHOUT replacement (Efraimidis &
+    Spirakis 2006), deterministic and mergeable like
+    ``deterministic_sample``.
+
+    Exponential-clocks formulation: row i draws u_i = uniform(0,1) from
+    ``splitmix64(seed ^ id)`` and races with clock e_i = -ln(u_i) / w_i
+    (the minimum of an Exp(w_i) process); the k smallest clocks win,
+    which includes each row with probability proportional to its weight
+    under sequential without-replacement semantics.  Per batch only the
+    local bottom-k cross the wire; the global merge is a k-row
+    sort+limit.  Rows with weight <= 0 never win.
+    """
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        w = batch[weight_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        r = _rank(ids, seed)
+        # uniform in (0,1]: (r+1) / 2^64 — never exactly 0, so the log
+        # is finite; weight<=0 gets an infinite clock (never sampled)
+        u = (r.astype(np.float64) + 1.0) / 18446744073709551616.0
+        with np.errstate(divide="ignore", invalid="ignore"):
+            clock = np.where(w > 0, -np.log(u) / w, np.inf)
+        if len(clock) > k:
+            keep = np.argpartition(clock, k)[:k]
+            batch = batch.take(pa.array(keep))
+            clock = clock[keep]
+        return batch.append_column("__clock", pa.array(clock))
+
+    out = (
+        ds.map_batches(local_topk, batch_format="pyarrow")
+        .sort("__clock")
+        .limit(k)
+    )
+    return out.drop_columns(["__clock"])

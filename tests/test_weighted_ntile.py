@@ -1,0 +1,71 @@
+"""Weighted sampling (Efraimidis-Spirakis) and NTILE-without-sort."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def _ds(tbl, parts):
+    import ray.data
+
+    return ray.data.from_arrow(tbl).repartition(parts)
+
+
+def test_weighted_sample_exact_k_deterministic_and_proportional(ray_session):
+    from kenlm_ray.ops.sample import weighted_sample
+
+    n = 3000
+    ids = np.arange(n, dtype=np.int64)
+    # two weight classes: 10% of ids carry 20x the weight
+    w = np.where(ids % 10 == 0, 20.0, 1.0)
+    tbl = pa.table({"id": ids, "w": w})
+
+    a = weighted_sample(_ds(tbl, 4), "id", "w", 200, seed=5).to_pandas()
+    b = weighted_sample(_ds(tbl, 11), "id", "w", 200, seed=5).to_pandas()
+    assert len(a) == 200
+    assert set(a["id"]) == set(b["id"])  # partitioning-invariant
+    c = weighted_sample(_ds(tbl, 4), "id", "w", 200, seed=6).to_pandas()
+    assert set(a["id"]) != set(c["id"])  # seed-sensitive
+
+    # heavy ids (2.9x total mass) must dominate the sample: expected
+    # inclusion ratio heavy:light >> 1; across 20 seeds the pooled share
+    # concentrates hard
+    heavy_share = []
+    for seed in range(20):
+        s = weighted_sample(_ds(tbl, 4), "id", "w", 150, seed=seed).to_pandas()
+        heavy_share.append((s["id"] % 10 == 0).mean())
+    pooled = float(np.mean(heavy_share))
+    # heavy mass fraction = 20*300/(20*300+2700) = 0.69; sequential
+    # without-replacement inflates it further
+    assert 0.55 < pooled < 0.95
+
+    # zero/negative weights never win
+    w2 = w.copy()
+    w2[:1500] = 0.0
+    tbl2 = pa.table({"id": ids, "w": w2})
+    s2 = weighted_sample(_ds(tbl2, 4), "id", "w", 100, seed=1).to_pandas()
+    assert (s2["id"] >= 1500).all()
+
+
+@pytest.mark.parametrize("n,tiles", [(1003, 4), (40, 7)])
+def test_ntile_matches_duckdb(ray_session, n, tiles):
+    import duckdb
+
+    from kenlm_ray.ops.percentile import ntile_assign
+
+    rng = np.random.default_rng(n)
+    vals = np.round(rng.normal(0, 100, n), 1)  # ties likely at 0.1 grid
+    ids = rng.permutation(n).astype(np.int64)
+    tbl = pa.table({"v": vals, "id": ids})
+
+    got = (
+        ntile_assign(_ds(tbl, 6), "v", "id", tiles)
+        .to_pandas()
+        .sort_values("id")
+    )
+    con = duckdb.connect()
+    con.register("t", tbl.to_pandas())
+    ref = con.sql(
+        f"SELECT id, ntile({tiles}) OVER (ORDER BY v DESC, id) AS tile FROM t"
+    ).df().sort_values("id")
+    assert np.array_equal(got["tile"].to_numpy(), ref["tile"].to_numpy())
