@@ -357,6 +357,39 @@ def _q_heavy_hitters_exact(sf_dir):
     return heavy_hitters_exact(ds, "l_suppkey", k=500)
 
 
+def _q_stratified_docs_sample(sf_dir):
+    """Deterministic exact-k-per-language document sample."""
+    import ray.data
+
+    from kenlm_ray.ops.sample import stratified_sample
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "lang"]
+    )
+    return stratified_sample(docs, "lang", "doc_id", 30, seed=7)
+
+
+def _q_mixed_corpus_stats(sf_dir):
+    """Deterministic domain mixing: 1 pass of all docs + 1.5 passes of
+    English docs; per (source, copy) row counts."""
+    import numpy as np
+    import pyarrow as pa
+    from ray.data.aggregate import Count
+
+    import ray.data
+
+    from kenlm_ray.ops.mix import mix_sources
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "lang"]
+    )
+    en = docs.filter(expr="lang == 'en'")
+    mixed = mix_sources([(docs, 1.0), (en, 1.5)], id_col="doc_id", seed=11)
+    return (
+        mixed.groupby(["mix_source", "copy"]).aggregate(Count(alias_name="n"))
+    )
+
+
 def _q_customer_value_quartiles(sf_dir):
     """NTILE(4) over per-customer revenue without a global sort: each
     tile boundary is a fixed rank resolved by histogram refinement."""
@@ -1044,6 +1077,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "deterministic_sample_orders": _q_deterministic_sample,
         "embedding_kmeans": _q_embedding_kmeans,
         "semantic_dedup_ids": _q_semantic_dedup_ids,
+        "stratified_docs_sample": _q_stratified_docs_sample,
+        "mixed_corpus_stats": _q_mixed_corpus_stats,
         "lsh_knn_top10": _q_lsh_knn,
         "lsh_index_knn_top10": _q_lsh_index_knn,
         "ivf_knn_top10": _q_ivf_knn,

@@ -1,0 +1,85 @@
+"""Deterministic dataset mixing — the domain-weighting step of a
+training-data pipeline ("2 epochs of wiki, 0.3 of commoncrawl"):
+each source enters the mixture at a RATE; rate 2.3 means two full
+copies plus a deterministic 30% subsample of a third.
+
+Per-row determinism comes from the same splitmix64(seed ^ id) rank the
+sampling ops use: whether an id survives a fractional copy never
+depends on partitioning, batch order, or cluster size, so re-runs and
+resumes see the identical mixture.  Copies carry a ``copy`` column so
+downstream shuffles/dedup treat them as distinct rows on purpose.
+
+Pure map + union — no shuffle, no driver state; 100-TB sources stream
+through untouched except for the hash-threshold filter.
+
+Engine addition (kpu/kenlm's interpolation mixes MODELS —
+lm/interpolate — not corpora; data mixing is its corpus-side analog).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data
+
+from kenlm_ray.ops.sample import _rank
+
+
+def _keep_fraction(
+    ds: "ray.data.Dataset",
+    id_col: str,
+    frac: float,
+    seed: int,
+) -> "ray.data.Dataset":
+    """Deterministic ~frac subsample: keep ids whose seeded rank falls
+    under frac * 2^64 (consistent sampling — a superset-stable cut)."""
+    cut = np.uint64(int(frac * float(2**64)))
+
+    def f(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return batch.filter(pa.array(_rank(ids, seed) < cut))
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def mix_sources(
+    sources: "list[tuple[ray.data.Dataset, float]]",
+    id_col: str,
+    seed: int = 0,
+    source_col: str = "mix_source",
+    copy_col: str = "copy",
+) -> "ray.data.Dataset":
+    """Weighted mixture of sources.  ``sources`` = [(dataset, rate)];
+    rate r = floor(r) full passes + one deterministic (r - floor(r))
+    subsample.  Output adds ``mix_source`` (index into ``sources``) and
+    ``copy`` (0-based pass number)."""
+    parts = []
+    for si, (ds, rate) in enumerate(sources):
+        if rate <= 0:
+            continue
+        full = int(np.floor(rate))
+        frac = rate - full
+        for c in range(full):
+            parts.append(_tag(ds, si, c, source_col, copy_col))
+        if frac > 0:
+            sub = _keep_fraction(
+                ds, id_col, frac, seed ^ (si * 7919 + full)
+            )
+            parts.append(_tag(sub, si, full, source_col, copy_col))
+    if not parts:
+        raise ValueError("no source has a positive rate")
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.union(p)
+    return out
+
+
+def _tag(ds, si: int, c: int, source_col: str, copy_col: str):
+    def f(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        return batch.append_column(
+            source_col, pa.array(np.full(n, si, dtype=np.int64))
+        ).append_column(copy_col, pa.array(np.full(n, c, dtype=np.int64)))
+
+    return ds.map_batches(f, batch_format="pyarrow")

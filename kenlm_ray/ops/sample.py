@@ -108,3 +108,62 @@ def weighted_sample(
         .limit(k)
     )
     return out.drop_columns(["__clock"])
+
+
+def stratified_sample(
+    ds: "ray.data.Dataset",
+    group_col: str,
+    id_col: str,
+    k_per_group: int,
+    *,
+    seed: int = 0,
+) -> "ray.data.Dataset":
+    """Exact-k-PER-GROUP deterministic sample ("200 held-out docs per
+    language"): bottom-k-by-seeded-hash within every group.
+
+    Shape: per-batch vectorized per-group bottom-k (lexsort on (group,
+    rank), positional cumcount cut — no pandas per group), then ONE
+    groupby(group) final cut.  Only k rows per (group, batch) cross the
+    shuffle.  Groups smaller than k keep all their rows.
+    """
+
+    def local_cut(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return batch.append_column("__rank", pa.array([], pa.int64()))
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        r = _rank(ids, seed)
+        signed = (r - np.uint64(1 << 63)).view(np.int64)
+        g = batch[group_col].to_numpy(zero_copy_only=False)
+        codes, _ = _factorize(g)
+        order = np.lexsort((signed, codes))
+        gs = codes[order]
+        # position within group along the sorted order
+        new = np.diff(gs, prepend=gs[0] - 1) != 0
+        idx_in_group = np.arange(len(gs)) - np.maximum.accumulate(
+            np.where(new, np.arange(len(gs)), 0)
+        )
+        keep = order[idx_in_group < k_per_group]
+        out = batch.take(pa.array(np.sort(keep)))
+        rr = signed[np.sort(keep)]
+        return out.append_column("__rank", pa.array(rr))
+
+    def final_cut(grp: pa.Table) -> pa.Table:
+        if len(grp) == 0:
+            return grp
+        r = grp["__rank"].to_numpy(zero_copy_only=False)
+        if len(r) > k_per_group:
+            keep = np.sort(np.argpartition(r, k_per_group)[:k_per_group])
+            grp = grp.take(pa.array(keep))
+        return grp.drop_columns(["__rank"])
+
+    return (
+        ds.map_batches(local_cut, batch_format="pyarrow")
+        .groupby(group_col)
+        .map_groups(final_cut, batch_format="pyarrow")
+    )
+
+
+def _factorize(values: np.ndarray) -> "tuple[np.ndarray, np.ndarray]":
+    """Dense integer codes for an arbitrary (string/int) key array."""
+    uniq, codes = np.unique(values, return_inverse=True)
+    return codes, uniq

@@ -1,0 +1,52 @@
+"""Deterministic dataset mixing: epoch copies, fractional subsample
+stability, partitioning invariance."""
+
+import numpy as np
+import pyarrow as pa
+
+
+def test_mix_sources_rates_and_determinism(ray_session):
+    import ray.data
+
+    from kenlm_ray.ops.mix import mix_sources
+
+    na, nb = 1000, 400
+    a = pa.table(
+        {"doc_id": np.arange(na, dtype=np.int64), "src": ["a"] * na}
+    )
+    b = pa.table(
+        {"doc_id": np.arange(nb, dtype=np.int64), "src": ["b"] * nb}
+    )
+
+    def build(parts_a, parts_b):
+        return mix_sources(
+            [
+                (ray.data.from_arrow(a).repartition(parts_a), 2.3),
+                (ray.data.from_arrow(b).repartition(parts_b), 0.5),
+            ],
+            id_col="doc_id",
+            seed=42,
+        ).to_pandas()
+
+    m1 = build(3, 2)
+    m2 = build(7, 5)
+
+    # partitioning-invariant membership
+    key = lambda df: sorted(
+        map(tuple, df[["mix_source", "copy", "doc_id"]].to_numpy())
+    )
+    assert key(m1) == key(m2)
+
+    s0 = m1[m1.mix_source == 0]
+    s1 = m1[m1.mix_source == 1]
+    # two full copies of source a
+    assert (s0.groupby("copy").size()[[0, 1]] == na).all()
+    # fractional third copy ~30% (deterministic exact count)
+    frac = s0[s0["copy"] == 2]
+    assert 0.25 * na < len(frac) < 0.35 * na
+    # half of source b
+    assert 0.44 * nb < len(s1) < 0.56 * nb
+    # fractional copies are consistent subsets of the id space (same ids
+    # would survive a larger rate: consistent-sampling cut)
+    m3 = build(3, 2)
+    assert key(m3) == key(m1)  # same seed -> identical mixture

@@ -69,3 +69,38 @@ def test_ntile_matches_duckdb(ray_session, n, tiles):
         f"SELECT id, ntile({tiles}) OVER (ORDER BY v DESC, id) AS tile FROM t"
     ).df().sort_values("id")
     assert np.array_equal(got["tile"].to_numpy(), ref["tile"].to_numpy())
+
+
+def test_stratified_sample_exact_k_per_group(ray_session):
+    from kenlm_ray.ops.sample import stratified_sample
+
+    n = 2000
+    ids = np.arange(n, dtype=np.int64)
+    groups = np.array(["abcde"[i % 5] for i in range(n)])
+    # make group 'e' tiny (smaller than k)
+    groups[ids % 5 == 4] = "a"
+    groups[:3] = "e"
+    tbl = pa.table({"id": ids, "g": groups})
+
+    a = (
+        stratified_sample(_ds(tbl, 4), "g", "id", 50, seed=9)
+        .to_pandas()
+        .sort_values("id")
+    )
+    b = (
+        stratified_sample(_ds(tbl, 13), "g", "id", 50, seed=9)
+        .to_pandas()
+        .sort_values("id")
+    )
+    assert a["id"].tolist() == b["id"].tolist()  # partitioning-invariant
+    sizes = a.groupby("g").size()
+    assert sizes["b"] == sizes["c"] == sizes["d"] == 50
+    assert sizes["e"] == 3  # undersized group kept whole
+    # the sample is the true global bottom-k by rank within each group
+    from kenlm_ray.ops.sample import _rank
+
+    for g in "bcd":
+        members = ids[groups == g]
+        r = _rank(members.astype(np.int64), 9)
+        expect = set(members[np.argsort(r)[:50]].tolist())
+        assert set(a[a.g == g]["id"].tolist()) == expect
