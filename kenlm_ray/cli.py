@@ -193,10 +193,64 @@ def cmd_dedup(args) -> int:
             ds, text_col=args.text_col, id_col=args.id_col,
             max_hamming=args.max_hamming,
         )
+    elif args.method == "spans":
+        from kenlm_ray.ops.spandedup import (
+            duplicated_spans,
+            remove_duplicated_spans,
+        )
+
+        spans = duplicated_spans(
+            ds, text_col=args.text_col, id_col=args.id_col,
+            L=args.min_tokens,
+        )
+        out = remove_duplicated_spans(
+            ds, spans, text_col=args.text_col, id_col=args.id_col
+        )
+    elif args.method == "semantic":
+        from kenlm_ray.ops.semdedup import semantic_dedup_ids
+
+        out = semantic_dedup_ids(
+            ds, emb_col=args.text_col, id_col=args.id_col,
+            tau=args.threshold,
+        )
     else:
         raise SystemExit(f"unknown method {args.method}")
     out.write_parquet(args.out)
     print(f"dedup ({args.method}) -> {args.out}")
+    return 0
+
+
+def cmd_sample(args) -> int:
+    """Deterministic sampling: uniform exact-k, weighted exact-k, or
+    stratified exact-k-per-group."""
+    _ray_init()
+    import ray.data
+
+    ds = ray.data.read_parquet(args.corpus)
+    if args.method == "uniform":
+        from kenlm_ray.ops.sample import deterministic_sample
+
+        out = deterministic_sample(ds, args.id_col, args.k, seed=args.seed)
+    elif args.method == "weighted":
+        from kenlm_ray.ops.sample import weighted_sample
+
+        if not args.weight_col:
+            raise SystemExit("--weight-col required for weighted")
+        out = weighted_sample(
+            ds, args.id_col, args.weight_col, args.k, seed=args.seed
+        )
+    elif args.method == "stratified":
+        from kenlm_ray.ops.sample import stratified_sample
+
+        if not args.group_col:
+            raise SystemExit("--group-col required for stratified")
+        out = stratified_sample(
+            ds, args.group_col, args.id_col, args.k, seed=args.seed
+        )
+    else:
+        raise SystemExit(f"unknown method {args.method}")
+    out.write_parquet(args.out)
+    print(f"sample ({args.method}, k={args.k}) -> {args.out}")
     return 0
 
 
@@ -279,12 +333,32 @@ def main(argv=None) -> int:
     sd = sub.add_parser("dedup")
     sd.add_argument("corpus")
     sd.add_argument("out")
-    sd.add_argument("--method", default="exact", choices=["exact", "minhash", "simhash"])
+    sd.add_argument(
+        "--method",
+        default="exact",
+        choices=["exact", "minhash", "simhash", "spans", "semantic"],
+    )
     sd.add_argument("--text-col", default="content")
     sd.add_argument("--id-col", default="doc_id")
     sd.add_argument("--threshold", type=float, default=0.8)
     sd.add_argument("--max-hamming", type=int, default=3)
+    sd.add_argument("--min-tokens", type=int, default=20)
     sd.set_defaults(fn=cmd_dedup)
+
+    sS = sub.add_parser("sample")
+    sS.add_argument("corpus")
+    sS.add_argument("out")
+    sS.add_argument("k", type=int)
+    sS.add_argument(
+        "--method",
+        default="uniform",
+        choices=["uniform", "weighted", "stratified"],
+    )
+    sS.add_argument("--id-col", default="doc_id")
+    sS.add_argument("--weight-col", default=None)
+    sS.add_argument("--group-col", default=None)
+    sS.add_argument("--seed", type=int, default=0)
+    sS.set_defaults(fn=cmd_sample)
 
     sQ = sub.add_parser("quality")
     sQ.add_argument("corpus")
