@@ -357,6 +357,23 @@ def _q_heavy_hitters_exact(sf_dir):
     return heavy_hitters_exact(ds, "l_suppkey", k=500)
 
 
+def _q_doc_type_token_ratio(sf_dir):
+    from kenlm_ray.ops.text import type_token_ratio
+
+    return type_token_ratio(_documents(sf_dir))
+
+
+def _q_lang_unigram_entropy(sf_dir):
+    import ray.data
+
+    from kenlm_ray.ops.text import unigram_entropy
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["lang", "text"]
+    )
+    return unigram_entropy(docs, group_col="lang")
+
+
 def _q_stratified_docs_sample(sf_dir):
     """Deterministic exact-k-per-language document sample."""
     import ray.data
@@ -1059,6 +1076,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_value_quartiles": _q_customer_value_quartiles,
         "dup_span_stats": _q_dup_span_stats,
         "span_dedup_docs": _q_span_dedup_docs,
+        "doc_type_token_ratio": _q_doc_type_token_ratio,
+        "lang_unigram_entropy": _q_lang_unigram_entropy,
         "normalized_dedup_groups": _q_normalized_dedup_groups,
         "regex_match_stats": _q_regex_match_stats,
         # rows-only checks (stateful / model-driven, not SQL-expressible)
@@ -1653,6 +1672,41 @@ def oracle_sql() -> dict[str, str]:
              AND c.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts
             WHERE p.event_type = 'purchase'
             GROUP BY p.user_id, p.event_id, ts_us
+        """,
+        "doc_type_token_ratio": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(list_filter(
+                           string_split_regex(text, '[\t\n\r ]+'),
+                           x -> x <> ''
+                       )) AS tok
+                FROM documents
+            )
+            SELECT doc_id,
+                   count(*)::BIGINT           AS n_tokens,
+                   count(DISTINCT tok)::BIGINT AS n_types,
+                   round(count(DISTINCT tok) / count(*), 6) AS ttr
+            FROM toks GROUP BY doc_id
+        """,
+        "lang_unigram_entropy": r"""
+            WITH toks AS (
+                SELECT lang,
+                       unnest(list_filter(
+                           string_split_regex(text, '[\t\n\r ]+'),
+                           x -> x <> ''
+                       )) AS tok
+                FROM documents
+            ),
+            counts AS (
+                SELECT lang, tok, count(*)::DOUBLE AS c
+                FROM toks GROUP BY lang, tok
+            )
+            SELECT lang,
+                   sum(c)::BIGINT   AS n_tokens,
+                   count(*)::BIGINT AS n_types,
+                   round(log2(sum(c)) - sum(c * log2(c)) / sum(c), 6)
+                       AS entropy
+            FROM counts GROUP BY lang
         """,
         "customer_value_quartiles": """
             WITH ct AS (

@@ -220,3 +220,118 @@ def bpe_token_counts(
         )
 
     return ds.map_batches(count, batch_format="pyarrow")
+
+
+def type_token_ratio(
+    ds: "ray.data.Dataset", text_col: str = "text", id_col: str = "doc_id"
+) -> "ray.data.Dataset":
+    """Per-document lexical diversity: n_tokens, n_types (distinct
+    tokens), ttr = n_types / n_tokens.  Distinctness via the 64-bit
+    token hash inside one np.unique over (doc, hash) pairs — a within-
+    doc collision needs ~2^32 distinct tokens in ONE document, far
+    beyond any real document.  Pure map; empty docs drop (no ratio).
+    """
+
+    def stats(batch: pa.Table) -> pa.Table:
+        stream = tokenize_column(batch[text_col])
+        n = len(batch)
+        n_tokens = np.bincount(stream.doc_ids, minlength=n).astype(np.int64)
+        # distinct (doc, token-hash) pairs, counted per doc
+        if stream.n_tokens:
+            pair = np.stack(
+                [stream.doc_ids.astype(np.uint64), stream.hashes()], axis=1
+            )
+            uniq_docs = np.unique(pair, axis=0)[:, 0].astype(np.int64)
+            n_types = np.bincount(uniq_docs, minlength=n).astype(np.int64)
+        else:
+            n_types = np.zeros(n, dtype=np.int64)
+        keep = n_tokens > 0
+        ids = batch[id_col].filter(pa.array(keep))
+        nt, ny = n_tokens[keep], n_types[keep]
+        return pa.table(
+            {
+                id_col: ids,
+                "n_tokens": pa.array(nt),
+                "n_types": pa.array(ny),
+                "ttr": pa.array(np.round(ny / nt, 6)),
+            }
+        )
+
+    return ds.map_batches(stats, batch_format="pyarrow")
+
+
+def unigram_entropy(
+    ds: "ray.data.Dataset",
+    text_col: str = "text",
+    group_col: str = "lang",
+) -> "ray.data.Dataset":
+    """Per-group Shannon entropy of the unigram distribution, via the
+    mergeable decomposition H = log2(N) - (sum c*log2 c) / N: phase 1
+    exact token counts per (group, token) — vocabulary-bounded, the
+    same shuffle shape as ngram_counts — phase 2 per-group sums of c
+    and c*log2(c).  Output: group, n_tokens, n_types, entropy."""
+    from ray.data.aggregate import Sum
+
+    def tok_counts(batch: pa.Table) -> pa.Table:
+        stream = tokenize_column(batch[text_col])
+        if stream.n_tokens == 0:
+            return pa.table(
+                {
+                    group_col: pa.array([], type=pa.string()),
+                    "tok": pa.array([], type=pa.string()),
+                    "c": pa.array([], type=pa.int64()),
+                }
+            )
+        groups = batch[group_col].to_numpy(zero_copy_only=False)
+        t = pa.table(
+            {
+                group_col: pa.array(groups[stream.doc_ids]),
+                "tok": stream.to_arrow(),
+                "c": pa.array(np.ones(stream.n_tokens, dtype=np.int64)),
+            }
+        )
+        return t.group_by([group_col, "tok"]).aggregate([("c", "sum")])
+
+    counts = (
+        ds.map_batches(tok_counts, batch_format="pyarrow")
+        .groupby([group_col, "tok"])
+        .aggregate(Sum("c_sum", alias_name="c"))
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        c = batch["c"].to_numpy(zero_copy_only=False).astype(np.float64)
+        t = pa.table(
+            {
+                group_col: batch[group_col],
+                "n": pa.array(c),
+                "clogc": pa.array(c * np.log2(c)),
+                "types": pa.array(np.ones(len(c), dtype=np.int64)),
+            }
+        )
+        return t.group_by([group_col]).aggregate(
+            [("n", "sum"), ("clogc", "sum"), ("types", "sum")]
+        )
+
+    agg = (
+        counts.map_batches(partial, batch_format="pyarrow")
+        .groupby(group_col)
+        .aggregate(
+            Sum("n_sum", alias_name="n"),
+            Sum("clogc_sum", alias_name="clogc"),
+            Sum("types_sum", alias_name="n_types"),
+        )
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = t["n"].to_numpy(zero_copy_only=False)
+        clogc = t["clogc"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                group_col: t[group_col],
+                "n_tokens": pa.array(n.astype(np.int64)),
+                "n_types": t["n_types"],
+                "entropy": pa.array(np.round(np.log2(n) - clogc / n, 6)),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
