@@ -496,7 +496,7 @@ def _q_embedding_kmeans(sf_dir):
         os.path.join(sf_dir, "embeddings.parquet"),
         columns=["vec_id", "embedding"],
     )
-    cents = kmeans_fit(ds, k=10, seed=0)
+    cents = kmeans_fit(ds, k=10, seed=0, n_iter=8)
     labeled = kmeans_assign(ds, cents)
 
     def partial(t: pa.Table) -> pa.Table:

@@ -159,10 +159,8 @@ def run_queries() -> dict[str, float]:
         "customer_running_total",
         "heavy_hitter_suppkeys",
         "purchase_clicks_1h",
-        "top_decile_orders",
         "normalized_dedup_groups",
         "dup_span_stats",
-        "embedding_kmeans",
         "ppl_score",
         "langid",
     ]
