@@ -357,6 +357,12 @@ def _q_heavy_hitters_exact(sf_dir):
     return heavy_hitters_exact(ds, "l_suppkey", k=500)
 
 
+def _q_lang_length_histogram(sf_dir):
+    from kenlm_ray.ops.analytics import lang_length_histogram
+
+    return lang_length_histogram(sf_dir, bin_width=100)
+
+
 def _q_doc_type_token_ratio(sf_dir):
     from kenlm_ray.ops.text import type_token_ratio
 
@@ -1077,6 +1083,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_span_stats": _q_dup_span_stats,
         "span_dedup_docs": _q_span_dedup_docs,
         "doc_type_token_ratio": _q_doc_type_token_ratio,
+        "lang_length_histogram": _q_lang_length_histogram,
         "lang_unigram_entropy": _q_lang_unigram_entropy,
         "normalized_dedup_groups": _q_normalized_dedup_groups,
         "regex_match_stats": _q_regex_match_stats,
@@ -1672,6 +1679,11 @@ def oracle_sql() -> dict[str, str]:
              AND c.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts
             WHERE p.event_type = 'purchase'
             GROUP BY p.user_id, p.event_id, ts_us
+        """,
+        "lang_length_histogram": """
+            SELECT lang, (n_chars // 100)::BIGINT AS bin,
+                   count(*)::BIGINT AS n
+            FROM documents GROUP BY lang, bin
         """,
         "doc_type_token_ratio": r"""
             WITH toks AS (

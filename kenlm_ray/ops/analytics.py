@@ -1210,3 +1210,32 @@ def regex_match_stats(
             Sum("total_matches_sum", alias_name="total_matches"),
         )
     )
+
+
+def lang_length_histogram(
+    sf_dir: str, bin_width: int = 100
+) -> "ray.data.Dataset":
+    """GROUPED fixed-width histogram: per (lang, length bin) document
+    counts — the per-group variant of order_price_histogram.  Per batch
+    one Arrow group-by over (lang, bin) pairs; only (|langs| x |bins|)
+    rows per batch cross the shuffle.  Output: lang, bin, n."""
+    ds = read(sf_dir, "documents", columns=["lang", "n_chars"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        b = (
+            batch["n_chars"].to_numpy(zero_copy_only=False) // bin_width
+        ).astype(np.int64)
+        t = pa.table(
+            {
+                "lang": batch["lang"],
+                "bin": pa.array(b),
+                "n_partial": pa.array(np.ones(len(b), dtype=np.int64)),
+            }
+        )
+        return t.group_by(["lang", "bin"]).aggregate([("n_partial", "sum")])
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["lang", "bin"])
+        .aggregate(Sum("n_partial_sum", alias_name="n"))
+    )
