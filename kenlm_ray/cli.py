@@ -220,6 +220,26 @@ def cmd_dedup(args) -> int:
     return 0
 
 
+def cmd_count(args) -> int:
+    """Count n-grams of a parquet corpus (count_ngrams_main analog);
+    writes the reference's raw count-file format or parquet."""
+    _ray_init()
+    import ray.data
+
+    from kenlm_ray.ops.text import ngram_counts
+
+    ds = ray.data.read_parquet(args.corpus, columns=[args.text_col])
+    counts = ngram_counts(ds, args.order, text_col=args.text_col)
+    if args.format == "countfile":
+        from kenlm_ray.sources.count_file import write_count_file
+
+        write_count_file(counts, args.out, args.order)
+    else:
+        counts.write_parquet(args.out)
+    print(f"count (order={args.order}, {args.format}) -> {args.out}")
+    return 0
+
+
 def cmd_sample(args) -> int:
     """Deterministic sampling: uniform exact-k, weighted exact-k, or
     stratified exact-k-per-group."""
@@ -344,6 +364,16 @@ def main(argv=None) -> int:
     sd.add_argument("--max-hamming", type=int, default=3)
     sd.add_argument("--min-tokens", type=int, default=20)
     sd.set_defaults(fn=cmd_dedup)
+
+    sc = sub.add_parser("count")
+    sc.add_argument("corpus")
+    sc.add_argument("out")
+    sc.add_argument("--order", type=int, default=3)
+    sc.add_argument("--text-col", default="text")
+    sc.add_argument(
+        "--format", default="countfile", choices=["countfile", "parquet"]
+    )
+    sc.set_defaults(fn=cmd_count)
 
     sS = sub.add_parser("sample")
     sS.add_argument("corpus")
