@@ -666,22 +666,32 @@ def _q_purchase_clicks_1h(sf_dir):
     of the same user's clicks in the preceding hour (inclusive)."""
     import ray.data
 
-    from kenlm_ray.ops.interval import interval_join_agg
+    from kenlm_ray.ops.interval import interval_join_agg_one_source
 
     ev = ray.data.read_parquet(
         os.path.join(sf_dir, "events.parquet"),
         columns=["event_id", "ts", "user_id", "event_type", "value"],
     )
-    purchases = ev.filter(expr="event_type == 'purchase'")
-    clicks = ev.filter(expr="event_type == 'click'")
-    out = interval_join_agg(
-        purchases,
-        clicks,
+
+    def _is(tp):
+        def f(batch):
+            import pyarrow.compute as _pc
+
+            return _pc.equal(batch["event_type"], tp).to_numpy(
+                zero_copy_only=False
+            )
+
+        return f
+
+    out = interval_join_agg_one_source(
+        ev,
         key="user_id",
         ts_col="ts",
         window_us=3_600_000_000,
         value_col="value",
         id_col="event_id",
+        left_mask=_is("purchase"),
+        right_mask=_is("click"),
     )
 
     def finish(t):

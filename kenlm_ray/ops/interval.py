@@ -100,6 +100,78 @@ def interval_join_agg(
     both = left.map_batches(tag(0), batch_format="pyarrow").union(
         right.map_batches(tag(1), batch_format="pyarrow")
     )
+    return _windowed_agg(both, window_us, num_partitions)
+
+
+def interval_join_agg_one_source(
+    ds: "ray.data.Dataset",
+    key: str,
+    ts_col: str,
+    window_us: int,
+    value_col: str,
+    id_col: str,
+    left_mask,
+    right_mask,
+    num_partitions: int = 16,
+) -> "ray.data.Dataset":
+    """Same contract as ``interval_join_agg`` when BOTH sides come from
+    one dataset (the common self-join: purchases vs clicks of the same
+    event log) — reads and scans the source ONCE, emitting both sides'
+    tagged rows from each batch.  ``left_mask`` / ``right_mask``:
+    ``batch -> np.bool_`` row masks (may overlap)."""
+
+    def tag_both(batch: pa.Table) -> pa.Table:
+        ts = batch[ts_col]
+        if not pa.types.is_integer(ts.type):
+            ts = ts.cast(pa.int64())
+        tsv = (
+            ts.combine_chunks() if isinstance(ts, pa.ChunkedArray) else ts
+        ).to_numpy(zero_copy_only=False)
+        k = batch[key].to_numpy(zero_copy_only=False).astype(np.int64)
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        val = batch[value_col].to_numpy(zero_copy_only=False).astype(
+            np.float64
+        )
+        lm = np.asarray(left_mask(batch), dtype=bool)
+        rm = np.asarray(right_mask(batch), dtype=bool)
+        kk = np.concatenate([k[lm], k[rm]])
+        return pa.table(
+            {
+                "k": pa.array(kk),
+                "ts_us": pa.array(np.concatenate([tsv[lm], tsv[rm]])),
+                "rid": pa.array(
+                    np.concatenate(
+                        [ids[lm], np.zeros(int(rm.sum()), dtype=np.int64)]
+                    )
+                ),
+                "val": pa.array(
+                    np.concatenate(
+                        [np.zeros(int(lm.sum()), dtype=np.float64), val[rm]]
+                    )
+                ),
+                "side": pa.array(
+                    np.concatenate(
+                        [
+                            np.zeros(int(lm.sum()), dtype=np.int8),
+                            np.ones(int(rm.sum()), dtype=np.int8),
+                        ]
+                    )
+                ),
+                "__pb": pa.array(
+                    (
+                        _splitmix(kk) % np.uint64(num_partitions)
+                    ).astype(np.int64)
+                ),
+            }
+        )
+
+    both = ds.map_batches(tag_both, batch_format="pyarrow")
+    return _windowed_agg(both, window_us, num_partitions)
+
+
+def _windowed_agg(
+    both: "ray.data.Dataset", window_us: int, num_partitions: int
+) -> "ray.data.Dataset":
 
     def kernel(g: pa.Table) -> pa.Table:
         empty = pa.table(
