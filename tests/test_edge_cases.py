@@ -1,0 +1,108 @@
+"""Degenerate-input probes for the curation operators: empty docs,
+k > n, zero-match joins — pinned so refactors keep the graceful paths."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def test_span_dedup_degenerate_docs(ray_session):
+    import ray.data
+
+    from kenlm_ray.ops.spandedup import (
+        duplicated_spans,
+        remove_duplicated_spans,
+    )
+
+    docs = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": np.arange(5, dtype=np.int64),
+                "text": [
+                    "",
+                    "   \n\t ",
+                    "a b c",
+                    "x y z w v u q r s t",
+                    "x y z w v u q r s t",
+                ],
+            }
+        )
+    )
+    spans = duplicated_spans(docs, L=5).to_pandas()
+    assert sorted(spans["doc_id"]) == [3, 4]
+    assert (spans["tok_end"] == 10).all() and (spans["tok_start"] == 0).all()
+    clean = (
+        remove_duplicated_spans(docs, spans_ds(docs, spans))
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    assert len(clean) == 5
+    assert clean["n_cut_tokens"].tolist() == [0, 0, 0, 10, 10]
+
+
+def spans_ds(docs, spans_df):
+    import ray.data
+
+    return ray.data.from_pandas(spans_df)
+
+
+def test_small_n_paths(ray_session):
+    import ray.data
+
+    from kenlm_ray.ops.cluster import kmeans_assign, kmeans_fit
+    from kenlm_ray.ops.interval import interval_join_agg_one_source
+    from kenlm_ray.ops.percentile import ntile_assign, top_fraction
+    from kenlm_ray.ops.sample import weighted_sample
+
+    tiny = ray.data.from_arrow(
+        pa.table({"v": [3.0, 1.0], "id": np.array([0, 1], dtype=np.int64)})
+    )
+    out = ntile_assign(tiny, "v", "id", 4).to_pandas().sort_values("id")
+    assert out["tile"].tolist() == [1, 2]  # matches DuckDB ntile(4) on 2 rows
+    assert top_fraction(tiny, "v", 0.1, "id").count() == 0  # k = 0
+
+    emb = ray.data.from_arrow(
+        pa.table(
+            {
+                "vec_id": np.arange(3, dtype=np.int64),
+                "embedding": [
+                    np.ones(4, dtype=np.float32),
+                    np.zeros(4, dtype=np.float32),
+                    np.full(4, 2.0, dtype=np.float32),
+                ],
+            }
+        )
+    )
+    cents = kmeans_fit(emb, k=8, n_iter=2)  # k > n must not crash
+    assert cents.shape == (8, 4)
+    assert kmeans_assign(emb, cents).count() == 3
+
+    t = ray.data.from_arrow(
+        pa.table(
+            {"id": np.arange(3, dtype=np.int64), "w": [1.0, 2.0, 3.0]}
+        )
+    )
+    assert weighted_sample(t, "id", "w", 10, seed=0).count() == 3  # k > n
+
+    ev = ray.data.from_arrow(
+        pa.table(
+            {
+                "event_id": np.arange(4, dtype=np.int64),
+                "ts": np.array([10, 20, 30, 40], dtype=np.int64),
+                "user_id": np.array([1, 1, 2, 2], dtype=np.int64),
+                "event_type": ["purchase"] * 4,
+                "value": [1.0] * 4,
+            }
+        )
+    )
+    r = interval_join_agg_one_source(
+        ev, "user_id", "ts", 100, "value", "event_id",
+        left_mask=lambda b: pc.equal(b["event_type"], "purchase").to_numpy(
+            zero_copy_only=False
+        ),
+        right_mask=lambda b: pc.equal(b["event_type"], "click").to_numpy(
+            zero_copy_only=False
+        ),
+    )
+    df = r.to_pandas()
+    assert len(df) == 4 and (df["n_matches"] == 0).all()
