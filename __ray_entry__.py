@@ -357,6 +357,31 @@ def _q_heavy_hitters_exact(sf_dir):
     return heavy_hitters_exact(ds, "l_suppkey", k=500)
 
 
+def _q_incremental_dedup(sf_dir):
+    """Cross-run dedup: state built from the first half of the corpus;
+    the 'arrival' is the second half plus 50 repeats of the first —
+    repeats must vanish.  Returns kept doc ids."""
+    import shutil
+    import tempfile
+
+    from kenlm_ray.ops.incremental import incremental_dedup, init_dedup_state
+
+    docs = _documents(sf_dir)
+    n = docs.count()
+    half = n // 2
+    first = docs.filter(expr=f"doc_id < {half}")
+    arrival = docs.filter(
+        expr=f"doc_id >= {half} or doc_id < 50"
+    )
+    state = tempfile.mkdtemp(prefix="kenlm_ray_incdedup_")
+    try:
+        init_dedup_state(first, state, m_bits=1 << 20)
+        kept, _stats = incremental_dedup(arrival, state)
+        return kept.select_columns(["doc_id"]).materialize()
+    finally:
+        shutil.rmtree(state, ignore_errors=True)
+
+
 def _q_lang_length_histogram(sf_dir):
     from kenlm_ray.ops.analytics import lang_length_histogram
 
@@ -1115,6 +1140,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semantic_dedup_ids": _q_semantic_dedup_ids,
         "stratified_docs_sample": _q_stratified_docs_sample,
         "mixed_corpus_stats": _q_mixed_corpus_stats,
+        "incremental_dedup_kept": _q_incremental_dedup,
         "lsh_knn_top10": _q_lsh_knn,
         "lsh_index_knn_top10": _q_lsh_index_knn,
         "ivf_knn_top10": _q_ivf_knn,

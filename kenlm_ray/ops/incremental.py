@@ -1,0 +1,171 @@
+"""Incremental (cross-run) exact dedup — "a new shard of the crawl
+arrived; drop everything we already have" without rescanning the
+existing corpus.
+
+State on disk (``state_dir``):
+  hashes/<shard>.parquet   — one row per known content hash (sha256 hex)
+  bloom.npy                — Bloom filter over those hashes
+  meta.json                — m_bits / k / row counts
+
+The probe path is what makes this scale: new documents check the
+broadcast Bloom filter map-side first, so the anti-join against the
+(ever-growing) hash table only ever sees the Bloom HITS — true
+duplicates plus an m/k-tunable false-positive trickle — instead of the
+whole arrival.  The corpus itself never reshuffles; each run appends
+one parquet shard of newly-seen hashes and ORs its bits into the
+filter.
+
+Engine addition (kpu/kenlm has no incremental notion; its closest
+shape is re-running lmplz from scratch).  Cf. the drop-list broadcast
+in ops/cluster.dedup_keep_representatives for the in-run analog.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data
+
+from kenlm_ray.ops.sketch import bloom_build, bloom_probe
+
+
+def _fingerprints(ds, text_col: str, id_col: str):
+    from kenlm_ray.stages.scrub import sha256_column
+
+    def f(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "h": sha256_column(batch[text_col]),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def _dedup_within(fps, id_col: str):
+    """One representative (min id) per hash among the arrivals."""
+    from ray.data.aggregate import Min
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({"h": batch["h"], "m": batch[id_col]})
+        return t.group_by(["h"]).aggregate([("m", "min")])
+
+    return (
+        fps.map_batches(partial, batch_format="pyarrow")
+        .groupby("h")
+        .aggregate(Min("m_min", alias_name=id_col))
+    )
+
+
+def init_dedup_state(
+    docs: "ray.data.Dataset",
+    state_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    m_bits: int = 1 << 23,
+    k: int = 4,
+) -> dict:
+    """Create the dedup state from an initial corpus."""
+    os.makedirs(os.path.join(state_dir, "hashes"), exist_ok=True)
+    reps = _dedup_within(
+        _fingerprints(docs, text_col, id_col), id_col
+    ).select_columns(["h"]).materialize()
+    reps.write_parquet(os.path.join(state_dir, "hashes", "shard_0"))
+    words = bloom_build(reps, "h", m_bits=m_bits, k=k)
+    np.save(os.path.join(state_dir, "bloom.npy"), words)
+    meta = {"m_bits": m_bits, "k": k, "n_shards": 1, "n_hashes": reps.count()}
+    with open(os.path.join(state_dir, "meta.json"), "w") as f:
+        json.dump(meta, f)
+    return meta
+
+
+def incremental_dedup(
+    new_docs: "ray.data.Dataset",
+    state_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> "tuple[ray.data.Dataset, dict]":
+    """Docs from ``new_docs`` not seen before (within-arrival dups also
+    collapsed to the min-id representative); updates the state.
+
+    Returns (kept_docs, stats).  kept_docs carries the original columns.
+    """
+    from kenlm_ray.ops.join import hash_join
+
+    with open(os.path.join(state_dir, "meta.json")) as f:
+        meta = json.load(f)
+    words = np.load(os.path.join(state_dir, "bloom.npy"))
+    words_ref = ray.put(words)
+    kk = meta["k"]
+
+    fps = _fingerprints(new_docs, text_col, id_col)
+    arrivals = _dedup_within(fps, id_col).materialize()
+
+    # map-side bloom gate: misses are DEFINITELY new
+    def gate(batch: pa.Table) -> pa.Table:
+        w = ray.get(words_ref)
+        hit = bloom_probe(batch["h"], w, k=kk)
+        return batch.append_column("maybe_seen", pa.array(hit))
+
+    gated = arrivals.map_batches(gate, batch_format="pyarrow").materialize()
+    misses = gated.filter(expr="maybe_seen == False").drop_columns(
+        ["maybe_seen"]
+    )
+    hits = gated.filter(expr="maybe_seen == True").drop_columns(
+        ["maybe_seen"]
+    )
+
+    # the (small) hit set anti-joins the on-disk hash table
+    hash_dir = os.path.join(state_dir, "hashes")
+    known = ray.data.read_parquet(hash_dir)
+    truly_new_hits = hash_join(
+        hits,
+        known,
+        on=["h"],
+        left_cols={"h": pa.string(), id_col: pa.int64()},
+        right_cols={"h": pa.string()},
+        how="anti",
+    )
+    new_reps = misses.union(truly_new_hits).materialize()
+
+    # keep the representative docs (broadcast the kept id set)
+    kept_ids = np.sort(
+        np.array([r[id_col] for r in new_reps.select_columns([id_col]).take_all()],
+                 dtype=np.int64)
+    )
+    kept_ref = ray.put(kept_ids)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        kset = ray.get(kept_ref)
+        if len(kset) == 0:
+            return batch.filter(pa.array(np.zeros(len(ids), dtype=bool)))
+        idx = np.searchsorted(kset, ids)
+        ok = (idx < len(kset)) & (kset[np.minimum(idx, len(kset) - 1)] == ids)
+        return batch.filter(pa.array(ok))
+
+    kept_docs = new_docs.map_batches(keep, batch_format="pyarrow")
+
+    # ---- state update: new shard + ORed bloom ----
+    shard = meta["n_shards"]
+    new_hashes = new_reps.select_columns(["h"]).materialize()
+    new_hashes.write_parquet(os.path.join(hash_dir, f"shard_{shard}"))
+    add = bloom_build(new_hashes, "h", m_bits=meta["m_bits"], k=kk)
+    np.save(os.path.join(state_dir, "bloom.npy"), words | add)
+    n_new = new_hashes.count()
+    meta.update(n_shards=shard + 1, n_hashes=meta["n_hashes"] + n_new)
+    with open(os.path.join(state_dir, "meta.json"), "w") as f:
+        json.dump(meta, f)
+
+    stats = {
+        "arrival_distinct": arrivals.count(),
+        "bloom_misses": misses.count(),
+        "kept": n_new,
+    }
+    return kept_docs, stats

@@ -478,3 +478,94 @@ def approx_quantiles(
     return ray.data.from_items(
         [{"q": float(q), "value": float(v)} for q, v in zip(qs, vals)]
     )
+
+
+# ---------------------------------------------------------------- bloom
+
+def _bloom_positions(hashes: np.ndarray, m_bits: int, k: int) -> np.ndarray:
+    """k bit positions per input hash (double hashing: h1 + i*h2, the
+    standard Kirsch-Mitzenmacher construction)."""
+    h1 = hashes
+    h2 = _mix64(hashes ^ _HLL_SEED) | np.uint64(1)  # odd => full period
+    i = np.arange(k, dtype=np.uint64)[:, None]
+    with np.errstate(over="ignore"):
+        return ((h1[None, :] + i * h2[None, :]) % np.uint64(m_bits)).ravel()
+
+
+def bloom_build(
+    ds: "ray.data.Dataset",
+    col: str,
+    m_bits: int = 1 << 23,
+    k: int = 4,
+) -> np.ndarray:
+    """Distributed Bloom filter over a (string or int) column; returns
+    the bit array as uint64 words (m_bits/64 of them).
+
+    Scale shape: each batch emits its DISTINCT bit positions (bounded by
+    min(k*rows, m_bits) int64s), a groupby dedupes them, and the driver
+    sets <= m_bits bits — so the driver cost is bounded by the filter
+    size no matter how many rows stream through.
+    """
+    from kenlm_ray.functions.hashing import hash_bytes_array
+
+    def positions(batch: pa.Table) -> pa.Table:
+        colv = batch[col]
+        if pa.types.is_string(colv.type) or pa.types.is_large_string(
+            colv.type
+        ):
+            h = hash_bytes_array(colv.to_pylist())
+        else:
+            h = _mix64(
+                colv.to_numpy(zero_copy_only=False).astype(np.uint64)
+            )
+        pos = np.unique(_bloom_positions(h, m_bits, k))
+        return pa.table({"pos": pa.array(pos.astype(np.int64))})
+
+    rows = (
+        ds.map_batches(positions, batch_format="pyarrow")
+        .groupby("pos")
+        .count()
+        .select_columns(["pos"])
+        .take_all()
+    )
+    words = np.zeros(m_bits // 64, dtype=np.uint64)
+    pos = np.array([r["pos"] for r in rows], dtype=np.uint64)
+    np.bitwise_or.at(
+        words, (pos // np.uint64(64)).astype(np.int64),
+        np.uint64(1) << (pos % np.uint64(64)),
+    )
+    return words
+
+
+def bloom_probe(
+    values, words: np.ndarray, k: int = 4
+) -> np.ndarray:
+    """Membership mask for a value array against a bloom word array
+    (True = maybe present, False = definitely absent)."""
+    from kenlm_ray.functions.hashing import hash_bytes_array
+
+    if isinstance(values, (pa.Array, pa.ChunkedArray)):
+        if pa.types.is_string(values.type) or pa.types.is_large_string(
+            values.type
+        ):
+            h = hash_bytes_array(
+                values.to_pylist()
+                if not isinstance(values, pa.ChunkedArray)
+                else values.combine_chunks().to_pylist()
+            )
+        else:
+            h = _mix64(
+                values.to_numpy(zero_copy_only=False).astype(np.uint64)
+            )
+    else:
+        h = _mix64(np.asarray(values).astype(np.uint64))
+    m_bits = len(words) * 64
+    pos = _bloom_positions(h, m_bits, k).reshape(k, -1)
+    hit = np.ones(pos.shape[1], dtype=bool)
+    for row in pos:
+        bits = (
+            words[(row // np.uint64(64)).astype(np.int64)]
+            >> (row % np.uint64(64))
+        ) & np.uint64(1)
+        hit &= bits.astype(bool)
+    return hit

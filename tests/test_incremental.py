@@ -1,0 +1,79 @@
+"""Bloom filter + incremental cross-run dedup."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def test_bloom_no_false_negatives_and_low_fp(ray_session):
+    import ray.data
+
+    from kenlm_ray.ops.sketch import bloom_build, bloom_probe
+
+    rng = np.random.default_rng(0)
+    members = [f"doc-{i}" for i in range(5000)]
+    ds = ray.data.from_arrow(
+        pa.table({"h": members})
+    ).repartition(6)
+    words = bloom_build(ds, "h", m_bits=1 << 17, k=4)
+
+    # zero false negatives
+    assert bloom_probe(pa.array(members), words, k=4).all()
+    # false positives near theory: (1 - e^{-kn/m})^k ~ 0.24% here
+    probes = pa.array([f"other-{i}" for i in range(20000)])
+    fp = bloom_probe(probes, words, k=4).mean()
+    assert fp < 0.02
+
+    # int columns work too
+    ints = ray.data.from_arrow(
+        pa.table({"v": np.arange(100, dtype=np.int64)})
+    )
+    w2 = bloom_build(ints, "v", m_bits=1 << 12, k=3)
+    assert bloom_probe(np.arange(100), w2, k=3).all()
+
+
+def test_incremental_dedup_two_arrivals(ray_session, tmp_path):
+    import ray.data
+
+    from kenlm_ray.ops.incremental import incremental_dedup, init_dedup_state
+
+    state = str(tmp_path / "state")
+
+    def docs(ids, texts, parts=3):
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": np.array(ids, dtype=np.int64),
+                    "text": texts,
+                }
+            )
+        ).repartition(parts)
+
+    base_texts = [f"base document number {i}" for i in range(50)]
+    meta = init_dedup_state(docs(range(50), base_texts), state)
+    assert meta["n_hashes"] == 50
+
+    # arrival: 10 repeats of base, 5 within-arrival dup pairs, 20 new
+    ids = list(range(100, 140))
+    texts = (
+        base_texts[:10]                      # cross-run dups
+        + [f"fresh twin {i}" for i in range(5)] * 2   # within-arrival dups
+        + [f"brand new {i}" for i in range(20)]
+    )
+    kept, stats = incremental_dedup(docs(ids, texts), state)
+    kept_df = kept.to_pandas().sort_values("doc_id")
+    # survivors: 5 twin representatives (first occurrence ids 110..114)
+    # + 20 brand-new (ids 120..139)
+    assert kept_df["doc_id"].tolist() == list(range(110, 115)) + list(
+        range(120, 140)
+    )
+    assert stats["kept"] == 25
+    assert stats["arrival_distinct"] == 35  # 10 old + 5 twins + 20 new
+
+    # third arrival repeating everything seen so far drops entirely
+    kept2, stats2 = incremental_dedup(
+        docs(range(200, 210), base_texts[:5] + [f"brand new {i}" for i in range(5)]),
+        state,
+    )
+    assert kept2.count() == 0
+    assert stats2["kept"] == 0
