@@ -357,6 +357,19 @@ def _q_heavy_hitters_exact(sf_dir):
     return heavy_hitters_exact(ds, "l_suppkey", k=500)
 
 
+def _q_top_quality_docs(sf_dir):
+    """Curation composition: exact top-25% of documents by token count
+    (heavy integer ties — ROW_NUMBER tie semantics by doc_id), via the
+    histogram-refinement percentile cut."""
+    from kenlm_ray.ops.percentile import top_fraction
+    from kenlm_ray.ops.text import token_stats
+
+    stats = token_stats(_documents(sf_dir)).select_columns(
+        ["doc_id", "n_tokens"]
+    ).materialize()
+    return top_fraction(stats, "n_tokens", 0.25, "doc_id")
+
+
 def _q_incremental_dedup(sf_dir):
     """Cross-run dedup: state built from the first half of the corpus;
     the 'arrival' is the second half plus 50 repeats of the first —
@@ -1141,6 +1154,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_docs_sample": _q_stratified_docs_sample,
         "mixed_corpus_stats": _q_mixed_corpus_stats,
         "incremental_dedup_kept": _q_incremental_dedup,
+        "top_quality_docs": _q_top_quality_docs,
         "lsh_knn_top10": _q_lsh_knn,
         "lsh_index_knn_top10": _q_lsh_index_knn,
         "ivf_knn_top10": _q_ivf_knn,
@@ -1715,6 +1729,25 @@ def oracle_sql() -> dict[str, str]:
              AND c.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts
             WHERE p.event_type = 'purchase'
             GROUP BY p.user_id, p.event_id, ts_us
+        """,
+        "top_quality_docs": r"""
+            WITH m AS (
+                SELECT doc_id,
+                       len(list_filter(
+                           regexp_split_to_array(text, '[\t\n\r ]+'),
+                           x -> x <> ''
+                       ))::BIGINT AS n_tokens
+                FROM documents
+            ),
+            ranked AS (
+                SELECT doc_id, n_tokens,
+                       row_number() OVER (
+                           ORDER BY n_tokens DESC, doc_id
+                       ) AS rn
+                FROM m
+            )
+            SELECT doc_id, n_tokens FROM ranked
+            WHERE rn <= (SELECT count(*) // 4 FROM documents)
         """,
         "lang_length_histogram": """
             SELECT lang, (n_chars // 100)::BIGINT AS bin,
