@@ -95,9 +95,16 @@ def duplicated_window_positions(
     text_col: str = "text",
     id_col: str = "doc_id",
     L: int = 5,
+    keep_first: bool = False,
 ) -> "ray.data.Dataset":
     """(doc_id, pos) of every L-token window whose hash occurs >= 2
-    times corpus-wide (within-doc repeats count)."""
+    times corpus-wide (within-doc repeats count).
+
+    ``keep_first=True`` exempts the globally-first occurrence of each
+    duplicated window (lexicographic min of (doc_id, pos)) — the
+    ExactSubstr paper's keep-one-copy semantics: downstream span
+    removal then cuts every occurrence EXCEPT the first.  Requires
+    doc_id < 2^39 and pos < 2^24 (packed-min aggregate)."""
     from kenlm_ray.ops.join import hash_join
 
     wins = ds.map_batches(
@@ -121,13 +128,49 @@ def duplicated_window_positions(
         .filter(expr="n >= 2")
         .select_columns(["h"])
     )
-    return hash_join(
+    dup_pos = hash_join(
         wins,
         dup_hashes,
         on=["h"],
         left_cols={"h": pa.int64(), "doc_id": pa.int64(), "pos": pa.int64()},
         right_cols={"h": pa.int64()},
         how="semi",
+    )
+    if not keep_first:
+        return dup_pos.select_columns(["doc_id", "pos"])
+
+    # lexicographic min of (doc_id, pos) per hash via one packed-int Min
+    def pack(batch: pa.Table) -> pa.Table:
+        d = batch["doc_id"].to_numpy(zero_copy_only=False)
+        p = batch["pos"].to_numpy(zero_copy_only=False)
+        packed = (d << np.int64(24)) | p
+        return batch.append_column("packed", pa.array(packed))
+
+    packed_pos = dup_pos.map_batches(pack, batch_format="pyarrow")
+
+    def min_partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({"h": batch["h"], "m": batch["packed"]})
+        return t.group_by(["h"]).aggregate([("m", "min")])
+
+    from ray.data.aggregate import Min
+
+    firsts = (
+        packed_pos.map_batches(min_partial, batch_format="pyarrow")
+        .groupby("h")
+        .aggregate(Min("m_min", alias_name="packed"))
+    )
+    return hash_join(
+        packed_pos,
+        firsts,
+        on=["h", "packed"],
+        left_cols={
+            "h": pa.int64(),
+            "doc_id": pa.int64(),
+            "pos": pa.int64(),
+            "packed": pa.int64(),
+        },
+        right_cols={"h": pa.int64(), "packed": pa.int64()},
+        how="anti",
     ).select_columns(["doc_id", "pos"])
 
 
@@ -137,12 +180,17 @@ def duplicated_spans(
     id_col: str = "doc_id",
     L: int = 5,
     num_partitions: int = 16,
+    keep_first: bool = False,
 ) -> "ray.data.Dataset":
     """Maximal duplicated spans per doc: overlapping duplicated windows
     merged (windows at p, p' share tokens iff p' - p < L).  Output one
     row per span: doc_id, span_id (0-based per doc), tok_start,
-    tok_end (EXCLUSIVE token index), n_windows."""
-    pos = duplicated_window_positions(ds, text_col, id_col, L)
+    tok_end (EXCLUSIVE token index), n_windows.  ``keep_first`` spares
+    the first occurrence of each window (see
+    duplicated_window_positions)."""
+    pos = duplicated_window_positions(
+        ds, text_col, id_col, L, keep_first=keep_first
+    )
 
     def bucket(batch: pa.Table) -> pa.Table:
         k = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)

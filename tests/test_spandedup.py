@@ -100,3 +100,29 @@ def test_remove_spans_leaves_no_duplicates(ray_session):
     }
     for d in virgin:
         assert cleaned.set_index("doc_id").loc[d, "text"] == texts[d]
+
+
+def test_keep_first_policy_retains_one_copy(ray_session):
+    from kenlm_ray.ops.spandedup import (
+        duplicated_spans,
+        remove_duplicated_spans,
+    )
+
+    rng = np.random.default_rng(21)
+    texts = [_random_text(rng, 50) for _ in range(8)]
+    texts[3] = texts[0]          # exact copy of doc 0
+    texts[6] = texts[0]          # and another
+    ds = _docs_ds(texts)
+    spans = duplicated_spans(ds, L=5, keep_first=True)
+    cleaned = (
+        remove_duplicated_spans(ds, spans)
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    # the FIRST copy (doc 0) survives untouched; later copies vanish
+    assert cleaned.loc[0, "text"] == texts[0]
+    assert cleaned.loc[3, "text"].strip() == ""
+    assert cleaned.loc[6, "text"].strip() == ""
+    # exactly one copy of every window remains corpus-wide
+    assert not _brute_dup_positions(cleaned["text"].tolist(), 5)
