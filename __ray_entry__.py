@@ -357,6 +357,20 @@ def _q_heavy_hitters_exact(sf_dir):
     return heavy_hitters_exact(ds, "l_suppkey", k=500)
 
 
+def _q_user_funnel(sf_dir):
+    """Ordered-sequence funnel: users who did view -> click -> purchase
+    in strict first-touch order."""
+    import ray.data
+
+    from kenlm_ray.ops.funnel import funnel_counts
+
+    ev = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "event_type", "ts"],
+    )
+    return funnel_counts(ev, ["view", "click", "purchase"])
+
+
 def _q_top_quality_docs(sf_dir):
     """Curation composition: exact top-25% of documents by token count
     (heavy integer ties — ROW_NUMBER tie semantics by doc_id), via the
@@ -1155,6 +1169,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mixed_corpus_stats": _q_mixed_corpus_stats,
         "incremental_dedup_kept": _q_incremental_dedup,
         "top_quality_docs": _q_top_quality_docs,
+        "user_funnel": _q_user_funnel,
         "lsh_knn_top10": _q_lsh_knn,
         "lsh_index_knn_top10": _q_lsh_index_knn,
         "ivf_knn_top10": _q_ivf_knn,
@@ -1729,6 +1744,30 @@ def oracle_sql() -> dict[str, str]:
              AND c.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts
             WHERE p.event_type = 'purchase'
             GROUP BY p.user_id, p.event_id, ts_us
+        """,
+        "user_funnel": """
+            WITH v AS (
+                SELECT user_id, min(epoch_us(ts)) AS t
+                FROM events WHERE event_type = 'view' GROUP BY user_id
+            ),
+            c AS (
+                SELECT e.user_id, min(epoch_us(e.ts)) AS t
+                FROM events e JOIN v ON e.user_id = v.user_id
+                 AND epoch_us(e.ts) > v.t
+                WHERE e.event_type = 'click' GROUP BY e.user_id
+            ),
+            p AS (
+                SELECT e.user_id, min(epoch_us(e.ts)) AS t
+                FROM events e JOIN c ON e.user_id = c.user_id
+                 AND epoch_us(e.ts) > c.t
+                WHERE e.event_type = 'purchase' GROUP BY e.user_id
+            )
+            SELECT 1::BIGINT AS stage, 'view' AS name,
+                   (SELECT count(*) FROM v)::BIGINT AS n_users
+            UNION ALL
+            SELECT 2::BIGINT, 'click', (SELECT count(*) FROM c)::BIGINT
+            UNION ALL
+            SELECT 3::BIGINT, 'purchase', (SELECT count(*) FROM p)::BIGINT
         """,
         "top_quality_docs": r"""
             WITH m AS (

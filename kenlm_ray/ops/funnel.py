@@ -1,0 +1,109 @@
+"""Ordered-sequence (funnel) matching over an event log: how many
+users performed stage_1 -> stage_2 -> ... -> stage_k IN ORDER (each
+stage strictly after the previous stage's first qualifying instant).
+
+Semantics: the classic first-touch funnel — t_1 = user's first stage-1
+event; t_i = first stage-i event with ts > t_{i-1}.  A user converts
+through stage i iff t_i exists.
+
+Distributed shape: one coarse hash shuffle by user, then a fully
+vectorized kernel per partition (np.minimum.at per stage — no per-user
+loop, k passes over the partition's rows).  Output: one row per stage
+with the converting-user count, mergeable across partitions by sum.
+
+Engine addition (no kpu/kenlm analog; complements the session/lag
+windows in ops/windows.py).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data
+from ray.data.aggregate import Sum
+
+
+def funnel_counts(
+    ds: "ray.data.Dataset",
+    stages: "list[str]",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    num_partitions: int = 16,
+) -> "ray.data.Dataset":
+    """Per-stage converting-user counts.  Output: stage (1-based),
+    name, n_users."""
+    k = len(stages)
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        ts = batch[ts_col]
+        if not pa.types.is_integer(ts.type):
+            ts = ts.cast(pa.int64())
+        u = batch[user_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            x = (u ^ (u >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+            x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+            x ^= x >> np.uint64(31)
+        return pa.table(
+            {
+                "u": pa.array(u.astype(np.int64)),
+                "t": ts,
+                "s": batch[type_col],
+                "__pb": pa.array(
+                    (x % np.uint64(num_partitions)).astype(np.int64)
+                ),
+            }
+        )
+
+    def kernel(g: pa.Table) -> pa.Table:
+        if len(g) == 0:
+            return pa.table(
+                {
+                    "stage": pa.array([], type=pa.int64()),
+                    "n_partial": pa.array([], type=pa.int64()),
+                }
+            )
+        u = g["u"].to_numpy(zero_copy_only=False)
+        t = g["t"].to_numpy(zero_copy_only=False)
+        s = g["s"].to_numpy(zero_copy_only=False)
+        uniq, uidx = np.unique(u, return_inverse=True)
+        nu = len(uniq)
+        prev = np.full(nu, -np.inf)  # t_0: stage 0 "happened" at -inf
+        out_stage, out_n = [], []
+        for i, name in enumerate(stages):
+            cur = np.full(nu, np.inf)
+            m = (s == name) & (t > prev[uidx])
+            np.minimum.at(cur, uidx[m], t[m])
+            out_stage.append(i + 1)
+            out_n.append(int(np.isfinite(cur).sum()))
+            prev = cur
+        return pa.table(
+            {
+                "stage": pa.array(np.array(out_stage, dtype=np.int64)),
+                "n_partial": pa.array(np.array(out_n, dtype=np.int64)),
+            }
+        )
+
+    agg = (
+        ds.map_batches(bucket, batch_format="pyarrow")
+        .groupby("__pb")
+        .map_groups(
+            lambda g: kernel(g.drop_columns(["__pb"])),
+            batch_format="pyarrow",
+        )
+        .groupby("stage")
+        .aggregate(Sum("n_partial", alias_name="n_users"))
+    )
+
+    def label(t: pa.Table) -> pa.Table:
+        st = t["stage"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "stage": t["stage"],
+                "name": pa.array([stages[i - 1] for i in st]),
+                "n_users": t["n_users"],
+            }
+        )
+
+    return agg.map_batches(label, batch_format="pyarrow")

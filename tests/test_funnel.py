@@ -1,0 +1,42 @@
+"""Funnel matching: strict first-touch ordering semantics."""
+
+import numpy as np
+import pyarrow as pa
+
+
+def test_funnel_order_sensitivity(ray_session):
+    import ray.data
+
+    from kenlm_ray.ops.funnel import funnel_counts
+
+    rows = [
+        # user 1: full ordered funnel
+        (1, "view", 10), (1, "click", 20), (1, "purchase", 30),
+        # user 2: purchase BEFORE click — converts only to stage 2
+        (2, "view", 10), (2, "purchase", 15), (2, "click", 20),
+        # user 3: click only — no view, converts to nothing
+        (3, "click", 5),
+        # user 4: view then click at the SAME instant — strict > fails
+        (4, "view", 50), (4, "click", 50),
+        # user 5: two views, click after the first — still converts;
+        # purchase before every view — stage 3 fails
+        (5, "purchase", 1), (5, "view", 2), (5, "click", 3), (5, "view", 9),
+    ]
+    ev = ray.data.from_arrow(
+        pa.table(
+            {
+                "user_id": np.array([r[0] for r in rows], dtype=np.int64),
+                "event_type": [r[1] for r in rows],
+                "ts": np.array([r[2] for r in rows], dtype=np.int64),
+            }
+        )
+    ).repartition(3)
+
+    out = (
+        funnel_counts(ev, ["view", "click", "purchase"])
+        .to_pandas()
+        .sort_values("stage")
+    )
+    assert out["n_users"].tolist() == [4, 3, 1]
+    # stage1: users 1,2,4,5 viewed; stage2: 1,2,5 clicked after view
+    # (4's click is not strictly after); stage3: only user 1
