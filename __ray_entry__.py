@@ -357,6 +357,38 @@ def _q_heavy_hitters_exact(sf_dir):
     return heavy_hitters_exact(ds, "l_suppkey", k=500)
 
 
+def _q_top_docs_per_lang(sf_dir):
+    """Per-group percentile cut: top 20% of docs per language by token
+    count (ROW_NUMBER PARTITION BY semantics, id tie-break)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from kenlm_ray.functions.tokenize import tokenize_column
+    from kenlm_ray.ops.percentile import group_top_fraction
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "lang", "text"],
+    )
+
+    def stats(batch: pa.Table) -> pa.Table:
+        stream = tokenize_column(batch["text"])
+        nt = np.bincount(
+            stream.doc_ids, minlength=len(batch)
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "lang": batch["lang"],
+                "n_tokens": pa.array(nt),
+            }
+        )
+
+    both = docs.map_batches(stats, batch_format="pyarrow").materialize()
+    return group_top_fraction(both, "lang", "n_tokens", 0.2, "doc_id")
+
+
 def _q_user_funnel(sf_dir):
     """Ordered-sequence funnel: users who did view -> click -> purchase
     in strict first-touch order."""
@@ -1170,6 +1202,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "incremental_dedup_kept": _q_incremental_dedup,
         "top_quality_docs": _q_top_quality_docs,
         "user_funnel": _q_user_funnel,
+        "top_docs_per_lang": _q_top_docs_per_lang,
         "lsh_knn_top10": _q_lsh_knn,
         "lsh_index_knn_top10": _q_lsh_index_knn,
         "ivf_knn_top10": _q_ivf_knn,
@@ -1744,6 +1777,27 @@ def oracle_sql() -> dict[str, str]:
              AND c.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts
             WHERE p.event_type = 'purchase'
             GROUP BY p.user_id, p.event_id, ts_us
+        """,
+        "top_docs_per_lang": r"""
+            WITH m AS (
+                SELECT doc_id, lang,
+                       len(list_filter(
+                           regexp_split_to_array(text, '[\t\n\r ]+'),
+                           x -> x <> ''
+                       ))::BIGINT AS n_tokens
+                FROM documents
+            ),
+            ranked AS (
+                SELECT doc_id, lang, n_tokens,
+                       row_number() OVER (
+                           PARTITION BY lang
+                           ORDER BY n_tokens DESC, doc_id
+                       ) AS rn,
+                       count(*) OVER (PARTITION BY lang) AS n_g
+                FROM m
+            )
+            SELECT doc_id, lang, n_tokens FROM ranked
+            WHERE rn <= n_g // 5
         """,
         "user_funnel": """
             WITH v AS (

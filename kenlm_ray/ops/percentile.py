@@ -270,3 +270,127 @@ def ntile_assign(
         return batch.append_column("tile", pa.array(tile))
 
     return ds.map_batches(label, batch_format="pyarrow")
+
+
+def group_top_fraction(
+    ds: "ray.data.Dataset",
+    group_col: str,
+    col: str,
+    frac: float,
+    id_col: str,
+    driver_budget: int = 500_000,
+) -> "ray.data.Dataset":
+    """Per-GROUP exact top-fraction cut: within every group, the rows
+    ROW_NUMBER() OVER (PARTITION BY group ORDER BY col DESC, id ASC)
+    <= floor(n_group * frac) — "keep the best X% per language".
+
+    One pass builds per-(group, value) distinct counts (bounded by
+    group-count x value-cardinality; guarded by ``driver_budget`` — for
+    heavier value spaces run the single-group ``topk_threshold`` per
+    group instead); per-group (value, id) cut points broadcast into a
+    map-side filter, so the DATA never shuffles.  Groups with
+    floor(n*frac) = 0 keep nothing (SQL semantics).
+    """
+    from ray.data.aggregate import Sum as _Sum
+
+    def vc_partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "g": batch[group_col],
+                "v": pc.cast(batch[col], pa.float64()),
+                "n": pa.array(np.ones(len(batch), dtype=np.int64)),
+            }
+        )
+        return t.group_by(["g", "v"]).aggregate([("n", "sum")])
+
+    rows = (
+        ds.map_batches(vc_partial, batch_format="pyarrow")
+        .groupby(["g", "v"])
+        .aggregate(_Sum("n_sum", alias_name="n"))
+        .take_all()
+    )
+    if len(rows) > driver_budget:
+        raise ValueError(
+            f"distinct (group, value) count {len(rows)} exceeds "
+            f"driver_budget {driver_budget}; use topk_threshold per group"
+        )
+    # per-group descending walk to the boundary value
+    by_g: dict = {}
+    for r in rows:
+        by_g.setdefault(r["g"], []).append((r["v"], r["n"]))
+    cuts: dict = {}
+    tie_needed: dict = {}
+    for g, vc in by_g.items():
+        vc.sort(key=lambda x: -x[0])
+        n_g = sum(c for _, c in vc)
+        k = int(n_g * frac)
+        if k <= 0:
+            cuts[g] = (np.inf, -1)
+            continue
+        cum = 0
+        for v, c in vc:
+            if cum + c >= k:
+                n_at = k - cum
+                cuts[g] = (v, n_at)
+                if n_at > 0:
+                    tie_needed.setdefault(g, v)
+                break
+            cum += c
+    # one bounded fetch of ids at each group's boundary value
+    if tie_needed:
+        import ray as _ray
+
+        pairs = set(tie_needed.items())
+        pairs_ref = _ray.put(pairs)
+
+        def boundary_rows(batch: pa.Table) -> pa.Table:
+            bmap = dict(_ray.get(pairs_ref))
+            g = batch[group_col].to_numpy(zero_copy_only=False)
+            v = batch[col].to_numpy(zero_copy_only=False).astype(np.float64)
+            ids = batch[id_col].to_numpy(zero_copy_only=False)
+            ug, inv = np.unique(g, return_inverse=True)
+            bv = np.array([bmap.get(x, np.nan) for x in ug])[inv]
+            mask = v == bv
+            return pa.table(
+                {
+                    "g": pa.array(g[mask]),
+                    "id": pa.array(ids[mask]),
+                }
+            )
+
+        ties = (
+            ds.map_batches(boundary_rows, batch_format="pyarrow")
+            .take_all()
+        )
+        tie_ids: dict = {}
+        for r in ties:
+            tie_ids.setdefault(r["g"], []).append(r["id"])
+        final_cuts = {}
+        for g, (v, n_at) in cuts.items():
+            if n_at <= 0 or g not in tie_ids:
+                final_cuts[g] = (v, -1 if n_at <= 0 else np.iinfo(np.int64).max)
+                continue
+            ids_sorted = sorted(tie_ids[g])
+            final_cuts[g] = (v, int(ids_sorted[n_at - 1]))
+    else:
+        final_cuts = {g: (v, -1) for g, (v, _n) in cuts.items()}
+
+    import ray as _ray
+
+    cuts_ref = _ray.put(final_cuts)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        fc = _ray.get(cuts_ref)
+        g = batch[group_col].to_numpy(zero_copy_only=False)
+        v = batch[col].to_numpy(zero_copy_only=False).astype(np.float64)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        # per-UNIQUE-group lookup, broadcast back by inverse index
+        ug, inv = np.unique(g, return_inverse=True)
+        thr = np.array([fc.get(x, (np.inf, -1))[0] for x in ug])[inv]
+        cut = np.array(
+            [fc.get(x, (np.inf, -1))[1] for x in ug], dtype=np.int64
+        )[inv]
+        mask = (v > thr) | ((v == thr) & (ids <= cut))
+        return batch.filter(pa.array(mask))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
