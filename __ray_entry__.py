@@ -357,6 +357,14 @@ def _q_heavy_hitters_exact(sf_dir):
     return heavy_hitters_exact(ds, "l_suppkey", k=500)
 
 
+def _q_doc_line_dedup(sf_dir):
+    """Within-doc duplicate-line removal (Gopher repetition cleanup):
+    cleaned text + dropped-line count per doc."""
+    from kenlm_ray.ops.normalize import dedupe_lines
+
+    return dedupe_lines(_documents(sf_dir))
+
+
 def _q_top_docs_per_lang(sf_dir):
     """Per-group percentile cut: top 20% of docs per language by token
     count (ROW_NUMBER PARTITION BY semantics, id tie-break)."""
@@ -1203,6 +1211,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_quality_docs": _q_top_quality_docs,
         "user_funnel": _q_user_funnel,
         "top_docs_per_lang": _q_top_docs_per_lang,
+        "doc_line_dedup": _q_doc_line_dedup,
         "lsh_knn_top10": _q_lsh_knn,
         "lsh_index_knn_top10": _q_lsh_index_knn,
         "ivf_knn_top10": _q_ivf_knn,
@@ -1777,6 +1786,36 @@ def oracle_sql() -> dict[str, str]:
              AND c.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts
             WHERE p.event_type = 'purchase'
             GROUP BY p.user_id, p.event_id, ts_us
+        """,
+        "doc_line_dedup": """
+            WITH ls AS (
+                SELECT doc_id, string_split(text, chr(10)) AS l
+                FROM documents
+            ),
+            ex AS (
+                SELECT doc_id, l,
+                       unnest(generate_series(1, len(l))) AS i
+                FROM ls
+            ),
+            lines AS (SELECT doc_id, i, l[i] AS line FROM ex),
+            firsts AS (
+                SELECT doc_id, i, line,
+                       row_number() OVER (
+                           PARTITION BY doc_id, line ORDER BY i
+                       ) AS rn
+                FROM lines
+            ),
+            kept AS (SELECT doc_id, i, line FROM firsts WHERE rn = 1),
+            agg AS (
+                SELECT doc_id,
+                       string_agg(line, chr(10) ORDER BY i) AS text,
+                       count(*) AS n_kept
+                FROM kept GROUP BY doc_id
+            ),
+            tot AS (SELECT doc_id, count(*) AS n_all FROM lines GROUP BY doc_id)
+            SELECT a.doc_id, a.text,
+                   (t.n_all - a.n_kept)::BIGINT AS n_dropped_lines
+            FROM agg a JOIN tot t ON a.doc_id = t.doc_id
         """,
         "top_docs_per_lang": r"""
             WITH m AS (

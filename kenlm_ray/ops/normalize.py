@@ -120,3 +120,76 @@ def normalized_dedup_groups(
         right_cols={"norm_sha256": pa.string(), "group_id": pa.int64()},
         how="inner",
     ).select_columns([id_col, "group_id"])
+
+
+def dedupe_lines(
+    ds: "ray.data.Dataset",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> "ray.data.Dataset":
+    """Remove duplicate LINES within each document, keeping the first
+    occurrence — the Gopher-style in-document repetition cleanup (a
+    boilerplate nav bar repeated 40x collapses to one line).
+
+    Pure map.  Lines come from Arrow's ``split_pattern`` (its list
+    offsets give exact per-doc boundaries); duplicate detection is one
+    murmur pass over the flat line buffer + one lexsort over (doc,
+    hash, position) — vectorized across the batch.  Only the final
+    join of each doc's kept lines is a loop, over kept lines only.
+    Output: id_col, text (cleaned), n_dropped_lines.
+    """
+    import numpy as np
+
+    from kenlm_ray.functions.hashing import murmur64_stream
+    from kenlm_ray.functions.tokenize import _string_buffers
+
+    def f(batch: pa.Table) -> pa.Table:
+        col = batch[text_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        n_docs = len(col)
+        split = pc.split_pattern(col, pattern="\n")
+        if isinstance(split, pa.ChunkedArray):
+            split = split.combine_chunks()
+        list_off = np.frombuffer(split.buffers()[1], dtype=np.int32)[
+            split.offset : split.offset + n_docs + 1
+        ].astype(np.int64)
+        flat = split.flatten()
+        s_off, s_data = _string_buffers(flat)
+        starts = s_off[:-1]
+        lens = s_off[1:] - s_off[:-1]
+        line_doc = (
+            np.searchsorted(list_off[1:], np.arange(len(flat)), side="right")
+        ).astype(np.int64)
+        h = murmur64_stream(s_data, starts, lens)
+        pos = np.arange(len(flat))
+        order = np.lexsort((pos, h, line_doc))
+        d_o, h_o = line_doc[order], h[order]
+        first = np.concatenate(
+            [[True], (d_o[1:] != d_o[:-1]) | (h_o[1:] != h_o[:-1])]
+        )
+        keep = np.zeros(len(flat), dtype=bool)
+        keep[order[first]] = True
+        lines = flat.to_pylist()
+        out_text, out_drop = [], np.zeros(n_docs, dtype=np.int64)
+        for d in range(n_docs):
+            lo, hi = int(list_off[d]), int(list_off[d + 1])
+            km = keep[lo:hi]
+            out_drop[d] = int((~km).sum())
+            if out_drop[d] == 0:
+                out_text.append("\n".join(lines[lo:hi]))
+            else:
+                out_text.append(
+                    "\n".join(
+                        l for l, k in zip(lines[lo:hi], km) if k
+                    )
+                )
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                text_col: pa.array(out_text, type=pa.string()),
+                "n_dropped_lines": pa.array(out_drop),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow")

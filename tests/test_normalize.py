@@ -31,3 +31,66 @@ def test_normalize_matches_duckdb_on_unicode():
         for s in CASES
     ]
     assert ours == theirs
+
+
+def test_dedupe_lines_keeps_first_occurrence(ray_session):
+    import numpy as np
+    import ray.data
+
+    from kenlm_ray.ops.normalize import dedupe_lines
+
+    texts = [
+        "nav\nbody one\nnav\nbody two\nnav",   # boilerplate repeated
+        "a\nb\nc",                                # untouched
+        "",                                        # empty doc
+        "x\n\ny\n\nz",                            # duplicate EMPTY lines
+        "same\nsame\nsame\nsame",                 # collapses to one
+        "tail\n",                                  # trailing newline
+    ]
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": np.arange(len(texts), dtype=np.int64),
+                "text": texts,
+            }
+        )
+    ).repartition(2)
+    out = dedupe_lines(ds).to_pandas().sort_values("doc_id")
+    assert out["text"].tolist() == [
+        "nav\nbody one\nbody two",
+        "a\nb\nc",
+        "",
+        "x\n\ny\nz",
+        "same",
+        "tail\n",   # ['tail', ''] both unique -> unchanged
+    ]
+    assert out["n_dropped_lines"].tolist() == [2, 0, 0, 1, 3, 0]
+    # python-set parity on random multi-line docs
+    rng = np.random.default_rng(2)
+    docs = [
+        "\n".join(rng.choice(["p", "q", "r", "s"], rng.integers(1, 12)))
+        for _ in range(40)
+    ]
+    got = (
+        dedupe_lines(
+            ray.data.from_arrow(
+                pa.table(
+                    {
+                        "doc_id": np.arange(40, dtype=np.int64),
+                        "text": docs,
+                    }
+                )
+            ).repartition(3)
+        )
+        .to_pandas()
+        .sort_values("doc_id")["text"]
+        .tolist()
+    )
+    def ref(t):
+        seen, out = set(), []
+        for line in t.split("\n"):
+            if line not in seen:
+                seen.add(line)
+                out.append(line)
+        return "\n".join(out)
+    assert got == [ref(t) for t in docs]
