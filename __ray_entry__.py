@@ -357,6 +357,25 @@ def _q_heavy_hitters_exact(sf_dir):
     return heavy_hitters_exact(ds, "l_suppkey", k=500)
 
 
+def _q_packed_examples(sf_dir):
+    """Sequence packing: docs -> 1024-token training examples; per-
+    example doc count + token fill."""
+    import numpy as np
+    import pyarrow as pa
+    from ray.data.aggregate import Count, Sum
+
+    from kenlm_ray.ops.packing import pack_sequences
+
+    packed = pack_sequences(_documents(sf_dir), budget_tokens=1024)
+    return (
+        packed.groupby("example_id")
+        .aggregate(
+            Count(alias_name="n_docs"),
+            Sum("n_tokens", alias_name="fill_tokens"),
+        )
+    )
+
+
 def _q_doc_line_dedup(sf_dir):
     """Within-doc duplicate-line removal (Gopher repetition cleanup):
     cleaned text + dropped-line count per doc."""
@@ -1212,6 +1231,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_funnel": _q_user_funnel,
         "top_docs_per_lang": _q_top_docs_per_lang,
         "doc_line_dedup": _q_doc_line_dedup,
+        "packed_examples": _q_packed_examples,
         "lsh_knn_top10": _q_lsh_knn,
         "lsh_index_knn_top10": _q_lsh_index_knn,
         "ivf_knn_top10": _q_ivf_knn,

@@ -1,0 +1,75 @@
+"""Sequence packing — group documents into fixed-token-budget training
+examples (the batch-prep step between curation and the trainer: "pack
+these docs into 4096-token rows with minimal padding").
+
+Greedy first-fit within each block, deterministic given the input
+partitioning: docs stream in order, a doc starts a new example when it
+would overflow the budget; docs longer than the budget get an example
+of their own (the trainer's truncation problem, flagged in the
+output).  Packing is embarrassingly parallel — examples never span
+blocks, so no shuffle; example ids are (block_hash, local_index) pairs
+flattened to one int64, unique across the corpus without coordination.
+
+Efficiency note: first-fit-decreasing would pack ~1-2%% tighter but
+needs a sort; streaming first-fit keeps the operator a pure map, which
+is the right trade at 100 TB (padding waste is bounded by
+max_doc_len/budget per example).
+
+Engine addition; no kpu/kenlm analog.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data
+
+from kenlm_ray.functions.tokenize import tokenize_column
+
+
+def pack_sequences(
+    ds: "ray.data.Dataset",
+    budget_tokens: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> "ray.data.Dataset":
+    """Assign every doc to a packed example.  Output: id_col, n_tokens,
+    example_id (int64), slot (0-based position within the example),
+    overflow (doc alone exceeds the budget)."""
+
+    def pack(batch: pa.Table) -> pa.Table:
+        stream = tokenize_column(batch[text_col])
+        n = len(batch)
+        nt = np.bincount(stream.doc_ids, minlength=n).astype(np.int64)
+        example = np.empty(n, dtype=np.int64)
+        slot = np.empty(n, dtype=np.int64)
+        cur, used, s = 0, 0, 0
+        for i in range(n):  # greedy scan; n = docs per batch (small)
+            if used > 0 and used + nt[i] > budget_tokens:
+                cur += 1
+                used, s = 0, 0
+            example[i] = cur
+            slot[i] = s
+            used += nt[i]
+            s += 1
+            if used >= budget_tokens:
+                cur += 1
+                used, s = 0, 0
+        # block-unique example ids: hash the block's first doc id
+        first = (
+            batch[id_col][0].as_py() if n else 0
+        )
+        h = np.uint64(first) * np.uint64(0x9E3779B97F4A7C15)
+        block_tag = np.int64((h >> np.uint64(20)) << np.uint64(20))
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "n_tokens": pa.array(nt),
+                "example_id": pa.array(block_tag + example),
+                "slot": pa.array(slot),
+                "overflow": pa.array(nt > budget_tokens),
+            }
+        )
+
+    return ds.map_batches(pack, batch_format="pyarrow")

@@ -1,0 +1,46 @@
+"""Sequence packing invariants."""
+
+import numpy as np
+import pyarrow as pa
+
+
+def test_pack_sequences_budget_invariants(ray_session):
+    import ray.data
+
+    from kenlm_ray.ops.packing import pack_sequences
+
+    rng = np.random.default_rng(4)
+    texts = [
+        " ".join(["w"] * int(k))
+        for k in rng.integers(1, 40, 200)
+    ]
+    texts[7] = " ".join(["w"] * 150)  # overflow doc (budget 64)
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": np.arange(len(texts), dtype=np.int64),
+                "text": texts,
+            }
+        )
+    ).repartition(4)
+
+    out = pack_sequences(ds, budget_tokens=64).to_pandas()
+    # every doc packed exactly once
+    assert sorted(out["doc_id"]) == list(range(len(texts)))
+    # no example over budget except singleton overflow docs
+    g = out.groupby("example_id")
+    for ex, grp in g:
+        total = grp["n_tokens"].sum()
+        if total > 64:
+            assert len(grp) == 1 and bool(grp["overflow"].iloc[0])
+    # overflow flag only on the long doc
+    assert out.set_index("doc_id")["overflow"].sum() == 1
+    assert bool(out.set_index("doc_id").loc[7, "overflow"])
+    # slots are 0..k-1 within each example
+    for ex, grp in g:
+        assert sorted(grp["slot"]) == list(range(len(grp)))
+    # deterministic across runs
+    out2 = pack_sequences(ds, budget_tokens=64).to_pandas()
+    assert out.sort_values("doc_id")["example_id"].tolist() == (
+        out2.sort_values("doc_id")["example_id"].tolist()
+    )
