@@ -267,31 +267,75 @@ def remove_duplicated_spans(
     num_partitions: int = 16,
 ) -> "ray.data.Dataset":
     """Cut every duplicated span out of its document (the strictest
-    policy: ALL occurrences go — callers wanting keep-one feed a span
-    set with the kept occurrence's rows withheld).  Spans are joined
-    back onto the docs by a partitioned hash join; each batch then
-    re-tokenizes its docs once and splices the surviving byte ranges.
+    policy: ALL occurrences go — callers wanting keep-one pass
+    ``duplicated_spans(keep_first=True)`` output).  Spans are first
+    consolidated to ONE row per doc (list columns), so the subsequent
+    partitioned hash join ships each document's text exactly once no
+    matter how many spans it carries; each batch then re-tokenizes its
+    docs once and splices the surviving byte ranges.
     Output: id_col, ``text`` (cleaned), n_cut_tokens."""
     from kenlm_ray.ops.join import hash_join
 
+    def consolidate(g: pa.Table) -> pa.Table:
+        if len(g) == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([], type=pa.int64()),
+                    "tok_starts": pa.array([], type=pa.list_(pa.int64())),
+                    "tok_ends": pa.array([], type=pa.list_(pa.int64())),
+                }
+            )
+        d = g["doc_id"].to_numpy(zero_copy_only=False)
+        s = g["tok_start"].to_numpy(zero_copy_only=False)
+        e = g["tok_end"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((s, d))
+        d, s, e = d[order], s[order], e[order]
+        bounds = np.flatnonzero(np.diff(d, prepend=d[0] - 1) != 0)
+        offsets = np.concatenate([bounds, [len(d)]]).astype(np.int32)
+        return pa.table(
+            {
+                id_col: pa.array(d[bounds]),
+                "tok_starts": pa.ListArray.from_arrays(
+                    pa.array(offsets - offsets[0]), pa.array(s)
+                ),
+                "tok_ends": pa.ListArray.from_arrays(
+                    pa.array(offsets - offsets[0]), pa.array(e)
+                ),
+            }
+        )
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        k = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            x = (k ^ (k >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+            x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+            x ^= x >> np.uint64(31)
+        return batch.append_column(
+            "__sb", pa.array((x % np.uint64(num_partitions)).astype(np.int64))
+        )
+
+    per_doc = (
+        spans.select_columns(["doc_id", "tok_start", "tok_end"])
+        .map_batches(bucket, batch_format="pyarrow")
+        .groupby("__sb")
+        .map_groups(
+            lambda g: consolidate(g.drop_columns(["__sb"])),
+            batch_format="pyarrow",
+        )
+    )
     joined = hash_join(
         ds.select_columns([id_col, text_col]),
-        spans.select_columns(["doc_id", "tok_start", "tok_end"]).map_batches(
-            lambda t: t.rename_columns([id_col, "tok_start", "tok_end"]),
-            batch_format="pyarrow",
-        ),
+        per_doc,
         on=[id_col],
         left_cols={id_col: pa.int64(), text_col: pa.string()},
         right_cols={
             id_col: pa.int64(),
-            "tok_start": pa.float64(),
-            "tok_end": pa.float64(),
+            "tok_starts": pa.list_(pa.int64()),
+            "tok_ends": pa.list_(pa.int64()),
         },
         how="left",
         num_partitions=num_partitions,
     )
-    # NOTE on right_cols types: hash_join's left join emits NaN for
-    # docs with no spans, so the span bounds arrive as float64
 
     def cut(batch: pa.Table) -> pa.Table:
         if len(batch) == 0:
@@ -302,37 +346,32 @@ def remove_duplicated_spans(
                     "n_cut_tokens": pa.array([], type=pa.int64()),
                 }
             )
-        import pandas as pd
-
-        df = batch.to_pandas()
-        out_ids, out_text, out_cut = [], [], []
-        for did, grp in df.groupby(id_col, sort=False):
-            text = grp[text_col].iloc[0]
-            bounds = grp[["tok_start", "tok_end"]].dropna()
-            if len(bounds) == 0:
-                out_ids.append(did)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        texts = batch[text_col].to_pylist()
+        starts_l = batch["tok_starts"].to_pylist()
+        ends_l = batch["tok_ends"].to_pylist()
+        out_text, out_cut = [], np.zeros(len(ids), dtype=np.int64)
+        for i, text in enumerate(texts):
+            ss, ee = starts_l[i], ends_l[i]
+            if not ss:  # no spans joined for this doc
                 out_text.append(text)
-                out_cut.append(0)
                 continue
             ts = tokenize_column(pa.array([text]))
             tstarts, tends = ts.starts, ts.ends
             keep = np.ones(len(text.encode()), dtype=bool)
             cut_toks = 0
-            for s, e in bounds.itertuples(index=False):
+            for s, e in zip(ss, ee):
                 s, e = int(s), int(e)
                 keep[tstarts[s] : tends[e - 1]] = False
                 cut_toks += e - s
             data = np.frombuffer(text.encode(), dtype=np.uint8)
-            out_ids.append(did)
             out_text.append(bytes(data[keep]).decode())
-            out_cut.append(cut_toks)
+            out_cut[i] = cut_toks
         return pa.table(
             {
-                id_col: pa.array(np.asarray(out_ids, dtype=np.int64)),
+                id_col: pa.array(ids.astype(np.int64)),
                 text_col: pa.array(out_text, type=pa.string()),
-                "n_cut_tokens": pa.array(
-                    np.asarray(out_cut, dtype=np.int64)
-                ),
+                "n_cut_tokens": pa.array(out_cut),
             }
         )
 
