@@ -209,8 +209,14 @@ def cmd_dedup(args) -> int:
     elif args.method == "semantic":
         from kenlm_ray.ops.semdedup import semantic_dedup_ids
 
+        if args.emb_col not in ds.schema().names:
+            raise SystemExit(
+                f"--emb-col '{args.emb_col}' not in corpus schema "
+                f"{ds.schema().names}; semantic dedup needs an embedding "
+                "(list<float>) column"
+            )
         out = semantic_dedup_ids(
-            ds, emb_col=args.text_col, id_col=args.id_col,
+            ds, emb_col=args.emb_col, id_col=args.id_col,
             tau=args.threshold,
         )
     else:
@@ -359,6 +365,11 @@ def main(argv=None) -> int:
         choices=["exact", "minhash", "simhash", "spans", "semantic"],
     )
     sd.add_argument("--text-col", default="content")
+    sd.add_argument(
+        "--emb-col",
+        default="embedding",
+        help="embedding column for --method semantic (list<float>)",
+    )
     sd.add_argument("--id-col", default="doc_id")
     sd.add_argument("--threshold", type=float, default=0.8)
     sd.add_argument("--max-hamming", type=int, default=3)

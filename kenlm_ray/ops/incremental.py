@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 
 import numpy as np
 import pyarrow as pa
@@ -80,9 +81,21 @@ def init_dedup_state(
     words = bloom_build(reps, "h", m_bits=m_bits, k=k)
     np.save(os.path.join(state_dir, "bloom.npy"), words)
     meta = {"m_bits": m_bits, "k": k, "n_shards": 1, "n_hashes": reps.count()}
-    with open(os.path.join(state_dir, "meta.json"), "w") as f:
-        json.dump(meta, f)
+    _write_meta(state_dir, meta)
     return meta
+
+
+def _write_meta(state_dir: str, meta: dict) -> None:
+    """Atomic meta.json rewrite (temp file + rename) — meta.json is the
+    COMMIT POINT of a state update: a shard not yet listed in it is
+    ignored by readers, so a crash mid-update never corrupts state."""
+    path = os.path.join(state_dir, "meta.json")
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, path)
 
 
 def incremental_dedup(
@@ -94,7 +107,9 @@ def incremental_dedup(
     """Docs from ``new_docs`` not seen before (within-arrival dups also
     collapsed to the min-id representative); updates the state.
 
-    Returns (kept_docs, stats).  kept_docs carries the original columns.
+    Returns (kept_docs, stats).  kept_docs carries the original columns
+    and is MATERIALIZED before the state update commits, so a failure
+    anywhere leaves the state untouched and the arrival re-runnable.
     """
     from kenlm_ray.ops.join import hash_join
 
@@ -121,9 +136,22 @@ def incremental_dedup(
         ["maybe_seen"]
     )
 
-    # the (small) hit set anti-joins the on-disk hash table
+    # the (small) hit set anti-joins the on-disk hash table — reading
+    # ONLY the shards meta.json has committed, so an orphan shard left
+    # by a run that crashed before its meta rewrite is invisible (and
+    # gets overwritten by the re-run, not treated as known hashes)
     hash_dir = os.path.join(state_dir, "hashes")
-    known = ray.data.read_parquet(hash_dir)
+    import glob as _glob
+
+    shard_files: list = []
+    for i in range(meta["n_shards"]):
+        shard_files.extend(
+            sorted(_glob.glob(os.path.join(hash_dir, f"shard_{i}", "*.parquet")))
+        )
+    if shard_files:
+        known = ray.data.read_parquet(shard_files)
+    else:  # every committed shard was empty
+        known = ray.data.from_arrow(pa.table({"h": pa.array([], pa.string())}))
     truly_new_hits = hash_join(
         hits,
         known,
@@ -150,18 +178,35 @@ def incremental_dedup(
         ok = (idx < len(kset)) & (kset[np.minimum(idx, len(kset) - 1)] == ids)
         return batch.filter(pa.array(ok))
 
-    kept_docs = new_docs.map_batches(keep, batch_format="pyarrow")
+    # materialize the kept docs BEFORE any state mutation: if anything
+    # up to here fails, state is untouched and the arrival can simply be
+    # re-run (returning a lazy Dataset and mutating state eagerly meant
+    # a downstream failure + re-run saw every doc as 'known' — silent
+    # data loss)
+    kept_docs = new_docs.map_batches(keep, batch_format="pyarrow").materialize()
 
-    # ---- state update: new shard + ORed bloom ----
+    # ---- commit: shard -> bloom -> meta, each step crash-safe ----
+    # crash after shard rename: shard not in meta, ignored + overwritten
+    # crash after bloom write: extra bits = false positives only, and
+    #   every bloom hit is verified against the committed shards anyway
+    # meta.json replace is the atomic commit point
     shard = meta["n_shards"]
     new_hashes = new_reps.select_columns(["h"]).materialize()
-    new_hashes.write_parquet(os.path.join(hash_dir, f"shard_{shard}"))
+    shard_path = os.path.join(hash_dir, f"shard_{shard}")
+    shard_tmp = shard_path + ".tmp"
+    for stale in (shard_tmp, shard_path):
+        if os.path.exists(stale):
+            shutil.rmtree(stale)
+    os.makedirs(shard_tmp)  # write_parquet of an EMPTY ds creates nothing
+    new_hashes.write_parquet(shard_tmp)
+    os.rename(shard_tmp, shard_path)
     add = bloom_build(new_hashes, "h", m_bits=meta["m_bits"], k=kk)
-    np.save(os.path.join(state_dir, "bloom.npy"), words | add)
+    bloom_path = os.path.join(state_dir, "bloom.npy")
+    np.save(bloom_path + ".tmp.npy", words | add)
+    os.replace(bloom_path + ".tmp.npy", bloom_path)
     n_new = new_hashes.count()
     meta.update(n_shards=shard + 1, n_hashes=meta["n_hashes"] + n_new)
-    with open(os.path.join(state_dir, "meta.json"), "w") as f:
-        json.dump(meta, f)
+    _write_meta(state_dir, meta)
 
     stats = {
         "arrival_distinct": arrivals.count(),

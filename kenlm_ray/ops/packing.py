@@ -7,8 +7,10 @@ partitioning: docs stream in order, a doc starts a new example when it
 would overflow the budget; docs longer than the budget get an example
 of their own (the trainer's truncation problem, flagged in the
 output).  Packing is embarrassingly parallel — examples never span
-blocks, so no shuffle; example ids are (block_hash, local_index) pairs
-flattened to one int64, unique across the corpus without coordination.
+blocks, so no shuffle; an example's id is the doc id of its FIRST
+member, which is globally unique without coordination because doc ids
+are unique and every doc belongs to exactly one example (no hash, no
+bit budget, no collision path).
 
 Efficiency note: first-fit-decreasing would pack ~1-2%% tighter but
 needs a sort; streaming first-fit keeps the operator a pure map, which
@@ -35,8 +37,9 @@ def pack_sequences(
     id_col: str = "doc_id",
 ) -> "ray.data.Dataset":
     """Assign every doc to a packed example.  Output: id_col, n_tokens,
-    example_id (int64), slot (0-based position within the example),
-    overflow (doc alone exceeds the budget)."""
+    example_id (int64 = doc id of the example's first member — globally
+    unique because doc ids are), slot (0-based position within the
+    example), overflow (doc alone exceeds the budget)."""
 
     def pack(batch: pa.Table) -> pa.Table:
         stream = tokenize_column(batch[text_col])
@@ -56,17 +59,17 @@ def pack_sequences(
             if used >= budget_tokens:
                 cur += 1
                 used, s = 0, 0
-        # block-unique example ids: hash the block's first doc id
-        first = (
-            batch[id_col][0].as_py() if n else 0
-        )
-        h = np.uint64(first) * np.uint64(0x9E3779B97F4A7C15)
-        block_tag = np.int64((h >> np.uint64(20)) << np.uint64(20))
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        # example ordinals are consecutive 0..n_examples-1, so the first
+        # row of each example is where the ordinal changes; the example
+        # id is that row's doc id
+        starts = np.flatnonzero(np.diff(example, prepend=np.int64(-1)))
+        example_id = ids[starts][example] if n else example
         return pa.table(
             {
                 id_col: batch[id_col],
                 "n_tokens": pa.array(nt),
-                "example_id": pa.array(block_tag + example),
+                "example_id": pa.array(example_id),
                 "slot": pa.array(slot),
                 "overflow": pa.array(nt > budget_tokens),
             }

@@ -37,14 +37,28 @@ from ray.data.aggregate import Count, Max, Min, Sum
 _BINS = 4096
 
 
-def _hist_counts(ds, col: str, lo: float, hi: float) -> np.ndarray:
-    """Distributed fixed-width histogram of values in [lo, hi]."""
-    width = (hi - lo) / _BINS
+def _bin_edges(lo: float, hi: float) -> np.ndarray:
+    """The _BINS-1 interior bin edges of [lo, hi].  Bin b is the
+    half-open [edges[b-1], edges[b]) for 0 < b < _BINS-1, [lo, edges[0])
+    for b=0, and [edges[-1], hi] for b=_BINS-1.  These exact float
+    constants are reused as the narrowed bounds, so bin membership and
+    range membership can never disagree (a value exactly on an edge is
+    in the upper bin AND excluded by the half-open refined range — it is
+    counted exactly once)."""
+    return lo + (hi - lo) / _BINS * np.arange(1, _BINS, dtype=np.float64)
+
+
+def _hist_counts(
+    ds, col: str, lo: float, hi: float, hi_inclusive: bool = True
+) -> np.ndarray:
+    """Distributed histogram of values in [lo, hi] (or [lo, hi) when the
+    upper bound is a refined — therefore exclusive — edge)."""
+    edges = _bin_edges(lo, hi)
 
     def partial(batch: pa.Table) -> pa.Table:
         v = batch[col].to_numpy(zero_copy_only=False).astype(np.float64)
-        v = v[(v >= lo) & (v <= hi)]
-        b = np.minimum(((v - lo) / width).astype(np.int64), _BINS - 1)
+        v = v[(v >= lo) & ((v <= hi) if hi_inclusive else (v < hi))]
+        b = np.searchsorted(edges, v, side="right")
         c = np.bincount(b, minlength=_BINS)
         nz = np.nonzero(c)[0]
         return pa.table(
@@ -63,13 +77,14 @@ def _hist_counts(ds, col: str, lo: float, hi: float) -> np.ndarray:
     return out
 
 
-def _distinct_value_counts(ds, col: str, lo=-np.inf, hi=np.inf):
-    """[(value, count)] of distinct ``col`` values in [lo, hi] — the
-    exact-finish primitive shared by topk_threshold and ntile_assign."""
+def _distinct_value_counts(ds, col: str, lo=-np.inf, hi=np.inf, hi_inclusive=True):
+    """[(value, count)] of distinct ``col`` values in [lo, hi] (or
+    [lo, hi) for a refined upper bound) — the exact-finish primitive
+    shared by topk_threshold and ntile_assign."""
 
     def vc_partial(batch: pa.Table) -> pa.Table:
         v = batch[col].to_numpy(zero_copy_only=False).astype(np.float64)
-        v = v[(v >= lo) & (v <= hi)]
+        v = v[(v >= lo) & ((v <= hi) if hi_inclusive else (v < hi))]
         u, c = np.unique(v, return_counts=True)
         return pa.table({"v": pa.array(u), "n": pa.array(c.astype(np.int64))})
 
@@ -105,13 +120,14 @@ def topk_threshold(
     n, lo, hi = stats["count()"], float(stats["lo"]), float(stats["hi"])
     if k >= n:
         return -np.inf, 0, -1
-    n_above = 0  # rows strictly above the current [lo, hi] range
+    n_above = 0  # rows strictly above the current range
+    hi_inc = True  # original max is inclusive; refined edges are not
     # narrow until the range's row count fits the driver budget; when
     # the range collapses below a double's ULP (fat tie band) the bin
     # bounds stop moving — break and let the exact distinct-value
     # finish below handle it (a sub-ULP range holds <= 2 doubles)
     while hi > lo and np.isfinite(hi - lo):
-        counts = _hist_counts(ds, col, lo, hi)
+        counts = _hist_counts(ds, col, lo, hi, hi_inc)
         in_range = int(counts.sum())
         if in_range <= driver_budget:
             break
@@ -120,19 +136,26 @@ def topk_threshold(
         # cum_from_top is non-increasing; the k-th largest lives in the
         # LAST bin whose from-the-top cumulative still reaches `need`
         b = int(np.nonzero(cum_from_top >= need)[0][-1])
-        width = (hi - lo) / _BINS
         n_above += int(cum_from_top[b] - counts[b])
-        new_lo = lo + b * width
-        new_hi = hi if b == _BINS - 1 else lo + (b + 1) * width
+        edges = _bin_edges(lo, hi)
+        new_lo = float(edges[b - 1]) if b > 0 else lo
+        # a refined upper bound is the exact edge float used by the
+        # binning, and membership there is HALF-OPEN: a value equal to
+        # the edge was binned into b+1 (already in n_above), so it must
+        # not be re-counted in the narrowed range
+        if b == _BINS - 1:
+            new_hi, new_hi_inc = hi, hi_inc
+        else:
+            new_hi, new_hi_inc = float(edges[b]), False
         if (new_lo == lo and new_hi == hi) or new_lo >= new_hi:
             break  # sub-ULP range: cannot shrink further
-        lo, hi = new_lo, new_hi
+        lo, hi, hi_inc = new_lo, new_hi, new_hi_inc
     # exact finish: distinct-value counts of the remaining range (bounded
     # by driver_budget distinct values on the normal path, <= 2 doubles
     # on the collapsed-tie path); counts, not rows, come to the driver
     def vc_partial(batch: pa.Table) -> pa.Table:
         v = batch[col].to_numpy(zero_copy_only=False).astype(np.float64)
-        v = v[(v >= lo) & (v <= hi)]
+        v = v[(v >= lo) & ((v <= hi) if hi_inc else (v < hi))]
         u, c = np.unique(v, return_counts=True)
         return pa.table({"v": pa.array(u), "n": pa.array(c.astype(np.int64))})
 

@@ -143,6 +143,14 @@ def duplicated_window_positions(
     def pack(batch: pa.Table) -> pa.Table:
         d = batch["doc_id"].to_numpy(zero_copy_only=False)
         p = batch["pos"].to_numpy(zero_copy_only=False)
+        # fail loudly instead of silently corrupting the packed-min
+        # aggregate: pos gets 24 bits, doc_id the remaining 39
+        if len(p) and (int(p.max()) >= (1 << 24) or int(d.max()) >= (1 << 39) or int(d.min()) < 0):
+            raise ValueError(
+                "keep_first packing requires 0 <= doc_id < 2^39 and "
+                f"pos < 2^24; got doc_id in [{d.min()}, {d.max()}], "
+                f"max pos {p.max()} — split oversized docs or remap ids"
+            )
         packed = (d << np.int64(24)) | p
         return batch.append_column("packed", pa.array(packed))
 

@@ -77,3 +77,61 @@ def test_incremental_dedup_two_arrivals(ray_session, tmp_path):
     )
     assert kept2.count() == 0
     assert stats2["kept"] == 0
+
+
+def test_incremental_dedup_crash_recovery(ray_session, tmp_path):
+    """A run that crashed AFTER writing its hash shard but BEFORE the
+    meta.json commit must be invisible: the re-run sees the pre-crash
+    state (meta.json is the commit point), keeps the same docs, and
+    overwrites the orphan shard."""
+    import json
+    import os
+
+    import ray.data
+
+    from kenlm_ray.ops.incremental import incremental_dedup, init_dedup_state
+
+    state = str(tmp_path / "state")
+
+    def docs(ids, texts, parts=2):
+        return ray.data.from_arrow(
+            pa.table(
+                {"doc_id": np.array(ids, dtype=np.int64), "text": texts}
+            )
+        ).repartition(parts)
+
+    base_texts = [f"seed doc {i}" for i in range(20)]
+    init_dedup_state(docs(range(20), base_texts), state)
+    with open(os.path.join(state, "meta.json")) as f:
+        meta_before = json.load(f)
+
+    arrival_ids = list(range(100, 110))
+    arrival_texts = base_texts[:5] + [f"novel {i}" for i in range(5)]
+
+    # simulate the crashed run: its shard landed on disk (and even some
+    # stray bloom bits — harmless false positives) but meta never moved
+    fps = [f"novel {i}" for i in range(5)]
+    import hashlib
+
+    orphan = pa.table(
+        {"h": [hashlib.sha256(t.encode()).hexdigest() for t in fps]}
+    )
+    orphan_dir = os.path.join(state, "hashes", f"shard_{meta_before['n_shards']}")
+    os.makedirs(orphan_dir)
+    import pyarrow.parquet as pq
+
+    pq.write_table(orphan, os.path.join(orphan_dir, "part.parquet"))
+
+    # the re-run must keep the 5 novel docs (NOT treat the orphan shard
+    # as known hashes) and cleanly commit over it
+    kept, stats = incremental_dedup(docs(arrival_ids, arrival_texts), state)
+    assert sorted(kept.to_pandas()["doc_id"]) == list(range(105, 110))
+    assert stats["kept"] == 5
+    with open(os.path.join(state, "meta.json")) as f:
+        meta_after = json.load(f)
+    assert meta_after["n_shards"] == meta_before["n_shards"] + 1
+    assert meta_after["n_hashes"] == meta_before["n_hashes"] + 5
+
+    # and a repeat of the same arrival now drops everything
+    kept2, stats2 = incremental_dedup(docs(range(300, 310), arrival_texts), state)
+    assert kept2.count() == 0 and stats2["kept"] == 0

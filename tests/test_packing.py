@@ -44,3 +44,33 @@ def test_pack_sequences_budget_invariants(ray_session):
     assert out.sort_values("doc_id")["example_id"].tolist() == (
         out2.sort_values("doc_id")["example_id"].tolist()
     )
+
+
+def test_pack_sequences_ids_unique_across_blocks(ray_session):
+    """Regression: the old block-hash tag kept only 44 bits of a hash of
+    each block's first doc id, so adversarial first-ids could silently
+    merge example ids across blocks.  The id is now the first member's
+    doc id — structurally unique.  Use huge, near-colliding doc ids and
+    many small blocks to make sure nothing collides or wraps."""
+    import ray.data
+
+    from kenlm_ray.ops.packing import pack_sequences
+
+    # ids chosen so the OLD scheme's 44-bit tags collide in groups
+    base = np.int64(1) << np.int64(60)
+    ids = base + np.arange(400, dtype=np.int64) * np.int64(7)
+    texts = ["w " * 30] * len(ids)
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": ids, "text": texts})
+    ).repartition(40)  # many small blocks
+
+    out = pack_sequences(ds, budget_tokens=64).to_pandas()
+    assert sorted(out["doc_id"]) == sorted(ids.tolist())
+    # an example id IS its slot-0 member's doc id
+    g = out.groupby("example_id")
+    for ex, grp in g:
+        assert int(grp.loc[grp["slot"] == 0, "doc_id"].iloc[0]) == ex
+        assert sorted(grp["slot"]) == list(range(len(grp)))
+    # example ids never repeat across blocks: every example's member
+    # set is disjoint and ids are positive int64 (no wraparound)
+    assert (out["example_id"] > 0).all()

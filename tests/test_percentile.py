@@ -46,3 +46,33 @@ def test_top_fraction_row_number_parity(ray_session, seed, tie_heavy):
     mask = (vals > thresh) | ((vals == thresh) & (ids <= id_cutoff))
     assert int(mask.sum()) == k
     assert set(ids[mask].tolist()) == _expected_ids(vals, ids, k)
+
+
+def test_topk_threshold_integer_bin_edges(ray_session):
+    """Regression: integer values landing exactly on refinement-pass bin
+    edges were double-counted (binned above the cut, then re-included by
+    the next pass's inclusive upper bound), so top_fraction silently
+    returned fewer than k rows.  20k integers spanning [0, 4096] with a
+    500-row driver budget puts thousands of values on exact _BINS
+    multiples across several passes."""
+    import ray.data
+
+    from kenlm_ray.ops.percentile import top_fraction, topk_threshold
+
+    rng = np.random.default_rng(7)
+    n = 20_000
+    vals = rng.integers(0, 4097, size=n).astype(np.float64)
+    ids = rng.permutation(n).astype(np.int64)
+    ds = ray.data.from_arrow(pa.table({"v": vals, "id": ids})).repartition(8)
+
+    k = 2_000
+    thresh, n_at, id_cutoff = topk_threshold(
+        ds, "v", k, "id", driver_budget=500
+    )
+    mask = (vals > thresh) | ((vals == thresh) & (ids <= id_cutoff))
+    assert int(mask.sum()) == k
+    assert set(ids[mask].tolist()) == _expected_ids(vals, ids, k)
+
+    got = top_fraction(ds, "v", k / n, "id").to_pandas()
+    assert len(got) == k
+    assert set(got["id"].tolist()) == _expected_ids(vals, ids, k)
