@@ -32,6 +32,16 @@ SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 CORPUS_ROWS = int(os.environ.get("BENCH_CORPUS_ROWS", "720000"))
 SF_LABEL = os.path.basename(SF_DIR.rstrip("/")) or "sf"
+# best-of-N inside ONE invocation: the sandbox host is shared and
+# co-tenant load swings single runs up to 3x, so the recorded artifact
+# takes the min of repeated runs (scaling legs already did; the
+# flagship and per-query numbers now do too).  Inner scaling-leg
+# subprocesses run the flagship once — their best-of is taken across
+# processes by _scaling_legs.
+FLAGSHIP_ROUNDS = 1 if os.environ.get("BENCH_INNER") else int(
+    os.environ.get("BENCH_FLAGSHIP_ROUNDS", "3")
+)
+QUERY_ROUNDS = int(os.environ.get("BENCH_QUERY_ROUNDS", "2"))
 
 
 def corpus_paths() -> "list[str]":
@@ -70,29 +80,37 @@ def run_flagship(paths: "list[str]") -> dict:
     import shutil as _sh
 
     _sh.rmtree(warm_dir, ignore_errors=True)
-    t0 = time.time()
-    ds = ray.data.read_parquet(paths)
-    # fixed-size pools: every actor starts immediately instead of the
-    # autoscaler ramping up through the measurement window.  The scorer
-    # pool (fused ppl+heuristics — tokenize/hash once) takes 9/16 of the
-    # cpus, langid 1/8; measured optimum for the fused shape — larger
-    # pools starve the read/scrub/decide/write task slots.
-    scored = build_quality_pipeline(
-        ds, mp, scorer_concurrency=max(2, (NUM_CPUS * 9) // 16),
-        langid_concurrency=max(1, NUM_CPUS // 8),
-        batch_size=512,
-    )
-    out_dir = f"/tmp/kenlm_ray_bench/out_{SF_LABEL}_{os.getpid()}"
-    # NOTE: min_rows_per_file makes Ray coalesce blocks BEFORE the fused
-    # stateless-map+write stage (measured: 256 -> 15 tasks, +60% wall);
-    # many small output files are the right trade here.
-    scored.write_parquet(out_dir)
-    wall = time.time() - t0
     import shutil
 
+    walls: "list[float]" = []
+    for r in range(FLAGSHIP_ROUNDS):  # best-of-N vs co-tenant noise
+        t0 = time.time()
+        ds = ray.data.read_parquet(paths)
+        # fixed-size pools: every actor starts immediately instead of the
+        # autoscaler ramping up through the measurement window.  The scorer
+        # pool (fused ppl+heuristics — tokenize/hash once) takes 9/16 of the
+        # cpus, langid 1/8; measured optimum for the fused shape — larger
+        # pools starve the read/scrub/decide/write task slots.
+        scored = build_quality_pipeline(
+            ds, mp, scorer_concurrency=max(2, (NUM_CPUS * 9) // 16),
+            langid_concurrency=max(1, NUM_CPUS // 8),
+            batch_size=512,
+        )
+        out_dir = f"/tmp/kenlm_ray_bench/out_{SF_LABEL}_{os.getpid()}_{r}"
+        # NOTE: min_rows_per_file makes Ray coalesce blocks BEFORE the fused
+        # stateless-map+write stage (measured: 256 -> 15 tasks, +60% wall);
+        # many small output files are the right trade here.
+        scored.write_parquet(out_dir)
+        walls.append(time.time() - t0)
+        shutil.rmtree(out_dir, ignore_errors=True)
+    wall = min(walls)
     n = CORPUS_ROWS
-    shutil.rmtree(out_dir, ignore_errors=True)
-    return {"sec": round(wall, 3), "files_per_sec": round(n / wall, 1), "rows": n}
+    return {
+        "sec": round(wall, 3),
+        "files_per_sec": round(n / wall, 1),
+        "rows": n,
+        "all_runs_sec": [round(w, 3) for w in walls],
+    }
 
 
 def scoring_kernel_throughput() -> dict:
@@ -164,13 +182,18 @@ def run_queries() -> dict[str, float]:
         "ppl_score",
         "langid",
     ]
-    out = {}
-    for name in names:
-        t0 = time.time()
-        res = qs[name](SF_DIR)
-        if hasattr(res, "to_pandas"):
-            res.to_pandas()
-        out[name] = round(time.time() - t0, 3)
+    # best-of-QUERY_ROUNDS with the rounds INTERLEAVED (all queries once,
+    # then all again): a co-tenant noise burst lands inside one round and
+    # the other round's timings survive, unlike back-to-back repeats
+    out: dict[str, float] = {}
+    for _ in range(QUERY_ROUNDS):
+        for name in names:
+            t0 = time.time()
+            res = qs[name](SF_DIR)
+            if hasattr(res, "to_pandas"):
+                res.to_pandas()
+            dt = round(time.time() - t0, 3)
+            out[name] = min(out.get(name, float("inf")), dt)
     return out
 
 
@@ -285,6 +308,11 @@ def main_bench() -> None:
         "scoring_kernel": scoring_kernel_throughput(),
         "sf": SF_LABEL,
         "num_cpus": NUM_CPUS,
+        "rounds": {
+            "flagship_best_of": FLAGSHIP_ROUNDS,
+            "flagship_all_runs_sec": flag.get("all_runs_sec", []),
+            "query_best_of": QUERY_ROUNDS,
+        },
     }
     ray.shutdown()
     if not os.environ.get("BENCH_INNER") and not os.environ.get("BENCH_SKIP_SCALING"):

@@ -15,7 +15,6 @@ keyed grouped computation:
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 
 import ray.data
@@ -83,29 +82,65 @@ def session_windows(
     """Per-key session stats: sessions split at gaps > ``gap_us``.
 
     Output: key, n_sessions, longest_session_events.
-    Ordering assumption: rows of ONE key are sorted inside map_groups —
-    no cross-block ordering is relied on."""
 
-    def sess(g: pd.DataFrame) -> pd.DataFrame:
-        ts = np.sort(g[ts_col].astype("int64").to_numpy())
-        if len(ts) == 0:
-            return pd.DataFrame(
-                {key_col: [], "n_sessions": [], "longest_session_events": []}
+    Shape mirrors event_lag_gaps: keys hash into ``num_partitions``
+    coarse buckets (not one pandas group per key — millions of tiny
+    groups at event-log scale), then ONE lexsort + vectorized run
+    detection per bucket computes every key's sessions at once.
+    Ordering assumption: per bucket, inside map_groups — never
+    cross-block."""
+    num_partitions = 16
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        k = batch[key_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            x = (k ^ (k >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+            x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+            x ^= x >> np.uint64(31)
+        return batch.append_column(
+            "__pb",
+            pa.array((x % np.uint64(num_partitions)).astype(np.int64)),
+        )
+
+    def sess(g: pa.Table) -> pa.Table:
+        if len(g) == 0:
+            return pa.table(
+                {
+                    key_col: pa.array([], type=pa.int64()),
+                    "n_sessions": pa.array([], type=pa.int64()),
+                    "longest_session_events": pa.array([], type=pa.int64()),
+                }
             )
-        new = np.ones(len(ts), dtype=bool)
-        new[1:] = (ts[1:] - ts[:-1]) > gap_us
-        sid = np.cumsum(new) - 1
-        counts = np.bincount(sid)
-        return pd.DataFrame(
+        keys = g[key_col].to_numpy(zero_copy_only=False)
+        us = g[ts_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        order = np.lexsort((us, keys))
+        ks, uss = keys[order], us[order]
+        key_start = np.concatenate([[True], ks[1:] != ks[:-1]])
+        new_sess = key_start.copy()
+        new_sess[1:] |= (uss[1:] - uss[:-1]) > gap_us
+        sid = np.cumsum(new_sess) - 1          # global session ordinal
+        sess_len = np.bincount(sid)
+        krun = np.cumsum(key_start) - 1        # key-run ordinal per row
+        sess_key = krun[np.flatnonzero(new_sess)]  # key-run per session
+        n_keys = int(krun[-1]) + 1
+        n_sessions = np.bincount(sess_key, minlength=n_keys)
+        longest = np.zeros(n_keys, dtype=np.int64)
+        np.maximum.at(longest, sess_key, sess_len)
+        return pa.table(
             {
-                key_col: [g[key_col].iloc[0]],
-                "n_sessions": [int(sid[-1]) + 1],
-                "longest_session_events": [int(counts.max())],
+                key_col: pa.array(ks[np.flatnonzero(key_start)]),
+                "n_sessions": pa.array(n_sessions.astype(np.int64)),
+                "longest_session_events": pa.array(longest),
             }
         )
 
-    return ds.select_columns([key_col, ts_col]).groupby(key_col).map_groups(
-        sess, batch_format="pandas"
+    return (
+        ds.select_columns([key_col, ts_col])
+        .map_batches(bucket, batch_format="pyarrow")
+        .groupby("__pb")
+        .map_groups(
+            lambda g: sess(g.drop_columns(["__pb"])), batch_format="pyarrow"
+        )
     )
 
 

@@ -55,6 +55,51 @@ def test_session_windows_small(ray_session):
     assert out.loc[2]["n_sessions"] == 1
 
 
+def test_session_windows_skewed_keys_parity(ray_session):
+    """The coarse-bucket session kernel must match a naive per-key
+    reference on a HEAVILY skewed log: one user owns 50% of all events
+    (the shape that made the old one-pandas-group-per-key path a scale
+    defect)."""
+    import pyarrow as pa
+
+    import ray.data
+
+    from kenlm_ray.ops.windows import session_windows
+
+    rng = np.random.default_rng(11)
+    n = 8000
+    gap_us = 1_800_000_000
+    hot = np.full(n // 2, 7, dtype=np.int64)
+    cold = rng.integers(100, 400, size=n - n // 2).astype(np.int64)
+    users = np.concatenate([hot, cold])
+    ts = rng.integers(0, 3 * 86_400_000_000, size=n).astype(np.int64)
+    perm = rng.permutation(n)
+    users, ts = users[perm], ts[perm]
+    t = pa.table(
+        {"user_id": users, "ts": pa.array(ts, type=pa.timestamp("us"))}
+    )
+    got = (
+        session_windows(ray.data.from_arrow(t).repartition(8), gap_us=gap_us)
+        .to_pandas()
+        .set_index("user_id")
+        .sort_index()
+    )
+
+    # naive reference: per-key sort + gap split
+    ref = {}
+    df = pd.DataFrame({"u": users, "ts": ts})
+    for u, g in df.groupby("u"):
+        s = np.sort(g["ts"].to_numpy())
+        new = np.ones(len(s), dtype=bool)
+        new[1:] = (s[1:] - s[:-1]) > gap_us
+        sid = np.cumsum(new) - 1
+        ref[u] = (int(sid[-1]) + 1, int(np.bincount(sid).max()))
+    assert len(got) == len(ref)
+    for u, (ns, longest) in ref.items():
+        assert int(got.loc[u, "n_sessions"]) == ns
+        assert int(got.loc[u, "longest_session_events"]) == longest
+
+
 def test_salted_map_groups_matches_unsalted(ray_session):
     import ray.data
 
