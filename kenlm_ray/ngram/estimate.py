@@ -55,7 +55,6 @@ import ray
 import ray.data
 from ray.data.aggregate import Sum
 
-from kenlm_ray.functions.hashing import hash_bytes_array
 from kenlm_ray.functions.tokenize import tokenize_column
 from kenlm_ray.ops.join import hash_join
 from kenlm_ray.schema import BOS, BOS_ID, EOS, EOS_ID, UNK, UNK_ID
@@ -73,13 +72,19 @@ def _wcols(n: int) -> list[str]:
 
 @dataclass
 class VocabMap:
-    """Driver-side vocabulary: id-indexed word list + broadcastable
+    """Driver-side vocabulary: id-indexed word store + broadcastable
     (sorted hash, id) lookup arrays.  Specials get fixed ids (<unk>=0,
     <s>=1, </s>=2 — lm/word_index.hh) but are NOT in the lookup table, so
     literal <s>/</s>/<unk> text tokens map to <unk> (the disallowed-symbol
-    guard, corpus_count.cc:170-181)."""
+    guard, corpus_count.cc:170-181).
 
-    words: list[str]
+    ``words`` is an ARROW string array, never a Python list: at web-scale
+    vocab (10^8-10^9 types) Arrow holds word bytes + one int32 offset per
+    word (~10-20 B/word) where a Python list costs ~60+ B/word of object
+    headers — and it broadcasts zero-copy through the object store for
+    the ARPA projection gather."""
+
+    words: "pa.Array"  # string array, index = word id
     lookup_hashes: np.ndarray  # uint64 sorted, words[3:] only
     lookup_ids: np.ndarray  # uint32 aligned with lookup_hashes
 
@@ -97,10 +102,11 @@ class VocabMap:
         return np.where(found, self.lookup_ids[idx], np.uint32(UNK_ID))
 
     def id_of(self, word: str) -> int:
-        try:
-            return self.words.index(word)
-        except ValueError:
-            return UNK_ID
+        idx = pc.index(self.words, pa.scalar(word)).as_py()
+        return idx if idx >= 0 else UNK_ID
+
+    def word_at(self, i: int) -> str:
+        return self.words[int(i)].as_py()
 
 
 def build_vocab(
@@ -126,15 +132,39 @@ def build_vocab(
         .groupby("w")
         .aggregate(Sum("c_sum", alias_name="count"))
     )
-    vt = agg.to_pandas()
-    rest = [
-        w
-        for w, c in zip(vt["w"], vt["count"])
-        if c >= min_count and w not in (UNK, BOS, EOS)
-    ]
-    rest_hashes = hash_bytes_array(rest)
+    # Arrow end-to-end: the word strings are never converted to Python
+    # objects — filter/sort/concat run on Arrow buffers and the hash
+    # reads the UTF-8 data buffer directly (same kernel the tokenizer
+    # uses), so the driver's cost per type is word bytes + offsets, not
+    # a Python str object.
+    tables = [t for t in ray.get(agg.to_arrow_refs()) if t.num_rows]
+    if tables:
+        vt = pa.concat_tables(tables).combine_chunks()
+    else:
+        vt = pa.table(
+            {"w": pa.array([], type=pa.string()),
+             "count": pa.array([], type=pa.int64())}
+        )
+    keep = pc.and_(
+        pc.greater_equal(vt["count"], pa.scalar(min_count, type=pa.int64())),
+        pc.invert(pc.is_in(vt["w"], value_set=pa.array([UNK, BOS, EOS]))),
+    )
+    rest = vt.filter(keep)["w"].combine_chunks().cast(pa.string())
+    from kenlm_ray.functions.hashing import murmur64_stream
+    from kenlm_ray.functions.tokenize import _string_buffers
+
+    if len(rest):
+        offsets, data = _string_buffers(rest)
+        rest_hashes = murmur64_stream(
+            data, offsets[:-1], offsets[1:] - offsets[:-1]
+        )
+    else:
+        rest_hashes = np.empty(0, dtype=np.uint64)
     order = np.argsort(rest_hashes, kind="stable")
-    words = [UNK, BOS, EOS] + [rest[i] for i in order]
+    words = pa.concat_arrays(
+        [pa.array([UNK, BOS, EOS], type=pa.string()),
+         rest.take(pa.array(order))]
+    )
     lookup_hashes = rest_hashes[order]
     lookup_ids = (np.arange(len(rest), dtype=np.uint32) + np.uint32(3))
     if len(np.unique(lookup_hashes)) != len(lookup_hashes):
@@ -479,14 +509,11 @@ def estimate_mkn(
     thresholds = prune_thresholds or [0] * order
     disallowed = None
     if limit_vocab is not None:
-        disallowed = np.array(
-            [
-                i
-                for i, w in enumerate(vocab.words)
-                if i > max(_SPECIAL_IDS) and w not in limit_vocab
-            ],
-            dtype=np.uint32,
-        )
+        in_limit = pc.is_in(
+            vocab.words, value_set=pa.array(sorted(limit_vocab))
+        ).to_numpy(zero_copy_only=False)
+        all_ids = np.arange(len(vocab.words), dtype=np.uint32)
+        disallowed = all_ids[(all_ids > max(_SPECIAL_IDS)) & ~in_limit]
 
     raws = {
         n: raw_counts(ds, n, vocab, text_col=text_col) for n in range(1, order + 1)
@@ -540,7 +567,9 @@ def estimate_mkn(
     interp1 /= interp1.sum()
     # broadcast (sorted ids, interpolated probs) for the order-2 join
     interp_lower_ref = ray.put((vocab_ids, interp1))
-    words_ref = ray.put(np.array(vocab.words, dtype=object))
+    # Arrow string array broadcasts zero-copy (no object-array pickle of
+    # every word) and the gather is pc.take on Arrow buffers
+    words_ref = ray.put(vocab.words)
 
     arpa_tables: dict[int, "ray.data.Dataset | pa.Table"] = {}
 
@@ -549,8 +578,7 @@ def estimate_mkn(
         words = ray.get(words_ref)
         out = {}
         for j in range(_n):
-            ids = batch[f"i{j+1}"].to_numpy(zero_copy_only=False).astype(np.int64)
-            out[f"w{j+1}"] = pa.array(words[ids], type=pa.string())
+            out[f"w{j+1}"] = pc.take(words, batch[f"i{j+1}"])
         out["log10_prob"] = batch["log10_prob"]
         out["log10_backoff"] = batch["log10_backoff"]
         return pa.table(out)
@@ -684,7 +712,7 @@ def estimate_mkn(
         bo = None if wid == UNK_ID else g2_of(int(wid))
         uni_rows.append(
             {
-                "w1": vocab.words[int(wid)],
+                "w1": vocab.word_at(wid),
                 "log10_prob": prob,
                 "log10_backoff": math.log10(max(bo, 1e-12)) if bo is not None else 0.0,
             }

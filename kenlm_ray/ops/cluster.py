@@ -109,36 +109,64 @@ def dedup_keep_representatives(
     docs: "ray.data.Dataset",
     pairs: "ray.data.Dataset",
     id_col: str = "doc_id",
+    *,
+    broadcast_threshold: int = 5_000_000,
+    num_partitions: int = 16,
     **cc_kwargs,
 ) -> "ray.data.Dataset":
     """Drop every near-duplicate except its cluster representative.
 
     The deletion step of a dedup pipeline: pairs -> connected
     components -> keep the min-id doc per component plus every doc in
-    no pair.  The drop list (non-representatives) is candidate-pair
-    sized — orders of magnitude smaller than the corpus — so it is
-    collected once, broadcast via ``ray.put``, and applied as a
-    map-side sorted-array filter: the DOCUMENTS never shuffle, which is
-    what makes this shape survive 100 TB (reshuffling the corpus to
-    delete <1%% of it would dominate the whole pipeline).
+    no pair.  Two shapes, selected by the MEASURED drop-list size:
+
+    - drop list <= ``broadcast_threshold`` (the ~1%% near-dup-rate
+      regime): collected once, broadcast via ``ray.put``, applied as a
+      map-side sorted-array filter — the DOCUMENTS never shuffle, which
+      is what makes this survive 100 TB (reshuffling the corpus to
+      delete <1%% of it would dominate the pipeline).
+    - larger (a crawl snapshot with 30-50%% duplicates makes the drop
+      list corpus-scale — 10^10 ids won't fit any broadcast): fall back
+      to the PARTITIONED anti-join (``ops/join.hash_join`` how="anti"),
+      where only the drop KEYS and the docs shuffle by id bucket and
+      nothing ever lands on the driver.
+
+    Both paths return identical rows (pytest-gated).
     """
     labels = connected_components(pairs, **cc_kwargs)
-    ldf = labels.to_pandas()
-    if len(ldf) == 0:
-        # no pairs at all -> empty frame with no columns; nothing to drop
-        drop = np.empty(0, dtype=np.int64)
-    else:
-        drop = (
-            ldf.loc[ldf["doc_id"] != ldf["cluster_id"], "doc_id"]
-            .to_numpy()
-            .astype(np.int64)
+
+    def nonreps(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or len(t) == 0:
+            return pa.table({id_col: pa.array([], type=pa.int64())})
+        d = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        c = t["cluster_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({id_col: pa.array(d[d != c])})
+
+    drops = labels.map_batches(nonreps, batch_format="pyarrow").materialize()
+    n_drop = drops.count()
+    if n_drop == 0:
+        return docs
+
+    if n_drop > broadcast_threshold:
+        from kenlm_ray.ops.join import hash_join
+
+        schema = docs.schema()
+        left_cols = dict(zip(schema.names, schema.types))
+        return hash_join(
+            docs,
+            drops,
+            on=[id_col],
+            left_cols=left_cols,
+            right_cols={id_col: pa.int64()},
+            how="anti",
+            num_partitions=num_partitions,
         )
+
+    drop = drops.to_pandas()[id_col].to_numpy().astype(np.int64)
     drop_ref = ray.put(np.sort(drop))
 
     def keep(batch: pa.Table) -> pa.Table:
         d = np.asarray(ray.get(drop_ref))
-        if len(d) == 0:
-            return batch
         ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
         idx = np.minimum(np.searchsorted(d, ids), len(d) - 1)
         hit = d[idx] == ids

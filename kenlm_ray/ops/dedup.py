@@ -576,11 +576,24 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     shingle_n: int = 3,
+    max_pairs: int = 100_000,
 ) -> "ray.data.Dataset":
     """Exact n-gram Jaccard for given candidate pairs: broadcast the pair
-    list, ship only the needed docs' shingle sets to the reducer."""
+    list, ship only the needed docs' shingle sets to the reducer.
+
+    DRIVER-SIDE by design: the verify/re-rank step for a SMALL candidate
+    list (e.g. minhash survivors of one report).  ``max_pairs`` bounds it
+    loudly — corpus-scale exact Jaccard is :func:`jaccard_near_dup_pairs`
+    (fully distributed inverted-index shape), not this."""
     import ray
 
+    if len(candidate_pairs) > max_pairs:
+        raise ValueError(
+            f"ngram_jaccard_pairs got {len(candidate_pairs)} candidate pairs "
+            f"(> max_pairs={max_pairs}); this is a driver-side re-rank "
+            "utility — use jaccard_near_dup_pairs for corpus-scale exact "
+            "Jaccard, or raise max_pairs explicitly."
+        )
     wanted = sorted({i for p in candidate_pairs for i in p})
     wanted_ref = ray.put(np.array(wanted, dtype=np.int64))
 

@@ -27,6 +27,35 @@ import pyarrow as pa
 import ray.data
 
 
+def _chunked_cosine_pairs(
+    ids: np.ndarray, m: np.ndarray, tau: float, pair_chunk: int
+) -> "tuple[np.ndarray, np.ndarray, np.ndarray]":
+    """All (min_id, max_id, cos) with cosine >= tau among rows of ``m``
+    (assumed L2-normalized), computed in ``pair_chunk``-row blocks so
+    peak extra memory is pair_chunk x n float64, never n x n."""
+    n = len(ids)
+    outs_a, outs_b, outs_c = [], [], []
+    for blo in range(0, n, pair_chunk):
+        bhi = min(blo + pair_chunk, n)
+        sims = m[blo:bhi] @ m.T  # (chunk, n) — never n x n
+        r, c = np.nonzero(sims >= tau)
+        keep = (blo + r) < c  # strict upper triangle, globally
+        r, c = r[keep], c[keep]
+        if len(r):
+            a, b = ids[blo + r], ids[c]
+            outs_a.append(np.minimum(a, b))
+            outs_b.append(np.maximum(a, b))
+            outs_c.append(sims[r, c])
+    if not outs_a:
+        z = np.empty(0, dtype=np.int64)
+        return z, z, np.empty(0, dtype=np.float64)
+    return (
+        np.concatenate(outs_a).astype(np.int64),
+        np.concatenate(outs_b).astype(np.int64),
+        np.concatenate(outs_c),
+    )
+
+
 def semantic_near_dup_pairs(
     ds: "ray.data.Dataset",
     emb_col: str = "embedding",
@@ -35,8 +64,15 @@ def semantic_near_dup_pairs(
     tau: float = 0.97,
     seed: int = 0,
     max_cluster: int = 20_000,
+    pair_chunk: int = 1024,
 ) -> "ray.data.Dataset":
-    """(id_a, id_b) with cosine >= tau and the same k-means cluster."""
+    """(id_a, id_b) with cosine >= tau and the same k-means cluster.
+
+    The within-cluster pairwise step runs in ``pair_chunk``-row blocks
+    (same shape as ops/knn.py's bucket_pairs): a max_cluster=20k cluster
+    holds peak extra memory at pair_chunk x n float64 (~160 MB at the
+    defaults) instead of an n x n sims matrix plus triu index arrays
+    (~10 GB) in one worker."""
     from kenlm_ray.ops.cluster import kmeans_fit
 
     cents = kmeans_fit(ds, emb_col=emb_col, k=k, seed=seed, id_col=id_col)
@@ -70,8 +106,6 @@ def semantic_near_dup_pairs(
 
     labeled = ds.map_batches(assign_keep_vec, batch_format="pyarrow")
 
-    n_sub_bits = 0  # resolved per group below
-
     def pairs(g: pa.Table) -> pa.Table:
         empty = pa.table(
             {
@@ -102,16 +136,14 @@ def semantic_near_dup_pairs(
             dtype=np.float64,
         )
         m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
-        sims = m @ m.T
-        iu, ju = np.triu_indices(len(ids), k=1)
-        hit = sims[iu, ju] >= tau
-        a, b = ids[iu[hit]], ids[ju[hit]]
-        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        a, b, cos = _chunked_cosine_pairs(ids, m, tau, pair_chunk)
+        if len(a) == 0:
+            return empty
         return pa.table(
             {
-                "id_a": pa.array(lo.astype(np.int64)),
-                "id_b": pa.array(hi.astype(np.int64)),
-                "cos": pa.array(sims[iu[hit], ju[hit]]),
+                "id_a": pa.array(a),
+                "id_b": pa.array(b),
+                "cos": pa.array(cos),
             }
         )
 

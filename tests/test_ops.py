@@ -943,3 +943,31 @@ def test_dedup_keep_representatives(ray_session):
     )
     all_kept = dedup_keep_representatives(docs, empty).to_pandas()
     assert sorted(all_kept["doc_id"]) == list(range(8))
+
+
+def test_dedup_keep_representatives_antijoin_fallback(ray_session):
+    """broadcast_threshold=0 forces the partitioned anti-join path; it
+    must return exactly the broadcast path's rows even at a 50%% dup
+    rate (the crawl-snapshot regime the fallback exists for)."""
+    import ray.data
+
+    from kenlm_ray.ops.cluster import dedup_keep_representatives
+
+    n = 400
+    docs = ray.data.from_items(
+        [{"doc_id": i, "text": f"doc {i}"} for i in range(n)]
+    ).repartition(4)
+    # half the corpus is duplicated: pair (2i, 2i+1) for even components
+    pairs = ray.data.from_items(
+        [{"id_a": 2 * i, "id_b": 2 * i + 1} for i in range(n // 2)]
+    ).repartition(3)
+
+    broadcast = dedup_keep_representatives(docs, pairs).to_pandas()
+    anti = dedup_keep_representatives(
+        docs, pairs, broadcast_threshold=0
+    ).to_pandas()
+    assert sorted(broadcast["doc_id"]) == sorted(anti["doc_id"])
+    assert sorted(anti["doc_id"]) == [2 * i for i in range(n // 2)]
+    # value columns survive the anti-join untouched
+    a = anti.sort_values("doc_id").reset_index(drop=True)
+    assert (a["text"] == a["doc_id"].map(lambda i: f"doc {i}")).all()
