@@ -391,6 +391,456 @@ def _mark_lower(n, vocab_ids, keys, tables, uni_prob, uni_backoff,
             t.prob[idx] = abs(t.prob[idx])
 
 
+# ---------------------------------------------------------------------------
+# TRIE layout (model_type 2: DontQuantize + DontBhiksha), search_version 1
+# ---------------------------------------------------------------------------
+# File layout after the shared 88+20+counts header (trie.hh, search_trie.hh):
+#   SortedVocabulary       vocab.cc:83-86, 180-193
+#     uint64 n_hashes, then n_hashes sorted murmur64a(word) hashes
+#     (<unk> is id 0 and NOT in the table; other ids = hash rank + 1,
+#      vocab.cc:110-125), then 8 slack/pad bytes so the region is always
+#     8 + 8*counts[0] bytes (UnkCountChangePadding, vocab.hh:108-109)
+#   Unigram array          trie.hh:21-26, 51-54
+#     (counts[0]+2) x {float32 prob, float32 backoff, uint64 next}
+#     next = first index of this word's children in the bigram array;
+#     entry counts[0] holds the end sentinel
+#   Middle arrays, orders 2..order-1   trie.hh:99-123, trie.cc:60-66
+#     bit-packed entries of total_bits =
+#       word_bits(=RequiredBits(counts[0]))
+#       + 31 (NonPositiveFloat31 prob, quantize.hh:29,43-48)
+#       + 32 (float32 backoff, quantize.hh:47)
+#       + next_bits(=RequiredBits(counts[next order]), bhiksha.hh:40-42)
+#     region = ((1+entries)*total_bits+7)/8 + 8 bytes (trie.cc:60-66);
+#     entry n_entries holds the end-sentinel next (trie.cc:103-110)
+#   Longest array          trie.hh:125-141
+#     word_bits + 31-bit prob, same sizing formula
+#
+# Entry ORDER: records are the n-gram's word ids REVERSED
+# (trie_sort.cc:272-277 reverse_iterator), sorted lexicographically
+# (EntryCompare, trie_sort.hh:31-48) — i.e. the trie walks last word ->
+# first word, and an n-gram's parent node is its (n-1)-SUFFIX.
+#
+# Blanks (search_trie.cc:59-263 BackoffMessages/SRISucks/BlankManager):
+# a suffix required by a longer n-gram but absent from the ARPA is
+# inserted with prob = prob(longest real proper suffix) + sum of the
+# backoffs of the REAL intermediate contexts (u_{b-i}..u_{b-1}) — i.e.
+# exactly the probing model's backed-off score — and backoff -0.0
+# (+0.0 when a longer blank charges it as context, SRISucks::GetBlank).
+# Real grams get their zero backoff flipped -0.0 -> +0.0 when they are
+# the PREFIX-context of a longer real gram (WriteContextFile drops the
+# first record word = the last n-gram word, trie_sort.cc:90-96;
+# consumed in WriteEntries::Middle / PopulateUnigramWeights).
+
+TRIE_MODEL_TYPE = 2
+TRIE_SEARCH_VERSION = 1  # search_trie.hh:39 kVersion
+UNIGRAM_ENTRY = np.dtype(
+    [("prob", "<f4"), ("backoff", "<f4"), ("next", "<u8")]
+)  # trie.hh:21-26 UnigramValue
+
+
+def _required_bits(max_value: int) -> int:
+    """util/bit_packing.cc:17-22 RequiredBits."""
+    if max_value <= 0:
+        return 0
+    return int(max_value).bit_length()
+
+
+def _write_bits(buf: np.ndarray, bit_offs: np.ndarray, values: np.ndarray) -> None:
+    """Vectorized WriteInt57 (util/bit_packing.hh:76-89): OR each value's
+    little-endian bytes into ``buf`` at its bit offset.  Values must fit
+    in (64 - 7) bits after shifting; callers keep field widths <= 57
+    except the float32 backoff which is written as two 32-bit halves."""
+    byte = (bit_offs >> 3).astype(np.int64)
+    shift = (bit_offs & 7).astype(np.uint64)
+    v = values.astype(np.uint64) << shift
+    for k in range(8):
+        np.bitwise_or.at(buf, byte + k, ((v >> np.uint64(8 * k)) & np.uint64(0xFF)).astype(np.uint8))
+
+
+def _read_bits(buf: np.ndarray, bit_offs: np.ndarray, length: int) -> np.ndarray:
+    """Vectorized ReadInt57 (util/bit_packing.hh:69-71)."""
+    byte = (bit_offs >> 3).astype(np.int64)
+    shift = (bit_offs & 7).astype(np.uint64)
+    v = np.zeros(len(byte), dtype=np.uint64)
+    for k in range(8):
+        v |= buf[byte + k].astype(np.uint64) << np.uint64(8 * k)
+    mask = np.uint64((1 << length) - 1)
+    return (v >> shift) & mask
+
+
+def _f32_bits(x: np.ndarray) -> np.ndarray:
+    return np.asarray(x, dtype=np.float32).view(np.uint32).astype(np.uint64)
+
+
+def _bits_f32(v: np.ndarray) -> np.ndarray:
+    return v.astype(np.uint32).view(np.float32)
+
+
+def write_kenlm_binary_trie(
+    arpa: ArpaModel, path: str, *, include_vocab: bool = True
+) -> str:
+    """ArpaModel -> reference-format TRIE ``.binary`` (model_type 2,
+    DontQuantize + DontBhiksha).
+
+    Driver-side, model-sized by design — the reference builds tries in
+    RAM/temp files too (search_trie.cc BuildTrie); a trained model is
+    orders of magnitude smaller than the corpus."""
+    import struct
+
+    order = arpa.order
+    if order < 2:
+        raise ValueError("trie binary needs order >= 2 (model.cc:100)")
+
+    # ---- SortedVocabulary ids: <unk>=0, rest = hash rank + 1 -------------
+    uni_items = list(arpa.grams[1].items())
+    words = [w for (w,), _ in uni_items]
+    hashes = hash_bytes_array(words)
+    saw_unk = False
+    nonunk: list[tuple[int, str, float, float]] = []
+    unk_weights = (UNK_LOG10, 0.0)
+    for i, h in enumerate(hashes):
+        p, b = uni_items[i][1]
+        if h == K_UNK_HASH or h == K_UNK_CAP_HASH:
+            saw_unk = True
+            unk_weights = (p, b)
+        else:
+            nonunk.append((int(h), words[i], p, b))
+    nonunk.sort(key=lambda t: t[0])
+    if len({h for h, *_ in nonunk}) != len(nonunk):
+        raise ValueError("vocab hash collision (sorted_uniform requires distinct)")
+    bound = len(nonunk) + 1
+    wid_of = {w: i + 1 for i, (_, w, _, _) in enumerate(nonunk)}
+    wid_of["<unk>"] = 0
+    wid_of["<UNK>"] = 0
+    word_by_id = {i + 1: w for i, (_, w, _, _) in enumerate(nonunk)}
+
+    uni_prob = np.zeros(bound, dtype=np.float32)
+    uni_backoff = np.zeros(bound, dtype=np.float32)
+    if saw_unk:
+        uni_prob[0] = np.float32(min(unk_weights[0], 0.0))
+        uni_backoff[0] = (
+            np.float32(-0.0)
+            if unk_weights[1] == 0.0
+            else np.float32(unk_weights[1])
+        )
+    # else: zero-filled, exactly the MapZeroedWrite state the blank pass
+    # sees (trie_sort.cc:206-213); the -100 fixup happens after BuildTrie
+    for i, (_, _, p, b) in enumerate(nonunk):
+        uni_prob[i + 1] = min(p, 0.0)
+        uni_backoff[i + 1] = np.float32(-0.0) if b == 0.0 else np.float32(b)
+
+    # ---- records: REVERSED id tuples (trie_sort.cc:272-277) --------------
+    real: dict[int, dict[tuple, tuple[float, float]]] = {}
+    for n in range(2, order + 1):
+        d = {}
+        for ws, (p, b) in arpa.grams.get(n, {}).items():
+            rec = []
+            for w in reversed(ws):
+                j = wid_of.get(w)
+                if j is None:
+                    # ReadNGram maps words absent from unigrams to <unk>
+                    # via vocab Index (vocab.cc:71-82)
+                    j = 0
+                rec.append(j)
+            d[tuple(rec)] = (p, b)
+        real[n] = d
+
+    # ---- blanks: missing suffix nodes, top-down (BlankManager) -----------
+    blanks: dict[int, dict[tuple, list]] = {n: {} for n in range(2, order)}
+    for n in range(order, 2, -1):
+        srcs: list[tuple] = list(real[n].keys())
+        if n < order:
+            srcs += list(blanks[n].keys())
+        lower_real = real[n - 1]
+        lower_blank = blanks[n - 1]
+        for rec in srcs:
+            pre = rec[: n - 1]
+            if pre not in lower_real and pre not in lower_blank:
+                lower_blank[pre] = [0.0, -0.0]  # prob/backoff filled below
+
+    # blank prob = basis + real intermediate-context backoffs; extension
+    # flags collected as sets and applied at serialization time
+    ext_uni: set[int] = set()
+    ext_real: dict[int, set] = {n: set() for n in range(2, order)}
+    ext_blank: dict[int, set] = {n: set() for n in range(2, order)}
+    for b_ord in range(2, order):
+        for rec in blanks[b_ord]:
+            basis_k = 1
+            for k in range(b_ord - 1, 0, -1):
+                if k == 1 or rec[:k] in real[k]:
+                    basis_k = k
+                    break
+            if basis_k == 1:
+                prob = float(uni_prob[rec[0]])
+            else:
+                prob = real[basis_k][rec[:basis_k]][0]
+            for i in range(basis_k, b_ord):
+                ctx = rec[1 : 1 + i]
+                if i == 1:
+                    ext_uni.add(ctx[0])
+                    prob += float(uni_backoff[ctx[0]])
+                elif ctx in real[i]:
+                    ext_real[i].add(ctx)
+                    prob += real[i][ctx][1]
+                elif ctx in blanks[i]:
+                    # message with no real receiver: the blank context
+                    # learns it extends (search_trie.cc:112-129, GetBlank)
+                    if i != order - 1:
+                        ext_blank[i].add(ctx)
+            blanks[b_ord][rec][0] = prob
+
+    # regular prefix-context extension flags (context files)
+    for n in range(2, order + 1):
+        lower_real = real.get(n - 1, {})
+        lower_blank = blanks.get(n - 1, {})
+        for rec in real[n]:
+            ctx = rec[1:]
+            if n == 2:
+                ext_uni.add(ctx[0])
+            elif ctx in lower_real:
+                ext_real[n - 1].add(ctx)
+            else:
+                raise ValueError(
+                    f"a {n}-gram's context is not a real {n-1}-gram "
+                    "(BuildTrie context check, search_trie.cc:521-535)"
+                )
+
+    for w in ext_uni:
+        bo = uni_backoff[w]
+        if bo == 0.0 and np.signbit(bo):
+            uni_backoff[w] = np.float32(0.0)
+
+    if not saw_unk:
+        # model.cc:121-126 runs after BuildTrie, before FinishFile — the
+        # mmap'd file gets the fixed values, but blank bases above saw 0.0
+        uni_prob[0] = UNK_LOG10
+        uni_backoff[0] = 0.0
+
+    # ---- fixed counts (FindBlanks), header ----------------------------
+    counts = [bound]
+    for n in range(2, order):
+        counts.append(len(real[n]) + len(blanks[n]))
+    counts.append(len(real[order]))
+
+    # ---- per-order sorted entry arrays ---------------------------------
+    recs_sorted: dict[int, np.ndarray] = {}
+    probs_sorted: dict[int, np.ndarray] = {}
+    backoffs_sorted: dict[int, np.ndarray] = {}
+    for n in range(2, order + 1):
+        items: list[tuple[tuple, float, float]] = []
+        for rec, (p, b) in real[n].items():
+            if n == order:
+                if b != 0.0:
+                    raise ValueError("non-zero backoff on top order")
+                bo = 0.0
+            else:
+                if b == 0.0:
+                    bo = 0.0 if rec in ext_real[n] else -0.0
+                else:
+                    bo = b
+            items.append((rec, min(p, 0.0), bo))
+        if n < order:
+            for rec, (p, bo) in blanks[n].items():
+                items.append((rec, p, 0.0 if rec in ext_blank[n] else -0.0))
+        items.sort(key=lambda t: t[0])
+        recs_sorted[n] = np.array(
+            [t[0] for t in items], dtype=np.uint64
+        ).reshape(len(items), n)
+        probs_sorted[n] = np.array([t[1] for t in items], dtype=np.float32)
+        backoffs_sorted[n] = np.array([t[2] for t in items], dtype=np.float32)
+
+    # ---- next pointers ---------------------------------------------------
+    # unigram -> bigram begin indices
+    uni_next = np.zeros(bound + 2, dtype=np.uint64)
+    big0 = recs_sorted[2][:, 0] if counts[1] else np.empty(0, dtype=np.uint64)
+    uni_next[: bound + 1] = np.searchsorted(big0, np.arange(bound + 1))
+    nexts: dict[int, np.ndarray] = {}
+    for n in range(2, order):
+        idx_of = {tuple(r): j for j, r in enumerate(recs_sorted[n].tolist())}
+        child = recs_sorted[n + 1]
+        parent_idx = np.array(
+            [idx_of[tuple(r[:n])] for r in child.tolist()], dtype=np.int64
+        )
+        nx = np.searchsorted(parent_idx, np.arange(len(idx_of)))
+        nexts[n] = np.concatenate(
+            [nx, [len(child)]]
+        ).astype(np.uint64)  # sentinel = FinishedLoading (trie.cc:103-110)
+
+    # ---- serialize -------------------------------------------------------
+    header = bytearray(_header_size(order))
+    header[0 : len(MAGIC)] = MAGIC
+    struct.pack_into("<fff", header, MAGIC_FIELD, 0.0, 1.0, -0.5)
+    struct.pack_into("<IIIQ", header, MAGIC_FIELD + 12, 1, 0xFFFFFFFF, 0, 1)
+    struct.pack_into(
+        "<B3xfi?3xI", header, SANITY_SIZE, order, np.float32(1.5),
+        TRIE_MODEL_TYPE, include_vocab, TRIE_SEARCH_VERSION,
+    )
+    for i, c in enumerate(counts):
+        struct.pack_into("<Q", header, SANITY_SIZE + FIXED_SIZE + 8 * i, c)
+
+    parts = [bytes(header)]
+    # vocab: count + sorted hashes + 8 slack/pad bytes = 8 + 8*counts[0]
+    parts.append(struct.pack("<Q", len(nonunk)))
+    parts.append(
+        np.array([h for h, *_ in nonunk], dtype="<u8").tobytes()
+    )
+    parts.append(b"\x00" * 8)
+
+    uni_arr = np.zeros(bound + 2, dtype=UNIGRAM_ENTRY)
+    uni_arr["prob"][:bound] = uni_prob
+    uni_arr["backoff"][:bound] = uni_backoff
+    uni_arr["next"] = uni_next
+    parts.append(uni_arr.tobytes())
+
+    word_bits = _required_bits(counts[0])
+    for n in range(2, order + 1):
+        entries = len(recs_sorted[n])
+        if n < order:
+            next_bits = _required_bits(counts[n])
+            total_bits = word_bits + 63 + next_bits
+        else:
+            total_bits = word_bits + 31
+        size = ((1 + entries) * total_bits + 7) // 8 + 8
+        buf = np.zeros(size, dtype=np.uint8)
+        offs = np.arange(entries, dtype=np.uint64) * np.uint64(total_bits)
+        wvals = recs_sorted[n][:, n - 1] if entries else np.empty(0, np.uint64)
+        _write_bits(buf, offs, wvals)
+        pbits = _f32_bits(probs_sorted[n]) & np.uint64(0x7FFFFFFF)
+        _write_bits(buf, offs + np.uint64(word_bits), pbits)
+        if n < order:
+            bbits = _f32_bits(backoffs_sorted[n])
+            _write_bits(buf, offs + np.uint64(word_bits + 31), bbits)
+            all_offs = np.arange(entries + 1, dtype=np.uint64) * np.uint64(
+                total_bits
+            ) + np.uint64(word_bits + 63)
+            _write_bits(buf, all_offs, nexts[n])
+        parts.append(buf.tobytes())
+
+    if include_vocab:
+        blob = b"<unk>\x00" + b"".join(
+            word_by_id[i].encode("utf-8") + b"\x00" for i in range(1, bound)
+        )
+        parts.append(blob)
+    with open(path, "wb") as f:
+        for p in parts:
+            f.write(p)
+    return path
+
+
+def _read_trie_binary(raw, order, counts, has_vocab) -> PackedModel:
+    """Decode a TRIE (model_type 2) search region into a PackedModel."""
+    off = _header_size(order)
+    import struct
+
+    (n_hashes,) = struct.unpack_from("<Q", raw[off : off + 8].tobytes())
+    off += 8
+    vocab_hashes = np.frombuffer(
+        raw[off : off + 8 * n_hashes].tobytes(), dtype="<u8"
+    )
+    bound = int(n_hashes) + 1
+    # region is always 8 + 8*counts[0] bytes (slack or unk pad)
+    off = _header_size(order) + 8 + 8 * int(counts[0])
+
+    nuni = int(counts[0]) + 2
+    uni = np.frombuffer(
+        raw[off : off + nuni * 16].tobytes(), dtype=UNIGRAM_ENTRY
+    )
+    off += nuni * 16
+    uni_prob = -np.abs(uni["prob"][:bound])
+    uni_backoff = uni["backoff"][:bound].copy()
+    uni_next = uni["next"][: bound + 1].astype(np.int64)
+
+    word_bits = _required_bits(int(counts[0]))
+    paths: dict[int, np.ndarray] = {}  # records (reversed grams) per order
+    probs: dict[int, np.ndarray] = {}
+    backs: dict[int, np.ndarray] = {}
+    parent_next = uni_next
+    for n in range(2, order + 1):
+        entries = int(counts[n - 1])
+        if n < order:
+            next_bits = _required_bits(int(counts[n]))
+            total_bits = word_bits + 63 + next_bits
+        else:
+            next_bits = 0
+            total_bits = word_bits + 31
+        size = ((1 + entries) * total_bits + 7) // 8 + 8
+        buf = np.frombuffer(raw[off : off + size].tobytes(), dtype=np.uint8)
+        off += size
+        offs = np.arange(entries, dtype=np.uint64) * np.uint64(total_bits)
+        wvals = _read_bits(buf, offs, word_bits) if word_bits else np.zeros(
+            entries, dtype=np.uint64
+        )
+        pbits = _read_bits(buf, offs + np.uint64(word_bits), 31)
+        probs[n] = _bits_f32(pbits | np.uint64(0x80000000))
+        if n < order:
+            backs[n] = _bits_f32(
+                _read_bits(buf, offs + np.uint64(word_bits + 31), 32)
+            )
+            all_offs = np.arange(entries + 1, dtype=np.uint64) * np.uint64(
+                total_bits
+            ) + np.uint64(word_bits + 63)
+            this_next = _read_bits(buf, all_offs, next_bits).astype(
+                np.int64
+            ) if next_bits else np.zeros(entries + 1, dtype=np.int64)
+        else:
+            this_next = None
+        # parent of entry j: p with parent_next[p] <= j < parent_next[p+1]
+        j = np.arange(entries, dtype=np.int64)
+        parent = np.searchsorted(parent_next, j, side="right") - 1
+        if n == 2:
+            paths[2] = np.stack(
+                [parent.astype(np.uint64), wvals], axis=1
+            )
+        else:
+            paths[n] = np.concatenate(
+                [paths[n - 1][parent], wvals[:, None]], axis=1
+            )
+        parent_next = this_next
+
+    vocab_ids = np.arange(1, bound, dtype=np.uint32)
+    words = [""] * bound
+    if has_vocab:
+        blob = raw[off:].tobytes()
+        parts = blob.split(b"\x00")
+        for i in range(min(bound, len(parts))):
+            words[i] = parts[i].decode("utf-8", errors="replace")
+
+    tables: dict[int, OrderTable] = {}
+    for n in range(2, order + 1):
+        rec = paths[n]
+        k = rec[:, 0].astype(np.uint64)
+        for col in range(1, n):
+            k = _combine(k, rec[:, col])
+        o = np.argsort(k, kind="stable")
+        tables[n] = OrderTable(
+            keys=k[o],
+            prob=(-np.abs(probs[n]))[o],
+            backoff=backs[n][o] if n < order else None,
+        )
+        tables[n].build_probing()
+
+    def _find_id(word: str) -> int:
+        h = np.uint64(murmur64(word.encode()))
+        i = np.searchsorted(vocab_hashes, h)
+        if i < len(vocab_hashes) and vocab_hashes[i] == h:
+            return int(i) + 1
+        return 0
+
+    return PackedModel(
+        order=int(order),
+        words=words,
+        vocab_hashes=vocab_hashes,
+        vocab_ids=vocab_ids,
+        uni_prob=uni_prob.astype(np.float32),
+        uni_backoff=uni_backoff.astype(np.float32),
+        tables=tables,
+        has_unk=True,
+        key_scheme="kenlm",
+        bos_id=_find_id("<s>"),
+        eos_id=_find_id("</s>"),
+    )
+
+
 def is_kenlm_binary(path: str) -> bool:
     with open(path, "rb") as f:
         head = f.read(len(MAGIC))
@@ -413,17 +863,23 @@ def read_kenlm_binary(path: str) -> PackedModel:
     order, mult, model_type, has_vocab, search_version = struct.unpack_from(
         "<B3xfi?3xI", buf, SANITY_SIZE
     )
-    if model_type != PROBING_MODEL_TYPE:
-        raise ValueError(
-            f"model_type {model_type} is not PROBING; only the probing "
-            "layout is supported here (binary_format.cc:18)"
-        )
-    if search_version != SEARCH_VERSION:
-        raise ValueError(f"search_version {search_version} != {SEARCH_VERSION}")
     counts = np.frombuffer(
         raw[SANITY_SIZE + FIXED_SIZE : SANITY_SIZE + FIXED_SIZE + 8 * order].tobytes(),
         dtype="<u8",
     ).astype(np.int64)
+    if model_type == TRIE_MODEL_TYPE:
+        if search_version != TRIE_SEARCH_VERSION:
+            raise ValueError(
+                f"trie search_version {search_version} != {TRIE_SEARCH_VERSION}"
+            )
+        return _read_trie_binary(raw, order, counts, has_vocab)
+    if model_type != PROBING_MODEL_TYPE:
+        raise ValueError(
+            f"model_type {model_type} is not PROBING or TRIE; quantized/"
+            "Bhiksha trie layouts (3-5) are out of scope (binary_format.cc:18)"
+        )
+    if search_version != SEARCH_VERSION:
+        raise ValueError(f"search_version {search_version} != {SEARCH_VERSION}")
     off = _header_size(order)
 
     version, bound = struct.unpack_from(

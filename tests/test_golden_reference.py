@@ -25,21 +25,31 @@ def _load(fixture_path: str, how: str, tmpdir) -> VectorLM:
     arpa = parse_arpa(fixture_path)
     if how == "repo":
         return VectorLM(pack_model(arpa, quant_bits=None, backoff_bits=None))
-    # "binary": roundtrip through the reference's mmap .binary format —
-    # every golden expectation below must hold on the re-read file too
-    from kenlm_ray.model.kenlm_binary import read_kenlm_binary, write_kenlm_binary
+    # "binary"/"trie": roundtrip through the reference's mmap .binary
+    # formats (PROBING model_type 0 / TRIE model_type 2) — every golden
+    # expectation below must hold on the re-read file too.  model_test.cc
+    # runs the SAME expectations for probing and trie (lines 347-361), so
+    # parity here covers both layouts.
+    from kenlm_ray.model.kenlm_binary import (
+        read_kenlm_binary,
+        write_kenlm_binary,
+        write_kenlm_binary_trie,
+    )
 
-    path = str(tmpdir / (fixture_path.split("/")[-1] + ".binary"))
-    write_kenlm_binary(arpa, path)
+    path = str(tmpdir / (fixture_path.split("/")[-1] + f".{how}.binary"))
+    if how == "trie":
+        write_kenlm_binary_trie(arpa, path)
+    else:
+        write_kenlm_binary(arpa, path)
     return VectorLM(read_kenlm_binary(path))
 
 
-@pytest.fixture(scope="module", params=["repo", "binary"])
+@pytest.fixture(scope="module", params=["repo", "binary", "trie"])
 def model(request, tmp_path_factory):
     return _load(REF_ARPA, request.param, tmp_path_factory.mktemp("golden"))
 
 
-@pytest.fixture(scope="module", params=["repo", "binary"])
+@pytest.fixture(scope="module", params=["repo", "binary", "trie"])
 def model_nounk(request, tmp_path_factory):
     return _load(REF_NOUNK, request.param, tmp_path_factory.mktemp("golden"))
 
