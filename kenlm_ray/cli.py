@@ -83,6 +83,182 @@ def cmd_query(args) -> int:
     return 0
 
 
+def _load_lm(model_path: str):
+    """VectorLM from a reference .binary (probing/trie), repo .npz, or
+    raw ARPA (possibly gz/bz2/xz) — like the reference loaders that
+    accept binary or ARPA interchangeably."""
+    from kenlm_ray.model.kenlm_binary import is_kenlm_binary, read_kenlm_binary
+    from kenlm_ray.model.pack import PackedModel
+    from kenlm_ray.model.scorer import VectorLM
+
+    if is_kenlm_binary(model_path):
+        return VectorLM(read_kenlm_binary(model_path))
+    if model_path.endswith(".npz"):
+        return VectorLM(PackedModel.load(model_path))
+    from kenlm_ray.model.arpa import parse_arpa
+    from kenlm_ray.model.pack import pack_model
+
+    return VectorLM(
+        pack_model(parse_arpa(model_path), quant_bits=None, backoff_bits=None)
+    )
+
+
+def _bench_width(bound: int) -> "type":
+    """Vocab-id byte width, kenlm_benchmark_main.cc:163-174."""
+    import numpy as np
+
+    if bound <= 256:
+        return np.uint8
+    if bound <= 65536:
+        return np.uint16
+    if bound <= 2**32:
+        return np.uint32
+    return np.uint64
+
+
+def cmd_benchmark(args) -> int:
+    """Query-throughput benchmark — the reference's ``kenlm_benchmark``
+    (lm/kenlm_benchmark_main.cc): ``--emit-ids`` converts a text corpus
+    to a packed vocab-id stream (one EOS id per line, id width chosen by
+    vocab bound); default mode scores an id stream (or text) and reports
+    threads, load wall, probability sum, and queries/sec.  Parallelism is
+    Ray tasks over sentence-aligned chunks with the model broadcast once
+    via ``ray.put`` — the Ray analog of the reference's RecyclingThreadPool.
+    """
+    import time
+
+    import numpy as np
+
+    t0 = time.time()
+    lm = _load_lm(args.model)
+    load_wall = time.time() - t0
+    m = lm.model
+    width = _bench_width(m.vocab_size)
+    eos = np.uint32(m.eos_id)
+
+    def text_to_ids(path: str) -> np.ndarray:
+        from kenlm_ray.functions.tokenize import tokenize_texts
+        from kenlm_ray.model.arpa import _open_maybe_gzip
+
+        with _open_maybe_gzip(path) as f:
+            text = f.read()
+        lines = text.split("\n")
+        if lines and lines[-1] == "":
+            lines.pop()
+        # one doc per LINE so empty lines still get their EOS
+        # (ConvertToBytes writes end_sentence per input line, incl. empty)
+        stream = tokenize_texts(lines)
+        ids, _ = lm.ids_for(stream)
+        n_lines = len(lines)
+        counts = (
+            np.bincount(stream.doc_ids, minlength=n_lines)
+            if len(ids)
+            else np.zeros(n_lines, np.int64)
+        )
+        out = np.empty(len(ids) + n_lines, dtype=np.uint32)
+        ins = np.cumsum(counts + 1) - 1
+        out[ins] = eos
+        mask = np.ones(len(out), dtype=bool)
+        mask[ins] = False
+        out[mask] = ids
+        return out
+
+    if args.emit_ids:
+        stream_ids = text_to_ids(args.corpus)
+        stream_ids.astype(width).tofile(args.emit_ids)
+        print(
+            f"wrote {len(stream_ids)} ids width={np.dtype(width).itemsize} "
+            f"-> {args.emit_ids}"
+        )
+        return 0
+
+    if args.ids:
+        stream_ids = np.fromfile(args.ids, dtype=width).astype(np.uint32)
+    else:
+        stream_ids = text_to_ids(args.corpus)
+
+    # split at EOS into sentences: words (EOS stripped) + dense sent ids
+    is_eos = stream_ids == eos
+    sent_of = np.cumsum(is_eos) - is_eos  # sentence index per position
+    words = stream_ids[~is_eos]
+    wsent = sent_of[~is_eos].astype(np.int64)
+    n_sent = int(sent_of[-1]) + 1 if len(stream_ids) else 0
+    n_queries = len(stream_ids)  # every id incl. EOS is one FullScore
+
+    def score_chunk(w, ws, n_empty):
+        total = 0.0
+        if len(w):
+            lp, _, _, _ = lm.score_sentences(w, ws, bos=True, eos=True)
+            total += float(lp.sum())
+        if n_empty:
+            pe = lm.cond_logprob(
+                np.array([[m.bos_id, m.eos_id]], dtype=np.uint32)
+            )
+            total += n_empty * float(pe[0])
+        return total
+
+    # empty lines score only P(</s>|<s>)
+    n_nonempty = len(np.unique(wsent)) if len(wsent) else 0
+    n_empty = n_sent - n_nonempty
+    t1 = time.time()
+    if args.threads <= 1:
+        # dense-renumber sentence ids (empties leave gaps)
+        ws = np.unique(wsent, return_inverse=True)[1] if len(wsent) else wsent
+        total = score_chunk(words, ws, n_empty)
+    else:
+        _ray_init()
+        import ray
+
+        lm_ref = ray.put(lm)
+
+        @ray.remote(num_cpus=1)
+        def worker(w, ws, ne):
+            lmw = ray.get(lm_ref)
+            total = 0.0
+            if len(w):
+                lp, _, _, _ = lmw.score_sentences(w, ws, bos=True, eos=True)
+                total += float(lp.sum())
+            if ne:
+                pe = lmw.cond_logprob(
+                    np.array(
+                        [[lmw.model.bos_id, lmw.model.eos_id]], dtype=np.uint32
+                    )
+                )
+                total += ne * float(pe[0])
+            return total
+
+        bounds = np.searchsorted(
+            wsent, np.linspace(0, n_sent, args.threads + 1)[1:-1]
+        )
+        futs = []
+        for lo, hi in zip(
+            np.concatenate([[0], bounds]), np.concatenate([bounds, [len(words)]])
+        ):
+            w = words[lo:hi]
+            ws = (
+                np.unique(wsent[lo:hi], return_inverse=True)[1]
+                if hi > lo
+                else np.empty(0, dtype=np.int64)
+            )
+            futs.append(worker.remote(w, ws, 0))
+        if n_empty:
+            futs.append(
+                worker.remote(
+                    np.empty(0, dtype=np.uint32), np.empty(0, np.int64), n_empty
+                )
+            )
+        total = sum(ray.get(futs))
+    wall = time.time() - t1
+    print(f"Threads: {args.threads}")
+    print(f"To Load, Wall: {load_wall:.3f}")
+    print(f"Probability sum: {total:.4f}")
+    print(
+        f"Queries: {n_queries} Wall: {wall:.4f} "
+        f"queries/sec: {n_queries / max(wall, 1e-9):.0f}"
+    )
+    return 0
+
+
 def cmd_train(args) -> int:
     _ray_init()
     import ray.data
@@ -407,6 +583,14 @@ def main(argv=None) -> int:
     sQ.add_argument("--model", default=None)
     sQ.add_argument("--files-per-partition", type=int, default=4)
     sQ.set_defaults(fn=cmd_quality)
+
+    sB = sub.add_parser("benchmark")
+    sB.add_argument("model")
+    sB.add_argument("--corpus", default=None, help="text corpus (may be gz/bz2/xz)")
+    sB.add_argument("--ids", default=None, help="packed vocab-id stream file")
+    sB.add_argument("--emit-ids", default=None, help="convert corpus to id stream")
+    sB.add_argument("--threads", type=int, default=1)
+    sB.set_defaults(fn=cmd_benchmark)
 
     args = p.parse_args(argv)
     return args.fn(args)

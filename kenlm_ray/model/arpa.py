@@ -47,10 +47,21 @@ class ArpaModel:
 
 
 def _open_maybe_gzip(path: str) -> io.TextIOBase:
+    """Magic-sniffed decompression — the codecs ReadCompressed supports
+    (/root/reference/util/read_compressed.cc:342-357 DetectMagic): gzip
+    (1f 8b), bzip2 ('BZh'), xz (fd '7zXZ' 00); plain text otherwise."""
     with open(path, "rb") as f:
-        magic = f.read(2)
-    if magic == b"\x1f\x8b":
+        magic = f.read(6)
+    if magic[:2] == b"\x1f\x8b":
         return io.TextIOWrapper(gzip.open(path, "rb"), encoding="utf-8")
+    if magic[:3] == b"BZh":
+        import bz2
+
+        return io.TextIOWrapper(bz2.open(path, "rb"), encoding="utf-8")
+    if magic == b"\xfd7zXZ\x00":
+        import lzma
+
+        return io.TextIOWrapper(lzma.open(path, "rb"), encoding="utf-8")
     return open(path, "r", encoding="utf-8")
 
 

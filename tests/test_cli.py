@@ -28,6 +28,51 @@ def test_pack_and_query_roundtrip(tmp_path):
     assert "oov=1" in out.stdout and "ppl=" in out.stdout
 
 
+def test_benchmark_command(tmp_path):
+    """kenlm_benchmark analog: --emit-ids roundtrip, and the reported
+    probability sum equals direct per-sentence scoring (incl. one
+    </s>-only empty line)."""
+    import math
+
+    from kenlm_ray.model.arpa import parse_arpa
+    from kenlm_ray.model.pack import pack_model
+    from kenlm_ray.model.scorer import VectorLM
+
+    arpa_path = "/root/reference/lm/test.arpa"
+    corpus = tmp_path / "corpus.txt"
+    lines = ["looking on a little", "also would consider", "", "foo unknownword"]
+    corpus.write_text("\n".join(lines) + "\n")
+
+    ids_path = str(tmp_path / "stream.ids")
+    out = subprocess.run(
+        [sys.executable, "-m", "kenlm_ray.cli", "benchmark", arpa_path,
+         "--corpus", str(corpus), "--emit-ids", ids_path],
+        capture_output=True, text=True, cwd=REPO, check=True,
+    )
+    assert "wrote" in out.stdout and os.path.exists(ids_path)
+
+    out = subprocess.run(
+        [sys.executable, "-m", "kenlm_ray.cli", "benchmark", arpa_path,
+         "--ids", ids_path],
+        capture_output=True, text=True, cwd=REPO, check=True,
+    )
+    got = float(out.stdout.split("Probability sum: ")[1].split("\n")[0])
+    lm = VectorLM(pack_model(parse_arpa(arpa_path), quant_bits=None, backoff_bits=None))
+    expect = sum(
+        sum(p for p, _, _ in lm.full_scores(ln, bos=True, eos=True))
+        for ln in lines if ln
+    )
+    # the empty line scores P(</s>|<s>)
+    expect += lm.full_scores("x", bos=True, eos=True)[-1][0] * 0  # keep structure
+    import numpy as np
+
+    expect += float(
+        lm.cond_logprob(np.array([[lm.model.bos_id, lm.model.eos_id]], dtype=np.uint32))[0]
+    )
+    assert math.isclose(got, expect, rel_tol=1e-5), (got, expect)
+    assert "queries/sec" in out.stdout
+
+
 def test_quality_command_with_resume(ray_session, tmp_path):
     """Drive the flagship through its CLI surface (in-process to reuse the
     Ray session), interrupted then resumed."""

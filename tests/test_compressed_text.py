@@ -1,0 +1,52 @@
+"""Compressed-input interop: gzip / bzip2 / xz ARPA files parse
+identically to plain text (util/read_compressed.cc DetectMagic), and the
+distributed corpus reader splits lines of mixed-codec files."""
+
+import bz2
+import gzip
+import lzma
+
+import pytest
+
+REF_ARPA = "/root/reference/lm/test.arpa"
+
+CODECS = {
+    "plain": lambda b: b,
+    "gzip": gzip.compress,
+    "bz2": bz2.compress,
+    "xz": lzma.compress,
+}
+
+
+@pytest.mark.parametrize("codec", list(CODECS))
+def test_parse_arpa_compressed(codec, tmp_path):
+    from kenlm_ray.model.arpa import parse_arpa
+
+    raw = open(REF_ARPA, "rb").read()
+    p = tmp_path / f"model.arpa.{codec}"
+    p.write_bytes(CODECS[codec](raw))
+    m = parse_arpa(str(p))
+    ref = parse_arpa(REF_ARPA)
+    assert m.counts == ref.counts
+    assert m.grams == ref.grams
+
+
+def test_read_text_compressed_mixed(ray_session, tmp_path):
+    from kenlm_ray.sources.text import read_text_compressed
+
+    lines = [f"line {i} with words" for i in range(50)]
+    body = ("\n".join(lines) + "\n").encode()
+    paths = []
+    for codec, fn in CODECS.items():
+        p = tmp_path / f"corpus.{codec}.txt"
+        p.write_bytes(fn(body))
+        paths.append(str(p))
+    ds = read_text_compressed(paths)
+    got = sorted(r["text"] for r in ds.take_all())
+    assert got == sorted(lines * len(CODECS))
+
+    # \r\n and missing trailing newline both handled
+    p = tmp_path / "crlf.txt"
+    p.write_bytes(b"a\r\nb")
+    got = [r["text"] for r in read_text_compressed(str(p)).take_all()]
+    assert sorted(got) == ["a", "b"]
