@@ -40,14 +40,26 @@ def cmd_pack(args) -> int:
 
     arpa = parse_arpa(args.arpa)
     if args.kenlm_binary or args.out.endswith(".binary"):
-        # export the reference's mmap format (build_binary equivalent,
-        # probing layout) — loadable by kpu/kenlm itself
-        from kenlm_ray.model.kenlm_binary import write_kenlm_binary
+        # export the reference's mmap format (build_binary equivalent) —
+        # loadable by kpu/kenlm itself; --binary-type mirrors its
+        # probing/trie/quant/array flags (build_binary_main.cc)
+        bt = args.binary_type
+        if bt == "probing":
+            from kenlm_ray.model.kenlm_binary import write_kenlm_binary
 
-        out = write_kenlm_binary(
-            arpa, args.out, probing_multiplier=args.probing_multiplier
-        )
-        print(f"kenlm binary order={arpa.order} -> {out}")
+            out = write_kenlm_binary(
+                arpa, args.out, probing_multiplier=args.probing_multiplier
+            )
+        else:
+            from kenlm_ray.model.kenlm_binary import write_kenlm_binary_trie
+
+            out = write_kenlm_binary_trie(
+                arpa,
+                args.out,
+                quantize="quant" in bt,
+                bhiksha="array" in bt,
+            )
+        print(f"kenlm binary ({bt}) order={arpa.order} -> {out}")
         return 0
     packed = pack_model(
         arpa,
@@ -493,6 +505,13 @@ def main(argv=None) -> int:
         help="write the reference's mmap .binary (probing) instead of .npz",
     )
     sp.add_argument("--probing-multiplier", type=float, default=1.5)
+    sp.add_argument(
+        "--binary-type",
+        choices=["probing", "trie", "quant_trie", "array_trie",
+                 "quant_array_trie"],
+        default="probing",
+        help="binary layout (build_binary's probing/trie/q/a flags)",
+    )
     sp.set_defaults(fn=cmd_pack)
 
     sq = sub.add_parser("query")

@@ -476,11 +476,103 @@ def _bits_f32(v: np.ndarray) -> np.ndarray:
     return v.astype(np.uint32).view(np.float32)
 
 
+# --- SeparatelyQuantize (model_type +1) -----------------------------------
+QUANT_VERSION = 2  # quantize.cc:37 kSeparatelyQuantizeVersion
+BHIKSHA_VERSION = 0  # bhiksha.cc:17 kArrayBhikshaVersion
+
+
+def _make_bins(values: np.ndarray, bins: int) -> np.ndarray:
+    """quantize.cc:22-35 MakeBins: sort, equal-count bins, center = mean
+    (double accumulate / float count); empty bin repeats the previous
+    center (-inf for an empty first bin)."""
+    centers = np.empty(bins, dtype=np.float32)
+    v = np.sort(np.asarray(values, dtype=np.float32))
+    n = len(v)
+    start = 0
+    for i in range(bins):
+        finish = (n * (i + 1)) // bins
+        if finish == start:
+            centers[i] = centers[i - 1] if i else -np.inf
+        else:
+            centers[i] = np.float32(
+                v[start:finish].astype(np.float64).sum() / (finish - start)
+            )
+        start = finish
+    return centers
+
+
+def _encode_nearest(
+    centers: np.ndarray, values: np.ndarray, reserved: int
+) -> np.ndarray:
+    """quantize.hh:123-129 Bins::Encode, vectorized: lower_bound over the
+    non-reserved centers, then nearest neighbor (ties -> the upper)."""
+    c = centers[reserved:]
+    vals = np.asarray(values, dtype=np.float32)
+    idx = np.searchsorted(c, vals, side="left")
+    out = np.full(len(vals), reserved, dtype=np.uint64)
+    hi = idx == len(c)
+    out[hi] = len(centers) - 1
+    mid = (idx > 0) & ~hi
+    i = idx[mid]
+    v = vals[mid]
+    take_lower = (v - c[i - 1]) < (c[i] - v)
+    out[mid] = np.uint64(reserved) + i.astype(np.uint64) - take_lower.astype(np.uint64)
+    return out
+
+
+def _encode_backoff(centers: np.ndarray, values: np.ndarray) -> np.ndarray:
+    """quantize.hh:108-113 EncodeBackoff: ±0.0 -> the reserved
+    kNoExtensionQuant/kExtensionQuant slots, else nearest bin."""
+    vals = np.asarray(values, dtype=np.float32)
+    enc = _encode_nearest(centers, vals, 2)
+    zero = vals == 0.0
+    return np.where(
+        zero, np.where(np.signbit(vals), 0, 1).astype(np.uint64), enc
+    )
+
+
+# --- ArrayBhiksha (model_type +2) ------------------------------------------
+def _chop_bits(max_offset: int, max_next: int, pointer_bits: int) -> int:
+    """bhiksha.cc:31-46 ChopBits: argmin of table cost minus inline savings."""
+    required = _required_bits(max_next)
+    best, lowest = 0, None
+    for chop in range(0, min(required, pointer_bits) + 1):
+        change = (max_next >> (required - chop)) * 64 - max_offset * chop
+        if lowest is None or change < lowest:
+            lowest, best = change, chop
+    return best
+
+
+def _bhiksha_geometry(
+    entries: int, max_next: int, pointer_bits: int
+) -> tuple[int, int, int]:
+    """(inline_bits, array_count, region_size_bytes) for one middle order —
+    bhiksha.cc:48-62 (max_offset = entries + 1, trie.cc:60-66)."""
+    required = _required_bits(max_next)
+    chop = _chop_bits(entries + 1, max_next, pointer_bits)
+    inline = required - chop
+    count = (max_next >> inline) + 1
+    return inline, count, 8 * (1 + count) + 7
+
+
 def write_kenlm_binary_trie(
-    arpa: ArpaModel, path: str, *, include_vocab: bool = True
+    arpa: ArpaModel,
+    path: str,
+    *,
+    include_vocab: bool = True,
+    quantize: bool = False,
+    prob_bits: int = 8,
+    backoff_bits: int = 8,
+    bhiksha: bool = False,
+    pointer_bhiksha_bits: int = 22,
 ) -> str:
-    """ArpaModel -> reference-format TRIE ``.binary`` (model_type 2,
-    DontQuantize + DontBhiksha).
+    """ArpaModel -> reference-format TRIE-family ``.binary``.
+
+    model_type = 2 (trie) + 1 if ``quantize`` (SeparatelyQuantize,
+    quantize.hh/cc) + 2 if ``bhiksha`` (ArrayBhiksha next-pointer
+    compression, bhiksha.hh/cc) — i.e. all four of TRIE / QUANT_TRIE /
+    ARRAY_TRIE / QUANT_ARRAY_TRIE (model_type.hh:9).  Defaults for the
+    bit widths are the reference's Config defaults (config.cc:24-26).
 
     Driver-side, model-sized by design — the reference builds tries in
     RAM/temp files too (search_trie.cc BuildTrie); a trained model is
@@ -666,14 +758,36 @@ def write_kenlm_binary_trie(
             [nx, [len(child)]]
         ).astype(np.uint64)  # sentinel = FinishedLoading (trie.cc:103-110)
 
+    # ---- quantizer training (TrainQuantizer, search_trie.cc:417-440) ----
+    prob_centers: dict[int, np.ndarray] = {}
+    backoff_centers: dict[int, np.ndarray] = {}
+    if quantize:
+        for n in range(2, order):
+            # probs = blank ("additional" sri) values + real probs;
+            # backoffs = real NONZERO backoffs only
+            tr_probs = [p for p, _ in blanks[n].values()] + [
+                min(p, 0.0) for p, _ in real[n].values()
+            ]
+            tr_backs = [b for _, b in real[n].values() if b != 0.0]
+            prob_centers[n] = _make_bins(tr_probs, 1 << prob_bits)
+            bc = np.empty((1 << backoff_bits), dtype=np.float32)
+            bc[0] = np.float32(-0.0)
+            bc[1] = np.float32(0.0)
+            bc[2:] = _make_bins(tr_backs, (1 << backoff_bits) - 2)
+            backoff_centers[n] = bc
+        prob_centers[order] = _make_bins(
+            [min(p, 0.0) for p, _ in real[order].values()], 1 << prob_bits
+        )
+
     # ---- serialize -------------------------------------------------------
+    model_type = TRIE_MODEL_TYPE + (1 if quantize else 0) + (2 if bhiksha else 0)
     header = bytearray(_header_size(order))
     header[0 : len(MAGIC)] = MAGIC
     struct.pack_into("<fff", header, MAGIC_FIELD, 0.0, 1.0, -0.5)
     struct.pack_into("<IIIQ", header, MAGIC_FIELD + 12, 1, 0xFFFFFFFF, 0, 1)
     struct.pack_into(
         "<B3xfi?3xI", header, SANITY_SIZE, order, np.float32(1.5),
-        TRIE_MODEL_TYPE, include_vocab, TRIE_SEARCH_VERSION,
+        model_type, include_vocab, TRIE_SEARCH_VERSION,
     )
     for i, c in enumerate(counts):
         struct.pack_into("<Q", header, SANITY_SIZE + FIXED_SIZE + 8 * i, c)
@@ -686,35 +800,94 @@ def write_kenlm_binary_trie(
     )
     parts.append(b"\x00" * 8)
 
+    search_off = 0  # running offset within the search area (for bhiksha
+    # alignment — the search area itself starts 8-aligned)
+
+    if quantize:
+        # quant tables lead the search area (SetupMemory, quantize.cc:51-67)
+        qhdr = bytes([QUANT_VERSION, prob_bits, backoff_bits]) + b"\x00" * 5
+        tabs = [qhdr]
+        for n in range(2, order):
+            tabs.append(prob_centers[n].tobytes())
+            tabs.append(backoff_centers[n].tobytes())
+        tabs.append(prob_centers[order].tobytes())
+        qblob = b"".join(tabs)
+        parts.append(qblob)
+        search_off += len(qblob)
+
     uni_arr = np.zeros(bound + 2, dtype=UNIGRAM_ENTRY)
     uni_arr["prob"][:bound] = uni_prob
     uni_arr["backoff"][:bound] = uni_backoff
     uni_arr["next"] = uni_next
     parts.append(uni_arr.tobytes())
+    search_off += uni_arr.nbytes
 
     word_bits = _required_bits(counts[0])
+    q_mid_bits = (prob_bits + backoff_bits) if quantize else 63
+    q_long_bits = prob_bits if quantize else 31
     for n in range(2, order + 1):
         entries = len(recs_sorted[n])
+        pre = b""
         if n < order:
-            next_bits = _required_bits(counts[n])
-            total_bits = word_bits + 63 + next_bits
+            if bhiksha:
+                inline_bits, acount, bsize = _bhiksha_geometry(
+                    entries, counts[n], pointer_bhiksha_bits
+                )
+                # region: [version, pointer_bits] at the (possibly
+                # unaligned) base, offset array at ALIGN8(base) + 8
+                # (bhiksha.cc:76-95); entries start at base + bsize
+                region = bytearray(bsize)
+                region[0] = BHIKSHA_VERSION
+                region[1] = pointer_bhiksha_bits
+                arr_at = (-(search_off) % 8) + 8  # ALIGN8 rel. to file
+                encodes = (nexts[n] >> np.uint64(inline_bits)).astype(
+                    np.int64
+                )
+                offsets_arr = np.searchsorted(
+                    encodes, np.arange(acount), side="left"
+                ).astype("<u8")
+                region[arr_at : arr_at + 8 * acount] = offsets_arr.tobytes()
+                pre = bytes(region)
+                next_field_bits = inline_bits
+                next_vals = nexts[n] & np.uint64((1 << inline_bits) - 1)
+            else:
+                next_field_bits = _required_bits(counts[n])
+                next_vals = nexts[n]
+            total_bits = word_bits + q_mid_bits + next_field_bits
         else:
-            total_bits = word_bits + 31
+            total_bits = word_bits + q_long_bits
         size = ((1 + entries) * total_bits + 7) // 8 + 8
         buf = np.zeros(size, dtype=np.uint8)
         offs = np.arange(entries, dtype=np.uint64) * np.uint64(total_bits)
         wvals = recs_sorted[n][:, n - 1] if entries else np.empty(0, np.uint64)
         _write_bits(buf, offs, wvals)
-        pbits = _f32_bits(probs_sorted[n]) & np.uint64(0x7FFFFFFF)
-        _write_bits(buf, offs + np.uint64(word_bits), pbits)
+        if quantize:
+            eprob = _encode_nearest(prob_centers[n], probs_sorted[n], 0)
+            if n < order:
+                ebo = _encode_backoff(backoff_centers[n], backoffs_sorted[n])
+                # prob in the HIGH bits, backoff low (quantize.hh:171-180)
+                _write_bits(
+                    buf, offs + np.uint64(word_bits),
+                    (eprob << np.uint64(backoff_bits)) | ebo,
+                )
+            else:
+                _write_bits(buf, offs + np.uint64(word_bits), eprob)
+        else:
+            pbits = _f32_bits(probs_sorted[n]) & np.uint64(0x7FFFFFFF)
+            _write_bits(buf, offs + np.uint64(word_bits), pbits)
+            if n < order:
+                bbits = _f32_bits(backoffs_sorted[n])
+                _write_bits(buf, offs + np.uint64(word_bits + 31), bbits)
         if n < order:
-            bbits = _f32_bits(backoffs_sorted[n])
-            _write_bits(buf, offs + np.uint64(word_bits + 31), bbits)
             all_offs = np.arange(entries + 1, dtype=np.uint64) * np.uint64(
                 total_bits
-            ) + np.uint64(word_bits + 63)
-            _write_bits(buf, all_offs, nexts[n])
+            ) + np.uint64(word_bits + q_mid_bits)
+            _write_bits(buf, all_offs, next_vals)
+        if pre:
+            parts.append(pre)
+            search_off += len(pre)
         parts.append(buf.tobytes())
+        search_off += len(buf)
 
     if include_vocab:
         blob = b"<unk>\x00" + b"".join(
@@ -727,8 +900,12 @@ def write_kenlm_binary_trie(
     return path
 
 
-def _read_trie_binary(raw, order, counts, has_vocab) -> PackedModel:
-    """Decode a TRIE (model_type 2) search region into a PackedModel."""
+def _read_trie_binary(
+    raw, order, counts, has_vocab, *, quantized: bool = False,
+    bhiksha: bool = False,
+) -> PackedModel:
+    """Decode a TRIE-family search region (model_type 2-5) into a
+    PackedModel."""
     off = _header_size(order)
     import struct
 
@@ -740,6 +917,33 @@ def _read_trie_binary(raw, order, counts, has_vocab) -> PackedModel:
     bound = int(n_hashes) + 1
     # region is always 8 + 8*counts[0] bytes (slack or unk pad)
     off = _header_size(order) + 8 + 8 * int(counts[0])
+    search_base = off  # search area start (8-aligned) for bhiksha ALIGN8
+
+    prob_centers: dict[int, np.ndarray] = {}
+    backoff_centers: dict[int, np.ndarray] = {}
+    prob_bits = backoff_bits = 0
+    if quantized:
+        ver, prob_bits, backoff_bits = raw[off], raw[off + 1], raw[off + 2]
+        if ver != QUANT_VERSION:
+            raise ValueError(
+                f"quantization version {ver} != {QUANT_VERSION} (quantize.cc:45)"
+            )
+        qoff = off + 8
+        for n in range(2, order):
+            prob_centers[n] = np.frombuffer(
+                raw[qoff : qoff + 4 * (1 << prob_bits)].tobytes(), dtype="<f4"
+            )
+            qoff += 4 * (1 << prob_bits)
+            backoff_centers[n] = np.frombuffer(
+                raw[qoff : qoff + 4 * (1 << backoff_bits)].tobytes(),
+                dtype="<f4",
+            )
+            qoff += 4 * (1 << backoff_bits)
+        prob_centers[order] = np.frombuffer(
+            raw[qoff : qoff + 4 * (1 << prob_bits)].tobytes(), dtype="<f4"
+        )
+        qoff += 4 * (1 << prob_bits)
+        off = qoff
 
     nuni = int(counts[0]) + 2
     uni = np.frombuffer(
@@ -751,18 +955,37 @@ def _read_trie_binary(raw, order, counts, has_vocab) -> PackedModel:
     uni_next = uni["next"][: bound + 1].astype(np.int64)
 
     word_bits = _required_bits(int(counts[0]))
+    q_mid_bits = (prob_bits + backoff_bits) if quantized else 63
+    q_long_bits = prob_bits if quantized else 31
     paths: dict[int, np.ndarray] = {}  # records (reversed grams) per order
     probs: dict[int, np.ndarray] = {}
     backs: dict[int, np.ndarray] = {}
     parent_next = uni_next
     for n in range(2, order + 1):
         entries = int(counts[n - 1])
+        barr = None
         if n < order:
-            next_bits = _required_bits(int(counts[n]))
-            total_bits = word_bits + 63 + next_bits
+            if bhiksha:
+                bver, bbits = raw[off], raw[off + 1]
+                if bver != BHIKSHA_VERSION:
+                    raise ValueError(
+                        f"bhiksha version {bver} != {BHIKSHA_VERSION}"
+                    )
+                inline_bits, acount, bsize = _bhiksha_geometry(
+                    entries, int(counts[n]), int(bbits)
+                )
+                arr_at = off + ((-(off - search_base)) % 8) + 8
+                barr = np.frombuffer(
+                    raw[arr_at : arr_at + 8 * acount].tobytes(), dtype="<u8"
+                ).astype(np.int64)
+                off += bsize
+                next_bits = inline_bits
+            else:
+                next_bits = _required_bits(int(counts[n]))
+            total_bits = word_bits + q_mid_bits + next_bits
         else:
             next_bits = 0
-            total_bits = word_bits + 31
+            total_bits = word_bits + q_long_bits
         size = ((1 + entries) * total_bits + 7) // 8 + 8
         buf = np.frombuffer(raw[off : off + size].tobytes(), dtype=np.uint8)
         off += size
@@ -770,18 +993,38 @@ def _read_trie_binary(raw, order, counts, has_vocab) -> PackedModel:
         wvals = _read_bits(buf, offs, word_bits) if word_bits else np.zeros(
             entries, dtype=np.uint64
         )
-        pbits = _read_bits(buf, offs + np.uint64(word_bits), 31)
-        probs[n] = _bits_f32(pbits | np.uint64(0x80000000))
+        if quantized:
+            if n < order:
+                q = _read_bits(buf, offs + np.uint64(word_bits), q_mid_bits)
+                probs[n] = prob_centers[n][
+                    (q >> np.uint64(backoff_bits)).astype(np.int64)
+                ]
+                backs[n] = backoff_centers[n][
+                    (q & np.uint64((1 << backoff_bits) - 1)).astype(np.int64)
+                ]
+            else:
+                q = _read_bits(buf, offs + np.uint64(word_bits), q_long_bits)
+                probs[n] = prob_centers[n][q.astype(np.int64)]
+        else:
+            pbits = _read_bits(buf, offs + np.uint64(word_bits), 31)
+            probs[n] = _bits_f32(pbits | np.uint64(0x80000000))
+            if n < order:
+                backs[n] = _bits_f32(
+                    _read_bits(buf, offs + np.uint64(word_bits + 31), 32)
+                )
         if n < order:
-            backs[n] = _bits_f32(
-                _read_bits(buf, offs + np.uint64(word_bits + 31), 32)
-            )
             all_offs = np.arange(entries + 1, dtype=np.uint64) * np.uint64(
                 total_bits
-            ) + np.uint64(word_bits + 63)
-            this_next = _read_bits(buf, all_offs, next_bits).astype(
+            ) + np.uint64(word_bits + q_mid_bits)
+            low = _read_bits(buf, all_offs, next_bits).astype(
                 np.int64
             ) if next_bits else np.zeros(entries + 1, dtype=np.int64)
+            if bhiksha:
+                idx = np.arange(entries + 1, dtype=np.int64)
+                e = np.searchsorted(barr, idx, side="right") - 1
+                this_next = (e << np.int64(next_bits)) | low
+            else:
+                this_next = low
         else:
             this_next = None
         # parent of entry j: p with parent_next[p] <= j < parent_next[p+1]
@@ -867,16 +1110,19 @@ def read_kenlm_binary(path: str) -> PackedModel:
         raw[SANITY_SIZE + FIXED_SIZE : SANITY_SIZE + FIXED_SIZE + 8 * order].tobytes(),
         dtype="<u8",
     ).astype(np.int64)
-    if model_type == TRIE_MODEL_TYPE:
+    if model_type in (2, 3, 4, 5):  # TRIE family (model_type.hh:9)
         if search_version != TRIE_SEARCH_VERSION:
             raise ValueError(
                 f"trie search_version {search_version} != {TRIE_SEARCH_VERSION}"
             )
-        return _read_trie_binary(raw, order, counts, has_vocab)
+        return _read_trie_binary(
+            raw, order, counts, has_vocab,
+            quantized=model_type in (3, 5), bhiksha=model_type in (4, 5),
+        )
     if model_type != PROBING_MODEL_TYPE:
         raise ValueError(
-            f"model_type {model_type} is not PROBING or TRIE; quantized/"
-            "Bhiksha trie layouts (3-5) are out of scope (binary_format.cc:18)"
+            f"model_type {model_type} is not PROBING or a TRIE variant "
+            "(binary_format.cc:18)"
         )
     if search_version != SEARCH_VERSION:
         raise ValueError(f"search_version {search_version} != {SEARCH_VERSION}")

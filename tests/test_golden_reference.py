@@ -37,19 +37,31 @@ def _load(fixture_path: str, how: str, tmpdir) -> VectorLM:
     )
 
     path = str(tmpdir / (fixture_path.split("/")[-1] + f".{how}.binary"))
-    if how == "trie":
-        write_kenlm_binary_trie(arpa, path)
+    if how.endswith("trie"):
+        write_kenlm_binary_trie(
+            arpa, path,
+            quantize=how.startswith("quant"),
+            bhiksha="array" in how,
+        )
     else:
         write_kenlm_binary(arpa, path)
     return VectorLM(read_kenlm_binary(path))
 
 
-@pytest.fixture(scope="module", params=["repo", "binary", "trie"])
+# the trie params cover all four trie model_types (2-5); the quantized
+# variants roundtrip the golden scores EXACTLY because test.arpa has
+# fewer distinct values per order than 2^8 bins (each value gets its own
+# bin, center == value) — the same reason model_test.cc can hold
+# QuantTrieModel to the 0.001% tolerance (model_test.cc:353-361)
+_PARAMS = ["repo", "binary", "trie", "quant_trie", "array_trie", "quant_array_trie"]
+
+
+@pytest.fixture(scope="module", params=_PARAMS)
 def model(request, tmp_path_factory):
     return _load(REF_ARPA, request.param, tmp_path_factory.mktemp("golden"))
 
 
-@pytest.fixture(scope="module", params=["repo", "binary", "trie"])
+@pytest.fixture(scope="module", params=_PARAMS)
 def model_nounk(request, tmp_path_factory):
     return _load(REF_NOUNK, request.param, tmp_path_factory.mktemp("golden"))
 

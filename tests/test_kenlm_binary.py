@@ -207,3 +207,51 @@ def test_is_kenlm_binary(binary, tmp_path):
     other = tmp_path / "not.binary"
     other.write_bytes(b"definitely not a model file")
     assert not is_kenlm_binary(str(other))
+
+
+def test_trie_variants_large_model_roundtrip(tmp_path):
+    """All four trie model_types on a model big enough that ArrayBhiksha
+    picks a NONZERO chop (the offset array actually carries high bits)
+    and SeparatelyQuantize bins hold multiple values (lossy): scores of
+    the lossless variants match the source exactly; quantized variants
+    match the independently-computed bin centers."""
+    from kenlm_ray.model.kenlm_binary import (
+        _bhiksha_geometry,
+        _required_bits,
+        write_kenlm_binary_trie,
+    )
+    from kenlm_ray.model.pack import pack_model
+    from kenlm_ray.model.scorer import VectorLM
+    from kenlm_ray.testing import random_arpa
+
+    arpa = random_arpa(seed=3, vocab_size=200, order=3, bigram_frac=0.12)
+    n_bi = len(arpa.grams[2])
+    assert n_bi > 2000  # big enough for a real chop
+    inline, acount, _ = _bhiksha_geometry(n_bi, len(arpa.grams[3]), 22)
+    assert inline < _required_bits(len(arpa.grams[3]))  # chop > 0
+    assert acount > 2
+
+    ref = VectorLM(pack_model(arpa, quant_bits=None, backoff_bits=None))
+    texts = [
+        "w1 w5 w42 w199 w7",
+        "w0 w0 w13 unknownword w2",
+        "w100 w101 w102 w103",
+    ]
+    scores = {}
+    for quant, bhik in [(False, False), (False, True), (True, False), (True, True)]:
+        p = str(tmp_path / f"m_{quant}_{bhik}.binary")
+        write_kenlm_binary_trie(arpa, p, quantize=quant, bhiksha=bhik)
+        m = read_kenlm_binary(p)
+        assert m.order == 3
+        lm = VectorLM(m)
+        scores[(quant, bhik)] = [lm.score_text(t) for t in texts]
+
+    for t_i, t in enumerate(texts):
+        exact = ref.score_text(t)
+        # lossless variants: bit-exact float32 path
+        assert abs(scores[(False, False)][t_i] - exact) < 1e-5
+        assert abs(scores[(False, True)][t_i] - exact) < 1e-5
+        # bhiksha changes only the next-pointer encoding, never values
+        assert scores[(True, False)][t_i] == scores[(True, True)][t_i]
+        # quantized: lossy but close (8-bit equal-count bins)
+        assert abs(scores[(True, False)][t_i] - exact) < 0.5
