@@ -1,0 +1,152 @@
+"""ChartState / RuleScore — sentence-fragment (partial) scoring for
+chart decoders, the functional equivalent of the reference's
+/root/reference/lm/left.hh + lm/state.hh ChartState API.
+
+Contract (lm/left_test.cc): a fragment may be assembled in ANY order —
+terminals left-to-right, right-to-left with NonTerminal, or as a
+balanced tree — and ``Finish()`` always returns the exact fragment
+score Σ_i log10 p(x_i | x_{i-n+1}..x_{i-1}) (child scores passed via
+``prob`` included).  ``BeginSentence`` supplies <s> as pure context.
+
+Representation: the reference stores per-word ``extend_left`` POINTERS
+into its search structure plus rest-cost bookkeeping so a revision is
+O(1) per word.  Here a state stores the first and last min(len, n-1)
+WORD IDS of the fragment (both order-bounded, so states stay POD-sized
+and hashable for chart recombination), and a join recomputes the
+revised left words' conditionals with the model's vectorized backoff
+walk — same results, model-lookup cost instead of pointer chasing.
+The invariant maintained inductively: a state's accumulated score is
+its fragment's exact score, so joining A+B only needs the marginal
+Δ = Σ over B's first (n-1) words of
+    p(b_i | A-suffix context + b_1..b_{i-1}) − p(b_i | b_1..b_{i-1}).
+
+Rest-cost models (REST_PROBING, lm/weights.hh RestWeights) are out of
+scope — this matches the reference's default ProbingModel/TrieModel
+(kDifferentRest = false) semantics that left_test.cc's Model cases
+check.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+
+@dataclass(frozen=True)
+class ChartState:
+    """POD fragment state: first/last min(len, n-1) word ids + flags.
+
+    ``short`` is the whole fragment when its length < n-1 (then
+    prefix == suffix == the fragment); ``bos`` marks <s> context at the
+    fragment's absolute left.  Hashable — usable as a chart
+    recombination key like the reference's hash_value(ChartState)."""
+
+    prefix: tuple  # first min(len, n-1) word ids
+    suffix: tuple  # last min(len, n-1) word ids
+    full: bool  # length >= n-1: prefix can no longer grow
+    bos: bool = False
+
+    @property
+    def left_length(self) -> int:
+        return len(self.prefix)
+
+
+EMPTY_STATE = ChartState(prefix=(), suffix=(), full=False, bos=False)
+
+
+class RuleScore:
+    """Assemble one rule application left-to-right; mirror of
+    lm/left.hh RuleScore<M>.
+
+    >>> score = RuleScore(vlm)
+    >>> score.terminal(wid_more); score.terminal(wid_loin)
+    >>> state, prob = score.finish()
+    """
+
+    def __init__(self, lm) -> None:
+        self._lm = lm
+        self._n = lm.model.order
+        self._prob = 0.0
+        self._state = EMPTY_STATE
+
+    # -- context helpers ----------------------------------------------------
+    def _ctx_ids(self, state: ChartState) -> list:
+        """Scoring context exposed by a fragment's right edge: its suffix
+        prefixed with <s> when the fragment begins the sentence and is
+        still shorter than n-1 (beyond that <s> falls out of the window)."""
+        ids = list(state.suffix)
+        if state.bos and not state.full:
+            ids = [self._lm.model.bos_id] + ids
+        return ids[-(self._n - 1) :]
+
+    def _cond(self, ctx: list, word: int) -> float:
+        """log10 p(word | ctx) via the model's backoff walk."""
+        ids = np.array([ctx + [word]], dtype=np.uint32)
+        return float(self._lm.cond_logprob(ids)[0])
+
+    # -- the reference API (snake_case) --------------------------------------
+    def begin_sentence(self) -> None:
+        self._state = ChartState(prefix=(), suffix=(), full=False, bos=True)
+
+    def terminal(self, word: int) -> None:
+        ctx = self._ctx_ids(self._state)
+        self._prob += self._cond(ctx, int(word))
+        self._state = self._append(self._state, int(word))
+
+    def non_terminal(self, state: ChartState, prob: float = 0.0) -> None:
+        self._prob += prob
+        a, b = self._state, state
+        if b is EMPTY_STATE or (not b.prefix and not b.suffix and not b.bos):
+            return
+        if not a.prefix and not a.suffix and not a.bos:
+            # A is empty: adopt B wholesale (incl. a <s>-anchored B)
+            self._state = b
+            return
+        if b.bos:
+            raise ValueError(
+                "a <s>-anchored fragment cannot appear right of other "
+                "content (left.hh:20-23 — <s> is always leftmost)"
+            )
+        # revise B's left words with A's right context (the marginal Δ)
+        a_ctx = self._ctx_ids(a)
+        if a_ctx:
+            for i, w in enumerate(b.prefix):
+                old_ctx = list(b.prefix[:i])
+                new_ctx = (a_ctx + old_ctx)[-(self._n - 1) :]
+                if new_ctx == old_ctx:
+                    break  # context window no longer reaches A
+                self._prob += self._cond(new_ctx, w) - self._cond(old_ctx, w)
+        self._state = self._join(a, b)
+
+    def begin_non_terminal(self, state: ChartState, prob: float = 0.0) -> None:
+        self._prob = prob
+        self._state = state
+
+    def finish(self) -> tuple[ChartState, float]:
+        return self._state, self._prob
+
+    # -- fragment algebra (order-bounded) ------------------------------------
+    def _append(self, s: ChartState, w: int) -> ChartState:
+        k = self._n - 1
+        prefix = s.prefix if s.full else (s.prefix + (w,))[:k]
+        suffix = (s.suffix + (w,))[-k:]
+        full = s.full or len(s.prefix) + 1 >= k
+        return ChartState(prefix=prefix, suffix=suffix, full=full, bos=s.bos)
+
+    def _join(self, a: ChartState, b: ChartState) -> ChartState:
+        k = self._n - 1
+        if a.full:
+            prefix = a.prefix
+        else:
+            prefix = (a.prefix + b.prefix)[:k]
+        if b.full:
+            suffix = b.suffix
+        else:
+            suffix = (a.suffix + b.suffix)[-k:]
+        full = (
+            a.full
+            or b.full
+            or len(a.prefix) + len(b.prefix) >= k
+        )
+        return ChartState(prefix=prefix, suffix=suffix, full=full, bos=a.bos)

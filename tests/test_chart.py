@@ -1,0 +1,313 @@
+"""ChartState / RuleScore parity with the reference's left_test.cc.
+
+Transcribes /root/reference/lm/left_test.cc (Short, Charge, GrowBig,
+AlsoWouldConsiderHigher, GrowSmall, FullGrow) against the reference's own
+lm/test.arpa fixture: a sentence fragment must score identically whether
+assembled left-to-right with terminals, right-to-left with NonTerminal,
+or as a balanced tree — and BeginSentence supplies <s> context.
+"""
+
+import math
+
+import pytest
+
+from kenlm_ray.model.arpa import parse_arpa
+from kenlm_ray.model.chart import ChartState, EMPTY_STATE, RuleScore
+from kenlm_ray.model.pack import pack_model
+from kenlm_ray.model.scorer import VectorLM
+
+REF_ARPA = "/root/reference/lm/test.arpa"
+TOL = 1e-4  # matches SLOPPY_CHECK_CLOSE's relative 0.001% loosely in abs
+
+
+@pytest.fixture(scope="module")
+def vlm():
+    return VectorLM(pack_model(parse_arpa(REF_ARPA), quant_bits=None, backoff_bits=None))
+
+
+def wid(vlm, w):
+    return vlm.model.word_id(w)
+
+
+def wids(vlm, text):
+    return [wid(vlm, w) for w in text.split()]
+
+
+def left_to_right(vlm, words, begin_sentence=False):
+    """left_test.cc LeftToRight: plain terminal scan."""
+    score = RuleScore(vlm)
+    if begin_sentence:
+        score.begin_sentence()
+    for w in words:
+        score.terminal(w)
+    _, p = score.finish()
+    return p
+
+
+def right_to_left(vlm, words, begin_sentence=False):
+    """left_test.cc RightToLeft: grow the fragment from its right end."""
+    state, ret = EMPTY_STATE, 0.0
+    for w in reversed(words):
+        score = RuleScore(vlm)
+        score.terminal(w)
+        score.non_terminal(state, ret)
+        state, ret = score.finish()
+    if begin_sentence:
+        score = RuleScore(vlm)
+        score.begin_sentence()
+        score.non_terminal(state, ret)
+        state, ret = score.finish()
+    return ret
+
+
+def tree_middle(vlm, words, begin_sentence=False):
+    """left_test.cc TreeMiddle: balanced binary combination."""
+    states = []
+    for w in words:
+        score = RuleScore(vlm)
+        score.terminal(w)
+        states.append(score.finish())
+    while len(states) > 1:
+        upper = []
+        for i in range(len(states) // 2):
+            score = RuleScore(vlm)
+            score.non_terminal(*states[2 * i])
+            score.non_terminal(*states[2 * i + 1])
+            upper.append(score.finish())
+        if len(states) % 2:
+            upper.append(states[-1])
+        states = upper
+    if not states:
+        return 0.0
+    if begin_sentence:
+        score = RuleScore(vlm)
+        score.begin_sentence()
+        score.non_terminal(*states[0])
+        _, p = score.finish()
+        return p
+    return states[0][1]
+
+
+def text_test(vlm, text, rest=False):
+    words = wids(vlm, text)
+    expect = left_to_right(vlm, words, rest)
+    assert right_to_left(vlm, words, rest) == pytest.approx(expect, abs=1e-3)
+    assert tree_middle(vlm, words, rest) == pytest.approx(expect, abs=1e-3)
+    return expect
+
+
+def test_short(vlm):
+    # left_test.cc:22-59 Short()
+    score = RuleScore(vlm)
+    score.terminal(wid(vlm, "more"))
+    score.terminal(wid(vlm, "loin"))
+    base, p = score.finish()
+    assert p == pytest.approx(-1.206319 - 0.3561665, abs=1e-3)
+    assert base.suffix[-1] == wid(vlm, "loin")
+
+    score = RuleScore(vlm)
+    score.terminal(wid(vlm, "little"))
+    score.non_terminal(base, -1.206319 - 0.3561665)
+    more_left, p = score.finish()
+    assert p == pytest.approx(-1.56538, abs=1e-3)
+    assert more_left.suffix[-1] == wid(vlm, "loin")
+
+    score = RuleScore(vlm)
+    score.terminal(wid(vlm, "to"))
+    score.non_terminal(base, -1.206319 - 0.3561665)
+    shorter, p = score.finish()
+    assert p == pytest.approx(-0.30103 - 1.687872 - 1.206319 - 0.3561665, abs=1e-2)
+    assert shorter.suffix[-1] == wid(vlm, "loin")
+
+
+def test_charge(vlm):
+    # left_test.cc:61-95 Charge()
+    score = RuleScore(vlm)
+    score.terminal(wid(vlm, "on"))
+    score.terminal(wid(vlm, "more"))
+    base, p = score.finish()
+    assert p == pytest.approx(-1.509559 - 0.4771212 - 1.206319, abs=1e-3)
+    assert base.suffix[-1] == wid(vlm, "more")
+
+    score = RuleScore(vlm)
+    score.terminal(wid(vlm, "looking"))
+    score.non_terminal(base, -1.509559 - 0.4771212 - 1.206319)
+    extend, p = score.finish()
+    assert p == pytest.approx(-3.91039, abs=1e-3)
+    assert extend.suffix[-1] == wid(vlm, "more")
+
+    score = RuleScore(vlm)
+    score.begin_sentence()
+    score.non_terminal(extend, -3.91039)
+    tobos, p = score.finish()
+    assert p == pytest.approx(-3.471169, abs=1e-3)
+
+
+def test_grow_big(vlm):
+    # left_test.cc:180-195 GrowBig()
+    for text in [
+        "in biarritz watching considering looking . on a little more loin "
+        "also would consider higher to look good unknown the screening foo "
+        "bar , unknown however unknown </s>",
+        "on a little more loin also would consider higher to look good "
+        "unknown the screening foo bar , unknown however unknown </s>",
+        "on a little more loin also would consider higher to look good",
+        "more loin also would consider higher to look good",
+        "more loin also would consider higher to look",
+        "also would consider higher to look",
+        "also would consider higher",
+        "would consider higher to look",
+        "consider higher to look",
+        "consider higher to",
+        "consider higher",
+    ]:
+        text_test(vlm, text)
+
+
+def test_grow_small(vlm):
+    # left_test.cc:197-203 GrowSmall()
+    for text in [
+        "in biarritz watching considering looking . </s>",
+        "in biarritz watching considering looking .",
+        "in biarritz",
+    ]:
+        text_test(vlm, text)
+
+
+def test_begin_sentence_consistency(vlm):
+    # the rest=true TEXT_TEST path (RestProbing's GrowBig uses rest=true);
+    # with default weights this is plain begin-sentence consistency
+    for text in [
+        "in biarritz watching considering looking . </s>",
+        "consider higher to look",
+        "more loin",
+    ]:
+        text_test(vlm, text, rest=True)
+
+
+def test_also_would_consider_higher(vlm):
+    # left_test.cc:205-268
+    def term_state(w):
+        score = RuleScore(vlm)
+        score.terminal(wid(vlm, w))
+        return score.finish()
+
+    also, p_also = term_state("also")
+    assert p_also == pytest.approx(-1.687872, abs=1e-3)
+    would, p_would = term_state("would")
+    assert p_would == pytest.approx(-1.687872, abs=1e-3)
+
+    score = RuleScore(vlm)
+    score.non_terminal(also, p_also)
+    score.non_terminal(would, p_would)
+    combine_also_would, p = score.finish()
+    assert p == pytest.approx(-1.687872 - 2.0, abs=1e-3)
+
+    score = RuleScore(vlm)
+    score.terminal(wid(vlm, "also"))
+    score.terminal(wid(vlm, "would"))
+    also_would, p2 = score.finish()
+    assert p2 == pytest.approx(-1.687872 - 2.0, abs=1e-3)
+    assert also_would.suffix == combine_also_would.suffix
+
+    consider, p_consider = term_state("consider")
+    assert p_consider == pytest.approx(-1.687872, abs=1e-3)
+    higher, p_higher = term_state("higher")
+    assert p_higher == pytest.approx(-1.509559, abs=1e-3)
+
+    score = RuleScore(vlm)
+    score.non_terminal(consider, p_consider)
+    score.non_terminal(higher, p_higher)
+    consider_higher, p = score.finish()
+    assert p == pytest.approx(-1.509559 - 1.687872 - 0.30103, abs=1e-3)
+
+    score = RuleScore(vlm)
+    score.non_terminal(combine_also_would, -1.687872 - 2.0)
+    score.non_terminal(consider_higher, -1.509559 - 1.687872 - 0.30103)
+    _, p_full = score.finish()
+    assert p_full == pytest.approx(-10.6879, abs=1e-3)
+
+
+def test_full_grow(vlm):
+    # left_test.cc:280-340 FullGrow(): explicit balanced-tree build with a
+    # LeftToRight cross-check at every internal node
+    words = wids(vlm, "in biarritz watching considering looking . </s>")
+    lexical = []
+    for w in words:
+        score = RuleScore(vlm)
+        score.terminal(w)
+        lexical.append(score.finish())
+
+    def combine(a, b, check_text):
+        score = RuleScore(vlm)
+        score.non_terminal(*a)
+        score.non_terminal(*b)
+        st, p = score.finish()
+        assert p == pytest.approx(
+            left_to_right(vlm, wids(vlm, check_text)), abs=1e-3
+        )
+        return st, p
+
+    l1 = [
+        combine(lexical[0], lexical[1], "in biarritz"),
+        combine(lexical[2], lexical[3], "watching considering"),
+        combine(lexical[4], lexical[5], "looking ."),
+        lexical[6],
+    ]
+    l2 = [
+        combine(l1[0], l1[1], "in biarritz watching considering"),
+        combine(l1[2], l1[3], "looking . </s>"),
+    ]
+    combine(l2[0], l2[1], "in biarritz watching considering looking . </s>")
+
+
+def test_begin_non_terminal_and_empty(vlm):
+    # begin_non_terminal restarts from a saved state; empty B is a no-op
+    score = RuleScore(vlm)
+    score.terminal(wid(vlm, "more"))
+    st, p = score.finish()
+
+    score = RuleScore(vlm)
+    score.begin_non_terminal(st, p)
+    score.non_terminal(EMPTY_STATE, 0.0)
+    score.terminal(wid(vlm, "loin"))
+    _, p2 = score.finish()
+    assert p2 == pytest.approx(-1.206319 - 0.3561665, abs=1e-3)
+
+    # empty A adopts a <s>-anchored B
+    score = RuleScore(vlm)
+    score.begin_sentence()
+    score.terminal(wid(vlm, "looking"))
+    bos_frag, bos_p = score.finish()
+    score = RuleScore(vlm)
+    score.non_terminal(bos_frag, bos_p)
+    score.terminal(wid(vlm, "on"))
+    _, p3 = score.finish()
+
+    score = RuleScore(vlm)
+    score.begin_sentence()
+    score.terminal(wid(vlm, "looking"))
+    score.terminal(wid(vlm, "on"))
+    _, p4 = score.finish()
+    assert p3 == pytest.approx(p4, abs=1e-6)
+
+    # a <s>-anchored B right of content must refuse (left.hh invariant)
+    with pytest.raises(ValueError):
+        score = RuleScore(vlm)
+        score.terminal(wid(vlm, "more"))
+        score.non_terminal(bos_frag, bos_p)
+
+
+def test_state_recombination_keys(vlm):
+    # states are hashable and equal fragments recombine (hash_value(ChartState))
+    def frag(text):
+        score = RuleScore(vlm)
+        for w in wids(vlm, text):
+            score.terminal(w)
+        return score.finish()[0]
+
+    a = frag("consider higher")
+    b = frag("consider higher")
+    assert a == b and hash(a) == hash(b)
+    assert frag("consider higher") != frag("consider")
+    assert len({a, b}) == 1
