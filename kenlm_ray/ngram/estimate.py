@@ -172,17 +172,18 @@ def build_vocab(
     return VocabMap(words=words, lookup_hashes=lookup_hashes, lookup_ids=lookup_ids)
 
 
-def _padded_window_ids(
-    batch: pa.Table, n: int, vocab: VocabMap, text_col: str
-) -> pa.Table:
-    """All order-n id windows of every padded sentence ([<s>] line [</s>]).
+def _padded_ext(
+    batch: pa.Table, vocab: VocabMap, text_col: str
+) -> "tuple[np.ndarray, np.ndarray]":
+    """Tokenize + pad every sentence ([<s>] line [</s>]) ONCE.
 
-    Emits uint32 id columns i1..in — strings never leave this function."""
+    Returns (ext, sstart_of_ext): the padded uint32 id stream and, per
+    position, the start offset of its sentence — enough to derive the
+    order-n windows for EVERY n without re-tokenizing."""
     stream = tokenize_column(batch[text_col])
     T = stream.n_tokens
-    cols = {c: pa.array([], type=pa.uint32()) for c in _icols(n)}
     if T == 0:
-        return pa.table(cols)
+        return np.empty(0, dtype=np.uint32), np.empty(0, dtype=np.int64)
     ids = vocab.ids_for_hashes(stream.hashes())
     sent_ids = stream.sent_ids
     S = int(sent_ids[-1]) + 1
@@ -199,12 +200,28 @@ def _padded_window_ids(
     rank = np.arange(T, dtype=np.int64) - tok_start[sent_ids]
     ext[ext_start[sent_ids] + 1 + rank] = ids
     sstart_of_ext = ext_start[np.repeat(np.arange(S, dtype=np.int64), ext_counts)]
-    pos = np.arange(E, dtype=np.int64)
+    return ext, sstart_of_ext
+
+
+def _windows_from_ext(
+    ext: np.ndarray, sstart_of_ext: np.ndarray, n: int
+) -> "dict[str, pa.Array]":
+    """Order-n id windows of a padded stream from `_padded_ext`."""
+    if len(ext) == 0:
+        return {c: pa.array([], type=pa.uint32()) for c in _icols(n)}
+    pos = np.arange(len(ext), dtype=np.int64)
     vidx = np.flatnonzero((pos - sstart_of_ext) >= (n - 1))  # window fits
-    out = {}
-    for j in range(n):
-        out[f"i{j+1}"] = pa.array(ext[vidx - (n - 1) + j])
-    return pa.table(out)
+    return {f"i{j+1}": pa.array(ext[vidx - (n - 1) + j]) for j in range(n)}
+
+
+def _padded_window_ids(
+    batch: pa.Table, n: int, vocab: VocabMap, text_col: str
+) -> pa.Table:
+    """All order-n id windows of every padded sentence ([<s>] line [</s>]).
+
+    Emits uint32 id columns i1..in — strings never leave this function."""
+    ext, sstart = _padded_ext(batch, vocab, text_col)
+    return pa.table(_windows_from_ext(ext, sstart, n))
 
 
 def raw_counts(
@@ -227,6 +244,62 @@ def raw_counts(
         .groupby(keys)
         .aggregate(Sum("c_sum", alias_name="count"))
     )
+
+
+def raw_counts_all(
+    ds: "ray.data.Dataset", order: int, vocab: VocabMap, text_col: str = "text"
+) -> "dict[int, ray.data.Dataset]":
+    """Phase [1], fused: raw counts for EVERY order 1..order from ONE
+    corpus pass — the reference's CorpusCount also emits all orders in a
+    single suffix-window scan (lm/builder/corpus_count.cc:225-257).
+
+    The per-order window tables are unioned (shorter orders pad unused
+    id columns with 0 — the key includes the order marker ``n`` so the
+    pad never merges grams), shuffled once, and materialized; per-order
+    datasets are cheap filters over the materialized distinct-gram
+    table.  Materializing matters doubly: downstream `adjusted_counts`
+    consumes order n both as its own table and as order (n-1)'s
+    left-extension source, and lazy per-order pipelines would re-run
+    the corpus tokenize for every consumer (order-2 estimation = 4 full
+    corpus scans; this makes it exactly 1 after the vocab pass)."""
+    keys = _icols(order)
+    allkeys = ["n"] + keys
+    vocab_ref = ray.put(vocab)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = ray.get(vocab_ref)
+        ext, sstart = _padded_ext(batch, v, text_col)
+        parts = []
+        for n in range(1, order + 1):
+            w = _windows_from_ext(ext, sstart, n)
+            rows = len(w["i1"])
+            cols = {"n": pa.array(np.full(rows, n, dtype=np.int32))}
+            cols.update(w)
+            pad = pa.array(np.zeros(rows, dtype=np.uint32))
+            for j in range(n, order):
+                cols[f"i{j+1}"] = pad
+            cols["c"] = pa.array(np.ones(rows, dtype=np.int64))
+            parts.append(pa.table(cols))
+        t = pa.concat_tables(parts)
+        return t.group_by(allkeys).aggregate([("c", "sum")])
+
+    fused = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(allkeys)
+        .aggregate(Sum("c_sum", alias_name="count"))
+        .materialize()
+    )
+
+    def slice_of(n: int) -> "ray.data.Dataset":
+        cols = _icols(n) + ["count"]
+        return fused.map_batches(
+            lambda t, _n=n, _cols=cols: t.filter(
+                pc.equal(t["n"], pa.scalar(_n, type=pa.int32()))
+            ).select(_cols),
+            batch_format="pyarrow",
+        )
+
+    return {n: slice_of(n) for n in range(1, order + 1)}
 
 
 def _sel(batch: pa.Table, mapping: "dict[str, str]") -> pa.Table:
@@ -515,9 +588,7 @@ def estimate_mkn(
         all_ids = np.arange(len(vocab.words), dtype=np.uint32)
         disallowed = all_ids[(all_ids > max(_SPECIAL_IDS)) & ~in_limit]
 
-    raws = {
-        n: raw_counts(ds, n, vocab, text_col=text_col) for n in range(1, order + 1)
-    }
+    raws = raw_counts_all(ds, order, vocab, text_col=text_col)
     # phase 2: adjusted counts (each needs raw at n+1)
     adjs = {}
     for n in range(1, order + 1):
