@@ -1065,6 +1065,25 @@ def _q_mkn_pruned_bigram(sf_dir):
     return _round_arpa6(result["arpa_tables"][2])
 
 
+def _q_unigram_rest_costs(sf_dir):
+    """REST_MAX rest costs (lm/value_build.hh:35-63 MaxRestBuild) over
+    the distributed MKN bigram model: rest(w) = max log10 prob over the
+    unigram and every bigram ending in w — the suffix-keyed groupby-max
+    form of the binary builder's MarkLower walk.  <s> excluded (it never
+    appears as a bigram's last word, so the oracle's p1 set omits it)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from kenlm_ray.ngram.estimate import estimate_mkn, rest_costs
+
+    result = estimate_mkn(_documents(sf_dir), order=2, num_partitions=8)
+    uni = rest_costs(result, 2)[1]
+    uni = uni.filter(pc.invert(pc.equal(uni["w1"], pa.scalar("<s>"))))
+    return pa.table(
+        {"w1": uni["w1"], "rest": pc.round(uni["rest"], ndigits=6)}
+    )
+
+
 def _q_phrase_filter(sf_dir):
     """Phrase-mode model filter (lm/filter/phrase.cc agreement NFA):
     keep trigrams covered by phrases of a single held-out sentence —
@@ -1188,6 +1207,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tf_idf": _q_tf_idf,
         "mkn_bigram_model": _q_mkn_bigram,
         "mkn_pruned_bigram": _q_mkn_pruned_bigram,
+        "unigram_rest_costs": _q_unigram_rest_costs,
         "returnflag_price_stats": _q_returnflag_price_stats,
         "order_priority_pivot": _q_order_priority_pivot,
         "latest_event_per_user": _q_latest_event_per_user,
@@ -1240,7 +1260,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     }
 
 
-def _mkn_bigram_sql(prune: bool) -> str:
+def _mkn_bigram_sql(prune: bool, tail: str = "bigram") -> str:
     """Interpolated modified-Kneser-Ney bigram estimation as a DuckDB CTE
     chain — the SQL transcription of model/train_quick.train_kn (itself
     the in-memory spec of lm/builder's lmplz phases): sentence padding,
@@ -1258,6 +1278,43 @@ def _mkn_bigram_sql(prune: bool) -> str:
                     ELSE (SELECT D3 FROM d2) END) AS dmass"""
     )
     final_where = "WHERE b.c > 1" if prune else ""
+    if tail == "rest":
+        # REST_MAX unigram rest costs (lm/value_build.hh:35-63): rest(w) =
+        # max(log10 p1(w), max over bigrams (v,w) of log10 p2(v,w))
+        rest_ctes = """,
+        bi2 AS (
+            SELECT b.w1, b.w2,
+                   log10(greatest(
+                     (b.c - CASE WHEN b.c = 1 THEN (SELECT D1 FROM d2)
+                                 WHEN b.c = 2 THEN (SELECT D2 FROM d2)
+                                 ELSE (SELECT D3 FROM d2) END) / x.s
+                       + (x.dmass / x.s) * p1.p,
+                     1e-12)) AS lp
+            FROM big b
+            JOIN ctx2 x ON b.w1 = x.w1
+            JOIN p1 ON b.w2 = p1.w
+        ),
+        bmax AS (
+            SELECT w2 AS w, max(lp) AS m FROM bi2 GROUP BY w2
+        )"""
+        final_select = """SELECT p1.w AS w1,
+               round(greatest(log10(greatest(p1.p, 1e-12)),
+                              coalesce(bmax.m, -1e18)), 6) AS rest
+        FROM p1 LEFT JOIN bmax ON p1.w = bmax.w"""
+    else:
+        rest_ctes = ""
+        final_select = f"""SELECT b.w1, b.w2,
+               round(log10(greatest(
+                 (b.c - CASE WHEN b.c = 1 THEN (SELECT D1 FROM d2)
+                             WHEN b.c = 2 THEN (SELECT D2 FROM d2)
+                             ELSE (SELECT D3 FROM d2) END) / x.s
+                   + (x.dmass / x.s) * p1.p,
+                 1e-12)), 6) AS log10_prob,
+               0.0 AS log10_backoff
+        FROM big b
+        JOIN ctx2 x ON b.w1 = x.w1
+        JOIN p1 ON b.w2 = p1.w
+        {final_where}"""
     return f"""
         WITH lines AS (
             SELECT unnest(string_split(text, chr(10))) AS line FROM documents
@@ -1342,19 +1399,8 @@ def _mkn_bigram_sql(prune: bool) -> str:
             SELECT w1, sum(c) AS s,
                    {big_dmass}
             FROM big GROUP BY w1
-        )
-        SELECT b.w1, b.w2,
-               round(log10(greatest(
-                 (b.c - CASE WHEN b.c = 1 THEN (SELECT D1 FROM d2)
-                             WHEN b.c = 2 THEN (SELECT D2 FROM d2)
-                             ELSE (SELECT D3 FROM d2) END) / x.s
-                   + (x.dmass / x.s) * p1.p,
-                 1e-12)), 6) AS log10_prob,
-               0.0 AS log10_backoff
-        FROM big b
-        JOIN ctx2 x ON b.w1 = x.w1
-        JOIN p1 ON b.w2 = p1.w
-        {final_where}
+        ){rest_ctes}
+        {final_select}
     """
 
 
@@ -1724,6 +1770,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "mkn_bigram_model": _mkn_bigram_sql(prune=False),
         "mkn_pruned_bigram": _mkn_bigram_sql(prune=True),
+        "unigram_rest_costs": _mkn_bigram_sql(prune=False, tail="rest"),
         "returnflag_price_stats": """
             SELECT l_returnflag,
                    count(*)::BIGINT AS n,

@@ -44,11 +44,14 @@ def cmd_pack(args) -> int:
         # loadable by kpu/kenlm itself; --binary-type mirrors its
         # probing/trie/quant/array flags (build_binary_main.cc)
         bt = args.binary_type
-        if bt == "probing":
+        if bt in ("probing", "rest_probing"):
             from kenlm_ray.model.kenlm_binary import write_kenlm_binary
 
             out = write_kenlm_binary(
-                arpa, args.out, probing_multiplier=args.probing_multiplier
+                arpa,
+                args.out,
+                probing_multiplier=args.probing_multiplier,
+                rest_costs=(bt == "rest_probing"),
             )
         else:
             from kenlm_ray.model.kenlm_binary import write_kenlm_binary_trie
@@ -507,8 +510,8 @@ def main(argv=None) -> int:
     sp.add_argument("--probing-multiplier", type=float, default=1.5)
     sp.add_argument(
         "--binary-type",
-        choices=["probing", "trie", "quant_trie", "array_trie",
-                 "quant_array_trie"],
+        choices=["probing", "rest_probing", "trie", "quant_trie",
+                 "array_trie", "quant_array_trie"],
         default="probing",
         help="binary layout (build_binary's probing/trie/q/a flags)",
     )

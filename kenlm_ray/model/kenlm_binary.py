@@ -80,6 +80,13 @@ K_UNK_CAP_HASH = murmur64(b"<UNK>")
 VOCAB_ENTRY = np.dtype([("key", "<u8"), ("id", "<u4")])        # 12 B, pack(4)
 MIDDLE_ENTRY = np.dtype([("key", "<u8"), ("prob", "<f4"), ("backoff", "<f4")])
 LONGEST_ENTRY = np.dtype([("key", "<u8"), ("prob", "<f4")])
+# REST_PROBING (model_type 1): RestWeights {prob, backoff, rest}
+# (lm/weights.hh:15-19) under #pragma pack(4) (lm/value.hh:117-133)
+REST_MODEL_TYPE = 1
+REST_UNI = np.dtype([("prob", "<f4"), ("backoff", "<f4"), ("rest", "<f4")])
+REST_MIDDLE_ENTRY = np.dtype(
+    [("key", "<u8"), ("prob", "<f4"), ("backoff", "<f4"), ("rest", "<f4")]
+)
 
 _NGRAM_MULT = np.uint64(8978948897894561157)
 _WORD_MULT = np.uint64(17894857484156487943)
@@ -123,13 +130,17 @@ class _Table:
         self.keys: list[int] = []
         self.prob: list[float] = []
         self.backoff: list[float] = []
+        self.revids: list[tuple] = []  # reversed word ids [wn..w1] per entry
         self.index: dict[int, int] = {}
 
-    def insert(self, key: int, prob: float, backoff: float) -> int:
+    def insert(
+        self, key: int, prob: float, backoff: float, revids: tuple = ()
+    ) -> int:
         i = len(self.keys)
         self.keys.append(key)
         self.prob.append(prob)
         self.backoff.append(backoff)
+        self.revids.append(revids)
         self.index[key] = i
         return i
 
@@ -160,8 +171,14 @@ def write_kenlm_binary(
     *,
     probing_multiplier: float = 1.5,
     include_vocab: bool = True,
+    rest_costs: bool = False,
 ) -> str:
-    """ArpaModel -> reference-format PROBING ``.binary`` file."""
+    """ArpaModel -> reference-format PROBING ``.binary`` file.
+
+    ``rest_costs=True`` writes REST_PROBING (model_type 1): unigrams and
+    middle orders store RestWeights {prob, backoff, rest} (12 B / 20 B
+    pack(4) entries, lm/value.hh:118-127), rest = REST_MAX over each
+    gram's left-extension closure (lm/value_build.hh:35-63)."""
     order = arpa.order
     if order < 2:
         raise ValueError("probing binary needs order >= 2 (model.cc:100)")
@@ -244,7 +261,7 @@ def write_kenlm_binary(
                 bo_stored = 0.0
             else:
                 bo_stored = -0.0 if b == 0.0 else float(np.float32(b))
-            t.insert(entry_key, prob_stored, bo_stored)
+            t.insert(entry_key, prob_stored, bo_stored, tuple(vocab_ids))
             _mark_lower(n, vocab_ids, keys, tables, uni_prob, uni_backoff,
                         uni_unset_sign, tab_set_extension)
             # activation: SetExtension on the PREFIX (w1..wn-1)
@@ -262,6 +279,37 @@ def write_kenlm_binary(
                     )
                 tab_set_extension(tables[n - 1], pidx)
 
+    # ---- REST_MAX rest costs (value_build.hh MaxRestBuild fixpoint) ------
+    uni_rest = None
+    rest_arrays: "dict[int, list[float]]" = {}
+    if rest_costs:
+        uni_rest = (-np.abs(uni_prob)).astype(np.float32)
+        if not saw_unk:
+            # model.cc:121-126 sets only prob/backoff on the hallucinated
+            # <unk>; its rest stays zeroed mmap memory
+            uni_rest[0] = np.float32(0.0)
+        for n2 in range(2, order + 1):
+            rest_arrays[n2] = [-abs(p) for p in tables[n2].prob]
+        # top-order-down: a gram's final rest is known before it feeds its
+        # (n-1) right-aligned suffix (MarkLower's early-stopping walk
+        # converges to the same suffix-keyed max fixpoint)
+        for n2 in range(order, 1, -1):
+            t2 = tables[n2]
+            rn = rest_arrays[n2]
+            for i, rid in enumerate(t2.revids):
+                cand = rn[i]
+                if n2 == 2:
+                    w = rid[0]
+                    if cand > uni_rest[w]:
+                        uni_rest[w] = np.float32(cand)
+                else:
+                    sk = np.uint64(rid[0])
+                    for j in range(1, n2 - 1):
+                        sk = _combine(sk, rid[j])
+                    sidx = tables[n2 - 1].find(int(sk))
+                    if sidx is not None and cand > rest_arrays[n2 - 1][sidx]:
+                        rest_arrays[n2 - 1][sidx] = cand
+
     # ---- serialize -------------------------------------------------------
     m = probing_multiplier
     header = bytearray(_header_size(order))
@@ -271,8 +319,9 @@ def write_kenlm_binary(
     struct.pack_into("<fff", header, MAGIC_FIELD, 0.0, 1.0, -0.5)
     struct.pack_into("<IIIQ", header, MAGIC_FIELD + 12, 1, 0xFFFFFFFF, 0, 1)
     struct.pack_into("<B3xfi?3xI", header, SANITY_SIZE, order,
-                     np.float32(m), PROBING_MODEL_TYPE, include_vocab,
-                     SEARCH_VERSION)
+                     np.float32(m),
+                     REST_MODEL_TYPE if rest_costs else PROBING_MODEL_TYPE,
+                     include_vocab, SEARCH_VERSION)
     for i, c in enumerate(counts):
         struct.pack_into("<Q", header, SANITY_SIZE + FIXED_SIZE + 8 * i, c)
 
@@ -287,9 +336,14 @@ def write_kenlm_binary(
     vocab_hdr = struct.pack("<II", PROBING_VOCAB_VERSION, bound)
 
     parts = [bytes(header), vocab_hdr, vocab_region.tobytes()]
-    uni_arr = np.zeros(counts[0] + 1, dtype=np.dtype([("prob", "<f4"), ("backoff", "<f4")]))
+    uni_dt = REST_UNI if rest_costs else np.dtype(
+        [("prob", "<f4"), ("backoff", "<f4")]
+    )
+    uni_arr = np.zeros(counts[0] + 1, dtype=uni_dt)
     uni_arr["prob"] = uni_prob
     uni_arr["backoff"] = uni_backoff
+    if rest_costs:
+        uni_arr["rest"][: len(uni_rest)] = uni_rest
     parts.append(uni_arr.tobytes())
     for n in range(2, order + 1):
         t = tables[n]
@@ -300,7 +354,12 @@ def write_kenlm_binary(
                 f"{nb} buckets) — raise probing_multiplier "
                 "(search_hashed.cc:288)"
             )
-        dt = LONGEST_ENTRY if n == order else MIDDLE_ENTRY
+        if n == order:
+            dt = LONGEST_ENTRY  # top order stays Prob-only for REST too
+        elif rest_costs:
+            dt = REST_MIDDLE_ENTRY
+        else:
+            dt = MIDDLE_ENTRY
         region = np.zeros(nb, dtype=dt)
         tk = np.array(t.keys, dtype=np.uint64)
         slots = _place(tk, nb)
@@ -308,6 +367,10 @@ def write_kenlm_binary(
         region["prob"][slots] = np.array(t.prob, dtype=np.float32)
         if n != order:
             region["backoff"][slots] = np.array(t.backoff, dtype=np.float32)
+            if rest_costs:
+                region["rest"][slots] = np.array(
+                    rest_arrays[n], dtype=np.float32
+                )
         parts.append(region.tobytes())
     if include_vocab:
         blob = b"<unk>\x00" + b"".join(
@@ -336,7 +399,7 @@ def _mark_lower(n, vocab_ids, keys, tables, uni_prob, uni_backoff,
             found_at = k
             break
         # FindOrInsert blank: backoff=kNoExtensionBackoff, prob set below
-        idx = t.insert(key, 0.0, -0.0)
+        idx = t.insert(key, 0.0, -0.0, tuple(vocab_ids[:k]))
         between.append((k, idx))
     if found_at is None:
         between.append((1, vocab_ids[0]))
@@ -1119,11 +1182,12 @@ def read_kenlm_binary(path: str) -> PackedModel:
             raw, order, counts, has_vocab,
             quantized=model_type in (3, 5), bhiksha=model_type in (4, 5),
         )
-    if model_type != PROBING_MODEL_TYPE:
+    if model_type not in (PROBING_MODEL_TYPE, REST_MODEL_TYPE):
         raise ValueError(
-            f"model_type {model_type} is not PROBING or a TRIE variant "
-            "(binary_format.cc:18)"
+            f"model_type {model_type} is not PROBING/REST_PROBING or a "
+            "TRIE variant (binary_format.cc:18)"
         )
+    has_rest = model_type == REST_MODEL_TYPE
     if search_version != SEARCH_VERSION:
         raise ValueError(f"search_version {search_version} != {SEARCH_VERSION}")
     off = _header_size(order)
@@ -1145,30 +1209,40 @@ def read_kenlm_binary(path: str) -> PackedModel:
     vocab_ids = vi[vorder].astype(np.uint32)
 
     nuni = int(counts[0]) + 1
-    uni = np.frombuffer(
-        raw[off : off + nuni * 8].tobytes(),
-        dtype=np.dtype([("prob", "<f4"), ("backoff", "<f4")]),
+    uni_dt = REST_UNI if has_rest else np.dtype(
+        [("prob", "<f4"), ("backoff", "<f4")]
     )
-    off += nuni * 8
+    uni = np.frombuffer(
+        raw[off : off + nuni * uni_dt.itemsize].tobytes(), dtype=uni_dt
+    )
+    off += nuni * uni_dt.itemsize
     V = int(bound)
     uni_prob = -np.abs(uni["prob"][:V])  # Prob() forces sign on, value.hh:24-29
     uni_backoff = uni["backoff"][:V].copy()
+    uni_rest = uni["rest"][:V].copy() if has_rest else None
 
     tables: dict[int, OrderTable] = {}
     for n in range(2, order + 1):
         nb = _buckets(int(counts[n - 1]), mult)
-        dt = LONGEST_ENTRY if n == order else MIDDLE_ENTRY
+        if n == order:
+            dt = LONGEST_ENTRY
+        elif has_rest:
+            dt = REST_MIDDLE_ENTRY
+        else:
+            dt = MIDDLE_ENTRY
         ent = np.frombuffer(raw[off : off + nb * dt.itemsize].tobytes(), dtype=dt)
         off += nb * dt.itemsize
         live = ent["key"] != 0
         k = ent["key"][live]
         p = -np.abs(ent["prob"][live])
         bo = None if n == order else ent["backoff"][live].copy()
+        rst = ent["rest"][live].copy() if (has_rest and n != order) else None
         o = np.argsort(k, kind="stable")
         tables[n] = OrderTable(
             keys=k[o],
             prob=p[o],
             backoff=bo[o] if bo is not None else None,
+            rest=rst[o] if rst is not None else None,
         )
         tables[n].build_probing()
 
@@ -1198,5 +1272,6 @@ def read_kenlm_binary(path: str) -> PackedModel:
         key_scheme="kenlm",
         bos_id=_find_id("<s>"),
         eos_id=_find_id("</s>"),
+        uni_rest=uni_rest,
     )
     return model

@@ -92,6 +92,10 @@ class OrderTable:
     backoff: np.ndarray | None  # None at top order
     prob_centers: np.ndarray | None = None  # set when quantized
     backoff_centers: np.ndarray | None = None
+    # REST_MAX rest costs (lm/value_build.hh:35-63 MaxRestBuild): rest of
+    # a gram = max log10 prob over the gram and all its left extensions.
+    # None unless the model was packed/read with rest costs.
+    rest: np.ndarray | None = None
     _probe_keys: "np.ndarray | None" = None  # uint64, 0 = empty slot
     _probe_idx: "np.ndarray | None" = None   # int32 into keys/prob/backoff
 
@@ -172,6 +176,18 @@ class OrderTable:
             bo = np.where(found, bo, np.float32(0.0))
         return found, prob, bo
 
+    def lookup_rest(self, h: np.ndarray) -> np.ndarray:
+        """Rest cost of each matched key (0.0 where missing/no rest)."""
+        if self.rest is None or not len(self.keys):
+            return np.zeros(len(h), dtype=np.float32)
+        if self._probe_keys is not None:
+            found, idx_c = self._probing_find(h)
+        else:
+            idx = np.searchsorted(self.keys, h)
+            idx_c = np.minimum(idx, len(self.keys) - 1)
+            found = self.keys[idx_c] == h
+        return np.where(found, self.rest[idx_c], np.float32(0.0))
+
 
 @dataclass
 class PackedModel:
@@ -183,6 +199,8 @@ class PackedModel:
     uni_backoff: np.ndarray  # float32 [V]
     tables: dict[int, OrderTable] = field(default_factory=dict)  # n >= 2
     has_unk: bool = True
+    # REST_MAX unigram rest costs (None unless packed/read with rest)
+    uni_rest: "np.ndarray | None" = None
     # n-gram key chain seed: "repo" = ngram_hash_step(0, w) (this repo's
     # native packing); "kenlm" = raw word id (the reference binary format,
     # /root/reference/lm/search_hashed.cc:184).  Special-token ids are
@@ -371,7 +389,11 @@ def _insert_blanks(
 
 
 def pack_model(
-    arpa: ArpaModel, *, quant_bits: "int | None" = None, backoff_bits: "int | None" = 8
+    arpa: ArpaModel,
+    *,
+    quant_bits: "int | None" = None,
+    backoff_bits: "int | None" = 8,
+    rest_costs: bool = False,
 ) -> PackedModel:
     """ARPA -> PackedModel.
 
@@ -431,6 +453,31 @@ def pack_model(
             for ws, (p, b) in arpa.grams.get(n, {}).items()
         }
     _insert_blanks(gdict, arpa.order, uni_prob, uni_backoff)
+    rest_maps: "dict[int, dict[tuple, float]] | None" = None
+    if rest_costs:
+        # REST_MAX fixpoint (lm/value_build.hh:35-63 MaxRestBuild +
+        # lm/search_hashed.cc:139-153 MarkLower, kMarkEvenLower): rest(g)
+        # = max over g and every left extension of -|log10 prob|, blanks
+        # included with their hallucinated pseudo probabilities.  The
+        # incremental insert-time marking converges to this suffix-keyed
+        # max, so one top-order-down pass reproduces it exactly.
+        uni_rest = (-np.abs(uni_prob)).astype(np.float32)
+        rest_maps = {
+            n: {t: -abs(p) for t, (p, _) in gdict[n].items()}
+            for n in range(2, arpa.order + 1)
+        }
+        for n in range(arpa.order, 1, -1):
+            for t, r in rest_maps[n].items():
+                sfx = t[1:]
+                if n == 2:
+                    w = sfx[0]
+                    if r > uni_rest[w]:
+                        uni_rest[w] = np.float32(r)
+                else:
+                    cur = rest_maps[n - 1].get(sfx)
+                    if cur is not None and r > cur:
+                        rest_maps[n - 1][sfx] = r
+        m.uni_rest = uni_rest
     for n in range(2, arpa.order + 1):
         grams = gdict[n]
         cnt = len(grams)
@@ -453,6 +500,15 @@ def pack_model(
         if backoff is not None:
             backoff = backoff[order_idx]
         t = OrderTable(keys=keys, prob=prob, backoff=backoff)
+        if rest_maps is not None and n < arpa.order:
+            # top order has no stored rest (rest == prob there,
+            # lm/model.cc:292); rest is never quantized (RestWeights
+            # keeps a raw float, lm/weights.hh:15-19)
+            t.rest = np.fromiter(
+                (rest_maps[n][g] for g in grams.keys()),
+                dtype=np.float32,
+                count=cnt,
+            )[order_idx]
         if quant_bits is not None and cnt:
             t.prob_centers = train_bins(prob, quant_bits)
             t.prob = quantize(prob, t.prob_centers)

@@ -73,7 +73,8 @@ class VectorLM:
         *,
         bos: bool = True,
         eos: bool = True,
-    ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+        with_rest: bool = False,
+    ) -> tuple:
         """Score S sentences given flat token ids + dense sentence ids.
 
         Returns (logprob per scored position, sent_of_scored,
@@ -83,18 +84,24 @@ class VectorLM:
         (lm/model_test.cc NullContextState cases).  ``ngram_length`` is the
         order of the longest matched entry, blanks included
         (lm/return.hh:20-25).
+
+        ``with_rest=True`` appends a fifth array: FullScoreReturn.rest per
+        scored position — the rest cost of the longest matched entry
+        (lm/model.cc:259,282) or its prob at top order / in models packed
+        without rest costs (lm/model.cc:292; NoRest Rest()==Prob()).
         """
         m = self.model
         N = m.order
         T = len(ids)
         if T == 0:
             e = np.empty(0, dtype=np.float64)
-            return (
+            empties = (
                 e,
                 np.empty(0, dtype=np.int64),
                 np.empty(0, dtype=bool),
                 np.empty(0, dtype=np.uint8),
             )
+            return empties + (e.copy(),) if with_rest else empties
         S = int(sent_ids[-1]) + 1
         # --- build extended stream: [<s>?, tokens..., </s>?] per sentence --
         counts = np.bincount(sent_ids, minlength=S)          # tokens per sentence
@@ -130,6 +137,7 @@ class VectorLM:
         # the depth-(N-1) hash recurrence never cross chunk boundaries.
         logprob = np.empty(E, dtype=np.float64)
         mlen = np.empty(E, dtype=np.uint8)
+        rest_out = np.empty(E, dtype=np.float64) if with_rest else None
         CHUNK = 65536
         halo = N - 1
         for a in range(0, E, CHUNK):
@@ -141,6 +149,12 @@ class VectorLM:
             ctx_room = np.arange(lo, b0, dtype=np.int64) - sstart_of_ext[lo:b0]
             ok = np.ones(L, dtype=bool)
             prob = m.uni_prob[exl].astype(np.float64)
+            if with_rest:
+                rest_run = (
+                    m.uni_rest[exl].astype(np.float64)
+                    if m.uni_rest is not None
+                    else prob.copy()
+                )
             prev_bo = m.uni_backoff[exl]  # float32, backoff of (n-1)-grams
             bo_sum = np.zeros(L, dtype=np.float64)
             match = np.ones(L, dtype=np.uint8)
@@ -186,6 +200,17 @@ class VectorLM:
                 if p is not None:
                     np.copyto(prob, p.astype(np.float64), where=ok_next)
                     np.copyto(match, np.uint8(n), where=ok_next)
+                    if with_rest:
+                        if t.rest is not None:
+                            rv = t.lookup_rest(h_next)
+                            np.copyto(
+                                rest_run, rv.astype(np.float64), where=ok_next
+                            )
+                        else:
+                            # top order / no stored rest: rest == prob
+                            np.copyto(
+                                rest_run, p.astype(np.float64), where=ok_next
+                            )
                     prev_bo = bo
                 else:
                     prev_bo = np.zeros(L, dtype=np.float32)
@@ -193,17 +218,20 @@ class VectorLM:
                 h = h_next
             logprob[a:b0] = (prob + bo_sum)[cut:]
             mlen[a:b0] = match[cut:]
+            if with_rest:
+                rest_out[a:b0] = rest_run[cut:]
 
         # --- gather scored positions (everything except <s>) ---------------
         scored_mask = np.ones(E, dtype=bool)
         if bos:
             scored_mask[ext_start] = False
-        return (
+        out = (
             logprob[scored_mask],
             sent_of_ext[scored_mask],
             (ext == UNK_ID)[scored_mask],
             mlen[scored_mask],
         )
+        return out + (rest_out[scored_mask],) if with_rest else out
 
     # -- document scoring ----------------------------------------------------
     def score_stream(self, stream: TokenStream) -> DocScores:
@@ -285,4 +313,25 @@ class VectorLM:
         )
         return [
             (float(p), int(n), bool(o)) for p, n, o in zip(logprob, mlen, oov)
+        ]
+
+    def full_scores_rest(
+        self, text: str, *, bos: bool = True, eos: bool = True
+    ) -> "list[tuple[float, int, bool, float]]":
+        """full_scores plus FullScoreReturn.rest per position — the
+        REST_PROBING surface (lm/model.cc:255-295, model_test.cc:434-443
+        rest_max).  On models packed without rest costs this degrades to
+        rest == prob-of-matched-entry (NoRest Rest()==Prob())."""
+        from kenlm_ray.functions.tokenize import tokenize_texts
+
+        stream = tokenize_texts([text])
+        if stream.n_tokens == 0:
+            return []
+        ids, _ = self.ids_for(stream)
+        logprob, _, oov, mlen, rest = self.score_sentences(
+            ids, stream.sent_ids, bos=bos, eos=eos, with_rest=True
+        )
+        return [
+            (float(p), int(n), bool(o), float(r))
+            for p, n, o, r in zip(logprob, mlen, oov, rest)
         ]

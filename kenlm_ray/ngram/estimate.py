@@ -800,6 +800,79 @@ def estimate_mkn(
     return {"arpa_tables": arpa_tables, "discounts": discounts, "vocab": vocab}
 
 
+def rest_costs(result: dict, order: int) -> "dict[int, object]":
+    """REST_MAX rest costs over an ``estimate_mkn`` output.
+
+    rest(g) = max log10 prob over g and all its left extensions
+    (lm/value_build.hh:35-63 MaxRestBuild; lm/search_hashed.cc:139-153
+    MarkLower) — here the insert-time suffix walk becomes one
+    order-descending groupby(right-aligned suffix).max + left join per
+    order, touching only the model tables (never the corpus).  The
+    estimated model is suffix-closed with no ARPA holes, so no blank
+    handling is needed (unlike the binary writer's fixpoint).
+
+    Returns {n: grams + ``rest`` for n = 1..order-1}: order 1 as a driver
+    pa.Table (vocab-sized — the same driver-manageable assumption as
+    estimate_mkn's unigram phase), higher orders as Datasets.
+    """
+    tables = result["arpa_tables"]
+    out: dict[int, object] = {}
+    cand = tables[order]
+    cand_col = "log10_prob"  # top order: rest == prob (lm/model.cc:292)
+    for n in range(order - 1, 0, -1):
+        keys = _wcols(n)
+
+        def proj(t: pa.Table, _n=n, _col=cand_col) -> pa.Table:
+            cols = {f"w{i}": t[f"w{i+1}"] for i in range(1, _n + 1)}
+            cols["cand"] = t[_col]
+            return pa.table(cols)
+
+        from ray.data.aggregate import Max
+
+        sfx = (
+            cand.map_batches(proj, batch_format="pyarrow")
+            .groupby(keys)
+            .aggregate(Max("cand", alias_name="cand_max"))
+        )
+        if n == 1:
+            sm = sfx.to_pandas()  # vocab-bounded driver reduce
+            cmax = dict(zip(sm["w1"], sm["cand_max"]))
+            uni = tables[1]
+            words = uni["w1"].to_pylist()
+            probs = uni["log10_prob"].to_numpy(zero_copy_only=False)
+            rest = np.array(
+                [max(p, cmax.get(w, -np.inf)) for w, p in zip(words, probs)],
+                dtype=np.float64,
+            )
+            out[1] = pa.table({"w1": pa.array(words), "rest": pa.array(rest)})
+        else:
+            str_keys = {k: pa.string() for k in keys}
+            joined = hash_join(
+                tables[n],
+                sfx,
+                on=keys,
+                left_cols={**str_keys, "log10_prob": pa.float64()},
+                right_cols={**str_keys, "cand_max": pa.float64()},
+                how="left",
+                num_partitions=16,
+            )
+
+            def fin(t: pa.Table, _keys=tuple(keys)) -> pa.Table:
+                p = t["log10_prob"].to_numpy(zero_copy_only=False)
+                cm = t["cand_max"].to_numpy(zero_copy_only=False).astype(
+                    np.float64
+                )
+                cm = np.where(np.isnan(cm), -np.inf, cm)
+                cols = {k: t[k] for k in _keys}
+                cols["rest"] = pa.array(np.maximum(p, cm))
+                return pa.table(cols)
+
+            out[n] = joined.map_batches(fin, batch_format="pyarrow").materialize()
+            cand = out[n]
+            cand_col = "rest"
+    return out
+
+
 def to_arpa_model(result: dict, order: int):
     """Collect the distributed tables into an ArpaModel (test/interop path;
     at scale you would write_parquet each order instead)."""

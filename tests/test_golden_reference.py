@@ -44,7 +44,8 @@ def _load(fixture_path: str, how: str, tmpdir) -> VectorLM:
             bhiksha="array" in how,
         )
     else:
-        write_kenlm_binary(arpa, path)
+        # "rest" = REST_PROBING model_type 1 (same probs, extra rest field)
+        write_kenlm_binary(arpa, path, rest_costs=(how == "rest"))
     return VectorLM(read_kenlm_binary(path))
 
 
@@ -53,7 +54,10 @@ def _load(fixture_path: str, how: str, tmpdir) -> VectorLM:
 # fewer distinct values per order than 2^8 bins (each value gets its own
 # bin, center == value) — the same reason model_test.cc can hold
 # QuantTrieModel to the 0.001% tolerance (model_test.cc:353-361)
-_PARAMS = ["repo", "binary", "trie", "quant_trie", "array_trie", "quant_array_trie"]
+_PARAMS = [
+    "repo", "binary", "rest",
+    "trie", "quant_trie", "array_trie", "quant_array_trie",
+]
 
 
 @pytest.fixture(scope="module", params=_PARAMS)
