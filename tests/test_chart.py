@@ -298,6 +298,43 @@ def test_begin_non_terminal_and_empty(vlm):
         score.non_terminal(bos_frag, bos_p)
 
 
+def test_full_divide(vlm):
+    """partial_test.cc FullDivide's functional contract: for every 3-way
+    split (before | between | after) of a sentence, the glue adjustment —
+    what joining the fragments adds beyond their standalone scores — is
+    exact: before + between + after + glue == full.  The reference
+    reveals the glue word-by-word through RevealBefore/RevealAfter
+    (pointer-based, rest-cost intermediate estimates); here the join
+    delta comes from RuleScore.non_terminal in one step — same total."""
+    for text in [
+        "also would consider",
+        "looking on a little more loin . </s>",
+    ]:
+        words = wids(vlm, text)
+        full = left_to_right(vlm, words)
+
+        def frag(ws):
+            score = RuleScore(vlm)
+            for w in ws:
+                score.terminal(w)
+            return score.finish()
+
+        for i in range(len(words) + 1):
+            for j in range(i, len(words) + 1):
+                b_state, b_p = frag(words[:i])
+                m_state, m_p = frag(words[i:j])
+                a_state, a_p = frag(words[j:])
+                score = RuleScore(vlm)
+                score.begin_non_terminal(b_state, b_p)
+                score.non_terminal(m_state, m_p)
+                score.non_terminal(a_state, a_p)
+                _, total = score.finish()
+                glue = total - b_p - m_p - a_p
+                assert total == pytest.approx(full, abs=1e-3), (text, i, j)
+                # glue is exactly the cross-fragment conditional revision
+                assert b_p + m_p + a_p + glue == pytest.approx(full, abs=1e-3)
+
+
 def test_state_recombination_keys(vlm):
     # states are hashable and equal fragments recombine (hash_value(ChartState))
     def frag(text):
