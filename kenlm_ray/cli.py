@@ -337,7 +337,28 @@ def cmd_interpolate(args) -> int:
     from kenlm_ray.model.interpolate import interpolate_models, tune_weights
 
     models = [parse_arpa(p) for p in args.arpa]
-    if args.tune is not None:
+    if args.tune is not None and args.loglinear:
+        # the reference's actual tuning objective: normalized log-linear
+        # mixture perplexity, damped-Newton (tune_weights.cc:16-33)
+        from kenlm_ray.model.tune_loglinear import (
+            build_instances,
+            tune_weights_loglinear,
+        )
+
+        with open(args.tune) as f:
+            text = f.read()
+        inst = build_instances(models, text)
+        w, trace = tune_weights_loglinear(inst)
+        print(
+            "log-linear weights:",
+            " ".join(f"{x:.6f}" for x in w),
+            f"(perplexity {trace[0]:.3f} -> {trace[-1]:.3f})",
+        )
+        # downstream linear merge still needs a simplex point; renormalize
+        lam = [max(float(x), 0.0) for x in w]
+        s = sum(lam) or 1.0
+        lam = [x / s for x in lam]
+    elif args.tune is not None:
         with open(args.tune) as f:
             heldout = [ln.strip() for ln in f if ln.strip()]
         lam = tune_weights(models, heldout)
@@ -552,6 +573,12 @@ def main(argv=None) -> int:
     si.add_argument("--out", required=True)
     si.add_argument("--weights", default=None, help="comma-separated lambdas")
     si.add_argument("--tune", default=None, help="held-out text file (one sentence per line)")
+    si.add_argument(
+        "--loglinear",
+        action="store_true",
+        help="tune with the reference's log-linear Newton objective "
+        "(tune_derivatives.cc) instead of linear-mixture EM",
+    )
     si.set_defaults(fn=cmd_interpolate)
 
     sd = sub.add_parser("dedup")

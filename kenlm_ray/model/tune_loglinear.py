@@ -1,0 +1,360 @@
+"""Log-linear interpolation weight tuning — the reference's
+lm/interpolate tuning stack re-expressed in numpy:
+
+  - ``derivatives``: objective + gradient + Hessian of the log-linear
+    mixture's held-out perplexity (tune_derivatives.cc:12-127, verbatim
+    math including the Z_epsilon / Z_context decomposition and the
+    extension-sparse correction terms).
+  - ``tune_weights_loglinear``: the damped Newton loop
+    (tune_weights.cc:16-33, step 0.7, 10 iterations).
+  - ``build_instances``: tune_instances.cc equivalent — converts
+    ArpaModels + tuning text into the sparse Instances encoding
+    (ln unigram matrix over a universal vocab (merge_vocab.cc role),
+    per-instance full-backoff products, and sorted extensions for the
+    words where a model matches beyond its unigram).
+
+The log-linear model: p_I(x | c) ∝ Π_i p_i(x | c)^{w_i}, normalized per
+context.  Words with no extension in model i back off to
+p_i(x) · B_i(c) where B_i is the product of the context's existing
+backoff weights — the sparsity the reference's Extension stream
+exploits; instance counts are tuning-text-sized, so this stays a
+driver-side (model-sized) computation like the reference's.
+
+Natural log throughout (the reference converts the models' log10 on
+read, tune_instances.cc); conversion happens in build_instances.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+LN10 = float(np.log(10.0))
+
+
+@dataclass
+class Instances:
+    """Sparse tuning-instance encoding (tune_instances.hh:46-86)."""
+
+    ln_unigrams: np.ndarray  # (V, M) ln p_i(x); includes <s> at row `bos`
+    ln_backoffs: np.ndarray  # (N, M) ln Π existing backoffs of context n
+    neg_ln_correct_sum: np.ndarray  # (M,) -Σ_n ln p_i(w_n | c_n)
+    # extensions sorted by (instance, word, model) — Extension::operator<
+    ext_instance: np.ndarray  # uint32
+    ext_word: np.ndarray  # uint32 (universal-vocab index)
+    ext_model: np.ndarray  # uint32
+    ext_ln_prob: np.ndarray  # float64 ln p_model(word | context(instance))
+    bos: int
+    words: "list[str] | None" = None  # universal vocab (debug/repr)
+
+    @property
+    def num_instances(self) -> int:
+        return self.ln_backoffs.shape[0]
+
+    @property
+    def num_models(self) -> int:
+        return self.ln_unigrams.shape[1]
+
+
+def derivatives(
+    inst: Instances, weights: np.ndarray
+) -> "tuple[float, np.ndarray, np.ndarray]":
+    """(objective, gradient, hessian) at ``weights`` —
+    tune_derivatives.cc:12-127 transcribed; objective is the held-out
+    perplexity exp((correct·w + Σ ln Z_context) / N)."""
+    # extreme trial weights overflow exp to inf; the caller's
+    # backtracking rejects the resulting non-finite objective
+    with np.errstate(over="ignore", invalid="ignore"):
+        return _derivatives(inst, weights)
+
+
+def _derivatives(
+    inst: Instances, weights: np.ndarray
+) -> "tuple[float, np.ndarray, np.ndarray]":
+    w = np.asarray(weights, dtype=np.float64)
+    M = inst.num_models
+    gradient = inst.neg_ln_correct_sum.astype(np.float64).copy()
+    hessian = np.zeros((M, M), dtype=np.float64)
+
+    # unnormalized p_I(x) * Z_epsilon over unigrams
+    weighted_uni = np.exp(inst.ln_unigrams @ w)
+    weighted_uni[inst.bos] = 0.0  # <s> is context-only
+    Z_epsilon = float(weighted_uni.sum())
+    # unigram_cross(i) = Σ_x p_I(x) ln p_i(x)
+    unigram_cross = (inst.ln_unigrams.T @ weighted_uni) / Z_epsilon
+
+    sum_B_I = 0.0
+    sum_ln_Z_context = 0.0
+
+    N = inst.num_instances
+    # extension row ranges per instance (sorted by instance)
+    starts = np.searchsorted(inst.ext_instance, np.arange(N, dtype=np.int64))
+    ends = np.searchsorted(
+        inst.ext_instance, np.arange(N, dtype=np.int64), side="right"
+    )
+    for n in range(N):
+        ln_bo = inst.ln_backoffs[n]
+        weighted_backoffs = float(np.exp(ln_bo @ w))
+
+        unnormalized_sum_x_p_I = 0.0
+        unnormalized_sum_x_p_I_full = 0.0
+        hessian_missing_Z_context = np.zeros((M, M), dtype=np.float64)
+        full_cross = np.zeros(M, dtype=np.float64)
+
+        a, b = int(starts[n]), int(ends[n])
+        i = a
+        while i < b:
+            word = int(inst.ext_word[i])
+            unnormalized_sum_x_p_I += weighted_uni[word]
+            ln_p_i_backed = inst.ln_unigrams[word] + ln_bo
+            ln_p_i_full = ln_p_i_backed.copy()
+            while i < b and int(inst.ext_word[i]) == word:
+                ln_p_i_full[int(inst.ext_model[i])] = inst.ext_ln_prob[i]
+                i += 1
+            weighted = float(np.exp(ln_p_i_full @ w))
+            unnormalized_sum_x_p_I_full += weighted
+            full_cross += (
+                weighted * ln_p_i_full
+                - weighted_uni[word]
+                * weighted_backoffs
+                * inst.ln_unigrams[word]
+            )
+            hessian_missing_Z_context += weighted * np.outer(
+                ln_p_i_full, ln_p_i_full
+            ) - weighted_uni[word] * weighted_backoffs * np.outer(
+                ln_p_i_backed, ln_p_i_backed
+            )
+
+        Z_context = (
+            weighted_backoffs * (Z_epsilon - unnormalized_sum_x_p_I)
+            + unnormalized_sum_x_p_I_full
+        )
+        sum_ln_Z_context += float(np.log(Z_context))
+        B_I = Z_epsilon / Z_context * weighted_backoffs
+        sum_B_I += B_I
+
+        full_cross /= Z_context
+        full_cross += (
+            B_I * (ln_bo + unigram_cross)
+            - unnormalized_sum_x_p_I / Z_epsilon * B_I * ln_bo
+        )
+        gradient += full_cross
+
+        convolve = np.outer(unigram_cross, ln_bo)
+        hessian += (
+            B_I * (convolve + convolve.T + np.outer(ln_bo, ln_bo))
+            + hessian_missing_Z_context / Z_context
+            - np.outer(full_cross, full_cross)
+        )
+
+    # Σ_contexts B_I Σ_x p_I(x) ln p_i(x) ln p_j(x) — vectorized form of
+    # the per-vocab-row loop at tune_derivatives.cc:117-121
+    hessian += sum_B_I * (
+        (inst.ln_unigrams.T * (weighted_uni / Z_epsilon)) @ inst.ln_unigrams
+    )
+
+    objective = float(
+        np.exp(
+            (inst.neg_ln_correct_sum @ w + sum_ln_Z_context) / max(N, 1)
+        )
+    )
+    return objective, gradient, hessian
+
+
+def tune_weights_loglinear(
+    inst: Instances, iterations: int = 10, step: float = 0.7
+) -> "tuple[np.ndarray, list[float]]":
+    """Damped Newton on the held-out perplexity (tune_weights.cc:16-33);
+    returns (weights, per-iteration objective trace)."""
+    M = inst.num_models
+    w = np.full(M, 1.0 / M, dtype=np.float64)
+    obj, grad, hess = derivatives(inst, w)
+    trace: "list[float]" = [obj]
+    for _ in range(iterations):
+        try:
+            delta = np.linalg.solve(hess, grad)
+        except np.linalg.LinAlgError:
+            delta = np.linalg.lstsq(hess, grad, rcond=None)[0]
+        # the reference's fixed 0.7 damping "kept getting unstable"
+        # (tune_weights.cc:29 TODO) — backtrack on the Newton direction,
+        # then fall back to steepest descent when the Hessian is
+        # indefinite and the Newton direction points uphill
+        improved = False
+        for direction in (delta, grad / max(float(np.abs(grad).max()), 1e-12)):
+            s = step
+            for _try in range(12):
+                cand = w - s * direction
+                c_obj, c_grad, c_hess = derivatives(inst, cand)
+                if np.isfinite(c_obj) and c_obj < obj * (1 - 1e-12):
+                    w, obj, grad, hess = cand, c_obj, c_grad, c_hess
+                    improved = True
+                    break
+                s *= 0.5
+            if improved:
+                break
+        trace.append(obj)
+        if not improved:
+            break  # converged (or no finite improving step exists)
+    return w, trace
+
+
+def build_instances(arpas: "list", text: str) -> Instances:
+    """tune_instances.cc equivalent over ArpaModels + tuning text.
+
+    Universal vocab = union of the models' unigram words (merge_vocab.cc
+    role; a word OOV in model i reads model i's <unk> row).  One instance
+    per scored position (every token plus </s> per line, <s> context).
+    Extensions cover exactly the words where a model matches an n-gram of
+    order >= 2 given the instance's context — everything else is
+    p_i(x)·B_i(context) by backoff, which the Instances encoding leaves
+    implicit."""
+    from kenlm_ray.model.pack import pack_model
+    from kenlm_ray.model.scorer import VectorLM
+
+    M = len(arpas)
+    # ---- universal vocab ---------------------------------------------------
+    words: "list[str]" = []
+    index: "dict[str, int]" = {}
+    for a in arpas:
+        for (wd,) in a.grams[1]:
+            if wd not in index:
+                index[wd] = len(words)
+                words.append(wd)
+    for special in ("<unk>", "<s>", "</s>"):
+        if special not in index:
+            index[special] = len(words)
+            words.append(special)
+    V = len(words)
+    bos = index["<s>"]
+
+    ln_unigrams = np.empty((V, M), dtype=np.float64)
+    for i, a in enumerate(arpas):
+        unk = a.grams[1].get(("<unk>",), (-100.0, 0.0))[0]
+        col = np.full(V, unk * LN10, dtype=np.float64)
+        for (wd,), (p, _) in a.grams[1].items():
+            col[index[wd]] = p * LN10
+        ln_unigrams[:, i] = col
+
+    # per-model: context dict ctx-tuple -> list[(word, order)] of grams
+    # extending it, and backoff lookup per gram
+    ext_by_ctx: "list[dict]" = []
+    backoff_of: "list[dict]" = []
+    for a in arpas:
+        d: dict = {}
+        bo: dict = {}
+        for n, grams in a.grams.items():
+            for ws, (p, b) in grams.items():
+                if b != 0.0 or n < a.order:
+                    bo[ws] = b
+                if n >= 2:
+                    d.setdefault(ws[:-1], []).append(ws[-1])
+        ext_by_ctx.append(d)
+        backoff_of.append(bo)
+
+    vlms = [
+        VectorLM(pack_model(a, quant_bits=None, backoff_bits=None))
+        for a in arpas
+    ]
+
+    # ---- walk the tuning text ----------------------------------------------
+    sentences = [
+        line.split() for line in text.split("\n") if line.split()
+    ]
+    instances: "list[tuple]" = []  # (context words tuple incl <s>,)
+    correct: "list[str]" = []
+    for sent in sentences:
+        hist = ["<s>"]
+        for tok in sent + ["</s>"]:
+            instances.append(tuple(hist))
+            correct.append(tok)
+            hist.append(tok)
+
+    N = len(instances)
+    max_order = max(a.order for a in arpas)
+    ln_backoffs = np.zeros((N, M), dtype=np.float64)
+    neg_ln_correct = np.zeros(M, dtype=np.float64)
+    exts: "list[tuple[int, int, int, float]]" = []
+
+    vocab_sets = [set(wd for (wd,) in a.grams[1]) for a in arpas]
+
+    for n, ctx_full in enumerate(instances):
+        ctx = ctx_full[-(max_order - 1):] if max_order > 1 else ()
+        for i, a in enumerate(arpas):
+            c = ctx[-(a.order - 1):] if a.order > 1 else ()
+            # OOV context words read as <unk> inside model i (grams over
+            # <unk> can still match — universal-vocab semantics)
+            c = tuple(
+                wd if (wd in vocab_sets[i] or wd == "<s>") else "<unk>"
+                for wd in c
+            )
+            # B_i(context): product of the context's existing suffixes'
+            # backoffs (the full back-off-to-unigram charge)
+            s = 0.0
+            for k in range(1, len(c) + 1):
+                sfx = tuple(c[-k:])
+                b = backoff_of[i].get(sfx)
+                if b is not None:
+                    s += b
+            ln_backoffs[n, i] = s * LN10
+            # extension words: any gram of order >= 2 whose context is a
+            # right-aligned suffix of c
+            ext_words: "set[str]" = set()
+            for k in range(1, len(c) + 1):
+                sfx = tuple(c[-k:])
+                for wd in ext_by_ctx[i].get(sfx, ()):
+                    ext_words.add(wd)
+            if ext_words:
+                ordered = sorted(ext_words, key=lambda wd: index.get(wd, 0))
+                lps = _cond_ln(vlms[i], c, ordered)
+                for wd, lp in zip(ordered, lps):
+                    exts.append((n, index[wd], i, lp))
+
+    # correct-word full scores: -Σ ln p_i(w_n | c_n)
+    for i in range(M):
+        text_joined = "\n".join(" ".join(s) for s in sentences)
+        scores = vlms[i].full_scores(text_joined, bos=True, eos=True)
+        assert len(scores) == N
+        neg_ln_correct[i] = -sum(p for p, _, _ in scores) * LN10
+
+    exts.sort()
+    ei = np.array([e[0] for e in exts], dtype=np.uint32)
+    ew = np.array([e[1] for e in exts], dtype=np.uint32)
+    em = np.array([e[2] for e in exts], dtype=np.uint32)
+    ep = np.array([e[3] for e in exts], dtype=np.float64)
+    return Instances(
+        ln_unigrams=ln_unigrams,
+        ln_backoffs=ln_backoffs,
+        neg_ln_correct_sum=neg_ln_correct,
+        ext_instance=ei,
+        ext_word=ew,
+        ext_model=em,
+        ext_ln_prob=ep,
+        bos=bos,
+        words=words,
+    )
+
+
+def _cond_ln(vlm, ctx: tuple, words: "list[str]") -> np.ndarray:
+    """ln p(word | ctx) for a batch of words via the vectorized backoff
+    walk (one cond_logprob call per instance·model)."""
+    from kenlm_ray.functions.tokenize import tokenize_texts
+
+    R = len(words)
+    ctx_l = list(ctx)
+    toks = ctx_l + words
+    ids_all, _ = vlm.ids_for(tokenize_texts([" ".join(toks)]))
+    k = len(ctx_l)
+    ctx_ids = ids_all[:k]
+    word_ids = ids_all[k:]
+    # literal <s> in the context maps to the real bos id, not <unk>
+    for j, t in enumerate(ctx_l):
+        if t == "<s>":
+            ctx_ids[j] = np.uint32(vlm.model.bos_id)
+    for j, t in enumerate(words):
+        if t == "</s>":
+            word_ids[j] = np.uint32(vlm.model.eos_id)
+    rows = np.empty((R, k + 1), dtype=np.uint32)
+    rows[:, :k] = ctx_ids
+    rows[:, k] = word_ids
+    return vlm.cond_logprob(rows) * LN10

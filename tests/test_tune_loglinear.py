@@ -1,0 +1,170 @@
+"""Log-linear interpolation tuning parity.
+
+`test_small_golden` transcribes /root/reference/lm/interpolate/
+tune_derivatives_test.cc (Small) exactly; the instance-builder tests
+brute-force the Instances encoding against the vectorized scorer.
+"""
+
+import math
+
+import numpy as np
+import pytest
+
+from kenlm_ray.model.arpa import parse_arpa
+from kenlm_ray.model.pack import pack_model
+from kenlm_ray.model.scorer import VectorLM
+from kenlm_ray.model.tune_loglinear import (
+    LN10,
+    Instances,
+    build_instances,
+    derivatives,
+    tune_weights_loglinear,
+)
+
+REF_ARPA = "/root/reference/lm/test.arpa"
+REF_NOUNK = "/root/reference/lm/test_nounk.arpa"
+
+
+def test_small_golden():
+    # tune_derivatives_test.cc Small: 3 words + <s>, two models, one
+    # instance, two sparse extensions
+    unigrams = np.log(
+        np.array([[0.1, 0.6], [0.4, 0.3], [0.5, 0.1], [1.0, 1.0]])
+    )
+    bos = 3
+    ln_backoffs = np.log(np.array([[0.2, 0.4]]))
+    model_1_word_1 = 1.0 - 0.6 * 0.4 - 0.1 * 0.4
+    model_0_word_2 = 1.0 - 0.1 * 0.2 - 0.4 * 0.2
+    neg_ln_correct = -np.log(np.array([0.4 * 0.2, model_1_word_1]))
+
+    inst = Instances(
+        ln_unigrams=unigrams,
+        ln_backoffs=ln_backoffs,
+        neg_ln_correct_sum=neg_ln_correct,
+        ext_instance=np.array([0, 0], dtype=np.uint32),
+        ext_word=np.array([1, 2], dtype=np.uint32),
+        ext_model=np.array([1, 0], dtype=np.uint32),
+        ext_ln_prob=np.array(
+            [math.log(model_1_word_1), math.log(model_0_word_2)]
+        ),
+        bos=bos,
+    )
+    weights = np.array([0.9, 1.2])
+    _, gradient, hessian = derivatives(inst, weights)
+
+    p_I = np.array(
+        [
+            (0.1 * 0.2) ** 0.9 * (0.6 * 0.4) ** 1.2,
+            (0.4 * 0.2) ** 0.9 * model_1_word_1 ** 1.2,
+            model_0_word_2 ** 0.9 * (0.1 * 0.4) ** 1.2,
+        ]
+    )
+    p_I /= p_I.sum()
+
+    eg0 = neg_ln_correct[0] + (
+        p_I[0] * math.log(0.1 * 0.2)
+        + p_I[1] * math.log(0.4 * 0.2)
+        + p_I[2] * math.log(model_0_word_2)
+    )
+    eg1 = neg_ln_correct[1] + (
+        p_I[0] * math.log(0.6 * 0.4)
+        + p_I[1] * math.log(model_1_word_1)
+        + p_I[2] * math.log(0.1 * 0.4)
+    )
+    assert gradient[0] == pytest.approx(eg0, rel=1e-4)
+    assert gradient[1] == pytest.approx(eg1, rel=1e-4)
+
+    eh10 = (
+        p_I[0] * math.log(0.1 * 0.2) * math.log(0.6 * 0.4)
+        + p_I[1] * math.log(0.4 * 0.2) * math.log(model_1_word_1)
+        + p_I[2] * math.log(model_0_word_2) * math.log(0.1 * 0.4)
+    ) - (
+        p_I[0] * math.log(0.1 * 0.2)
+        + p_I[1] * math.log(0.4 * 0.2)
+        + p_I[2] * math.log(model_0_word_2)
+    ) * (
+        p_I[0] * math.log(0.6 * 0.4)
+        + p_I[1] * math.log(model_1_word_1)
+        + p_I[2] * math.log(0.1 * 0.4)
+    )
+    assert hessian[1, 0] == pytest.approx(eh10, rel=1e-4)
+    assert hessian[0, 1] == pytest.approx(eh10, rel=1e-4)
+
+
+@pytest.fixture(scope="module")
+def two_arpas():
+    return [parse_arpa(REF_ARPA), parse_arpa(REF_NOUNK)]
+
+
+def test_instances_reconstruct_conditionals(two_arpas):
+    """The sparse encoding must reconstruct every model's exact
+    conditional: p_i(x | c) = exp(ln_uni[x,i] + ln_backoffs[n,i]) unless
+    an extension overrides it — cross-checked against the vectorized
+    backoff walk for every universal-vocab word on several instances."""
+    text = "looking on a little more loin\nconsider higher to look good"
+    inst = build_instances(two_arpas, text)
+    vlms = [
+        VectorLM(pack_model(a, quant_bits=None, backoff_bits=None))
+        for a in two_arpas
+    ]
+    # rebuild instance context list exactly as build_instances does
+    contexts = []
+    for line in text.split("\n"):
+        hist = ["<s>"]
+        for tok in line.split() + ["</s>"]:
+            contexts.append(tuple(hist))
+            hist.append(tok)
+    assert len(contexts) == inst.num_instances
+
+    rng = np.random.default_rng(7)
+    check_n = rng.choice(len(contexts), size=5, replace=False)
+    for n in check_n:
+        c = contexts[n]
+        mask = inst.ext_instance == n
+        ext = {
+            (int(w), int(m)): float(p)
+            for w, m, p in zip(
+                inst.ext_word[mask], inst.ext_model[mask], inst.ext_ln_prob[mask]
+            )
+        }
+        for i, vlm in enumerate(vlms):
+            order = vlm.model.order
+            cc = c[-(order - 1):]
+            # score every vocab word given this context via the walk
+            from kenlm_ray.model.tune_loglinear import _cond_ln
+
+            words = [w for w in inst.words if w != "<s>"]
+            truth = _cond_ln(vlm, cc, words)
+            for w, t in zip(words, truth):
+                x = inst.words.index(w)
+                enc = ext.get(
+                    (x, i), float(inst.ln_unigrams[x, i] + inst.ln_backoffs[n, i])
+                )
+                assert enc == pytest.approx(float(t), abs=2e-4), (n, i, w)
+
+
+def test_correct_sum_matches_full_scores(two_arpas):
+    text = "more loin\nconsider higher"
+    inst = build_instances(two_arpas, text)
+    for i, a in enumerate(two_arpas):
+        vlm = VectorLM(pack_model(a, quant_bits=None, backoff_bits=None))
+        total = sum(
+            vlm.score_text(line) for line in text.split("\n")
+        )
+        assert inst.neg_ln_correct_sum[i] == pytest.approx(
+            -total * LN10, rel=1e-6
+        )
+
+
+def test_newton_tuning_improves_objective(two_arpas):
+    text = (
+        "looking on a little more loin\n"
+        "in biarritz watching considering looking .\n"
+        "consider higher to look good"
+    )
+    inst = build_instances(two_arpas, text)
+    w, trace = tune_weights_loglinear(inst, iterations=6)
+    obj_final, _, _ = derivatives(inst, w)
+    # tuned perplexity beats the uniform start
+    assert obj_final < trace[0]
+    assert np.isfinite(w).all()
