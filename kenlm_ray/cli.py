@@ -34,6 +34,34 @@ def _ray_init():
     DataContext.get_current().enable_progress_bars = False
 
 
+def cmd_sizes(args) -> int:
+    """Memory estimate per binary model_type from an ARPA's counts —
+    build_binary's no-output mode (lm/sizes.cc ShowSizes)."""
+    from kenlm_ray.model.arpa import parse_arpa
+    from kenlm_ray.model.kenlm_binary import binary_size_estimates
+
+    arpa = parse_arpa(args.arpa)
+    counts = [len(arpa.grams.get(n, {})) for n in range(1, arpa.order + 1)]
+    est = binary_size_estimates(
+        counts,
+        probing_multiplier=args.probing_multiplier,
+        prob_bits=args.quant_bits or 8,
+        backoff_bits=args.backoff_bits or 8,
+    )
+    div, prefix = (1, "B")
+    for d, p in ((1 << 30, "GB"), (1 << 20, "MB"), (1 << 10, "kB")):
+        if min(est.values()) >= d * 10:
+            div, prefix = d, p
+            break
+    print(f"Memory estimate for binary LM ({prefix}):")
+    for k in (
+        "probing", "rest_probing", "trie", "quant_trie",
+        "array_trie", "quant_array_trie",
+    ):
+        print(f"  {k:18s} {est[k] // div}")
+    return 0
+
+
 def cmd_pack(args) -> int:
     from kenlm_ray.model.arpa import parse_arpa
     from kenlm_ray.model.pack import pack_model
@@ -537,6 +565,13 @@ def main(argv=None) -> int:
         help="binary layout (build_binary's probing/trie/q/a flags)",
     )
     sp.set_defaults(fn=cmd_pack)
+
+    sz = sub.add_parser("sizes")
+    sz.add_argument("arpa")
+    sz.add_argument("--probing-multiplier", type=float, default=1.5)
+    sz.add_argument("--quant-bits", type=int, default=8)
+    sz.add_argument("--backoff-bits", type=int, default=8)
+    sz.set_defaults(fn=cmd_sizes)
 
     sq = sub.add_parser("query")
     sq.add_argument("model")

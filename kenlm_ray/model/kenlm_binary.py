@@ -1147,6 +1147,79 @@ def _read_trie_binary(
     )
 
 
+def binary_size_estimates(
+    counts: "list[int]",
+    *,
+    probing_multiplier: float = 1.5,
+    prob_bits: int = 8,
+    backoff_bits: int = 8,
+    pointer_bhiksha_bits: int = 64,
+) -> "dict[str, int]":
+    """Search+vocab byte estimates per model_type from ARPA counts alone —
+    lm/sizes.cc ShowSizes / Model::Size transcribed (search_hashed.hh:
+    77-83 + 156-158, search_trie.hh:48-54, trie.cc:39-62, bhiksha.cc:
+    31-57, quantize.hh:142-147, vocab.cc:83-86 + 231-233)."""
+    order = len(counts)
+    V = int(counts[0])
+
+    def probing_size(uni_w: int, mid_w: int) -> int:
+        # ProbingVocabulary::Size: ALIGN8(8-byte header) + 12-byte entries
+        ret = 8 + _buckets(V, probing_multiplier) * 12
+        ret += (V + 1) * uni_w  # Unigram::Size (+1 hallucinated <unk>)
+        for n in range(1, order - 1):
+            ret += _buckets(int(counts[n]), probing_multiplier) * (8 + mid_w)
+        ret += _buckets(int(counts[-1]), probing_multiplier) * 12
+        return ret
+
+    def bhiksha_size(max_offset: int, max_next: int, array: bool) -> int:
+        if not array:
+            return 0
+        chop = _chop_bits(max_offset, max_next, pointer_bhiksha_bits)
+        req = _required_bits(max_next)
+        return 8 * (1 + ((max_next >> (req - chop)) + 1 if req else 1)) + 7
+
+    def bhiksha_inline(max_offset: int, max_next: int, array: bool) -> int:
+        req = _required_bits(max_next)
+        if not array:
+            return req
+        return req - _chop_bits(max_offset, max_next, pointer_bhiksha_bits)
+
+    def base_size(entries: int, max_vocab: int, remaining_bits: int) -> int:
+        total_bits = _required_bits(max_vocab) + remaining_bits
+        return ((1 + entries) * total_bits + 7) // 8 + 8
+
+    def trie_size(quant: bool, array: bool) -> int:
+        # SortedVocabulary + quant tables + 16-byte unigram (+2) + packed
+        # middles (bhiksha table + bit array) + packed longest
+        ret = 8 + 8 * V  # SortedVocabulary::Size
+        if quant:
+            longest_table = (1 << prob_bits) * 4
+            middle_table = (1 << backoff_bits) * 4 + longest_table
+            ret += (order - 2) * middle_table + longest_table + 8
+        ret += (V + 2) * 16  # trie unigram (weights + uint64 next)
+        mid_bits = (prob_bits + backoff_bits) if quant else 63
+        long_bits = prob_bits if quant else 31
+        for i in range(1, order - 1):
+            ret += bhiksha_size(int(counts[i]) + 1, int(counts[i + 1]), array)
+            ret += base_size(
+                int(counts[i]),
+                V,
+                mid_bits
+                + bhiksha_inline(int(counts[i]) + 1, int(counts[i + 1]), array),
+            )
+        ret += base_size(int(counts[-1]), V, long_bits)
+        return ret
+
+    return {
+        "probing": probing_size(8, 8),
+        "rest_probing": probing_size(12, 12),
+        "trie": trie_size(False, False),
+        "quant_trie": trie_size(True, False),
+        "array_trie": trie_size(False, True),
+        "quant_array_trie": trie_size(True, True),
+    }
+
+
 def is_kenlm_binary(path: str) -> bool:
     with open(path, "rb") as f:
         head = f.read(len(MAGIC))

@@ -255,3 +255,49 @@ def test_trie_variants_large_model_roundtrip(tmp_path):
         assert scores[(True, False)][t_i] == scores[(True, True)][t_i]
         # quantized: lossy but close (8-bit equal-count bins)
         assert abs(scores[(True, False)][t_i] - exact) < 0.5
+
+
+def test_binary_size_estimates(tmp_path):
+    """lm/sizes.cc ShowSizes analog: probing estimates are byte-exact
+    against the writers; trie estimates (pre-build, like the
+    reference's) land within 5%."""
+    import os
+
+    from kenlm_ray.model.arpa import parse_arpa
+    from kenlm_ray.model.kenlm_binary import (
+        _header_size,
+        binary_size_estimates,
+        write_kenlm_binary,
+        write_kenlm_binary_trie,
+    )
+
+    arpa = parse_arpa("/root/reference/lm/test.arpa")
+    counts = [len(arpa.grams.get(n, {})) for n in range(1, arpa.order + 1)]
+    est = binary_size_estimates(counts)
+    hdr = _header_size(arpa.order)
+
+    p = str(tmp_path / "p.binary")
+    write_kenlm_binary(arpa, p, include_vocab=False)
+    assert est["probing"] == os.path.getsize(p) - hdr
+    r = str(tmp_path / "r.binary")
+    write_kenlm_binary(arpa, r, include_vocab=False, rest_costs=True)
+    assert est["rest_probing"] == os.path.getsize(r) - hdr
+
+    for name, kw in [
+        ("trie", {}),
+        ("quant_trie", {"quantize": True}),
+        ("array_trie", {"bhiksha": "array"}),
+        ("quant_array_trie", {"quantize": True, "bhiksha": "array"}),
+    ]:
+        path = str(tmp_path / f"{name}.binary")
+        write_kenlm_binary_trie(arpa, path, include_vocab=False, **kw)
+        actual = os.path.getsize(path) - hdr
+        assert abs(est[name] - actual) / actual < 0.05, (name, est[name], actual)
+
+
+def test_cli_sizes(capsys):
+    from kenlm_ray.cli import main
+
+    assert main(["sizes", "/root/reference/lm/test.arpa"]) == 0
+    out = capsys.readouterr().out
+    assert "probing" in out and "quant_array_trie" in out
