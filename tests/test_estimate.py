@@ -177,3 +177,39 @@ def test_min_count_parity(ray_session):
             dp, db = dist.grams[n][g]
             assert np.isclose(dp, p, rtol=1e-8, atol=1e-9), (n, g, dp, p)
             assert np.isclose(db, b, rtol=1e-8, atol=1e-9), (n, g, db, b)
+
+
+def test_rest_costs_order3(both):
+    """rest_costs over an order-3 estimate (exercises the distributed
+    hash_join path for middle orders) against brute force: rest(g) =
+    max log10 prob over g and all its left extensions."""
+    from kenlm_ray.ngram.estimate import rest_costs
+
+    dist, _, result = both
+    rests = rest_costs(result, 3)
+
+    # brute-force closure max from the collected ArpaModel, top-down
+    brute_rest = {}
+    for ws, (p, _) in dist.grams[3].items():
+        brute_rest[(3, ws)] = p
+    for n in (2, 1):
+        for ws, (p, _) in dist.grams[n].items():
+            best = p
+            for (m, hs), r in brute_rest.items():
+                if m == n + 1 and hs[1:] == ws:
+                    best = max(best, r)
+            brute_rest[(n, ws)] = best
+
+    # order-2 distributed result
+    t2 = rests[2].to_pandas()
+    assert len(t2) == len(dist.grams[2])
+    for _, row in t2.iterrows():
+        g = (row["w1"], row["w2"])
+        assert row["rest"] == pytest.approx(brute_rest[(2, g)], abs=1e-9), g
+    # order-1 driver table
+    t1 = rests[1].to_pandas()
+    b1 = {ws[0]: r for (n, ws), r in brute_rest.items() if n == 1}
+    for _, row in t1.iterrows():
+        if row["w1"] == "<s>":
+            continue
+        assert row["rest"] == pytest.approx(b1[row["w1"]], abs=1e-9), row["w1"]
