@@ -1065,6 +1065,35 @@ def _q_mkn_pruned_bigram(sf_dir):
     return _round_arpa6(result["arpa_tables"][2])
 
 
+def _q_benchmark_contamination(sf_dir):
+    """Training-data decontamination: docs sharing any 5-gram with the
+    'benchmark' subset (doc_id % 97 == 0) — the GPT-3/PaLM-style
+    n-gram overlap check.  Benchmark gram hashes are broadcast (test
+    sets are the small side by construction); the corpus streams
+    through one map_batches with zero shuffles."""
+    import numpy as np
+    import pyarrow as pa
+
+    from kenlm_ray.ops.decontaminate import (
+        benchmark_ngram_hashes,
+        contamination_check,
+    )
+
+    def split(keep_bench):
+        def fn(t: "pa.Table") -> "pa.Table":
+            ids = t["doc_id"].to_numpy(zero_copy_only=False)
+            m = (ids % 97 == 0) == keep_bench
+            return t.filter(pa.array(m))
+
+        return fn
+
+    docs = _documents(sf_dir)
+    bench = docs.map_batches(split(True), batch_format="pyarrow")
+    hashes = benchmark_ngram_hashes(bench, n=5)
+    rest = docs.map_batches(split(False), batch_format="pyarrow")
+    return contamination_check(rest, hashes, n=5)
+
+
 def _q_unigram_rest_costs(sf_dir):
     """REST_MAX rest costs (lm/value_build.hh:35-63 MaxRestBuild) over
     the distributed MKN bigram model: rest(w) = max log10 prob over the
@@ -1208,6 +1237,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mkn_bigram_model": _q_mkn_bigram,
         "mkn_pruned_bigram": _q_mkn_pruned_bigram,
         "unigram_rest_costs": _q_unigram_rest_costs,
+        "benchmark_contamination": _q_benchmark_contamination,
         "returnflag_price_stats": _q_returnflag_price_stats,
         "order_priority_pivot": _q_order_priority_pivot,
         "latest_event_per_user": _q_latest_event_per_user,
@@ -1771,6 +1801,27 @@ def oracle_sql() -> dict[str, str]:
         "mkn_bigram_model": _mkn_bigram_sql(prune=False),
         "mkn_pruned_bigram": _mkn_bigram_sql(prune=True),
         "unigram_rest_costs": _mkn_bigram_sql(prune=False, tail="rest"),
+        "benchmark_contamination": f"""
+            WITH toks AS ({_TOKS}),
+            grams AS (
+                SELECT doc_id,
+                       w[i] || chr(31) || w[i+1] || chr(31) || w[i+2] ||
+                       chr(31) || w[i+3] || chr(31) || w[i+4] AS g
+                FROM toks, unnest(range(1, len(w) - 3)) AS u(i)
+            ),
+            bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0),
+            hits AS (
+                SELECT gr.doc_id, count(*)::BIGINT AS matched
+                FROM grams gr JOIN bench USING (g)
+                WHERE gr.doc_id % 97 <> 0
+                GROUP BY gr.doc_id
+            )
+            SELECT d.doc_id,
+                   coalesce(h.matched, 0)::BIGINT AS matched_ngrams,
+                   coalesce(h.matched, 0) >= 1 AS contaminated
+            FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+            WHERE d.doc_id % 97 <> 0
+        """,
         "returnflag_price_stats": """
             SELECT l_returnflag,
                    count(*)::BIGINT AS n,

@@ -408,6 +408,38 @@ def cmd_interpolate(args) -> int:
     return 0
 
 
+def cmd_decontaminate(args) -> int:
+    """Flag corpus docs sharing word n-grams with a benchmark/test-set
+    parquet (GPT-3/PaLM-style training-data decontamination)."""
+    _ray_init()
+    import ray.data
+
+    from kenlm_ray.ops.decontaminate import (
+        benchmark_ngram_hashes,
+        contamination_check,
+    )
+
+    bench = ray.data.read_parquet(args.benchmark, columns=[args.text_col])
+    hashes = benchmark_ngram_hashes(bench, n=args.ngram, text_col=args.text_col)
+    docs = ray.data.read_parquet(
+        args.corpus, columns=[args.id_col, args.text_col]
+    )
+    out = contamination_check(
+        docs,
+        hashes,
+        n=args.ngram,
+        text_col=args.text_col,
+        id_col=args.id_col,
+        threshold=args.threshold,
+    )
+    out.write_parquet(args.out)
+    print(
+        f"decontamination scan ({args.ngram}-grams, {len(hashes)} benchmark "
+        f"grams) -> {args.out}"
+    )
+    return 0
+
+
 def cmd_dedup(args) -> int:
     """Deduplicate a parquet corpus: exact content dedup, or emit
     near-duplicate pairs (minhash | simhash)."""
@@ -635,6 +667,16 @@ def main(argv=None) -> int:
     sd.add_argument("--max-hamming", type=int, default=3)
     sd.add_argument("--min-tokens", type=int, default=20)
     sd.set_defaults(fn=cmd_dedup)
+
+    sx = sub.add_parser("decontaminate")
+    sx.add_argument("corpus")
+    sx.add_argument("out")
+    sx.add_argument("--benchmark", required=True, help="benchmark parquet")
+    sx.add_argument("--ngram", type=int, default=8)
+    sx.add_argument("--threshold", type=int, default=1)
+    sx.add_argument("--text-col", default="content")
+    sx.add_argument("--id-col", default="doc_id")
+    sx.set_defaults(fn=cmd_decontaminate)
 
     sc = sub.add_parser("count")
     sc.add_argument("corpus")

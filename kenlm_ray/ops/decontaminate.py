@@ -1,0 +1,109 @@
+"""Benchmark-contamination detection (training-data decontamination).
+
+The standard LLM data-prep step (GPT-3 appendix C / PaLM-style n-gram
+decontamination): flag corpus documents sharing word n-grams with a
+held-out benchmark/test set so they can be dropped before training.
+
+100-TB shape: the benchmark side is test sets (MBs — the small side by
+construction), so its n-gram hash set is collected once, sorted, and
+broadcast via ``ray.put``; the corpus side streams through ONE
+``map_batches`` doing vectorized rolling-hash membership — zero
+shuffles, no joins, nothing corpus-sized ever leaves the workers.
+
+Tokenization matches ops/text ngram semantics (flat per-doc token
+sequence, newline = plain delimiter), so the whole operator is
+SQL-oracle-checkable via string n-gram joins.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+
+from kenlm_ray.functions.hashing import ngram_hash_step
+from kenlm_ray.functions.tokenize import tokenize_column
+
+
+def _window_hashes(
+    batch: pa.Table, n: int, text_col: str
+) -> "tuple[np.ndarray, np.ndarray, int]":
+    """(window hash u64, doc index of each window, n_docs) for every
+    in-document n-gram window of the batch."""
+    stream = tokenize_column(batch[text_col])
+    T = stream.n_tokens
+    n_docs = len(batch)
+    if T < n:
+        return (
+            np.empty(0, dtype=np.uint64),
+            np.empty(0, dtype=np.int64),
+            n_docs,
+        )
+    th = stream.hashes()  # murmur64 per token
+    doc = stream.doc_ids
+    h = ngram_hash_step(np.zeros(T, dtype=np.uint64), th)
+    for _ in range(n - 1):
+        h = ngram_hash_step(h[:-1], th[len(th) - len(h) + 1 :])
+    W = T - (n - 1)
+    valid = doc[n - 1 :] == doc[:W]
+    return h[valid], doc[:W][valid].astype(np.int64), n_docs
+
+
+def benchmark_ngram_hashes(
+    bench: "ray.data.Dataset", n: int = 8, text_col: str = "text"
+) -> np.ndarray:
+    """Sorted unique n-gram hashes of the benchmark set.
+
+    Distinct-ness is reduced per batch first; the driver holds only the
+    benchmark's unique grams (test sets are MBs — the documented small
+    side; for a corpus-sized side use the shuffle joins in ops/join)."""
+    parts = bench.map_batches(
+        lambda t, _n=n, _c=text_col: pa.table(
+            {"h": pa.array(np.unique(_window_hashes(t, _n, _c)[0]))}
+        ),
+        batch_format="pyarrow",
+    )
+    tables = [t for t in ray.get(parts.to_arrow_refs()) if t.num_rows]
+    if not tables:
+        return np.empty(0, dtype=np.uint64)
+    all_h = np.concatenate(
+        [t["h"].to_numpy(zero_copy_only=False) for t in tables]
+    ).astype(np.uint64)
+    return np.unique(all_h)
+
+
+def contamination_check(
+    docs: "ray.data.Dataset",
+    bench_hashes: np.ndarray,
+    *,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: int = 1,
+) -> "ray.data.Dataset":
+    """Per-document contamination stats against a broadcast benchmark
+    n-gram set: (id, matched_ngrams = matching window occurrences,
+    contaminated = matched >= threshold).  Every input doc appears in
+    the output (docs shorter than n grams score 0)."""
+    ref = ray.put(np.sort(np.asarray(bench_hashes, dtype=np.uint64)))
+
+    def flag(batch: pa.Table) -> pa.Table:
+        bh = ray.get(ref)
+        h, doc_of, n_docs = _window_hashes(batch, n, text_col)
+        if len(h) and len(bh):
+            idx = np.minimum(np.searchsorted(bh, h), len(bh) - 1)
+            hit = bh[idx] == h
+            matched = np.bincount(doc_of[hit], minlength=n_docs)
+        else:
+            matched = np.zeros(n_docs, dtype=np.int64)
+        matched = matched.astype(np.int64)
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "matched_ngrams": pa.array(matched),
+                "contaminated": pa.array(matched >= threshold),
+            }
+        )
+
+    return docs.map_batches(flag, batch_format="pyarrow")

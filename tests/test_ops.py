@@ -971,3 +971,52 @@ def test_dedup_keep_representatives_antijoin_fallback(ray_session):
     # value columns survive the anti-join untouched
     a = anti.sort_values("doc_id").reset_index(drop=True)
     assert (a["text"] == a["doc_id"].map(lambda i: f"doc {i}")).all()
+
+
+def test_contamination_check(ray_session):
+    import numpy as np
+    import ray.data
+
+    from kenlm_ray.ops.decontaminate import (
+        benchmark_ngram_hashes,
+        contamination_check,
+    )
+
+    bench = ray.data.from_items(
+        [{"doc_id": 0, "text": "the quick brown fox jumps over the lazy dog"}]
+    )
+    docs = ray.data.from_items(
+        [
+            # contains "quick brown fox" (3-gram hit, twice)
+            {"doc_id": 1, "text": "a quick brown fox and a quick brown fox"},
+            # no shared 3-gram
+            {"doc_id": 2, "text": "completely different words here entirely"},
+            # shorter than n
+            {"doc_id": 3, "text": "tiny doc"},
+            # empty
+            {"doc_id": 4, "text": ""},
+            # newline does not bridge a gram
+            {"doc_id": 5, "text": "the quick\nbrown fox jumps"},
+        ]
+    )
+    hashes = benchmark_ngram_hashes(bench, n=3)
+    out = {
+        r["doc_id"]: (r["matched_ngrams"], r["contaminated"])
+        for r in contamination_check(docs, hashes, n=3).take_all()
+    }
+    assert out[1] == (2, True)
+    assert out[2] == (0, False)
+    assert out[3] == (0, False)
+    assert out[4] == (0, False)
+    # "quick\nbrown fox jumps": flat tokens [the quick brown fox jumps]
+    # -> "quick brown fox" and "brown fox jumps" both hit (newline is a
+    # plain delimiter in this op's semantics, matching the SQL oracle)
+    assert out[5] == (3, True)
+
+    # empty benchmark: nothing contaminated
+    empty = benchmark_ngram_hashes(
+        ray.data.from_items([{"doc_id": 0, "text": "x"}]), n=3
+    )
+    assert len(empty) == 0
+    out2 = contamination_check(docs, empty, n=3).take_all()
+    assert all(not r["contaminated"] for r in out2)
