@@ -317,6 +317,11 @@ def cmd_train(args) -> int:
         ds, order=args.order, text_col=args.text_col, min_count=args.min_count,
         prune_thresholds=prune,
     )
+    if args.arpa_shards:
+        from kenlm_ray.model.arpa_sharded import write_arpa_sharded
+
+        write_arpa_sharded(result, args.arpa_shards)
+        print(f"sharded ARPA written to {args.arpa_shards}")
     save_model_buffer(args.out, result["arpa_tables"])
     print(f"model buffer written to {args.out}")
     return 0
@@ -616,6 +621,12 @@ def main(argv=None) -> int:
     st.add_argument("--order", type=int, default=3)
     st.add_argument("--text-col", default="content")
     st.add_argument("--min-count", type=int, default=1)
+    st.add_argument(
+        "--arpa-shards",
+        default=None,
+        help="also write a distributed sharded ARPA directory "
+        "(cat in name order = valid ARPA; model/arpa_sharded.py)",
+    )
     st.add_argument(
         "--prune", default=None,
         help="comma-separated per-order raw-count thresholds (lmplz --prune)",

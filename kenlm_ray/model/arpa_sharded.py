@@ -1,0 +1,142 @@
+"""Distributed sharded ARPA writer — the scale path for huge models.
+
+``to_arpa_model`` collects every gram onto the driver (fine for
+model-sized tables, impossible for web-scale LMs).  This writer keeps
+the tables distributed: each order's Dataset streams through
+``map_batches`` tasks that each append one text shard under a
+lexicographically-ordered filename, plus driver-written header /
+section-marker / footer fragments.  Concatenating the directory's
+files in name order (``cat $(ls out_dir/* | sort)``, or
+``assemble_arpa``) yields a byte-valid ARPA the reference loads —
+same line format as model/arpa.write_arpa (lm/common/print.cc shape:
+prob, tab, words, tab, backoff for orders below the top; ARPA does
+not require sorted entries within a section, and every reader here
+and in the reference accepts any order).
+
+Resumability: shards are written atomically (tmp + rename) and the
+sizes file is written LAST, so a killed run is detected by a missing
+``_sizes.json`` and simply re-run per order.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+
+
+def _fmt_lines(batch: pa.Table, n: int, top: bool) -> "list[str]":
+    wcols = [f"w{i+1}" for i in range(n)]
+    words = None
+    for c in wcols:
+        col = batch[c].cast(pa.string())
+        words = col if words is None else pc.binary_join_element_wise(
+            words, col, " "
+        )
+    prob = batch["log10_prob"].to_numpy(zero_copy_only=False)
+    lines = []
+    wpy = words.to_pylist()
+    if top:
+        for p, w in zip(prob, wpy):
+            lines.append(f"{p:.7g}\t{w}")
+    else:
+        bo = batch["log10_backoff"].to_numpy(zero_copy_only=False)
+        for p, w, b in zip(prob, wpy, bo):
+            lines.append(f"{p:.7g}\t{w}\t{b:.7g}")
+    return lines
+
+
+def write_arpa_sharded(result: dict, out_dir: str) -> str:
+    """Write an ``estimate_mkn`` result as an ordered shard directory.
+
+    Layout (names sort into ARPA order):
+      00_header            \\data\\ + ngram counts
+      10_<n>_open          \\n-grams: marker
+      10_<n>_s_<uuid>      gram lines (one file per map task)
+      10_<n>_z_close       blank section terminator
+      99_end               \\end\\
+      _sizes.json          per-order row counts (written last = commit)
+    """
+    os.makedirs(out_dir, exist_ok=True)
+    # a previous killed run leaves shards but no _sizes.json; stale
+    # shards would duplicate grams, so clear and restart the directory
+    sizes_path = os.path.join(out_dir, "_sizes.json")
+    if os.path.exists(sizes_path):
+        os.remove(sizes_path)
+    for f in os.listdir(out_dir):
+        if f[0].isdigit():
+            os.remove(os.path.join(out_dir, f))
+    tables = result["arpa_tables"]
+    order = max(tables)
+    sizes: "dict[int, int]" = {}
+
+    for n in range(1, order + 1):
+        t = tables[n]
+        top = n == order
+        if isinstance(t, pa.Table):
+            lines = _fmt_lines(t, n, top)
+            sizes[n] = len(lines)
+            _atomic_write(
+                os.path.join(out_dir, f"10_{n:02d}_s_driver"),
+                "\n".join(lines) + ("\n" if lines else ""),
+            )
+        else:
+
+            def shard_writer(batch: pa.Table, _n=n, _top=top) -> pa.Table:
+                lines = _fmt_lines(batch, _n, _top)
+                name = f"10_{_n:02d}_s_{uuid.uuid4().hex}"
+                _atomic_write(
+                    os.path.join(out_dir, name),
+                    "\n".join(lines) + ("\n" if lines else ""),
+                )
+                return pa.table(
+                    {"rows": pa.array([len(lines)], type=pa.int64())}
+                )
+
+            counts = t.map_batches(
+                shard_writer, batch_format="pyarrow"
+            ).take_all()
+            sizes[n] = int(sum(r["rows"] for r in counts))
+        _atomic_write(
+            os.path.join(out_dir, f"10_{n:02d}_a_open"), f"\\{n}-grams:\n"
+        )
+        _atomic_write(os.path.join(out_dir, f"10_{n:02d}_z_close"), "\n")
+
+    header = "\\data\\\n" + "".join(
+        f"ngram {n}={sizes[n]}\n" for n in range(1, order + 1)
+    ) + "\n"
+    _atomic_write(os.path.join(out_dir, "00_header"), header)
+    _atomic_write(os.path.join(out_dir, "99_end"), "\\end\\\n")
+    _atomic_write(
+        os.path.join(out_dir, "_sizes.json"),
+        json.dumps({str(k): v for k, v in sizes.items()}),
+    )
+    return out_dir
+
+
+def _atomic_write(path: str, text: str) -> None:
+    tmp = path + f".tmp{os.getpid()}"
+    with open(tmp, "w", encoding="utf-8") as f:
+        f.write(text)
+    os.replace(tmp, path)
+
+
+def assemble_arpa(shard_dir: str, out_path: str) -> str:
+    """Concatenate a shard directory (name order) into one ARPA file."""
+    if not os.path.exists(os.path.join(shard_dir, "_sizes.json")):
+        raise ValueError(f"{shard_dir} has no _sizes.json — incomplete run")
+    names = sorted(
+        f
+        for f in os.listdir(shard_dir)
+        if not f.startswith("_") and not f.endswith(".json")
+    )
+    with open(out_path, "w", encoding="utf-8") as out:
+        for name in names:
+            with open(os.path.join(shard_dir, name), encoding="utf-8") as f:
+                out.write(f.read())
+    return out_path

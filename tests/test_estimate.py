@@ -213,3 +213,33 @@ def test_rest_costs_order3(both):
         if row["w1"] == "<s>":
             continue
         assert row["rest"] == pytest.approx(b1[row["w1"]], abs=1e-9), row["w1"]
+
+
+def test_write_arpa_sharded_roundtrip(both, tmp_path):
+    """Distributed sharded ARPA write -> concatenate -> parse == the
+    driver-collected model (and the reference's parser shape)."""
+    from kenlm_ray.model.arpa import parse_arpa
+    from kenlm_ray.model.arpa_sharded import assemble_arpa, write_arpa_sharded
+
+    dist, _, result = both
+    d = str(tmp_path / "shards")
+    write_arpa_sharded(result, d)
+    path = str(tmp_path / "model.arpa")
+    assemble_arpa(d, path)
+    re = parse_arpa(path)
+    assert re.order == dist.order
+    for n in range(1, dist.order + 1):
+        assert set(re.grams[n]) == set(dist.grams[n]), n
+        for ws, (p, b) in dist.grams[n].items():
+            p2, b2 = re.grams[n][ws]
+            assert p2 == pytest.approx(p, abs=5e-7)
+            assert b2 == pytest.approx(b, abs=5e-7)
+
+    # scoring through the assembled file matches the collected model
+    from kenlm_ray.model.pack import pack_model
+    from kenlm_ray.model.scorer import VectorLM
+
+    a = VectorLM(pack_model(dist, quant_bits=None, backoff_bits=None))
+    b_ = VectorLM(pack_model(re, quant_bits=None, backoff_bits=None))
+    for line in CORPUS_LINES:
+        assert a.score_text(line) == pytest.approx(b_.score_text(line), abs=1e-5)
