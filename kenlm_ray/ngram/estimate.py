@@ -503,9 +503,12 @@ def initial_probs(
         gamma_ds = ray.data.from_items([{"gamma": gamma, "denom": denom}])
         return probs, gamma_ds
 
+    # materialize: ctx_agg feeds BOTH the prob join and the gamma map —
+    # lazy branching would run the groupby shuffle twice (context-sized
+    # table, the sanctioned reuse-intermediate case)
     ctx_agg = rows.groupby(ctx).aggregate(
         Sum("adjusted", alias_name="denom"), Sum("disc", alias_name="disc_mass")
-    )
+    ).materialize()
     id_keys = {k: pa.uint32() for k in keys}
     id_ctx = {k: pa.uint32() for k in ctx}
     left_cols = {**id_keys, "adjusted": pa.int64(), "disc": pa.float64()}
