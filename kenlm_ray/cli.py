@@ -387,10 +387,15 @@ def cmd_interpolate(args) -> int:
             " ".join(f"{x:.6f}" for x in w),
             f"(perplexity {trace[0]:.3f} -> {trace[-1]:.3f})",
         )
-        # downstream linear merge still needs a simplex point; renormalize
-        lam = [max(float(x), 0.0) for x in w]
-        s = sum(lam) or 1.0
-        lam = [x / s for x in lam]
+        # merge with the reference pipeline's actual semantics:
+        # normalized log-linear (merge_probabilities.cc + normalize.cc)
+        from kenlm_ray.model.merge_loglinear import merge_loglinear
+
+        merged = merge_loglinear(models, w)
+        with open(args.out, "w") as f:
+            f.write(write_arpa(merged))
+        print(f"log-linear merged {len(models)} models -> {args.out}")
+        return 0
     elif args.tune is not None:
         with open(args.tune) as f:
             heldout = [ln.strip() for ln in f if ln.strip()]

@@ -1,0 +1,169 @@
+"""Normalized log-linear model merging — the reference's ACTUAL
+interpolate pipeline semantics (lm/interpolate/merge_probabilities.cc
+computes per-gram Σ_i w_i ln p_i; normalize.cc renormalizes per
+context; backoff_reunification.cc rebuilds the backoff structure).
+The linear-mixture modules (model/interpolate*.py) implement the
+SRILM-style alternative; THIS one matches what `interpolate` ships.
+
+Math ("Normalized log-linear interpolation of backoff language models
+is efficient", the reference's own paper):
+
+  u(x|c)   = Π_i p_i(x|c)^{w_i}          (unnormalized; full backoff
+                                          conditional per model)
+  p(x|c)   = u(x|c) / Z(c)  for x in ext(c) (the union's explicit grams)
+  b(c)     = B(c) · Z(c') / Z(c)          (backoff of context c; c' is
+                                          c minus its leftmost word)
+  B(c)     = Π_i b_i(c)^{w_i}             (b_i = model i's single
+                                          backoff weight of c; 1 if
+                                          absent)
+  Z(c)     = Σ_{x∈ext(c)} u(x|c)
+           + B(c)·(Z(c') − Σ_{x∈ext(c)} u(x|c'))
+  Z(ε)     = Σ_x Π_i p_i(x)^{w_i}         over the union vocab
+
+computed bottom-up over contexts, giving an exactly-normalized ARPA.
+Model-sized driver computation, like the reference's streaming passes
+over model files (the corpus is never touched)."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+from kenlm_ray.model.arpa import ArpaModel
+
+LN10 = math.log(10.0)
+
+
+def merge_loglinear(arpas: "list[ArpaModel]", weights) -> ArpaModel:
+    """Merge N ArpaModels with log-linear weights into a normalized
+    backoff ArpaModel (same max order as the deepest input)."""
+    from kenlm_ray.model.pack import pack_model
+    from kenlm_ray.model.scorer import VectorLM
+
+    w = np.asarray(weights, dtype=np.float64)
+    M = len(arpas)
+    if M != len(w):
+        raise ValueError("one weight per model")
+    order = max(a.order for a in arpas)
+    vlms = [
+        VectorLM(pack_model(a, quant_bits=None, backoff_bits=None))
+        for a in arpas
+    ]
+    vocab_sets = [set(wd for (wd,) in a.grams[1]) for a in arpas]
+
+    # ---- union vocab (merge_vocab.cc role) --------------------------------
+    words: "list[str]" = []
+    index: "dict[str, int]" = {}
+    for a in arpas:
+        for (wd,) in a.grams[1]:
+            if wd not in index:
+                index[wd] = len(words)
+                words.append(wd)
+    for sp in ("<unk>", "<s>", "</s>"):
+        if sp not in index:
+            index[sp] = len(words)
+            words.append(sp)
+    V = len(words)
+
+    # ln u(x) over the union vocab (OOV in model i -> its <unk>)
+    ln_u1 = np.zeros(V, dtype=np.float64)
+    for i, a in enumerate(arpas):
+        unk = a.grams[1].get(("<unk>",), (-100.0, 0.0))[0]
+        col = np.full(V, unk * LN10)
+        for (wd,), (p, _) in a.grams[1].items():
+            col[index[wd]] = p * LN10
+        ln_u1 += w[i] * col
+    bos_ix = index["<s>"]
+    u1 = np.exp(ln_u1)
+    u1[bos_ix] = 0.0  # <s> is never predicted (read_arpa -99 convention)
+    Z_eps = float(u1.sum())
+
+    out = ArpaModel()
+    out.grams = {n: {} for n in range(1, order + 1)}
+
+    # unigrams; backoffs filled when each word appears as a context
+    for x, wd in enumerate(words):
+        p = -99.0 if x == bos_ix else math.log10(max(u1[x] / Z_eps, 1e-99))
+        out.grams[1][(wd,)] = (p, 0.0)
+
+    def canon(i: int, ctx: tuple) -> tuple:
+        return tuple(
+            t if (t in vocab_sets[i] or t in ("<s>", "</s>")) else "<unk>"
+            for t in ctx
+        )
+
+    def cond_u(ctx: tuple, xs: "list[str]") -> np.ndarray:
+        """ln u(x|ctx) = Σ_i w_i ln p_i(x|ctx), full backoff walk."""
+        from kenlm_ray.model.tune_loglinear import _cond_ln
+
+        tot = np.zeros(len(xs), dtype=np.float64)
+        for i in range(M):
+            tot += w[i] * _cond_ln(vlms[i], canon(i, ctx), xs)
+        return tot
+
+    def B_of(ctx: tuple) -> float:
+        """ln B(ctx) = Σ_i w_i ln b_i(ctx) (absent context -> b_i = 1)."""
+        s = 0.0
+        for i, a in enumerate(arpas):
+            c = canon(i, ctx)
+            n = len(c)
+            ent = a.grams.get(n, {}).get(c)
+            if ent is not None:
+                s += w[i] * ent[1] * LN10
+        return s
+
+    Z_levels: "dict[int, dict[tuple, float]]" = {0: {(): Z_eps}}
+
+    def Z_lookup(ctx: tuple) -> float:
+        """Z of a context; a context with no explicit extensions has
+        Z(c) = B(c)·Z(c') (the recursion with an empty ext sum)."""
+        if not ctx:
+            return Z_eps
+        lvl = Z_levels.get(len(ctx))
+        if lvl is not None and ctx in lvl:
+            return lvl[ctx]
+        return math.exp(B_of(ctx)) * Z_lookup(ctx[1:])
+
+    for n in range(2, order + 1):
+        # ext(c): union explicit n-grams grouped by their (n-1) context
+        by_ctx: "dict[tuple, set]" = {}
+        for a in arpas:
+            for ws in a.grams.get(n, {}):
+                by_ctx.setdefault(ws[:-1], set()).add(ws[-1])
+        Z_here: "dict[tuple, float]" = {}
+        for ctx, ext in by_ctx.items():
+            xs = sorted(ext)
+            u_full = np.exp(cond_u(ctx, xs))
+            u_low = np.exp(cond_u(ctx[1:], xs))
+            lnB = B_of(ctx)
+            B = math.exp(lnB)
+            Zc_low = Z_lookup(ctx[1:])
+            Z = float(u_full.sum() + B * max(Zc_low - u_low.sum(), 1e-99))
+            Z_here[ctx] = Z
+            for x, uf in zip(xs, u_full):
+                out.grams[n][ctx + (x,)] = (
+                    math.log10(max(uf / Z, 1e-99)),
+                    0.0,
+                )
+            # backoff lives on the context's OWN (n-1)-gram row
+            bo = lnB / LN10 + math.log10(Zc_low) - math.log10(Z)
+            key = ctx
+            if key in out.grams[n - 1]:
+                p_old, _ = out.grams[n - 1][key]
+                out.grams[n - 1][key] = (p_old, bo)
+            else:
+                # context exists in an input model but earned no union
+                # (n-1)-gram row: hallucinate it with its backed-off prob
+                # (read_arpa blank semantics keep readers happy)
+                lnp = float(cond_u(key[:-1], [key[-1]])[0])
+                Zk = Z_lookup(key[:-1])
+                out.grams[n - 1][key] = (
+                    math.log10(max(math.exp(lnp) / Zk, 1e-99)),
+                    bo,
+                )
+        # contexts at order n-1 that never extend keep backoff 0
+        Z_levels[n - 1] = Z_here
+
+    out.counts = [len(out.grams.get(n, {})) for n in range(1, order + 1)]
+    return out

@@ -1,0 +1,96 @@
+"""Normalized log-linear merge (the reference interpolate pipeline's
+actual semantics: merge_probabilities.cc + normalize.cc +
+backoff_reunification.cc).
+
+The strongest gate is the cross-implementation identity: the merged
+ARPA's held-out perplexity must equal the tune_derivatives objective at
+the same weights — two independent implementations of p_I(x|c) =
+Π p_i(x|c)^{w_i} / Z(c) (one builds a backoff model, one works from
+sparse instances) agreeing to float precision.
+"""
+
+import math
+
+import numpy as np
+import pytest
+
+from kenlm_ray.model.arpa import parse_arpa
+from kenlm_ray.model.merge_loglinear import merge_loglinear
+from kenlm_ray.model.pack import pack_model
+from kenlm_ray.model.scorer import VectorLM
+from kenlm_ray.model.train_quick import train_kn
+
+REF_ARPA = "/root/reference/lm/test.arpa"
+REF_NOUNK = "/root/reference/lm/test_nounk.arpa"
+
+
+def _trained_pair():
+    a = train_kn(
+        [s.split() for s in ["a b c a b", "b c d", "a c a", "d b a b c"]],
+        order=2,
+    )
+    b = train_kn(
+        [s.split() for s in ["c c a d", "a b b", "d d c a b", "b a"]],
+        order=2,
+    )
+    return a, b
+
+
+def _sum_over_vocab(vlm, merged, ctx_words):
+    """Σ_x p(x|ctx) over the merged model's unigram vocab (minus <s>)."""
+    vocab = [w for (w,) in merged.grams[1] if w != "<s>"]
+    from kenlm_ray.model.tune_loglinear import _cond_ln
+
+    lps = _cond_ln(vlm, tuple(ctx_words), vocab) / math.log(10.0)
+    return float(np.sum(10.0 ** lps))
+
+
+def test_normalizes_exactly():
+    a, b = _trained_pair()
+    merged = merge_loglinear([a, b], [0.6, 0.7])
+    vlm = VectorLM(pack_model(merged, quant_bits=None, backoff_bits=None))
+    for ctx in ([], ["a"], ["b"], ["<s>"], ["zzz-oov"], ["d"]):
+        s = _sum_over_vocab(vlm, merged, ctx)
+        assert s == pytest.approx(1.0, abs=1e-6), (ctx, s)
+
+
+def test_one_hot_recovers_input():
+    a, b = _trained_pair()
+    merged = merge_loglinear([a, b], [1.0, 0.0])
+    va = VectorLM(pack_model(a, quant_bits=None, backoff_bits=None))
+    vm = VectorLM(pack_model(merged, quant_bits=None, backoff_bits=None))
+    for text in ["a b c", "d b a", "c c a d b"]:
+        assert vm.score_text(text) == pytest.approx(
+            va.score_text(text), abs=1e-5
+        )
+
+
+def test_matches_tune_objective():
+    """Merged-ARPA perplexity == derivatives() objective at the same
+    weights (the two log-linear implementations cross-check)."""
+    from kenlm_ray.model.tune_loglinear import build_instances, derivatives
+
+    arpas = [parse_arpa(REF_ARPA), parse_arpa(REF_NOUNK)]
+    text = "looking on a little more loin\nconsider higher to look good"
+    w = np.array([0.55, 0.65])
+    inst = build_instances(arpas, text)
+    obj, _, _ = derivatives(inst, w)
+
+    merged = merge_loglinear(arpas, w)
+    vlm = VectorLM(pack_model(merged, quant_bits=None, backoff_bits=None))
+    lines = [ln for ln in text.split("\n") if ln.strip()]
+    lp = sum(vlm.score_text(ln) for ln in lines)
+    n_inst = inst.num_instances
+    ppl = 10.0 ** (-lp / n_inst)
+    assert ppl == pytest.approx(obj, rel=1e-3)
+
+
+def test_normalizes_on_reference_fixture():
+    """test.arpa is hand-made and NOT normalized; the merged model must
+    be exactly normalized anyway (normalize.cc's whole job)."""
+    arpas = [parse_arpa(REF_ARPA), parse_arpa(REF_NOUNK)]
+    merged = merge_loglinear(arpas, [0.5, 0.5])
+    vlm = VectorLM(pack_model(merged, quant_bits=None, backoff_bits=None))
+    for ctx in ([], ["looking"], ["on", "a"], ["<s>"]):
+        s = _sum_over_vocab(vlm, merged, ctx)
+        assert s == pytest.approx(1.0, abs=1e-4), (ctx, s)
