@@ -185,3 +185,107 @@ def test_pruned_training_normalizes(ray_session):
             nc = [w if (w,) in m.grams[1] else "<unk>" for w in ctx]
             total = sum(10 ** ref.score_word(nc, w) for w in vocab)
             assert abs(total - 1.0) < 1e-6, (trial, ctx, total, thresholds)
+
+
+# ---- model-level properties on random trained models ----------------------
+
+corpus_strategy = st.lists(
+    st.lists(
+        st.sampled_from(["a", "b", "c", "d", "e"]), min_size=1, max_size=7
+    ),
+    min_size=3,
+    max_size=12,
+)
+
+
+def _model(sents, order=3, rest=False):
+    from kenlm_ray.model.pack import pack_model
+    from kenlm_ray.model.scorer import VectorLM
+    from kenlm_ray.model.train_quick import train_kn
+
+    arpa = train_kn(sents, order=order)
+    return arpa, VectorLM(
+        pack_model(arpa, quant_bits=None, backoff_bits=None, rest_costs=rest)
+    )
+
+
+@settings(max_examples=40, deadline=None)
+@given(corpus_strategy, st.lists(st.sampled_from(["a", "b", "c", "d", "e", "zz"]), min_size=1, max_size=8), st.integers(0, 2**31 - 1))
+def test_chart_assembly_invariance(sents, words, seed):
+    """Any random bracketing of a fragment scores exactly like the
+    left-to-right terminal scan (left_test.cc's TEXT_TEST property)."""
+    from kenlm_ray.model.chart import RuleScore
+
+    _, vlm = _model(sents)
+    ids = [vlm.model.word_id(w) for w in words]
+
+    sc = RuleScore(vlm)
+    for w in ids:
+        sc.terminal(w)
+    _, expect = sc.finish()
+
+    rng = np.random.default_rng(seed)
+
+    def build(lo, hi):
+        if hi - lo == 1:
+            s = RuleScore(vlm)
+            s.terminal(ids[lo])
+            return s.finish()
+        cut = int(rng.integers(lo + 1, hi))
+        a = build(lo, cut)
+        b = build(cut, hi)
+        s = RuleScore(vlm)
+        s.non_terminal(*a)
+        s.non_terminal(*b)
+        return s.finish()
+
+    _, got = build(0, len(ids))
+    assert abs(got - expect) < 1e-6
+
+
+@settings(max_examples=25, deadline=None)
+@given(corpus_strategy)
+def test_rest_closure_property(sents):
+    """Stored REST_MAX rests equal the brute-force left-extension
+    closure max on estimated (hole-free) models."""
+    arpa, vlm = _model(sents, rest=True)
+    m = vlm.model
+    # brute force in word space
+    rest = {}
+    for n in range(m.order, 0, -1):
+        for ws, (p, _) in arpa.grams.get(n, {}).items():
+            best = p
+            for hs, r in rest.items():
+                if len(hs) == n + 1 and hs[1:] == ws:
+                    best = max(best, r)
+            rest[ws] = best
+    # check unigram rests through the model
+    for (w,), r in ((k, v) for k, v in rest.items() if len(k) == 1):
+        wid = m.word_id(w)
+        got = float(m.uni_rest[wid])
+        assert abs(got - r) < 1e-5, (w, got, r)
+
+
+@settings(max_examples=15, deadline=None)
+@given(corpus_strategy, corpus_strategy,
+       st.floats(0.1, 1.5), st.floats(0.1, 1.5))
+def test_loglinear_merge_normalizes(sa, sb, wa, wb):
+    """merge_loglinear output sums to exactly 1 per context on random
+    model pairs and weights."""
+    import math
+
+    from kenlm_ray.model.merge_loglinear import merge_loglinear
+    from kenlm_ray.model.pack import pack_model
+    from kenlm_ray.model.scorer import VectorLM
+    from kenlm_ray.model.train_quick import train_kn
+    from kenlm_ray.model.tune_loglinear import _cond_ln
+
+    a = train_kn(sa, order=2)
+    b = train_kn(sb, order=2)
+    merged = merge_loglinear([a, b], [wa, wb])
+    vlm = VectorLM(pack_model(merged, quant_bits=None, backoff_bits=None))
+    vocab = [w for (w,) in merged.grams[1] if w != "<s>"]
+    for ctx in ((), ("a",), ("<s>",), ("e", "b")):
+        lps = _cond_ln(vlm, ctx, vocab) / math.log(10.0)
+        s = float(np.sum(10.0 ** lps))
+        assert abs(s - 1.0) < 1e-6, (ctx, s)
