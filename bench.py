@@ -179,6 +179,7 @@ def run_queries() -> dict[str, float]:
         "purchase_clicks_1h",
         "normalized_dedup_groups",
         "dup_span_stats",
+        "benchmark_contamination",
         "ppl_score",
         "langid",
     ]
