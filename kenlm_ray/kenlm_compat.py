@@ -1,0 +1,198 @@
+"""Drop-in replacement for the reference's Python binding
+(/root/reference/python/kenlm.pyx): same classes, same methods, same
+semantics — ``import kenlm_ray.kenlm_compat as kenlm`` and existing
+kenlm-Python code runs unchanged.
+
+Covers: Model(path[, Config]) for .arpa / .arpa.gz / all six .binary
+model_types / packed .npz, ``score`` / ``perplexity`` /
+``full_scores`` (generator, (prob, ngram_length, oov) triples summing
+to ``score`` — python/example.py's invariant), the stateful
+BeginSentenceWrite / NullContextWrite / BaseScore / BaseFullScore API
+with copyable, comparable State objects, ``word in model`` vocab
+membership, pickling by path (``__reduce__``), and the
+``LanguageModel`` alias.
+
+One documented divergence: State equality compares the full context
+window (up to order-1 word ids), where the reference truncates to the
+minimal recombination state (state.hh ValidLength); scores are
+identical, recombination keys are merely finer-grained here.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+
+class FullScoreReturn:
+    """(log_prob, ngram_length, oov) triple (kenlm.pyx:11-42)."""
+
+    __slots__ = ("log_prob", "ngram_length", "oov")
+
+    def __init__(self, log_prob, ngram_length, oov):
+        self.log_prob = float(log_prob)
+        self.ngram_length = int(ngram_length)
+        self.oov = bool(oov)
+
+    def __repr__(self):
+        return "{0}({1}, {2}, {3})".format(
+            self.__class__.__name__, self.log_prob, self.ngram_length, self.oov
+        )
+
+
+class State:
+    """Mutable scoring state (kenlm.pyx:44-91): context word ids."""
+
+    __slots__ = ("_ids",)
+
+    def __init__(self):
+        self._ids: tuple = ()
+
+    def __eq__(self, other):
+        return isinstance(other, State) and self._ids == other._ids
+
+    def __ne__(self, other):
+        return not self.__eq__(other)
+
+    def __hash__(self):
+        return hash(self._ids)
+
+    def __copy__(self):
+        s = State()
+        s._ids = self._ids
+        return s
+
+    def __deepcopy__(self, memo=None):
+        return self.__copy__()
+
+
+class Config:
+    """Accepted-and-ignored knobs (kenlm.pyx:93-118 exposes mmap/progress
+    options that have no analog without mmap)."""
+
+    load_method = None
+    show_progress = False
+    arpa_complain = None
+
+
+class Model:
+    """kenlm.Model-compatible scorer over VectorLM (kenlm.pyx:121-280)."""
+
+    def __init__(self, path, config: "Config | None" = None):
+        from kenlm_ray.model.arpa import parse_arpa
+        from kenlm_ray.model.kenlm_binary import is_kenlm_binary, read_kenlm_binary
+        from kenlm_ray.model.pack import PackedModel, pack_model
+        from kenlm_ray.model.scorer import VectorLM
+
+        self.path = os.path.abspath(path)
+        if is_kenlm_binary(self.path):
+            packed = read_kenlm_binary(self.path)
+        elif self.path.endswith(".npz"):
+            packed = PackedModel.load(self.path)
+        else:
+            packed = pack_model(
+                parse_arpa(self.path), quant_bits=None, backoff_bits=None
+            )
+        self._vlm = VectorLM(packed)
+        self._m = packed
+
+    @property
+    def order(self) -> int:
+        return self._m.order
+
+    # -- sentence-level API --------------------------------------------------
+    def score(self, sentence, bos=True, eos=True) -> float:
+        """log10 p(sentence [</s>] | [<s>]) — kenlm.pyx:153-207."""
+        from kenlm_ray.functions.tokenize import tokenize_texts
+
+        stream = tokenize_texts([_as_text(sentence)])
+        if stream.n_tokens == 0:
+            if not eos:
+                return 0.0
+            # empty sentence: just p(</s> | [<s>])
+            st, out = State(), State()
+            if bos:
+                self.BeginSentenceWrite(st)
+            return self.BaseScore(st, "</s>", out)
+        ids, _ = self._vlm.ids_for(stream)
+        lp, _, _, _ = self._vlm.score_sentences(
+            ids, stream.sent_ids, bos=bos, eos=eos
+        )
+        return float(lp.sum())
+
+    def perplexity(self, sentence) -> float:
+        words = len(_as_text(sentence).split()) + 1  # for </s>
+        return 10.0 ** (-self.score(sentence) / words)
+
+    def full_scores(self, sentence, bos=True, eos=True):
+        """Generator of (prob, ngram_length, oov) per word [+ </s>]."""
+        for trip in self._vlm.full_scores(
+            _as_text(sentence), bos=bos, eos=eos
+        ):
+            yield trip
+
+    # -- stateful API --------------------------------------------------------
+    def BeginSentenceWrite(self, state: State) -> None:
+        state._ids = (np.uint32(self._m.bos_id),)
+
+    def NullContextWrite(self, state: State) -> None:
+        state._ids = ()
+
+    def _base(self, in_state: State, word) -> "tuple[float, int, bool]":
+        wid = self._word_id(word)
+        ctx = in_state._ids[-(self._m.order - 1):]
+        row = np.array([list(ctx) + [wid]], dtype=np.uint32)
+        lp, _, _, mlen = self._vlm.score_sentences(
+            row.reshape(-1),
+            np.zeros(row.size, dtype=np.int64),
+            bos=False,
+            eos=False,
+        )
+        return float(lp[-1]), int(mlen[-1]), wid == 0
+
+    def BaseScore(self, in_state: State, word, out_state: State) -> float:
+        p, _, _ = self._base(in_state, word)
+        wid = self._word_id(word)
+        out_state._ids = (in_state._ids + (np.uint32(wid),))[
+            -(self._m.order - 1):
+        ]
+        return p
+
+    def BaseFullScore(
+        self, in_state: State, word, out_state: State
+    ) -> FullScoreReturn:
+        p, n, oov = self._base(in_state, word)
+        wid = self._word_id(word)
+        out_state._ids = (in_state._ids + (np.uint32(wid),))[
+            -(self._m.order - 1):
+        ]
+        return FullScoreReturn(p, n, oov)
+
+    # -- vocab ---------------------------------------------------------------
+    def _word_id(self, word) -> int:
+        w = _as_text(word)
+        if w == "<s>":
+            return int(self._m.bos_id)
+        if w == "</s>":
+            return int(self._m.eos_id)
+        return int(self._m.word_id(w))
+
+    def __contains__(self, word) -> bool:
+        return self._m.word_id(_as_text(word)) != 0
+
+    def __repr__(self):
+        return "<Model from {0}>".format(os.path.basename(self.path))
+
+    def __reduce__(self):
+        return (Model, (self.path,))
+
+
+class LanguageModel(Model):
+    """Backwards compatability stub.  Use Model."""
+
+
+def _as_text(data) -> str:
+    if isinstance(data, bytes):
+        return data.decode("utf-8")
+    return str(data)

@@ -1,0 +1,127 @@
+"""Drop-in Python-binding compatibility: /root/reference/python/
+example.py transcribed verbatim against kenlm_ray.kenlm_compat, plus
+cross-checks against the reference's own fixtures and binary formats.
+"""
+
+import copy
+import pickle
+
+import pytest
+
+import kenlm_ray.kenlm_compat as kenlm
+
+LM = "/root/reference/lm/test.arpa"
+
+
+@pytest.fixture(scope="module")
+def model():
+    return kenlm.LanguageModel(LM)
+
+
+def test_example_py_flow(model):
+    # python/example.py, line for line
+    assert model.order == 5
+
+    sentence = "language modeling is fun ."
+
+    def score(s):
+        return sum(prob for prob, _, _ in model.full_scores(s))
+
+    assert abs(score(sentence) - model.score(sentence)) < 1e-3
+
+    words = ["<s>"] + sentence.split() + ["</s>"]
+    oovs = [w for w in words if w not in model]
+    # "language", "modeling", "fun" are not in test.arpa's vocab; <s> IS
+    assert "language" in oovs and "modeling" in oovs
+
+    state = kenlm.State()
+    state2 = kenlm.State()
+    model.BeginSentenceWrite(state)
+    accum = 0.0
+    accum += model.BaseScore(state, "a", state2)
+    accum += model.BaseScore(state2, "sentence", state)
+    assert abs(accum - model.score("a sentence", eos=False)) < 1e-3
+    accum += model.BaseScore(state, "</s>", state2)
+    assert abs(accum - model.score("a sentence")) < 1e-3
+
+
+def test_score_flags_match_vectorlm(model):
+    from kenlm_ray.model.arpa import parse_arpa
+    from kenlm_ray.model.pack import pack_model
+    from kenlm_ray.model.scorer import VectorLM
+
+    vlm = VectorLM(pack_model(parse_arpa(LM), quant_bits=None, backoff_bits=None))
+    for text in ["looking on a little", "consider higher to look good", ""]:
+        for bos in (True, False):
+            for eos in (True, False):
+                if not text and not eos:
+                    continue
+                got = model.score(text, bos=bos, eos=eos)
+                stream_total = sum(
+                    p for p, _, _ in vlm.full_scores(text, bos=bos, eos=eos)
+                ) if text else got
+                assert got == pytest.approx(stream_total, abs=1e-4)
+
+
+def test_perplexity(model):
+    s = "looking on a little more loin"
+    w = len(s.split()) + 1
+    assert model.perplexity(s) == pytest.approx(
+        10.0 ** (-model.score(s) / w), rel=1e-9
+    )
+
+
+def test_full_scores_golden(model):
+    # model_test.cc Starters: p(looking | <s>) = -0.4846522, 2-gram match
+    prob, length, oov = next(iter(model.full_scores("looking", eos=False)))
+    assert prob == pytest.approx(-0.4846522, abs=1e-4)
+    assert length == 2
+    assert not oov
+
+
+def test_state_semantics(model):
+    a, b = kenlm.State(), kenlm.State()
+    model.BeginSentenceWrite(a)
+    model.BeginSentenceWrite(b)
+    assert a == b and hash(a) == hash(b)
+    model.NullContextWrite(b)
+    assert a != b
+    c = copy.copy(a)
+    assert c == a
+    out = kenlm.State()
+    model.BaseScore(a, "looking", out)
+    assert out != a
+    ret = model.BaseFullScore(a, "looking", out)
+    assert isinstance(ret, kenlm.FullScoreReturn)
+    assert ret.log_prob == pytest.approx(-0.4846522, abs=1e-4)
+    assert ret.ngram_length == 2
+    oov_ret = model.BaseFullScore(a, "zzz-not-here", out)
+    assert oov_ret.oov
+
+
+def test_pickle_and_repr(model):
+    m2 = pickle.loads(pickle.dumps(model))
+    assert m2.score("a sentence") == pytest.approx(model.score("a sentence"))
+    assert "test.arpa" in repr(model)
+
+
+def test_binary_formats_load(tmp_path):
+    from kenlm_ray.model.arpa import parse_arpa
+    from kenlm_ray.model.kenlm_binary import (
+        write_kenlm_binary,
+        write_kenlm_binary_trie,
+    )
+
+    arpa = parse_arpa(LM)
+    ref = kenlm.Model(LM)
+    for name, writer in [
+        ("p.binary", lambda p: write_kenlm_binary(arpa, p)),
+        ("r.binary", lambda p: write_kenlm_binary(arpa, p, rest_costs=True)),
+        ("t.binary", lambda p: write_kenlm_binary_trie(arpa, p)),
+    ]:
+        path = str(tmp_path / name)
+        writer(path)
+        m = kenlm.Model(path)
+        assert m.score("a sentence") == pytest.approx(
+            ref.score("a sentence"), abs=1e-4
+        )
