@@ -1094,6 +1094,35 @@ def _q_benchmark_contamination(sf_dir):
     return contamination_check(rest, hashes, n=5)
 
 
+def _q_bpe_merges(sf_dir):
+    """BPE tokenizer training: one distributed word-count pass + driver
+    merge learning on the vocab-sized table (ops/bpe.py); deterministic
+    (count-then-lexicographic tie-break).  Rows-only: the greedy merge
+    loop is not SQL-expressible."""
+    import pyarrow as pa
+
+    from kenlm_ray.ops.bpe import bpe_train
+
+    merges = bpe_train(_documents(sf_dir), num_merges=100)
+    return pa.table(
+        {
+            "rank": pa.array(range(len(merges)), type=pa.int64()),
+            "left": pa.array([a for a, _ in merges]),
+            "right": pa.array([b for _, b in merges]),
+        }
+    )
+
+
+def _q_bpe_doc_tokens(sf_dir):
+    """Per-document BPE token counts under the learned merges (broadcast
+    ranks, per-batch distinct-word segmentation cache)."""
+    from kenlm_ray.ops.bpe import bpe_apply, bpe_train
+
+    docs = _documents(sf_dir)
+    merges = bpe_train(docs, num_merges=100)
+    return bpe_apply(docs, merges)
+
+
 def _q_unigram_rest_costs(sf_dir):
     """REST_MAX rest costs (lm/value_build.hh:35-63 MaxRestBuild) over
     the distributed MKN bigram model: rest(w) = max log10 prob over the
@@ -1238,6 +1267,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mkn_pruned_bigram": _q_mkn_pruned_bigram,
         "unigram_rest_costs": _q_unigram_rest_costs,
         "benchmark_contamination": _q_benchmark_contamination,
+        "bpe_learned_merges": _q_bpe_merges,
+        "bpe_doc_token_counts": _q_bpe_doc_tokens,
         "returnflag_price_stats": _q_returnflag_price_stats,
         "order_priority_pivot": _q_order_priority_pivot,
         "latest_event_per_user": _q_latest_event_per_user,

@@ -1,0 +1,183 @@
+"""BPE tokenizer training + application (Sennrich et al. 2016) —
+the learn-merges / apply-merges pair every LLM data pipeline needs
+next to token counting.
+
+100-TB shape: merge learning operates on the WORD-FREQUENCY TABLE,
+not the corpus (the classic algorithm's own structure — subword-nmt's
+learn_bpe reads a vocab dict), so the corpus contributes exactly one
+distributed count pass; the driver then learns merges over the
+vocab-sized table (the same driver-manageable-vocab assumption as
+ngram/estimate).  Application broadcasts the merge ranks once and
+segments each batch with a per-distinct-word cache — corpus-sized work
+stays in map_batches, zero shuffles beyond the word count.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+
+from kenlm_ray.functions.tokenize import tokenize_column
+
+END = "</w>"
+
+
+def word_frequencies(
+    ds: "ray.data.Dataset", text_col: str = "text"
+) -> "dict[str, int]":
+    """Distributed word-count pass → driver dict (vocab-sized)."""
+    def partial(batch: pa.Table) -> pa.Table:
+        stream = tokenize_column(batch[text_col])
+        t = pa.table(
+            {
+                "w": stream.to_arrow()
+                if stream.n_tokens
+                else pa.array([], type=pa.string()),
+                "c": pa.array(np.ones(stream.n_tokens, dtype=np.int64)),
+            }
+        )
+        return t.group_by("w").aggregate([("c", "sum")])
+
+    from ray.data.aggregate import Sum
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("w")
+        .aggregate(Sum("c_sum", alias_name="count"))
+    )
+    out: "dict[str, int]" = {}
+    for t in ray.get(agg.to_arrow_refs()):
+        for w, c in zip(t["w"].to_pylist(), t["count"].to_pylist()):
+            out[w] = int(c)
+    return out
+
+
+def learn_bpe(
+    word_freqs: "dict[str, int]", num_merges: int
+) -> "list[tuple[str, str]]":
+    """Greedy merge learning on the frequency table (the reference
+    algorithm: repeatedly merge the most frequent adjacent symbol pair;
+    ties broken lexicographically for determinism)."""
+    vocab = {
+        tuple(w) + (END,): c for w, c in word_freqs.items() if w
+    }
+    merges: "list[tuple[str, str]]" = []
+    # pair counts + which words contain each pair (incremental updates)
+    pair_count: "dict[tuple[str, str], int]" = {}
+    where: "dict[tuple[str, str], set]" = {}
+    for w, c in vocab.items():
+        for a, b in zip(w, w[1:]):
+            pair_count[(a, b)] = pair_count.get((a, b), 0) + c
+            where.setdefault((a, b), set()).add(w)
+    words = dict(vocab)
+    for _ in range(num_merges):
+        if not pair_count:
+            break
+        best = max(pair_count.items(), key=lambda kv: (kv[1], kv[0][0], kv[0][1]))
+        (a, b), cnt = best
+        if cnt <= 0:
+            break
+        merges.append((a, b))
+        new_sym = a + b
+        affected = list(where.get((a, b), ()))
+        for w in affected:
+            c = words.pop(w, None)
+            if c is None:
+                continue
+            # remove old pair contributions
+            for x, y in zip(w, w[1:]):
+                pair_count[(x, y)] -= c
+                if pair_count[(x, y)] <= 0:
+                    pair_count.pop((x, y), None)
+                s = where.get((x, y))
+                if s is not None:
+                    s.discard(w)
+            # apply the merge within the word
+            out = []
+            i = 0
+            while i < len(w):
+                if i < len(w) - 1 and w[i] == a and w[i + 1] == b:
+                    out.append(new_sym)
+                    i += 2
+                else:
+                    out.append(w[i])
+                    i += 1
+            nw = tuple(out)
+            words[nw] = words.get(nw, 0) + c
+            for x, y in zip(nw, nw[1:]):
+                pair_count[(x, y)] = pair_count.get((x, y), 0) + c
+                where.setdefault((x, y), set()).add(nw)
+        pair_count.pop((a, b), None)
+        where.pop((a, b), None)
+    return merges
+
+
+def segment_word(word: str, ranks: "dict[tuple[str, str], int]") -> "list[str]":
+    """Apply merges to one word by ascending rank (canonical BPE apply)."""
+    syms = list(word) + [END]
+    while len(syms) > 1:
+        best_rank, best_i = None, -1
+        for i in range(len(syms) - 1):
+            r = ranks.get((syms[i], syms[i + 1]))
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best_i = r, i
+        if best_rank is None:
+            break
+        syms[best_i : best_i + 2] = [syms[best_i] + syms[best_i + 1]]
+    return syms
+
+
+def bpe_apply(
+    ds: "ray.data.Dataset",
+    merges: "list[tuple[str, str]]",
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> "ray.data.Dataset":
+    """Per-document BPE token counts: (id, n_words, n_bpe_tokens).
+
+    Merge ranks are broadcast once; each batch segments only its
+    DISTINCT words and joins counts back (corpora repeat words — the
+    per-batch cache is the vectorization that matters)."""
+    ranks_ref = ray.put({p: i for i, p in enumerate(merges)})
+
+    def seg(batch: pa.Table) -> pa.Table:
+        ranks = ray.get(ranks_ref)
+        stream = tokenize_column(batch[text_col])
+        n_docs = len(batch)
+        if stream.n_tokens == 0:
+            z = np.zeros(n_docs, dtype=np.int64)
+            return pa.table(
+                {id_col: batch[id_col], "n_words": pa.array(z),
+                 "n_bpe_tokens": pa.array(z.copy())}
+            )
+        toks = stream.to_arrow()
+        uniq, inverse = np.unique(
+            np.asarray(toks.to_pylist(), dtype=object), return_inverse=True
+        )
+        pieces = np.array(
+            [len(segment_word(w, ranks)) for w in uniq], dtype=np.int64
+        )
+        per_tok = pieces[inverse]
+        n_words = np.bincount(stream.doc_ids, minlength=n_docs).astype(np.int64)
+        n_bpe = np.bincount(
+            stream.doc_ids, weights=per_tok, minlength=n_docs
+        ).astype(np.int64)
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "n_words": pa.array(n_words),
+                "n_bpe_tokens": pa.array(n_bpe),
+            }
+        )
+
+    return ds.map_batches(seg, batch_format="pyarrow")
+
+
+def bpe_train(
+    ds: "ray.data.Dataset", num_merges: int = 200, text_col: str = "text"
+) -> "list[tuple[str, str]]":
+    """One distributed count pass + driver merge learning."""
+    return learn_bpe(word_frequencies(ds, text_col), num_merges)

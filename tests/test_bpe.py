@@ -1,0 +1,106 @@
+"""BPE training/application: the incremental pair-count learner against
+a naive reference implementation, plus segmentation invariants."""
+
+import numpy as np
+import pytest
+
+from kenlm_ray.ops.bpe import (
+    END,
+    bpe_apply,
+    bpe_train,
+    learn_bpe,
+    segment_word,
+)
+
+
+def naive_learn(word_freqs, num_merges):
+    """O(V·merges) textbook implementation (recount every iteration)."""
+    vocab = {tuple(w) + (END,): c for w, c in word_freqs.items() if w}
+    merges = []
+    for _ in range(num_merges):
+        pairs = {}
+        for w, c in vocab.items():
+            for a, b in zip(w, w[1:]):
+                pairs[(a, b)] = pairs.get((a, b), 0) + c
+        if not pairs:
+            break
+        best = max(pairs.items(), key=lambda kv: (kv[1], kv[0][0], kv[0][1]))
+        (a, b), cnt = best
+        if cnt <= 0:
+            break
+        merges.append((a, b))
+        new_vocab = {}
+        for w, c in vocab.items():
+            out, i = [], 0
+            while i < len(w):
+                if i < len(w) - 1 and w[i] == a and w[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(w[i])
+                    i += 1
+            nw = tuple(out)
+            new_vocab[nw] = new_vocab.get(nw, 0) + c
+        vocab = new_vocab
+    return merges
+
+
+def test_incremental_matches_naive():
+    freqs = {"low": 5, "lower": 2, "newest": 6, "widest": 3}
+    assert learn_bpe(freqs, 10) == naive_learn(freqs, 10)
+
+
+def test_incremental_matches_naive_random():
+    rng = np.random.default_rng(3)
+    alphabet = list("abcdef")
+    for trial in range(5):
+        words = {
+            "".join(rng.choice(alphabet, size=rng.integers(1, 7))): int(
+                rng.integers(1, 20)
+            )
+            for _ in range(30)
+        }
+        assert learn_bpe(words, 25) == naive_learn(words, 25), trial
+
+
+def test_segment_word_roundtrip():
+    freqs = {"hello": 10, "help": 5, "hold": 3}
+    merges = learn_bpe(freqs, 20)
+    ranks = {p: i for i, p in enumerate(merges)}
+    for w in freqs:
+        segs = segment_word(w, ranks)
+        assert "".join(segs) == w + END
+        # with 20 merges over 3 words everything collapses to one token
+        assert len(segs) == 1, (w, segs)
+    # unseen word still segments losslessly
+    segs = segment_word("heck", ranks)
+    assert "".join(segs) == "heck" + END
+
+
+def test_bpe_train_and_apply(ray_session):
+    import ray.data
+
+    docs = ray.data.from_items(
+        [
+            {"doc_id": 0, "text": "low low low lower newest"},
+            {"doc_id": 1, "text": "widest newest newest"},
+            {"doc_id": 2, "text": ""},
+        ]
+    )
+    merges = bpe_train(docs, num_merges=30)
+    assert len(merges) > 0
+    out = {
+        r["doc_id"]: (r["n_words"], r["n_bpe_tokens"])
+        for r in bpe_apply(docs, merges).take_all()
+    }
+    # fully merged training vocab: every word is one BPE token
+    assert out[0] == (5, 5)
+    assert out[1] == (3, 3)
+    assert out[2] == (0, 0)
+
+    # with NO merges every word costs len(word)+1 symbols
+    out0 = {
+        r["doc_id"]: r["n_bpe_tokens"]
+        for r in bpe_apply(docs, []).take_all()
+    }
+    assert out0[1] == sum(len(w) + 1 for w in "widest newest newest".split())
