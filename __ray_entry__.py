@@ -258,6 +258,37 @@ def _q_langid(sf_dir):
     )
 
 
+def _q_classifier_lang(sf_dir):
+    """Train the fastText-style classifier DISTRIBUTED (full-batch
+    Adagrad over gradient partials) on the deterministic seed-derived
+    labeled corpus, then score the documents table with the actor-pool
+    inference stage.  (The testdata's lang column is near-independent
+    of its word-salad text — a linear model tops out ~58% on it — so
+    training labels come from the seed corpus whose labels the text
+    does determine.)  Rows-only check (iterative training is not
+    SQL-expressible); test_classifier.py gates gradient parity,
+    convergence, and partitioning invariance."""
+    import ray
+    import ray.data
+
+    from kenlm_ray.ops.classifier import (
+        ClassifierScore,
+        seed_labeled_corpus,
+        train_text_classifier,
+    )
+
+    train = ray.data.from_items(seed_labeled_corpus(60)).repartition(4)
+    model = train_text_classifier(
+        train, "text", "label", n_features=4096, n_iter=20, lr=5.0
+    )
+    return _documents(sf_dir).map_batches(
+        ClassifierScore,
+        fn_constructor_kwargs={"model": ray.put(model), "text_col": "text"},
+        batch_format="pyarrow",
+        concurrency=(1, 2),
+    ).select_columns(["doc_id", "clf_label", "clf_conf"])
+
+
 def _q_minhash_pairs(sf_dir):
     from kenlm_ray.ops.dedup import minhash_lsh_pairs
 
@@ -1294,6 +1325,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repo_quality_stats": _q_repo_stats,
         "ppl_score": _q_ppl_score,
         "langid": _q_langid,
+        "classifier_lang_predictions": _q_classifier_lang,
         "minhash_near_dup_pairs": _q_minhash_pairs,
         "simhash_fingerprints": _q_simhash,
         "simhash_near_dup_pairs": _q_simhash_pairs,

@@ -1,0 +1,395 @@
+"""fastText-style supervised text classifier, trained distributed.
+
+Architecture follows fastText's supervised mode (Joulin et al. 2016,
+"Bag of Tricks for Efficient Text Classification"): hashed character
+n-gram counts -> count-normalized feature vector -> linear layer ->
+softmax.  The fixed-weight langid stage (stages/langid.py) is the
+inference-only cousin; this module adds TRAINING, as a distributed
+full-batch gradient-descent loop with the same MapReduce shape as
+ops/cluster.kmeans_fit:
+
+  per iteration: weights broadcast once via ``ray.put``; every batch
+  computes its dense (L, F) gradient partial with one bincount per
+  class over the flat trigram-occurrence stream and emits it as
+  (idx, val) rows (idx = l*F + f, plus sentinel rows for loss/count);
+  a tiny groupby reduces across batches; the driver applies the step.
+
+The labeled corpus is materialized ONCE so iterations re-read pinned
+Arrow blocks instead of re-running the upstream pipeline; gradient
+traffic is L*F*8 bytes per batch regardless of corpus size, so the
+loop's network cost is O(iterations * batches * L * F) — independent
+of document length, the property that makes full-batch training
+feasible at corpus scale.  Softmax cross-entropy over a linear model
+is convex, so full-batch GD converges to the same optimum from any
+partitioning; batch-order float nondeterminism moves the weights only
+at rounding level (pinned by the parity tests).
+
+Engine addition: kpu/kenlm has no trainable classifier (its nearest
+analog is the NPLM wrapper extension point, lm/wrappers/nplm.hh —
+a foreign scorer behind the shared interface).  The quality-filter
+north star calls for fastText-style stages; this supplies the
+trainable half.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data
+from ray.data.aggregate import Sum
+
+MAX_BYTES_DEFAULT = 2048
+
+
+# ---------------------------------------------------------------- features
+
+
+def _occurrence_stream(
+    col: "pa.ChunkedArray | pa.Array", n_features: int, max_bytes: int
+) -> "tuple[np.ndarray, np.ndarray, np.ndarray, int]":
+    """(occ_doc, occ_bucket, nfeat, n_docs): the flat char-trigram
+    occurrence stream of a string column, zero-copy from the Arrow
+    buffers (same kernel shape as stages/langid.LangId._scores)."""
+    from kenlm_ray.functions.tokenize import _string_buffers
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    offsets, data = _string_buffers(col)
+    n = len(offsets) - 1
+    starts = offsets[:-1]
+    ends = np.minimum(offsets[1:], starts + max_bytes)
+    lens = (ends - starts).astype(np.int64)
+    total = int(lens.sum())
+    if total <= 2:
+        return (
+            np.empty(0, np.int64),
+            np.empty(0, np.int64),
+            np.zeros(n, np.int64),
+            n,
+        )
+    pos = np.repeat(starts, lens) + (
+        np.arange(total) - np.repeat(np.cumsum(lens) - lens, lens)
+    )
+    b = data[pos].astype(np.int64)
+    doc = np.repeat(np.arange(n), lens)
+    same3 = doc[:-2] == doc[2:]
+    occ_bucket = ((b[:-2] * 961 + b[1:-1] * 31 + b[2:]) % n_features)[same3]
+    occ_doc = doc[:-2][same3]
+    nfeat = np.bincount(occ_doc, minlength=n)
+    return occ_doc, occ_bucket, nfeat, n
+
+
+def feature_buckets_scalar(
+    text: str, n_features: int, max_bytes: int = MAX_BYTES_DEFAULT
+) -> "list[int]":
+    """Pure-Python bucket extraction (oracle path; must agree exactly
+    with ``_occurrence_stream``)."""
+    data = text.encode()[:max_bytes]
+    return [
+        (data[i] * 961 + data[i + 1] * 31 + data[i + 2]) % n_features
+        for i in range(len(data) - 2)
+    ]
+
+
+# ------------------------------------------------------------------- model
+
+
+@dataclass
+class TextClassifierModel:
+    """Trained linear softmax classifier over hashed char trigrams."""
+
+    classes: "list[str]"
+    W: np.ndarray  # (L, F) float64
+    b: np.ndarray  # (L,) float64
+    n_features: int
+    max_bytes: int = MAX_BYTES_DEFAULT
+    history: "list[float]" = field(default_factory=list)  # per-iter loss
+
+    def _scores(self, col) -> "tuple[np.ndarray, np.ndarray]":
+        occ_doc, occ_bucket, nfeat, n = _occurrence_stream(
+            col, self.n_features, self.max_bytes
+        )
+        L = len(self.classes)
+        scores = np.empty((n, L), dtype=np.float64)
+        for l in range(L):
+            scores[:, l] = np.bincount(
+                occ_doc, weights=self.W[l, occ_bucket], minlength=n
+            )
+        scores /= np.maximum(nfeat, 1)[:, None]
+        scores += self.b
+        return scores, nfeat
+
+    def predict_proba(self, col) -> "tuple[np.ndarray, np.ndarray]":
+        """(probs (n, L), nfeat (n,)) for a string Array/ChunkedArray."""
+        scores, nfeat = self._scores(col)
+        e = np.exp(scores - scores.max(axis=1, keepdims=True))
+        return e / e.sum(axis=1, keepdims=True), nfeat
+
+    def classify_scalar(self, text: str) -> "tuple[str, float]":
+        """Loop-and-dict oracle path, same math as the kernel."""
+        buckets = feature_buckets_scalar(text, self.n_features, self.max_bytes)
+        scores = self.b.copy()
+        if buckets:
+            counts: dict[int, int] = {}
+            for f in buckets:
+                counts[f] = counts.get(f, 0) + 1
+            for f, c in counts.items():
+                scores = scores + c * self.W[:, f]
+            scores = self.b + (scores - self.b) / len(buckets)
+        e = np.exp(scores - scores.max())
+        p = e / e.sum()
+        best = int(np.argmax(p))
+        return self.classes[best], float(p[best])
+
+
+# ---------------------------------------------------------------- training
+
+
+def _grad_partial(
+    batch: pa.Table,
+    *,
+    w_ref,
+    text_col: str,
+    label_col: str,
+    class_index: "dict[str, int]",
+    n_features: int,
+    max_bytes: int,
+) -> pa.Table:
+    """One batch's dense gradient of mean softmax cross-entropy wrt
+    (W, b), flattened to (idx, val) rows.  idx layout: [0, L*F) = W,
+    [L*F, L*F+L) = b, then sentinels L*F+L (= Σ per-doc loss) and
+    L*F+L+1 (= doc count).  L2 is applied driver-side (it must not be
+    multiplied by the batch count)."""
+    Wb = ray.get(w_ref)
+    W, b = Wb["W"], Wb["b"]
+    L, F = W.shape
+    occ_doc, occ_bucket, nfeat, n = _occurrence_stream(
+        batch[text_col], n_features, max_bytes
+    )
+    labels = batch[label_col].to_pylist()
+    y = np.array([class_index[x] for x in labels], dtype=np.int64)
+    denom = np.maximum(nfeat, 1).astype(np.float64)
+
+    scores = np.empty((n, L), dtype=np.float64)
+    for l in range(L):
+        scores[:, l] = np.bincount(
+            occ_doc, weights=W[l, occ_bucket], minlength=n
+        )
+    scores /= denom[:, None]
+    scores += b
+    m = scores.max(axis=1, keepdims=True)
+    e = np.exp(scores - m)
+    Z = e.sum(axis=1, keepdims=True)
+    p = e / Z
+    # per-doc NLL: -score_y + logsumexp
+    nll = -(scores[np.arange(n), y]) + (np.log(Z[:, 0]) + m[:, 0])
+
+    err = p.copy()
+    err[np.arange(n), y] -= 1.0  # (n, L) dsoftmax
+    # dW[l, f] = sum_docs err[d, l] * count(d, f) / nfeat[d]
+    #          = bincount over occurrences weighted by err[occ_doc, l]/denom
+    occ_w = 1.0 / denom[occ_doc]
+    gW = np.empty((L, F), dtype=np.float64)
+    for l in range(L):
+        gW[l] = np.bincount(
+            occ_bucket, weights=err[occ_doc, l] * occ_w, minlength=F
+        )
+    gb = err.sum(axis=0)
+
+    flat = np.concatenate(
+        [gW.ravel(), gb, [float(nll.sum()), float(n)]]
+    )
+    idx = np.arange(L * F + L + 2, dtype=np.int64)
+    nz = flat != 0.0
+    return pa.table({"idx": pa.array(idx[nz]), "val": pa.array(flat[nz])})
+
+
+def train_text_classifier(
+    ds: "ray.data.Dataset",
+    text_col: str,
+    label_col: str,
+    *,
+    classes: "list[str] | None" = None,
+    n_features: int = 8192,
+    max_bytes: int = MAX_BYTES_DEFAULT,
+    n_iter: int = 30,
+    lr: float = 5.0,
+    l2: float = 1e-6,
+    tol: float = 1e-6,
+    eps: float = 1e-8,
+    batch_size: int = 2048,
+) -> TextClassifierModel:
+    """Fit the classifier by distributed full-batch Adagrad.
+
+    Plain GD is hopeless here: mean-pooled hashed-count features make
+    the objective extremely ill-conditioned (frequent trigram buckets
+    carry gradients orders of magnitude larger than rare informative
+    ones), so a global step small enough to be stable barely moves the
+    informative coordinates.  Adagrad's per-coordinate scaling is the
+    standard cure for linear text models (Duchi et al. 2011); measured
+    on the seed-text corpus: GD+momentum 1.39 -> 0.94 in 40 iterations,
+    Adagrad 1.39 -> 0.03 in 60.
+
+    ``classes`` defaults to the sorted distinct labels (one extra
+    distributed pass).  The labeled input is materialized once; each
+    iteration is one map_batches + groupby over gradient partials.
+    Early-stops when the relative loss improvement drops below ``tol``.
+    """
+    if classes is None:
+        classes = sorted(ds.unique(label_col))
+    class_index = {c: i for i, c in enumerate(classes)}
+    L, F = len(classes), n_features
+    if L < 2:
+        raise ValueError(f"need >= 2 classes, got {classes}")
+
+    mat = ds.select_columns([text_col, label_col]).materialize()
+
+    W = np.zeros((L, F), dtype=np.float64)
+    b = np.zeros(L, dtype=np.float64)
+    acc_W = np.full_like(W, eps)
+    acc_b = np.full_like(b, eps)
+    history: "list[float]" = []
+    prev_loss = np.inf
+
+    for _ in range(n_iter):
+        w_ref = ray.put({"W": W, "b": b})
+        rows = (
+            mat.map_batches(
+                _grad_partial,
+                batch_format="pyarrow",
+                batch_size=batch_size,
+                fn_kwargs=dict(
+                    w_ref=w_ref,
+                    text_col=text_col,
+                    label_col=label_col,
+                    class_index=class_index,
+                    n_features=n_features,
+                    max_bytes=max_bytes,
+                ),
+            )
+            .groupby("idx")
+            .aggregate(Sum("val", alias_name="val"))
+            .take_all()
+        )
+        flat = np.zeros(L * F + L + 2, dtype=np.float64)
+        for r in rows:
+            flat[r["idx"]] = r["val"]
+        n_docs = flat[-1]
+        if n_docs == 0:
+            raise ValueError("empty training set")
+        gW = flat[: L * F].reshape(L, F) / n_docs + l2 * W
+        gb = flat[L * F : L * F + L] / n_docs
+        loss = flat[-2] / n_docs + 0.5 * l2 * float((W * W).sum())
+        history.append(float(loss))
+
+        acc_W += gW * gW
+        acc_b += gb * gb
+        W = W - lr * gW / np.sqrt(acc_W)
+        b = b - lr * gb / np.sqrt(acc_b)
+        improvement = prev_loss - loss
+        if 0.0 <= improvement < tol * max(1.0, abs(prev_loss)) and len(history) > 2:
+            break
+        prev_loss = loss
+
+    return TextClassifierModel(
+        classes=classes,
+        W=W,
+        b=b,
+        n_features=n_features,
+        max_bytes=max_bytes,
+        history=history,
+    )
+
+
+def driver_grad_reference(
+    texts: "list[str]",
+    labels: "list[str]",
+    model: TextClassifierModel,
+) -> "tuple[np.ndarray, np.ndarray, float]":
+    """Single-process numpy reference for one full-batch gradient
+    (no L2), used by the parity tests: returns (gW/n, gb/n, mean NLL)."""
+    L, F = model.W.shape
+    cidx = {c: i for i, c in enumerate(model.classes)}
+    gW = np.zeros((L, F))
+    gb = np.zeros(L)
+    tot = 0.0
+    for text, lab in zip(texts, labels):
+        buckets = feature_buckets_scalar(text, F, model.max_bytes)
+        x = np.zeros(F)
+        for f in buckets:
+            x[f] += 1.0
+        if buckets:
+            x /= len(buckets)
+        s = model.W @ x + model.b
+        e = np.exp(s - s.max())
+        p = e / e.sum()
+        y = cidx[lab]
+        tot += -np.log(p[y])
+        err = p.copy()
+        err[y] -= 1.0
+        gW += np.outer(err, x)
+        gb += err
+    n = len(texts)
+    return gW / n, gb / n, tot / n
+
+
+def seed_labeled_corpus(
+    n_per_class: int = 60, seed: int = 3, langs=("en", "fr", "de", "code")
+) -> "list[dict]":
+    """Deterministic synthetic labeled corpus: word-sampled variants of
+    the langid seed texts (every doc distinct, label = source seed).
+    Shared by the tests and the registry's training query — the sandbox
+    has no real labeled data whose labels the text determines."""
+    from kenlm_ray.stages.langid import _SEED
+
+    rng = np.random.default_rng(seed)
+    rows = []
+    for lang in langs:
+        words = _SEED[lang].split()
+        for _ in range(n_per_class):
+            k = int(rng.integers(20, 45))
+            idx = rng.integers(0, len(words), size=k)
+            rows.append(
+                {"text": " ".join(words[j] for j in idx), "label": lang}
+            )
+    rng.shuffle(rows)
+    return rows
+
+
+# --------------------------------------------------------------- inference
+
+
+class ClassifierScore:
+    """Actor-pool inference stage: model deserialized once per actor
+    in ``__init__`` (pass the model object or a ``ray.put`` ObjectRef),
+    per-batch vectorized scoring in ``__call__``.  Appends
+    ``{prefix}_label`` and ``{prefix}_conf`` columns."""
+
+    def __init__(
+        self,
+        model,
+        text_col: str = "content",
+        prefix: str = "clf",
+    ):
+        if isinstance(model, ray.ObjectRef):
+            model = ray.get(model)
+        self.model: TextClassifierModel = model
+        self.text_col = text_col
+        self.prefix = prefix
+        self._classes = np.array(model.classes, dtype=object)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        p, nfeat = self.model.predict_proba(batch[self.text_col])
+        best = np.argmax(p, axis=1)
+        conf = p[np.arange(len(p)), best].astype(np.float32)
+        labels = self._classes[best]
+        empty = nfeat == 0
+        labels = np.where(empty, "und", labels)
+        conf = np.where(empty, np.float32(0.0), conf)
+        return batch.append_column(
+            f"{self.prefix}_label", pa.array(labels, type=pa.string())
+        ).append_column(f"{self.prefix}_conf", pa.array(conf, type=pa.float32()))

@@ -1,0 +1,175 @@
+"""Trainable fastText-style classifier: gradient parity, convergence,
+partitioning invariance, inference-stage plumbing."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray
+import ray.data
+
+from kenlm_ray.ops.classifier import (
+    ClassifierScore,
+    TextClassifierModel,
+    driver_grad_reference,
+    feature_buckets_scalar,
+    train_text_classifier,
+    _occurrence_stream,
+)
+
+
+from kenlm_ray.ops.classifier import seed_labeled_corpus as _labeled_corpus
+
+
+def test_occurrence_stream_matches_scalar():
+    texts = ["hello world", "", "ab", "abc", "x" * 3000, "héllo ünïcode"]
+    arr = pa.array(texts, type=pa.string())
+    occ_doc, occ_bucket, nfeat, n = _occurrence_stream(arr, 512, 2048)
+    assert n == len(texts)
+    for i, t in enumerate(texts):
+        want = feature_buckets_scalar(t, 512, 2048)
+        got = occ_bucket[occ_doc == i].tolist()
+        assert got == want, f"doc {i}"
+        assert nfeat[i] == len(want)
+
+
+def test_distributed_gradient_matches_driver_reference(ray_session):
+    rows = _labeled_corpus(20)
+    texts = [r["text"] for r in rows]
+    labels = [r["label"] for r in rows]
+    classes = sorted(set(labels))
+    F = 1024
+    rng = np.random.default_rng(0)
+    model = TextClassifierModel(
+        classes=classes,
+        W=rng.normal(0, 0.1, size=(len(classes), F)),
+        b=rng.normal(0, 0.1, size=len(classes)),
+        n_features=F,
+    )
+    gW_ref, gb_ref, loss_ref = driver_grad_reference(texts, labels, model)
+
+    # one distributed gradient evaluation == the numpy reference
+    from kenlm_ray.ops.classifier import _grad_partial
+    from ray.data.aggregate import Sum
+
+    ds = ray.data.from_items(rows).repartition(5)
+    w_ref = ray.put({"W": model.W, "b": model.b})
+    out = (
+        ds.map_batches(
+            _grad_partial,
+            batch_format="pyarrow",
+            batch_size=16,
+            fn_kwargs=dict(
+                w_ref=w_ref,
+                text_col="text",
+                label_col="label",
+                class_index={c: i for i, c in enumerate(classes)},
+                n_features=F,
+                max_bytes=model.max_bytes,
+            ),
+        )
+        .groupby("idx")
+        .aggregate(Sum("val", alias_name="val"))
+        .take_all()
+    )
+    L = len(classes)
+    flat = np.zeros(L * F + L + 2)
+    for r in out:
+        flat[r["idx"]] = r["val"]
+    n_docs = flat[-1]
+    assert n_docs == len(rows)
+    gW = flat[: L * F].reshape(L, F) / n_docs
+    gb = flat[L * F : L * F + L] / n_docs
+    loss = flat[-2] / n_docs
+    np.testing.assert_allclose(gW, gW_ref, atol=1e-10)
+    np.testing.assert_allclose(gb, gb_ref, atol=1e-10)
+    assert abs(loss - loss_ref) < 1e-10
+
+
+def test_training_converges_and_generalizes(ray_session):
+    train_rows = _labeled_corpus(50, seed=3)
+    test_rows = _labeled_corpus(25, seed=99)
+    ds = ray.data.from_items(train_rows).repartition(4)
+    model = train_text_classifier(
+        ds, "text", "label", n_features=2048, n_iter=40, lr=5.0
+    )
+    assert model.classes == ["code", "de", "en", "fr"]
+    # loss strictly improved and is low
+    assert model.history[0] > model.history[-1]
+    assert model.history[-1] < 0.2
+    # held-out accuracy via the vectorized path
+    arr = pa.array([r["text"] for r in test_rows])
+    p, nfeat = model.predict_proba(arr)
+    pred = [model.classes[i] for i in np.argmax(p, axis=1)]
+    acc = np.mean([a == r["label"] for a, r in zip(pred, test_rows)])
+    assert acc >= 0.95, acc
+    # scalar oracle path agrees with the vectorized path
+    for r in test_rows[:10]:
+        lab, conf = model.classify_scalar(r["text"])
+        i = test_rows.index(r)
+        assert lab == pred[i]
+
+
+def test_training_is_partitioning_invariant(ray_session):
+    rows = _labeled_corpus(25, seed=7)
+    kw = dict(n_features=512, n_iter=12, lr=5.0)
+    m1 = train_text_classifier(
+        ray.data.from_items(rows).repartition(2), "text", "label", **kw
+    )
+    m2 = train_text_classifier(
+        ray.data.from_items(rows).repartition(9), "text", "label", **kw
+    )
+    # convex objective + float-sum reassociation only: weights agree to
+    # rounding; predictions agree exactly
+    np.testing.assert_allclose(m1.W, m2.W, atol=1e-8)
+    np.testing.assert_allclose(m1.b, m2.b, atol=1e-8)
+    arr = pa.array([r["text"] for r in rows])
+    p1, _ = m1.predict_proba(arr)
+    p2, _ = m2.predict_proba(arr)
+    assert (np.argmax(p1, axis=1) == np.argmax(p2, axis=1)).all()
+
+
+def test_inference_stage_in_pipeline(ray_session):
+    rows = _labeled_corpus(30, seed=11)
+    ds = ray.data.from_items(rows)
+    model = train_text_classifier(
+        ds, "text", "label", n_features=2048, n_iter=30, lr=5.0
+    )
+    scored = ds.map_batches(
+        ClassifierScore,
+        fn_constructor_kwargs=dict(model=ray.put(model), text_col="text"),
+        batch_format="pyarrow",
+        concurrency=2,
+        batch_size=32,
+    )
+    out = scored.take_all()
+    assert {"clf_label", "clf_conf"} <= set(out[0].keys())
+    acc = np.mean([r["clf_label"] == r["label"] for r in out])
+    assert acc >= 0.97, acc
+    assert all(0.0 <= r["clf_conf"] <= 1.0 for r in out)
+
+
+def test_empty_and_degenerate_docs(ray_session):
+    model = TextClassifierModel(
+        classes=["a", "b"],
+        W=np.zeros((2, 64)),
+        b=np.array([0.0, 1.0]),
+        n_features=64,
+    )
+    lab, conf = model.classify_scalar("")
+    assert conf >= 0.5  # uniform-feature doc follows the bias
+    arr = pa.array(["", "xy"])  # both below trigram length
+    p, nfeat = model.predict_proba(arr)
+    assert (nfeat == 0).all()
+    # stage maps empties to "und"
+    batch = pa.table({"text": arr})
+    out = ClassifierScore(model, text_col="text")(batch)
+    assert out["clf_label"].to_pylist() == ["und", "und"]
+
+    with pytest.raises(ValueError):
+        train_text_classifier(
+            ray.data.from_items([{"text": "aaa", "label": "only"}]),
+            "text",
+            "label",
+            n_iter=1,
+        )
