@@ -865,6 +865,35 @@ def _q_regex_match_stats(sf_dir):
     return regex_match_stats(sf_dir)
 
 
+def _q_source_doc_cap(sf_dir):
+    """At most 3 shortest docs per source — the 'cap per domain'
+    crawl-curation primitive, ordered mode (SQL-oracle-checked)."""
+    import ray.data
+
+    from kenlm_ray.ops.groupcap import cap_per_group
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "source", "n_chars"],
+    )
+    return cap_per_group(
+        ds, "source", 3, id_col="doc_id", order_col="n_chars"
+    ).select_columns(["doc_id", "source", "n_chars"])
+
+
+def _q_shuffled_docs_head(sf_dir):
+    """First 100 doc_ids of the seeded reproducible global shuffle
+    (rows-only: the splitmix64 permutation is not SQL-expressible;
+    test_groupcap.py gates permutation + invariance properties)."""
+    from kenlm_ray.ops.groupcap import deterministic_shuffle
+
+    return (
+        deterministic_shuffle(_documents(sf_dir), "doc_id", seed=7)
+        .limit(100)
+        .select_columns(["doc_id"])
+    )
+
+
 def _q_quantity_mode_per_flag(sf_dir):
     from kenlm_ray.ops.analytics import quantity_mode_per_flag
 
@@ -1320,12 +1349,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_unigram_entropy": _q_lang_unigram_entropy,
         "normalized_dedup_groups": _q_normalized_dedup_groups,
         "regex_match_stats": _q_regex_match_stats,
+        "source_doc_cap": _q_source_doc_cap,
         # rows-only checks (stateful / model-driven, not SQL-expressible)
         "quality_filter_flagship": _q_quality_filter,
         "repo_quality_stats": _q_repo_stats,
         "ppl_score": _q_ppl_score,
         "langid": _q_langid,
         "classifier_lang_predictions": _q_classifier_lang,
+        "shuffled_docs_head": _q_shuffled_docs_head,
         "minhash_near_dup_pairs": _q_minhash_pairs,
         "simhash_fingerprints": _q_simhash,
         "simhash_near_dup_pairs": _q_simhash_pairs,
@@ -2213,5 +2244,14 @@ def oracle_sql() -> dict[str, str]:
                        len(regexp_extract_all(text, '(key|hash) \w+')) AS nm
                 FROM documents
             ) GROUP BY lang
+        """,
+        "source_doc_cap": """
+            SELECT doc_id, source, n_chars FROM (
+                SELECT doc_id, source, n_chars,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY source ORDER BY n_chars, doc_id
+                       ) AS rn
+                FROM documents
+            ) WHERE rn <= 3
         """,
     }

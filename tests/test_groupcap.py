@@ -1,0 +1,120 @@
+"""Per-group caps and deterministic shuffle: SQL-shape parity,
+partitioning invariance, permutation properties."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import ray
+import ray.data
+
+from kenlm_ray.ops.groupcap import cap_per_group, deterministic_shuffle
+
+
+def _frame(n=400, n_groups=7, seed=5):
+    rng = np.random.default_rng(seed)
+    return pd.DataFrame(
+        {
+            "id": np.arange(n, dtype=np.int64),
+            "grp": rng.integers(0, n_groups, size=n).astype(np.int64),
+            "name": [f"g{v}" for v in rng.integers(0, n_groups, size=n)],
+            "score": rng.normal(size=n).round(4),
+        }
+    )
+
+
+def test_cap_ordered_matches_pandas_row_number(ray_session):
+    df = _frame()
+    for k in (1, 3, 10):
+        got = (
+            cap_per_group(
+                ray.data.from_pandas(df).repartition(6),
+                "grp",
+                k,
+                id_col="id",
+                order_col="score",
+            )
+            .to_pandas()
+            .sort_values("id")
+            .reset_index(drop=True)
+        )
+        want = (
+            df.sort_values(["grp", "score", "id"])
+            .groupby("grp")
+            .head(k)
+            .sort_values("id")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got[want.columns], want)
+
+
+def test_cap_string_groups(ray_session):
+    df = _frame()
+    got = (
+        cap_per_group(
+            ray.data.from_pandas(df), "name", 2, id_col="id", order_col="id"
+        )
+        .to_pandas()
+        .sort_values("id")
+    )
+    want = df.groupby("name").head(2).sort_values("id")
+    assert got["id"].tolist() == want["id"].tolist()
+
+
+def test_cap_random_is_partitioning_invariant_and_bounded(ray_session):
+    df = _frame(600, 5)
+    kept = []
+    for parts in (2, 11):
+        out = (
+            cap_per_group(
+                ray.data.from_pandas(df).repartition(parts),
+                "grp",
+                20,
+                id_col="id",
+                seed=42,
+            )
+            .to_pandas()
+            .sort_values("id")
+        )
+        assert (out.groupby("grp").size() <= 20).all()
+        # groups with >= 20 rows are capped at exactly 20
+        full = df.groupby("grp").size()
+        for g, n in full.items():
+            assert (out.grp == g).sum() == min(n, 20)
+        kept.append(out["id"].tolist())
+    assert kept[0] == kept[1]
+    # a different seed keeps a different subset
+    other = (
+        cap_per_group(
+            ray.data.from_pandas(df), "grp", 20, id_col="id", seed=43
+        )
+        .to_pandas()["id"]
+        .tolist()
+    )
+    assert sorted(other) != sorted(kept[0])
+
+
+def test_cap_k_rejects_nonpositive():
+    with pytest.raises(ValueError):
+        cap_per_group(None, "grp", 0, id_col="id")
+
+
+def test_deterministic_shuffle_is_seeded_permutation(ray_session):
+    df = _frame(500)
+    orders = []
+    for parts in (3, 9):
+        out = deterministic_shuffle(
+            ray.data.from_pandas(df).repartition(parts), "id", seed=7
+        ).to_pandas()
+        assert sorted(out["id"].tolist()) == df["id"].tolist()  # permutation
+        assert list(out.columns) == list(df.columns)  # rank col dropped
+        orders.append(out["id"].tolist())
+    assert orders[0] == orders[1]  # partitioning-invariant ORDER
+    assert orders[0] != df["id"].tolist()  # actually shuffled
+    other = deterministic_shuffle(
+        ray.data.from_pandas(df), "id", seed=8
+    ).to_pandas()["id"].tolist()
+    assert other != orders[0]  # seed changes the permutation
+    # uniformity smell test: no rank correlation with input order
+    rho = np.corrcoef(np.argsort(orders[0]), df["id"])[0, 1]
+    assert abs(rho) < 0.15
