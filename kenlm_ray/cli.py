@@ -562,6 +562,69 @@ def cmd_sample(args) -> int:
     return 0
 
 
+def cmd_shuffle(args) -> int:
+    """Seeded reproducible global shuffle (or per-group cap) of a
+    parquet corpus."""
+    _ray_init()
+    import ray.data
+
+    ds = ray.data.read_parquet(args.corpus)
+    if args.cap_group_col:
+        from kenlm_ray.ops.groupcap import cap_per_group
+
+        ds = cap_per_group(
+            ds,
+            args.cap_group_col,
+            args.cap_k,
+            id_col=args.id_col,
+            order_col=args.cap_order_col,
+            seed=args.seed,
+        )
+    if not args.cap_only:
+        from kenlm_ray.ops.groupcap import deterministic_shuffle
+
+        ds = deterministic_shuffle(ds, args.id_col, seed=args.seed)
+    ds.write_parquet(args.out)
+    print(f"shuffle (seed={args.seed}) -> {args.out}")
+    return 0
+
+
+def cmd_classify(args) -> int:
+    """Train the fastText-style classifier on a labeled parquet table,
+    then score a corpus with the actor-pool inference stage."""
+    _ray_init()
+    import ray
+    import ray.data
+
+    from kenlm_ray.ops.classifier import ClassifierScore, train_text_classifier
+
+    train = ray.data.read_parquet(args.train)
+    model = train_text_classifier(
+        train,
+        args.text_col,
+        args.label_col,
+        n_features=args.n_features,
+        n_iter=args.n_iter,
+        lr=args.lr,
+    )
+    print(
+        f"trained {len(model.classes)} classes, final loss "
+        f"{model.history[-1]:.4f} after {len(model.history)} iterations"
+    )
+    ds = ray.data.read_parquet(args.corpus)
+    ds.map_batches(
+        ClassifierScore,
+        fn_constructor_kwargs={
+            "model": ray.put(model),
+            "text_col": args.text_col,
+        },
+        batch_format="pyarrow",
+        concurrency=args.concurrency,
+    ).write_parquet(args.out)
+    print(f"scored -> {args.out}")
+    return 0
+
+
 def cmd_quality(args) -> int:
     _ray_init()
     from kenlm_ray.pipelines.quality_filter import (
@@ -718,6 +781,33 @@ def main(argv=None) -> int:
     sS.add_argument("--group-col", default=None)
     sS.add_argument("--seed", type=int, default=0)
     sS.set_defaults(fn=cmd_sample)
+
+    sH = sub.add_parser("shuffle")
+    sH.add_argument("corpus")
+    sH.add_argument("out")
+    sH.add_argument("--id-col", default="doc_id")
+    sH.add_argument("--seed", type=int, default=0)
+    sH.add_argument("--cap-group-col", default=None)
+    sH.add_argument("--cap-k", type=int, default=100)
+    sH.add_argument("--cap-order-col", default=None)
+    sH.add_argument(
+        "--cap-only",
+        action="store_true",
+        help="apply the per-group cap without the global shuffle",
+    )
+    sH.set_defaults(fn=cmd_shuffle)
+
+    sC = sub.add_parser("classify")
+    sC.add_argument("train", help="labeled parquet (text + label columns)")
+    sC.add_argument("corpus", help="parquet corpus to score")
+    sC.add_argument("out")
+    sC.add_argument("--text-col", default="text")
+    sC.add_argument("--label-col", default="label")
+    sC.add_argument("--n-features", type=int, default=8192)
+    sC.add_argument("--n-iter", type=int, default=30)
+    sC.add_argument("--lr", type=float, default=5.0)
+    sC.add_argument("--concurrency", type=int, default=4)
+    sC.set_defaults(fn=cmd_classify)
 
     sQ = sub.add_parser("quality")
     sQ.add_argument("corpus")
