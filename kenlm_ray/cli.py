@@ -313,9 +313,17 @@ def cmd_train(args) -> int:
     prune = (
         [int(x) for x in args.prune.split(",")] if args.prune else None
     )
+    fallback = (
+        tuple(float(x) for x in args.discount_fallback.split(","))
+        if args.discount_fallback
+        else (None if args.strict_discounts else (0.5, 1.0, 1.5))
+    )
     result = estimate_mkn(
         ds, order=args.order, text_col=args.text_col, min_count=args.min_count,
         prune_thresholds=prune,
+        interpolate_unigrams=args.interpolate_unigrams,
+        vocab_pad=args.vocab_pad,
+        discount_fallback=fallback,
     )
     if args.arpa_shards:
         from kenlm_ray.model.arpa_sharded import write_arpa_sharded
@@ -698,6 +706,26 @@ def main(argv=None) -> int:
     st.add_argument(
         "--prune", default=None,
         help="comma-separated per-order raw-count thresholds (lmplz --prune)",
+    )
+    st.add_argument(
+        "--interpolate-unigrams", type=int, choices=[0, 1], default=1,
+        help="0 = SRILM convention: give the interpolation mass to <unk> "
+        "(lmplz --interpolate_unigrams 0)",
+    )
+    st.add_argument(
+        "--vocab-pad", type=int, default=0,
+        help="pad the uniform unigram distribution to this many types "
+        "(lmplz --vocab_pad; requires --interpolate-unigrams 1)",
+    )
+    st.add_argument(
+        "--discount-fallback", default=None, metavar="D1,D2,D3",
+        help="substitute these discounts when Chen-Goodman estimation "
+        "fails (lmplz --discount_fallback; default when given: 0.5,1,1.5)",
+    )
+    st.add_argument(
+        "--strict-discounts", action="store_true",
+        help="fail (like lmplz without --discount_fallback) instead of "
+        "silently substituting fallback discounts",
     )
     st.set_defaults(fn=cmd_train)
 

@@ -30,21 +30,22 @@ from kenlm_ray.model.arpa import ArpaModel
 from kenlm_ray.schema import BOS, EOS, UNK
 
 
-def mkn_discounts(adjusted: "dict | Counter") -> list[float]:
-    """[D1, D2, D3+] from count-of-count statistics t1..t4."""
+def mkn_discounts(
+    adjusted: "dict | Counter",
+    discount_fallback: "tuple | None" = (0.5, 1.0, 1.5),
+) -> list[float]:
+    """[D1, D2, D3+] from count-of-count statistics t1..t4.  Failure
+    semantics are reference-exact (shared with the distributed path,
+    ngram/estimate._chen_goodman_discounts): whole-order fallback (or
+    raise when ``discount_fallback=None``) when any of n[1..3] is zero
+    or a computed discount leaves [0, j]."""
+    from kenlm_ray.ngram.estimate import _chen_goodman_discounts
+
     t = Counter()
     for c in adjusted.values():
         if 1 <= c <= 4:
             t[c] += 1
-    d = [0.0, 0.0, 0.0]
-    for j in (1, 2, 3):
-        if t[1] > 0 and t[2] > 0 and t[j] > 0 and t[j + 1] >= 0:
-            y = t[1] / (t[1] + 2.0 * t[2])
-            dj = j - (j + 1) * y * t[j + 1] / t[j]
-        else:
-            dj = j * 0.5
-        d[j - 1] = min(max(dj, 0.0), float(j))
-    return d
+    return _chen_goodman_discounts(dict(t), discount_fallback)
 
 
 def train_kn(
@@ -52,6 +53,9 @@ def train_kn(
     order: int = 3,
     vocab_min_count: int = 1,
     prune_thresholds: "list[int] | None" = None,
+    interpolate_unigrams: bool = True,
+    vocab_pad: int = 0,
+    discount_fallback: "tuple | None" = (0.5, 1.0, 1.5),
 ) -> ArpaModel:
     """Train an interpolated modified-KN model; returns a valid ArpaModel
     (normalized: sum_w p(w|ctx) == 1 for every context).
@@ -120,7 +124,10 @@ def train_kn(
     # ---- discounts per order ----
     D: list[list[float]] = [[0, 0, 0]] * (order + 1)
     D = [None] + [
-        mkn_discounts({g: c for g, c in adj[n].items() if g[0] != BOS or n == order})
+        mkn_discounts(
+            {g: c for g, c in adj[n].items() if g[0] != BOS or n == order},
+            discount_fallback,
+        )
         for n in range(1, order + 1)
     ]
 
@@ -157,15 +164,33 @@ def train_kn(
     # unigram base: uniform over vocab incl <unk> and </s> (not <s>)
     words1 = sorted({g[0] for g in adj[1]} | {UNK, EOS})
     V = len([w for w in words1 if w != BOS])
+    if vocab_pad and not interpolate_unigrams:
+        raise ValueError(
+            "vocab_pad requires interpolate_unigrams (lmplz_main.cc:151)"
+        )
     uni_gamma = gammas[1].get((), 1.0)
     p1 = {}
-    for w in words1:
-        if w == BOS:
-            continue
-        p1[w] = probs[1].get((w,), 0.0) + uni_gamma / V
-    # normalize away any tiny drift, keep exact sum 1
-    s1 = sum(p1.values())
-    p1 = {w: p / s1 for w, p in p1.items()}
+    if interpolate_unigrams:
+        v_unif = max(vocab_pad, V)
+        for w in words1:
+            if w == BOS:
+                continue
+            p1[w] = probs[1].get((w,), 0.0) + uni_gamma / v_unif
+        if v_unif == V:
+            # normalize away any tiny drift, keep exact sum 1; with
+            # vocab_pad > V the deficit is DELIBERATE (interpolate.cc:145)
+            s1 = sum(p1.values())
+            p1 = {w: p / s1 for w, p in p1.items()}
+    else:
+        # SRI convention (initial_probabilities.cc:227-231): unigrams
+        # keep uninterpolated estimates, <unk> takes the whole gamma
+        for w in words1:
+            if w == BOS:
+                continue
+            p1[w] = probs[1].get((w,), 0.0)
+        p1[UNK] = p1.get(UNK, 0.0) + uni_gamma
+        s1 = sum(p1.values())
+        p1 = {w: p / s1 for w, p in p1.items()}
 
     interp: list[dict] = [None] * (order + 1)
     interp[1] = p1

@@ -395,11 +395,59 @@ def mark_pruned(
     return adj_n.map_batches(mark, batch_format="pyarrow")
 
 
-def discount_stats(adj_n: "ray.data.Dataset", exclude_bos: bool = False) -> list[float]:
+class BadDiscountError(ValueError):
+    """Chen-Goodman discount estimation failed (lm/builder/
+    adjust_counts.hh:17 BadDiscountException): a needed count-of-count
+    is zero or a computed discount is out of [0, j]."""
+
+
+def _chen_goodman_discounts(
+    t: "dict[int, int]", discount_fallback: "tuple | None"
+) -> list[float]:
+    """Reference-exact discount computation (adjust_counts.cc:46-72):
+    throw/fall back on the WHOLE order when any of n[1..3] is zero or a
+    computed D_j leaves [0, j]; otherwise eq. 26 of Chen & Goodman.
+    ``discount_fallback=None`` reproduces lmplz's default THROW_UP;
+    a 3-tuple reproduces --discount_fallback (default 0.5 1 1.5)."""
+    try:
+        for j in (1, 2, 3):
+            if t.get(j, 0) == 0:
+                raise BadDiscountError(
+                    f"no grams with adjusted count {j}; is this small or "
+                    "artificial data?  Pass discount_fallback=(D1,D2,D3) "
+                    "to override (lmplz --discount_fallback)"
+                )
+        y = t[1] / (t[1] + 2.0 * t[2])
+        D = []
+        for j in (1, 2, 3):
+            dj = j - (j + 1) * y * t.get(j + 1, 0) / t[j]
+            if dj < 0.0 or dj > float(j):
+                raise BadDiscountError(
+                    f"discount for adjusted count {j} is {dj}, outside "
+                    f"[0, {j}].  Pass discount_fallback=(D1,D2,D3) to "
+                    "override (lmplz --discount_fallback)"
+                )
+            D.append(dj)
+        return D
+    except BadDiscountError:
+        if discount_fallback is None:
+            raise
+        return list(discount_fallback)
+
+
+def discount_stats(
+    adj_n: "ray.data.Dataset",
+    exclude_bos: bool = False,
+    *,
+    discount_fallback: "tuple | None" = (0.5, 1.0, 1.5),
+) -> list[float]:
     """Phase [2b]: t1..t4 → [D1, D2, D3+] (tiny grouped count + driver
     math).  Pruned grams are INCLUDED — StatCollector.Add counts every
     adjusted count into n[1..4] regardless of the prune mark
-    (adjust_counts.cc:76-88)."""
+    (adjust_counts.cc:76-88).  Failure handling is reference-exact
+    (see _chen_goodman_discounts); the default silently substitutes
+    lmplz's default fallback discounts, ``None`` raises like lmplz
+    without --discount_fallback."""
     if exclude_bos:
         adj_n = adj_n.map_batches(
             lambda t: t.filter(
@@ -425,16 +473,7 @@ def discount_stats(adj_n: "ray.data.Dataset", exclude_bos: bool = False) -> list
     )
     counts = {int(r["bucket"]): int(r["t"]) for _, r in hist.iterrows()}
     # closed-form MKN discounts (Chen-Goodman eq. 26, adjust_counts.cc:56-61)
-    t1, t2, t3, t4 = (counts.get(i, 0) for i in (1, 2, 3, 4))
-    D = []
-    for j, (tj, tj1) in enumerate(((t1, t2), (t2, t3), (t3, t4)), start=1):
-        if t1 > 0 and t2 > 0 and tj > 0:
-            y = t1 / (t1 + 2.0 * t2)
-            dj = j - (j + 1) * y * tj1 / tj
-        else:
-            dj = j * 0.5
-        D.append(min(max(dj, 0.0), float(j)))
-    return D
+    return _chen_goodman_discounts(counts, discount_fallback)
 
 
 def _apply_discount(adjusted: np.ndarray, D: list[float]) -> np.ndarray:
@@ -558,6 +597,9 @@ def estimate_mkn(
     num_partitions: int = 16,
     prune_thresholds: "list[int] | None" = None,
     limit_vocab: "set[str] | None" = None,
+    interpolate_unigrams: bool = True,
+    vocab_pad: int = 0,
+    discount_fallback: "tuple | None" = (0.5, 1.0, 1.5),
 ) -> dict:
     """Full pipeline: returns {"arpa_tables": {n: Dataset(w1..wn,
     log10_prob, log10_backoff)}, "discounts": {n: [D1,D2,D3]},
@@ -572,7 +614,21 @@ def estimate_mkn(
 
     Unigram interpolation with the uniform 1/|vocab| distribution and the
     -99 <s> convention match train_kn (the in-memory oracle) exactly.
+
+    ``interpolate_unigrams=False`` is lmplz --interpolate_unigrams 0
+    (initial_probabilities.cc:219-233): unigrams keep their
+    uninterpolated estimates and ALL the interpolation mass goes to
+    <unk> — SRILM's convention.  ``vocab_pad`` is lmplz --vocab_pad
+    (pipeline.cc:281, interpolate.cc:145): the uniform distribution is
+    over max(vocab_pad, |vocab|) types, leaving a deliberate
+    probability deficit for the padded unseen types; requires
+    interpolate_unigrams (lmplz_main.cc:151).  ``discount_fallback``
+    mirrors --discount_fallback (None = lmplz's default throw).
     """
+    if vocab_pad and not interpolate_unigrams:
+        raise ValueError(
+            "vocab_pad requires interpolate_unigrams (lmplz_main.cc:151)"
+        )
     if prune_thresholds is not None:
         if len(prune_thresholds) != order:
             raise ValueError("prune_thresholds must have one entry per order")
@@ -613,7 +669,11 @@ def estimate_mkn(
     # sanctioned use of materialize() on reused intermediates.
     adjs = {n: d.materialize() for n, d in adjs.items()}
     discounts = {
-        n: discount_stats(adjs[n], exclude_bos=(n < order))
+        n: discount_stats(
+            adjs[n],
+            exclude_bos=(n < order),
+            discount_fallback=discount_fallback,
+        )
         for n in range(1, order + 1)
     }
 
@@ -637,8 +697,19 @@ def estimate_mkn(
     pp_sorted = np.zeros(V, dtype=np.float64)
     pos = np.searchsorted(vocab_ids, uni_ids)
     pp_sorted[pos] = uni_pp
-    interp1 = pp_sorted + uni_gamma / V
-    interp1 /= interp1.sum()
+    if interpolate_unigrams:
+        v_unif = max(vocab_pad, V)
+        interp1 = pp_sorted + uni_gamma / v_unif
+        if v_unif == V:
+            # float-drift fix only; with vocab_pad > V the sum is
+            # DELIBERATELY < 1 (mass reserved for padded unseen types —
+            # interpolate.cc:145 never renormalizes)
+            interp1 /= interp1.sum()
+    else:
+        # SRI convention: all interpolation mass to <unk>
+        interp1 = pp_sorted.copy()
+        interp1[np.searchsorted(vocab_ids, UNK_ID)] += uni_gamma
+        interp1 /= interp1.sum()
     # broadcast (sorted ids, interpolated probs) for the order-2 join
     interp_lower_ref = ray.put((vocab_ids, interp1))
     # Arrow string array broadcasts zero-copy (no object-array pickle of

@@ -1,0 +1,167 @@
+"""lmplz option parity: --interpolate_unigrams 0 (SRI convention),
+--vocab_pad, --discount_fallback / strict throw — distributed pipeline
+vs the in-memory oracle, plus the reference's failure semantics."""
+
+import math
+
+import numpy as np
+import pytest
+
+from kenlm_ray.model.train_quick import mkn_discounts, train_kn
+from kenlm_ray.ngram.estimate import (
+    BadDiscountError,
+    _chen_goodman_discounts,
+    estimate_mkn,
+    to_arpa_model,
+)
+from kenlm_ray.schema import BOS, EOS, UNK
+
+CORPUS_LINES = [
+    "a b c a b",
+    "a b c d",
+    "b c a",
+    "c a b c",
+    "a a a b",
+    "d c b a",
+    "a b",
+    "c",
+    "b c d a b c",
+    "a d a d a",
+]
+
+
+def _dist(ray_session_unused=None, **kw):
+    import ray.data
+
+    ds = ray.data.from_items([{"text": ln} for ln in CORPUS_LINES])
+    return to_arpa_model(estimate_mkn(ds, order=3, num_partitions=4, **kw), 3)
+
+
+def _assert_models_equal(dist, orc):
+    for n in (1, 2, 3):
+        assert set(dist.grams[n]) == set(orc.grams[n]), n
+        for g, (p, b) in orc.grams[n].items():
+            dp, db = dist.grams[n][g]
+            assert np.isclose(dp, p, rtol=1e-9, atol=1e-9), (n, g, dp, p)
+            assert np.isclose(db, b, rtol=1e-9, atol=1e-9), (n, g, db, b)
+
+
+# ---------------------------------------------------------------- discounts
+
+
+def test_chen_goodman_strict_raises_on_missing_counts():
+    # no grams with adjusted count 2 -> reference throws
+    with pytest.raises(BadDiscountError):
+        _chen_goodman_discounts({1: 10, 2: 0, 3: 1}, None)
+    # out-of-range discount: t3 huge relative to t2 makes D2 < 0
+    with pytest.raises(BadDiscountError):
+        _chen_goodman_discounts({1: 1, 2: 1, 3: 100, 4: 1}, None)
+
+
+def test_chen_goodman_fallback_substitutes_whole_order():
+    D = _chen_goodman_discounts({1: 10, 2: 0, 3: 1}, (0.5, 1.0, 1.5))
+    assert D == [0.5, 1.0, 1.5]
+    custom = _chen_goodman_discounts({1: 1, 2: 1, 3: 100}, (0.1, 0.2, 0.3))
+    assert custom == [0.1, 0.2, 0.3]
+
+
+def test_chen_goodman_valid_path_matches_formula():
+    t = {1: 100, 2: 40, 3: 20, 4: 10}
+    D = _chen_goodman_discounts(t, None)
+    y = 100 / (100 + 2 * 40)
+    assert np.isclose(D[0], 1 - 2 * y * 40 / 100)
+    assert np.isclose(D[1], 2 - 3 * y * 20 / 40)
+    assert np.isclose(D[2], 3 - 4 * y * 10 / 20)
+    # n4 = 0 is legal: D3 = 3.0 exactly (not out of range)
+    assert _chen_goodman_discounts({1: 5, 2: 2, 3: 1}, None)[2] == 3.0
+
+
+def test_mkn_discounts_oracle_same_semantics():
+    # degenerate: every gram a singleton -> t2 = 0 -> fallback
+    assert mkn_discounts({("a",): 1, ("b",): 1}) == [0.5, 1.0, 1.5]
+    with pytest.raises(BadDiscountError):
+        mkn_discounts({("a",): 1, ("b",): 1}, None)
+
+
+def test_train_kn_strict_raises_on_degenerate_corpus():
+    # all types occur >= twice with identical counts: no singletons
+    sents = [["x", "y"], ["x", "y"], ["x", "y"]]
+    with pytest.raises(BadDiscountError):
+        train_kn(sents, order=2, discount_fallback=None)
+    m = train_kn(sents, order=2)  # default fallback trains fine
+    assert m.grams[1]
+
+
+# --------------------------------------------------- SRI unigram convention
+
+
+def test_sri_mode_gives_mass_to_unk_oracle():
+    sents = [ln.split() for ln in CORPUS_LINES]
+    default = train_kn(sents, order=3)
+    sri = train_kn(sents, order=3, interpolate_unigrams=False)
+    p_unk_default = 10 ** default.grams[1][(UNK,)][0]
+    p_unk_sri = 10 ** sri.grams[1][(UNK,)][0]
+    assert p_unk_sri > p_unk_default * 5  # all interpolation mass
+    # unigram distribution still sums to 1 (excluding <s>)
+    tot = sum(
+        10 ** p for (w,), (p, _b) in sri.grams[1].items() if w != BOS
+    )
+    assert abs(tot - 1.0) < 1e-9
+    # non-special unigrams are UNinterpolated: lower than default
+    for (w,), (p, _b) in sri.grams[1].items():
+        if w not in (UNK, BOS):
+            assert p <= default.grams[1][(w,)][0] + 1e-12, w
+
+
+def test_sri_mode_distributed_matches_oracle(ray_session):
+    dist = _dist(interpolate_unigrams=False)
+    orc = train_kn(
+        [ln.split() for ln in CORPUS_LINES],
+        order=3,
+        interpolate_unigrams=False,
+    )
+    _assert_models_equal(dist, orc)
+
+
+# ------------------------------------------------------------- vocab_pad
+
+
+def test_vocab_pad_oracle_deficit():
+    sents = [ln.split() for ln in CORPUS_LINES]
+    v = len({w for s in sents for w in s}) + 2  # + <unk> + </s>
+    pad = 4 * v
+    padded = train_kn(sents, order=3, vocab_pad=pad)
+    tot = sum(
+        10 ** p for (w,), (p, _b) in padded.grams[1].items() if w != BOS
+    )
+    # deliberate deficit: gamma mass spread over pad types, only V kept
+    assert tot < 1.0 - 1e-6
+    unpadded = train_kn(sents, order=3)
+    for (w,), (p, _b) in padded.grams[1].items():
+        if w != BOS:
+            assert p <= unpadded.grams[1][(w,)][0] + 1e-12
+
+
+def test_vocab_pad_distributed_matches_oracle(ray_session):
+    dist = _dist(vocab_pad=1000)
+    orc = train_kn(
+        [ln.split() for ln in CORPUS_LINES], order=3, vocab_pad=1000
+    )
+    _assert_models_equal(dist, orc)
+
+
+def test_vocab_pad_requires_interpolation(ray_session):
+    with pytest.raises(ValueError):
+        train_kn([["a", "b"]], vocab_pad=10, interpolate_unigrams=False)
+    import ray.data
+
+    ds = ray.data.from_items([{"text": "a b"}])
+    with pytest.raises(ValueError):
+        estimate_mkn(ds, order=2, vocab_pad=10, interpolate_unigrams=False)
+
+
+def test_vocab_pad_smaller_than_vocab_is_noop():
+    sents = [ln.split() for ln in CORPUS_LINES]
+    _assert_models_equal(
+        train_kn(sents, order=3, vocab_pad=2), train_kn(sents, order=3)
+    )
