@@ -289,6 +289,32 @@ def _q_classifier_lang(sf_dir):
     ).select_columns(["doc_id", "clf_label", "clf_conf"])
 
 
+def _q_diverse_exemplars(sf_dir):
+    """Greedy k-center diversity selection over the embeddings table:
+    20 exemplars + covering-radius curve.  Rows-only (the sequential
+    greedy argmax is not SQL-expressible); test_coreset.py gates parity
+    with the numpy reference and partitioning invariance."""
+    import pandas as pd
+    import ray.data
+
+    from kenlm_ray.ops.coreset import kcenter_select
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+    )
+    picks = kcenter_select(ds, 20, metric="cosine")
+    return pd.DataFrame(
+        {
+            "pick_order": range(len(picks)),
+            "vec_id": [i for i, _ in picks],
+            "radius_before": [
+                -1.0 if d == float("inf") else round(d, 9) for _, d in picks
+            ],
+        }
+    )
+
+
 def _q_minhash_pairs(sf_dir):
     from kenlm_ray.ops.dedup import minhash_lsh_pairs
 
@@ -1357,6 +1383,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid": _q_langid,
         "classifier_lang_predictions": _q_classifier_lang,
         "shuffled_docs_head": _q_shuffled_docs_head,
+        "diverse_doc_exemplars": _q_diverse_exemplars,
         "minhash_near_dup_pairs": _q_minhash_pairs,
         "simhash_fingerprints": _q_simhash,
         "simhash_near_dup_pairs": _q_simhash_pairs,

@@ -1,0 +1,160 @@
+"""Diversity selection: distributed greedy k-center (Gonzalez 1985).
+
+"Pick the k most diverse exemplars" — dedup's complement in a curation
+pipeline (dedup removes redundancy; this SELECTS for coverage).  The
+greedy farthest-point algorithm is a 2-approximation to the optimal
+k-center cover and is deterministic given the start point.
+
+Distributed shape (the kmeans_fit pattern, ops/cluster.py): embeddings
+are materialized once; each round broadcasts the chosen-center matrix
+via ``ray.put`` and every batch emits ONE candidate row — its locally
+farthest point (argmax of min-distance-to-centers) — so a round moves
+n_batches rows to the driver, never the corpus.  Round i recomputes
+min-distance against all i centers with one matmul per batch: total
+O(n·k²·d / batch) flops but ZERO per-row mutable state, which is what
+lets the input stay an immutable Arrow dataset.  For k beyond ~1k,
+switch to kmeans_fit + per-cluster exemplars instead (documented
+trade-off; k-center's sequential dependency makes each pick a round).
+
+Engine addition; kpu/kenlm has no analog.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data
+
+
+def _batch_matrix(batch: pa.Table, emb_col: str) -> np.ndarray:
+    return np.asarray(
+        batch[emb_col].to_numpy(zero_copy_only=False).tolist(),
+        dtype=np.float64,
+    )
+
+
+def kcenter_select(
+    ds: "ray.data.Dataset",
+    k: int,
+    *,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    metric: str = "euclidean",
+) -> "list[tuple[int, float]]":
+    """Greedy k-center: returns [(id, dist_at_selection)] in pick order.
+    The first center is the row with the smallest id (deterministic);
+    each subsequent pick is the point farthest from all chosen centers.
+    ``dist_at_selection`` of pick i is the covering radius after i-1
+    picks — a monotone non-increasing curve useful for choosing k.
+
+    ``metric``: "euclidean" or "cosine" (cosine distance on L2-normed
+    vectors; rows with zero norm are effectively never picked first but
+    can appear if everything else is covered)."""
+    if k <= 0:
+        raise ValueError("k must be positive")
+    if metric not in ("euclidean", "cosine"):
+        raise ValueError(f"unknown metric {metric}")
+
+    mat = ds.select_columns([id_col, emb_col]).materialize()
+
+    # deterministic start: smallest id (one tiny aggregate)
+    from ray.data.aggregate import Min
+
+    first_id = int(mat.aggregate(Min(id_col))[f"min({id_col})"])
+    first_row = mat.filter(expr=f"{id_col} == {first_id}").take(1)[0]
+    first_vec = np.asarray(first_row[emb_col], dtype=np.float64)
+    if metric == "cosine":
+        first_vec = first_vec / max(np.linalg.norm(first_vec), 1e-30)
+
+    centers = [first_vec]
+    chosen: "list[tuple[int, float]]" = [(first_id, np.inf)]
+    chosen_ids = {first_id}
+
+    def farthest(batch: pa.Table, *, c_ref) -> pa.Table:
+        """One candidate row per batch: (id, min-dist, vector) of the
+        batch's farthest point — the vector rides along so a round is
+        ONE scan, with no per-pick lookup pass.  Exact float ties
+        within a batch break by batch position (cross-batch ties break
+        by min id on the driver); ties have measure zero for real
+        embeddings."""
+        cs = ray.get(c_ref)  # (i, d)
+        m = _batch_matrix(batch, emb_col)
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(m) == 0:
+            return pa.table(
+                {"cand_id": pa.array([], type=pa.int64()),
+                 "cand_d": pa.array([], type=pa.float64()),
+                 "cand_vec": pa.array([], type=pa.list_(pa.float64()))}
+            )
+        if metric == "cosine":
+            m = m / np.maximum(
+                np.linalg.norm(m, axis=1, keepdims=True), 1e-30
+            )
+            dmin = 1.0 - (m @ cs.T).max(axis=1)
+        else:
+            d2 = (
+                np.sum(m * m, axis=1)[:, None]
+                - 2.0 * (m @ cs.T)
+                + np.sum(cs * cs, axis=1)[None, :]
+            )
+            dmin = np.sqrt(np.maximum(d2.min(axis=1), 0.0))
+        j = int(np.argmax(dmin))
+        return pa.table(
+            {
+                "cand_id": pa.array([ids[j]]),
+                "cand_d": pa.array([float(dmin[j])]),
+                "cand_vec": pa.array([m[j].tolist()], type=pa.list_(pa.float64())),
+            }
+        )
+
+    while len(chosen) < k:
+        c_ref = ray.put(np.vstack(centers))
+        cands = mat.map_batches(
+            farthest, batch_format="pyarrow", fn_kwargs={"c_ref": c_ref}
+        ).take_all()
+        if not cands:
+            break
+        # global argmax with min-id tiebreak for determinism
+        best = max(cands, key=lambda r: (r["cand_d"], -r["cand_id"]))
+        if best["cand_d"] <= 0.0 or int(best["cand_id"]) in chosen_ids:
+            break  # everything is covered exactly
+        centers.append(np.asarray(best["cand_vec"], dtype=np.float64))
+        chosen.append((int(best["cand_id"]), float(best["cand_d"])))
+        chosen_ids.add(int(best["cand_id"]))
+    return chosen
+
+
+def kcenter_select_reference(
+    ids: np.ndarray, vecs: np.ndarray, k: int, metric: str = "euclidean"
+) -> "list[tuple[int, float]]":
+    """Single-process numpy reference (same tie rules) for parity tests."""
+    order = np.argsort(ids)
+    ids, vecs = ids[order], np.asarray(vecs, dtype=np.float64)[order]
+    if metric == "cosine":
+        vecs = vecs / np.maximum(
+            np.linalg.norm(vecs, axis=1, keepdims=True), 1e-30
+        )
+    chosen = [(int(ids[0]), np.inf)]
+    centers = [vecs[0]]
+    taken = {int(ids[0])}
+    while len(chosen) < k:
+        cs = np.vstack(centers)
+        if metric == "cosine":
+            dmin = 1.0 - (vecs @ cs.T).max(axis=1)
+        else:
+            d2 = (
+                np.sum(vecs * vecs, axis=1)[:, None]
+                - 2.0 * (vecs @ cs.T)
+                + np.sum(cs * cs, axis=1)[None, :]
+            )
+            dmin = np.sqrt(np.maximum(d2.min(axis=1), 0.0))
+        # same tiebreak as the distributed path: max dist, then min id
+        best = max(range(len(ids)), key=lambda i: (dmin[i], -int(ids[i])))
+        if dmin[best] <= 0.0 or int(ids[best]) in taken:
+            break
+        chosen.append((int(ids[best]), float(dmin[best])))
+        centers.append(vecs[best])
+        taken.add(int(ids[best]))
+    return chosen

@@ -1,0 +1,73 @@
+"""Greedy k-center diversity selection: parity with the numpy
+reference, 2-approximation property, determinism across partitionings."""
+
+import numpy as np
+import pytest
+
+import ray
+import ray.data
+
+from kenlm_ray.ops.coreset import kcenter_select, kcenter_select_reference
+
+
+def _data(n=300, d=8, seed=11):
+    rng = np.random.default_rng(seed)
+    # three well-separated blobs + noise so picks are unambiguous
+    centers = rng.normal(0, 10, size=(3, d))
+    vecs = centers[rng.integers(0, 3, n)] + rng.normal(0, 0.5, size=(n, d))
+    ids = np.arange(100, 100 + n, dtype=np.int64)
+    return ids, vecs
+
+
+def _ds(ids, vecs, parts):
+    rows = [
+        {"vec_id": int(i), "embedding": v.astype(np.float32).tolist()}
+        for i, v in zip(ids, vecs)
+    ]
+    return ray.data.from_items(rows).repartition(parts)
+
+
+def test_matches_reference_and_partitioning_invariant(ray_session):
+    ids, vecs = _data()
+    want = kcenter_select_reference(ids, vecs.astype(np.float32), 12)
+    got = []
+    for parts in (3, 8):
+        got.append(kcenter_select(_ds(ids, vecs, parts), 12))
+    assert got[0] == got[1]
+    assert [i for i, _ in got[0]] == [i for i, _ in want]
+    np.testing.assert_allclose(
+        [d for _, d in got[0][1:]], [d for _, d in want[1:]], rtol=1e-9
+    )
+
+
+def test_radius_curve_monotone_and_covers(ray_session):
+    ids, vecs = _data(200)
+    picks = kcenter_select(_ds(ids, vecs, 4), 10)
+    dists = [d for _, d in picks[1:]]
+    assert all(a >= b - 1e-12 for a, b in zip(dists, dists[1:]))
+    # 2-approximation sanity: radius after k picks <= 2 * optimal;
+    # for 3 separated blobs, 3 picks must cover within blob diameter
+    r3 = dists[2] if len(dists) > 2 else 0.0
+    within = vecs - vecs.mean(axis=0)
+    assert r3 < np.linalg.norm(within, axis=1).max()  # < one blob spread
+
+
+def test_cosine_metric(ray_session):
+    ids, vecs = _data(150)
+    got = kcenter_select(_ds(ids, vecs, 5), 6, metric="cosine")
+    want = kcenter_select_reference(
+        ids, vecs.astype(np.float32), 6, metric="cosine"
+    )
+    assert [i for i, _ in got] == [i for i, _ in want]
+    assert all(0.0 <= d <= 2.0 for _, d in got[1:])
+
+
+def test_early_stop_on_duplicates(ray_session):
+    # 5 distinct points, k=10: stops once everything is covered exactly
+    base = np.eye(5, dtype=np.float64) * 5
+    vecs = np.repeat(base, 4, axis=0)
+    ids = np.arange(20, dtype=np.int64)
+    picks = kcenter_select(_ds(ids, vecs, 3), 10)
+    assert len(picks) == 5
+    with pytest.raises(ValueError):
+        kcenter_select(_ds(ids, vecs, 2), 0)
