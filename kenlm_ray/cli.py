@@ -102,26 +102,89 @@ def cmd_pack(args) -> int:
     return 0
 
 
-def cmd_query(args) -> int:
-    """Per-sentence scores like the reference's `query` (ngram_query.hh)."""
-    import numpy as np
-
-    from kenlm_ray.model.pack import PackedModel
-    from kenlm_ray.model.scorer import VectorLM
-
-    from kenlm_ray.model.kenlm_binary import is_kenlm_binary, read_kenlm_binary
-
-    if is_kenlm_binary(args.model):
-        lm = VectorLM(read_kenlm_binary(args.model))
-    else:
-        lm = VectorLM(PackedModel.load(args.model))
-    text = args.text if args.text is not None else sys.stdin.read()
+def query_lines(
+    lm, lines: "list[str]", *, sentence_context: bool = True
+) -> "tuple[list[list[tuple[str, int, int, float, bool]]], dict]":
+    """The reference query loop (lm/ngram_query.hh:52-100): per line,
+    [(surface, vocab_id, ngram_length, log10 prob, is_oov)] including
+    the </s> term when ``sentence_context`` (query's default; -n turns
+    both the <s> context and the </s> term off), plus the corpus
+    summary {ppl_including_oov, ppl_excluding_oov, oov, tokens}."""
     from kenlm_ray.functions.tokenize import tokenize_texts
 
-    sc = lm.score_stream(tokenize_texts([text]))
+    per_line = []
+    corpus_total = 0.0
+    corpus_total_oov_only = 0.0
+    corpus_oov = 0
+    corpus_tokens = 0
+    for line in lines:
+        words = line.split()
+        scores = lm.full_scores(
+            line, bos=sentence_context, eos=sentence_context
+        )
+        stream = tokenize_texts([line])
+        ids = (
+            lm.ids_for(stream)[0].tolist() if stream.n_tokens else []
+        )
+        surfaces = list(words)
+        if sentence_context:
+            surfaces.append("</s>")
+            ids = ids + [int(lm.model.eos_id)]
+        out = []
+        for surface, vid, (p, n, oov) in zip(surfaces, ids, scores):
+            out.append((surface, int(vid), int(n), float(p), bool(oov)))
+            corpus_total += p
+            corpus_tokens += 1
+            if oov:
+                corpus_oov += 1
+                corpus_total_oov_only += p
+        per_line.append(out)
+    incl = 10.0 ** (-(corpus_total / corpus_tokens)) if corpus_tokens else 0.0
+    denom = corpus_tokens - corpus_oov
+    excl = (
+        10.0 ** (-((corpus_total - corpus_total_oov_only) / denom))
+        if denom
+        else 0.0
+    )
+    return per_line, {
+        "ppl_including_oov": incl,
+        "ppl_excluding_oov": excl,
+        "oov": corpus_oov,
+        "tokens": corpus_tokens,
+    }
+
+
+def cmd_query(args) -> int:
+    """The reference `query` binary (lm/query_main.cc + ngram_query.hh):
+    word-level output `word=vocab_id ngram_length log10p`, line totals,
+    and the corpus perplexity summary, selected by -v."""
+    lm = _load_lm(args.model)
+    text = args.text if args.text is not None else sys.stdin.read()
+    lines = text.split("\n")
+    if lines and lines[-1] == "":
+        lines.pop()
+    verbosity = args.verbosity
+    print_word = verbosity == "word"
+    print_line = verbosity in ("word", "sentence")
+    per_line, summary = query_lines(
+        lm, lines, sentence_context=not args.no_sentence_context
+    )
+    for entries in per_line:
+        if print_word:
+            print(
+                "".join(
+                    f"{w}={v} {n} {p:g}\t" for w, v, n, p, _ in entries
+                )
+            )
+        if print_line:
+            total = sum(p for _, _, _, p, _ in entries)
+            oov = sum(1 for *_x, o in entries if o)
+            print(f"Total: {total:g} OOV: {oov}")
     print(
-        f"logprob_sum={sc.logprob_sum[0]:.4f} words={sc.token_count[0]} "
-        f"oov={sc.oov_count[0]} ppl={sc.ppl[0]:.4f} ppl_excl_oov={sc.ppl_excl_oov[0]:.4f}"
+        f"Perplexity including OOVs:\t{summary['ppl_including_oov']:g}\n"
+        f"Perplexity excluding OOVs:\t{summary['ppl_excluding_oov']:g}\n"
+        f"OOVs:\t{summary['oov']}\n"
+        f"Tokens:\t{summary['tokens']}"
     )
     return 0
 
@@ -689,6 +752,20 @@ def main(argv=None) -> int:
     sq = sub.add_parser("query")
     sq.add_argument("model")
     sq.add_argument("--text", default=None)
+    sq.add_argument(
+        "-v",
+        "--verbosity",
+        choices=["summary", "sentence", "word"],
+        default="summary",
+        help="like the reference query -v: word implies sentence "
+        "implies summary",
+    )
+    sq.add_argument(
+        "-n",
+        "--no-sentence-context",
+        action="store_true",
+        help="do not wrap input in <s>/</s> (reference query -n)",
+    )
     sq.set_defaults(fn=cmd_query)
 
     st = sub.add_parser("train")

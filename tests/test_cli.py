@@ -25,7 +25,8 @@ def test_pack_and_query_roundtrip(tmp_path):
         [sys.executable, "-m", "kenlm_ray.cli", "query", npz, "--text", "w1 w2 zzz"],
         capture_output=True, text=True, cwd=REPO, check=True,
     )
-    assert "oov=1" in out.stdout and "ppl=" in out.stdout
+    assert "OOVs:\t1" in out.stdout
+    assert "Perplexity including OOVs:" in out.stdout
 
 
 def test_benchmark_command(tmp_path):
@@ -139,3 +140,55 @@ def test_cli_dedup_exact(ray_session, tmp_path):
     assert main(["dedup", str(src), str(out), "--method", "exact"]) == 0
     got = pq.read_table(str(out)).to_pandas().sort_values("doc_id")
     assert list(got["doc_id"]) == [1, 2]
+
+
+def test_cli_query_verbosity_golden(capsys):
+    """query -v word reproduces the reference query output format
+    (ngram_query.hh:22-41) and the lm/test.arpa golden word scores
+    (lm/model_test.cc Starters/Continuation expectations)."""
+    from kenlm_ray.cli import main
+
+    main(
+        [
+            "query",
+            "/root/reference/lm/test.arpa",
+            "--text",
+            "looking on a little more loin\n",
+            "-v",
+            "word",
+        ]
+    )
+    out = capsys.readouterr().out.splitlines()
+    words = dict(
+        (tok.split("=")[0], tok.split(" ")) for tok in out[0].split("\t") if tok
+    )
+    # golden: FullScore(looking | <s>) = -0.484652 with ngram_length 2
+    assert words["looking"][1] == "2"
+    assert abs(float(words["looking"][2]) + 0.484652) < 1e-4
+    assert out[1].startswith("Total: ")
+    assert out[1].endswith("OOV: 0")
+    assert out[2].startswith("Perplexity including OOVs:")
+    assert out[-1].startswith("Tokens:\t7")
+
+
+def test_cli_query_no_sentence_context(capsys):
+    """-n drops <s>/</s>: fewer tokens, null-context first word."""
+    from kenlm_ray.cli import main
+
+    main(
+        [
+            "query",
+            "/root/reference/lm/test.arpa",
+            "--text",
+            "on a little\n",
+            "-v",
+            "word",
+            "-n",
+        ]
+    )
+    out = capsys.readouterr().out.splitlines()
+    toks = [t for t in out[0].split("\t") if t]
+    assert len(toks) == 3 and "</s>" not in out[0]
+    # null-context unigram score for "on" (not the <s>-context bigram)
+    assert abs(float(toks[0].split(" ")[2]) + 1.509559) < 1e-4
+    assert out[-1] == "Tokens:\t3"
