@@ -33,7 +33,13 @@ SCORED_COLUMNS = [
     "token_count", "oov_count", "logprob_sum", "ppl", "rule_flags",
 ]
 
-_SEED_MODEL_CACHE = "/tmp/kenlm_ray_cache/seed_kn3.npz"
+# Bump when train_kn/pack semantics change: the tag keys the on-disk
+# model caches, so a code change can never be scored with a stale model
+# (a silently stale cache is exactly the failure a resumable pipeline
+# must not have).  v2 = reference-exact discount-failure semantics.
+TRAINER_CACHE_TAG = "v2"
+
+_SEED_MODEL_CACHE = f"/tmp/kenlm_ray_cache/seed_kn3_{TRAINER_CACHE_TAG}.npz"
 
 
 def seed_model_path(order: int = 3, *, cache: str = _SEED_MODEL_CACHE) -> str:
@@ -65,7 +71,9 @@ def domain_model_path(
     quality is statistical — a fixed-size sample is the standard practice
     (CCNet trains its LM on a Wikipedia sample, not the corpus)."""
     label = sf_dir.strip("/").replace("/", "_")
-    cache = os.path.join(cache_dir, f"domain_{label}_o{order}.npz")
+    cache = os.path.join(
+        cache_dir, f"domain_{label}_o{order}_{TRAINER_CACHE_TAG}.npz"
+    )
     if not os.path.exists(cache):
         os.makedirs(cache_dir, exist_ok=True)
         ds = ray.data.read_parquet(

@@ -1,13 +1,16 @@
 """Multimodal column stages — Ray-side plumbing for image/audio/video
 payloads carried as opaque ``binary`` columns with typed metadata.
 
-The decode kernels require codec libraries not present in this
-container, so the decoders are STUBS behind an import-try: when
-pillow/soundfile are absent, ``decode='fake'`` produces deterministic
-fake decodes (seeded by the payload hash) so the batch plumbing —
-schema, actor pool, batch sizing for large binary rows, output layout —
-is real and tested end-to-end.  The reference has no multimodal support;
-this is part of the engine's training-data-pipeline surface.
+Uncompressed container formats are decoded FOR REAL in pure numpy —
+no codec library needed: BMP (BI_RGB 24/32-bit) images and RIFF/WAVE
+PCM audio, recognized by their magic bytes.  Compressed codecs
+(PNG/JPEG via pillow, lossy audio via soundfile, video via pyav) sit
+behind an import-try; when the library is absent, ``decode='fake'``
+produces deterministic fake decodes (seeded by the payload hash) so
+the batch plumbing — schema, actor pool, batch sizing for large binary
+rows, output layout — is real and tested end-to-end either way.  The
+reference has no multimodal support; this is part of the engine's
+training-data-pipeline surface.
 
 Schema convention:
     payload: binary, media_type: string ("image/png", "audio/wav", ...),
@@ -17,11 +20,102 @@ Schema convention:
 from __future__ import annotations
 
 import json
+import struct
 
 import numpy as np
 import pyarrow as pa
 
 from kenlm_ray.functions.hashing import murmur64
+
+
+# ------------------------------------------------ pure-numpy real decoders
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """Uncompressed BI_RGB 24/32-bit BMP -> (h, w, 3) uint8 RGB.
+    Pure struct+numpy (BMP rows are 4-byte padded, bottom-up unless the
+    height is negative, and stored BGR)."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    data_off = struct.unpack_from("<I", payload, 10)[0]
+    hdr_size = struct.unpack_from("<I", payload, 14)[0]
+    if hdr_size < 40:
+        raise ValueError("BITMAPCOREHEADER not supported")
+    w, h = struct.unpack_from("<ii", payload, 18)
+    planes, bpp = struct.unpack_from("<HH", payload, 26)
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if compression != 0 or bpp not in (24, 32):
+        raise ValueError(f"only uncompressed 24/32-bit BMP (got bpp={bpp}, "
+                         f"compression={compression})")
+    bottom_up = h > 0
+    h = abs(h)
+    bytes_pp = bpp // 8
+    stride = (w * bytes_pp + 3) & ~3
+    raw = np.frombuffer(payload, dtype=np.uint8, count=stride * h,
+                        offset=data_off).reshape(h, stride)
+    px = raw[:, : w * bytes_pp].reshape(h, w, bytes_pp)
+    rgb = px[:, :, 2::-1]  # BGR(A) -> RGB
+    if bottom_up:
+        rgb = rgb[::-1]
+    return np.ascontiguousarray(rgb)
+
+
+def encode_bmp(rgb: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 RGB -> 24-bit bottom-up BMP (test/fixture writer)."""
+    h, w, _ = rgb.shape
+    stride = (w * 3 + 3) & ~3
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, : w * 3] = rgb[::-1, :, ::-1].reshape(h, w * 3)
+    pix = rows.tobytes()
+    header = struct.pack("<2sIHHI", b"BM", 54 + len(pix), 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pix),
+                       2835, 2835, 0, 0)
+    return header + info + pix
+
+
+def decode_wav(payload: bytes) -> "tuple[np.ndarray, int]":
+    """RIFF/WAVE PCM (8/16/32-bit int or 32-bit float) -> (samples
+    float32 in [-1, 1] shaped (n, channels), sample_rate).  Walks the
+    chunk list (fmt/data may come in any order, with LIST/fact chunks
+    between)."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid, size = struct.unpack_from("<4sI", payload, pos)
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_fmt, channels, rate, _brate, _align, bits = fmt
+    if audio_fmt == 1 and bits == 16:
+        x = np.frombuffer(data, dtype="<i2").astype(np.float32) / 32768.0
+    elif audio_fmt == 1 and bits == 8:
+        x = (np.frombuffer(data, dtype=np.uint8).astype(np.float32) - 128.0) / 128.0
+    elif audio_fmt == 1 and bits == 32:
+        x = np.frombuffer(data, dtype="<i4").astype(np.float32) / 2147483648.0
+    elif audio_fmt == 3 and bits == 32:
+        x = np.frombuffer(data, dtype="<f4").astype(np.float32)
+    else:
+        raise ValueError(f"unsupported WAV format {audio_fmt}/{bits}-bit")
+    n = len(x) - (len(x) % channels)
+    return x[:n].reshape(-1, channels), int(rate)
+
+
+def encode_wav(samples: np.ndarray, rate: int) -> bytes:
+    """(n, channels) float32 in [-1, 1] -> 16-bit PCM WAV (test writer)."""
+    if samples.ndim == 1:
+        samples = samples[:, None]
+    pcm = np.clip(samples * 32767.0, -32768, 32767).astype("<i2").tobytes()
+    channels = samples.shape[1]
+    fmt = struct.pack("<4sI4s4sIHHIIHH4sI", b"RIFF", 36 + len(pcm), b"WAVE",
+                      b"fmt ", 16, 1, channels, rate, rate * channels * 2,
+                      channels * 2, 16, b"data", len(pcm))
+    return fmt + pcm
 
 
 def _try_import_pil():
@@ -35,16 +129,16 @@ def _try_import_pil():
 
 class ImageDecode:
     """Actor-pool stage: binary payload -> (height, width, channels,
-    mean_luma float32, thumb binary).  Small batch sizes are mandatory for
-    multi-MB payloads (see build_multimodal_pipeline)."""
+    mean_luma float32, thumb binary).  BMP payloads (magic "BM") decode
+    FOR REAL in pure numpy; PNG/JPEG need pillow (import-try); anything
+    else falls back to the deterministic fake in ``mode='auto'``/'fake'.
+    ``mode='real'`` decodes BMP but refuses codec formats when pillow is
+    absent.  Small batch sizes are mandatory for multi-MB payloads (see
+    build_multimodal_pipeline)."""
 
     def __init__(self, mode: str = "auto", thumb_size: int = 8):
+        self.mode = mode
         self.pil = _try_import_pil() if mode in ("auto", "real") else None
-        if mode == "real" and self.pil is None:
-            raise NotImplementedError(
-                "real image decode requires pillow, which this environment "
-                "does not provide — use mode='fake' (deterministic) instead"
-            )
         self.thumb_size = thumb_size
 
     def _fake_decode(self, payload: bytes) -> tuple[int, int, int, np.ndarray]:
