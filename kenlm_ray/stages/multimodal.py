@@ -158,11 +158,19 @@ class ImageDecode:
                 hs.append(0); ws.append(0); cs.append(0)
                 lumas.append(float("nan")); thumbs.append(None)
                 continue
-            if self.pil is not None:
+            if p[:2] == b"BM":
+                arr = decode_bmp(p)  # real, pure numpy
+            elif self.pil is not None:
                 import io
 
                 img = self.pil.open(io.BytesIO(p)).convert("RGB")
                 arr = np.asarray(img)
+            elif self.mode == "real":
+                raise NotImplementedError(
+                    "real decode of codec image formats requires pillow, "
+                    "which this environment does not provide — BMP decodes "
+                    "natively; use mode='fake' for other formats"
+                )
             else:
                 _, _, _, arr = self._fake_decode(p)
             hs.append(arr.shape[0]); ws.append(arr.shape[1]); cs.append(arr.shape[2])
@@ -181,31 +189,43 @@ class ImageDecode:
 
 
 class AudioFeatures:
-    """Actor-pool stage: audio payload -> (n_samples, sample_rate, rms).
-    Real decode needs soundfile/librosa (absent) — fake mode derives a
-    deterministic waveform from the payload hash."""
+    """Actor-pool stage: audio payload -> (n_samples, n_channels,
+    sample_rate, rms).  RIFF/WAVE PCM payloads decode FOR REAL in pure
+    numpy; compressed codecs would need soundfile (absent) — fake mode
+    derives a deterministic waveform from the payload hash for them."""
 
     def __init__(self, mode: str = "auto"):
-        if mode == "real":
-            raise NotImplementedError(
-                "real audio decode requires soundfile, not available here"
-            )
+        self.mode = mode
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = batch["payload"].to_pylist()
-        ns, srs, rms = [], [], []
+        ns, chs, srs, rms = [], [], [], []
         for p in payloads:
             if p is None:
-                ns.append(0); srs.append(0); rms.append(float("nan"))
+                ns.append(0); chs.append(0); srs.append(0)
+                rms.append(float("nan"))
                 continue
+            if p[:4] == b"RIFF" and p[8:12] == b"WAVE":
+                wave, rate = decode_wav(p)  # real, pure numpy
+                ns.append(int(wave.shape[0])); chs.append(int(wave.shape[1]))
+                srs.append(rate)
+                rms.append(float(np.sqrt(np.mean(wave.astype(np.float64) ** 2))) if wave.size else 0.0)
+                continue
+            if self.mode == "real":
+                raise NotImplementedError(
+                    "real decode of codec audio formats requires soundfile, "
+                    "not available here — WAV/PCM decodes natively; use "
+                    "mode='fake' for other formats"
+                )
             h = murmur64(p[:64])
             rng = np.random.default_rng(h & 0xFFFFFFFF)
             n = 1000 + (h % 8000)
             wave = rng.standard_normal(int(n)).astype(np.float32)
-            ns.append(int(n)); srs.append(16000)
+            ns.append(int(n)); chs.append(1); srs.append(16000)
             rms.append(float(np.sqrt(np.mean(wave**2))))
         return (
             batch.append_column("n_samples", pa.array(ns, type=pa.int64()))
+            .append_column("n_channels", pa.array(chs, type=pa.int32()))
             .append_column("sample_rate", pa.array(srs, type=pa.int32()))
             .append_column("rms", pa.array(rms, type=pa.float32()))
         )

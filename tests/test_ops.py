@@ -127,11 +127,87 @@ def test_multimodal_image_stub(ray_session):
             == out2.sort_values("media_id")["mean_luma"].to_numpy()).all()
 
 
-def test_multimodal_real_mode_raises_cleanly():
-    from kenlm_ray.stages.multimodal import AudioFeatures
+def test_multimodal_real_mode_raises_on_codec_formats():
+    """mode='real' decodes native formats (WAV/BMP) but refuses codec
+    payloads when the codec library is absent."""
+    import pyarrow as pa
 
+    from kenlm_ray.stages.multimodal import AudioFeatures, ImageDecode
+
+    codec_batch = pa.table({"payload": pa.array([b"\x89PNG fake"], type=pa.binary())})
     with pytest.raises(NotImplementedError):
-        AudioFeatures(mode="real")
+        ImageDecode(mode="real")(codec_batch)
+    mp3ish = pa.table({"payload": pa.array([b"ID3 fake mp3"], type=pa.binary())})
+    with pytest.raises(NotImplementedError):
+        AudioFeatures(mode="real")(mp3ish)
+
+
+def test_multimodal_real_bmp_roundtrip(ray_session):
+    """BMP payloads decode FOR REAL (pure numpy): encode -> pipeline ->
+    exact pixel stats."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from kenlm_ray.stages.multimodal import (
+        ImageDecode,
+        build_multimodal_pipeline,
+        decode_bmp,
+        encode_bmp,
+    )
+
+    rng = np.random.default_rng(3)
+    imgs = [rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+            for h, w in [(5, 7), (16, 16), (9, 3)]]
+    np.testing.assert_array_equal(decode_bmp(encode_bmp(imgs[0])), imgs[0])
+    tbl = pa.table({
+        "media_id": pa.array(range(3), type=pa.int64()),
+        "payload": pa.array([encode_bmp(im) for im in imgs], type=pa.binary()),
+    })
+    out = build_multimodal_pipeline(
+        ray.data.from_arrow(tbl), ImageDecode, batch_size=2
+    ).to_pandas().sort_values("media_id")
+    assert list(out["height"]) == [5, 16, 9]
+    assert list(out["width"]) == [7, 16, 3]
+    for im, luma in zip(imgs, out["mean_luma"]):
+        assert abs(float(im.mean()) - luma) < 1e-4
+
+
+def test_multimodal_real_wav_roundtrip(ray_session):
+    """WAV PCM payloads decode FOR REAL: encode -> pipeline -> exact
+    sample counts, rate, and RMS."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from kenlm_ray.stages.multimodal import (
+        AudioFeatures,
+        build_multimodal_pipeline,
+        decode_wav,
+        encode_wav,
+    )
+
+    t = np.linspace(0, 1, 8000, endpoint=False)
+    mono = np.sin(2 * np.pi * 440 * t).astype(np.float32) * 0.5
+    stereo = np.stack([mono, mono * 0.25], axis=1)
+    wave, rate = decode_wav(encode_wav(mono, 8000))
+    assert rate == 8000 and wave.shape == (8000, 1)
+    np.testing.assert_allclose(wave[:, 0], mono, atol=2e-4)
+    tbl = pa.table({
+        "media_id": pa.array([0, 1], type=pa.int64()),
+        "payload": pa.array(
+            [encode_wav(mono, 8000), encode_wav(stereo, 44100)],
+            type=pa.binary(),
+        ),
+    })
+    out = build_multimodal_pipeline(
+        ray.data.from_arrow(tbl), AudioFeatures, batch_size=2
+    ).to_pandas().sort_values("media_id")
+    assert list(out["sample_rate"]) == [8000, 44100]
+    assert list(out["n_channels"]) == [1, 2]
+    assert list(out["n_samples"]) == [8000, 8000]
+    want_rms = float(np.sqrt(np.mean(mono.astype(np.float64) ** 2)))
+    assert abs(float(out["rms"].iloc[0]) - want_rms) < 1e-3
 
 
 def test_simhash_similar_docs_close(ray_session):
