@@ -289,6 +289,56 @@ def _q_classifier_lang(sf_dir):
     ).select_columns(["doc_id", "clf_label", "clf_conf"])
 
 
+def _q_media_decode_stats(sf_dir):
+    """Multimodal decode through the actor-pool stages: deterministic
+    synthetic BMP images and PCM WAV clips (seeded from sf_dir's doc
+    count so the row count scales with sf), decoded FOR REAL by the
+    pure-numpy decoders.  Rows-only (binary payload synthesis is not
+    SQL-expressible); test_ops.py gates exact decode roundtrips."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from kenlm_ray.stages.multimodal import (
+        AudioFeatures,
+        ImageDecode,
+        build_multimodal_pipeline,
+        encode_bmp,
+        encode_wav,
+    )
+
+    n = max(50, _documents(sf_dir).count() // 10)
+    rng = np.random.default_rng(123)
+    rows = []
+    for i in range(n):
+        if i % 2 == 0:
+            h, w = int(rng.integers(8, 64)), int(rng.integers(8, 64))
+            payload = encode_bmp(
+                rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+            )
+            rows.append({"media_id": i, "kind": "image", "payload": payload})
+        else:
+            m = int(rng.integers(500, 4000))
+            payload = encode_wav(
+                rng.standard_normal(m).astype(np.float32) * 0.3, 16000
+            )
+            rows.append({"media_id": i, "kind": "audio", "payload": payload})
+    ds = ray.data.from_items(rows)
+    imgs = build_multimodal_pipeline(
+        ds.filter(expr="kind == 'image'"), ImageDecode, batch_size=32
+    ).select_columns(["media_id", "height", "width", "mean_luma"])
+    auds = build_multimodal_pipeline(
+        ds.filter(expr="kind == 'audio'"), AudioFeatures, batch_size=32
+    ).select_columns(["media_id", "n_samples", "sample_rate", "rms"])
+    ipd, apd = imgs.to_pandas(), auds.to_pandas()
+    import pandas as pd
+
+    out = pd.merge(ipd, apd, on="media_id", how="outer").sort_values(
+        "media_id"
+    )
+    return out.reset_index(drop=True)
+
+
 def _q_diverse_exemplars(sf_dir):
     """Greedy k-center diversity selection over the embeddings table:
     20 exemplars + covering-radius curve.  Rows-only (the sequential
@@ -1384,6 +1434,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "classifier_lang_predictions": _q_classifier_lang,
         "shuffled_docs_head": _q_shuffled_docs_head,
         "diverse_doc_exemplars": _q_diverse_exemplars,
+        "media_decode_stats": _q_media_decode_stats,
         "minhash_near_dup_pairs": _q_minhash_pairs,
         "simhash_fingerprints": _q_simhash,
         "simhash_near_dup_pairs": _q_simhash_pairs,

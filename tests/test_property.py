@@ -289,3 +289,34 @@ def test_loglinear_merge_normalizes(sa, sb, wa, wb):
         lps = _cond_ln(vlm, ctx, vocab) / math.log(10.0)
         s = float(np.sum(10.0 ** lps))
         assert abs(s - 1.0) < 1e-6, (ctx, s)
+
+
+# ---- per-group cap: pure selection kernel vs pandas ROW_NUMBER ----
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 5),          # group
+            st.integers(-1000, 1000),   # order value (ties likely)
+        ),
+        min_size=1,
+        max_size=120,
+    ),
+    st.integers(1, 6),
+)
+def test_select_bottom_k_matches_pandas(rows, k):
+    import numpy as np
+    import pandas as pd
+
+    from kenlm_ray.ops.groupcap import _select_bottom_k
+
+    g = np.array([r[0] for r in rows], dtype=np.uint64)
+    v = np.array([r[1] for r in rows], dtype=np.int64)
+    ids = np.arange(len(rows), dtype=np.int64)
+    keep = _select_bottom_k(g, v, ids, k)
+    df = pd.DataFrame({"g": g.astype(np.int64), "v": v, "id": ids})
+    want = (
+        df.sort_values(["g", "v", "id"]).groupby("g").head(k)["id"].tolist()
+    )
+    assert sorted(keep.tolist()) == sorted(want)
