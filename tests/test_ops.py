@@ -1096,3 +1096,38 @@ def test_contamination_check(ray_session):
     assert len(empty) == 0
     out2 = contamination_check(docs, empty, n=3).take_all()
     assert all(not r["contaminated"] for r in out2)
+
+
+def test_asof_right_tiebreak(ray_session):
+    """Among right rows tied on (by, on), right_tiebreak picks the
+    largest — deterministically, for both directions and any
+    partitioning (this is what lets the attribution query skip its
+    dedup shuffle)."""
+    import ray.data
+
+    from kenlm_ray.ops.asof import asof_join
+
+    L = ray.data.from_items(
+        [{"k": 1, "t": 10, "lv": 0}, {"k": 1, "t": 2, "lv": 1}]
+    )
+    dup_rows = [
+        {"k": 1, "t": 5, "rv": 7},
+        {"k": 1, "t": 5, "rv": 9},   # tied on (k, t): 9 must win
+        {"k": 1, "t": 5, "rv": 3},
+    ]
+    for parts in (1, 3):
+        R = ray.data.from_items(dup_rows).repartition(parts)
+        bwd = (
+            asof_join(L, R, by="k", on="t", direction="backward",
+                      left_cols=["k", "t", "lv"], right_cols=["t", "rv"],
+                      right_tiebreak="rv")
+            .to_pandas().sort_values("t")
+        )
+        assert bwd["rv"].tolist() == [9]
+        fwd = (
+            asof_join(L, R, by="k", on="t", direction="forward",
+                      left_cols=["k", "t", "lv"], right_cols=["t", "rv"],
+                      right_tiebreak="rv")
+            .to_pandas().sort_values("t")
+        )
+        assert fwd["rv"].tolist() == [9]
