@@ -941,6 +941,47 @@ def _q_regex_match_stats(sf_dir):
     return regex_match_stats(sf_dir)
 
 
+def _q_budget_docs_select(sf_dir):
+    """Token-budget curation: keep docs by descending chars-per-token
+    density until 30% of the corpus's tokens are spent — SQL running-sum
+    semantics, found by weighted histogram refinement (no global sort)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from kenlm_ray.functions.tokenize import tokenize_column
+    from kenlm_ray.ops.budget import budget_select
+    from ray.data.aggregate import Sum
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text", "n_chars"],
+    )
+
+    def with_tokens(batch: pa.Table) -> pa.Table:
+        stream = tokenize_column(batch["text"])
+        n_tok = np.bincount(stream.doc_ids, minlength=len(batch)).astype(
+            np.int64
+        )
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_chars": batch["n_chars"],
+                "n_tokens": pa.array(n_tok),
+            }
+        ).filter(pa.array(n_tok > 0))
+
+    toks = ds.map_batches(with_tokens, batch_format="pyarrow").materialize()
+    total = toks.aggregate(Sum("n_tokens", alias_name="t"))["t"]
+    return budget_select(
+        toks,
+        score_col="n_chars",
+        cost_col="n_tokens",
+        budget=0.3 * float(total),
+        id_col="doc_id",
+    ).select_columns(["doc_id", "n_chars", "n_tokens"])
+
+
 def _q_source_doc_cap(sf_dir):
     """At most 3 shortest docs per source — the 'cap per domain'
     crawl-curation primitive, ordered mode (SQL-oracle-checked)."""
@@ -1426,6 +1467,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "normalized_dedup_groups": _q_normalized_dedup_groups,
         "regex_match_stats": _q_regex_match_stats,
         "source_doc_cap": _q_source_doc_cap,
+        "budget_docs_select": _q_budget_docs_select,
         # rows-only checks (stateful / model-driven, not SQL-expressible)
         "quality_filter_flagship": _q_quality_filter,
         "repo_quality_stats": _q_repo_stats,
@@ -2331,5 +2373,25 @@ def oracle_sql() -> dict[str, str]:
                        ) AS rn
                 FROM documents
             ) WHERE rn <= 3
+        """,
+        "budget_docs_select": r"""
+            WITH tok AS (
+                SELECT doc_id, n_chars,
+                       len(list_filter(
+                           regexp_split_to_array(text, '[\x00\t\n\r ]+'),
+                           x -> x <> ''))::BIGINT AS n_tokens
+                FROM documents
+            ),
+            nonempty AS (SELECT * FROM tok WHERE n_tokens > 0),
+            tot AS (SELECT 0.3 * sum(n_tokens) AS b FROM nonempty),
+            ranked AS (
+                SELECT doc_id, n_chars, n_tokens,
+                       sum(n_tokens) OVER (
+                           ORDER BY n_chars::DOUBLE / n_tokens DESC, doc_id
+                       ) AS run
+                FROM nonempty
+            )
+            SELECT doc_id, n_chars, n_tokens
+            FROM ranked WHERE run <= (SELECT b FROM tot)
         """,
     }

@@ -1,0 +1,242 @@
+"""Exact budget-constrained selection without a global sort.
+
+``budget_select`` keeps rows in (density DESC, id ASC) order while the
+running cost total stays <= budget — SQL's
+
+    SUM(cost) OVER (ORDER BY density DESC, id ASC) <= budget
+
+— the "keep the best documents until the token budget is spent"
+curation primitive.  A global sort would shuffle the corpus; instead
+the selection BOUNDARY is found by the same histogram-refinement walk
+as ops/percentile.topk_threshold, generalized to COST-WEIGHTED bins:
+
+  pass i: 4096 cost-weighted bins of the surviving density range; the
+          boundary bin is where cumulative-cost-from-the-top crosses
+          the remaining budget; the range narrows 4096x
+  finish: distinct density values of the final narrow range (counts
+          and costs only — bounded by ``driver_budget``), then one
+          bounded fetch of (id, cost) rows AT the boundary density to
+          settle the id-ordered partial prefix
+
+so each pass moves 2 x 4096 counters per batch and the rows never
+shuffle; the final filter is a broadcast map.  Engine addition
+(kpu/kenlm's only budgeting is count pruning); the same shape as
+percentile.py per SURVEY §2.10's ordering re-expression rule.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data
+from ray.data.aggregate import Count, Max, Min, Sum
+
+_BINS = 4096
+
+
+def _edges(lo: float, hi: float) -> np.ndarray:
+    return lo + (hi - lo) / _BINS * np.arange(1, _BINS, dtype=np.float64)
+
+
+def budget_select(
+    ds: "ray.data.Dataset",
+    *,
+    score_col: str,
+    cost_col: str,
+    budget: float,
+    id_col: str,
+    density_col: "str | None" = None,
+    driver_budget: int = 200_000,
+) -> "ray.data.Dataset":
+    """Rows whose cumulative ``cost_col`` in (density DESC, id ASC)
+    order fits within ``budget`` (the maximal prefix; a row that would
+    overflow the budget is excluded, SQL running-sum semantics).
+
+    ``density_col``: pre-computed ranking value; default is
+    score/cost (quality per token).  Rows with cost <= 0 are ranked
+    by +inf density (free rows are always kept first).  ``ds`` is
+    scanned O(log_4096(range)) times — pass a materialized Dataset if
+    upstream compute is expensive."""
+    if budget <= 0:
+        return ds.filter(expr=f"{id_col} != {id_col}")
+
+    def density_of(batch: pa.Table) -> np.ndarray:
+        if density_col is not None:
+            return batch[density_col].to_numpy(zero_copy_only=False).astype(
+                np.float64
+            )
+        s = batch[score_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        c = batch[cost_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            d = np.where(c > 0, s / np.maximum(c, 1e-300), np.inf)
+        return d
+
+    # pass 0: range + total cost of +inf-density rows (always kept)
+    def range_partial(batch: pa.Table) -> pa.Table:
+        d = density_of(batch)
+        c = batch[cost_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        fin = np.isfinite(d)
+        return pa.table(
+            {
+                "lo": pa.array([float(d[fin].min()) if fin.any() else np.inf]),
+                "hi": pa.array([float(d[fin].max()) if fin.any() else -np.inf]),
+                "free_cost": pa.array([float(c[~fin].sum())]),
+                "total_cost": pa.array([float(c[fin].sum())]),
+            }
+        )
+
+    stats = (
+        ds.map_batches(range_partial, batch_format="pyarrow")
+        .aggregate(
+            Min("lo", alias_name="lo"),
+            Max("hi", alias_name="hi"),
+            Sum("free_cost", alias_name="free"),
+            Sum("total_cost", alias_name="total"),
+        )
+    )
+    lo, hi = float(stats["lo"]), float(stats["hi"])
+    remaining = budget - float(stats["free"] or 0.0)
+    # free rows already overflow: only the id-ordered prefix of them fits
+    if remaining < 0:
+        thresh, id_cutoff = np.inf, -1
+        return _final_filter(ds, density_of, cost_col, id_col, np.inf, -1,
+                             budget_at_thresh=budget, free_only=True)
+    if float(stats["total"] or 0.0) <= remaining:
+        return ds  # everything fits
+    hi_inc = True
+    cost_above = 0.0
+
+    def hist(lo_, hi_, inc_):
+        edges = _edges(lo_, hi_)
+
+        def partial(batch: pa.Table) -> pa.Table:
+            d = density_of(batch)
+            c = batch[cost_col].to_numpy(zero_copy_only=False).astype(np.float64)
+            m = np.isfinite(d) & (d >= lo_) & ((d <= hi_) if inc_ else (d < hi_))
+            b = np.searchsorted(edges, d[m], side="right")
+            cost = np.bincount(b, weights=c[m], minlength=_BINS)
+            cnt = np.bincount(b, minlength=_BINS)
+            nz = np.nonzero(cnt)[0]
+            return pa.table(
+                {
+                    "bin": pa.array(nz.astype(np.int64)),
+                    "cost": pa.array(cost[nz]),
+                    "n": pa.array(cnt[nz].astype(np.int64)),
+                }
+            )
+
+        rows = (
+            ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("bin")
+            .aggregate(Sum("cost", alias_name="cost"), Sum("n", alias_name="n"))
+            .take_all()
+        )
+        cost = np.zeros(_BINS)
+        cnt = np.zeros(_BINS, dtype=np.int64)
+        for r in rows:
+            cost[r["bin"]] = r["cost"]
+            cnt[r["bin"]] = r["n"]
+        return cost, cnt
+
+    while hi > lo and np.isfinite(hi - lo):
+        cost, cnt = hist(lo, hi, hi_inc)
+        if int(cnt.sum()) <= driver_budget:
+            break
+        cum_cost_top = np.cumsum(cost[::-1])[::-1]
+        need = remaining - cost_above
+        # boundary bin: LAST bin where everything strictly above still
+        # fits (cum from top > need means the crossing is at/under b)
+        over = np.nonzero(cum_cost_top > need)[0]
+        if len(over) == 0:
+            break  # float drift: everything in range fits
+        b = int(over[-1])
+        cost_above += float(cum_cost_top[b] - cost[b])
+        edges = _edges(lo, hi)
+        new_lo = float(edges[b - 1]) if b > 0 else lo
+        if b == _BINS - 1:
+            new_hi, new_inc = hi, hi_inc
+        else:
+            new_hi, new_inc = float(edges[b]), False
+        if (new_lo == lo and new_hi == hi) or new_lo >= new_hi:
+            break
+        lo, hi, hi_inc = new_lo, new_hi, new_inc
+
+    # exact finish: distinct (density, cost, count) of the narrow range
+    def vc_partial(batch: pa.Table) -> pa.Table:
+        d = density_of(batch)
+        c = batch[cost_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        m = np.isfinite(d) & (d >= lo) & ((d <= hi) if hi_inc else (d < hi))
+        dv, inv = np.unique(d[m], return_inverse=True)
+        return pa.table(
+            {
+                "v": pa.array(dv),
+                "cost": pa.array(np.bincount(inv, weights=c[m])),
+            }
+        )
+
+    rows = (
+        ds.map_batches(vc_partial, batch_format="pyarrow")
+        .groupby("v")
+        .aggregate(Sum("cost", alias_name="cost"))
+        .take_all()
+    )
+    vs = np.array([r["v"] for r in rows])
+    cs = np.array([r["cost"] for r in rows])
+    order = np.argsort(vs)[::-1]
+    vs, cs = vs[order], cs[order]
+    cum = np.cumsum(cs)
+    need = remaining - cost_above
+    over = np.nonzero(cum > need)[0]
+    if len(over) == 0:
+        # everything in the range fits — keep all of it
+        return _final_filter(ds, density_of, cost_col, id_col,
+                             float(vs[-1]) if len(vs) else lo, -2,
+                             budget_at_thresh=0.0)
+    j = int(over[0])
+    thresh = float(vs[j])
+    budget_at = need - (float(cum[j - 1]) if j > 0 else 0.0)
+    return _final_filter(ds, density_of, cost_col, id_col, thresh,
+                         None, budget_at_thresh=budget_at)
+
+
+def _final_filter(ds, density_of, cost_col, id_col, thresh, id_cutoff,
+                  *, budget_at_thresh: float, free_only: bool = False):
+    """Resolve the boundary-density band by id order (one bounded
+    fetch), then broadcast-filter.  ``id_cutoff`` semantics: None =
+    compute from the band; -1 = exclude the band; -2 = include the
+    whole band."""
+    import ray as _ray
+
+    if id_cutoff is None or free_only:
+        def band(batch: pa.Table) -> pa.Table:
+            d = density_of(batch)
+            c = batch[cost_col].to_numpy(zero_copy_only=False).astype(np.float64)
+            ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            m = (d == thresh) if not free_only else ~np.isfinite(d)
+            return pa.table({"id": pa.array(ids[m]), "c": pa.array(c[m])})
+
+        rows = ds.map_batches(band, batch_format="pyarrow").take_all()
+        rows.sort(key=lambda r: r["id"])
+        spent = 0.0
+        id_cutoff = -1
+        for r in rows:
+            if spent + r["c"] > budget_at_thresh:
+                break
+            spent += r["c"]
+            id_cutoff = int(r["id"])
+
+    cut = int(id_cutoff)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        d = density_of(batch)
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if free_only:
+            mask = ~np.isfinite(d) & (ids <= cut)
+        elif cut == -2:
+            mask = ~np.isfinite(d) | (d >= thresh)
+        else:
+            mask = ~np.isfinite(d) | (d > thresh) | ((d == thresh) & (ids <= cut))
+        return batch.filter(pa.array(mask))
+
+    return ds.map_batches(keep, batch_format="pyarrow")

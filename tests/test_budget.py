@@ -1,0 +1,139 @@
+"""Budget-constrained selection: SQL running-sum parity, boundary-band
+id ordering, partitioning invariance, degenerate budgets."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import ray
+import ray.data
+
+from kenlm_ray.ops.budget import budget_select
+
+
+def _frame(n=3000, seed=2):
+    rng = np.random.default_rng(seed)
+    return pd.DataFrame(
+        {
+            "id": np.arange(n, dtype=np.int64),
+            "score": rng.integers(1, 50, n).astype(np.float64),
+            "cost": rng.integers(1, 20, n).astype(np.float64),
+        }
+    )
+
+
+def _reference(df, budget):
+    """SUM(cost) OVER (ORDER BY score/cost DESC, id) <= budget."""
+    d = df.assign(density=df["score"] / df["cost"]).sort_values(
+        ["density", "id"], ascending=[False, True]
+    )
+    keep = d[np.cumsum(d["cost"].to_numpy()) <= budget]
+    return sorted(keep["id"].tolist())
+
+
+@pytest.mark.parametrize("frac", [0.0001, 0.1, 0.5, 0.999])
+def test_matches_running_sum_reference(ray_session, frac):
+    df = _frame()
+    budget = float(df["cost"].sum() * frac)
+    got = (
+        budget_select(
+            ray.data.from_pandas(df).repartition(7),
+            score_col="score",
+            cost_col="cost",
+            budget=budget,
+            id_col="id",
+        )
+        .to_pandas()["id"]
+        .tolist()
+    )
+    assert sorted(got) == _reference(df, budget)
+
+
+def test_small_driver_budget_forces_refinement(ray_session):
+    """driver_budget smaller than the row count exercises the
+    histogram-refinement loop (integer densities land on bin edges —
+    the regression surface of the topk boundary bug)."""
+    rng = np.random.default_rng(5)
+    df = pd.DataFrame(
+        {
+            "id": np.arange(20_000, dtype=np.int64),
+            "score": rng.integers(0, 4097, 20_000).astype(np.float64),
+            "cost": np.ones(20_000),
+        }
+    )
+    budget = 5000.0
+    got = (
+        budget_select(
+            ray.data.from_pandas(df).repartition(5),
+            score_col="score",
+            cost_col="cost",
+            budget=budget,
+            id_col="id",
+            driver_budget=500,
+        )
+        .to_pandas()["id"]
+        .tolist()
+    )
+    assert sorted(got) == _reference(df, budget)
+    assert len(got) == 5000  # unit costs: exactly budget rows
+
+
+def test_partitioning_invariant(ray_session):
+    df = _frame(800, seed=9)
+    budget = float(df["cost"].sum() * 0.3)
+    outs = []
+    for parts in (2, 13):
+        outs.append(
+            sorted(
+                budget_select(
+                    ray.data.from_pandas(df).repartition(parts),
+                    score_col="score",
+                    cost_col="cost",
+                    budget=budget,
+                    id_col="id",
+                ).to_pandas()["id"].tolist()
+            )
+        )
+    assert outs[0] == outs[1] == _reference(df, budget)
+
+
+def test_degenerate_budgets(ray_session):
+    df = _frame(200)
+    ds = ray.data.from_pandas(df)
+    assert (
+        budget_select(
+            ds, score_col="score", cost_col="cost", budget=0.0, id_col="id"
+        ).count()
+        == 0
+    )
+    assert (
+        budget_select(
+            ds,
+            score_col="score",
+            cost_col="cost",
+            budget=float(df["cost"].sum()) + 1,
+            id_col="id",
+        ).count()
+        == len(df)
+    )
+
+
+def test_free_rows_kept_first(ray_session):
+    """cost<=0 rows rank at +inf density; if they alone overflow the
+    budget, the id-ordered prefix of them is kept."""
+    df = pd.DataFrame(
+        {
+            "id": np.arange(6, dtype=np.int64),
+            "score": [1.0] * 6,
+            "cost": [0.0, 0.0, 5.0, 5.0, 0.0, 5.0],
+        }
+    )
+    got = budget_select(
+        ray.data.from_pandas(df),
+        score_col="score",
+        cost_col="cost",
+        budget=6.0,
+        id_col="id",
+    ).to_pandas()
+    # free rows (0,1,4) always fit; one cost-5 row (smallest id = 2) fits
+    assert sorted(got["id"].tolist()) == [0, 1, 2, 4]
