@@ -696,6 +696,28 @@ def cmd_classify(args) -> int:
     return 0
 
 
+def cmd_budget(args) -> int:
+    """Token-budget selection: keep docs by quality-per-cost density
+    until the budget is spent (ops/budget.budget_select)."""
+    _ray_init()
+    import ray.data
+
+    from kenlm_ray.ops.budget import budget_select
+
+    ds = ray.data.read_parquet(args.corpus)
+    out = budget_select(
+        ds,
+        score_col=args.score_col,
+        cost_col=args.cost_col,
+        budget=args.budget,
+        id_col=args.id_col,
+        density_col=args.density_col,
+    )
+    out.write_parquet(args.out)
+    print(f"budget selection ({args.budget} {args.cost_col}) -> {args.out}")
+    return 0
+
+
 def cmd_quality(args) -> int:
     _ray_init()
     from kenlm_ray.pipelines.quality_filter import (
@@ -913,6 +935,16 @@ def main(argv=None) -> int:
     sC.add_argument("--lr", type=float, default=5.0)
     sC.add_argument("--concurrency", type=int, default=4)
     sC.set_defaults(fn=cmd_classify)
+
+    sG = sub.add_parser("budget")
+    sG.add_argument("corpus")
+    sG.add_argument("out")
+    sG.add_argument("budget", type=float)
+    sG.add_argument("--score-col", default="quality")
+    sG.add_argument("--cost-col", default="n_tokens")
+    sG.add_argument("--id-col", default="doc_id")
+    sG.add_argument("--density-col", default=None)
+    sG.set_defaults(fn=cmd_budget)
 
     sQ = sub.add_parser("quality")
     sQ.add_argument("corpus")

@@ -103,12 +103,19 @@ def build_quality_pipeline(
     project: bool = True,
     dedupe: bool = False,
     fuse_heuristics: bool = True,
+    classifier_model=None,
 ) -> "ray.data.Dataset":
     """Assemble the lazy scored-Dataset plan over a corpus Dataset.
 
     ``dedupe=True`` prepends an exact content dedup (hash-partition on
     sha256, keep the (repo, path)-smallest row per distinct content) —
-    the optional corpus-dedup stage of SURVEY.md §7.4."""
+    the optional corpus-dedup stage of SURVEY.md §7.4.
+
+    ``classifier_model``: optional trained ``TextClassifierModel`` (or
+    its ``ray.put`` ObjectRef) — appends an actor-pool inference stage
+    emitting ``clf_label``/``clf_conf`` columns (the trainable
+    fastText-style quality/domain classifier, ops/classifier.py).
+    Off by default; the default flagship schema is unchanged."""
     cfg = cfg or QualityConfig()
     model_path = model_path or seed_model_path()
     if dedupe:
@@ -158,8 +165,24 @@ def build_quality_pipeline(
         batch_size=batch_size,
     )
     ds = ds.map_batches(decide_stage, batch_format="pyarrow", batch_size=batch_size)
+    if classifier_model is not None:
+        from kenlm_ray.ops.classifier import ClassifierScore
+
+        ds = ds.map_batches(
+            ClassifierScore,
+            fn_constructor_kwargs={
+                "model": classifier_model,
+                "text_col": "content_scrubbed",
+            },
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            concurrency=langid_concurrency,
+        )
     if project:
-        ds = ds.select_columns(SCORED_COLUMNS)
+        cols = SCORED_COLUMNS + (
+            ["clf_label", "clf_conf"] if classifier_model is not None else []
+        )
+        ds = ds.select_columns(cols)
     return ds
 
 

@@ -173,3 +173,34 @@ def test_empty_and_degenerate_docs(ray_session):
             "label",
             n_iter=1,
         )
+
+
+def test_classifier_stage_in_quality_pipeline(ray_session):
+    """classifier_model option appends clf columns to the flagship
+    without disturbing the default schema."""
+    import ray.data
+
+    from kenlm_ray.pipelines.quality_filter import (
+        SCORED_COLUMNS,
+        build_quality_pipeline,
+        seed_model_path,
+    )
+    from kenlm_ray.sources.synth_corpus import gen_row
+
+    rows = [gen_row(7, i) for i in range(40)]
+    ds = ray.data.from_items(rows)
+    model = train_text_classifier(
+        ray.data.from_items(_labeled_corpus(15)),
+        "text",
+        "label",
+        n_features=1024,
+        n_iter=8,
+    )
+    out = build_quality_pipeline(
+        ds, seed_model_path(), classifier_model=ray.put(model)
+    ).to_pandas()
+    assert set(SCORED_COLUMNS) | {"clf_label", "clf_conf"} == set(out.columns)
+    assert out["clf_label"].isin(model.classes + ["und"]).all()
+    # default pipeline schema untouched
+    base = build_quality_pipeline(ds, seed_model_path()).to_pandas()
+    assert list(base.columns) == SCORED_COLUMNS
