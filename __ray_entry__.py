@@ -998,6 +998,60 @@ def _q_source_doc_cap(sf_dir):
     ).select_columns(["doc_id", "source", "n_chars"])
 
 
+def _q_lang_length_buckets(sf_dir):
+    """CCNet-style per-group tercile bucketing (head/middle/tail), SQL
+    twin: exact per-language quantile_cont cutoffs of the doc token
+    count (value-histogram shape, no sort) -> broadcast searchsorted
+    assignment.  The perplexity-driven composition is
+    ``ccnet_ppl_buckets`` (rows-only: LM scoring isn't SQL)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from kenlm_ray.functions.tokenize import tokenize_column
+    from kenlm_ray.ops.ccnet import bucket_by_group_quantiles
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text", "lang"],
+    )
+
+    def with_tokens(batch: pa.Table) -> pa.Table:
+        stream = tokenize_column(batch["text"])
+        n_tok = np.bincount(stream.doc_ids, minlength=len(batch)).astype(
+            np.int64
+        )
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "lang": batch["lang"],
+                "n_tokens": pa.array(n_tok),
+            }
+        )
+
+    toks = ds.map_batches(with_tokens, batch_format="pyarrow").materialize()
+    return bucket_by_group_quantiles(toks, "lang", "n_tokens")
+
+
+def _q_ccnet_ppl_buckets(sf_dir):
+    """The full CCNet recipe (Wenzek et al. 2020): actor-pool LM
+    perplexity -> per-language ppl terciles -> head/middle/tail.
+    Rows-only (model-driven); test_ccnet.py gates cutoff exactness,
+    tie semantics, and partitioning invariance."""
+    import ray.data
+
+    from kenlm_ray.ops.ccnet import ccnet_ppl_buckets
+    from kenlm_ray.pipelines.quality_filter import domain_model_path
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text", "lang"],
+    )
+    return ccnet_ppl_buckets(
+        ds, domain_model_path(sf_dir), text_col="text", lang_col="lang"
+    )
+
+
 def _q_shuffled_docs_head(sf_dir):
     """First 100 doc_ids of the seeded reproducible global shuffle
     (rows-only: the splitmix64 permutation is not SQL-expressible;
@@ -1468,9 +1522,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "regex_match_stats": _q_regex_match_stats,
         "source_doc_cap": _q_source_doc_cap,
         "budget_docs_select": _q_budget_docs_select,
+        "lang_length_buckets": _q_lang_length_buckets,
         # rows-only checks (stateful / model-driven, not SQL-expressible)
         "quality_filter_flagship": _q_quality_filter,
         "repo_quality_stats": _q_repo_stats,
+        "ccnet_ppl_buckets": _q_ccnet_ppl_buckets,
         "ppl_score": _q_ppl_score,
         "langid": _q_langid,
         "classifier_lang_predictions": _q_classifier_lang,
@@ -2393,5 +2449,25 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, n_chars, n_tokens
             FROM ranked WHERE run <= (SELECT b FROM tot)
+        """,
+        "lang_length_buckets": r"""
+            WITH toks AS (
+                SELECT doc_id, lang,
+                       len(list_filter(
+                           regexp_split_to_array(text, '[\x00\t\n\r ]+'),
+                           x -> x <> ''))::BIGINT AS n_tokens
+                FROM documents
+            ),
+            cuts AS (
+                SELECT lang,
+                       quantile_cont(n_tokens, 0.3333333333333333) AS c1,
+                       quantile_cont(n_tokens, 0.6666666666666666) AS c2
+                FROM toks GROUP BY lang
+            )
+            SELECT t.doc_id, t.lang, t.n_tokens,
+                   CASE WHEN t.n_tokens <= c.c1 THEN 'head'
+                        WHEN t.n_tokens <= c.c2 THEN 'middle'
+                        ELSE 'tail' END AS bucket
+            FROM toks t JOIN cuts c USING (lang)
         """,
     }

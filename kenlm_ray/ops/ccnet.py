@@ -1,0 +1,199 @@
+"""CCNet-style per-group quantile bucketing (head / middle / tail).
+
+CCNet (Wenzek et al., "CCNet: Extracting High Quality Monolingual
+Datasets from Web Crawl Data", LREC 2020) buckets every document into
+perplexity terciles PER LANGUAGE — "head" (lowest perplexity under an
+in-domain LM, i.e. cleanest), "middle", "tail" — and downstream
+training mixes sample by bucket.  The reference engine (kpu/kenlm)
+supplies the perplexity half of that recipe; this module supplies the
+bucketing half as a first-class distributed operator.
+
+Distributed shape (nothing ships rows):
+
+  1. cutoffs: per-batch ``(group, value) -> count`` Arrow partials, one
+     small groupby, per-group ``quantile_cont``-identical interpolation
+     (the exact value-histogram shape of ``analytics.quantity_quantiles``).
+     Cutoff state is ``n_groups x len(qs)`` floats — model-sized.
+  2. assign: cutoffs broadcast once via ``ray.put``; each batch does a
+     vectorized ``searchsorted`` per group — zero shuffle.
+
+The exact histogram is the scale path when the value column is
+discrete (token counts, byte lengths, quantized scores).  For a
+continuous column (raw perplexity) pass ``quantize=`` to round values
+first (bounded distinct values -> exact quantiles OF THE ROUNDED
+value, which is what a curation cutoff needs), or precompute cutoffs
+from a sample / ``ops.sketch.approx_quantiles`` and pass ``cutoffs=``
+— CCNet itself computes its cutoffs once from a sample and reuses
+them across shards.
+
+Bucket semantics: ascending cutoffs ``c_1..c_m`` split into m+1
+buckets; value v lands in bucket ``#{i : c_i < v}`` — i.e. v <= c_1 is
+bucket 0 ("head" when the value is perplexity: LOW ppl = clean text).
+Ties AT a cutoff go down (SQL twin: ``CASE WHEN v <= c_1 THEN ...``).
+
+Engine addition: kpu/kenlm has no corpus-bucketing stage (its role
+ends at the per-sentence score, lm/ngram_query_main.cc); this is the
+canonical downstream consumer of those scores.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data
+from ray.data.aggregate import Sum
+
+
+def group_quantile_cutoffs(
+    ds: "ray.data.Dataset",
+    group_col: str,
+    value_col: str,
+    qs: "tuple[float, ...]" = (1 / 3, 2 / 3),
+    *,
+    quantize: "int | None" = None,
+) -> "dict[object, np.ndarray]":
+    """Exact per-group ``quantile_cont`` cutoffs via the value-histogram
+    shape.  Returns ``{group: ascending float64 cutoffs}`` — driver
+    state is n_groups x len(qs), never rows.
+
+    ``quantize=d`` rounds values to d decimals before the histogram
+    (required for continuous columns at scale: bounds the distinct
+    values crossing the shuffle to the value range x 10^d)."""
+    qs = tuple(float(q) for q in qs)
+    if sorted(qs) != list(qs):
+        raise ValueError(f"qs must be ascending, got {qs}")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = batch[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        if quantize is not None:
+            v = np.round(v, quantize)
+        t = pa.table(
+            {
+                "g": batch[group_col],
+                "v": pa.array(v),
+                "n": pa.array(np.ones(len(batch), dtype=np.int64)),
+            }
+        )
+        t = t.filter(pa.compute.is_finite(t["v"]))
+        return t.group_by(["g", "v"]).aggregate([("n", "sum")])
+
+    hist = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["g", "v"])
+        .aggregate(Sum("n_sum", alias_name="n"))
+        .take_all()
+    )
+    by_group: "dict[object, list[tuple[float, int]]]" = {}
+    for row in hist:
+        by_group.setdefault(row["g"], []).append((row["v"], row["n"]))
+    out: "dict[object, np.ndarray]" = {}
+    for g, pairs in by_group.items():
+        pairs.sort()
+        v = np.array([p[0] for p in pairs], dtype=np.float64)
+        cum = np.cumsum(np.array([p[1] for p in pairs], dtype=np.int64))
+        total = int(cum[-1])
+        cuts = np.empty(len(qs), dtype=np.float64)
+        for j, q in enumerate(qs):
+            h = (total - 1) * q
+            lo, hi = np.floor(h), np.ceil(h)
+            vl = v[np.searchsorted(cum, lo, side="right")]
+            vh = v[np.searchsorted(cum, hi, side="right")]
+            cuts[j] = vl + (h - lo) * (vh - vl)
+        out[g] = cuts
+    return out
+
+
+def bucket_by_group_quantiles(
+    ds: "ray.data.Dataset",
+    group_col: str,
+    value_col: str,
+    qs: "tuple[float, ...]" = (1 / 3, 2 / 3),
+    *,
+    labels: "tuple[str, ...]" = ("head", "middle", "tail"),
+    cutoffs: "dict[object, np.ndarray] | None" = None,
+    quantize: "int | None" = None,
+    bucket_col: str = "bucket",
+) -> "ray.data.Dataset":
+    """Append ``bucket_col``: the per-group quantile bucket of
+    ``value_col`` (CCNet head/middle/tail when qs are terciles).
+
+    ``cutoffs`` (from :func:`group_quantile_cutoffs`, a sample, or a
+    previous run — CCNet reuses one cutoff table across shards) skips
+    the cutoff pass.  Groups unseen at cutoff time get the LAST label
+    (conservative: unknown -> tail).  NaN values also get the last
+    label."""
+    if len(labels) != len(qs) + 1:
+        raise ValueError(f"need {len(qs) + 1} labels for {len(qs)} cutoffs")
+    if cutoffs is None:
+        cutoffs = group_quantile_cutoffs(
+            ds, group_col, value_col, qs, quantize=quantize
+        )
+    cuts_ref = ray.put(cutoffs)
+    labels_arr = np.array(labels, dtype=object)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        cuts = ray.get(cuts_ref)
+        g = batch[group_col].to_numpy(zero_copy_only=False)
+        v = batch[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        if quantize is not None:
+            # same rounding as the cutoff histogram: a doc's bucket is a
+            # function of the exact value the cutoffs were computed from
+            v = np.round(v, quantize)
+        idx = np.full(len(batch), len(labels_arr) - 1, dtype=np.int64)
+        # one searchsorted per group present in the batch (groups are
+        # few: languages / sources), each fully vectorized
+        for grp in np.unique(g):
+            c = cuts.get(grp)
+            if c is None:
+                continue
+            sel = g == grp
+            vv = v[sel]
+            # #{cutoffs < v}: ties at a cutoff go DOWN (v <= c_1 -> 0)
+            bi = np.searchsorted(c, vv, side="left")
+            bi[~np.isfinite(vv)] = len(labels_arr) - 1
+            idx[sel] = bi
+        return batch.append_column(
+            bucket_col, pa.array(labels_arr[idx], type=pa.string())
+        )
+
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def ccnet_ppl_buckets(
+    corpus: "ray.data.Dataset",
+    model_ref,
+    *,
+    text_col: str = "content",
+    lang_col: str = "lang",
+    id_col: str = "doc_id",
+    qs: "tuple[float, ...]" = (1 / 3, 2 / 3),
+    labels: "tuple[str, ...]" = ("head", "middle", "tail"),
+    quantize: int = 2,
+    concurrency: "int | tuple[int, int]" = (1, 4),
+) -> "ray.data.Dataset":
+    """The full CCNet recipe: per-document LM perplexity (actor-pool
+    scorer, model loaded once per actor) -> per-``lang_col`` perplexity
+    terciles -> head/middle/tail assignment.
+
+    Perplexity is rounded to ``quantize`` decimals for the cutoff
+    histogram (see module docstring — this is the 100-TB-exact path);
+    the emitted ``ppl`` column stays unrounded.  Output: (id, lang,
+    ppl, bucket)."""
+    from kenlm_ray.stages.ppl import PplScorer
+
+    scored = corpus.map_batches(
+        PplScorer,
+        fn_constructor_args=(model_ref,),
+        fn_constructor_kwargs={"text_col": text_col},
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    ).select_columns([id_col, lang_col, "ppl"])
+    # the scored stream is consumed twice (cutoff pass + assign pass);
+    # materialize the slim (id, lang, ppl) projection — 3 columns, not
+    # the corpus text — so scoring runs once
+    scored = scored.materialize()
+    return bucket_by_group_quantiles(
+        scored, lang_col, "ppl", qs, labels=labels, quantize=quantize
+    )

@@ -1,0 +1,164 @@
+"""CCNet-style per-group perplexity bucketing (ops/ccnet.py)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+import ray
+import ray.data
+
+from kenlm_ray.ops.ccnet import (
+    bucket_by_group_quantiles,
+    ccnet_ppl_buckets,
+    group_quantile_cutoffs,
+)
+
+
+def _rand_table(n=4000, seed=7, discrete=True):
+    rng = np.random.default_rng(seed)
+    g = rng.choice(["py", "go", "rs"], size=n)
+    v = rng.integers(0, 400, size=n) if discrete else rng.normal(100, 30, n)
+    return pa.table(
+        {
+            "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+            "lang": pa.array(g),
+            "val": pa.array(v.astype(np.float64)),
+        }
+    )
+
+
+def test_cutoffs_match_numpy_quantile(ray_session):
+    t = _rand_table()
+    ds = ray.data.from_arrow(t).repartition(7)
+    cuts = group_quantile_cutoffs(ds, "lang", "val", (1 / 3, 2 / 3))
+    df = t.to_pandas()
+    for g, got in cuts.items():
+        want = np.quantile(
+            df.loc[df["lang"] == g, "val"].to_numpy(), [1 / 3, 2 / 3],
+            method="linear",
+        )
+        np.testing.assert_allclose(got, want, rtol=0, atol=0)
+
+
+def test_buckets_match_bruteforce_including_exact_ties(ray_session):
+    # integer values: many land EXACTLY on interpolated cutoffs; ties
+    # at a cutoff must go down (v <= c1 -> head)
+    t = _rand_table(n=3000, seed=11)
+    ds = ray.data.from_arrow(t).repartition(5)
+    out = bucket_by_group_quantiles(ds, "lang", "val").to_pandas()
+    df = t.to_pandas()
+    cuts = {
+        g: np.quantile(sub["val"].to_numpy(), [1 / 3, 2 / 3], method="linear")
+        for g, sub in df.groupby("lang")
+    }
+
+    def brute(row):
+        c = cuts[row["lang"]]
+        if row["val"] <= c[0]:
+            return "head"
+        if row["val"] <= c[1]:
+            return "middle"
+        return "tail"
+
+    want = df.assign(bucket=df.apply(brute, axis=1))
+    merged = out.merge(want[["doc_id", "bucket"]], on="doc_id", suffixes=("", "_want"))
+    assert (merged["bucket"] == merged["bucket_want"]).all()
+    # terciles are roughly balanced per group
+    for g, sub in out.groupby("lang"):
+        frac = sub["bucket"].value_counts(normalize=True)
+        assert frac.min() > 0.25
+
+
+def test_bucket_assignment_invariant_to_partitioning(ray_session):
+    t = _rand_table(n=2000, seed=3, discrete=False)
+    a = bucket_by_group_quantiles(
+        ray.data.from_arrow(t).repartition(2), "lang", "val", quantize=2
+    ).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    b = bucket_by_group_quantiles(
+        ray.data.from_arrow(t).repartition(13), "lang", "val", quantize=2
+    ).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_external_cutoffs_and_unseen_group_to_tail(ray_session):
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3], type=pa.int64()),
+            "lang": pa.array(["py", "py", "xx", "py"]),
+            "val": pa.array([1.0, 5.0, 2.0, float("nan")]),
+        }
+    )
+    ds = ray.data.from_arrow(t)
+    out = bucket_by_group_quantiles(
+        ds, "lang", "val", cutoffs={"py": np.array([2.0, 4.0])}
+    ).to_pandas().set_index("doc_id")["bucket"]
+    assert out[0] == "head"          # 1.0 <= 2.0
+    assert out[1] == "tail"          # 5.0 > 4.0
+    assert out[2] == "tail"          # unseen group -> last label
+    assert out[3] == "tail"          # NaN -> last label
+
+
+def test_matches_duckdb_quantile_case_twin(ray_session):
+    # the exact SQL twin used by the lang_length_buckets oracle
+    duckdb = pytest.importorskip("duckdb")
+    t = _rand_table(n=2500, seed=23)
+    out = (
+        bucket_by_group_quantiles(
+            ray.data.from_arrow(t).repartition(6), "lang", "val"
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("t", t.to_pandas())
+    want = con.sql(
+        """
+        WITH cuts AS (
+          SELECT lang,
+                 quantile_cont(val, 0.3333333333333333) AS c1,
+                 quantile_cont(val, 0.6666666666666666) AS c2
+          FROM t GROUP BY lang
+        )
+        SELECT t.doc_id, t.lang, t.val,
+               CASE WHEN t.val <= cuts.c1 THEN 'head'
+                    WHEN t.val <= cuts.c2 THEN 'middle'
+                    ELSE 'tail' END AS bucket
+        FROM t JOIN cuts USING (lang)
+        ORDER BY doc_id
+        """
+    ).df()
+    assert (out["bucket"].to_numpy() == want["bucket"].to_numpy()).all()
+
+
+def test_ccnet_ppl_buckets_end_to_end(ray_session):
+    from kenlm_ray.pipelines.quality_filter import seed_model_path
+    from kenlm_ray.sources.synth_corpus import gen_table
+
+    t = gen_table(5, 0, 300)
+    t = t.append_column(
+        "doc_id", pa.array(np.arange(len(t), dtype=np.int64))
+    )
+    out = ccnet_ppl_buckets(
+        ray.data.from_arrow(t).repartition(3),
+        seed_model_path(),
+        text_col="content",
+        lang_col="lang",
+        concurrency=2,
+    ).to_pandas()
+    assert len(out) == 300
+    assert set(out.columns) == {"doc_id", "lang", "ppl", "bucket"}
+    assert set(out["bucket"].unique()) <= {"head", "middle", "tail"}
+    # per language the tercile split is balanced within rounding
+    for g, sub in out.groupby("lang"):
+        if len(sub) < 30:
+            continue
+        counts = sub["bucket"].value_counts()
+        assert counts.max() - counts.min() <= max(4, len(sub) // 4)
+    # head docs really do have lower ppl than tail docs per language
+    for g, sub in out.groupby("lang"):
+        h = sub.loc[sub["bucket"] == "head", "ppl"]
+        tl = sub.loc[sub["bucket"] == "tail", "ppl"]
+        if len(h) and len(tl):
+            assert h.mean() < tl.mean()
