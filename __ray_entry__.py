@@ -1052,6 +1052,32 @@ def _q_ccnet_ppl_buckets(sf_dir):
     )
 
 
+def _q_dsir_selected_docs(sf_dir):
+    """DSIR importance resampling (Xie et al. 2023): select 100 docs
+    from the documents table whose hashed-n-gram profile looks like the
+    lexicographically-first language's docs.  Rows-only (murmur-hashed
+    features aren't SQL); test_dsir.py gates profile/weight exactness
+    vs brute force, target-bias on vocab-distinct corpora, and
+    partitioning invariance.  (The testdata's lang column is
+    near-independent of its word-salad text — see
+    classifier_lang_predictions — so HERE the weights are near zero
+    and the draw tracks base rates; determinism is the check.)"""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from kenlm_ray.ops.dsir import dsir_select
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    # column-pruned driver peek: the target domain key only
+    target_lang = pc.min(pq.read_table(path, columns=["lang"])["lang"]).as_py()
+    raw = ray.data.read_parquet(path, columns=["doc_id", "text", "lang"])
+    target = raw.filter(expr=f"lang == '{target_lang}'")
+    return dsir_select(
+        raw, target, k=100, text_col="text", id_col="doc_id", seed=11
+    ).select_columns(["doc_id", "lang"])
+
+
 def _q_shuffled_docs_head(sf_dir):
     """First 100 doc_ids of the seeded reproducible global shuffle
     (rows-only: the splitmix64 permutation is not SQL-expressible;
@@ -1527,6 +1553,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_filter_flagship": _q_quality_filter,
         "repo_quality_stats": _q_repo_stats,
         "ccnet_ppl_buckets": _q_ccnet_ppl_buckets,
+        "dsir_selected_docs": _q_dsir_selected_docs,
         "ppl_score": _q_ppl_score,
         "langid": _q_langid,
         "classifier_lang_predictions": _q_classifier_lang,

@@ -1,0 +1,178 @@
+"""DSIR — Data Selection via Importance Resampling (Xie et al. 2023).
+
+Select raw-corpus documents that look like a small TARGET corpus:
+
+  1. fit two bag-of-hashed-n-gram multinomials — target p, raw q —
+     over B feature buckets (paper: unigrams+bigrams hashed to 10k);
+  2. per raw doc, log importance weight
+         lambda(x) = sum_b c_b(x) * (log p_b - log q_b);
+  3. resample k docs WITHOUT replacement by Gumbel top-k on
+     lambda(x) + g_i with seeded per-doc Gumbel noise.
+
+Distributed shape (nothing ships rows, nothing sorts the corpus):
+
+  * profiles: per-batch ``np.bincount`` over hashed-token buckets ->
+    one <=B-row groupby -> a B-float driver vector.  Two streaming
+    passes total (target + raw), each moving <=B counters per batch.
+  * weights: ``log p - log q`` broadcast once via ``ray.put``; per
+    batch one tokenize + hash + ``np.bincount(doc_ids, weights=lw[b])``
+    — fully vectorized, zero shuffle.
+  * resample: the bottom-k-by-key shape of ``ops/sample.py`` — each
+    batch contributes its local top-k of (lambda + gumbel), the global
+    merge is a k-row sort+limit.  Deterministic: the Gumbel draw is
+    ``splitmix64(seed ^ doc_id)``, so the selection is a pure function
+    of (corpora, seed), independent of partitioning.
+
+Hashing reuses the engine's token murmur (functions/hashing.py,
+reference lm/vocab.cc parity) and the reference's n-gram recurrence
+(lm/search_hashed.hh CombineWordHash) for bigram features.
+
+Engine addition: kpu/kenlm's role in data selection is the importance
+LM (perplexity filtering); DSIR is the published resampling-based
+alternative over the same corpus shape, so it belongs in the same
+toolbox.  Not SQL-expressible (hashed features) — pytest-gated.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data
+from ray.data.aggregate import Sum
+
+from kenlm_ray.functions.hashing import ngram_hash_step
+from kenlm_ray.functions.tokenize import tokenize_column
+from kenlm_ray.ops.sample import _rank
+
+
+def _doc_buckets(
+    batch_text: "pa.Array | pa.ChunkedArray", buckets: int, ngrams: int
+) -> "tuple[np.ndarray, np.ndarray]":
+    """(bucket_ids, doc_ids) of every unigram (+bigram when ngrams>=2)
+    feature occurrence in the batch's documents."""
+    stream = tokenize_column(batch_text)
+    h = stream.hashes()
+    b = (h % np.uint64(buckets)).astype(np.int64)
+    d = stream.doc_ids.astype(np.int64)
+    if ngrams >= 2 and len(h) > 1:
+        same_doc = stream.doc_ids[1:] == stream.doc_ids[:-1]
+        h2 = ngram_hash_step(h[:-1], h[1:])[same_doc]
+        b = np.concatenate([b, (h2 % np.uint64(buckets)).astype(np.int64)])
+        d = np.concatenate([d, d[1:][same_doc]])
+    return b, d
+
+
+def hashed_ngram_profile(
+    ds: "ray.data.Dataset",
+    text_col: str = "text",
+    *,
+    buckets: int = 10_000,
+    ngrams: int = 2,
+) -> np.ndarray:
+    """The corpus's hashed-n-gram bucket counts (float64 [buckets]).
+    Per-batch bincount partials -> one <=buckets-row groupby; driver
+    state is the B-vector only."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        b, _ = _doc_buckets(batch[text_col], buckets, ngrams)
+        c = np.bincount(b, minlength=buckets)
+        nz = np.nonzero(c)[0]
+        return pa.table(
+            {"bucket": pa.array(nz.astype(np.int64)), "n": pa.array(c[nz])}
+        )
+
+    rows = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .aggregate(Sum("n", alias_name="n"))
+        .take_all()
+    )
+    out = np.zeros(buckets, dtype=np.float64)
+    for r in rows:
+        out[r["bucket"]] = r["n"]
+    return out
+
+
+def log_ratio(
+    target_counts: np.ndarray,
+    raw_counts: np.ndarray,
+    *,
+    smoothing: float = 1.0,
+) -> np.ndarray:
+    """log p_b - log q_b with Laplace smoothing (never -inf/+inf)."""
+    if target_counts.shape != raw_counts.shape:
+        raise ValueError("profile shapes differ")
+    B = len(target_counts)
+    p = (target_counts + smoothing) / (target_counts.sum() + smoothing * B)
+    q = (raw_counts + smoothing) / (raw_counts.sum() + smoothing * B)
+    return np.log(p) - np.log(q)
+
+
+def dsir_log_weights(
+    ds: "ray.data.Dataset",
+    lw: np.ndarray,
+    text_col: str = "text",
+    *,
+    ngrams: int = 2,
+    out_col: str = "dsir_logw",
+) -> "ray.data.Dataset":
+    """Append lambda(x) = sum_b c_b(x) * lw[b] per document."""
+    buckets = len(lw)
+    lw_ref = ray.put(lw)
+
+    def score(batch: pa.Table) -> pa.Table:
+        w = ray.get(lw_ref)
+        b, d = _doc_buckets(batch[text_col], buckets, ngrams)
+        lam = np.bincount(d, weights=w[b], minlength=len(batch))
+        return batch.append_column(out_col, pa.array(lam, type=pa.float64()))
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
+def dsir_select(
+    raw: "ray.data.Dataset",
+    target: "ray.data.Dataset",
+    k: int,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = 10_000,
+    ngrams: int = 2,
+    smoothing: float = 1.0,
+    seed: int = 0,
+    keep_weight: bool = False,
+) -> "ray.data.Dataset":
+    """Select k raw docs via DSIR Gumbel-top-k importance resampling.
+
+    Output keeps the raw schema (plus ``dsir_logw`` when
+    ``keep_weight``); rows are the k selected docs.  ``id_col`` values
+    must be unique (they seed the per-doc Gumbel draw)."""
+    p = hashed_ngram_profile(target, text_col, buckets=buckets, ngrams=ngrams)
+    q = hashed_ngram_profile(raw, text_col, buckets=buckets, ngrams=ngrams)
+    lw = log_ratio(p, q, smoothing=smoothing)
+    scored = dsir_log_weights(raw, lw, text_col, ngrams=ngrams)
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        lam = batch["dsir_logw"].to_numpy(zero_copy_only=False)
+        # uniform in (0,1] from the seeded id permutation -> Gumbel(0,1)
+        u = (_rank(ids, seed).astype(np.float64) + 1.0) / 18446744073709551616.0
+        with np.errstate(divide="ignore"):  # u==1 -> +inf key, p ~ 2^-64
+            key = lam + (-np.log(-np.log(u)))
+        if len(key) > k:
+            keep = np.argpartition(-key, k)[:k]
+            batch = batch.take(pa.array(keep))
+            key = key[keep]
+        return batch.append_column("__negkey", pa.array(-key))
+
+    out = (
+        scored.map_batches(local_topk, batch_format="pyarrow")
+        .sort("__negkey")
+        .limit(k)
+        .drop_columns(["__negkey"])
+    )
+    if not keep_weight:
+        out = out.drop_columns(["dsir_logw"])
+    return out

@@ -1,0 +1,134 @@
+"""DSIR importance resampling (ops/dsir.py)."""
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data
+
+from kenlm_ray.functions.hashing import murmur64, ngram_hash_step
+from kenlm_ray.ops.dsir import (
+    dsir_log_weights,
+    dsir_select,
+    hashed_ngram_profile,
+    log_ratio,
+)
+
+B = 512
+
+
+def _brute_buckets(text: str, buckets=B, ngrams=2):
+    toks = [t for t in text.replace("\x00", " ").split() if t]
+    # the engine splits on the strict \0\t\n\r space set; plain split()
+    # matches for these fixtures (no exotic whitespace)
+    h = [murmur64(t.encode()) for t in toks]
+    out = [int(x % buckets) for x in h]
+    if ngrams >= 2:
+        for a, b in zip(h[:-1], h[1:]):
+            hb = ngram_hash_step(
+                np.array([a], dtype=np.uint64), np.array([b], dtype=np.uint64)
+            )[0]
+            # int() first: np.uint64 % python-int promotes to float64 and
+            # corrupts 64-bit hashes
+            out.append(int(hb) % buckets)
+    return out
+
+
+def _corpus(texts):
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(np.arange(len(texts), dtype=np.int64)),
+                "text": pa.array(texts),
+            }
+        )
+    )
+
+
+def test_profile_matches_bruteforce(ray_session):
+    texts = [
+        "def foo bar baz",
+        "import os sys re",
+        "foo foo foo",
+        "",
+        "single",
+    ]
+    got = hashed_ngram_profile(_corpus(texts).repartition(3), buckets=B)
+    want = np.zeros(B)
+    for t in texts:
+        for b in _brute_buckets(t):
+            want[b] += 1
+    np.testing.assert_array_equal(got, want)
+
+
+def test_log_weights_match_bruteforce(ray_session):
+    rng = np.random.default_rng(0)
+    words = ["def", "class", "import", "return", "x", "y", "foo", "bar"]
+    texts = [" ".join(rng.choice(words, size=12)) for _ in range(40)]
+    tgt = [" ".join(rng.choice(words[:4], size=12)) for _ in range(20)]
+    p = hashed_ngram_profile(_corpus(tgt), buckets=B)
+    q = hashed_ngram_profile(_corpus(texts), buckets=B)
+    lw = log_ratio(p, q)
+    got = (
+        dsir_log_weights(_corpus(texts).repartition(4), lw)
+        .to_pandas()
+        .sort_values("doc_id")["dsir_logw"]
+        .to_numpy()
+    )
+    want = np.array(
+        [sum(lw[b] for b in _brute_buckets(t)) for t in texts]
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-12)
+
+
+def test_select_prefers_target_like_docs(ray_session):
+    # raw = half "python-like", half "prose-like"; target = python-like
+    rng = np.random.default_rng(7)
+    py = ["def", "class", "import", "return", "self", "lambda"]
+    en = ["the", "quick", "brown", "fox", "jumps", "over"]
+    raw_texts = [
+        " ".join(rng.choice(py if i % 2 == 0 else en, size=20))
+        for i in range(400)
+    ]
+    tgt_texts = [" ".join(rng.choice(py, size=20)) for _ in range(50)]
+    sel = dsir_select(
+        _corpus(raw_texts).repartition(5),
+        _corpus(tgt_texts),
+        k=100,
+        buckets=B,
+        seed=3,
+    ).to_pandas()
+    assert len(sel) == 100
+    frac_py = (sel["doc_id"] % 2 == 0).mean()
+    assert frac_py > 0.95
+
+
+def test_select_deterministic_and_partition_invariant(ray_session):
+    rng = np.random.default_rng(1)
+    words = ["a", "b", "c", "d", "e", "f", "g", "h"]
+    raw = [" ".join(rng.choice(words, size=10)) for _ in range(200)]
+    tgt = [" ".join(rng.choice(words[:3], size=10)) for _ in range(30)]
+    a = dsir_select(
+        _corpus(raw).repartition(2), _corpus(tgt), k=40, buckets=B, seed=5
+    ).to_pandas()["doc_id"].sort_values().to_numpy()
+    b = dsir_select(
+        _corpus(raw).repartition(11), _corpus(tgt), k=40, buckets=B, seed=5
+    ).to_pandas()["doc_id"].sort_values().to_numpy()
+    np.testing.assert_array_equal(a, b)
+    # a different seed gives a different (but overlapping) sample
+    c = dsir_select(
+        _corpus(raw).repartition(2), _corpus(tgt), k=40, buckets=B, seed=6
+    ).to_pandas()["doc_id"].sort_values().to_numpy()
+    assert not np.array_equal(a, c)
+
+
+def test_keep_weight_column(ray_session):
+    raw = ["x y z"] * 10
+    sel = dsir_select(
+        _corpus(raw),
+        _corpus(["x y"]),
+        k=3,
+        buckets=B,
+        keep_weight=True,
+    ).to_pandas()
+    assert "dsir_logw" in sel.columns and len(sel) == 3
