@@ -718,6 +718,67 @@ def cmd_budget(args) -> int:
     return 0
 
 
+def cmd_bucket(args) -> int:
+    """CCNet-style per-group quantile bucketing: score perplexity with
+    the actor-pool LM (when --model is given) or use an existing value
+    column, then assign head/middle/tail per group."""
+    _ray_init()
+    import ray.data
+
+    ds = ray.data.read_parquet(args.corpus)
+    if args.model:
+        from kenlm_ray.ops.ccnet import ccnet_ppl_buckets
+
+        out = ccnet_ppl_buckets(
+            ds,
+            args.model,
+            text_col=args.text_col,
+            lang_col=args.group_col,
+            id_col=args.id_col,
+            quantize=args.quantize,
+        )
+    else:
+        from kenlm_ray.ops.ccnet import bucket_by_group_quantiles
+
+        if not args.value_col:
+            raise SystemExit("--value-col required without --model")
+        out = bucket_by_group_quantiles(
+            ds,
+            args.group_col,
+            args.value_col,
+            quantize=args.quantize,
+        )
+    out.write_parquet(args.out)
+    print(f"buckets (group={args.group_col}) -> {args.out}")
+    return 0
+
+
+def cmd_select(args) -> int:
+    """DSIR importance resampling: select --k docs from --corpus whose
+    hashed-n-gram profile matches --target."""
+    _ray_init()
+    import ray.data
+
+    from kenlm_ray.ops.dsir import dsir_select
+
+    raw = ray.data.read_parquet(args.corpus)
+    target = ray.data.read_parquet(args.target)
+    out = dsir_select(
+        raw,
+        target,
+        args.k,
+        text_col=args.text_col,
+        id_col=args.id_col,
+        buckets=args.buckets,
+        ngrams=args.ngrams,
+        seed=args.seed,
+        keep_weight=args.keep_weight,
+    )
+    out.write_parquet(args.out)
+    print(f"dsir selection (k={args.k}) -> {args.out}")
+    return 0
+
+
 def cmd_quality(args) -> int:
     _ray_init()
     from kenlm_ray.pipelines.quality_filter import (
@@ -945,6 +1006,30 @@ def main(argv=None) -> int:
     sG.add_argument("--id-col", default="doc_id")
     sG.add_argument("--density-col", default=None)
     sG.set_defaults(fn=cmd_budget)
+
+    sK = sub.add_parser("bucket")
+    sK.add_argument("corpus")
+    sK.add_argument("out")
+    sK.add_argument("--model", default=None, help="LM for ppl bucketing")
+    sK.add_argument("--group-col", default="lang")
+    sK.add_argument("--value-col", default=None, help="bucket an existing column")
+    sK.add_argument("--text-col", default="content")
+    sK.add_argument("--id-col", default="doc_id")
+    sK.add_argument("--quantize", type=int, default=2)
+    sK.set_defaults(fn=cmd_bucket)
+
+    sR = sub.add_parser("select")
+    sR.add_argument("corpus")
+    sR.add_argument("target")
+    sR.add_argument("out")
+    sR.add_argument("k", type=int)
+    sR.add_argument("--text-col", default="content")
+    sR.add_argument("--id-col", default="doc_id")
+    sR.add_argument("--buckets", type=int, default=10_000)
+    sR.add_argument("--ngrams", type=int, default=2)
+    sR.add_argument("--seed", type=int, default=0)
+    sR.add_argument("--keep-weight", action="store_true")
+    sR.set_defaults(fn=cmd_select)
 
     sQ = sub.add_parser("quality")
     sQ.add_argument("corpus")

@@ -142,6 +142,56 @@ def test_cli_dedup_exact(ray_session, tmp_path):
     assert list(got["doc_id"]) == [1, 2]
 
 
+def test_cli_bucket_and_select(ray_session, tmp_path):
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from kenlm_ray.cli import main
+
+    rng = np.random.default_rng(2)
+    py = ["def", "class", "import", "return"]
+    en = ["the", "quick", "brown", "fox"]
+    n = 60
+    src = tmp_path / "corpus"
+    src.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+                "lang": pa.array(["py" if i % 2 == 0 else "en" for i in range(n)]),
+                "content": pa.array(
+                    [
+                        " ".join(rng.choice(py if i % 2 == 0 else en, size=15))
+                        for i in range(n)
+                    ]
+                ),
+                "score": pa.array(rng.integers(0, 50, n).astype(np.float64)),
+            }
+        ),
+        str(src / "part.parquet"),
+    )
+    tgt = tmp_path / "target"
+    tgt.mkdir()
+    pq.write_table(
+        pa.table(
+            {"content": pa.array([" ".join(rng.choice(py, size=15)) for _ in range(10)])}
+        ),
+        str(tgt / "part.parquet"),
+    )
+
+    out1 = tmp_path / "buckets"
+    assert main(["bucket", str(src), str(out1), "--value-col", "score"]) == 0
+    got = pq.read_table(str(out1)).to_pandas()
+    assert len(got) == n and set(got["bucket"]) <= {"head", "middle", "tail"}
+
+    out2 = tmp_path / "selected"
+    assert main(["select", str(src), str(tgt), str(out2), "20"]) == 0
+    sel = pq.read_table(str(out2)).to_pandas()
+    assert len(sel) == 20
+    assert (sel["doc_id"] % 2 == 0).mean() > 0.9  # target-like (py) docs win
+
+
 def test_cli_query_verbosity_golden(capsys):
     """query -v word reproduces the reference query output format
     (ngram_query.hh:22-41) and the lm/test.arpa golden word scores
