@@ -817,6 +817,33 @@ def _q_span_dedup_docs(sf_dir):
     )
 
 
+def _q_dup_para_stats(sf_dir):
+    """Cross-document duplicate-paragraph profile (RefinedWeb/Dolma
+    paragraph dedup, ops/paragraphs.py): per-doc counts of paragraphs
+    occurring in >= 2 distinct docs.  The separator is a parameter
+    (default '\\n\\n'); the synthetic testdata text is single-line, so
+    this query splits on the literal token 'the' to exercise real
+    multi-paragraph structure."""
+    from kenlm_ray.ops.paragraphs import duplicate_paragraph_stats
+
+    return duplicate_paragraph_stats(_documents(sf_dir), sep="the")
+
+
+def _q_para_dedup_docs(sf_dir):
+    """Cleaned documents with every cross-doc duplicated paragraph
+    removed (all occurrences, min_df=2); untouched docs byte-identical
+    (split->join roundtrip is lossless)."""
+    import pyarrow as pa
+
+    from kenlm_ray.ops.paragraphs import remove_duplicate_paragraphs
+
+    out = remove_duplicate_paragraphs(_documents(sf_dir), sep="the")
+    return out.map_batches(
+        lambda t: t.select(["doc_id", "text", "n_dropped_paras"]),
+        batch_format="pyarrow",
+    )
+
+
 def _q_top_decile_orders(sf_dir):
     """Exact top-10%-by-price cut (histogram refinement, no global
     sort), aggregated by priority."""
@@ -1541,6 +1568,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_value_quartiles": _q_customer_value_quartiles,
         "dup_span_stats": _q_dup_span_stats,
         "span_dedup_docs": _q_span_dedup_docs,
+        "dup_para_stats": _q_dup_para_stats,
+        "para_dedup_docs": _q_para_dedup_docs,
         "doc_type_token_ratio": _q_doc_type_token_ratio,
         "lang_length_histogram": _q_lang_length_histogram,
         "lang_unigram_entropy": _q_lang_unigram_entropy,
@@ -2399,6 +2428,50 @@ def oracle_sql() -> dict[str, str]:
                    sum(n_windows)::BIGINT  AS n_dup_windows,
                    sum(e - s)::BIGINT      AS dup_tokens
             FROM spans GROUP BY doc_id
+        """,
+        "dup_para_stats": """
+            WITH sp AS (
+                SELECT doc_id, string_split(text, 'the') AS ps FROM documents
+            ),
+            p AS (
+                SELECT doc_id, unnest(ps) AS para,
+                       unnest(range(1, len(ps) + 1)) AS i
+                FROM sp
+            ),
+            df AS (
+                SELECT para, count(DISTINCT doc_id) AS df FROM p GROUP BY para
+            )
+            SELECT p.doc_id,
+                   count(*)::BIGINT AS n_paras,
+                   (count(*) FILTER (WHERE df.df >= 2))::BIGINT AS n_dup_paras
+            FROM p JOIN df USING (para)
+            GROUP BY p.doc_id
+        """,
+        "para_dedup_docs": """
+            WITH sp AS (
+                SELECT doc_id, string_split(text, 'the') AS ps FROM documents
+            ),
+            p AS (
+                SELECT doc_id, unnest(ps) AS para,
+                       unnest(range(1, len(ps) + 1)) AS i
+                FROM sp
+            ),
+            df AS (
+                SELECT para, count(DISTINCT doc_id) AS df FROM p GROUP BY para
+            ),
+            k AS (
+                SELECT p.doc_id, p.para, p.i, df.df
+                FROM p JOIN df USING (para)
+            )
+            SELECT d.doc_id,
+                   coalesce(
+                       string_agg(k.para, 'the' ORDER BY k.i)
+                           FILTER (WHERE k.df < 2),
+                       '') AS text,
+                   (count(*) FILTER (WHERE k.df >= 2))::BIGINT
+                       AS n_dropped_paras
+            FROM documents d LEFT JOIN k ON k.doc_id = d.doc_id
+            GROUP BY d.doc_id
         """,
         "top_decile_orders": """
             WITH ranked AS (

@@ -559,6 +559,14 @@ def cmd_dedup(args) -> int:
         out = remove_duplicated_spans(
             ds, spans, text_col=args.text_col, id_col=args.id_col
         )
+    elif args.method == "paragraphs":
+        from kenlm_ray.ops.paragraphs import remove_duplicate_paragraphs
+
+        out = remove_duplicate_paragraphs(
+            ds, text_col=args.text_col, id_col=args.id_col,
+            sep=args.para_sep, min_df=args.min_df,
+            keep_first=args.keep_first,
+        )
     elif args.method == "semantic":
         from kenlm_ray.ops.semdedup import semantic_dedup_ids
 
@@ -921,9 +929,22 @@ def main(argv=None) -> int:
     sd.add_argument(
         "--method",
         default="exact",
-        choices=["exact", "minhash", "simhash", "spans", "semantic"],
+        choices=["exact", "minhash", "simhash", "spans", "paragraphs",
+                 "semantic"],
     )
     sd.add_argument("--text-col", default="content")
+    sd.add_argument(
+        "--para-sep", default="\n\n",
+        help="paragraph separator for --method paragraphs",
+    )
+    sd.add_argument(
+        "--min-df", type=int, default=2,
+        help="remove paragraphs in >= this many distinct docs",
+    )
+    sd.add_argument(
+        "--keep-first", action="store_true",
+        help="spare the globally-first occurrence of each duplicate",
+    )
     sd.add_argument(
         "--emb-col",
         default="embedding",

@@ -1,0 +1,486 @@
+"""Cross-document duplicate-paragraph removal (RefinedWeb / Dolma style).
+
+Web-curation pipelines remove PARAGRAPHS that recur across documents —
+boilerplate navigation, license headers, cookie banners — while keeping
+the documents themselves (RefinedWeb "exact substring/paragraph
+deduplication"; Dolma's paragraph-level dedup).  This complements the
+repo's other dedup granularities: whole-doc exact dedup
+(`ops/dedup.py`), within-doc duplicate LINES (`ops/normalize.py
+dedupe_lines`), and token-window spans (`ops/spandedup.py`).  The
+reference engine (kpu/kenlm) has no corpus-dedup stage at all — this is
+part of the curation suite the north star adds around it.
+
+Distributed shape (the 100-TB argument):
+
+1. **df pass** — per batch: one ``pc.split_pattern`` (Arrow list
+   offsets give exact per-doc paragraph boundaries), one
+   ``murmur64_stream`` over the flat paragraph buffer, per-doc
+   first-occurrence dedup via a single lexsort, then an in-batch
+   ``group_by`` partial.  Only ``(u64 hash, count)`` rows cross the
+   shuffle — never paragraph text.
+2. **decision** — duplicated hashes (``df >= min_df``) are either
+   broadcast once via ``ray.put`` as a sorted u64 array (the common
+   regime: boilerplate paragraphs are numerous in OCCURRENCE but the
+   distinct-hash table is bounded) or, past ``broadcast_threshold``,
+   resolved by a partitioned semi-join of the exploded hash-only table
+   (3 int columns, no text) against the dup table, re-attached to the
+   corpus by one ``doc_id``-keyed left join of a per-doc packed
+   position blob (one row per affected doc) — the corpus text shuffles
+   at most once, and nothing lands on the driver.
+3. **removal** — pure map: recompute split + hashes, drop flagged
+   paragraphs, rebuild the list array, ``pc.binary_join`` with the
+   original separator.  The split→join roundtrip is lossless for
+   untouched documents (literal non-overlapping split), so kept bytes
+   are byte-identical — preserving the north rule's sha256 invariant
+   for untouched rows.
+
+``keep_first`` spares the globally-first occurrence (min (doc_id,
+position), the `ops/spandedup.py` packed-min convention) so one copy of
+each duplicated paragraph survives, like the reference-free ExactSubstr
+policy of Lee et al., "Deduplicating Training Data Makes Language
+Models Better" (2022).
+
+Hash note: paragraph identity is murmur64 of the paragraph bytes; a
+collision merges two distinct paragraphs (odds ~n²/2⁶⁴ — negligible at
+any corpus size this engine targets, same convention as
+`ops/spandedup.py`).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+from ray.data.aggregate import Min, Sum
+
+
+def _split_hash(col: "pa.ChunkedArray | pa.Array", sep: str):
+    """Split every doc on the literal ``sep`` and hash each paragraph.
+
+    Returns (flat paragraphs StringArray, per-doc list offsets int64,
+    u64 hashes, paragraph->doc index, paragraph position within doc).
+    Fully vectorized — one Arrow split, one murmur stream.
+    """
+    from kenlm_ray.functions.hashing import murmur64_stream
+    from kenlm_ray.functions.tokenize import _string_buffers
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n_docs = len(col)
+    split = pc.split_pattern(col, pattern=sep)
+    if isinstance(split, pa.ChunkedArray):
+        split = split.combine_chunks()
+    list_off = np.frombuffer(split.buffers()[1], dtype=np.int32)[
+        split.offset : split.offset + n_docs + 1
+    ].astype(np.int64)
+    flat = split.flatten()
+    s_off, s_data = _string_buffers(flat)
+    # int64 bit-view of the u64 murmur hashes: Arrow/Ray aggregates on
+    # uint64 fall back to pickled-object columns past 2^63
+    h = murmur64_stream(s_data, s_off[:-1], s_off[1:] - s_off[:-1]).view(
+        np.int64
+    )
+    para_doc = np.searchsorted(
+        list_off[1:], np.arange(len(flat)), side="right"
+    ).astype(np.int64)
+    pos = np.arange(len(flat), dtype=np.int64) - list_off[para_doc]
+    return flat, list_off, h, para_doc, pos
+
+
+def paragraph_df(
+    ds: "ray.data.Dataset",
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n\n",
+) -> "ray.data.Dataset":
+    """Document frequency of every distinct paragraph: ``(para_hash,
+    df)`` where df counts DISTINCT documents containing the paragraph
+    (a paragraph repeated only within one doc has df=1 — in-document
+    repetition is `dedupe_lines`' job).
+
+    Partial-then-final: per-batch per-doc unique hashes -> in-batch
+    group_by -> one hash-keyed groupby of (u64, int64) rows.
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        _, _, h, para_doc, _ = _split_hash(batch[text_col], sep)
+        if len(h) == 0:
+            return pa.table(
+                {
+                    "para_hash": pa.array([], type=pa.int64()),
+                    "n": pa.array([], type=pa.int64()),
+                }
+            )
+        # one df unit per (doc, hash): first occurrence within each doc
+        order = np.lexsort((h, para_doc))
+        d_o, h_o = para_doc[order], h[order]
+        first = np.concatenate(
+            [[True], (d_o[1:] != d_o[:-1]) | (h_o[1:] != h_o[:-1])]
+        )
+        t = pa.table(
+            {
+                "para_hash": pa.array(h_o[first]),
+                "n": pa.array(np.ones(int(first.sum()), dtype=np.int64)),
+            }
+        )
+        return t.group_by(["para_hash"]).aggregate([("n", "sum")])
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("para_hash")
+        .aggregate(Sum("n_sum", alias_name="df"))
+    )
+
+
+def _dup_hashes(
+    ds, *, text_col: str, id_col: str, sep: str, min_df: int
+) -> "ray.data.Dataset":
+    return paragraph_df(ds, text_col=text_col, id_col=id_col, sep=sep).filter(
+        lambda r: r["df"] >= min_df
+    )
+
+
+def duplicate_paragraph_stats(
+    ds: "ray.data.Dataset",
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n\n",
+    min_df: int = 2,
+) -> "ray.data.Dataset":
+    """Per-document duplication profile: ``(id_col, n_paras,
+    n_dup_paras)`` — how many of the doc's paragraphs occur in >=
+    ``min_df`` distinct documents.  The audit companion of
+    :func:`remove_duplicate_paragraphs` (run it first to size the cut).
+
+    Dup hashes broadcast once via ``ray.put`` (sorted u64 array); the
+    stats pass is a pure map.
+    """
+    dup = _dup_hashes(
+        ds, text_col=text_col, id_col=id_col, sep=sep, min_df=min_df
+    ).take_all()
+    dup_sorted = np.sort(
+        np.array([r["para_hash"] for r in dup], dtype=np.int64)
+    )
+    dup_ref = ray.put(dup_sorted)
+
+    def stats(batch: pa.Table) -> pa.Table:
+        d = np.asarray(ray.get(dup_ref))
+        _, _, h, para_doc, _ = _split_hash(batch[text_col], sep)
+        n = len(batch)
+        if len(h) and len(d):
+            idx = np.minimum(np.searchsorted(d, h), len(d) - 1)
+            hit = d[idx] == h
+        else:
+            hit = np.zeros(len(h), dtype=bool)
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "n_paras": pa.array(np.bincount(para_doc, minlength=n)),
+                "n_dup_paras": pa.array(
+                    np.bincount(para_doc[hit], minlength=n)
+                ),
+            }
+        )
+
+    return ds.map_batches(stats, batch_format="pyarrow")
+
+
+def _spare_packed(
+    ds, dup_ref, *, text_col: str, id_col: str, sep: str
+) -> np.ndarray:
+    """keep_first support: for every duplicated hash, the packed
+    ``(doc_id << 24) | pos`` of its globally-first occurrence (the
+    spared one).  Same packing + loud overflow guard as
+    `ops/spandedup.py` (doc_id < 2^39, pos < 2^24)."""
+
+    def firsts(batch: pa.Table) -> pa.Table:
+        d = np.asarray(ray.get(dup_ref))
+        _, _, h, para_doc, pos = _split_hash(batch[text_col], sep)
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(h) == 0 or len(d) == 0:
+            return pa.table(
+                {
+                    "para_hash": pa.array([], type=pa.int64()),
+                    "m": pa.array([], type=pa.int64()),
+                }
+            )
+        idx = np.minimum(np.searchsorted(d, h), len(d) - 1)
+        hit = d[idx] == h
+        doc = ids[para_doc[hit]]
+        p = pos[hit]
+        if len(p) and (
+            int(p.max()) >= (1 << 24)
+            or int(doc.max()) >= (1 << 39)
+            or int(doc.min()) < 0
+        ):
+            raise ValueError(
+                "packed (doc_id, pos) overflow: need doc_id < 2^39 and "
+                "paragraph position < 2^24"
+            )
+        t = pa.table(
+            {
+                "para_hash": pa.array(h[hit]),
+                "m": pa.array((doc << np.int64(24)) | p),
+            }
+        )
+        return t.group_by(["para_hash"]).aggregate([("m", "min")])
+
+    agg = (
+        ds.map_batches(firsts, batch_format="pyarrow")
+        .groupby("para_hash")
+        .aggregate(Min("m_min", alias_name="spare"))
+        .take_all()
+    )
+    # align to the sorted dup array by re-sorting on hash
+    pairs = sorted((int(r["para_hash"]), int(r["spare"])) for r in agg)
+    return np.array([p[1] for p in pairs], dtype=np.int64)
+
+
+def remove_duplicate_paragraphs(
+    ds: "ray.data.Dataset",
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n\n",
+    min_df: int = 2,
+    keep_first: bool = False,
+    broadcast_threshold: int = 50_000_000,
+    num_partitions: int = 16,
+) -> "ray.data.Dataset":
+    """Remove every paragraph that occurs in >= ``min_df`` distinct
+    documents (all occurrences; ``keep_first=True`` spares the globally
+    first).  Output: all input columns with ``text_col`` cleaned, plus
+    ``n_dropped_paras``.  Documents are never dropped — a fully
+    boilerplate doc comes back with empty text (filter on
+    ``n_dropped_paras``/length downstream if desired).
+
+    Broadcast path (dup table <= ``broadcast_threshold`` hashes, i.e.
+    <= ~8B each): sorted-u64 membership map-side, zero corpus shuffle.
+    Past the threshold: partitioned semi-join of the exploded HASH-ONLY
+    table against the dup table (`ops/join.hash_join`), per-doc packed
+    position blobs, one ``doc_id``-keyed left join back to the corpus —
+    the honest one-shuffle cost when duplication is corpus-scale,
+    mirroring `ops/cluster.dedup_keep_representatives`.
+    """
+    dup_ds = _dup_hashes(
+        ds, text_col=text_col, id_col=id_col, sep=sep, min_df=min_df
+    ).materialize()
+    n_dup = dup_ds.count()
+    if n_dup > broadcast_threshold:
+        return _remove_via_join(
+            ds,
+            dup_ds,
+            text_col=text_col,
+            id_col=id_col,
+            sep=sep,
+            keep_first=keep_first,
+            num_partitions=num_partitions,
+        )
+
+    dup_sorted = (
+        np.sort(dup_ds.to_pandas()["para_hash"].to_numpy().astype(np.int64))
+        if n_dup
+        else np.array([], dtype=np.int64)  # empty ds has no schema
+    )
+    dup_ref = ray.put(dup_sorted)
+    spare_ref = (
+        ray.put(
+            _spare_packed(
+                ds, dup_ref, text_col=text_col, id_col=id_col, sep=sep
+            )
+        )
+        if keep_first and n_dup
+        else None
+    )
+
+    def clean(batch: pa.Table) -> pa.Table:
+        d = np.asarray(ray.get(dup_ref))
+        flat, _, h, para_doc, pos = _split_hash(batch[text_col], sep)
+        n = len(batch)
+        if len(h) and len(d):
+            idx = np.minimum(np.searchsorted(d, h), len(d) - 1)
+            hit = d[idx] == h
+            if spare_ref is not None and hit.any():
+                spare = np.asarray(ray.get(spare_ref))
+                ids = (
+                    batch[id_col]
+                    .to_numpy(zero_copy_only=False)
+                    .astype(np.int64)
+                )
+                packed = (ids[para_doc] << np.int64(24)) | pos
+                hit &= spare[idx] != packed
+        else:
+            hit = np.zeros(len(h), dtype=bool)
+        return _rebuild(batch, flat, para_doc, hit, n, text_col, sep)
+
+    return ds.map_batches(clean, batch_format="pyarrow")
+
+
+def _rebuild(
+    batch: pa.Table,
+    flat: pa.Array,
+    para_doc: np.ndarray,
+    drop: np.ndarray,
+    n_docs: int,
+    text_col: str,
+    sep: str,
+) -> pa.Table:
+    """Rebuild each doc's text from its kept paragraphs (vectorized:
+    bincount offsets + one filtered list array + ``pc.binary_join``)."""
+    keep = ~drop
+    kept_counts = np.bincount(para_doc[keep], minlength=n_docs)
+    offsets = np.concatenate(
+        [[0], np.cumsum(kept_counts)]
+    ).astype(np.int64)
+    kept_flat = flat.filter(pa.array(keep))
+    la = pa.LargeListArray.from_arrays(pa.array(offsets), kept_flat)
+    cleaned = pc.binary_join(la, sep)
+    i = batch.schema.get_field_index(text_col)
+    out = batch.set_column(i, text_col, cleaned)
+    return out.append_column(
+        "n_dropped_paras", pa.array(np.bincount(para_doc[drop], minlength=n_docs))
+    )
+
+
+def _remove_via_join(
+    ds,
+    dup_ds,
+    *,
+    text_col: str,
+    id_col: str,
+    sep: str,
+    keep_first: bool,
+    num_partitions: int,
+) -> "ray.data.Dataset":
+    """At-scale fallback: never broadcast the dup table.
+
+    exploded (doc_id, pos, para_hash) — ints only, no text — semi-joins
+    the dup table; (for keep_first, occurrences equal to the per-hash
+    packed min are anti-joined away); surviving drop positions are
+    folded to ONE packed-int64 blob row per affected doc; a doc_id-keyed
+    left join attaches blobs to the corpus (text crosses the wire once)
+    and a pure map performs the same `_rebuild` removal.
+    """
+    from kenlm_ray.ops.join import hash_join
+
+    def explode(batch: pa.Table) -> pa.Table:
+        _, _, h, para_doc, pos = _split_hash(batch[text_col], sep)
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        doc = ids[para_doc]
+        if len(pos) and (
+            int(pos.max()) >= (1 << 24)
+            or (len(doc) and (int(doc.max()) >= (1 << 39) or int(doc.min()) < 0))
+        ):
+            raise ValueError(
+                "packed (doc_id, pos) overflow: need doc_id < 2^39 and "
+                "paragraph position < 2^24"
+            )
+        return pa.table(
+            {
+                id_col: pa.array(doc),
+                "para_hash": pa.array(h),
+                "packed": pa.array((doc << np.int64(24)) | pos),
+            }
+        )
+
+    exploded = ds.map_batches(explode, batch_format="pyarrow")
+    hits = hash_join(
+        exploded,
+        dup_ds.select_columns(["para_hash"]),
+        on=["para_hash"],
+        left_cols={
+            id_col: pa.int64(),
+            "para_hash": pa.int64(),
+            "packed": pa.int64(),
+        },
+        right_cols={"para_hash": pa.int64()},
+        how="semi",
+        num_partitions=num_partitions,
+    )
+    if keep_first:
+        spare = (
+            hits.groupby("para_hash")
+            .aggregate(Min("packed", alias_name="spare"))
+            .map_batches(
+                lambda t: t.select(["spare"]).rename_columns(["packed"]),
+                batch_format="pyarrow",
+            )
+        )
+        hits = hash_join(
+            hits,
+            spare,
+            on=["packed"],
+            left_cols={
+                id_col: pa.int64(),
+                "para_hash": pa.int64(),
+                "packed": pa.int64(),
+            },
+            right_cols={"packed": pa.int64()},
+            how="anti",
+            num_partitions=num_partitions,
+        )
+
+    def blobify(df):
+        # one row per doc: sorted drop positions packed into binary
+        import pandas as pd
+
+        d = df[id_col].to_numpy().astype(np.int64)
+        p = (df["packed"].to_numpy().astype(np.int64) & ((1 << 24) - 1)).astype(
+            np.int64
+        )
+        order = np.lexsort((p, d))
+        d, p = d[order], p[order]
+        starts = np.concatenate([[0], np.flatnonzero(d[1:] != d[:-1]) + 1])
+        ends = np.concatenate([starts[1:], [len(d)]])
+        return pd.DataFrame(
+            {
+                id_col: d[starts],
+                "drop_blob": [
+                    p[s:e].tobytes() for s, e in zip(starts, ends)
+                ],
+            }
+        )
+
+    # coarse-bucket the (doc, pos) hits so each blob group is built once
+    def bucket(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.append_column(
+            "b", pa.array((ids % np.int64(max(num_partitions, 1))))
+        )
+
+    blobs = (
+        hits.map_batches(bucket, batch_format="pyarrow")
+        .groupby("b")
+        .map_groups(blobify, batch_format="pandas")
+    )
+
+    schema = ds.schema()
+    joined = hash_join(
+        ds,
+        blobs,
+        on=[id_col],
+        left_cols=dict(zip(schema.names, schema.types)),
+        right_cols={id_col: pa.int64(), "drop_blob": pa.binary()},
+        how="left",
+        num_partitions=num_partitions,
+    )
+
+    def clean(batch: pa.Table) -> pa.Table:
+        flat, list_off, _, para_doc, pos = _split_hash(batch[text_col], sep)
+        n = len(batch)
+        drop = np.zeros(len(flat), dtype=bool)
+        blob_col = batch["drop_blob"]
+        for row, blob in enumerate(blob_col.to_pylist()):
+            if not blob:
+                continue
+            drops = np.frombuffer(blob, dtype=np.int64)
+            drop[list_off[row] + drops] = True
+        out = _rebuild(batch, flat, para_doc, drop, n, text_col, sep)
+        return out.drop_columns(["drop_blob"])
+
+    return joined.map_batches(clean, batch_format="pyarrow")

@@ -242,3 +242,38 @@ def test_cli_query_no_sentence_context(capsys):
     # null-context unigram score for "on" (not the <s>-context bigram)
     assert abs(float(toks[0].split(" ")[2]) + 1.509559) < 1e-4
     assert out[-1] == "Tokens:\t3"
+
+
+def test_cli_dedup_paragraphs(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from kenlm_ray.cli import main
+
+    src = tmp_path / "pcorp"
+    src.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2], type=pa.int64()),
+                "content": pa.array(
+                    [
+                        "boiler\n\nunique a",
+                        "boiler\n\nunique b",
+                        "only here",
+                    ]
+                ),
+            }
+        ),
+        str(src / "part.parquet"),
+    )
+    out = tmp_path / "clean"
+    assert main(["dedup", str(src), str(out), "--method", "paragraphs"]) == 0
+    got = (
+        pq.read_table(str(out))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert list(got["content"]) == ["unique a", "unique b", "only here"]
+    assert list(got["n_dropped_paras"]) == [1, 1, 0]

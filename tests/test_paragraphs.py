@@ -1,0 +1,175 @@
+"""Cross-document duplicate-paragraph removal (ops/paragraphs.py)."""
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray.data
+
+from kenlm_ray.ops.paragraphs import (
+    duplicate_paragraph_stats,
+    paragraph_df,
+    remove_duplicate_paragraphs,
+)
+
+BOILER = "All rights reserved."
+NAV = "Home | About | Contact"
+
+
+def _corpus():
+    docs = [
+        f"{NAV}\n\nunique body one\n\n{BOILER}",
+        f"{NAV}\n\nanother body\n\nmore text\n\n{BOILER}",
+        "totally unique document",
+        f"{BOILER}",
+        "",
+        f"{NAV}\n\n{NAV}",  # NAV twice in ONE doc still dups across docs
+        "repeat me\n\nrepeat me",  # within-doc only: df=1, NOT removed
+    ]
+    return pa.table(
+        {
+            "doc_id": pa.array(np.arange(len(docs), dtype=np.int64)),
+            "text": pa.array(docs),
+        }
+    )
+
+
+def _sql_clean(tbl: pa.Table, sep: str, min_df: int = 2) -> dict:
+    con = duckdb.connect()
+    con.register("docs", tbl)
+    rows = con.execute(
+        f"""
+        WITH sp AS (SELECT doc_id, string_split(text, '{sep}') ps FROM docs),
+        p AS (SELECT doc_id, unnest(ps) para,
+                     unnest(range(1, len(ps)+1)) i FROM sp),
+        df AS (SELECT para, count(DISTINCT doc_id) AS df FROM p GROUP BY para),
+        k AS (SELECT p.doc_id, p.para, p.i FROM p JOIN df USING (para)
+              WHERE df.df < {min_df})
+        SELECT d.doc_id,
+               coalesce(string_agg(k.para, '{sep}' ORDER BY k.i), '') AS text
+        FROM docs d LEFT JOIN k ON k.doc_id = d.doc_id
+        GROUP BY d.doc_id
+        """
+    ).fetchall()
+    return dict(rows)
+
+
+def test_paragraph_df_counts_distinct_docs(ray_session):
+    ds = ray.data.from_arrow(_corpus())
+    got = {
+        r["para_hash"]: r["df"]
+        for r in paragraph_df(ds, sep="\n\n").take_all()
+    }
+    # BOILER in docs 0,1,3; NAV in docs 0,1,5 (twice in 5 counts once)
+    assert sorted(v for v in got.values() if v > 1) == [3, 3]
+    # 'repeat me' twice within doc 6 only -> df == 1
+    assert sum(1 for v in got.values() if v == 1) > 0
+
+
+def test_stats(ray_session):
+    ds = ray.data.from_arrow(_corpus())
+    got = {
+        r["doc_id"]: (r["n_paras"], r["n_dup_paras"])
+        for r in duplicate_paragraph_stats(ds, sep="\n\n").take_all()
+    }
+    assert got[0] == (3, 2)
+    assert got[1] == (4, 2)
+    assert got[2] == (1, 0)
+    assert got[5] == (2, 2)
+    assert got[6] == (2, 0)
+
+
+def test_remove_matches_sql_oracle(ray_session):
+    tbl = _corpus()
+    ds = ray.data.from_arrow(tbl)
+    want = _sql_clean(tbl, "\n\n")  # real newlines inside the SQL literal
+    out = remove_duplicate_paragraphs(ds, sep="\n\n").take_all()
+    got = {r["doc_id"]: r["text"] for r in out}
+    assert got == want
+    # untouched docs are byte-identical (sha256 invariant)
+    raw = dict(zip(tbl["doc_id"].to_pylist(), tbl["text"].to_pylist()))
+    for r in out:
+        if r["n_dropped_paras"] == 0:
+            assert r["text"] == raw[r["doc_id"]]
+
+
+def test_keep_first_spares_global_first(ray_session):
+    ds = ray.data.from_arrow(_corpus())
+    out = {
+        r["doc_id"]: r["text"]
+        for r in remove_duplicate_paragraphs(
+            ds, sep="\n\n", keep_first=True
+        ).take_all()
+    }
+    # doc 0 holds the first occurrence of both NAV and BOILER
+    assert out[0] == f"{NAV}\n\nunique body one\n\n{BOILER}"
+    assert out[1] == "another body\n\nmore text"
+    assert out[3] == ""
+    assert out[5] == ""  # both NAV copies removed (first lives in doc 0)
+    # exactly one surviving copy of each duplicated paragraph
+    joined = "\n\n".join(v for v in out.values() if v)
+    assert joined.count(BOILER) == 1 and joined.count(NAV) == 1
+
+
+@pytest.mark.parametrize("keep_first", [False, True])
+def test_join_fallback_identical_to_broadcast(ray_session, keep_first):
+    tbl = _corpus()
+    ds = ray.data.from_arrow(tbl)
+    a = sorted(
+        remove_duplicate_paragraphs(
+            ds, sep="\n\n", keep_first=keep_first
+        ).take_all(),
+        key=lambda r: r["doc_id"],
+    )
+    b = sorted(
+        remove_duplicate_paragraphs(
+            ray.data.from_arrow(tbl),
+            sep="\n\n",
+            keep_first=keep_first,
+            broadcast_threshold=0,  # force the partitioned-join path
+            num_partitions=3,
+        ).take_all(),
+        key=lambda r: r["doc_id"],
+    )
+    assert [(r["doc_id"], r["text"], r["n_dropped_paras"]) for r in a] == [
+        (r["doc_id"], r["text"], r["n_dropped_paras"]) for r in b
+    ]
+
+
+def test_no_dups_roundtrip_lossless(ray_session):
+    docs = ["a\n\nb", "c", "", "x\n\n\n\ny"]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(np.arange(4, dtype=np.int64)),
+            "text": pa.array(docs),
+        }
+    )
+    out = remove_duplicate_paragraphs(
+        ray.data.from_arrow(tbl), sep="\n\n", min_df=5
+    ).take_all()
+    got = {r["doc_id"]: r["text"] for r in out}
+    assert got == dict(enumerate(docs))
+    assert all(r["n_dropped_paras"] == 0 for r in out)
+
+
+def test_overflow_guard(ray_session):
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([1 << 40], type=pa.int64()),
+            "text": pa.array(["x\n\nx"]),
+        }
+    )
+    # duplicated para within one doc only -> df=1 -> no dups, fine;
+    # make it cross-doc so keep_first's packing runs
+    tbl2 = pa.table(
+        {
+            "doc_id": pa.array([1 << 40, 5], type=pa.int64()),
+            "text": pa.array(["dup para", "dup para"]),
+        }
+    )
+    # the ValueError surfaces wrapped in RayTaskError/UserCodeException
+    with pytest.raises(Exception, match="overflow"):
+        remove_duplicate_paragraphs(
+            ray.data.from_arrow(tbl2), sep="\n\n", keep_first=True
+        ).take_all()
