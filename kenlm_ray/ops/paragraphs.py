@@ -151,20 +151,37 @@ def duplicate_paragraph_stats(
     id_col: str = "doc_id",
     sep: str = "\n\n",
     min_df: int = 2,
+    broadcast_threshold: int = 50_000_000,
+    num_partitions: int = 16,
 ) -> "ray.data.Dataset":
     """Per-document duplication profile: ``(id_col, n_paras,
     n_dup_paras)`` — how many of the doc's paragraphs occur in >=
     ``min_df`` distinct documents.  The audit companion of
     :func:`remove_duplicate_paragraphs` (run it first to size the cut).
 
-    Dup hashes broadcast once via ``ray.put`` (sorted u64 array); the
-    stats pass is a pure map.
+    Dup hashes broadcast once via ``ray.put`` (sorted u64 array) and
+    applied in a pure map; past ``broadcast_threshold`` distinct dup
+    hashes, the same hash-only semi-join fallback as
+    :func:`remove_duplicate_paragraphs` — counters join counters, the
+    text never shuffles at all on this path.
     """
-    dup = _dup_hashes(
+    dup_ds = _dup_hashes(
         ds, text_col=text_col, id_col=id_col, sep=sep, min_df=min_df
-    ).take_all()
-    dup_sorted = np.sort(
-        np.array([r["para_hash"] for r in dup], dtype=np.int64)
+    ).materialize()
+    n_dup = dup_ds.count()
+    if n_dup > broadcast_threshold:
+        return _stats_via_join(
+            ds,
+            dup_ds,
+            text_col=text_col,
+            id_col=id_col,
+            sep=sep,
+            num_partitions=num_partitions,
+        )
+    dup_sorted = (
+        np.sort(dup_ds.to_pandas()["para_hash"].to_numpy().astype(np.int64))
+        if n_dup
+        else np.array([], dtype=np.int64)
     )
     dup_ref = ray.put(dup_sorted)
 
@@ -188,6 +205,69 @@ def duplicate_paragraph_stats(
         )
 
     return ds.map_batches(stats, batch_format="pyarrow")
+
+
+def _stats_via_join(
+    ds, dup_ds, *, text_col: str, id_col: str, sep: str, num_partitions: int
+) -> "ray.data.Dataset":
+    """Stats without broadcasting the dup table: per-doc total counts
+    from a pure map; dup counts from a hash-only (doc_id, para_hash)
+    semi-join against the dup table + one doc-keyed groupby; the two
+    counter tables join on doc_id.  No text ever crosses the wire."""
+    from ray.data.aggregate import Count
+
+    from kenlm_ray.ops.join import hash_join
+
+    def totals(batch: pa.Table) -> pa.Table:
+        _, _, _, para_doc, _ = _split_hash(batch[text_col], sep)
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "n_paras": pa.array(
+                    np.bincount(para_doc, minlength=len(batch))
+                ),
+            }
+        )
+
+    def explode(batch: pa.Table) -> pa.Table:
+        _, _, h, para_doc, _ = _split_hash(batch[text_col], sep)
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {id_col: pa.array(ids[para_doc]), "para_hash": pa.array(h)}
+        )
+
+    hits = hash_join(
+        ds.map_batches(explode, batch_format="pyarrow"),
+        dup_ds.select_columns(["para_hash"]),
+        on=["para_hash"],
+        left_cols={id_col: pa.int64(), "para_hash": pa.int64()},
+        right_cols={"para_hash": pa.int64()},
+        how="semi",
+        num_partitions=num_partitions,
+    )
+    dup_counts = hits.groupby(id_col).aggregate(Count(alias_name="n_dup"))
+    joined = hash_join(
+        ds.map_batches(totals, batch_format="pyarrow"),
+        dup_counts,
+        on=[id_col],
+        left_cols={id_col: pa.int64(), "n_paras": pa.int64()},
+        right_cols={id_col: pa.int64(), "n_dup": pa.int64()},
+        how="left",
+        num_partitions=num_partitions,
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        nd = batch["n_dup"].to_numpy(zero_copy_only=False)
+        nd = np.where(np.isnan(nd.astype(np.float64)), 0, nd).astype(np.int64)
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "n_paras": batch["n_paras"],
+                "n_dup_paras": pa.array(nd),
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pyarrow")
 
 
 def _spare_packed(

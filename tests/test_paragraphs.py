@@ -173,3 +173,24 @@ def test_overflow_guard(ray_session):
         remove_duplicate_paragraphs(
             ray.data.from_arrow(tbl2), sep="\n\n", keep_first=True
         ).take_all()
+
+
+def test_stats_join_fallback_identical(ray_session):
+    tbl = _corpus()
+    a = sorted(
+        duplicate_paragraph_stats(
+            ray.data.from_arrow(tbl), sep="\n\n"
+        ).take_all(),
+        key=lambda r: r["doc_id"],
+    )
+    b = sorted(
+        duplicate_paragraph_stats(
+            ray.data.from_arrow(tbl),
+            sep="\n\n",
+            broadcast_threshold=0,
+            num_partitions=3,
+        ).take_all(),
+        key=lambda r: r["doc_id"],
+    )
+    key = lambda r: (r["doc_id"], r["n_paras"], r["n_dup_paras"])
+    assert [key(r) for r in a] == [key(r) for r in b]
