@@ -817,6 +817,23 @@ def _q_span_dedup_docs(sf_dir):
     )
 
 
+def _q_source_overlap_matrix(sf_dir):
+    """Pairwise contamination audit: distinct texts shared by each pair
+    of sources, diagonal = per-source distinct-text counts
+    (ops/overlap.py — bitmask OR via post-distinct Sum; counters only
+    cross the shuffles)."""
+    import os
+
+    import ray.data
+
+    from kenlm_ray.ops.overlap import source_overlap_matrix
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["text", "source"]
+    )
+    return source_overlap_matrix(ds)
+
+
 def _q_dup_para_stats(sf_dir):
     """Cross-document duplicate-paragraph profile (RefinedWeb/Dolma
     paragraph dedup, ops/paragraphs.py): per-doc counts of paragraphs
@@ -1570,6 +1587,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "span_dedup_docs": _q_span_dedup_docs,
         "dup_para_stats": _q_dup_para_stats,
         "para_dedup_docs": _q_para_dedup_docs,
+        "source_overlap_matrix": _q_source_overlap_matrix,
         "doc_type_token_ratio": _q_doc_type_token_ratio,
         "lang_length_histogram": _q_lang_length_histogram,
         "lang_unigram_entropy": _q_lang_unigram_entropy,
@@ -2428,6 +2446,14 @@ def oracle_sql() -> dict[str, str]:
                    sum(n_windows)::BIGINT  AS n_dup_windows,
                    sum(e - s)::BIGINT      AS dup_tokens
             FROM spans GROUP BY doc_id
+        """,
+        "source_overlap_matrix": """
+            WITH h AS (SELECT DISTINCT source, text FROM documents)
+            SELECT a.source     AS src_a,
+                   b.source     AS src_b,
+                   count(*)::BIGINT AS n_shared
+            FROM h a JOIN h b ON a.text = b.text AND a.source <= b.source
+            GROUP BY 1, 2
         """,
         "dup_para_stats": """
             WITH sp AS (

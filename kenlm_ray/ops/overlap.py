@@ -1,0 +1,156 @@
+"""Cross-source overlap audit: which data sources share identical docs.
+
+A standard curation diagnostic before mixing corpora (and after a crawl
+refresh): for every PAIR of sources, how many distinct document texts
+appear in both.  High overlap between a benchmark dump and a training
+source is contamination; high overlap between two crawl snapshots says
+the second adds little.  The reference engine (kpu/kenlm) has no corpus
+audit stage — this extends the curation suite around it.
+
+Distributed shape (counters only, text never shuffles):
+
+1. map: murmur64 of each doc's text -> distinct ``(hash, source_id)``
+   within the batch (one lexsort), emitted as rows.
+2. one groupby over ``(hash, source_id)`` makes the pairs globally
+   distinct; then each ``(hash, src)`` contributes ``1 << src`` and a
+   ``Sum`` per hash is EXACTLY the bitwise-OR source mask (each bit
+   appears at most once after the distinct step) — no custom aggregate
+   needed.
+3. map over ``(hash, mask)``: for each of the ``n*(n-1)/2`` source
+   pairs, count masks containing both bits — a vectorized popcount-free
+   AND test per pair, n(n-1)/2 counters per batch — then one tiny final
+   groupby.
+
+Source cardinality is capped at 64 (one mask word).  That is the
+regime the op is for — auditing a handful of named corpora; per-domain
+overlap at web scale is a different question (use `ops/dedup.py`
+cluster outputs grouped by domain).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data
+from ray.data.aggregate import Count, Sum
+
+
+def source_overlap_matrix(
+    ds: "ray.data.Dataset",
+    *,
+    text_col: str = "text",
+    source_col: str = "source",
+    sources: "list[str] | None" = None,
+) -> "ray.data.Dataset":
+    """Pairwise count of distinct texts shared by each source pair.
+
+    Output: ``(src_a, src_b, n_shared)`` with ``src_a <= src_b``
+    lexicographically; the DIAGONAL (``src_a == src_b``) is each
+    source's distinct-text count — the natural denominator for overlap
+    ratios, and it keeps the result non-empty when sources are fully
+    disjoint.  Off-diagonal pairs sharing nothing are omitted.
+
+    ``sources``: optional explicit universe (skips one discovery scan).
+    """
+    if sources is None:
+        # distinct-source discovery: one column scan, driver holds the
+        # (tiny) source list
+        names = sorted(
+            r[source_col]
+            for r in ds.select_columns([source_col])
+            .groupby(source_col)
+            .aggregate(Count(alias_name="n"))
+            .take_all()
+        )
+    else:
+        names = sorted(sources)
+    if len(names) > 64:
+        raise ValueError(
+            f"source_overlap_matrix supports <= 64 sources, got "
+            f"{len(names)}; aggregate sources first or use dedup "
+            "clusters grouped by domain"
+        )
+    sid = {s: i for i, s in enumerate(names)}
+
+    def distinct_pairs(batch: pa.Table) -> pa.Table:
+        from kenlm_ray.functions.hashing import murmur64_stream
+        from kenlm_ray.functions.tokenize import _string_buffers
+
+        col = batch[text_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        off, data = _string_buffers(col)
+        h = murmur64_stream(data, off[:-1], off[1:] - off[:-1]).view(np.int64)
+        src = np.array(
+            [sid[s] for s in batch[source_col].to_pylist()], dtype=np.int64
+        )
+        order = np.lexsort((src, h))
+        h_o, s_o = h[order], src[order]
+        first = np.concatenate(
+            [[True], (h_o[1:] != h_o[:-1]) | (s_o[1:] != s_o[:-1])]
+        )
+        return pa.table(
+            {"h": pa.array(h_o[first]), "src": pa.array(s_o[first])}
+        )
+
+    distinct = (
+        ds.map_batches(distinct_pairs, batch_format="pyarrow")
+        .groupby(["h", "src"])
+        .aggregate(Count(alias_name="n"))
+    )
+
+    def to_mask(batch: pa.Table) -> pa.Table:
+        src = batch["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {"h": batch["h"], "mask": pa.array(np.int64(1) << src)}
+        )
+
+    masks = (
+        distinct.map_batches(to_mask, batch_format="pyarrow")
+        .groupby("h")
+        # after the global distinct each bit occurs once per hash, so
+        # Sum == bitwise OR
+        .aggregate(Sum("mask", alias_name="mask"))
+    )
+
+    n = len(names)
+    pair_a, pair_b = np.triu_indices(n, k=0)  # k=0: diagonal included
+
+    def pair_counts(batch: pa.Table) -> pa.Table:
+        m = batch["mask"].to_numpy(zero_copy_only=False).astype(np.int64)
+        counts = np.empty(len(pair_a), dtype=np.int64)
+        for p in range(len(pair_a)):
+            counts[p] = int(
+                np.count_nonzero(
+                    (m >> pair_a[p]) & (m >> pair_b[p]) & np.int64(1)
+                )
+            )
+        nz = np.nonzero(counts)[0]
+        return pa.table(
+            {
+                "pa_": pa.array(pair_a[nz].astype(np.int64)),
+                "pb_": pa.array(pair_b[nz].astype(np.int64)),
+                "n": pa.array(counts[nz]),
+            }
+        )
+
+    agg = (
+        masks.map_batches(pair_counts, batch_format="pyarrow")
+        .groupby(["pa_", "pb_"])
+        .aggregate(Sum("n", alias_name="n_shared"))
+    )
+    names_arr = np.array(names, dtype=object)
+
+    def label(batch: pa.Table) -> pa.Table:
+        a = batch["pa_"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = batch["pb_"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "src_a": pa.array(names_arr[a], type=pa.string()),
+                "src_b": pa.array(names_arr[b], type=pa.string()),
+                "n_shared": batch["n_shared"],
+            }
+        )
+
+    return agg.map_batches(label, batch_format="pyarrow")

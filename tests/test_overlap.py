@@ -1,0 +1,82 @@
+"""Cross-source overlap matrix (ops/overlap.py)."""
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray.data
+
+from kenlm_ray.ops.overlap import source_overlap_matrix
+
+
+def _tbl():
+    rows = [
+        # text, source
+        ("shared one", "crawl_a"),
+        ("shared one", "crawl_b"),
+        ("shared one", "books"),
+        ("shared two", "crawl_a"),
+        ("shared two", "crawl_b"),
+        ("only a", "crawl_a"),
+        ("only b", "crawl_b"),
+        ("only books", "books"),
+        ("shared one", "crawl_a"),  # within-source dup: counted ONCE
+    ]
+    return pa.table(
+        {
+            "text": pa.array([r[0] for r in rows]),
+            "source": pa.array([r[1] for r in rows]),
+        }
+    )
+
+
+def test_overlap_matrix(ray_session):
+    got = {
+        (r["src_a"], r["src_b"]): r["n_shared"]
+        for r in source_overlap_matrix(
+            ray.data.from_arrow(_tbl())
+        ).take_all()
+    }
+    assert got == {
+        ("books", "books"): 2,  # diagonal: distinct texts per source
+        ("crawl_a", "crawl_a"): 3,
+        ("crawl_b", "crawl_b"): 3,
+        ("books", "crawl_a"): 1,
+        ("books", "crawl_b"): 1,
+        ("crawl_a", "crawl_b"): 2,
+    }
+
+
+def test_overlap_matches_sql(ray_session):
+    tbl = _tbl()
+    con = duckdb.connect()
+    con.register("docs", tbl)
+    want = {
+        (a, b): n
+        for a, b, n in con.execute(
+            """
+            WITH h AS (SELECT DISTINCT source, text FROM docs)
+            SELECT a.source, b.source, count(*)
+            FROM h a JOIN h b ON a.text = b.text AND a.source <= b.source
+            GROUP BY 1, 2
+            """
+        ).fetchall()
+    }
+    got = {
+        (r["src_a"], r["src_b"]): r["n_shared"]
+        for r in source_overlap_matrix(
+            ray.data.from_arrow(tbl)
+        ).take_all()
+    }
+    assert got == want
+
+
+def test_overlap_explicit_sources_and_cap(ray_session):
+    ds = ray.data.from_arrow(_tbl())
+    got = source_overlap_matrix(
+        ds, sources=["crawl_a", "crawl_b", "books"]
+    ).take_all()
+    assert len(got) == 6  # 3 diagonal + 3 off-diagonal
+    with pytest.raises(ValueError, match="64 sources"):
+        source_overlap_matrix(ds, sources=[f"s{i}" for i in range(65)])
