@@ -817,6 +817,28 @@ def _q_span_dedup_docs(sf_dir):
     )
 
 
+def _q_length_outlier_docs(sf_dir):
+    """Per-language robust length-outlier flags: |n_chars - median| >
+    3 * MAD (ops/outlier.py — two exact histogram-median passes,
+    medians/MADs broadcast, pure-map flagging)."""
+    import os
+
+    import pyarrow as pa
+
+    import ray.data
+
+    from kenlm_ray.ops.outlier import mad_outliers
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "lang", "n_chars"],
+    )
+    return mad_outliers(ds, "lang", "n_chars").map_batches(
+        lambda t: t.select(["doc_id", "lang", "n_chars", "is_outlier"]),
+        batch_format="pyarrow",
+    )
+
+
 def _q_source_overlap_matrix(sf_dir):
     """Pairwise contamination audit: distinct texts shared by each pair
     of sources, diagonal = per-source distinct-text counts
@@ -1588,6 +1610,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_para_stats": _q_dup_para_stats,
         "para_dedup_docs": _q_para_dedup_docs,
         "source_overlap_matrix": _q_source_overlap_matrix,
+        "length_outlier_docs": _q_length_outlier_docs,
         "doc_type_token_ratio": _q_doc_type_token_ratio,
         "lang_length_histogram": _q_lang_length_histogram,
         "lang_unigram_entropy": _q_lang_unigram_entropy,
@@ -2446,6 +2469,20 @@ def oracle_sql() -> dict[str, str]:
                    sum(n_windows)::BIGINT  AS n_dup_windows,
                    sum(e - s)::BIGINT      AS dup_tokens
             FROM spans GROUP BY doc_id
+        """,
+        "length_outlier_docs": """
+            WITH med AS (
+                SELECT lang, median(n_chars) AS m FROM documents GROUP BY lang
+            ),
+            dev AS (
+                SELECT d.doc_id, d.lang, d.n_chars,
+                       abs(d.n_chars - med.m) AS ad
+                FROM documents d JOIN med USING (lang)
+            ),
+            mad AS (SELECT lang, median(ad) AS s FROM dev GROUP BY lang)
+            SELECT dev.doc_id, dev.lang, dev.n_chars,
+                   dev.ad > 3.0 * mad.s AS is_outlier
+            FROM dev JOIN mad USING (lang)
         """,
         "source_overlap_matrix": """
             WITH h AS (SELECT DISTINCT source, text FROM documents)

@@ -1,0 +1,96 @@
+"""Per-group robust outlier flagging via median absolute deviation.
+
+The robust cousin of a z-score filter: flag documents whose value
+(length, token count, perplexity, line width) deviates from its GROUP's
+median by more than ``k`` times the group's MAD — the standard
+length-outlier cut in web-curation recipes, immune to the heavy tails
+that wreck mean/stddev on crawl data.  The reference engine (kpu/kenlm)
+has no corpus-statistics stage; this extends the curation suite.
+
+Distributed shape: two exact per-group median passes using the
+(group, value) -> count histogram of `ops/ccnet.group_quantile_cutoffs`
+(``quantile_cont`` semantics, counter rows only on the shuffle —
+``quantize=`` bounds distinct values for continuous columns), medians
+then MADs broadcast once; the flagging pass is a pure map.  Driver
+state is 2 x n_groups floats.
+
+Convention: a row is an outlier iff ``|v - median| > k * MAD``
+(strict), so a group whose MAD is 0 flags exactly the rows that differ
+from the median at all when k*0 = 0.  NaN/inf values are always
+flagged.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data
+
+from kenlm_ray.ops.ccnet import group_quantile_cutoffs
+
+
+def mad_outliers(
+    ds: "ray.data.Dataset",
+    group_col: str,
+    value_col: str,
+    *,
+    k: float = 3.0,
+    quantize: "int | None" = None,
+    flag_col: str = "is_outlier",
+) -> "ray.data.Dataset":
+    """Append ``flag_col`` (bool): ``|value - group_median| > k *
+    group_MAD``.  Groups unseen in the median pass (shouldn't happen on
+    the same dataset) flag conservatively as outliers."""
+    med = {
+        g: c[0]
+        for g, c in group_quantile_cutoffs(
+            ds, group_col, value_col, (0.5,), quantize=quantize
+        ).items()
+    }
+    med_ref = ray.put(med)
+
+    def _lookup(g: np.ndarray, table: dict) -> np.ndarray:
+        # one vectorized fill per group present in the batch (groups are
+        # few: languages/sources) — no per-row dict lookups
+        out = np.full(len(g), np.nan, dtype=np.float64)
+        for grp in np.unique(g):
+            val = table.get(grp)
+            if val is not None:
+                out[g == grp] = val
+        return out
+
+    def to_dev(batch: pa.Table) -> pa.Table:
+        m = ray.get(med_ref)
+        g = batch[group_col].to_numpy(zero_copy_only=False)
+        v = batch[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table(
+            {
+                group_col: batch[group_col],
+                "_ad": pa.array(np.abs(v - _lookup(g, m))),
+            }
+        )
+
+    dev = ds.map_batches(to_dev, batch_format="pyarrow")
+    mad = {
+        g: c[0]
+        for g, c in group_quantile_cutoffs(
+            dev, group_col, "_ad", (0.5,), quantize=quantize
+        ).items()
+    }
+    mad_ref = ray.put(mad)
+
+    def flag(batch: pa.Table) -> pa.Table:
+        m = ray.get(med_ref)
+        s = ray.get(mad_ref)
+        g = batch[group_col].to_numpy(zero_copy_only=False)
+        v = batch[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        meds = _lookup(g, m)
+        mads = _lookup(g, s)
+        with np.errstate(invalid="ignore"):
+            out = np.abs(v - meds) > k * mads
+        out |= ~np.isfinite(v) | ~np.isfinite(meds) | ~np.isfinite(mads)
+        return batch.append_column(flag_col, pa.array(out))
+
+    return ds.map_batches(flag, batch_format="pyarrow")

@@ -1,0 +1,77 @@
+"""Per-group MAD outlier flagging (ops/outlier.py)."""
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+
+import ray.data
+
+from kenlm_ray.ops.outlier import mad_outliers
+
+
+def _tbl():
+    rng = np.random.default_rng(7)
+    n = 200
+    lang = np.where(rng.random(n) < 0.5, "py", "en")
+    v = rng.integers(90, 111, n).astype(np.int64)  # tight cluster
+    v[0], v[1], v[2] = 10_000, 1, 5_000  # planted outliers
+    return pa.table(
+        {
+            "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+            "lang": pa.array(lang),
+            "n_chars": pa.array(v),
+        }
+    )
+
+
+def _sql_flags(tbl: pa.Table, k: float = 3.0) -> dict:
+    con = duckdb.connect()
+    con.register("docs", tbl)
+    return dict(
+        con.execute(
+            f"""
+            WITH med AS (
+                SELECT lang, median(n_chars) AS m FROM docs GROUP BY lang
+            ),
+            dev AS (
+                SELECT d.doc_id, d.lang, abs(d.n_chars - med.m) AS ad
+                FROM docs d JOIN med USING (lang)
+            ),
+            mad AS (SELECT lang, median(ad) AS s FROM dev GROUP BY lang)
+            SELECT dev.doc_id, dev.ad > {k} * mad.s
+            FROM dev JOIN mad USING (lang)
+            """
+        ).fetchall()
+    )
+
+
+def test_mad_flags_match_sql(ray_session):
+    tbl = _tbl()
+    got = {
+        r["doc_id"]: r["is_outlier"]
+        for r in mad_outliers(
+            ray.data.from_arrow(tbl), "lang", "n_chars"
+        ).take_all()
+    }
+    want = _sql_flags(tbl)
+    assert got == want
+    assert got[0] and got[1] and got[2]  # planted extremes flagged
+    assert sum(got.values()) < 20  # bulk of the cluster kept
+
+
+def test_mad_zero_group(ray_session):
+    # constant group: MAD 0 -> only rows differing from the median flag
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3], type=pa.int64()),
+            "lang": pa.array(["c", "c", "c", "c"]),
+            "n_chars": pa.array([5, 5, 5, 9], type=pa.int64()),
+        }
+    )
+    got = {
+        r["doc_id"]: r["is_outlier"]
+        for r in mad_outliers(
+            ray.data.from_arrow(tbl), "lang", "n_chars"
+        ).take_all()
+    }
+    assert got == {0: False, 1: False, 2: False, 3: True}
