@@ -1549,6 +1549,35 @@ def _q_ivf_knn(sf_dir):
     return ivf_knn(idx, query_vector(sf_dir, 0), k=10, nprobe=8)
 
 
+def _q_soft_dedup_weights(sf_dir):
+    """SoftDedup-style commonness reweighting: per-doc mean log global
+    token frequency + exp(-alpha*·) sampling weight (ops/softdedup.py —
+    vocab-sized count shuffle, counts broadcast once, pure-map scoring)."""
+    import ray.data
+
+    from kenlm_ray.ops.softdedup import soft_dedup_weights
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    return soft_dedup_weights(ds, alpha=0.1)
+
+
+def _q_retention_cohorts(sf_dir):
+    """Cohort retention matrix over the event log: users by first
+    active day × day offset of each return (ops/windows.py — distinct
+    (user, day) pairs pre-combined per batch, coarse key buckets, one
+    lexsort per bucket, final cells-sized grouped sum)."""
+    import ray.data
+
+    from kenlm_ray.ops.windows import retention_cohorts
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["user_id", "ts"]
+    )
+    return retention_cohorts(ds)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "pricing_summary": _q_pricing_summary,
@@ -1619,6 +1648,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_doc_cap": _q_source_doc_cap,
         "budget_docs_select": _q_budget_docs_select,
         "lang_length_buckets": _q_lang_length_buckets,
+        "soft_dedup_weights": _q_soft_dedup_weights,
+        "retention_cohorts": _q_retention_cohorts,
         # rows-only checks (stateful / model-driven, not SQL-expressible)
         "quality_filter_flagship": _q_quality_filter,
         "repo_quality_stats": _q_repo_stats,
@@ -2483,6 +2514,46 @@ def oracle_sql() -> dict[str, str]:
             SELECT dev.doc_id, dev.lang, dev.n_chars,
                    dev.ad > 3.0 * mad.s AS is_outlier
             FROM dev JOIN mad USING (lang)
+        """,
+        "soft_dedup_weights": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(list_filter(
+                           string_split_regex(text, '[\t\n\r ]+'),
+                           x -> x <> ''
+                       )) AS tok
+                FROM documents
+            ),
+            cnt AS (
+                SELECT tok, count(*)::DOUBLE AS c FROM toks GROUP BY tok
+            ),
+            doc AS (
+                SELECT t.doc_id,
+                       count(*)::BIGINT AS n_tokens,
+                       avg(ln(cnt.c))   AS mlf
+                FROM toks t JOIN cnt USING (tok)
+                GROUP BY t.doc_id
+            )
+            SELECT doc_id, n_tokens,
+                   round(mlf, 6)             AS mean_log_freq,
+                   round(exp(-0.1 * mlf), 6) AS soft_weight
+            FROM doc
+        """,
+        "retention_cohorts": """
+            WITH pairs AS (
+                SELECT DISTINCT user_id,
+                       CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day
+                FROM events
+            ),
+            firsts AS (
+                SELECT user_id, min(day) AS cohort_day
+                FROM pairs GROUP BY user_id
+            )
+            SELECT f.cohort_day,
+                   p.day - f.cohort_day AS day_offset,
+                   count(*)::BIGINT     AS n_users
+            FROM pairs p JOIN firsts f USING (user_id)
+            GROUP BY 1, 2
         """,
         "source_overlap_matrix": """
             WITH h AS (SELECT DISTINCT source, text FROM documents)

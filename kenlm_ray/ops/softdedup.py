@@ -1,0 +1,222 @@
+"""Soft deduplication: commonness-based document reweighting.
+
+Instead of REMOVING near-duplicate documents, soft dedup DOWNWEIGHTS
+documents made of common (highly repeated) n-grams, following the
+reweighting line of work (He et al., "SoftDedup: an Efficient Data
+Reweighting Method for Speeding Up Language Model Pre-training", ACL
+2024): a document's *commonness* is the mean log global frequency of
+its tokens, and its sampling weight decays exponentially in that
+commonness.  Complements the hard-dedup family in `ops/dedup.py` /
+`ops/spandedup.py` — boilerplate-heavy documents keep a small weight
+rather than a binary keep/drop.
+
+The reference engine (kpu/kenlm) has no corpus-dedup stage; this is
+part of the curation suite the north star adds around it.  The token
+convention matches the rest of the repo: the reference's strict
+delimiter set (/root/reference/util/file_piece.cc `kSpaces`), i.e. the
+SQL oracle's ``string_split_regex(text, '[\\t\\n\\r ]+')``.
+
+Distributed shape (the 100-TB argument):
+
+1. **counts pass** — the standard partial+final unigram aggregate
+   (`ops/text.ngram_counts` shape) but keyed on the murmur64 token
+   hash: per batch one ``np.unique`` over the hashed token stream,
+   then ``groupby('h').sum()``.  Only ``(u64, int64)`` rows shuffle —
+   vocab-sized output, never corpus-sized.
+2. **score pass** — the counts table is vocab-sized.  Below
+   ``broadcast_threshold`` distinct tokens it is broadcast once via
+   ``ray.put`` as a sorted u64 array + a parallel ln-count array, and
+   each batch scores its documents with two vectorized gathers — no
+   shuffle at all.  Above the threshold (web-scale vocab, 10^8–10^9
+   types) the exploded per-doc ``(doc_id, h, k)`` table — 3 int
+   columns, k pre-combined per doc, no text — is hash-joined against
+   the counts on ``h`` and reduced by one ``doc_id``-keyed groupby.
+   Document text never crosses the wire in either path.
+
+Hash note: token identity is murmur64; a collision merges two types'
+counts (odds ~V²/2⁶⁴ — negligible), the same convention as
+`ops/spandedup.py` / `ops/paragraphs.py`.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data
+from ray.data.aggregate import Sum
+
+from kenlm_ray.functions.tokenize import tokenize_column
+
+
+def _hash_counts(ds: "ray.data.Dataset", text_col: str) -> "ray.data.Dataset":
+    """Global (token-hash, count) table: in-batch combine → hash shuffle."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        stream = tokenize_column(batch[text_col])
+        h = stream.hashes()
+        if len(h) == 0:
+            return pa.table(
+                {
+                    "h": pa.array([], type=pa.int64()),
+                    "c": pa.array([], type=pa.int64()),
+                }
+            )
+        uniq, cnt = np.unique(h, return_counts=True)
+        # int64 bit-view of the u64 hashes (repo convention: Arrow/Ray
+        # aggregates on uint64 fall back to pickled objects past 2^63)
+        return pa.table(
+            {"h": pa.array(uniq.view(np.int64)), "c": pa.array(cnt.astype(np.int64))}
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("h")
+        .aggregate(Sum("c", alias_name="count"))
+    )
+
+
+def soft_dedup_weights(
+    ds: "ray.data.Dataset",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 0.1,
+    broadcast_threshold: int = 50_000_000,
+    round_to: int | None = 6,
+) -> "ray.data.Dataset":
+    """Per-document commonness score and soft-dedup sampling weight.
+
+    Output columns: ``id_col``, ``n_tokens`` (int64), ``mean_log_freq``
+    (mean over the doc's token INSTANCES of ln(global count of that
+    token)), and ``soft_weight = exp(-alpha * mean_log_freq)`` — 1.0
+    for a document of globally-unique tokens, decaying as its tokens
+    get more common.  Zero-token documents are dropped (no defined
+    commonness), mirroring the SQL oracle's inner join.
+
+    ``round_to`` rounds the float columns for reproducible comparison;
+    pass ``None`` to keep full precision.
+    """
+    # vocab-sized; reused by count() + whichever scoring path runs, so
+    # materialize once instead of re-tokenizing the corpus per consumer
+    counts = _hash_counts(ds, text_col).materialize()
+    n_distinct = counts.count()
+
+    if n_distinct <= broadcast_threshold:
+        tbl = counts.to_pandas()
+        hs = tbl["h"].to_numpy(dtype=np.int64).view(np.uint64)
+        order = np.argsort(hs)
+        hs = hs[order]
+        lnc = np.log(tbl["count"].to_numpy(dtype=np.float64)[order])
+        hs_ref = ray.put(hs)
+        lnc_ref = ray.put(lnc)
+
+        def score(batch: pa.Table) -> pa.Table:
+            hs_b = ray.get(hs_ref)
+            lnc_b = ray.get(lnc_ref)
+            stream = tokenize_column(batch[text_col])
+            th = stream.hashes()
+            n = len(batch)
+            n_tokens = np.bincount(stream.doc_ids, minlength=n).astype(np.int64)
+            tot = np.zeros(n, dtype=np.float64)
+            if len(th):
+                idx = np.searchsorted(hs_b, th)
+                # every corpus token is in the global table by construction
+                np.add.at(tot, stream.doc_ids, lnc_b[idx])
+            keep = n_tokens > 0
+            mlf = tot[keep] / n_tokens[keep]
+            w = np.exp(-alpha * mlf)
+            if round_to is not None:
+                mlf = np.round(mlf, round_to)
+                w = np.round(w, round_to)
+            kmask = pa.array(keep)
+            return pa.table(
+                {
+                    id_col: batch[id_col].filter(kmask),
+                    "n_tokens": pa.array(n_tokens[keep]),
+                    "mean_log_freq": pa.array(mlf),
+                    "soft_weight": pa.array(w),
+                }
+            )
+
+        return ds.map_batches(score, batch_format="pyarrow")
+
+    # At-scale path: vocab too big to broadcast.  Explode per-doc
+    # (id, h, k) with k combined in-batch (docs never span a batch, so
+    # the combine is exact), join on h, reduce by doc.
+    from kenlm_ray.ops.join import hash_join
+
+    def explode(batch: pa.Table) -> pa.Table:
+        stream = tokenize_column(batch[text_col])
+        th = stream.hashes()
+        ids = batch[id_col].combine_chunks().to_numpy(zero_copy_only=False)
+        if len(th) == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([], type=batch[id_col].type),
+                    "h": pa.array([], type=pa.int64()),
+                    "k": pa.array([], type=pa.int64()),
+                }
+            )
+        # per-(doc, token) combine: sort by (doc, hash), run-detect
+        order = np.lexsort((th, stream.doc_ids))
+        d_s, h_s = stream.doc_ids[order], th[order]
+        new = np.empty(len(h_s), dtype=bool)
+        new[0] = True
+        new[1:] = (d_s[1:] != d_s[:-1]) | (h_s[1:] != h_s[:-1])
+        starts = np.flatnonzero(new)
+        k = np.diff(np.append(starts, len(h_s))).astype(np.int64)
+        return pa.table(
+            {
+                id_col: pa.array(ids[d_s[starts]]),
+                "h": pa.array(np.ascontiguousarray(h_s[starts]).view(np.int64)),
+                "k": pa.array(k),
+            }
+        )
+
+    doc_toks = ds.map_batches(explode, batch_format="pyarrow")
+    id_type = ds.schema().base_schema.field(id_col).type
+    joined = hash_join(
+        doc_toks,
+        counts,
+        on=["h"],
+        left_cols={id_col: id_type, "h": pa.int64(), "k": pa.int64()},
+        right_cols={"h": pa.int64(), "count": pa.int64()},
+        how="inner",
+    )
+
+    def weigh(batch: pa.Table) -> pa.Table:
+        k = batch["k"].to_numpy(zero_copy_only=False).astype(np.float64)
+        c = batch["count"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "k": batch["k"],
+                "klnc": pa.array(k * np.log(c)),
+            }
+        )
+
+    per_doc = (
+        joined.map_batches(weigh, batch_format="pyarrow")
+        .groupby(id_col)
+        .aggregate(Sum("k", alias_name="n_tokens"), Sum("klnc", alias_name="tot"))
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        n = batch["n_tokens"].to_numpy(zero_copy_only=False).astype(np.float64)
+        tot = batch["tot"].to_numpy(zero_copy_only=False)
+        mlf = tot / n
+        w = np.exp(-alpha * mlf)
+        if round_to is not None:
+            mlf = np.round(mlf, round_to)
+            w = np.round(w, round_to)
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "n_tokens": batch["n_tokens"],
+                "mean_log_freq": pa.array(mlf),
+                "soft_weight": pa.array(w),
+            }
+        )
+
+    return per_doc.map_batches(finish, batch_format="pyarrow")

@@ -280,3 +280,105 @@ def event_moving_avg(
             lambda g: mov(g.drop_columns(["__pb"])), batch_format="pyarrow"
         )
     )
+
+
+def retention_cohorts(
+    ds: "ray.data.Dataset",
+    *,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    day_us: int = 86_400_000_000,
+    num_partitions: int = 16,
+) -> "ray.data.Dataset":
+    """Cohort retention matrix: users grouped by their FIRST active day
+    (the cohort), counted once per (cohort_day, day_offset) they return.
+
+    The classic product-analytics wide op; here it doubles as a corpus
+    freshness audit (crawl snapshot = day, first appearance = cohort).
+
+    Shape (the 100-TB argument): per batch, events pre-combine to
+    distinct ``(key, day)`` int64 pairs (one ``np.unique`` over a
+    packed key — the event payload never shuffles).  Pairs then
+    coarse hash-bucket by key into ``num_partitions`` groups (the
+    `event_lag_gaps` idiom — never one pandas group per user): ONE
+    lexsort per bucket finds each key's first day (run start) and each
+    distinct (key, day) revisit, emitting in-bucket partial counts per
+    (cohort_day, day_offset).  A final tiny grouped sum (cohort ×
+    offset cells, bounded by days², not by users) finishes.  Output:
+    cohort_day, day_offset (int64), n_users (int64).
+    """
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        k = batch[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        us = batch[ts_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        day = us // day_us
+        # in-batch distinct (key, day): pack into one u64 word
+        packed = (k.astype(np.uint64) << np.uint64(20)) | day.astype(np.uint64)
+        if (day >= (1 << 20)).any() or (day < 0).any() or (k < 0).any() or (
+            k >= (1 << 43)
+        ).any():
+            # fall back to 2-column unique for out-of-range keys/days
+            uniq = np.unique(np.stack([k, day], axis=1), axis=0)
+            ks, ds_ = uniq[:, 0], uniq[:, 1]
+        else:
+            upk = np.unique(packed)
+            ks = (upk >> np.uint64(20)).astype(np.int64)
+            ds_ = (upk & np.uint64((1 << 20) - 1)).astype(np.int64)
+        h = ks.astype(np.uint64)
+        with np.errstate(over="ignore"):
+            x = (h ^ (h >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+            x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+            x ^= x >> np.uint64(31)
+        return pa.table(
+            {
+                key_col: pa.array(ks),
+                "day": pa.array(ds_),
+                "__pb": pa.array(
+                    (x % np.uint64(num_partitions)).astype(np.int64)
+                ),
+            }
+        )
+
+    def cohort(g: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "cohort_day": pa.array([], type=pa.int64()),
+                "day_offset": pa.array([], type=pa.int64()),
+                "n_partial": pa.array([], type=pa.int64()),
+            }
+        )
+        if len(g) == 0:
+            return empty
+        k = g[key_col].to_numpy(zero_copy_only=False)
+        day = g["day"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((day, k))
+        ks, dys = k[order], day[order]
+        new_key = np.concatenate([[True], ks[1:] != ks[:-1]])
+        # distinct (key, day) across batches: drop exact repeats
+        dup = ~new_key & np.concatenate([[False], dys[1:] == dys[:-1]])
+        run_id = np.cumsum(new_key) - 1
+        first_day = dys[new_key][run_id]
+        keep = ~dup
+        cohort_day = first_day[keep]
+        offset = dys[keep] - cohort_day
+        cells = np.stack([cohort_day, offset], axis=1)
+        uniq, cnt = np.unique(cells, axis=0, return_counts=True)
+        if len(uniq) == 0:
+            return empty
+        return pa.table(
+            {
+                "cohort_day": pa.array(uniq[:, 0]),
+                "day_offset": pa.array(uniq[:, 1]),
+                "n_partial": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    return (
+        ds.map_batches(pairs, batch_format="pyarrow")
+        .groupby("__pb")
+        .map_groups(
+            lambda g: cohort(g.drop_columns(["__pb"])), batch_format="pyarrow"
+        )
+        .groupby(["cohort_day", "day_offset"])
+        .aggregate(Sum("n_partial", alias_name="n_users"))
+    )

@@ -1,0 +1,129 @@
+"""Soft dedup commonness reweighting (ops/softdedup.py) and cohort
+retention (ops/windows.retention_cohorts)."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+
+from kenlm_ray.ops.softdedup import soft_dedup_weights
+from kenlm_ray.ops.windows import retention_cohorts
+
+
+def _docs():
+    rng = np.random.default_rng(11)
+    vocab = [f"w{i}" for i in range(40)]
+    texts = []
+    for i in range(120):
+        n = int(rng.integers(1, 30))
+        words = rng.choice(vocab, size=n, p=None)
+        texts.append(" ".join(words))
+    texts.append("")  # zero-token doc must drop out
+    texts.append("unique_singleton_token")
+    ids = np.arange(len(texts), dtype=np.int64)
+    return pa.table({"doc_id": pa.array(ids), "text": pa.array(texts)})
+
+
+def _oracle_weights(tbl: pa.Table) -> pd.DataFrame:
+    con = duckdb.connect()
+    con.register("documents", tbl)
+    return con.execute(
+        r"""
+        WITH toks AS (
+            SELECT doc_id,
+                   unnest(list_filter(
+                       string_split_regex(text, '[\t\n\r ]+'),
+                       x -> x <> ''
+                   )) AS tok
+            FROM documents
+        ),
+        cnt AS (SELECT tok, count(*)::DOUBLE AS c FROM toks GROUP BY tok),
+        doc AS (
+            SELECT t.doc_id, count(*)::BIGINT AS n_tokens,
+                   avg(ln(cnt.c)) AS mlf
+            FROM toks t JOIN cnt USING (tok) GROUP BY t.doc_id
+        )
+        SELECT doc_id, n_tokens,
+               round(mlf, 6)             AS mean_log_freq,
+               round(exp(-0.1 * mlf), 6) AS soft_weight
+        FROM doc ORDER BY doc_id
+        """
+    ).df()
+
+
+def _run(tbl, **kw):
+    ds = ray.data.from_arrow(tbl)
+    out = soft_dedup_weights(ds, alpha=0.1, **kw).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def test_soft_dedup_matches_oracle(ray_session):
+    tbl = _docs()
+    got = _run(tbl)
+    want = _oracle_weights(tbl)
+    assert len(got) == len(want) == len(tbl) - 1  # empty doc dropped
+    assert (got["doc_id"].to_numpy() == want["doc_id"].to_numpy()).all()
+    assert (got["n_tokens"].to_numpy() == want["n_tokens"].to_numpy()).all()
+    np.testing.assert_allclose(
+        got["mean_log_freq"], want["mean_log_freq"], atol=2e-6
+    )
+    np.testing.assert_allclose(got["soft_weight"], want["soft_weight"], atol=2e-6)
+    # a doc of globally-unique tokens has commonness ln(1)=0, weight 1
+    single = got[got["doc_id"] == len(tbl) - 1]
+    assert float(single["mean_log_freq"].iloc[0]) == 0.0
+    assert float(single["soft_weight"].iloc[0]) == 1.0
+
+
+def test_soft_dedup_fallback_join_path_matches_broadcast(ray_session):
+    tbl = _docs()
+    a = _run(tbl)
+    b = _run(tbl, broadcast_threshold=0)  # force the partitioned join path
+    pd.testing.assert_frame_equal(
+        a, b[a.columns].sort_values("doc_id").reset_index(drop=True),
+        check_dtype=False,
+    )
+
+
+def _events():
+    rng = np.random.default_rng(3)
+    n = 3000
+    user = rng.integers(0, 40, n).astype(np.int64)
+    user[: n // 2] = 7  # one user owns half the log (skew)
+    day = rng.integers(0, 25, n).astype(np.int64)
+    us = day * 86_400_000_000 + rng.integers(0, 86_400_000_000, n)
+    return pa.table(
+        {
+            "user_id": pa.array(user),
+            "ts": pa.array(us).cast(pa.timestamp("us")),
+        }
+    )
+
+
+def test_retention_cohorts_matches_pandas(ray_session):
+    tbl = _events()
+    got = (
+        retention_cohorts(ray.data.from_arrow(tbl), num_partitions=4)
+        .to_pandas()
+        .sort_values(["cohort_day", "day_offset"])
+        .reset_index(drop=True)
+    )
+    df = tbl.to_pandas()
+    df["day"] = df["ts"].astype("int64") // 86_400_000_000
+    pairs = df[["user_id", "day"]].drop_duplicates()
+    firsts = pairs.groupby("user_id")["day"].min().rename("cohort_day")
+    j = pairs.join(firsts, on="user_id")
+    j["day_offset"] = j["day"] - j["cohort_day"]
+    want = (
+        j.groupby(["cohort_day", "day_offset"])
+        .size()
+        .rename("n_users")
+        .reset_index()
+        .sort_values(["cohort_day", "day_offset"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # day-0 row of each cohort counts every cohort member exactly once
+    d0 = got[got["day_offset"] == 0]["n_users"].sum()
+    assert d0 == firsts.size
