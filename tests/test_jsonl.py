@@ -1,0 +1,80 @@
+"""JSONL corpus source/sink (sources/jsonl.py)."""
+
+import gzip
+import json
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+import ray.data
+
+from kenlm_ray.sources.jsonl import read_jsonl, write_jsonl
+
+
+def _rows(n, start=0):
+    return [
+        {"doc_id": i, "text": f"doc {i} body with tokens", "lang": "en"}
+        for i in range(start, start + n)
+    ]
+
+
+def _write_shard(path, rows, gz):
+    payload = "\n".join(json.dumps(r) for r in rows).encode() + b"\n"
+    if gz:
+        payload = gzip.compress(payload)
+    with open(path, "wb") as f:
+        f.write(payload)
+
+
+def test_read_jsonl_mixed_compression(ray_session, tmp_path):
+    a = os.path.join(tmp_path, "a.jsonl")
+    b = os.path.join(tmp_path, "b.jsonl.gz")
+    _write_shard(a, _rows(40), gz=False)
+    _write_shard(b, _rows(25, start=40), gz=True)
+    ds = read_jsonl([a, b], columns=["doc_id", "text"])
+    df = ds.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert list(df.columns) == ["doc_id", "text"]
+    assert len(df) == 65
+    assert df["doc_id"].tolist() == list(range(65))
+    assert df["text"].iloc[7] == "doc 7 body with tokens"
+
+
+def test_write_jsonl_roundtrip_and_resume(ray_session, tmp_path):
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(np.arange(50, dtype=np.int64)),
+            "text": pa.array([f"t {i}" for i in range(50)]),
+        }
+    )
+    out = os.path.join(tmp_path, "out")
+    man1 = write_jsonl(ray.data.from_arrow(tbl), out, compression="gzip")
+    files1 = sorted(os.listdir(out))
+    assert sum(m["rows"] for m in man1) == 50
+    assert all(p.endswith(".jsonl.gz") for p in files1)
+    mtimes = {p: os.path.getmtime(os.path.join(out, p)) for p in files1}
+    # idempotent re-run: same content-addressed names, files skipped
+    man2 = write_jsonl(ray.data.from_arrow(tbl), out, compression="gzip")
+    files2 = sorted(os.listdir(out))
+    assert files1 == files2
+    assert mtimes == {p: os.path.getmtime(os.path.join(out, p)) for p in files2}
+    back = (
+        read_jsonl([os.path.join(out, p) for p in files2])
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert back["doc_id"].tolist() == list(range(50))
+    assert back["text"].tolist() == [f"t {i}" for i in range(50)]
+
+
+def test_jsonl_feeds_operators(ray_session, tmp_path):
+    """A jsonl.gz corpus drives a real engine operator end-to-end."""
+    p = os.path.join(tmp_path, "c.jsonl.gz")
+    _write_shard(p, _rows(30), gz=True)
+    from kenlm_ray.ops.text import token_stats
+
+    got = token_stats(read_jsonl(p)).to_pandas()
+    assert len(got) == 30
+    assert (got["n_tokens"] == 5).all()  # "doc {i} body with tokens"
