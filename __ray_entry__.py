@@ -1549,6 +1549,43 @@ def _q_ivf_knn(sf_dir):
     return ivf_knn(idx, query_vector(sf_dir, 0), k=10, nprobe=8)
 
 
+def _q_image_near_dup_pairs(sf_dir):
+    """Perceptual image dedup: deterministic synthetic BMP corpus where
+    every third image is a lightly-edited copy of the one before it;
+    dHash fingerprints in an actor pool + the shared banded-hamming
+    pair engine.  Rows-only (binary payload synthesis is not
+    SQL-expressible); tests/test_imagededup.py gates pair exactness."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from kenlm_ray.ops.imagededup import image_near_dup_pairs
+    from kenlm_ray.stages.multimodal import encode_bmp
+
+    n = max(60, _documents(sf_dir).count() // 10)
+    rng = np.random.default_rng(321)
+    payloads = []
+    prev = None
+    for i in range(n):
+        if i % 3 == 2 and prev is not None:
+            edited = prev.copy()
+            edited[1, 1] = 255 - edited[1, 1]  # single-pixel edit
+            payloads.append(encode_bmp(edited))
+        else:
+            h, w = int(rng.integers(16, 64)), int(rng.integers(16, 64))
+            prev = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+            payloads.append(encode_bmp(prev))
+    tbl = pa.table(
+        {
+            "media_id": pa.array(np.arange(n, dtype=np.int64)),
+            "payload": pa.array(payloads, type=pa.binary()),
+        }
+    )
+    return image_near_dup_pairs(
+        ray.data.from_arrow(tbl), max_hamming=6, num_partitions=8
+    )
+
+
 def _q_soft_dedup_weights(sf_dir):
     """SoftDedup-style commonness reweighting: per-doc mean log global
     token frequency + exp(-alpha*·) sampling weight (ops/softdedup.py —
@@ -1661,6 +1698,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shuffled_docs_head": _q_shuffled_docs_head,
         "diverse_doc_exemplars": _q_diverse_exemplars,
         "media_decode_stats": _q_media_decode_stats,
+        "image_near_dup_pairs": _q_image_near_dup_pairs,
         "minhash_near_dup_pairs": _q_minhash_pairs,
         "simhash_fingerprints": _q_simhash,
         "simhash_near_dup_pairs": _q_simhash_pairs,

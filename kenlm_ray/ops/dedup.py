@@ -824,7 +824,31 @@ def simhash_near_dup_pairs(
     num_partitions: int = 64,
     max_bucket: int = 1000,
 ) -> "ray.data.Dataset":
-    """Near-duplicate pairs by SimHash Hamming distance <= ``max_hamming``.
+    """Near-duplicate pairs by SimHash Hamming distance <= ``max_hamming``
+    (fingerprint map + the generic `hamming_near_dup_pairs` engine)."""
+    fps = simhash_column(ds, text_col=text_col, id_col=id_col, shingle_n=shingle_n)
+    return hamming_near_dup_pairs(
+        fps,
+        fp_col="simhash",
+        id_col=id_col,
+        max_hamming=max_hamming,
+        num_partitions=num_partitions,
+        max_bucket=max_bucket,
+    )
+
+
+def hamming_near_dup_pairs(
+    fps: "ray.data.Dataset",
+    *,
+    fp_col: str = "fp",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    num_partitions: int = 64,
+    max_bucket: int = 1000,
+) -> "ray.data.Dataset":
+    """All id pairs whose 64-bit fingerprints are within Hamming distance
+    ``max_hamming`` — the shared engine behind SimHash text near-dup and
+    image dHash near-dup (`ops/imagededup.py`).
 
     The 64-bit fingerprint is split into ``max_hamming + 1`` bands; two
     fingerprints within the distance bound MUST agree on at least one
@@ -833,18 +857,17 @@ def simhash_near_dup_pairs(
     this path is exact, not probabilistic.  Buckets beyond ``max_bucket``
     degrade to a star around the min id (connected-component coverage,
     not all pairs), so mass-boilerplate clusters trade per-pair recall
-    for bounded work — raise ``max_bucket`` to restore exactness there.  Shape: fingerprint map -> narrow (band-key, id, fp)
-    rows -> coarse-partition groupby -> vectorized within-run pairs ->
+    for bounded work — raise ``max_bucket`` to restore exactness there.
+    Shape: (id, fp) input -> narrow (band-key, id, fp) rows ->
+    coarse-partition groupby -> vectorized within-run pairs ->
     dedupe -> exact popcount verify.  Only (8B key, 8B fp, id) rows
     shuffle."""
     n_bands = max_hamming + 1
     width = 64 // n_bands
     P = num_partitions
 
-    fps = simhash_column(ds, text_col=text_col, id_col=id_col, shingle_n=shingle_n)
-
     def to_bands(batch: pa.Table) -> pa.Table:
-        fp = batch["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        fp = batch[fp_col].to_numpy(zero_copy_only=False).astype(np.uint64)
         ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
         n = len(fp)
         keys, out_ids, out_fp = [], [], []

@@ -1,0 +1,138 @@
+"""Image near-duplicate detection via perceptual difference hash (dHash).
+
+Web-scale multimodal curation dedups images by PERCEPTUAL identity —
+re-encoded, resized, or lightly-edited copies share no byte-level hash
+but land within a few bits of each other under a perceptual hash
+(LAION's pipeline, CLIP-dataset dedup).  dHash (Krawetz) is the
+cheapest member of that family: downsample the luma plane to a 9×8
+grid and take the 64 horizontal gradient signs as the fingerprint.
+
+The reference engine (kpu/kenlm) is text-only; this extends the
+curation suite's dedup family to the binary media columns
+(`stages/multimodal.py`).  Decode is real for BMP (pure numpy), real
+for PNG/JPEG when pillow exists, and a deterministic payload-hash fake
+otherwise — the Ray-side plumbing (actor pool, fingerprint shuffle,
+banded pair generation) is identical in all three modes.
+
+Distributed shape (the 100-TB argument): decode happens ONCE per image
+in an actor-pool `map_batches` (small batches — payloads are MBs);
+only the 16-byte (id, dhash) rows leave the stage.  Pair generation
+reuses `ops/dedup.hamming_near_dup_pairs` — banded exact-match
+candidate generation with pigeonhole recall 1 and popcount verify, the
+same engine as SimHash text near-dup, so the image path inherits its
+bucket caps and coarse partitioning.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data
+
+from kenlm_ray.functions.hashing import murmur64
+from kenlm_ray.ops.dedup import hamming_near_dup_pairs
+from kenlm_ray.stages.multimodal import _try_import_pil, decode_image_payload
+
+_BIT_WEIGHTS = (np.uint64(1) << np.arange(64, dtype=np.uint64))
+
+
+def dhash_pixels(arr: np.ndarray) -> np.uint64:
+    """64-bit dHash of an (H, W, C) uint8 image: luma -> 9×8 sample grid
+    -> horizontal gradient signs, row-major bit order."""
+    gray = arr.astype(np.float32).mean(axis=2)
+    ys = np.linspace(0, gray.shape[0] - 1, 8).astype(int)
+    xs = np.linspace(0, gray.shape[1] - 1, 9).astype(int)
+    g = gray[np.ix_(ys, xs)]
+    bits = (g[:, 1:] > g[:, :-1]).ravel()
+    return np.uint64(np.dot(bits.astype(np.uint64), _BIT_WEIGHTS))
+
+
+class ImageDHash:
+    """Actor-pool stage: binary image payload -> 64-bit dHash
+    (int64 bit-view column ``dhash``; null payloads get null)."""
+
+    def __init__(self, mode: str = "auto"):
+        self.mode = mode
+        self.pil = _try_import_pil() if mode in ("auto", "real") else None
+
+    def _fake(self, p: bytes) -> np.ndarray:
+        h = murmur64(p[:64])
+        rng = np.random.default_rng(h & 0xFFFFFFFF)
+        height = 16 + (h % 48)
+        width = 16 + ((h >> 8) % 48)
+        return rng.integers(0, 256, (int(height), int(width), 3), dtype=np.uint8)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = []
+        for p in batch["payload"]:
+            p = p.as_py()
+            if p is None:
+                out.append(None)
+                continue
+            arr = decode_image_payload(p, self.pil, self.mode, self._fake)
+            out.append(np.int64(dhash_pixels(arr).view(np.int64)))
+        return batch.append_column("dhash", pa.array(out, type=pa.int64()))
+
+
+def image_dhash_column(
+    ds: "ray.data.Dataset",
+    *,
+    id_col: str = "media_id",
+    mode: str = "auto",
+    batch_size: int = 64,
+    concurrency=(1, 4),
+) -> "ray.data.Dataset":
+    """(id, dhash) fingerprints; decode runs once per image in the actor
+    pool, and only the narrow fingerprint rows flow downstream."""
+    if concurrency is None:
+        hashed = ds.map_batches(
+            ImageDHash(mode), batch_format="pyarrow", batch_size=batch_size
+        )
+    else:
+        # actor pool: decode state (pillow import probe) built once per actor
+        hashed = ds.map_batches(
+            ImageDHash,
+            fn_constructor_kwargs={"mode": mode},
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            concurrency=concurrency,
+        )
+    return hashed.map_batches(
+        lambda t: t.select([id_col, "dhash"]).filter(
+            t["dhash"].combine_chunks().is_valid()
+            if isinstance(t["dhash"], pa.ChunkedArray)
+            else t["dhash"].is_valid()
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def image_near_dup_pairs(
+    ds: "ray.data.Dataset",
+    *,
+    id_col: str = "media_id",
+    mode: str = "auto",
+    max_hamming: int = 6,
+    num_partitions: int = 64,
+    max_bucket: int = 1000,
+    batch_size: int = 64,
+    concurrency=(1, 4),
+) -> "ray.data.Dataset":
+    """Image pairs whose dHashes differ in <= ``max_hamming`` of 64 bits
+    (id_a, id_b, hamming) — perceptual near-duplicates."""
+    fps = image_dhash_column(
+        ds,
+        id_col=id_col,
+        mode=mode,
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+    return hamming_near_dup_pairs(
+        fps,
+        fp_col="dhash",
+        id_col=id_col,
+        max_hamming=max_hamming,
+        num_partitions=num_partitions,
+        max_bucket=max_bucket,
+    )

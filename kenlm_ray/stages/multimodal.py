@@ -127,6 +127,25 @@ def _try_import_pil():
         return None
 
 
+def decode_image_payload(p: bytes, pil, mode: str, fake_decode) -> np.ndarray:
+    """Shared decode dispatch: real BMP -> pillow (if present) -> fake
+    (or NotImplementedError in mode='real').  Used by ImageDecode and
+    ops/imagededup.ImageDHash so the format support never diverges."""
+    if p[:2] == b"BM":
+        return decode_bmp(p)  # real, pure numpy
+    if pil is not None:
+        import io
+
+        return np.asarray(pil.open(io.BytesIO(p)).convert("RGB"))
+    if mode == "real":
+        raise NotImplementedError(
+            "real decode of codec image formats requires pillow, "
+            "which this environment does not provide — BMP decodes "
+            "natively; use mode='fake' for other formats"
+        )
+    return fake_decode(p)
+
+
 class ImageDecode:
     """Actor-pool stage: binary payload -> (height, width, channels,
     mean_luma float32, thumb binary).  BMP payloads (magic "BM") decode
@@ -158,21 +177,9 @@ class ImageDecode:
                 hs.append(0); ws.append(0); cs.append(0)
                 lumas.append(float("nan")); thumbs.append(None)
                 continue
-            if p[:2] == b"BM":
-                arr = decode_bmp(p)  # real, pure numpy
-            elif self.pil is not None:
-                import io
-
-                img = self.pil.open(io.BytesIO(p)).convert("RGB")
-                arr = np.asarray(img)
-            elif self.mode == "real":
-                raise NotImplementedError(
-                    "real decode of codec image formats requires pillow, "
-                    "which this environment does not provide — BMP decodes "
-                    "natively; use mode='fake' for other formats"
-                )
-            else:
-                _, _, _, arr = self._fake_decode(p)
+            arr = decode_image_payload(
+                p, self.pil, self.mode, lambda q: self._fake_decode(q)[3]
+            )
             hs.append(arr.shape[0]); ws.append(arr.shape[1]); cs.append(arr.shape[2])
             lumas.append(float(arr.mean()))
             t = self.thumb_size

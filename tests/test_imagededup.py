@@ -1,0 +1,69 @@
+"""Perceptual image dedup (ops/imagededup.py)."""
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data
+
+from kenlm_ray.ops.imagededup import (
+    dhash_pixels,
+    image_dhash_column,
+    image_near_dup_pairs,
+)
+from kenlm_ray.stages.multimodal import encode_bmp
+
+
+def _img(seed, h=32, w=40):
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+
+
+def test_dhash_invariants():
+    a = _img(1)
+    assert dhash_pixels(a) == dhash_pixels(a.copy())
+    # brightness shift preserves gradient signs exactly
+    brighter = np.clip(a.astype(np.int32) + 10, 0, 255).astype(np.uint8)
+    ha, hb = dhash_pixels(a), dhash_pixels(brighter)
+    assert bin(int(ha ^ hb)).count("1") <= 4
+    # independent image: far away
+    hc = dhash_pixels(_img(2))
+    assert bin(int(ha ^ hc)).count("1") > 10
+
+
+def test_image_near_dup_pairs_bmp(ray_session):
+    base = _img(7)
+    near = base.copy()
+    near[5, 5] = 255 - near[5, 5]  # single-pixel edit
+    far = _img(8)
+    rows = [base, near, far]
+    tbl = pa.table(
+        {
+            "media_id": pa.array(np.arange(3, dtype=np.int64)),
+            "payload": pa.array(
+                [encode_bmp(r) for r in rows], type=pa.binary()
+            ),
+        }
+    )
+    ds = ray.data.from_arrow(tbl)
+    fps = image_dhash_column(ds, concurrency=None).to_pandas()
+    assert len(fps) == 3
+    pairs = (
+        image_near_dup_pairs(ds, max_hamming=6, num_partitions=4, concurrency=None)
+        .to_pandas()
+        .sort_values(["id_a", "id_b"])
+    )
+    assert [(0, 1)] == list(zip(pairs["id_a"], pairs["id_b"]))
+    assert (pairs["hamming"] <= 6).all()
+
+
+def test_null_payloads_dropped(ray_session):
+    tbl = pa.table(
+        {
+            "media_id": pa.array([0, 1], type=pa.int64()),
+            "payload": pa.array([None, encode_bmp(_img(3))], type=pa.binary()),
+        }
+    )
+    fps = image_dhash_column(
+        ray.data.from_arrow(tbl), concurrency=None
+    ).to_pandas()
+    assert fps["media_id"].tolist() == [1]
