@@ -1586,6 +1586,41 @@ def _q_image_near_dup_pairs(sf_dir):
     )
 
 
+def _q_audio_near_dup_pairs(sf_dir):
+    """Audio perceptual dedup: synthetic PCM WAV corpus where every
+    third clip is a gain-shifted copy of the one before it; 64-bit
+    energy-envelope hashes + the shared banded-hamming engine.
+    Rows-only; tests/test_imagededup.py gates pair exactness."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from kenlm_ray.ops.imagededup import audio_near_dup_pairs
+    from kenlm_ray.stages.multimodal import encode_wav
+
+    n = max(60, _documents(sf_dir).count() // 10)
+    rng = np.random.default_rng(654)
+    payloads = []
+    prev = None
+    for i in range(n):
+        if i % 3 == 2 and prev is not None:
+            payloads.append(encode_wav((prev * 2.0).astype(np.float32), 16000))
+        else:
+            prev = rng.standard_normal(int(rng.integers(2000, 6000))).astype(
+                np.float32
+            ) * 0.05
+            payloads.append(encode_wav(prev, 16000))
+    tbl = pa.table(
+        {
+            "media_id": pa.array(np.arange(n, dtype=np.int64)),
+            "payload": pa.array(payloads, type=pa.binary()),
+        }
+    )
+    return audio_near_dup_pairs(
+        ray.data.from_arrow(tbl), max_hamming=6, num_partitions=8
+    )
+
+
 def _q_soft_dedup_weights(sf_dir):
     """SoftDedup-style commonness reweighting: per-doc mean log global
     token frequency + exp(-alpha*·) sampling weight (ops/softdedup.py —
@@ -1699,6 +1734,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "diverse_doc_exemplars": _q_diverse_exemplars,
         "media_decode_stats": _q_media_decode_stats,
         "image_near_dup_pairs": _q_image_near_dup_pairs,
+        "audio_near_dup_pairs": _q_audio_near_dup_pairs,
         "minhash_near_dup_pairs": _q_minhash_pairs,
         "simhash_fingerprints": _q_simhash,
         "simhash_near_dup_pairs": _q_simhash_pairs,

@@ -136,3 +136,103 @@ def image_near_dup_pairs(
         num_partitions=num_partitions,
         max_bucket=max_bucket,
     )
+
+
+def ehash_samples(wave: np.ndarray) -> np.uint64:
+    """64-bit energy-envelope hash of a waveform: mono mean -> 65 equal
+    windows -> RMS envelope -> gradient signs.  Gain-invariant (signs
+    survive any positive scaling), the audio analog of dHash."""
+    mono = wave.astype(np.float64)
+    if mono.ndim == 2:
+        mono = mono.mean(axis=1)
+    n = len(mono)
+    if n < 65:
+        mono = np.pad(mono, (0, 65 - n))
+        n = 65
+    edges = np.linspace(0, n, 66).astype(int)
+    sq = np.concatenate([[0.0], np.cumsum(mono * mono)])
+    e = (sq[edges[1:]] - sq[edges[:-1]]) / np.maximum(
+        edges[1:] - edges[:-1], 1
+    )
+    bits = e[1:] > e[:-1]
+    return np.uint64(np.dot(bits.astype(np.uint64), _BIT_WEIGHTS))
+
+
+class AudioEHash:
+    """Actor-pool stage: audio payload -> 64-bit energy-envelope hash
+    (int64 bit-view column ``ehash``; null payloads get null).  WAV/PCM
+    decodes for real (`stages/multimodal.decode_wav`); other codecs
+    fall back to the deterministic payload-hash fake (or raise in
+    mode='real'), mirroring AudioFeatures."""
+
+    def __init__(self, mode: str = "auto"):
+        self.mode = mode
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from kenlm_ray.stages.multimodal import decode_wav
+
+        out = []
+        for p in batch["payload"]:
+            p = p.as_py()
+            if p is None:
+                out.append(None)
+                continue
+            if p[:4] == b"RIFF" and p[8:12] == b"WAVE":
+                wave, _ = decode_wav(p)
+            elif self.mode == "real":
+                raise NotImplementedError(
+                    "real decode of codec audio formats requires soundfile, "
+                    "not available here — WAV/PCM decodes natively; use "
+                    "mode='fake' for other formats"
+                )
+            else:
+                h = murmur64(p[:64])
+                rng = np.random.default_rng(h & 0xFFFFFFFF)
+                wave = rng.standard_normal(1000 + int(h % 8000)).astype(
+                    np.float32
+                )
+            out.append(np.int64(ehash_samples(wave).view(np.int64)))
+        return batch.append_column("ehash", pa.array(out, type=pa.int64()))
+
+
+def audio_near_dup_pairs(
+    ds: "ray.data.Dataset",
+    *,
+    id_col: str = "media_id",
+    mode: str = "auto",
+    max_hamming: int = 6,
+    num_partitions: int = 64,
+    max_bucket: int = 1000,
+    batch_size: int = 64,
+    concurrency=(1, 4),
+) -> "ray.data.Dataset":
+    """Audio pairs whose energy-envelope hashes differ in <=
+    ``max_hamming`` of 64 bits — re-encoded / gain-shifted copies."""
+    if concurrency is None:
+        hashed = ds.map_batches(
+            AudioEHash(mode), batch_format="pyarrow", batch_size=batch_size
+        )
+    else:
+        hashed = ds.map_batches(
+            AudioEHash,
+            fn_constructor_kwargs={"mode": mode},
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            concurrency=concurrency,
+        )
+    fps = hashed.map_batches(
+        lambda t: t.select([id_col, "ehash"]).filter(
+            t["ehash"].combine_chunks().is_valid()
+            if isinstance(t["ehash"], pa.ChunkedArray)
+            else t["ehash"].is_valid()
+        ),
+        batch_format="pyarrow",
+    )
+    return hamming_near_dup_pairs(
+        fps,
+        fp_col="ehash",
+        id_col=id_col,
+        max_hamming=max_hamming,
+        num_partitions=num_partitions,
+        max_bucket=max_bucket,
+    )

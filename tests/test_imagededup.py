@@ -67,3 +67,41 @@ def test_null_payloads_dropped(ray_session):
         ray.data.from_arrow(tbl), concurrency=None
     ).to_pandas()
     assert fps["media_id"].tolist() == [1]
+
+
+def test_ehash_gain_invariance():
+    from kenlm_ray.ops.imagededup import ehash_samples
+
+    rng = np.random.default_rng(5)
+    w = rng.standard_normal(4000).astype(np.float32)
+    assert ehash_samples(w) == ehash_samples(w * 2.5)
+    other = rng.standard_normal(4000).astype(np.float32)
+    assert bin(int(ehash_samples(w) ^ ehash_samples(other))).count("1") > 10
+
+
+def test_audio_near_dup_pairs_wav(ray_session):
+    from kenlm_ray.ops.imagededup import audio_near_dup_pairs
+    from kenlm_ray.stages.multimodal import encode_wav
+
+    rng = np.random.default_rng(9)
+    base = rng.standard_normal(5000).astype(np.float32) * 0.05
+    gain = (base * 3.0).astype(np.float32)  # re-mastered copy, no clipping
+    far = rng.standard_normal(5000).astype(np.float32) * 0.05
+    tbl = pa.table(
+        {
+            "media_id": pa.array(np.arange(3, dtype=np.int64)),
+            "payload": pa.array(
+                [encode_wav(w, 16000) for w in (base, gain, far)],
+                type=pa.binary(),
+            ),
+        }
+    )
+    pairs = (
+        audio_near_dup_pairs(
+            ray.data.from_arrow(tbl), max_hamming=6, num_partitions=4,
+            concurrency=None,
+        )
+        .to_pandas()
+        .sort_values(["id_a", "id_b"])
+    )
+    assert [(0, 1)] == list(zip(pairs["id_a"], pairs["id_b"]))
