@@ -580,6 +580,32 @@ def cmd_dedup(args) -> int:
             ds, emb_col=args.emb_col, id_col=args.id_col,
             tau=args.threshold,
         )
+    elif args.method in ("image", "audio"):
+        if args.payload_col not in ds.schema().names:
+            raise SystemExit(
+                f"--payload-col '{args.payload_col}' not in corpus schema "
+                f"{ds.schema().names}; {args.method} dedup needs a binary "
+                "payload column"
+            )
+        if args.payload_col != "payload":
+            ds = ds.map_batches(
+                lambda t, c=args.payload_col: t.rename_columns(
+                    ["payload" if n == c else n for n in t.column_names]
+                ),
+                batch_format="pyarrow",
+            )
+        if args.method == "image":
+            from kenlm_ray.ops.imagededup import image_near_dup_pairs
+
+            out = image_near_dup_pairs(
+                ds, id_col=args.id_col, max_hamming=args.max_hamming
+            )
+        else:
+            from kenlm_ray.ops.imagededup import audio_near_dup_pairs
+
+            out = audio_near_dup_pairs(
+                ds, id_col=args.id_col, max_hamming=args.max_hamming
+            )
     else:
         raise SystemExit(f"unknown method {args.method}")
     out.write_parquet(args.out)
@@ -930,9 +956,14 @@ def main(argv=None) -> int:
         "--method",
         default="exact",
         choices=["exact", "minhash", "simhash", "spans", "paragraphs",
-                 "semantic"],
+                 "semantic", "image", "audio"],
     )
     sd.add_argument("--text-col", default="content")
+    sd.add_argument(
+        "--payload-col",
+        default="payload",
+        help="binary media column for --method image/audio",
+    )
     sd.add_argument(
         "--para-sep", default="\n\n",
         help="paragraph separator for --method paragraphs",

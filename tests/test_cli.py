@@ -277,3 +277,62 @@ def test_cli_dedup_paragraphs(ray_session, tmp_path):
     )
     assert list(got["content"]) == ["unique a", "unique b", "only here"]
     assert list(got["n_dropped_paras"]) == [1, 1, 0]
+
+
+def test_cli_dedup_image_and_audio(ray_session, tmp_path):
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from kenlm_ray.cli import main
+    from kenlm_ray.stages.multimodal import encode_bmp, encode_wav
+
+    rng = np.random.default_rng(13)
+    img = rng.integers(0, 256, (24, 24, 3), dtype=np.uint8)
+    near = img.copy(); near[2, 2] = 255 - near[2, 2]
+    far = rng.integers(0, 256, (24, 24, 3), dtype=np.uint8)
+    src = tmp_path / "media"
+    src.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2], type=pa.int64()),
+                "blob": pa.array(
+                    [encode_bmp(x) for x in (img, near, far)],
+                    type=pa.binary(),
+                ),
+            }
+        ),
+        str(src / "part.parquet"),
+    )
+    out = tmp_path / "img_out"
+    assert main([
+        "dedup", str(src), str(out), "--method", "image",
+        "--payload-col", "blob", "--id-col", "doc_id", "--max-hamming", "6",
+    ]) == 0
+    got = pq.read_table(str(out)).to_pandas()
+    assert list(zip(got["id_a"], got["id_b"])) == [(0, 1)]
+
+    w = rng.standard_normal(4000).astype(np.float32) * 0.05
+    waves = [w, (w * 2).astype(np.float32),
+             rng.standard_normal(4000).astype(np.float32) * 0.05]
+    srca = tmp_path / "audio"
+    srca.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2], type=pa.int64()),
+                "payload": pa.array(
+                    [encode_wav(x, 16000) for x in waves], type=pa.binary()
+                ),
+            }
+        ),
+        str(srca / "part.parquet"),
+    )
+    outa = tmp_path / "aud_out"
+    assert main([
+        "dedup", str(srca), str(outa), "--method", "audio",
+        "--id-col", "doc_id", "--max-hamming", "6",
+    ]) == 0
+    got = pq.read_table(str(outa)).to_pandas()
+    assert list(zip(got["id_a"], got["id_b"])) == [(0, 1)]
