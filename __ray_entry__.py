@@ -1621,6 +1621,37 @@ def _q_audio_near_dup_pairs(sf_dir):
     )
 
 
+def _q_toxicity_flags(sf_dir):
+    """Word-list toxicity flags (C4/Gopher badwords mechanism over the
+    placeholder blocklist): per-doc flagged-token stats + threshold flag
+    (stages/toxicity.py — blocklist broadcast once, pure map)."""
+    import ray.data
+
+    from kenlm_ray.stages.toxicity import toxicity_flags
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    return toxicity_flags(ds, threshold=0.05)
+
+
+def _q_toxicity_scrubbed(sf_dir):
+    """Blocklist masking with RE2 word boundaries — byte-identical to
+    DuckDB regexp_replace (same RE2 engine), the toxicity half of the
+    north star's scrub stage."""
+    import ray.data
+
+    from kenlm_ray.stages.toxicity import toxicity_scrub
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    return toxicity_scrub(ds).map_batches(
+        lambda t: t.select(["doc_id", "text_scrubbed"]),
+        batch_format="pyarrow",
+    )
+
+
 def _q_soft_dedup_weights(sf_dir):
     """SoftDedup-style commonness reweighting: per-doc mean log global
     token frequency + exp(-alpha*·) sampling weight (ops/softdedup.py —
@@ -1722,6 +1753,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_length_buckets": _q_lang_length_buckets,
         "soft_dedup_weights": _q_soft_dedup_weights,
         "retention_cohorts": _q_retention_cohorts,
+        "toxicity_flags": _q_toxicity_flags,
+        "toxicity_scrubbed": _q_toxicity_scrubbed,
         # rows-only checks (stateful / model-driven, not SQL-expressible)
         "quality_filter_flagship": _q_quality_filter,
         "repo_quality_stats": _q_repo_stats,
@@ -2588,6 +2621,35 @@ def oracle_sql() -> dict[str, str]:
             SELECT dev.doc_id, dev.lang, dev.n_chars,
                    dev.ad > 3.0 * mad.s AS is_outlier
             FROM dev JOIN mad USING (lang)
+        """,
+        "toxicity_flags": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(list_filter(
+                           string_split_regex(text, '[\t\n\r ]+'),
+                           x -> x <> ''
+                       )) AS tok
+                FROM documents
+            ),
+            d AS (
+                SELECT doc_id,
+                       count(*)::BIGINT AS n_tokens,
+                       (count(*) FILTER (
+                           WHERE tok IN ('slow', 'stale', 'broken')
+                       ))::BIGINT AS n_flagged
+                FROM toks GROUP BY doc_id
+            )
+            SELECT doc_id, n_tokens, n_flagged,
+                   round(n_flagged / n_tokens::DOUBLE, 6) AS toxicity_score,
+                   (n_flagged / n_tokens::DOUBLE) > 0.05  AS is_toxic
+            FROM d
+        """,
+        "toxicity_scrubbed": r"""
+            SELECT doc_id,
+                   regexp_replace(
+                       text, '\b(?:slow|stale|broken)\b', '<TOX>', 'g'
+                   ) AS text_scrubbed
+            FROM documents
         """,
         "soft_dedup_weights": r"""
             WITH toks AS (

@@ -104,6 +104,7 @@ def build_quality_pipeline(
     dedupe: bool = False,
     fuse_heuristics: bool = True,
     classifier_model=None,
+    toxicity_blocklist: "list[str] | None" = None,
 ) -> "ray.data.Dataset":
     """Assemble the lazy scored-Dataset plan over a corpus Dataset.
 
@@ -115,7 +116,12 @@ def build_quality_pipeline(
     its ``ray.put`` ObjectRef) — appends an actor-pool inference stage
     emitting ``clf_label``/``clf_conf`` columns (the trainable
     fastText-style quality/domain classifier, ops/classifier.py).
-    Off by default; the default flagship schema is unchanged."""
+    Off by default; the default flagship schema is unchanged.
+
+    ``toxicity_blocklist``: optional word list — appends the
+    `stages/toxicity.py` flag stage over the scrubbed content
+    (``toxicity_score``/``is_toxic`` columns), the toxicity half of the
+    north star's scrub step.  Off by default."""
     cfg = cfg or QualityConfig()
     model_path = model_path or seed_model_path()
     if dedupe:
@@ -165,6 +171,41 @@ def build_quality_pipeline(
         batch_size=batch_size,
     )
     ds = ds.map_batches(decide_stage, batch_format="pyarrow", batch_size=batch_size)
+    if toxicity_blocklist is not None:
+        import numpy as np
+        import ray as _ray
+
+        from kenlm_ray.functions.hashing import hash_bytes_array
+        from kenlm_ray.functions.tokenize import tokenize_column
+
+        bh_ref = _ray.put(np.sort(hash_bytes_array(list(toxicity_blocklist))))
+
+        def tox(batch, _ref=bh_ref):
+            import pyarrow as pa
+
+            b = _ray.get(_ref)
+            col = batch["content_scrubbed"]
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            # dropped-by-size-gate rows have null scrubbed text: score 0
+            valid = col.is_valid().to_numpy(zero_copy_only=False)
+            stream = tokenize_column(col.fill_null(""))
+            th = stream.hashes()
+            n = len(batch)
+            n_tokens = np.bincount(stream.doc_ids, minlength=n)
+            hit = np.zeros(n, dtype=np.int64)
+            if len(th):
+                idx = np.searchsorted(b, th)
+                m = (idx < len(b)) & (b[np.minimum(idx, len(b) - 1)] == th)
+                np.add.at(hit, stream.doc_ids[m], 1)
+            score = np.where(
+                valid & (n_tokens > 0), hit / np.maximum(n_tokens, 1), 0.0
+            )
+            return batch.append_column(
+                "toxicity_score", pa.array(np.round(score, 6))
+            ).append_column("is_toxic", pa.array(score > 0.05))
+
+        ds = ds.map_batches(tox, batch_format="pyarrow", batch_size=batch_size)
     if classifier_model is not None:
         from kenlm_ray.ops.classifier import ClassifierScore
 
@@ -180,6 +221,10 @@ def build_quality_pipeline(
         )
     if project:
         cols = SCORED_COLUMNS + (
+            ["toxicity_score", "is_toxic"]
+            if toxicity_blocklist is not None
+            else []
+        ) + (
             ["clf_label", "clf_conf"] if classifier_model is not None else []
         )
         ds = ds.select_columns(cols)

@@ -1,0 +1,118 @@
+"""Word-list toxicity flagging and masking.
+
+The north star's scrub stage is "regex PII/toxicity scrubbing"
+(BASELINE.json): `stages/scrub.py` covers the PII/secret half; this
+module is the toxicity half — the standard word-list approach of
+web-curation pipelines (C4's badwords filter, Gopher's and
+RefinedWeb's blocklists): flag documents whose fraction of
+blocklisted tokens exceeds a threshold, and/or mask the listed words
+in place.
+
+The bundled ``DEFAULT_BLOCKLIST`` is a PLACEHOLDER of neutral
+synthetic-corpus tokens (this sandbox has no real blocklist and needs
+deterministic fixtures); deployments pass their own list — the
+mechanism (broadcast hash set, vectorized membership, RE2 masking) is
+what this module provides.
+
+Distributed shape: the blocklist is tiny and read-only — shipped once
+via ``ray.put`` as a sorted u64 hash array; flagging is a pure
+`map_batches` (tokenize + searchsorted, no shuffle).  Masking is one
+Arrow RE2 kernel per batch (`pc.replace_substring_regex`), the exact
+engine DuckDB's ``regexp_replace`` uses, so the SQL oracle reproduces
+the scrubbed bytes identically.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+
+from kenlm_ray.functions.hashing import hash_bytes_array
+from kenlm_ray.functions.tokenize import tokenize_column
+
+# placeholder tokens present in the deterministic synthetic corpus;
+# real deployments supply their own list
+DEFAULT_BLOCKLIST = ("slow", "stale", "broken")
+
+
+def toxicity_flags(
+    ds: "ray.data.Dataset",
+    blocklist: "tuple[str, ...] | list[str] | None" = None,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.05,
+) -> "ray.data.Dataset":
+    """Per-document blocklist statistics: ``n_tokens``, ``n_flagged``,
+    ``toxicity_score`` (= n_flagged/n_tokens, round 6) and ``is_toxic``
+    (score strictly above ``threshold``).  Token convention is the
+    engine-wide strict delimiter set.  Zero-token documents are dropped
+    (no defined score), matching the SQL oracle's GROUP BY over tokens.
+    """
+    words = list(blocklist if blocklist is not None else DEFAULT_BLOCKLIST)
+    bh = np.sort(hash_bytes_array(words))
+    bh_ref = ray.put(bh)
+
+    def flags(batch: pa.Table) -> pa.Table:
+        b = ray.get(bh_ref)
+        stream = tokenize_column(batch[text_col])
+        th = stream.hashes()
+        n = len(batch)
+        n_tokens = np.bincount(stream.doc_ids, minlength=n).astype(np.int64)
+        hit = np.zeros(n, dtype=np.int64)
+        if len(th):
+            idx = np.searchsorted(b, th)
+            m = (idx < len(b)) & (b[np.minimum(idx, len(b) - 1)] == th)
+            np.add.at(hit, stream.doc_ids[m], 1)
+        keep = n_tokens > 0
+        score = hit[keep] / n_tokens[keep]
+        kmask = pa.array(keep)
+        return pa.table(
+            {
+                id_col: batch[id_col].filter(kmask),
+                "n_tokens": pa.array(n_tokens[keep]),
+                "n_flagged": pa.array(hit[keep]),
+                "toxicity_score": pa.array(np.round(score, 6)),
+                "is_toxic": pa.array(score > threshold),
+            }
+        )
+
+    return ds.map_batches(flags, batch_format="pyarrow")
+
+
+def blocklist_pattern(words: "list[str] | tuple[str, ...]") -> str:
+    r"""``\b(?:w1|w2|...)\b`` alternation over the escaped words — valid
+    in both Arrow's and DuckDB's RE2, so oracle output is byte-equal."""
+    return r"\b(?:" + "|".join(re.escape(w) for w in words) + r")\b"
+
+
+def toxicity_scrub(
+    ds: "ray.data.Dataset",
+    blocklist: "tuple[str, ...] | list[str] | None" = None,
+    *,
+    text_col: str = "text",
+    replacement: str = "<TOX>",
+    out_col: str = "text_scrubbed",
+) -> "ray.data.Dataset":
+    """Masks blocklisted words in place (word-boundary RE2 semantics —
+    deliberately wider than the delimiter tokenizer so punctuation-bound
+    occurrences are caught too).  Pure map, zero shuffles."""
+    words = list(blocklist if blocklist is not None else DEFAULT_BLOCKLIST)
+    pattern = blocklist_pattern(words)
+
+    def scrub(batch: pa.Table) -> pa.Table:
+        col = batch[text_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        out = pc.replace_substring_regex(
+            col, pattern=pattern, replacement=replacement
+        )
+        return batch.append_column(out_col, out)
+
+    return ds.map_batches(scrub, batch_format="pyarrow")

@@ -1,0 +1,110 @@
+"""Word-list toxicity flagging / masking (stages/toxicity.py)."""
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+
+import ray.data
+
+from kenlm_ray.stages.toxicity import (
+    DEFAULT_BLOCKLIST,
+    blocklist_pattern,
+    toxicity_flags,
+    toxicity_scrub,
+)
+
+
+def _docs():
+    texts = [
+        "slow code is slow and stale",          # 3/6 flagged
+        "fast clean code here",                  # 0/4
+        "broken",                                # 1/1
+        "slowly but surely",                     # 0/3 (no substring match)
+        "",                                      # zero tokens -> dropped
+        "punctuated slow, edge",                 # 'slow,' is NOT a token hit
+    ]
+    return pa.table(
+        {
+            "doc_id": pa.array(np.arange(len(texts), dtype=np.int64)),
+            "text": pa.array(texts),
+        }
+    )
+
+
+def test_flags_match_oracle(ray_session):
+    tbl = _docs()
+    got = (
+        toxicity_flags(ray.data.from_arrow(tbl), threshold=0.05)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("documents", tbl)
+    want = con.execute(
+        r"""
+        WITH toks AS (
+            SELECT doc_id, unnest(list_filter(
+                string_split_regex(text, '[\t\n\r ]+'), x -> x <> ''
+            )) AS tok FROM documents
+        ),
+        d AS (
+            SELECT doc_id, count(*)::BIGINT AS n_tokens,
+                   (count(*) FILTER (
+                       WHERE tok IN ('slow','stale','broken'))
+                   )::BIGINT AS n_flagged
+            FROM toks GROUP BY doc_id
+        )
+        SELECT doc_id, n_tokens, n_flagged,
+               round(n_flagged / n_tokens::DOUBLE, 6) AS toxicity_score,
+               (n_flagged / n_tokens::DOUBLE) > 0.05 AS is_toxic
+        FROM d ORDER BY doc_id
+        """
+    ).df()
+    assert got["doc_id"].tolist() == want["doc_id"].tolist() == [0, 1, 2, 3, 5]
+    for c in ("n_tokens", "n_flagged", "is_toxic"):
+        assert got[c].tolist() == want[c].tolist(), c
+    np.testing.assert_allclose(got["toxicity_score"], want["toxicity_score"])
+    assert got.set_index("doc_id")["is_toxic"].to_dict() == {
+        0: True, 1: False, 2: True, 3: False, 5: False
+    }
+
+
+def test_scrub_masks_word_boundaries(ray_session):
+    tbl = _docs()
+    got = (
+        toxicity_scrub(ray.data.from_arrow(tbl))
+        .to_pandas()
+        .sort_values("doc_id")["text_scrubbed"]
+        .tolist()
+    )
+    assert got[0] == "<TOX> code is <TOX> and <TOX>"
+    assert got[3] == "slowly but surely"          # \b blocks substring hits
+    assert got[5] == "punctuated <TOX>, edge"     # \b catches punctuation-bound
+    # oracle parity: same RE2 pattern through DuckDB
+    con = duckdb.connect()
+    con.register("documents", tbl)
+    want = con.execute(
+        "SELECT regexp_replace(text, ?, '<TOX>', 'g') FROM documents "
+        "ORDER BY doc_id",
+        [blocklist_pattern(DEFAULT_BLOCKLIST)],
+    ).fetchall()
+    assert got == [w[0] for w in want]
+
+
+def test_pipeline_toxicity_option(ray_session):
+    from kenlm_ray.pipelines.quality_filter import (
+        build_quality_pipeline,
+        corpus_from_documents,
+    )
+
+    ds = corpus_from_documents("/root/testdata/sf0.001")
+    out = build_quality_pipeline(
+        ds, toxicity_blocklist=list(DEFAULT_BLOCKLIST)
+    ).to_pandas()
+    assert {"toxicity_score", "is_toxic"} <= set(out.columns)
+    assert len(out) > 0
+    assert (out["toxicity_score"] >= 0).all()
+    # default flagship schema unchanged without the option
+    base = build_quality_pipeline(ds).to_pandas()
+    assert "toxicity_score" not in base.columns
