@@ -1621,6 +1621,21 @@ def _q_audio_near_dup_pairs(sf_dir):
     )
 
 
+def _q_doc_chunks(sf_dir):
+    """Sliding token-window chunking (long docs -> fixed-size LM rows,
+    window 64, stride 48; ops/packing.chunk_documents — pure map, flat
+    token buffer sliced with Arrow list offsets, chunk text rebuilt by
+    one binary_join)."""
+    import ray.data
+
+    from kenlm_ray.ops.packing import chunk_documents
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    return chunk_documents(ds, window=64, stride=48)
+
+
 def _q_toxicity_flags(sf_dir):
     """Word-list toxicity flags (C4/Gopher badwords mechanism over the
     placeholder blocklist): per-doc flagged-token stats + threshold flag
@@ -1755,6 +1770,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "retention_cohorts": _q_retention_cohorts,
         "toxicity_flags": _q_toxicity_flags,
         "toxicity_scrubbed": _q_toxicity_scrubbed,
+        "doc_chunks": _q_doc_chunks,
         # rows-only checks (stateful / model-driven, not SQL-expressible)
         "quality_filter_flagship": _q_quality_filter,
         "repo_quality_stats": _q_repo_stats,
@@ -2621,6 +2637,31 @@ def oracle_sql() -> dict[str, str]:
             SELECT dev.doc_id, dev.lang, dev.n_chars,
                    dev.ad > 3.0 * mad.s AS is_outlier
             FROM dev JOIN mad USING (lang)
+        """,
+        "doc_chunks": r"""
+            WITH t AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(text, '[\t\n\r ]+'),
+                                   x -> x <> '') AS toks
+                FROM documents
+            ),
+            c AS (
+                SELECT doc_id, toks, len(toks) AS n
+                FROM t WHERE len(toks) > 0
+            ),
+            idx AS (
+                SELECT doc_id, toks, n,
+                       unnest(range(0, CASE WHEN n <= 64 THEN 1
+                           ELSE (n - 64 + 48 - 1) // 48 + 1 END)) AS ci
+                FROM c
+            )
+            SELECT doc_id,
+                   ci                                    AS chunk_idx,
+                   (least(ci*48 + 64, n) - ci*48)::BIGINT AS n_chunk_tokens,
+                   array_to_string(
+                       list_slice(toks, ci*48 + 1, least(ci*48 + 64, n)), ' '
+                   ) AS chunk_text
+            FROM idx
         """,
         "toxicity_flags": r"""
             WITH toks AS (

@@ -180,6 +180,8 @@ def run_queries() -> dict[str, float]:
         "normalized_dedup_groups",
         "dup_span_stats",
         "benchmark_contamination",
+        "soft_dedup_weights",
+        "toxicity_scrubbed",
         "ppl_score",
         "langid",
     ]

@@ -76,3 +76,88 @@ def pack_sequences(
         )
 
     return ds.map_batches(pack, batch_format="pyarrow")
+
+
+def chunk_documents(
+    ds: "ray.data.Dataset",
+    window: int,
+    stride: "int | None" = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> "ray.data.Dataset":
+    """Split each document into sliding token windows — the dual of
+    `pack_sequences` (long docs -> fixed-size LM training rows, short
+    docs pass through as one chunk).
+
+    Chunk c covers tokens [c*stride, min(c*stride + window, n)); the
+    last chunk is the first that reaches the document's end, so every
+    token appears in >= 1 chunk and chunk count is
+    ``1 if n <= window else ceil((n - window)/stride) + 1``.
+    ``stride`` defaults to ``window`` (non-overlapping).
+
+    Output: id_col, chunk_idx, n_chunk_tokens, chunk_text (the window's
+    tokens joined with a single space — a DEFINED renormalization, not
+    the original bytes, so the operator is whitespace-canonicalizing
+    like the SQL oracle's array_to_string).  Zero-token docs are
+    dropped.  Pure map: chunks never span batches (docs do not), no
+    shuffle, and the flat token buffer is sliced with Arrow list
+    offsets — no per-token Python.
+    """
+    if stride is None:
+        stride = window
+    if window <= 0 or stride <= 0 or stride > window:
+        raise ValueError("need 0 < stride <= window")
+
+    def chunk(batch: pa.Table) -> pa.Table:
+        stream = tokenize_column(batch[text_col])
+        toks = stream.to_arrow()
+        nrows = len(batch)
+        nt = np.bincount(stream.doc_ids, minlength=nrows).astype(np.int64)
+        doc_start = np.concatenate([[0], np.cumsum(nt)])[:-1]
+        has = nt > 0
+        # chunk counts per doc
+        nchunks = np.where(
+            nt <= window, 1, (nt - window + stride - 1) // stride + 1
+        )
+        nchunks = np.where(has, nchunks, 0)
+        total = int(nchunks.sum())
+        if total == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([], type=batch[id_col].type),
+                    "chunk_idx": pa.array([], type=pa.int64()),
+                    "n_chunk_tokens": pa.array([], type=pa.int64()),
+                    "chunk_text": pa.array([], type=pa.string()),
+                }
+            )
+        doc_of = np.repeat(np.arange(nrows), nchunks)
+        # chunk ordinal within its doc
+        first = np.concatenate([[0], np.cumsum(nchunks)])[:-1]
+        ci = np.arange(total) - first[doc_of]
+        s = ci * stride
+        e = np.minimum(s + window, nt[doc_of])
+        lens = e - s
+        # gather token indices per chunk: flat ragged index build
+        flat_off = np.concatenate([[0], np.cumsum(lens)]).astype(np.int64)
+        idx = (
+            np.repeat(doc_start[doc_of] + s, lens)
+            + np.arange(flat_off[-1])
+            - np.repeat(flat_off[:-1], lens)
+        )
+        chunk_toks = toks.take(pa.array(idx, type=pa.int64()))
+        import pyarrow.compute as pc
+
+        lists = pa.LargeListArray.from_arrays(
+            pa.array(flat_off, type=pa.int64()), chunk_toks
+        )
+        texts = pc.binary_join(lists, " ")
+        return pa.table(
+            {
+                id_col: batch[id_col].take(pa.array(doc_of)),
+                "chunk_idx": pa.array(ci),
+                "n_chunk_tokens": pa.array(lens),
+                "chunk_text": texts,
+            }
+        )
+
+    return ds.map_batches(chunk, batch_format="pyarrow")

@@ -74,3 +74,57 @@ def test_pack_sequences_ids_unique_across_blocks(ray_session):
     # example ids never repeat across blocks: every example's member
     # set is disjoint and ids are positive int64 (no wraparound)
     assert (out["example_id"] > 0).all()
+
+
+def test_chunk_documents_edges(ray_session):
+    import pyarrow as pa
+
+    import ray.data
+
+    from kenlm_ray.ops.packing import chunk_documents
+
+    texts = [
+        " ".join(f"t{i}" for i in range(10)),   # n=10, window 4 stride 2 -> 4 chunks
+        "one two three",                          # n=3 <= window -> 1 chunk
+        "solo",                                   # 1 token
+        "",                                       # dropped
+        " ".join(f"u{i}" for i in range(5)),     # n=5 -> chunks at 0,2: [0:4],[2:5]? no: starts 0,2 -> last start with s+4>=5 is 2 -> 2 chunks? ceil((5-4)/2)+1 = 2
+    ]
+    tbl = pa.table({"doc_id": pa.array(range(len(texts)), type=pa.int64()),
+                    "text": pa.array(texts)})
+    out = (
+        chunk_documents(ray.data.from_arrow(tbl), window=4, stride=2)
+        .to_pandas()
+        .sort_values(["doc_id", "chunk_idx"])
+        .reset_index(drop=True)
+    )
+    # doc 0: starts 0,2,4,6 (6+4>=10) -> 4 chunks
+    d0 = out[out.doc_id == 0]
+    assert list(d0["chunk_idx"]) == [0, 1, 2, 3]
+    assert list(d0["n_chunk_tokens"]) == [4, 4, 4, 4]
+    assert d0["chunk_text"].iloc[0] == "t0 t1 t2 t3"
+    assert d0["chunk_text"].iloc[3] == "t6 t7 t8 t9"
+    assert list(out[out.doc_id == 1]["chunk_text"]) == ["one two three"]
+    assert list(out[out.doc_id == 2]["chunk_text"]) == ["solo"]
+    assert 3 not in set(out["doc_id"])
+    d4 = out[out.doc_id == 4]
+    assert list(d4["n_chunk_tokens"]) == [4, 3]
+    assert d4["chunk_text"].iloc[1] == "u2 u3 u4"
+    # every token covered: union of chunk tokens == doc tokens
+    import numpy as np
+
+    covered = set()
+    for _, r in d0.iterrows():
+        covered.update(r["chunk_text"].split())
+    assert covered == {f"t{i}" for i in range(10)}
+
+
+def test_chunk_documents_validation(ray_session):
+    import pytest
+
+    from kenlm_ray.ops.packing import chunk_documents
+
+    with pytest.raises(ValueError):
+        chunk_documents(None, window=4, stride=5)
+    with pytest.raises(ValueError):
+        chunk_documents(None, window=0)
