@@ -1621,6 +1621,20 @@ def _q_audio_near_dup_pairs(sf_dir):
     )
 
 
+def _q_zipf_slopes(sf_dir):
+    """Per-language Zipf rank-frequency slope (corpus-quality profile;
+    ops/text.zipf_slopes — vocab-sized hash shuffle, then a tiny
+    (lang, count, multiplicity) histogram; tie-invariant OLS)."""
+    import ray.data
+
+    from kenlm_ray.ops.text import zipf_slopes
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["lang", "text"]
+    )
+    return zipf_slopes(ds)
+
+
 def _q_doc_chunks(sf_dir):
     """Sliding token-window chunking (long docs -> fixed-size LM rows,
     window 64, stride 48; ops/packing.chunk_documents — pure map, flat
@@ -1771,6 +1785,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "toxicity_flags": _q_toxicity_flags,
         "toxicity_scrubbed": _q_toxicity_scrubbed,
         "doc_chunks": _q_doc_chunks,
+        "zipf_slopes": _q_zipf_slopes,
         # rows-only checks (stateful / model-driven, not SQL-expressible)
         "quality_filter_flagship": _q_quality_filter,
         "repo_quality_stats": _q_repo_stats,
@@ -2637,6 +2652,32 @@ def oracle_sql() -> dict[str, str]:
             SELECT dev.doc_id, dev.lang, dev.n_chars,
                    dev.ad > 3.0 * mad.s AS is_outlier
             FROM dev JOIN mad USING (lang)
+        """,
+        "zipf_slopes": r"""
+            WITH toks AS (
+                SELECT lang,
+                       unnest(list_filter(
+                           string_split_regex(text, '[\t\n\r ]+'),
+                           x -> x <> ''
+                       )) AS tok
+                FROM documents
+            ),
+            cnt AS (
+                SELECT lang, tok, count(*)::DOUBLE AS c
+                FROM toks GROUP BY lang, tok
+            ),
+            r AS (
+                SELECT lang, c,
+                       row_number() OVER (
+                           PARTITION BY lang ORDER BY c DESC, tok
+                       ) AS rk
+                FROM cnt
+            )
+            SELECT lang,
+                   count(*)::BIGINT        AS n_types,
+                   sum(c)::BIGINT          AS n_tokens,
+                   round(regr_slope(ln(c), ln(rk)), 6) AS zipf_slope
+            FROM r GROUP BY lang
         """,
         "doc_chunks": r"""
             WITH t AS (

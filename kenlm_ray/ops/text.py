@@ -335,3 +335,111 @@ def unigram_entropy(
         )
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def zipf_slopes(
+    ds: "ray.data.Dataset",
+    *,
+    text_col: str = "text",
+    group_col: str = "lang",
+    round_to: int = 6,
+):
+    """Per-group Zipf rank-frequency slope: the OLS slope of ln(count)
+    on ln(rank) over the group's unigram distribution — a corpus-quality
+    profile (natural text sits near -1; templated/machine-generated text
+    deviates sharply).
+
+    Tie-invariant by construction: tokens sharing a count occupy a
+    CONSECUTIVE rank range, so the OLS sums depend only on the
+    (count, multiplicity) histogram, never on which token got which
+    rank — the SQL oracle's row_number() tie-break therefore cannot
+    change the answer.
+
+    Distributed shape: per-batch (group, token-hash) partial counts →
+    one vocab-sized hash shuffle → a SECOND aggregate down to the
+    (group, count, multiplicity) histogram (distinct count VALUES per
+    group — Zipfian data keeps this ~sqrt(corpus), tiny).  The driver
+    reduce enumerates each group's rank logs vectorized (one float64
+    log per vocab type — same driver budget class as `build_vocab`,
+    which holds the vocab in RAM; an Euler–Maclaurin closed form for
+    Σln²r would drop even that if 10^9-type vocabs ever need it).
+
+    Returns a pandas DataFrame (group_col, n_types, n_tokens,
+    zipf_slope).  Groups with < 2 distinct ranks get a null slope.
+    """
+    import pandas as pd
+
+    from kenlm_ray.functions.tokenize import tokenize_column
+
+    def partial(batch: pa.Table) -> pa.Table:
+        stream = tokenize_column(batch[text_col])
+        h = stream.hashes().view(np.int64)
+        if len(h) == 0:
+            return pa.table(
+                {
+                    group_col: pa.array([], type=batch[group_col].type),
+                    "h": pa.array([], type=pa.int64()),
+                    "c": pa.array([], type=pa.int64()),
+                }
+            )
+        # group label per token via doc ids
+        gcodes, guniq = batch[group_col].combine_chunks().dictionary_encode(
+        ).indices.to_numpy(zero_copy_only=False), batch[
+            group_col
+        ].combine_chunks().dictionary_encode().dictionary
+        gt = gcodes[stream.doc_ids].astype(np.int64)
+        key = np.stack([gt, h], axis=1)
+        uniq, cnt = np.unique(key, axis=0, return_counts=True)
+        return pa.table(
+            {
+                group_col: guniq.take(pa.array(uniq[:, 0])),
+                "h": pa.array(uniq[:, 1]),
+                "c": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    counts = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby([group_col, "h"])
+        .aggregate(Sum("c", alias_name="count"))
+    )
+
+    def hist(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                group_col: batch[group_col],
+                "c": batch["count"],
+                "m": pa.array(np.ones(len(batch), dtype=np.int64)),
+            }
+        )
+        return t.group_by([group_col, "c"]).aggregate([("m", "sum")])
+
+    histo = (
+        counts.map_batches(hist, batch_format="pyarrow")
+        .groupby([group_col, "c"])
+        .aggregate(Sum("m_sum", alias_name="m"))
+        .to_pandas()
+    )
+
+    rows = []
+    for g, grp in histo.groupby(group_col, sort=True):
+        grp = grp.sort_values("c", ascending=False)
+        c = grp["c"].to_numpy(dtype=np.float64)
+        m = grp["m"].to_numpy(dtype=np.int64)
+        n = int(m.sum())
+        n_tokens = int((c * m).sum())
+        # vectorized rank-log enumeration: ranks 1..n in count order
+        x = np.log(np.arange(1, n + 1, dtype=np.float64))
+        y = np.repeat(np.log(c), m)
+        if n >= 2 and np.ptp(x) > 0:
+            Sx, Sy = x.sum(), y.sum()
+            slope = (n * np.dot(x, y) - Sx * Sy) / (
+                n * np.dot(x, x) - Sx * Sx
+            )
+            slope = round(float(slope), round_to)
+        else:
+            slope = None
+        rows.append((g, n, n_tokens, slope))
+    return pd.DataFrame(
+        rows, columns=[group_col, "n_types", "n_tokens", "zipf_slope"]
+    )

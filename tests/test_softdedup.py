@@ -127,3 +127,48 @@ def test_retention_cohorts_matches_pandas(ray_session):
     # day-0 row of each cohort counts every cohort member exactly once
     d0 = got[got["day_offset"] == 0]["n_users"].sum()
     assert d0 == firsts.size
+
+
+def test_zipf_slopes_tie_invariance_and_degenerates(ray_session):
+    """Zipf slope: matches oracle regardless of tie order; degenerate
+    groups (single token / single rank) get null."""
+    import duckdb
+
+    from kenlm_ray.ops.text import zipf_slopes
+
+    texts = [
+        "a a a a b b c c d e f g",   # en: heavy ties
+        "x",                           # solo: 1 type -> null slope
+        "p q",                         # pq: 2 types, counts tie -> ranks 1,2
+    ]
+    langs = ["en", "solo", "pq"]
+    tbl = pa.table({"lang": pa.array(langs), "text": pa.array(texts)})
+    got = zipf_slopes(ray.data.from_arrow(tbl)).set_index("lang")
+    con = duckdb.connect()
+    con.register("documents", tbl)
+    want = con.execute(
+        r"""
+        WITH toks AS (SELECT lang, unnest(list_filter(
+            string_split_regex(text, '[\t\n\r ]+'), x -> x <> '')) AS tok
+            FROM documents),
+        cnt AS (SELECT lang, tok, count(*)::DOUBLE c FROM toks GROUP BY 1, 2),
+        r AS (SELECT lang, c, row_number() OVER (
+            PARTITION BY lang ORDER BY c DESC, tok) rk FROM cnt)
+        SELECT lang, count(*)::BIGINT n_types, sum(c)::BIGINT n_tokens,
+               round(regr_slope(ln(c), ln(rk)), 6) AS zipf_slope
+        FROM r GROUP BY lang
+        """
+    ).df().set_index("lang")
+    for lang in langs:
+        assert got.loc[lang, "n_types"] == want.loc[lang, "n_types"]
+        assert got.loc[lang, "n_tokens"] == want.loc[lang, "n_tokens"]
+        gs, ws = got.loc[lang, "zipf_slope"], want.loc[lang, "zipf_slope"]
+        if gs is None or (isinstance(gs, float) and np.isnan(gs)):
+            assert ws is None or np.isnan(ws)
+        else:
+            assert abs(gs - ws) < 2e-6
+    assert got.loc["solo", "zipf_slope"] is None or np.isnan(
+        got.loc["solo", "zipf_slope"]
+    )
+    # all-tied counts in 'pq' -> slope 0 (flat), not null
+    assert abs(got.loc["pq", "zipf_slope"]) < 1e-9
