@@ -1621,6 +1621,20 @@ def _q_audio_near_dup_pairs(sf_dir):
     )
 
 
+def _q_vocab_coverage(sf_dir):
+    """Per-language coverage of the global top-20 vocabulary
+    (ops/text.vocab_coverage — one unigram shuffle, vocab cut broadcast,
+    pure-map grouped tally)."""
+    import ray.data
+
+    from kenlm_ray.ops.text import vocab_coverage
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["lang", "text"]
+    )
+    return vocab_coverage(ds, 20)
+
+
 def _q_zipf_slopes(sf_dir):
     """Per-language Zipf rank-frequency slope (corpus-quality profile;
     ops/text.zipf_slopes — vocab-sized hash shuffle, then a tiny
@@ -1786,6 +1800,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "toxicity_scrubbed": _q_toxicity_scrubbed,
         "doc_chunks": _q_doc_chunks,
         "zipf_slopes": _q_zipf_slopes,
+        "vocab_coverage": _q_vocab_coverage,
         # rows-only checks (stateful / model-driven, not SQL-expressible)
         "quality_filter_flagship": _q_quality_filter,
         "repo_quality_stats": _q_repo_stats,
@@ -2652,6 +2667,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT dev.doc_id, dev.lang, dev.n_chars,
                    dev.ad > 3.0 * mad.s AS is_outlier
             FROM dev JOIN mad USING (lang)
+        """,
+        "vocab_coverage": r"""
+            WITH toks AS (
+                SELECT lang,
+                       unnest(list_filter(
+                           string_split_regex(text, '[\t\n\r ]+'),
+                           x -> x <> ''
+                       )) AS tok
+                FROM documents
+            ),
+            cnt AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+            top AS (
+                SELECT tok FROM cnt
+                ORDER BY c DESC, tok LIMIT 20
+            )
+            SELECT lang,
+                   (count(*) FILTER (WHERE tok IN (SELECT tok FROM top))
+                   )::BIGINT AS n_in_vocab,
+                   count(*)::BIGINT AS n_tokens,
+                   round((count(*) FILTER (
+                       WHERE tok IN (SELECT tok FROM top))
+                   ) / count(*)::DOUBLE, 6) AS coverage
+            FROM toks GROUP BY lang
         """,
         "zipf_slopes": r"""
             WITH toks AS (

@@ -443,3 +443,82 @@ def zipf_slopes(
     return pd.DataFrame(
         rows, columns=[group_col, "n_types", "n_tokens", "zipf_slope"]
     )
+
+
+def vocab_coverage(
+    ds: "ray.data.Dataset",
+    vocab_size: int,
+    *,
+    text_col: str = "text",
+    group_col: str = "lang",
+    round_to: int = 6,
+) -> "ray.data.Dataset":
+    """Per-group OOV profile against the global top-``vocab_size``
+    vocabulary (count desc, ties by token string — the
+    `vocab_filter_docs` convention): token instances in/out of vocab
+    and the coverage rate.  The tokenizer-vocabulary sizing question
+    every multilingual corpus asks ("which languages does a 32k vocab
+    shortchange?").
+
+    Shape: one distributed unigram count (vocab-sized shuffle), driver
+    sort of the vocab-sized table for the cut, top-K hash array
+    broadcast once, then a pure-map per-group aggregate (in-batch
+    combine → tiny (group, 2×int64) final groupby)."""
+    import ray as _ray
+
+    from kenlm_ray.functions.hashing import hash_bytes_array
+    from kenlm_ray.functions.tokenize import tokenize_column
+
+    vocab_tbl = (
+        ngram_counts(ds, 1, text_col)
+        .to_pandas()
+        .sort_values(["count", "w1"], ascending=[False, True], kind="mergesort")
+    )
+    top = np.sort(hash_bytes_array(list(vocab_tbl.head(vocab_size)["w1"])))
+    ref = _ray.put(top)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = _ray.get(ref)
+        stream = tokenize_column(batch[text_col])
+        th = stream.hashes()
+        gcol = batch[group_col].combine_chunks()
+        if len(th) == 0:
+            return pa.table(
+                {
+                    group_col: pa.array([], type=gcol.type),
+                    "n_in": pa.array([], type=pa.int64()),
+                    "n_tokens": pa.array([], type=pa.int64()),
+                }
+            )
+        idx = np.searchsorted(v, th)
+        inv = (idx < len(v)) & (v[np.minimum(idx, len(v) - 1)] == th)
+        enc = gcol.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False)
+        gt = codes[stream.doc_ids]
+        k = len(enc.dictionary)
+        n_tok = np.bincount(gt, minlength=k)
+        n_in = np.bincount(gt[inv], minlength=k)
+        return pa.table(
+            {
+                group_col: enc.dictionary,
+                "n_in": pa.array(n_in.astype(np.int64)),
+                "n_tokens": pa.array(n_tok.astype(np.int64)),
+            }
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(group_col)
+        .aggregate(
+            Sum("n_in", alias_name="n_in_vocab"),
+            Sum("n_tokens", alias_name="n_tokens"),
+        )
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        ni = batch["n_in_vocab"].to_numpy(zero_copy_only=False).astype(np.float64)
+        nt = batch["n_tokens"].to_numpy(zero_copy_only=False).astype(np.float64)
+        cov = np.round(ni / np.maximum(nt, 1), round_to)
+        return batch.append_column("coverage", pa.array(cov))
+
+    return agg.map_batches(finish, batch_format="pyarrow")
