@@ -383,10 +383,9 @@ def zipf_slopes(
                 }
             )
         # group label per token via doc ids
-        gcodes, guniq = batch[group_col].combine_chunks().dictionary_encode(
-        ).indices.to_numpy(zero_copy_only=False), batch[
-            group_col
-        ].combine_chunks().dictionary_encode().dictionary
+        enc = batch[group_col].combine_chunks().dictionary_encode()
+        gcodes = enc.indices.to_numpy(zero_copy_only=False)
+        guniq = enc.dictionary
         gt = gcodes[stream.doc_ids].astype(np.int64)
         key = np.stack([gt, h], axis=1)
         uniq, cnt = np.unique(key, axis=0, return_counts=True)
