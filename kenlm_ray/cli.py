@@ -613,6 +613,45 @@ def cmd_dedup(args) -> int:
     return 0
 
 
+def cmd_convert(args) -> int:
+    """Convert a corpus between parquet and jsonl(.gz) shards — the
+    interchange step between web-corpus dumps and the engine's native
+    parquet (sources/jsonl.py: magic-sniffed decompression one way,
+    content-addressed resumable shards the other)."""
+    _ray_init()
+    import ray.data
+
+    cols = args.columns.split(",") if args.columns else None
+    if args.to == "parquet":
+        from kenlm_ray.sources.jsonl import read_jsonl
+
+        import glob as _glob
+        import os as _os
+
+        paths = (
+            sorted(
+                p
+                for p in _glob.glob(_os.path.join(args.src, "*"))
+                if ".jsonl" in _os.path.basename(p)
+            )
+            if _os.path.isdir(args.src)
+            else [args.src]
+        )
+        if not paths:
+            raise SystemExit(f"no .jsonl shards under {args.src}")
+        read_jsonl(paths, columns=cols).write_parquet(args.out)
+    else:
+        from kenlm_ray.sources.jsonl import write_jsonl
+
+        ds = ray.data.read_parquet(args.src, columns=cols)
+        man = write_jsonl(
+            ds, args.out, compression=None if args.plain else "gzip"
+        )
+        print(f"{len(man)} shards, {sum(m['rows'] for m in man)} rows")
+    print(f"convert -> {args.out}")
+    return 0
+
+
 def cmd_count(args) -> int:
     """Count n-grams of a parquet corpus (count_ngrams_main analog);
     writes the reference's raw count-file format or parquet."""
@@ -1006,6 +1045,19 @@ def main(argv=None) -> int:
         "--format", default="countfile", choices=["countfile", "parquet"]
     )
     sc.set_defaults(fn=cmd_count)
+
+    sV = sub.add_parser("convert")
+    sV.add_argument("src")
+    sV.add_argument("out")
+    sV.add_argument("--to", default="parquet", choices=["parquet", "jsonl"])
+    sV.add_argument(
+        "--columns", default=None, help="comma-separated column projection"
+    )
+    sV.add_argument(
+        "--plain", action="store_true",
+        help="write uncompressed .jsonl (default gzip)",
+    )
+    sV.set_defaults(fn=cmd_convert)
 
     sS = sub.add_parser("sample")
     sS.add_argument("corpus")

@@ -78,3 +78,34 @@ def test_jsonl_feeds_operators(ray_session, tmp_path):
     got = token_stats(read_jsonl(p)).to_pandas()
     assert len(got) == 30
     assert (got["n_tokens"] == 5).all()  # "doc {i} body with tokens"
+
+
+def test_cli_convert_roundtrip(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from kenlm_ray.cli import main
+
+    src = os.path.join(tmp_path, "pq_src")
+    os.makedirs(src)
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(np.arange(20, dtype=np.int64)),
+            "text": pa.array([f"line {i}" for i in range(20)]),
+            "lang": pa.array(["en"] * 20),
+        }
+    )
+    pq.write_table(tbl, os.path.join(src, "part.parquet"))
+    jdir = os.path.join(tmp_path, "jsonl_out")
+    assert main(["convert", src, jdir, "--to", "jsonl"]) == 0
+    assert all(p.endswith(".jsonl.gz") for p in os.listdir(jdir))
+    back_dir = os.path.join(tmp_path, "pq_back")
+    assert main([
+        "convert", jdir, back_dir, "--to", "parquet",
+        "--columns", "doc_id,text",
+    ]) == 0
+    back = (
+        pq.read_table(back_dir).to_pandas().sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert list(back.columns) == ["doc_id", "text"]
+    assert back["text"].tolist() == [f"line {i}" for i in range(20)]
