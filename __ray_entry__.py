@@ -1621,6 +1621,20 @@ def _q_audio_near_dup_pairs(sf_dir):
     )
 
 
+def _q_lang_source_mi(sf_dir):
+    """Exact mutual information between lang and source (corpus
+    composition audit; ops/analytics.mutual_information — only
+    joint-histogram cells shuffle)."""
+    import ray.data
+
+    from kenlm_ray.ops.analytics import mutual_information
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["lang", "source"]
+    )
+    return mutual_information(ds, "lang", "source")
+
+
 def _q_vocab_coverage(sf_dir):
     """Per-language coverage of the global top-20 vocabulary
     (ops/text.vocab_coverage — one unigram shuffle, vocab cut broadcast,
@@ -1801,6 +1815,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_chunks": _q_doc_chunks,
         "zipf_slopes": _q_zipf_slopes,
         "vocab_coverage": _q_vocab_coverage,
+        "lang_source_mi": _q_lang_source_mi,
         # rows-only checks (stateful / model-driven, not SQL-expressible)
         "quality_filter_flagship": _q_quality_filter,
         "repo_quality_stats": _q_repo_stats,
@@ -2667,6 +2682,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT dev.doc_id, dev.lang, dev.n_chars,
                    dev.ad > 3.0 * mad.s AS is_outlier
             FROM dev JOIN mad USING (lang)
+        """,
+        "lang_source_mi": r"""
+            WITH j AS (
+                SELECT lang, source, count(*)::DOUBLE AS c
+                FROM documents GROUP BY 1, 2
+            ),
+            tot AS (SELECT sum(c) AS n FROM j),
+            a AS (SELECT lang, sum(c) AS ca FROM j GROUP BY lang),
+            b AS (SELECT source, sum(c) AS cb FROM j GROUP BY source)
+            SELECT round(sum((j.c / tot.n)
+                       * ln(j.c * tot.n / (a.ca * b.cb))), 6)
+                       AS mutual_information,
+                   tot.n::BIGINT AS n_rows
+            FROM j
+            JOIN a USING (lang) JOIN b USING (source)
+            CROSS JOIN tot
+            GROUP BY tot.n
         """,
         "vocab_coverage": r"""
             WITH toks AS (

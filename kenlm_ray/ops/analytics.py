@@ -1239,3 +1239,50 @@ def lang_length_histogram(
         .groupby(["lang", "bin"])
         .aggregate(Sum("n_partial_sum", alias_name="n"))
     )
+
+
+def mutual_information(
+    ds: "ray.data.Dataset",
+    col_a: str,
+    col_b: str,
+    *,
+    round_to: int = 6,
+):
+    """Exact mutual information (nats) between two categorical columns —
+    the corpus-composition audit ("how much does source predict
+    language?"); 0 = independent partitions, ln(k) = one determines the
+    other.
+
+    Shape: per-batch joint-count partial combine → one tiny
+    (|A|×|B|)-cell grouped sum → closed-form driver reduce.  The data
+    itself never shuffles, only joint-histogram cells.  Returns a
+    1-row pandas DataFrame (mutual_information, n_rows)."""
+    import pandas as pd
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                col_a: batch[col_a],
+                col_b: batch[col_b],
+                "c": pa.array(np.ones(len(batch), dtype=np.int64)),
+            }
+        )
+        return t.group_by([col_a, col_b]).aggregate([("c", "sum")])
+
+    cells = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby([col_a, col_b])
+        .aggregate(Sum("c_sum", alias_name="c"))
+        .to_pandas()
+    )
+    c = cells["c"].to_numpy(dtype=np.float64)
+    n = c.sum()
+    ca = cells.groupby(col_a)["c"].transform("sum").to_numpy(dtype=np.float64)
+    cb = cells.groupby(col_b)["c"].transform("sum").to_numpy(dtype=np.float64)
+    mi = float(np.sum((c / n) * np.log(c * n / (ca * cb)))) if n > 0 else 0.0
+    return pd.DataFrame(
+        {
+            "mutual_information": [round(mi, round_to)],
+            "n_rows": [np.int64(n)],
+        }
+    )
