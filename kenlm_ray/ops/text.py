@@ -515,9 +515,13 @@ def vocab_coverage(
     )
 
     def finish(batch: pa.Table) -> pa.Table:
+        nt_i = batch["n_tokens"].to_numpy(zero_copy_only=False)
+        # zero-token groups have no defined coverage (the oracle's
+        # GROUP BY over tokens never sees them)
+        batch = batch.filter(pa.array(nt_i > 0))
         ni = batch["n_in_vocab"].to_numpy(zero_copy_only=False).astype(np.float64)
         nt = batch["n_tokens"].to_numpy(zero_copy_only=False).astype(np.float64)
-        cov = np.round(ni / np.maximum(nt, 1), round_to)
+        cov = np.round(ni / nt, round_to)
         return batch.append_column("coverage", pa.array(cov))
 
     return agg.map_batches(finish, batch_format="pyarrow")

@@ -172,3 +172,45 @@ def test_zipf_slopes_tie_invariance_and_degenerates(ray_session):
     )
     # all-tied counts in 'pq' -> slope 0 (flat), not null
     assert abs(got.loc["pq", "zipf_slope"]) < 1e-9
+
+
+def test_vocab_coverage_matches_oracle(ray_session):
+    from kenlm_ray.ops.text import vocab_coverage
+
+    texts = [
+        "a a a b b c rare1",
+        "a b c c rare2 rare3",
+        "a a b",
+        "",
+    ]
+    langs = ["en", "de", "en", "zz"]
+    tbl = pa.table({"lang": pa.array(langs), "text": pa.array(texts)})
+    got = (
+        vocab_coverage(ray.data.from_arrow(tbl), 3)
+        .to_pandas()
+        .sort_values("lang")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("documents", tbl)
+    want = con.execute(
+        r"""
+        WITH toks AS (SELECT lang, unnest(list_filter(
+            string_split_regex(text, '[\t\n\r ]+'), x -> x <> '')) AS tok
+            FROM documents),
+        cnt AS (SELECT tok, count(*) c FROM toks GROUP BY tok),
+        top AS (SELECT tok FROM cnt ORDER BY c DESC, tok LIMIT 3)
+        SELECT lang,
+               (count(*) FILTER (WHERE tok IN (SELECT tok FROM top))
+               )::BIGINT AS n_in_vocab,
+               count(*)::BIGINT AS n_tokens,
+               round((count(*) FILTER (WHERE tok IN (SELECT tok FROM top))
+               ) / count(*)::DOUBLE, 6) AS coverage
+        FROM toks GROUP BY lang ORDER BY lang
+        """
+    ).df()
+    # zero-token lang never appears in either side
+    assert got["lang"].tolist() == want["lang"].tolist() == ["de", "en"]
+    for c in ("n_in_vocab", "n_tokens"):
+        assert got[c].tolist() == want[c].tolist()
+    np.testing.assert_allclose(got["coverage"], want["coverage"])
