@@ -1621,6 +1621,28 @@ def _q_audio_near_dup_pairs(sf_dir):
     )
 
 
+def _q_mixed_language_stats(sf_dir):
+    """Per-line langid aggregated per doc: majority language + line
+    consistency + mixed flag (stages/langid.MixedLangStats — one split +
+    one trigram-kernel pass per batch).  Rows-only (model-driven)."""
+    import ray.data
+
+    from kenlm_ray.stages.langid import MixedLangStats
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    return ds.map_batches(
+        MixedLangStats,
+        fn_constructor_kwargs={"text_col": "text"},
+        batch_format="pyarrow",
+        batch_size=512,
+        concurrency=(1, 4),
+    ).select_columns(
+        ["doc_id", "n_lines", "majority_lang", "lang_consistency", "is_mixed"]
+    )
+
+
 def _q_lang_source_mi(sf_dir):
     """Exact mutual information between lang and source (corpus
     composition audit; ops/analytics.mutual_information — only
@@ -1816,6 +1838,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zipf_slopes": _q_zipf_slopes,
         "vocab_coverage": _q_vocab_coverage,
         "lang_source_mi": _q_lang_source_mi,
+        "mixed_language_stats": _q_mixed_language_stats,
         # rows-only checks (stateful / model-driven, not SQL-expressible)
         "quality_filter_flagship": _q_quality_filter,
         "repo_quality_stats": _q_repo_stats,

@@ -204,3 +204,69 @@ class LangId:
         return batch.append_column(
             "langid", pa.array(labels, type=pa.string())
         ).append_column("langid_conf", pa.array(conf, type=pa.float32()))
+
+
+class MixedLangStats(LangId):
+    """Actor-pool stage: per-LINE language ID aggregated per document —
+    detects mixed-language documents (code files with prose comments in
+    another language, concatenated crawl fragments), a standard
+    curation signal fastText-based pipelines compute line-wise (CCNet
+    splits documents into paragraphs for exactly this reason).
+
+    Output columns: ``n_lines`` (non-empty), ``majority_lang``
+    (most-frequent line label, ties by LANGS order; "und" when no line
+    classifies), ``lang_consistency`` (majority fraction over
+    classified lines, 1.0 when none classify), ``is_mixed``
+    (consistency < ``min_consistency``).
+
+    Shape: one ``pc.split_pattern`` per batch (Arrow list offsets give
+    exact per-doc line boundaries), ONE shared `_scores` call over the
+    flat line array (the same bandwidth-dieted trigram kernel), then a
+    bincount-matrix majority — no per-line Python, no shuffle.
+    """
+
+    def __init__(self, text_col: str = "content", min_consistency: float = 0.8):
+        super().__init__(text_col)
+        self.min_consistency = min_consistency
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        col = batch[self.text_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        n = len(col)
+        lines = pc.split_pattern(col.fill_null(""), pattern="\n")
+        flat = lines.flatten()
+        off = lines.offsets.to_numpy(zero_copy_only=False)
+        line_doc = np.repeat(np.arange(n), np.diff(off))
+        # classify only non-blank lines
+        blank = pc.equal(pc.utf8_trim_whitespace(flat), "").to_numpy(
+            zero_copy_only=False
+        )
+        keep = ~blank
+        flat_k = flat.filter(pa.array(keep))
+        doc_k = line_doc[keep]
+        L = self.W.shape[0]
+        scores, nfeat = self._scores(flat_k)
+        best = np.argmax(scores, axis=1)
+        best = np.where(nfeat > 0, best, L)  # und bucket
+        # per-doc label histogram: n x (L+1) bincount matrix
+        hist = np.bincount(
+            doc_k * (L + 1) + best, minlength=n * (L + 1)
+        ).reshape(n, L + 1)
+        classified = hist[:, :L].sum(axis=1)
+        maj_idx = np.argmax(hist[:, :L], axis=1)
+        maj_cnt = hist[np.arange(n), maj_idx]
+        cons = np.where(classified > 0, maj_cnt / np.maximum(classified, 1), 1.0)
+        labels = np.array(LANGS, dtype=object)[maj_idx]
+        labels = np.where(classified > 0, labels, "und")
+        n_lines = np.bincount(doc_k, minlength=n).astype(np.int64)
+        return (
+            batch.append_column("n_lines", pa.array(n_lines))
+            .append_column("majority_lang", pa.array(labels, type=pa.string()))
+            .append_column(
+                "lang_consistency", pa.array(np.round(cons, 6))
+            )
+            .append_column("is_mixed", pa.array(cons < self.min_consistency))
+        )

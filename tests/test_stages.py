@@ -115,3 +115,45 @@ def test_exact_dedup_null_text(ray_session):
     ]
     out = exact_dedup(ray.data.from_items(docs)).to_pandas().sort_values("doc_id")
     assert list(out["doc_id"]) == [1, 3]
+
+
+def test_mixed_lang_stats(ray_session):
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data
+
+    from kenlm_ray.stages.langid import MixedLangStats, _SEED
+
+    en, fr = _SEED["en"], _SEED["fr"]
+    docs = [
+        "\n".join([en, en, en]),           # pure en
+        "\n".join([en, fr, en, fr]),       # mixed 50/50
+        "\n".join([en, en, en, fr]),       # mostly en
+        "",                                  # no lines classify
+        "\n\n  \n",                          # blank lines only
+    ]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(np.arange(len(docs), dtype=np.int64)),
+            "content": pa.array(docs),
+        }
+    )
+    out = (
+        ray.data.from_arrow(tbl)
+        .map_batches(MixedLangStats, batch_format="pyarrow", concurrency=1)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out.loc[0, "majority_lang"] == "en"
+    assert out.loc[0, "lang_consistency"] == 1.0
+    assert not out.loc[0, "is_mixed"]
+    assert out.loc[1, "lang_consistency"] == 0.5
+    assert out.loc[1, "is_mixed"]
+    assert out.loc[2, "majority_lang"] == "en"
+    assert out.loc[2, "lang_consistency"] == 0.75
+    assert out.loc[3, "majority_lang"] == "und"
+    assert out.loc[3, "lang_consistency"] == 1.0
+    assert out.loc[4, "majority_lang"] == "und"
+    assert not out.loc[4, "is_mixed"]
