@@ -121,8 +121,11 @@ def soft_dedup_weights(
             tot = np.zeros(n, dtype=np.float64)
             if len(th):
                 idx = np.searchsorted(hs_b, th)
-                # every corpus token is in the global table by construction
-                np.add.at(tot, stream.doc_ids, lnc_b[idx])
+                # every corpus token is in the global table by construction;
+                # weighted bincount, not add.at (unbuffered ufunc, ~10x slower)
+                tot = np.bincount(
+                    stream.doc_ids, weights=lnc_b[idx], minlength=n
+                )
             keep = n_tokens > 0
             mlf = tot[keep] / n_tokens[keep]
             w = np.exp(-alpha * mlf)

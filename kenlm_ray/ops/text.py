@@ -115,8 +115,7 @@ def vocab_filter_docs(
         idx = np.searchsorted(vh, th)
         in_vocab = (idx < len(vh)) & (vh[np.minimum(idx, len(vh) - 1)] == th)
         n = len(batch)
-        bad = np.zeros(n, dtype=np.int64)
-        np.add.at(bad, stream.doc_ids[~in_vocab], 1)
+        bad = np.bincount(stream.doc_ids[~in_vocab], minlength=n)
         has_tok = np.bincount(stream.doc_ids, minlength=n) > 0
         keep = (bad == 0) & has_tok
         return pa.table({id_col: batch[id_col].filter(pa.array(keep))})

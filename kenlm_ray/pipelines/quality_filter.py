@@ -197,7 +197,9 @@ def build_quality_pipeline(
             if len(th):
                 idx = np.searchsorted(b, th)
                 m = (idx < len(b)) & (b[np.minimum(idx, len(b) - 1)] == th)
-                np.add.at(hit, stream.doc_ids[m], 1)
+                hit = np.bincount(stream.doc_ids[m], minlength=n).astype(
+                    np.int64
+                )
             score = np.where(
                 valid & (n_tokens > 0), hit / np.maximum(n_tokens, 1), 0.0
             )

@@ -69,7 +69,7 @@ def toxicity_flags(
         if len(th):
             idx = np.searchsorted(b, th)
             m = (idx < len(b)) & (b[np.minimum(idx, len(b) - 1)] == th)
-            np.add.at(hit, stream.doc_ids[m], 1)
+            hit = np.bincount(stream.doc_ids[m], minlength=n).astype(np.int64)
         keep = n_tokens > 0
         score = hit[keep] / n_tokens[keep]
         kmask = pa.array(keep)
