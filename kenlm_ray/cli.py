@@ -588,10 +588,13 @@ def cmd_dedup(args) -> int:
                 "payload column"
             )
         if args.payload_col != "payload":
+            # select + rename (a bare rename would collide with an
+            # existing 'payload' column); id/payload are all the
+            # fingerprint stages read anyway
             ds = ds.map_batches(
-                lambda t, c=args.payload_col: t.rename_columns(
-                    ["payload" if n == c else n for n in t.column_names]
-                ),
+                lambda t, c=args.payload_col, i=args.id_col: t.select(
+                    [i, c]
+                ).rename_columns([i, "payload"]),
                 batch_format="pyarrow",
             )
         if args.method == "image":
@@ -628,11 +631,14 @@ def cmd_convert(args) -> int:
         import glob as _glob
         import os as _os
 
+        exts = (".jsonl", ".jsonl.gz", ".jsonl.bz2", ".jsonl.xz")
         paths = (
             sorted(
                 p
                 for p in _glob.glob(_os.path.join(args.src, "*"))
-                if ".jsonl" in _os.path.basename(p)
+                # exact extensions only: a crashed writer can leave
+                # *.jsonl.gz.tmp partials that must never be read
+                if _os.path.basename(p).endswith(exts)
             )
             if _os.path.isdir(args.src)
             else [args.src]

@@ -1260,13 +1260,16 @@ def mutual_information(
     import pandas as pd
 
     def partial(batch: pa.Table) -> pa.Table:
+        # rows with a null in either column are dropped (pandas'
+        # marginal transform downstream treats NaN groups as missing,
+        # which would poison the sum into NaN)
         t = pa.table(
             {
                 col_a: batch[col_a],
                 col_b: batch[col_b],
                 "c": pa.array(np.ones(len(batch), dtype=np.int64)),
             }
-        )
+        ).drop_null()
         return t.group_by([col_a, col_b]).aggregate([("c", "sum")])
 
     cells = (

@@ -99,8 +99,7 @@ def budget_select(
     remaining = budget - float(stats["free"] or 0.0)
     # free rows already overflow: only the id-ordered prefix of them fits
     if remaining < 0:
-        thresh, id_cutoff = np.inf, -1
-        return _final_filter(ds, density_of, cost_col, id_col, np.inf, -1,
+        return _final_filter(ds, density_of, cost_col, id_col, np.inf, None,
                              budget_at_thresh=budget, free_only=True)
     if float(stats["total"] or 0.0) <= remaining:
         return ds  # everything fits
@@ -191,7 +190,7 @@ def budget_select(
     if len(over) == 0:
         # everything in the range fits — keep all of it
         return _final_filter(ds, density_of, cost_col, id_col,
-                             float(vs[-1]) if len(vs) else lo, -2,
+                             float(vs[-1]) if len(vs) else lo, _BAND_ALL,
                              budget_at_thresh=0.0)
     j = int(over[0])
     thresh = float(vs[j])
@@ -200,12 +199,18 @@ def budget_select(
                          None, budget_at_thresh=budget_at)
 
 
+_BAND_NONE = "none"     # boundary band contributes nothing
+_BAND_ALL = "all"       # include the whole band
+
+
 def _final_filter(ds, density_of, cost_col, id_col, thresh, id_cutoff,
                   *, budget_at_thresh: float, free_only: bool = False):
     """Resolve the boundary-density band by id order (one bounded
     fetch), then broadcast-filter.  ``id_cutoff`` semantics: None =
-    compute from the band; -1 = exclude the band; -2 = include the
-    whole band."""
+    compute from the band; _BAND_NONE = exclude the band; _BAND_ALL =
+    include the whole band.  A numeric cutoff is a real id value —
+    sentinels are NEVER numeric, so negative (e.g. hash-derived) ids
+    are safe."""
     import ray as _ray
 
     if id_cutoff is None or free_only:
@@ -219,24 +224,35 @@ def _final_filter(ds, density_of, cost_col, id_col, thresh, id_cutoff,
         rows = ds.map_batches(band, batch_format="pyarrow").take_all()
         rows.sort(key=lambda r: r["id"])
         spent = 0.0
-        id_cutoff = -1
+        id_cutoff = _BAND_NONE
         for r in rows:
             if spent + r["c"] > budget_at_thresh:
                 break
             spent += r["c"]
             id_cutoff = int(r["id"])
 
-    cut = int(id_cutoff)
+    cut = id_cutoff
 
     def keep(batch: pa.Table) -> pa.Table:
         d = density_of(batch)
         ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
         if free_only:
-            mask = ~np.isfinite(d) & (ids <= cut)
-        elif cut == -2:
+            band_m = (
+                np.zeros(len(ids), dtype=bool)
+                if cut == _BAND_NONE
+                else (ids <= int(cut))
+            )
+            mask = ~np.isfinite(d) & band_m
+        elif cut == _BAND_ALL:
             mask = ~np.isfinite(d) | (d >= thresh)
+        elif cut == _BAND_NONE:
+            mask = ~np.isfinite(d) | (d > thresh)
         else:
-            mask = ~np.isfinite(d) | (d > thresh) | ((d == thresh) & (ids <= cut))
+            mask = (
+                ~np.isfinite(d)
+                | (d > thresh)
+                | ((d == thresh) & (ids <= int(cut)))
+            )
         return batch.filter(pa.array(mask))
 
     return ds.map_batches(keep, batch_format="pyarrow")

@@ -371,6 +371,13 @@ def zipf_slopes(
     from kenlm_ray.functions.tokenize import tokenize_column
 
     def partial(batch: pa.Table) -> pa.Table:
+        gc0 = batch[group_col]
+        if isinstance(gc0, pa.ChunkedArray):
+            gc0 = gc0.combine_chunks()
+        if gc0.null_count:
+            # null group labels are dropped (a null dictionary index
+            # would otherwise poison the int cast below)
+            batch = batch.filter(gc0.is_valid())
         stream = tokenize_column(batch[text_col])
         h = stream.hashes().view(np.int64)
         if len(h) == 0:
@@ -477,6 +484,11 @@ def vocab_coverage(
 
     def partial(batch: pa.Table) -> pa.Table:
         v = _ray.get(ref)
+        gc0 = batch[group_col]
+        if isinstance(gc0, pa.ChunkedArray):
+            gc0 = gc0.combine_chunks()
+        if gc0.null_count:
+            batch = batch.filter(gc0.is_valid())  # drop null groups
         stream = tokenize_column(batch[text_col])
         th = stream.hashes()
         gcol = batch[group_col].combine_chunks()

@@ -35,6 +35,7 @@ class CurationRecipe:
 
     dedupe: bool = True
     toxicity_blocklist: "list[str] | None" = None  # None = skip the gate
+    toxicity_threshold: float = 0.05
     keep_buckets: "tuple[str, ...] | None" = ("head", "middle")  # None = skip
     bucket_quantiles: "tuple[float, ...]" = (1 / 3, 2 / 3)
     bucket_labels: "tuple[str, ...]" = ("head", "middle", "tail")
@@ -69,6 +70,7 @@ def curate(
         model_path,
         dedupe=recipe.dedupe,
         toxicity_blocklist=recipe.toxicity_blocklist,
+        toxicity_threshold=recipe.toxicity_threshold,
     )
     kept = scored.filter(expr="keep == True")
     if recipe.toxicity_blocklist is not None:
@@ -100,6 +102,22 @@ def curate(
         if audit:
             metrics["bucketed_docs"] = kept.count()
 
+    if recipe.token_budget is not None or recipe.pack_budget is not None:
+        import pyarrow.compute as pc
+
+        # the globally-unique document key: path alone repeats across
+        # repos ((repo, path, commit) is the input_hint identity).
+        # \x1f (unit separator), NOT \x00: pandas' string hashtable
+        # truncates at embedded NULs, silently merging distinct keys in
+        # any downstream pandas groupby/merge over the key
+        kept = kept.map_batches(
+            lambda t: t.append_column(
+                "doc_key",
+                pc.binary_join_element_wise(t["repo"], t["path"], "\x1f"),
+            ),
+            batch_format="pyarrow",
+        )
+
     if recipe.token_budget is not None:
         from kenlm_ray.ops.budget import budget_select
 
@@ -107,10 +125,10 @@ def curate(
             from kenlm_ray.functions.hashing import hash_bytes_array
 
             p = batch["ppl"].to_numpy(zero_copy_only=False).astype(np.float64)
-            paths = batch["path"].to_pylist()
+            keys = batch["doc_key"].to_pylist()
             # budget_select's boundary tie-break needs an int64 id;
-            # the path hash gives a deterministic (arbitrary) order
-            bid = hash_bytes_array(paths).view(np.int64)
+            # the doc-key hash gives a deterministic (arbitrary) order
+            bid = hash_bytes_array(keys).view(np.int64)
             return batch.append_column(
                 "quality_density", pa.array(1.0 / np.maximum(p, 1e-9))
             ).append_column("budget_id", pa.array(bid))
@@ -130,32 +148,40 @@ def curate(
             metrics["budget_docs"] = kept.count()
 
     if recipe.pack_budget is not None:
+        from kenlm_ray.ops.join import hash_join
         from kenlm_ray.ops.packing import pack_sequences
 
         packed = pack_sequences(
             kept,
             recipe.pack_budget,
             text_col="content_scrubbed",
-            id_col="path",
+            id_col="doc_key",
         )
-        # packing emits (path, n_tokens, example_id, slot, overflow) in
-        # the same batch order; re-attach by zipping per batch is not
-        # possible across operators, so join on path (narrow int/str
-        # keys only)
-        kept = packed
+        # pack_n_tokens is the PACKER's count (over content_scrubbed) —
+        # the budget it enforces; token_count is the scorer's pre-scrub
+        # count and can differ slightly
+        assign = packed.map_batches(
+            lambda t: t.select(
+                ["doc_key", "n_tokens", "example_id", "slot", "overflow"]
+            ).rename_columns(
+                ["doc_key", "pack_n_tokens", "example_id", "slot", "overflow"]
+            ),
+            batch_format="pyarrow",
+        )
         if audit:
+            # slot == 0 marks exactly one row per example — exact
+            # regardless of how Ray re-batches the assignment
             metrics["packed_examples"] = int(
-                kept.map_batches(
+                assign.map_batches(
                     lambda t: pa.table(
                         {
                             "n": pa.array(
                                 [
-                                    len(
-                                        np.unique(
-                                            t["example_id"].to_numpy(
-                                                zero_copy_only=False
-                                            )
-                                        )
+                                    int(
+                                        pa.compute.sum(
+                                            pa.compute.equal(t["slot"], 0)
+                                        ).as_py()
+                                        or 0
                                     )
                                 ],
                                 type=pa.int64(),
@@ -163,8 +189,27 @@ def curate(
                         }
                     ),
                     batch_format="pyarrow",
-                )
-                .sum("n")
+                ).sum("n")
             )
+        # re-attach the assignment to the full kept rows so the curated
+        # output keeps its content/scores (narrow string/int/bool keys
+        # are the only columns that shuffle on the right side)
+        sch = kept.schema().base_schema
+        left_cols = {f.name: f.type for f in sch}
+        right_cols = {
+            "doc_key": pa.string(),
+            "pack_n_tokens": pa.int64(),
+            "example_id": pa.string(),
+            "slot": pa.int64(),
+            "overflow": pa.bool_(),
+        }
+        kept = hash_join(
+            kept,
+            assign,
+            on=["doc_key"],
+            left_cols=left_cols,
+            right_cols=right_cols,
+            how="inner",
+        )
 
     return kept, metrics

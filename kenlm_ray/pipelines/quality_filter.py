@@ -105,6 +105,7 @@ def build_quality_pipeline(
     fuse_heuristics: bool = True,
     classifier_model=None,
     toxicity_blocklist: "list[str] | None" = None,
+    toxicity_threshold: float = 0.05,
 ) -> "ray.data.Dataset":
     """Assemble the lazy scored-Dataset plan over a corpus Dataset.
 
@@ -176,36 +177,26 @@ def build_quality_pipeline(
         import ray as _ray
 
         from kenlm_ray.functions.hashing import hash_bytes_array
-        from kenlm_ray.functions.tokenize import tokenize_column
 
         bh_ref = _ray.put(np.sort(hash_bytes_array(list(toxicity_blocklist))))
 
-        def tox(batch, _ref=bh_ref):
+        def tox(batch, _ref=bh_ref, _thr=toxicity_threshold):
             import pyarrow as pa
 
-            b = _ray.get(_ref)
+            from kenlm_ray.stages.toxicity import blocklist_hits
+
             col = batch["content_scrubbed"]
             if isinstance(col, pa.ChunkedArray):
                 col = col.combine_chunks()
             # dropped-by-size-gate rows have null scrubbed text: score 0
             valid = col.is_valid().to_numpy(zero_copy_only=False)
-            stream = tokenize_column(col.fill_null(""))
-            th = stream.hashes()
-            n = len(batch)
-            n_tokens = np.bincount(stream.doc_ids, minlength=n)
-            hit = np.zeros(n, dtype=np.int64)
-            if len(th):
-                idx = np.searchsorted(b, th)
-                m = (idx < len(b)) & (b[np.minimum(idx, len(b) - 1)] == th)
-                hit = np.bincount(stream.doc_ids[m], minlength=n).astype(
-                    np.int64
-                )
+            n_tokens, hit = blocklist_hits(col, _ray.get(_ref))
             score = np.where(
                 valid & (n_tokens > 0), hit / np.maximum(n_tokens, 1), 0.0
             )
             return batch.append_column(
                 "toxicity_score", pa.array(np.round(score, 6))
-            ).append_column("is_toxic", pa.array(score > 0.05))
+            ).append_column("is_toxic", pa.array(score > _thr))
 
         ds = ds.map_batches(tox, batch_format="pyarrow", batch_size=batch_size)
     if classifier_model is not None:

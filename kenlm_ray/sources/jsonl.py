@@ -58,9 +58,10 @@ def read_jsonl(
                 t = t.select(columns)
             tables.append(t)
         if not tables:
-            return pa.table(
-                {c: pa.array([], type=pa.string()) for c in (columns or [])}
-            )
+            # a 0-column, 0-row table: never fabricate column TYPES for
+            # an empty shard — a string-typed empty block would fight
+            # the real shards' inferred schema at unification
+            return pa.table({})
         return pa.concat_tables(tables, promote_options="default")
 
     return blobs.map_batches(parse, batch_format="pyarrow")
@@ -95,8 +96,14 @@ def write_jsonl(
             )
         buf = io.BytesIO()
         # Arrow-side JSON serialization is line-oriented via pandas;
-        # orient="records" lines=True is the NDJSON writer
-        batch.to_pandas().to_json(buf, orient="records", lines=True)
+        # orient="records" lines=True is the NDJSON writer.
+        # double_precision=15 (pandas' max): the default 10 silently
+        # truncates float64 — 15 significant digits round-trips all but
+        # the last ulp; callers needing bit-exact floats should stay in
+        # parquet
+        batch.to_pandas().to_json(
+            buf, orient="records", lines=True, double_precision=15
+        )
         payload = buf.getvalue()
         if compression == "gzip":
             import gzip

@@ -41,6 +41,27 @@ from kenlm_ray.functions.tokenize import tokenize_column
 DEFAULT_BLOCKLIST = ("slow", "stale", "broken")
 
 
+def blocklist_hits(
+    col: "pa.Array | pa.ChunkedArray", bh: np.ndarray
+) -> "tuple[np.ndarray, np.ndarray]":
+    """(n_tokens, n_flagged) int64 arrays for a string column against a
+    SORTED u64 blocklist hash array — the shared membership kernel
+    behind `toxicity_flags` and the pipeline's inline toxicity stage.
+    Null rows count as zero tokens."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    stream = tokenize_column(col.fill_null(""))
+    th = stream.hashes()
+    n = len(col)
+    n_tokens = np.bincount(stream.doc_ids, minlength=n).astype(np.int64)
+    hit = np.zeros(n, dtype=np.int64)
+    if len(th):
+        idx = np.searchsorted(bh, th)
+        m = (idx < len(bh)) & (bh[np.minimum(idx, len(bh) - 1)] == th)
+        hit = np.bincount(stream.doc_ids[m], minlength=n).astype(np.int64)
+    return n_tokens, hit
+
+
 def toxicity_flags(
     ds: "ray.data.Dataset",
     blocklist: "tuple[str, ...] | list[str] | None" = None,
@@ -61,15 +82,7 @@ def toxicity_flags(
 
     def flags(batch: pa.Table) -> pa.Table:
         b = ray.get(bh_ref)
-        stream = tokenize_column(batch[text_col])
-        th = stream.hashes()
-        n = len(batch)
-        n_tokens = np.bincount(stream.doc_ids, minlength=n).astype(np.int64)
-        hit = np.zeros(n, dtype=np.int64)
-        if len(th):
-            idx = np.searchsorted(b, th)
-            m = (idx < len(b)) & (b[np.minimum(idx, len(b) - 1)] == th)
-            hit = np.bincount(stream.doc_ids[m], minlength=n).astype(np.int64)
+        n_tokens, hit = blocklist_hits(batch[text_col], b)
         keep = n_tokens > 0
         score = hit[keep] / n_tokens[keep]
         kmask = pa.array(keep)

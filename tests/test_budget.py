@@ -137,3 +137,41 @@ def test_free_rows_kept_first(ray_session):
     ).to_pandas()
     # free rows (0,1,4) always fit; one cost-5 row (smallest id = 2) fits
     assert sorted(got["id"].tolist()) == [0, 1, 2, 4]
+
+
+def test_budget_negative_ids_boundary(ray_session):
+    """Regression: hash-derived ids are signed; the boundary band's
+    'include nothing' sentinel must not swallow negative ids
+    (the old -1 sentinel included every id <= -1)."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data
+
+    from kenlm_ray.ops.budget import budget_select
+
+    rng = np.random.default_rng(4)
+    n = 600
+    ids = rng.integers(-(2**62), 2**62, n).astype(np.int64)
+    dens = np.round(rng.random(n), 2)  # heavy ties at the boundary
+    cost = rng.integers(50, 400, n).astype(np.int64)
+    tbl = pa.table({"id": pa.array(ids), "d": pa.array(dens),
+                    "c": pa.array(cost)})
+    for B in (5_000.0, 20_000.0, 60_000.0):
+        out = budget_select(
+            ray.data.from_arrow(tbl), score_col="d", cost_col="c",
+            budget=B, id_col="id", density_col="d",
+        ).to_pandas()
+        # exact reference: (density desc, id asc) maximal prefix
+        ref = tbl.to_pandas().sort_values(["d", "id"],
+                                          ascending=[False, True])
+        s, keep = 0.0, set()
+        # itertuples, not iterrows: iterrows upcasts int64 ids to
+        # float64 (row-wise common dtype), corrupting ids > 2^53
+        for r in ref.itertuples(index=False):
+            if s + r.c > B:
+                break
+            s += r.c
+            keep.add(int(r.id))
+        assert out["c"].sum() <= B
+        assert set(out["id"].astype(np.int64)) == keep

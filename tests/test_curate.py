@@ -38,16 +38,23 @@ def test_full_recipe_monotone_and_schema(ray_session):
         > 0
     )
     assert m["packed_examples"] >= 1
-    # packed output schema
-    assert {"path", "n_tokens", "example_id", "slot", "overflow"} <= set(
-        df.columns
-    )
+    # packed output keeps the full curated schema PLUS the assignment
+    assert {
+        "path", "content_scrubbed", "ppl", "bucket", "token_count",
+        "example_id", "slot", "overflow",
+    } <= set(df.columns)
+    # doc_key is globally unique (repo + path)
+    assert df["doc_key"].is_unique
     # budget respected: examples bounded by pack budget except overflows
-    per_ex = df.groupby("example_id")["n_tokens"].sum()
+    # (pack_n_tokens is the packer's own count over content_scrubbed)
+    per_ex = df.groupby("example_id")["pack_n_tokens"].sum()
     over = df[df["overflow"]]["example_id"]
     assert (per_ex.drop(over, errors="ignore") <= 256).all()
+    # every example has exactly one slot-0 row and it matches the audit
+    assert (df[df["slot"] == 0].groupby("example_id").size() == 1).all()
+    assert m["packed_examples"] == df["example_id"].nunique()
     # token budget respected upstream of packing
-    assert df["n_tokens"].sum() <= 20_000
+    assert df["token_count"].sum() <= 20_000  # the budget stage uses token_count
 
 
 def test_recipe_stage_toggles(ray_session):
