@@ -987,7 +987,19 @@ def hamming_near_dup_pairs(
             }
         )
 
-    return (
+    # the leading typed empty block keeps the declared schema even when
+    # zero pairs survive (otherwise an all-empty groupby output collapses
+    # to a schemaless Dataset)
+    empty = ray.data.from_arrow(
+        pa.table(
+            {
+                "id_a": pa.array([], type=pa.int64()),
+                "id_b": pa.array([], type=pa.int64()),
+                "hamming": pa.array([], type=pa.int64()),
+            }
+        )
+    )
+    return empty.union(
         fps.map_batches(to_bands, batch_format="pyarrow")
         .groupby("__pb")
         .map_groups(part_pairs, batch_format="pyarrow")
