@@ -105,3 +105,49 @@ def test_audio_near_dup_pairs_wav(ray_session):
         .sort_values(["id_a", "id_b"])
     )
     assert [(0, 1)] == list(zip(pairs["id_a"], pairs["id_b"]))
+
+
+def test_hamming_engine_matches_bruteforce(ray_session):
+    """Recall-1 exactness of the banded engine (within max_bucket):
+    every pair within the bound, no extras, min-hamming dedupe."""
+    from kenlm_ray.ops.dedup import hamming_near_dup_pairs
+
+    rng = np.random.default_rng(17)
+    n = 300
+    base = rng.integers(0, 2**63, n // 3, dtype=np.int64)
+    fps = [base]
+    for _ in range(2):  # two perturbed copies of each base fp
+        flip = np.zeros(n // 3, dtype=np.int64)
+        for i in range(n // 3):
+            bits = rng.choice(64, size=rng.integers(0, 5), replace=False)
+            flip[i] = np.bitwise_or.reduce(
+                (np.int64(1) << bits.astype(np.int64))
+            ) if len(bits) else 0
+        fps.append(base ^ flip)
+    fp = np.concatenate(fps)
+    ids = np.arange(n, dtype=np.int64)
+    tbl = pa.table({"doc_id": pa.array(ids), "fp": pa.array(fp)})
+    got = (
+        hamming_near_dup_pairs(
+            ray.data.from_arrow(tbl), max_hamming=3, num_partitions=8
+        )
+        .to_pandas()
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )
+    # brute force
+    x = fp.astype(np.uint64)
+    want = []
+    for i in range(n):
+        h = x[i] ^ x[i + 1 :]
+        hd = np.zeros(len(h), dtype=np.int64)
+        for s in range(0, 64, 8):
+            hd += np.array(
+                [bin(int((v >> np.uint64(s)) & np.uint64(0xFF))).count("1")
+                 for v in h], dtype=np.int64,
+            )
+        for j in np.flatnonzero(hd <= 3):
+            want.append((i, i + 1 + j, int(hd[j])))
+    want.sort()
+    assert list(zip(got["id_a"], got["id_b"], got["hamming"])) == want
+    assert len(want) > 50  # the test actually exercises pairs
