@@ -891,6 +891,26 @@ def cmd_curate(args) -> int:
     return 0
 
 
+def cmd_chunk(args) -> int:
+    """Split documents into sliding token windows (LM training rows)."""
+    _ray_init()
+    import ray.data
+
+    from kenlm_ray.ops.packing import chunk_documents
+
+    ds = ray.data.read_parquet(
+        args.corpus, columns=[args.id_col, args.text_col]
+    )
+    out = chunk_documents(
+        ds, args.window, args.stride, text_col=args.text_col,
+        id_col=args.id_col,
+    )
+    out.write_parquet(args.out)
+    print(f"chunk (window={args.window}, stride={args.stride or args.window}) "
+          f"-> {args.out}")
+    return 0
+
+
 def cmd_quality(args) -> int:
     _ray_init()
     from kenlm_ray.pipelines.quality_filter import (
@@ -1180,6 +1200,15 @@ def main(argv=None) -> int:
     sQ.add_argument("--model", default=None)
     sQ.add_argument("--files-per-partition", type=int, default=4)
     sQ.set_defaults(fn=cmd_quality)
+
+    sW = sub.add_parser("chunk")
+    sW.add_argument("corpus")
+    sW.add_argument("out")
+    sW.add_argument("--window", type=int, default=2048)
+    sW.add_argument("--stride", type=int, default=None)
+    sW.add_argument("--text-col", default="content")
+    sW.add_argument("--id-col", default="doc_id")
+    sW.set_defaults(fn=cmd_chunk)
 
     sU = sub.add_parser("curate")
     sU.add_argument("corpus")
