@@ -75,6 +75,18 @@ def curate(
     kept = scored.filter(expr="keep == True")
     if recipe.toxicity_blocklist is not None:
         kept = kept.filter(expr="is_toxic == False")
+    if (
+        recipe.keep_buckets is not None
+        or recipe.token_budget is not None
+        or recipe.pack_budget is not None
+    ):
+        # every downstream stage scans `kept` at least twice (bucket
+        # cutoffs + assign; budget refinement; the pack join's two
+        # consumers) — without this, each scan re-executes the FULL
+        # scoring pipeline (measured: 5x wall).  At cluster scale swap
+        # for a parquet checkpoint (state/checkpoint.py) if the kept
+        # corpus exceeds object-store capacity.
+        kept = kept.materialize()
     if audit:
         metrics["kept_docs"] = kept.count()
 
