@@ -1772,6 +1772,21 @@ def _q_soft_dedup_weights(sf_dir):
     return soft_dedup_weights(ds, alpha=0.1)
 
 
+def _q_rfm_segments(sf_dir):
+    """Per-user RFM quartile segmentation over the event log
+    (ops/analytics.rfm_segments — one user-keyed aggregate + three
+    rank-boundary NTILE passes, zero data shuffles beyond it)."""
+    import ray.data
+
+    from kenlm_ray.ops.analytics import rfm_segments
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "ts", "value"],
+    )
+    return rfm_segments(ds)
+
+
 def _q_retention_cohorts(sf_dir):
     """Cohort retention matrix over the event log: users by first
     active day × day offset of each return (ops/windows.py — distinct
@@ -1859,6 +1874,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_length_buckets": _q_lang_length_buckets,
         "soft_dedup_weights": _q_soft_dedup_weights,
         "retention_cohorts": _q_retention_cohorts,
+        "rfm_segments": _q_rfm_segments,
         "toxicity_flags": _q_toxicity_flags,
         "toxicity_scrubbed": _q_toxicity_scrubbed,
         "doc_chunks": _q_doc_chunks,
@@ -2877,6 +2893,25 @@ def oracle_sql() -> dict[str, str]:
                    round(mlf, 6)             AS mean_log_freq,
                    round(exp(-0.1 * mlf), 6) AS soft_weight
             FROM doc
+        """,
+        "rfm_segments": """
+            WITH u AS (
+                SELECT user_id,
+                       max(CAST(floor(epoch(ts) / 86400) AS BIGINT))
+                           AS recency,
+                       count(*)::BIGINT AS frequency,
+                       sum(value)       AS monetary
+                FROM events GROUP BY user_id
+            )
+            SELECT user_id, recency, frequency,
+                   round(monetary, 2) AS monetary,
+                   ntile(4) OVER (ORDER BY recency DESC, user_id)::BIGINT
+                       AS r_tile,
+                   ntile(4) OVER (ORDER BY frequency DESC, user_id)::BIGINT
+                       AS f_tile,
+                   ntile(4) OVER (ORDER BY monetary DESC, user_id)::BIGINT
+                       AS m_tile
+            FROM u
         """,
         "retention_cohorts": """
             WITH pairs AS (

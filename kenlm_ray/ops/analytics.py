@@ -1289,3 +1289,73 @@ def mutual_information(
             "n_rows": [np.int64(n)],
         }
     )
+
+
+def rfm_segments(
+    ds: "ray.data.Dataset",
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    n_tiles: int = 4,
+    day_us: int = 86_400_000_000,
+) -> "ray.data.Dataset":
+    """RFM segmentation: per-user Recency (last active day), Frequency
+    (event count), Monetary (value sum), each quartiled with NTILE(n)
+    OVER (ORDER BY metric DESC, user) — the classic cohort-marketing
+    segmentation, and a corpus-contributor activity profile.
+
+    Shape: one user-keyed grouped aggregate (partial-combined per
+    batch), materialized once (user-cardinality, ≪ events), then three
+    `ops/percentile.ntile_assign` passes — rank boundaries via
+    histogram refinement, zero data shuffles beyond the first
+    aggregate.  Output: user, recency, frequency, monetary (round 2),
+    r_tile, f_tile, m_tile (1-based)."""
+    from kenlm_ray.ops.percentile import ntile_assign
+
+    def partial(batch: pa.Table) -> pa.Table:
+        us = batch[ts_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        t = pa.table(
+            {
+                user_col: batch[user_col],
+                "day": pa.array(us // day_us),
+                "n": pa.array(np.ones(len(batch), dtype=np.int64)),
+                "v": batch[value_col],
+            }
+        )
+        return t.group_by(user_col).aggregate(
+            [("day", "max"), ("n", "sum"), ("v", "sum")]
+        )
+
+    base = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(user_col)
+        .aggregate(
+            Max("day_max", alias_name="recency"),
+            Sum("n_sum", alias_name="frequency"),
+            Sum("v_sum", alias_name="monetary"),
+        )
+        .materialize()  # user-sized; scanned by three ntile passes
+    )
+
+    out = base
+    for metric, name in (
+        ("recency", "r_tile"),
+        ("frequency", "f_tile"),
+        ("monetary", "m_tile"),
+    ):
+        out = ntile_assign(out, metric, user_col, n_tiles).map_batches(
+            lambda t, _n=name: t.rename_columns(
+                [_n if c == "tile" else c for c in t.column_names]
+            ),
+            batch_format="pyarrow",
+        )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        m = batch["monetary"].to_numpy(zero_copy_only=False)
+        i = batch.schema.get_field_index("monetary")
+        return batch.set_column(
+            i, "monetary", pa.array(np.round(m.astype(np.float64), 2))
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")
