@@ -433,6 +433,21 @@ def _q_event_lag_gaps(sf_dir):
     return event_lag_gaps(ds)
 
 
+def _q_event_transitions(sf_dir):
+    """Markov transition matrix over per-user event sequences
+    (ops/windows.event_transitions — coarse key-bucket shuffle, one
+    lexsort + fused-code np.unique per bucket, tiny final groupby)."""
+    import ray.data
+
+    from kenlm_ray.ops.windows import event_transitions
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "user_id", "ts", "event_type"],
+    )
+    return event_transitions(ds)
+
+
 def _q_order_price_histogram(sf_dir):
     from kenlm_ray.ops.analytics import order_price_histogram
 
@@ -1834,6 +1849,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_rollup": _q_lineitem_rollup,
         "parts_hi_lo_intersect": _q_parts_hi_lo_intersect,
         "event_lag_gaps": _q_event_lag_gaps,
+        "event_transitions": _q_event_transitions,
         "order_price_histogram": _q_order_price_histogram,
         "customer_top3_orders": _q_customer_top_orders,
         "quantity_quantiles": _q_quantity_quantiles,
@@ -2259,6 +2275,19 @@ def oracle_sql() -> dict[str, str]:
                        PARTITION BY user_id
                        ORDER BY ts, event_id)))::BIGINT AS gap_us
             FROM events
+        """,
+        "event_transitions": """
+            WITH seq AS (
+                SELECT user_id, event_type,
+                       lag(event_type) OVER (
+                           PARTITION BY user_id
+                           ORDER BY ts, event_id) AS prev
+                FROM events
+            )
+            SELECT prev AS from_type, event_type AS to_type,
+                   count(*)::BIGINT AS n
+            FROM seq WHERE prev IS NOT NULL
+            GROUP BY 1, 2
         """,
         "order_price_histogram": """
             SELECT floor(o_totalprice / 50000.0)::BIGINT AS bin,

@@ -382,3 +382,85 @@ def retention_cohorts(
         .groupby(["cohort_day", "day_offset"])
         .aggregate(Sum("n_partial", alias_name="n_users"))
     )
+
+
+def event_transitions(
+    ds: "ray.data.Dataset",
+    *,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+    num_partitions: int = 16,
+) -> "ray.data.Dataset":
+    """Markov transition matrix over per-key event sequences: the count
+    of each (previous event_type -> event_type) adjacency with events
+    ordered by (ts, id) within a key — LAG(type) OVER (PARTITION BY key
+    ORDER BY ts, id) folded into a grouped count.
+
+    Shape mirrors event_lag_gaps: coarse hash-bucket the keys (keys
+    never span buckets), ONE lexsort + run-detection per bucket, then
+    the per-bucket transition counts — at most |types|^2 rows each,
+    counted via one np.unique over fused (prev, cur) dictionary codes —
+    feed a tiny global groupby.  Raw events never reshuffle beyond the
+    bucket exchange.  Output: from_type, to_type, n (int64).
+    """
+    import pyarrow.compute as pc
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        k = batch[key_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            x = (k ^ (k >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+            x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+            x ^= x >> np.uint64(31)
+        return batch.append_column(
+            "__pb",
+            pa.array((x % np.uint64(num_partitions)).astype(np.int64)),
+        )
+
+    empty = pa.table(
+        {
+            "from_type": pa.array([], type=pa.string()),
+            "to_type": pa.array([], type=pa.string()),
+            "c": pa.array([], type=pa.int64()),
+        }
+    )
+
+    def transitions(g: pa.Table) -> pa.Table:
+        if len(g) < 2:
+            return empty
+        keys = g[key_col].to_numpy(zero_copy_only=False)
+        ids = g[id_col].to_numpy(zero_copy_only=False)
+        us = g[ts_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        col = g[type_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        codes_arr = pc.dictionary_encode(col)
+        codes = codes_arr.indices.to_numpy(zero_copy_only=False)
+        vocab = codes_arr.dictionary
+        order = np.lexsort((ids, us, keys))
+        ks, cs = keys[order], codes[order].astype(np.int64)
+        same = ks[1:] == ks[:-1]
+        if not same.any():
+            return empty
+        v = len(vocab)
+        fused = cs[:-1][same] * v + cs[1:][same]
+        uniq, cnt = np.unique(fused, return_counts=True)
+        return pa.table(
+            {
+                "from_type": vocab.take(pa.array(uniq // v)),
+                "to_type": vocab.take(pa.array(uniq % v)),
+                "c": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    return (
+        ds.map_batches(bucket, batch_format="pyarrow")
+        .groupby("__pb")
+        .map_groups(
+            lambda g: transitions(g.drop_columns(["__pb"])),
+            batch_format="pyarrow",
+        )
+        .groupby(["from_type", "to_type"])
+        .aggregate(Sum("c", alias_name="n"))
+    )

@@ -306,3 +306,56 @@ def test_mode_share_except_all_match_duckdb(ray_session):
         ).df()
     )
     pd.testing.assert_frame_equal(ge, we, check_dtype=False)
+
+
+def test_event_transitions_matches_duckdb_skewed(ray_session):
+    """Transition counts: skewed keys (one user = half the events),
+    duplicate timestamps broken by event_id, single-event users."""
+    import duckdb
+    import pyarrow as pa
+
+    import ray.data
+
+    from kenlm_ray.ops.windows import event_transitions
+
+    rng = np.random.default_rng(7)
+    n = 4000
+    # user 1 owns half the events; user 999 has exactly one event
+    users = np.where(rng.random(n) < 0.5, 1, rng.integers(2, 40, n))
+    users[-1] = 999
+    ts = rng.integers(0, 500, n) * 1_000_000  # lots of exact-ts ties
+    types = rng.choice(["click", "view", "purchase", "search"], n)
+    t = pa.table(
+        {
+            "event_id": pa.array(np.arange(n, dtype=np.int64)),
+            "user_id": pa.array(users.astype(np.int64)),
+            "ts": pa.array(ts.astype(np.int64), type=pa.timestamp("us")),
+            "event_type": pa.array(types),
+        }
+    )
+    got = (
+        event_transitions(ray.data.from_arrow(t), num_partitions=4)
+        .to_pandas()
+        .sort_values(["from_type", "to_type"])
+        .reset_index(drop=True)
+    )
+    want = (
+        duckdb.sql(
+            """
+            WITH seq AS (
+                SELECT user_id, event_type,
+                       lag(event_type) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id) AS prev
+                FROM t
+            )
+            SELECT prev AS from_type, event_type AS to_type,
+                   count(*)::BIGINT AS n
+            FROM seq WHERE prev IS NOT NULL GROUP BY 1, 2
+            ORDER BY 1, 2
+            """
+        )
+        .df()
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want)
+    assert got["n"].sum() == n - len(np.unique(users))
