@@ -448,6 +448,16 @@ def _q_event_transitions(sf_dir):
     return event_transitions(ds)
 
 
+def _q_sole_returned_supplier(sf_dir):
+    """TPC-H Q21 analog: suppliers solely responsible for returns in
+    multi-supplier orders (ops/analytics.sole_returned_supplier —
+    pair-distinct partials, orderkey-bucketed segment aggregates,
+    supplier-sized final groupby + broadcast name join)."""
+    from kenlm_ray.ops.analytics import sole_returned_supplier
+
+    return sole_returned_supplier(sf_dir)
+
+
 def _q_order_price_histogram(sf_dir):
     from kenlm_ray.ops.analytics import order_price_histogram
 
@@ -1850,6 +1860,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "parts_hi_lo_intersect": _q_parts_hi_lo_intersect,
         "event_lag_gaps": _q_event_lag_gaps,
         "event_transitions": _q_event_transitions,
+        "sole_returned_supplier": _q_sole_returned_supplier,
         "order_price_histogram": _q_order_price_histogram,
         "customer_top3_orders": _q_customer_top_orders,
         "quantity_quantiles": _q_quantity_quantiles,
@@ -2275,6 +2286,21 @@ def oracle_sql() -> dict[str, str]:
                        PARTITION BY user_id
                        ORDER BY ts, event_id)))::BIGINT AS gap_us
             FROM events
+        """,
+        "sole_returned_supplier": """
+            WITH per_order AS (
+                SELECT l_orderkey,
+                       count(DISTINCT l_suppkey) AS n_supp,
+                       count(DISTINCT CASE WHEN l_returnflag = 'R'
+                                           THEN l_suppkey END) AS n_ret,
+                       min(CASE WHEN l_returnflag = 'R'
+                                THEN l_suppkey END) AS ret_supp
+                FROM lineitem GROUP BY l_orderkey
+            )
+            SELECT s.s_suppkey, s.s_name, count(*)::BIGINT AS numwait
+            FROM per_order p JOIN supplier s ON s.s_suppkey = p.ret_supp
+            WHERE p.n_supp >= 2 AND p.n_ret = 1
+            GROUP BY 1, 2
         """,
         "event_transitions": """
             WITH seq AS (

@@ -1359,3 +1359,122 @@ def rfm_segments(
         )
 
     return out.map_batches(finish, batch_format="pyarrow")
+
+
+def sole_returned_supplier(sf_dir: str) -> "ray.data.Dataset":
+    """TPC-H Q21 analog on the available columns: per supplier, the
+    number of multi-supplier orders where it was the ONLY supplier
+    whose line items were returned (l_returnflag = 'R').
+
+    Shape: per-batch distinct (orderkey, suppkey, returned) triples —
+    a pair-sized partial, never raw line items — hash-bucketed by
+    orderkey so an order never spans groups; per bucket ONE lexsort +
+    run-detected segment aggregates (distinct suppliers, distinct
+    returned suppliers, the sole returned suppkey) produce per-supplier
+    partial counts; a supplier-sized final groupby + broadcast name
+    join finish.  Output: s_suppkey, s_name, numwait.
+    """
+    P = 16
+    li = read(sf_dir, "lineitem", columns=["l_orderkey", "l_suppkey", "l_returnflag"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        o = batch["l_orderkey"].to_numpy(zero_copy_only=False)
+        s = batch["l_suppkey"].to_numpy(zero_copy_only=False)
+        r = pc.equal(batch["l_returnflag"], "R").to_numpy(zero_copy_only=False)
+        order = np.lexsort((s, o))
+        o_s, s_s, r_s = o[order], s[order], r[order].astype(np.float64)
+        new = np.empty(len(o_s), dtype=bool)
+        if len(o_s) == 0:
+            return pa.table(
+                {
+                    "o": pa.array([], type=pa.int64()),
+                    "s": pa.array([], type=pa.int64()),
+                    "r": pa.array([], type=pa.int8()),
+                }
+            )
+        new[0] = True
+        new[1:] = (o_s[1:] != o_s[:-1]) | (s_s[1:] != s_s[:-1])
+        pair_ids = np.cumsum(new) - 1
+        r_pair = np.bincount(pair_ids, weights=r_s) > 0
+        return pa.table(
+            {
+                "o": pa.array(o_s[new].astype(np.int64)),
+                "s": pa.array(s_s[new].astype(np.int64)),
+                "r": pa.array(r_pair.astype(np.int8)),
+            }
+        )
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        k = batch["o"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            x = (k ^ (k >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+            x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+            x ^= x >> np.uint64(31)
+        return batch.append_column(
+            "__pb", pa.array((x % np.uint64(P)).astype(np.int64))
+        )
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        if len(g) == 0:
+            return pa.table(
+                {"s_suppkey": pa.array([], type=pa.int64()),
+                 "c": pa.array([], type=pa.int64())}
+            )
+        o = g["o"].to_numpy(zero_copy_only=False)
+        s = g["s"].to_numpy(zero_copy_only=False)
+        r = g["r"].to_numpy(zero_copy_only=False).astype(np.float64)
+        order = np.lexsort((s, o))
+        o_s, s_s, r_s = o[order], s[order], r[order]
+        # re-combine (o, s) pairs that arrived from different batches
+        new = np.empty(len(o_s), dtype=bool)
+        new[0] = True
+        new[1:] = (o_s[1:] != o_s[:-1]) | (s_s[1:] != s_s[:-1])
+        pair_ids = np.cumsum(new) - 1
+        r_pair = np.bincount(pair_ids, weights=r_s) > 0
+        o_pair, s_pair = o_s[new], s_s[new]
+        # per-order segments over the deduped pairs
+        onew = np.empty(len(o_pair), dtype=bool)
+        onew[0] = True
+        onew[1:] = o_pair[1:] != o_pair[:-1]
+        seg = np.cumsum(onew) - 1
+        nseg = seg[-1] + 1
+        n_supp = np.bincount(seg, minlength=nseg)
+        n_ret = np.bincount(seg, weights=r_pair.astype(np.float64), minlength=nseg)
+        ret_for_seg = np.full(nseg, -1, dtype=np.int64)
+        ret_for_seg[seg[r_pair]] = s_pair[r_pair]
+        mask = (n_supp >= 2) & (n_ret == 1)
+        uniq, cnt = np.unique(ret_for_seg[mask], return_counts=True)
+        return pa.table(
+            {"s_suppkey": pa.array(uniq), "c": pa.array(cnt.astype(np.int64))}
+        )
+
+    agg = (
+        li.map_batches(partial, batch_format="pyarrow")
+        .map_batches(bucket, batch_format="pyarrow")
+        .groupby("__pb")
+        .map_groups(
+            lambda g: per_bucket(g.drop_columns(["__pb"])), batch_format="pyarrow"
+        )
+        .groupby("s_suppkey")
+        .aggregate(Sum("c", alias_name="numwait"))
+    )
+
+    supp = read(sf_dir, "supplier", columns=["s_suppkey", "s_name"]).to_pandas()
+    sk = supp["s_suppkey"].to_numpy(dtype=np.int64)
+    order = np.argsort(sk)
+    lookup_ref = ray.put((sk[order], supp["s_name"].to_numpy()[order]))
+
+    def add_name(batch: pa.Table) -> pa.Table:
+        lk, lv = ray.get(lookup_ref)
+        keys = batch["s_suppkey"].to_numpy(zero_copy_only=False)
+        idx = np.minimum(np.searchsorted(lk, keys), max(len(lk) - 1, 0))
+        name = np.where(lk[idx] == keys, lv[idx], None)
+        return pa.table(
+            {
+                "s_suppkey": batch["s_suppkey"],
+                "s_name": pa.array(name, type=pa.string()),
+                "numwait": batch["numwait"],
+            }
+        )
+
+    return agg.map_batches(add_name, batch_format="pyarrow")

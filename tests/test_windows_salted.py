@@ -359,3 +359,63 @@ def test_event_transitions_matches_duckdb_skewed(ray_session):
     )
     pd.testing.assert_frame_equal(got, want)
     assert got["n"].sum() == n - len(np.unique(users))
+
+
+def test_sole_returned_supplier_matches_duckdb(ray_session, tmp_path):
+    """Q21-analog: orders span input blocks; dup (order,supp) lines with
+    mixed return flags must combine before the distinct counts."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from kenlm_ray.ops.analytics import sole_returned_supplier
+
+    rng = np.random.default_rng(3)
+    n = 6000
+    o = rng.integers(0, 800, n).astype(np.int64)
+    s = rng.integers(0, 40, n).astype(np.int64)
+    flags = rng.choice(["R", "A", "N"], n, p=[0.25, 0.4, 0.35])
+    li = pa.table(
+        {
+            "l_orderkey": pa.array(np.sort(o)),  # sorted -> orders span row groups
+            "l_suppkey": pa.array(s),
+            "l_returnflag": pa.array(flags),
+        }
+    )
+    supp = pa.table(
+        {
+            "s_suppkey": pa.array(np.arange(40, dtype=np.int64)),
+            "s_name": pa.array([f"Supplier#{i:04d}" for i in range(40)]),
+        }
+    )
+    pq.write_table(li, tmp_path / "lineitem.parquet", row_group_size=500)
+    pq.write_table(supp, tmp_path / "supplier.parquet")
+    got = (
+        sole_returned_supplier(str(tmp_path))
+        .to_pandas()
+        .sort_values("s_suppkey")
+        .reset_index(drop=True)[["s_suppkey", "s_name", "numwait"]]
+    )
+    lidf, suppdf = li.to_pandas(), supp.to_pandas()
+    want = (
+        duckdb.sql(
+            """
+            WITH per_order AS (
+                SELECT l_orderkey,
+                       count(DISTINCT l_suppkey) AS n_supp,
+                       count(DISTINCT CASE WHEN l_returnflag='R'
+                                           THEN l_suppkey END) AS n_ret,
+                       min(CASE WHEN l_returnflag='R' THEN l_suppkey END) AS ret_supp
+                FROM lidf GROUP BY l_orderkey
+            )
+            SELECT s.s_suppkey, s.s_name, count(*)::BIGINT AS numwait
+            FROM per_order p JOIN suppdf s ON s.s_suppkey = p.ret_supp
+            WHERE p.n_supp >= 2 AND p.n_ret = 1
+            GROUP BY 1, 2 ORDER BY 1
+            """
+        )
+        .df()
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want)
+    assert len(got) > 0
