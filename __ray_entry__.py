@@ -448,6 +448,62 @@ def _q_event_transitions(sf_dir):
     return event_transitions(ds)
 
 
+def _q_event_value_trend(sf_dir):
+    """Per-event-type OLS trend of value over time (ops/stats.grouped_ols
+    — mergeable sufficient-statistic partials, group-count-sized final)."""
+    import pyarrow as pa
+    import ray.data
+
+    from kenlm_ray.ops.stats import grouped_ols
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_type", "ts", "value"],
+    )
+
+    def add_x(t: pa.Table) -> pa.Table:
+        # centered epoch-days: the constant offset conditions the
+        # sufficient statistics (n*sxx - sx^2 cancellation)
+        days = (
+            t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False) / 86400e6
+            - 20000.0
+        )
+        return pa.table(
+            {"event_type": t["event_type"], "x": pa.array(days), "value": t["value"]}
+        )
+
+    return grouped_ols(
+        ds.map_batches(add_x, batch_format="pyarrow"), "event_type", "x", "value"
+    )
+
+
+def _q_lineitem_correlations(sf_dir):
+    """Pairwise Pearson correlations between lineitem numeric columns
+    (ops/stats.corr_matrix — one pass, fixed-size partial per batch)."""
+    import ray.data
+
+    from kenlm_ray.ops.stats import corr_matrix
+
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"), columns=cols
+    )
+    return corr_matrix(ds, cols)
+
+
+def _q_lang_source_chi2(sf_dir):
+    """Chi-square independence test between document lang and source
+    (ops/stats.chi2_independence — |A|x|B| contingency groupby)."""
+    import ray.data
+
+    from kenlm_ray.ops.stats import chi2_independence
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["lang", "source"]
+    )
+    return chi2_independence(ds, "lang", "source")
+
+
 def _q_sole_returned_supplier(sf_dir):
     """TPC-H Q21 analog: suppliers solely responsible for returns in
     multi-supplier orders (ops/analytics.sole_returned_supplier —
@@ -1861,6 +1917,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_lag_gaps": _q_event_lag_gaps,
         "event_transitions": _q_event_transitions,
         "sole_returned_supplier": _q_sole_returned_supplier,
+        "event_value_trend": _q_event_value_trend,
+        "lineitem_correlations": _q_lineitem_correlations,
+        "lang_source_chi2": _q_lang_source_chi2,
         "order_price_histogram": _q_order_price_histogram,
         "customer_top3_orders": _q_customer_top_orders,
         "quantity_quantiles": _q_quantity_quantiles,
@@ -2286,6 +2345,64 @@ def oracle_sql() -> dict[str, str]:
                        PARTITION BY user_id
                        ORDER BY ts, event_id)))::BIGINT AS gap_us
             FROM events
+        """,
+        "event_value_trend": """
+            WITH pts AS (
+                SELECT event_type,
+                       epoch_us(ts) / 86400000000.0 - 20000.0 AS x,
+                       value AS y
+                FROM events
+            ),
+            s AS (
+                SELECT event_type, count(*)::BIGINT AS n,
+                       sum(x) AS sx, sum(y) AS sy,
+                       sum(x * x) AS sxx, sum(x * y) AS sxy,
+                       sum(y * y) AS syy
+                FROM pts GROUP BY event_type
+            )
+            SELECT event_type, n,
+                   round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
+                       AS slope,
+                   round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx)
+                              * sx) / n, 6) AS intercept,
+                   round((n * sxy - sx * sy) * (n * sxy - sx * sy)
+                         / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+                       AS r2
+            FROM s
+        """,
+        "lineitem_correlations": """
+            SELECT 'l_quantity' AS col_x, 'l_extendedprice' AS col_y,
+                   round(corr(l_quantity, l_extendedprice), 6) AS r FROM lineitem
+            UNION ALL SELECT 'l_quantity', 'l_discount',
+                   round(corr(l_quantity, l_discount), 6) FROM lineitem
+            UNION ALL SELECT 'l_quantity', 'l_tax',
+                   round(corr(l_quantity, l_tax), 6) FROM lineitem
+            UNION ALL SELECT 'l_extendedprice', 'l_discount',
+                   round(corr(l_extendedprice, l_discount), 6) FROM lineitem
+            UNION ALL SELECT 'l_extendedprice', 'l_tax',
+                   round(corr(l_extendedprice, l_tax), 6) FROM lineitem
+            UNION ALL SELECT 'l_discount', 'l_tax',
+                   round(corr(l_discount, l_tax), 6) FROM lineitem
+        """,
+        "lang_source_chi2": """
+            WITH c AS (
+                SELECT lang, source, count(*)::DOUBLE AS n
+                FROM documents GROUP BY 1, 2
+            ),
+            tot AS (SELECT sum(n) AS n FROM c),
+            ra AS (SELECT lang, sum(n) AS na FROM c GROUP BY 1),
+            rb AS (SELECT source, sum(n) AS nb FROM c GROUP BY 1),
+            cells AS (
+                SELECT coalesce(c.n, 0) AS n,
+                       ra.na * rb.nb / tot.n AS exp
+                FROM ra CROSS JOIN rb CROSS JOIN tot
+                LEFT JOIN c ON c.lang = ra.lang AND c.source = rb.source
+            )
+            SELECT round(sum((n - exp) * (n - exp) / exp), 6) AS chi2,
+                   ((SELECT count(*) FROM ra) - 1)
+                       * ((SELECT count(*) FROM rb) - 1) AS dof,
+                   (SELECT sum(n) FROM c)::BIGINT AS n
+            FROM cells
         """,
         "sole_returned_supplier": """
             WITH per_order AS (

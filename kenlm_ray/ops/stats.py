@@ -1,0 +1,240 @@
+"""Statistical aggregates over Datasets: grouped OLS regression,
+pairwise Pearson correlation, and chi-square independence tests.
+
+All three reduce to MERGEABLE SUFFICIENT STATISTICS — fixed-size sums
+(n, Σx, Σy, Σx², Σxy, …) computed per batch and merged associatively —
+so the corpus is read once, nothing corpus-sized shuffles, and the
+final math runs on group-count-sized tables.  This is the same
+partial-then-final discipline as the repo's count aggregates
+(SURVEY.md §2.6); the reference engine has no statistics module — these
+are curation-suite additions for corpus auditing (drift of a value over
+time, redundant numeric columns, association between categorical
+metadata fields).
+
+100-TB shape: the regression/correlation partials are one row per
+(batch × group) / per batch; the chi-square contingency table is
+|A|×|B| rows.  All are bounded by cardinality, not data size.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data
+from ray.data.aggregate import Sum
+
+
+def grouped_ols(
+    ds: "ray.data.Dataset",
+    group_col: str,
+    x_col: str,
+    y_col: str,
+    round_to: int | None = 6,
+) -> "ray.data.Dataset":
+    """Per-group simple linear regression of ``y_col`` on ``x_col``.
+
+    Output: group_col, n (int64), slope, intercept, r2 — the exact
+    DuckDB ``regr_slope / regr_intercept / regr_r2`` semantics (rows
+    with a NULL in x or y are excluded; groups with zero x-variance get
+    NULL slope/intercept/r2).
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch[group_col]
+        x = batch[x_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        y = batch[y_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        ok = ~(np.isnan(x) | np.isnan(y))
+        t = pa.table(
+            {
+                group_col: g.filter(pa.array(ok)) if not ok.all() else g,
+                "n": pa.array(np.ones(int(ok.sum()), dtype=np.int64)),
+                "sx": pa.array(x[ok]),
+                "sy": pa.array(y[ok]),
+                "sxx": pa.array(x[ok] * x[ok]),
+                "sxy": pa.array(x[ok] * y[ok]),
+                "syy": pa.array(y[ok] * y[ok]),
+            }
+        )
+        return t.group_by([group_col]).aggregate(
+            [("n", "sum"), ("sx", "sum"), ("sy", "sum"),
+             ("sxx", "sum"), ("sxy", "sum"), ("syy", "sum")]
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(group_col)
+        .aggregate(
+            Sum("n_sum", alias_name="n"),
+            Sum("sx_sum", alias_name="sx"),
+            Sum("sy_sum", alias_name="sy"),
+            Sum("sxx_sum", alias_name="sxx"),
+            Sum("sxy_sum", alias_name="sxy"),
+            Sum("syy_sum", alias_name="syy"),
+        )
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        n = batch["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        sx = batch["sx"].to_numpy(zero_copy_only=False)
+        sy = batch["sy"].to_numpy(zero_copy_only=False)
+        sxx = batch["sxx"].to_numpy(zero_copy_only=False)
+        sxy = batch["sxy"].to_numpy(zero_copy_only=False)
+        syy = batch["syy"].to_numpy(zero_copy_only=False)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            # n-multiplied formulation, SAME operation order as the SQL
+            # oracle's sufficient-statistic expressions, so both sides
+            # agree to ~1e-13 relative and round(6) identically.  Callers
+            # should CENTER x by a constant when its magnitude is large
+            # relative to its spread (e.g. epoch days) — cancellation in
+            # n*sxx - sx*sx is what limits agreement.
+            dx = n * sxx - sx * sx
+            dy = n * syy - sy * sy
+            cv = n * sxy - sx * sy
+            slope = cv / dx
+            intercept = (sy - slope * sx) / n
+            # regr_r2: square of the correlation; NULL when var(x)==0,
+            # and 1.0 when var(y)==0 but var(x)>0 (DuckDB convention)
+            r2 = np.where(dy > 0, (cv * cv) / (dx * dy), 1.0)
+        bad = ~(dx > 0)
+        if round_to is not None:
+            slope, intercept, r2 = (
+                np.round(slope, round_to),
+                np.round(intercept, round_to),
+                np.round(r2, round_to),
+            )
+        return pa.table(
+            {
+                group_col: batch[group_col],
+                "n": batch["n"],
+                "slope": pa.array(slope, mask=bad),
+                "intercept": pa.array(intercept, mask=bad),
+                "r2": pa.array(r2, mask=bad),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def corr_matrix(
+    ds: "ray.data.Dataset",
+    cols: "list[str]",
+    round_to: int | None = 6,
+) -> "ray.data.Dataset":
+    """Pairwise Pearson correlation between numeric columns.
+
+    One corpus pass: each batch emits a single partial row holding
+    n + Σx per column + Σxy per pair (a fixed (k²+3k)/2+1 floats);
+    a constant-key groupby merges them and one finish task emits the
+    upper triangle as (col_x, col_y, r) rows — DuckDB ``corr()``
+    semantics per pair (pairwise NULL exclusion is NOT applied; rows
+    with any NaN among ``cols`` are excluded entirely, keeping the
+    single-pass shape — document inputs accordingly).
+    """
+    k = len(cols)
+    pair_idx = [(i, j) for i in range(k) for j in range(i + 1, k)]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        m = np.column_stack(
+            [
+                batch[c].to_numpy(zero_copy_only=False).astype(np.float64)
+                for c in cols
+            ]
+        )
+        m = m[~np.isnan(m).any(axis=1)]
+        out = {"k": pa.array([0], type=pa.int64()),
+               "n": pa.array([float(len(m))])}
+        sums = m.sum(axis=0) if len(m) else np.zeros(k)
+        prods = m.T @ m if len(m) else np.zeros((k, k))
+        for i, c in enumerate(cols):
+            out[f"s{i}"] = pa.array([sums[i]])
+            out[f"q{i}"] = pa.array([prods[i, i]])
+        for i, j in pair_idx:
+            out[f"p{i}_{j}"] = pa.array([prods[i, j]])
+        return pa.table(out)
+
+    aggs = [Sum("n", alias_name="n_")]
+    for i in range(k):
+        aggs += [Sum(f"s{i}", alias_name=f"s{i}_"), Sum(f"q{i}", alias_name=f"q{i}_")]
+    aggs += [Sum(f"p{i}_{j}", alias_name=f"p{i}_{j}_") for i, j in pair_idx]
+    merged = (
+        ds.map_batches(partial, batch_format="pyarrow").groupby("k").aggregate(*aggs)
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        n = batch["n_"][0].as_py()
+        s = np.array([batch[f"s{i}_"][0].as_py() for i in range(k)])
+        q = np.array([batch[f"q{i}_"][0].as_py() for i in range(k)])
+        var = q - s * s / n if n else np.zeros(k)
+        xs, ys, rs = [], [], []
+        for i, j in pair_idx:
+            cov = batch[f"p{i}_{j}_"][0].as_py() - s[i] * s[j] / n if n else 0.0
+            denom = var[i] * var[j]
+            r = cov / np.sqrt(denom) if denom > 0 else None
+            xs.append(cols[i])
+            ys.append(cols[j])
+            rs.append(
+                None if r is None else (round(r, round_to) if round_to else r)
+            )
+        return pa.table(
+            {
+                "col_x": pa.array(xs, type=pa.string()),
+                "col_y": pa.array(ys, type=pa.string()),
+                "r": pa.array(rs, type=pa.float64()),
+            }
+        )
+
+    return merged.map_batches(finish, batch_format="pyarrow")
+
+
+def chi2_independence(
+    ds: "ray.data.Dataset",
+    col_a: str,
+    col_b: str,
+    round_to: int | None = 6,
+) -> "ray.data.Dataset":
+    """Pearson chi-square test of independence between two categorical
+    columns.  One |A|×|B| contingency groupby (partial-combined in
+    batch), then the statistic on the driver-sized table.  Output one
+    row: chi2, dof (int64), n (int64).
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.select([col_a, col_b])
+        t = t.append_column("c", pa.array(np.ones(len(t), dtype=np.int64)))
+        return t.group_by([col_a, col_b]).aggregate([("c", "sum")])
+
+    cont = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby([col_a, col_b])
+        .aggregate(Sum("c_sum", alias_name="n"))
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = batch.to_pandas()
+        piv = df.pivot_table(
+            index=col_a, columns=col_b, values="n", fill_value=0, aggfunc="sum"
+        ).to_numpy(dtype=np.float64)
+        n = piv.sum()
+        exp = np.outer(piv.sum(axis=1), piv.sum(axis=0)) / n
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cells = np.where(exp > 0, (piv - exp) ** 2 / exp, 0.0)
+        chi2 = float(cells.sum())
+        dof = (piv.shape[0] - 1) * (piv.shape[1] - 1)
+        if round_to is not None:
+            chi2 = round(chi2, round_to)
+        return pa.table(
+            {
+                "chi2": pa.array([chi2]),
+                "dof": pa.array([dof], type=pa.int64()),
+                "n": pa.array([int(n)], type=pa.int64()),
+            }
+        )
+
+    # the contingency table is |A|x|B| rows — repartition(1) keeps the
+    # finish a single vectorized task without a driver materialize
+    return cont.repartition(1).map_batches(
+        finish, batch_format="pyarrow", batch_size=None
+    )

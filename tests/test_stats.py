@@ -1,0 +1,122 @@
+"""Statistical aggregates: grouped OLS, correlation matrix, chi-square."""
+
+import numpy as np
+import pandas as pd
+
+
+def test_grouped_ols_matches_duckdb_and_degenerates(ray_session):
+    import duckdb
+    import pyarrow as pa
+
+    import ray.data
+
+    from kenlm_ray.ops.stats import grouped_ols
+
+    rng = np.random.default_rng(11)
+    n = 3000
+    g = rng.choice(["a", "b", "c"], n)
+    x = rng.normal(0, 10, n)
+    y = 2.5 * x + rng.normal(0, 1, n)
+    # group "flat": zero x-variance -> NULL slope/intercept/r2
+    g2 = np.concatenate([g, ["flat"] * 50])
+    x2 = np.concatenate([x, np.full(50, 3.0)])
+    y2 = np.concatenate([y, rng.normal(0, 1, 50)])
+    t = pa.table({"g": pa.array(g2), "x": pa.array(x2), "y": pa.array(y2)})
+    got = (
+        grouped_ols(ray.data.from_arrow(t), "g", "x", "y")
+        .to_pandas()
+        .sort_values("g")
+        .reset_index(drop=True)
+    )
+    df = t.to_pandas()
+    want = (
+        duckdb.sql(
+            """
+            WITH s AS (
+                SELECT g, count(*)::BIGINT AS n, sum(x) sx, sum(y) sy,
+                       sum(x*x) sxx, sum(x*y) sxy, sum(y*y) syy
+                FROM df GROUP BY g
+            )
+            SELECT g, n,
+                   round((n*sxy - sx*sy)/(n*sxx - sx*sx), 6) AS slope,
+                   round((sy - (n*sxy - sx*sy)/(n*sxx - sx*sx)*sx)/n, 6)
+                       AS intercept,
+                   round((n*sxy - sx*sy)*(n*sxy - sx*sy)
+                         /((n*sxx - sx*sx)*(n*syy - sy*sy)), 6) AS r2
+            FROM s ORDER BY g
+            """
+        )
+        .df()
+        .reset_index(drop=True)
+    )
+    flat = got[got["g"] == "flat"].iloc[0]
+    assert pd.isna(flat["slope"]) and pd.isna(flat["r2"])
+    rest_got = got[got["g"] != "flat"].reset_index(drop=True)
+    rest_want = want[want["g"] != "flat"].reset_index(drop=True)
+    pd.testing.assert_frame_equal(rest_got, rest_want)
+    assert abs(rest_got.set_index("g").loc["a", "slope"] - 2.5) < 0.1
+
+
+def test_corr_matrix_constant_column_null(ray_session):
+    import pyarrow as pa
+
+    import ray.data
+
+    from kenlm_ray.ops.stats import corr_matrix
+
+    rng = np.random.default_rng(5)
+    a = rng.normal(0, 1, 500)
+    t = pa.table(
+        {
+            "a": pa.array(a),
+            "b": pa.array(2 * a + rng.normal(0, 0.1, 500)),
+            "c": pa.array(np.full(500, 7.0)),  # zero variance -> NULL r
+        }
+    )
+    got = (
+        corr_matrix(ray.data.from_arrow(t), ["a", "b", "c"])
+        .to_pandas()
+        .set_index(["col_x", "col_y"])
+    )
+    assert got.loc[("a", "b"), "r"] > 0.99
+    assert pd.isna(got.loc[("a", "c"), "r"])
+    assert pd.isna(got.loc[("b", "c"), "r"])
+    exact = np.corrcoef(a, t["b"].to_numpy())[0, 1]
+    assert abs(got.loc[("a", "b"), "r"] - exact) < 1e-6
+
+
+def test_chi2_independence_known_value(ray_session):
+    import pyarrow as pa
+
+    import ray.data
+
+    from kenlm_ray.ops.stats import chi2_independence
+
+    # hand-checkable 2x2 table: [[30, 10], [10, 30]]
+    a = ["x"] * 40 + ["y"] * 40
+    b = ["u"] * 30 + ["v"] * 10 + ["u"] * 10 + ["v"] * 30
+    t = pa.table({"a": pa.array(a), "b": pa.array(b)})
+    got = chi2_independence(ray.data.from_arrow(t), "a", "b").to_pandas().iloc[0]
+    # chi2 = sum (obs-exp)^2/exp with exp = 20 everywhere -> 4*(100/20) = 20
+    assert got["chi2"] == 20.0
+    assert got["dof"] == 1
+    assert got["n"] == 80
+
+
+def test_chi2_zero_cell(ray_session):
+    import pyarrow as pa
+
+    import ray.data
+
+    from kenlm_ray.ops.stats import chi2_independence
+
+    # category pair ("y","u") never occurs -> zero observed cell must count
+    a = ["x"] * 20 + ["y"] * 10
+    b = ["u"] * 10 + ["v"] * 10 + ["v"] * 10
+    t = pa.table({"a": pa.array(a), "b": pa.array(b)})
+    got = chi2_independence(ray.data.from_arrow(t), "a", "b").to_pandas().iloc[0]
+    obs = np.array([[10.0, 10.0], [0.0, 10.0]])
+    exp = np.outer(obs.sum(1), obs.sum(0)) / obs.sum()
+    want = ((obs - exp) ** 2 / exp).sum()
+    assert abs(got["chi2"] - round(want, 6)) < 1e-9
+    assert got["dof"] == 1 and got["n"] == 30
