@@ -448,6 +448,24 @@ def _q_event_transitions(sf_dir):
     return event_transitions(ds)
 
 
+def _q_event_hourly_anomalies(sf_dir):
+    """Burst detection: hours > 3 population stddevs from their
+    event_type's hourly mean (ops/analytics.event_hourly_anomalies —
+    window-count-sized stats, broadcast flag pass)."""
+    from kenlm_ray.ops.analytics import event_hourly_anomalies
+
+    return event_hourly_anomalies(sf_dir, z=3.0)
+
+
+def _q_nation_revenue_share(sf_dir):
+    """Ratio-to-report window: per-nation revenue share of the grand
+    total (ops/analytics.nation_revenue_share — broadcast dim join,
+    grouped sum, single-task finish)."""
+    from kenlm_ray.ops.analytics import nation_revenue_share
+
+    return nation_revenue_share(sf_dir)
+
+
 def _q_event_value_trend(sf_dir):
     """Per-event-type OLS trend of value over time (ops/stats.grouped_ols
     — mergeable sufficient-statistic partials, group-count-sized final)."""
@@ -1918,6 +1936,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_transitions": _q_event_transitions,
         "sole_returned_supplier": _q_sole_returned_supplier,
         "event_value_trend": _q_event_value_trend,
+        "event_hourly_anomalies": _q_event_hourly_anomalies,
+        "nation_revenue_share": _q_nation_revenue_share,
         "lineitem_correlations": _q_lineitem_correlations,
         "lang_source_chi2": _q_lang_source_chi2,
         "order_price_histogram": _q_order_price_histogram,
@@ -2345,6 +2365,40 @@ def oracle_sql() -> dict[str, str]:
                        PARTITION BY user_id
                        ORDER BY ts, event_id)))::BIGINT AS gap_us
             FROM events
+        """,
+        "event_hourly_anomalies": """
+            WITH hourly AS (
+                SELECT event_type,
+                       epoch_us(ts) // 3600000000 AS hour,
+                       count(*)::BIGINT AS n
+                FROM events GROUP BY 1, 2
+            ),
+            stats AS (
+                SELECT event_type,
+                       count(*)::DOUBLE AS nh,
+                       sum(n)::DOUBLE / count(*) AS m,
+                       sqrt(greatest(
+                           sum(n::DOUBLE * n) / count(*)
+                               - (sum(n)::DOUBLE / count(*))
+                                 * (sum(n)::DOUBLE / count(*)), 0)) AS s
+                FROM hourly GROUP BY 1
+            )
+            SELECT h.event_type, h.hour, h.n,
+                   round((h.n - t.m) / t.s, 6) AS zscore
+            FROM hourly h JOIN stats t USING (event_type)
+            WHERE t.s > 0 AND abs(h.n - t.m) > 3.0 * t.s
+        """,
+        "nation_revenue_share": """
+            WITH rev AS (
+                SELECT n_name, sum(o_totalprice) AS revenue
+                FROM orders
+                JOIN customer ON o_custkey = c_custkey
+                JOIN nation ON c_nationkey = n_nationkey
+                GROUP BY n_name
+            )
+            SELECT n_name, round(revenue, 2) AS revenue,
+                   round(revenue / sum(revenue) OVER (), 6) AS share
+            FROM rev
         """,
         "event_value_trend": """
             WITH pts AS (

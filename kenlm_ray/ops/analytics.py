@@ -1478,3 +1478,129 @@ def sole_returned_supplier(sf_dir: str) -> "ray.data.Dataset":
         )
 
     return agg.map_batches(add_name, batch_format="pyarrow")
+
+
+def event_hourly_anomalies(sf_dir: str, z: float = 3.0) -> "ray.data.Dataset":
+    """Burst detection: hours whose event count sits more than ``z``
+    population standard deviations from that event_type's hourly mean.
+
+    Shape: one (type, hour) tumbling aggregate (partial-combined in
+    batch), then per-type mean/std over the HOURLY table — which is
+    window-count-sized, not event-sized — broadcast back over it for
+    the flag pass.  Output: event_type, hour, n, zscore (round 6).
+    """
+    ds = read(sf_dir, "events", columns=["event_type", "ts"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        us = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        hour = us // 3_600_000_000
+        t = pa.table(
+            {
+                "event_type": batch["event_type"],
+                "hour": pa.array(hour),
+                "n": pa.array(np.ones(len(batch), dtype=np.int64)),
+            }
+        )
+        return t.group_by(["event_type", "hour"]).aggregate([("n", "sum")])
+
+    hourly = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "hour"])
+        .aggregate(Sum("n_sum", alias_name="n"))
+        .materialize()  # reused by the stats pass and the flag pass
+    )
+
+    stats = hourly.groupby("event_type").aggregate(
+        Count(alias_name="nh"),
+        Sum("n", alias_name="sn"),
+    )
+    # second moment via a tiny map (hourly is window-count-sized)
+    sq = (
+        hourly.map_batches(
+            lambda t: pa.table(
+                {
+                    "event_type": t["event_type"],
+                    "n2": pa.array(
+                        t["n"].to_numpy(zero_copy_only=False).astype(np.float64) ** 2
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("event_type")
+        .aggregate(Sum("n2", alias_name="sn2"))
+    )
+    sdf = stats.to_pandas().merge(sq.to_pandas(), on="event_type")
+    nh = sdf["nh"].to_numpy(dtype=np.float64)
+    m = sdf["sn"].to_numpy(dtype=np.float64) / nh
+    var = sdf["sn2"].to_numpy(dtype=np.float64) / nh - m * m
+    s = np.sqrt(np.maximum(var, 0.0))
+    types = sdf["event_type"].to_numpy()
+    order = np.argsort(types)
+    lookup_ref = ray.put((types[order], m[order], s[order]))
+
+    def flag(batch: pa.Table) -> pa.Table:
+        tk, tm, tsd = ray.get(lookup_ref)
+        et = batch["event_type"].to_numpy(zero_copy_only=False)
+        n = batch["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        idx = np.minimum(np.searchsorted(tk, et), max(len(tk) - 1, 0))
+        mm, ss = tm[idx], tsd[idx]
+        keep = (ss > 0) & (np.abs(n - mm) > z * ss)
+        zs = np.round((n[keep] - mm[keep]) / ss[keep], 6)
+        kmask = pa.array(keep)
+        return pa.table(
+            {
+                "event_type": batch["event_type"].filter(kmask),
+                "hour": batch["hour"].filter(kmask),
+                "n": batch["n"].filter(kmask),
+                "zscore": pa.array(zs),
+            }
+        )
+
+    return hourly.map_batches(flag, batch_format="pyarrow")
+
+
+def nation_revenue_share(sf_dir: str) -> "ray.data.Dataset":
+    """Ratio-to-report window: each customer nation's order revenue and
+    its share of the grand total — SUM(x) OVER () re-expressed as a
+    grouped sum plus one single-task finish over the nation-sized
+    result (never a second corpus pass)."""
+    nation = read(sf_dir, "nation", columns=["n_nationkey", "n_name"]).to_pandas()
+    cust = read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]).to_pandas()
+    chain = cust.merge(nation, left_on="c_nationkey", right_on="n_nationkey")
+    ck = chain["c_custkey"].to_numpy(dtype=np.int64)
+    order = np.argsort(ck)
+    lookup_ref = ray.put((ck[order], chain["n_name"].to_numpy()[order]))
+    orders = read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+
+    def join_partial(batch: pa.Table) -> pa.Table:
+        lk, lv = ray.get(lookup_ref)
+        keys = batch["o_custkey"].to_numpy(zero_copy_only=False)
+        idx = np.minimum(np.searchsorted(lk, keys), max(len(lk) - 1, 0))
+        name = np.where(lk[idx] == keys, lv[idx], None)
+        t = pa.table(
+            {
+                "n_name": pa.array(name, type=pa.string()),
+                "revenue": batch["o_totalprice"],
+            }
+        )
+        return t.group_by("n_name").aggregate([("revenue", "sum")])
+
+    agg = (
+        orders.map_batches(join_partial, batch_format="pyarrow")
+        .groupby("n_name")
+        .aggregate(Sum("revenue_sum", alias_name="revenue"))
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        rev = batch["revenue"].to_numpy(zero_copy_only=False)
+        total = rev.sum()
+        return pa.table(
+            {
+                "n_name": batch["n_name"],
+                "revenue": pa.array(np.round(rev, 2)),
+                "share": pa.array(np.round(rev / total, 6)),
+            }
+        )
+
+    return agg.repartition(1).map_batches(finish, batch_format="pyarrow", batch_size=None)

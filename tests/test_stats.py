@@ -120,3 +120,37 @@ def test_chi2_zero_cell(ray_session):
     want = ((obs - exp) ** 2 / exp).sum()
     assert abs(got["chi2"] - round(want, 6)) < 1e-9
     assert got["dof"] == 1 and got["n"] == 30
+
+
+def test_event_hourly_anomalies_zero_variance_excluded(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from kenlm_ray.ops.analytics import event_hourly_anomalies
+
+    # "steady": 5 events in each of 10 hours (zero variance -> never flagged)
+    # "bursty": 1 event/hour for 19 hours, then 200 in hour 19 -> flagged
+    rows_ts, rows_ty = [], []
+    for h in range(10):
+        rows_ts += [h * 3_600_000_000 + i for i in range(5)]
+        rows_ty += ["steady"] * 5
+    for h in range(19):
+        rows_ts.append(h * 3_600_000_000)
+        rows_ty.append("bursty")
+    rows_ts += [19 * 3_600_000_000 + i for i in range(200)]
+    rows_ty += ["bursty"] * 200
+    t = pa.table(
+        {
+            "event_id": pa.array(range(len(rows_ts)), type=pa.int64()),
+            "ts": pa.array(rows_ts, type=pa.timestamp("us")),
+            "user_id": pa.array([1] * len(rows_ts), type=pa.int64()),
+            "event_type": pa.array(rows_ty),
+            "value": pa.array([0.0] * len(rows_ts)),
+        }
+    )
+    pq.write_table(t, tmp_path / "events.parquet")
+    got = event_hourly_anomalies(str(tmp_path), z=3.0).to_pandas()
+    assert set(got["event_type"]) == {"bursty"}
+    assert 19 in got[got["event_type"] == "bursty"]["hour"].to_numpy()
+    flagged = got[(got["event_type"] == "bursty") & (got["hour"] == 19)].iloc[0]
+    assert flagged["n"] == 200 and flagged["zscore"] > 3.0
