@@ -448,6 +448,15 @@ def _q_event_transitions(sf_dir):
     return event_transitions(ds)
 
 
+def _q_orders_rollup(sf_dir):
+    """ROLLUP(year, status) at three grains from one corpus aggregate
+    (ops/analytics.orders_rollup — coarser grains re-aggregate the
+    dozens-of-rows fine table, never rescanning orders)."""
+    from kenlm_ray.ops.analytics import orders_rollup
+
+    return orders_rollup(sf_dir)
+
+
 def _q_event_hourly_anomalies(sf_dir):
     """Burst detection: hours > 3 population stddevs from their
     event_type's hourly mean (ops/analytics.event_hourly_anomalies —
@@ -1936,6 +1945,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_transitions": _q_event_transitions,
         "sole_returned_supplier": _q_sole_returned_supplier,
         "event_value_trend": _q_event_value_trend,
+        "orders_rollup": _q_orders_rollup,
         "event_hourly_anomalies": _q_event_hourly_anomalies,
         "nation_revenue_share": _q_nation_revenue_share,
         "lineitem_correlations": _q_lineitem_correlations,
@@ -2365,6 +2375,17 @@ def oracle_sql() -> dict[str, str]:
                        PARTITION BY user_id
                        ORDER BY ts, event_id)))::BIGINT AS gap_us
             FROM events
+        """,
+        "orders_rollup": """
+            WITH base AS (
+                SELECT year(o_orderdate)::BIGINT AS o_year,
+                       o_orderstatus, o_totalprice
+                FROM orders
+            )
+            SELECT o_year, o_orderstatus,
+                   count(*)::BIGINT AS n_orders,
+                   round(sum(o_totalprice), 2) AS total_price
+            FROM base GROUP BY ROLLUP(o_year, o_orderstatus)
         """,
         "event_hourly_anomalies": """
             WITH hourly AS (

@@ -1604,3 +1604,65 @@ def nation_revenue_share(sf_dir: str) -> "ray.data.Dataset":
         )
 
     return agg.repartition(1).map_batches(finish, batch_format="pyarrow", batch_size=None)
+
+
+def orders_rollup(sf_dir: str) -> "ray.data.Dataset":
+    """ROLLUP(year, status): order counts and revenue at three grains —
+    (year, status), per-year subtotal, grand total — from ONE corpus
+    aggregate.  The coarser grains re-aggregate the (year, status)
+    result (a few dozen rows), never rescanning orders; NULL key
+    columns mark the subtotal levels exactly as SQL ROLLUP does.
+    Output: o_year, o_orderstatus, n_orders, total_price (round 2).
+    """
+    ds = read(sf_dir, "orders", columns=["o_orderdate", "o_orderstatus", "o_totalprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        yr = pc.year(batch["o_orderdate"]).cast(pa.int64())
+        t = pa.table(
+            {
+                "o_year": yr,
+                "o_orderstatus": batch["o_orderstatus"],
+                "n": pa.array(np.ones(len(batch), dtype=np.int64)),
+                "p": batch["o_totalprice"],
+            }
+        )
+        return t.group_by(["o_year", "o_orderstatus"]).aggregate(
+            [("n", "sum"), ("p", "sum")]
+        )
+
+    fine = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["o_year", "o_orderstatus"])
+        .aggregate(Sum("n_sum", alias_name="n_orders"), Sum("p_sum", alias_name="tp"))
+    )
+
+    def expand(batch: pa.Table) -> pa.Table:
+        # batch is the complete fine-grained table (repartition(1) below)
+        df = batch.to_pandas()
+        year_tot = (
+            df.groupby("o_year", as_index=False)[["n_orders", "tp"]].sum()
+        )
+        year_tot["o_orderstatus"] = None
+        grand = {
+            "o_year": None,
+            "o_orderstatus": None,
+            "n_orders": int(df["n_orders"].sum()),
+            "tp": float(df["tp"].sum()),
+        }
+        import pandas as pd
+
+        out = pd.concat(
+            [df, year_tot, pd.DataFrame([grand])], ignore_index=True
+        )[["o_year", "o_orderstatus", "n_orders", "tp"]]
+        return pa.table(
+            {
+                "o_year": pa.array(out["o_year"].astype("Int64"), type=pa.int64()),
+                "o_orderstatus": pa.array(out["o_orderstatus"], type=pa.string()),
+                "n_orders": pa.array(out["n_orders"].astype(np.int64)),
+                "total_price": pa.array(np.round(out["tp"].to_numpy(dtype=np.float64), 2)),
+            }
+        )
+
+    return fine.repartition(1).map_batches(
+        expand, batch_format="pyarrow", batch_size=None
+    )
