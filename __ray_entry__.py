@@ -448,6 +448,21 @@ def _q_event_transitions(sf_dir):
     return event_transitions(ds)
 
 
+def _q_source_concat_docs(sf_dir):
+    """Ordered per-source document concatenation (repo-level context
+    assembly; ops/text.concat_documents — coarse key-bucket shuffle,
+    one lexsort + Arrow binary_join per bucket)."""
+    import ray.data
+
+    from kenlm_ray.ops.text import concat_documents
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "source", "text"],
+    )
+    return concat_documents(ds, group_col="source", order_col="doc_id")
+
+
 def _q_orders_rollup(sf_dir):
     """ROLLUP(year, status) at three grains from one corpus aggregate
     (ops/analytics.orders_rollup — coarser grains re-aggregate the
@@ -1946,6 +1961,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sole_returned_supplier": _q_sole_returned_supplier,
         "event_value_trend": _q_event_value_trend,
         "orders_rollup": _q_orders_rollup,
+        "source_concat_docs": _q_source_concat_docs,
         "event_hourly_anomalies": _q_event_hourly_anomalies,
         "nation_revenue_share": _q_nation_revenue_share,
         "lineitem_correlations": _q_lineitem_correlations,
@@ -2375,6 +2391,11 @@ def oracle_sql() -> dict[str, str]:
                        PARTITION BY user_id
                        ORDER BY ts, event_id)))::BIGINT AS gap_us
             FROM events
+        """,
+        "source_concat_docs": """
+            SELECT source, count(*)::BIGINT AS n_docs,
+                   string_agg(text, chr(10) ORDER BY doc_id) AS text
+            FROM documents GROUP BY source
         """,
         "orders_rollup": """
             WITH base AS (

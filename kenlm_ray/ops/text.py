@@ -570,3 +570,96 @@ def vocab_coverage(
         return batch.append_column("coverage", pa.array(cov))
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def concat_documents(
+    ds: "ray.data.Dataset",
+    group_col: str = "source",
+    order_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+    num_partitions: int = 16,
+) -> "ray.data.Dataset":
+    """Ordered per-group document concatenation — repo-level context
+    assembly for code-LM training (all of a group's files joined in a
+    deterministic order), i.e. ``string_agg(text, sep ORDER BY
+    order_col)`` as a grouped computation.
+
+    Shape: coarse hash-bucket the group keys (a group never spans
+    buckets), ONE lexsort per bucket, then every group's text is
+    assembled by ONE Arrow list-wrap + ``binary_join`` over the sorted
+    run — no per-group Python.  A group's concatenated text must fit a
+    block (the same contract as SQL string_agg); for token-budgeted
+    assembly use `ops/packing.pack_sequences` instead.
+
+    Output: group_col, n_docs (int64), text (the joined string).
+    """
+    import pyarrow.compute as pc
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        col = batch[group_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        # string group keys: murmur over utf8 bytes; int keys: splitmix
+        if pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
+            from kenlm_ray.functions.hashing import hash_bytes_array
+
+            h = hash_bytes_array(
+                col.cast(pa.binary()).to_pandas().to_numpy()
+            ).astype(np.uint64)
+        else:
+            h = col.to_numpy(zero_copy_only=False).astype(np.uint64)
+            with np.errstate(over="ignore"):
+                h = (h ^ (h >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+                h = (h ^ (h >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+                h ^= h >> np.uint64(31)
+        return batch.append_column(
+            "__pb", pa.array((h % np.uint64(num_partitions)).astype(np.int64))
+        )
+
+    def assemble(g: pa.Table) -> pa.Table:
+        if len(g) == 0:
+            return pa.table(
+                {
+                    group_col: pa.array([], type=pa.string()),
+                    "n_docs": pa.array([], type=pa.int64()),
+                    "text": pa.array([], type=pa.string()),
+                }
+            )
+        keys = g[group_col]
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
+        kcodes_arr = pc.dictionary_encode(keys)
+        kcodes = kcodes_arr.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        ordv = g[order_col].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ordv, kcodes))
+        ks = kcodes[order]
+        new = np.empty(len(ks), dtype=bool)
+        new[0] = True
+        new[1:] = ks[1:] != ks[:-1]
+        starts = np.flatnonzero(new)
+        counts = np.diff(np.append(starts, len(ks))).astype(np.int64)
+        sorted_texts = g[text_col]
+        if isinstance(sorted_texts, pa.ChunkedArray):
+            sorted_texts = sorted_texts.combine_chunks()
+        sorted_texts = sorted_texts.take(pa.array(order))
+        offsets = np.empty(len(starts) + 1, dtype=np.int32)
+        offsets[:-1] = starts
+        offsets[-1] = len(ks)
+        lists = pa.ListArray.from_arrays(pa.array(offsets), sorted_texts)
+        joined = pc.binary_join(lists, sep)
+        return pa.table(
+            {
+                group_col: keys.take(pa.array(order[starts])),
+                "n_docs": pa.array(counts),
+                "text": joined,
+            }
+        )
+
+    return (
+        ds.map_batches(bucket, batch_format="pyarrow")
+        .groupby("__pb")
+        .map_groups(
+            lambda g: assemble(g.drop_columns(["__pb"])), batch_format="pyarrow"
+        )
+    )
