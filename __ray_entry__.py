@@ -448,6 +448,20 @@ def _q_event_transitions(sf_dir):
     return event_transitions(ds)
 
 
+def _q_token_pmi(sf_dir):
+    """Collocation mining: PMI between the 50 most document-frequent
+    tokens over doc-level co-occurrence (ops/text.token_pmi —
+    presence-bitmap matmul per batch, coarse-bucket pair reduce)."""
+    import ray.data
+
+    from kenlm_ray.ops.text import token_pmi
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    return token_pmi(ds, top_k=50)
+
+
 def _q_source_concat_docs(sf_dir):
     """Ordered per-source document concatenation (repo-level context
     assembly; ops/text.concat_documents — coarse key-bucket shuffle,
@@ -1962,6 +1976,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_value_trend": _q_event_value_trend,
         "orders_rollup": _q_orders_rollup,
         "source_concat_docs": _q_source_concat_docs,
+        "token_pmi_top50": _q_token_pmi,
         "event_hourly_anomalies": _q_event_hourly_anomalies,
         "nation_revenue_share": _q_nation_revenue_share,
         "lineitem_correlations": _q_lineitem_correlations,
@@ -2391,6 +2406,35 @@ def oracle_sql() -> dict[str, str]:
                        PARTITION BY user_id
                        ORDER BY ts, event_id)))::BIGINT AS gap_us
             FROM events
+        """,
+        "token_pmi_top50": r"""
+            WITH toks AS (
+                SELECT DISTINCT doc_id, tok FROM (
+                    SELECT doc_id,
+                           unnest(list_filter(
+                               string_split_regex(text, '[\t\n\r ]+'),
+                               x -> x <> ''
+                           )) AS tok
+                    FROM documents
+                )
+            ),
+            df AS (SELECT tok, count(*)::BIGINT AS df FROM toks GROUP BY tok),
+            top AS (SELECT tok, df FROM df ORDER BY df DESC, tok LIMIT 50),
+            pres AS (SELECT t.doc_id, t.tok FROM toks t JOIN top USING (tok)),
+            pairs AS (
+                SELECT a.tok AS tok_x, b.tok AS tok_y,
+                       count(*)::BIGINT AS n_pair
+                FROM pres a JOIN pres b
+                  ON a.doc_id = b.doc_id AND a.tok < b.tok
+                GROUP BY 1, 2
+            )
+            SELECT p.tok_x, p.tok_y, p.n_pair,
+                   round(ln(p.n_pair
+                            * (SELECT count(*) FROM documents)
+                            / (dx.df::DOUBLE * dy.df)), 6) AS pmi
+            FROM pairs p
+            JOIN top dx ON dx.tok = p.tok_x
+            JOIN top dy ON dy.tok = p.tok_y
         """,
         "source_concat_docs": """
             SELECT source, count(*)::BIGINT AS n_docs,

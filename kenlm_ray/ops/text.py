@@ -663,3 +663,151 @@ def concat_documents(
             lambda g: assemble(g.drop_columns(["__pb"])), batch_format="pyarrow"
         )
     )
+
+
+def token_pmi(
+    ds: "ray.data.Dataset",
+    top_k: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_buckets: int = 64,
+) -> "ray.data.Dataset":
+    """Collocation mining: pointwise mutual information between the
+    corpus's ``top_k`` most-document-frequent tokens, over DOC-LEVEL
+    co-occurrence — pmi(x,y) = ln(n_xy * N / (df_x * df_y)) with N the
+    total document count and df doc frequencies.
+
+    Shape: (1) doc-frequency table from per-batch distinct presence
+    (vocab-sized), top-k cut via distributed sort+limit (count desc,
+    token asc — never a full vocab pull); (2) the k tokens broadcast as
+    sorted murmur hashes; (3) each batch maps its tokens into [0,k),
+    dedupes per doc, and emits fused-code pair counts (≤ k²/2 rows per
+    batch); (4) one coarse-bucket reduce + a single finish task
+    computes PMI.  Raw text crosses the wire zero times.
+
+    Output: tok_x, tok_y (tok_x < tok_y), n_pair (int64), pmi (round 6).
+    """
+    import ray
+
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count
+
+    n_docs = ds.count()
+
+    def presence(batch: pa.Table) -> pa.Table:
+        stream = tokenize_column(batch[text_col])
+        toks = stream.to_arrow()
+        if len(toks) == 0:
+            return pa.table(
+                {
+                    "d": pa.array([], type=pa.int64()),
+                    "token": pa.array([], type=pa.string()),
+                }
+            )
+        t = pa.table(
+            {"d": pa.array(stream.doc_ids.astype(np.int64)), "token": toks}
+        )
+        return t.group_by(["d", "token"]).aggregate([])
+
+    pres = ds.map_batches(presence, batch_format="pyarrow")
+    df_tbl = pres.groupby("token").aggregate(Count(alias_name="df"))
+    # distributed top-k cut: only k rows reach the driver
+    top = (
+        df_tbl.sort(["df", "token"], descending=[True, False])
+        .limit(top_k)
+        .to_pandas()
+    )
+    from kenlm_ray.functions.hashing import hash_bytes_array
+
+    words = top["token"].to_numpy()
+    dfs = top["df"].to_numpy(dtype=np.int64)
+    hs = hash_bytes_array(list(words))
+    order = np.argsort(hs)
+    hs_sorted = hs[order]
+    # idx maps hash-rank -> position in the ALPHABETICAL word order so
+    # pair codes are emitted with tok_x < tok_y directly
+    alpha = np.argsort(words)
+    rank_of = np.empty(len(words), dtype=np.int64)
+    rank_of[alpha] = np.arange(len(words))
+    idx_sorted = rank_of[order]
+    words_alpha = words[alpha]
+    dfs_alpha = dfs[alpha]
+    k = len(words)
+    lookup_ref = ray.put((hs_sorted, idx_sorted))
+
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        vh, vi = ray.get(lookup_ref)
+        stream = tokenize_column(batch[text_col])
+        th = stream.hashes()
+        out_empty = pa.table(
+            {
+                "b": pa.array([], type=pa.int32()),
+                "code": pa.array([], type=pa.int64()),
+                "c": pa.array([], type=pa.int64()),
+            }
+        )
+        if len(th) == 0 or len(vh) == 0:
+            return out_empty
+        pos = np.searchsorted(vh, th)
+        np.minimum(pos, len(vh) - 1, out=pos)
+        hit = vh[pos] == th
+        if not hit.any():
+            return out_empty
+        d = stream.doc_ids[hit]
+        w = vi[pos[hit]]
+        # doc x top-token presence bitmap; ONE matmul counts every
+        # pair's co-occurrence across the whole batch (k <= ~100, so
+        # the k x k product is trivial) — no per-doc loop
+        bitmap = np.zeros((len(batch), k), dtype=np.float32)
+        bitmap[d, w] = 1.0
+        co = bitmap.T @ bitmap
+        iu, ju = np.triu_indices(k, 1)
+        cnt = co[iu, ju].astype(np.int64)
+        nz = cnt > 0
+        if not nz.any():
+            return out_empty
+        ucode = iu[nz].astype(np.int64) * k + ju[nz]
+        return pa.table(
+            {
+                "b": pa.array((ucode % num_buckets).astype(np.int32)),
+                "code": pa.array(ucode),
+                "c": pa.array(cnt[nz]),
+            }
+        )
+
+    def reduce_bucket(g: pa.Table) -> pa.Table:
+        code = g["code"].to_numpy(zero_copy_only=False)
+        c = g["c"].to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(code, return_inverse=True)
+        tot = np.bincount(inv, weights=c.astype(np.float64)).astype(np.int64)
+        return pa.table({"code": pa.array(uniq), "n_pair": pa.array(tot)})
+
+    pairs = (
+        ds.map_batches(pair_partial, batch_format="pyarrow")
+        .groupby("b")
+        .map_groups(
+            lambda g: reduce_bucket(g.drop_columns(["b"])), batch_format="pyarrow"
+        )
+    )
+
+    words_ref = ray.put((words_alpha, dfs_alpha))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        wa, da = ray.get(words_ref)
+        code = batch["code"].to_numpy(zero_copy_only=False)
+        n_pair = batch["n_pair"].to_numpy(zero_copy_only=False)
+        i, j = code // k, code % k
+        pmi = np.round(
+            np.log(n_pair.astype(np.float64) * n_docs / (da[i] * da[j]).astype(np.float64)),
+            6,
+        )
+        return pa.table(
+            {
+                "tok_x": pa.array(wa[i], type=pa.string()),
+                "tok_y": pa.array(wa[j], type=pa.string()),
+                "n_pair": pa.array(n_pair),
+                "pmi": pa.array(pmi),
+            }
+        )
+
+    return pairs.map_batches(finish, batch_format="pyarrow")
