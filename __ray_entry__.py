@@ -448,6 +448,21 @@ def _q_event_transitions(sf_dir):
     return event_transitions(ds)
 
 
+def _q_lang_chars_quantiles(sf_dir):
+    """Per-language approximate n_chars quantiles via mergeable
+    per-(batch,group) equi-depth digests (ops/sketch.
+    grouped_approx_quantiles — constant bytes per digest cross the
+    shuffle, raw values never do; rows-only: approximate by design)."""
+    import ray.data
+
+    from kenlm_ray.ops.sketch import grouped_approx_quantiles
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["lang", "n_chars"]
+    )
+    return grouped_approx_quantiles(ds, "lang", "n_chars", [0.1, 0.5, 0.9])
+
+
 def _q_token_pmi(sf_dir):
     """Collocation mining: PMI between the 50 most document-frequent
     tokens over doc-level co-occurrence (ops/text.token_pmi —
@@ -1977,6 +1992,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_rollup": _q_orders_rollup,
         "source_concat_docs": _q_source_concat_docs,
         "token_pmi_top50": _q_token_pmi,
+        "lang_chars_quantiles": _q_lang_chars_quantiles,
         "event_hourly_anomalies": _q_event_hourly_anomalies,
         "nation_revenue_share": _q_nation_revenue_share,
         "lineitem_correlations": _q_lineitem_correlations,

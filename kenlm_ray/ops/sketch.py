@@ -569,3 +569,124 @@ def bloom_probe(
         ) & np.uint64(1)
         hit &= bits.astype(bool)
     return hit
+
+
+def grouped_approx_quantiles(
+    ds: "ray.data.Dataset",
+    group_col: str,
+    col: str,
+    qs: "list[float]",
+    *,
+    k: int = 256,
+) -> "ray.data.Dataset":
+    """Per-GROUP approximate quantiles: one <=k-centroid equi-depth
+    digest per (batch, group), merged per group by a digest-sized
+    groupby — constant bytes per (batch, group) cross the shuffle, the
+    raw values never do.
+
+    Output: group_col, q (float64), value (float64).  Error per group
+    is the same ~1/k CDF bound as `approx_quantiles`; groups small
+    enough to fit one batch are EXACT (their digest is the sorted
+    value multiset).
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keys = batch[group_col]
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
+        import pyarrow.compute as pc
+
+        codes_arr = pc.dictionary_encode(keys)
+        codes = codes_arr.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        vocab = codes_arr.dictionary
+        v = batch[col].to_numpy(zero_copy_only=False).astype(np.float64)
+        order = np.lexsort((v, codes))
+        cs, vs = codes[order], v[order]
+        starts = np.flatnonzero(np.concatenate([[True], cs[1:] != cs[:-1]]))
+        ends = np.append(starts[1:], len(cs))
+        gk, cb, wb = [], [], []
+        for s0, e0 in zip(starts, ends):
+            c, w = qd_partial(vs[s0:e0], k)  # slice is pre-sorted
+            gk.append(cs[s0])
+            cb.append(c.tobytes())
+            wb.append(w.tobytes())
+        return pa.table(
+            {
+                group_col: vocab.take(pa.array(np.array(gk, dtype=np.int64))),
+                "c": pa.array(cb, type=pa.binary()),
+                "w": pa.array(wb, type=pa.binary()),
+            }
+        )
+
+    # coarse-bucket the keys (digest rows, not raw data) so a
+    # million-key table merges in num_buckets map_groups tasks, not one
+    # tiny scheduled group per key
+    num_buckets = 16
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        keys = batch[group_col]
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
+        if pa.types.is_string(keys.type) or pa.types.is_large_string(keys.type):
+            from kenlm_ray.functions.hashing import hash_bytes_array
+
+            h = hash_bytes_array(
+                keys.cast(pa.binary()).to_pandas().to_numpy()
+            ).astype(np.uint64)
+        else:
+            h = keys.to_numpy(zero_copy_only=False).astype(np.uint64)
+            h = _mix64(h)
+        return batch.append_column(
+            "__pb", pa.array((h % np.uint64(num_buckets)).astype(np.int64))
+        )
+
+    def merge_bucket(g: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        keys = g[group_col]
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
+        codes_arr = pc.dictionary_encode(keys)
+        codes = codes_arr.indices.to_numpy(zero_copy_only=False)
+        vocab = codes_arr.dictionary
+        if len(vocab) == 0:
+            return pa.table(
+                {
+                    group_col: pa.array([], type=keys.type),
+                    "q": pa.array([], type=pa.float64()),
+                    "value": pa.array([], type=pa.float64()),
+                }
+            )
+        out_keys, out_q, out_v = [], [], []
+        for code in range(len(vocab)):
+            sel = np.flatnonzero(codes == code)
+            parts = [
+                (
+                    np.frombuffer(g["c"][int(i)].as_py(), dtype=np.float64),
+                    np.frombuffer(g["w"][int(i)].as_py(), dtype=np.int64),
+                )
+                for i in sel
+            ]
+            c, w = qd_merge(parts, k)
+            vals = qd_quantile(c, w, qs)
+            key = vocab[code].as_py()
+            out_keys += [key] * len(qs)
+            out_q += [float(q) for q in qs]
+            out_v += [float(v) for v in vals]
+        return pa.table(
+            {
+                group_col: pa.array(out_keys),
+                "q": pa.array(out_q, type=pa.float64()),
+                "value": pa.array(out_v, type=pa.float64()),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .map_batches(bucket, batch_format="pyarrow")
+        .groupby("__pb")
+        .map_groups(
+            lambda g: merge_bucket(g.drop_columns(["__pb"])),
+            batch_format="pyarrow",
+        )
+    )

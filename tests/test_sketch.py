@@ -321,3 +321,44 @@ def test_heavy_hitters_exact_skewed(ray_session):
     n = len(vals)
     want = {kk: c for kk, c in truth.items() if c > n / (k + 1)}
     assert got == want and 1_000_001 in got
+
+
+def test_grouped_approx_quantiles_accuracy_and_exact_small_groups(ray_session):
+    import duckdb
+    import pyarrow as pa
+
+    import ray.data
+
+    from kenlm_ray.ops.sketch import grouped_approx_quantiles
+
+    rng = np.random.default_rng(13)
+    n = 60000
+    g = rng.choice(["a", "b", "c", "d"], n, p=[0.7, 0.2, 0.05, 0.05])
+    v = np.where(g == "a", rng.normal(100, 20, n), rng.exponential(10, n))
+    t = pa.table({"g": pa.array(g), "v": pa.array(v)})
+    qs = [0.1, 0.5, 0.9]
+    got = (
+        grouped_approx_quantiles(ray.data.from_arrow(t), "g", "v", qs)
+        .to_pandas()
+        .set_index(["g", "q"])
+    )
+    df = t.to_pandas()
+    for key in "abcd":
+        sub = np.sort(df[df["g"] == key]["v"].to_numpy())
+        for q in qs:
+            exact = np.quantile(sub, q)
+            approx = got.loc[(key, q), "value"]
+            spread = sub[-1] - sub[0]
+            # CDF-bounded error: within 2% of the group's value spread
+            assert abs(approx - exact) <= 0.02 * spread + 1e-9, (key, q)
+
+    # a group that fits one batch is exact
+    small = pa.table(
+        {"g": pa.array(["z"] * 101), "v": pa.array(np.arange(101, dtype=np.float64))}
+    )
+    gotz = (
+        grouped_approx_quantiles(ray.data.from_arrow(small), "g", "v", [0.5])
+        .to_pandas()
+        .iloc[0]
+    )
+    assert gotz["value"] == 50.0
