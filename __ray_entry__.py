@@ -448,6 +448,21 @@ def _q_event_transitions(sf_dir):
     return event_transitions(ds)
 
 
+def _q_doc_trigram_novelty(sf_dir):
+    """Per-doc fraction of distinct trigrams unique to that doc in the
+    corpus (ops/text.doc_trigram_novelty — df==1 grams resolve to their
+    single owner inside the bucket reduce, so only doc-sized tables
+    join)."""
+    import ray.data
+
+    from kenlm_ray.ops.text import doc_trigram_novelty
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    return doc_trigram_novelty(ds)
+
+
 def _q_lang_chars_quantiles(sf_dir):
     """Per-language approximate n_chars quantiles via mergeable
     per-(batch,group) equi-depth digests (ops/sketch.
@@ -1993,6 +2008,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_concat_docs": _q_source_concat_docs,
         "token_pmi_top50": _q_token_pmi,
         "lang_chars_quantiles": _q_lang_chars_quantiles,
+        "doc_trigram_novelty": _q_doc_trigram_novelty,
         "event_hourly_anomalies": _q_event_hourly_anomalies,
         "nation_revenue_share": _q_nation_revenue_share,
         "lineitem_correlations": _q_lineitem_correlations,
@@ -2422,6 +2438,28 @@ def oracle_sql() -> dict[str, str]:
                        PARTITION BY user_id
                        ORDER BY ts, event_id)))::BIGINT AS gap_us
             FROM events
+        """,
+        "doc_trigram_novelty": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(text, '[\t\n\r ]+'),
+                                   x -> x <> '') AS w
+                FROM documents
+            ),
+            tri AS (
+                SELECT DISTINCT doc_id,
+                       w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+                FROM toks, unnest(range(1, len(w) - 1)) AS u(i)
+            ),
+            df AS (SELECT g, count(*)::BIGINT AS df FROM tri GROUP BY g)
+            SELECT t.doc_id,
+                   count(*)::BIGINT AS n_trigrams,
+                   sum(CASE WHEN df.df = 1 THEN 1 ELSE 0 END)::BIGINT
+                       AS n_novel,
+                   round(sum(CASE WHEN df.df = 1 THEN 1 ELSE 0 END)::DOUBLE
+                         / count(*), 6) AS novelty
+            FROM tri t JOIN df USING (g)
+            GROUP BY t.doc_id
         """,
         "token_pmi_top50": r"""
             WITH toks AS (

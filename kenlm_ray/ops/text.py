@@ -811,3 +811,163 @@ def token_pmi(
         )
 
     return pairs.map_batches(finish, batch_format="pyarrow")
+
+
+def doc_trigram_novelty(
+    ds: "ray.data.Dataset",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_buckets: int = 256,
+) -> "ray.data.Dataset":
+    """Memorization/novelty signal: per document, the fraction of its
+    DISTINCT trigrams that appear in no other document (corpus doc
+    frequency 1).
+
+    Shape: per-batch per-doc distinct trigram hashes (docs never span
+    batches, so the distinct is exact map-side) ship as (hash, doc)
+    pairs into a coarse-bucket reduce; a trigram with df == 1 belongs
+    to exactly ONE doc, so the reduce emits (doc, novel_count) partials
+    directly — the novelty join side is doc-sized, never gram-sized.
+    Per-doc totals are computed map-side with zero shuffle; a
+    partitioned hash join stitches the two doc-sized tables.
+    Trigram identity is the fused murmur (repo convention; collision
+    odds ~V²/2⁶⁴).
+
+    Output: id_col, n_trigrams (int64, distinct), n_novel (int64),
+    novelty (round 6).  Docs with < 3 tokens are excluded.
+    """
+    from ray.data.aggregate import Sum as _Sum
+
+    from kenlm_ray.ops.join import hash_join
+
+    C = np.uint64(0x9E3779B97F4A7C15)
+
+    def tri_hashes(batch: pa.Table):
+        stream = tokenize_column(batch[text_col])
+        h = stream.hashes()
+        T = len(h)
+        if T < 3:
+            return None
+        doc = stream.doc_ids
+        valid = doc[2:] == doc[:-2]
+        with np.errstate(over="ignore"):
+            hc = (h[:-2] * C + h[1:-1]) * C + h[2:]
+        return doc[: T - 2][valid], hc[valid]
+
+    def presence(batch: pa.Table) -> pa.Table:
+        r = tri_hashes(batch)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        if r is None:
+            return pa.table(
+                {
+                    "b": pa.array([], type=pa.int32()),
+                    "h": pa.array([], type=pa.int64()),
+                    "d": pa.array([], type=pa.int64()),
+                }
+            )
+        d, hc = r
+        # per-doc distinct via sort + run-detect on the (doc, hash) pair
+        order = np.lexsort((hc, d))
+        ds_, hs_ = d[order], hc[order]
+        new = np.empty(len(ds_), dtype=bool)
+        new[0] = True
+        new[1:] = (ds_[1:] != ds_[:-1]) | (hs_[1:] != hs_[:-1])
+        du, hu = ds_[new], hs_[new]
+        return pa.table(
+            {
+                "b": pa.array((hu >> np.uint64(56)).astype(np.int32) % num_buckets),
+                "h": pa.array(hu.view(np.int64)),
+                "d": pa.array(ids[du].astype(np.int64)),
+            }
+        )
+
+    def reduce_bucket(g: pa.Table) -> pa.Table:
+        h = g["h"].to_numpy(zero_copy_only=False)
+        d = g["d"].to_numpy(zero_copy_only=False)
+        if len(h) == 0:
+            return pa.table(
+                {
+                    "d": pa.array([], type=pa.int64()),
+                    "novel": pa.array([], type=pa.int64()),
+                }
+            )
+        uniq, inv, cnt = np.unique(h, return_inverse=True, return_counts=True)
+        singles = np.flatnonzero(cnt[inv] == 1)
+        if len(singles) == 0:
+            return pa.table(
+                {
+                    "d": pa.array([], type=pa.int64()),
+                    "novel": pa.array([], type=pa.int64()),
+                }
+            )
+        docs = d[singles]
+        du, dc = np.unique(docs, return_counts=True)
+        return pa.table({"d": pa.array(du), "novel": pa.array(dc.astype(np.int64))})
+
+    novel = (
+        ds.map_batches(presence, batch_format="pyarrow")
+        .groupby("b")
+        .map_groups(
+            lambda g: reduce_bucket(g.drop_columns(["b"])), batch_format="pyarrow"
+        )
+        .groupby("d")
+        .aggregate(_Sum("novel", alias_name="n_novel"))
+    )
+
+    def totals(batch: pa.Table) -> pa.Table:
+        r = tri_hashes(batch)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        if r is None:
+            return pa.table(
+                {
+                    id_col: pa.array([], type=pa.int64()),
+                    "n_trigrams": pa.array([], type=pa.int64()),
+                }
+            )
+        d, hc = r
+        order = np.lexsort((hc, d))
+        ds_, hs_ = d[order], hc[order]
+        new = np.empty(len(ds_), dtype=bool)
+        new[0] = True
+        new[1:] = (ds_[1:] != ds_[:-1]) | (hs_[1:] != hs_[:-1])
+        du = ds_[new]
+        docu, doct = np.unique(du, return_counts=True)
+        return pa.table(
+            {
+                id_col: pa.array(ids[docu].astype(np.int64)),
+                "n_trigrams": pa.array(doct.astype(np.int64)),
+            }
+        )
+
+    base = ds.map_batches(totals, batch_format="pyarrow")
+    # partitioned doc-keyed join of two doc-sized tables
+    joined = hash_join(
+        base.map_batches(
+            lambda t: t.rename_columns(["d", "n_trigrams"]), batch_format="pyarrow"
+        ),
+        novel,
+        on=["d"],
+        left_cols={"d": pa.int64(), "n_trigrams": pa.int64()},
+        right_cols={"d": pa.int64(), "n_novel": pa.int64()},
+        how="left",
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        nt = batch["n_trigrams"].to_numpy(zero_copy_only=False).astype(np.float64)
+        nn = (
+            pc.fill_null(batch["n_novel"], 0)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        return pa.table(
+            {
+                id_col: batch["d"],
+                "n_trigrams": batch["n_trigrams"],
+                "n_novel": pa.array(nn),
+                "novelty": pa.array(np.round(nn / nt, 6)),
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pyarrow")
