@@ -448,6 +448,21 @@ def _q_event_transitions(sf_dir):
     return event_transitions(ds)
 
 
+def _q_windowed_cooccurrence(sf_dir):
+    """GloVe-style 1/d-weighted co-occurrence matrix for the top-200
+    tokens, window 5 (ops/text.windowed_cooccurrence — pure array-shift
+    pair emission, coarse-bucket reduce; rows-only: weight ties to the
+    murmur-ranked top-k cut)."""
+    import ray.data
+
+    from kenlm_ray.ops.text import windowed_cooccurrence
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["text"]
+    )
+    return windowed_cooccurrence(ds, top_k=200, window=5)
+
+
 def _q_doc_trigram_novelty(sf_dir):
     """Per-doc fraction of distinct trigrams unique to that doc in the
     corpus (ops/text.doc_trigram_novelty — df==1 grams resolve to their
@@ -2009,6 +2024,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_pmi_top50": _q_token_pmi,
         "lang_chars_quantiles": _q_lang_chars_quantiles,
         "doc_trigram_novelty": _q_doc_trigram_novelty,
+        "glove_cooccurrence": _q_windowed_cooccurrence,
         "event_hourly_anomalies": _q_event_hourly_anomalies,
         "nation_revenue_share": _q_nation_revenue_share,
         "lineitem_correlations": _q_lineitem_correlations,

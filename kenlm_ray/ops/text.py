@@ -971,3 +971,130 @@ def doc_trigram_novelty(
         )
 
     return joined.map_batches(finish, batch_format="pyarrow")
+
+
+def windowed_cooccurrence(
+    ds: "ray.data.Dataset",
+    top_k: int = 1000,
+    window: int = 5,
+    text_col: str = "text",
+    num_buckets: int = 64,
+    harmonic: bool = True,
+) -> "ray.data.Dataset":
+    """GloVe-style co-occurrence matrix builder: for the ``top_k`` most
+    frequent tokens, the total (optionally 1/distance-weighted) count
+    of ordered co-occurrences within ``window`` tokens inside a
+    document.
+
+    Shape: token frequencies from the distributed unigram counter with
+    a sort+limit top-k cut; the k tokens broadcast as sorted hashes;
+    each batch emits fused (center, context) pair codes per distance by
+    pure array shifts (no per-token loop) pre-combined with one
+    np.unique; a coarse-bucket reduce merges.  Output pairs are
+    UNORDERED (i <= j, both directions folded) with columns tok_x,
+    tok_y, n_pair (int64 raw count), weight (float64, Σ 1/d, round 6;
+    equals n_pair when ``harmonic=False``).
+    """
+    import ray
+
+    from kenlm_ray.functions.hashing import hash_bytes_array
+
+    freq = ngram_counts(ds, 1, text_col)
+    top = (
+        freq.sort(["count", "w1"], descending=[True, False]).limit(top_k).to_pandas()
+    )
+    words = top["w1"].to_numpy()
+    alpha = np.argsort(words)
+    words_alpha = words[alpha]
+    rank_of = np.empty(len(words), dtype=np.int64)
+    rank_of[alpha] = np.arange(len(words))
+    hs = hash_bytes_array(list(words))
+    order = np.argsort(hs)
+    k = len(words)
+    lookup_ref = ray.put((hs[order], rank_of[order]))
+
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        vh, vi = ray.get(lookup_ref)
+        stream = tokenize_column(batch[text_col])
+        th = stream.hashes()
+        empty = pa.table(
+            {
+                "b": pa.array([], type=pa.int32()),
+                "code": pa.array([], type=pa.int64()),
+                "c": pa.array([], type=pa.int64()),
+                "wt": pa.array([], type=pa.float64()),
+            }
+        )
+        if len(th) < 2 or len(vh) == 0:
+            return empty
+        pos = np.searchsorted(vh, th)
+        np.minimum(pos, len(vh) - 1, out=pos)
+        hit = vh[pos] == th
+        # token stream with misses mapped to -1; same-doc windows only
+        w = np.where(hit, vi[pos], -1)
+        d = stream.doc_ids
+        codes, cnts, wts = [], [], []
+        for dist in range(1, window + 1):
+            if len(w) <= dist:
+                break
+            a, b_ = w[:-dist], w[dist:]
+            ok = (a >= 0) & (b_ >= 0) & (d[:-dist] == d[dist:])
+            if not ok.any():
+                continue
+            x = np.minimum(a[ok], b_[ok])
+            y = np.maximum(a[ok], b_[ok])
+            code = x * k + y
+            uniq, cnt = np.unique(code, return_counts=True)
+            codes.append(uniq)
+            cnts.append(cnt.astype(np.float64))
+            wts.append(cnt / dist if harmonic else cnt.astype(np.float64))
+        if not codes:
+            return empty
+        code = np.concatenate(codes)
+        # combine across distances
+        uniq, inv = np.unique(code, return_inverse=True)
+        csum = np.bincount(inv, weights=np.concatenate(cnts))
+        wsum = np.bincount(inv, weights=np.concatenate(wts))
+        return pa.table(
+            {
+                "b": pa.array((uniq % num_buckets).astype(np.int32)),
+                "code": pa.array(uniq),
+                "c": pa.array(np.rint(csum).astype(np.int64)),
+                "wt": pa.array(wsum),
+            }
+        )
+
+    def reduce_bucket(g: pa.Table) -> pa.Table:
+        code = g["code"].to_numpy(zero_copy_only=False)
+        c = g["c"].to_numpy(zero_copy_only=False)
+        wt = g["wt"].to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(code, return_inverse=True)
+        ct = np.bincount(inv, weights=c.astype(np.float64)).astype(np.int64)
+        wts = np.round(np.bincount(inv, weights=wt), 6)
+        return pa.table(
+            {"code": pa.array(uniq), "n_pair": pa.array(ct), "weight": pa.array(wts)}
+        )
+
+    words_ref = ray.put(words_alpha)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        wa = ray.get(words_ref)
+        code = batch["code"].to_numpy(zero_copy_only=False)
+        i, j = code // k, code % k
+        return pa.table(
+            {
+                "tok_x": pa.array(wa[i], type=pa.string()),
+                "tok_y": pa.array(wa[j], type=pa.string()),
+                "n_pair": batch["n_pair"],
+                "weight": batch["weight"],
+            }
+        )
+
+    return (
+        ds.map_batches(pair_partial, batch_format="pyarrow")
+        .groupby("b")
+        .map_groups(
+            lambda g: reduce_bucket(g.drop_columns(["b"])), batch_format="pyarrow"
+        )
+        .map_batches(finish, batch_format="pyarrow")
+    )

@@ -154,3 +154,51 @@ def test_event_hourly_anomalies_zero_variance_excluded(ray_session, tmp_path):
     assert 19 in got[got["event_type"] == "bursty"]["hour"].to_numpy()
     flagged = got[(got["event_type"] == "bursty") & (got["hour"] == 19)].iloc[0]
     assert flagged["n"] == 200 and flagged["zscore"] > 3.0
+
+
+def test_windowed_cooccurrence_brute_force(ray_session):
+    import pyarrow as pa
+
+    import ray.data
+
+    from kenlm_ray.ops.text import windowed_cooccurrence
+
+    rng = np.random.default_rng(17)
+    vocab = [f"t{i}" for i in range(12)]
+    docs = [
+        " ".join(rng.choice(vocab, rng.integers(2, 30)))
+        for _ in range(60)
+    ]
+    window = 4
+    t = pa.table({"text": pa.array(docs)})
+    got = (
+        windowed_cooccurrence(
+            ray.data.from_arrow(t), top_k=8, window=window
+        )
+        .to_pandas()
+        .set_index(["tok_x", "tok_y"])
+        .sort_index()
+    )
+    # brute force over the same top-8 (by count desc, token asc)
+    from collections import Counter, defaultdict
+
+    cnt = Counter(w for doc in docs for w in doc.split())
+    top = sorted(cnt, key=lambda w: (-cnt[w], w))[:8]
+    tops = set(top)
+    n_exp = defaultdict(int)
+    w_exp = defaultdict(float)
+    for doc in docs:
+        ws = doc.split()
+        for i in range(len(ws)):
+            for dd in range(1, window + 1):
+                j = i + dd
+                if j >= len(ws):
+                    break
+                if ws[i] in tops and ws[j] in tops:
+                    key = tuple(sorted((ws[i], ws[j])))
+                    n_exp[key] += 1
+                    w_exp[key] += 1.0 / dd
+    assert set(got.index) == set(n_exp)
+    for key in n_exp:
+        assert got.loc[key, "n_pair"] == n_exp[key], key
+        assert abs(got.loc[key, "weight"] - round(w_exp[key], 6)) < 1e-6, key
