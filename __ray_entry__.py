@@ -448,6 +448,20 @@ def _q_event_transitions(sf_dir):
     return event_transitions(ds)
 
 
+def _q_compression_ratio(sf_dir):
+    """Per-doc zlib compression-ratio quality signal (ops/text.
+    compression_ratio — pure map, zero shuffles; rows-only: no SQL
+    zlib)."""
+    import ray.data
+
+    from kenlm_ray.ops.text import compression_ratio
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    return compression_ratio(ds)
+
+
 def _q_windowed_cooccurrence(sf_dir):
     """GloVe-style 1/d-weighted co-occurrence matrix for the top-200
     tokens, window 5 (ops/text.windowed_cooccurrence — pure array-shift
@@ -2025,6 +2039,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_chars_quantiles": _q_lang_chars_quantiles,
         "doc_trigram_novelty": _q_doc_trigram_novelty,
         "glove_cooccurrence": _q_windowed_cooccurrence,
+        "doc_compression_ratio": _q_compression_ratio,
         "event_hourly_anomalies": _q_event_hourly_anomalies,
         "nation_revenue_share": _q_nation_revenue_share,
         "lineitem_correlations": _q_lineitem_correlations,

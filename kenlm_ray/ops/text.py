@@ -1098,3 +1098,48 @@ def windowed_cooccurrence(
         )
         .map_batches(finish, batch_format="pyarrow")
     )
+
+
+def compression_ratio(
+    ds: "ray.data.Dataset",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    level: int = 6,
+) -> "ray.data.Dataset":
+    """Compression-ratio quality signal (RefinedWeb-style): per document,
+    ``len(zlib(text)) / len(text)`` — low ratios mark boilerplate /
+    repetitive documents, high ratios mark high-entropy (or binary)
+    blobs; both tails are curation-drop candidates.
+
+    Pure map stage, zero shuffles.  zlib runs per document (a C call
+    per row, not a Python hot loop over tokens); empty documents are
+    dropped (undefined ratio).  Output: id_col, n_bytes (int64),
+    ratio (float64, round 6).
+    """
+    import zlib
+
+    def score(batch: pa.Table) -> pa.Table:
+        col = batch[text_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        raw = col.cast(pa.binary())
+        sizes = np.array(
+            [len(v.as_py() or b"") for v in raw], dtype=np.int64
+        )
+        keep = sizes > 0
+        comp = np.array(
+            [
+                len(zlib.compress(raw[int(i)].as_py(), level))
+                for i in np.flatnonzero(keep)
+            ],
+            dtype=np.int64,
+        )
+        return pa.table(
+            {
+                id_col: batch[id_col].filter(pa.array(keep)),
+                "n_bytes": pa.array(sizes[keep]),
+                "ratio": pa.array(np.round(comp / sizes[keep], 6)),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow")

@@ -202,3 +202,29 @@ def test_windowed_cooccurrence_brute_force(ray_session):
     for key in n_exp:
         assert got.loc[key, "n_pair"] == n_exp[key], key
         assert abs(got.loc[key, "weight"] - round(w_exp[key], 6)) < 1e-6, key
+
+
+def test_compression_ratio_signal(ray_session):
+    import pyarrow as pa
+
+    import ray.data
+
+    from kenlm_ray.ops.text import compression_ratio
+
+    rng = np.random.default_rng(23)
+    rand = "".join(chr(c) for c in rng.integers(33, 127, 4000))
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+            "text": ["spam " * 1000, rand, ""],
+        }
+    )
+    got = (
+        compression_ratio(ray.data.from_arrow(t))
+        .to_pandas()
+        .set_index("doc_id")
+    )
+    assert 3 not in got.index  # empty doc dropped
+    assert got.loc[1, "ratio"] < 0.05  # boilerplate compresses away
+    assert got.loc[2, "ratio"] > 0.7  # high entropy barely compresses
+    assert got.loc[1, "n_bytes"] == 5000
