@@ -222,6 +222,52 @@ def _bench_width(bound: int) -> "type":
     return np.uint64
 
 
+def cmd_analyze(args) -> int:
+    """Corpus-analysis operators over a parquet corpus; writes parquet."""
+    _ray_init()
+    import ray.data
+
+    from kenlm_ray.ops import text as t
+
+    if args.op == "transitions":
+        from kenlm_ray.ops.windows import event_transitions
+
+        ds = ray.data.read_parquet(args.corpus)
+        out = event_transitions(ds)
+    else:
+        cols = {"compression": [args.id_col, args.text_col],
+                "novelty": [args.id_col, args.text_col],
+                "pmi": [args.id_col, args.text_col],
+                "cooc": [args.text_col],
+                "concat": [args.id_col, args.group_col, args.text_col]}[args.op]
+        ds = ray.data.read_parquet(args.corpus, columns=cols)
+        if args.op == "pmi":
+            out = t.token_pmi(ds, top_k=args.top_k, text_col=args.text_col,
+                              id_col=args.id_col)
+        elif args.op == "cooc":
+            out = t.windowed_cooccurrence(
+                ds, top_k=args.top_k, window=args.window, text_col=args.text_col
+            )
+        elif args.op == "novelty":
+            out = t.doc_trigram_novelty(
+                ds, text_col=args.text_col, id_col=args.id_col
+            )
+        elif args.op == "compression":
+            out = t.compression_ratio(
+                ds, text_col=args.text_col, id_col=args.id_col
+            )
+        else:
+            out = t.concat_documents(
+                ds, group_col=args.group_col, order_col=args.id_col,
+                text_col=args.text_col,
+            )
+    out.write_parquet(args.out)
+    import json
+
+    print(json.dumps({"op": args.op, "out": args.out}))
+    return 0
+
+
 def cmd_benchmark(args) -> int:
     """Query-throughput benchmark — the reference's ``kenlm_benchmark``
     (lm/kenlm_benchmark_main.cc): ``--emit-ids`` converts a text corpus
@@ -1239,6 +1285,25 @@ def main(argv=None) -> int:
     sB.add_argument("--emit-ids", default=None, help="convert corpus to id stream")
     sB.add_argument("--threads", type=int, default=1)
     sB.set_defaults(fn=cmd_benchmark)
+
+    sA = sub.add_parser(
+        "analyze",
+        help="corpus-analysis operators: pmi | cooc | novelty | "
+        "compression | concat | transitions",
+    )
+    sA.add_argument("corpus")
+    sA.add_argument("out")
+    sA.add_argument(
+        "--op",
+        required=True,
+        choices=["pmi", "cooc", "novelty", "compression", "concat", "transitions"],
+    )
+    sA.add_argument("--text-col", default="text")
+    sA.add_argument("--id-col", default="doc_id")
+    sA.add_argument("--group-col", default="source")
+    sA.add_argument("--top-k", type=int, default=200)
+    sA.add_argument("--window", type=int, default=5)
+    sA.set_defaults(fn=cmd_analyze)
 
     args = p.parse_args(argv)
     return args.fn(args)

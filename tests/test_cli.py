@@ -336,3 +336,31 @@ def test_cli_dedup_image_and_audio(ray_session, tmp_path):
     ]) == 0
     got = pq.read_table(str(outa)).to_pandas()
     assert list(zip(got["id_a"], got["id_b"])) == [(0, 1)]
+
+
+def test_analyze_compression(tmp_path):
+    import subprocess
+    import sys
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    corpus = tmp_path / "docs"
+    corpus.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2], type=pa.int64()),
+                "text": ["spam " * 500, "unique words here only once"],
+            }
+        ),
+        corpus / "part.parquet",
+    )
+    out = tmp_path / "out"
+    subprocess.run(
+        [sys.executable, "-m", "kenlm_ray.cli", "analyze", str(corpus),
+         str(out), "--op", "compression"],
+        check=True, capture_output=True, cwd="/root/repo",
+    )
+    got = pq.read_table(str(out)).to_pandas().set_index("doc_id")
+    assert got.loc[1, "ratio"] < 0.1 and got.loc[2, "ratio"] > 0.3
