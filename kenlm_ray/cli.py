@@ -234,6 +234,34 @@ def cmd_analyze(args) -> int:
 
         ds = ray.data.read_parquet(args.corpus)
         out = event_transitions(ds)
+    elif args.op in ("trend", "corr", "chi2"):
+        from kenlm_ray.ops import stats as stx
+
+        if args.op == "trend":
+            if not (args.x_col and args.y_col):
+                print("analyze --op trend needs --x-col and --y-col",
+                      file=sys.stderr)
+                return 2
+            ds = ray.data.read_parquet(
+                args.corpus, columns=[args.group_col, args.x_col, args.y_col]
+            )
+            out = stx.grouped_ols(ds, args.group_col, args.x_col, args.y_col)
+        elif args.op == "corr":
+            if not args.cols:
+                print("analyze --op corr needs --cols a,b,c", file=sys.stderr)
+                return 2
+            cols = args.cols.split(",")
+            ds = ray.data.read_parquet(args.corpus, columns=cols)
+            out = stx.corr_matrix(ds, cols)
+        else:
+            if not (args.col_a and args.col_b):
+                print("analyze --op chi2 needs --col-a and --col-b",
+                      file=sys.stderr)
+                return 2
+            ds = ray.data.read_parquet(
+                args.corpus, columns=[args.col_a, args.col_b]
+            )
+            out = stx.chi2_independence(ds, args.col_a, args.col_b)
     else:
         cols = {"compression": [args.id_col, args.text_col],
                 "novelty": [args.id_col, args.text_col],
@@ -1296,13 +1324,21 @@ def main(argv=None) -> int:
     sA.add_argument(
         "--op",
         required=True,
-        choices=["pmi", "cooc", "novelty", "compression", "concat", "transitions"],
+        choices=[
+            "pmi", "cooc", "novelty", "compression", "concat", "transitions",
+            "trend", "corr", "chi2",
+        ],
     )
     sA.add_argument("--text-col", default="text")
     sA.add_argument("--id-col", default="doc_id")
     sA.add_argument("--group-col", default="source")
     sA.add_argument("--top-k", type=int, default=200)
     sA.add_argument("--window", type=int, default=5)
+    sA.add_argument("--x-col", default=None, help="trend: regressor column")
+    sA.add_argument("--y-col", default=None, help="trend: response column")
+    sA.add_argument("--cols", default=None, help="corr: comma-separated columns")
+    sA.add_argument("--col-a", default=None, help="chi2: first categorical")
+    sA.add_argument("--col-b", default=None, help="chi2: second categorical")
     sA.set_defaults(fn=cmd_analyze)
 
     args = p.parse_args(argv)
