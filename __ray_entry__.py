@@ -448,6 +448,15 @@ def _q_event_transitions(sf_dir):
     return event_transitions(ds)
 
 
+def _q_label_centroid_cosine(sf_dir):
+    """Cluster-coherence audit: per-label mean cosine to the label's
+    mean-vector centroid (ops/knn.label_centroid_cosine — two linear
+    passes, label-sized partials, centroids broadcast once)."""
+    from kenlm_ray.ops.knn import label_centroid_cosine
+
+    return label_centroid_cosine(sf_dir)
+
+
 def _q_compression_ratio(sf_dir):
     """Per-doc zlib compression-ratio quality signal (ops/text.
     compression_ratio — pure map, zero shuffles; rows-only: no SQL
@@ -2040,6 +2049,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_trigram_novelty": _q_doc_trigram_novelty,
         "glove_cooccurrence": _q_windowed_cooccurrence,
         "doc_compression_ratio": _q_compression_ratio,
+        "label_centroid_cosine": _q_label_centroid_cosine,
         "event_hourly_anomalies": _q_event_hourly_anomalies,
         "nation_revenue_share": _q_nation_revenue_share,
         "lineitem_correlations": _q_lineitem_correlations,
@@ -2469,6 +2479,25 @@ def oracle_sql() -> dict[str, str]:
                        PARTITION BY user_id
                        ORDER BY ts, event_id)))::BIGINT AS gap_us
             FROM events
+        """,
+        "label_centroid_cosine": """
+            WITH elems AS (
+                SELECT label, vec_id, i, embedding[i]::DOUBLE AS v
+                FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)
+            ),
+            cent AS (
+                SELECT label, list(av ORDER BY i) AS c
+                FROM (SELECT label, i, avg(v) AS av FROM elems GROUP BY 1, 2)
+                GROUP BY label
+            ),
+            sims AS (
+                SELECT e.label,
+                       list_cosine_similarity(e.embedding::DOUBLE[], c.c) AS s
+                FROM embeddings e JOIN cent c USING (label)
+            )
+            SELECT label::BIGINT AS label, count(*)::BIGINT AS n,
+                   round(avg(s), 6) AS mean_cos
+            FROM sims GROUP BY label
         """,
         "doc_trigram_novelty": r"""
             WITH toks AS (

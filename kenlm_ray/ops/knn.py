@@ -631,3 +631,114 @@ def ivf_knn(
 
     scored = cand.map_batches(score, batch_format="pyarrow")
     return scored.sort(["cos_sim", id_col], descending=[True, False]).limit(k)
+
+
+def label_centroid_cosine(
+    sf_dir: str,
+    emb_col: str = "embedding",
+    label_col: str = "label",
+    round_to: int = 6,
+) -> "ray.data.Dataset":
+    """Cluster-coherence audit: per label, the mean cosine similarity
+    of member embeddings to their label's (unnormalized) mean-vector
+    centroid.
+
+    Two linear passes, zero all-to-all shuffles: (1) per-batch
+    per-label (count, Σvector) partials — label-count-sized — merge in
+    one label-keyed groupby, centroids broadcast via ray.put; (2) each
+    batch computes cosines to its rows' own centroids by one gather +
+    rowwise dot, and per-label (n, Σcos) partials merge the same way.
+    Output: label (int64), n (int64), mean_cos (round 6).
+    """
+    import os as _os
+
+    from ray.data.aggregate import Sum
+
+    ds = ray.data.read_parquet(
+        _os.path.join(sf_dir, "embeddings.parquet"), columns=[emb_col, label_col]
+    )
+
+    def sum_partial(batch: pa.Table) -> pa.Table:
+        M = _emb_matrix(batch, emb_col)
+        lab = batch[label_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq, inv = np.unique(lab, return_inverse=True)
+        sums = np.zeros((len(uniq), M.shape[1]), dtype=np.float64)
+        np.add.at(sums, inv, M)
+        cnt = np.bincount(inv).astype(np.int64)
+        return pa.table(
+            {
+                "label": pa.array(uniq),
+                "n": pa.array(cnt),
+                "s": pa.array([row.tobytes() for row in sums], type=pa.binary()),
+            }
+        )
+
+    def merge_label(g: pa.Table) -> pa.Table:
+        lab = g["label"][0].as_py()
+        n = int(np.sum(g["n"].to_numpy(zero_copy_only=False)))
+        vecs = np.stack(
+            [np.frombuffer(b.as_py(), dtype=np.float64) for b in g["s"]]
+        )
+        return pa.table(
+            {
+                "label": pa.array([lab], type=pa.int64()),
+                "n": pa.array([n], type=pa.int64()),
+                "s": pa.array([vecs.sum(axis=0).tobytes()], type=pa.binary()),
+            }
+        )
+
+    cent_tbl = (
+        ds.map_batches(sum_partial, batch_format="pyarrow")
+        .groupby("label")
+        .map_groups(merge_label, batch_format="pyarrow")
+        .to_pandas()  # label-count-sized
+    )
+    labels = cent_tbl["label"].to_numpy(dtype=np.int64)
+    order = np.argsort(labels)
+    labels = labels[order]
+    cents = np.stack(
+        [
+            np.frombuffer(cent_tbl["s"].iloc[int(i)], dtype=np.float64)
+            for i in order
+        ]
+    )
+    counts = cent_tbl["n"].to_numpy(dtype=np.int64)[order]
+    cents = cents / counts[:, None]  # mean vector centroid
+    cent_ref = ray.put((labels, cents))
+
+    def cos_partial(batch: pa.Table) -> pa.Table:
+        lk, C = ray.get(cent_ref)
+        M = _emb_matrix(batch, emb_col)
+        lab = batch[label_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        idx = np.searchsorted(lk, lab)
+        Cm = C[idx]
+        num = np.einsum("ij,ij->i", M, Cm)
+        den = np.linalg.norm(M, axis=1) * np.linalg.norm(Cm, axis=1)
+        cos = np.where(den > 0, num / den, 0.0)
+        uniq, inv = np.unique(lab, return_inverse=True)
+        return pa.table(
+            {
+                "label": pa.array(uniq),
+                "n": pa.array(np.bincount(inv).astype(np.int64)),
+                "sc": pa.array(np.bincount(inv, weights=cos)),
+            }
+        )
+
+    agg = (
+        ds.map_batches(cos_partial, batch_format="pyarrow")
+        .groupby("label")
+        .aggregate(Sum("n", alias_name="n"), Sum("sc", alias_name="sc"))
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        n = batch["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        sc = batch["sc"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "label": batch["label"],
+                "n": batch["n"],
+                "mean_cos": pa.array(np.round(sc / n, round_to)),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
