@@ -448,6 +448,15 @@ def _q_event_transitions(sf_dir):
     return event_transitions(ds)
 
 
+def _q_copurchase_lift(sf_dir):
+    """Market-basket support + lift between the top-100 parts
+    (ops/analytics.copurchase_lift — order x part presence bitmap,
+    one matmul per group, orderkey-bucket regroup)."""
+    from kenlm_ray.ops.analytics import copurchase_lift
+
+    return copurchase_lift(sf_dir, top_k=100)
+
+
 def _q_label_centroid_cosine(sf_dir):
     """Cluster-coherence audit: per-label mean cosine to the label's
     mean-vector centroid (ops/knn.label_centroid_cosine — two linear
@@ -2050,6 +2059,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "glove_cooccurrence": _q_windowed_cooccurrence,
         "doc_compression_ratio": _q_compression_ratio,
         "label_centroid_cosine": _q_label_centroid_cosine,
+        "copurchase_lift": _q_copurchase_lift,
         "event_hourly_anomalies": _q_event_hourly_anomalies,
         "nation_revenue_share": _q_nation_revenue_share,
         "lineitem_correlations": _q_lineitem_correlations,
@@ -2479,6 +2489,36 @@ def oracle_sql() -> dict[str, str]:
                        PARTITION BY user_id
                        ORDER BY ts, event_id)))::BIGINT AS gap_us
             FROM events
+        """,
+        "copurchase_lift": """
+            WITH pres AS (
+                SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+            ),
+            freq AS (
+                SELECT l_partkey, count(*)::BIGINT AS n FROM pres GROUP BY 1
+            ),
+            top AS (
+                SELECT l_partkey, n FROM freq
+                ORDER BY n DESC, l_partkey LIMIT 100
+            ),
+            p AS (
+                SELECT pr.l_orderkey, pr.l_partkey
+                FROM pres pr JOIN top USING (l_partkey)
+            ),
+            pairs AS (
+                SELECT a.l_partkey AS part_x, b.l_partkey AS part_y,
+                       count(*)::BIGINT AS n_pair
+                FROM p a JOIN p b
+                  ON a.l_orderkey = b.l_orderkey
+                 AND a.l_partkey < b.l_partkey
+                GROUP BY 1, 2
+            )
+            SELECT part_x, part_y, n_pair,
+                   round(n_pair * (SELECT count(*) FROM orders)::DOUBLE
+                         / (tx.n * ty.n), 6) AS lift
+            FROM pairs
+            JOIN top tx ON tx.l_partkey = part_x
+            JOIN top ty ON ty.l_partkey = part_y
         """,
         "label_centroid_cosine": """
             WITH elems AS (

@@ -1666,3 +1666,143 @@ def orders_rollup(sf_dir: str) -> "ray.data.Dataset":
     return fine.repartition(1).map_batches(
         expand, batch_format="pyarrow", batch_size=None
     )
+
+
+def copurchase_lift(sf_dir: str, top_k: int = 100) -> "ray.data.Dataset":
+    """Market-basket mining: co-purchase support and lift between the
+    ``top_k`` most-ordered parts — lift(x,y) = n_xy * N / (n_x * n_y)
+    over ORDER-level distinct part presence.
+
+    Shape: part order-frequencies via a part-keyed count (partial-
+    combined in batch) with a distributed sort+limit top-k cut; the k
+    partkeys broadcast sorted; each batch folds its (order, part) rows
+    into an order x k presence bitmap and ONE matmul counts every
+    pair's support — no per-order loop, orders never span batches
+    after the orderkey-bucket regroup.  Output: part_x, part_y
+    (part_x < part_y), n_pair (int64), lift (round 6).
+    """
+    from ray.data.aggregate import Count, Sum
+
+    li = read(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+
+    def pres_partial(batch: pa.Table) -> pa.Table:
+        t = batch.group_by(["l_orderkey", "l_partkey"]).aggregate([])
+        return t
+
+    # An order CAN span input blocks: per-batch distinct is only a
+    # partial dedupe, so regroup by orderkey bucket and dedupe again —
+    # both the part frequencies and the pair bitmap need the GLOBAL
+    # distinct (order, part) presence.
+    P = 32
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        k_ = batch["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            x = (k_ ^ (k_ >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+            x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+            x ^= x >> np.uint64(31)
+        return batch.append_column(
+            "__pb", pa.array((x % np.uint64(P)).astype(np.int64))
+        )
+
+    pres = (
+        li.map_batches(pres_partial, batch_format="pyarrow")
+        .map_batches(bucket, batch_format="pyarrow")
+        .groupby("__pb")
+        .map_groups(
+            lambda g: g.drop_columns(["__pb"])
+            .group_by(["l_orderkey", "l_partkey"])
+            .aggregate([]),
+            batch_format="pyarrow",
+        )
+        .materialize()  # distinct-presence-sized; reused by freq + pairs
+    )
+
+    n_orders = int(
+        read(sf_dir, "orders", columns=["o_orderkey"]).count()
+    )
+
+    def freq_partial(batch: pa.Table) -> pa.Table:
+        t = batch.select(["l_partkey"])
+        t = t.append_column("c", pa.array(np.ones(len(t), dtype=np.int64)))
+        return t.group_by(["l_partkey"]).aggregate([("c", "sum")])
+
+    freq = (
+        pres.map_batches(freq_partial, batch_format="pyarrow")
+        .groupby("l_partkey")
+        .aggregate(Sum("c_sum", alias_name="n"))
+    )
+    top = freq.sort(["n", "l_partkey"], descending=[True, False]).limit(top_k).to_pandas()
+    parts = top["l_partkey"].to_numpy(dtype=np.int64)
+    counts = top["n"].to_numpy(dtype=np.int64)
+    order_ = np.argsort(parts)
+    parts_s, counts_s = parts[order_], counts[order_]
+    k = len(parts_s)
+    look_ref = ray.put(parts_s)
+
+    def pairs(g: pa.Table) -> pa.Table:
+        lk = ray.get(look_ref)
+        empty = pa.table(
+            {
+                "code": pa.array([], type=pa.int64()),
+                "c": pa.array([], type=pa.int64()),
+            }
+        )
+        if len(g) == 0:
+            return empty
+        ok_ = g["l_orderkey"].to_numpy(zero_copy_only=False)
+        pk = g["l_partkey"].to_numpy(zero_copy_only=False)
+        idx = np.minimum(np.searchsorted(lk, pk), max(len(lk) - 1, 0))
+        hit = lk[idx] == pk
+        if not hit.any():
+            return empty
+        o = ok_[hit]
+        w = idx[hit]
+        # dense order codes for the bitmap rows
+        ouniq, oinv = np.unique(o, return_inverse=True)
+        bitmap = np.zeros((len(ouniq), k), dtype=np.float32)
+        bitmap[oinv, w] = 1.0
+        co = bitmap.T @ bitmap
+        iu, ju = np.triu_indices(k, 1)
+        cnt = co[iu, ju].astype(np.int64)
+        nz = cnt > 0
+        if not nz.any():
+            return empty
+        return pa.table(
+            {
+                "code": pa.array(iu[nz].astype(np.int64) * k + ju[nz]),
+                "c": pa.array(cnt[nz]),
+            }
+        )
+
+    agg = (
+        pres.map_batches(bucket, batch_format="pyarrow")
+        .groupby("__pb")
+        .map_groups(
+            lambda g: pairs(g.drop_columns(["__pb"])), batch_format="pyarrow"
+        )
+        .groupby("code")
+        .aggregate(Sum("c", alias_name="n_pair"))
+    )
+
+    ref = ray.put((parts_s, counts_s))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        ps, cs = ray.get(ref)
+        code = batch["code"].to_numpy(zero_copy_only=False)
+        n_pair = batch["n_pair"].to_numpy(zero_copy_only=False)
+        i, j = code // k, code % k
+        lift = np.round(
+            n_pair.astype(np.float64) * n_orders / (cs[i].astype(np.float64) * cs[j]),
+            6,
+        )
+        return pa.table(
+            {
+                "part_x": pa.array(ps[i]),
+                "part_y": pa.array(ps[j]),
+                "n_pair": pa.array(n_pair),
+                "lift": pa.array(lift),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
