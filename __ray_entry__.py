@@ -1442,6 +1442,14 @@ def _q_jaccard_dedup_docs(sf_dir):
     return dedup_keep_representatives(docs, pairs).select_columns(["doc_id"])
 
 
+def _q_containment_pairs(sf_dir):
+    """Asymmetric shingle-containment near-dup pairs — |A∩B|/|A| >= 0.6
+    (ops/dedup.containment_near_dup_pairs, shared inverted-index shape)."""
+    from kenlm_ray.ops.dedup import containment_near_dup_pairs
+
+    return containment_near_dup_pairs(_documents(sf_dir), tau=0.6)
+
+
 def _q_simhash(sf_dir):
     from kenlm_ray.ops.dedup import simhash_column
 
@@ -2039,6 +2047,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sliding_window_counts": _q_sliding_windows,
         "user_sessions": _q_user_sessions,
         "jaccard_near_dup_pairs": _q_jaccard_pairs,
+        "containment_near_dup_pairs": _q_containment_pairs,
         "jaccard_dedup_clusters": _q_jaccard_clusters,
         "jaccard_dedup_docs": _q_jaccard_dedup_docs,
         "purchase_click_attribution": _q_asof_attribution,
@@ -2889,6 +2898,35 @@ def oracle_sql() -> dict[str, str]:
             JOIN cnt ca ON ca.doc_id = id_a
             JOIN cnt cb ON cb.doc_id = id_b
             WHERE ints / (ca.n + cb.n - ints) >= 0.5
+        """,
+        "containment_near_dup_pairs": """
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(text, '[\\t\\n\\r ]+'),
+                                 x -> x <> '') AS ts
+              FROM documents
+            ), sh AS (
+              SELECT DISTINCT doc_id,
+                     ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS s
+              FROM toks, UNNEST(generate_series(1, len(ts)-2)) AS g(i)
+              WHERE len(ts) >= 3
+            ), cnt AS (
+              SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+            ), inter AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ints
+              FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY a.doc_id, b.doc_id
+            ), both_dirs AS (
+              SELECT id_a AS doc_id, id_b AS other_id,
+                     ints::DOUBLE / ca.n AS containment
+              FROM inter JOIN cnt ca ON ca.doc_id = id_a
+              UNION ALL
+              SELECT id_b AS doc_id, id_a AS other_id,
+                     ints::DOUBLE / cb.n AS containment
+              FROM inter JOIN cnt cb ON cb.doc_id = id_b
+            )
+            SELECT doc_id, other_id, round(containment, 6) AS containment
+            FROM both_dirs WHERE containment >= 0.6
         """,
         "embedding_near_dup": """
             SELECT a.vec_id::BIGINT AS id_a, b.vec_id::BIGINT AS id_b,

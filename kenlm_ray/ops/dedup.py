@@ -634,40 +634,34 @@ def ngram_jaccard_pairs(
     return ray.data.from_pandas(pd.DataFrame(rows))
 
 
-def jaccard_near_dup_pairs(
+def _shingle_pair_reduce(
     ds: "ray.data.Dataset",
     *,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    shingle_n: int = 3,
-    tau: float = 0.5,
-    max_df: "int | None" = None,
-    num_partitions: int = 64,
+    text_col: str,
+    id_col: str,
+    shingle_n: int,
+    max_df: "int | None",
+    num_partitions: int,
+    finish,
 ) -> "ray.data.Dataset":
-    """EXACT n-gram-Jaccard near-duplicate pairs, fully distributed.
-
-    Unlike :func:`minhash_lsh_pairs` (probabilistic recall) this computes
-    the true Jaccard similarity of every document pair that shares at
-    least one distinct word ``shingle_n``-gram, via the inverted-index
-    shape (the dedup analog of the reference's n-gram combine shuffle,
-    /root/reference/lm/builder/combine_counts.hh):
+    """Shared inverted-index pair machinery of the exact set-overlap
+    dedup family (the dedup analog of the reference's n-gram combine
+    shuffle, /root/reference/lm/builder/combine_counts.hh):
 
     1. map: per doc, DISTINCT shingle hashes -> narrow
        ``(shingle u64, id, n_shingles)`` rows (never raw text);
     2. coarse groupby(shingle % P) -> run detection -> within-run pair
        rows carrying both docs' shingle counts;
-    3. groupby(pair) count = |A∩B|; jaccard = inter/(|A|+|B|-inter),
-       filter ``>= tau``.
+    3. groupby(pair) sums ``inter = |A∩B|`` and hands the fully-reduced
+       ``(id_a, id_b, |A|, |B|, inter)`` arrays (id_a < id_b) to
+       ``finish``, which computes the metric and filters.
 
     Exactness costs O(df²) pair rows per shingle.  ``max_df`` (default
     None = exact) caps that for web scale: shingles occurring in more
     than ``max_df`` docs contribute no intersection rows (per-doc counts
-    keep them), so the reported jaccard becomes a LOWER BOUND — recall
+    keep them), so the reported overlap becomes a LOWER BOUND — recall
     loss only, never a spurious pair.  Leave None when an exact answer
     is required and the corpus is deduped enough that no shingle is hot.
-
-    Returns ``(id_a, id_b, jaccard)`` with ``id_a < id_b``, jaccard
-    rounded to 6 places.
     """
     P = num_partitions
 
@@ -777,16 +771,10 @@ def jaccard_near_dup_pairs(
 
     def final_pairs(t: pa.Table) -> pa.Table:
         """One coarse pair partition: sum partial intersections per pair,
-        compute jaccard, filter."""
-        empty = pa.table(
-            {
-                "id_a": pa.array([], type=pa.int64()),
-                "id_b": pa.array([], type=pa.int64()),
-                "jaccard": pa.array([], type=pa.float64()),
-            }
-        )
+        then hand the reduced arrays to the metric ``finish``."""
         if len(t) == 0:
-            return empty
+            z = np.array([], dtype=np.int64)
+            return finish(z, z, z, z, z)
         ia, ib, ca, cb, inter = _combine_pairs(
             t["id_a"].to_numpy(zero_copy_only=False).astype(np.int64),
             t["id_b"].to_numpy(zero_copy_only=False).astype(np.int64),
@@ -794,6 +782,40 @@ def jaccard_near_dup_pairs(
             t["cb"].to_numpy(zero_copy_only=False).astype(np.int64),
             t["inter"].to_numpy(zero_copy_only=False).astype(np.int64),
         )
+        return finish(ia, ib, ca, cb, inter)
+
+    return (
+        ds.map_batches(to_shingles, batch_format="pyarrow")
+        .groupby("__pb")
+        .map_groups(part_pairs, batch_format="pyarrow")
+        .groupby("__pb2")
+        .map_groups(final_pairs, batch_format="pyarrow")
+    )
+
+
+def jaccard_near_dup_pairs(
+    ds: "ray.data.Dataset",
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    tau: float = 0.5,
+    max_df: "int | None" = None,
+    num_partitions: int = 64,
+) -> "ray.data.Dataset":
+    """EXACT n-gram-Jaccard near-duplicate pairs, fully distributed.
+
+    Unlike :func:`minhash_lsh_pairs` (probabilistic recall) this computes
+    the true Jaccard similarity of every document pair that shares at
+    least one distinct word ``shingle_n``-gram — see
+    :func:`_shingle_pair_reduce` for the inverted-index shape and the
+    ``max_df`` lower-bound semantics.
+
+    Returns ``(id_a, id_b, jaccard)`` with ``id_a < id_b``, jaccard =
+    inter/(|A|+|B|-inter) >= ``tau``, rounded to 6 places.
+    """
+
+    def finish(ia, ib, ca, cb, inter):
         union = (ca + cb - inter).astype(np.float64)
         j = np.where(union > 0, inter / np.maximum(union, 1.0), 0.0)
         sel = j >= tau
@@ -805,12 +827,68 @@ def jaccard_near_dup_pairs(
             }
         )
 
-    return (
-        ds.map_batches(to_shingles, batch_format="pyarrow")
-        .groupby("__pb")
-        .map_groups(part_pairs, batch_format="pyarrow")
-        .groupby("__pb2")
-        .map_groups(final_pairs, batch_format="pyarrow")
+    return _shingle_pair_reduce(
+        ds,
+        text_col=text_col,
+        id_col=id_col,
+        shingle_n=shingle_n,
+        max_df=max_df,
+        num_partitions=num_partitions,
+        finish=finish,
+    )
+
+
+def containment_near_dup_pairs(
+    ds: "ray.data.Dataset",
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    tau: float = 0.8,
+    max_df: "int | None" = None,
+    num_partitions: int = 64,
+) -> "ray.data.Dataset":
+    """EXACT asymmetric shingle-containment pairs: ordered ``(doc_id,
+    other_id)`` where ``containment = |A∩B| / |A| >= tau`` (A = doc_id's
+    distinct ``shingle_n``-gram set).
+
+    Containment is the subsumption signal Jaccard misses: a short doc
+    quoted verbatim inside a much longer one has tiny Jaccard (the union
+    is dominated by the long doc) but containment ~1.0 on the short
+    side — the "page embedded in a boilerplate wrapper" / "function
+    copied into a bigger file" case a curation pipeline wants to catch
+    (cf. the suffix-array ExactSubstr motivation in arXiv:2107.06499;
+    this is its set-level, shuffle-friendly analog).  Same distributed
+    shape and ``max_df`` lower-bound semantics as
+    :func:`jaccard_near_dup_pairs` (see :func:`_shingle_pair_reduce`);
+    each unordered pair yields up to two ordered rows.
+
+    Returns ``(doc_id, other_id, containment)``, containment rounded to
+    6 places.
+    """
+
+    def finish(ia, ib, ca, cb, inter):
+        ra = inter / np.maximum(ca, 1).astype(np.float64)
+        rb = inter / np.maximum(cb, 1).astype(np.float64)
+        sa, sb = ra >= tau, rb >= tau
+        return pa.table(
+            {
+                "doc_id": pa.array(np.concatenate([ia[sa], ib[sb]])),
+                "other_id": pa.array(np.concatenate([ib[sa], ia[sb]])),
+                "containment": pa.array(
+                    np.round(np.concatenate([ra[sa], rb[sb]]), 6)
+                ),
+            }
+        )
+
+    return _shingle_pair_reduce(
+        ds,
+        text_col=text_col,
+        id_col=id_col,
+        shingle_n=shingle_n,
+        max_df=max_df,
+        num_partitions=num_partitions,
+        finish=finish,
     )
 
 

@@ -740,6 +740,62 @@ def test_jaccard_near_dup_exact(ray_session):
     assert top == (0, 12) and got_map[top] > 0.9
 
 
+def test_containment_subsumption(ray_session):
+    """containment_near_dup_pairs catches a short doc embedded verbatim
+    in a much longer one (tiny Jaccard, containment 1.0 on the short
+    side) and matches brute-force containment on every pair."""
+    import itertools
+
+    import ray.data
+
+    from kenlm_ray.ops.dedup import (
+        containment_near_dup_pairs,
+        jaccard_near_dup_pairs,
+    )
+
+    rng = __import__("random").Random(11)
+    vocab = [f"w{i}" for i in range(50)]
+    docs = []
+    for d in range(8):
+        toks = [vocab[rng.randrange(len(vocab))] for _ in range(40)]
+        docs.append({"doc_id": d, "text": " ".join(toks)})
+    # planted subsumption: doc 8 is short, doc 9 = doc 8 + a long tail
+    short = "s0 s1 s2 s3 s4 s5 s6 s7"
+    docs.append({"doc_id": 8, "text": short})
+    tail = " ".join(f"u{i}" for i in range(200))
+    docs.append({"doc_id": 9, "text": short + " " + tail})
+
+    def shingles(text, n=3):
+        t = text.split()
+        return {" ".join(t[i : i + n]) for i in range(len(t) - n + 1)}
+
+    expect = {}
+    for a, b in itertools.combinations(range(len(docs)), 2):
+        sa, sb = shingles(docs[a]["text"]), shingles(docs[b]["text"])
+        inter = len(sa & sb)
+        if inter == 0:
+            continue
+        ca, cb = inter / len(sa), inter / len(sb)
+        if ca >= 0.3:
+            expect[(a, b)] = round(ca, 6)
+        if cb >= 0.3:
+            expect[(b, a)] = round(cb, 6)
+
+    ds = ray.data.from_items(docs)
+    got = containment_near_dup_pairs(ds, tau=0.3).to_pandas()
+    got_map = {
+        (int(r.doc_id), int(r.other_id)): round(float(r.containment), 6)
+        for r in got.itertuples()
+    }
+    assert got_map == expect
+    # the planted short doc is fully contained; the long side is not
+    assert got_map[(8, 9)] == 1.0 and (9, 8) not in got_map
+    # and Jaccard at the same threshold misses the pair entirely
+    j = jaccard_near_dup_pairs(ds, tau=0.3).to_pandas()
+    jp = {(int(r.id_a), int(r.id_b)) for r in j.itertuples()}
+    assert (8, 9) not in jp
+
+
 def test_jaccard_max_df_lower_bound(ray_session):
     """With max_df set, reported jaccard never exceeds the exact value."""
     import ray.data
