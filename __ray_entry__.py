@@ -1442,6 +1442,26 @@ def _q_jaccard_dedup_docs(sf_dir):
     return dedup_keep_representatives(docs, pairs).select_columns(["doc_id"])
 
 
+def _q_part_pagerank(sf_dir):
+    """Weighted PageRank (5 iters, d=0.85) over the top-100-part
+    co-purchase graph (ops/graph.pagerank — broadcast-rank MapReduce
+    shape; edges stream, never shuffle)."""
+    from kenlm_ray.ops.analytics import copurchase_lift
+    from kenlm_ray.ops.graph import pagerank
+
+    edges = copurchase_lift(sf_dir, top_k=100)
+    return pagerank(
+        edges,
+        src_col="part_x",
+        dst_col="part_y",
+        weight_col="n_pair",
+        symmetric=True,
+        num_iters=5,
+        node_out_col="part",
+        rank_out_col="pr",
+    )
+
+
 def _q_containment_pairs(sf_dir):
     """Asymmetric shingle-containment near-dup pairs — |A∩B|/|A| >= 0.6
     (ops/dedup.containment_near_dup_pairs, shared inverted-index shape)."""
@@ -2048,6 +2068,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_sessions": _q_user_sessions,
         "jaccard_near_dup_pairs": _q_jaccard_pairs,
         "containment_near_dup_pairs": _q_containment_pairs,
+        "part_copurchase_pagerank": _q_part_pagerank,
         "jaccard_dedup_clusters": _q_jaccard_clusters,
         "jaccard_dedup_docs": _q_jaccard_dedup_docs,
         "purchase_click_attribution": _q_asof_attribution,
@@ -2303,6 +2324,54 @@ def _mkn_bigram_sql(prune: bool, tail: str = "bigram") -> str:
             FROM big GROUP BY w1
         ){rest_ctes}
         {final_select}
+    """
+
+
+def _pagerank_sql(num_iters: int = 5, damping: float = 0.85) -> str:
+    """Unrolled-CTE twin of ops/graph.pagerank over the copurchase_lift
+    edge set (top-100 parts, weights = distinct-order co-purchase
+    counts, symmetric)."""
+    base = f"""
+        WITH pres AS (
+            SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        ),
+        freq AS (
+            SELECT l_partkey, count(*)::BIGINT AS n FROM pres GROUP BY 1
+        ),
+        top AS (
+            SELECT l_partkey FROM freq ORDER BY n DESC, l_partkey LIMIT 100
+        ),
+        p AS (
+            SELECT pr.l_orderkey, pr.l_partkey
+            FROM pres pr JOIN top USING (l_partkey)
+        ),
+        pairs AS (
+            SELECT a.l_partkey AS s, b.l_partkey AS t, count(*)::DOUBLE AS w
+            FROM p a JOIN p b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+            GROUP BY 1, 2
+        ),
+        edges AS (
+            SELECT s, t, w FROM pairs
+            UNION ALL SELECT t AS s, s AS t, w FROM pairs
+        ),
+        nodes AS (SELECT DISTINCT s AS node FROM edges),
+        nn AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+        deg AS (SELECT s AS node, sum(w) AS wd FROM edges GROUP BY 1),
+        r0 AS (SELECT node, 1.0/nn.n AS r FROM nodes, nn)"""
+    for i in range(1, num_iters + 1):
+        base += f""",
+        r{i} AS (
+            SELECT e.t AS node,
+                   {1.0 - damping}/nn.n
+                   + {damping}*sum(r{i-1}.r * e.w / d.wd) AS r
+            FROM edges e
+            JOIN r{i-1} ON r{i-1}.node = e.s
+            JOIN deg d ON d.node = e.s, nn
+            GROUP BY e.t, nn.n
+        )"""
+    return base + f"""
+        SELECT node::BIGINT AS part, round(r, 6) AS pr FROM r{num_iters}
     """
 
 
@@ -2935,6 +3004,7 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.45
         """,
+        "part_copurchase_pagerank": _pagerank_sql(num_iters=5, damping=0.85),
         "mkn_bigram_model": _mkn_bigram_sql(prune=False),
         "mkn_pruned_bigram": _mkn_bigram_sql(prune=True),
         "unigram_rest_costs": _mkn_bigram_sql(prune=False, tail="rest"),

@@ -1,0 +1,147 @@
+"""Distributed graph algorithms over edge-list Datasets.
+
+``pagerank`` is the iterative-broadcast MapReduce shape this engine
+already uses for k-means (ops/cluster.py:kmeans_fit) and classifier
+training (ops/classifier.py), applied to a graph: the rank vector is
+node-sized driver/object-store state broadcast once per iteration
+(8 bytes/node — fine to ~10^8 nodes, the same bound as the k-means
+centroid matrix), while the EDGES — the big side at web scale — only
+ever stream through ``map_batches``, each batch folding its
+contributions into a sparse node-indexed partial that a tiny groupby
+reduces.  Per iteration the traffic is one edge scan plus one
+node-sized exchange; the edge set itself never shuffles.
+
+Engine addition (kpu/kenlm has no graph ops); complements the
+label-propagation connected components in ops/cluster.py.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data
+from ray.data.aggregate import Sum
+
+
+def pagerank(
+    edges: "ray.data.Dataset",
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: "str | None" = None,
+    symmetric: bool = False,
+    num_iters: int = 5,
+    damping: float = 0.85,
+    node_out_col: str = "node",
+    rank_out_col: str = "pr",
+) -> "ray.data.Dataset":
+    """Weighted PageRank with exactly ``num_iters`` synchronous
+    iterations from the uniform start r0 = 1/N:
+
+        r_{t+1}(u) = (1-d)/N  +  d * dangling_t/N
+                     +  d * sum_{(v,u) in E} r_t(v) * w(v,u)/wdeg(v)
+
+    where ``wdeg(v)`` is v's total outgoing weight, N the number of
+    distinct endpoint nodes, and ``dangling_t`` the rank mass sitting on
+    zero-out-degree nodes (spread uniformly, the standard convention).
+    ``symmetric=True`` treats every edge row as both directions (an
+    undirected graph stored once, e.g. co-occurrence pairs).
+
+    The edge Dataset is scanned ``num_iters + 1`` times — pass a
+    materialized Dataset.  Returns ``(node, pr)`` with pr rounded to 6
+    places (float-sum determinism bound for oracle comparison).
+    """
+    if num_iters < 0:
+        raise ValueError("num_iters must be >= 0")
+    cols = [src_col, dst_col] + ([weight_col] if weight_col else [])
+    edges = edges.select_columns(cols).materialize()
+
+    def _arrays(batch: pa.Table):
+        s = batch[src_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        t = batch[dst_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if weight_col is not None:
+            w = batch[weight_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        else:
+            w = np.ones(len(s), dtype=np.float64)
+        if symmetric:
+            s, t, w = (
+                np.concatenate([s, t]),
+                np.concatenate([t, s]),
+                np.concatenate([w, w]),
+            )
+        return s, t, w
+
+    # pass 0: node set + weighted out-degree (node-sized groupby; both
+    # endpoints emitted so isolated-dst nodes join the vector too)
+    def degree_partial(batch: pa.Table) -> pa.Table:
+        s, t, w = _arrays(batch)
+        nodes = np.concatenate([s, t])
+        wd = np.concatenate([w, np.zeros(len(t))])
+        u, inv = np.unique(nodes, return_inverse=True)
+        sums = np.bincount(inv, weights=wd, minlength=len(u))
+        return pa.table({"node": pa.array(u), "wd": pa.array(sums)})
+
+    deg_rows = (
+        edges.map_batches(degree_partial, batch_format="pyarrow")
+        .groupby("node")
+        .aggregate(Sum("wd", alias_name="wd"))
+        .take_all()
+    )
+    nodes = np.sort(np.array([r["node"] for r in deg_rows], dtype=np.int64))
+    wd_map = {r["node"]: r["wd"] for r in deg_rows}
+    wdeg = np.array([wd_map[n] for n in nodes], dtype=np.float64)
+    N = len(nodes)
+    if N == 0:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    node_out_col: pa.array([], type=pa.int64()),
+                    rank_out_col: pa.array([], type=pa.float64()),
+                }
+            )
+        )
+    nodes_ref = ray.put(nodes)
+    ranks = np.full(N, 1.0 / N, dtype=np.float64)
+    dangling_mask = wdeg <= 0.0
+
+    for _ in range(num_iters):
+        # per-edge contribution rate of each source node this iteration
+        rate = np.zeros(N, dtype=np.float64)
+        nz = ~dangling_mask
+        rate[nz] = ranks[nz] / wdeg[nz]
+        rate_ref = ray.put(rate)
+
+        def contrib_partial(batch: pa.Table, _rate_ref=rate_ref) -> pa.Table:
+            s, t, w = _arrays(batch)
+            nd = ray.get(nodes_ref)
+            r = ray.get(_rate_ref)
+            si = np.searchsorted(nd, s)
+            ti = np.searchsorted(nd, t)
+            c = np.bincount(ti, weights=w * r[si], minlength=len(nd))
+            nzi = np.flatnonzero(c)
+            return pa.table(
+                {"i": pa.array(nzi.astype(np.int64)), "c": pa.array(c[nzi])}
+            )
+
+        rows = (
+            edges.map_batches(contrib_partial, batch_format="pyarrow")
+            .groupby("i")
+            .aggregate(Sum("c", alias_name="c"))
+            .take_all()
+        )
+        incoming = np.zeros(N, dtype=np.float64)
+        for r in rows:
+            incoming[r["i"]] = r["c"]
+        dangling = float(ranks[dangling_mask].sum())
+        ranks = (1.0 - damping) / N + damping * (dangling / N + incoming)
+
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                node_out_col: pa.array(nodes),
+                rank_out_col: pa.array(np.round(ranks, 6)),
+            }
+        )
+    )

@@ -1,0 +1,91 @@
+"""ops/graph.pagerank vs a dense numpy power-iteration reference."""
+
+import numpy as np
+import pytest
+
+
+def _ref_pagerank(edges, num_iters, damping, symmetric=False):
+    """Dense reference: same synchronous update as ops/graph.pagerank."""
+    if symmetric:
+        edges = edges + [(t, s, w) for s, t, w in edges]
+    nodes = sorted({s for s, _, _ in edges} | {t for _, t, _ in edges})
+    idx = {n: i for i, n in enumerate(nodes)}
+    N = len(nodes)
+    W = np.zeros((N, N))
+    for s, t, w in edges:
+        W[idx[s], idx[t]] += w
+    wdeg = W.sum(axis=1)
+    r = np.full(N, 1.0 / N)
+    for _ in range(num_iters):
+        rate = np.where(wdeg > 0, r / np.maximum(wdeg, 1e-300), 0.0)
+        incoming = W.T @ rate
+        dangling = r[wdeg <= 0].sum()
+        r = (1 - damping) / N + damping * (dangling / N + incoming)
+    return dict(zip(nodes, r))
+
+
+def _run(ray_session, edges, symmetric, num_iters=5, damping=0.85, weight=True):
+    import ray.data
+
+    from kenlm_ray.ops.graph import pagerank
+
+    rows = [{"src": s, "dst": t, "w": float(w)} for s, t, w in edges]
+    ds = ray.data.from_items(rows).repartition(3)
+    out = pagerank(
+        ds,
+        src_col="src",
+        dst_col="dst",
+        weight_col="w" if weight else None,
+        symmetric=symmetric,
+        num_iters=num_iters,
+        damping=damping,
+    ).to_pandas()
+    return dict(zip(out["node"].astype(int), out["pr"].astype(float)))
+
+
+def test_pagerank_matches_dense_reference_with_dangling(ray_session):
+    # directed graph with a dangling sink (node 4 has no out-edges)
+    edges = [
+        (0, 1, 1.0), (1, 2, 2.0), (2, 0, 1.0),
+        (0, 2, 3.0), (3, 4, 1.0), (2, 4, 1.0),
+    ]
+    got = _run(ray_session, edges, symmetric=False)
+    ref = _ref_pagerank(edges, 5, 0.85)
+    assert set(got) == set(ref)
+    for n in ref:
+        assert got[n] == pytest.approx(ref[n], abs=2e-6)
+    # rank mass is conserved (dangling mass redistributed, not lost)
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-4)
+
+
+def test_pagerank_symmetric_equals_doubled_edges(ray_session):
+    edges = [(0, 1, 1.0), (1, 2, 4.0), (0, 2, 2.0)]
+    sym = _run(ray_session, edges, symmetric=True)
+    doubled = _run(
+        ray_session,
+        edges + [(t, s, w) for s, t, w in edges],
+        symmetric=False,
+    )
+    ref = _ref_pagerank(edges, 5, 0.85, symmetric=True)
+    for n in ref:
+        assert sym[n] == pytest.approx(ref[n], abs=2e-6)
+        assert sym[n] == pytest.approx(doubled[n], abs=2e-6)
+
+
+def test_pagerank_unweighted_and_empty(ray_session):
+    import ray.data
+
+    from kenlm_ray.ops.graph import pagerank
+
+    # unweighted = weight 1.0 per edge
+    edges = [(0, 1, 1.0), (1, 0, 1.0), (1, 2, 1.0)]
+    got = _run(ray_session, edges, symmetric=False, weight=False)
+    ref = _ref_pagerank(edges, 5, 0.85)
+    for n in ref:
+        assert got[n] == pytest.approx(ref[n], abs=2e-6)
+    # empty edge set -> empty result with declared schema
+    empty = ray.data.from_items([{"src": 1, "dst": 2}]).filter(
+        expr="src > 100"
+    )
+    out = pagerank(empty, num_iters=3)
+    assert out.count() == 0 and out.schema().names == ["node", "pr"]
