@@ -483,8 +483,8 @@ def _q_compression_ratio(sf_dir):
 def _q_windowed_cooccurrence(sf_dir):
     """GloVe-style 1/d-weighted co-occurrence matrix for the top-200
     tokens, window 5 (ops/text.windowed_cooccurrence — pure array-shift
-    pair emission, coarse-bucket reduce; rows-only: weight ties to the
-    murmur-ranked top-k cut)."""
+    pair emission, coarse-bucket reduce; top-k ties break on token
+    string, pair fold is lexicographic — both SQL-matchable)."""
     import ray.data
 
     from kenlm_ray.ops.text import windowed_cooccurrence
@@ -1462,6 +1462,19 @@ def _q_part_pagerank(sf_dir):
     )
 
 
+def _q_part_triangles(sf_dir):
+    """Per-part triangle counts + local clustering coefficient on the
+    top-100-part co-purchase graph (ops/graph.triangle_counts —
+    degree-oriented wedge-check MapReduce, Suri-Vassilvitskii)."""
+    from kenlm_ray.ops.analytics import copurchase_lift
+    from kenlm_ray.ops.graph import triangle_counts
+
+    edges = copurchase_lift(sf_dir, top_k=100)
+    return triangle_counts(
+        edges, src_col="part_x", dst_col="part_y", node_out_col="part"
+    )
+
+
 def _q_containment_pairs(sf_dir):
     """Asymmetric shingle-containment near-dup pairs — |A∩B|/|A| >= 0.6
     (ops/dedup.containment_near_dup_pairs, shared inverted-index shape)."""
@@ -2069,6 +2082,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jaccard_near_dup_pairs": _q_jaccard_pairs,
         "containment_near_dup_pairs": _q_containment_pairs,
         "part_copurchase_pagerank": _q_part_pagerank,
+        "part_copurchase_triangles": _q_part_triangles,
         "jaccard_dedup_clusters": _q_jaccard_clusters,
         "jaccard_dedup_docs": _q_jaccard_dedup_docs,
         "purchase_click_attribution": _q_asof_attribution,
@@ -3005,6 +3019,78 @@ def oracle_sql() -> dict[str, str]:
             WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.45
         """,
         "part_copurchase_pagerank": _pagerank_sql(num_iters=5, damping=0.85),
+        "part_copurchase_triangles": """
+            WITH pres AS (
+                SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+            ),
+            freq AS (
+                SELECT l_partkey, count(*)::BIGINT AS n FROM pres GROUP BY 1
+            ),
+            top AS (
+                SELECT l_partkey FROM freq ORDER BY n DESC, l_partkey LIMIT 100
+            ),
+            p AS (
+                SELECT pr.l_orderkey, pr.l_partkey
+                FROM pres pr JOIN top USING (l_partkey)
+            ),
+            edges AS (
+                SELECT a.l_partkey AS a, b.l_partkey AS b
+                FROM p a JOIN p b
+                  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+                GROUP BY 1, 2
+            ),
+            deg AS (
+                SELECT node, count(*)::BIGINT AS deg FROM (
+                    SELECT a AS node FROM edges
+                    UNION ALL SELECT b AS node FROM edges
+                ) GROUP BY 1
+            ),
+            tri AS (
+                SELECT e1.a AS x, e1.b AS y, e2.b AS z
+                FROM edges e1
+                JOIN edges e2 ON e2.a = e1.b
+                JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b
+            ),
+            tn AS (
+                SELECT node, count(*)::BIGINT AS n_tri FROM (
+                    SELECT x AS node FROM tri
+                    UNION ALL SELECT y AS node FROM tri
+                    UNION ALL SELECT z AS node FROM tri
+                ) GROUP BY 1
+            )
+            SELECT d.node::BIGINT AS part, d.deg,
+                   coalesce(tn.n_tri, 0)::BIGINT AS n_tri,
+                   round(CASE WHEN d.deg >= 2
+                         THEN 2.0 * coalesce(tn.n_tri, 0)
+                              / (d.deg * (d.deg - 1))
+                         ELSE 0.0 END, 6) AS clustering
+            FROM deg d LEFT JOIN tn USING (node)
+        """,
+        "glove_cooccurrence": """
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(text, '[\\t\\n\\r ]+'),
+                                 x -> x <> '') AS ts
+              FROM documents
+            ), flat AS (
+              SELECT doc_id, i AS pos, ts[i] AS tok
+              FROM toks, UNNEST(generate_series(1, len(ts))) AS g(i)
+            ), freq AS (
+              SELECT tok, count(*) AS n FROM flat GROUP BY tok
+            ), top AS (
+              SELECT tok FROM freq ORDER BY n DESC, tok LIMIT 200
+            ), f AS (
+              SELECT fl.doc_id, fl.pos, fl.tok
+              FROM flat fl JOIN top USING (tok)
+            )
+            SELECT least(a.tok, b.tok) AS tok_x,
+                   greatest(a.tok, b.tok) AS tok_y,
+                   count(*)::BIGINT AS n_pair,
+                   round(sum(1.0 / (b.pos - a.pos)), 6) AS weight
+            FROM f a JOIN f b
+              ON a.doc_id = b.doc_id AND b.pos - a.pos BETWEEN 1 AND 5
+            GROUP BY 1, 2
+        """,
         "mkn_bigram_model": _mkn_bigram_sql(prune=False),
         "mkn_pruned_bigram": _mkn_bigram_sql(prune=True),
         "unigram_rest_costs": _mkn_bigram_sql(prune=False, tail="rest"),

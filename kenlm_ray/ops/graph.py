@@ -145,3 +145,269 @@ def pagerank(
             }
         )
     )
+
+
+def triangle_counts(
+    edges: "ray.data.Dataset",
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    num_partitions: int = 64,
+    node_out_col: str = "node",
+) -> "ray.data.Dataset":
+    """Per-node triangle counts and local clustering coefficient of an
+    undirected graph given as an edge list (either direction, self-loops
+    and duplicates ignored).
+
+    The classic degree-orientation MapReduce (Suri & Vassilvitskii,
+    WWW'11 "Counting triangles and the curse of the last reducer"):
+    orient every edge from its lower-(degree, id) endpoint to the
+    higher, so each node's OUT-degree is O(sqrt(m))-bounded even at a
+    celebrity node — the wedge (2-path) explosion that kills the naive
+    per-node neighbor-pair join cannot happen.  Wedges are generated per
+    pivot inside one coarse groupby, then matched against the canonical
+    edge set in a second coarse hash-bucket groupby; counters, never
+    adjacency lists, cross the final shuffle.  The degree vector is
+    broadcast node-sized state (same bound as :func:`pagerank`).
+
+    Returns ``(node, deg, n_tri, clustering)`` where clustering =
+    2*n_tri / (deg*(deg-1)) (0.0 when deg < 2), rounded to 6 places.
+    """
+    P = num_partitions
+
+    def canon(batch: pa.Table) -> pa.Table:
+        s = batch[src_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        t = batch[dst_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = s != t
+        s, t = s[keep], t[keep]
+        a, b = np.minimum(s, t), np.maximum(s, t)
+        # per-batch distinct
+        order = np.lexsort((b, a))
+        a, b = a[order], b[order]
+        u = np.concatenate([[True], (a[1:] != a[:-1]) | (b[1:] != b[:-1])]) \
+            if len(a) else np.zeros(0, dtype=bool)
+        a, b = a[u], b[u]
+        with np.errstate(over="ignore"):
+            mix = (
+                a.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+            ) ^ b.astype(np.uint64)
+        return pa.table(
+            {
+                "a": pa.array(a),
+                "b": pa.array(b),
+                "__pb": pa.array((mix % np.uint64(P)).astype(np.int64)),
+            }
+        )
+
+    def dedup_bucket(g: pa.Table) -> pa.Table:
+        a = g["a"].to_numpy(zero_copy_only=False)
+        b = g["b"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((b, a))
+        a, b = a[order], b[order]
+        if len(a):
+            u = np.concatenate([[True], (a[1:] != a[:-1]) | (b[1:] != b[:-1])])
+            a, b = a[u], b[u]
+        return pa.table({"a": pa.array(a), "b": pa.array(b)})
+
+    canonical = (
+        edges.select_columns([src_col, dst_col])
+        .map_batches(canon, batch_format="pyarrow")
+        .groupby("__pb")
+        .map_groups(
+            lambda g: dedup_bucket(g.drop_columns(["__pb"])),
+            batch_format="pyarrow",
+        )
+        .materialize()  # scanned for degrees, orientation, and matching
+    )
+
+    # degree vector (node-sized broadcast, as in pagerank)
+    from ray.data.aggregate import Sum
+
+    def deg_partial(batch: pa.Table) -> pa.Table:
+        nodes_ = np.concatenate(
+            [
+                batch["a"].to_numpy(zero_copy_only=False),
+                batch["b"].to_numpy(zero_copy_only=False),
+            ]
+        )
+        u, c = np.unique(nodes_, return_counts=True)
+        return pa.table({"node": pa.array(u), "d": pa.array(c.astype(np.int64))})
+
+    deg_rows = (
+        canonical.map_batches(deg_partial, batch_format="pyarrow")
+        .groupby("node")
+        .aggregate(Sum("d", alias_name="d"))
+        .take_all()
+    )
+    nodes = np.sort(np.array([r["node"] for r in deg_rows], dtype=np.int64))
+    dmap = {r["node"]: r["d"] for r in deg_rows}
+    deg = np.array([dmap[n] for n in nodes], dtype=np.int64)
+    N = len(nodes)
+    empty_out = pa.table(
+        {
+            node_out_col: pa.array([], type=pa.int64()),
+            "deg": pa.array([], type=pa.int64()),
+            "n_tri": pa.array([], type=pa.int64()),
+            "clustering": pa.array([], type=pa.float64()),
+        }
+    )
+    if N == 0:
+        return ray.data.from_arrow(empty_out)
+    deg_ref = ray.put((nodes, deg))
+
+    def orient(batch: pa.Table) -> pa.Table:
+        nd, dg = ray.get(deg_ref)
+        a = batch["a"].to_numpy(zero_copy_only=False)
+        b = batch["b"].to_numpy(zero_copy_only=False)
+        da, db = dg[np.searchsorted(nd, a)], dg[np.searchsorted(nd, b)]
+        # orient low (degree, id) -> high; degree ties resolve by id,
+        # and canonical rows already have a < b, so ties keep a -> b
+        fwd = da <= db
+        lo = np.where(fwd, a, b)
+        hi = np.where(fwd, b, a)
+        return pa.table(
+            {
+                "pivot": pa.array(lo),
+                "nbr": pa.array(hi),
+                "__pp": pa.array((lo % P).astype(np.int64)),
+            }
+        )
+
+    WEDGE_EMPTY = pa.table(
+        {
+            "x": pa.array([], type=pa.int64()),
+            "y": pa.array([], type=pa.int64()),
+            "pivot": pa.array([], type=pa.int64()),
+            "__pb": pa.array([], type=pa.int64()),
+        }
+    )
+
+    def wedges(g: pa.Table) -> pa.Table:
+        p = g["pivot"].to_numpy(zero_copy_only=False)
+        n = g["nbr"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((n, p))
+        p, n = p[order], n[order]
+        starts = np.flatnonzero(
+            np.concatenate([[True], p[1:] != p[:-1]])
+        ) if len(p) else np.array([], dtype=np.int64)
+        lens = np.diff(np.append(starts, len(p)))
+        xs, ys, pv = [], [], []
+        for s, L in zip(starts[lens >= 2], lens[lens >= 2]):
+            L = int(L)
+            r, c = np.triu_indices(L, k=1)
+            u, w = n[s + r], n[s + c]
+            x, y = np.minimum(u, w), np.maximum(u, w)
+            xs.append(x)
+            ys.append(y)
+            pv.append(np.full(len(x), p[s], dtype=np.int64))
+        if not xs:
+            return WEDGE_EMPTY
+        x = np.concatenate(xs)
+        y = np.concatenate(ys)
+        with np.errstate(over="ignore"):
+            mix = (
+                x.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+            ) ^ y.astype(np.uint64)
+        return pa.table(
+            {
+                "x": pa.array(x),
+                "y": pa.array(y),
+                "pivot": pa.array(np.concatenate(pv)),
+                "__pb": pa.array((mix % np.uint64(P)).astype(np.int64)),
+            }
+        )
+
+    wedge_ds = (
+        canonical.map_batches(orient, batch_format="pyarrow")
+        .groupby("__pp")
+        .map_groups(
+            lambda g: wedges(g.drop_columns(["__pp"])), batch_format="pyarrow"
+        )
+    )
+
+    def edge_keyed(batch: pa.Table) -> pa.Table:
+        a = batch["a"].to_numpy(zero_copy_only=False)
+        b = batch["b"].to_numpy(zero_copy_only=False)
+        with np.errstate(over="ignore"):
+            mix = (
+                a.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+            ) ^ b.astype(np.uint64)
+        return pa.table(
+            {
+                "x": pa.array(a),
+                "y": pa.array(b),
+                "pivot": pa.array(np.full(len(a), -1, dtype=np.int64)),
+                "__pb": pa.array((mix % np.uint64(P)).astype(np.int64)),
+            }
+        )
+
+    both = wedge_ds.union(
+        canonical.map_batches(edge_keyed, batch_format="pyarrow")
+    )
+
+    TRI_EMPTY = pa.table(
+        {"node": pa.array([], type=pa.int64()), "t": pa.array([], type=pa.int64())}
+    )
+
+    def match_bucket(g: pa.Table) -> pa.Table:
+        """Wedge (x, y, pivot>=0) closes iff the edge row (x, y, -1) is
+        present in the same hash bucket; emit (node, 1) per corner,
+        pre-combined."""
+        x = g["x"].to_numpy(zero_copy_only=False)
+        y = g["y"].to_numpy(zero_copy_only=False)
+        pv = g["pivot"].to_numpy(zero_copy_only=False)
+        is_edge = pv < 0
+        if not is_edge.any() or is_edge.all():
+            return TRI_EMPTY
+        # exact vectorized pair membership: one lexsort over edge rows
+        # and wedge rows together, run-group ids, "group contains an
+        # edge row" flag read back per wedge row
+        ex, ey = x[is_edge], y[is_edge]
+        wx, wy, wp = x[~is_edge], y[~is_edge], pv[~is_edge]
+        n_e = len(ex)
+        ax = np.concatenate([ex, wx])
+        ay = np.concatenate([ey, wy])
+        fl = np.concatenate(
+            [np.ones(n_e, dtype=np.int64), np.zeros(len(wx), dtype=np.int64)]
+        )
+        order = np.lexsort((ay, ax))
+        sx, sy, sf = ax[order], ay[order], fl[order]
+        new = np.concatenate([[True], (sx[1:] != sx[:-1]) | (sy[1:] != sy[:-1])])
+        gid = np.cumsum(new) - 1
+        grp_edge = np.bincount(gid, weights=sf) > 0
+        hit_sorted = grp_edge[gid] & (sf == 0)
+        hit = np.zeros(len(wx), dtype=bool)
+        widx = order[hit_sorted] - n_e
+        hit[widx] = True
+        if not hit.any():
+            return TRI_EMPTY
+        tri_nodes = np.concatenate([wx[hit], wy[hit], wp[hit]])
+        u, c = np.unique(tri_nodes, return_counts=True)
+        return pa.table({"node": pa.array(u), "t": pa.array(c.astype(np.int64))})
+
+    tri_rows = (
+        both.groupby("__pb")
+        .map_groups(
+            lambda g: match_bucket(g.drop_columns(["__pb"])),
+            batch_format="pyarrow",
+        )
+        .groupby("node")
+        .aggregate(Sum("t", alias_name="t"))
+        .take_all()
+    )
+    tmap = {r["node"]: r["t"] for r in tri_rows}
+    n_tri = np.array([tmap.get(n, 0) for n in nodes], dtype=np.int64)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        cl = np.where(
+            deg >= 2, 2.0 * n_tri / (deg * (deg - 1.0)), 0.0
+        )
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                node_out_col: pa.array(nodes),
+                "deg": pa.array(deg),
+                "n_tri": pa.array(n_tri),
+                "clustering": pa.array(np.round(cl, 6)),
+            }
+        )
+    )

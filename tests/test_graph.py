@@ -72,6 +72,56 @@ def test_pagerank_symmetric_equals_doubled_edges(ray_session):
         assert sym[n] == pytest.approx(doubled[n], abs=2e-6)
 
 
+def test_triangle_counts_matches_brute_force(ray_session):
+    import itertools
+
+    import ray.data
+
+    from kenlm_ray.ops.graph import triangle_counts
+
+    rng = __import__("random").Random(3)
+    nodes = list(range(14))
+    edge_set = set()
+    # random graph + a planted 4-clique (10,11,12,13) + a star on 0
+    for _ in range(30):
+        a, b = rng.sample(nodes, 2)
+        edge_set.add((min(a, b), max(a, b)))
+    for a, b in itertools.combinations([10, 11, 12, 13], 2):
+        edge_set.add((a, b))
+    for b in range(1, 6):
+        edge_set.add((0, b))
+    # feed duplicates, reversed rows, and self-loops — all must be ignored
+    rows = [{"src": a, "dst": b} for a, b in edge_set]
+    rows += [{"src": b, "dst": a} for a, b in list(edge_set)[:10]]
+    rows += [{"src": 5, "dst": 5}]
+    got = (
+        triangle_counts(
+            ray.data.from_items(rows).repartition(4), num_partitions=8
+        )
+        .to_pandas()
+        .set_index("node")
+    )
+
+    adj = {n: set() for n in nodes}
+    for a, b in edge_set:
+        adj[a].add(b)
+        adj[b].add(a)
+    for n in nodes:
+        if not adj[n]:
+            assert n not in got.index
+            continue
+        tri = sum(
+            1
+            for u, w in itertools.combinations(sorted(adj[n]), 2)
+            if w in adj[u]
+        )
+        d = len(adj[n])
+        assert got.loc[n, "deg"] == d
+        assert got.loc[n, "n_tri"] == tri, f"node {n}"
+        expect_cl = 2.0 * tri / (d * (d - 1)) if d >= 2 else 0.0
+        assert got.loc[n, "clustering"] == pytest.approx(expect_cl, abs=1e-6)
+
+
 def test_pagerank_unweighted_and_empty(ray_session):
     import ray.data
 
