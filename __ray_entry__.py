@@ -1475,6 +1475,31 @@ def _q_part_triangles(sf_dir):
     )
 
 
+def _q_part_bfs(sf_dir):
+    """BFS hop distances from the lowest-id part over the thresholded
+    (n_pair >= 2) top-100-part co-purchase graph (ops/graph.bfs_distances
+    — frontier-broadcast iteration, edges never shuffle)."""
+    from kenlm_ray.ops.analytics import copurchase_lift
+    from kenlm_ray.ops.graph import bfs_distances
+    from ray.data.aggregate import Min
+
+    edges = copurchase_lift(sf_dir, top_k=400).filter(
+        expr="n_pair >= 2"
+    ).materialize()
+    if edges.count() == 0:
+        return edges.select_columns(["part_x"])
+    src = int(edges.aggregate(Min("part_x"))["min(part_x)"])
+    return bfs_distances(
+        edges,
+        sources=[src],
+        src_col="part_x",
+        dst_col="part_y",
+        symmetric=True,
+        max_hops=6,
+        node_out_col="part",
+    )
+
+
 def _q_containment_pairs(sf_dir):
     """Asymmetric shingle-containment near-dup pairs — |A∩B|/|A| >= 0.6
     (ops/dedup.containment_near_dup_pairs, shared inverted-index shape)."""
@@ -2083,6 +2108,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "containment_near_dup_pairs": _q_containment_pairs,
         "part_copurchase_pagerank": _q_part_pagerank,
         "part_copurchase_triangles": _q_part_triangles,
+        "part_copurchase_bfs": _q_part_bfs,
         "jaccard_dedup_clusters": _q_jaccard_clusters,
         "jaccard_dedup_docs": _q_jaccard_dedup_docs,
         "purchase_click_attribution": _q_asof_attribution,
@@ -2387,6 +2413,53 @@ def _pagerank_sql(num_iters: int = 5, damping: float = 0.85) -> str:
     return base + f"""
         SELECT node::BIGINT AS part, round(r, 6) AS pr FROM r{num_iters}
     """
+
+
+def _bfs_sql(max_hops: int = 6) -> str:
+    """Unrolled-layers twin of ops/graph.bfs_distances over the
+    thresholded copurchase edge set (source = lowest part id)."""
+    base = """
+        WITH pres AS (
+            SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        ),
+        freq AS (
+            SELECT l_partkey, count(*)::BIGINT AS n FROM pres GROUP BY 1
+        ),
+        top AS (
+            SELECT l_partkey FROM freq ORDER BY n DESC, l_partkey LIMIT 400
+        ),
+        p AS (
+            SELECT pr.l_orderkey, pr.l_partkey
+            FROM pres pr JOIN top USING (l_partkey)
+        ),
+        pairs AS (
+            SELECT a.l_partkey AS a, b.l_partkey AS b, count(*)::BIGINT AS n_pair
+            FROM p a JOIN p b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+            GROUP BY 1, 2
+        ),
+        e0 AS (SELECT a, b FROM pairs WHERE n_pair >= 2),
+        e2 AS (
+            SELECT a AS s, b AS t FROM e0
+            UNION ALL SELECT b AS s, a AS t FROM e0
+        ),
+        r0 AS (SELECT min(a) AS node FROM e0)"""
+    for i in range(1, max_hops + 1):
+        base += f""",
+        n{i} AS (
+            SELECT DISTINCT e.t AS node
+            FROM e2 e JOIN r{i-1} ON r{i-1}.node = e.s
+        ),
+        r{i} AS (
+            SELECT node FROM r{i-1} UNION SELECT node FROM n{i}
+        )"""
+    layers = ["SELECT node::BIGINT AS part, 0::BIGINT AS dist FROM r0"]
+    for i in range(1, max_hops + 1):
+        layers.append(
+            f"SELECT node::BIGINT AS part, {i}::BIGINT AS dist FROM "
+            f"(SELECT node FROM r{i} EXCEPT SELECT node FROM r{i-1})"
+        )
+    return base + "\n" + "\nUNION ALL ".join(layers)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -3019,6 +3092,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.45
         """,
         "part_copurchase_pagerank": _pagerank_sql(num_iters=5, damping=0.85),
+        "part_copurchase_bfs": _bfs_sql(max_hops=6),
         "part_copurchase_triangles": """
             WITH pres AS (
                 SELECT DISTINCT l_orderkey, l_partkey FROM lineitem

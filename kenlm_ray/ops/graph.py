@@ -22,7 +22,7 @@ import pyarrow as pa
 
 import ray
 import ray.data
-from ray.data.aggregate import Sum
+from ray.data.aggregate import Count, Sum
 
 
 def pagerank(
@@ -142,6 +142,105 @@ def pagerank(
             {
                 node_out_col: pa.array(nodes),
                 rank_out_col: pa.array(np.round(ranks, 6)),
+            }
+        )
+    )
+
+
+def bfs_distances(
+    edges: "ray.data.Dataset",
+    *,
+    sources,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    symmetric: bool = False,
+    max_hops: int = 6,
+    node_out_col: str = "node",
+    dist_out_col: str = "dist",
+) -> "ray.data.Dataset":
+    """Multi-source BFS hop distances, capped at ``max_hops``: for every
+    node reachable from ``sources`` within the cap, the minimum hop
+    count.  Synchronous frontier iteration in the same shape as
+    :func:`pagerank`: the distance vector is node-sized broadcast state,
+    each hop is one streaming edge scan emitting the per-batch DISTINCT
+    next-frontier indices into a tiny groupby — edges never shuffle.
+    ``symmetric=True`` treats edge rows as undirected.
+
+    Returns ``(node, dist)`` (int64, 0 for the sources themselves),
+    unreached nodes omitted.  Stops early when a hop adds no new node.
+    """
+    if max_hops < 0:
+        raise ValueError("max_hops must be >= 0")
+    edges = edges.select_columns([src_col, dst_col]).materialize()
+
+    def node_partial(batch: pa.Table) -> pa.Table:
+        s = batch[src_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        t = batch[dst_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        u = np.unique(np.concatenate([s, t]))
+        return pa.table({"node": pa.array(u)})
+
+    node_rows = (
+        edges.map_batches(node_partial, batch_format="pyarrow")
+        .groupby("node")
+        .aggregate(Count())
+        .take_all()
+    )
+    nodes = np.sort(np.array([r["node"] for r in node_rows], dtype=np.int64))
+    N = len(nodes)
+    if N == 0:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    node_out_col: pa.array([], type=pa.int64()),
+                    dist_out_col: pa.array([], type=pa.int64()),
+                }
+            )
+        )
+    nodes_ref = ray.put(nodes)
+    dist = np.full(N, -1, dtype=np.int64)
+    src_ids = np.asarray(sorted(set(int(s) for s in sources)), dtype=np.int64)
+    pos = np.searchsorted(nodes, src_ids)
+    ok = pos < N
+    pos, src_ok = pos[ok], src_ids[ok]
+    match = nodes[pos] == src_ok
+    dist[pos[match]] = 0
+
+    for h in range(1, max_hops + 1):
+        frontier = dist == (h - 1)
+        if not frontier.any():
+            break
+        f_ref = ray.put(frontier)
+
+        def next_partial(batch: pa.Table, _f_ref=f_ref) -> pa.Table:
+            nd = ray.get(nodes_ref)
+            fr = ray.get(_f_ref)
+            s = batch[src_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            t = batch[dst_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            if symmetric:
+                s, t = np.concatenate([s, t]), np.concatenate([t, s])
+            si = np.searchsorted(nd, s)
+            ti = np.searchsorted(nd, t)
+            u = np.unique(ti[fr[si]])
+            return pa.table({"i": pa.array(u.astype(np.int64))})
+
+        rows = (
+            edges.map_batches(next_partial, batch_format="pyarrow")
+            .groupby("i")
+            .aggregate(Count())
+            .take_all()
+        )
+        nxt = np.array([r["i"] for r in rows], dtype=np.int64)
+        newly = nxt[dist[nxt] < 0] if len(nxt) else nxt
+        if len(newly) == 0:
+            break
+        dist[newly] = h
+
+    sel = dist >= 0
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                node_out_col: pa.array(nodes[sel]),
+                dist_out_col: pa.array(dist[sel]),
             }
         )
     )

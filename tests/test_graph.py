@@ -122,6 +122,53 @@ def test_triangle_counts_matches_brute_force(ray_session):
         assert got.loc[n, "clustering"] == pytest.approx(expect_cl, abs=1e-6)
 
 
+def test_bfs_distances_matches_reference(ray_session):
+    import collections
+
+    import ray.data
+
+    from kenlm_ray.ops.graph import bfs_distances
+
+    # two components: a path 0-1-2-3-4 with a shortcut 0-3, and 8-9
+    edges = [(0, 1), (1, 2), (2, 3), (3, 4), (0, 3), (8, 9)]
+    rows = [{"src": s, "dst": t} for s, t in edges]
+
+    def ref_bfs(srcs, undirected, cap):
+        adj = collections.defaultdict(set)
+        for s, t in edges:
+            adj[s].add(t)
+            if undirected:
+                adj[t].add(s)
+        dist = {s: 0 for s in srcs}
+        frontier = list(srcs)
+        for h in range(1, cap + 1):
+            nxt = []
+            for u in frontier:
+                for v in adj[u]:
+                    if v not in dist:
+                        dist[v] = h
+                        nxt.append(v)
+            frontier = nxt
+        return dist
+
+    for symmetric in (False, True):
+        for cap in (0, 1, 6):
+            got = bfs_distances(
+                ray.data.from_items(rows).repartition(3),
+                sources=[0],
+                symmetric=symmetric,
+                max_hops=cap,
+            ).to_pandas()
+            gm = dict(zip(got["node"].astype(int), got["dist"].astype(int)))
+            assert gm == ref_bfs([0], symmetric, cap), (symmetric, cap)
+    # multi-source: both components covered; unknown source id ignored
+    got = bfs_distances(
+        ray.data.from_items(rows), sources=[0, 8, 999], symmetric=True
+    ).to_pandas()
+    gm = dict(zip(got["node"].astype(int), got["dist"].astype(int)))
+    assert gm == ref_bfs([0, 8], True, 6)
+
+
 def test_pagerank_unweighted_and_empty(ray_session):
     import ray.data
 
