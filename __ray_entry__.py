@@ -1475,6 +1475,21 @@ def _q_part_triangles(sf_dir):
     )
 
 
+def _q_order_percent_rank(sf_dir):
+    """PERCENT_RANK over order totalprice without a global sort
+    (ops/percentile.percent_rank — distinct-value cumsum broadcast,
+    data never shuffles)."""
+    import ray.data
+
+    from kenlm_ray.ops.percentile import percent_rank
+
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_totalprice"],
+    )
+    return percent_rank(orders, "o_totalprice")
+
+
 def _q_part_bfs(sf_dir):
     """BFS hop distances from the lowest-id part over the thresholded
     (n_pair >= 2) top-100-part co-purchase graph (ops/graph.bfs_distances
@@ -2109,6 +2124,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_copurchase_pagerank": _q_part_pagerank,
         "part_copurchase_triangles": _q_part_triangles,
         "part_copurchase_bfs": _q_part_bfs,
+        "order_percent_rank": _q_order_percent_rank,
         "jaccard_dedup_clusters": _q_jaccard_clusters,
         "jaccard_dedup_docs": _q_jaccard_dedup_docs,
         "purchase_click_attribution": _q_asof_attribution,
@@ -3093,6 +3109,12 @@ def oracle_sql() -> dict[str, str]:
         """,
         "part_copurchase_pagerank": _pagerank_sql(num_iters=5, damping=0.85),
         "part_copurchase_bfs": _bfs_sql(max_hops=6),
+        "order_percent_rank": """
+            SELECT o_orderkey, o_totalprice,
+                   round(PERCENT_RANK() OVER (ORDER BY o_totalprice), 6)
+                       AS pct_rank
+            FROM orders
+        """,
         "part_copurchase_triangles": """
             WITH pres AS (
                 SELECT DISTINCT l_orderkey, l_partkey FROM lineitem

@@ -295,6 +295,54 @@ def ntile_assign(
     return ds.map_batches(label, batch_format="pyarrow")
 
 
+def percent_rank(
+    ds: "ray.data.Dataset",
+    col: str,
+    out_col: str = "pct_rank",
+    driver_budget: int = 500_000,
+    ndigits: int = 6,
+) -> "ray.data.Dataset":
+    """PERCENT_RANK() OVER (ORDER BY col) without a global sort:
+    ``(count of strictly smaller values) / (n - 1)``, ties sharing the
+    rank (SQL semantics; 0.0 when n == 1).
+
+    One distinct-value-count pass (the :func:`ntile_assign` fast-path
+    primitive) builds the value -> smaller-count table, cumsum'd on the
+    driver and broadcast into a pure map — the DATA never shuffles and
+    is scanned twice.  Driver state is the distinct-value table, guarded
+    by ``driver_budget``: the curation use case ranks quantized quality
+    scores whose distinct cardinality is bounded regardless of corpus
+    size; for a truly continuous column at web scale, bucket the score
+    first (the rank of a quantized score is the product anyway).
+    """
+    import ray as _ray
+
+    rows = _distinct_value_counts(ds, col)
+    if len(rows) > driver_budget:
+        raise ValueError(
+            f"distinct value count {len(rows)} exceeds driver_budget "
+            f"{driver_budget}; quantize/bucket the column first"
+        )
+    uvals = np.array([r[0] for r in rows], dtype=np.float64)
+    ucnt = np.array([r[1] for r in rows], dtype=np.int64)
+    order = np.argsort(uvals)
+    uvals, ucnt = uvals[order], ucnt[order]
+    n = int(ucnt.sum())
+    smaller = np.concatenate([[0], np.cumsum(ucnt)[:-1]])
+    pr = np.round(
+        smaller / max(n - 1, 1) if n > 1 else np.zeros(len(uvals)), ndigits
+    )
+    lut_ref = _ray.put((uvals, pr))
+
+    def label(batch: pa.Table) -> pa.Table:
+        vs, ps = _ray.get(lut_ref)
+        v = batch[col].to_numpy(zero_copy_only=False).astype(np.float64)
+        idx = np.searchsorted(vs, v)
+        return batch.append_column(out_col, pa.array(ps[idx]))
+
+    return ds.map_batches(label, batch_format="pyarrow")
+
+
 def group_top_fraction(
     ds: "ray.data.Dataset",
     group_col: str,

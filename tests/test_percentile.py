@@ -76,3 +76,32 @@ def test_topk_threshold_integer_bin_edges(ray_session):
     got = top_fraction(ds, "v", k / n, "id").to_pandas()
     assert len(got) == k
     assert set(got["id"].tolist()) == _expected_ids(vals, ids, k)
+
+
+def test_percent_rank_ties_and_budget(ray_session):
+    """percent_rank == (count of strictly smaller)/(n-1) with ties
+    sharing the rank; driver_budget guard raises on high cardinality."""
+    import numpy as np
+    import pyarrow as pa
+    import pytest
+    import ray.data
+
+    from kenlm_ray.ops.percentile import percent_rank
+
+    rng = np.random.default_rng(5)
+    vals = rng.integers(0, 50, size=400).astype(np.float64)  # heavy ties
+    ids = np.arange(400)
+    ds = ray.data.from_arrow(
+        pa.table({"id": ids, "v": vals})
+    ).repartition(5)
+    out = percent_rank(ds, "v").to_pandas().sort_values("id")
+    smaller = np.array([(vals < v).sum() for v in out["v"]])
+    expect = np.round(smaller / (len(vals) - 1), 6)
+    assert np.array_equal(out["pct_rank"].to_numpy(), expect)
+    # single row -> 0.0
+    one = percent_rank(
+        ray.data.from_arrow(pa.table({"id": [1], "v": [3.5]})), "v"
+    ).to_pandas()
+    assert float(one["pct_rank"][0]) == 0.0
+    with pytest.raises(ValueError, match="driver_budget"):
+        percent_rank(ds, "v", driver_budget=10)
