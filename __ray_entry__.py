@@ -1475,6 +1475,49 @@ def _q_part_triangles(sf_dir):
     )
 
 
+def _q_lineitem_profile(sf_dir):
+    """One-pass Deequ-style column profile of lineitem: per column n,
+    n_null, exact n_distinct, numeric min/max/mean
+    (ops/profile.profile_columns — counter partials + one coarse
+    (column,value) pair shuffle)."""
+    import ray.data
+
+    from kenlm_ray.ops.profile import profile_columns
+
+    li = ray.data.read_parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    return profile_columns(li)
+
+
+_PROFILE_COLS = [
+    ("l_orderkey", True), ("l_partkey", True), ("l_suppkey", True),
+    ("l_linenumber", True), ("l_quantity", True), ("l_extendedprice", True),
+    ("l_discount", True), ("l_tax", True), ("l_returnflag", False),
+    ("l_linestatus", False), ("l_shipdate", False),
+]
+
+
+def _profile_sql() -> str:
+    parts = []
+    for c, isnum in _PROFILE_COLS:
+        if isnum:
+            parts.append(
+                f"SELECT '{c}' AS \"column\", count(*)::BIGINT AS n, "
+                f"(count(*) - count({c}))::BIGINT AS n_null, "
+                f"count(DISTINCT {c})::BIGINT AS n_distinct, "
+                f"min({c})::DOUBLE AS min_v, max({c})::DOUBLE AS max_v, "
+                f"round(round(avg({c}) * 1e12) / 1e12, 6) AS mean_v FROM lineitem"
+            )
+        else:
+            parts.append(
+                f"SELECT '{c}' AS \"column\", count(*)::BIGINT AS n, "
+                f"(count(*) - count({c}))::BIGINT AS n_null, "
+                f"count(DISTINCT {c})::BIGINT AS n_distinct, "
+                f"NULL::DOUBLE AS min_v, NULL::DOUBLE AS max_v, "
+                f"NULL::DOUBLE AS mean_v FROM lineitem"
+            )
+    return " UNION ALL ".join(parts)
+
+
 def _q_order_percent_rank(sf_dir):
     """PERCENT_RANK over order totalprice without a global sort
     (ops/percentile.percent_rank — distinct-value cumsum broadcast,
@@ -2125,6 +2168,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_copurchase_triangles": _q_part_triangles,
         "part_copurchase_bfs": _q_part_bfs,
         "order_percent_rank": _q_order_percent_rank,
+        "lineitem_profile": _q_lineitem_profile,
         "jaccard_dedup_clusters": _q_jaccard_clusters,
         "jaccard_dedup_docs": _q_jaccard_dedup_docs,
         "purchase_click_attribution": _q_asof_attribution,
@@ -3109,6 +3153,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "part_copurchase_pagerank": _pagerank_sql(num_iters=5, damping=0.85),
         "part_copurchase_bfs": _bfs_sql(max_hops=6),
+        "lineitem_profile": _profile_sql(),
         "order_percent_rank": """
             SELECT o_orderkey, o_totalprice,
                    round(PERCENT_RANK() OVER (ORDER BY o_totalprice), 6)

@@ -1,0 +1,265 @@
+"""One-pass table profiler — the Deequ/Great-Expectations-style data
+quality audit a curation pipeline runs before trusting a new drop of
+Parquet: per column, row/null counts, exact distinct cardinality, and
+numeric min/max/mean.
+
+Shapes: the stats pass is a per-batch fixed-size partial (one row per
+column per batch) reduced by a column-keyed groupby — counters only,
+never values.  The distinct pass ships per-batch DISTINCT (column,
+value-string) pairs through one coarse hash-bucket shuffle (the exact
+COUNT(DISTINCT) shape of ops/analytics.supplier_distinct_parts,
+generalized to every column at once); at 100-TB scale swap
+``distinct="approx"`` for the per-key HLL in ops/sketch.py —
+constant-size registers per column instead of the pair shuffle.
+
+Engine addition (kpu/kenlm has no analog).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+from ray.data.aggregate import Max, Min, Sum
+
+
+def profile_columns(
+    ds: "ray.data.Dataset",
+    columns: "list[str] | None" = None,
+    *,
+    distinct: str = "exact",
+    num_partitions: int = 32,
+    ndigits: int = 6,
+) -> "ray.data.Dataset":
+    """Profile ``columns`` (default: all): returns one row per column
+    with ``column, n, n_null, n_distinct, min_v, max_v, mean_v``.
+
+    NULLs are excluded from ``n_distinct`` (SQL COUNT(DISTINCT)
+    semantics) and from min/max/mean.  ``min_v/max_v/mean_v`` are NULL
+    for non-numeric columns (strings, timestamps).  ``mean_v`` is
+    rounded to ``ndigits``.  ``distinct="approx"`` uses per-column
+    HyperLogLog (constant bytes per column, no pair shuffle) — use it
+    when a near-unique column would make the exact pair shuffle
+    corpus-sized.
+    """
+    if distinct not in ("exact", "approx"):
+        raise ValueError("distinct must be 'exact' or 'approx'")
+    schema = ds.schema()
+    cols = list(columns) if columns is not None else list(schema.names)
+    for c in cols:
+        if c not in schema.names:
+            raise ValueError(f"column {c!r} not in schema {schema.names}")
+    arrow_types = dict(zip(schema.names, schema.types))
+    numeric = {
+        c
+        for c in cols
+        if pa.types.is_integer(arrow_types[c])
+        or pa.types.is_floating(arrow_types[c])
+    }
+    ds = ds.select_columns(cols)
+    P = num_partitions
+
+    # ---- pass 1: fixed-size numeric/count partials, one row/col/batch
+    def stats_partial(batch: pa.Table) -> pa.Table:
+        names, ns, nulls, sums, mins, maxs = [], [], [], [], [], []
+        for c in cols:
+            col = batch[c]
+            names.append(c)
+            ns.append(len(col))
+            nulls.append(col.null_count)
+            if c in numeric and len(col) - col.null_count > 0:
+                v = col.to_numpy(zero_copy_only=False).astype(np.float64)
+                v = v[~np.isnan(v)]
+                sums.append(float(v.sum()))
+                mins.append(float(v.min()))
+                maxs.append(float(v.max()))
+            else:
+                sums.append(0.0)
+                mins.append(np.inf)
+                maxs.append(-np.inf)
+        return pa.table(
+            {
+                "column": pa.array(names),
+                "n": pa.array(np.array(ns, dtype=np.int64)),
+                "n_null": pa.array(np.array(nulls, dtype=np.int64)),
+                "s": pa.array(np.array(sums)),
+                "mn": pa.array(np.array(mins)),
+                "mx": pa.array(np.array(maxs)),
+            }
+        )
+
+    stats = (
+        ds.map_batches(stats_partial, batch_format="pyarrow")
+        .groupby("column")
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("n_null", alias_name="n_null"),
+            Sum("s", alias_name="s"),
+            Min("mn", alias_name="mn"),
+            Max("mx", alias_name="mx"),
+        )
+        .take_all()
+    )
+
+    # ---- pass 2: exact distinct via (column, value) pair shuffle, or
+    # per-column HLL registers
+    if distinct == "exact":
+
+        def pairs_partial(batch: pa.Table) -> pa.Table:
+            out_c, out_v = [], []
+            for c in cols:
+                col = batch[c]
+                if col.null_count:
+                    col = col.filter(pc.is_valid(col))
+                if len(col) == 0:
+                    continue
+                vs = pc.cast(col, pa.string())
+                u = pc.unique(vs)
+                out_c.append(pa.array([c] * len(u)))
+                out_v.append(u)
+            if not out_c:
+                return pa.table(
+                    {
+                        "column": pa.array([], type=pa.string()),
+                        "v": pa.array([], type=pa.string()),
+                        "__pb": pa.array([], type=pa.int64()),
+                    }
+                )
+            cc = pa.concat_arrays(
+                [
+                    a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a
+                    for a in out_c
+                ]
+            )
+            vv = pa.concat_arrays(
+                [
+                    a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a
+                    for a in out_v
+                ]
+            )
+            from kenlm_ray.functions.hashing import hash_bytes_array
+
+            h = hash_bytes_array(vv.to_pylist())
+            return pa.table(
+                {
+                    "column": cc,
+                    "v": vv,
+                    "__pb": pa.array((h % np.uint64(P)).astype(np.int64)),
+                }
+            )
+
+        def count_bucket(g: pa.Table) -> pa.Table:
+            t = g.select(["column", "v"]).group_by(["column", "v"]).aggregate([])
+            cg = t.group_by(["column"]).aggregate([("v", "count")])
+            return pa.table(
+                {
+                    "column": cg["column"],
+                    "d": cg["v_count"],
+                }
+            )
+
+        d_rows = (
+            ds.map_batches(pairs_partial, batch_format="pyarrow")
+            .groupby("__pb")
+            .map_groups(
+                lambda g: count_bucket(g), batch_format="pyarrow"
+            )
+            .groupby("column")
+            .aggregate(Sum("d", alias_name="n_distinct"))
+            .take_all()
+        )
+        dmap = {r["column"]: int(r["n_distinct"]) for r in d_rows}
+    else:
+        from kenlm_ray.functions.hashing import hash_bytes_array
+        from kenlm_ray.ops.sketch import grouped_hll_distinct
+
+        cid_of = {c: i for i, c in enumerate(cols)}
+
+        def kv(batch: pa.Table) -> pa.Table:
+            out_c, out_v = [], []
+            for c in cols:
+                col = batch[c]
+                if col.null_count:
+                    col = col.filter(pc.is_valid(col))
+                if len(col) == 0:
+                    continue
+                vs = pc.cast(col, pa.string())
+                vh = hash_bytes_array(vs.to_pylist()).view(np.int64)
+                out_c.append(np.full(len(vh), cid_of[c], dtype=np.int64))
+                out_v.append(vh)
+            if not out_c:
+                return pa.table(
+                    {
+                        "cid": pa.array([], type=pa.int64()),
+                        "vh": pa.array([], type=pa.int64()),
+                    }
+                )
+            return pa.table(
+                {
+                    "cid": pa.array(np.concatenate(out_c)),
+                    "vh": pa.array(np.concatenate(out_v)),
+                }
+            )
+
+        kvd = ds.map_batches(kv, batch_format="pyarrow")
+        hll = grouped_hll_distinct(kvd, "cid", "vh")
+        dmap = {
+            cols[int(r["cid"])]: int(r["approx_distinct"])
+            for r in hll.take_all()
+        }
+
+    # ---- assemble (column-count-sized)
+    order = {c: i for i, c in enumerate(cols)}
+    stats.sort(key=lambda r: order[r["column"]])
+    names = [r["column"] for r in stats]
+    n = np.array([r["n"] for r in stats], dtype=np.int64)
+    n_null = np.array([r["n_null"] for r in stats], dtype=np.int64)
+    s = np.array([r["s"] for r in stats])
+    mn = np.array([r["mn"] for r in stats])
+    mx = np.array([r["mx"] for r in stats])
+    nd = np.array([dmap.get(c, 0) for c in names], dtype=np.int64)
+    is_num = np.array([c in numeric for c in names])
+    nv = (n - n_null).astype(np.float64)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        raw = s / np.maximum(nv, 1.0)
+        # double-rounding stabilizer: grid-generated columns can have a
+        # TRUE mean exactly on a round-6 boundary, where last-ulp sum
+        # order (distributed vs oracle) flips the rounded digit; snap to
+        # the 1e-12 grid first (the oracle does the same)
+        raw = np.rint(raw * 1e12) / 1e12
+        # DuckDB round() is half-AWAY-from-zero; np.round is banker's —
+        # and the snapped value can sit exactly on the .5 tie
+        scale = 10.0 ** ndigits
+        mean = np.where(
+            nv > 0,
+            np.sign(raw) * np.floor(np.abs(raw) * scale + 0.5) / scale,
+            np.nan,
+        )
+    min_v = np.where(is_num & (nv > 0), mn, np.nan)
+    max_v = np.where(is_num & (nv > 0), mx, np.nan)
+    mean_v = np.where(is_num, mean, np.nan)
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "column": pa.array(names, type=pa.string()),
+                "n": pa.array(n),
+                "n_null": pa.array(n_null),
+                "n_distinct": pa.array(nd),
+                "min_v": pa.array(
+                    [None if np.isnan(x) else float(x) for x in min_v],
+                    type=pa.float64(),
+                ),
+                "max_v": pa.array(
+                    [None if np.isnan(x) else float(x) for x in max_v],
+                    type=pa.float64(),
+                ),
+                "mean_v": pa.array(
+                    [None if np.isnan(x) else float(x) for x in mean_v],
+                    type=pa.float64(),
+                ),
+            }
+        )
+    )

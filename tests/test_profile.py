@@ -1,0 +1,71 @@
+"""ops/profile.profile_columns — exact expectations on a mixed table."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def _table():
+    return pa.table(
+        {
+            "i": pa.array([1, 2, 2, None, 5], type=pa.int64()),
+            "f": pa.array([1.5, None, None, 2.5, 2.5], type=pa.float64()),
+            "s": pa.array(["a", "b", "a", None, "c"], type=pa.string()),
+        }
+    )
+
+
+def test_profile_exact(ray_session):
+    import ray.data
+
+    from kenlm_ray.ops.profile import profile_columns
+
+    ds = ray.data.from_arrow(_table()).repartition(3)
+    out = profile_columns(ds).to_pandas().set_index("column")
+    assert list(out.index) == ["i", "f", "s"]
+    assert (out["n"] == 5).all()
+    assert out.loc["i", "n_null"] == 1 and out.loc["i", "n_distinct"] == 3
+    assert out.loc["f", "n_null"] == 2 and out.loc["f", "n_distinct"] == 2
+    assert out.loc["s", "n_null"] == 1 and out.loc["s", "n_distinct"] == 3
+    assert out.loc["i", "min_v"] == 1.0 and out.loc["i", "max_v"] == 5.0
+    assert out.loc["i", "mean_v"] == pytest.approx(10 / 4)
+    assert out.loc["f", "mean_v"] == pytest.approx(round(6.5 / 3, 6))
+    # non-numeric columns carry NULL numeric stats
+    assert np.isnan(out.loc["s", "min_v"]) and np.isnan(out.loc["s", "mean_v"])
+
+
+def test_profile_column_subset_and_errors(ray_session):
+    import ray.data
+
+    from kenlm_ray.ops.profile import profile_columns
+
+    ds = ray.data.from_arrow(_table())
+    out = profile_columns(ds, ["f"]).to_pandas()
+    assert list(out["column"]) == ["f"]
+    with pytest.raises(ValueError, match="not in schema"):
+        profile_columns(ds, ["nope"])
+    with pytest.raises(ValueError, match="exact"):
+        profile_columns(ds, distinct="bogus")
+
+
+def test_profile_approx_distinct_close(ray_session):
+    import ray.data
+
+    from kenlm_ray.ops.profile import profile_columns
+
+    n = 5000
+    t = pa.table(
+        {
+            "k": pa.array(np.arange(n) % 37),         # 37 distinct
+            "u": pa.array(np.arange(n).astype(np.int64)),  # all distinct
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(4)
+    out = (
+        profile_columns(ds, distinct="approx")
+        .to_pandas()
+        .set_index("column")
+    )
+    # HLL p=10 -> ~3.2% stderr; allow 4 sigma
+    assert abs(out.loc["k", "n_distinct"] - 37) <= max(4, 0.13 * 37)
+    assert abs(out.loc["u", "n_distinct"] - n) <= 0.13 * n
