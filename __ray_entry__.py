@@ -1475,6 +1475,66 @@ def _q_part_triangles(sf_dir):
     )
 
 
+def _q_acct_order_full_join(sf_dir):
+    """FULL OUTER join: negative-balance customers x per-customer order
+    totals (ops/join.hash_join how='full' — unmatched rows of BOTH sides
+    survive with typed nulls; partitioned, no broadcast)."""
+    import pyarrow as _pa
+    import ray.data
+    from ray.data.aggregate import Count, Sum
+
+    from kenlm_ray.ops.join import hash_join
+
+    neg = (
+        ray.data.read_parquet(
+            os.path.join(sf_dir, "customer.parquet"),
+            columns=["c_custkey", "c_acctbal"],
+        )
+        .filter(expr="c_acctbal < 0")
+        .map_batches(
+            lambda t: t.rename_columns(["custkey", "c_acctbal"]),
+            batch_format="pyarrow",
+        )
+    )
+    orders = (
+        ray.data.read_parquet(
+            os.path.join(sf_dir, "orders.parquet"),
+            columns=["o_custkey", "o_totalprice"],
+        )
+        .groupby("o_custkey")
+        .aggregate(Count(), Sum("o_totalprice", alias_name="ts"))
+    )
+
+    def shape(t):
+        import numpy as _np
+
+        return _pa.table(
+            {
+                "custkey": t["o_custkey"],
+                "n_orders": t["count()"],
+                "total_spend": _pa.array(
+                    _np.round(
+                        t["ts"].to_numpy(zero_copy_only=False).astype(float), 2
+                    )
+                ),
+            }
+        )
+
+    os_ = orders.map_batches(shape, batch_format="pyarrow")
+    return hash_join(
+        neg,
+        os_,
+        on=["custkey"],
+        left_cols={"custkey": _pa.int64(), "c_acctbal": _pa.float64()},
+        right_cols={
+            "custkey": _pa.int64(),
+            "n_orders": _pa.int64(),
+            "total_spend": _pa.float64(),
+        },
+        how="full",
+    )
+
+
 def _q_lineitem_profile(sf_dir):
     """One-pass Deequ-style column profile of lineitem: per column n,
     n_null, exact n_distinct, numeric min/max/mean
@@ -2169,6 +2229,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_copurchase_bfs": _q_part_bfs,
         "order_percent_rank": _q_order_percent_rank,
         "lineitem_profile": _q_lineitem_profile,
+        "acct_order_full_join": _q_acct_order_full_join,
         "jaccard_dedup_clusters": _q_jaccard_clusters,
         "jaccard_dedup_docs": _q_jaccard_dedup_docs,
         "purchase_click_attribution": _q_asof_attribution,
@@ -3154,6 +3215,19 @@ def oracle_sql() -> dict[str, str]:
         "part_copurchase_pagerank": _pagerank_sql(num_iters=5, damping=0.85),
         "part_copurchase_bfs": _bfs_sql(max_hops=6),
         "lineitem_profile": _profile_sql(),
+        "acct_order_full_join": """
+            WITH neg AS (
+                SELECT c_custkey AS custkey, c_acctbal
+                FROM customer WHERE c_acctbal < 0
+            ),
+            os AS (
+                SELECT o_custkey AS custkey, count(*)::BIGINT AS n_orders,
+                       round(sum(o_totalprice), 2) AS total_spend
+                FROM orders GROUP BY 1
+            )
+            SELECT custkey, c_acctbal, n_orders, total_spend
+            FROM neg FULL JOIN os USING (custkey)
+        """,
         "order_percent_rank": """
             SELECT o_orderkey, o_totalprice,
                    round(PERCENT_RANK() OVER (ORDER BY o_totalprice), 6)

@@ -69,7 +69,7 @@ def hash_join(
 
     ``left_cols`` / ``right_cols``: {column: pyarrow type} for ALL columns
     of each side (including keys).  Value columns must not overlap.
-    ``how``: "left", "inner", "semi", or "anti".
+    ``how``: "left", "inner", "full", "semi", or "anti".
 
     "semi"/"anti" keep only left columns and never multiply rows: semi
     keeps left rows whose key appears on the right, anti keeps those
@@ -162,16 +162,25 @@ def hash_join(
             return pa.Table.from_arrays(
                 [lg[c].take(idx) for c in names], names=names
             )
-        m = ldf.merge(rdf, on=on, how="inner" if how == "inner" else "left")
-        li = pa.array(m["__li"].to_numpy().astype(np.int64), pa.int64())
-        ri_raw = m["__ri"].to_numpy()
-        miss = pd.isna(ri_raw)
-        ri = pa.array(
-            np.where(miss, 0, ri_raw).astype(np.int64), pa.int64(), mask=miss
-        )
+        pd_how = {"inner": "inner", "left": "left", "full": "outer"}[how]
+        m = ldf.merge(rdf, on=on, how=pd_how)
+
+        def take_idx(raw):
+            miss = pd.isna(raw)
+            return pa.array(
+                np.where(miss, 0, raw).astype(np.int64), pa.int64(), mask=miss
+            )
+
+        li = take_idx(m["__li"].to_numpy())
+        ri = take_idx(m["__ri"].to_numpy())
         cols = []
         for c in names:
-            if c in left_cols:
+            if c in on:
+                # a full join's right-only rows have no left row to take
+                # the key from — the merged frame's key column carries it
+                # for every row on every join type
+                cols.append(pa.array(m[c].to_numpy()).cast(all_cols[c]))
+            elif c in left_cols:
                 cols.append(lg[c].take(li))
             else:
                 cols.append(rg[c].take(ri))

@@ -275,6 +275,32 @@ def test_hash_join(ray_session):
     assert set(inner["k"]) == {"a", "c"}
 
 
+def test_hash_join_full_outer(ray_session):
+    """how='full' keeps unmatched rows of BOTH sides; keys come from
+    whichever side has them; int keys survive exactly."""
+    import ray.data
+
+    from kenlm_ray.ops.join import hash_join
+
+    left = ray.data.from_items(
+        [{"k": 1, "x": 10}, {"k": 2, "x": 20}, {"k": 2, "x": 21}]
+    )
+    right = ray.data.from_items(
+        [{"k": 2, "y": 200.0}, {"k": 3, "y": 300.0}, {"k": 4, "y": 400.0}]
+    )
+    out = hash_join(
+        left, right, on=["k"],
+        left_cols={"k": pa.int64(), "x": pa.int64()},
+        right_cols={"k": pa.int64(), "y": pa.float64()},
+        how="full", num_partitions=3,
+    ).to_pandas().sort_values(["k", "x"]).reset_index(drop=True)
+    # rows: k=1 (left only), k=2 x2 (matched), k=3, k=4 (right only)
+    assert list(out["k"]) == [1, 2, 2, 3, 4]
+    assert out["x"].isna().tolist() == [False, False, False, True, True]
+    assert out["y"].isna().tolist() == [True, False, False, False, False]
+    assert out.loc[3, "y"] == 300.0 and out.loc[0, "x"] == 10
+
+
 def test_hash_join_semi_anti(ray_session):
     import ray.data
 
