@@ -1535,6 +1535,60 @@ def _q_acct_order_full_join(sf_dir):
     )
 
 
+def _q_doc_blended_rank(sf_dir):
+    """Blended quality score: mean of PERCENT_RANK over doc length and
+    alpha ratio — the rank-normalize-then-average signal combiner
+    (two ops/percentile.percent_rank passes + a pure map)."""
+    import numpy as _np
+    import pyarrow as _pa
+    import pyarrow.compute as _pc
+    import ray.data
+
+    from kenlm_ray.ops.percentile import percent_rank
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text", "n_chars"],
+    )
+
+    def add_alpha(t: _pa.Table) -> _pa.Table:
+        alpha = _pc.count_substring_regex(t["text"], "[A-Za-z]").to_numpy(
+            zero_copy_only=False
+        ).astype(_np.float64)
+        n = _pc.utf8_length(t["text"]).to_numpy(zero_copy_only=False)
+        ratio = alpha / _np.maximum(n, 1)
+        return _pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_chars": t["n_chars"],
+                "alpha_ratio": _pa.array(ratio),
+            }
+        )
+
+    ds = docs.map_batches(add_alpha, batch_format="pyarrow")
+    ds = percent_rank(ds, "n_chars", out_col="pr_chars")
+    ds = percent_rank(ds, "alpha_ratio", out_col="pr_alpha")
+
+    def blend(t: _pa.Table) -> _pa.Table:
+        a = t["pr_chars"].to_numpy(zero_copy_only=False)
+        b = t["pr_alpha"].to_numpy(zero_copy_only=False)
+        # the mean of two 6-decimal ranks lands EXACTLY on the .5 tie at
+        # digit 7 whenever a+b has an odd last digit — round half-away
+        # like DuckDB, not banker's like np.round
+        v = (a + b) / 2.0
+        bl = _np.sign(v) * _np.floor(_np.abs(v) * 1e6 + 0.5) / 1e6
+        return _pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "pr_chars": t["pr_chars"],
+                "pr_alpha": t["pr_alpha"],
+                "blend": _pa.array(bl),
+            }
+        )
+
+    return ds.map_batches(blend, batch_format="pyarrow")
+
+
 def _q_lineitem_profile(sf_dir):
     """One-pass Deequ-style column profile of lineitem: per column n,
     n_null, exact n_distinct, numeric min/max/mean
@@ -2230,6 +2284,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_percent_rank": _q_order_percent_rank,
         "lineitem_profile": _q_lineitem_profile,
         "acct_order_full_join": _q_acct_order_full_join,
+        "doc_blended_quality_rank": _q_doc_blended_rank,
         "jaccard_dedup_clusters": _q_jaccard_clusters,
         "jaccard_dedup_docs": _q_jaccard_dedup_docs,
         "purchase_click_attribution": _q_asof_attribution,
@@ -3215,6 +3270,26 @@ def oracle_sql() -> dict[str, str]:
         "part_copurchase_pagerank": _pagerank_sql(num_iters=5, damping=0.85),
         "part_copurchase_bfs": _bfs_sql(max_hops=6),
         "lineitem_profile": _profile_sql(),
+        "doc_blended_quality_rank": """
+            WITH sig AS (
+                SELECT doc_id, n_chars,
+                       CASE WHEN length(text) = 0 THEN 0.0
+                            ELSE length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                                 * 1.0 / length(text) END AS alpha_ratio
+                FROM documents
+            ),
+            pr AS (
+                SELECT doc_id,
+                       round(PERCENT_RANK() OVER (ORDER BY n_chars), 6)
+                           AS pr_chars,
+                       round(PERCENT_RANK() OVER (ORDER BY alpha_ratio), 6)
+                           AS pr_alpha
+                FROM sig
+            )
+            SELECT doc_id, pr_chars, pr_alpha,
+                   round((pr_chars + pr_alpha) / 2, 6) AS blend
+            FROM pr
+        """,
         "acct_order_full_join": """
             WITH neg AS (
                 SELECT c_custkey AS custkey, c_acctbal
