@@ -1475,6 +1475,20 @@ def _q_part_triangles(sf_dir):
     )
 
 
+def _q_part_name_fuzzy(sf_dir):
+    """Distinct part names within edit distance 1 (ops/fuzzy —
+    FastSS deletion-variant blocking, complete recall, exact DP
+    verify on the blocked candidates only)."""
+    import ray.data
+
+    from kenlm_ray.ops.fuzzy import edit_distance_pairs
+
+    parts = ray.data.read_parquet(
+        os.path.join(sf_dir, "part.parquet"), columns=["p_name"]
+    )
+    return edit_distance_pairs(parts, "p_name", max_dist=1)
+
+
 def _q_acct_order_full_join(sf_dir):
     """FULL OUTER join: negative-balance customers x per-customer order
     totals (ops/join.hash_join how='full' — unmatched rows of BOTH sides
@@ -2284,6 +2298,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_percent_rank": _q_order_percent_rank,
         "lineitem_profile": _q_lineitem_profile,
         "acct_order_full_join": _q_acct_order_full_join,
+        "part_name_fuzzy_pairs": _q_part_name_fuzzy,
         "doc_blended_quality_rank": _q_doc_blended_rank,
         "jaccard_dedup_clusters": _q_jaccard_clusters,
         "jaccard_dedup_docs": _q_jaccard_dedup_docs,
@@ -3270,6 +3285,13 @@ def oracle_sql() -> dict[str, str]:
         "part_copurchase_pagerank": _pagerank_sql(num_iters=5, damping=0.85),
         "part_copurchase_bfs": _bfs_sql(max_hops=6),
         "lineitem_profile": _profile_sql(),
+        "part_name_fuzzy_pairs": """
+            WITH names AS (SELECT DISTINCT p_name FROM part)
+            SELECT a.p_name AS s_a, b.p_name AS s_b,
+                   levenshtein(a.p_name, b.p_name)::BIGINT AS dist
+            FROM names a JOIN names b ON a.p_name < b.p_name
+            WHERE levenshtein(a.p_name, b.p_name) <= 1
+        """,
         "doc_blended_quality_rank": """
             WITH sig AS (
                 SELECT doc_id, n_chars,

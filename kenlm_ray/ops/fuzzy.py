@@ -1,0 +1,233 @@
+"""Fuzzy string matching: all pairs of distinct strings within a small
+edit distance — the typo/OCR-variant dedup primitive (vocabulary
+canonicalization, entity name matching, near-identical title joins).
+
+FastSS deletion-neighborhood blocking (Bocek et al. 2007, "Fast
+Similarity Search in Large Dictionaries"): if ``ed(a, b) <= k`` then
+deleting the <= k edited positions from each side yields a COMMON
+string, so the up-to-k-deletion neighborhoods intersect — grouping by
+deletion-variant hash has complete recall, and sharing a variant only
+bounds ``ed <= 2k``, so candidates are verified with an exact DP.
+
+Distributed shape: per-batch DISTINCT strings emit their O(len^k)
+variant hashes (strings ride along once per variant — short strings by
+contract, ``max_len``-guarded); one coarse variant-hash bucket groupby
+emits locally-deduped candidate pairs; one pair-hash bucket groupby
+dedupes globally and runs the DP verify on the (candidate-sized, not
+corpus-sized) survivor set.  The DP is a per-pair Python loop by
+design: after blocking, candidates are a vanishing fraction of n² —
+the vectorized win is the blocking, not the verify.
+
+Engine addition (kpu/kenlm has no analog).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data
+
+from kenlm_ray.functions.hashing import hash_bytes_array
+
+
+def levenshtein(a: str, b: str, cap: "int | None" = None) -> int:
+    """Exact edit distance (unit costs); early-exits above ``cap``."""
+    la, lb = len(a), len(b)
+    if cap is not None and abs(la - lb) > cap:
+        return cap + 1
+    if la == 0 or lb == 0:
+        return max(la, lb)
+    prev = np.arange(lb + 1, dtype=np.int64)
+    cur = np.empty(lb + 1, dtype=np.int64)
+    bb = np.frombuffer(b.encode("utf-8"), dtype=np.uint8) if b.isascii() else None
+    for i, ca in enumerate(a, 1):
+        cur[0] = i
+        if bb is not None and ca.isascii():
+            sub = prev[:-1] + (bb != ord(ca))
+        else:
+            sub = prev[:-1] + np.array([ca != cb for cb in b], dtype=np.int64)
+        np.minimum(sub, prev[1:] + 1, out=cur[1:])
+        # insertions need a sequential pass (cur depends on cur)
+        c = cur[0]
+        best = cur[1:]
+        for j in range(lb):
+            c = min(best[j], c + 1)
+            best[j] = c
+        if cap is not None and cur.min() > cap:
+            return cap + 1
+        prev, cur = cur, prev
+    return int(prev[lb])
+
+
+def _variants(s: str, k: int) -> "set[str]":
+    out = {s}
+    frontier = {s}
+    for _ in range(k):
+        nxt = set()
+        for v in frontier:
+            for i in range(len(v)):
+                nxt.add(v[:i] + v[i + 1 :])
+        nxt -= out
+        out |= nxt
+        frontier = nxt
+    return out
+
+
+def edit_distance_pairs(
+    ds: "ray.data.Dataset",
+    col: str,
+    *,
+    max_dist: int = 1,
+    num_partitions: int = 64,
+    max_len: int = 128,
+) -> "ray.data.Dataset":
+    """All pairs of DISTINCT non-null ``col`` strings with edit distance
+    ``<= max_dist`` (lexicographic ``s_a < s_b``; identical strings are
+    one node, so ed-0 pairs never appear).  Returns ``(s_a, s_b,
+    dist)``.  Strings longer than ``max_len`` raise — the deletion
+    neighborhood is O(len^k) per string and this operator is for name/
+    token/title-sized strings, not documents (shingle the document ops
+    instead).
+    """
+    if max_dist < 1:
+        raise ValueError("max_dist must be >= 1")
+    P = num_partitions
+
+    def to_variants(batch: pa.Table) -> pa.Table:
+        col_arr = batch[col]
+        if col_arr.null_count:
+            import pyarrow.compute as pc
+
+            col_arr = col_arr.filter(pc.is_valid(col_arr))
+        strs = set(col_arr.to_pylist())
+        out_s, out_v = [], []
+        for s in strs:
+            if len(s) > max_len:
+                raise ValueError(
+                    f"string of length {len(s)} exceeds max_len {max_len}"
+                )
+            vs = _variants(s, max_dist)
+            out_s.extend([s] * len(vs))
+            out_v.extend(vs)
+        if not out_s:
+            return pa.table(
+                {
+                    "s": pa.array([], type=pa.string()),
+                    "vh": pa.array([], type=pa.int64()),
+                    "__pb": pa.array([], type=pa.int64()),
+                }
+            )
+        vh = hash_bytes_array(out_v).view(np.int64)
+        return pa.table(
+            {
+                "s": pa.array(out_s, type=pa.string()),
+                "vh": pa.array(vh),
+                "__pb": pa.array(
+                    (vh.view(np.uint64) % np.uint64(P)).astype(np.int64)
+                ),
+            }
+        )
+
+    PAIR_EMPTY = pa.table(
+        {
+            "s_a": pa.array([], type=pa.string()),
+            "s_b": pa.array([], type=pa.string()),
+            "__pb2": pa.array([], type=pa.int64()),
+        }
+    )
+
+    def bucket_pairs(g: pa.Table) -> pa.Table:
+        """One variant-hash bucket: per variant run, all (s_a < s_b)
+        distinct-string pairs, deduped within the bucket."""
+        vh = g["vh"].to_numpy(zero_copy_only=False)
+        s = np.array(g["s"].to_pylist(), dtype=object)
+        order = np.lexsort((s, vh))
+        vh, s = vh[order], s[order]
+        # distinct (vh, s) — the same string emits a variant only once
+        # per batch but may arrive from several batches
+        if len(vh):
+            keep = np.concatenate(
+                [[True], (vh[1:] != vh[:-1]) | (s[1:] != s[:-1])]
+            )
+            vh, s = vh[keep], s[keep]
+        starts = np.flatnonzero(
+            np.concatenate([[True], vh[1:] != vh[:-1]])
+        ) if len(vh) else np.array([], dtype=np.int64)
+        lens = np.diff(np.append(starts, len(vh)))
+        pa_, pb_ = [], []
+        for st, L in zip(starts[lens >= 2], lens[lens >= 2]):
+            L = int(L)
+            r, c = np.triu_indices(L, k=1)
+            pa_.append(s[st + r])
+            pb_.append(s[st + c])
+        if not pa_:
+            return PAIR_EMPTY
+        a = np.concatenate(pa_)
+        b = np.concatenate(pb_)
+        # lexicographic canonical order (sort within the run already
+        # guarantees a < b because s was the lexsort tiebreaker)
+        seen = set()
+        ka, kb = [], []
+        for x, y in zip(a, b):
+            if (x, y) not in seen:
+                seen.add((x, y))
+                ka.append(x)
+                kb.append(y)
+        ph = hash_bytes_array([x + "\x1f" + y for x, y in zip(ka, kb)])
+        return pa.table(
+            {
+                "s_a": pa.array(ka, type=pa.string()),
+                "s_b": pa.array(kb, type=pa.string()),
+                "__pb2": pa.array(
+                    (ph % np.uint64(P)).astype(np.int64)
+                ),
+            }
+        )
+
+    OUT_EMPTY = pa.table(
+        {
+            "s_a": pa.array([], type=pa.string()),
+            "s_b": pa.array([], type=pa.string()),
+            "dist": pa.array([], type=pa.int64()),
+        }
+    )
+
+    def verify(g: pa.Table) -> pa.Table:
+        if len(g) == 0:
+            return OUT_EMPTY
+        a = g["s_a"].to_pylist()
+        b = g["s_b"].to_pylist()
+        seen = set()
+        oa, ob, od = [], [], []
+        for x, y in zip(a, b):
+            if (x, y) in seen:
+                continue
+            seen.add((x, y))
+            d = levenshtein(x, y, cap=max_dist)
+            if d <= max_dist:
+                oa.append(x)
+                ob.append(y)
+                od.append(d)
+        return pa.table(
+            {
+                "s_a": pa.array(oa, type=pa.string()),
+                "s_b": pa.array(ob, type=pa.string()),
+                "dist": pa.array(np.array(od, dtype=np.int64)),
+            }
+        )
+
+    return (
+        ds.select_columns([col])
+        .map_batches(to_variants, batch_format="pyarrow")
+        .groupby("__pb")
+        .map_groups(
+            lambda g: bucket_pairs(g.drop_columns(["__pb"])),
+            batch_format="pyarrow",
+        )
+        .groupby("__pb2")
+        .map_groups(
+            lambda g: verify(g.drop_columns(["__pb2"])),
+            batch_format="pyarrow",
+        )
+    )

@@ -1,0 +1,86 @@
+"""ops/fuzzy — FastSS blocking + exact Levenshtein verify."""
+
+import itertools
+
+import numpy as np
+import pytest
+
+
+def _ref_lev(a, b):
+    la, lb = len(a), len(b)
+    D = np.zeros((la + 1, lb + 1), dtype=int)
+    D[:, 0] = np.arange(la + 1)
+    D[0, :] = np.arange(lb + 1)
+    for i in range(1, la + 1):
+        for j in range(1, lb + 1):
+            D[i, j] = min(
+                D[i - 1, j - 1] + (a[i - 1] != b[j - 1]),
+                D[i - 1, j] + 1,
+                D[i, j - 1] + 1,
+            )
+    return int(D[la, lb])
+
+
+def test_levenshtein_kernel_matches_reference():
+    from kenlm_ray.ops.fuzzy import levenshtein
+
+    rng = __import__("random").Random(9)
+    words = ["", "a", "ab", "kitten", "sitting", "flaw", "lawn", "café", "cafe"]
+    for _ in range(40):
+        n = rng.randrange(0, 8)
+        words.append("".join(rng.choice("abcd") for _ in range(n)))
+    for a, b in itertools.combinations(words, 2):
+        assert levenshtein(a, b) == _ref_lev(a, b), (a, b)
+    # cap short-circuits but never under-reports within the cap
+    assert levenshtein("kitten", "sitting", cap=1) > 1
+    assert levenshtein("abc", "abd", cap=1) == 1
+
+
+def test_edit_distance_pairs_exact(ray_session):
+    import ray.data
+
+    from kenlm_ray.ops.fuzzy import edit_distance_pairs, levenshtein
+
+    vocab = [
+        "red bolt", "red bolts", "blue bolt", "bed bolt",
+        "green widget", "green midget", "greeen widget",
+        "lonely", "alone", "x",
+    ]
+    # duplicates across partitions must collapse to one node
+    rows = [{"name": v} for v in vocab * 3]
+    got = (
+        edit_distance_pairs(
+            ray.data.from_items(rows).repartition(4), "name", max_dist=1
+        )
+        .to_pandas()
+        .sort_values(["s_a", "s_b"])
+        .reset_index(drop=True)
+    )
+    expect = sorted(
+        (a, b, _ref_lev(a, b))
+        for a, b in itertools.combinations(sorted(set(vocab)), 2)
+        if _ref_lev(a, b) <= 1
+    )
+    got_t = sorted(zip(got["s_a"], got["s_b"], got["dist"].astype(int)))
+    assert got_t == expect
+    assert all(a < b for a, b, _ in got_t)
+    # max_dist=2 finds the double-typo pair too
+    got2 = edit_distance_pairs(
+        ray.data.from_items(rows), "name", max_dist=2
+    ).to_pandas()
+    pairs2 = set(zip(got2["s_a"], got2["s_b"]))
+    assert ("green midget", "green widget") in pairs2
+    assert ("greeen widget", "green midget") in pairs2  # ed = 2
+    assert levenshtein("greeen widget", "green midget") == 2
+
+
+def test_edit_distance_pairs_guards(ray_session):
+    import ray.data
+
+    from kenlm_ray.ops.fuzzy import edit_distance_pairs
+
+    ds = ray.data.from_items([{"name": "a" * 200}])
+    with pytest.raises(Exception, match="max_len"):
+        edit_distance_pairs(ds, "name", max_dist=1, max_len=128).take_all()
+    with pytest.raises(ValueError, match="max_dist"):
+        edit_distance_pairs(ds, "name", max_dist=0)
