@@ -1475,6 +1475,47 @@ def _q_part_triangles(sf_dir):
     )
 
 
+def _q_brand_itemsets(sf_dir):
+    """Frequent brand itemsets (k<=3, support >= 0.5%% of orders) via
+    SON two-phase Apriori (ops/itemsets.frequent_itemsets — local
+    candidates per basket bucket, exact global recount)."""
+    import numpy as _np
+    import pyarrow as _pa
+    import ray.data
+
+    from kenlm_ray.ops.itemsets import frequent_itemsets
+
+    part = ray.data.read_parquet(
+        os.path.join(sf_dir, "part.parquet"), columns=["p_partkey", "p_brand"]
+    ).to_pandas()
+    pk = part["p_partkey"].to_numpy()
+    order_ = _np.argsort(pk)
+    pk_s = pk[order_]
+    brand_s = part["p_brand"].to_numpy()[order_]
+    import ray as _ray
+
+    lut = _ray.put((pk_s, brand_s))
+
+    def attach(t: _pa.Table) -> _pa.Table:
+        ks, bs = _ray.get(lut)
+        p = t["l_partkey"].to_numpy(zero_copy_only=False)
+        idx = _np.searchsorted(ks, p)
+        return _pa.table(
+            {
+                "basket": t["l_orderkey"],
+                "item": _pa.array(bs[idx], type=_pa.string()),
+            }
+        )
+
+    li = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_partkey"],
+    ).map_batches(attach, batch_format="pyarrow")
+    return frequent_itemsets(
+        li, "basket", "item", min_support=0.005, max_k=3
+    )
+
+
 def _q_part_name_fuzzy(sf_dir):
     """Distinct part names within edit distance 1 (ops/fuzzy —
     FastSS deletion-variant blocking, complete recall, exact DP
@@ -2299,6 +2340,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_profile": _q_lineitem_profile,
         "acct_order_full_join": _q_acct_order_full_join,
         "part_name_fuzzy_pairs": _q_part_name_fuzzy,
+        "brand_frequent_itemsets": _q_brand_itemsets,
         "doc_blended_quality_rank": _q_doc_blended_rank,
         "jaccard_dedup_clusters": _q_jaccard_clusters,
         "jaccard_dedup_docs": _q_jaccard_dedup_docs,
@@ -3285,6 +3327,30 @@ def oracle_sql() -> dict[str, str]:
         "part_copurchase_pagerank": _pagerank_sql(num_iters=5, damping=0.85),
         "part_copurchase_bfs": _bfs_sql(max_hops=6),
         "lineitem_profile": _profile_sql(),
+        "brand_frequent_itemsets": """
+            WITH pres AS (
+                SELECT DISTINCT l_orderkey AS basket, p_brand AS item
+                FROM lineitem JOIN part ON p_partkey = l_partkey
+            ),
+            n AS (SELECT count(DISTINCT basket)::DOUBLE AS n FROM pres)
+            SELECT item AS itemset, 1::BIGINT AS k, count(*)::BIGINT AS support
+            FROM pres GROUP BY 1
+            HAVING count(*) >= (SELECT 0.005 * n FROM n)
+            UNION ALL
+            SELECT a.item || ',' || b.item, 2::BIGINT, count(*)::BIGINT
+            FROM pres a JOIN pres b
+              ON a.basket = b.basket AND a.item < b.item
+            GROUP BY a.item, b.item
+            HAVING count(*) >= (SELECT 0.005 * n FROM n)
+            UNION ALL
+            SELECT a.item || ',' || b.item || ',' || c.item, 3::BIGINT,
+                   count(*)::BIGINT
+            FROM pres a
+            JOIN pres b ON a.basket = b.basket AND a.item < b.item
+            JOIN pres c ON a.basket = c.basket AND b.item < c.item
+            GROUP BY a.item, b.item, c.item
+            HAVING count(*) >= (SELECT 0.005 * n FROM n)
+        """,
         "part_name_fuzzy_pairs": """
             WITH names AS (SELECT DISTINCT p_name FROM part)
             SELECT a.p_name AS s_a, b.p_name AS s_b,

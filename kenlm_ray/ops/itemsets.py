@@ -1,0 +1,232 @@
+"""Frequent itemsets (market-basket mining beyond pairs) via the SON
+two-phase algorithm (Savasere-Omiecinski-Navathe, VLDB'95 — the classic
+exact MapReduce shape):
+
+phase 1  baskets are hash-bucketed so no basket spans a group; each
+         bucket runs an in-memory Apriori at the LOCAL threshold
+         ``s * n_baskets_in_bucket``.  Any globally frequent itemset is
+         locally frequent in >= 1 bucket (pigeonhole on the support
+         sum), so the union of local candidates has COMPLETE recall.
+phase 2  the candidate list (small: it is the answer plus near-misses)
+         broadcasts; one more pass over the same bucketed presence
+         table counts every candidate's exact global support with
+         gathered-column bitmap products; a candidate-sized groupby
+         sums partials and the global threshold filters.
+
+Scaling: the per-bucket matrix is (baskets/P) x |item domain| bytes —
+this operator is for CATEGORY-sized item domains (brands, types, tags,
+event kinds), where Apriori thresholds keep the frequent family small;
+the raw presence rows cross the shuffle once, counters after that.
+``copurchase_lift`` (ops/analytics.py) remains the right tool for
+pair-only mining over large item domains (top-k cut).
+
+Engine addition (kpu/kenlm has no analog).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data
+from ray.data.aggregate import Sum
+
+
+def _bucket_ids(keys: np.ndarray, P: int) -> np.ndarray:
+    k = keys.astype(np.uint64)
+    with np.errstate(over="ignore"):
+        x = (k ^ (k >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        x ^= x >> np.uint64(31)
+    return (x % np.uint64(P)).astype(np.int64)
+
+
+def frequent_itemsets(
+    ds: "ray.data.Dataset",
+    basket_col: str,
+    item_col: str,
+    *,
+    min_support: float = 0.01,
+    max_k: int = 3,
+    num_partitions: int = 16,
+) -> "ray.data.Dataset":
+    """All itemsets of size 1..``max_k`` (``max_k`` <= 3) whose support
+    (number of distinct baskets containing EVERY item) is >=
+    ``min_support`` x total distinct baskets.  Items are strings;
+    itemsets are returned as ``","``-joined items in ascending order.
+    Returns ``(itemset, k, support)``.
+    """
+    if not (1 <= max_k <= 3):
+        raise ValueError("max_k must be 1, 2, or 3")
+    if not (0.0 < min_support <= 1.0):
+        raise ValueError("min_support must be in (0, 1]")
+    P = num_partitions
+
+    def pres_partial(batch: pa.Table) -> pa.Table:
+        t = batch.select([basket_col, item_col])
+        t = t.group_by([basket_col, item_col]).aggregate([])
+        b = t[basket_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.append_column("__pb", pa.array(_bucket_ids(b, P)))
+
+    def dedupe(g: pa.Table) -> pa.Table:
+        return (
+            g.group_by([basket_col, item_col, "__pb"]).aggregate([])
+        )
+
+    pres = (
+        ds.map_batches(pres_partial, batch_format="pyarrow")
+        .groupby("__pb")
+        .map_groups(dedupe, batch_format="pyarrow")
+        .materialize()  # scanned by both SON phases
+    )
+
+    def _matrix(g: pa.Table):
+        b = g[basket_col].to_numpy(zero_copy_only=False)
+        it = np.asarray(g[item_col].to_pylist(), dtype=object)
+        ub, binv = np.unique(b, return_inverse=True)
+        ui, iinv = np.unique(it, return_inverse=True)
+        M = np.zeros((len(ub), len(ui)), dtype=np.uint8)
+        M[binv, iinv] = 1
+        return M, ui
+
+    CAND_EMPTY = pa.table(
+        {
+            "k": pa.array([], type=pa.int64()),
+            "itemset": pa.array([], type=pa.string()),
+            "nb": pa.array([], type=pa.int64()),
+        }
+    )
+
+    def local_apriori(g: pa.Table) -> pa.Table:
+        if len(g) == 0:
+            return CAND_EMPTY
+        M, ui = _matrix(g)
+        nb = M.shape[0]
+        thr = min_support * nb
+        ks, sets = [], []
+        c1 = M.sum(axis=0, dtype=np.int64)
+        f1 = np.flatnonzero(c1 >= thr)
+        for i in f1:
+            ks.append(1)
+            sets.append(ui[i])
+        fp = []
+        if max_k >= 2 and len(f1) >= 2:
+            M1 = M[:, f1]
+            PP = (M1.T.astype(np.int64)) @ M1
+            r, c = np.nonzero(np.triu(PP >= thr, k=1))
+            for i, j in zip(r, c):
+                ks.append(2)
+                sets.append(ui[f1[i]] + "," + ui[f1[j]])
+                fp.append((int(i), int(j)))
+        if max_k >= 3 and fp:
+            M1 = M[:, f1]
+            fp_set = set(fp)
+            for i, j in fp:
+                col = (M1[:, i] & M1[:, j]).astype(np.int64)
+                cnt = col @ M1
+                for l in np.flatnonzero(cnt >= thr):
+                    if l <= j:
+                        continue
+                    # Apriori prune: every 2-subset must be frequent
+                    if (i, int(l)) in fp_set and (j, int(l)) in fp_set:
+                        ks.append(3)
+                        sets.append(
+                            ui[f1[i]] + "," + ui[f1[j]] + "," + ui[f1[l]]
+                        )
+        # one bucket-size row (k=0) so N = sum over buckets downstream
+        ks.append(0)
+        sets.append("")
+        nbs = np.zeros(len(ks), dtype=np.int64)
+        nbs[-1] = nb
+        return pa.table(
+            {
+                "k": pa.array(np.array(ks, dtype=np.int64)),
+                "itemset": pa.array(sets, type=pa.string()),
+                "nb": pa.array(nbs),
+            }
+        )
+
+    cand_rows = (
+        pres.groupby("__pb")
+        .map_groups(
+            lambda g: local_apriori(g.drop_columns(["__pb"])),
+            batch_format="pyarrow",
+        )
+        .take_all()
+    )
+    N = sum(r["nb"] for r in cand_rows if r["k"] == 0)
+    cands: dict = {}
+    for r in cand_rows:
+        if r["k"] > 0:
+            cands.setdefault((r["k"], r["itemset"]), None)
+    cand_list = sorted(cands)  # [(k, "a,b,..."), ...] deterministic
+    empty_out = pa.table(
+        {
+            "itemset": pa.array([], type=pa.string()),
+            "k": pa.array([], type=pa.int64()),
+            "support": pa.array([], type=pa.int64()),
+        }
+    )
+    if N == 0 or not cand_list:
+        return ray.data.from_arrow(empty_out)
+    cand_items = [s.split(",") for _, s in cand_list]
+    cand_ref = ray.put(cand_items)
+
+    CNT_EMPTY = pa.table(
+        {"cid": pa.array([], type=pa.int64()), "c": pa.array([], type=pa.int64())}
+    )
+
+    def count_candidates(g: pa.Table) -> pa.Table:
+        if len(g) == 0:
+            return CNT_EMPTY
+        M, ui = _matrix(g)
+        items = ray.get(cand_ref)
+        cids, cs = [], []
+        for cid, its in enumerate(items):
+            pos = np.searchsorted(ui, its)
+            if (pos >= len(ui)).any() or (ui[np.minimum(pos, len(ui) - 1)] != its).any():
+                continue  # an item absent from this bucket -> support 0 here
+            col = M[:, pos[0]]
+            for p in pos[1:]:
+                col = col & M[:, p]
+            c = int(col.sum())
+            if c:
+                cids.append(cid)
+                cs.append(c)
+        return pa.table(
+            {
+                "cid": pa.array(np.array(cids, dtype=np.int64)),
+                "c": pa.array(np.array(cs, dtype=np.int64)),
+            }
+        )
+
+    counted = (
+        pres.groupby("__pb")
+        .map_groups(
+            lambda g: count_candidates(g.drop_columns(["__pb"])),
+            batch_format="pyarrow",
+        )
+        .groupby("cid")
+        .aggregate(Sum("c", alias_name="support"))
+        .take_all()
+    )
+    thr_g = min_support * N
+    out_s, out_k, out_c = [], [], []
+    for r in counted:
+        if r["support"] >= thr_g:
+            k, s = cand_list[r["cid"]]
+            out_s.append(s)
+            out_k.append(k)
+            out_c.append(r["support"])
+    if not out_s:
+        return ray.data.from_arrow(empty_out)
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "itemset": pa.array(out_s, type=pa.string()),
+                "k": pa.array(np.array(out_k, dtype=np.int64)),
+                "support": pa.array(np.array(out_c, dtype=np.int64)),
+            }
+        )
+    )

@@ -1,0 +1,69 @@
+"""ops/itemsets.frequent_itemsets vs brute-force enumeration."""
+
+import itertools
+
+import pytest
+
+
+def _brute(baskets, s, max_k):
+    n = len(baskets)
+    items = sorted({i for b in baskets.values() for i in b})
+    out = {}
+    for k in range(1, max_k + 1):
+        for combo in itertools.combinations(items, k):
+            sup = sum(1 for b in baskets.values() if set(combo) <= b)
+            if sup >= s * n:
+                out[(",".join(combo), k)] = sup
+    return out
+
+
+def _run(ray_session, rows, s, max_k, parts=4):
+    import ray.data
+
+    from kenlm_ray.ops.itemsets import frequent_itemsets
+
+    ds = ray.data.from_items(rows).repartition(parts)
+    got = frequent_itemsets(
+        ds, "basket", "item", min_support=s, max_k=max_k, num_partitions=4
+    ).to_pandas()
+    return {
+        (r.itemset, int(r.k)): int(r.support) for r in got.itertuples()
+    }
+
+
+def test_itemsets_match_brute_force(ray_session):
+    rng = __import__("random").Random(13)
+    items = [f"i{j}" for j in range(8)]
+    baskets = {}
+    for b in range(60):
+        baskets[b] = set(rng.sample(items, rng.randrange(1, 6)))
+    # planted heavy triple
+    for b in range(0, 60, 2):
+        baskets[b] |= {"i0", "i1", "i2"}
+    rows = [
+        {"basket": b, "item": i} for b, its in baskets.items() for i in its
+    ]
+    rows += rows[: len(rows) // 2]  # duplicate presence rows must not count twice
+    for s in (0.5, 0.3, 0.15):
+        got = _run(ray_session, rows, s, 3)
+        assert got == _brute(baskets, s, 3), s
+    assert ("i0,i1,i2", 3) in _run(ray_session, rows, 0.4, 3)
+
+
+def test_itemsets_max_k_and_guards(ray_session):
+    import ray.data
+
+    from kenlm_ray.ops.itemsets import frequent_itemsets
+
+    rows = [{"basket": 1, "item": "a"}, {"basket": 1, "item": "b"}]
+    got = _run(ray_session, rows, 0.5, 1)
+    assert set(got) == {("a", 1), ("b", 1)}
+    ds = ray.data.from_items(rows)
+    with pytest.raises(ValueError, match="max_k"):
+        frequent_itemsets(ds, "basket", "item", max_k=4)
+    with pytest.raises(ValueError, match="min_support"):
+        frequent_itemsets(ds, "basket", "item", min_support=0.0)
+    # empty input
+    empty = ds.filter(expr="basket > 5")
+    out = frequent_itemsets(empty, "basket", "item").to_pandas()
+    assert len(out) == 0
