@@ -1475,6 +1475,21 @@ def _q_part_triangles(sf_dir):
     )
 
 
+def _q_source_length_psi(sf_dir):
+    """Population Stability Index of each source's doc-length
+    distribution vs the corpus (ops/stats.psi_drift — counters only,
+    fixed-width global bins, add-half smoothing)."""
+    import ray.data
+
+    from kenlm_ray.ops.stats import psi_drift
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["source", "n_chars"],
+    )
+    return psi_drift(docs, "source", "n_chars", n_bins=10)
+
+
 def _q_brand_itemsets(sf_dir):
     """Frequent brand itemsets (k<=3, support >= 0.5%% of orders) via
     SON two-phase Apriori (ops/itemsets.frequent_itemsets — local
@@ -2341,6 +2356,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "acct_order_full_join": _q_acct_order_full_join,
         "part_name_fuzzy_pairs": _q_part_name_fuzzy,
         "brand_frequent_itemsets": _q_brand_itemsets,
+        "source_length_psi": _q_source_length_psi,
         "doc_blended_quality_rank": _q_doc_blended_rank,
         "jaccard_dedup_clusters": _q_jaccard_clusters,
         "jaccard_dedup_docs": _q_jaccard_dedup_docs,
@@ -3327,6 +3343,43 @@ def oracle_sql() -> dict[str, str]:
         "part_copurchase_pagerank": _pagerank_sql(num_iters=5, damping=0.85),
         "part_copurchase_bfs": _bfs_sql(max_hops=6),
         "lineitem_profile": _profile_sql(),
+        "source_length_psi": """
+            WITH st AS (
+                SELECT min(n_chars)::DOUBLE AS lo, max(n_chars)::DOUBLE AS hi
+                FROM documents
+            ),
+            binned AS (
+                SELECT source AS g,
+                       least(floor((n_chars - st.lo) /
+                             (CASE WHEN st.hi > st.lo
+                                   THEN (st.hi - st.lo) / 10
+                                   ELSE 1 END)), 9)::BIGINT AS bin
+                FROM documents, st
+            ),
+            per AS (SELECT g, bin, count(*)::DOUBLE AS c FROM binned GROUP BY 1, 2),
+            grid AS (
+                SELECT s.g, gs.bin
+                FROM (SELECT DISTINCT source AS g FROM documents) s,
+                     (SELECT unnest(generate_series(0, 9)) AS bin) gs
+            ),
+            cells AS (
+                SELECT grid.g, grid.bin, coalesce(per.c, 0) AS c
+                FROM grid LEFT JOIN per ON per.g = grid.g AND per.bin = grid.bin
+            ),
+            tot AS (SELECT bin, sum(c) AS c FROM cells GROUP BY 1),
+            n AS (SELECT sum(c) AS n FROM cells),
+            ng AS (SELECT g, sum(c) AS n FROM cells GROUP BY 1),
+            p AS (
+                SELECT cells.g,
+                       (cells.c + 0.5) / (ng.n + 5.0) AS pg,
+                       (tot.c + 0.5) / ((SELECT n FROM n) + 5.0) AS pa
+                FROM cells
+                JOIN ng ON ng.g = cells.g
+                JOIN tot ON tot.bin = cells.bin
+            )
+            SELECT g AS "group", round(sum((pg - pa) * ln(pg / pa)), 6) AS psi
+            FROM p GROUP BY 1
+        """,
         "brand_frequent_itemsets": """
             WITH pres AS (
                 SELECT DISTINCT l_orderkey AS basket, p_brand AS item

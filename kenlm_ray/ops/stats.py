@@ -238,3 +238,75 @@ def chi2_independence(
     return cont.repartition(1).map_batches(
         finish, batch_format="pyarrow", batch_size=None
     )
+
+
+def psi_drift(
+    ds: "ray.data.Dataset",
+    group_col: str,
+    value_col: str,
+    *,
+    n_bins: int = 10,
+    ndigits: int = 6,
+) -> "ray.data.Dataset":
+    """Population Stability Index of each group's ``value_col``
+    distribution against the GLOBAL distribution — the standard
+    drift/monitoring metric (PSI < 0.1 stable, > 0.25 shifted):
+
+        PSI(g) = sum_b (p_g[b] - p_all[b]) * ln(p_g[b] / p_all[b])
+
+    over ``n_bins`` fixed-width bins of the global [min, max] (top edge
+    inclusive), with add-half Laplace smoothing ``p = (c + 0.5) /
+    (n + 0.5 * n_bins)`` so empty bins are defined on both sides.
+
+    Shape: one min/max aggregate, one (group, bin) counter groupby —
+    nothing but counters cross the wire; the PSI fold happens on the
+    (groups x bins)-sized table.  Returns ``(group, psi)``.
+    """
+    from ray.data.aggregate import Count, Max, Min
+
+    stats = ds.aggregate(
+        Min(value_col, alias_name="lo"), Max(value_col, alias_name="hi")
+    )
+    lo, hi = float(stats["lo"]), float(stats["hi"])
+    width = (hi - lo) / n_bins if hi > lo else 1.0
+
+    def binned(batch: pa.Table) -> pa.Table:
+        g = batch[group_col]
+        v = batch[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        b = np.minimum(
+            np.floor((v - lo) / width).astype(np.int64), n_bins - 1
+        )
+        t = pa.table(
+            {
+                "g": g,
+                "b": pa.array(b),
+                "c": pa.array(np.ones(len(v), dtype=np.int64)),
+            }
+        )
+        return t.group_by(["g", "b"]).aggregate([("c", "sum")])
+
+    rows = (
+        ds.map_batches(binned, batch_format="pyarrow")
+        .groupby(["g", "b"])
+        .aggregate(Sum("c_sum", alias_name="c"))
+        .take_all()
+    )
+    groups = sorted({r["g"] for r in rows})
+    gidx = {g: i for i, g in enumerate(groups)}
+    counts = np.zeros((len(groups), n_bins), dtype=np.float64)
+    for r in rows:
+        counts[gidx[r["g"]], r["b"]] = r["c"]
+    total = counts.sum(axis=0)
+    n_all = total.sum()
+    p_all = (total + 0.5) / (n_all + 0.5 * n_bins)
+    n_g = counts.sum(axis=1, keepdims=True)
+    p_g = (counts + 0.5) / (n_g + 0.5 * n_bins)
+    psi = ((p_g - p_all) * np.log(p_g / p_all)).sum(axis=1)
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "group": pa.array(groups),
+                "psi": pa.array(np.round(psi, ndigits)),
+            }
+        )
+    )

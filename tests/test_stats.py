@@ -228,3 +228,43 @@ def test_compression_ratio_signal(ray_session):
     assert got.loc[1, "ratio"] < 0.05  # boilerplate compresses away
     assert got.loc[2, "ratio"] > 0.7  # high entropy barely compresses
     assert got.loc[1, "n_bytes"] == 5000
+
+
+def test_psi_drift_matches_reference_and_flags_shift(ray_session):
+    """psi_drift == hand-rolled PSI; a shifted group scores far above a
+    same-distribution group; constant column degenerates safely."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from kenlm_ray.ops.stats import psi_drift
+
+    rng = np.random.default_rng(7)
+    base = rng.uniform(0, 100, 800)
+    same = rng.uniform(0, 100, 400)
+    shifted = rng.uniform(80, 100, 400)
+    g = ["base"] * 800 + ["same"] * 400 + ["shifted"] * 400
+    v = np.concatenate([base, same, shifted])
+    ds = ray.data.from_arrow(
+        pa.table({"src": g, "val": v})
+    ).repartition(5)
+    out = psi_drift(ds, "src", "val", n_bins=10).to_pandas().set_index("group")
+
+    lo, hi = v.min(), v.max()
+    w = (hi - lo) / 10
+    bins = np.minimum(np.floor((v - lo) / w).astype(int), 9)
+    ga = np.array(g)
+    tot = np.bincount(bins, minlength=10).astype(float)
+    p_all = (tot + 0.5) / (tot.sum() + 5.0)
+    for name in ("base", "same", "shifted"):
+        c = np.bincount(bins[ga == name], minlength=10).astype(float)
+        p_g = (c + 0.5) / (c.sum() + 5.0)
+        ref = ((p_g - p_all) * np.log(p_g / p_all)).sum()
+        assert out.loc[name, "psi"] == round(float(ref), 6), name
+    assert out.loc["shifted", "psi"] > 0.25 > out.loc["same", "psi"]
+
+    const = ray.data.from_arrow(
+        pa.table({"src": ["a", "a", "b"], "val": [5.0, 5.0, 5.0]})
+    )
+    outc = psi_drift(const, "src", "val").to_pandas()
+    assert np.isfinite(outc["psi"]).all()
