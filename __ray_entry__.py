@@ -1475,6 +1475,15 @@ def _q_part_triangles(sf_dir):
     )
 
 
+def _q_doc_unigram_kl(sf_dir):
+    """Per-doc KL(doc unigrams || corpus unigrams) — divergence quality
+    signal (ops/text.doc_unigram_kl — vocab-broadcast + per-batch
+    reduceat fold, no second shuffle)."""
+    from kenlm_ray.ops.text import doc_unigram_kl
+
+    return doc_unigram_kl(_documents(sf_dir))
+
+
 def _q_source_length_psi(sf_dir):
     """Population Stability Index of each source's doc-length
     distribution vs the corpus (ops/stats.psi_drift — counters only,
@@ -2357,6 +2366,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_name_fuzzy_pairs": _q_part_name_fuzzy,
         "brand_frequent_itemsets": _q_brand_itemsets,
         "source_length_psi": _q_source_length_psi,
+        "doc_unigram_kl": _q_doc_unigram_kl,
         "doc_blended_quality_rank": _q_doc_blended_rank,
         "jaccard_dedup_clusters": _q_jaccard_clusters,
         "jaccard_dedup_docs": _q_jaccard_dedup_docs,
@@ -3343,6 +3353,19 @@ def oracle_sql() -> dict[str, str]:
         "part_copurchase_pagerank": _pagerank_sql(num_iters=5, damping=0.85),
         "part_copurchase_bfs": _bfs_sql(max_hops=6),
         "lineitem_profile": _profile_sql(),
+        "doc_unigram_kl": f"""
+            WITH flat AS ({_FLAT}),
+            cw AS (SELECT tok, count(*)::DOUBLE AS c FROM flat GROUP BY 1),
+            t AS (SELECT count(*)::DOUBLE AS t FROM flat),
+            dw AS (SELECT doc_id, tok, count(*)::DOUBLE AS c
+                   FROM flat GROUP BY 1, 2),
+            dl AS (SELECT doc_id, count(*)::BIGINT AS n FROM flat GROUP BY 1)
+            SELECT dw.doc_id, dl.n AS n_tokens,
+                   round(sum((dw.c / dl.n) * ln((dw.c / dl.n)
+                             / (cw.c / (SELECT t FROM t)))), 6) AS kl
+            FROM dw JOIN dl USING (doc_id) JOIN cw USING (tok)
+            GROUP BY dw.doc_id, dl.n
+        """,
         "source_length_psi": """
             WITH st AS (
                 SELECT min(n_chars)::DOUBLE AS lo, max(n_chars)::DOUBLE AS hi

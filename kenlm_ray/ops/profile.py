@@ -211,15 +211,19 @@ def profile_columns(
             for r in hll.take_all()
         }
 
-    # ---- assemble (column-count-sized)
-    order = {c: i for i, c in enumerate(cols)}
-    stats.sort(key=lambda r: order[r["column"]])
-    names = [r["column"] for r in stats]
-    n = np.array([r["n"] for r in stats], dtype=np.int64)
-    n_null = np.array([r["n_null"] for r in stats], dtype=np.int64)
-    s = np.array([r["s"] for r in stats])
-    mn = np.array([r["mn"] for r in stats])
-    mx = np.array([r["mx"] for r in stats])
+    # ---- assemble (column-count-sized); an empty input produces no
+    # stats rows at all — still emit one all-zero row per column (the
+    # SQL COUNT(*) convention)
+    smap = {r["column"]: r for r in stats}
+    zero = {"n": 0, "n_null": 0, "s": 0.0, "mn": np.inf, "mx": -np.inf}
+    names = list(cols)
+    n = np.array([smap.get(c, zero)["n"] for c in names], dtype=np.int64)
+    n_null = np.array(
+        [smap.get(c, zero)["n_null"] for c in names], dtype=np.int64
+    )
+    s = np.array([smap.get(c, zero)["s"] for c in names])
+    mn = np.array([smap.get(c, zero)["mn"] for c in names])
+    mx = np.array([smap.get(c, zero)["mx"] for c in names])
     nd = np.array([dmap.get(c, 0) for c in names], dtype=np.int64)
     is_num = np.array([c in numeric for c in names])
     nv = (n - n_null).astype(np.float64)

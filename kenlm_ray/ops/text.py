@@ -293,6 +293,103 @@ def type_token_ratio(
     return ds.map_batches(stats, batch_format="pyarrow")
 
 
+def doc_unigram_kl(
+    ds: "ray.data.Dataset",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ndigits: int = 6,
+) -> "ray.data.Dataset":
+    """Per-document KL divergence of the doc's unigram distribution from
+    the corpus's — the "does this doc look like the corpus" divergence
+    signal (0 = typical; high = jargon/boilerplate/another register):
+
+        KL(d) = sum_w  p_d(w) * ln( p_d(w) / p_corpus(w) )
+
+    well-defined without smoothing because every doc token is by
+    construction a corpus token (p_c > 0 wherever p_d > 0).
+
+    Shape: pass 1 is the exact corpus unigram count by 64-bit token
+    hash (vocab-sized groupby, the ngram_counts shuffle class),
+    broadcast sorted; pass 2 folds each doc's (token, count) runs into
+    one KL scalar — per-batch lexsort + reduceat, no shuffle.  The
+    broadcast is the same vocab bound as build_vocab (hash+count =
+    16 B/type).  Returns ``(doc_id, n_tokens, kl)``; empty docs drop.
+    """
+    import ray as _ray
+
+    def hash_counts(batch: pa.Table) -> pa.Table:
+        stream = tokenize_column(batch[text_col])
+        if stream.n_tokens == 0:
+            return pa.table(
+                {
+                    "h": pa.array([], type=pa.uint64()),
+                    "c": pa.array([], type=pa.int64()),
+                }
+            )
+        u, c = np.unique(stream.hashes(), return_counts=True)
+        return pa.table({"h": pa.array(u), "c": pa.array(c.astype(np.int64))})
+
+    rows = (
+        ds.map_batches(hash_counts, batch_format="pyarrow")
+        .groupby("h")
+        .aggregate(Sum("c", alias_name="c"))
+        .take_all()
+    )
+    vh = np.array([r["h"] for r in rows], dtype=np.uint64)
+    vc = np.array([r["c"] for r in rows], dtype=np.float64)
+    order = np.argsort(vh)
+    vh, vc = vh[order], vc[order]
+    total = float(vc.sum())
+    lut = _ray.put((vh, vc))
+
+    def fold(batch: pa.Table) -> pa.Table:
+        hs, cs = _ray.get(lut)
+        stream = tokenize_column(batch[text_col])
+        n = len(batch)
+        n_tokens = np.bincount(stream.doc_ids, minlength=n).astype(np.int64)
+        empty = pa.table(
+            {
+                id_col: batch[id_col].filter(pa.array(n_tokens > 0)),
+                "n_tokens": pa.array(n_tokens[n_tokens > 0]),
+                "kl": pa.array(
+                    np.zeros(int((n_tokens > 0).sum()), dtype=np.float64)
+                ),
+            }
+        )
+        if stream.n_tokens == 0:
+            return empty
+        d = stream.doc_ids.astype(np.int64)
+        h = stream.hashes()
+        o = np.lexsort((h, d))
+        d, h = d[o], h[o]
+        starts = np.flatnonzero(
+            np.concatenate([[True], (d[1:] != d[:-1]) | (h[1:] != h[:-1])])
+        )
+        runlen = np.diff(np.append(starts, len(d))).astype(np.float64)
+        rd, rh = d[starts], h[starts]
+        p_d = runlen / n_tokens[rd]
+        p_c = cs[np.searchsorted(hs, rh)] / total
+        contrib = p_d * np.log(p_d / p_c)
+        # per-doc reduce over this doc's (token) runs
+        doc_starts = np.flatnonzero(
+            np.concatenate([[True], rd[1:] != rd[:-1]])
+        )
+        kl = np.add.reduceat(contrib, doc_starts)
+        docs = rd[doc_starts]
+        out = np.zeros(n, dtype=np.float64)
+        out[docs] = kl
+        keep = n_tokens > 0
+        return pa.table(
+            {
+                id_col: batch[id_col].filter(pa.array(keep)),
+                "n_tokens": pa.array(n_tokens[keep]),
+                "kl": pa.array(np.round(out[keep], ndigits)),
+            }
+        )
+
+    return ds.map_batches(fold, batch_format="pyarrow")
+
+
 def unigram_entropy(
     ds: "ray.data.Dataset",
     text_col: str = "text",

@@ -1213,3 +1213,46 @@ def test_asof_right_tiebreak(ray_session):
             .to_pandas().sort_values("t")
         )
         assert fwd["rv"].tolist() == [9]
+
+
+def test_doc_unigram_kl_brute_force(ray_session):
+    """doc_unigram_kl == per-doc KL computed by dict counting; the
+    corpus-identical doc scores ~0 and an off-distribution doc high."""
+    import collections
+    import math
+
+    import ray.data
+
+    from kenlm_ray.ops.text import doc_unigram_kl
+
+    docs = [
+        {"doc_id": 0, "text": "a b c a b a"},
+        {"doc_id": 1, "text": "a a a a"},
+        {"doc_id": 2, "text": "z z z y"},
+        {"doc_id": 3, "text": "   "},          # empty after tokenize
+        {"doc_id": 4, "text": "a b c z y a"},
+    ]
+    got = (
+        doc_unigram_kl(ray.data.from_items(docs).repartition(3))
+        .to_pandas()
+        .set_index("doc_id")
+    )
+    corpus = collections.Counter()
+    per_doc = {}
+    for d in docs:
+        toks = d["text"].split()
+        if toks:
+            per_doc[d["doc_id"]] = collections.Counter(toks)
+            corpus.update(toks)
+    T = sum(corpus.values())
+    assert 3 not in got.index
+    for did, cnt in per_doc.items():
+        n = sum(cnt.values())
+        kl = sum(
+            (c / n) * math.log((c / n) / (corpus[w] / T))
+            for w, c in cnt.items()
+        )
+        assert got.loc[did, "kl"] == round(kl, 6), did
+        assert got.loc[did, "n_tokens"] == n
+    # off-distribution doc diverges more than the typical one
+    assert got.loc[2, "kl"] > got.loc[0, "kl"]

@@ -69,3 +69,15 @@ def test_profile_approx_distinct_close(ray_session):
     # HLL p=10 -> ~3.2% stderr; allow 4 sigma
     assert abs(out.loc["k", "n_distinct"] - 37) <= max(4, 0.13 * 37)
     assert abs(out.loc["u", "n_distinct"] - n) <= 0.13 * n
+
+
+def test_profile_empty_table_zero_rows(ray_session):
+    import ray.data
+
+    from kenlm_ray.ops.profile import profile_columns
+
+    ds = ray.data.from_arrow(_table()).filter(expr="i > 100")
+    out = profile_columns(ds, ["i", "s"]).to_pandas().set_index("column")
+    assert list(out.index) == ["i", "s"]
+    assert (out["n"] == 0).all() and (out["n_distinct"] == 0).all()
+    assert np.isnan(out["min_v"]).all() and np.isnan(out["mean_v"]).all()
