@@ -1475,6 +1475,20 @@ def _q_part_triangles(sf_dir):
     )
 
 
+def _q_lang_zscore(sf_dir):
+    """Per-language z-score of doc length (ops/stats.zscore_normalize —
+    grouped moments broadcast into a pure map, zero data shuffles)."""
+    import ray.data
+
+    from kenlm_ray.ops.stats import zscore_normalize
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "lang", "n_chars"],
+    )
+    return zscore_normalize(docs, "lang", "n_chars")
+
+
 def _q_doc_unigram_kl(sf_dir):
     """Per-doc KL(doc unigrams || corpus unigrams) — divergence quality
     signal (ops/text.doc_unigram_kl — vocab-broadcast + per-batch
@@ -2367,6 +2381,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "brand_frequent_itemsets": _q_brand_itemsets,
         "source_length_psi": _q_source_length_psi,
         "doc_unigram_kl": _q_doc_unigram_kl,
+        "lang_length_zscore": _q_lang_zscore,
         "doc_blended_quality_rank": _q_doc_blended_rank,
         "jaccard_dedup_clusters": _q_jaccard_clusters,
         "jaccard_dedup_docs": _q_jaccard_dedup_docs,
@@ -3353,6 +3368,13 @@ def oracle_sql() -> dict[str, str]:
         "part_copurchase_pagerank": _pagerank_sql(num_iters=5, damping=0.85),
         "part_copurchase_bfs": _bfs_sql(max_hops=6),
         "lineitem_profile": _profile_sql(),
+        "lang_length_zscore": """
+            SELECT doc_id, lang, n_chars,
+                   round((n_chars - avg(n_chars) OVER (PARTITION BY lang))
+                         / nullif(stddev_samp(n_chars)
+                                  OVER (PARTITION BY lang), 0), 6) AS zscore
+            FROM documents
+        """,
         "doc_unigram_kl": f"""
             WITH flat AS ({_FLAT}),
             cw AS (SELECT tok, count(*)::DOUBLE AS c FROM flat GROUP BY 1),

@@ -310,3 +310,79 @@ def psi_drift(
             }
         )
     )
+
+
+def zscore_normalize(
+    ds: "ray.data.Dataset",
+    group_col: str,
+    value_col: str,
+    out_col: str = "zscore",
+    ndigits: int = 6,
+) -> "ray.data.Dataset":
+    """Per-group z-score normalization ``(v - mean_g) / stddev_g``
+    (STDDEV_SAMP semantics) — the scale remover applied to a quality
+    signal before cross-group thresholding.  Groups with fewer than two
+    rows or zero variance get NULL (matching SQL's NULL/guarded
+    division).
+
+    Shape: one pass of (group, n, sum, sumsq) partials -> tiny grouped
+    sum -> per-group (mean, std) broadcast -> pure map.  The data
+    shuffles zero times; broadcast state is group-count-sized.
+    """
+    import ray as _ray
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch[group_col]
+        v = batch[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        t = pa.table(
+            {
+                "g": g,
+                "n": pa.array(np.ones(len(v), dtype=np.int64)),
+                "s": pa.array(v),
+                "q": pa.array(v * v),
+            }
+        )
+        return t.group_by(["g"]).aggregate(
+            [("n", "sum"), ("s", "sum"), ("q", "sum")]
+        )
+
+    rows = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("g")
+        .aggregate(
+            Sum("n_sum", alias_name="n"),
+            Sum("s_sum", alias_name="s"),
+            Sum("q_sum", alias_name="q"),
+        )
+        .take_all()
+    )
+    stats = {}
+    for r in rows:
+        n, s, q = r["n"], r["s"], r["q"]
+        if n < 2:
+            stats[r["g"]] = (s / n if n else 0.0, None)
+            continue
+        mean = s / n
+        var = (q - n * mean * mean) / (n - 1)
+        stats[r["g"]] = (mean, float(np.sqrt(var)) if var > 0 else None)
+    lut = _ray.put(stats)
+
+    def label(batch: pa.Table) -> pa.Table:
+        st = _ray.get(lut)
+        g = batch[group_col].to_numpy(zero_copy_only=False)
+        v = batch[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        ug, inv = np.unique(g, return_inverse=True)
+        means = np.array([st.get(x, (0.0, None))[0] for x in ug])[inv]
+        stds_l = [st.get(x, (0.0, None))[1] for x in ug]
+        stds = np.array(
+            [np.nan if x is None else x for x in stds_l], dtype=np.float64
+        )[inv]
+        with np.errstate(invalid="ignore"):
+            z = np.round((v - means) / stds, ndigits)
+        mask = ~np.isfinite(z)
+        return batch.append_column(
+            out_col,
+            pa.array(np.where(mask, 0.0, z), type=pa.float64(), mask=mask),
+        )
+
+    return ds.map_batches(label, batch_format="pyarrow")

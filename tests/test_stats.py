@@ -268,3 +268,31 @@ def test_psi_drift_matches_reference_and_flags_shift(ray_session):
     )
     outc = psi_drift(const, "src", "val").to_pandas()
     assert np.isfinite(outc["psi"]).all()
+
+
+def test_zscore_normalize_matches_numpy_and_null_semantics(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from kenlm_ray.ops.stats import zscore_normalize
+
+    rng = np.random.default_rng(11)
+    g = np.repeat(["a", "b", "c", "d"], [50, 30, 1, 4])
+    v = np.concatenate(
+        [rng.normal(10, 3, 50), rng.normal(-5, 0.5, 30), [7.0], [2.0] * 4]
+    )
+    ids = np.arange(len(g))
+    ds = ray.data.from_arrow(
+        pa.table({"id": ids, "g": g, "v": v})
+    ).repartition(4)
+    out = zscore_normalize(ds, "g", "v").to_pandas().sort_values("id")
+    for name in ("a", "b"):
+        m = g == name
+        ref = np.round((v[m] - v[m].mean()) / v[m].std(ddof=1), 6)
+        np.testing.assert_array_equal(
+            out[out["g"] == name]["zscore"].to_numpy(), ref
+        )
+    # single-row group and zero-variance group -> NULL
+    assert out[out["g"] == "c"]["zscore"].isna().all()
+    assert out[out["g"] == "d"]["zscore"].isna().all()
