@@ -1475,6 +1475,14 @@ def _q_part_triangles(sf_dir):
     )
 
 
+def _q_tfidf_cosine(sf_dir):
+    """Sparse TF-IDF cosine similarity join, cos >= 0.4
+    (ops/text.tfidf_cosine_pairs — weighted inverted-index reduce)."""
+    from kenlm_ray.ops.text import tfidf_cosine_pairs
+
+    return tfidf_cosine_pairs(_documents(sf_dir), tau=0.75)
+
+
 def _q_lang_zscore(sf_dir):
     """Per-language z-score of doc length (ops/stats.zscore_normalize —
     grouped moments broadcast into a pure map, zero data shuffles)."""
@@ -2382,6 +2390,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_length_psi": _q_source_length_psi,
         "doc_unigram_kl": _q_doc_unigram_kl,
         "lang_length_zscore": _q_lang_zscore,
+        "tfidf_cosine_pairs": _q_tfidf_cosine,
         "doc_blended_quality_rank": _q_doc_blended_rank,
         "jaccard_dedup_clusters": _q_jaccard_clusters,
         "jaccard_dedup_docs": _q_jaccard_dedup_docs,
@@ -3368,6 +3377,30 @@ def oracle_sql() -> dict[str, str]:
         "part_copurchase_pagerank": _pagerank_sql(num_iters=5, damping=0.85),
         "part_copurchase_bfs": _bfs_sql(max_hops=6),
         "lineitem_profile": _profile_sql(),
+        "tfidf_cosine_pairs": f"""
+            WITH flat AS ({_FLAT}),
+            tf AS (SELECT doc_id, tok AS token, count(*)::BIGINT AS tf
+                   FROM flat GROUP BY 1, 2),
+            df AS (SELECT token, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+            n AS (SELECT count(*)::DOUBLE AS n FROM documents),
+            w AS (SELECT tf.doc_id, tf.token,
+                         round(tf.tf * ln((SELECT n FROM n) / df.df), 6) AS w
+                  FROM tf JOIN df USING (token)),
+            nrm AS (SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM w GROUP BY 1),
+            dots AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                       sum(a.w * b.w) AS d
+                FROM w a JOIN w b
+                  ON a.token = b.token AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT id_a, id_b, round(d / (na.nrm * nb.nrm), 6) AS cos_sim
+            FROM dots
+            JOIN nrm na ON na.doc_id = id_a
+            JOIN nrm nb ON nb.doc_id = id_b
+            WHERE na.nrm > 0 AND nb.nrm > 0
+              AND d / (na.nrm * nb.nrm) >= 0.75
+        """,
         "lang_length_zscore": """
             SELECT doc_id, lang, n_chars,
                    round((n_chars - avg(n_chars) OVER (PARTITION BY lang))

@@ -184,6 +184,11 @@ def run_queries() -> dict[str, float]:
         "toxicity_scrubbed",
         "ppl_score",
         "langid",
+        "part_copurchase_pagerank",
+        "lineitem_profile",
+        "brand_frequent_itemsets",
+        "doc_unigram_kl",
+        "containment_near_dup_pairs",
     ]
     # best-of-QUERY_ROUNDS with the rounds INTERLEAVED (all queries once,
     # then all again): a co-tenant noise burst lands inside one round and

@@ -229,6 +229,172 @@ def tf_idf(
     return joined.map_batches(score, batch_format="pyarrow")
 
 
+def tfidf_cosine_pairs(
+    ds: "ray.data.Dataset",
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    tau: float = 0.5,
+    max_df: "int | None" = None,
+    num_partitions: int = 64,
+) -> "ray.data.Dataset":
+    """Sparse TF-IDF cosine similarity join: all document pairs with
+    ``cos(tfidf_a, tfidf_b) >= tau`` — the classic IR near-dup /
+    related-document signal, BETWEEN the set view (ops/dedup jaccard:
+    ignores weights) and the dense view (ops/knn embedding cosine:
+    needs a model).
+
+    Shape: TF-IDF rows from :func:`tf_idf` (map-side TF, vocab-sized DF
+    groupby, partitioned join); pair dot products via the inverted-
+    index reduce — token-hash buckets emit within-run weight products,
+    pair-combined locally, summed in one pair-bucket groupby.  Norms
+    are a doc-sized aggregate broadcast into the finish (8 B/doc — for
+    corpora where even that is too large, join the norm table back with
+    ops/join.hash_join instead).  ``max_df`` drops tokens in more than
+    that many docs from the DOT (norms keep them), making the reported
+    cosine a lower bound — recall loss only, the same cap semantics as
+    jaccard_near_dup_pairs.
+
+    Returns ``(id_a, id_b, cos_sim)`` with id_a < id_b, rounded to 6.
+    """
+    import ray as _ray
+
+    from kenlm_ray.functions.hashing import hash_bytes_array
+
+    P = num_partitions
+    w = tf_idf(ds, text_col, id_col).materialize()  # norms + pairs
+
+    def norm_partial(batch: pa.Table) -> pa.Table:
+        v = batch["tfidf"].to_numpy(zero_copy_only=False)
+        t = pa.table({id_col: batch[id_col], "q": pa.array(v * v)})
+        return t.group_by([id_col]).aggregate([("q", "sum")])
+
+    nrows = (
+        w.map_batches(norm_partial, batch_format="pyarrow")
+        .groupby(id_col)
+        .aggregate(Sum("q_sum", alias_name="q"))
+        .take_all()
+    )
+    nd = np.sort(np.array([r[id_col] for r in nrows], dtype=np.int64))
+    qmap = {r[id_col]: r["q"] for r in nrows}
+    norms = np.sqrt(np.array([qmap[i] for i in nd], dtype=np.float64))
+    lut = _ray.put((nd, norms))
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        t = batch
+        if max_df is not None:
+            import pyarrow.compute as pc
+
+            t = t.filter(pc.less_equal(t["df"], max_df))
+        th = hash_bytes_array(t["token"].to_pylist())
+        return pa.table(
+            {
+                "h": pa.array(th),
+                id_col: t[id_col],
+                "wv": t["tfidf"],
+                "__pb": pa.array(
+                    (th % np.uint64(P)).astype(np.int64)
+                ),
+            }
+        )
+
+    PAIR_EMPTY = pa.table(
+        {
+            "id_a": pa.array([], type=pa.int64()),
+            "id_b": pa.array([], type=pa.int64()),
+            "dot": pa.array([], type=pa.float64()),
+            "__pb2": pa.array([], type=pa.int64()),
+        }
+    )
+
+    def _combine(ia, ib, dv):
+        order = np.lexsort((ib, ia))
+        ia, ib, dv = ia[order], ib[order], dv[order]
+        starts = np.flatnonzero(
+            np.concatenate([[True], (ia[1:] != ia[:-1]) | (ib[1:] != ib[:-1])])
+        )
+        return ia[starts], ib[starts], np.add.reduceat(dv, starts)
+
+    def part_pairs(g: pa.Table) -> pa.Table:
+        if len(g) < 2:
+            return PAIR_EMPTY
+        h = g["h"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        ids = g[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        wv = g["wv"].to_numpy(zero_copy_only=False).astype(np.float64)
+        order = np.lexsort((ids, h))
+        h, ids, wv = h[order], ids[order], wv[order]
+        starts = np.flatnonzero(np.concatenate([[True], h[1:] != h[:-1]]))
+        lens = np.diff(np.append(starts, len(h)))
+        ia, ib, dv = [], [], []
+        for s, L in zip(starts[lens >= 2], lens[lens >= 2]):
+            L = int(L)
+            r, c = np.triu_indices(L, k=1)
+            ia.append(ids[s + r])
+            ib.append(ids[s + c])
+            dv.append(wv[s + r] * wv[s + c])
+        if not ia:
+            return PAIR_EMPTY
+        a, b, d = _combine(
+            np.concatenate(ia), np.concatenate(ib), np.concatenate(dv)
+        )
+        with np.errstate(over="ignore"):
+            mix = (
+                a.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+            ) ^ b.astype(np.uint64)
+        return pa.table(
+            {
+                "id_a": pa.array(a),
+                "id_b": pa.array(b),
+                "dot": pa.array(d),
+                "__pb2": pa.array((mix % np.uint64(P)).astype(np.int64)),
+            }
+        )
+
+    OUT_EMPTY = pa.table(
+        {
+            "id_a": pa.array([], type=pa.int64()),
+            "id_b": pa.array([], type=pa.int64()),
+            "cos_sim": pa.array([], type=pa.float64()),
+        }
+    )
+
+    def finish(g: pa.Table) -> pa.Table:
+        if len(g) == 0:
+            return OUT_EMPTY
+        a, b, d = _combine(
+            g["id_a"].to_numpy(zero_copy_only=False).astype(np.int64),
+            g["id_b"].to_numpy(zero_copy_only=False).astype(np.int64),
+            g["dot"].to_numpy(zero_copy_only=False).astype(np.float64),
+        )
+        ndv, nv = _ray.get(lut)
+        na = nv[np.searchsorted(ndv, a)]
+        nb = nv[np.searchsorted(ndv, b)]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cos = np.where((na > 0) & (nb > 0), d / (na * nb), 0.0)
+        sel = cos >= tau
+        return pa.table(
+            {
+                "id_a": pa.array(a[sel]),
+                "id_b": pa.array(b[sel]),
+                "cos_sim": pa.array(np.round(cos[sel], 6)),
+            }
+        )
+
+    return (
+        w.map_batches(keyed, batch_format="pyarrow")
+        .groupby("__pb")
+        .map_groups(
+            lambda g: part_pairs(g.drop_columns(["__pb"])),
+            batch_format="pyarrow",
+        )
+        .groupby("__pb2")
+        .map_groups(
+            lambda g: finish(g.drop_columns(["__pb2"])),
+            batch_format="pyarrow",
+        )
+    )
+
+
 BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
 
 

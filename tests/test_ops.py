@@ -1256,3 +1256,66 @@ def test_doc_unigram_kl_brute_force(ray_session):
         assert got.loc[did, "n_tokens"] == n
     # off-distribution doc diverges more than the typical one
     assert got.loc[2, "kl"] > got.loc[0, "kl"]
+
+
+def test_tfidf_cosine_pairs_brute_force(ray_session):
+    """tfidf_cosine_pairs == dense numpy tf-idf cosine on every pair;
+    max_df only ever lowers the reported similarity."""
+    import collections
+    import math
+
+    import ray.data
+
+    from kenlm_ray.ops.text import tfidf_cosine_pairs
+
+    docs = [
+        {"doc_id": 0, "text": "apple banana apple cherry"},
+        {"doc_id": 1, "text": "apple banana apple cherry date"},
+        {"doc_id": 2, "text": "dog cat mouse"},
+        {"doc_id": 3, "text": "apple apple apple"},
+        {"doc_id": 4, "text": ""},
+    ]
+    N = len(docs)
+    tfs = [collections.Counter(d["text"].split()) for d in docs]
+    dfc = collections.Counter(w for tf in tfs for w in tf)
+
+    def vec(tf):
+        return {w: round(c * math.log(N / dfc[w]), 6) for w, c in tf.items()}
+
+    vecs = [vec(tf) for tf in tfs]
+
+    def cos(a, b):
+        na = math.sqrt(sum(v * v for v in a.values()))
+        nb = math.sqrt(sum(v * v for v in b.values()))
+        if na == 0 or nb == 0:
+            return 0.0
+        return sum(a[w] * b[w] for w in a.keys() & b.keys()) / (na * nb)
+
+    expect = {}
+    for i in range(N):
+        for j in range(i + 1, N):
+            c = cos(vecs[i], vecs[j])
+            if c >= 0.1:
+                expect[(i, j)] = round(c, 6)
+
+    got = tfidf_cosine_pairs(
+        ray.data.from_items(docs).repartition(3), tau=0.1
+    ).to_pandas()
+    got_map = {
+        (int(r.id_a), int(r.id_b)): round(float(r.cos_sim), 6)
+        for r in got.itertuples()
+    }
+    assert set(got_map) == set(expect)
+    for k in expect:
+        assert abs(got_map[k] - expect[k]) < 2e-6, k
+    # the near-identical pair is the top pair; disjoint docs are absent
+    assert max(got_map, key=got_map.get) == (0, 1)
+    assert (0, 2) not in got_map and (1, 2) not in got_map
+    # max_df cap: reported cosine never exceeds the exact value
+    capped = tfidf_cosine_pairs(
+        ray.data.from_items(docs), tau=0.0, max_df=2
+    ).to_pandas()
+    for r in capped.itertuples():
+        key = (int(r.id_a), int(r.id_b))
+        exact = cos(vecs[key[0]], vecs[key[1]])
+        assert float(r.cos_sim) <= exact + 1e-9
