@@ -1475,6 +1475,20 @@ def _q_part_triangles(sf_dir):
     )
 
 
+def _q_lang_percent_rank(sf_dir):
+    """PERCENT_RANK PARTITION BY lang over doc length
+    (ops/percentile.group_percent_rank — per-group cumsum broadcast)."""
+    import ray.data
+
+    from kenlm_ray.ops.percentile import group_percent_rank
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "lang", "n_chars"],
+    )
+    return group_percent_rank(docs, "lang", "n_chars")
+
+
 def _q_tfidf_cosine(sf_dir):
     """Sparse TF-IDF cosine similarity join, cos >= 0.4
     (ops/text.tfidf_cosine_pairs — weighted inverted-index reduce)."""
@@ -2391,6 +2405,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_unigram_kl": _q_doc_unigram_kl,
         "lang_length_zscore": _q_lang_zscore,
         "tfidf_cosine_pairs": _q_tfidf_cosine,
+        "lang_percent_rank": _q_lang_percent_rank,
         "doc_blended_quality_rank": _q_doc_blended_rank,
         "jaccard_dedup_clusters": _q_jaccard_clusters,
         "jaccard_dedup_docs": _q_jaccard_dedup_docs,
@@ -3377,6 +3392,13 @@ def oracle_sql() -> dict[str, str]:
         "part_copurchase_pagerank": _pagerank_sql(num_iters=5, damping=0.85),
         "part_copurchase_bfs": _bfs_sql(max_hops=6),
         "lineitem_profile": _profile_sql(),
+        "lang_percent_rank": """
+            SELECT doc_id, lang, n_chars,
+                   round(PERCENT_RANK() OVER (PARTITION BY lang
+                                              ORDER BY n_chars), 6)
+                       AS pct_rank
+            FROM documents
+        """,
         "tfidf_cosine_pairs": f"""
             WITH flat AS ({_FLAT}),
             tf AS (SELECT doc_id, tok AS token, count(*)::BIGINT AS tf

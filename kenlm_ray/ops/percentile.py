@@ -343,6 +343,77 @@ def percent_rank(
     return ds.map_batches(label, batch_format="pyarrow")
 
 
+def group_percent_rank(
+    ds: "ray.data.Dataset",
+    group_col: str,
+    col: str,
+    out_col: str = "pct_rank",
+    driver_budget: int = 500_000,
+    ndigits: int = 6,
+) -> "ray.data.Dataset":
+    """PERCENT_RANK() OVER (PARTITION BY group ORDER BY col) — the
+    per-group variant of :func:`percent_rank`: one (group, value)
+    distinct-count pass (bounded by ``driver_budget``, the
+    group_top_fraction budget class), per-group cumsum broadcast, pure
+    map.  Ties share the rank; single-row groups get 0.0."""
+    import ray as _ray
+
+    def vc_partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "g": batch[group_col],
+                "v": pc.cast(batch[col], pa.float64()),
+                "n": pa.array(np.ones(len(batch), dtype=np.int64)),
+            }
+        )
+        return t.group_by(["g", "v"]).aggregate([("n", "sum")])
+
+    from ray.data.aggregate import Sum as _Sum
+
+    rows = (
+        ds.map_batches(vc_partial, batch_format="pyarrow")
+        .groupby(["g", "v"])
+        .aggregate(_Sum("n_sum", alias_name="n"))
+        .take_all()
+    )
+    if len(rows) > driver_budget:
+        raise ValueError(
+            f"distinct (group, value) count {len(rows)} exceeds "
+            f"driver_budget {driver_budget}; quantize the column first"
+        )
+    by_g: dict = {}
+    for r in rows:
+        by_g.setdefault(r["g"], []).append((r["v"], r["n"]))
+    lut: dict = {}
+    for g, vc in by_g.items():
+        vc.sort()
+        vals = np.array([x[0] for x in vc])
+        cnts = np.array([x[1] for x in vc], dtype=np.int64)
+        n = int(cnts.sum())
+        smaller = np.concatenate([[0], np.cumsum(cnts)[:-1]])
+        pr = (
+            np.round(smaller / (n - 1), ndigits)
+            if n > 1
+            else np.zeros(len(vals))
+        )
+        lut[g] = (vals, pr)
+    lut_ref = _ray.put(lut)
+
+    def label(batch: pa.Table) -> pa.Table:
+        lt = _ray.get(lut_ref)
+        g = batch[group_col].to_numpy(zero_copy_only=False)
+        v = batch[col].to_numpy(zero_copy_only=False).astype(np.float64)
+        out = np.zeros(len(v), dtype=np.float64)
+        ug, inv = np.unique(g, return_inverse=True)
+        for gi, gname in enumerate(ug):
+            m = inv == gi
+            vals, pr = lt[gname]
+            out[m] = pr[np.searchsorted(vals, v[m])]
+        return batch.append_column(out_col, pa.array(out))
+
+    return ds.map_batches(label, batch_format="pyarrow")
+
+
 def group_top_fraction(
     ds: "ray.data.Dataset",
     group_col: str,

@@ -105,3 +105,35 @@ def test_percent_rank_ties_and_budget(ray_session):
     assert float(one["pct_rank"][0]) == 0.0
     with pytest.raises(ValueError, match="driver_budget"):
         percent_rank(ds, "v", driver_budget=10)
+
+
+def test_group_percent_rank_matches_reference(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import pytest
+    import ray.data
+
+    from kenlm_ray.ops.percentile import group_percent_rank
+
+    rng = np.random.default_rng(3)
+    g = np.repeat(["x", "y", "z"], [40, 25, 1])
+    v = np.concatenate(
+        [rng.integers(0, 12, 40), rng.integers(0, 5, 25), [9]]
+    ).astype(np.float64)
+    ids = np.arange(len(g))
+    ds = ray.data.from_arrow(
+        pa.table({"id": ids, "g": g, "v": v})
+    ).repartition(4)
+    out = group_percent_rank(ds, "g", "v").to_pandas().sort_values("id")
+    for name in ("x", "y"):
+        m = g == name
+        vv = v[m]
+        ref = np.round(
+            np.array([(vv < x).sum() for x in vv]) / (len(vv) - 1), 6
+        )
+        np.testing.assert_array_equal(
+            out[out["g"] == name]["pct_rank"].to_numpy(), ref
+        )
+    assert (out[out["g"] == "z"]["pct_rank"] == 0.0).all()
+    with pytest.raises(ValueError, match="driver_budget"):
+        group_percent_rank(ds, "g", "v", driver_budget=3)
