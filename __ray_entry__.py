@@ -1475,6 +1475,14 @@ def _q_part_triangles(sf_dir):
     )
 
 
+def _q_orders_cube(sf_dir):
+    """CUBE(year, status) — four grains from one aggregate
+    (ops/analytics.orders_cube)."""
+    from kenlm_ray.ops.analytics import orders_cube
+
+    return orders_cube(sf_dir)
+
+
 def _q_lang_percent_rank(sf_dir):
     """PERCENT_RANK PARTITION BY lang over doc length
     (ops/percentile.group_percent_rank — per-group cumsum broadcast)."""
@@ -2406,6 +2414,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_length_zscore": _q_lang_zscore,
         "tfidf_cosine_pairs": _q_tfidf_cosine,
         "lang_percent_rank": _q_lang_percent_rank,
+        "orders_cube": _q_orders_cube,
         "doc_blended_quality_rank": _q_doc_blended_rank,
         "jaccard_dedup_clusters": _q_jaccard_clusters,
         "jaccard_dedup_docs": _q_jaccard_dedup_docs,
@@ -3392,6 +3401,13 @@ def oracle_sql() -> dict[str, str]:
         "part_copurchase_pagerank": _pagerank_sql(num_iters=5, damping=0.85),
         "part_copurchase_bfs": _bfs_sql(max_hops=6),
         "lineitem_profile": _profile_sql(),
+        "orders_cube": """
+            SELECT year(o_orderdate)::BIGINT AS o_year, o_orderstatus,
+                   count(*)::BIGINT AS n_orders,
+                   round(sum(o_totalprice), 2) AS total_price
+            FROM orders
+            GROUP BY CUBE (o_year, o_orderstatus)
+        """,
         "lang_percent_rank": """
             SELECT doc_id, lang, n_chars,
                    round(PERCENT_RANK() OVER (PARTITION BY lang

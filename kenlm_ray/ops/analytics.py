@@ -1668,6 +1668,72 @@ def orders_rollup(sf_dir: str) -> "ray.data.Dataset":
     )
 
 
+def orders_cube(sf_dir: str) -> "ray.data.Dataset":
+    """CUBE(year, status): all FOUR grains — (year, status), per-year,
+    per-status, grand total — from ONE corpus aggregate; the coarser
+    grains re-aggregate the (year, status) table (dozens of rows),
+    never rescanning orders.  NULL key columns mark subtotal levels
+    exactly as SQL CUBE does.  Output: o_year, o_orderstatus, n_orders,
+    total_price (round 2)."""
+    ds = read(
+        sf_dir, "orders", columns=["o_orderdate", "o_orderstatus", "o_totalprice"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        yr = pc.year(batch["o_orderdate"]).cast(pa.int64())
+        t = pa.table(
+            {
+                "o_year": yr,
+                "o_orderstatus": batch["o_orderstatus"],
+                "n": pa.array(np.ones(len(batch), dtype=np.int64)),
+                "p": batch["o_totalprice"],
+            }
+        )
+        return t.group_by(["o_year", "o_orderstatus"]).aggregate(
+            [("n", "sum"), ("p", "sum")]
+        )
+
+    fine = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["o_year", "o_orderstatus"])
+        .aggregate(Sum("n_sum", alias_name="n_orders"), Sum("p_sum", alias_name="tp"))
+    )
+
+    def expand(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = batch.to_pandas()
+        year_tot = df.groupby("o_year", as_index=False)[["n_orders", "tp"]].sum()
+        year_tot["o_orderstatus"] = None
+        stat_tot = df.groupby("o_orderstatus", as_index=False)[
+            ["n_orders", "tp"]
+        ].sum()
+        stat_tot["o_year"] = None
+        grand = {
+            "o_year": None,
+            "o_orderstatus": None,
+            "n_orders": int(df["n_orders"].sum()),
+            "tp": float(df["tp"].sum()),
+        }
+        out = pd.concat(
+            [df, year_tot, stat_tot, pd.DataFrame([grand])], ignore_index=True
+        )[["o_year", "o_orderstatus", "n_orders", "tp"]]
+        return pa.table(
+            {
+                "o_year": pa.array(out["o_year"].astype("Int64"), type=pa.int64()),
+                "o_orderstatus": pa.array(out["o_orderstatus"], type=pa.string()),
+                "n_orders": pa.array(out["n_orders"].astype(np.int64)),
+                "total_price": pa.array(
+                    np.round(out["tp"].to_numpy(dtype=np.float64), 2)
+                ),
+            }
+        )
+
+    return fine.repartition(1).map_batches(
+        expand, batch_format="pyarrow", batch_size=None
+    )
+
+
 def copurchase_lift(sf_dir: str, top_k: int = 100) -> "ray.data.Dataset":
     """Market-basket mining: co-purchase support and lift between the
     ``top_k`` most-ordered parts — lift(x,y) = n_xy * N / (n_x * n_y)
