@@ -1475,6 +1475,20 @@ def _q_part_triangles(sf_dir):
     )
 
 
+def _q_suppkey_skew(sf_dir):
+    """Key-skew audit of lineitem.l_suppkey (ops/stats.key_skew — Gini
+    from the count-of-counts histogram, top shares from a count-table
+    sort+limit; decides whether a shuffle needs salting)."""
+    import ray.data
+
+    from kenlm_ray.ops.stats import key_skew
+
+    li = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"), columns=["l_suppkey"]
+    )
+    return key_skew(li, "l_suppkey", top_n=10)
+
+
 def _q_orders_cube(sf_dir):
     """CUBE(year, status) — four grains from one aggregate
     (ops/analytics.orders_cube)."""
@@ -2415,6 +2429,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_cosine_pairs": _q_tfidf_cosine,
         "lang_percent_rank": _q_lang_percent_rank,
         "orders_cube": _q_orders_cube,
+        "suppkey_skew_stats": _q_suppkey_skew,
         "doc_blended_quality_rank": _q_doc_blended_rank,
         "jaccard_dedup_clusters": _q_jaccard_clusters,
         "jaccard_dedup_docs": _q_jaccard_dedup_docs,
@@ -3401,6 +3416,29 @@ def oracle_sql() -> dict[str, str]:
         "part_copurchase_pagerank": _pagerank_sql(num_iters=5, damping=0.85),
         "part_copurchase_bfs": _bfs_sql(max_hops=6),
         "lineitem_profile": _profile_sql(),
+        "suppkey_skew_stats": """
+            WITH c AS (
+                SELECT l_suppkey AS k, count(*)::DOUBLE AS cnt
+                FROM lineitem GROUP BY 1
+            ),
+            o AS (
+                SELECT cnt, row_number() OVER (ORDER BY cnt, k) AS rn FROM c
+            ),
+            agg AS (
+                SELECT count(*)::DOUBLE AS n, sum(cnt) AS tot,
+                       sum(rn * cnt) AS s
+                FROM o
+            ),
+            topn AS (
+                SELECT sum(cnt) AS t10, max(cnt) AS t1
+                FROM (SELECT cnt FROM c ORDER BY cnt DESC LIMIT 10)
+            )
+            SELECT tot::BIGINT AS n_rows, n::BIGINT AS n_keys,
+                   round(t1 / tot, 6) AS top1_share,
+                   round(t10 / tot, 6) AS top10_share,
+                   round(2 * s / (n * tot) - (n + 1) / n, 6) AS gini
+            FROM agg, topn
+        """,
         "orders_cube": """
             SELECT year(o_orderdate)::BIGINT AS o_year, o_orderstatus,
                    count(*)::BIGINT AS n_orders,

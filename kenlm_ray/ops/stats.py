@@ -386,3 +386,91 @@ def zscore_normalize(
         )
 
     return ds.map_batches(label, batch_format="pyarrow")
+
+
+def key_skew(
+    ds: "ray.data.Dataset",
+    key_col: str,
+    *,
+    top_n: int = 10,
+    ndigits: int = 6,
+) -> "ray.data.Dataset":
+    """Key-distribution skew audit — the numbers that decide whether a
+    groupby/join on ``key_col`` needs salting: total rows, distinct
+    keys, share of the hottest key and of the top ``top_n``, and the
+    Gini coefficient of the per-key row counts (0 = uniform, -> 1 =
+    one giant key).
+
+    Shape: one vocab-sized per-key count groupby; Gini folds over the
+    COUNT-OF-COUNTS histogram (~sqrt(n) rows: closed form per
+    multiplicity run), and the top shares over a sort+limit of the
+    count table — nothing row-sized reaches the driver.  Output: one
+    row (n_rows, n_keys, top1_share, top{top_n}_share, gini).
+    """
+    from ray.data.aggregate import Sum as _Sum
+
+    def cnt_partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "k": batch[key_col],
+                "c": pa.array(np.ones(len(batch), dtype=np.int64)),
+            }
+        )
+        return t.group_by(["k"]).aggregate([("c", "sum")])
+
+    counts = (
+        ds.map_batches(cnt_partial, batch_format="pyarrow")
+        .groupby("k")
+        .aggregate(_Sum("c_sum", alias_name="c"))
+        .materialize()
+    )
+
+    # count-of-counts histogram (mergeable, ~sqrt-sized)
+    def hist_partial(batch: pa.Table) -> pa.Table:
+        c = batch["c"].to_numpy(zero_copy_only=False)
+        u, m = np.unique(c, return_counts=True)
+        return pa.table(
+            {"cnt": pa.array(u), "m": pa.array(m.astype(np.int64))}
+        )
+
+    hist = (
+        counts.map_batches(hist_partial, batch_format="pyarrow")
+        .groupby("cnt")
+        .aggregate(_Sum("m", alias_name="m"))
+        .take_all()
+    )
+    cv = np.array([r["cnt"] for r in hist], dtype=np.float64)
+    mv = np.array([r["m"] for r in hist], dtype=np.int64)
+    order = np.argsort(cv)
+    cv, mv = cv[order], mv[order]
+    n_keys = int(mv.sum())
+    n_rows = int((cv * mv).sum())
+    # Gini = 2*sum_i(i*x_i)/(n*sum x) - (n+1)/n over ascending x at
+    # 1-based ranks; a run of m equal counts c starting after p keys
+    # contributes c*(m*p + m*(m+1)/2)
+    p = np.concatenate([[0], np.cumsum(mv)[:-1]]).astype(np.float64)
+    s = float((cv * (mv * p + mv * (mv + 1) / 2.0)).sum())
+    gini = (
+        2.0 * s / (n_keys * n_rows) - (n_keys + 1.0) / n_keys
+        if n_keys > 0 and n_rows > 0
+        else 0.0
+    )
+    top = (
+        counts.sort("c", descending=True).limit(top_n).take_all()
+        if n_keys
+        else []
+    )
+    topv = np.array([r["c"] for r in top], dtype=np.float64)
+    top1 = float(topv[0]) / n_rows if len(topv) and n_rows else 0.0
+    topn = float(topv.sum()) / n_rows if len(topv) and n_rows else 0.0
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "n_rows": pa.array([n_rows], type=pa.int64()),
+                "n_keys": pa.array([n_keys], type=pa.int64()),
+                "top1_share": pa.array([round(top1, ndigits)]),
+                f"top{top_n}_share": pa.array([round(topn, ndigits)]),
+                "gini": pa.array([round(gini, ndigits)]),
+            }
+        )
+    )

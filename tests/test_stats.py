@@ -296,3 +296,31 @@ def test_zscore_normalize_matches_numpy_and_null_semantics(ray_session):
     # single-row group and zero-variance group -> NULL
     assert out[out["g"] == "c"]["zscore"].isna().all()
     assert out[out["g"] == "d"]["zscore"].isna().all()
+
+
+def test_key_skew_uniform_vs_skewed(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from kenlm_ray.ops.stats import key_skew
+
+    # uniform: 20 keys x 50 rows -> gini 0
+    uni = ray.data.from_arrow(
+        pa.table({"k": np.repeat(np.arange(20), 50)})
+    ).repartition(4)
+    u = key_skew(uni, "k").to_pandas().iloc[0]
+    assert u["n_rows"] == 1000 and u["n_keys"] == 20
+    assert u["gini"] == 0.0 and u["top1_share"] == 0.05
+
+    # one giant key: exact gini vs direct formula
+    counts = np.array([1] * 9 + [991])
+    ks = np.repeat(np.arange(10), counts)
+    sk = key_skew(
+        ray.data.from_arrow(pa.table({"k": ks})).repartition(3), "k"
+    ).to_pandas().iloc[0]
+    x = np.sort(counts).astype(float)
+    n = len(x)
+    ref = 2 * (np.arange(1, n + 1) * x).sum() / (n * x.sum()) - (n + 1) / n
+    assert sk["gini"] == round(float(ref), 6)
+    assert sk["top1_share"] == 0.991 and sk["top10_share"] == 1.0
