@@ -1489,6 +1489,21 @@ def _q_suppkey_skew(sf_dir):
     return key_skew(li, "l_suppkey", top_n=10)
 
 
+def _q_order_row_number(sf_dir):
+    """Global ROW_NUMBER over (totalprice, orderkey) without a global
+    sort (ops/percentile.global_row_number — distinct-value cumsum +
+    one value-bucket shuffle)."""
+    import ray.data
+
+    from kenlm_ray.ops.percentile import global_row_number
+
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_totalprice"],
+    )
+    return global_row_number(orders, "o_totalprice", "o_orderkey")
+
+
 def _q_orders_cube(sf_dir):
     """CUBE(year, status) — four grains from one aggregate
     (ops/analytics.orders_cube)."""
@@ -2429,6 +2444,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_cosine_pairs": _q_tfidf_cosine,
         "lang_percent_rank": _q_lang_percent_rank,
         "orders_cube": _q_orders_cube,
+        "order_global_row_number": _q_order_row_number,
         "suppkey_skew_stats": _q_suppkey_skew,
         "doc_blended_quality_rank": _q_doc_blended_rank,
         "jaccard_dedup_clusters": _q_jaccard_clusters,
@@ -3416,6 +3432,12 @@ def oracle_sql() -> dict[str, str]:
         "part_copurchase_pagerank": _pagerank_sql(num_iters=5, damping=0.85),
         "part_copurchase_bfs": _bfs_sql(max_hops=6),
         "lineitem_profile": _profile_sql(),
+        "order_global_row_number": """
+            SELECT o_orderkey, o_totalprice,
+                   ROW_NUMBER() OVER (ORDER BY o_totalprice, o_orderkey)
+                       ::BIGINT AS rn
+            FROM orders
+        """,
         "suppkey_skew_stats": """
             WITH c AS (
                 SELECT l_suppkey AS k, count(*)::DOUBLE AS cnt

@@ -414,6 +414,73 @@ def group_percent_rank(
     return ds.map_batches(label, batch_format="pyarrow")
 
 
+def global_row_number(
+    ds: "ray.data.Dataset",
+    col: str,
+    id_col: str,
+    out_col: str = "rn",
+    driver_budget: int = 500_000,
+    num_partitions: int = 32,
+) -> "ray.data.Dataset":
+    """ROW_NUMBER() OVER (ORDER BY col, id) — a dense global 1-based
+    rank for every row, WITHOUT a global sort: the distinct-value
+    cumsum (the :func:`percent_rank` primitive, ``driver_budget``
+    guarded) gives each value its starting rank; rows then shuffle once
+    by value bucket so each value's tie group is co-located, where a
+    lexsort assigns within-value offsets by ``id_col``.
+
+    One data shuffle total (the same cost class as any groupby), driver
+    state = the distinct-value table.  Ties must be broken by a unique
+    ``id_col`` for the rank to be a permutation.
+    """
+    import ray as _ray
+
+    rows = _distinct_value_counts(ds, col)
+    if len(rows) > driver_budget:
+        raise ValueError(
+            f"distinct value count {len(rows)} exceeds driver_budget "
+            f"{driver_budget}; quantize the column first"
+        )
+    uvals = np.array([r[0] for r in rows], dtype=np.float64)
+    ucnt = np.array([r[1] for r in rows], dtype=np.int64)
+    order = np.argsort(uvals)
+    uvals, ucnt = uvals[order], ucnt[order]
+    start = np.concatenate([[0], np.cumsum(ucnt)[:-1]]) + 1  # 1-based
+    lut = _ray.put((uvals, start))
+    P = num_partitions
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        vs, _ = _ray.get(lut)
+        v = batch[col].to_numpy(zero_copy_only=False).astype(np.float64)
+        b = np.searchsorted(vs, v) % P
+        return batch.append_column("__pb", pa.array(b.astype(np.int64)))
+
+    def assign(g: pa.Table) -> pa.Table:
+        vs, st = _ray.get(lut)
+        v = g[col].to_numpy(zero_copy_only=False).astype(np.float64)
+        ids = g[id_col].to_numpy(zero_copy_only=False)
+        o = np.lexsort((ids, v))
+        vi = np.searchsorted(vs, v[o])
+        # within-value offset: position since the value run began
+        runs = np.flatnonzero(
+            np.concatenate([[True], vi[1:] != vi[:-1]])
+        )
+        pos = np.arange(len(vi)) - np.repeat(runs, np.diff(np.append(runs, len(vi))))
+        rn = st[vi] + pos
+        out = np.empty(len(vi), dtype=np.int64)
+        out[o] = rn
+        return g.append_column(out_col, pa.array(out))
+
+    return (
+        ds.map_batches(bucket, batch_format="pyarrow")
+        .groupby("__pb")
+        .map_groups(
+            lambda g: assign(g.drop_columns(["__pb"])),
+            batch_format="pyarrow",
+        )
+    )
+
+
 def group_top_fraction(
     ds: "ray.data.Dataset",
     group_col: str,

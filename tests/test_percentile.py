@@ -137,3 +137,26 @@ def test_group_percent_rank_matches_reference(ray_session):
     assert (out[out["g"] == "z"]["pct_rank"] == 0.0).all()
     with pytest.raises(ValueError, match="driver_budget"):
         group_percent_rank(ds, "g", "v", driver_budget=3)
+
+
+def test_global_row_number_is_exact_permutation(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from kenlm_ray.ops.percentile import global_row_number
+
+    rng = np.random.default_rng(2)
+    v = rng.integers(0, 25, 300).astype(np.float64)  # heavy ties
+    ids = rng.permutation(300)
+    ds = ray.data.from_arrow(
+        pa.table({"id": ids, "v": v})
+    ).repartition(6)
+    out = global_row_number(ds, "v", "id").to_pandas()
+    ref = np.lexsort((ids, v))
+    expect = np.empty(300, dtype=int)
+    expect[ref] = np.arange(1, 301)
+    got = out.sort_values("id")["rn"].to_numpy()
+    want = expect[np.argsort(ids)]
+    np.testing.assert_array_equal(got, want)
+    assert sorted(out["rn"]) == list(range(1, 301))
