@@ -1504,6 +1504,21 @@ def _q_order_row_number(sf_dir):
     return global_row_number(orders, "o_totalprice", "o_orderkey")
 
 
+def _q_winsorized_prices(sf_dir):
+    """Winsorize order totalprice at exact [p1, p99] discrete quantiles
+    (ops/percentile.winsorize — histogram bounds broadcast, pure-map
+    clamp)."""
+    import ray.data
+
+    from kenlm_ray.ops.percentile import winsorize
+
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_totalprice"],
+    )
+    return winsorize(orders, "o_totalprice", 0.01, 0.99)
+
+
 def _q_orders_cube(sf_dir):
     """CUBE(year, status) — four grains from one aggregate
     (ops/analytics.orders_cube)."""
@@ -2445,6 +2460,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_percent_rank": _q_lang_percent_rank,
         "orders_cube": _q_orders_cube,
         "order_global_row_number": _q_order_row_number,
+        "winsorized_order_prices": _q_winsorized_prices,
         "suppkey_skew_stats": _q_suppkey_skew,
         "doc_blended_quality_rank": _q_doc_blended_rank,
         "jaccard_dedup_clusters": _q_jaccard_clusters,
@@ -3432,6 +3448,16 @@ def oracle_sql() -> dict[str, str]:
         "part_copurchase_pagerank": _pagerank_sql(num_iters=5, damping=0.85),
         "part_copurchase_bfs": _bfs_sql(max_hops=6),
         "lineitem_profile": _profile_sql(),
+        "winsorized_order_prices": """
+            WITH q AS (
+                SELECT quantile_disc(o_totalprice, 0.01) AS lo,
+                       quantile_disc(o_totalprice, 0.99) AS hi
+                FROM orders
+            )
+            SELECT o_orderkey, o_totalprice,
+                   least(greatest(o_totalprice, q.lo), q.hi) AS clamped
+            FROM orders, q
+        """,
         "order_global_row_number": """
             SELECT o_orderkey, o_totalprice,
                    ROW_NUMBER() OVER (ORDER BY o_totalprice, o_orderkey)

@@ -481,6 +481,67 @@ def global_row_number(
     )
 
 
+def winsorize(
+    ds: "ray.data.Dataset",
+    col: str,
+    p_lo: float = 0.01,
+    p_hi: float = 0.99,
+    out_col: str = "clamped",
+    driver_budget: int = 500_000,
+) -> "ray.data.Dataset":
+    """Winsorization: clamp ``col`` to its exact [p_lo, p_hi] DISCRETE
+    quantiles (``quantile_disc`` = sorted x[ceil(p*n)-1], an actual data
+    value — no interpolation, so the clamp bounds are bit-exact
+    reproductions of input doubles).  The outlier-taming transform
+    applied to a signal before mean/variance-based scoring.
+
+    One distinct-value-count pass resolves both bounds from the value
+    histogram (``driver_budget`` guarded); the clamp is a pure map —
+    data never shuffles.
+    """
+    if not (0.0 <= p_lo < p_hi <= 1.0):
+        raise ValueError("need 0 <= p_lo < p_hi <= 1")
+    import math
+
+    import ray as _ray
+
+    rows = _distinct_value_counts(ds, col)
+    if len(rows) > driver_budget:
+        raise ValueError(
+            f"distinct value count {len(rows)} exceeds driver_budget "
+            f"{driver_budget}; quantize the column first"
+        )
+    uvals = np.array([r[0] for r in rows], dtype=np.float64)
+    ucnt = np.array([r[1] for r in rows], dtype=np.int64)
+    order = np.argsort(uvals)
+    uvals, ucnt = uvals[order], ucnt[order]
+    cum = np.cumsum(ucnt)
+    n = int(cum[-1]) if len(cum) else 0
+    if n == 0:
+        return ds.map_batches(
+            lambda t: t.append_column(
+                out_col, pa.array([], type=pa.float64())
+            ),
+            batch_format="pyarrow",
+        )
+
+    def disc(p: float) -> float:
+        i = max(int(math.ceil(p * n)) - 1, 0)
+        return float(uvals[np.searchsorted(cum, i, side="right")])
+
+    lo, hi = disc(p_lo), disc(p_hi)
+    bounds = _ray.put((lo, hi))
+
+    def clamp(batch: pa.Table) -> pa.Table:
+        lo_, hi_ = _ray.get(bounds)
+        v = batch[col].to_numpy(zero_copy_only=False).astype(np.float64)
+        return batch.append_column(
+            out_col, pa.array(np.clip(v, lo_, hi_))
+        )
+
+    return ds.map_batches(clamp, batch_format="pyarrow")
+
+
 def group_top_fraction(
     ds: "ray.data.Dataset",
     group_col: str,

@@ -160,3 +160,28 @@ def test_global_row_number_is_exact_permutation(ray_session):
     want = expect[np.argsort(ids)]
     np.testing.assert_array_equal(got, want)
     assert sorted(out["rn"]) == list(range(1, 301))
+
+
+def test_winsorize_matches_disc_quantiles(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import pytest
+    import ray.data
+
+    from kenlm_ray.ops.percentile import winsorize
+
+    rng = np.random.default_rng(4)
+    v = np.concatenate([rng.normal(50, 5, 400), [0.0, 1e6]])  # outliers
+    ids = np.arange(len(v))
+    ds = ray.data.from_arrow(pa.table({"id": ids, "v": v})).repartition(5)
+    out = winsorize(ds, "v", 0.05, 0.95).to_pandas().sort_values("id")
+    sv = np.sort(v)
+    n = len(v)
+    lo = sv[max(int(np.ceil(0.05 * n)) - 1, 0)]
+    hi = sv[max(int(np.ceil(0.95 * n)) - 1, 0)]
+    np.testing.assert_array_equal(
+        out["clamped"].to_numpy(), np.clip(v[np.argsort(ids)], lo, hi)
+    )
+    assert out["clamped"].max() == hi and out["clamped"].min() == lo
+    with pytest.raises(ValueError, match="p_lo"):
+        winsorize(ds, "v", 0.9, 0.1)
