@@ -1504,6 +1504,14 @@ def _q_order_row_number(sf_dir):
     return global_row_number(orders, "o_totalprice", "o_orderkey")
 
 
+def _q_local_supplier_volume(sf_dir):
+    """TPC-H Q5 analog (ops/analytics.local_supplier_volume — partitioned
+    big-x-big join + dimension broadcasts)."""
+    from kenlm_ray.ops.analytics import local_supplier_volume
+
+    return local_supplier_volume(sf_dir, year=1996)
+
+
 def _q_winsorized_prices(sf_dir):
     """Winsorize order totalprice at exact [p1, p99] discrete quantiles
     (ops/percentile.winsorize — histogram bounds broadcast, pure-map
@@ -2461,6 +2469,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_cube": _q_orders_cube,
         "order_global_row_number": _q_order_row_number,
         "winsorized_order_prices": _q_winsorized_prices,
+        "local_supplier_volume": _q_local_supplier_volume,
         "suppkey_skew_stats": _q_suppkey_skew,
         "doc_blended_quality_rank": _q_doc_blended_rank,
         "jaccard_dedup_clusters": _q_jaccard_clusters,
@@ -3448,6 +3457,19 @@ def oracle_sql() -> dict[str, str]:
         "part_copurchase_pagerank": _pagerank_sql(num_iters=5, damping=0.85),
         "part_copurchase_bfs": _bfs_sql(max_hops=6),
         "lineitem_profile": _profile_sql(),
+        "local_supplier_volume": """
+            SELECT n_name,
+                   round(round(sum(l_extendedprice * (1 - l_discount))
+                               * 1e6) / 1e6, 2) AS revenue
+            FROM customer, orders, lineitem, supplier, nation
+            WHERE c_custkey = o_custkey
+              AND l_orderkey = o_orderkey
+              AND l_suppkey = s_suppkey
+              AND c_nationkey = s_nationkey
+              AND c_nationkey = n_nationkey
+              AND year(o_orderdate) = 1996
+            GROUP BY n_name
+        """,
         "winsorized_order_prices": """
             WITH q AS (
                 SELECT quantile_disc(o_totalprice, 0.01) AS lo,

@@ -1668,6 +1668,102 @@ def orders_rollup(sf_dir: str) -> "ray.data.Dataset":
     )
 
 
+def local_supplier_volume(sf_dir: str, year: int = 1996) -> "ray.data.Dataset":
+    """TPC-H Q5 analog: revenue by nation from lineitems whose SUPPLIER
+    and CUSTOMER share a nation, over one order year.
+
+    The shape exercises both join families at once: the big-x-big side
+    (lineitem x year-filtered orders) goes through the PARTITIONED hash
+    join (ops/join.hash_join — at 100 TB neither side broadcasts), and
+    the three dimension lookups (customer -> nation, supplier ->
+    nation, nation -> name) are sorted-array broadcasts probed per
+    batch (ray.put once, np.searchsorted per batch).  Revenue partials
+    combine in-batch before the final nation-keyed groupby.
+    Output: n_name, revenue (round 2).
+    """
+    from kenlm_ray.ops.join import hash_join
+
+    li = read(
+        sf_dir,
+        "lineitem",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+    orders = read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def orders_filtered(batch: pa.Table) -> pa.Table:
+        yr = pc.year(batch["o_orderdate"])
+        keep = pc.equal(yr, year)
+        t = batch.filter(keep)
+        return pa.table({"l_orderkey": t["o_orderkey"], "o_custkey": t["o_custkey"]})
+
+    of = orders.map_batches(orders_filtered, batch_format="pyarrow")
+    joined = hash_join(
+        li,
+        of,
+        on=["l_orderkey"],
+        left_cols={
+            "l_orderkey": pa.int64(),
+            "l_suppkey": pa.int64(),
+            "l_extendedprice": pa.float64(),
+            "l_discount": pa.float64(),
+        },
+        right_cols={"l_orderkey": pa.int64(), "o_custkey": pa.int64()},
+        how="inner",
+    )
+
+    cust = read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]).to_pandas()
+    supp = read(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"]).to_pandas()
+    nat = read(sf_dir, "nation", columns=["n_nationkey", "n_name"]).to_pandas()
+    co = np.argsort(cust["c_custkey"].to_numpy())
+    so = np.argsort(supp["s_suppkey"].to_numpy())
+    lut = ray.put(
+        (
+            cust["c_custkey"].to_numpy()[co],
+            cust["c_nationkey"].to_numpy()[co],
+            supp["s_suppkey"].to_numpy()[so],
+            supp["s_nationkey"].to_numpy()[so],
+        )
+    )
+
+    def rev_partial(batch: pa.Table) -> pa.Table:
+        ck, cn, sk, sn = ray.get(lut)
+        cust_n = cn[np.searchsorted(ck, batch["o_custkey"].to_numpy(zero_copy_only=False))]
+        supp_n = sn[np.searchsorted(sk, batch["l_suppkey"].to_numpy(zero_copy_only=False))]
+        m = cust_n == supp_n
+        ep = batch["l_extendedprice"].to_numpy(zero_copy_only=False)[m]
+        dc = batch["l_discount"].to_numpy(zero_copy_only=False)[m]
+        nk = cust_n[m]
+        u, inv = np.unique(nk, return_inverse=True)
+        rev = np.bincount(inv, weights=ep * (1.0 - dc), minlength=len(u))
+        return pa.table({"nk": pa.array(u), "r": pa.array(rev)})
+
+    agg = (
+        joined.map_batches(rev_partial, batch_format="pyarrow")
+        .groupby("nk")
+        .aggregate(Sum("r", alias_name="revenue"))
+    )
+    nmap = dict(zip(nat["n_nationkey"], nat["n_name"]))
+    nref = ray.put(nmap)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        nm = ray.get(nref)
+        nk = batch["nk"].to_numpy(zero_copy_only=False)
+        rev = batch["revenue"].to_numpy(zero_copy_only=False)
+        # price*(1-discount) terms live on the 1e-4 grid, so the TRUE sum
+        # can sit exactly on the half-cent: snap ulp noise to the 1e-6
+        # grid, then round half-away like DuckDB (np.round is banker's)
+        rev = np.rint(rev * 1e6) / 1e6
+        rev = np.sign(rev) * np.floor(np.abs(rev) * 100 + 0.5) / 100
+        return pa.table(
+            {
+                "n_name": pa.array([nm[int(k)] for k in nk], type=pa.string()),
+                "revenue": pa.array(rev),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
 def orders_cube(sf_dir: str) -> "ray.data.Dataset":
     """CUBE(year, status): all FOUR grains — (year, status), per-year,
     per-status, grand total — from ONE corpus aggregate; the coarser
