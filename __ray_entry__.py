@@ -1504,6 +1504,21 @@ def _q_order_row_number(sf_dir):
     return global_row_number(orders, "o_totalprice", "o_orderkey")
 
 
+def _q_customer_top3_rank(sf_dir):
+    """Top-3 orders per customer by RANK semantics (ties kept)
+    (ops/analytics.group_rank_topk — lossless per-batch cut + one
+    key-bucket exact rank)."""
+    import ray.data
+
+    from kenlm_ray.ops.analytics import group_rank_topk
+
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_totalprice"],
+    )
+    return group_rank_topk(orders, "o_custkey", "o_totalprice", k=3)
+
+
 def _q_local_supplier_volume(sf_dir):
     """TPC-H Q5 analog (ops/analytics.local_supplier_volume — partitioned
     big-x-big join + dimension broadcasts)."""
@@ -2470,6 +2485,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_global_row_number": _q_order_row_number,
         "winsorized_order_prices": _q_winsorized_prices,
         "local_supplier_volume": _q_local_supplier_volume,
+        "customer_top3_orders_rank": _q_customer_top3_rank,
         "suppkey_skew_stats": _q_suppkey_skew,
         "doc_blended_quality_rank": _q_doc_blended_rank,
         "jaccard_dedup_clusters": _q_jaccard_clusters,
@@ -3457,6 +3473,14 @@ def oracle_sql() -> dict[str, str]:
         "part_copurchase_pagerank": _pagerank_sql(num_iters=5, damping=0.85),
         "part_copurchase_bfs": _bfs_sql(max_hops=6),
         "lineitem_profile": _profile_sql(),
+        "customer_top3_orders_rank": """
+            SELECT o_orderkey, o_custkey, o_totalprice, rnk FROM (
+                SELECT o_orderkey, o_custkey, o_totalprice,
+                       RANK() OVER (PARTITION BY o_custkey
+                                    ORDER BY o_totalprice DESC)::BIGINT AS rnk
+                FROM orders
+            ) WHERE rnk <= 3
+        """,
         "local_supplier_volume": """
             SELECT n_name,
                    round(round(sum(l_extendedprice * (1 - l_discount))

@@ -1668,6 +1668,71 @@ def orders_rollup(sf_dir: str) -> "ray.data.Dataset":
     )
 
 
+def group_rank_topk(
+    ds: "ray.data.Dataset",
+    key_col: str,
+    val_col: str,
+    k: int,
+    *,
+    num_partitions: int = 32,
+    rank_col: str = "rnk",
+) -> "ray.data.Dataset":
+    """RANK() OVER (PARTITION BY key ORDER BY val DESC) <= k — top-k per
+    group INCLUDING ties (the RANK twin of the ROW_NUMBER cut in
+    customer_top_orders; a tie at the k-th value keeps every tied row).
+
+    Per-batch partial cut first: a row's global rank is >= its rank in
+    any subset, so dropping batch-local rank > k rows is lossless; the
+    survivors take ONE key-bucket shuffle where the exact rank is
+    computed per key run.  Both passes are the same vectorized
+    lexsort + run-difference kernel, no per-key Python loop.
+    """
+
+    def rank_cut(t: pa.Table, with_rank: bool) -> pa.Table:
+        if len(t) == 0:
+            return t.append_column(rank_col, pa.array([], type=pa.int64())) \
+                if with_rank else t
+        key = t[key_col].to_numpy(zero_copy_only=False)
+        val = t[val_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        order = np.lexsort((-val, key))
+        ks, vs = key[order], val[order]
+        key_new = np.concatenate([[True], ks[1:] != ks[:-1]])
+        val_new = key_new | np.concatenate([[False], vs[1:] != vs[:-1]])
+        idx = np.arange(len(ks))
+        key_start = idx[key_new][np.cumsum(key_new) - 1]
+        val_start = idx[val_new][np.cumsum(val_new) - 1]
+        rank = val_start - key_start + 1
+        keep_sorted = rank <= k
+        keep_rows = order[keep_sorted]
+        out = t.take(pa.array(keep_rows))
+        if with_rank:
+            out = out.append_column(
+                rank_col, pa.array(rank[keep_sorted].astype(np.int64))
+            )
+        return out
+
+    P = num_partitions
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = rank_cut(batch, with_rank=False)
+        key = t[key_col].to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "__pb",
+            pa.array(
+                (key.astype(np.uint64) % np.uint64(P)).astype(np.int64)
+            ),
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("__pb")
+        .map_groups(
+            lambda g: rank_cut(g.drop_columns(["__pb"]), with_rank=True),
+            batch_format="pyarrow",
+        )
+    )
+
+
 def local_supplier_volume(sf_dir: str, year: int = 1996) -> "ray.data.Dataset":
     """TPC-H Q5 analog: revenue by nation from lineitems whose SUPPLIER
     and CUSTOMER share a nation, over one order year.

@@ -1319,3 +1319,30 @@ def test_tfidf_cosine_pairs_brute_force(ray_session):
         key = (int(r.id_a), int(r.id_b))
         exact = cos(vecs[key[0]], vecs[key[1]])
         assert float(r.cos_sim) <= exact + 1e-9
+
+
+def test_group_rank_topk_keeps_ties(ray_session):
+    """group_rank_topk == RANK()<=k with tie inclusion; a tie band
+    crossing the k-th place keeps every tied row."""
+    import ray.data
+
+    from kenlm_ray.ops.analytics import group_rank_topk
+
+    rows = [
+        # key 1: values 9, 8, 8, 8, 7 -> top-3 by RANK keeps 9,8,8,8
+        {"id": 0, "key": 1, "v": 9.0}, {"id": 1, "key": 1, "v": 8.0},
+        {"id": 2, "key": 1, "v": 8.0}, {"id": 3, "key": 1, "v": 8.0},
+        {"id": 4, "key": 1, "v": 7.0},
+        # key 2: fewer than k rows all kept
+        {"id": 5, "key": 2, "v": 1.0}, {"id": 6, "key": 2, "v": 1.0},
+    ]
+    out = (
+        group_rank_topk(
+            ray.data.from_items(rows).repartition(4), "key", "v", k=3
+        )
+        .to_pandas()
+        .sort_values("id")
+    )
+    assert set(out["id"]) == {0, 1, 2, 3, 5, 6}
+    assert list(out[out["key"] == 1].sort_values("id")["rnk"]) == [1, 2, 2, 2]
+    assert list(out[out["key"] == 2]["rnk"]) == [1, 1]
