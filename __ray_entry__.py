@@ -1504,6 +1504,26 @@ def _q_order_row_number(sf_dir):
     return global_row_number(orders, "o_totalprice", "o_orderkey")
 
 
+def _q_part_walks(sf_dir):
+    """Deterministic weighted random-walk corpus over the co-purchase
+    graph (ops/graph.random_walks — join-per-step, adjacency never
+    broadcast; rows-only: stochastic output has no SQL twin)."""
+    from kenlm_ray.ops.analytics import copurchase_lift
+    from kenlm_ray.ops.graph import random_walks
+
+    edges = copurchase_lift(sf_dir, top_k=100)
+    return random_walks(
+        edges,
+        src_col="part_x",
+        dst_col="part_y",
+        weight_col="n_pair",
+        symmetric=True,
+        walks_per_node=2,
+        walk_len=4,
+        seed=11,
+    )
+
+
 def _q_customer_top3_rank(sf_dir):
     """Top-3 orders per customer by RANK semantics (ties kept)
     (ops/analytics.group_rank_topk — lossless per-batch cut + one
@@ -2486,6 +2506,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "winsorized_order_prices": _q_winsorized_prices,
         "local_supplier_volume": _q_local_supplier_volume,
         "customer_top3_orders_rank": _q_customer_top3_rank,
+        "part_copurchase_walks": _q_part_walks,
         "suppkey_skew_stats": _q_suppkey_skew,
         "doc_blended_quality_rank": _q_doc_blended_rank,
         "jaccard_dedup_clusters": _q_jaccard_clusters,

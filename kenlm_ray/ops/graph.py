@@ -510,3 +510,221 @@ def triangle_counts(
             }
         )
     )
+
+
+def _splitmix(x: np.ndarray) -> np.ndarray:
+    with np.errstate(over="ignore"):
+        z = x + np.uint64(0x9E3779B97F4A7C15)
+        z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        return z ^ (z >> np.uint64(31))
+
+
+def random_walks(
+    edges: "ray.data.Dataset",
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: "str | None" = None,
+    symmetric: bool = False,
+    walks_per_node: int = 1,
+    walk_len: int = 4,
+    seed: int = 1,
+    num_partitions: int = 32,
+) -> "ray.data.Dataset":
+    """Deterministic weighted random walks — the DeepWalk/node2vec walk
+    corpus generator.  Every node with out-edges starts
+    ``walks_per_node`` walks; each walk takes up to ``walk_len`` steps,
+    choosing the next node with probability proportional to edge weight
+    using the splitmix64 counter stream of ``(seed, walk_id, step)`` —
+    reproducible across partitionings, cluster sizes, and resumes (the
+    ops/groupcap.deterministic_shuffle philosophy applied to walks).
+    Walks stop early at dead-end nodes.
+
+    Scale shape: this is the JOIN-per-step family, not the
+    broadcast-vector family — per step, current positions and the edge
+    list meet in ONE key-bucket shuffle (positions are walk-count-sized,
+    edges ship their bucket only), where a vectorized cumulative-weight
+    searchsorted picks every walk's next hop at once.  walk_len
+    shuffles total; adjacency is never broadcast, so billion-edge
+    graphs stream exactly like any groupby.
+
+    Returns ``(walk_id, step, node)`` — step 0 is the start node.
+    """
+    if walk_len < 0 or walks_per_node < 1:
+        raise ValueError("need walk_len >= 0 and walks_per_node >= 1")
+    P = num_partitions
+    cols = [src_col, dst_col] + ([weight_col] if weight_col else [])
+
+    def edge_rows(batch: pa.Table) -> pa.Table:
+        s = batch[src_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        t = batch[dst_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if weight_col is not None:
+            w = batch[weight_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        else:
+            w = np.ones(len(s), dtype=np.float64)
+        if symmetric:
+            s, t, w = (
+                np.concatenate([s, t]),
+                np.concatenate([t, s]),
+                np.concatenate([w, w]),
+            )
+        return pa.table(
+            {
+                "u": pa.array(s),
+                "v": pa.array(t),
+                "w": pa.array(w),
+                "__pb": pa.array(
+                    (s.astype(np.uint64) % np.uint64(P)).astype(np.int64)
+                ),
+                "__kind": pa.array(np.zeros(len(s), dtype=np.int8)),
+                "wid": pa.array(np.zeros(len(s), dtype=np.int64)),
+            }
+        )
+
+    ebuck = edges.select_columns(cols).map_batches(
+        edge_rows, batch_format="pyarrow"
+    ).materialize()
+
+    # start positions: walks_per_node per distinct src node
+    def starts(batch: pa.Table) -> pa.Table:
+        u = np.unique(batch["u"].to_numpy(zero_copy_only=False))
+        return pa.table({"node": pa.array(u)})
+
+    from ray.data.aggregate import Count
+
+    start_nodes = np.sort(
+        np.array(
+            [
+                r["node"]
+                for r in ebuck.map_batches(starts, batch_format="pyarrow")
+                .groupby("node")
+                .aggregate(Count())
+                .take_all()
+            ],
+            dtype=np.int64,
+        )
+    )
+    wid = np.repeat(start_nodes, walks_per_node) * walks_per_node + np.tile(
+        np.arange(walks_per_node, dtype=np.int64), len(start_nodes)
+    )
+    positions = ray.data.from_arrow(
+        pa.table(
+            {
+                "wid": pa.array(wid),
+                "node": pa.array(np.repeat(start_nodes, walks_per_node)),
+            }
+        )
+    )
+    outputs = [
+        positions.map_batches(
+            lambda t: pa.table(
+                {
+                    "walk_id": t["wid"],
+                    "step": pa.array(
+                        np.zeros(len(t), dtype=np.int64)
+                    ),
+                    "node": t["node"],
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    ]
+    seed64 = np.uint64(seed)
+
+    for step in range(1, walk_len + 1):
+
+        def pos_rows(batch: pa.Table) -> pa.Table:
+            n = batch["node"].to_numpy(zero_copy_only=False).astype(np.int64)
+            return pa.table(
+                {
+                    "u": pa.array(n),
+                    "v": pa.array(np.zeros(len(n), dtype=np.int64)),
+                    "w": pa.array(np.zeros(len(n), dtype=np.float64)),
+                    "__pb": pa.array(
+                        (n.astype(np.uint64) % np.uint64(P)).astype(np.int64)
+                    ),
+                    "__kind": pa.array(np.ones(len(n), dtype=np.int8)),
+                    "wid": batch["wid"],
+                }
+            )
+
+        both = ebuck.union(
+            positions.map_batches(pos_rows, batch_format="pyarrow")
+        )
+
+        def advance(g: pa.Table, _step=step) -> pa.Table:
+            kind = g["__kind"].to_numpy(zero_copy_only=False)
+            eu = g["u"].to_numpy(zero_copy_only=False)[kind == 0]
+            ev = g["v"].to_numpy(zero_copy_only=False)[kind == 0]
+            ew = g["w"].to_numpy(zero_copy_only=False)[kind == 0]
+            pu = g["u"].to_numpy(zero_copy_only=False)[kind == 1]
+            pw = g["wid"].to_numpy(zero_copy_only=False)[kind == 1]
+            empty = pa.table(
+                {
+                    "wid": pa.array([], type=pa.int64()),
+                    "node": pa.array([], type=pa.int64()),
+                }
+            )
+            if len(pu) == 0 or len(eu) == 0:
+                return empty
+            o = np.lexsort((ev, eu))
+            eu, ev, ew = eu[o], ev[o], ew[o]
+            run_start = np.flatnonzero(
+                np.concatenate([[True], eu[1:] != eu[:-1]])
+            )
+            run_nodes = eu[run_start]
+            cw = np.cumsum(ew)
+            base = np.concatenate([[0.0], cw])[run_start]
+            run_end = np.append(run_start[1:], len(eu))
+            total = cw[run_end - 1] - base
+            ri = np.searchsorted(run_nodes, pu)
+            ri = np.minimum(ri, len(run_nodes) - 1)
+            ok = run_nodes[ri] == pu
+            if not ok.any():
+                return empty
+            ri, pw_, pu_ = ri[ok], pw[ok], pu[ok]
+            r = (
+                _splitmix(
+                    pw_.astype(np.uint64)
+                    ^ (seed64 * np.uint64(0xD1342543DE82EF95))
+                    ^ (np.uint64(_step) << np.uint64(40))
+                ).astype(np.float64)
+                / 18446744073709551616.0
+            )
+            target = base[ri] + r * total[ri]
+            j = np.searchsorted(cw, target, side="right")
+            j = np.minimum(np.maximum(j, run_start[ri]), run_end[ri] - 1)
+            return pa.table(
+                {"wid": pa.array(pw_), "node": pa.array(ev[j])}
+            )
+
+        positions = (
+            both.groupby("__pb")
+            .map_groups(
+                lambda g: advance(g.drop_columns(["__pb"])),
+                batch_format="pyarrow",
+            )
+            .materialize()
+        )
+        outputs.append(
+            positions.map_batches(
+                lambda t, _s=step: pa.table(
+                    {
+                        "walk_id": t["wid"],
+                        "step": pa.array(
+                            np.full(len(t), _s, dtype=np.int64)
+                        ),
+                        "node": t["node"],
+                    }
+                ),
+                batch_format="pyarrow",
+            )
+        )
+        if positions.count() == 0:
+            break
+
+    out = outputs[0]
+    for o in outputs[1:]:
+        out = out.union(o)
+    return out

@@ -186,3 +186,64 @@ def test_pagerank_unweighted_and_empty(ray_session):
     )
     out = pagerank(empty, num_iters=3)
     assert out.count() == 0 and out.schema().names == ["node", "pr"]
+
+
+def test_random_walks_validity_determinism_and_weights(ray_session):
+    import collections
+
+    import ray.data
+
+    from kenlm_ray.ops.graph import random_walks
+
+    # weighted graph: node 0 -> 1 (w=9) / 2 (w=1); 1 -> 0; 2 is dead end
+    edges = [
+        {"src": 0, "dst": 1, "w": 9.0},
+        {"src": 0, "dst": 2, "w": 1.0},
+        {"src": 1, "dst": 0, "w": 1.0},
+    ]
+    eset = {(0, 1), (0, 2), (1, 0)}
+
+    def run(parts):
+        return (
+            random_walks(
+                ray.data.from_items(edges).repartition(parts),
+                weight_col="w",
+                walks_per_node=50,
+                walk_len=5,
+                seed=7,
+                num_partitions=4,
+            )
+            .to_pandas()
+            .sort_values(["walk_id", "step"])
+            .reset_index(drop=True)
+        )
+
+    out = run(3)
+    # determinism across partitionings
+    out2 = run(1)
+    assert out.equals(out2)
+    # every consecutive pair is a real edge; steps are contiguous from 0
+    by_walk = collections.defaultdict(list)
+    for r in out.itertuples():
+        by_walk[int(r.walk_id)].append((int(r.step), int(r.node)))
+    n01 = n02 = 0
+    for wid, steps in by_walk.items():
+        steps.sort()
+        assert [s for s, _ in steps] == list(range(len(steps)))
+        for (_, a), (_, b) in zip(steps, steps[1:]):
+            assert (a, b) in eset, (a, b)
+            if a == 0:
+                if b == 1:
+                    n01 += 1
+                else:
+                    n02 += 1
+        # dead-end stop: a walk sitting at 2 never continues
+        for (s, n), nxt in zip(steps, steps[1:] + [None]):
+            if n == 2:
+                assert nxt is None
+    # 9:1 weighting shows up in transition counts (binomial, wide margin)
+    frac = n01 / max(n01 + n02, 1)
+    assert 0.8 <= frac <= 0.98, frac
+    # two walks per start node exist and start at step 0 on the node
+    starts = {w: steps[0][1] for w, steps in by_walk.items()}
+    assert collections.Counter(starts.values()) == {0: 50, 1: 50}
