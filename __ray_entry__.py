@@ -1504,6 +1504,49 @@ def _q_order_row_number(sf_dir):
     return global_row_number(orders, "o_totalprice", "o_orderkey")
 
 
+def _q_als_factors(sf_dir):
+    """Distributed ALS factorization of the customer x part quantity
+    matrix (ops/als.als_explicit — broadcast one side, per-key normal
+    equations as k(k+1)-float partials; rows-only: iterative solver)."""
+    import ray.data
+
+    from kenlm_ray.ops.als import als_explicit
+
+    li = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_partkey", "l_quantity"],
+    )
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey"],
+    ).to_pandas()
+    import numpy as _np
+    import pyarrow as _pa
+    import ray as _ray
+
+    ok = orders["o_orderkey"].to_numpy()
+    oc = orders["o_custkey"].to_numpy()
+    o_ = _np.argsort(ok)
+    lut = _ray.put((ok[o_], oc[o_]))
+
+    def attach(t: _pa.Table) -> _pa.Table:
+        ks, cs = _ray.get(lut)
+        o = t["l_orderkey"].to_numpy(zero_copy_only=False)
+        return _pa.table(
+            {
+                "user": _pa.array(cs[_np.searchsorted(ks, o)]),
+                "item": t["l_partkey"],
+                "rating": t["l_quantity"],
+            }
+        )
+
+    ratings = li.map_batches(attach, batch_format="pyarrow")
+    uf, _itf = als_explicit(
+        ratings, "user", "item", "rating", k=4, num_iters=2, lam=0.5, seed=1
+    )
+    return uf
+
+
 def _q_part_walks(sf_dir):
     """Deterministic weighted random-walk corpus over the co-purchase
     graph (ops/graph.random_walks — join-per-step, adjacency never
@@ -2507,6 +2550,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "local_supplier_volume": _q_local_supplier_volume,
         "customer_top3_orders_rank": _q_customer_top3_rank,
         "part_copurchase_walks": _q_part_walks,
+        "customer_part_als_factors": _q_als_factors,
         "suppkey_skew_stats": _q_suppkey_skew,
         "doc_blended_quality_rank": _q_doc_blended_rank,
         "jaccard_dedup_clusters": _q_jaccard_clusters,

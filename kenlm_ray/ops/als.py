@@ -1,0 +1,205 @@
+"""Distributed ALS matrix factorization (explicit ratings) — the
+recommender/embedding factorization of a (user, item, rating) table.
+
+Alternating least squares in the classic distributed shape (Zhou et al.
+2008, "Large-scale Parallel Collaborative Filtering for the Netflix
+Prize"): one side's factor matrix is broadcast (k floats per item — the
+k-means-centroid bound), and each batch accumulates every USER's normal
+equations ``A_u = Σ v_i v_iᵀ + λI, b_u = Σ r v_i`` as flattened
+k(k+1)-float partials that a user-keyed groupby merges; the per-user
+k x k solve happens inside the reduce.  Then the roles swap.  Ratings
+stream once per half-iteration; nothing row-sized reaches the driver;
+factor tables live as Datasets between iterations.
+
+Deterministic: factors init from splitmix64 of the item id, so runs
+reproduce across partitionings and resumes.
+
+Engine addition (kpu/kenlm has no analog); complements k-means
+(ops/cluster.py) and the linear classifier (ops/classifier.py).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data
+from ray.data.aggregate import Count, Sum
+
+
+def _init_factors(ids: np.ndarray, k: int, seed: int) -> np.ndarray:
+    """Deterministic (n, k) init in [-0.5, 0.5] / k from splitmix64."""
+    out = np.empty((len(ids), k), dtype=np.float64)
+    base = ids.astype(np.uint64)
+    for j in range(k):
+        x = base ^ (np.uint64(seed) * np.uint64(0x9E3779B97F4A7C15)) ^ (
+            np.uint64(j) << np.uint64(48)
+        )
+        with np.errstate(over="ignore"):
+            z = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+            z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+            z ^= z >> np.uint64(31)
+        out[:, j] = (z.astype(np.float64) / 18446744073709551616.0 - 0.5) / k
+    return out
+
+
+def als_explicit(
+    ds: "ray.data.Dataset",
+    user_col: str,
+    item_col: str,
+    rating_col: str,
+    *,
+    k: int = 8,
+    num_iters: int = 5,
+    lam: float = 0.1,
+    seed: int = 1,
+) -> "tuple[ray.data.Dataset, ray.data.Dataset]":
+    """Factor the (user, item, rating) table into rank-``k`` user and
+    item factor Datasets minimizing ``Σ (r - p_uᵀ q_i)² + λ(Σ n_u
+    ||p_u||² + Σ n_i ||q_i||²)`` (weighted-λ regularization).
+
+    Returns ``(user_factors, item_factors)`` — Datasets with columns
+    ``(id, f0..f{k-1})``.
+    """
+    ratings = ds.select_columns([user_col, item_col, rating_col]).materialize()
+
+    def ids_of(col: str) -> np.ndarray:
+        rows = (
+            ratings.map_batches(
+                lambda t, _c=col: pa.table(
+                    {
+                        "id": pa.array(
+                            np.unique(
+                                t[_c].to_numpy(zero_copy_only=False)
+                            ).astype(np.int64)
+                        )
+                    }
+                ),
+                batch_format="pyarrow",
+            )
+            .groupby("id")
+            .aggregate(Count())
+            .take_all()
+        )
+        return np.sort(np.array([r["id"] for r in rows], dtype=np.int64))
+
+    user_ids = ids_of(user_col)
+    item_ids = ids_of(item_col)
+    item_f = _init_factors(item_ids, k, seed)
+    user_f = _init_factors(user_ids, k, seed + 1)
+
+    def solve_side(
+        key_col: str,
+        other_col: str,
+        other_ids: np.ndarray,
+        other_f: np.ndarray,
+    ) -> "tuple[np.ndarray, np.ndarray]":
+        """One half-iteration: fix `other`, solve every `key` row."""
+        lut = ray.put((other_ids, other_f))
+        m = k * (k + 1) // 2  # upper triangle of A
+        iu = np.triu_indices(k)
+
+        def partial(batch: pa.Table) -> pa.Table:
+            oids, of = ray.get(lut)
+            u = batch[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            i = batch[other_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            r = batch[rating_col].to_numpy(zero_copy_only=False).astype(np.float64)
+            v = of[np.searchsorted(oids, i)]  # (n, k)
+            uu, inv = np.unique(u, return_inverse=True)
+            # per-key sums of v vᵀ (upper triangle), r·v, and counts
+            outer = v[:, iu[0]] * v[:, iu[1]]  # (n, m)
+            A = np.zeros((len(uu), m))
+            B = np.zeros((len(uu), k))
+            np.add.at(A, inv, outer)
+            np.add.at(B, inv, r[:, None] * v)
+            cnt = np.bincount(inv, minlength=len(uu)).astype(np.float64)
+            cols = {"id": pa.array(uu), "n": pa.array(cnt)}
+            for j in range(m):
+                cols[f"a{j}"] = pa.array(A[:, j])
+            for j in range(k):
+                cols[f"b{j}"] = pa.array(B[:, j])
+            return pa.table(cols)
+
+        aggs = [Sum("n", alias_name="n")]
+        aggs += [Sum(f"a{j}", alias_name=f"a{j}") for j in range(m)]
+        aggs += [Sum(f"b{j}", alias_name=f"b{j}") for j in range(k)]
+        rows = (
+            ratings.map_batches(partial, batch_format="pyarrow")
+            .groupby("id")
+            .aggregate(*aggs)
+            .take_all()
+        )
+        ids = np.array([r["id"] for r in rows], dtype=np.int64)
+        order = np.argsort(ids)
+        ids = ids[order]
+        F = np.zeros((len(ids), k))
+        for pos, ri in enumerate(np.array(rows, dtype=object)[order]):
+            A = np.zeros((k, k))
+            A[iu] = [ri[f"a{j}"] for j in range(m)]
+            A = A + A.T - np.diag(np.diag(A))
+            A += lam * ri["n"] * np.eye(k)
+            b = np.array([ri[f"b{j}"] for j in range(k)])
+            F[pos] = np.linalg.solve(A, b)
+        return ids, F
+
+    for _ in range(num_iters):
+        user_ids, user_f = solve_side(user_col, item_col, item_ids, item_f)
+        item_ids, item_f = solve_side(item_col, user_col, user_ids, user_f)
+
+    def to_ds(ids: np.ndarray, F: np.ndarray) -> "ray.data.Dataset":
+        cols = {"id": pa.array(ids)}
+        for j in range(k):
+            cols[f"f{j}"] = pa.array(F[:, j])
+        return ray.data.from_arrow(pa.table(cols))
+
+    return to_ds(user_ids, user_f), to_ds(item_ids, item_f)
+
+
+def als_rmse(
+    ds: "ray.data.Dataset",
+    user_col: str,
+    item_col: str,
+    rating_col: str,
+    user_factors: "ray.data.Dataset",
+    item_factors: "ray.data.Dataset",
+) -> float:
+    """Streaming RMSE of the factorization over the ratings table."""
+
+    def arrays(fds):
+        t = fds.to_pandas()
+        ids = t["id"].to_numpy(dtype=np.int64)
+        order = np.argsort(ids)
+        F = t[[c for c in t.columns if c != "id"]].to_numpy(dtype=np.float64)
+        return ids[order], F[order]
+
+    uref = ray.put(arrays(user_factors))
+    iref = ray.put(arrays(item_factors))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        uids, uf = ray.get(uref)
+        iids, itf = ray.get(iref)
+        u = batch[user_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        i = batch[item_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        r = batch[rating_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        pred = (uf[np.searchsorted(uids, u)] * itf[np.searchsorted(iids, i)]).sum(
+            axis=1
+        )
+        err = r - pred
+        return pa.table(
+            {
+                "k": pa.array([0]),
+                "se": pa.array([float((err * err).sum())]),
+                "n": pa.array([float(len(err))]),
+            }
+        )
+
+    rows = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("k")
+        .aggregate(Sum("se", alias_name="se"), Sum("n", alias_name="n"))
+        .take_all()
+    )
+    se = sum(r["se"] for r in rows)
+    n = sum(r["n"] for r in rows)
+    return float(np.sqrt(se / max(n, 1.0)))

@@ -1,0 +1,63 @@
+"""ops/als — distributed ALS vs a planted low-rank matrix."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def _planted(n_users=40, n_items=25, k=3, seed=5, noise=0.05):
+    rng = np.random.default_rng(seed)
+    P = rng.normal(0, 1, (n_users, k))
+    Q = rng.normal(0, 1, (n_items, k))
+    u, i = np.meshgrid(np.arange(n_users), np.arange(n_items), indexing="ij")
+    u, i = u.ravel(), i.ravel()
+    # observe 60% of cells
+    m = rng.random(len(u)) < 0.6
+    u, i = u[m], i[m]
+    r = (P[u] * Q[i]).sum(axis=1) + rng.normal(0, noise, len(u))
+    return u, i, r
+
+
+def test_als_fits_planted_low_rank(ray_session):
+    import ray.data
+
+    from kenlm_ray.ops.als import als_explicit, als_rmse
+
+    u, i, r = _planted()
+    ds = ray.data.from_arrow(
+        pa.table({"user": u.astype(np.int64), "item": i.astype(np.int64),
+                  "rating": r})
+    ).repartition(4)
+    uf, itf = als_explicit(
+        ds, "user", "item", "rating", k=3, num_iters=6, lam=0.05, seed=2
+    )
+    rmse = als_rmse(ds, "user", "item", "rating", uf, itf)
+    base = float(np.sqrt(np.mean((r - r.mean()) ** 2)))
+    assert rmse < 0.2 * base, (rmse, base)  # far below the mean baseline
+    # factor tables cover every observed id, k columns each
+    updf = uf.to_pandas()
+    assert set(updf["id"]) == set(np.unique(u))
+    assert list(updf.columns) == ["id", "f0", "f1", "f2"]
+
+
+def test_als_deterministic_across_partitionings(ray_session):
+    import ray.data
+
+    from kenlm_ray.ops.als import als_explicit
+
+    u, i, r = _planted(n_users=15, n_items=10, seed=9)
+    t = pa.table({"user": u.astype(np.int64), "item": i.astype(np.int64),
+                  "rating": r})
+
+    def run(parts):
+        uf, _ = als_explicit(
+            ray.data.from_arrow(t).repartition(parts),
+            "user", "item", "rating", k=2, num_iters=2, lam=0.1, seed=3,
+        )
+        return uf.to_pandas().sort_values("id").reset_index(drop=True)
+
+    a, b = run(2), run(5)
+    np.testing.assert_allclose(
+        a[["f0", "f1"]].to_numpy(), b[["f0", "f1"]].to_numpy(),
+        rtol=1e-9, atol=1e-9,
+    )
