@@ -1504,6 +1504,22 @@ def _q_order_row_number(sf_dir):
     return global_row_number(orders, "o_totalprice", "o_orderkey")
 
 
+def _q_embedding_pca(sf_dir):
+    """Exact distributed PCA of the embedding table: fit (d^2-float
+    scatter partials, driver eigh) + pure-map projection
+    (ops/cluster.pca_fit/pca_transform; rows-only: eigendecomposition)."""
+    import ray.data
+
+    from kenlm_ray.ops.cluster import pca_fit, pca_transform
+
+    emb = ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+    )
+    mean, comps, _ev = pca_fit(emb, n_components=8)
+    return pca_transform(emb, mean, comps).select_columns(["vec_id", "pca"])
+
+
 def _q_als_factors(sf_dir):
     """Distributed ALS factorization of the customer x part quantity
     matrix (ops/als.als_explicit — broadcast one side, per-key normal
@@ -2551,6 +2567,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_top3_orders_rank": _q_customer_top3_rank,
         "part_copurchase_walks": _q_part_walks,
         "customer_part_als_factors": _q_als_factors,
+        "embedding_pca_projection": _q_embedding_pca,
         "suppkey_skew_stats": _q_suppkey_skew,
         "doc_blended_quality_rank": _q_doc_blended_rank,
         "jaccard_dedup_clusters": _q_jaccard_clusters,

@@ -319,3 +319,105 @@ def kmeans_assign(
         )
 
     return ds.map_batches(f, batch_format="pyarrow")
+
+
+def pca_fit(
+    ds: "ray.data.Dataset",
+    emb_col: str = "embedding",
+    n_components: int = 8,
+) -> "tuple[np.ndarray, np.ndarray, np.ndarray]":
+    """Distributed exact PCA of an embedding column: one streaming pass
+    accumulates the (d, d) scatter matrix and the mean as fixed-size
+    per-batch partials (the corr_matrix discipline at matrix scale —
+    d^2 floats per batch regardless of row count), the driver runs one
+    d x d ``eigh``.  Returns ``(mean (d,), components (k, d),
+    explained_variance (k,))``, components sign-normalized so the
+    largest-|coefficient| entry is positive (deterministic across
+    partitionings — eigenvectors are otherwise sign-ambiguous).
+
+    Exact, not randomized: right for the embedding widths of curation
+    pipelines (d <= a few thousand, d^2 partials fit a batch); for
+    wider d use a sketch.
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        m = np.stack(
+            [
+                np.asarray(x, dtype=np.float64)
+                for x in batch[emb_col].to_pylist()
+            ]
+        ) if len(batch) else np.zeros((0, 1))
+        d = m.shape[1]
+        s = m.sum(axis=0)
+        sc = m.T @ m
+        cols = {
+            "k": pa.array([0], type=pa.int64()),
+            "n": pa.array([float(len(m))]),
+        }
+        flat = np.concatenate([s, sc[np.triu_indices(d)]])
+        for j, val in enumerate(flat):
+            cols[f"x{j}"] = pa.array([float(val)])
+        return pa.table(cols)
+
+    # probe dimensionality once (schema-only read of one row)
+    first = ds.take(1)[0][emb_col]
+    d = len(first)
+    m_tri = d * (d + 1) // 2
+    aggs = [Sum("n", alias_name="n")] + [
+        Sum(f"x{j}", alias_name=f"x{j}") for j in range(d + m_tri)
+    ]
+    row = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("k")
+        .aggregate(*aggs)
+        .take_all()
+    )[0]
+    n = row["n"]
+    s = np.array([row[f"x{j}"] for j in range(d)])
+    tri = np.array([row[f"x{j}"] for j in range(d, d + m_tri)])
+    sc = np.zeros((d, d))
+    iu = np.triu_indices(d)
+    sc[iu] = tri
+    sc = sc + sc.T - np.diag(np.diag(sc))
+    mean = s / n
+    cov = (sc - n * np.outer(mean, mean)) / max(n - 1.0, 1.0)
+    w, v = np.linalg.eigh(cov)
+    order = np.argsort(w)[::-1][:n_components]
+    comps = v[:, order].T
+    ev = w[order]
+    # deterministic sign: largest-|coef| entry positive
+    for i in range(len(comps)):
+        j = int(np.argmax(np.abs(comps[i])))
+        if comps[i, j] < 0:
+            comps[i] = -comps[i]
+    return mean, comps, ev
+
+
+def pca_transform(
+    ds: "ray.data.Dataset",
+    mean: np.ndarray,
+    components: np.ndarray,
+    emb_col: str = "embedding",
+    out_col: str = "pca",
+) -> "ray.data.Dataset":
+    """Project rows onto the fitted components — a pure map (one matmul
+    per batch against the broadcast (k, d) component matrix)."""
+    import ray as _ray
+
+    ref = _ray.put((mean, components))
+
+    def proj(batch: pa.Table) -> pa.Table:
+        mu, C = _ray.get(ref)
+        m = np.stack(
+            [
+                np.asarray(x, dtype=np.float64)
+                for x in batch[emb_col].to_pylist()
+            ]
+        ) if len(batch) else np.zeros((0, len(mu)))
+        p = (m - mu) @ C.T
+        return batch.append_column(
+            out_col, pa.array(list(p), type=pa.list_(pa.float64()))
+        )
+
+    return ds.map_batches(proj, batch_format="pyarrow")

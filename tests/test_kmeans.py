@@ -118,3 +118,49 @@ def test_kmeans_distributed_matches_local_lloyd_on_testdata(ray_session):
         + np.sum(cents * cents, axis=1)[None, :]
     )
     assert np.array_equal(out["cluster"].to_numpy(), np.argmin(d2, axis=1))
+
+
+def test_pca_matches_numpy_and_is_partitioning_invariant(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from kenlm_ray.ops.cluster import pca_fit, pca_transform
+
+    rng = np.random.default_rng(6)
+    # anisotropic gaussian: known principal axes
+    basis, _ = np.linalg.qr(rng.normal(size=(10, 10)))
+    scales = np.array([10, 5, 2, 1, 0.5, 0.2, 0.1, 0.05, 0.02, 0.01])
+    X = rng.normal(size=(400, 10)) * scales @ basis.T + rng.normal(
+        0, 0.0, 10
+    ) + 3.0
+    t = pa.table(
+        {"vec_id": pa.array(range(400)), "embedding": pa.array(list(X))}
+    )
+
+    def run(parts):
+        ds = ray.data.from_arrow(t).repartition(parts)
+        return pca_fit(ds, n_components=3)
+
+    mean, comps, ev = run(4)
+    # numpy reference
+    Xc = X - X.mean(axis=0)
+    w, v = np.linalg.eigh(np.cov(Xc.T))
+    order = np.argsort(w)[::-1][:3]
+    ref_ev = w[order]
+    np.testing.assert_allclose(mean, X.mean(axis=0), atol=1e-9)
+    np.testing.assert_allclose(ev, ref_ev, rtol=1e-8)
+    for i in range(3):
+        r = v[:, order[i]]
+        got = comps[i]
+        # same axis up to sign
+        assert abs(abs(r @ got) - 1.0) < 1e-8, i
+    # partitioning invariance (bit-close)
+    mean2, comps2, ev2 = run(1)
+    np.testing.assert_allclose(comps, comps2, atol=1e-9)
+    # projection: variance per component equals eigenvalue
+    proj = pca_transform(
+        ray.data.from_arrow(t), mean, comps
+    ).to_pandas()
+    P = np.stack(proj["pca"].to_numpy())
+    np.testing.assert_allclose(P.var(axis=0, ddof=1), ev, rtol=1e-8)
