@@ -124,23 +124,48 @@ def als_explicit(
         aggs = [Sum("n", alias_name="n")]
         aggs += [Sum(f"a{j}", alias_name=f"a{j}") for j in range(m)]
         aggs += [Sum(f"b{j}", alias_name=f"b{j}") for j in range(k)]
-        rows = (
+        merged = (
             ratings.map_batches(partial, batch_format="pyarrow")
             .groupby("id")
             .aggregate(*aggs)
-            .take_all()
         )
+
+        def solve_batch(t: pa.Table) -> pa.Table:
+            """Batched k x k solves, DISTRIBUTED and vectorized — one
+            stacked np.linalg.solve per batch, never a per-key loop (at
+            web scale 'keys' are millions of users; only the solved
+            k-float factors flow onward)."""
+            nb = len(t)
+            A = np.zeros((nb, k, k))
+            tri = np.stack(
+                [t[f"a{j}"].to_numpy(zero_copy_only=False) for j in range(m)],
+                axis=1,
+            )
+            A[:, iu[0], iu[1]] = tri
+            A[:, iu[1], iu[0]] = tri
+            n_ = t["n"].to_numpy(zero_copy_only=False)
+            A += lam * n_[:, None, None] * np.eye(k)[None]
+            B = np.stack(
+                [t[f"b{j}"].to_numpy(zero_copy_only=False) for j in range(k)],
+                axis=1,
+            )
+            F = np.linalg.solve(A, B)
+            cols = {"id": t["id"]}
+            for j in range(k):
+                cols[f"f{j}"] = pa.array(F[:, j])
+            return pa.table(cols)
+
+        rows = merged.map_batches(solve_batch, batch_format="pyarrow").take_all()
         ids = np.array([r["id"] for r in rows], dtype=np.int64)
         order = np.argsort(ids)
         ids = ids[order]
-        F = np.zeros((len(ids), k))
-        for pos, ri in enumerate(np.array(rows, dtype=object)[order]):
-            A = np.zeros((k, k))
-            A[iu] = [ri[f"a{j}"] for j in range(m)]
-            A = A + A.T - np.diag(np.diag(A))
-            A += lam * ri["n"] * np.eye(k)
-            b = np.array([ri[f"b{j}"] for j in range(k)])
-            F[pos] = np.linalg.solve(A, b)
+        F = np.stack(
+            [
+                np.array([r[f"f{j}"] for r in rows])[order]
+                for j in range(k)
+            ],
+            axis=1,
+        )
         return ids, F
 
     for _ in range(num_iters):
