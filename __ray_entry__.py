@@ -1665,6 +1665,19 @@ def _q_lang_zscore(sf_dir):
     return zscore_normalize(docs, "lang", "n_chars")
 
 
+def _q_lang_top_tokens(sf_dir):
+    """Top-10 tokens per language (ops/text.group_top_tokens —
+    vocabulary-bounded count shuffle + per-group top-k cut)."""
+    import ray.data
+
+    from kenlm_ray.ops.text import group_top_tokens
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["lang", "text"]
+    )
+    return group_top_tokens(docs, "lang", "text", k=10)
+
+
 def _q_doc_unigram_kl(sf_dir):
     """Per-doc KL(doc unigrams || corpus unigrams) — divergence quality
     signal (ops/text.doc_unigram_kl — vocab-broadcast + per-batch
@@ -1899,6 +1912,22 @@ def _profile_sql() -> str:
                 f"NULL::DOUBLE AS mean_v FROM lineitem"
             )
     return " UNION ALL ".join(parts)
+
+
+def _q_order_cume_dist(sf_dir):
+    """CUME_DIST over order totalprice (ops/percentile.percent_rank
+    mode='cume_dist' — same distinct-value cumsum broadcast)."""
+    import ray.data
+
+    from kenlm_ray.ops.percentile import percent_rank
+
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_totalprice"],
+    )
+    return percent_rank(
+        orders, "o_totalprice", out_col="cume", mode="cume_dist"
+    )
 
 
 def _q_order_percent_rank(sf_dir):
@@ -2551,12 +2580,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_copurchase_triangles": _q_part_triangles,
         "part_copurchase_bfs": _q_part_bfs,
         "order_percent_rank": _q_order_percent_rank,
+        "order_cume_dist": _q_order_cume_dist,
         "lineitem_profile": _q_lineitem_profile,
         "acct_order_full_join": _q_acct_order_full_join,
         "part_name_fuzzy_pairs": _q_part_name_fuzzy,
         "brand_frequent_itemsets": _q_brand_itemsets,
         "source_length_psi": _q_source_length_psi,
         "doc_unigram_kl": _q_doc_unigram_kl,
+        "lang_top_tokens": _q_lang_top_tokens,
         "lang_length_zscore": _q_lang_zscore,
         "tfidf_cosine_pairs": _q_tfidf_cosine,
         "lang_percent_rank": _q_lang_percent_rank,
@@ -3555,6 +3586,30 @@ def oracle_sql() -> dict[str, str]:
         "part_copurchase_pagerank": _pagerank_sql(num_iters=5, damping=0.85),
         "part_copurchase_bfs": _bfs_sql(max_hops=6),
         "lineitem_profile": _profile_sql(),
+        "lang_top_tokens": """
+            WITH toks AS (
+              SELECT lang,
+                     list_filter(regexp_split_to_array(text, '[\\t\\n\\r ]+'),
+                                 x -> x <> '') AS ts
+              FROM documents
+            ), flat AS (
+              SELECT lang, t.tok FROM toks, unnest(ts) AS t(tok)
+            ), cnt AS (
+              SELECT lang, tok, count(*)::BIGINT AS cnt
+              FROM flat GROUP BY 1, 2
+            ), r AS (
+              SELECT lang, tok AS token, cnt,
+                     ROW_NUMBER() OVER (PARTITION BY lang
+                                        ORDER BY cnt DESC, tok)::BIGINT AS rn
+              FROM cnt
+            )
+            SELECT lang, token, cnt, rn FROM r WHERE rn <= 10
+        """,
+        "order_cume_dist": """
+            SELECT o_orderkey, o_totalprice,
+                   round(CUME_DIST() OVER (ORDER BY o_totalprice), 6) AS cume
+            FROM orders
+        """,
         "customer_top3_orders_rank": """
             SELECT o_orderkey, o_custkey, o_totalprice, rnk FROM (
                 SELECT o_orderkey, o_custkey, o_totalprice,

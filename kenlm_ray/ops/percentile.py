@@ -301,10 +301,12 @@ def percent_rank(
     out_col: str = "pct_rank",
     driver_budget: int = 500_000,
     ndigits: int = 6,
+    mode: str = "percent_rank",
 ) -> "ray.data.Dataset":
     """PERCENT_RANK() OVER (ORDER BY col) without a global sort:
     ``(count of strictly smaller values) / (n - 1)``, ties sharing the
-    rank (SQL semantics; 0.0 when n == 1).
+    rank (SQL semantics; 0.0 when n == 1).  ``mode="cume_dist"``
+    computes CUME_DIST instead: ``(count of values <= v) / n``.
 
     One distinct-value-count pass (the :func:`ntile_assign` fast-path
     primitive) builds the value -> smaller-count table, cumsum'd on the
@@ -317,6 +319,8 @@ def percent_rank(
     """
     import ray as _ray
 
+    if mode not in ("percent_rank", "cume_dist"):
+        raise ValueError("mode must be 'percent_rank' or 'cume_dist'")
     rows = _distinct_value_counts(ds, col)
     if len(rows) > driver_budget:
         raise ValueError(
@@ -328,10 +332,14 @@ def percent_rank(
     order = np.argsort(uvals)
     uvals, ucnt = uvals[order], ucnt[order]
     n = int(ucnt.sum())
-    smaller = np.concatenate([[0], np.cumsum(ucnt)[:-1]])
-    pr = np.round(
-        smaller / max(n - 1, 1) if n > 1 else np.zeros(len(uvals)), ndigits
-    )
+    if mode == "cume_dist":
+        pr = np.round(np.cumsum(ucnt) / max(n, 1), ndigits)
+    else:
+        smaller = np.concatenate([[0], np.cumsum(ucnt)[:-1]])
+        pr = np.round(
+            smaller / max(n - 1, 1) if n > 1 else np.zeros(len(uvals)),
+            ndigits,
+        )
     lut_ref = _ray.put((uvals, pr))
 
     def label(batch: pa.Table) -> pa.Table:

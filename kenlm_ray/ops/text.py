@@ -229,6 +229,85 @@ def tf_idf(
     return joined.map_batches(score, batch_format="pyarrow")
 
 
+def group_top_tokens(
+    ds: "ray.data.Dataset",
+    group_col: str = "lang",
+    text_col: str = "text",
+    k: int = 10,
+) -> "ray.data.Dataset":
+    """Top-``k`` tokens per group by count (ROW_NUMBER tie-break on the
+    token string) — the per-language vocabulary dashboard.
+
+    Shape: per-batch (group, token) partial counts -> one vocabulary-
+    bounded groupby -> per-group top-k cut on the aggregated table (a
+    per-batch partial cut keeps at most k rows per group per batch, the
+    final regroup ranks exactly) — raw tokens cross the shuffle once as
+    counts.  Output: group, token, cnt, rn.
+    """
+    from ray.data.aggregate import Sum as _Sum
+
+    def tok_counts(batch: pa.Table) -> pa.Table:
+        stream = tokenize_column(batch[text_col])
+        toks = stream.to_arrow()
+        if len(toks) == 0:
+            return pa.table(
+                {
+                    "g": pa.array([], type=pa.string()),
+                    "token": pa.array([], type=pa.string()),
+                    "c": pa.array([], type=pa.int64()),
+                }
+            )
+        g = batch[group_col]
+        g = g.combine_chunks() if isinstance(g, pa.ChunkedArray) else g
+        t = pa.table(
+            {
+                "g": g.take(pa.array(stream.doc_ids)),
+                "token": toks,
+                "c": pa.array(np.ones(len(toks), dtype=np.int64)),
+            }
+        )
+        return t.group_by(["g", "token"]).aggregate([("c", "sum")])
+
+    cnt = (
+        ds.map_batches(tok_counts, batch_format="pyarrow")
+        .groupby(["g", "token"])
+        .aggregate(_Sum("c_sum", alias_name="cnt"))
+    )
+
+    def topk_cut(t: pa.Table, exact: bool) -> pa.Table:
+        if len(t) == 0:
+            out = t
+            if exact:
+                out = out.append_column("rn", pa.array([], type=pa.int64()))
+            return out
+        g = np.asarray(t["g"].to_pylist(), dtype=object)
+        tok = np.asarray(t["token"].to_pylist(), dtype=object)
+        c = t["cnt"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((tok, -c, g))
+        gs = g[order]
+        new = np.concatenate([[True], gs[1:] != gs[:-1]])
+        idx = np.arange(len(gs))
+        start = idx[new][np.cumsum(new) - 1]
+        rn = idx - start + 1
+        keep = rn <= k
+        out = t.take(pa.array(order[keep]))
+        if exact:
+            out = out.append_column("rn", pa.array(rn[keep].astype(np.int64)))
+        return out
+
+    return (
+        cnt.map_batches(
+            lambda t: topk_cut(t, exact=False), batch_format="pyarrow"
+        )
+        .groupby("g")
+        .map_groups(lambda t: topk_cut(t, exact=True), batch_format="pyarrow")
+        .map_batches(
+            lambda t: t.rename_columns([group_col, "token", "cnt", "rn"]),
+            batch_format="pyarrow",
+        )
+    )
+
+
 def tfidf_cosine_pairs(
     ds: "ray.data.Dataset",
     *,
