@@ -1583,6 +1583,56 @@ def _q_part_walks(sf_dir):
     )
 
 
+def _q_monthly_top_parts(sf_dir):
+    """Top-5 parts per ship-month by revenue (composition:
+    month-keyed revenue aggregate -> ops/analytics.group_rank_topk)."""
+    import numpy as _np
+    import pyarrow as _pa
+    import pyarrow.compute as _pc
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from kenlm_ray.ops.analytics import group_rank_topk
+
+    li = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_shipdate", "l_partkey", "l_extendedprice", "l_discount"],
+    )
+
+    def partial(t: _pa.Table) -> _pa.Table:
+        ym = _pc.add(
+            _pc.multiply(_pc.year(t["l_shipdate"]), 100),
+            _pc.month(t["l_shipdate"]),
+        ).cast(_pa.int64())
+        rev = _pc.multiply(
+            t["l_extendedprice"],
+            _pc.subtract(_pa.scalar(1.0), t["l_discount"]),
+        )
+        g = _pa.table({"ym": ym, "l_partkey": t["l_partkey"], "r": rev})
+        return g.group_by(["ym", "l_partkey"]).aggregate([("r", "sum")])
+
+    agg = (
+        li.map_batches(partial, batch_format="pyarrow")
+        .groupby(["ym", "l_partkey"])
+        .aggregate(Sum("r_sum", alias_name="rev"))
+    )
+
+    def stable(t: _pa.Table) -> _pa.Table:
+        r = t["rev"].to_numpy(zero_copy_only=False)
+        r = _np.rint(r * 1e6) / 1e6
+        r = _np.sign(r) * _np.floor(_np.abs(r) * 100 + 0.5) / 100
+        return _pa.table(
+            {"ym": t["ym"], "l_partkey": t["l_partkey"], "revenue": _pa.array(r)}
+        )
+
+    return group_rank_topk(
+        agg.map_batches(stable, batch_format="pyarrow"),
+        "ym",
+        "revenue",
+        k=5,
+    )
+
+
 def _q_customer_top3_rank(sf_dir):
     """Top-3 orders per customer by RANK semantics (ties kept)
     (ops/analytics.group_rank_topk — lossless per-batch cut + one
@@ -2596,6 +2646,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "winsorized_order_prices": _q_winsorized_prices,
         "local_supplier_volume": _q_local_supplier_volume,
         "customer_top3_orders_rank": _q_customer_top3_rank,
+        "monthly_top_parts": _q_monthly_top_parts,
         "part_copurchase_walks": _q_part_walks,
         "customer_part_als_factors": _q_als_factors,
         "embedding_pca_projection": _q_embedding_pca,
@@ -3586,6 +3637,22 @@ def oracle_sql() -> dict[str, str]:
         "part_copurchase_pagerank": _pagerank_sql(num_iters=5, damping=0.85),
         "part_copurchase_bfs": _bfs_sql(max_hops=6),
         "lineitem_profile": _profile_sql(),
+        "monthly_top_parts": """
+            WITH agg AS (
+                SELECT (year(l_shipdate) * 100 + month(l_shipdate))::BIGINT
+                           AS ym,
+                       l_partkey,
+                       round(round(sum(l_extendedprice * (1 - l_discount))
+                                   * 1e6) / 1e6, 2) AS revenue
+                FROM lineitem GROUP BY 1, 2
+            )
+            SELECT ym, l_partkey, revenue, rnk FROM (
+                SELECT ym, l_partkey, revenue,
+                       RANK() OVER (PARTITION BY ym
+                                    ORDER BY revenue DESC)::BIGINT AS rnk
+                FROM agg
+            ) WHERE rnk <= 5
+        """,
         "lang_top_tokens": """
             WITH toks AS (
               SELECT lang,

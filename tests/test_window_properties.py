@@ -1,0 +1,78 @@
+"""Randomized cross-checks of the window-rank family against pandas —
+heavy ties, negative values, and many partitions in every draw."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def _data(seed, n=250, vals=12):
+    rng = np.random.default_rng(seed)
+    return (
+        rng.integers(-vals, vals, n).astype(np.float64),
+        rng.permutation(n).astype(np.int64),
+        rng.choice(["a", "b", "c"], n),
+    )
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_percent_rank_and_cume_dist_property(ray_session, seed):
+    import pandas as pd
+    import ray.data
+
+    from kenlm_ray.ops.percentile import percent_rank
+
+    v, ids, _ = _data(seed)
+    ds = ray.data.from_arrow(pa.table({"id": ids, "v": v})).repartition(7)
+    s = pd.Series(v)
+    pr = percent_rank(ds, "v").to_pandas().sort_values("id")
+    ref_pr = np.round(s.rank(method="min").to_numpy() - 1, 6) / (len(v) - 1)
+    np.testing.assert_array_equal(
+        pr["pct_rank"].to_numpy(), np.round(ref_pr, 6)[np.argsort(ids)]
+    )
+    cd = percent_rank(ds, "v", out_col="c", mode="cume_dist").to_pandas()
+    ref_cd = np.round(s.rank(method="max").to_numpy() / len(v), 6)
+    np.testing.assert_array_equal(
+        cd.sort_values("id")["c"].to_numpy(), ref_cd[np.argsort(ids)]
+    )
+
+
+@pytest.mark.parametrize("seed", [3, 4, 5])
+def test_global_row_number_property(ray_session, seed):
+    import ray.data
+
+    from kenlm_ray.ops.percentile import global_row_number
+
+    v, ids, _ = _data(seed)
+    ds = ray.data.from_arrow(pa.table({"id": ids, "v": v})).repartition(5)
+    out = global_row_number(ds, "v", "id").to_pandas().sort_values("id")
+    order = np.lexsort((ids, v))
+    expect = np.empty(len(v), dtype=int)
+    expect[order] = np.arange(1, len(v) + 1)
+    np.testing.assert_array_equal(
+        out["rn"].to_numpy(), expect[np.argsort(ids)]
+    )
+
+
+@pytest.mark.parametrize("seed", [6, 7, 8])
+def test_group_rank_topk_property(ray_session, seed):
+    import pandas as pd
+    import ray.data
+
+    from kenlm_ray.ops.analytics import group_rank_topk
+
+    v, ids, g = _data(seed)
+    gi = np.array([ord(x) - ord("a") for x in g], dtype=np.int64)
+    ds = ray.data.from_arrow(
+        pa.table({"id": ids, "key": gi, "v": v})
+    ).repartition(6)
+    out = group_rank_topk(ds, "key", "v", k=4).to_pandas()
+    df = pd.DataFrame({"id": ids, "key": gi, "v": v})
+    df["rnk"] = df.groupby("key")["v"].rank(
+        method="min", ascending=False
+    ).astype(int)
+    ref = df[df["rnk"] <= 4]
+    got = out.sort_values("id").reset_index(drop=True)
+    ref = ref.sort_values("id").reset_index(drop=True)
+    assert list(got["id"]) == list(ref["id"])
+    assert list(got["rnk"]) == list(ref["rnk"])
