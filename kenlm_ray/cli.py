@@ -296,6 +296,74 @@ def cmd_analyze(args) -> int:
     return 0
 
 
+def cmd_graph(args) -> int:
+    """Graph operators over an edge-list parquet; writes parquet."""
+    _ray_init()
+    import ray.data
+
+    from kenlm_ray.ops import graph as g
+
+    edges = ray.data.read_parquet(args.edges)
+    common = dict(
+        src_col=args.src_col,
+        dst_col=args.dst_col,
+        symmetric=args.symmetric,
+    )
+    if args.op == "pagerank":
+        out = g.pagerank(
+            edges,
+            weight_col=args.weight_col,
+            num_iters=args.iters,
+            damping=args.damping,
+            **common,
+        )
+    elif args.op == "triangles":
+        out = g.triangle_counts(
+            edges, src_col=args.src_col, dst_col=args.dst_col
+        )
+    elif args.op == "bfs":
+        if not args.sources:
+            print("graph --op bfs needs --sources 1,2,...", file=sys.stderr)
+            return 2
+        out = g.bfs_distances(
+            edges,
+            sources=[int(x) for x in args.sources.split(",")],
+            max_hops=args.max_hops,
+            **common,
+        )
+    else:
+        out = g.random_walks(
+            edges,
+            weight_col=args.weight_col,
+            walks_per_node=args.walks_per_node,
+            walk_len=args.walk_len,
+            seed=args.seed,
+            **common,
+        )
+    out.write_parquet(args.out)
+    import json
+
+    print(json.dumps({"op": args.op, "out": args.out}))
+    return 0
+
+
+def cmd_profile(args) -> int:
+    """One-pass column profile of a parquet table; writes parquet."""
+    _ray_init()
+    import ray.data
+
+    from kenlm_ray.ops.profile import profile_columns
+
+    ds = ray.data.read_parquet(args.corpus)
+    cols = args.columns.split(",") if args.columns else None
+    out = profile_columns(ds, cols, distinct=args.distinct)
+    out.write_parquet(args.out)
+    import json
+
+    print(json.dumps({"out": args.out, "distinct": args.distinct}))
+    return 0
+
+
 def cmd_benchmark(args) -> int:
     """Query-throughput benchmark — the reference's ``kenlm_benchmark``
     (lm/kenlm_benchmark_main.cc): ``--emit-ids`` converts a text corpus
@@ -1340,6 +1408,42 @@ def main(argv=None) -> int:
     sA.add_argument("--col-a", default=None, help="chi2: first categorical")
     sA.add_argument("--col-b", default=None, help="chi2: second categorical")
     sA.set_defaults(fn=cmd_analyze)
+
+    sG = sub.add_parser(
+        "graph",
+        help="graph ops over an edge-list parquet: pagerank | triangles "
+        "| bfs | walks",
+    )
+    sG.add_argument("edges", help="parquet of edge rows")
+    sG.add_argument("out")
+    sG.add_argument(
+        "--op", required=True, choices=["pagerank", "triangles", "bfs", "walks"]
+    )
+    sG.add_argument("--src-col", default="src")
+    sG.add_argument("--dst-col", default="dst")
+    sG.add_argument("--weight-col", default=None)
+    sG.add_argument("--symmetric", action="store_true")
+    sG.add_argument("--iters", type=int, default=5, help="pagerank iterations")
+    sG.add_argument("--damping", type=float, default=0.85)
+    sG.add_argument("--max-hops", type=int, default=6, help="bfs hop cap")
+    sG.add_argument(
+        "--sources", default=None, help="bfs: comma-separated source node ids"
+    )
+    sG.add_argument("--walk-len", type=int, default=4)
+    sG.add_argument("--walks-per-node", type=int, default=1)
+    sG.add_argument("--seed", type=int, default=1)
+    sG.set_defaults(fn=cmd_graph)
+
+    sP = sub.add_parser(
+        "profile",
+        help="Deequ-style column profile: n / n_null / n_distinct / "
+        "min / max / mean per column",
+    )
+    sP.add_argument("corpus", help="parquet table")
+    sP.add_argument("out")
+    sP.add_argument("--columns", default=None, help="comma-separated subset")
+    sP.add_argument("--distinct", choices=["exact", "approx"], default="exact")
+    sP.set_defaults(fn=cmd_profile)
 
     args = p.parse_args(argv)
     return args.fn(args)
