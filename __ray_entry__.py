@@ -1475,6 +1475,50 @@ def _q_part_triangles(sf_dir):
     )
 
 
+def _q_return_logit(sf_dir):
+    """Distributed IRLS logistic regression: P(l_returnflag = 'R') from
+    quantity/price/discount (ops/stats.logistic_regression — fixed
+    (d^2+d)-float Newton partials per batch; rows-only: iterative
+    solver)."""
+    import numpy as _np
+    import pyarrow as _pa
+    import ray.data
+
+    from kenlm_ray.ops.stats import logistic_regression
+
+    li = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_quantity", "l_extendedprice", "l_discount", "l_returnflag"],
+    )
+
+    def prep(t: _pa.Table) -> _pa.Table:
+        import pyarrow.compute as _pc
+
+        return _pa.table(
+            {
+                "q": t["l_quantity"],
+                "p": _pc.divide(t["l_extendedprice"], 1000.0),
+                "d": t["l_discount"],
+                "y": _pc.cast(
+                    _pc.equal(t["l_returnflag"], "R"), _pa.float64()
+                ),
+            }
+        )
+
+    ds = li.map_batches(prep, batch_format="pyarrow").materialize()
+    beta, iters = logistic_regression(ds, ["q", "p", "d"], "y")
+    return _pa.table(
+        {
+            "coef": _pa.array(
+                ["intercept", "quantity", "price_k", "discount"],
+                type=_pa.string(),
+            ),
+            "beta": _pa.array(_np.round(beta, 6)),
+            "iters": _pa.array([iters] * 4, type=_pa.int64()),
+        }
+    )
+
+
 def _q_suppkey_skew(sf_dir):
     """Key-skew audit of lineitem.l_suppkey (ops/stats.key_skew — Gini
     from the count-of-counts histogram, top shares from a count-table
@@ -2651,6 +2695,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_part_als_factors": _q_als_factors,
         "embedding_pca_projection": _q_embedding_pca,
         "suppkey_skew_stats": _q_suppkey_skew,
+        "returnflag_logit_coefs": _q_return_logit,
         "doc_blended_quality_rank": _q_doc_blended_rank,
         "jaccard_dedup_clusters": _q_jaccard_clusters,
         "jaccard_dedup_docs": _q_jaccard_dedup_docs,

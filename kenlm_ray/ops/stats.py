@@ -474,3 +474,77 @@ def key_skew(
             }
         )
     )
+
+
+def logistic_regression(
+    ds: "ray.data.Dataset",
+    x_cols: "list[str]",
+    y_col: str,
+    *,
+    num_iters: int = 8,
+    ridge: float = 1e-6,
+    tol: float = 1e-10,
+) -> "tuple[np.ndarray, int]":
+    """Distributed binary logistic regression by IRLS (Newton-Raphson) —
+    the GLM companion to the first-order softmax classifier in
+    ops/classifier.py.  Each iteration is ONE streaming pass: every
+    batch computes its gradient ``Xᵀ(y - p)`` and Hessian ``XᵀWX``
+    contribution as a fixed (d² + d)-float partial (d = features + 1
+    intercept — the corr_matrix/PCA discipline), a constant-key groupby
+    merges them, and the driver solves the d x d Newton step.
+    Deterministic: zero init, same data -> same coefficients regardless
+    of partitioning.  Returns ``(beta (d,), iters_run)`` with beta[0]
+    the intercept; ``ridge`` keeps the Hessian invertible on separable
+    data.
+    """
+    from ray.data.aggregate import Sum as _Sum
+
+    d = len(x_cols) + 1
+    iu = np.triu_indices(d)
+    m = len(iu[0])
+    beta = np.zeros(d)
+    iters_run = 0
+    for _ in range(num_iters):
+        bref = __import__("ray").put(beta)
+
+        def partial(batch: pa.Table, _bref=bref) -> pa.Table:
+            import ray as _r
+
+            b = _r.get(_bref)
+            X = np.column_stack(
+                [np.ones(len(batch))]
+                + [
+                    batch[c].to_numpy(zero_copy_only=False).astype(np.float64)
+                    for c in x_cols
+                ]
+            )
+            y = batch[y_col].to_numpy(zero_copy_only=False).astype(np.float64)
+            eta = X @ b
+            p = 1.0 / (1.0 + np.exp(-np.clip(eta, -35, 35)))
+            w = p * (1.0 - p)
+            g = X.T @ (y - p)
+            H = (X * w[:, None]).T @ X
+            cols = {"k": pa.array([0], type=pa.int64())}
+            flat = np.concatenate([g, H[iu]])
+            for j, val in enumerate(flat):
+                cols[f"x{j}"] = pa.array([float(val)])
+            return pa.table(cols)
+
+        aggs = [_Sum(f"x{j}", alias_name=f"x{j}") for j in range(d + m)]
+        row = (
+            ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("k")
+            .aggregate(*aggs)
+            .take_all()
+        )[0]
+        g = np.array([row[f"x{j}"] for j in range(d)])
+        H = np.zeros((d, d))
+        H[iu] = [row[f"x{j}"] for j in range(d, d + m)]
+        H = H + H.T - np.diag(np.diag(H))
+        H += ridge * np.eye(d)
+        step = np.linalg.solve(H, g)
+        beta = beta + step
+        iters_run += 1
+        if float(np.abs(step).max()) < tol:
+            break
+    return beta, iters_run

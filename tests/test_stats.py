@@ -324,3 +324,43 @@ def test_key_skew_uniform_vs_skewed(ray_session):
     ref = 2 * (np.arange(1, n + 1) * x).sum() / (n * x.sum()) - (n + 1) / n
     assert sk["gini"] == round(float(ref), 6)
     assert sk["top1_share"] == 0.991 and sk["top10_share"] == 1.0
+
+
+def test_logistic_regression_matches_numpy_irls(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from kenlm_ray.ops.stats import logistic_regression
+
+    rng = np.random.default_rng(8)
+    n = 600
+    X = rng.normal(size=(n, 2))
+    true_b = np.array([0.5, -1.2, 2.0])  # intercept, b1, b2
+    p = 1 / (1 + np.exp(-(true_b[0] + X @ true_b[1:])))
+    y = (rng.random(n) < p).astype(np.float64)
+    t = pa.table({"x1": X[:, 0], "x2": X[:, 1], "y": y})
+
+    def ref_irls(iters=8, ridge=1e-6):
+        Xd = np.column_stack([np.ones(n), X])
+        b = np.zeros(3)
+        for _ in range(iters):
+            eta = Xd @ b
+            pr = 1 / (1 + np.exp(-np.clip(eta, -35, 35)))
+            w = pr * (1 - pr)
+            H = (Xd * w[:, None]).T @ Xd + ridge * np.eye(3)
+            g = Xd.T @ (y - pr)
+            step = np.linalg.solve(H, g)
+            b = b + step
+            if np.abs(step).max() < 1e-10:
+                break
+        return b
+
+    ref = ref_irls()
+    for parts in (3, 7):
+        ds = ray.data.from_arrow(t).repartition(parts)
+        beta, it = logistic_regression(ds, ["x1", "x2"], "y")
+        np.testing.assert_allclose(beta, ref, rtol=1e-7, atol=1e-9)
+        assert it <= 8
+    # recovered coefficients are near the truth (generous: n=600)
+    assert np.abs(beta - true_b).max() < 0.5
