@@ -1519,6 +1519,68 @@ def _q_return_logit(sf_dir):
     )
 
 
+def _q_signup_purchase_km(sf_dir):
+    """Kaplan-Meier survival of time-to-first-purchase after signup,
+    right-censored at the user's last event (ops/windows.kaplan_meier —
+    counter groupby + ordered driver fold)."""
+    import numpy as _np
+    import pyarrow as _pa
+    import ray.data
+    from ray.data.aggregate import Max, Min
+
+    from kenlm_ray.ops.windows import kaplan_meier
+
+    ev = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "event_type", "ts"],
+    )
+
+    def prep(t: _pa.Table) -> _pa.Table:
+        import pyarrow.compute as _pc
+
+        us = _pc.cast(t["ts"], _pa.int64())
+        is_s = _pc.equal(t["event_type"], "signup")
+        is_p = _pc.equal(t["event_type"], "purchase")
+        big = _pa.scalar(2**62, _pa.int64())
+        return _pa.table(
+            {
+                "user_id": t["user_id"],
+                "s": _pc.if_else(is_s, us, big),
+                "p": _pc.if_else(is_p, us, big),
+                "l": us,
+            }
+        )
+
+    agg = (
+        ev.map_batches(prep, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(
+            Min("s", alias_name="s"),
+            Min("p", alias_name="p"),
+            Max("l", alias_name="l"),
+        )
+    )
+
+    def durations(t: _pa.Table) -> _pa.Table:
+        s = t["s"].to_numpy(zero_copy_only=False)
+        p = t["p"].to_numpy(zero_copy_only=False)
+        ll = t["l"].to_numpy(zero_copy_only=False)
+        has_s = s < 2**62
+        ob = has_s & (p < 2**62) & (p >= s)
+        dur = _np.where(ob, p - s, ll - s)
+        keep = has_s
+        return _pa.table(
+            {
+                "t": _pa.array(dur[keep].astype(_np.int64)),
+                "ob": _pa.array(ob[keep]),
+            }
+        )
+
+    return kaplan_meier(
+        agg.map_batches(durations, batch_format="pyarrow"), "t", "ob"
+    )
+
+
 def _q_suppkey_skew(sf_dir):
     """Key-skew audit of lineitem.l_suppkey (ops/stats.key_skew — Gini
     from the count-of-counts histogram, top shares from a count-table
@@ -2696,6 +2758,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_pca_projection": _q_embedding_pca,
         "suppkey_skew_stats": _q_suppkey_skew,
         "returnflag_logit_coefs": _q_return_logit,
+        "signup_purchase_survival": _q_signup_purchase_km,
         "doc_blended_quality_rank": _q_doc_blended_rank,
         "jaccard_dedup_clusters": _q_jaccard_clusters,
         "jaccard_dedup_docs": _q_jaccard_dedup_docs,
@@ -3682,6 +3745,37 @@ def oracle_sql() -> dict[str, str]:
         "part_copurchase_pagerank": _pagerank_sql(num_iters=5, damping=0.85),
         "part_copurchase_bfs": _bfs_sql(max_hops=6),
         "lineitem_profile": _profile_sql(),
+        "signup_purchase_survival": """
+            WITH per AS (
+                SELECT user_id,
+                       min(CASE WHEN event_type = 'signup' THEN ts END) AS s,
+                       min(CASE WHEN event_type = 'purchase' THEN ts END) AS p,
+                       max(ts) AS l
+                FROM events GROUP BY 1
+            ),
+            dur AS (
+                SELECT CASE WHEN p IS NOT NULL AND p >= s
+                            THEN date_diff('microsecond', s, p)
+                            ELSE date_diff('microsecond', s, l)
+                       END::BIGINT AS t,
+                       (p IS NOT NULL AND p >= s) AS ob
+                FROM per WHERE s IS NOT NULL
+            ),
+            ev AS (SELECT t, count(*)::BIGINT AS d FROM dur WHERE ob GROUP BY 1),
+            risk AS (
+                SELECT e.t,
+                       (SELECT count(*) FROM dur WHERE dur.t >= e.t)::BIGINT AS n
+                FROM ev e
+            ),
+            km AS (
+                SELECT ev.t, risk.n, ev.d,
+                       exp(sum(ln(1 - ev.d * 1.0 / risk.n))
+                           OVER (ORDER BY ev.t)) AS surv
+                FROM ev JOIN risk ON risk.t = ev.t
+            )
+            SELECT t, n AS n_risk, d AS n_events, round(surv, 6) AS survival
+            FROM km
+        """,
         "monthly_top_parts": """
             WITH agg AS (
                 SELECT (year(l_shipdate) * 100 + month(l_shipdate))::BIGINT

@@ -464,3 +464,89 @@ def event_transitions(
         .groupby(["from_type", "to_type"])
         .aggregate(Sum("c", alias_name="n"))
     )
+
+
+def kaplan_meier(
+    ds: "ray.data.Dataset",
+    duration_col: str,
+    observed_col: str,
+    *,
+    ndigits: int = 6,
+) -> "ray.data.Dataset":
+    """Kaplan-Meier survival curve over (duration, observed) rows — the
+    right-censored time-to-event estimator (time to first purchase,
+    time to churn, time between crawl revisits):
+
+        S(t) = prod over event times t' <= t of (1 - d_t' / n_t')
+
+    with ``d_t`` = observed events at t and ``n_t`` = subjects still at
+    risk (duration >= t); censored rows (observed = 0/false) leave the
+    risk set without counting as events.
+
+    Shape: one (duration, observed) counter groupby — distinct-duration
+    bounded (quantize continuous durations to seconds/hours first);
+    the ordered fold runs on that table.  The survival product is
+    computed as exp(ordered cumsum of ln terms) — the exact expression
+    the SQL window twin uses, so both sides agree bitwise including the
+    S = 0 tail when the last at-risk subject events (ln 0 -> -inf,
+    exp -> 0).  Output: ``(t, n_risk, n_events, survival)`` — one row
+    per distinct OBSERVED event time.
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "t": batch[duration_col],
+                "ob": batch[observed_col],
+                "c": pa.array(np.ones(len(batch), dtype=np.int64)),
+            }
+        )
+        return t.group_by(["t", "ob"]).aggregate([("c", "sum")])
+
+    rows = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["t", "ob"])
+        .aggregate(Sum("c_sum", alias_name="c"))
+        .take_all()
+    )
+    if not rows:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "t": pa.array([], type=pa.int64()),
+                    "n_risk": pa.array([], type=pa.int64()),
+                    "n_events": pa.array([], type=pa.int64()),
+                    "survival": pa.array([], type=pa.float64()),
+                }
+            )
+        )
+    ts = np.array([r["t"] for r in rows], dtype=np.int64)
+    ob = np.array([bool(r["ob"]) for r in rows])
+    c = np.array([r["c"] for r in rows], dtype=np.int64)
+    order = np.argsort(ts)
+    ts, ob, c = ts[order], ob[order], c[order]
+    ut = np.unique(ts)
+    d = np.zeros(len(ut), dtype=np.int64)
+    tot = np.zeros(len(ut), dtype=np.int64)
+    pos = np.searchsorted(ut, ts)
+    np.add.at(tot, pos, c)
+    np.add.at(d, pos[ob], c[ob])
+    n_total = int(c.sum())
+    # at-risk = subjects with duration >= t (suffix sums over times)
+    n_risk = n_total - np.concatenate([[0], np.cumsum(tot)[:-1]])
+    ev = d > 0
+    with np.errstate(divide="ignore"):
+        # ln(1 - d/n), NOT log1p: mirror the SQL twin's expression so
+        # the ordered cumsum agrees bitwise
+        terms = np.log(1.0 - d[ev] / n_risk[ev])
+    surv = np.exp(np.cumsum(terms))
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "t": pa.array(ut[ev]),
+                "n_risk": pa.array(n_risk[ev]),
+                "n_events": pa.array(d[ev]),
+                "survival": pa.array(np.round(surv, ndigits)),
+            }
+        )
+    )

@@ -364,3 +364,40 @@ def test_logistic_regression_matches_numpy_irls(ray_session):
         assert it <= 8
     # recovered coefficients are near the truth (generous: n=600)
     assert np.abs(beta - true_b).max() < 0.5
+
+
+def test_kaplan_meier_textbook_example(ray_session):
+    """KM on a hand-checkable cohort with censoring, plus the S=0 tail
+    when the last at-risk subject events."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from kenlm_ray.ops.windows import kaplan_meier
+
+    # durations: events at 2 (x2), 5; censored at 3, 5; event at 8 (last)
+    rows = [
+        {"t": 2, "ob": True}, {"t": 2, "ob": True}, {"t": 3, "ob": False},
+        {"t": 5, "ob": True}, {"t": 5, "ob": False}, {"t": 8, "ob": True},
+    ]
+    out = (
+        kaplan_meier(
+            ray.data.from_items(rows).repartition(3), "t", "ob"
+        )
+        .to_pandas()
+        .set_index("t")
+    )
+    # t=2: n=6, d=2 -> S = 4/6
+    # t=5: n=3 (two gone at 2, censor at 3), d=1 -> S = 4/6 * 2/3
+    # t=8: n=1, d=1 -> S = 0
+    assert list(out.index) == [2, 5, 8]
+    assert list(out["n_risk"]) == [6, 3, 1]
+    assert list(out["n_events"]) == [2, 1, 1]
+    assert out.loc[2, "survival"] == round(4 / 6, 6)
+    assert out.loc[5, "survival"] == round(4 / 6 * 2 / 3, 6)
+    assert out.loc[8, "survival"] == 0.0
+    # empty input yields the declared empty schema
+    empty = kaplan_meier(
+        ray.data.from_items(rows).filter(expr="t > 100"), "t", "ob"
+    )
+    assert empty.count() == 0
