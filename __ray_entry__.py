@@ -2003,7 +2003,9 @@ def _q_doc_blended_rank(sf_dir):
             }
         )
 
-    ds = docs.map_batches(add_alpha, batch_format="pyarrow")
+    # materialize: two percent_rank passes each scan twice — without
+    # this the per-doc regex kernel would re-execute 3x
+    ds = docs.map_batches(add_alpha, batch_format="pyarrow").materialize()
     ds = percent_rank(ds, "n_chars", out_col="pr_chars")
     ds = percent_rank(ds, "alpha_ratio", out_col="pr_alpha")
 

@@ -6,10 +6,15 @@ Alternating least squares in the classic distributed shape (Zhou et al.
 Prize"): one side's factor matrix is broadcast (k floats per item — the
 k-means-centroid bound), and each batch accumulates every USER's normal
 equations ``A_u = Σ v_i v_iᵀ + λI, b_u = Σ r v_i`` as flattened
-k(k+1)-float partials that a user-keyed groupby merges; the per-user
-k x k solve happens inside the reduce.  Then the roles swap.  Ratings
-stream once per half-iteration; nothing row-sized reaches the driver;
-factor tables live as Datasets between iterations.
+k(k+1)-float partials that a user-keyed groupby merges; the per-key
+k x k solves run batched INSIDE the reduce.  Then the roles swap.
+Ratings stream once per half-iteration.  The solved factor matrix IS
+gathered to the driver each half-iteration — that is inherent to the
+broadcast design (the other side needs the whole matrix next pass) and
+the honest bound is ids x k floats (~1 GB at 10^8 ids x k=8, the same
+class as the k-means centroid broadcast); beyond that a join-keyed ALS
+(factors stay a Dataset, ratings join them per pass) would be the next
+shape.
 
 Deterministic: factors init from splitmix64 of the item id, so runs
 reproduce across partitionings and resumes.

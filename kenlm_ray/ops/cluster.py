@@ -341,14 +341,18 @@ def pca_fit(
     """
     from ray.data.aggregate import Sum
 
+    # probe dimensionality once so EVERY partial (including from empty
+    # blocks) emits the same fixed width
+    first = ds.take(1)[0][emb_col]
+    d = len(first)
+
     def partial(batch: pa.Table) -> pa.Table:
         m = np.stack(
             [
                 np.asarray(x, dtype=np.float64)
                 for x in batch[emb_col].to_pylist()
             ]
-        ) if len(batch) else np.zeros((0, 1))
-        d = m.shape[1]
+        ) if len(batch) else np.zeros((0, d))
         s = m.sum(axis=0)
         sc = m.T @ m
         cols = {
@@ -359,10 +363,6 @@ def pca_fit(
         for j, val in enumerate(flat):
             cols[f"x{j}"] = pa.array([float(val)])
         return pa.table(cols)
-
-    # probe dimensionality once (schema-only read of one row)
-    first = ds.take(1)[0][emb_col]
-    d = len(first)
     m_tri = d * (d + 1) // 2
     aggs = [Sum("n", alias_name="n")] + [
         Sum(f"x{j}", alias_name=f"x{j}") for j in range(d + m_tri)

@@ -117,7 +117,7 @@ def frequent_itemsets(
             r, c = np.nonzero(np.triu(PP >= thr, k=1))
             for i, j in zip(r, c):
                 ks.append(2)
-                sets.append(ui[f1[i]] + "," + ui[f1[j]])
+                sets.append(ui[f1[i]] + "\x1f" + ui[f1[j]])
                 fp.append((int(i), int(j)))
         if max_k >= 3 and fp:
             M1 = M[:, f1]
@@ -132,7 +132,7 @@ def frequent_itemsets(
                     if (i, int(l)) in fp_set and (j, int(l)) in fp_set:
                         ks.append(3)
                         sets.append(
-                            ui[f1[i]] + "," + ui[f1[j]] + "," + ui[f1[l]]
+                            ui[f1[i]] + "\x1f" + ui[f1[j]] + "\x1f" + ui[f1[l]]
                         )
         # one bucket-size row (k=0) so N = sum over buckets downstream
         ks.append(0)
@@ -170,7 +170,7 @@ def frequent_itemsets(
     )
     if N == 0 or not cand_list:
         return ray.data.from_arrow(empty_out)
-    cand_items = [s.split(",") for _, s in cand_list]
+    cand_items = [s.split("\x1f") for _, s in cand_list]
     cand_ref = ray.put(cand_items)
 
     CNT_EMPTY = pa.table(
@@ -216,7 +216,9 @@ def frequent_itemsets(
     for r in counted:
         if r["support"] >= thr_g:
             k, s = cand_list[r["cid"]]
-            out_s.append(s)
+            # the INTER-phase separator is \x1f (safe for any item
+            # string); the OUTPUT joins with "," for readability
+            out_s.append(s.replace("\x1f", ","))
             out_k.append(k)
             out_c.append(r["support"])
     if not out_s:

@@ -345,8 +345,14 @@ def percent_rank(
     def label(batch: pa.Table) -> pa.Table:
         vs, ps = _ray.get(lut_ref)
         v = batch[col].to_numpy(zero_copy_only=False).astype(np.float64)
-        idx = np.searchsorted(vs, v)
-        return batch.append_column(out_col, pa.array(ps[idx]))
+        # null/NaN values never entered the distinct-count pass — give
+        # them a typed NULL rank instead of an out-of-range gather
+        bad = np.isnan(v)
+        idx = np.searchsorted(vs, np.where(bad, vs[0] if len(vs) else 0.0, v))
+        out = ps[idx] if len(vs) else np.zeros(len(v))
+        return batch.append_column(
+            out_col, pa.array(np.where(bad, 0.0, out), mask=bad)
+        )
 
     return ds.map_batches(label, batch_format="pyarrow")
 
@@ -466,6 +472,11 @@ def global_row_number(
     def assign(g: pa.Table) -> pa.Table:
         vs, st = _ray.get(lut)
         v = g[col].to_numpy(zero_copy_only=False).astype(np.float64)
+        if np.isnan(v).any():
+            # a permutation cannot silently skip rows — fail loudly
+            raise ValueError(
+                f"global_row_number: null/NaN in order column {col!r}"
+            )
         ids = g[id_col].to_numpy(zero_copy_only=False)
         o = np.lexsort((ids, v))
         vi = np.searchsorted(vs, v[o])
@@ -526,9 +537,10 @@ def winsorize(
     cum = np.cumsum(ucnt)
     n = int(cum[-1]) if len(cum) else 0
     if n == 0:
+        # no finite values at all: pass rows through with a NULL clamp
         return ds.map_batches(
             lambda t: t.append_column(
-                out_col, pa.array([], type=pa.float64())
+                out_col, pa.nulls(len(t), type=pa.float64())
             ),
             batch_format="pyarrow",
         )

@@ -69,17 +69,21 @@ def profile_columns(
             col = batch[c]
             names.append(c)
             ns.append(len(col))
-            nulls.append(col.null_count)
+            nn = col.null_count
             if c in numeric and len(col) - col.null_count > 0:
                 v = col.to_numpy(zero_copy_only=False).astype(np.float64)
                 v = v[~np.isnan(v)]
-                sums.append(float(v.sum()))
-                mins.append(float(v.min()))
-                maxs.append(float(v.max()))
+                # float NaN counts as missing like an Arrow null — the
+                # mean divisor must match the values actually summed
+                nn = len(col) - len(v)
+                sums.append(float(v.sum()) if len(v) else 0.0)
+                mins.append(float(v.min()) if len(v) else np.inf)
+                maxs.append(float(v.max()) if len(v) else -np.inf)
             else:
                 sums.append(0.0)
                 mins.append(np.inf)
                 maxs.append(-np.inf)
+            nulls.append(nn)
         return pa.table(
             {
                 "column": pa.array(names),

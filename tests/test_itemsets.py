@@ -67,3 +67,18 @@ def test_itemsets_max_k_and_guards(ray_session):
     empty = ds.filter(expr="basket > 5")
     out = frequent_itemsets(empty, "basket", "item").to_pandas()
     assert len(out) == 0
+
+
+def test_itemsets_items_with_commas(ray_session):
+    """Items containing the output separator survive phase 2 (the
+    inter-phase separator is \\x1f, not the display comma)."""
+    rows = []
+    for b in range(10):
+        rows += [
+            {"basket": b, "item": "Brand, Inc"},
+            {"basket": b, "item": "Acme"},
+        ]
+    got = _run(ray_session, rows, 0.5, 2, parts=3)
+    assert got[("Acme", 1)] == 10
+    assert got[("Brand, Inc", 1)] == 10
+    assert got[("Acme,Brand, Inc", 2)] == 10

@@ -185,3 +185,41 @@ def test_winsorize_matches_disc_quantiles(ray_session):
     assert out["clamped"].max() == hi and out["clamped"].min() == lo
     with pytest.raises(ValueError, match="p_lo"):
         winsorize(ds, "v", 0.9, 0.1)
+
+
+def test_percent_rank_and_winsorize_null_handling(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import pytest
+    import ray.data
+
+    from kenlm_ray.ops.percentile import (
+        global_row_number,
+        percent_rank,
+        winsorize,
+    )
+
+    t = pa.table(
+        {
+            "id": pa.array([0, 1, 2, 3], type=pa.int64()),
+            "v": pa.array([1.0, None, 3.0, 2.0], type=pa.float64()),
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(2)
+    out = percent_rank(ds, "v").to_pandas().sort_values("id")
+    # null row gets a NULL rank; others rank among the 3 finite values
+    assert out["pct_rank"].isna().tolist() == [False, True, False, False]
+    assert out["pct_rank"].iloc[2] == 1.0
+    with pytest.raises(Exception, match="null/NaN"):
+        global_row_number(ds, "v", "id").to_pandas()
+    # all-null column: winsorize passes rows through with NULL clamp
+    allnull = ray.data.from_arrow(
+        pa.table(
+            {
+                "id": pa.array([0, 1], type=pa.int64()),
+                "v": pa.array([None, None], type=pa.float64()),
+            }
+        )
+    )
+    w = winsorize(allnull, "v").to_pandas()
+    assert len(w) == 2 and w["clamped"].isna().all()
