@@ -1754,6 +1754,13 @@ def _q_customer_top3_rank(sf_dir):
     return group_rank_topk(orders, "o_custkey", "o_totalprice", k=3)
 
 
+def _q_nation_trade_volume(sf_dir):
+    """TPC-H Q7 analog (ops/analytics.nation_trade_volume)."""
+    from kenlm_ray.ops.analytics import nation_trade_volume
+
+    return nation_trade_volume(sf_dir)
+
+
 def _q_local_supplier_volume(sf_dir):
     """TPC-H Q5 analog (ops/analytics.local_supplier_volume — partitioned
     big-x-big join + dimension broadcasts)."""
@@ -2753,6 +2760,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_global_row_number": _q_order_row_number,
         "winsorized_order_prices": _q_winsorized_prices,
         "local_supplier_volume": _q_local_supplier_volume,
+        "nation_trade_volume": _q_nation_trade_volume,
         "customer_top3_orders_rank": _q_customer_top3_rank,
         "monthly_top_parts": _q_monthly_top_parts,
         "part_copurchase_walks": _q_part_walks,
@@ -3747,6 +3755,21 @@ def oracle_sql() -> dict[str, str]:
         "part_copurchase_pagerank": _pagerank_sql(num_iters=5, damping=0.85),
         "part_copurchase_bfs": _bfs_sql(max_hops=6),
         "lineitem_profile": _profile_sql(),
+        "nation_trade_volume": """
+            SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
+                   year(o_orderdate)::BIGINT AS o_year,
+                   round(round(sum(l_extendedprice * (1 - l_discount))
+                               * 1e6) / 1e6, 2) AS revenue
+            FROM customer c, orders o, lineitem l, supplier s,
+                 nation cn, nation sn
+            WHERE c.c_custkey = o.o_custkey
+              AND l.l_orderkey = o.o_orderkey
+              AND l.l_suppkey = s.s_suppkey
+              AND c.c_nationkey = cn.n_nationkey
+              AND s.s_nationkey = sn.n_nationkey
+              AND c.c_nationkey <> s.s_nationkey
+            GROUP BY 1, 2, 3
+        """,
         "signup_purchase_survival": """
             WITH per AS (
                 SELECT user_id,

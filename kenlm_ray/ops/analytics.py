@@ -1829,6 +1829,115 @@ def local_supplier_volume(sf_dir: str, year: int = 1996) -> "ray.data.Dataset":
     return agg.map_batches(finish, batch_format="pyarrow")
 
 
+def nation_trade_volume(sf_dir: str) -> "ray.data.Dataset":
+    """TPC-H Q7 analog: yearly revenue between DISTINCT customer/supplier
+    nation pairs (both directions reported, cust_nation <> supp_nation).
+    Same two-family join shape as :func:`local_supplier_volume` — the
+    lineitem x orders big side goes through the partitioned hash join,
+    nations resolve via sorted-array broadcasts — with the final grain
+    (cust_nation, supp_nation, year).  Output: cust_nation, supp_nation,
+    o_year, revenue (1e-6-grid snap + half-away cents, as the grid sums
+    require)."""
+    from kenlm_ray.ops.join import hash_join
+
+    li = read(
+        sf_dir,
+        "lineitem",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+    orders = read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def oprep(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_orderkey": batch["o_orderkey"],
+                "o_custkey": batch["o_custkey"],
+                "o_year": pc.year(batch["o_orderdate"]).cast(pa.int64()),
+            }
+        )
+
+    joined = hash_join(
+        li,
+        orders.map_batches(oprep, batch_format="pyarrow"),
+        on=["l_orderkey"],
+        left_cols={
+            "l_orderkey": pa.int64(),
+            "l_suppkey": pa.int64(),
+            "l_extendedprice": pa.float64(),
+            "l_discount": pa.float64(),
+        },
+        right_cols={
+            "l_orderkey": pa.int64(),
+            "o_custkey": pa.int64(),
+            "o_year": pa.int64(),
+        },
+        how="inner",
+    )
+
+    cust = read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]).to_pandas()
+    supp = read(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"]).to_pandas()
+    nat = read(sf_dir, "nation", columns=["n_nationkey", "n_name"]).to_pandas()
+    co = np.argsort(cust["c_custkey"].to_numpy())
+    so = np.argsort(supp["s_suppkey"].to_numpy())
+    lut = ray.put(
+        (
+            cust["c_custkey"].to_numpy()[co],
+            cust["c_nationkey"].to_numpy()[co],
+            supp["s_suppkey"].to_numpy()[so],
+            supp["s_nationkey"].to_numpy()[so],
+        )
+    )
+
+    def rev_partial(batch: pa.Table) -> pa.Table:
+        ck, cn, sk, sn = ray.get(lut)
+        cust_n = cn[np.searchsorted(ck, batch["o_custkey"].to_numpy(zero_copy_only=False))]
+        supp_n = sn[np.searchsorted(sk, batch["l_suppkey"].to_numpy(zero_copy_only=False))]
+        yr = batch["o_year"].to_numpy(zero_copy_only=False)
+        m = cust_n != supp_n
+        ep = batch["l_extendedprice"].to_numpy(zero_copy_only=False)[m]
+        dc = batch["l_discount"].to_numpy(zero_copy_only=False)[m]
+        code = (
+            cust_n[m].astype(np.int64) * 1_000_000
+            + supp_n[m].astype(np.int64) * 10_000
+            + (yr[m] - 1990)
+        )
+        u, inv = np.unique(code, return_inverse=True)
+        rev = np.bincount(inv, weights=ep * (1.0 - dc), minlength=len(u))
+        return pa.table({"code": pa.array(u), "r": pa.array(rev)})
+
+    agg = (
+        joined.map_batches(rev_partial, batch_format="pyarrow")
+        .groupby("code")
+        .aggregate(Sum("r", alias_name="revenue"))
+    )
+    nmap = dict(zip(nat["n_nationkey"], nat["n_name"]))
+    nref = ray.put(nmap)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        nm = ray.get(nref)
+        code = batch["code"].to_numpy(zero_copy_only=False)
+        rev = batch["revenue"].to_numpy(zero_copy_only=False)
+        rev = np.rint(rev * 1e6) / 1e6
+        rev = np.sign(rev) * np.floor(np.abs(rev) * 100 + 0.5) / 100
+        cn = code // 1_000_000
+        sn = (code // 10_000) % 100
+        yr = code % 10_000 + 1990
+        return pa.table(
+            {
+                "cust_nation": pa.array(
+                    [nm[int(k)] for k in cn], type=pa.string()
+                ),
+                "supp_nation": pa.array(
+                    [nm[int(k)] for k in sn], type=pa.string()
+                ),
+                "o_year": pa.array(yr.astype(np.int64)),
+                "revenue": pa.array(rev),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
 def orders_cube(sf_dir: str) -> "ray.data.Dataset":
     """CUBE(year, status): all FOUR grains — (year, status), per-year,
     per-status, grand total — from ONE corpus aggregate; the coarser
