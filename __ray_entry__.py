@@ -1519,6 +1519,20 @@ def _q_return_logit(sf_dir):
     )
 
 
+def _q_transition_entropy(sf_dir):
+    """Conditional entropy of the user event chain
+    (ops/windows.transition_entropy over the Markov matrix)."""
+    import ray.data
+
+    from kenlm_ray.ops.windows import transition_entropy
+
+    ev = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "event_id", "ts", "event_type"],
+    )
+    return transition_entropy(ev)
+
+
 def _q_signup_purchase_km(sf_dir):
     """Kaplan-Meier survival of time-to-first-purchase after signup,
     right-censored at the user's last event (ops/windows.kaplan_meier —
@@ -2769,6 +2783,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "suppkey_skew_stats": _q_suppkey_skew,
         "returnflag_logit_coefs": _q_return_logit,
         "signup_purchase_survival": _q_signup_purchase_km,
+        "event_transition_entropy": _q_transition_entropy,
         "doc_blended_quality_rank": _q_doc_blended_rank,
         "jaccard_dedup_clusters": _q_jaccard_clusters,
         "jaccard_dedup_docs": _q_jaccard_dedup_docs,
@@ -3755,6 +3770,25 @@ def oracle_sql() -> dict[str, str]:
         "part_copurchase_pagerank": _pagerank_sql(num_iters=5, damping=0.85),
         "part_copurchase_bfs": _bfs_sql(max_hops=6),
         "lineitem_profile": _profile_sql(),
+        "event_transition_entropy": """
+            WITH seq AS (
+                SELECT user_id, event_type,
+                       lag(event_type) OVER (PARTITION BY user_id
+                                             ORDER BY ts, event_id) AS prev
+                FROM events
+            ),
+            c AS (
+                SELECT prev, event_type AS nxt, count(*)::DOUBLE AS c
+                FROM seq WHERE prev IS NOT NULL GROUP BY 1, 2
+            ),
+            tot AS (SELECT sum(c) AS n FROM c),
+            pa_ AS (SELECT prev, sum(c) AS ca FROM c GROUP BY 1)
+            SELECT (SELECT n FROM tot)::BIGINT AS n_transitions,
+                   round(-sum((c.c / (SELECT n FROM tot))
+                              * log2(c.c / pa_.ca)), 6)
+                       AS cond_entropy_bits
+            FROM c JOIN pa_ USING (prev)
+        """,
         "nation_trade_volume": """
             SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
                    year(o_orderdate)::BIGINT AS o_year,

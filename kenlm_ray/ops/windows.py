@@ -550,3 +550,46 @@ def kaplan_meier(
             }
         )
     )
+
+
+def transition_entropy(
+    ds: "ray.data.Dataset",
+    *,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+    ndigits: int = 6,
+) -> "ray.data.Dataset":
+    """Conditional entropy H(next | prev) of the per-key event chain, in
+    bits — how predictable the next event type is given the current one
+    (log2 |types| = memoryless, 0 = deterministic flows).  Folds the
+    |types|²-row matrix from :func:`event_transitions` on the driver;
+    the heavy lifting is that op's one bucket exchange.  Output: one
+    row ``(n_transitions, cond_entropy_bits)``."""
+    rows = event_transitions(
+        ds, key_col=key_col, ts_col=ts_col, id_col=id_col, type_col=type_col
+    ).take_all()
+    if not rows:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "n_transitions": pa.array([0], type=pa.int64()),
+                    "cond_entropy_bits": pa.array([0.0]),
+                }
+            )
+        )
+    frm = np.asarray([r["from_type"] for r in rows], dtype=object)
+    c = np.array([r["n"] for r in rows], dtype=np.float64)
+    n = c.sum()
+    ug, inv = np.unique(frm, return_inverse=True)
+    ca = np.bincount(inv, weights=c)
+    h = float(-((c / n) * np.log2(c / ca[inv])).sum())
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "n_transitions": pa.array([int(n)], type=pa.int64()),
+                "cond_entropy_bits": pa.array([round(h, ndigits)]),
+            }
+        )
+    )
