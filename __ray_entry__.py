@@ -1842,6 +1842,20 @@ def _q_lang_zscore(sf_dir):
     return zscore_normalize(docs, "lang", "n_chars")
 
 
+def _q_lang_bigram_entropy(sf_dir):
+    """Per-language token-stream entropy rate H(w2|w1)
+    (ops/text.bigram_cond_entropy — vocab^2-bounded count shuffle,
+    context-bucket fold)."""
+    import ray.data
+
+    from kenlm_ray.ops.text import bigram_cond_entropy
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["lang", "text"]
+    )
+    return bigram_cond_entropy(docs, "lang", "text")
+
+
 def _q_lang_top_tokens(sf_dir):
     """Top-10 tokens per language (ops/text.group_top_tokens —
     vocabulary-bounded count shuffle + per-group top-k cut)."""
@@ -2767,6 +2781,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_length_psi": _q_source_length_psi,
         "doc_unigram_kl": _q_doc_unigram_kl,
         "lang_top_tokens": _q_lang_top_tokens,
+        "lang_bigram_entropy": _q_lang_bigram_entropy,
         "lang_length_zscore": _q_lang_zscore,
         "tfidf_cosine_pairs": _q_tfidf_cosine,
         "lang_percent_rank": _q_lang_percent_rank,
@@ -3770,6 +3785,32 @@ def oracle_sql() -> dict[str, str]:
         "part_copurchase_pagerank": _pagerank_sql(num_iters=5, damping=0.85),
         "part_copurchase_bfs": _bfs_sql(max_hops=6),
         "lineitem_profile": _profile_sql(),
+        "lang_bigram_entropy": """
+            WITH toks AS (
+              SELECT lang,
+                     list_filter(regexp_split_to_array(text, '[\\t\\n\\r ]+'),
+                                 x -> x <> '') AS ts
+              FROM documents
+            ), flat2 AS (
+              SELECT lang, ts[i] AS w1, ts[i+1] AS w2
+              FROM toks, unnest(generate_series(1, len(ts)-1)) AS g(i)
+              WHERE len(ts) >= 2
+            ), c AS (
+              SELECT lang, w1, w2, count(*)::DOUBLE AS c
+              FROM flat2 GROUP BY 1, 2, 3
+            ), ca AS (
+              SELECT lang, w1, sum(c) AS ca FROM c GROUP BY 1, 2
+            ), n AS (
+              SELECT lang, sum(c) AS n FROM c GROUP BY 1
+            )
+            SELECT c.lang, n.n::BIGINT AS n_bigrams,
+                   round(-sum((c.c / n.n) * log2(c.c / ca.ca)), 6)
+                       AS cond_entropy_bits
+            FROM c
+            JOIN ca ON ca.lang = c.lang AND ca.w1 = c.w1
+            JOIN n ON n.lang = c.lang
+            GROUP BY c.lang, n.n
+        """,
         "event_transition_entropy": """
             WITH seq AS (
                 SELECT user_id, event_type,

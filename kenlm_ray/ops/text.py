@@ -308,6 +308,135 @@ def group_top_tokens(
     )
 
 
+def bigram_cond_entropy(
+    ds: "ray.data.Dataset",
+    group_col: str = "lang",
+    text_col: str = "text",
+    ndigits: int = 6,
+) -> "ray.data.Dataset":
+    """Per-group ENTROPY RATE of the token stream: the conditional
+    bigram entropy H(w2 | w1) in bits — the information-theoretic
+    compressibility signal an n-gram LM engine lives on (low = more
+    predictable text; compare against the unigram H of
+    :func:`unigram_entropy` to see how much one word of context buys).
+
+    Shape: per-batch (group, w1, w2) bigram partial counts (within-doc
+    windows only) -> one vocab²-bounded groupby -> per-(group, w1)
+    context sums and the Σ c·log2(c/c_ctx) fold inside a coarse
+    context-bucket map_groups -> one tiny per-group reduce.  Output:
+    ``(group, n_bigrams, cond_entropy_bits)``.
+    """
+    from ray.data.aggregate import Sum as _Sum
+
+    def bigram_counts_partial(batch: pa.Table) -> pa.Table:
+        stream = tokenize_column(batch[text_col])
+        empty = pa.table(
+            {
+                "g": pa.array([], type=pa.string()),
+                "w1": pa.array([], type=pa.string()),
+                "w2": pa.array([], type=pa.string()),
+                "c": pa.array([], type=pa.int64()),
+            }
+        )
+        if stream.n_tokens < 2:
+            return empty
+        toks = stream.to_arrow()
+        d = stream.doc_ids
+        same = d[1:] == d[:-1]
+        if not same.any():
+            return empty
+        gcol = batch[group_col]
+        gcol = gcol.combine_chunks() if isinstance(gcol, pa.ChunkedArray) else gcol
+        idx = np.flatnonzero(same)
+        t = pa.table(
+            {
+                "g": gcol.take(pa.array(d[idx])),
+                "w1": toks.take(pa.array(idx)),
+                "w2": toks.take(pa.array(idx + 1)),
+                "c": pa.array(np.ones(len(idx), dtype=np.int64)),
+            }
+        )
+        return t.group_by(["g", "w1", "w2"]).aggregate([("c", "sum")])
+
+    cnt = (
+        ds.map_batches(bigram_counts_partial, batch_format="pyarrow")
+        .groupby(["g", "w1", "w2"])
+        .aggregate(_Sum("c_sum", alias_name="c"))
+    )
+
+    from kenlm_ray.functions.hashing import hash_bytes_array
+
+    P = 32
+
+    def ctx_bucket(batch: pa.Table) -> pa.Table:
+        key = [
+            a + "\x1f" + b
+            for a, b in zip(
+                batch["g"].to_pylist(), batch["w1"].to_pylist()
+            )
+        ]
+        h = hash_bytes_array(key)
+        return batch.append_column(
+            "__pb", pa.array((h % np.uint64(P)).astype(np.int64))
+        )
+
+    def fold(gt: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "g": pa.array([], type=pa.string()),
+                "s": pa.array([], type=pa.float64()),
+                "n": pa.array([], type=pa.int64()),
+            }
+        )
+        if len(gt) == 0:
+            return empty
+        g = np.asarray(gt["g"].to_pylist(), dtype=object)
+        w1 = np.asarray(gt["w1"].to_pylist(), dtype=object)
+        c = gt["c"].to_numpy(zero_copy_only=False).astype(np.float64)
+        order = np.lexsort((w1, g))
+        g, w1, c = g[order], w1[order], c[order]
+        new = np.concatenate(
+            [[True], (g[1:] != g[:-1]) | (w1[1:] != w1[:-1])]
+        )
+        gid = np.cumsum(new) - 1
+        ca = np.bincount(gid, weights=c)
+        terms = c * np.log2(c / ca[gid])
+        ug, ginv = np.unique(g, return_inverse=True)
+        s = np.bincount(ginv, weights=terms)
+        n = np.bincount(ginv, weights=c)
+        return pa.table(
+            {
+                "g": pa.array(list(ug), type=pa.string()),
+                "s": pa.array(s),
+                "n": pa.array(n.astype(np.int64)),
+            }
+        )
+
+    agg = (
+        cnt.map_batches(ctx_bucket, batch_format="pyarrow")
+        .groupby("__pb")
+        .map_groups(
+            lambda t: fold(t.drop_columns(["__pb"])), batch_format="pyarrow"
+        )
+        .groupby("g")
+        .aggregate(_Sum("s", alias_name="s"), _Sum("n", alias_name="n"))
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        s = t["s"].to_numpy(zero_copy_only=False)
+        n = t["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        h = np.where(n > 0, -s / n, 0.0)
+        return pa.table(
+            {
+                group_col: t["g"],
+                "n_bigrams": pa.array(n.astype(np.int64)),
+                "cond_entropy_bits": pa.array(np.round(h, ndigits)),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
 def tfidf_cosine_pairs(
     ds: "ray.data.Dataset",
     *,
