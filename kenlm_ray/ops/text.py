@@ -691,26 +691,15 @@ def doc_unigram_kl(
     """
     import ray as _ray
 
-    def hash_counts(batch: pa.Table) -> pa.Table:
-        stream = tokenize_column(batch[text_col])
-        if stream.n_tokens == 0:
-            return pa.table(
-                {
-                    "h": pa.array([], type=pa.uint64()),
-                    "c": pa.array([], type=pa.int64()),
-                }
-            )
-        u, c = np.unique(stream.hashes(), return_counts=True)
-        return pa.table({"h": pa.array(u), "c": pa.array(c.astype(np.int64))})
+    # corpus counts via the coarse-bucket reduce (ops/softdedup._hash_counts
+    # — a per-key groupby over millions of u64 types is ~10x slower in
+    # Ray's generic aggregate machinery; measured 138 s -> below on the
+    # 720k-doc bench corpus)
+    from kenlm_ray.ops.softdedup import _hash_counts
 
-    rows = (
-        ds.map_batches(hash_counts, batch_format="pyarrow")
-        .groupby("h")
-        .aggregate(Sum("c", alias_name="c"))
-        .take_all()
-    )
-    vh = np.array([r["h"] for r in rows], dtype=np.uint64)
-    vc = np.array([r["c"] for r in rows], dtype=np.float64)
+    rows = _hash_counts(ds, text_col).take_all()
+    vh = np.array([r["h"] for r in rows], dtype=np.int64).view(np.uint64)
+    vc = np.array([r["count"] for r in rows], dtype=np.float64)
     order = np.argsort(vh)
     vh, vc = vh[order], vc[order]
     total = float(vc.sum())
