@@ -358,17 +358,15 @@ def bigram_cond_entropy(
         )
         return t.group_by(["g", "w1", "w2"]).aggregate([("c", "sum")])
 
-    cnt = (
-        ds.map_batches(bigram_counts_partial, batch_format="pyarrow")
-        .groupby(["g", "w1", "w2"])
-        .aggregate(_Sum("c_sum", alias_name="c"))
-    )
-
     from kenlm_ray.functions.hashing import hash_bytes_array
 
-    P = 32
+    P = 128
 
     def ctx_bucket(batch: pa.Table) -> pa.Table:
+        # bucket by CONTEXT hash(g, w1): all of a context's triples
+        # co-locate, so one map_groups both completes the triple counts
+        # AND folds the entropy terms — the coarse-bucket reduce that
+        # replaces a per-key groupby over millions of string triples
         key = [
             a + "\x1f" + b
             for a, b in zip(
@@ -390,9 +388,11 @@ def bigram_cond_entropy(
         )
         if len(gt) == 0:
             return empty
+        # complete the per-triple counts inside the bucket first
+        gt = gt.group_by(["g", "w1", "w2"]).aggregate([("c_sum", "sum")])
         g = np.asarray(gt["g"].to_pylist(), dtype=object)
         w1 = np.asarray(gt["w1"].to_pylist(), dtype=object)
-        c = gt["c"].to_numpy(zero_copy_only=False).astype(np.float64)
+        c = gt["c_sum_sum"].to_numpy(zero_copy_only=False).astype(np.float64)
         order = np.lexsort((w1, g))
         g, w1, c = g[order], w1[order], c[order]
         new = np.concatenate(
@@ -413,7 +413,8 @@ def bigram_cond_entropy(
         )
 
     agg = (
-        cnt.map_batches(ctx_bucket, batch_format="pyarrow")
+        ds.map_batches(bigram_counts_partial, batch_format="pyarrow")
+        .map_batches(ctx_bucket, batch_format="pyarrow")
         .groupby("__pb")
         .map_groups(
             lambda t: fold(t.drop_columns(["__pb"])), batch_format="pyarrow"
