@@ -268,10 +268,35 @@ def group_top_tokens(
         )
         return t.group_by(["g", "token"]).aggregate([("c", "sum")])
 
+    from kenlm_ray.functions.hashing import hash_bytes_array
+
+    P = 128
+
+    def tok_bucket(batch: pa.Table) -> pa.Table:
+        # coarse-bucket by token hash: a token's counts co-locate, so
+        # the bucket completes (g, token) counts with one in-bucket
+        # Arrow group_by and can safely pre-cut per-group top-k (any
+        # global top-k token's COMPLETE count lives in exactly one
+        # bucket) — replaces the per-key groupby over (g, token) string
+        # pairs
+        h = hash_bytes_array(batch["token"].to_pylist())
+        return batch.append_column(
+            "__pb", pa.array((h % np.uint64(P)).astype(np.int64))
+        )
+
+    def bucket_combine(t: pa.Table) -> pa.Table:
+        t = t.group_by(["g", "token"]).aggregate([("c_sum", "sum")])
+        t = t.rename_columns(["g", "token", "cnt"])
+        return topk_cut(t, exact=False)
+
     cnt = (
         ds.map_batches(tok_counts, batch_format="pyarrow")
-        .groupby(["g", "token"])
-        .aggregate(_Sum("c_sum", alias_name="cnt"))
+        .map_batches(tok_bucket, batch_format="pyarrow")
+        .groupby("__pb")
+        .map_groups(
+            lambda t: bucket_combine(t.drop_columns(["__pb"])),
+            batch_format="pyarrow",
+        )
     )
 
     def topk_cut(t: pa.Table, exact: bool) -> pa.Table:
@@ -296,10 +321,7 @@ def group_top_tokens(
         return out
 
     return (
-        cnt.map_batches(
-            lambda t: topk_cut(t, exact=False), batch_format="pyarrow"
-        )
-        .groupby("g")
+        cnt.groupby("g")
         .map_groups(lambda t: topk_cut(t, exact=True), batch_format="pyarrow")
         .map_batches(
             lambda t: t.rename_columns([group_col, "token", "cnt", "rn"]),
