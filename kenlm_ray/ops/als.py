@@ -105,6 +105,8 @@ def als_explicit(
         m = k * (k + 1) // 2  # upper triangle of A
         iu = np.triu_indices(k)
 
+        W = 1 + m + k  # flat partial width: count | triu(A) | b
+
         def partial(batch: pa.Table) -> pa.Table:
             oids, of = ray.get(lut)
             u = batch[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -112,55 +114,66 @@ def als_explicit(
             r = batch[rating_col].to_numpy(zero_copy_only=False).astype(np.float64)
             v = of[np.searchsorted(oids, i)]  # (n, k)
             uu, inv = np.unique(u, return_inverse=True)
-            # per-key sums of v vᵀ (upper triangle), r·v, and counts
-            outer = v[:, iu[0]] * v[:, iu[1]]  # (n, m)
-            A = np.zeros((len(uu), m))
-            B = np.zeros((len(uu), k))
-            np.add.at(A, inv, outer)
-            np.add.at(B, inv, r[:, None] * v)
-            cnt = np.bincount(inv, minlength=len(uu)).astype(np.float64)
-            cols = {"id": pa.array(uu), "n": pa.array(cnt)}
-            for j in range(m):
-                cols[f"a{j}"] = pa.array(A[:, j])
-            for j in range(k):
-                cols[f"b{j}"] = pa.array(B[:, j])
-            return pa.table(cols)
+            flat = np.zeros((len(uu), W))
+            flat[:, 0] = np.bincount(inv, minlength=len(uu))
+            np.add.at(flat[:, 1 : 1 + m], inv, v[:, iu[0]] * v[:, iu[1]])
+            np.add.at(flat[:, 1 + m :], inv, r[:, None] * v)
+            with np.errstate(over="ignore"):
+                x = uu.astype(np.uint64) * np.uint64(0xBF58476D1CE4E5B9)
+            return pa.table(
+                {
+                    "id": pa.array(uu),
+                    "flat": pa.array(list(flat), type=pa.list_(pa.float64())),
+                    "__pb": pa.array(
+                        (x % np.uint64(32)).astype(np.int64)
+                    ),
+                }
+            )
 
-        aggs = [Sum("n", alias_name="n")]
-        aggs += [Sum(f"a{j}", alias_name=f"a{j}") for j in range(m)]
-        aggs += [Sum(f"b{j}", alias_name=f"b{j}") for j in range(k)]
-        merged = (
-            ratings.map_batches(partial, batch_format="pyarrow")
-            .groupby("id")
-            .aggregate(*aggs)
-        )
-
-        def solve_batch(t: pa.Table) -> pa.Table:
-            """Batched k x k solves, DISTRIBUTED and vectorized — one
-            stacked np.linalg.solve per batch, never a per-key loop (at
-            web scale 'keys' are millions of users; only the solved
-            k-float factors flow onward)."""
-            nb = len(t)
+        def combine_solve(t: pa.Table) -> pa.Table:
+            """One id bucket: vectorized per-key combine of the flat
+            normal-equation partials, then BATCHED k x k solves — one
+            stacked np.linalg.solve, never a per-key loop or a
+            per-column Ray aggregate (the generic per-key aggregate over
+            1 + k(k+1)/2 + k columns is the measured 10-100x tax)."""
+            empty = pa.table(
+                {
+                    "id": pa.array([], type=pa.int64()),
+                    **{
+                        f"f{j}": pa.array([], type=pa.float64())
+                        for j in range(k)
+                    },
+                }
+            )
+            if len(t) == 0:
+                return empty
+            ids_ = t["id"].to_numpy(zero_copy_only=False)
+            flat = np.stack(
+                [np.asarray(x, dtype=np.float64) for x in t["flat"].to_pylist()]
+            )
+            uu, inv = np.unique(ids_, return_inverse=True)
+            acc = np.zeros((len(uu), W))
+            np.add.at(acc, inv, flat)
+            nb = len(uu)
             A = np.zeros((nb, k, k))
-            tri = np.stack(
-                [t[f"a{j}"].to_numpy(zero_copy_only=False) for j in range(m)],
-                axis=1,
-            )
-            A[:, iu[0], iu[1]] = tri
-            A[:, iu[1], iu[0]] = tri
-            n_ = t["n"].to_numpy(zero_copy_only=False)
-            A += lam * n_[:, None, None] * np.eye(k)[None]
-            B = np.stack(
-                [t[f"b{j}"].to_numpy(zero_copy_only=False) for j in range(k)],
-                axis=1,
-            )
-            F = np.linalg.solve(A, B)
-            cols = {"id": t["id"]}
+            A[:, iu[0], iu[1]] = acc[:, 1 : 1 + m]
+            A[:, iu[1], iu[0]] = acc[:, 1 : 1 + m]
+            A += lam * acc[:, 0][:, None, None] * np.eye(k)[None]
+            F = np.linalg.solve(A, acc[:, 1 + m :])
+            cols = {"id": pa.array(uu)}
             for j in range(k):
                 cols[f"f{j}"] = pa.array(F[:, j])
             return pa.table(cols)
 
-        rows = merged.map_batches(solve_batch, batch_format="pyarrow").take_all()
+        rows = (
+            ratings.map_batches(partial, batch_format="pyarrow")
+            .groupby("__pb")
+            .map_groups(
+                lambda g: combine_solve(g.drop_columns(["__pb"])),
+                batch_format="pyarrow",
+            )
+            .take_all()
+        )
         ids = np.array([r["id"] for r in rows], dtype=np.int64)
         order = np.argsort(ids)
         ids = ids[order]
