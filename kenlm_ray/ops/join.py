@@ -69,7 +69,7 @@ def hash_join(
 
     ``left_cols`` / ``right_cols``: {column: pyarrow type} for ALL columns
     of each side (including keys).  Value columns must not overlap.
-    ``how``: "left", "inner", "full", "semi", or "anti".
+    ``how``: "left", "right", "inner", "full", "semi", or "anti".
 
     "semi"/"anti" keep only left columns and never multiply rows: semi
     keeps left rows whose key appears on the right, anti keeps those
@@ -162,7 +162,8 @@ def hash_join(
             return pa.Table.from_arrays(
                 [lg[c].take(idx) for c in names], names=names
             )
-        pd_how = {"inner": "inner", "left": "left", "full": "outer"}[how]
+        pd_how = {"inner": "inner", "left": "left", "right": "right",
+                  "full": "outer"}[how]
         m = ldf.merge(rdf, on=on, how=pd_how)
 
         def take_idx(raw):

@@ -1346,3 +1346,24 @@ def test_group_rank_topk_keeps_ties(ray_session):
     assert set(out["id"]) == {0, 1, 2, 3, 5, 6}
     assert list(out[out["key"] == 1].sort_values("id")["rnk"]) == [1, 2, 2, 2]
     assert list(out[out["key"] == 2]["rnk"]) == [1, 1]
+
+
+def test_hash_join_right_outer(ray_session):
+    import ray.data
+
+    from kenlm_ray.ops.join import hash_join
+
+    left = ray.data.from_items([{"k": 1, "x": 10}, {"k": 2, "x": 20}])
+    right = ray.data.from_items(
+        [{"k": 2, "y": 200.0}, {"k": 3, "y": 300.0}]
+    )
+    out = hash_join(
+        left, right, on=["k"],
+        left_cols={"k": pa.int64(), "x": pa.int64()},
+        right_cols={"k": pa.int64(), "y": pa.float64()},
+        how="right", num_partitions=2,
+    ).to_pandas().sort_values("k").reset_index(drop=True)
+    # right rows all survive; left-only k=1 does not
+    assert list(out["k"]) == [2, 3]
+    assert out["x"].isna().tolist() == [False, True]
+    assert out["y"].tolist() == [200.0, 300.0]
