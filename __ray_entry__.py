@@ -1519,6 +1519,79 @@ def _q_return_logit(sf_dir):
     )
 
 
+def _q_cohort_survival(sf_dir):
+    """Per-cohort (first-event month) Kaplan-Meier time-to-purchase
+    curves (ops/windows.grouped_kaplan_meier)."""
+    import numpy as _np
+    import pyarrow as _pa
+    import ray.data
+    from ray.data.aggregate import Max, Min
+
+    from kenlm_ray.ops.windows import grouped_kaplan_meier
+
+    ev = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "event_type", "ts"],
+    )
+
+    def prep(t: _pa.Table) -> _pa.Table:
+        import pyarrow.compute as _pc
+
+        us = _pc.cast(t["ts"], _pa.int64())
+        is_s = _pc.equal(t["event_type"], "signup")
+        is_p = _pc.equal(t["event_type"], "purchase")
+        big = _pa.scalar(2**62, _pa.int64())
+        return _pa.table(
+            {
+                "user_id": t["user_id"],
+                "s": _pc.if_else(is_s, us, big),
+                "p": _pc.if_else(is_p, us, big),
+                "l": us,
+                "f": us,
+            }
+        )
+
+    agg = (
+        ev.map_batches(prep, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(
+            Min("s", alias_name="s"),
+            Min("p", alias_name="p"),
+            Max("l", alias_name="l"),
+            Min("f", alias_name="f"),
+        )
+    )
+
+    def durations(t: _pa.Table) -> _pa.Table:
+        import datetime
+
+        s = t["s"].to_numpy(zero_copy_only=False)
+        p = t["p"].to_numpy(zero_copy_only=False)
+        ll = t["l"].to_numpy(zero_copy_only=False)
+        f = t["f"].to_numpy(zero_copy_only=False)
+        has_s = s < 2**62
+        ob = has_s & (p < 2**62) & (p >= s)
+        dur = _np.where(ob, p - s, ll - s)
+        cohort = [
+            datetime.datetime.utcfromtimestamp(x / 1e6).strftime("%Y-%m")
+            for x in f
+        ]
+        return _pa.table(
+            {
+                "cohort": _pa.array(
+                    [c for c, k in zip(cohort, has_s) if k],
+                    type=_pa.string(),
+                ),
+                "t": _pa.array(dur[has_s].astype(_np.int64)),
+                "ob": _pa.array(ob[has_s]),
+            }
+        )
+
+    return grouped_kaplan_meier(
+        agg.map_batches(durations, batch_format="pyarrow"), "cohort", "t", "ob"
+    )
+
+
 def _q_transition_entropy(sf_dir):
     """Conditional entropy of the user event chain
     (ops/windows.transition_entropy over the Markov matrix)."""
@@ -2799,6 +2872,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "returnflag_logit_coefs": _q_return_logit,
         "signup_purchase_survival": _q_signup_purchase_km,
         "event_transition_entropy": _q_transition_entropy,
+        "cohort_purchase_survival": _q_cohort_survival,
         "doc_blended_quality_rank": _q_doc_blended_rank,
         "jaccard_dedup_clusters": _q_jaccard_clusters,
         "jaccard_dedup_docs": _q_jaccard_dedup_docs,
@@ -3785,6 +3859,45 @@ def oracle_sql() -> dict[str, str]:
         "part_copurchase_pagerank": _pagerank_sql(num_iters=5, damping=0.85),
         "part_copurchase_bfs": _bfs_sql(max_hops=6),
         "lineitem_profile": _profile_sql(),
+        "cohort_purchase_survival": """
+            WITH per AS (
+                SELECT user_id,
+                       min(CASE WHEN event_type = 'signup' THEN ts END) AS s,
+                       min(CASE WHEN event_type = 'purchase' THEN ts END) AS p,
+                       max(ts) AS l,
+                       strftime(min(ts), '%Y-%m') AS cohort
+                FROM events GROUP BY 1
+            ),
+            dur AS (
+                SELECT cohort,
+                       CASE WHEN p IS NOT NULL AND p >= s
+                            THEN date_diff('microsecond', s, p)
+                            ELSE date_diff('microsecond', s, l)
+                       END::BIGINT AS t,
+                       (p IS NOT NULL AND p >= s) AS ob
+                FROM per WHERE s IS NOT NULL
+            ),
+            ev AS (
+                SELECT cohort, t, count(*)::BIGINT AS d
+                FROM dur WHERE ob GROUP BY 1, 2
+            ),
+            risk AS (
+                SELECT e.cohort, e.t,
+                       (SELECT count(*) FROM dur
+                        WHERE dur.cohort = e.cohort AND dur.t >= e.t)::BIGINT
+                           AS n
+                FROM ev e
+            ),
+            km AS (
+                SELECT ev.cohort, ev.t, risk.n, ev.d,
+                       exp(sum(ln(1 - ev.d * 1.0 / risk.n))
+                           OVER (PARTITION BY ev.cohort ORDER BY ev.t)) AS surv
+                FROM ev JOIN risk ON risk.cohort = ev.cohort AND risk.t = ev.t
+            )
+            SELECT cohort, t, n AS n_risk, d AS n_events,
+                   round(surv, 6) AS survival
+            FROM km
+        """,
         "lang_bigram_entropy": """
             WITH toks AS (
               SELECT lang,
