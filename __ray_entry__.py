@@ -1475,6 +1475,34 @@ def _q_part_triangles(sf_dir):
     )
 
 
+def _q_totalprice_auc(sf_dir):
+    """Exact ROC AUC of order totalprice ranking urgency
+    (ops/stats.auc — Mann-Whitney midranks over the value-count
+    table, counters only)."""
+    import pyarrow as _pa
+    import pyarrow.compute as _pc
+    import ray.data
+
+    from kenlm_ray.ops.stats import auc
+
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_totalprice", "o_orderpriority"],
+    )
+
+    def prep(t: _pa.Table) -> _pa.Table:
+        return _pa.table(
+            {
+                "v": t["o_totalprice"],
+                "y": _pc.cast(
+                    _pc.equal(t["o_orderpriority"], "1-URGENT"), _pa.int64()
+                ),
+            }
+        )
+
+    return auc(orders.map_batches(prep, batch_format="pyarrow"), "v", "y")
+
+
 def _q_return_logit(sf_dir):
     """Distributed IRLS logistic regression: P(l_returnflag = 'R') from
     quantity/price/discount (ops/stats.logistic_regression — fixed
@@ -2870,6 +2898,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_pca_projection": _q_embedding_pca,
         "suppkey_skew_stats": _q_suppkey_skew,
         "returnflag_logit_coefs": _q_return_logit,
+        "totalprice_urgent_auc": _q_totalprice_auc,
         "signup_purchase_survival": _q_signup_purchase_km,
         "event_transition_entropy": _q_transition_entropy,
         "cohort_purchase_survival": _q_cohort_survival,
@@ -3859,6 +3888,34 @@ def oracle_sql() -> dict[str, str]:
         "part_copurchase_pagerank": _pagerank_sql(num_iters=5, damping=0.85),
         "part_copurchase_bfs": _bfs_sql(max_hops=6),
         "lineitem_profile": _profile_sql(),
+        "totalprice_urgent_auc": """
+            WITH s AS (
+                SELECT o_totalprice AS v,
+                       (o_orderpriority = '1-URGENT')::INT AS y
+                FROM orders
+            ),
+            c AS (
+                SELECT v, sum(y)::DOUBLE AS pos,
+                       sum(1 - y)::DOUBLE AS neg
+                FROM s GROUP BY 1
+            ),
+            o AS (
+                SELECT pos, neg,
+                       sum(pos + neg) OVER (ORDER BY v) AS cum,
+                       (pos + neg) AS tot
+                FROM c
+            ),
+            r AS (SELECT pos, cum - tot + (tot + 1) / 2.0 AS midrank FROM o),
+            agg AS (
+                SELECT sum(pos * midrank) AS s_r,
+                       (SELECT sum(pos) FROM c) AS np,
+                       (SELECT sum(neg) FROM c) AS nn
+                FROM r
+            )
+            SELECT np::BIGINT AS n_pos, nn::BIGINT AS n_neg,
+                   round((s_r - np * (np + 1) / 2) / (np * nn), 6) AS auc
+            FROM agg
+        """,
         "cohort_purchase_survival": """
             WITH per AS (
                 SELECT user_id,

@@ -548,3 +548,69 @@ def logistic_regression(
         if float(np.abs(step).max()) < tol:
             break
     return beta, iters_run
+
+
+def auc(
+    ds: "ray.data.Dataset",
+    score_col: str,
+    label_col: str,
+    *,
+    ndigits: int = 6,
+) -> "ray.data.Dataset":
+    """Exact ROC AUC of ``score_col`` ranking the binary ``label_col``
+    (0/1 or bool) — the Mann-Whitney U with midrank tie handling, the
+    classifier/quality-signal evaluation number.
+
+    Shape: one (value, n_pos, n_neg) counter groupby (distinct-score
+    bounded — quantize continuous scores first, the percent_rank rule);
+    the midrank fold runs on that table.  Output: one row
+    ``(n_pos, n_neg, auc)``.
+    """
+    from ray.data.aggregate import Sum as _Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = batch[score_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        y = batch[label_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        t = pa.table(
+            {
+                "v": pa.array(v),
+                "p": pa.array(y),
+                "q": pa.array(1 - y),
+            }
+        )
+        return t.group_by(["v"]).aggregate([("p", "sum"), ("q", "sum")])
+
+    rows = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("v")
+        .aggregate(
+            _Sum("p_sum", alias_name="pos"), _Sum("q_sum", alias_name="neg")
+        )
+        .take_all()
+    )
+    v = np.array([r["v"] for r in rows], dtype=np.float64)
+    pos = np.array([r["pos"] for r in rows], dtype=np.float64)
+    neg = np.array([r["neg"] for r in rows], dtype=np.float64)
+    order = np.argsort(v)
+    pos, neg = pos[order], neg[order]
+    tot = pos + neg
+    cum = np.cumsum(tot)
+    midrank = cum - tot + (tot + 1) / 2.0
+    n_pos, n_neg = float(pos.sum()), float(neg.sum())
+    if n_pos == 0 or n_neg == 0:
+        a = float("nan")
+    else:
+        u = float((pos * midrank).sum()) - n_pos * (n_pos + 1) / 2.0
+        a = u / (n_pos * n_neg)
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "n_pos": pa.array([int(n_pos)], type=pa.int64()),
+                "n_neg": pa.array([int(n_neg)], type=pa.int64()),
+                "auc": pa.array(
+                    [None if np.isnan(a) else round(a, ndigits)],
+                    type=pa.float64(),
+                ),
+            }
+        )
+    )

@@ -401,3 +401,45 @@ def test_kaplan_meier_textbook_example(ray_session):
         ray.data.from_items(rows).filter(expr="t > 100"), "t", "ob"
     )
     assert empty.count() == 0
+
+
+def test_auc_matches_sklearn_free_reference(ray_session):
+    """auc == rank-based reference with heavy ties; perfect and inverted
+    rankings hit 1.0 / 0.0; degenerate labels give NULL."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from kenlm_ray.ops.stats import auc
+
+    rng = np.random.default_rng(12)
+    y = (rng.random(500) < 0.3).astype(np.int64)
+    v = np.round(y * 1.0 + rng.normal(0, 1.2, 500), 1)  # ties via rounding
+
+    # manual midrank reference
+    order = np.argsort(v)
+    vs, ys = v[order], y[order]
+    ranks = np.empty(len(vs))
+    i = 0
+    while i < len(vs):
+        j = i
+        while j < len(vs) and vs[j] == vs[i]:
+            j += 1
+        ranks[i:j] = (i + 1 + j) / 2.0
+        i = j
+    n_pos, n_neg = ys.sum(), (1 - ys).sum()
+    u = ranks[ys == 1].sum() - n_pos * (n_pos + 1) / 2
+    expect = round(u / (n_pos * n_neg), 6)
+
+    ds = ray.data.from_arrow(pa.table({"v": v, "y": y})).repartition(4)
+    out = auc(ds, "v", "y").to_pandas().iloc[0]
+    assert out["auc"] == expect
+    assert out["n_pos"] == n_pos and out["n_neg"] == n_neg
+    # perfect / inverted ranking
+    t = pa.table({"v": [1.0, 2.0, 3.0, 4.0], "y": [0, 0, 1, 1]})
+    assert auc(ray.data.from_arrow(t), "v", "y").to_pandas()["auc"][0] == 1.0
+    t2 = pa.table({"v": [4.0, 3.0, 2.0, 1.0], "y": [0, 0, 1, 1]})
+    assert auc(ray.data.from_arrow(t2), "v", "y").to_pandas()["auc"][0] == 0.0
+    # single-class labels -> NULL
+    t3 = pa.table({"v": [1.0, 2.0], "y": [1, 1]})
+    assert auc(ray.data.from_arrow(t3), "v", "y").to_pandas()["auc"].isna().all()
