@@ -118,8 +118,12 @@ def als_explicit(
             flat[:, 0] = np.bincount(inv, minlength=len(uu))
             np.add.at(flat[:, 1 : 1 + m], inv, v[:, iu[0]] * v[:, iu[1]])
             np.add.at(flat[:, 1 + m :], inv, r[:, None] * v)
-            with np.errstate(over="ignore"):
-                x = uu.astype(np.uint64) * np.uint64(0xBF58476D1CE4E5B9)
+            # full avalanche before the modulo: multiply-only mod 32 is
+            # just a permutation of id mod 32, which collapses aligned or
+            # strided id spaces into one bucket
+            from kenlm_ray.ops.sketch import _mix64
+
+            x = _mix64(uu)
             return pa.table(
                 {
                     "id": pa.array(uu),
@@ -148,9 +152,12 @@ def als_explicit(
             if len(t) == 0:
                 return empty
             ids_ = t["id"].to_numpy(zero_copy_only=False)
-            flat = np.stack(
-                [np.asarray(x, dtype=np.float64) for x in t["flat"].to_pylist()]
-            )
+            # every list is exactly W long: flatten zero-copy and reshape
+            # instead of boxing each float through to_pylist()
+            fcol = t["flat"]
+            if isinstance(fcol, pa.ChunkedArray):
+                fcol = fcol.combine_chunks()
+            flat = fcol.flatten().to_numpy(zero_copy_only=False).reshape(-1, W)
             uu, inv = np.unique(ids_, return_inverse=True)
             acc = np.zeros((len(uu), W))
             np.add.at(acc, inv, flat)

@@ -286,7 +286,11 @@ def group_top_tokens(
 
     def bucket_combine(t: pa.Table) -> pa.Table:
         t = t.group_by(["g", "token"]).aggregate([("c_sum", "sum")])
-        t = t.rename_columns(["g", "token", "cnt"])
+        # select by name before renaming: aggregate column order is a
+        # pyarrow version detail (keys-first only since v14)
+        t = t.select(["g", "token", "c_sum_sum"]).rename_columns(
+            ["g", "token", "cnt"]
+        )
         return topk_cut(t, exact=False)
 
     cnt = (

@@ -608,7 +608,9 @@ def grouped_kaplan_meier(
     bitwise-SQL-matching exp/ln fold as :func:`kaplan_meier`, with the
     counter groupby keyed by ``(group, duration, observed)`` and the
     fold run per group (groups x distinct-durations bounded).  Output:
-    ``(group, t, n_risk, n_events, survival)``."""
+    ``(group_col, t, n_risk, n_events, survival)`` — the group column
+    keeps the caller's name and input Arrow type (even when empty)."""
+    gtype = ds.schema().base_schema.field(group_col).type
 
     def partial(batch: pa.Table) -> pa.Table:
         t = pa.table(
@@ -658,7 +660,7 @@ def grouped_kaplan_meier(
     return ray.data.from_arrow(
         pa.table(
             {
-                "cohort": pa.array(out_g),
+                group_col: pa.array(out_g, type=gtype),
                 "t": pa.array(np.array(out_t, dtype=np.int64)),
                 "n_risk": pa.array(np.array(out_n, dtype=np.int64)),
                 "n_events": pa.array(np.array(out_d, dtype=np.int64)),

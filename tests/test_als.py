@@ -61,3 +61,32 @@ def test_als_deterministic_across_partitionings(ray_session):
         a[["f0", "f1"]].to_numpy(), b[["f0", "f1"]].to_numpy(),
         rtol=1e-9, atol=1e-9,
     )
+
+
+def test_als_bucket_hash_spreads_aligned_ids(ray_session):
+    """ids that are multiples of 32 (aligned/strided id spaces) must not
+    collapse into one combine bucket — the partial's bucket hash needs a
+    full avalanche before the modulo, not a multiply-only permutation."""
+    import ray.data
+
+    from kenlm_ray.ops.als import als_explicit
+
+    u, i, r = _planted(n_users=40, n_items=25, seed=7)
+    t = pa.table(
+        {
+            "user": (u.astype(np.int64) * 32),  # all ≡ 0 (mod 32)
+            "item": i.astype(np.int64),
+            "rating": r,
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(3)
+    uf, _ = als_explicit(
+        ds, "user", "item", "rating", k=2, num_iters=1, lam=0.1, seed=4
+    )
+    assert set(uf.to_pandas()["id"]) == set(np.unique(u) * 32)
+    # the hash itself spreads aligned ids across many buckets
+    from kenlm_ray.ops.sketch import _mix64
+
+    ids = np.arange(0, 40, dtype=np.int64) * 32
+    buckets = _mix64(ids) % np.uint64(32)
+    assert len(np.unique(buckets)) > 12

@@ -443,3 +443,46 @@ def test_auc_matches_sklearn_free_reference(ray_session):
     # single-class labels -> NULL
     t3 = pa.table({"v": [1.0, 2.0], "y": [1, 1]})
     assert auc(ray.data.from_arrow(t3), "v", "y").to_pandas()["auc"].isna().all()
+
+
+def test_grouped_kaplan_meier_group_col_and_empty(ray_session):
+    """grouped_kaplan_meier honors the caller's group column name and
+    keeps the input Arrow type on the group column even when no group
+    has an observed event."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from kenlm_ray.ops.windows import grouped_kaplan_meier, kaplan_meier
+
+    rows = [
+        {"lang": "en", "t": 2, "ob": True},
+        {"lang": "en", "t": 3, "ob": False},
+        {"lang": "en", "t": 5, "ob": True},
+        {"lang": "de", "t": 1, "ob": True},
+        {"lang": "de", "t": 4, "ob": True},
+    ]
+    out = grouped_kaplan_meier(
+        ray.data.from_items(rows).repartition(2), "lang", "t", "ob"
+    ).to_pandas()
+    assert list(out.columns) == ["lang", "t", "n_risk", "n_events", "survival"]
+    for g in ("en", "de"):
+        sub = out[out["lang"] == g].set_index("t")
+        ref = (
+            kaplan_meier(
+                ray.data.from_items([r for r in rows if r["lang"] == g]),
+                "t",
+                "ob",
+            )
+            .to_pandas()
+            .set_index("t")
+        )
+        assert list(sub.index) == list(ref.index)
+        np.testing.assert_allclose(sub["survival"], ref["survival"])
+    # all-censored input: empty result with a typed (string) group column
+    cens = [{"lang": "fr", "t": 9, "ob": False}]
+    empty = grouped_kaplan_meier(
+        ray.data.from_items(cens), "lang", "t", "ob"
+    )
+    assert empty.count() == 0
+    assert pa.types.is_string(empty.schema().base_schema.field("lang").type)
