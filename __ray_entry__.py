@@ -1884,6 +1884,71 @@ def _q_local_supplier_volume(sf_dir):
     return local_supplier_volume(sf_dir, year=1996)
 
 
+def _q_priority_late_ship(sf_dir):
+    """TPC-H Q4 analog (ops/relational.priority_late_ship_counts — the
+    EXISTS-with-condition semi-join resolved in one key-bucket
+    exchange)."""
+    from kenlm_ray.ops.relational import priority_late_ship_counts
+
+    return priority_late_ship_counts(sf_dir, year=1996, late_days=60)
+
+
+def _q_important_parts(sf_dir):
+    """TPC-H Q11 analog (ops/relational.important_parts_by_revenue —
+    grouped aggregate filtered vs a global-fraction scalar)."""
+    from kenlm_ray.ops.relational import important_parts_by_revenue
+
+    return important_parts_by_revenue(sf_dir, fraction=0.00061)
+
+
+def _q_cust_order_count_dist(sf_dir):
+    """TPC-H Q13 analog (ops/relational.customer_order_count_dist —
+    LEFT-join count distribution including zero-order customers)."""
+    from kenlm_ray.ops.relational import customer_order_count_dist
+
+    return customer_order_count_dist(sf_dir)
+
+
+def _q_top_revenue_suppliers(sf_dir):
+    """TPC-H Q15 analog (ops/relational.top_revenue_suppliers — argmax
+    with ties over a grouped aggregate)."""
+    from kenlm_ray.ops.relational import top_revenue_suppliers
+
+    return top_revenue_suppliers(sf_dir)
+
+
+def _q_small_qty_part_revenue(sf_dir):
+    """TPC-H Q17 analog (ops/relational.small_qty_part_revenue —
+    per-key average broadcast as a correlated row threshold)."""
+    from kenlm_ray.ops.relational import small_qty_part_revenue
+
+    return small_qty_part_revenue(sf_dir)
+
+
+def _q_large_volume_customers(sf_dir):
+    """TPC-H Q18 analog (ops/relational.large_volume_customers —
+    HAVING-filtered groups broadcast back as a semi-join)."""
+    from kenlm_ray.ops.relational import large_volume_customers
+
+    return large_volume_customers(sf_dir, qty_threshold=300.0)
+
+
+def _q_bracket_revenue(sf_dir):
+    """TPC-H Q19 analog (ops/relational.bracket_revenue — disjunctive
+    multi-bracket predicate over a broadcast dimension)."""
+    from kenlm_ray.ops.relational import bracket_revenue
+
+    return bracket_revenue(sf_dir)
+
+
+def _q_wealthy_inactive(sf_dir):
+    """TPC-H Q22 analog (ops/relational.wealthy_inactive_customers —
+    global scalar threshold + partitioned anti join)."""
+    from kenlm_ray.ops.relational import wealthy_inactive_customers
+
+    return wealthy_inactive_customers(sf_dir)
+
+
 def _q_winsorized_prices(sf_dir):
     """Winsorize order totalprice at exact [p1, p99] discrete quantiles
     (ops/percentile.winsorize — histogram bounds broadcast, pure-map
@@ -2891,6 +2956,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "winsorized_order_prices": _q_winsorized_prices,
         "local_supplier_volume": _q_local_supplier_volume,
         "nation_trade_volume": _q_nation_trade_volume,
+        "priority_late_ship_counts": _q_priority_late_ship,
+        "important_parts_by_revenue": _q_important_parts,
+        "customer_order_count_dist": _q_cust_order_count_dist,
+        "top_revenue_suppliers": _q_top_revenue_suppliers,
+        "small_qty_part_revenue": _q_small_qty_part_revenue,
+        "large_volume_customers": _q_large_volume_customers,
+        "bracket_revenue": _q_bracket_revenue,
+        "wealthy_inactive_customers": _q_wealthy_inactive,
         "customer_top3_orders_rank": _q_customer_top3_rank,
         "monthly_top_parts": _q_monthly_top_parts,
         "part_copurchase_walks": _q_part_walks,
@@ -4106,6 +4179,89 @@ def oracle_sql() -> dict[str, str]:
               AND c_nationkey = n_nationkey
               AND year(o_orderdate) = 1996
             GROUP BY n_name
+        """,
+        "priority_late_ship_counts": """
+            SELECT o_orderpriority, count(*)::BIGINT AS n_orders
+            FROM orders
+            WHERE year(o_orderdate) = 1996
+              AND EXISTS (
+                SELECT 1 FROM lineitem
+                WHERE l_orderkey = o_orderkey
+                  AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+            GROUP BY 1
+        """,
+        "important_parts_by_revenue": """
+            WITH pr AS (
+                SELECT l_partkey,
+                       round(round(sum(l_extendedprice * (1 - l_discount))
+                                   * 1e6) / 1e6, 2) AS revenue
+                FROM lineitem GROUP BY 1
+            )
+            SELECT l_partkey, revenue FROM pr
+            WHERE revenue > (SELECT sum(revenue) * 0.00061 FROM pr)
+        """,
+        "customer_order_count_dist": """
+            SELECT c_count AS n_orders, count(*)::BIGINT AS n_customers
+            FROM (
+                SELECT c_custkey, count(o_orderkey)::BIGINT AS c_count
+                FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+                GROUP BY 1
+            ) GROUP BY 1
+        """,
+        "top_revenue_suppliers": """
+            WITH r AS (
+                SELECT l_suppkey,
+                       round(round(sum(l_extendedprice * (1 - l_discount))
+                                   * 1e6) / 1e6, 2) AS total_rev
+                FROM lineitem
+                WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                  AND l_shipdate <  TIMESTAMP '1996-04-01'
+                GROUP BY 1
+            )
+            SELECT s_suppkey, s_name, total_rev
+            FROM supplier JOIN r ON s_suppkey = l_suppkey
+            WHERE total_rev = (SELECT max(total_rev) FROM r)
+        """,
+        "small_qty_part_revenue": """
+            SELECT round(round(sum(l_extendedprice) / 7.0 * 1e6) / 1e6, 2)
+                   AS avg_yearly
+            FROM lineitem, part
+            WHERE p_partkey = l_partkey
+              AND p_brand = 'Brand#23'
+              AND l_quantity < (
+                SELECT 0.5 * avg(l2.l_quantity) FROM lineitem l2
+                WHERE l2.l_partkey = p_partkey)
+        """,
+        "large_volume_customers": """
+            SELECT o_orderkey, o_custkey, o_totalprice, sum_qty
+            FROM orders JOIN (
+                SELECT l_orderkey, sum(l_quantity) AS sum_qty
+                FROM lineitem GROUP BY 1
+                HAVING sum(l_quantity) > 300
+            ) ON l_orderkey = o_orderkey
+        """,
+        "bracket_revenue": """
+            SELECT round(round(sum(l_extendedprice * (1 - l_discount))
+                               * 1e6) / 1e6, 2) AS revenue
+            FROM lineitem, part
+            WHERE p_partkey = l_partkey AND (
+                (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+                 AND l_quantity BETWEEN 1 AND 11)
+             OR (p_brand = 'Brand#21' AND p_size BETWEEN 1 AND 10
+                 AND l_quantity BETWEEN 10 AND 20)
+             OR (p_brand = 'Brand#25' AND p_size BETWEEN 1 AND 15
+                 AND l_quantity BETWEEN 20 AND 30))
+        """,
+        "wealthy_inactive_customers": """
+            SELECT c_mktsegment, count(*)::BIGINT AS n_cust,
+                   round(round(sum(c_acctbal) * 1e6) / 1e6, 2) AS total_bal
+            FROM customer
+            WHERE c_acctbal > (
+                SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+              AND NOT EXISTS (
+                SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                  AND o_orderdate >= TIMESTAMP '2000-01-01')
+            GROUP BY 1
         """,
         "winsorized_order_prices": """
             WITH q AS (

@@ -1,0 +1,629 @@
+"""TPC-H-analog relational shapes the engine had not yet exercised.
+
+Each operator here is a *distinct* distributed-query pattern, adapted to
+the reduced testdata schema (no partsupp / comment / receiptdate
+columns), and each has a DuckDB oracle twin in ``__ray_entry__``:
+
+- :func:`priority_late_ship_counts` — Q4: EXISTS semi-join with a
+  per-pair condition, resolved in ONE key-bucket exchange.
+- :func:`important_parts_by_revenue` — Q11: grouped aggregate filtered
+  against a global-fraction scalar (HAVING vs a broadcast total).
+- :func:`customer_order_count_dist` — Q13: LEFT-join count distribution
+  (customers with zero orders included), one exchange.
+- :func:`top_revenue_suppliers` — Q15: argmax-with-ties over a grouped
+  aggregate.
+- :func:`small_qty_part_revenue` — Q17: per-key average broadcast as a
+  row filter threshold (correlated-subquery shape).
+- :func:`large_volume_customers` — Q18: HAVING-filtered group set
+  broadcast back as a semi-join with payload.
+- :func:`bracket_revenue` — Q19: disjunctive multi-bracket predicate
+  over a broadcast dimension.
+- :func:`wealthy_inactive_customers` — Q22: global-scalar threshold +
+  partitioned ANTI join + grouped aggregate.
+
+Scale notes (100 TB): lineitem/orders are the unbounded fact sides and
+only ever cross the wire as per-batch PARTIAL aggregates keyed by a
+coarse hash bucket (``P`` groups total, never one Ray group per key —
+see the measured 10x tax in SCALING.md).  part/supplier/customer
+dimension *attributes* broadcast via ``ray.put`` (catalog-bounded);
+customer as a fact side (Q13/Q22) stays partitioned.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+from ray.data.aggregate import Count, Sum
+
+from .analytics import read
+from .join import _key_bucket, hash_join
+
+_US_PER_DAY = 86_400_000_000  # testdata dates are timestamp[us]
+
+
+def _cents(x: np.ndarray) -> np.ndarray:
+    """Snap ulp noise to the 1e-6 grid, then round half-away to cents
+    (DuckDB ``round``; np.round is banker's)."""
+    x = np.rint(np.asarray(x, dtype=np.float64) * 1e6) / 1e6
+    return np.sign(x) * np.floor(np.abs(x) * 100 + 0.5) / 100
+
+
+def _bucket_col(key: np.ndarray, P: int) -> np.ndarray:
+    """splitmix64 bucket of an int64 key array (same spread as
+    ops/join._key_bucket, on a bare array)."""
+    x = key.astype(np.uint64)
+    with np.errstate(over="ignore"):
+        x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        x ^= x >> np.uint64(31)
+    return (x % np.uint64(P)).astype(np.int64)
+
+
+def priority_late_ship_counts(
+    sf_dir: str, year: int = 1996, late_days: int = 60, P: int = 16
+) -> "ray.data.Dataset":
+    """TPC-H Q4 analog: per order priority, how many orders placed in
+    ``year`` have at least one lineitem shipped more than ``late_days``
+    after the order date.
+
+    EXISTS(shipdate > odate + k) == max(shipdate) > odate + k, so the
+    whole semi-join resolves in ONE orderkey-bucket exchange: lineitem
+    ships per-batch per-order MAX partials, orders ship (date,
+    priority), and each bucket joins its own keys vectorized.  No
+    per-order Ray group ever exists (P groups total).
+    """
+    li = read(sf_dir, "lineitem", columns=["l_orderkey", "l_shipdate"])
+    orders = read(
+        sf_dir, "orders",
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
+    )
+
+    def li_partial(batch: pa.Table) -> pa.Table:
+        ok = batch["l_orderkey"].to_numpy(zero_copy_only=False)
+        sd = batch["l_shipdate"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((sd, ok))
+        ok_s, sd_s = ok[order], sd[order]
+        last = np.empty(len(ok_s), dtype=bool)
+        last[-1] = True
+        last[:-1] = ok_s[1:] != ok_s[:-1]
+        k = ok_s[last]
+        return pa.table(
+            {
+                "k": pa.array(k.astype(np.int64)),
+                "v": pa.array(sd_s[last]),
+                "pr": pa.nulls(len(k), type=pa.string()),
+                "__pb": pa.array(_bucket_col(k, P)),
+            }
+        )
+
+    def o_prep(batch: pa.Table) -> pa.Table:
+        yr = pc.year(batch["o_orderdate"])
+        t = batch.filter(pc.equal(yr, year))
+        k = t["o_orderkey"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "k": pa.array(k.astype(np.int64)),
+                "v": pa.array(
+                    t["o_orderdate"].to_numpy(zero_copy_only=False)
+                    .astype(np.int64)
+                ),
+                "pr": t["o_orderpriority"],
+                "__pb": pa.array(_bucket_col(k, P)),
+            }
+        )
+
+    late_us = late_days * _US_PER_DAY
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"o_orderpriority": pa.array([], type=pa.string()),
+             "c": pa.array([], type=pa.int64())}
+        )
+        if len(g) == 0:
+            return empty
+        k = g["k"].to_numpy(zero_copy_only=False)
+        v = g["v"].to_numpy(zero_copy_only=False)
+        is_order = g["pr"].to_numpy(zero_copy_only=False) != None  # noqa: E711
+        pr = g["pr"].to_numpy(zero_copy_only=False)
+        order = np.argsort(k, kind="stable")
+        k_s, v_s, io_s, pr_s = k[order], v[order], is_order[order], pr[order]
+        new = np.empty(len(k_s), dtype=bool)
+        new[0] = True
+        new[1:] = k_s[1:] != k_s[:-1]
+        seg = np.cumsum(new) - 1
+        nseg = int(seg[-1]) + 1
+        # per-order max shipdate (li rows) and order date (order rows);
+        # half-range sentinels keep `odate + late_us` overflow-free
+        lo_sent = np.iinfo(np.int64).min // 2
+        hi_sent = np.iinfo(np.int64).max // 2
+        maxsd = np.full(nseg, lo_sent, dtype=np.int64)
+        np.maximum.at(maxsd, seg[~io_s], v_s[~io_s])
+        odate = np.full(nseg, hi_sent, dtype=np.int64)
+        odate[seg[io_s]] = v_s[io_s]
+        pri = np.empty(nseg, dtype=object)
+        pri[seg[io_s]] = pr_s[io_s]
+        late = maxsd > odate + late_us  # orders outside `year` never match
+        if not late.any():
+            return empty
+        u, cnt = np.unique(pri[late].astype(str), return_counts=True)
+        return pa.table(
+            {"o_orderpriority": pa.array(u, type=pa.string()),
+             "c": pa.array(cnt.astype(np.int64))}
+        )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"o_orderpriority": batch["o_orderpriority"],
+             "n_orders": batch["c"]}
+        )
+
+    return (
+        li.map_batches(li_partial, batch_format="pyarrow")
+        .union(orders.map_batches(o_prep, batch_format="pyarrow"))
+        .groupby("__pb")
+        .map_groups(per_bucket, batch_format="pyarrow")
+        .groupby("o_orderpriority")
+        .aggregate(Sum("c", alias_name="c"))
+        .map_batches(finish, batch_format="pyarrow")
+    )
+
+
+def important_parts_by_revenue(
+    sf_dir: str, fraction: float = 0.00061, P: int = 16
+) -> "ray.data.Dataset":
+    """TPC-H Q11 analog: parts whose (cents-rounded) revenue exceeds
+    ``fraction`` of the total revenue over all parts.
+
+    Per-part revenue completes in one partkey-bucket exchange; the
+    result is catalog-bounded, so the global total is a driver scalar
+    (``materialize`` keeps the two consumers from re-running the scan).
+    """
+    li = read(
+        sf_dir, "lineitem",
+        columns=["l_partkey", "l_extendedprice", "l_discount"],
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        pk = batch["l_partkey"].to_numpy(zero_copy_only=False)
+        ep = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+        dc = batch["l_discount"].to_numpy(zero_copy_only=False)
+        u, inv = np.unique(pk, return_inverse=True)
+        r = np.bincount(inv, weights=ep * (1.0 - dc), minlength=len(u))
+        return pa.table(
+            {"k": pa.array(u.astype(np.int64)), "r": pa.array(r),
+             "__pb": pa.array(_bucket_col(u, P))}
+        )
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        if len(g) == 0:
+            return pa.table(
+                {"l_partkey": pa.array([], type=pa.int64()),
+                 "revenue": pa.array([], type=pa.float64())}
+            )
+        k = g["k"].to_numpy(zero_copy_only=False)
+        r = g["r"].to_numpy(zero_copy_only=False)
+        u, inv = np.unique(k, return_inverse=True)
+        tot = np.bincount(inv, weights=r, minlength=len(u))
+        return pa.table(
+            {"l_partkey": pa.array(u), "revenue": pa.array(_cents(tot))}
+        )
+
+    per_part = (
+        li.map_batches(partial, batch_format="pyarrow")
+        .groupby("__pb")
+        .map_groups(per_bucket, batch_format="pyarrow")
+        .materialize()  # part-catalog-sized; reused by total + filter
+    )
+    total = per_part.aggregate(Sum("revenue", alias_name="t"))["t"]
+    thresh = float(total) * fraction
+
+    def keep(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.greater(batch["revenue"], thresh))
+
+    return per_part.map_batches(keep, batch_format="pyarrow")
+
+
+def customer_order_count_dist(sf_dir: str, P: int = 16) -> "ray.data.Dataset":
+    """TPC-H Q13 analog: distribution of orders-per-customer INCLUDING
+    zero-order customers (the LEFT-join count-distribution shape).
+
+    One custkey-bucket exchange carries order-count partials AND the
+    customer roster; each bucket completes counts and emits its own
+    (n_orders -> n_customers) histogram partial, so neither fact table
+    ever groups per key.
+    """
+    orders = read(sf_dir, "orders", columns=["o_custkey"])
+    cust = read(sf_dir, "customer", columns=["c_custkey"])
+
+    def o_partial(batch: pa.Table) -> pa.Table:
+        ck = batch["o_custkey"].to_numpy(zero_copy_only=False)
+        u, cnt = np.unique(ck, return_counts=True)
+        return pa.table(
+            {"k": pa.array(u.astype(np.int64)),
+             "c": pa.array(cnt.astype(np.int64)),
+             "__pb": pa.array(_bucket_col(u, P))}
+        )
+
+    def c_prep(batch: pa.Table) -> pa.Table:
+        k = batch["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {"k": pa.array(k),
+             "c": pa.array(np.full(len(k), -1, dtype=np.int64)),
+             "__pb": pa.array(_bucket_col(k, P))}
+        )
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        if len(g) == 0:
+            return pa.table(
+                {"n_orders": pa.array([], type=pa.int64()),
+                 "nc": pa.array([], type=pa.int64())}
+            )
+        k = g["k"].to_numpy(zero_copy_only=False)
+        c = g["c"].to_numpy(zero_copy_only=False)
+        is_cust = c < 0
+        u, inv = np.unique(k, return_inverse=True)
+        tot = np.bincount(inv, weights=np.where(is_cust, 0, c),
+                          minlength=len(u)).astype(np.int64)
+        present = np.zeros(len(u), dtype=bool)
+        present[inv[is_cust]] = True
+        counts = tot[present]  # only real customers enter the histogram
+        hu, hc = np.unique(counts, return_counts=True)
+        return pa.table(
+            {"n_orders": pa.array(hu), "nc": pa.array(hc.astype(np.int64))}
+        )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"n_orders": batch["n_orders"], "n_customers": batch["nc"]}
+        )
+
+    return (
+        orders.map_batches(o_partial, batch_format="pyarrow")
+        .union(cust.map_batches(c_prep, batch_format="pyarrow"))
+        .groupby("__pb")
+        .map_groups(per_bucket, batch_format="pyarrow")
+        .groupby("n_orders")
+        .aggregate(Sum("nc", alias_name="nc"))
+        .map_batches(finish, batch_format="pyarrow")
+    )
+
+
+def top_revenue_suppliers(
+    sf_dir: str,
+    date_from: str = "1996-01-01",
+    date_to: str = "1996-04-01",
+) -> "ray.data.Dataset":
+    """TPC-H Q15 analog: the supplier(s) with maximum revenue over a
+    quarter — argmax WITH ties over a grouped aggregate.
+
+    Supplier cardinality is catalog-bounded, so the grouped aggregate
+    is cheap and the max is a driver scalar; names resolve from the
+    broadcast supplier dimension.  Ties compare on cents-rounded
+    revenue (both here and in the oracle) so float summation order
+    cannot split a tie.
+    """
+    lo = np.datetime64(date_from).astype("datetime64[us]").astype(np.int64)
+    hi = np.datetime64(date_to).astype("datetime64[us]").astype(np.int64)
+    li = read(
+        sf_dir, "lineitem",
+        columns=["l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        sd = batch["l_shipdate"].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = (sd >= lo) & (sd < hi)
+        sk = batch["l_suppkey"].to_numpy(zero_copy_only=False)[m]
+        ep = batch["l_extendedprice"].to_numpy(zero_copy_only=False)[m]
+        dc = batch["l_discount"].to_numpy(zero_copy_only=False)[m]
+        u, inv = np.unique(sk, return_inverse=True)
+        r = np.bincount(inv, weights=ep * (1.0 - dc), minlength=len(u))
+        return pa.table(
+            {"k": pa.array(u.astype(np.int64)), "r": pa.array(r)}
+        )
+
+    per_supp = (
+        li.map_batches(partial, batch_format="pyarrow")
+        .groupby("k")  # supplier catalog: bounded key count
+        .aggregate(Sum("r", alias_name="r"))
+        .map_batches(
+            lambda b: pa.table(
+                {"k": b["k"],
+                 "total_rev": pa.array(
+                     _cents(b["r"].to_numpy(zero_copy_only=False)))}
+            ),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+    best = per_supp.max("total_rev")
+
+    supp = read(sf_dir, "supplier", columns=["s_suppkey", "s_name"]).to_pandas()
+    so = np.argsort(supp["s_suppkey"].to_numpy())
+    lut = ray.put(
+        (supp["s_suppkey"].to_numpy()[so], supp["s_name"].to_numpy()[so])
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.equal(batch["total_rev"], best))
+        sk, nm = ray.get(lut)
+        k = t["k"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {"s_suppkey": pa.array(k),
+             "s_name": pa.array(nm[np.searchsorted(sk, k)], type=pa.string()),
+             "total_rev": t["total_rev"]}
+        )
+
+    return per_supp.map_batches(finish, batch_format="pyarrow")
+
+
+def small_qty_part_revenue(
+    sf_dir: str, brand: str = "Brand#23", factor: float = 0.5
+) -> "ray.data.Dataset":
+    """TPC-H Q17 analog: average yearly revenue lost by only shipping
+    below-half-average quantities of one brand's parts — the
+    correlated-subquery (per-key average as a row threshold) shape.
+
+    Pass 1 computes per-part avg quantity for the brand's parts (the
+    per-part partials are brand-catalog-bounded); the avgs broadcast
+    once and gate pass 2's revenue sum.  Integer quantities make the
+    ``<`` threshold exact in both engines.
+    """
+    part = read(sf_dir, "part", columns=["p_partkey", "p_brand"]).to_pandas()
+    bkeys = np.sort(
+        part.loc[part["p_brand"] == brand, "p_partkey"].to_numpy()
+    )
+    bref = ray.put(bkeys)
+    li = read(
+        sf_dir, "lineitem",
+        columns=["l_partkey", "l_quantity", "l_extendedprice"],
+    )
+
+    def qty_partial(batch: pa.Table) -> pa.Table:
+        bk = ray.get(bref)
+        pk = batch["l_partkey"].to_numpy(zero_copy_only=False)
+        if len(bk) == 0:
+            m = np.zeros(len(pk), dtype=bool)
+        else:
+            pos = np.searchsorted(bk, pk)
+            pos[pos == len(bk)] = 0
+            m = bk[pos] == pk
+        pk, q = pk[m], batch["l_quantity"].to_numpy(zero_copy_only=False)[m]
+        u, inv = np.unique(pk, return_inverse=True)
+        return pa.table(
+            {"k": pa.array(u.astype(np.int64)),
+             "s": pa.array(np.bincount(inv, weights=q, minlength=len(u))),
+             "n": pa.array(np.bincount(inv, minlength=len(u)).astype(np.int64))}
+        )
+
+    agg = (
+        li.map_batches(qty_partial, batch_format="pyarrow")
+        .groupby("k")
+        .aggregate(Sum("s", alias_name="s"), Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    if "k" in agg.columns:  # an all-empty aggregate drops its schema
+        ks = agg["k"].to_numpy()
+        order = np.argsort(ks)
+        thresh = ray.put(
+            (ks[order],
+             factor * (agg["s"].to_numpy() / agg["n"].to_numpy())[order])
+        )
+    else:
+        thresh = ray.put((np.array([], np.int64), np.array([], np.float64)))
+
+    def rev_partial(batch: pa.Table) -> pa.Table:
+        tk, tv = ray.get(thresh)
+        pk = batch["l_partkey"].to_numpy(zero_copy_only=False)
+        if len(tk) == 0:
+            return pa.table({"s": pa.array([0.0])})
+        pos = np.searchsorted(tk, pk)
+        pos[pos == len(tk)] = 0
+        m = tk[pos] == pk
+        q = batch["l_quantity"].to_numpy(zero_copy_only=False)
+        m &= q < tv[pos]
+        ep = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+        return pa.table({"s": pa.array([float(ep[m].sum())])})
+
+    total = li.map_batches(rev_partial, batch_format="pyarrow").sum("s")
+    val = float(_cents(np.array([total / 7.0]))[0])
+    return ray.data.from_arrow(pa.table({"avg_yearly": pa.array([val])}))
+
+
+def large_volume_customers(
+    sf_dir: str, qty_threshold: float = 300.0, P: int = 16
+) -> "ray.data.Dataset":
+    """TPC-H Q18 analog: orders whose total lineitem quantity exceeds
+    ``qty_threshold`` — the HAVING-filtered-groups-as-semi-join shape.
+
+    Per-order quantity sums complete in one orderkey-bucket exchange;
+    the HAVING filter leaves a tiny winner set (threshold sits above
+    p99), which broadcasts back into a single orders scan that attaches
+    the payload.  Integer quantities keep the threshold exact.
+    """
+    li = read(sf_dir, "lineitem", columns=["l_orderkey", "l_quantity"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ok = batch["l_orderkey"].to_numpy(zero_copy_only=False)
+        q = batch["l_quantity"].to_numpy(zero_copy_only=False)
+        u, inv = np.unique(ok, return_inverse=True)
+        return pa.table(
+            {"k": pa.array(u.astype(np.int64)),
+             "s": pa.array(np.bincount(inv, weights=q, minlength=len(u))),
+             "__pb": pa.array(_bucket_col(u, P))}
+        )
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        if len(g) == 0:
+            return pa.table(
+                {"k": pa.array([], type=pa.int64()),
+                 "sum_qty": pa.array([], type=pa.float64())}
+            )
+        k = g["k"].to_numpy(zero_copy_only=False)
+        s = g["s"].to_numpy(zero_copy_only=False)
+        u, inv = np.unique(k, return_inverse=True)
+        tot = np.bincount(inv, weights=s, minlength=len(u))
+        m = tot > qty_threshold
+        return pa.table({"k": pa.array(u[m]), "sum_qty": pa.array(tot[m])})
+
+    winners = (
+        li.map_batches(partial, batch_format="pyarrow")
+        .groupby("__pb")
+        .map_groups(per_bucket, batch_format="pyarrow")
+        .to_pandas()  # HAVING leaves a tiny set (threshold > p99)
+    )
+    if "k" in winners.columns:  # an all-empty HAVING drops its schema
+        wk = winners["k"].to_numpy()
+        order = np.argsort(wk)
+        wref = ray.put((wk[order], winners["sum_qty"].to_numpy()[order]))
+    else:
+        wref = ray.put((np.array([], np.int64), np.array([], np.float64)))
+
+    orders = read(
+        sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"]
+    )
+
+    def attach(batch: pa.Table) -> pa.Table:
+        k, s = ray.get(wref)
+        ok = batch["o_orderkey"].to_numpy(zero_copy_only=False)
+        if len(k) == 0:
+            t = batch.slice(0, 0)
+            return t.append_column("sum_qty", pa.array([], type=pa.float64()))
+        pos = np.searchsorted(k, ok)
+        pos[pos == len(k)] = 0
+        m = k[pos] == ok
+        t = batch.filter(pa.array(m))
+        return t.append_column("sum_qty", pa.array(s[pos[m]]))
+
+    return orders.map_batches(attach, batch_format="pyarrow")
+
+
+_BRACKETS = [
+    # (brand, max_size, qty_lo, qty_hi) — disjunctive, TPC-H Q19 style
+    ("Brand#12", 5, 1.0, 11.0),
+    ("Brand#21", 10, 10.0, 20.0),
+    ("Brand#25", 15, 20.0, 30.0),
+]
+
+
+def bracket_revenue(sf_dir: str) -> "ray.data.Dataset":
+    """TPC-H Q19 analog: revenue matching a disjunction of
+    (brand, size-range, quantity-range) brackets.
+
+    Part attributes broadcast once as sorted arrays; the disjunction is
+    three vectorized AND-masks OR-ed per batch; the result is a scalar
+    partial sum — zero shuffles.
+    """
+    part = read(
+        sf_dir, "part", columns=["p_partkey", "p_brand", "p_size"]
+    ).to_pandas()
+    order = np.argsort(part["p_partkey"].to_numpy())
+    lut = ray.put(
+        (part["p_partkey"].to_numpy()[order],
+         part["p_brand"].to_numpy()[order].astype(str),
+         part["p_size"].to_numpy()[order])
+    )
+    li = read(
+        sf_dir, "lineitem",
+        columns=["l_partkey", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        pk_s, br, sz = ray.get(lut)
+        pk = batch["l_partkey"].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(pk_s, pk)
+        q = batch["l_quantity"].to_numpy(zero_copy_only=False)
+        b, s = br[pos], sz[pos]
+        m = np.zeros(len(pk), dtype=bool)
+        for brand, max_size, qlo, qhi in _BRACKETS:
+            m |= (b == brand) & (s >= 1) & (s <= max_size) \
+                 & (q >= qlo) & (q <= qhi)
+        ep = batch["l_extendedprice"].to_numpy(zero_copy_only=False)[m]
+        dc = batch["l_discount"].to_numpy(zero_copy_only=False)[m]
+        return pa.table({"s": pa.array([float((ep * (1.0 - dc)).sum())])})
+
+    total = li.map_batches(partial, batch_format="pyarrow").sum("s")
+    val = float(_cents(np.array([total]))[0])
+    return ray.data.from_arrow(pa.table({"revenue": pa.array([val])}))
+
+
+def wealthy_inactive_customers(
+    sf_dir: str, since: str = "2000-01-01"
+) -> "ray.data.Dataset":
+    """TPC-H Q22 analog: per market segment, count and total balance of
+    customers with above-average (positive-balance) accounts and NO
+    order since ``since`` — global-scalar threshold + partitioned ANTI
+    join (lapsed-wealthy-customer report).
+
+    The average is two streamed scalars (sum, count); the anti join is
+    the PARTITIONED shape from ops/join (only distinct o_custkey values
+    cross the shuffle), so neither customer nor orders broadcasts.
+    """
+    since_us = np.datetime64(since).astype("datetime64[us]").astype(np.int64)
+    cust = read(
+        sf_dir, "customer",
+        columns=["c_custkey", "c_acctbal", "c_mktsegment"],
+    )
+    def bal_partial(b: pa.Table) -> pa.Table:
+        v = b["c_acctbal"].to_numpy(zero_copy_only=False)
+        pos = v > 0
+        return pa.table(
+            {"s": pa.array([float(v[pos].sum())]),
+             "n": pa.array([int(pos.sum())])}
+        )
+
+    stats = cust.map_batches(bal_partial, batch_format="pyarrow").aggregate(
+        Sum("s", alias_name="s"), Sum("n", alias_name="n")
+    )
+    avg = stats["s"] / stats["n"]
+
+    rich = cust.map_batches(
+        lambda b: b.filter(pc.greater(b["c_acctbal"], avg)),
+        batch_format="pyarrow",
+    )
+    def recent_keys(b: pa.Table) -> pa.Table:
+        od = b["o_orderdate"].to_numpy(zero_copy_only=False).astype(np.int64)
+        t = b.filter(pa.array(od >= since_us))
+        return pa.table({"c_custkey": t["o_custkey"]})
+
+    okeys = read(
+        sf_dir, "orders", columns=["o_custkey", "o_orderdate"]
+    ).map_batches(recent_keys, batch_format="pyarrow")
+    inactive = hash_join(
+        rich,
+        okeys,
+        on=["c_custkey"],
+        left_cols={"c_custkey": pa.int64(), "c_acctbal": pa.float64(),
+                   "c_mktsegment": pa.string()},
+        right_cols={"c_custkey": pa.int64()},
+        how="anti",
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        seg = batch["c_mktsegment"].to_numpy(zero_copy_only=False).astype(str)
+        bal = batch["c_acctbal"].to_numpy(zero_copy_only=False)
+        u, inv = np.unique(seg, return_inverse=True)
+        return pa.table(
+            {"c_mktsegment": pa.array(u, type=pa.string()),
+             "n": pa.array(np.bincount(inv, minlength=len(u))
+                           .astype(np.int64)),
+             "b": pa.array(np.bincount(inv, weights=bal, minlength=len(u)))}
+        )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"c_mktsegment": batch["c_mktsegment"],
+             "n_cust": batch["n"],
+             "total_bal": pa.array(
+                 _cents(batch["b"].to_numpy(zero_copy_only=False)))}
+        )
+
+    return (
+        inactive.map_batches(partial, batch_format="pyarrow")
+        .groupby("c_mktsegment")
+        .aggregate(Sum("n", alias_name="n"), Sum("b", alias_name="b"))
+        .map_batches(finish, batch_format="pyarrow")
+    )

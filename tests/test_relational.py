@@ -1,0 +1,155 @@
+"""TPC-H-analog relational shapes (ops/relational) vs pandas references
+on sf0.001, plus degenerate-input edges the DuckDB oracle never hits."""
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def _t(name, cols=None):
+    return pq.read_table(f"{SF}/{name}.parquet", columns=cols).to_pandas()
+
+
+def test_priority_late_ship_counts_matches_pandas(ray_session):
+    from kenlm_ray.ops.relational import priority_late_ship_counts
+
+    got = (
+        priority_late_ship_counts(SF, year=1996, late_days=60)
+        .to_pandas()
+        .sort_values("o_orderpriority")
+        .reset_index(drop=True)
+    )
+    orders = _t("orders")
+    li = _t("lineitem", ["l_orderkey", "l_shipdate"])
+    maxsd = li.groupby("l_orderkey")["l_shipdate"].max()
+    o = orders[orders["o_orderdate"].dt.year == 1996].copy()
+    o["mx"] = o["o_orderkey"].map(maxsd)
+    late = o[o["mx"] > o["o_orderdate"] + pd.Timedelta(days=60)]
+    ref = (
+        late.groupby("o_orderpriority").size().rename("n_orders")
+        .reset_index().sort_values("o_orderpriority").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got, ref, check_dtype=False, check_like=True
+    )
+
+
+def test_customer_order_count_dist_partitions_roster(ray_session):
+    from kenlm_ray.ops.relational import customer_order_count_dist
+
+    got = customer_order_count_dist(SF).to_pandas()
+    cust = _t("customer", ["c_custkey"])
+    orders = _t("orders", ["o_custkey"])
+    # the histogram partitions the full customer roster
+    assert got["n_customers"].sum() == len(cust)
+    counts = orders.groupby("o_custkey").size()
+    full = cust["c_custkey"].map(counts).fillna(0).astype(int)
+    ref = full.value_counts().sort_index()
+    got_s = got.set_index("n_orders")["n_customers"].sort_index()
+    assert (got_s.to_numpy() == ref.to_numpy()).all()
+    assert (got_s.index.to_numpy() == ref.index.to_numpy()).all()
+
+
+def test_important_parts_threshold_and_values(ray_session):
+    from kenlm_ray.ops.relational import important_parts_by_revenue
+
+    frac = 0.002
+    got = important_parts_by_revenue(SF, fraction=frac).to_pandas()
+    li = _t("lineitem", ["l_partkey", "l_extendedprice", "l_discount"])
+    rev = (li["l_extendedprice"] * (1 - li["l_discount"])).groupby(
+        li["l_partkey"]
+    ).sum()
+    rev = np.round(np.rint(rev * 1e6) / 1e6, 2)  # positive: banker's==half-away
+    thresh = rev.sum() * frac
+    ref = rev[rev > thresh]
+    assert set(got["l_partkey"]) == set(ref.index)
+    merged = got.set_index("l_partkey")["revenue"].sort_index()
+    assert np.allclose(merged.to_numpy(), ref.sort_index().to_numpy())
+
+
+def test_large_volume_customers_empty_winner_set(ray_session):
+    from kenlm_ray.ops.relational import large_volume_customers
+
+    ds = large_volume_customers(SF, qty_threshold=1e9)
+    assert ds.count() == 0
+    # blocks stay typed even when empty (to_pandas drops empty blocks)
+    assert ds.schema().names == [
+        "o_orderkey", "o_custkey", "o_totalprice", "sum_qty"
+    ]
+
+
+def test_large_volume_customers_matches_pandas(ray_session):
+    from kenlm_ray.ops.relational import large_volume_customers
+
+    got = large_volume_customers(SF, qty_threshold=250.0).to_pandas()
+    li = _t("lineitem", ["l_orderkey", "l_quantity"])
+    sums = li.groupby("l_orderkey")["l_quantity"].sum()
+    winners = sums[sums > 250.0]
+    assert set(got["o_orderkey"]) == set(winners.index)
+    got_s = got.set_index("o_orderkey")["sum_qty"].sort_index()
+    assert np.allclose(got_s.to_numpy(), winners.sort_index().to_numpy())
+
+
+def test_small_qty_unknown_brand_is_zero(ray_session):
+    from kenlm_ray.ops.relational import small_qty_part_revenue
+
+    got = small_qty_part_revenue(SF, brand="Brand#doesnotexist").to_pandas()
+    assert len(got) == 1 and got["avg_yearly"].iloc[0] == 0.0
+
+
+def test_top_revenue_suppliers_is_argmax(ray_session):
+    from kenlm_ray.ops.relational import top_revenue_suppliers
+
+    got = top_revenue_suppliers(SF).to_pandas()
+    li = _t("lineitem")
+    m = (li["l_shipdate"] >= "1996-01-01") & (li["l_shipdate"] < "1996-04-01")
+    rev = (
+        (li["l_extendedprice"] * (1 - li["l_discount"]))[m]
+        .groupby(li["l_suppkey"][m]).sum()
+    )
+    rev = np.round(np.rint(rev * 1e6) / 1e6, 2)
+    assert len(got) >= 1
+    assert set(got["s_suppkey"]) == set(rev[rev == rev.max()].index)
+    assert np.allclose(got["total_rev"].to_numpy(), rev.max())
+
+
+def test_wealthy_inactive_matches_pandas(ray_session):
+    from kenlm_ray.ops.relational import wealthy_inactive_customers
+
+    got = wealthy_inactive_customers(SF, since="2000-01-01").to_pandas()
+    cust = _t("customer")
+    orders = _t("orders", ["o_custkey", "o_orderdate"])
+    avg = cust.loc[cust["c_acctbal"] > 0, "c_acctbal"].mean()
+    active = set(orders.loc[orders["o_orderdate"] >= "2000-01-01", "o_custkey"])
+    sel = cust[(cust["c_acctbal"] > avg) & ~cust["c_custkey"].isin(active)]
+    ref = sel.groupby("c_mktsegment").agg(
+        n_cust=("c_custkey", "size"), total_bal=("c_acctbal", "sum")
+    )
+    assert len(sel) > 0, "degenerate fixture: pick another since date"
+    got_s = got.set_index("c_mktsegment").sort_index()
+    assert (got_s["n_cust"].to_numpy() == ref["n_cust"].to_numpy()).all()
+    assert np.allclose(
+        got_s["total_bal"].to_numpy(), np.round(ref["total_bal"], 2)
+    )
+
+
+def test_bracket_revenue_matches_pandas(ray_session):
+    from kenlm_ray.ops.relational import bracket_revenue, _BRACKETS
+
+    got = bracket_revenue(SF).to_pandas()
+    li = _t("lineitem", ["l_partkey", "l_quantity", "l_extendedprice",
+                         "l_discount"])
+    part = _t("part", ["p_partkey", "p_brand", "p_size"])
+    j = li.merge(part, left_on="l_partkey", right_on="p_partkey")
+    m = np.zeros(len(j), dtype=bool)
+    for brand, max_size, qlo, qhi in _BRACKETS:
+        m |= (
+            (j["p_brand"] == brand) & (j["p_size"] >= 1)
+            & (j["p_size"] <= max_size)
+            & (j["l_quantity"] >= qlo) & (j["l_quantity"] <= qhi)
+        ).to_numpy()
+    ref = (j["l_extendedprice"] * (1 - j["l_discount"]))[m].sum()
+    assert got["revenue"].iloc[0] == pytest.approx(round(ref, 2), abs=0.02)
