@@ -1949,6 +1949,22 @@ def _q_wealthy_inactive(sf_dir):
     return wealthy_inactive_customers(sf_dir)
 
 
+def _q_event_props_k_stats(sf_dir):
+    """JSON scalar-field extraction via one vectorized extract_regex
+    kernel per batch (ops/semistruct.json_extract_field fast path)."""
+    from kenlm_ray.ops.semistruct import event_props_field_stats
+
+    return event_props_field_stats(sf_dir, field="k")
+
+
+def _q_lineitem_unpivot_stats(sf_dir):
+    """UNPIVOT/melt reshape as a pure map (ops/semistruct.unpivot) with
+    per-metric aggregation."""
+    from kenlm_ray.ops.semistruct import lineitem_unpivot_stats
+
+    return lineitem_unpivot_stats(sf_dir)
+
+
 def _q_winsorized_prices(sf_dir):
     """Winsorize order totalprice at exact [p1, p99] discrete quantiles
     (ops/percentile.winsorize — histogram bounds broadcast, pure-map
@@ -2964,6 +2980,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "large_volume_customers": _q_large_volume_customers,
         "bracket_revenue": _q_bracket_revenue,
         "wealthy_inactive_customers": _q_wealthy_inactive,
+        "event_props_k_stats": _q_event_props_k_stats,
+        "lineitem_unpivot_stats": _q_lineitem_unpivot_stats,
         "customer_top3_orders_rank": _q_customer_top3_rank,
         "monthly_top_parts": _q_monthly_top_parts,
         "part_copurchase_walks": _q_part_walks,
@@ -4261,6 +4279,24 @@ def oracle_sql() -> dict[str, str]:
               AND NOT EXISTS (
                 SELECT 1 FROM orders WHERE o_custkey = c_custkey
                   AND o_orderdate >= TIMESTAMP '2000-01-01')
+            GROUP BY 1
+        """,
+        "event_props_k_stats": """
+            SELECT event_type, count(*)::BIGINT AS n,
+                   round(round(avg(CAST(json_extract_string(props, '$.k')
+                                        AS DOUBLE)) * 1e12) / 1e12, 6)
+                       AS avg_val
+            FROM events
+            WHERE json_extract_string(props, '$.k') IS NOT NULL
+            GROUP BY 1
+        """,
+        "lineitem_unpivot_stats": """
+            SELECT metric, count(*)::BIGINT AS n,
+                   round(round(sum(v) * 1e6) / 1e6, 2) AS total
+            FROM (SELECT l_quantity, l_extendedprice, l_discount
+                  FROM lineitem)
+            UNPIVOT (v FOR metric IN
+                     (l_quantity, l_extendedprice, l_discount))
             GROUP BY 1
         """,
         "winsorized_order_prices": """

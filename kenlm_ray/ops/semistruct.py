@@ -1,0 +1,218 @@
+"""Semi-structured column operators: JSON field extraction and
+wide-to-long UNPIVOT, both as pure vectorized map stages.
+
+At 100 TB both are embarrassingly parallel (zero shuffles); the only
+scale decision is keeping the per-batch kernel vectorized:
+
+- :func:`json_extract_field` extracts one scalar field from a JSON
+  string column.  The default path is a compiled RE2-style regex run by
+  ``pyarrow.compute.extract_regex`` — one Arrow kernel per batch, no
+  Python per row.  The regex contract covers FLAT objects whose key
+  appears once (the common event-properties case); ``strict=True``
+  switches to ``json.loads`` per row for nested/escaped payloads and is
+  documented as the slow path (still inside map_batches, so it
+  distributes; it is just not vectorized).
+- :func:`unpivot` melts value columns into (variable, value) rows with
+  Arrow concat + take — the UNPIVOT/melt reshape DuckDB spells
+  ``UNPIVOT (v FOR metric IN (...))``.
+"""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+
+def _field_pattern(field: str) -> str:
+    """Regex with one named group ``v`` matching the field's scalar
+    value in a flat JSON object: string, number, boolean, or null."""
+    import re as _re
+
+    key = _re.escape(field)
+    return (
+        rf'"{key}"\s*:\s*'
+        r'(?P<v>"(?:[^"\\]|\\.)*"|-?\d+(?:\.\d+)?(?:[eE][+-]?\d+)?'
+        r"|true|false|null)"
+    )
+
+
+def json_extract_field(
+    ds: "ray.data.Dataset",
+    col: str,
+    field: str,
+    out_col: str,
+    dtype: "pa.DataType | None" = None,
+    strict: bool = False,
+) -> "ray.data.Dataset":
+    """Append ``out_col`` = the scalar value of ``field`` inside the JSON
+    string column ``col``.
+
+    Default (vectorized) path: one ``pc.extract_regex`` kernel per
+    batch — valid when the key appears at most once per document and the
+    value is a scalar (flat event-properties objects).  ``strict=True``
+    parses every row with ``json.loads`` instead (nested objects,
+    duplicate key names inside string values, etc.).
+
+    ``dtype``: target Arrow type (e.g. ``pa.float64()``); strings keep
+    their quotes stripped; missing fields / JSON ``null`` become typed
+    nulls.
+    """
+    pattern = _field_pattern(field)
+
+    def vec(batch: pa.Table) -> pa.Table:
+        s = pc.cast(batch[col], pa.string())
+        m = pc.extract_regex(s, pattern)  # struct<v: string> or null
+        raw = pc.struct_field(m, "v")
+        raw = pc.if_else(pc.equal(raw, "null"), pa.nulls(len(batch),
+                                                         pa.string()), raw)
+        # strip quotes from string values (escapes stay escaped — the
+        # strict path is the one that fully JSON-decodes)
+        val = pc.replace_substring_regex(
+            raw, r'^"((?:[^"\\]|\\.)*)"$', r"\1"
+        )
+        if dtype is not None:
+            val = pc.cast(val, dtype)
+        return batch.append_column(out_col, val)
+
+    def slow(batch: pa.Table) -> pa.Table:
+        out = []
+        for s in batch[col].to_pylist():
+            try:
+                v = json.loads(s).get(field) if s is not None else None
+            except (ValueError, AttributeError):
+                v = None
+            out.append(None if isinstance(v, (dict, list)) else v)
+        arr = pa.array(out, type=dtype) if dtype is not None else pa.array(out)
+        return batch.append_column(out_col, arr)
+
+    return ds.map_batches(slow if strict else vec, batch_format="pyarrow")
+
+
+def unpivot(
+    ds: "ray.data.Dataset",
+    id_cols: "list[str]",
+    value_cols: "list[str]",
+    var_name: str = "metric",
+    value_name: str = "value",
+    value_type: "pa.DataType" = None,
+) -> "ray.data.Dataset":
+    """Melt ``value_cols`` into long form: one output row per (input
+    row, value column), with ``var_name`` holding the column name.
+
+    Pure map — each batch reshapes locally with Arrow concat, so the
+    operator streams at any scale.  All ``value_cols`` are cast to
+    ``value_type`` (default float64) since they share one column.
+    """
+    vt = value_type or pa.float64()
+
+    def melt(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        k = len(value_cols)
+        idx = pa.array(np.tile(np.arange(n, dtype=np.int64), k))
+        cols = {c: batch[c].take(idx) for c in id_cols}
+        cols[var_name] = pa.array(
+            np.repeat(np.asarray(value_cols, dtype=object), n),
+            type=pa.string(),
+        )
+        cols[value_name] = pa.concat_arrays(
+            [pc.cast(batch[c], vt).combine_chunks() for c in value_cols]
+        )
+        return pa.table(cols)
+
+    return ds.map_batches(melt, batch_format="pyarrow")
+
+
+def event_props_field_stats(
+    sf_dir: str, field: str = "k"
+) -> "ray.data.Dataset":
+    """Per event type: count and mean of a numeric JSON property
+    extracted from ``events.props`` — the flat-JSON fast path driven
+    end-to-end (extract kernel -> in-batch partial -> tiny groupby)."""
+    import os
+
+    from ray.data.aggregate import Sum
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_type", "props"],
+    )
+    ds = json_extract_field(ds, "props", field, "__k", pa.float64())
+
+    def partial(batch: pa.Table) -> pa.Table:
+        et = batch["event_type"].to_numpy(zero_copy_only=False).astype(str)
+        v = batch["__k"].to_numpy(zero_copy_only=False)
+        ok = ~np.isnan(v)
+        u, inv = np.unique(et, return_inverse=True)
+        return pa.table(
+            {"event_type": pa.array(u, type=pa.string()),
+             "s": pa.array(np.bincount(inv[ok], weights=v[ok],
+                                       minlength=len(u))),
+             "n": pa.array(np.bincount(inv[ok], minlength=len(u))
+                           .astype(np.int64))}
+        )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        n = batch["n"].to_numpy(zero_copy_only=False)
+        batch = batch.filter(pa.array(n > 0))  # all-null groups drop
+        s = batch["s"].to_numpy(zero_copy_only=False)
+        n = batch["n"].to_numpy(zero_copy_only=False)
+        # snap the true mean off round-6 boundaries before half-away
+        avg = np.rint(s / n * 1e12) / 1e12
+        avg = np.sign(avg) * np.floor(np.abs(avg) * 1e6 + 0.5) / 1e6
+        return pa.table(
+            {"event_type": batch["event_type"], "n": batch["n"],
+             "avg_val": pa.array(avg)}
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(Sum("s", alias_name="s"), Sum("n", alias_name="n"))
+        .map_batches(finish, batch_format="pyarrow")
+    )
+
+
+def lineitem_unpivot_stats(sf_dir: str) -> "ray.data.Dataset":
+    """Melt three lineitem measures into long form and aggregate per
+    metric — the UNPIVOT reshape driven end-to-end."""
+    import os
+
+    from ray.data.aggregate import Sum
+
+    cols = ["l_quantity", "l_extendedprice", "l_discount"]
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"), columns=cols
+    )
+    long = unpivot(ds, id_cols=[], value_cols=cols)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        m = batch["metric"].to_numpy(zero_copy_only=False).astype(str)
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        u, inv = np.unique(m, return_inverse=True)
+        return pa.table(
+            {"metric": pa.array(u, type=pa.string()),
+             "s": pa.array(np.bincount(inv, weights=v, minlength=len(u))),
+             "n": pa.array(np.bincount(inv, minlength=len(u))
+                           .astype(np.int64))}
+        )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        s = batch["s"].to_numpy(zero_copy_only=False)
+        s = np.rint(s * 1e6) / 1e6
+        s = np.sign(s) * np.floor(np.abs(s) * 100 + 0.5) / 100
+        return pa.table(
+            {"metric": batch["metric"], "n": batch["n"],
+             "total": pa.array(s)}
+        )
+
+    return (
+        long.map_batches(partial, batch_format="pyarrow")
+        .groupby("metric")
+        .aggregate(Sum("s", alias_name="s"), Sum("n", alias_name="n"))
+        .map_batches(finish, batch_format="pyarrow")
+    )

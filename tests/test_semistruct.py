@@ -1,0 +1,93 @@
+"""JSON field extraction (vectorized vs strict paths) and unpivot."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+def _ds(rows):
+    import ray.data
+
+    return ray.data.from_arrow(pa.table(rows))
+
+
+def test_json_extract_numeric_fast_vs_strict(ray_session):
+    from kenlm_ray.ops.semistruct import json_extract_field
+
+    docs = [
+        '{"k": 87}', '{"k": -3.5}', '{"k": 1e3}', '{"k": null}',
+        '{"other": 1}', '{"k": 0}', None,
+    ]
+    for strict in (False, True):
+        out = json_extract_field(
+            _ds({"props": docs}), "props", "k", "v", pa.float64(),
+            strict=strict,
+        ).to_pandas()
+        exp = [87.0, -3.5, 1000.0, None, None, 0.0, None]
+        got = out["v"].tolist()
+        for g, e in zip(got, exp):
+            if e is None:
+                assert g is None or (isinstance(g, float) and np.isnan(g))
+            else:
+                assert g == pytest.approx(e)
+
+
+def test_json_extract_string_values(ray_session):
+    from kenlm_ray.ops.semistruct import json_extract_field
+
+    docs = ['{"name": "alice"}', '{"name": "a\\"b"}', '{"name": null}']
+    fast = json_extract_field(
+        _ds({"j": docs}), "j", "name", "v", pa.string()
+    ).to_pandas()["v"].tolist()
+    assert fast[0] == "alice"
+    assert fast[2] is None
+    # strict path fully decodes escapes
+    strict = json_extract_field(
+        _ds({"j": docs}), "j", "name", "v", pa.string(), strict=True
+    ).to_pandas()["v"].tolist()
+    assert strict == ["alice", 'a"b', None]
+
+
+def test_json_extract_strict_handles_nesting_and_garbage(ray_session):
+    from kenlm_ray.ops.semistruct import json_extract_field
+
+    docs = ['{"k": {"inner": 1}}', "not json", '{"k": [1,2]}', '{"k": 5}']
+    out = json_extract_field(
+        _ds({"j": docs}), "j", "k", "v", strict=True
+    ).to_pandas()["v"].tolist()
+    # containers / garbage become nulls (NaN once pandas floats them)
+    for v in out[:3]:
+        assert v is None or (isinstance(v, float) and np.isnan(v))
+    assert out[3] == 5
+
+
+def test_unpivot_matches_pandas_melt(ray_session):
+    from kenlm_ray.ops.semistruct import unpivot
+
+    df = pd.DataFrame(
+        {"id": [1, 2, 3], "a": [1.0, 2.0, 3.0], "b": [10.0, 20.0, 30.0]}
+    )
+    got = (
+        unpivot(_ds(dict(df)), ["id"], ["a", "b"])
+        .to_pandas()
+        .sort_values(["metric", "id"])
+        .reset_index(drop=True)
+    )
+    ref = (
+        df.melt(id_vars=["id"], value_vars=["a", "b"],
+                var_name="metric", value_name="value")
+        .sort_values(["metric", "id"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got[ref.columns], ref, check_dtype=False)
+
+
+def test_unpivot_empty_batch_keeps_schema(ray_session):
+    from kenlm_ray.ops.semistruct import unpivot
+
+    ds = unpivot(
+        _ds({"id": pa.array([], pa.int64()),
+             "a": pa.array([], pa.float64())}),
+        ["id"], ["a"],
+    )
+    assert ds.count() == 0  # empty input melts to empty, no crash
