@@ -1965,6 +1965,14 @@ def _q_lineitem_unpivot_stats(sf_dir):
     return lineitem_unpivot_stats(sf_dir)
 
 
+def _q_embedding_dim_stats(sf_dir):
+    """UNNEST/explode of a list<float> column with fixed-size per-dim
+    partials (ops/semistruct.explode_list / embedding_dim_stats)."""
+    from kenlm_ray.ops.semistruct import embedding_dim_stats
+
+    return embedding_dim_stats(sf_dir)
+
+
 def _q_winsorized_prices(sf_dir):
     """Winsorize order totalprice at exact [p1, p99] discrete quantiles
     (ops/percentile.winsorize — histogram bounds broadcast, pure-map
@@ -2982,6 +2990,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "wealthy_inactive_customers": _q_wealthy_inactive,
         "event_props_k_stats": _q_event_props_k_stats,
         "lineitem_unpivot_stats": _q_lineitem_unpivot_stats,
+        "embedding_dim_stats": _q_embedding_dim_stats,
         "customer_top3_orders_rank": _q_customer_top3_rank,
         "monthly_top_parts": _q_monthly_top_parts,
         "part_copurchase_walks": _q_part_walks,
@@ -4288,6 +4297,14 @@ def oracle_sql() -> dict[str, str]:
                        AS avg_val
             FROM events
             WHERE json_extract_string(props, '$.k') IS NOT NULL
+            GROUP BY 1
+        """,
+        "embedding_dim_stats": """
+            SELECT dim, count(*)::BIGINT AS n,
+                   round(round(avg(v) * 1e12) / 1e12, 6) AS avg_val
+            FROM (SELECT unnest(embedding) AS v,
+                         generate_subscripts(embedding, 1) - 1 AS dim
+                  FROM embeddings)
             GROUP BY 1
         """,
         "lineitem_unpivot_stats": """

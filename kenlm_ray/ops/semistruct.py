@@ -127,6 +127,84 @@ def unpivot(
     return ds.map_batches(melt, batch_format="pyarrow")
 
 
+def explode_list(
+    ds: "ray.data.Dataset",
+    list_col: str,
+    keep_cols: "list[str]",
+    idx_name: str = "idx",
+    value_name: str = "value",
+) -> "ray.data.Dataset":
+    """UNNEST a ``list<T>`` column: one output row per element, with the
+    element's 0-based position in ``idx_name`` and ``keep_cols`` carried
+    from the parent row.  Null/empty lists contribute no rows.
+
+    Pure map — flatten + parent-index ``take`` per batch, all Arrow
+    kernels, so the reshape streams at any scale (the fan-out factor is
+    the list length; batch sizes upstream should account for it).
+    """
+
+    def fn(batch: pa.Table) -> pa.Table:
+        arr = batch[list_col].combine_chunks()
+        flat = arr.flatten()  # honors offsets and skips null slots
+        counts = pc.list_value_length(arr).to_numpy(zero_copy_only=False)
+        counts = np.where(np.isnan(counts.astype(np.float64)), 0,
+                          counts).astype(np.int64)
+        parent = np.repeat(np.arange(len(arr), dtype=np.int64), counts)
+        starts = np.cumsum(counts) - counts
+        idx = np.arange(int(counts.sum()), dtype=np.int64) - np.repeat(
+            starts, counts
+        )
+        take = pa.array(parent)
+        cols = {c: batch[c].take(take) for c in keep_cols}
+        cols[idx_name] = pa.array(idx)
+        cols[value_name] = flat
+        return pa.table(cols)
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def embedding_dim_stats(sf_dir: str) -> "ray.data.Dataset":
+    """Per embedding dimension: element count and mean — the UNNEST
+    reshape driven end-to-end (explode -> fixed-size in-batch partial ->
+    dim-keyed groupby; the partial is (n_dims)-sized however long the
+    corpus is)."""
+    import os
+
+    from ray.data.aggregate import Sum
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["embedding"]
+    )
+    long = explode_list(ds, "embedding", [], idx_name="dim")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        d = batch["dim"].to_numpy(zero_copy_only=False)
+        v = batch["value"].to_numpy(zero_copy_only=False).astype(np.float64)
+        u, inv = np.unique(d, return_inverse=True)
+        return pa.table(
+            {"dim": pa.array(u),
+             "s": pa.array(np.bincount(inv, weights=v, minlength=len(u))),
+             "n": pa.array(np.bincount(inv, minlength=len(u))
+                           .astype(np.int64))}
+        )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        s = batch["s"].to_numpy(zero_copy_only=False)
+        n = batch["n"].to_numpy(zero_copy_only=False)
+        avg = np.rint(s / n * 1e12) / 1e12
+        avg = np.sign(avg) * np.floor(np.abs(avg) * 1e6 + 0.5) / 1e6
+        return pa.table(
+            {"dim": batch["dim"], "n": batch["n"], "avg_val": pa.array(avg)}
+        )
+
+    return (
+        long.map_batches(partial, batch_format="pyarrow")
+        .groupby("dim")
+        .aggregate(Sum("s", alias_name="s"), Sum("n", alias_name="n"))
+        .map_batches(finish, batch_format="pyarrow")
+    )
+
+
 def event_props_field_stats(
     sf_dir: str, field: str = "k"
 ) -> "ray.data.Dataset":

@@ -82,6 +82,25 @@ def test_unpivot_matches_pandas_melt(ray_session):
     pd.testing.assert_frame_equal(got[ref.columns], ref, check_dtype=False)
 
 
+def test_explode_list_ragged_null_empty(ray_session):
+    from kenlm_ray.ops.semistruct import explode_list
+
+    t = pa.table(
+        {"id": pa.array([1, 2, 3, 4], pa.int64()),
+         "xs": pa.array([[10.0, 11.0], None, [], [7.0]],
+                        pa.list_(pa.float64()))}
+    )
+    import ray.data
+
+    got = (
+        explode_list(ray.data.from_arrow(t), "xs", ["id"])
+        .to_pandas().sort_values(["id", "idx"]).reset_index(drop=True)
+    )
+    assert got["id"].tolist() == [1, 1, 4]
+    assert got["idx"].tolist() == [0, 1, 0]
+    assert got["value"].tolist() == [10.0, 11.0, 7.0]
+
+
 def test_unpivot_empty_batch_keeps_schema(ray_session):
     from kenlm_ray.ops.semistruct import unpivot
 
