@@ -1973,6 +1973,39 @@ def _q_embedding_dim_stats(sf_dir):
     return embedding_dim_stats(sf_dir)
 
 
+def _q_events_ks_drift(sf_dir):
+    """Exact two-sample KS statistic between two event types' value
+    distributions (ops/stats.ks_two_sample — distinct-value partials,
+    one bucket exchange, driver CDF fold)."""
+    import os
+
+    import ray.data
+
+    from kenlm_ray.ops.stats import ks_two_sample
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_type", "value"],
+    )
+    return ks_two_sample(ds, "value", "event_type", "click", "purchase")
+
+
+def _q_user_value_moving_max(sf_dir):
+    """Sliding-extrema window MAX over 4 rows per user (ops/windows.
+    event_moving_max — shifted vectorized maxima, no cumsum trick)."""
+    import os
+
+    import ray.data
+
+    from kenlm_ray.ops.windows import event_moving_max
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "user_id", "ts", "value"],
+    )
+    return event_moving_max(ds, window=4)
+
+
 def _q_winsorized_prices(sf_dir):
     """Winsorize order totalprice at exact [p1, p99] discrete quantiles
     (ops/percentile.winsorize — histogram bounds broadcast, pure-map
@@ -2991,6 +3024,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_props_k_stats": _q_event_props_k_stats,
         "lineitem_unpivot_stats": _q_lineitem_unpivot_stats,
         "embedding_dim_stats": _q_embedding_dim_stats,
+        "events_ks_drift": _q_events_ks_drift,
+        "user_value_moving_max": _q_user_value_moving_max,
         "customer_top3_orders_rank": _q_customer_top3_rank,
         "monthly_top_parts": _q_monthly_top_parts,
         "part_copurchase_walks": _q_part_walks,
@@ -4298,6 +4333,34 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             WHERE json_extract_string(props, '$.k') IS NOT NULL
             GROUP BY 1
+        """,
+        "events_ks_drift": """
+            WITH s AS (
+                SELECT value,
+                       CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS a,
+                       CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+                           AS b
+                FROM events WHERE event_type IN ('click', 'purchase')
+            ), c AS (
+                SELECT sum(a) OVER w AS ca, sum(b) OVER w AS cb
+                FROM s
+                WINDOW w AS (ORDER BY value RANGE BETWEEN UNBOUNDED
+                             PRECEDING AND CURRENT ROW)
+            )
+            SELECT round(max(abs(ca::DOUBLE / (SELECT sum(a) FROM s)
+                              - cb::DOUBLE / (SELECT sum(b) FROM s))), 9)
+                       AS ks_d,
+                   (SELECT sum(a)::BIGINT FROM s) AS n_a,
+                   (SELECT sum(b)::BIGINT FROM s) AS n_b
+            FROM c
+        """,
+        "user_value_moving_max": """
+            SELECT event_id, user_id,
+                   max(value) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id
+                                    ROWS BETWEEN 3 PRECEDING
+                                    AND CURRENT ROW) AS mov_max
+            FROM events
         """,
         "embedding_dim_stats": """
             SELECT dim, count(*)::BIGINT AS n,

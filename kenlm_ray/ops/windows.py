@@ -282,6 +282,82 @@ def event_moving_avg(
     )
 
 
+def event_moving_max(
+    ds: "ray.data.Dataset",
+    *,
+    window: int = 4,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+    num_partitions: int = 16,
+) -> "ray.data.Dataset":
+    """Sliding-extrema window: MAX(value) OVER (PARTITION BY key ORDER
+    BY ts, id ROWS BETWEEN ``window-1`` PRECEDING AND CURRENT ROW).
+
+    Same coarse-bucket shape as :func:`event_moving_avg`; the max frame
+    can't use a cumsum, so it folds ``window-1`` shifted vectorized
+    maxima, masking shifts that cross a key-run boundary — O(window)
+    full-array ops per partition, no per-row loop (``window`` is a small
+    constant; a large-window variant would use a monotonic-stack
+    kernel).  Output: id_col, key_col, mov_max (float64).
+    """
+    w = int(window)
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        k = batch[key_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            x = (k ^ (k >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+            x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+            x ^= x >> np.uint64(31)
+        return batch.append_column(
+            "__pb",
+            pa.array((x % np.uint64(num_partitions)).astype(np.int64)),
+        )
+
+    def mov(g: pa.Table) -> pa.Table:
+        if len(g) == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([], type=pa.int64()),
+                    key_col: pa.array([], type=pa.int64()),
+                    "mov_max": pa.array([], type=pa.float64()),
+                }
+            )
+        keys = g[key_col].to_numpy(zero_copy_only=False)
+        ids = g[id_col].to_numpy(zero_copy_only=False)
+        us = g[ts_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        vals = g[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        order = np.lexsort((ids, us, keys))
+        ks, vs = keys[order], vals[order]
+        n = len(vs)
+        starts = np.concatenate([[True], ks[1:] != ks[:-1]])
+        run_id = np.cumsum(starts) - 1
+        run_start = np.flatnonzero(starts)
+        fs = np.maximum(run_start[run_id], np.arange(n) - (w - 1))
+        mx = vs.copy()
+        for j in range(1, w):
+            # row i sees vs[i-j] iff i-j is inside i's frame
+            valid = np.arange(n) - j >= fs
+            idx = np.flatnonzero(valid)  # unique positions: plain fancy max
+            mx[idx] = np.maximum(mx[idx], vs[idx - j])
+        return pa.table(
+            {
+                id_col: pa.array(ids[order]),
+                key_col: pa.array(ks),
+                "mov_max": pa.array(mx),
+            }
+        )
+
+    return (
+        ds.map_batches(bucket, batch_format="pyarrow")
+        .groupby("__pb")
+        .map_groups(
+            lambda g: mov(g.drop_columns(["__pb"])), batch_format="pyarrow"
+        )
+    )
+
+
 def retention_cohorts(
     ds: "ray.data.Dataset",
     *,

@@ -1,0 +1,93 @@
+"""KS two-sample drift and sliding-extrema window vs local references."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _ds(tbl):
+    import ray.data
+
+    return ray.data.from_arrow(pa.table(tbl))
+
+
+def _ks_ref(a: np.ndarray, b: np.ndarray) -> float:
+    u = np.unique(np.concatenate([a, b]))
+    fa = np.searchsorted(np.sort(a), u, side="right") / len(a)
+    fb = np.searchsorted(np.sort(b), u, side="right") / len(b)
+    return float(np.abs(fa - fb).max())
+
+
+def test_ks_two_sample_matches_reference(ray_session):
+    from kenlm_ray.ops.stats import ks_two_sample
+
+    rng = np.random.RandomState(7)
+    a = rng.normal(0, 1, 4000)
+    b = rng.normal(0.35, 1.2, 3000)
+    g = np.array(["a"] * len(a) + ["b"] * len(b))
+    v = np.concatenate([a, b])
+    out = ks_two_sample(
+        _ds({"g": g, "v": v}), "v", "g", "a", "b"
+    ).to_pandas()
+    assert out["n_a"].iloc[0] == 4000 and out["n_b"].iloc[0] == 3000
+    assert out["ks_d"].iloc[0] == round(_ks_ref(a, b), 9)
+
+
+def test_ks_identical_samples_zero(ray_session):
+    from kenlm_ray.ops.stats import ks_two_sample
+
+    v = np.arange(100, dtype=np.float64)
+    g = np.array(["a", "b"] * 50)
+    vv = np.concatenate([v, v])
+    gg = np.concatenate([np.full(100, "a"), np.full(100, "b")])
+    out = ks_two_sample(
+        _ds({"g": gg, "v": vv}), "v", "g", "a", "b"
+    ).to_pandas()
+    assert out["ks_d"].iloc[0] == 0.0
+
+
+def test_ks_missing_group_and_guard(ray_session):
+    import pytest
+
+    from kenlm_ray.ops.stats import ks_two_sample
+
+    out = ks_two_sample(
+        _ds({"g": ["a", "a"], "v": [1.0, 2.0]}), "v", "g", "a", "zzz"
+    ).to_pandas()
+    assert out["ks_d"].iloc[0] == 1.0  # empty side: |F_a - 0| peaks at 1
+    with pytest.raises(ValueError, match="distinct values"):
+        ks_two_sample(
+            _ds({"g": ["a", "b"] * 50,
+                 "v": np.arange(100, dtype=np.float64)}),
+            "v", "g", "a", "b", max_driver_values=10,
+        )
+
+
+def test_moving_max_matches_pandas_skewed(ray_session):
+    from kenlm_ray.ops.windows import event_moving_max
+
+    rng = np.random.RandomState(3)
+    n = 5000
+    # one user owns half the events (skew the coarse buckets must absorb)
+    users = np.where(rng.rand(n) < 0.5, 7, rng.randint(0, 40, n)).astype(
+        np.int64
+    )
+    ts = pd.to_datetime(rng.randint(0, 10**6, n), unit="s")
+    vals = rng.rand(n)
+    ids = np.arange(n, dtype=np.int64)
+    got = (
+        event_moving_max(
+            _ds({"event_id": ids, "user_id": users,
+                 "ts": pa.array(ts, pa.timestamp("us")), "value": vals}),
+            window=4,
+        )
+        .to_pandas().sort_values("event_id").reset_index(drop=True)
+    )
+    df = pd.DataFrame(
+        {"event_id": ids, "user_id": users, "ts": ts, "value": vals}
+    ).sort_values(["user_id", "ts", "event_id"])
+    df["ref"] = df.groupby("user_id")["value"].transform(
+        lambda s: s.rolling(4, min_periods=1).max()
+    )
+    ref = df.sort_values("event_id").reset_index(drop=True)
+    assert np.allclose(got["mov_max"].to_numpy(), ref["ref"].to_numpy())
