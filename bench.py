@@ -189,6 +189,8 @@ def run_queries() -> dict[str, float]:
         "brand_frequent_itemsets",
         "doc_unigram_kl",
         "containment_near_dup_pairs",
+        "priority_late_ship_counts",
+        "events_ks_drift",
     ]
     # best-of-QUERY_ROUNDS with the rounds INTERLEAVED (all queries once,
     # then all again): a co-tenant noise burst lands inside one round and

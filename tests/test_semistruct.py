@@ -1,9 +1,11 @@
-"""JSON field extraction (vectorized vs strict paths) and unpivot."""
+"""JSON field extraction (vectorized vs strict paths), unpivot, explode."""
 
 import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
 
 
 def _ds(rows):
@@ -99,6 +101,68 @@ def test_explode_list_ragged_null_empty(ray_session):
     assert got["id"].tolist() == [1, 1, 4]
     assert got["idx"].tolist() == [0, 1, 0]
     assert got["value"].tolist() == [10.0, 11.0, 7.0]
+
+
+lists_strategy = st.lists(
+    st.one_of(
+        st.none(),
+        st.lists(st.floats(allow_nan=False, allow_infinity=False,
+                           width=32),
+                 max_size=6),
+    ),
+    max_size=12,
+)
+
+
+@settings(max_examples=25, deadline=None)
+@given(lists_strategy)
+def test_explode_property_roundtrip(ray_session, xs):
+    from kenlm_ray.ops.semistruct import explode_list
+
+    import ray.data
+
+    t = pa.table(
+        {"id": pa.array(range(len(xs)), pa.int64()),
+         "xs": pa.array(xs, pa.list_(pa.float64()))}
+    )
+    got = explode_list(ray.data.from_arrow(t), "xs", ["id"]).to_pandas()
+    ref = [
+        (i, j, v)
+        for i, lst in enumerate(xs) if lst is not None
+        for j, v in enumerate(lst)
+    ]
+    assert len(got) == len(ref)
+    if ref:  # an all-empty result loses its columns in to_pandas
+        got_tuples = sorted(zip(got["id"], got["idx"], got["value"]))
+        assert got_tuples == sorted(ref)
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.floats(allow_nan=False, allow_infinity=False, width=32),
+                  st.floats(allow_nan=False, allow_infinity=False, width=32)),
+        max_size=15,
+    )
+)
+def test_unpivot_property_multiset(ray_session, rows):
+    from kenlm_ray.ops.semistruct import unpivot
+
+    import ray.data
+
+    a = [r[0] for r in rows]
+    b = [r[1] for r in rows]
+    t = pa.table(
+        {"id": pa.array(range(len(rows)), pa.int64()),
+         "a": pa.array(a, pa.float64()), "b": pa.array(b, pa.float64())}
+    )
+    got = unpivot(ray.data.from_arrow(t), ["id"], ["a", "b"]).to_pandas()
+    assert len(got) == 2 * len(rows)
+    if not rows:  # an all-empty result loses its columns in to_pandas
+        return
+    for name, src in (("a", a), ("b", b)):
+        sel = got[got["metric"] == name].sort_values("id")
+        assert sel["value"].tolist() == src
 
 
 def test_unpivot_empty_batch_keeps_schema(ray_session):
