@@ -2006,6 +2006,47 @@ def _q_user_value_moving_max(sf_dir):
     return event_moving_max(ds, window=4)
 
 
+def _q_returnflag_top_qty_dense(sf_dir):
+    """DENSE_RANK top-k per group under heavy ties (integer quantities;
+    ops/analytics.group_rank_topk dense mode — lossless per-batch
+    pre-cut, one key-bucket exchange)."""
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+
+    from kenlm_ray.ops.analytics import group_rank_topk
+
+    flags = ["A", "N", "R"]
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_linenumber", "l_returnflag", "l_quantity"],
+    )
+
+    def encode(b: pa.Table) -> pa.Table:
+        code = pc.cast(
+            pc.index_in(b["l_returnflag"], value_set=pa.array(flags)),
+            pa.int64(),
+        )
+        return b.drop_columns(["l_returnflag"]).append_column("rf", code)
+
+    ranked = group_rank_topk(
+        ds.map_batches(encode, batch_format="pyarrow"),
+        "rf", "l_quantity", 2, dense=True,
+    )
+
+    def decode(b: pa.Table) -> pa.Table:
+        rf = b["rf"].to_numpy(zero_copy_only=False)
+        names = np.array(flags)[rf]
+        return b.drop_columns(["rf"]).append_column(
+            "l_returnflag", pa.array(names, type=pa.string())
+        )
+
+    return ranked.map_batches(decode, batch_format="pyarrow")
+
+
 def _q_winsorized_prices(sf_dir):
     """Winsorize order totalprice at exact [p1, p99] discrete quantiles
     (ops/percentile.winsorize — histogram bounds broadcast, pure-map
@@ -3026,6 +3067,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_dim_stats": _q_embedding_dim_stats,
         "events_ks_drift": _q_events_ks_drift,
         "user_value_moving_max": _q_user_value_moving_max,
+        "returnflag_top_qty_dense": _q_returnflag_top_qty_dense,
         "customer_top3_orders_rank": _q_customer_top3_rank,
         "monthly_top_parts": _q_monthly_top_parts,
         "part_copurchase_walks": _q_part_walks,
@@ -4353,6 +4395,16 @@ def oracle_sql() -> dict[str, str]:
                    (SELECT sum(a)::BIGINT FROM s) AS n_a,
                    (SELECT sum(b)::BIGINT FROM s) AS n_b
             FROM c
+        """,
+        "returnflag_top_qty_dense": """
+            SELECT l_orderkey, l_linenumber, l_quantity, rnk, l_returnflag
+            FROM (
+                SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag,
+                       DENSE_RANK() OVER (PARTITION BY l_returnflag
+                                          ORDER BY l_quantity DESC)::BIGINT
+                           AS rnk
+                FROM lineitem
+            ) WHERE rnk <= 2
         """,
         "user_value_moving_max": """
             SELECT event_id, user_id,

@@ -1676,15 +1676,19 @@ def group_rank_topk(
     *,
     num_partitions: int = 32,
     rank_col: str = "rnk",
+    dense: bool = False,
 ) -> "ray.data.Dataset":
     """RANK() OVER (PARTITION BY key ORDER BY val DESC) <= k — top-k per
     group INCLUDING ties (the RANK twin of the ROW_NUMBER cut in
     customer_top_orders; a tie at the k-th value keeps every tied row).
+    ``dense=True`` switches to DENSE_RANK (no gaps after ties: rank =
+    count of distinct values seen so far in the key run).
 
     Per-batch partial cut first: a row's global rank is >= its rank in
-    any subset, so dropping batch-local rank > k rows is lossless; the
-    survivors take ONE key-bucket shuffle where the exact rank is
-    computed per key run.  Both passes are the same vectorized
+    any subset (for dense rank too — a subset can only have fewer
+    distinct values above), so dropping batch-local rank > k rows is
+    lossless; the survivors take ONE key-bucket shuffle where the exact
+    rank is computed per key run.  Both passes are the same vectorized
     lexsort + run-difference kernel, no per-key Python loop.
     """
 
@@ -1700,8 +1704,13 @@ def group_rank_topk(
         val_new = key_new | np.concatenate([[False], vs[1:] != vs[:-1]])
         idx = np.arange(len(ks))
         key_start = idx[key_new][np.cumsum(key_new) - 1]
-        val_start = idx[val_new][np.cumsum(val_new) - 1]
-        rank = val_start - key_start + 1
+        if dense:
+            # distinct values seen so far within the key run
+            dcum = np.cumsum(val_new)
+            rank = dcum - dcum[key_start] + 1
+        else:
+            val_start = idx[val_new][np.cumsum(val_new) - 1]
+            rank = val_start - key_start + 1
         keep_sorted = rank <= k
         keep_rows = order[keep_sorted]
         out = t.take(pa.array(keep_rows))

@@ -76,3 +76,27 @@ def test_group_rank_topk_property(ray_session, seed):
     ref = ref.sort_values("id").reset_index(drop=True)
     assert list(got["id"]) == list(ref["id"])
     assert list(got["rnk"]) == list(ref["rnk"])
+
+
+@pytest.mark.parametrize("seed", [9, 10, 11])
+def test_group_dense_rank_topk_property(ray_session, seed):
+    import pandas as pd
+    import ray.data
+
+    from kenlm_ray.ops.analytics import group_rank_topk
+
+    v, ids, g = _data(seed)
+    gi = np.array([ord(x) - ord("a") for x in g], dtype=np.int64)
+    ds = ray.data.from_arrow(
+        pa.table({"id": ids, "key": gi, "v": v})
+    ).repartition(6)
+    out = group_rank_topk(ds, "key", "v", k=3, dense=True).to_pandas()
+    df = pd.DataFrame({"id": ids, "key": gi, "v": v})
+    df["rnk"] = df.groupby("key")["v"].rank(
+        method="dense", ascending=False
+    ).astype(int)
+    ref = df[df["rnk"] <= 3]
+    got = out.sort_values("id").reset_index(drop=True)
+    ref = ref.sort_values("id").reset_index(drop=True)
+    assert list(got["id"]) == list(ref["id"])
+    assert list(got["rnk"]) == list(ref["rnk"])
