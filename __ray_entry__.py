@@ -2047,6 +2047,14 @@ def _q_returnflag_top_qty_dense(sf_dir):
     return ranked.map_batches(decode, batch_format="pyarrow")
 
 
+def _q_integrity_audit(sf_dir):
+    """Constraint audit: FK orphans (partitioned anti joins), PK
+    uniqueness (bucketed count>1), null keys (ops/audit.integrity_audit)."""
+    from kenlm_ray.ops.audit import integrity_audit
+
+    return integrity_audit(sf_dir)
+
+
 def _q_winsorized_prices(sf_dir):
     """Winsorize order totalprice at exact [p1, p99] discrete quantiles
     (ops/percentile.winsorize — histogram bounds broadcast, pure-map
@@ -3068,6 +3076,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_ks_drift": _q_events_ks_drift,
         "user_value_moving_max": _q_user_value_moving_max,
         "returnflag_top_qty_dense": _q_returnflag_top_qty_dense,
+        "integrity_audit": _q_integrity_audit,
         "customer_top3_orders_rank": _q_customer_top3_rank,
         "monthly_top_parts": _q_monthly_top_parts,
         "part_copurchase_walks": _q_part_walks,
@@ -4395,6 +4404,55 @@ def oracle_sql() -> dict[str, str]:
                    (SELECT sum(a)::BIGINT FROM s) AS n_a,
                    (SELECT sum(b)::BIGINT FROM s) AS n_b
             FROM c
+        """,
+        "integrity_audit": """
+            SELECT 'lineitem.l_orderkey->orders' AS "constraint",
+                   (SELECT count(*) FROM lineitem
+                    WHERE l_orderkey IS NOT NULL AND NOT EXISTS (
+                        SELECT 1 FROM orders WHERE o_orderkey = l_orderkey)
+                   )::BIGINT AS n_violations
+            UNION ALL
+            SELECT 'lineitem.l_partkey->part',
+                   (SELECT count(*) FROM lineitem
+                    WHERE l_partkey IS NOT NULL AND NOT EXISTS (
+                        SELECT 1 FROM part WHERE p_partkey = l_partkey)
+                   )::BIGINT
+            UNION ALL
+            SELECT 'orders.o_custkey->customer',
+                   (SELECT count(*) FROM orders
+                    WHERE o_custkey IS NOT NULL AND NOT EXISTS (
+                        SELECT 1 FROM customer WHERE c_custkey = o_custkey)
+                   )::BIGINT
+            UNION ALL
+            SELECT 'customer.c_nationkey->nation',
+                   (SELECT count(*) FROM customer
+                    WHERE c_nationkey IS NOT NULL AND NOT EXISTS (
+                        SELECT 1 FROM nation
+                        WHERE n_nationkey = c_nationkey))::BIGINT
+            UNION ALL
+            SELECT 'supplier.s_nationkey->nation',
+                   (SELECT count(*) FROM supplier
+                    WHERE s_nationkey IS NOT NULL AND NOT EXISTS (
+                        SELECT 1 FROM nation
+                        WHERE n_nationkey = s_nationkey))::BIGINT
+            UNION ALL
+            SELECT 'orders.o_orderkey unique',
+                   (SELECT count(*) FROM (
+                        SELECT o_orderkey FROM orders GROUP BY 1
+                        HAVING count(*) > 1))::BIGINT
+            UNION ALL
+            SELECT 'customer.c_custkey unique',
+                   (SELECT count(*) FROM (
+                        SELECT c_custkey FROM customer GROUP BY 1
+                        HAVING count(*) > 1))::BIGINT
+            UNION ALL
+            SELECT 'lineitem.l_orderkey nulls',
+                   (SELECT count(*) FROM lineitem
+                    WHERE l_orderkey IS NULL)::BIGINT
+            UNION ALL
+            SELECT 'orders.o_custkey nulls',
+                   (SELECT count(*) FROM orders
+                    WHERE o_custkey IS NULL)::BIGINT
         """,
         "returnflag_top_qty_dense": """
             SELECT l_orderkey, l_linenumber, l_quantity, rnk, l_returnflag

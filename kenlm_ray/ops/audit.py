@@ -1,0 +1,152 @@
+"""Data-quality constraint auditing: referential integrity, key
+uniqueness, and null checks as one violation-count report.
+
+The audit is the ingestion gate a production pipeline runs before
+trusting a new snapshot.  Every check reduces to counters:
+
+- foreign keys: PARTITIONED anti-join (ops/join, how="anti") child vs
+  parent key set — only distinct parent keys cross the shuffle, so a
+  billion-row parent ships |distinct keys| per partition and neither
+  side broadcasts;
+- primary-key uniqueness: per-batch (key, count) partials into one
+  key-bucket exchange, counting keys with total > 1;
+- null keys: a streamed per-batch null counter.
+
+Output: one row per constraint, ``(constraint, n_violations)`` — tiny
+however large the tables are.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data
+from ray.data.aggregate import Sum
+
+from .join import hash_join
+
+
+def _read(sf_dir: str, table: str, columns):
+    return ray.data.read_parquet(
+        os.path.join(sf_dir, f"{table}.parquet"), columns=columns
+    )
+
+
+def fk_orphan_count(
+    child: "ray.data.Dataset",
+    parent: "ray.data.Dataset",
+    child_key: str,
+    parent_key: str,
+) -> int:
+    """Rows of ``child`` whose non-null key has no match in ``parent``
+    (the partitioned anti-join shape; NULL keys are counted by the
+    separate null check, as in SQL where NULL FKs are not violations)."""
+
+    def child_prep(b: pa.Table) -> pa.Table:
+        col = b[child_key]
+        return pa.table({"k": col.filter(col.is_valid())})
+
+    def parent_prep(b: pa.Table) -> pa.Table:
+        return pa.table({"k": b[parent_key]})
+
+    orphans = hash_join(
+        child.map_batches(child_prep, batch_format="pyarrow"),
+        parent.map_batches(parent_prep, batch_format="pyarrow"),
+        on=["k"],
+        left_cols={"k": pa.int64()},
+        right_cols={"k": pa.int64()},
+        how="anti",
+    )
+    return orphans.count()
+
+
+def duplicate_key_count(
+    ds: "ray.data.Dataset", key: str, P: int = 16
+) -> int:
+    """Number of key VALUES appearing more than once (uniqueness
+    violation count) — per-batch count partials, one key-bucket
+    exchange, per-bucket total > 1 test."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        k = b[key].to_numpy(zero_copy_only=False)
+        u, c = np.unique(k, return_counts=True)
+        x = u.astype(np.uint64)
+        with np.errstate(over="ignore"):
+            x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+            x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+            x ^= x >> np.uint64(31)
+        return pa.table(
+            {"k": pa.array(u.astype(np.int64)),
+             "c": pa.array(c.astype(np.int64)),
+             "__pb": pa.array((x % np.uint64(P)).astype(np.int64))}
+        )
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        if len(g) == 0:
+            return pa.table({"n": pa.array([], type=pa.int64())})
+        k = g["k"].to_numpy(zero_copy_only=False)
+        c = g["c"].to_numpy(zero_copy_only=False)
+        u, inv = np.unique(k, return_inverse=True)
+        tot = np.bincount(inv, weights=c, minlength=len(u))
+        return pa.table({"n": pa.array([int((tot > 1).sum())])})
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("__pb")
+        .map_groups(per_bucket, batch_format="pyarrow")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    return int(agg["n"] or 0)
+
+
+def null_count(ds: "ray.data.Dataset", col: str) -> int:
+    def partial(b: pa.Table) -> pa.Table:
+        return pa.table({"n": pa.array([b[col].null_count], pa.int64())})
+
+    agg = ds.map_batches(partial, batch_format="pyarrow").aggregate(
+        Sum("n", alias_name="n")
+    )
+    return int(agg["n"] or 0)
+
+
+def integrity_audit(sf_dir: str) -> "ray.data.Dataset":
+    """Constraint audit over the star schema: FK orphans along each
+    edge, primary-key duplicates, and null keys.  Returns
+    ``(constraint, n_violations)`` rows."""
+    li = _read(sf_dir, "lineitem", ["l_orderkey"])
+    orders_k = _read(sf_dir, "orders", ["o_orderkey"])
+    orders_c = _read(sf_dir, "orders", ["o_custkey"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    nat = _read(sf_dir, "nation", ["n_nationkey"])
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+    li_p = _read(sf_dir, "lineitem", ["l_partkey"])
+    part = _read(sf_dir, "part", ["p_partkey"])
+
+    rows = [
+        ("lineitem.l_orderkey->orders",
+         fk_orphan_count(li, orders_k, "l_orderkey", "o_orderkey")),
+        ("lineitem.l_partkey->part",
+         fk_orphan_count(li_p, part, "l_partkey", "p_partkey")),
+        ("orders.o_custkey->customer",
+         fk_orphan_count(orders_c, cust, "o_custkey", "c_custkey")),
+        ("customer.c_nationkey->nation",
+         fk_orphan_count(cust, nat, "c_nationkey", "n_nationkey")),
+        ("supplier.s_nationkey->nation",
+         fk_orphan_count(supp, nat, "s_nationkey", "n_nationkey")),
+        ("orders.o_orderkey unique",
+         duplicate_key_count(orders_k, "o_orderkey")),
+        ("customer.c_custkey unique",
+         duplicate_key_count(cust, "c_custkey")),
+        ("lineitem.l_orderkey nulls", null_count(li, "l_orderkey")),
+        ("orders.o_custkey nulls", null_count(orders_c, "o_custkey")),
+    ]
+    return ray.data.from_arrow(
+        pa.table(
+            {"constraint": pa.array([r[0] for r in rows], pa.string()),
+             "n_violations": pa.array([int(r[1]) for r in rows],
+                                      pa.int64())}
+        )
+    )

@@ -1,0 +1,45 @@
+"""Constraint audit detects injected violations (the sf testdata is
+clean, so the zero path is covered by the driver oracle; this covers
+the nonzero path)."""
+
+import numpy as np
+import pyarrow as pa
+
+
+def _ds(tbl):
+    import ray.data
+
+    return ray.data.from_arrow(pa.table(tbl))
+
+
+def test_fk_orphans_detected_and_nulls_ignored(ray_session):
+    from kenlm_ray.ops.audit import fk_orphan_count
+
+    child = _ds(
+        {"fk": pa.array([1, 2, 99, None, 100, 2], pa.int64())}
+    )
+    parent = _ds({"pk": pa.array([1, 2, 3], pa.int64())})
+    # 99 and 100 are orphans; the NULL key is NOT an FK violation
+    assert fk_orphan_count(child, parent, "fk", "pk") == 2
+
+
+def test_duplicate_and_null_counters(ray_session):
+    from kenlm_ray.ops.audit import duplicate_key_count, null_count
+
+    ds = _ds(
+        {"k": pa.array([1, 1, 1, 2, 3, 3, 4, None], pa.int64())}
+    )
+    # values 1 and 3 repeat -> 2 violating key VALUES
+    clean = _ds({"k": pa.array([10, 11, 12], pa.int64())})
+    assert duplicate_key_count(clean, "k") == 0
+    assert null_count(ds, "k") == 1
+    nn = _ds({"k": pa.array([1, 1, 1, 2, 3, 3, 4], pa.int64())})
+    assert duplicate_key_count(nn, "k") == 2
+
+
+def test_integrity_audit_clean_schema(ray_session):
+    from kenlm_ray.ops.audit import integrity_audit
+
+    out = integrity_audit("/root/testdata/sf0.001").to_pandas()
+    assert len(out) == 9
+    assert (out["n_violations"] == 0).all()
