@@ -2055,6 +2055,17 @@ def _q_integrity_audit(sf_dir):
     return integrity_audit(sf_dir)
 
 
+def _q_pq_knn(sf_dir):
+    """Product-quantization ANN: train codebooks (streamed Lloyd, one
+    flattened partial per batch), encode to m uint8 codes (32x
+    compression), ADC shortlist + exact re-rank (ops/pq). Rows-only:
+    iterative training has no SQL twin; recall vs brute force is
+    pytest-gated (test_pq.py)."""
+    from kenlm_ray.ops.pq import pq_knn_pipeline
+
+    return pq_knn_pipeline(sf_dir, m=8, k=32, kq=10, shortlist=50)
+
+
 def _q_winsorized_prices(sf_dir):
     """Winsorize order totalprice at exact [p1, p99] discrete quantiles
     (ops/percentile.winsorize — histogram bounds broadcast, pure-map
@@ -3077,6 +3088,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_value_moving_max": _q_user_value_moving_max,
         "returnflag_top_qty_dense": _q_returnflag_top_qty_dense,
         "integrity_audit": _q_integrity_audit,
+        "pq_knn_top10": _q_pq_knn,
         "customer_top3_orders_rank": _q_customer_top3_rank,
         "monthly_top_parts": _q_monthly_top_parts,
         "part_copurchase_walks": _q_part_walks,

@@ -1,0 +1,274 @@
+"""Product quantization (PQ) for embedding search at memory scale —
+the compression path of the ANN family (brute -> LSH -> IVF -> PQ):
+a d-dim float vector becomes ``m`` uint8 codes (one per subspace), and
+queries rank candidates with an asymmetric-distance (ADC) lookup-table
+scan that never touches the original floats.
+
+At 100 TB this is what makes an embedding corpus scannable: 64-dim
+float32 vectors (256 B) compress to m=8 bytes (32x), so a whole shard's
+codes stay in memory and the ADC scan is one fancy-index + row-sum per
+batch.  Training streams the corpus with zero shuffles (codebook
+partials are one flattened list<float64> per batch — see the measured
+per-key-groupby tax in SCALING.md); encoding and search are pure maps.
+
+Reference: Jégou, Douze, Schmid, "Product Quantization for Nearest
+Neighbor Search" (TPAMI 2011) — public method, from-scratch numpy/Ray
+implementation.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data
+
+
+def _emb_matrix(batch: pa.Table, emb_col: str) -> np.ndarray:
+    col = batch[emb_col].combine_chunks()
+    flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    n = len(col)
+    return flat.reshape(n, -1) if n else flat.reshape(0, 0)
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    return m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
+
+
+def _kmeanspp(x: np.ndarray, k: int, rng: np.random.RandomState) -> np.ndarray:
+    """Driver-side k-means++ seeding on a (sampled) subspace slice."""
+    n = len(x)
+    first = int(rng.randint(n))
+    cents = [x[first]]
+    d2 = ((x - cents[0]) ** 2).sum(1)
+    for _ in range(1, k):
+        p = d2 / max(d2.sum(), 1e-30)
+        nxt = int(rng.choice(n, p=p))
+        cents.append(x[nxt])
+        d2 = np.minimum(d2, ((x - x[nxt]) ** 2).sum(1))
+    return np.stack(cents)
+
+
+def pq_train(
+    ds: "ray.data.Dataset",
+    *,
+    emb_col: str = "embedding",
+    m: int = 8,
+    k: int = 16,
+    n_iter: int = 10,
+    seed: int = 0,
+    sample_size: int = 2048,
+) -> np.ndarray:
+    """Train PQ codebooks: (m, k, d/m) float64.
+
+    Vectors are L2-normalized first so ADC inner products rank by
+    cosine.  Init: k-means++ per subspace on a deterministic head
+    sample; then ``n_iter`` Lloyd passes where each batch emits ONE
+    flattened (m*k*(dsub+1)) partial row (sums + counts), reduced on
+    the driver — the per-iteration traffic is codebook-sized and
+    independent of the corpus.  Empty codewords keep their previous
+    centroid.  ``d`` must be divisible by ``m``.
+    """
+    ds = ds.materialize()  # iterations re-read pinned blocks
+    head = ds.limit(sample_size).to_pandas()
+    sample = _normalize(
+        np.stack([np.asarray(v, dtype=np.float64) for v in head[emb_col]])
+    )
+    d = sample.shape[1]
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    dsub = d // m
+    rng = np.random.RandomState(seed)
+    books = np.stack(
+        [_kmeanspp(sample[:, j * dsub:(j + 1) * dsub], k, rng)
+         for j in range(m)]
+    )  # (m, k, dsub)
+
+    for _ in range(n_iter):
+        ref = ray.put(books)
+
+        def partial(batch: pa.Table, _ref=ref) -> pa.Table:
+            cb = ray.get(_ref)  # (m, k, dsub)
+            x = _emb_matrix(batch, emb_col)
+            if x.size == 0:
+                z = np.zeros(m * k * (dsub + 1), dtype=np.float64)
+                return pa.table({"p": pa.array([z.tolist()])})
+            x = _normalize(x).reshape(len(x), m, dsub)
+            # ||x-c||^2 = ||x||^2 - 2 x.c + ||c||^2 ; argmin drops ||x||^2
+            xc = np.einsum("nmd,mkd->nmk", x, cb)
+            cn = (cb ** 2).sum(-1)  # (m, k)
+            code = (cn[None, :, :] - 2 * xc).argmin(-1)  # (n, m)
+            sums = np.zeros((m, k, dsub), dtype=np.float64)
+            cnts = np.zeros((m, k), dtype=np.float64)
+            for j in range(m):  # m is a small constant (8-16)
+                np.add.at(sums[j], code[:, j], x[:, j, :])
+                cnts[j] = np.bincount(code[:, j], minlength=k)
+            out = np.concatenate([sums.ravel(), cnts.ravel()])
+            return pa.table({"p": pa.array([out.tolist()])})
+
+        parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+        tot = np.sum(np.stack(parts["p"].to_numpy()), axis=0)
+        sums = tot[: m * k * dsub].reshape(m, k, dsub)
+        cnts = tot[m * k * dsub:].reshape(m, k)
+        nz = cnts > 0
+        new = books.copy()
+        new[nz] = sums[nz] / cnts[nz][:, None]
+        books = new
+    return books
+
+
+def pq_encode(
+    ds: "ray.data.Dataset",
+    codebooks: np.ndarray,
+    *,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> "ray.data.Dataset":
+    """Encode vectors to (id, pq_code list<uint8>) — m bytes per vector."""
+    m, k, dsub = codebooks.shape
+    ref = ray.put(codebooks)
+
+    def enc(batch: pa.Table) -> pa.Table:
+        cb = ray.get(ref)
+        x = _emb_matrix(batch, emb_col)
+        if x.size == 0:
+            return pa.table(
+                {id_col: pa.array([], pa.int64()),
+                 "pq_code": pa.array([], pa.list_(pa.uint8()))}
+            )
+        x = _normalize(x).reshape(len(x), m, dsub)
+        xc = np.einsum("nmd,mkd->nmk", x, cb)
+        cn = (cb ** 2).sum(-1)
+        code = (cn[None, :, :] - 2 * xc).argmin(-1).astype(np.uint8)
+        offsets = pa.array(
+            np.arange(0, (len(x) + 1) * m, m, dtype=np.int32)
+        )
+        codes_arr = pa.ListArray.from_arrays(
+            offsets, pa.array(code.ravel(), pa.uint8())
+        )
+        return pa.table({id_col: batch[id_col], "pq_code": codes_arr})
+
+    return ds.map_batches(enc, batch_format="pyarrow")
+
+
+def pq_knn(
+    codes: "ray.data.Dataset",
+    codebooks: np.ndarray,
+    query: np.ndarray,
+    kq: int = 10,
+    *,
+    id_col: str = "vec_id",
+    round_digits: "int | None" = 3,
+) -> "ray.data.Dataset":
+    """Approximate top-k by ADC: per batch, similarity = sum over
+    subspaces of LUT[j, code[j]] where LUT = query-subvector · codeword
+    inner products — one (m, k) table per query, one fancy-index + row
+    sum per batch, local top-k, global sort+limit (same merge shape as
+    knn_brute_force)."""
+    m, k, dsub = codebooks.shape
+    q = np.asarray(query, dtype=np.float64)
+    q = q / max(np.linalg.norm(q), 1e-30)
+    lut = np.einsum("md,mkd->mk", q.reshape(m, dsub), codebooks)
+    ref = ray.put(lut)
+
+    def scan(batch: pa.Table) -> pa.Table:
+        lt = ray.get(ref)
+        col = batch["pq_code"].combine_chunks()
+        n = len(col)
+        if n == 0:
+            return pa.table(
+                {id_col: pa.array([], pa.int64()),
+                 "adc_sim": pa.array([], pa.float64())}
+            )
+        codes_np = col.flatten().to_numpy(zero_copy_only=False).reshape(n, m)
+        sims = lt[np.arange(m)[None, :], codes_np].sum(1)
+        if round_digits is not None:
+            sims = np.round(sims, round_digits)
+        ids_np = batch[id_col].to_numpy(zero_copy_only=False)
+        kk = min(kq, n)
+        idx = np.lexsort((ids_np, -sims))[:kk]
+        return pa.table(
+            {id_col: batch[id_col].take(pa.array(idx)),
+             "adc_sim": pa.array(sims[idx])}
+        )
+
+    part = codes.map_batches(scan, batch_format="pyarrow")
+    return part.sort(["adc_sim", id_col], descending=[True, False]).limit(kq)
+
+
+def pq_knn_rerank(
+    codes: "ray.data.Dataset",
+    codebooks: np.ndarray,
+    query: np.ndarray,
+    ds: "ray.data.Dataset",
+    kq: int = 10,
+    *,
+    shortlist: int = 50,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_digits: "int | None" = 3,
+) -> "ray.data.Dataset":
+    """Standard two-stage PQ search: ADC shortlist (``shortlist`` ids,
+    compressed scan) -> exact cosine re-rank of ONLY those rows from the
+    original vectors -> top ``kq``.  The shortlist ids broadcast into a
+    single filtered scan, so the float vectors are touched for
+    ``shortlist`` rows however large the corpus is."""
+    import pyarrow.compute as pc
+
+    short = pq_knn(
+        codes, codebooks, query, kq=shortlist,
+        id_col=id_col, round_digits=round_digits,
+    ).to_pandas()
+    ids = np.sort(short[id_col].to_numpy().astype(np.int64))
+    ids_ref = ray.put(ids)
+    q = np.asarray(query, dtype=np.float64)
+    q = q / max(np.linalg.norm(q), 1e-30)
+    q_ref = ray.put(q)
+
+    def exact(batch: pa.Table) -> pa.Table:
+        want = ray.get(ids_ref)
+        bid = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.minimum(np.searchsorted(want, bid), max(len(want) - 1, 0))
+        hit = (want[pos] == bid) if len(want) else np.zeros(len(bid), bool)
+        t = batch.filter(pa.array(hit))
+        if len(t) == 0:
+            return pa.table(
+                {id_col: pa.array([], pa.int64()),
+                 "cos_sim": pa.array([], pa.float64())}
+            )
+        m = _emb_matrix(t, emb_col)
+        sims = _normalize(m) @ ray.get(q_ref)
+        if round_digits is not None:
+            sims = np.round(sims, round_digits)
+        return pa.table({id_col: t[id_col], "cos_sim": pa.array(sims)})
+
+    part = ds.map_batches(exact, batch_format="pyarrow")
+    return part.sort(["cos_sim", id_col], descending=[True, False]).limit(kq)
+
+
+def pq_knn_pipeline(
+    sf_dir: str,
+    *,
+    m: int = 8,
+    k: int = 32,
+    kq: int = 10,
+    shortlist: int = 50,
+    query_id: int = 0,
+) -> "ray.data.Dataset":
+    """End-to-end PQ search over the embeddings table: train, encode,
+    ADC shortlist, exact re-rank for one query vector."""
+    import os
+
+    from kenlm_ray.ops.knn import query_vector
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+    )
+    books = pq_train(ds, m=m, k=k)
+    codes = pq_encode(ds, books)
+    return pq_knn_rerank(
+        codes, books, query_vector(sf_dir, query_id), ds,
+        kq=kq, shortlist=shortlist,
+    )

@@ -1,0 +1,72 @@
+"""Product quantization: codebook shapes, code determinism, ADC recall
+vs brute-force cosine on clustered synthetic data."""
+
+import numpy as np
+import pyarrow as pa
+
+
+def _clustered(n=600, d=32, c=6, seed=0):
+    rng = np.random.RandomState(seed)
+    cents = rng.randn(c, d) * 3
+    x = cents[rng.randint(0, c, n)] + rng.randn(n, d) * 0.4
+    return x
+
+
+def _ds(x):
+    import ray.data
+
+    return ray.data.from_arrow(
+        pa.table(
+            {"vec_id": pa.array(range(len(x)), pa.int64()),
+             "embedding": pa.array([row.tolist() for row in x],
+                                   pa.list_(pa.float32()))}
+        )
+    )
+
+
+def test_pq_shapes_and_determinism(ray_session):
+    from kenlm_ray.ops.pq import pq_encode, pq_train
+
+    x = _clustered()
+    ds = _ds(x)
+    b1 = pq_train(ds, m=4, k=8, n_iter=5)
+    b2 = pq_train(ds, m=4, k=8, n_iter=5)
+    assert b1.shape == (4, 8, 8)
+    assert np.allclose(b1, b2)
+    codes = pq_encode(ds, b1).to_pandas()
+    assert len(codes) == len(x)
+    cl = np.stack(codes["pq_code"].to_numpy())
+    assert cl.shape == (len(x), 4) and cl.max() < 8
+
+
+def test_pq_adc_recall_vs_brute(ray_session):
+    from kenlm_ray.ops.knn import knn_brute_force
+    from kenlm_ray.ops.pq import pq_encode, pq_knn, pq_knn_rerank, pq_train
+
+    x = _clustered()
+    ds = _ds(x)
+    books = pq_train(ds, m=8, k=32, n_iter=8)
+    codes = pq_encode(ds, books)
+    q = x[17]
+    exact = knn_brute_force(ds, q, k=10).to_pandas()
+    exact_ids = set(exact["vec_id"])
+    # ADC shortlist of 50 recovers most of the true top-10
+    approx = set(pq_knn(codes, books, q, kq=50).to_pandas()["vec_id"])
+    recall = len(exact_ids & approx) / 10
+    assert recall >= 0.6, recall
+    # shortlist + exact re-rank: every returned row that is in the true
+    # top-10 appears in the same cosine order as brute force
+    rr = pq_knn_rerank(codes, books, q, ds, kq=10, shortlist=50).to_pandas()
+    common = [i for i in rr["vec_id"] if i in exact_ids]
+    brute_order = [i for i in exact["vec_id"] if i in set(common)]
+    assert common == brute_order
+    assert rr["vec_id"].iloc[0] == 17  # the query's own vector wins
+
+
+def test_pq_dim_not_divisible_raises(ray_session):
+    import pytest
+
+    from kenlm_ray.ops.pq import pq_train
+
+    with pytest.raises(ValueError, match="divisible"):
+        pq_train(_ds(_clustered(d=30)), m=4, k=4, n_iter=1)
