@@ -2066,6 +2066,54 @@ def _q_pq_knn(sf_dir):
     return pq_knn_pipeline(sf_dir, m=8, k=32, kq=10, shortlist=50)
 
 
+def _q_zorder_pruned_scan(sf_dir):
+    """Z-order layout + zone-map-pruned 2-D range scan (ops/zorder):
+    the Morton-bucketed copy is written once to /tmp, then the query
+    reads ONLY buckets whose min/max envelope intersects the box."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from kenlm_ray.ops.zorder import zorder_layout, zorder_range_scan
+
+    label = sf_dir.strip("/").replace("/", "_")
+    out = f"/tmp/kenlm_ray_cache/zorder_orders_{label}"
+    if not os.path.isfile(os.path.join(out, "zones.json")):
+        ds = ray.data.read_parquet(
+            os.path.join(sf_dir, "orders.parquet"),
+            columns=["o_orderkey", "o_totalprice", "o_orderdate"],
+        )
+        zorder_layout(ds, out, "o_totalprice", "o_orderdate", n_buckets=64)
+
+    def us(s):
+        return float(np.datetime64(s).astype("datetime64[us]")
+                     .astype(np.int64))
+
+    scan, _read, _total = zorder_range_scan(
+        out, (100_000.0, 200_000.0), (us("1996-01-01"), us("1998-01-01"))
+    )
+    if scan is None:
+        t = pa.table({"n_rows": pa.array([0], pa.int64()),
+                      "total_price": pa.array([0.0])})
+        return ray.data.from_arrow(t)
+
+    def partial(b: pa.Table) -> pa.Table:
+        tp = b["o_totalprice"].to_numpy(zero_copy_only=False)
+        return pa.table({"n": pa.array([len(tp)], pa.int64()),
+                         "s": pa.array([float(tp.sum())])})
+
+    from ray.data.aggregate import Sum
+
+    agg = scan.map_batches(partial, batch_format="pyarrow").aggregate(
+        Sum("n", alias_name="n"), Sum("s", alias_name="s")
+    )
+    s = np.rint(float(agg["s"]) * 1e6) / 1e6
+    s = float(np.sign(s) * np.floor(abs(s) * 100 + 0.5) / 100)
+    t = pa.table({"n_rows": pa.array([int(agg["n"])], pa.int64()),
+                  "total_price": pa.array([s])})
+    return ray.data.from_arrow(t)
+
+
 def _q_winsorized_prices(sf_dir):
     """Winsorize order totalprice at exact [p1, p99] discrete quantiles
     (ops/percentile.winsorize — histogram bounds broadcast, pure-map
@@ -3089,6 +3137,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "returnflag_top_qty_dense": _q_returnflag_top_qty_dense,
         "integrity_audit": _q_integrity_audit,
         "pq_knn_top10": _q_pq_knn,
+        "zorder_pruned_scan": _q_zorder_pruned_scan,
         "customer_top3_orders_rank": _q_customer_top3_rank,
         "monthly_top_parts": _q_monthly_top_parts,
         "part_copurchase_walks": _q_part_walks,
@@ -4416,6 +4465,15 @@ def oracle_sql() -> dict[str, str]:
                    (SELECT sum(a)::BIGINT FROM s) AS n_a,
                    (SELECT sum(b)::BIGINT FROM s) AS n_b
             FROM c
+        """,
+        "zorder_pruned_scan": """
+            SELECT count(*)::BIGINT AS n_rows,
+                   round(round(sum(o_totalprice) * 1e6) / 1e6, 2)
+                       AS total_price
+            FROM orders
+            WHERE o_totalprice BETWEEN 100000 AND 200000
+              AND o_orderdate BETWEEN TIMESTAMP '1996-01-01'
+                                  AND TIMESTAMP '1998-01-01'
         """,
         "integrity_audit": """
             SELECT 'lineitem.l_orderkey->orders' AS "constraint",

@@ -1,0 +1,60 @@
+"""Z-order layout: pruned scans skip buckets AND stay exact."""
+
+import os
+import shutil
+
+import numpy as np
+import pyarrow as pa
+
+
+def test_zorder_prunes_and_matches_full_scan(ray_session, tmp_path):
+    import ray.data
+
+    from kenlm_ray.ops.zorder import zorder_layout, zorder_range_scan
+
+    rng = np.random.RandomState(0)
+    n = 20000
+    a = rng.uniform(0, 1000, n)
+    b = rng.uniform(0, 1000, n)
+    ds = ray.data.from_arrow(
+        pa.table({"id": pa.array(range(n), pa.int64()),
+                  "a": pa.array(a), "b": pa.array(b)})
+    )
+    out = str(tmp_path / "z")
+    zorder_layout(ds, out, "a", "b", n_buckets=64)
+
+    box_a, box_b = (100.0, 200.0), (300.0, 400.0)
+    scan, n_read, n_total = zorder_range_scan(out, box_a, box_b)
+    # a 1% box must not read the whole table
+    assert n_total >= 32 and n_read < n_total / 2, (n_read, n_total)
+    got = scan.to_pandas()
+    ref = (a >= box_a[0]) & (a <= box_a[1]) & (b >= box_b[0]) & (b <= box_b[1])
+    assert len(got) == int(ref.sum())
+    assert set(got["id"]) == set(np.flatnonzero(ref))
+
+
+def test_zorder_empty_box(ray_session, tmp_path):
+    import ray.data
+
+    from kenlm_ray.ops.zorder import zorder_layout, zorder_range_scan
+
+    ds = ray.data.from_arrow(
+        pa.table({"a": pa.array([1.0, 2.0]), "b": pa.array([1.0, 2.0])})
+    )
+    out = str(tmp_path / "z2")
+    zorder_layout(ds, out, "a", "b", n_buckets=4)
+    scan, n_read, n_total = zorder_range_scan(out, (50.0, 60.0), (0.0, 9.0))
+    assert scan is None and n_read == 0 and n_total >= 1
+
+
+def test_zorder_rejects_bad_bucket_count(ray_session, tmp_path):
+    import pytest
+    import ray.data
+
+    from kenlm_ray.ops.zorder import zorder_layout
+
+    ds = ray.data.from_arrow(
+        pa.table({"a": pa.array([1.0]), "b": pa.array([1.0])})
+    )
+    with pytest.raises(ValueError, match="power of two"):
+        zorder_layout(ds, str(tmp_path / "z3"), "a", "b", n_buckets=48)
