@@ -2114,6 +2114,71 @@ def _q_zorder_pruned_scan(sf_dir):
     return ray.data.from_arrow(t)
 
 
+def _q_skew_join_status_revenue(sf_dir):
+    """Skew-aware join (ops/join.skew_join): orderkeys above the hot
+    threshold broadcast the right side map-side, the rest take the
+    partitioned hash join; union == exact inner join.  The low
+    threshold forces BOTH paths live at test scale."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from kenlm_ray.ops.join import skew_join
+    from ray.data.aggregate import Sum
+
+    li = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+    )
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_orderstatus"],
+    ).map_batches(
+        lambda b: pa.table(
+            {"l_orderkey": b["o_orderkey"], "o_orderstatus": b["o_orderstatus"]}
+        ),
+        batch_format="pyarrow",
+    )
+    joined = skew_join(
+        li,
+        orders,
+        "l_orderkey",
+        {"l_orderkey": pa.int64(), "l_extendedprice": pa.float64(),
+         "l_discount": pa.float64()},
+        {"l_orderkey": pa.int64(), "o_orderstatus": pa.string()},
+        hot_threshold=4,
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        st = b["o_orderstatus"].to_numpy(zero_copy_only=False).astype(str)
+        ep = b["l_extendedprice"].to_numpy(zero_copy_only=False)
+        dc = b["l_discount"].to_numpy(zero_copy_only=False)
+        u, inv = np.unique(st, return_inverse=True)
+        return pa.table(
+            {"o_orderstatus": pa.array(u, type=pa.string()),
+             "n": pa.array(np.bincount(inv, minlength=len(u))
+                           .astype(np.int64)),
+             "r": pa.array(np.bincount(inv, weights=ep * (1.0 - dc),
+                                       minlength=len(u)))}
+        )
+
+    def finish(b: pa.Table) -> pa.Table:
+        r = b["r"].to_numpy(zero_copy_only=False)
+        r = np.rint(r * 1e6) / 1e6
+        r = np.sign(r) * np.floor(np.abs(r) * 100 + 0.5) / 100
+        return pa.table(
+            {"o_orderstatus": b["o_orderstatus"], "n_lines": b["n"],
+             "revenue": pa.array(r)}
+        )
+
+    return (
+        joined.map_batches(partial, batch_format="pyarrow")
+        .groupby("o_orderstatus")
+        .aggregate(Sum("n", alias_name="n"), Sum("r", alias_name="r"))
+        .map_batches(finish, batch_format="pyarrow")
+    )
+
+
 def _q_winsorized_prices(sf_dir):
     """Winsorize order totalprice at exact [p1, p99] discrete quantiles
     (ops/percentile.winsorize — histogram bounds broadcast, pure-map
@@ -3138,6 +3203,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "integrity_audit": _q_integrity_audit,
         "pq_knn_top10": _q_pq_knn,
         "zorder_pruned_scan": _q_zorder_pruned_scan,
+        "skew_join_status_revenue": _q_skew_join_status_revenue,
         "customer_top3_orders_rank": _q_customer_top3_rank,
         "monthly_top_parts": _q_monthly_top_parts,
         "part_copurchase_walks": _q_part_walks,
@@ -4465,6 +4531,13 @@ def oracle_sql() -> dict[str, str]:
                    (SELECT sum(a)::BIGINT FROM s) AS n_a,
                    (SELECT sum(b)::BIGINT FROM s) AS n_b
             FROM c
+        """,
+        "skew_join_status_revenue": """
+            SELECT o_orderstatus, count(*)::BIGINT AS n_lines,
+                   round(round(sum(l_extendedprice * (1 - l_discount))
+                               * 1e6) / 1e6, 2) AS revenue
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY 1
         """,
         "zorder_pruned_scan": """
             SELECT count(*)::BIGINT AS n_rows,

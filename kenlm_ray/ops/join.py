@@ -188,3 +188,128 @@ def hash_join(
         return pa.Table.from_arrays(cols, names=names)
 
     return u.groupby("__bucket").map_groups(merge, batch_format="pyarrow")
+
+
+def skew_join(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    key: str,
+    left_cols: dict,
+    right_cols: dict,
+    *,
+    hot_threshold: int = 100_000,
+    num_partitions: int = 16,
+    max_hot_keys: int = 10_000,
+) -> "ray.data.Dataset":
+    """Skew-aware INNER join on one int64 ``key``: keys whose LEFT row
+    count exceeds ``hot_threshold`` are joined by BROADCASTING the
+    right side's matching rows (map-side, no shuffle — the hot key
+    never concentrates on one reducer); all other keys go through the
+    PARTITIONED hash join.  The union of both paths is the exact inner
+    join.
+
+    At 100 TB this is the standard fix for power-law keys (one domain =
+    10% of the crawl): the partitioned path alone would put that key's
+    entire volume through a single bucket.  ``max_hot_keys`` bounds the
+    broadcast side (hot keys are few by definition — raise the
+    threshold if it trips).
+    """
+    # pass 1: per-key left counts (bucketed, never one group per key)
+    def count_partial(b: pa.Table) -> pa.Table:
+        k = b[key].to_numpy(zero_copy_only=False)
+        u, c = np.unique(k, return_counts=True)
+        x = u.astype(np.uint64)
+        with np.errstate(over="ignore"):
+            x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+            x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+            x ^= x >> np.uint64(31)
+        return pa.table(
+            {"k": pa.array(u.astype(np.int64)),
+             "c": pa.array(c.astype(np.int64)),
+             "__pb": pa.array((x % np.uint64(num_partitions))
+                              .astype(np.int64))}
+        )
+
+    def hot_in_bucket(g: pa.Table) -> pa.Table:
+        if len(g) == 0:
+            return pa.table({"k": pa.array([], type=pa.int64())})
+        k = g["k"].to_numpy(zero_copy_only=False)
+        c = g["c"].to_numpy(zero_copy_only=False)
+        u, inv = np.unique(k, return_inverse=True)
+        tot = np.bincount(inv, weights=c, minlength=len(u))
+        return pa.table({"k": pa.array(u[tot > hot_threshold])})
+
+    hot = (
+        left.map_batches(count_partial, batch_format="pyarrow")
+        .groupby("__pb")
+        .map_groups(hot_in_bucket, batch_format="pyarrow")
+        .to_pandas()
+    )
+    hot_keys = (
+        np.sort(hot["k"].to_numpy().astype(np.int64))
+        if "k" in hot.columns else np.array([], np.int64)
+    )
+    if len(hot_keys) > max_hot_keys:
+        raise ValueError(
+            f"{len(hot_keys)} hot keys exceed max_hot_keys="
+            f"{max_hot_keys}; raise hot_threshold"
+        )
+    hot_ref = ray.put(hot_keys)
+
+    def is_hot(b: pa.Table) -> np.ndarray:
+        hk = ray.get(hot_ref)
+        k = b[key].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(hk) == 0:
+            return np.zeros(len(k), dtype=bool)
+        pos = np.minimum(np.searchsorted(hk, k), len(hk) - 1)
+        return hk[pos] == k
+
+    rval = [c for c in right_cols if c != key]
+    cold_join = hash_join(
+        left.map_batches(
+            lambda b: b.filter(pa.array(~is_hot(b))), batch_format="pyarrow"
+        ),
+        right.map_batches(
+            lambda b: b.filter(pa.array(~is_hot(b))), batch_format="pyarrow"
+        ),
+        on=[key],
+        left_cols=left_cols,
+        right_cols=right_cols,
+        how="inner",
+        num_partitions=num_partitions,
+    )
+    # hot path: broadcast the right side's hot rows, map-side join
+    hot_right = (
+        right.map_batches(
+            lambda b: b.filter(pa.array(is_hot(b))), batch_format="pyarrow"
+        ).to_pandas()
+    )
+    if len(hot_right) == 0:
+        return cold_join
+    hr = hot_right.sort_values(key).reset_index(drop=True)
+    hr_ref = ray.put(
+        (hr[key].to_numpy().astype(np.int64),
+         {c: hr[c].to_numpy() for c in rval})
+    )
+
+    def hot_merge(b: pa.Table) -> pa.Table:
+        rk, rv = ray.get(hr_ref)
+        t = b.filter(pa.array(is_hot(b)))
+        k = t[key].to_numpy(zero_copy_only=False).astype(np.int64)
+        lo = np.searchsorted(rk, k, side="left")
+        hi = np.searchsorted(rk, k, side="right")
+        cnt = hi - lo  # one output row per (left row, right match)
+        li = np.repeat(np.arange(len(k), dtype=np.int64), cnt)
+        starts = np.cumsum(cnt) - cnt
+        ri = np.arange(int(cnt.sum()), dtype=np.int64) - np.repeat(
+            starts, cnt
+        ) + np.repeat(lo, cnt)
+        take = pa.array(li)
+        cols = {c: t[c].take(take) for c in left_cols}
+        for c in rval:
+            cols[c] = pa.array(rv[c][ri]).cast(right_cols[c])
+        names = list(left_cols) + [c for c in right_cols if c != key]
+        return pa.table({c: cols[c] for c in names})
+
+    hot_join = left.map_batches(hot_merge, batch_format="pyarrow")
+    return cold_join.union(hot_join)

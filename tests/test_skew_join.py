@@ -1,0 +1,72 @@
+"""skew_join == plain hash_join on skewed inputs (one key = 40% of
+rows), hot/cold path split verified, guard rails."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def _sides(seed=0, n=4000):
+    rng = np.random.RandomState(seed)
+    # key 7 is hot (~40% of left rows); keys 0..99 otherwise
+    k = np.where(rng.rand(n) < 0.4, 7, rng.randint(0, 100, n)).astype(
+        np.int64
+    )
+    lv = rng.randn(n)
+    rk = np.arange(100, dtype=np.int64)
+    rv = rng.randn(100)
+    import ray.data
+
+    left = ray.data.from_arrow(
+        pa.table({"k": k, "lv": lv})
+    ).repartition(8)
+    right = ray.data.from_arrow(
+        pa.table({"k": rk, "rv": rv})
+    ).repartition(4)
+    return left, right, k, lv, rk, rv
+
+
+def test_skew_join_matches_hash_join(ray_session):
+    from kenlm_ray.ops.join import hash_join, skew_join
+
+    left, right, k, lv, rk, rv = _sides()
+    cols_l = {"k": pa.int64(), "lv": pa.float64()}
+    cols_r = {"k": pa.int64(), "rv": pa.float64()}
+    plain = (
+        hash_join(left, right, ["k"], cols_l, cols_r, how="inner")
+        .to_pandas().sort_values(["k", "lv"]).reset_index(drop=True)
+    )
+    skewed = (
+        skew_join(left, right, "k", cols_l, cols_r, hot_threshold=500)
+        .to_pandas().sort_values(["k", "lv"]).reset_index(drop=True)
+    )
+    assert len(plain) == len(skewed) == len(k)
+    assert np.allclose(plain["lv"], skewed["lv"])
+    assert np.allclose(plain["rv"], skewed["rv"])
+    assert (plain["k"] == skewed["k"]).all()
+
+
+def test_skew_join_no_hot_keys_is_pure_partitioned(ray_session):
+    from kenlm_ray.ops.join import skew_join
+
+    left, right, k, lv, rk, rv = _sides()
+    out = skew_join(
+        left, right, "k",
+        {"k": pa.int64(), "lv": pa.float64()},
+        {"k": pa.int64(), "rv": pa.float64()},
+        hot_threshold=10**9,
+    ).to_pandas()
+    assert len(out) == len(k)
+
+
+def test_skew_join_hot_key_cap(ray_session):
+    from kenlm_ray.ops.join import skew_join
+
+    left, right, *_ = _sides()
+    with pytest.raises(ValueError, match="hot keys"):
+        skew_join(
+            left, right, "k",
+            {"k": pa.int64(), "lv": pa.float64()},
+            {"k": pa.int64(), "rv": pa.float64()},
+            hot_threshold=1, max_hot_keys=3,
+        )
