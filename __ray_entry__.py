@@ -2179,6 +2179,101 @@ def _q_skew_join_status_revenue(sf_dir):
     )
 
 
+def _q_pushdown_urgent_orders(sf_dir):
+    """Predicate pushdown INTO the parquet read: the row filter is a
+    pyarrow dataset expression evaluated at scan time (row groups whose
+    stats exclude the value never leave storage), not a post-read
+    map — the 'prune at the read' rule made explicit."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.dataset as pads
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderstatus", "o_totalprice"],
+        filter=(pads.field("o_orderpriority") == "1-URGENT"),
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        st = b["o_orderstatus"].to_numpy(zero_copy_only=False).astype(str)
+        tp = b["o_totalprice"].to_numpy(zero_copy_only=False)
+        u, inv = np.unique(st, return_inverse=True)
+        return pa.table(
+            {"o_orderstatus": pa.array(u, type=pa.string()),
+             "n": pa.array(np.bincount(inv, minlength=len(u))
+                           .astype(np.int64)),
+             "s": pa.array(np.bincount(inv, weights=tp, minlength=len(u)))}
+        )
+
+    def finish(b: pa.Table) -> pa.Table:
+        s = b["s"].to_numpy(zero_copy_only=False)
+        s = np.rint(s * 1e6) / 1e6
+        s = np.sign(s) * np.floor(np.abs(s) * 100 + 0.5) / 100
+        return pa.table(
+            {"o_orderstatus": b["o_orderstatus"], "n_orders": b["n"],
+             "total_price": pa.array(s)}
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("o_orderstatus")
+        .aggregate(Sum("n", alias_name="n"), Sum("s", alias_name="s"))
+        .map_batches(finish, batch_format="pyarrow")
+    )
+
+
+def _q_monthly_revenue_mom(sf_dir):
+    """Month-over-month revenue growth: grouped monthly aggregate (the
+    wide step), then a LAG fold over the MONTHS-sized result on the
+    driver (bounded however large the corpus — months, not rows)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderdate", "o_totalprice"],
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        d = b["o_orderdate"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        days = d // 86_400_000_000
+        mid = days.astype("datetime64[D]").astype("datetime64[M]") \
+                  .astype(np.int64)
+        u, inv = np.unique(mid, return_inverse=True)
+        tp = b["o_totalprice"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {"month_id": pa.array(u),
+             "s": pa.array(np.bincount(inv, weights=tp, minlength=len(u)))}
+        )
+
+    monthly = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("month_id")
+        .aggregate(Sum("s", alias_name="s"))
+        .to_pandas()  # months-sized
+        .sort_values("month_id")
+        .reset_index(drop=True)
+    )
+    rev = monthly["s"].to_numpy()
+    rev = np.rint(rev * 1e6) / 1e6
+    rev = np.sign(rev) * np.floor(np.abs(rev) * 100 + 0.5) / 100
+    prev = np.concatenate([[np.nan], rev[:-1]])
+    with np.errstate(invalid="ignore"):
+        mom = (rev - prev) / prev
+    mom = np.rint(mom * 1e12) / 1e12
+    mom = np.sign(mom) * np.floor(np.abs(mom) * 1e6 + 0.5) / 1e6
+    t = pa.table(
+        {"month_id": pa.array(monthly["month_id"].to_numpy()),
+         "revenue": pa.array(rev),
+         "mom_pct": pa.array(mom, mask=np.isnan(mom))}
+    )
+    return ray.data.from_arrow(t)
+
+
 def _q_winsorized_prices(sf_dir):
     """Winsorize order totalprice at exact [p1, p99] discrete quantiles
     (ops/percentile.winsorize — histogram bounds broadcast, pure-map
@@ -3204,6 +3299,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pq_knn_top10": _q_pq_knn,
         "zorder_pruned_scan": _q_zorder_pruned_scan,
         "skew_join_status_revenue": _q_skew_join_status_revenue,
+        "pushdown_urgent_orders": _q_pushdown_urgent_orders,
+        "monthly_revenue_mom": _q_monthly_revenue_mom,
         "customer_top3_orders_rank": _q_customer_top3_rank,
         "monthly_top_parts": _q_monthly_top_parts,
         "part_copurchase_walks": _q_part_walks,
@@ -4531,6 +4628,27 @@ def oracle_sql() -> dict[str, str]:
                    (SELECT sum(a)::BIGINT FROM s) AS n_a,
                    (SELECT sum(b)::BIGINT FROM s) AS n_b
             FROM c
+        """,
+        "pushdown_urgent_orders": """
+            SELECT o_orderstatus, count(*)::BIGINT AS n_orders,
+                   round(round(sum(o_totalprice) * 1e6) / 1e6, 2)
+                       AS total_price
+            FROM orders WHERE o_orderpriority = '1-URGENT'
+            GROUP BY 1
+        """,
+        "monthly_revenue_mom": """
+            WITH mr AS (
+                SELECT ((year(o_orderdate) - 1970) * 12
+                        + month(o_orderdate) - 1)::BIGINT AS month_id,
+                       round(round(sum(o_totalprice) * 1e6) / 1e6, 2)
+                           AS revenue
+                FROM orders GROUP BY 1
+            )
+            SELECT month_id, revenue,
+                   round(round((revenue - lag(revenue) OVER w)
+                               / lag(revenue) OVER w * 1e12) / 1e12, 6)
+                       AS mom_pct
+            FROM mr WINDOW w AS (ORDER BY month_id)
         """,
         "skew_join_status_revenue": """
             SELECT o_orderstatus, count(*)::BIGINT AS n_lines,
