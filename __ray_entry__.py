@@ -2146,7 +2146,7 @@ def _q_skew_join_status_revenue(sf_dir):
         {"l_orderkey": pa.int64(), "l_extendedprice": pa.float64(),
          "l_discount": pa.float64()},
         {"l_orderkey": pa.int64(), "o_orderstatus": pa.string()},
-        hot_threshold=4,
+        hot_threshold=9,  # >p99 lines/order: a real-but-small hot set
     )
 
     def partial(b: pa.Table) -> pa.Table:
