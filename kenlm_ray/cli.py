@@ -364,6 +364,63 @@ def cmd_profile(args) -> int:
     return 0
 
 
+def cmd_audit(args) -> int:
+    """Constraint audit (FK orphans / PK dups / null keys) over the
+    star-schema tables in a directory; prints the violation report."""
+    _ray_init()
+    from kenlm_ray.ops.audit import integrity_audit
+
+    out = integrity_audit(args.sf_dir).to_pandas()
+    import json
+
+    print(json.dumps(dict(zip(out["constraint"],
+                              out["n_violations"].astype(int)))))
+    return 0 if (out["n_violations"] == 0).all() else 1
+
+
+def cmd_zorder(args) -> int:
+    """Z-order a parquet table by two columns (hive buckets + zone
+    map) for pruned multi-column range scans."""
+    _ray_init()
+    import ray.data
+
+    from kenlm_ray.ops.zorder import zorder_layout
+
+    ds = ray.data.read_parquet(args.corpus)
+    zorder_layout(ds, args.out, args.col_a, args.col_b,
+                  n_buckets=args.buckets)
+    import json
+
+    print(json.dumps({"out": args.out, "buckets": args.buckets}))
+    return 0
+
+
+def cmd_pq(args) -> int:
+    """Train PQ codebooks over an embedding table and write the m-byte
+    codes (and codebooks.npy) — the compressed ANN index."""
+    _ray_init()
+    import numpy as np
+    import ray.data
+
+    from kenlm_ray.ops.pq import pq_encode, pq_train
+
+    ds = ray.data.read_parquet(args.corpus)
+    books = pq_train(ds, emb_col=args.emb_col, m=args.m, k=args.k,
+                     n_iter=args.iters)
+    import os as _os
+
+    _os.makedirs(args.out, exist_ok=True)
+    pq_encode(ds, books, emb_col=args.emb_col,
+              id_col=args.id_col).write_parquet(
+        _os.path.join(args.out, "codes")
+    )
+    np.save(_os.path.join(args.out, "codebooks.npy"), books)
+    import json
+
+    print(json.dumps({"out": args.out, "m": args.m, "k": args.k}))
+    return 0
+
+
 def cmd_benchmark(args) -> int:
     """Query-throughput benchmark — the reference's ``kenlm_benchmark``
     (lm/kenlm_benchmark_main.cc): ``--emit-ids`` converts a text corpus
@@ -1444,6 +1501,36 @@ def main(argv=None) -> int:
     sP.add_argument("--columns", default=None, help="comma-separated subset")
     sP.add_argument("--distinct", choices=["exact", "approx"], default="exact")
     sP.set_defaults(fn=cmd_profile)
+
+    sI = sub.add_parser(
+        "audit",
+        help="constraint audit: FK orphans, PK dups, null keys; exit 1 "
+        "on any violation",
+    )
+    sI.add_argument("sf_dir", help="directory of star-schema parquet tables")
+    sI.set_defaults(fn=cmd_audit)
+
+    sZ = sub.add_parser(
+        "zorder", help="Z-order a table by two columns for pruned scans"
+    )
+    sZ.add_argument("corpus")
+    sZ.add_argument("out")
+    sZ.add_argument("col_a")
+    sZ.add_argument("col_b")
+    sZ.add_argument("--buckets", type=int, default=64)
+    sZ.set_defaults(fn=cmd_zorder)
+
+    sPQ = sub.add_parser(
+        "pq", help="train PQ codebooks + write m-byte ANN codes"
+    )
+    sPQ.add_argument("corpus", help="embedding parquet table")
+    sPQ.add_argument("out")
+    sPQ.add_argument("--emb-col", default="embedding")
+    sPQ.add_argument("--id-col", default="vec_id")
+    sPQ.add_argument("-m", type=int, default=8)
+    sPQ.add_argument("-k", type=int, default=32)
+    sPQ.add_argument("--iters", type=int, default=10)
+    sPQ.set_defaults(fn=cmd_pq)
 
     args = p.parse_args(argv)
     return args.fn(args)

@@ -364,3 +364,32 @@ def test_analyze_compression(tmp_path):
     )
     got = pq.read_table(str(out)).to_pandas().set_index("doc_id")
     assert got.loc[1, "ratio"] < 0.1 and got.loc[2, "ratio"] > 0.3
+
+
+def test_cli_audit_zorder_pq(ray_session, tmp_path, capsys):
+    import json
+
+    import numpy as np
+
+    from kenlm_ray.cli import main
+
+    # audit over the clean fixture exits 0 with an all-zero report
+    assert main(["audit", "/root/testdata/sf0.001"]) == 0
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert set(report.values()) == {0}
+
+    zo = tmp_path / "zo"
+    assert main([
+        "zorder", "/root/testdata/sf0.001/orders.parquet", str(zo),
+        "o_totalprice", "o_orderkey", "--buckets", "16",
+    ]) == 0
+    assert (zo / "zones.json").exists()
+
+    pq_out = tmp_path / "pq"
+    assert main([
+        "pq", "/root/testdata/sf0.001/embeddings.parquet", str(pq_out),
+        "-m", "8", "-k", "16", "--iters", "2",
+    ]) == 0
+    books = np.load(pq_out / "codebooks.npy")
+    assert books.shape == (8, 16, 8)
+    assert (pq_out / "codes").is_dir()
