@@ -1949,6 +1949,86 @@ def _q_wealthy_inactive(sf_dir):
     return wealthy_inactive_customers(sf_dir)
 
 
+def _q_top_unshipped_orders(sf_dir):
+    """TPC-H Q3 analog (ops/relational2.top_unshipped_orders — two
+    key-bucket exchanges ending in a distributed top-k)."""
+    from kenlm_ray.ops.relational2 import top_unshipped_orders
+
+    return top_unshipped_orders(sf_dir, segment="BUILDING", date="1998-06-15", k=10)
+
+
+def _q_revenue_delta(sf_dir):
+    """TPC-H Q6 analog (ops/relational2.revenue_delta — scan-filter
+    scalar aggregate; one float partial per batch)."""
+    from kenlm_ray.ops.relational2 import revenue_delta
+
+    return revenue_delta(sf_dir, year=1997)
+
+
+def _q_nation_market_share(sf_dir):
+    """TPC-H Q8 analog (ops/relational2.nation_market_share — broadcast
+    dimension filters + one orderkey exchange + ratio-of-sums)."""
+    from kenlm_ray.ops.relational2 import nation_market_share
+
+    return nation_market_share(sf_dir, nation="NATION_3", ptype="STANDARD")
+
+
+def _q_nation_profit(sf_dir):
+    """TPC-H Q9 analog (ops/relational2.nation_profit — per-(order,
+    nation) in-batch partials + one orderkey exchange)."""
+    from kenlm_ray.ops.relational2 import nation_profit
+
+    return nation_profit(sf_dir, name_substr="widget")
+
+
+def _q_returned_item_losses(sf_dir):
+    """TPC-H Q10 analog (ops/relational2.returned_item_losses — two
+    exchanges + top-k of returned-lineitem revenue per customer)."""
+    from kenlm_ray.ops.relational2 import returned_item_losses
+
+    return returned_item_losses(sf_dir, quarter_start="1997-07-01", k=20)
+
+
+def _q_late_ship_priority(sf_dir):
+    """TPC-H Q12 analog (ops/relational2.late_ship_priority_counts —
+    lateness-bucket conditional counts in one orderkey exchange)."""
+    from kenlm_ray.ops.relational2 import late_ship_priority_counts
+
+    return late_ship_priority_counts(sf_dir, year=1997, fast_days=30)
+
+
+def _q_promo_revenue_share(sf_dir):
+    """TPC-H Q14 analog (ops/relational2.promo_revenue_share — CASE
+    conditional aggregate vs a broadcast part bitmap)."""
+    from kenlm_ray.ops.relational2 import promo_revenue_share
+
+    return promo_revenue_share(sf_dir, month="1997-09")
+
+
+def _q_supplier_count_by_part(sf_dir):
+    """TPC-H Q16 analog (ops/relational2.supplier_count_by_part —
+    exact COUNT(DISTINCT) via bounded pair-code dedup exchanges)."""
+    from kenlm_ray.ops.relational2 import supplier_count_by_part
+
+    return supplier_count_by_part(sf_dir, exclude_brand="Brand#11")
+
+
+def _q_min_cost_supplier(sf_dir):
+    """TPC-H Q2 analog (ops/relational2.min_cost_supplier — per-key
+    argmin-with-ties over a grouped average)."""
+    from kenlm_ray.ops.relational2 import min_cost_supplier
+
+    return min_cost_supplier(sf_dir, size=25)
+
+
+def _q_excess_share_suppliers(sf_dir):
+    """TPC-H Q20 analog (ops/relational2.excess_share_suppliers —
+    correlated aggregate threshold inside one partkey exchange)."""
+    from kenlm_ray.ops.relational2 import excess_share_suppliers
+
+    return excess_share_suppliers(sf_dir, ptype="PROMO", share_factor=1.5)
+
+
 def _q_event_props_k_stats(sf_dir):
     """JSON scalar-field extraction via one vectorized extract_regex
     kernel per batch (ops/semistruct.json_extract_field fast path)."""
@@ -3289,6 +3369,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "large_volume_customers": _q_large_volume_customers,
         "bracket_revenue": _q_bracket_revenue,
         "wealthy_inactive_customers": _q_wealthy_inactive,
+        "top_unshipped_orders": _q_top_unshipped_orders,
+        "revenue_delta": _q_revenue_delta,
+        "nation_market_share": _q_nation_market_share,
+        "nation_profit": _q_nation_profit,
+        "returned_item_losses": _q_returned_item_losses,
+        "late_ship_priority_counts": _q_late_ship_priority,
+        "promo_revenue_share": _q_promo_revenue_share,
+        "supplier_count_by_part": _q_supplier_count_by_part,
+        "min_cost_supplier": _q_min_cost_supplier,
+        "excess_share_suppliers": _q_excess_share_suppliers,
         "event_props_k_stats": _q_event_props_k_stats,
         "lineitem_unpivot_stats": _q_lineitem_unpivot_stats,
         "embedding_dim_stats": _q_embedding_dim_stats,
@@ -4599,6 +4689,153 @@ def oracle_sql() -> dict[str, str]:
                 SELECT 1 FROM orders WHERE o_custkey = c_custkey
                   AND o_orderdate >= TIMESTAMP '2000-01-01')
             GROUP BY 1
+        """,
+        "top_unshipped_orders": """
+            SELECT l_orderkey, o_orderdate,
+                   round(round(sum(l_extendedprice * (1 - l_discount))
+                               * 1e6) / 1e6, 2) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON c_custkey = o_custkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1998-06-15'
+              AND l_shipdate  > TIMESTAMP '1998-06-15'
+            GROUP BY 1, 2
+            ORDER BY revenue DESC, l_orderkey
+            LIMIT 10
+        """,
+        "revenue_delta": """
+            SELECT round(round(sum(l_extendedprice * l_discount)
+                               * 1e6) / 1e6, 2) AS revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l_shipdate <  TIMESTAMP '1998-01-01'
+              AND l_discount BETWEEN 0.05 AND 0.07
+              AND l_quantity < 24
+        """,
+        "nation_market_share": """
+            WITH t AS (
+                SELECT year(o_orderdate) AS o_year,
+                       sum(CASE WHEN s_nationkey = 3
+                                THEN l_extendedprice * (1 - l_discount)
+                                ELSE 0 END) AS nr,
+                       sum(l_extendedprice * (1 - l_discount)) AS tr
+                FROM lineitem
+                JOIN orders   ON l_orderkey = o_orderkey
+                JOIN supplier ON s_suppkey = l_suppkey
+                JOIN part     ON p_partkey = l_partkey
+                JOIN customer ON c_custkey = o_custkey
+                JOIN nation cn ON cn.n_nationkey = c_nationkey
+                WHERE p_type = 'STANDARD'
+                  AND cn.n_regionkey = 3
+                  AND o_orderdate >= TIMESTAMP '1996-01-01'
+                  AND o_orderdate <  TIMESTAMP '1998-01-01'
+                GROUP BY 1
+            )
+            SELECT o_year,
+                   round(round(nr * 1e6) / 1e6, 2) AS nation_rev,
+                   round(round(tr * 1e6) / 1e6, 2) AS total_rev,
+                   round(round(nr * 1e6) / 1e6, 2)
+                     / round(round(tr * 1e6) / 1e6, 2) AS mkt_share
+            FROM t
+        """,
+        "nation_profit": """
+            SELECT n_name, year(o_orderdate)::BIGINT AS o_year,
+                   round(round(sum(l_extendedprice * (1 - l_discount)
+                                   - 0.6 * p_retailprice * l_quantity)
+                               * 1e6) / 1e6, 2) AS profit
+            FROM lineitem
+            JOIN orders   ON o_orderkey = l_orderkey
+            JOIN supplier ON s_suppkey = l_suppkey
+            JOIN nation   ON n_nationkey = s_nationkey
+            JOIN part     ON p_partkey = l_partkey
+            WHERE p_name LIKE '%widget%'
+            GROUP BY 1, 2
+        """,
+        "returned_item_losses": """
+            SELECT c_custkey, c_name, n_name,
+                   round(round(sum(l_extendedprice * (1 - l_discount))
+                               * 1e6) / 1e6, 2) AS lost_revenue
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON c_custkey = o_custkey
+            JOIN nation   ON n_nationkey = c_nationkey
+            WHERE l_returnflag = 'R'
+              AND o_orderdate >= TIMESTAMP '1997-07-01'
+              AND o_orderdate <  TIMESTAMP '1997-10-01'
+            GROUP BY 1, 2, 3
+            ORDER BY lost_revenue DESC, c_custkey
+            LIMIT 20
+        """,
+        "late_ship_priority_counts": """
+            SELECT CASE WHEN l_shipdate <= o_orderdate + INTERVAL 30 DAY
+                        THEN 'FAST' ELSE 'SLOW' END AS ship_speed,
+                   sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                            THEN 1 ELSE 0 END)::BIGINT AS high_count,
+                   sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                            THEN 0 ELSE 1 END)::BIGINT AS low_count
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l_shipdate <  TIMESTAMP '1998-01-01'
+            GROUP BY 1
+        """,
+        "promo_revenue_share": """
+            WITH t AS (
+                SELECT sum(CASE WHEN p_type = 'PROMO'
+                                THEN l_extendedprice * (1 - l_discount)
+                                ELSE 0 END) AS pr,
+                       sum(l_extendedprice * (1 - l_discount)) AS tr
+                FROM lineitem JOIN part ON p_partkey = l_partkey
+                WHERE l_shipdate >= TIMESTAMP '1997-09-01'
+                  AND l_shipdate <  TIMESTAMP '1997-10-01'
+            )
+            SELECT round(round(pr * 1e6) / 1e6, 2) AS promo_revenue,
+                   round(round(tr * 1e6) / 1e6, 2) AS total_revenue,
+                   100 * round(round(pr * 1e6) / 1e6, 2)
+                       / round(round(tr * 1e6) / 1e6, 2) AS promo_pct
+            FROM t
+        """,
+        "supplier_count_by_part": """
+            SELECT p_brand, p_type, p_size,
+                   count(DISTINCT l_suppkey)::BIGINT AS supplier_cnt
+            FROM lineitem
+            JOIN part     ON p_partkey = l_partkey
+            JOIN supplier ON s_suppkey = l_suppkey
+            WHERE p_brand <> 'Brand#11' AND s_acctbal >= 0
+            GROUP BY 1, 2, 3
+        """,
+        "min_cost_supplier": """
+            WITH pairs AS (
+                SELECT l_partkey AS p_partkey, l_suppkey,
+                       round(avg(l_extendedprice / l_quantity), 6)
+                           AS unit_cost
+                FROM lineitem JOIN part ON p_partkey = l_partkey
+                WHERE p_size = 25
+                GROUP BY 1, 2
+            )
+            SELECT p.p_partkey, s_suppkey, s_name, s_acctbal, unit_cost
+            FROM pairs p JOIN supplier ON s_suppkey = p.l_suppkey
+            WHERE unit_cost = (
+                SELECT min(unit_cost) FROM pairs p2
+                WHERE p2.p_partkey = p.p_partkey)
+        """,
+        "excess_share_suppliers": """
+            WITH pq AS (
+                SELECT l_partkey AS pk, l_suppkey AS sk,
+                       sum(l_quantity) AS q
+                FROM lineitem JOIN part ON p_partkey = l_partkey
+                WHERE p_type = 'PROMO'
+                GROUP BY 1, 2
+            ),
+            pt AS (
+                SELECT pk, sum(q) AS tot, count(*)::DOUBLE AS ns
+                FROM pq GROUP BY 1
+            )
+            SELECT DISTINCT sk AS s_suppkey, s_name
+            FROM pq
+            JOIN pt USING (pk)
+            JOIN supplier ON supplier.s_suppkey = pq.sk
+            WHERE q > 1.5 * tot / ns
         """,
         "event_props_k_stats": """
             SELECT event_type, count(*)::BIGINT AS n,

@@ -1,0 +1,217 @@
+"""Second-batch TPC-H-analog shapes (ops/relational2) vs pandas
+references on sf0.001 — the DuckDB oracle twin runs in the driver gate;
+these tests pin the semantics against an independent pandas derivation
+and exercise edges (empty rosters, tie handling) the oracle never hits."""
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+
+SF = "/root/testdata/sf0.001"
+
+
+def _t(name, cols=None):
+    return pq.read_table(f"{SF}/{name}.parquet", columns=cols).to_pandas()
+
+
+def _rev(df):
+    return df["l_extendedprice"] * (1.0 - df["l_discount"])
+
+
+def test_top_unshipped_orders_matches_pandas(ray_session):
+    from kenlm_ray.ops.relational2 import top_unshipped_orders
+
+    cutoff = pd.Timestamp("1998-06-15")
+    got = top_unshipped_orders(SF, segment="BUILDING", date="1998-06-15", k=10).to_pandas()
+    cust = _t("customer", ["c_custkey", "c_mktsegment"])
+    orders = _t("orders")
+    li = _t("lineitem")
+    roster = set(cust.loc[cust["c_mktsegment"] == "BUILDING", "c_custkey"])
+    o = orders[(orders["o_orderdate"] < cutoff) & orders["o_custkey"].isin(roster)]
+    l = li[li["l_shipdate"] > cutoff].copy()
+    l["rev"] = _rev(l)
+    per = l.groupby("l_orderkey")["rev"].sum()
+    per.index.name = "o_orderkey"
+    j = o.set_index("o_orderkey").join(per.rename("revenue"), how="inner").dropna()
+    j["revenue"] = np.round(np.rint(j["revenue"] * 1e6) / 1e6, 2)
+    ref = (
+        j.reset_index()
+        .sort_values(["revenue", "o_orderkey"], ascending=[False, True], kind="mergesort")
+        .head(10)
+    )
+    assert len(got) == len(ref) <= 10
+    assert set(got["l_orderkey"]) == set(ref["o_orderkey"])
+    m = got.set_index("l_orderkey")["revenue"]
+    r = ref.set_index("o_orderkey")["revenue"]
+    assert np.allclose(m.sort_index().to_numpy(), r.sort_index().to_numpy())
+
+
+def test_top_unshipped_orders_empty_segment(ray_session):
+    from kenlm_ray.ops.relational2 import top_unshipped_orders
+
+    got = top_unshipped_orders(SF, segment="NO_SUCH_SEGMENT").to_pandas()
+    assert len(got) == 0
+
+
+def test_revenue_delta_matches_pandas(ray_session):
+    from kenlm_ray.ops.relational2 import revenue_delta
+
+    got = revenue_delta(SF, year=1997).to_pandas()
+    li = _t("lineitem")
+    m = (
+        (li["l_shipdate"] >= pd.Timestamp("1997-01-01"))
+        & (li["l_shipdate"] < pd.Timestamp("1998-01-01"))
+        & (li["l_discount"] >= 0.05)
+        & (li["l_discount"] <= 0.07)
+        & (li["l_quantity"] < 24)
+    )
+    ref = float((li.loc[m, "l_extendedprice"] * li.loc[m, "l_discount"]).sum())
+    ref = round(float(np.rint(ref * 1e6) / 1e6), 2)
+    assert len(got) == 1
+    assert abs(float(got["revenue"].iloc[0]) - ref) < 1e-9
+
+
+def test_nation_market_share_bounds_and_totals(ray_session):
+    from kenlm_ray.ops.relational2 import nation_market_share
+
+    got = nation_market_share(SF).to_pandas()
+    assert set(got["o_year"]) <= {1996, 1997}
+    assert (got["nation_rev"] <= got["total_rev"] + 1e-9).all()
+    assert ((got["mkt_share"] >= 0) & (got["mkt_share"] <= 1)).all()
+    assert np.allclose(got["mkt_share"], got["nation_rev"] / got["total_rev"])
+
+
+def test_nation_profit_matches_pandas(ray_session):
+    from kenlm_ray.ops.relational2 import nation_profit
+
+    got = nation_profit(SF, name_substr="widget").to_pandas()
+    li = _t("lineitem")
+    part = _t("part")
+    supp = _t("supplier")
+    nat = _t("nation")
+    orders = _t("orders", ["o_orderkey", "o_orderdate"])
+    p = part[part["p_name"].str.contains("widget", regex=False)]
+    j = (
+        li.merge(p, left_on="l_partkey", right_on="p_partkey")
+        .merge(supp, left_on="l_suppkey", right_on="s_suppkey")
+        .merge(nat, left_on="s_nationkey", right_on="n_nationkey")
+        .merge(orders, left_on="l_orderkey", right_on="o_orderkey")
+    )
+    j["profit"] = _rev(j) - 0.6 * j["p_retailprice"] * j["l_quantity"]
+    j["o_year"] = j["o_orderdate"].dt.year
+    ref = j.groupby(["n_name", "o_year"])["profit"].sum().reset_index()
+    ref["profit"] = np.sign(ref["profit"]) * np.floor(
+        np.abs(np.rint(ref["profit"] * 1e6) / 1e6) * 100 + 0.5
+    ) / 100
+    g = got.sort_values(["n_name", "o_year"]).reset_index(drop=True)
+    r = ref.sort_values(["n_name", "o_year"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(g, r, check_dtype=False, check_like=True)
+
+
+def test_returned_item_losses_top_k_and_order(ray_session):
+    from kenlm_ray.ops.relational2 import returned_item_losses
+
+    got = returned_item_losses(SF, quarter_start="1997-07-01", k=20).to_pandas()
+    assert len(got) <= 20
+    rv = got["lost_revenue"].to_numpy()
+    assert (rv[:-1] >= rv[1:] - 1e-12).all()  # descending
+    li = _t("lineitem")
+    orders = _t("orders")
+    o = orders[
+        (orders["o_orderdate"] >= pd.Timestamp("1997-07-01"))
+        & (orders["o_orderdate"] < pd.Timestamp("1997-10-01"))
+    ]
+    l = li[li["l_returnflag"] == "R"].copy()
+    l["rev"] = _rev(l)
+    j = l.merge(o, left_on="l_orderkey", right_on="o_orderkey")
+    ref = j.groupby("o_custkey")["rev"].sum().sort_values(ascending=False)
+    top = got.set_index("c_custkey")["lost_revenue"]
+    for ck, v in top.items():
+        assert abs(v - round(float(np.rint(ref[ck] * 1e6) / 1e6), 2)) < 1e-9
+
+
+def test_late_ship_priority_counts_total(ray_session):
+    from kenlm_ray.ops.relational2 import late_ship_priority_counts
+
+    got = late_ship_priority_counts(SF, year=1997, fast_days=30).to_pandas()
+    li = _t("lineitem", ["l_orderkey", "l_shipdate"])
+    n_in_year = int(
+        (
+            (li["l_shipdate"] >= pd.Timestamp("1997-01-01"))
+            & (li["l_shipdate"] < pd.Timestamp("1998-01-01"))
+        ).sum()
+    )
+    assert int((got["high_count"] + got["low_count"]).sum()) == n_in_year
+    assert set(got["ship_speed"]) <= {"FAST", "SLOW"}
+
+
+def test_promo_revenue_share_consistency(ray_session):
+    from kenlm_ray.ops.relational2 import promo_revenue_share
+
+    got = promo_revenue_share(SF, month="1997-09").to_pandas()
+    assert len(got) == 1
+    pr, tr, pct = (float(got[c].iloc[0]) for c in
+                   ("promo_revenue", "total_revenue", "promo_pct"))
+    assert 0.0 <= pr <= tr
+    assert abs(pct - 100.0 * pr / tr) < 1e-12
+
+
+def test_supplier_count_by_part_matches_pandas(ray_session):
+    from kenlm_ray.ops.relational2 import supplier_count_by_part
+
+    got = supplier_count_by_part(SF, exclude_brand="Brand#11").to_pandas()
+    li = _t("lineitem", ["l_partkey", "l_suppkey"])
+    part = _t("part")
+    supp = _t("supplier")
+    ok_supp = set(supp.loc[supp["s_acctbal"] >= 0, "s_suppkey"])
+    p = part[part["p_brand"] != "Brand#11"]
+    j = li[li["l_suppkey"].isin(ok_supp)].merge(
+        p, left_on="l_partkey", right_on="p_partkey"
+    )
+    ref = (
+        j.groupby(["p_brand", "p_type", "p_size"])["l_suppkey"]
+        .nunique()
+        .rename("supplier_cnt")
+        .reset_index()
+    )
+    g = got.sort_values(["p_brand", "p_type", "p_size"]).reset_index(drop=True)
+    r = ref.sort_values(["p_brand", "p_type", "p_size"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(g, r, check_dtype=False, check_like=True)
+    assert "Brand#11" not in set(g["p_brand"])
+
+
+def test_min_cost_supplier_is_per_part_min_with_ties(ray_session):
+    from kenlm_ray.ops.relational2 import min_cost_supplier
+
+    got = min_cost_supplier(SF, size=25).to_pandas()
+    li = _t("lineitem", ["l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"])
+    part = _t("part", ["p_partkey", "p_size"])
+    sel = set(part.loc[part["p_size"] == 25, "p_partkey"])
+    l = li[li["l_partkey"].isin(sel)].copy()
+    l["unit"] = l["l_extendedprice"] / l["l_quantity"]
+    pairs = (
+        l.groupby(["l_partkey", "l_suppkey"])["unit"].mean().round(6).reset_index()
+    )
+    mins = pairs.groupby("l_partkey")["unit"].min()
+    ref = pairs[pairs["unit"] == pairs["l_partkey"].map(mins)]
+    assert len(got) == len(ref)
+    gset = set(zip(got["p_partkey"], got["s_suppkey"]))
+    rset = set(zip(ref["l_partkey"], ref["l_suppkey"]))
+    assert gset == rset
+    # every selected part appears at least once (ties included, never dropped)
+    assert set(got["p_partkey"]) == set(ref["l_partkey"])
+
+
+def test_excess_share_suppliers_matches_pandas(ray_session):
+    from kenlm_ray.ops.relational2 import excess_share_suppliers
+
+    got = excess_share_suppliers(SF, ptype="PROMO", share_factor=1.5).to_pandas()
+    li = _t("lineitem", ["l_partkey", "l_suppkey", "l_quantity"])
+    part = _t("part", ["p_partkey", "p_type"])
+    sel = set(part.loc[part["p_type"] == "PROMO", "p_partkey"])
+    l = li[li["l_partkey"].isin(sel)]
+    pq_ = l.groupby(["l_partkey", "l_suppkey"])["l_quantity"].sum().reset_index()
+    tot = pq_.groupby("l_partkey")["l_quantity"].agg(["sum", "count"])
+    thr = pq_["l_partkey"].map(1.5 * tot["sum"] / tot["count"])
+    ref = sorted(set(pq_.loc[pq_["l_quantity"] > thr, "l_suppkey"]))
+    assert sorted(got["s_suppkey"]) == ref
