@@ -3162,6 +3162,54 @@ def _q_curation_recipe(sf_dir):
     return out
 
 
+def _q_code_filter_summary(sf_dir):
+    """BigCode/StarCoder-style code-curation gates (license / generated /
+    vendored / lockfile / minified / blob) over the marker-enriched
+    synthetic code corpus: one row per drop_reason with file + byte
+    volume (ops/code_curation — pure map partials, tiny groupby).
+    Rows-only (corpus is synthetic); tests/test_code_curation.py gates
+    every metric and the decide fold against a pure-Python oracle."""
+    import ray.data
+
+    from kenlm_ray.ops.code_curation import code_filter_summary, inject_code_markers
+    from kenlm_ray.sources.synth_corpus import write_corpus
+
+    n = max(2000, _documents(sf_dir).count() * 4)
+    paths = write_corpus(
+        f"/tmp/kenlm_ray_cache/codecur_corpus_{n}", n, seed=9, n_shards=8
+    )
+    ds = ray.data.read_parquet(paths).map_batches(
+        inject_code_markers, batch_format="pyarrow"
+    )
+    return code_filter_summary(ds)
+
+
+def _q_doc_code_blob_metrics(sf_dir):
+    """Code-curation byte metrics on the documents table (the SQL-
+    expressible slice of ops/code_curation.code_metrics): line counts,
+    max line length, digit fraction, base64-blob coverage."""
+    import numpy as np
+    import pyarrow as pa
+
+    from kenlm_ray.ops.code_curation import code_metrics
+
+    ds = _documents(sf_dir)
+
+    def f(t: pa.Table) -> pa.Table:
+        m = code_metrics(t, text_col="text", path_col=None, lang_col=None)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_lines": pa.array(m["n_lines"]),
+                "max_line_len": pa.array(m["max_line_len"]),
+                "digit_frac": pa.array(np.round(m["digit_frac"], 6)),
+                "b64_blob_frac": pa.array(np.round(m["b64_blob_frac"], 6)),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
 def _q_mixed_language_stats(sf_dir):
     """Per-line langid aggregated per doc: majority language + line
     consistency + mixed flag (stages/langid.MixedLangStats — one split +
@@ -3477,6 +3525,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_source_mi": _q_lang_source_mi,
         "mixed_language_stats": _q_mixed_language_stats,
         "curation_recipe": _q_curation_recipe,
+        "code_filter_summary": _q_code_filter_summary,
+        "doc_code_blob_metrics": _q_doc_code_blob_metrics,
         # rows-only checks (stateful / model-driven, not SQL-expressible)
         "quality_filter_flagship": _q_quality_filter,
         "repo_quality_stats": _q_repo_stats,
@@ -5860,6 +5910,21 @@ def oracle_sql() -> dict[str, str]:
                        len(regexp_extract_all(text, '(key|hash) \w+')) AS nm
                 FROM documents
             ) GROUP BY lang
+        """,
+        "doc_code_blob_metrics": r"""
+            SELECT doc_id,
+                   (length(text) - length(replace(text, chr(10), '')) + 1)::BIGINT
+                       AS n_lines,
+                   list_max(list_transform(string_split(text, chr(10)),
+                                           x -> length(x)))::BIGINT
+                       AS max_line_len,
+                   round((length(text)
+                          - length(regexp_replace(text, '[0-9]', '', 'g')))
+                         * 1.0 / greatest(length(text), 1), 6) AS digit_frac,
+                   round((length(text)
+                          - length(regexp_replace(text, '[A-Za-z0-9+/=]{64,}', '', 'g')))
+                         * 1.0 / greatest(length(text), 1), 6) AS b64_blob_frac
+            FROM documents
         """,
         "source_doc_cap": """
             SELECT doc_id, source, n_chars FROM (

@@ -1,0 +1,189 @@
+"""Code-curation pack (ops/code_curation) vs a pure-Python per-row
+oracle: every vectorized metric and the ordered decide fold must match
+a straightforward string-ops reimplementation on the marker-enriched
+synthetic code corpus."""
+
+import re
+
+import numpy as np
+import pyarrow as pa
+
+from kenlm_ray.ops.code_curation import (
+    BLOB_RUN,
+    COMMENT_OPENERS,
+    GENERATED_MARKERS,
+    HEAD_BYTES,
+    LICENSE_PHRASES,
+    LOCKFILE_NAMES,
+    VENDORED_DIRS,
+    CodeFilterConfig,
+    classify_spdx,
+    code_decide,
+    code_filter_summary,
+    code_metrics,
+    inject_code_markers,
+)
+
+
+# ---------------------------------------------------------------------------
+# pure-Python oracle (per row, straightforward string ops)
+# ---------------------------------------------------------------------------
+
+def oracle_row(content: str, path: str, lang: str) -> dict:
+    head = content[:HEAD_BYTES]
+    m = re.search(r"SPDX-License-Identifier:[ \t]*([A-Za-z0-9.+\-]+)", head)
+    spdx = m.group(1) if m else ""
+    lic = "none"
+    for phrase, cls in LICENSE_PHRASES:
+        if phrase in head.lower():
+            lic = cls
+            break
+    if spdx:
+        lic = classify_spdx(spdx)
+    gen = any(g in head.lower() for g in GENERATED_MARKERS)
+    parts = path.lower().split("/")[:-1]
+    flex = set()
+    for d in VENDORED_DIRS:  # '-' in a listed name is flexible: '', '-', '_'
+        for r in ("", "-", "_"):
+            flex.add(d.replace("-", r))
+    vend = any(p in flex for p in parts)
+    base = path.split("/")[-1].lower()
+    minified = bool(re.search(r"\.min\.(js|css)$|\.(map|bundle\.js)$", base))
+    lock = base in {n.lower() for n in LOCKFILE_NAMES}
+    lines = content.split("\n")
+    raw = content.encode()
+    nb = len(raw)
+    max_line = max((len(l.encode()) for l in lines), default=0)
+    mean_line = sum(len(l.encode()) for l in lines) / max(len(lines), 1)
+    alnum = sum(
+        48 <= b <= 57 or 65 <= b <= 90 or 97 <= b <= 122 for b in raw
+    ) / max(nb, 1)
+    digit = sum(48 <= b <= 57 for b in raw) / max(nb, 1)
+    b64 = sum(
+        len(r) for r in re.findall(r"[A-Za-z0-9+/=]{%d,}" % BLOB_RUN, content)
+    ) / max(nb, 1)
+    hexf = sum(
+        len(r) for r in re.findall(r"[0-9a-fA-F]{%d,}" % BLOB_RUN, content)
+    ) / max(nb, 1)
+    opener = COMMENT_OPENERS.get(lang.lower())
+    if opener:
+        cl = sum(l.lstrip(" \t").startswith(opener) for l in lines)
+    else:
+        cl = 0
+    return {
+        "spdx_id": spdx,
+        "license_class": lic,
+        "is_generated": gen,
+        "is_vendored_path": vend,
+        "is_minified_path": minified,
+        "is_lockfile": lock,
+        "max_line_len": max_line,
+        "mean_line_len": mean_line,
+        "alnum_frac": alnum,
+        "digit_frac": digit,
+        "b64_blob_frac": b64,
+        "hex_blob_frac": hexf,
+        "comment_line_frac": cl / max(len(lines), 1),
+        "n_lines": len(lines),
+    }
+
+
+def _raw(n, seed):
+    from kenlm_ray.sources.synth_corpus import gen_table
+
+    return gen_table(seed, 0, n)
+
+
+def _corpus(n=400, seed=11):
+    return inject_code_markers(_raw(n, seed))
+
+
+def test_metrics_match_python_oracle():
+    tbl = _corpus()
+    m = code_metrics(tbl)
+    content = tbl["content"].to_pylist()
+    path = tbl["path"].to_pylist()
+    lang = tbl["lang"].to_pylist()
+    for i in range(len(content)):
+        ref = oracle_row(content[i], path[i], lang[i])
+        for k, v in ref.items():
+            got = m[k][i]
+            if isinstance(v, float):
+                assert abs(float(got) - v) < 1e-12, (k, i, got, v)
+            else:
+                assert got == v, (k, i, got, v, path[i], content[i][:80])
+
+
+def test_decide_first_failure_order():
+    tbl = _corpus(n=300, seed=7)
+    m = code_metrics(tbl)
+    cfg = CodeFilterConfig()
+    keep, reason = code_decide(m, cfg)
+    # oracle fold
+    for i in range(tbl.num_rows):
+        r = oracle_row(
+            tbl["content"][i].as_py(), tbl["path"][i].as_py(), tbl["lang"][i].as_py()
+        )
+        exp = ""
+        if r["license_class"] == "copyleft":
+            exp = "license_copyleft"
+        elif r["is_generated"]:
+            exp = "generated"
+        elif r["is_vendored_path"] or r["is_minified_path"]:
+            exp = "vendored_path"
+        elif r["is_lockfile"]:
+            exp = "lockfile"
+        elif r["max_line_len"] > cfg.max_line_len:
+            exp = "long_line"
+        elif r["mean_line_len"] > cfg.max_mean_line_len:
+            exp = "mean_line"
+        elif r["alnum_frac"] < cfg.min_alnum_frac:
+            exp = "alnum"
+        elif r["digit_frac"] > cfg.max_digit_frac:
+            exp = "digits"
+        elif max(r["b64_blob_frac"], r["hex_blob_frac"]) > cfg.max_blob_frac:
+            exp = "blob"
+        assert reason[i] == exp, (i, reason[i], exp)
+        assert keep[i] == (exp == "")
+
+
+def test_injection_is_deterministic_and_partitioning_invariant():
+    tbl = _corpus(n=200, seed=3)
+    again = _corpus(n=200, seed=3)
+    assert tbl.equals(again)
+    # injection on a slice matches the same rows of the whole
+    part = inject_code_markers(_raw(n=200, seed=3).slice(50, 60))
+    whole = inject_code_markers(_raw(n=200, seed=3)).slice(50, 60)
+    assert part.equals(whole)
+
+
+def test_summary_matches_row_fold(ray_session):
+    import ray.data
+
+    tbl = _corpus(n=500, seed=5)
+    ds = ray.data.from_arrow(tbl).repartition(6)
+    got = (
+        code_filter_summary(ds)
+        .to_pandas()
+        .sort_values("drop_reason")
+        .reset_index(drop=True)
+    )
+    m = code_metrics(tbl)
+    keep, reason = code_decide(m)
+    nb = np.array([len(c.encode()) for c in tbl["content"].to_pylist()])
+    import pandas as pd
+
+    ref = (
+        pd.DataFrame({"drop_reason": reason.astype(str), "n": 1, "b": nb})
+        .groupby("drop_reason", as_index=False)
+        .agg(files=("n", "sum"), bytes=("b", "sum"))
+        .sort_values("drop_reason")
+        .reset_index(drop=True)
+    )
+    assert list(got["drop_reason"]) == list(ref["drop_reason"])
+    assert list(got["files"]) == list(ref["files"])
+    assert list(got["bytes"]) == list(ref["bytes"])
+    # enrichment actually produced every gate at n=500
+    assert {"license_copyleft", "generated", "vendored_path", "lockfile"} <= set(
+        got["drop_reason"]
+    )
