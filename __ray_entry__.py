@@ -3184,6 +3184,28 @@ def _q_code_filter_summary(sf_dir):
     return code_filter_summary(ds)
 
 
+def _q_repo_fork_pairs(sf_dir):
+    """Repo-level fork detection over the fork-enriched synthetic code
+    corpus: MinHash over each repo's file-hash set -> LSH banding ->
+    exact set-Jaccard verify (ops/forks.fork_detect — the fact table
+    ships only repo-sized signature partials).  Rows-only (synthetic
+    corpus); tests/test_forks.py gates exact-Jaccard parity vs Python
+    sets and planted-fork recall."""
+    import ray.data
+
+    from kenlm_ray.ops.forks import fork_detect, inject_forks
+    from kenlm_ray.sources.synth_corpus import write_corpus
+
+    n = max(2000, _documents(sf_dir).count() * 4)
+    paths = write_corpus(
+        f"/tmp/kenlm_ray_cache/codecur_corpus_{n}", n, seed=9, n_shards=8
+    )
+    ds = ray.data.read_parquet(paths).map_batches(
+        inject_forks, batch_format="pyarrow"
+    )
+    return fork_detect(ds, tau=0.5, num_perm=64, bands=16)
+
+
 def _q_doc_code_blob_metrics(sf_dir):
     """Code-curation byte metrics on the documents table (the SQL-
     expressible slice of ops/code_curation.code_metrics): line counts,
@@ -3527,6 +3549,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curation_recipe": _q_curation_recipe,
         "code_filter_summary": _q_code_filter_summary,
         "doc_code_blob_metrics": _q_doc_code_blob_metrics,
+        "repo_fork_pairs": _q_repo_fork_pairs,
         # rows-only checks (stateful / model-driven, not SQL-expressible)
         "quality_filter_flagship": _q_quality_filter,
         "repo_quality_stats": _q_repo_stats,

@@ -1,0 +1,403 @@
+"""Repo-level fork / near-fork detection: MinHash over each repo's
+*file-content-hash set*, LSH banding for candidates, and an exact
+set-Jaccard verify — the repository-granularity twin of the document
+MinHash-LSH in ops/dedup.py (fork removal is standard practice in
+public code-LLM corpus prep: a fork shares most file hashes with its
+upstream, so set-Jaccard over content hashes finds it without reading
+any content).
+
+Distributed shape (100 TB / 10^12 files, repo catalog ≪ corpus):
+
+1. **Signatures** (`repo_signatures`) — one pass over (repo, sha):
+   per batch, rows group by repo and each of the ``num_perm`` universal
+   hashes folds to a per-repo min, so a batch emits ONE partial row per
+   repo present (num_perm uint64 columns); a repo-keyed groupby with
+   per-column Min aggregates finishes.  The fact table never ships raw
+   rows — only repo-catalog-sized partials cross the wire.
+2. **Candidates** (`fork_candidates`) — signatures band-hash into
+   ``bands`` buckets; each band row carries the signature bytes so the
+   bucket computes pairwise agreement locally (no second join).  Bucket
+   sizes capped (`max_bucket`, star-degrade) exactly as
+   dedup.minhash_lsh_pairs.
+3. **Exact verify** (`fork_pairs_exact`) — for the bounded candidate
+   list: corpus filters to candidate repos (broadcast roster), ships
+   (sha_hash, repo) pairs deduped per batch, a sha-keyed groupby emits
+   per-pair intersection partials, and per-repo distinct counts come
+   from the same exchange; Jaccard = |A∩B| / (|A|+|B|−|A∩B|).
+
+Estimated agreement (step 2) is the scale path; exact verify runs on
+candidates only (pairs ≪ catalog).
+
+Reference anchor: the filter/vocabulary role (lm/filter) generalized to
+set-similarity over repo file inventories; signature math shared with
+ops/dedup.py (_minhash_params universal-hash family).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+from ray.data.aggregate import Min, Sum
+
+from .dedup import _MERSENNE, _minhash_params
+
+
+def _item_hashes(col: "pa.Array | pa.ChunkedArray") -> np.ndarray:
+    """uint64 content digest per row (first 8 bytes of sha1 — hashlib is
+    C-speed and length-proportional; content never pads into a matrix)."""
+    import hashlib
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    return np.array(
+        [
+            int.from_bytes(hashlib.sha1(s.encode()).digest()[:8], "little")
+            if s is not None
+            else 0
+            for s in col.to_pylist()
+        ],
+        dtype=np.uint64,
+    )
+
+
+def _sig_cols(num_perm: int) -> list[str]:
+    return [f"sig{p:02d}" for p in range(num_perm)]
+
+
+def repo_signatures(
+    ds: "ray.data.Dataset",
+    *,
+    repo_col: str = "repo",
+    item_col: str = "content",
+    item_is_hash: bool = False,
+    num_perm: int = 64,
+    seed: int = 1,
+) -> "ray.data.Dataset":
+    """(repo, sig00..sig{num_perm-1}) — MinHash of each repo's set of
+    item hashes.  ``item_col`` is hashed with MurmurHash64A unless
+    ``item_is_hash`` says it is already a uint64-compatible value."""
+    a, b = _minhash_params(num_perm, seed)
+    names = _sig_cols(num_perm)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        repos = batch[repo_col].to_numpy(zero_copy_only=False)
+        if item_is_hash:
+            h = batch[item_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        else:
+            h = _item_hashes(batch[item_col])
+        u, inv = np.unique(repos, return_inverse=True)
+        order = np.argsort(inv, kind="stable")
+        inv_s, h_s = inv[order], h[order]
+        starts = np.flatnonzero(np.concatenate([[True], inv_s[1:] != inv_s[:-1]]))
+        sm = h_s % _MERSENNE
+        cols: dict[str, "pa.Array | np.ndarray"] = {repo_col: u}
+        with np.errstate(over="ignore"):
+            for p in range(num_perm):
+                hv = (a[p] * sm + b[p]) % np.uint64(_MERSENNE)
+                cols[names[p]] = np.minimum.reduceat(hv, starts)
+        return pa.table(
+            {k: pa.array(v) if isinstance(v, np.ndarray) else v for k, v in cols.items()}
+        )
+
+    aggs = [Min(nm, alias_name=nm) for nm in names]
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(repo_col)
+        .aggregate(*aggs)
+    )
+
+
+def fork_candidates(
+    sigs: "ray.data.Dataset",
+    *,
+    repo_col: str = "repo",
+    num_perm: int = 64,
+    bands: int = 16,
+    tau: float = 0.5,
+    max_bucket: int = 200,
+) -> "ray.data.Dataset":
+    """Candidate (repo_a, repo_b, est_jaccard) pairs with estimated
+    signature agreement >= tau.  repo_a < repo_b; pairs from multiple
+    bands dedupe in a final exchange keyed on the pair."""
+    if num_perm % bands:
+        raise ValueError("num_perm must be divisible by bands")
+    rows_per_band = num_perm // bands
+    names = _sig_cols(num_perm)
+
+    def band_rows(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        sig = np.stack(
+            [batch[nm].to_numpy(zero_copy_only=False).astype(np.uint64) for nm in names],
+            axis=1,
+        )
+        repos = batch[repo_col].to_pylist()
+        out_repo: list[str] = []
+        out_band = np.empty(n * bands, dtype=np.int64)
+        out_bh = np.empty(n * bands, dtype=np.uint64)
+        out_sig: list[bytes] = []
+        sig_bytes = np.ascontiguousarray(sig).view(np.uint8).reshape(n, num_perm * 8)
+        for bi in range(bands):
+            seg = sig[:, bi * rows_per_band : (bi + 1) * rows_per_band]
+            # fold the band's rows with splitmix-style mixing
+            acc = np.full(n, 0x9E3779B97F4A7C15, dtype=np.uint64)
+            with np.errstate(over="ignore"):
+                for c in range(rows_per_band):
+                    acc = (acc ^ seg[:, c]) * np.uint64(0xBF58476D1CE4E5B9)
+                    acc ^= acc >> np.uint64(29)
+            out_band[bi * n : (bi + 1) * n] = bi
+            out_bh[bi * n : (bi + 1) * n] = acc
+            out_repo.extend(repos)
+            out_sig.extend(sig_bytes[i].tobytes() for i in range(n))
+        return pa.table(
+            {
+                "band": pa.array(out_band),
+                "bh": pa.array(out_bh),
+                repo_col: pa.array(out_repo, type=pa.string()),
+                "sig": pa.array(out_sig, type=pa.binary()),
+            }
+        )
+
+    def bucket_pairs(g: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "repo_a": pa.array([], type=pa.string()),
+                "repo_b": pa.array([], type=pa.string()),
+                "est_jaccard": pa.array([], type=pa.float64()),
+            }
+        )
+        n = g.num_rows
+        if n < 2:
+            return empty
+        repos = np.array(g[repo_col].to_pylist(), dtype=object)
+        order = np.argsort(repos.astype(str), kind="stable")
+        if n > max_bucket:  # star-degrade: anchor to the smallest repo id
+            order = order[:max_bucket]
+            n = max_bucket
+        repos = repos[order]
+        raw = g["sig"].to_pylist()
+        sig = np.stack(
+            [np.frombuffer(raw[i], dtype=np.uint64) for i in order], axis=0
+        )
+        ii, jj = np.triu_indices(n, k=1)
+        agree = (sig[ii] == sig[jj]).mean(axis=1)
+        keep = agree >= tau
+        if not keep.any():
+            return empty
+        return pa.table(
+            {
+                "repo_a": pa.array(repos[ii[keep]].tolist(), type=pa.string()),
+                "repo_b": pa.array(repos[jj[keep]].tolist(), type=pa.string()),
+                "est_jaccard": pa.array(agree[keep]),
+            }
+        )
+
+    def dedupe(g: pa.Table) -> pa.Table:
+        return g.slice(0, 1)
+
+    return (
+        sigs.map_batches(band_rows, batch_format="pyarrow")
+        .groupby(["band", "bh"])
+        .map_groups(bucket_pairs, batch_format="pyarrow")
+        .groupby(["repo_a", "repo_b"])
+        .map_groups(dedupe, batch_format="pyarrow")
+    )
+
+
+def fork_pairs_exact(
+    ds: "ray.data.Dataset",
+    candidates: list[tuple[str, str]],
+    *,
+    repo_col: str = "repo",
+    item_col: str = "content",
+    item_is_hash: bool = False,
+) -> "ray.data.Dataset":
+    """(repo_a, repo_b, inter, size_a, size_b, jaccard) — exact distinct
+    set intersections for the bounded candidate pair list.  One
+    sha-keyed exchange of deduped (hash, repo) rows restricted to the
+    candidate roster; sizes fall out of the same exchange."""
+    roster = sorted({r for p in candidates for r in p})
+    pair_set = {tuple(sorted(p)) for p in candidates}
+    roster_ref = ray.put(np.array(roster, dtype=object))
+    pairs_ref = ray.put(pair_set)
+
+    def hash_rows(batch: pa.Table) -> pa.Table:
+        want = ray.get(roster_ref)
+        repos = batch[repo_col].to_numpy(zero_copy_only=False)
+        srt = np.sort(want.astype(str))
+        idx = np.clip(np.searchsorted(srt, repos.astype(str)), 0, len(srt) - 1)
+        m = srt[idx] == repos.astype(str)
+        if not m.any():
+            return pa.table(
+                {"h": pa.array([], type=pa.uint64()),
+                 repo_col: pa.array([], type=pa.string())}
+            )
+        sub = batch.filter(pa.array(m))
+        if item_is_hash:
+            h = sub[item_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        else:
+            h = _item_hashes(sub[item_col])
+        rr = np.array(sub[repo_col].to_pylist(), dtype=object)
+        # in-batch (h, repo) dedupe
+        key = np.lexsort((rr.astype(str), h))
+        h_s, r_s = h[key], rr[key]
+        keep = np.empty(len(h_s), dtype=bool)
+        if len(h_s):
+            keep[0] = True
+            keep[1:] = (h_s[1:] != h_s[:-1]) | (r_s[1:] != r_s[:-1])
+        return pa.table(
+            {"h": pa.array(h_s[keep]), repo_col: pa.array(r_s[keep].tolist(), type=pa.string())}
+        )
+
+    def per_hash(g: pa.Table) -> pa.Table:
+        pairs = ray.get(pairs_ref)
+        repos = sorted(set(g[repo_col].to_pylist()))
+        rows_a, rows_b, inter = [], [], []
+        sz_repo, sz_one = [], []
+        for r in repos:
+            sz_repo.append(r)
+            sz_one.append(1)
+        for i in range(len(repos)):
+            for j in range(i + 1, len(repos)):
+                p = (repos[i], repos[j])
+                if p in pairs:
+                    rows_a.append(p[0])
+                    rows_b.append(p[1])
+                    inter.append(1)
+        return pa.table(
+            {
+                "repo_a": pa.array(rows_a + sz_repo, type=pa.string()),
+                "repo_b": pa.array(rows_b + [""] * len(sz_repo), type=pa.string()),
+                "cnt": pa.array(inter + sz_one, type=pa.int64()),
+            }
+        )
+
+    counts = (
+        ds.map_batches(hash_rows, batch_format="pyarrow")
+        .groupby("h")
+        .map_groups(per_hash, batch_format="pyarrow")
+        .groupby(["repo_a", "repo_b"])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+    ).to_pandas()  # bounded: |pairs| + |roster| rows
+    sizes = {
+        r: int(c)
+        for r, b, c in counts.itertuples(index=False)
+        if b == ""
+    }
+    inter_by_pair = {
+        (r_a, r_b): int(c)
+        for r_a, r_b, c in counts.itertuples(index=False)
+        if r_b != ""
+    }
+    out_a, out_b, out_i, out_sa, out_sb, out_j = [], [], [], [], [], []
+    for p in sorted(pair_set):  # every requested pair, zero-overlap included
+        sa, sb = sizes.get(p[0], 0), sizes.get(p[1], 0)
+        c = inter_by_pair.get(p, 0)
+        union = sa + sb - c
+        out_a.append(p[0])
+        out_b.append(p[1])
+        out_i.append(c)
+        out_sa.append(sa)
+        out_sb.append(sb)
+        out_j.append(c / union if union else 0.0)
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "repo_a": pa.array(out_a, type=pa.string()),
+                "repo_b": pa.array(out_b, type=pa.string()),
+                "inter": pa.array(out_i, type=pa.int64()),
+                "size_a": pa.array(out_sa, type=pa.int64()),
+                "size_b": pa.array(out_sb, type=pa.int64()),
+                "jaccard": pa.array(out_j, type=pa.float64()),
+            }
+        )
+    )
+
+
+def fork_detect(
+    ds: "ray.data.Dataset",
+    *,
+    repo_col: str = "repo",
+    item_col: str = "content",
+    item_is_hash: bool = False,
+    num_perm: int = 64,
+    bands: int = 16,
+    tau: float = 0.5,
+    max_bucket: int = 200,
+    exact_verify: bool = True,
+    max_candidates: int = 100_000,
+) -> "ray.data.Dataset":
+    """End-to-end: signatures -> banded candidates -> (optional) exact
+    verify.  Returns exact (jaccard) pairs when verifying, else the
+    estimated pairs.  ``max_candidates`` bounds the driver-side roster
+    the exact pass broadcasts — above it the estimate is returned with
+    a loud warning (at 10^12-file scale run the exact pass per shard)."""
+    sigs = repo_signatures(
+        ds, repo_col=repo_col, item_col=item_col, item_is_hash=item_is_hash,
+        num_perm=num_perm, seed=1,
+    )
+    cand = fork_candidates(
+        sigs, repo_col=repo_col, num_perm=num_perm, bands=bands,
+        tau=tau, max_bucket=max_bucket,
+    )
+    if not exact_verify:
+        return cand
+    cd = cand.to_pandas()  # candidate pairs ≪ catalog
+    if len(cd) == 0:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "repo_a": pa.array([], type=pa.string()),
+                    "repo_b": pa.array([], type=pa.string()),
+                    "inter": pa.array([], type=pa.int64()),
+                    "size_a": pa.array([], type=pa.int64()),
+                    "size_b": pa.array([], type=pa.int64()),
+                    "jaccard": pa.array([], type=pa.float64()),
+                }
+            )
+        )
+    if len(cd) > max_candidates:
+        import warnings
+
+        warnings.warn(
+            f"fork_detect: {len(cd)} candidates > max_candidates="
+            f"{max_candidates}; returning ESTIMATED pairs (run "
+            "fork_pairs_exact per candidate shard for exact jaccard)"
+        )
+        return cand
+    pairs = list(zip(cd["repo_a"], cd["repo_b"]))
+    out = fork_pairs_exact(
+        ds, pairs, repo_col=repo_col, item_col=item_col, item_is_hash=item_is_hash
+    )
+    return out.filter(lambda r: r["jaccard"] >= tau)
+
+
+def inject_forks(batch: pa.Table, *, repo_col: str = "repo",
+                 frac_rows: float = 0.6, suffix: str = "-fork") -> pa.Table:
+    """Deterministic fork enrichment for the synthetic corpus: append a
+    copy of ~frac_rows of each repo's rows under '<repo><suffix>'
+    (selection keyed on a hash of the commit column — partitioning-
+    invariant).  The fork shares those files' content exactly, so
+    exact jaccard(repo, fork) ≈ frac / (1 + frac - frac)."""
+    import hashlib
+
+    commits = batch["commit"].to_pylist()
+    h = np.array(
+        [int.from_bytes(hashlib.sha1(str(c).encode()).digest()[:8], "little")
+         for c in commits],
+        dtype=np.uint64,
+    )
+    sel = (h % np.uint64(1000)) < np.uint64(int(frac_rows * 1000))
+    if not sel.any():
+        return batch
+    copy = batch.filter(pa.array(sel))
+    forked = pc.binary_join_element_wise(
+        copy[repo_col].cast(pa.string()), pa.scalar(suffix), ""
+    )
+    copy = copy.set_column(
+        copy.schema.get_field_index(repo_col), repo_col, forked
+    )
+    return pa.concat_tables([batch, copy]).combine_chunks()

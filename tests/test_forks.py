@@ -1,0 +1,120 @@
+"""Repo-level fork detection (ops/forks) vs pure-Python set references
+on a planted-fork synthetic corpus."""
+
+import numpy as np
+import pyarrow as pa
+
+from kenlm_ray.ops.forks import (
+    _item_hashes,
+    fork_candidates,
+    fork_detect,
+    fork_pairs_exact,
+    inject_forks,
+    repo_signatures,
+)
+from kenlm_ray.sources.synth_corpus import gen_table
+
+
+def _corpus(n=600, seed=4):
+    return inject_forks(gen_table(seed, 0, n), frac_rows=0.7)
+
+
+def _repo_sets(tbl):
+    h = _item_hashes(tbl["content"])
+    repos = tbl["repo"].to_pylist()
+    sets: dict[str, set] = {}
+    for r, hh in zip(repos, h):
+        sets.setdefault(r, set()).add(int(hh))
+    return sets
+
+
+def test_signatures_partitioning_invariant(ray_session):
+    import ray.data
+
+    tbl = _corpus(n=300, seed=9)
+    a = (
+        repo_signatures(ray.data.from_arrow(tbl).repartition(2), num_perm=16)
+        .to_pandas()
+        .sort_values("repo")
+        .reset_index(drop=True)
+    )
+    b = (
+        repo_signatures(ray.data.from_arrow(tbl).repartition(13), num_perm=16)
+        .to_pandas()
+        .sort_values("repo")
+        .reset_index(drop=True)
+    )
+    assert a.equals(b)
+
+
+def test_exact_pairs_match_python_sets(ray_session):
+    import ray.data
+
+    tbl = _corpus(n=500, seed=4)
+    sets = _repo_sets(tbl)
+    repos = sorted(sets)
+    # candidate list: every (repo, repo-fork) pair + a couple of unrelated
+    pairs = [(r, r + "-fork") for r in repos if r + "-fork" in sets]
+    pairs += [(repos[0], repos[-1])]
+    got = (
+        fork_pairs_exact(ray.data.from_arrow(tbl).repartition(5), pairs)
+        .to_pandas()
+        .set_index(["repo_a", "repo_b"])
+    )
+    for p in pairs:
+        a, b = sorted(p)
+        sa, sb = sets[a], sets[b]
+        inter = len(sa & sb)
+        row = got.loc[(a, b)]
+        assert int(row["inter"]) == inter
+        assert int(row["size_a"]) == len(sa)
+        assert int(row["size_b"]) == len(sb)
+        exp_j = inter / len(sa | sb) if (sa or sb) else 0.0
+        assert abs(float(row["jaccard"]) - exp_j) < 1e-12
+
+
+def test_fork_detect_finds_planted_forks(ray_session):
+    import ray.data
+
+    tbl = _corpus(n=600, seed=4)
+    sets = _repo_sets(tbl)
+    expected = {
+        tuple(sorted((r, r + "-fork")))
+        for r in sets
+        if r + "-fork" in sets
+        and len(sets[r] & sets[r + "-fork"]) / len(sets[r] | sets[r + "-fork"]) >= 0.5
+    }
+    got = fork_detect(
+        ray.data.from_arrow(tbl).repartition(6), tau=0.5, num_perm=64, bands=16
+    ).to_pandas()
+    found = {tuple(sorted((a, b))) for a, b in zip(got["repo_a"], got["repo_b"])}
+    # exact verify filters to true jaccard >= tau, so no false positives
+    for p in found:
+        sa, sb = sets[p[0]], sets[p[1]]
+        assert len(sa & sb) / len(sa | sb) >= 0.5
+    # MinHash recall on 0.7-fraction forks (true J ~= 0.7) is essentially 1
+    missed = expected - found
+    assert len(missed) <= max(1, len(expected) // 10), (len(expected), missed)
+
+
+def test_candidates_estimate_close_to_true_jaccard(ray_session):
+    import ray.data
+
+    tbl = _corpus(n=500, seed=8)
+    sets = _repo_sets(tbl)
+    sigs = repo_signatures(ray.data.from_arrow(tbl), num_perm=128)
+    cand = fork_candidates(sigs, num_perm=128, bands=32, tau=0.4).to_pandas()
+    assert len(cand)
+    for a, b, est in cand[["repo_a", "repo_b", "est_jaccard"]].itertuples(index=False):
+        true_j = len(sets[a] & sets[b]) / len(sets[a] | sets[b])
+        assert abs(est - true_j) < 0.25, (a, b, est, true_j)
+
+
+def test_inject_forks_partitioning_invariant():
+    whole = inject_forks(gen_table(3, 0, 200))
+    p1 = inject_forks(gen_table(3, 0, 100))
+    p2 = inject_forks(gen_table(3, 100, 200))
+    merged = pa.concat_tables([p1, p2])
+    # same multiset of (repo, commit) rows regardless of batch boundaries
+    key = lambda t: sorted(zip(t["repo"].to_pylist(), t["commit"].to_pylist()))
+    assert key(whole) == key(merged)
