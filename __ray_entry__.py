@@ -3184,6 +3184,39 @@ def _q_code_filter_summary(sf_dir):
     return code_filter_summary(ds)
 
 
+def _q_late_event_flags(sf_dir):
+    """Streaming watermark semantics on the stored event log: flag
+    events that arrived after the watermark passed them (global
+    exclusive prefix-max over arrival order — ops/stream, bucket-range
+    decomposition, no global sort)."""
+    import ray.data
+
+    from kenlm_ray.ops.stream import watermark_late_flags
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_id", "ts"]
+    )
+    return watermark_late_flags(ds, delay_us=3_600_000_000).select_columns(
+        ["event_id", "is_late"]
+    )
+
+
+def _q_watermark_window_counts(sf_dir):
+    """Tumbling-window on-time vs late event counts under a 1h
+    watermark delay (what a live streaming job would emit on this log;
+    ops/stream.watermark_window_counts)."""
+    import ray.data
+
+    from kenlm_ray.ops.stream import watermark_window_counts
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_id", "ts"]
+    )
+    return watermark_window_counts(
+        ds, delay_us=3_600_000_000, window_us=3_600_000_000
+    )
+
+
 def _q_repo_fork_pairs(sf_dir):
     """Repo-level fork detection over the fork-enriched synthetic code
     corpus: MinHash over each repo's file-hash set -> LSH banding ->
@@ -3550,6 +3583,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "code_filter_summary": _q_code_filter_summary,
         "doc_code_blob_metrics": _q_doc_code_blob_metrics,
         "repo_fork_pairs": _q_repo_fork_pairs,
+        "late_event_flags": _q_late_event_flags,
+        "watermark_window_counts": _q_watermark_window_counts,
         # rows-only checks (stateful / model-driven, not SQL-expressible)
         "quality_filter_flagship": _q_quality_filter,
         "repo_quality_stats": _q_repo_stats,
@@ -5933,6 +5968,37 @@ def oracle_sql() -> dict[str, str]:
                        len(regexp_extract_all(text, '(key|hash) \w+')) AS nm
                 FROM documents
             ) GROUP BY lang
+        """,
+        "late_event_flags": """
+            WITH f AS (
+                SELECT event_id, epoch_us(ts) AS us,
+                       max(epoch_us(ts)) OVER (
+                           ORDER BY event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                       ) AS run
+                FROM events
+            )
+            SELECT event_id,
+                   coalesce(us < run - 3600000000, false) AS is_late
+            FROM f
+        """,
+        "watermark_window_counts": """
+            WITH f AS (
+                SELECT epoch_us(ts) AS us,
+                       coalesce(
+                           epoch_us(ts) < max(epoch_us(ts)) OVER (
+                               ORDER BY event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                           ) - 3600000000,
+                           false
+                       ) AS late
+                FROM events
+            )
+            SELECT (floor(us / 3600000000) * 3600000000)::BIGINT AS window_start,
+                   sum(CASE WHEN late THEN 0 ELSE 1 END)::BIGINT AS on_time,
+                   sum(CASE WHEN late THEN 1 ELSE 0 END)::BIGINT AS late
+            FROM f
+            GROUP BY window_start
         """,
         "doc_code_blob_metrics": r"""
             SELECT doc_id,

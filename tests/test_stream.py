@@ -1,0 +1,126 @@
+"""Watermark / late-event semantics (ops/stream) vs a sequential pandas
+reference on sf0.001 events, plus partitioning-invariance and edge
+cases (first arrival, all-late, empty)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from kenlm_ray.ops.stream import watermark_late_flags, watermark_window_counts
+
+SF = "/root/testdata/sf0.001"
+DELAY = 3_600_000_000
+
+
+def _events():
+    df = pq.read_table(f"{SF}/events.parquet", columns=["event_id", "ts"]).to_pandas()
+    df["us"] = df["ts"].astype("int64")
+    return df.sort_values("event_id").reset_index(drop=True)
+
+
+def _ref_flags(df, delay=DELAY):
+    run = df["us"].cummax().shift(1)  # exclusive prefix max in arrival order
+    wm = run - delay
+    late = df["us"] < wm
+    return pd.DataFrame(
+        {
+            "event_id": df["event_id"],
+            "is_late": late.fillna(False).astype(bool),
+            "watermark_us": wm,
+        }
+    )
+
+
+def test_flags_match_sequential_reference(ray_session):
+    import ray.data
+
+    df = _events()
+    got = (
+        watermark_late_flags(
+            ray.data.read_parquet(f"{SF}/events.parquet", columns=["event_id", "ts"]),
+            delay_us=DELAY,
+            n_buckets=32,
+        )
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    ref = _ref_flags(df)
+    assert len(got) == len(ref)
+    assert (got["event_id"].to_numpy() == ref["event_id"].to_numpy()).all()
+    assert (got["is_late"].to_numpy() == ref["is_late"].to_numpy()).all()
+    # watermark: engine uses int64 min as −∞ for the first arrival
+    m = ~ref["watermark_us"].isna()
+    assert (
+        got.loc[m, "watermark_us"].to_numpy()
+        == ref.loc[m, "watermark_us"].to_numpy().astype(np.int64)
+    ).all()
+    assert (got.loc[~m, "watermark_us"] == np.iinfo(np.int64).min).all()
+
+
+def test_bucket_count_invariance(ray_session):
+    import ray.data
+
+    ds = ray.data.read_parquet(f"{SF}/events.parquet", columns=["event_id", "ts"])
+    a = (
+        watermark_late_flags(ds, n_buckets=7)
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    b = (
+        watermark_late_flags(ds, n_buckets=256)
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    assert a.equals(b)
+
+
+def test_window_counts_match_reference(ray_session):
+    import ray.data
+
+    df = _events()
+    ref_flags = _ref_flags(df)
+    w = (df["us"] // DELAY) * DELAY
+    ref = (
+        pd.DataFrame({"window_start": w, "late": ref_flags["is_late"]})
+        .groupby("window_start", as_index=False)
+        .agg(on_time=("late", lambda s: int((~s).sum())), late=("late", "sum"))
+    )
+    got = (
+        watermark_window_counts(
+            ray.data.read_parquet(f"{SF}/events.parquet", columns=["event_id", "ts"]),
+            delay_us=DELAY,
+            window_us=DELAY,
+        )
+        .to_pandas()
+        .sort_values("window_start")
+        .reset_index(drop=True)
+    )
+    ref = ref.sort_values("window_start").reset_index(drop=True)
+    assert (got["window_start"].to_numpy() == ref["window_start"].to_numpy()).all()
+    assert (got["on_time"].to_numpy() == ref["on_time"].to_numpy()).all()
+    assert (got["late"].to_numpy().astype(int) == ref["late"].to_numpy().astype(int)).all()
+
+
+def test_synthetic_late_pattern(ray_session):
+    import ray.data
+
+    # arrival order 0..5; ts: 0, 100, 10 (late), 150, 149 (on-time: delay 50
+    # → wm=100), 20 (late)
+    tbl = pa.table(
+        {
+            "event_id": pa.array([0, 1, 2, 3, 4, 5], type=pa.int64()),
+            "ts": pa.array([0, 100, 10, 150, 149, 20], type=pa.int64()),
+        }
+    )
+    got = (
+        watermark_late_flags(
+            ray.data.from_arrow(tbl).repartition(3), delay_us=50, n_buckets=4
+        )
+        .to_pandas()
+        .sort_values("event_id")
+    )
+    assert list(got["is_late"]) == [False, False, True, False, False, True]
