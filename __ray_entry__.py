@@ -3184,6 +3184,39 @@ def _q_code_filter_summary(sf_dir):
     return code_filter_summary(ds)
 
 
+def _q_snapshot_diff_docs(sf_dir):
+    """Snapshot delta classification (ops/snapshot.snapshot_diff — only
+    key+hash tuples shuffle, coarse-bucket exchange) between two
+    deterministic derivations of the documents table: old drops
+    doc_id%10==3, new drops doc_id%10==0 and patches doc_id%7==0."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+
+    from kenlm_ray.ops.snapshot import snapshot_diff
+
+    import numpy as np
+
+    def _mod(t, m):
+        return pa.array(t["doc_id"].to_numpy(zero_copy_only=False) % m)
+
+    def old_fn(t: pa.Table) -> pa.Table:
+        return t.filter(pc.not_equal(_mod(t, 10), 3))
+
+    def new_fn(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.not_equal(_mod(t, 10), 0))
+        patched = pc.binary_join_element_wise(t["text"], pa.scalar(" v2"), "")
+        text = pc.if_else(pc.equal(_mod(t, 7), 0), patched, t["text"])
+        return t.set_column(t.schema.get_field_index("text"), "text", text)
+
+    base = lambda: _documents(sf_dir)
+    old = base().map_batches(old_fn, batch_format="pyarrow")
+    new = base().map_batches(new_fn, batch_format="pyarrow")
+    return snapshot_diff(
+        old, new, key_cols=("doc_id",), text_col="text"
+    ).select_columns(["doc_id", "status"])
+
+
 def _q_late_event_flags(sf_dir):
     """Streaming watermark semantics on the stored event log: flag
     events that arrived after the watermark passed them (global
@@ -3583,6 +3616,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "code_filter_summary": _q_code_filter_summary,
         "doc_code_blob_metrics": _q_doc_code_blob_metrics,
         "repo_fork_pairs": _q_repo_fork_pairs,
+        "snapshot_diff_docs": _q_snapshot_diff_docs,
         "late_event_flags": _q_late_event_flags,
         "watermark_window_counts": _q_watermark_window_counts,
         # rows-only checks (stateful / model-driven, not SQL-expressible)
@@ -5968,6 +6002,23 @@ def oracle_sql() -> dict[str, str]:
                        len(regexp_extract_all(text, '(key|hash) \w+')) AS nm
                 FROM documents
             ) GROUP BY lang
+        """,
+        "snapshot_diff_docs": """
+            WITH old AS (
+                SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 3
+            ),
+            new AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 7 = 0 THEN text || ' v2'
+                            ELSE text END AS text
+                FROM documents WHERE doc_id % 10 <> 0
+            )
+            SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+                   CASE WHEN o.doc_id IS NULL THEN 'added'
+                        WHEN n.doc_id IS NULL THEN 'removed'
+                        WHEN o.text = n.text THEN 'unchanged'
+                        ELSE 'modified' END AS status
+            FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
         """,
         "late_event_flags": """
             WITH f AS (

@@ -1,0 +1,169 @@
+"""Corpus snapshot diff: given two crawls/dumps of the same logical
+table, classify every key as added / removed / modified / unchanged —
+the incremental-ingest primitive (process only what changed, carry
+curation verdicts forward for the rest) that makes re-running a 100-TB
+pipeline on a monthly dump affordable.
+
+Distributed shape: each side maps to (key…, side, content-hash) rows —
+the CONTENT never crosses the wire, only fixed-width key+hash tuples —
+and ONE exchange keyed on a COARSE key-hash bucket (not per key: a
+corpus has 10^9+ keys and per-key groups are death by tiny pandas
+frames) resolves every key inside its bucket with vectorized
+run-detection over lexsorted (key, side, hash) rows.  Per-status
+totals come from in-batch partial counts + a 4-row groupby.  Pairs
+with the incremental Bloom dedup (ops/incremental.py) which handles
+*document identity* across runs; this handles *keyed table* deltas.
+
+Reference anchor: the reference's model-buffer intermediates
+(lm/builder) persist between passes so later passes reprocess only
+what they must; snapshot_diff generalizes that to arbitrary keyed
+corpus tables.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data
+from ray.data.aggregate import Sum
+
+from .forks import _item_hashes
+
+STATUSES = ("added", "removed", "modified", "unchanged")
+
+
+def _splitmix(x: np.ndarray) -> np.ndarray:
+    x = (x + np.uint64(0x9E3779B97F4A7C15)).astype(np.uint64)
+    x = ((x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)).astype(np.uint64)
+    x = ((x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)).astype(np.uint64)
+    return x ^ (x >> np.uint64(31))
+
+
+def _key_bucket(batch: pa.Table, key_cols: list, P: int) -> np.ndarray:
+    """Coarse bucket from a mixed hash of all key columns."""
+    acc = np.zeros(batch.num_rows, dtype=np.uint64)
+    for k in key_cols:
+        col = batch[k]
+        if pa.types.is_integer(col.type):
+            hv = _splitmix(col.to_numpy(zero_copy_only=False).astype(np.uint64))
+        else:
+            hv = _item_hashes(col)
+        with np.errstate(over="ignore"):
+            acc = _splitmix(acc ^ hv)
+    return (acc % np.uint64(P)).astype(np.int64)
+
+
+def _hash_side(ds: "ray.data.Dataset", key_cols: list, text_col: str,
+               hash_col: "str | None", side: int, P: int) -> "ray.data.Dataset":
+    def fn(batch: pa.Table) -> pa.Table:
+        if hash_col is not None:
+            h = batch[hash_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        else:
+            h = _item_hashes(batch[text_col])
+        cols = {k: batch[k] for k in key_cols}
+        cols["__side"] = pa.array(np.full(batch.num_rows, side, dtype=np.int8))
+        cols["__h"] = pa.array(h)
+        cols["__b"] = pa.array(_key_bucket(batch, key_cols, P))
+        return pa.table(cols)
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def snapshot_diff(
+    old: "ray.data.Dataset",
+    new: "ray.data.Dataset",
+    *,
+    key_cols: "tuple[str, ...]" = ("repo", "path"),
+    text_col: str = "content",
+    hash_col: "str | None" = None,
+    num_buckets: int = 64,
+) -> "ray.data.Dataset":
+    """(key…, status) per key present in either snapshot.
+
+    A key duplicated WITHIN one snapshot is resolved by content-hash
+    set equality (modified iff the sets differ) — dup keys in a crawl
+    are a data bug this op must not hide, so the multiplicity is
+    surfaced via ``n_old`` / ``n_new`` columns.
+    """
+    keys = list(key_cols)
+    P = num_buckets
+    both = _hash_side(old, keys, text_col, hash_col, 0, P).union(
+        _hash_side(new, keys, text_col, hash_col, 1, P)
+    )
+
+    def resolve_bucket(g: pa.Table) -> pa.Table:
+        n = g.num_rows
+        if n == 0:
+            out = {k: g[k] for k in keys}
+            out["status"] = pa.array([], type=pa.string())
+            out["n_old"] = pa.array([], type=pa.int64())
+            out["n_new"] = pa.array([], type=pa.int64())
+            return pa.table(out)
+        # factorize the composite key
+        kid = np.zeros(n, dtype=np.int64)
+        for k in keys:
+            col = g[k]
+            arr = (
+                col.to_numpy(zero_copy_only=False)
+                if pa.types.is_integer(col.type)
+                else np.asarray(col.to_pylist(), dtype=object)
+            )
+            _, inv = np.unique(arr, return_inverse=True)
+            kid = kid * (int(inv.max()) + 1) + inv
+            _, kid = np.unique(kid, return_inverse=True)  # recompress: no overflow
+        nk = int(kid.max()) + 1
+        side = g["__side"].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = g["__h"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((h, side, kid))
+        kid_s, side_s, h_s = kid[order], side[order], h[order]
+        n0 = np.bincount(kid[side == 0], minlength=nk)
+        n1 = np.bincount(kid[side == 1], minlength=nk)
+        starts = np.concatenate([[0], np.cumsum(n0 + n1)[:-1]])
+        status = np.full(nk, "modified", dtype=object)
+        status[n0 == 0] = "added"
+        status[n1 == 0] = "removed"
+        # unchanged: equal counts AND elementwise-equal sorted hash runs
+        cand = np.flatnonzero((n0 == n1) & (n0 > 0))
+        if len(cand):
+            m = n0[cand]
+            within = np.arange(int(m.sum())) - np.repeat(np.cumsum(m) - m, m)
+            idx0 = np.repeat(starts[cand], m) + within
+            eq_rows = (h_s[idx0] == h_s[idx0 + np.repeat(m, m)]).view(np.uint8)
+            seg = np.cumsum(m) - m
+            eq_key = np.minimum.reduceat(eq_rows, seg) == 1
+            status[cand[eq_key]] = "unchanged"
+        first = order[starts]  # a representative row per key
+        out = {k: g[k].take(pa.array(first)) for k in keys}
+        out["status"] = pa.array(status.tolist(), type=pa.string())
+        out["n_old"] = pa.array(n0.astype(np.int64))
+        out["n_new"] = pa.array(n1.astype(np.int64))
+        return pa.table(out)
+
+    return both.groupby("__b").map_groups(resolve_bucket, batch_format="pyarrow")
+
+
+def snapshot_diff_summary(
+    old: "ray.data.Dataset",
+    new: "ray.data.Dataset",
+    **kwargs,
+) -> "ray.data.Dataset":
+    """(status, n_keys) totals — four rows out."""
+    diff = snapshot_diff(old, new, **kwargs)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        st = np.asarray(batch["status"].to_pylist(), dtype=object)
+        u, c = np.unique(st.astype(str), return_counts=True)
+        return pa.table(
+            {
+                "status": pa.array(u.tolist(), type=pa.string()),
+                "n_keys": pa.array(c.astype(np.int64)),
+            }
+        )
+
+    return (
+        diff.map_batches(partial, batch_format="pyarrow")
+        .groupby("status")
+        .aggregate(Sum("n_keys", alias_name="n_keys"))
+    )

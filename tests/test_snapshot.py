@@ -1,0 +1,112 @@
+"""Snapshot diff (ops/snapshot) vs a pandas full-outer-join reference,
+on both the synthetic code corpus ((repo, path) keys, planted deltas)
+and derived documents snapshots (int key)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from kenlm_ray.ops.snapshot import snapshot_diff, snapshot_diff_summary
+from kenlm_ray.sources.synth_corpus import gen_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def _two_snapshots(n=400, seed=6):
+    """old = rows 0..n; new = old minus every 10th row (removed), plus a
+    modification of every 7th, plus n//5 fresh rows (added)."""
+    base = gen_table(seed, 0, n).to_pandas()
+    old = base.copy()
+    new = base[base.index % 10 != 0].copy()
+    mod = new.index % 7 == 0
+    new.loc[mod, "content"] = new.loc[mod, "content"] + "\n// patched\n"
+    added = gen_table(seed + 1, n, n + n // 5).to_pandas()
+    new = pd.concat([new, added], ignore_index=True)
+    return old, new
+
+
+def _ref(old, new):
+    o = old[["repo", "path", "content"]].rename(columns={"content": "c_old"})
+    nw = new[["repo", "path", "content"]].rename(columns={"content": "c_new"})
+    j = o.merge(nw, on=["repo", "path"], how="outer", indicator=True)
+    st = np.where(
+        j["_merge"] == "left_only",
+        "removed",
+        np.where(
+            j["_merge"] == "right_only",
+            "added",
+            np.where(j["c_old"] == j["c_new"], "unchanged", "modified"),
+        ),
+    )
+    return pd.DataFrame({"repo": j["repo"], "path": j["path"], "status": st})
+
+
+def test_diff_matches_pandas_outer_join(ray_session):
+    import ray.data
+
+    old, new = _two_snapshots()
+    # keys are unique per snapshot in this corpus — check the precondition
+    assert not old.duplicated(["repo", "path"]).any()
+    assert not new.duplicated(["repo", "path"]).any()
+    got = (
+        snapshot_diff(
+            ray.data.from_pandas(old).repartition(4),
+            ray.data.from_pandas(new).repartition(7),
+            key_cols=("repo", "path"),
+        )
+        .to_pandas()
+        .sort_values(["repo", "path"])
+        .reset_index(drop=True)
+    )
+    ref = _ref(old, new).sort_values(["repo", "path"]).reset_index(drop=True)
+    assert len(got) == len(ref)
+    assert (got["repo"] == ref["repo"]).all()
+    assert (got["path"] == ref["path"]).all()
+    assert (got["status"] == ref["status"]).all()
+    assert (got["n_old"] <= 1).all() and (got["n_new"] <= 1).all()
+
+
+def test_duplicate_keys_surface_multiplicity(ray_session):
+    import ray.data
+
+    old = pa.table(
+        {"k": [1, 1, 2, 3], "content": ["a", "b", "c", "d"]}
+    )
+    new = pa.table(
+        {"k": [1, 1, 2, 4], "content": ["b", "a", "c2", "e"]}
+    )
+    got = (
+        snapshot_diff(
+            ray.data.from_arrow(old),
+            ray.data.from_arrow(new),
+            key_cols=("k",),
+        )
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    # key 1: same multiset {a,b} both sides -> unchanged, n=2 each
+    assert got.loc[got["k"] == 1, "status"].iloc[0] == "unchanged"
+    assert int(got.loc[got["k"] == 1, "n_old"].iloc[0]) == 2
+    assert got.loc[got["k"] == 2, "status"].iloc[0] == "modified"
+    assert got.loc[got["k"] == 3, "status"].iloc[0] == "removed"
+    assert got.loc[got["k"] == 4, "status"].iloc[0] == "added"
+
+
+def test_summary_counts(ray_session):
+    import ray.data
+
+    old, new = _two_snapshots(n=300, seed=2)
+    ref = _ref(old, new)["status"].value_counts()
+    got = (
+        snapshot_diff_summary(
+            ray.data.from_pandas(old),
+            ray.data.from_pandas(new),
+            key_cols=("repo", "path"),
+        )
+        .to_pandas()
+        .set_index("status")["n_keys"]
+    )
+    for s in ("added", "removed", "modified", "unchanged"):
+        assert int(got.get(s, 0)) == int(ref.get(s, 0)), s
