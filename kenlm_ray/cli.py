@@ -421,6 +421,93 @@ def cmd_pq(args) -> int:
     return 0
 
 
+def cmd_codefilter(args) -> int:
+    """The-Stack-style code-curation gates (license / generated /
+    vendored / lockfile / minified / blob) over a code corpus; writes
+    the metric+decision table, prints the per-reason summary."""
+    _ray_init()
+    import ray.data
+
+    from kenlm_ray.ops.code_curation import (
+        CodeFilterConfig,
+        code_filter_stage,
+        code_filter_summary,
+    )
+
+    cfg = CodeFilterConfig(
+        drop_copyleft=not args.keep_copyleft,
+        drop_unknown_license=args.drop_unknown_license,
+        max_line_len=args.max_line_len,
+        min_alnum_frac=args.min_alnum_frac,
+    )
+    ds = ray.data.read_parquet(args.corpus)
+    if args.out:
+        out = ds.map_batches(
+            code_filter_stage(cfg, text_col=args.text_col),
+            batch_format="pyarrow",
+        )
+        if args.keep_only:
+            out = out.filter(lambda r: r["keep"])
+        out.write_parquet(args.out)
+    summary = code_filter_summary(ds, cfg, text_col=args.text_col).to_pandas()
+    import json
+
+    print(summary.sort_values("drop_reason").to_string(index=False))
+    print(json.dumps({"reasons": int(len(summary))}))
+    return 0
+
+
+def cmd_forks(args) -> int:
+    """Repo-level fork detection: MinHash over file-hash sets + LSH
+    banding + exact Jaccard verify; writes the pair table."""
+    _ray_init()
+    import ray.data
+
+    from kenlm_ray.ops.forks import fork_detect
+
+    ds = ray.data.read_parquet(args.corpus)
+    out = fork_detect(
+        ds,
+        repo_col=args.repo_col,
+        item_col=args.text_col,
+        tau=args.tau,
+        num_perm=args.num_perm,
+        bands=args.bands,
+        exact_verify=not args.no_verify,
+    )
+    out.write_parquet(args.out)
+    import json
+
+    print(json.dumps({"out": args.out, "tau": args.tau}))
+    return 0
+
+
+def cmd_snapshot_diff(args) -> int:
+    """Classify keys across two corpus snapshots as added / removed /
+    modified / unchanged; writes the per-key status table and prints
+    the summary."""
+    _ray_init()
+    import ray.data
+
+    from kenlm_ray.ops.snapshot import snapshot_diff, snapshot_diff_summary
+
+    keys = tuple(args.keys.split(","))
+    old = ray.data.read_parquet(args.old)
+    new = ray.data.read_parquet(args.new)
+    if args.out:
+        snapshot_diff(
+            old, new, key_cols=keys, text_col=args.text_col
+        ).write_parquet(args.out)
+    s = snapshot_diff_summary(
+        ray.data.read_parquet(args.old),
+        ray.data.read_parquet(args.new),
+        key_cols=keys,
+        text_col=args.text_col,
+    ).to_pandas()
+    print(s.sort_values("status").to_string(index=False))
+    return 0
+
+
 def cmd_benchmark(args) -> int:
     """Query-throughput benchmark — the reference's ``kenlm_benchmark``
     (lm/kenlm_benchmark_main.cc): ``--emit-ids`` converts a text corpus
@@ -1531,6 +1618,50 @@ def main(argv=None) -> int:
     sPQ.add_argument("-k", type=int, default=32)
     sPQ.add_argument("--iters", type=int, default=10)
     sPQ.set_defaults(fn=cmd_pq)
+
+    sCF = sub.add_parser(
+        "codefilter",
+        help="The-Stack-style code gates: license/generated/vendored/"
+        "lockfile/minified/blob; summary + optional filtered output",
+    )
+    sCF.add_argument("corpus", help="code parquet (repo,path,lang,content)")
+    sCF.add_argument("--out", default=None, help="write metric+decision table")
+    sCF.add_argument("--text-col", default="content")
+    sCF.add_argument("--keep-copyleft", action="store_true")
+    sCF.add_argument("--drop-unknown-license", action="store_true")
+    sCF.add_argument("--keep-only", action="store_true",
+                     help="write only kept rows")
+    sCF.add_argument("--max-line-len", type=int, default=1000)
+    sCF.add_argument("--min-alnum-frac", type=float, default=0.25)
+    sCF.set_defaults(fn=cmd_codefilter)
+
+    sFK = sub.add_parser(
+        "forks",
+        help="repo-level fork detection (MinHash over file-hash sets, "
+        "LSH bands, exact Jaccard verify)",
+    )
+    sFK.add_argument("corpus")
+    sFK.add_argument("out")
+    sFK.add_argument("--repo-col", default="repo")
+    sFK.add_argument("--text-col", default="content")
+    sFK.add_argument("--tau", type=float, default=0.5)
+    sFK.add_argument("--num-perm", type=int, default=64)
+    sFK.add_argument("--bands", type=int, default=16)
+    sFK.add_argument("--no-verify", action="store_true",
+                     help="skip the exact-Jaccard pass (estimates only)")
+    sFK.set_defaults(fn=cmd_forks)
+
+    sSD = sub.add_parser(
+        "snapshot-diff",
+        help="added/removed/modified/unchanged keys across two corpus "
+        "snapshots (incremental-ingest delta)",
+    )
+    sSD.add_argument("old", help="old snapshot parquet")
+    sSD.add_argument("new", help="new snapshot parquet")
+    sSD.add_argument("--out", default=None, help="write per-key status table")
+    sSD.add_argument("--keys", default="repo,path", help="comma-separated key columns")
+    sSD.add_argument("--text-col", default="content")
+    sSD.set_defaults(fn=cmd_snapshot_diff)
 
     args = p.parse_args(argv)
     return args.fn(args)
