@@ -3184,6 +3184,19 @@ def _q_code_filter_summary(sf_dir):
     return code_filter_summary(ds)
 
 
+def _q_event_transitions(sf_dir):
+    """First-order Markov transition counts over each user's event
+    sequence (ops/transitions — one coarse user-bucket exchange,
+    vocabulary-sized partials)."""
+    import ray.data
+
+    from kenlm_ray.ops.transitions import event_transitions
+
+    return event_transitions(
+        ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"))
+    )
+
+
 def _q_snapshot_diff_docs(sf_dir):
     """Snapshot delta classification (ops/snapshot.snapshot_diff — only
     key+hash tuples shuffle, coarse-bucket exchange) between two
@@ -3617,6 +3630,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_code_blob_metrics": _q_doc_code_blob_metrics,
         "repo_fork_pairs": _q_repo_fork_pairs,
         "snapshot_diff_docs": _q_snapshot_diff_docs,
+        "event_transitions": _q_event_transitions,
         "late_event_flags": _q_late_event_flags,
         "watermark_window_counts": _q_watermark_window_counts,
         # rows-only checks (stateful / model-driven, not SQL-expressible)
@@ -6002,6 +6016,19 @@ def oracle_sql() -> dict[str, str]:
                        len(regexp_extract_all(text, '(key|hash) \w+')) AS nm
                 FROM documents
             ) GROUP BY lang
+        """,
+        "event_transitions": """
+            WITH s AS (
+                SELECT event_type,
+                       lead(event_type) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                       ) AS next_type
+                FROM events
+            )
+            SELECT event_type AS from_type, next_type AS to_type,
+                   count(*)::BIGINT AS n
+            FROM s WHERE next_type IS NOT NULL
+            GROUP BY from_type, to_type
         """,
         "snapshot_diff_docs": """
             WITH old AS (

@@ -1,0 +1,110 @@
+"""Event-sequence transition matrix (first-order Markov counts): for
+each user's events in time order, count consecutive (from_type →
+to_type) pairs — the session-flow / clickstream-model primitive
+(LEAD() OVER (PARTITION BY user ORDER BY ts) + GROUP BY in SQL terms).
+
+Shape: ONE coarse user-hash-bucket exchange (the event_lag_gaps
+discipline — never one group per user); inside a bucket, one lexsort
+by (user, ts, id), a shifted same-user mask, and a vectorized
+np.unique over combined (from, to) codes.  Each bucket emits at most
+|type-vocabulary|² partial rows; a tiny groupby finishes.  At 10^12
+events only (user, ts, id, type-code) tuples cross the wire and the
+output is vocabulary-sized.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data
+from ray.data.aggregate import Sum
+
+
+def event_transitions(
+    ds: "ray.data.Dataset",
+    *,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+    num_partitions: int = 16,
+) -> "ray.data.Dataset":
+    """(from_type, to_type, n) over consecutive same-user event pairs,
+    ordered by (ts, id) within user."""
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        k = batch[key_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            x = (k ^ (k >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+            x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+            x ^= x >> np.uint64(31)
+        return batch.append_column(
+            "__pb", pa.array((x % np.uint64(num_partitions)).astype(np.int64))
+        )
+
+    def pairs(g: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "from_type": pa.array([], type=pa.string()),
+                "to_type": pa.array([], type=pa.string()),
+                "n": pa.array([], type=pa.int64()),
+            }
+        )
+        if g.num_rows < 2:
+            return empty
+        u = g[key_col].to_numpy(zero_copy_only=False)
+        ts = g[ts_col]
+        if pa.types.is_timestamp(ts.type):
+            ts = ts.cast(pa.int64())
+        t = ts.to_numpy(zero_copy_only=False).astype(np.int64)
+        eid = g[id_col].to_numpy(zero_copy_only=False)
+        types, code = np.unique(
+            np.asarray(g[type_col].to_pylist(), dtype=object), return_inverse=True
+        )
+        order = np.lexsort((eid, t, u))
+        u_s, c_s = u[order], code[order]
+        same = u_s[1:] == u_s[:-1]
+        if not same.any():
+            return empty
+        frm = c_s[:-1][same]
+        to = c_s[1:][same]
+        combo = frm * len(types) + to
+        uc, cnt = np.unique(combo, return_counts=True)
+        return pa.table(
+            {
+                "from_type": pa.array(types[uc // len(types)].tolist(), type=pa.string()),
+                "to_type": pa.array(types[uc % len(types)].tolist(), type=pa.string()),
+                "n": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    return (
+        ds.select_columns([key_col, ts_col, id_col, type_col])
+        .map_batches(bucket, batch_format="pyarrow")
+        .groupby("__pb")
+        .map_groups(lambda g: pairs(g.drop_columns(["__pb"])), batch_format="pyarrow")
+        .groupby(["from_type", "to_type"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+
+def transition_probabilities(
+    ds: "ray.data.Dataset", **kwargs
+) -> "ray.data.Dataset":
+    """Row-normalized transition matrix: (from_type, to_type, n, p)
+    where p = n / Σ_to n.  The count table is vocabulary-sized, so the
+    normalization is one in-memory pass over the finished aggregate."""
+    counts = event_transitions(ds, **kwargs)
+
+    def norm(batch: pa.Table) -> pa.Table:
+        frm = np.asarray(batch["from_type"].to_pylist(), dtype=object)
+        n = batch["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        u, inv = np.unique(frm.astype(str), return_inverse=True)
+        tot = np.zeros(len(u))
+        np.add.at(tot, inv, n)
+        return batch.append_column("p", pa.array(n / tot[inv]))
+
+    # one block: the aggregate is |types|^2 rows
+    return counts.repartition(1).map_batches(norm, batch_format="pyarrow")

@@ -1,0 +1,78 @@
+"""Markov transition counts (ops/transitions) vs a pandas LEAD
+reference on sf0.001 events."""
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+
+from kenlm_ray.ops.transitions import event_transitions, transition_probabilities
+
+SF = "/root/testdata/sf0.001"
+
+
+def _ref():
+    df = (
+        pq.read_table(
+            f"{SF}/events.parquet", columns=["user_id", "ts", "event_id", "event_type"]
+        )
+        .to_pandas()
+        .sort_values(["user_id", "ts", "event_id"])
+    )
+    df["next"] = df.groupby("user_id")["event_type"].shift(-1)
+    pairs = df.dropna(subset=["next"])
+    return (
+        pairs.groupby(["event_type", "next"], as_index=False)
+        .size()
+        .rename(columns={"event_type": "from_type", "next": "to_type", "size": "n"})
+        .sort_values(["from_type", "to_type"])
+        .reset_index(drop=True)
+    )
+
+
+def test_transitions_match_pandas(ray_session):
+    import ray.data
+
+    got = (
+        event_transitions(ray.data.read_parquet(f"{SF}/events.parquet"))
+        .to_pandas()
+        .sort_values(["from_type", "to_type"])
+        .reset_index(drop=True)
+    )
+    ref = _ref()
+    assert len(got) == len(ref)
+    assert (got["from_type"] == ref["from_type"]).all()
+    assert (got["to_type"] == ref["to_type"]).all()
+    assert (got["n"].to_numpy().astype(int) == ref["n"].to_numpy().astype(int)).all()
+
+
+def test_partition_count_invariance(ray_session):
+    import ray.data
+
+    ds = ray.data.read_parquet(f"{SF}/events.parquet")
+    a = (
+        event_transitions(ds, num_partitions=3)
+        .to_pandas()
+        .sort_values(["from_type", "to_type"])
+        .reset_index(drop=True)
+    )
+    b = (
+        event_transitions(ds, num_partitions=64)
+        .to_pandas()
+        .sort_values(["from_type", "to_type"])
+        .reset_index(drop=True)
+    )
+    assert a.equals(b)
+
+
+def test_probabilities_row_normalize(ray_session):
+    import ray.data
+
+    got = transition_probabilities(
+        ray.data.read_parquet(f"{SF}/events.parquet")
+    ).to_pandas()
+    sums = got.groupby("from_type")["p"].sum()
+    assert np.allclose(sums.to_numpy(), 1.0)
+    # p consistent with n
+    for frm, grp in got.groupby("from_type"):
+        tot = grp["n"].sum()
+        assert np.allclose(grp["p"], grp["n"] / tot)
