@@ -3184,17 +3184,40 @@ def _q_code_filter_summary(sf_dir):
     return code_filter_summary(ds)
 
 
-def _q_event_transitions(sf_dir):
-    """First-order Markov transition counts over each user's event
-    sequence (ops/transitions — one coarse user-bucket exchange,
-    vocabulary-sized partials)."""
+def _q_incremental_quality_stats(sf_dir):
+    """Incremental quality-filter run over two synthetic corpus
+    snapshots: rescore only added/modified files, carry unchanged
+    verdicts via partitioned semi-joins
+    (pipelines/incremental_quality). Returns the per-status key counts;
+    rows-only — tests/test_incremental_quality.py proves incremental ==
+    full-run verdict equality row for row."""
     import ray.data
 
-    from kenlm_ray.ops.transitions import event_transitions
-
-    return event_transitions(
-        ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"))
+    from kenlm_ray.pipelines.incremental_quality import incremental_quality
+    from kenlm_ray.pipelines.quality_filter import (
+        build_quality_pipeline,
+        seed_model_path,
     )
+    from kenlm_ray.sources.synth_corpus import write_corpus
+
+    n = max(1000, _documents(sf_dir).count() * 2)
+    old_paths = write_corpus(
+        f"/tmp/kenlm_ray_cache/incq_old_{n}", n, seed=31, n_shards=4
+    )
+    new_paths = write_corpus(
+        f"/tmp/kenlm_ray_cache/incq_new_{n}", n + n // 8, seed=31, n_shards=4
+    )
+    mp = seed_model_path()
+    old = ray.data.read_parquet(old_paths)
+    old_scored = build_quality_pipeline(old, mp).materialize()
+    out, stats = incremental_quality(
+        ray.data.read_parquet(old_paths),
+        old_scored,
+        ray.data.read_parquet(new_paths),
+        mp,
+    )
+    out.count()  # drive the incremental scoring path end-to-end
+    return stats
 
 
 def _q_snapshot_diff_docs(sf_dir):
@@ -3630,7 +3653,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_code_blob_metrics": _q_doc_code_blob_metrics,
         "repo_fork_pairs": _q_repo_fork_pairs,
         "snapshot_diff_docs": _q_snapshot_diff_docs,
-        "event_transitions": _q_event_transitions,
+        "incremental_quality_stats": _q_incremental_quality_stats,
         "late_event_flags": _q_late_event_flags,
         "watermark_window_counts": _q_watermark_window_counts,
         # rows-only checks (stateful / model-driven, not SQL-expressible)
@@ -6016,19 +6039,6 @@ def oracle_sql() -> dict[str, str]:
                        len(regexp_extract_all(text, '(key|hash) \w+')) AS nm
                 FROM documents
             ) GROUP BY lang
-        """,
-        "event_transitions": """
-            WITH s AS (
-                SELECT event_type,
-                       lead(event_type) OVER (
-                           PARTITION BY user_id ORDER BY ts, event_id
-                       ) AS next_type
-                FROM events
-            )
-            SELECT event_type AS from_type, next_type AS to_type,
-                   count(*)::BIGINT AS n
-            FROM s WHERE next_type IS NOT NULL
-            GROUP BY from_type, to_type
         """,
         "snapshot_diff_docs": """
             WITH old AS (

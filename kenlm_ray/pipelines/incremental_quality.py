@@ -1,0 +1,129 @@
+"""Incremental quality-filter run: given last month's corpus snapshot
+and its scored verdict table, process a new snapshot by RESCORING ONLY
+added/modified files and carrying every unchanged file's verdict
+forward — the delta-processing pattern that turns a monthly 100-TB
+re-run into a job proportional to the crawl's churn rate.
+
+Correctness invariant (pytest-gated): the quality pipeline is a pure
+function of row content, so incremental output == a full re-run on the
+new snapshot, row for row.
+
+Distributed shape: the snapshot diff ships key+hash tuples only
+(ops/snapshot.py); the changed-key and unchanged-key sets route rows
+via PARTITIONED semi-joins (ops/join.hash_join — never a driver
+broadcast, churn can be corpus-scale); only the added/modified slice
+flows through the actor-pool scoring stages.  Carried verdicts stream
+straight from the old scored parquet.
+
+Composes: ops/snapshot.snapshot_diff + ops/join.hash_join +
+pipelines/quality_filter.build_quality_pipeline.  The per-partition
+checkpoint/lineage layer (state/checkpoint.py) applies to the rescored
+slice exactly as in a full run.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+import ray
+import ray.data
+
+from kenlm_ray.ops.join import hash_join
+from kenlm_ray.ops.snapshot import snapshot_diff
+from kenlm_ray.pipelines.quality_filter import (
+    SCORED_COLUMNS,
+    build_quality_pipeline,
+)
+
+CORPUS_COLS = {
+    "repo": pa.string(),
+    "path": pa.string(),
+    "commit": pa.string(),
+    "lang": pa.string(),
+    "content": pa.string(),
+}
+
+
+def incremental_quality(
+    old_corpus: "ray.data.Dataset",
+    old_scored: "ray.data.Dataset",
+    new_corpus: "ray.data.Dataset",
+    model_path: "str | None" = None,
+    *,
+    key_cols: "tuple[str, ...]" = ("repo", "path"),
+    num_partitions: int = 16,
+    **pipeline_kwargs,
+) -> "tuple[ray.data.Dataset, ray.data.Dataset]":
+    """(scored new snapshot, per-status key counts).
+
+    ``old_scored`` must be the (projected) output of
+    ``build_quality_pipeline`` over ``old_corpus`` — its rows for
+    unchanged keys are reused verbatim.
+    """
+    keys = list(key_cols)
+    diff = snapshot_diff(old_corpus, new_corpus, key_cols=key_cols)
+
+    key_types = {k: CORPUS_COLS.get(k, pa.string()) for k in keys}
+    diff_keyed = diff.select_columns(keys + ["status"])
+
+    def _status_filter(statuses: tuple):
+        vals = pa.array(list(statuses), type=pa.string())
+
+        def fn(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            return t.filter(pc.is_in(t["status"], value_set=vals)).select(keys)
+
+        return fn
+
+    changed = diff_keyed.map_batches(
+        _status_filter(("added", "modified")), batch_format="pyarrow"
+    )
+    unchanged = diff_keyed.map_batches(
+        _status_filter(("unchanged",)), batch_format="pyarrow"
+    )
+
+    to_score = hash_join(
+        new_corpus,
+        changed,
+        on=keys,
+        left_cols=CORPUS_COLS,
+        right_cols=key_types,
+        how="semi",
+        num_partitions=num_partitions,
+    )
+    scored_cols = {
+        "repo": pa.string(),
+        "path": pa.string(),
+        "commit": pa.string(),
+        "lang": pa.string(),
+        "content_scrubbed": pa.string(),
+        "content_sha256": pa.string(),
+        "keep": pa.bool_(),
+        "drop_reason": pa.string(),
+        "langid": pa.string(),
+        "langid_conf": pa.float64(),
+        "token_count": pa.int64(),
+        "oov_count": pa.int64(),
+        "logprob_sum": pa.float64(),
+        "ppl": pa.float64(),
+        "rule_flags": pa.string(),
+    }
+    carried = hash_join(
+        old_scored,
+        unchanged,
+        on=keys,
+        left_cols=scored_cols,
+        right_cols=key_types,
+        how="semi",
+        num_partitions=num_partitions,
+    )
+    rescored = build_quality_pipeline(to_score, model_path, **pipeline_kwargs)
+    out = rescored.select_columns(SCORED_COLUMNS).union(
+        carried.select_columns(SCORED_COLUMNS)
+    )
+
+    from ray.data.aggregate import Count
+
+    stats = diff.groupby("status").aggregate(Count(alias_name="n_keys"))
+    return out, stats

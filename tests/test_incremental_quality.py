@@ -1,0 +1,71 @@
+"""Incremental quality run (pipelines/incremental_quality): the scored
+output over the new snapshot must equal a full re-run row for row,
+while only the churned slice flows through the scoring stages."""
+
+import pandas as pd
+
+from kenlm_ray.sources.synth_corpus import gen_table
+
+
+def _snapshots(n=240, seed=21):
+    base = gen_table(seed, 0, n).to_pandas()
+    old = base.copy()
+    new = base[base.index % 9 != 0].copy()  # removed
+    mod = new.index % 5 == 0
+    new.loc[mod, "content"] = new.loc[mod, "content"] + "\nextra line\n"  # modified
+    added = gen_table(seed + 7, n, n + n // 6).to_pandas()
+    return old, pd.concat([new, added], ignore_index=True)
+
+
+def test_incremental_equals_full_run(ray_session):
+    import ray.data
+
+    from kenlm_ray.pipelines.incremental_quality import incremental_quality
+    from kenlm_ray.pipelines.quality_filter import (
+        SCORED_COLUMNS,
+        build_quality_pipeline,
+        seed_model_path,
+    )
+
+    old_df, new_df = _snapshots()
+    mp = seed_model_path()
+    old_scored = build_quality_pipeline(
+        ray.data.from_pandas(old_df).repartition(3), mp, batch_size=128
+    ).materialize()
+
+    inc, stats = incremental_quality(
+        ray.data.from_pandas(old_df).repartition(4),
+        old_scored,
+        ray.data.from_pandas(new_df).repartition(5),
+        mp,
+        batch_size=128,
+    )
+    got = inc.to_pandas().sort_values(["repo", "path"]).reset_index(drop=True)
+    full = (
+        build_quality_pipeline(
+            ray.data.from_pandas(new_df).repartition(2), mp, batch_size=128
+        )
+        .to_pandas()
+        .sort_values(["repo", "path"])
+        .reset_index(drop=True)
+    )
+    assert list(got.columns) == list(full.columns) == SCORED_COLUMNS
+    assert len(got) == len(full) == len(new_df)
+    for c in SCORED_COLUMNS:
+        if got[c].dtype.kind == "f":
+            import numpy as np
+
+            assert np.allclose(
+                got[c].to_numpy(), full[c].to_numpy(), equal_nan=True
+            ), c
+        else:
+            assert (got[c].fillna("") == full[c].fillna("")).all(), c
+
+    st = stats.to_pandas().set_index("status")["n_keys"]
+    n = len(old_df)
+    assert int(st["removed"]) == len(old_df[old_df.index % 9 == 0])
+    assert int(st.get("added", 0)) == n // 6
+    # every new-snapshot key is accounted for
+    assert int(st.get("added", 0)) + int(st.get("modified", 0)) + int(
+        st.get("unchanged", 0)
+    ) == len(new_df)
