@@ -191,6 +191,14 @@ def run_queries() -> dict[str, float]:
         "containment_near_dup_pairs",
         "priority_late_ship_counts",
         "events_ks_drift",
+        "top_unshipped_orders",
+        "supplier_count_by_part",
+        "doc_code_blob_metrics",
+        "code_filter_summary",
+        "repo_fork_pairs",
+        "late_event_flags",
+        "snapshot_diff_docs",
+        "event_transitions",
     ]
     # best-of-QUERY_ROUNDS with the rounds INTERLEAVED (all queries once,
     # then all again): a co-tenant noise burst lands inside one round and

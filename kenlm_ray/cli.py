@@ -447,7 +447,10 @@ def cmd_codefilter(args) -> int:
             batch_format="pyarrow",
         )
         if args.keep_only:
-            out = out.filter(lambda r: r["keep"])
+
+            out = out.map_batches(
+                lambda t: t.filter(t["keep"]), batch_format="pyarrow"
+            )
         out.write_parquet(args.out)
     summary = code_filter_summary(ds, cfg, text_col=args.text_col).to_pandas()
     import json
