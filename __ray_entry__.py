@@ -3184,6 +3184,47 @@ def _q_code_filter_summary(sf_dir):
     return code_filter_summary(ds)
 
 
+def _q_notebook_extract_stats(sf_dir):
+    """Jupyter-notebook cleaning over a notebook-enriched synthetic code
+    corpus (stages/notebooks — pure map, per-row C-speed JSON parse
+    gated by a vectorized path pre-filter): per-source cell/output
+    totals of the converted rows.  Rows-only; tests/test_notebooks.py
+    gates the known cell structure, nbformat 3+4, and malformed
+    passthrough."""
+    import pyarrow as pa
+    import ray.data
+    from ray.data.aggregate import Count, Sum
+
+    from kenlm_ray.stages.notebooks import inject_notebooks, notebook_clean_stage
+    from kenlm_ray.sources.synth_corpus import write_corpus
+
+    n = max(2000, _documents(sf_dir).count() * 4)
+    paths = write_corpus(
+        f"/tmp/kenlm_ray_cache/codecur_corpus_{n}", n, seed=9, n_shards=8
+    )
+    ds = (
+        ray.data.read_parquet(paths)
+        .map_batches(inject_notebooks, batch_format="pyarrow")
+        .map_batches(notebook_clean_stage(), batch_format="pyarrow")
+    )
+
+    def keep_nb(t: pa.Table) -> pa.Table:
+        return t.filter(t["is_notebook"]).select(
+            ["repo", "n_code_cells", "n_md_cells", "n_outputs"]
+        )
+
+    return (
+        ds.map_batches(keep_nb, batch_format="pyarrow")
+        .groupby("repo")
+        .aggregate(
+            Count(alias_name="n_notebooks"),
+            Sum("n_code_cells", alias_name="code_cells"),
+            Sum("n_md_cells", alias_name="md_cells"),
+            Sum("n_outputs", alias_name="outputs_stripped"),
+        )
+    )
+
+
 def _q_incremental_quality_stats(sf_dir):
     """Incremental quality-filter run over two synthetic corpus
     snapshots: rescore only added/modified files, carry unchanged
@@ -3654,6 +3695,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repo_fork_pairs": _q_repo_fork_pairs,
         "snapshot_diff_docs": _q_snapshot_diff_docs,
         "incremental_quality_stats": _q_incremental_quality_stats,
+        "notebook_extract_stats": _q_notebook_extract_stats,
         "late_event_flags": _q_late_event_flags,
         "watermark_window_counts": _q_watermark_window_counts,
         # rows-only checks (stateful / model-driven, not SQL-expressible)

@@ -1,0 +1,225 @@
+"""Jupyter-notebook cleaning for code corpora: parse .ipynb JSON,
+extract code-cell source (what a code LM should train on), count cell
+types, and strip outputs/execution counts — the notebook-conversion
+step every public code-LLM pipeline applies (notebooks are a large
+fraction of crawled Python, and raw .ipynb JSON is mostly base64
+images and repeated metadata).
+
+Supports nbformat 4 (``cells`` with ``source``) and nbformat 3
+(``worksheets[].cells`` with ``input``).  Malformed JSON / non-notebook
+rows are passed through unchanged and flagged, never dropped silently.
+
+Shape: pure map stage — per-row ``json.loads`` (C-speed, proportional
+to file size, exactly like the sha256 stage); no shuffle, no state.
+Rows that are not notebooks skip the parse entirely via a vectorized
+path/prefix pre-filter.
+"""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+NB_COLUMNS = ["is_notebook", "nb_ok", "n_code_cells", "n_md_cells", "n_outputs"]
+
+
+def _cell_source(cell: dict) -> str:
+    src = cell.get("source", cell.get("input", ""))
+    if isinstance(src, list):
+        return "".join(str(s) for s in src)
+    return str(src)
+
+
+def parse_notebook(text: str) -> "dict | None":
+    """Extract code/markdown from one notebook's JSON; None if the text
+    is not parseable as a notebook."""
+    try:
+        nb = json.loads(text)
+    except (ValueError, RecursionError):
+        return None
+    if not isinstance(nb, dict):
+        return None
+    if "cells" in nb and isinstance(nb["cells"], list):
+        cells = nb["cells"]
+    elif "worksheets" in nb and isinstance(nb["worksheets"], list):
+        cells = [
+            c
+            for ws in nb["worksheets"]
+            if isinstance(ws, dict)
+            for c in ws.get("cells", [])
+        ]
+    else:
+        return None
+    code_parts: list[str] = []
+    md_parts: list[str] = []
+    n_code = n_md = n_out = 0
+    for c in cells:
+        if not isinstance(c, dict):
+            continue
+        ct = c.get("cell_type")
+        if ct == "code":
+            n_code += 1
+            code_parts.append(_cell_source(c))
+            outs = c.get("outputs", [])
+            n_out += len(outs) if isinstance(outs, list) else 0
+        elif ct == "markdown":
+            n_md += 1
+            md_parts.append(_cell_source(c))
+    return {
+        "code": "\n\n".join(code_parts),
+        "markdown": "\n\n".join(md_parts),
+        "n_code_cells": n_code,
+        "n_md_cells": n_md,
+        "n_outputs": n_out,
+    }
+
+
+def notebook_clean_stage(
+    *,
+    content_col: str = "content",
+    path_col: "str | None" = "path",
+    replace_content: bool = True,
+    include_markdown: bool = False,
+):
+    """map_batches fn: for .ipynb rows (by path suffix when available,
+    else a cheap JSON-prefix sniff), replace ``content_col`` with the
+    extracted code (optionally markdown as comments) and append
+    NB_COLUMNS; other rows pass through with is_notebook=false."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        content = batch[content_col]
+        if isinstance(content, pa.ChunkedArray):
+            content = content.combine_chunks()
+        if path_col is not None and path_col in batch.column_names:
+            is_nb = pc.match_substring_regex(
+                batch[path_col], r"(?i)\.ipynb$"
+            ).to_numpy(zero_copy_only=False)
+        else:
+            # sniff: notebooks start with '{' and name a cell container
+            # or nbformat within the head (key order varies by writer)
+            head = pc.utf8_slice_codeunits(content, 0, 256)
+            is_nb = pc.and_(
+                pc.starts_with(pc.utf8_trim_whitespace(head), "{"),
+                pc.match_substring_regex(
+                    head, r'"(cells|worksheets|nbformat)"'
+                ),
+            ).to_numpy(zero_copy_only=False)
+        ok = np.zeros(n, dtype=bool)
+        n_code = np.zeros(n, dtype=np.int64)
+        n_md = np.zeros(n, dtype=np.int64)
+        n_out = np.zeros(n, dtype=np.int64)
+        new_content = None
+        if is_nb.any():
+            texts = content.to_pylist()
+            new_content = list(texts)
+            for i in np.flatnonzero(is_nb):
+                parsed = parse_notebook(texts[i])
+                if parsed is None:
+                    continue
+                ok[i] = True
+                n_code[i] = parsed["n_code_cells"]
+                n_md[i] = parsed["n_md_cells"]
+                n_out[i] = parsed["n_outputs"]
+                if replace_content:
+                    body = parsed["code"]
+                    if include_markdown and parsed["markdown"]:
+                        md = "\n".join(
+                            "# " + l for l in parsed["markdown"].split("\n")
+                        )
+                        body = md + "\n\n" + body
+                    new_content[i] = body
+        out = batch
+        if replace_content and new_content is not None:
+            out = out.set_column(
+                out.schema.get_field_index(content_col),
+                content_col,
+                pa.array(new_content, type=pa.string()),
+            )
+        out = out.append_column("is_notebook", pa.array(is_nb))
+        out = out.append_column("nb_ok", pa.array(ok))
+        out = out.append_column("n_code_cells", pa.array(n_code))
+        out = out.append_column("n_md_cells", pa.array(n_md))
+        out = out.append_column("n_outputs", pa.array(n_out))
+        return out
+
+    return fn
+
+
+# ---------------------------------------------------------------------------
+# deterministic synthetic notebooks (tests / registry corpus enrichment)
+# ---------------------------------------------------------------------------
+
+def make_notebook(seed: int, *, nbformat: int = 4) -> str:
+    """Deterministic nbformat-4 (or -3) notebook JSON with a known cell
+    structure: (seed % 5)+1 code cells, (seed % 3) markdown cells, one
+    output per even code cell."""
+    n_code = seed % 5 + 1
+    n_md = seed % 3
+    code_cells = []
+    for i in range(n_code):
+        cell = {
+            "cell_type": "code",
+            "source": [f"x{i} = {seed} + {i}\n", f"print(x{i})\n"],
+            "outputs": (
+                [{"output_type": "stream", "text": [f"{seed + i}\n"]}]
+                if i % 2 == 0
+                else []
+            ),
+            "execution_count": i + 1,
+        }
+        code_cells.append(cell)
+    md_cells = [
+        {"cell_type": "markdown", "source": [f"## section {i} of nb {seed}\n"]}
+        for i in range(n_md)
+    ]
+    cells = []
+    for i in range(max(n_code, n_md)):
+        if i < n_md:
+            cells.append(md_cells[i])
+        if i < n_code:
+            cells.append(code_cells[i])
+    if nbformat == 4:
+        nb = {"cells": cells, "metadata": {}, "nbformat": 4, "nbformat_minor": 5}
+    else:
+        for c in cells:
+            if c["cell_type"] == "code":
+                c["input"] = c.pop("source")
+        nb = {"worksheets": [{"cells": cells}], "metadata": {}, "nbformat": 3}
+    return json.dumps(nb, sort_keys=True)
+
+
+def inject_notebooks(batch: pa.Table, *, every: int = 6,
+                     path_col: str = "path", content_col: str = "content",
+                     id_col: str = "commit") -> pa.Table:
+    """Deterministically convert ~1/every of the corpus rows into
+    synthetic notebooks (path -> .ipynb, content -> notebook JSON),
+    keyed on a hash of ``id_col`` — partitioning-invariant."""
+    import hashlib
+
+    ids = batch[id_col].to_pylist()
+    h = np.array(
+        [int.from_bytes(hashlib.sha1(str(s).encode()).digest()[:8], "little")
+         for s in ids],
+        dtype=np.uint64,
+    )
+    sel = (h % np.uint64(every)) == 0
+    if not sel.any():
+        return batch
+    path = batch[path_col].to_pylist()
+    content = batch[content_col].to_pylist()
+    for i in np.flatnonzero(sel):
+        seed = int(h[i] % np.uint64(1000))
+        path[i] = path[i].rsplit(".", 1)[0] + ".ipynb"
+        content[i] = make_notebook(seed)
+    out = batch.set_column(
+        batch.schema.get_field_index(path_col), path_col,
+        pa.array(path, type=pa.string()),
+    )
+    return out.set_column(
+        out.schema.get_field_index(content_col), content_col,
+        pa.array(content, type=pa.string()),
+    )

@@ -1,0 +1,88 @@
+"""Notebook cleaning (stages/notebooks) vs the known synthetic cell
+structure, nbformat 3+4, malformed passthrough, and pipeline use."""
+
+import json
+
+import numpy as np
+import pyarrow as pa
+
+from kenlm_ray.stages.notebooks import (
+    inject_notebooks,
+    make_notebook,
+    notebook_clean_stage,
+    parse_notebook,
+)
+from kenlm_ray.sources.synth_corpus import gen_table
+
+
+def test_parse_known_structure_v4_and_v3():
+    for fmt in (4, 3):
+        for seed in range(20):
+            p = parse_notebook(make_notebook(seed, nbformat=fmt))
+            assert p is not None, (fmt, seed)
+            assert p["n_code_cells"] == seed % 5 + 1
+            assert p["n_md_cells"] == seed % 3
+            # one output per even-indexed code cell
+            assert p["n_outputs"] == (seed % 5 + 1 + 1) // 2
+            assert f"x0 = {seed} + 0" in p["code"]
+            assert "output_type" not in p["code"]
+            if seed % 3:
+                assert f"section 0 of nb {seed}" in p["markdown"]
+
+
+def test_malformed_rows_pass_through():
+    assert parse_notebook("not json at all") is None
+    assert parse_notebook('{"no": "cells"}') is None
+    assert parse_notebook("[1, 2, 3]") is None
+
+
+def test_stage_replaces_content_and_flags(ray_session):
+    import ray.data
+
+    tbl = gen_table(17, 0, 240)
+    enriched = inject_notebooks(tbl)
+    out = (
+        ray.data.from_arrow(enriched)
+        .repartition(4)
+        .map_batches(notebook_clean_stage(), batch_format="pyarrow")
+        .to_pandas()
+    )
+    nb = out[out["is_notebook"]]
+    assert len(nb) > 10
+    assert nb["nb_ok"].all()
+    assert (nb["n_code_cells"] >= 1).all()
+    # extracted content is the code, not the JSON
+    assert not nb["content"].str.contains("nbformat").any()
+    assert nb["content"].str.contains("print\\(x0\\)").all()
+    # non-notebook rows untouched
+    other = out[~out["is_notebook"]]
+    orig = enriched.to_pandas().set_index("commit")
+    for commit, content in zip(other["commit"], other["content"]):
+        assert content == orig.loc[commit, "content"]
+
+
+def test_injection_partitioning_invariant():
+    whole = inject_notebooks(gen_table(9, 0, 120))
+    p1 = inject_notebooks(gen_table(9, 0, 60))
+    p2 = inject_notebooks(gen_table(9, 60, 120))
+    merged = pa.concat_tables([p1, p2])
+    assert whole.to_pandas().equals(merged.to_pandas())
+
+
+def test_sniff_mode_without_path(ray_session):
+    import ray.data
+
+    tbl = pa.table(
+        {
+            "content": [make_notebook(3), "def f():\n    return 1\n", "{}"]
+        }
+    )
+    out = (
+        ray.data.from_arrow(tbl)
+        .map_batches(
+            notebook_clean_stage(path_col=None), batch_format="pyarrow"
+        )
+        .to_pandas()
+    )
+    assert list(out["is_notebook"]) == [True, False, False]
+    assert list(out["nb_ok"]) == [True, False, False]
