@@ -1221,6 +1221,41 @@ def _q_regex_match_stats(sf_dir):
     return regex_match_stats(sf_dir)
 
 
+def _q_lang_budget_docs(sf_dir):
+    """Per-language byte budgets (The-Stack-style corpus mix): within
+    each lang keep docs by descending density until that language's
+    byte budget is spent — SUM(n_chars) OVER (PARTITION BY lang ORDER
+    BY density DESC, doc_id) <= budget, computed by the grouped
+    histogram-refinement walk (every language narrows in the SAME
+    passes; no global sort, no per-group scans)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from kenlm_ray.ops.budget import grouped_budget_select
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "lang", "n_chars"],
+    )
+
+    def with_density(batch: pa.Table) -> pa.Table:
+        did = batch["doc_id"].to_numpy(zero_copy_only=False)
+        nc = batch["n_chars"].to_numpy(zero_copy_only=False).astype(np.float64)
+        dens = (did % 97).astype(np.float64) / np.maximum(nc, 1.0)
+        return batch.append_column("density", pa.array(dens))
+
+    return grouped_budget_select(
+        ds.map_batches(with_density, batch_format="pyarrow").materialize(),
+        group_col="lang",
+        score_col="density",
+        cost_col="n_chars",
+        budget=20_000.0,
+        id_col="doc_id",
+        density_col="density",
+    ).select_columns(["doc_id", "lang", "n_chars"])
+
+
 def _q_budget_docs_select(sf_dir):
     """Token-budget curation: keep docs by descending chars-per-token
     density until 30% of the corpus's tokens are spent — SQL running-sum
@@ -3678,6 +3713,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "regex_match_stats": _q_regex_match_stats,
         "source_doc_cap": _q_source_doc_cap,
         "budget_docs_select": _q_budget_docs_select,
+        "lang_budget_docs": _q_lang_budget_docs,
         "lang_length_buckets": _q_lang_length_buckets,
         "soft_dedup_weights": _q_soft_dedup_weights,
         "retention_cohorts": _q_retention_cohorts,
@@ -6153,6 +6189,21 @@ def oracle_sql() -> dict[str, str]:
                        ) AS rn
                 FROM documents
             ) WHERE rn <= 3
+        """,
+        "lang_budget_docs": r"""
+            WITH d AS (
+                SELECT doc_id, lang, n_chars,
+                       ((doc_id % 97) * 1.0) / greatest(n_chars, 1) AS density
+                FROM documents
+            ),
+            r AS (
+                SELECT doc_id, lang, n_chars,
+                       sum(n_chars) OVER (
+                           PARTITION BY lang ORDER BY density DESC, doc_id
+                       ) AS run
+                FROM d
+            )
+            SELECT doc_id, lang, n_chars FROM r WHERE run <= 20000
         """,
         "budget_docs_select": r"""
             WITH tok AS (

@@ -256,3 +256,337 @@ def _final_filter(ds, density_of, cost_col, id_col, thresh, id_cutoff,
         return batch.filter(pa.array(mask))
 
     return ds.map_batches(keep, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# per-group budgets (The-Stack-style "token budget per language")
+# ---------------------------------------------------------------------------
+
+def grouped_budget_select(
+    ds: "ray.data.Dataset",
+    *,
+    group_col: str,
+    score_col: str,
+    cost_col: str,
+    budget: "float | dict",
+    id_col: str,
+    density_col: "str | None" = None,
+    driver_budget: int = 200_000,
+) -> "ray.data.Dataset":
+    """Per-group budget_select — SQL's
+
+        SUM(cost) OVER (PARTITION BY group ORDER BY density DESC, id)
+            <= budget[group]
+
+    with every group's histogram-refinement walk running in the SAME
+    passes: each pass ships one (group, bin) cost/count exchange for
+    all still-active groups (the driver holds |groups| x 4096
+    counters), so the corpus is scanned O(log_4096(range)) times TOTAL,
+    not per group.  ``budget``: one float for every group or a
+    {group: budget} dict (groups absent from the dict keep everything).
+    Group cardinality must be catalog-bounded (languages, sources) —
+    the per-group state lives on the driver.
+    """
+
+    def density_of(batch: pa.Table) -> np.ndarray:
+        if density_col is not None:
+            return batch[density_col].to_numpy(zero_copy_only=False).astype(
+                np.float64
+            )
+        s = batch[score_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        c = batch[cost_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            return np.where(c > 0, s / np.maximum(c, 1e-300), np.inf)
+
+    def groups_of(batch: pa.Table) -> np.ndarray:
+        return np.asarray(batch[group_col].to_pylist(), dtype=object)
+
+    # pass 0: per-group range + free/finite cost totals
+    def range_partial(batch: pa.Table) -> pa.Table:
+        d = density_of(batch)
+        c = batch[cost_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        g = groups_of(batch)
+        fin = np.isfinite(d)
+        u, inv = np.unique(g.astype(str), return_inverse=True)
+        lo = np.full(len(u), np.inf)
+        hi = np.full(len(u), -np.inf)
+        free = np.zeros(len(u))
+        tot = np.zeros(len(u))
+        np.minimum.at(lo, inv[fin], d[fin])
+        np.maximum.at(hi, inv[fin], d[fin])
+        np.add.at(free, inv[~fin], c[~fin])
+        np.add.at(tot, inv[fin], c[fin])
+        return pa.table(
+            {
+                "g": pa.array(u.tolist(), type=pa.string()),
+                "lo": pa.array(lo),
+                "hi": pa.array(hi),
+                "free": pa.array(free),
+                "tot": pa.array(tot),
+            }
+        )
+
+    stats = (
+        ds.map_batches(range_partial, batch_format="pyarrow")
+        .groupby("g")
+        .aggregate(
+            Min("lo", alias_name="lo"),
+            Max("hi", alias_name="hi"),
+            Sum("free", alias_name="free"),
+            Sum("tot", alias_name="tot"),
+        )
+    ).to_pandas()  # |groups| rows
+
+    def budget_of(g: str) -> float:
+        if isinstance(budget, dict):
+            return float(budget.get(g, np.inf))
+        return float(budget)
+
+    # per-group state: mode 'all' (keep everything), 'walk' (refining),
+    # final (thresh, band budget)
+    state: dict = {}
+    for g, lo, hi, free, tot in stats.itertuples(index=False):
+        rem = budget_of(g) - float(free)
+        if budget_of(g) <= 0:
+            state[g] = {"mode": "none"}
+        elif float(tot) <= rem or not np.isfinite(lo):
+            state[g] = {"mode": "all"}
+        else:
+            state[g] = {
+                "mode": "walk", "lo": float(lo), "hi": float(hi),
+                "inc": True, "above": 0.0, "rem": rem,
+            }
+
+    active = [g for g, s in state.items() if s["mode"] == "walk"]
+    per_group_driver = max(1024, driver_budget // max(len(active), 1))
+
+    while active:
+        ranges = {
+            g: (state[g]["lo"], state[g]["hi"], state[g]["inc"])
+            for g in active
+        }
+
+        def hist_partial(batch: pa.Table, ranges=ranges) -> pa.Table:
+            d = density_of(batch)
+            c = batch[cost_col].to_numpy(zero_copy_only=False).astype(np.float64)
+            g = groups_of(batch)
+            out_g: list[str] = []
+            out_b: list[np.ndarray] = []
+            out_c: list[np.ndarray] = []
+            out_n: list[np.ndarray] = []
+            for gv, (lo_, hi_, inc_) in ranges.items():
+                sel = g == gv
+                if not sel.any():
+                    continue
+                dv, cv = d[sel], c[sel]
+                m = np.isfinite(dv) & (dv >= lo_) & (
+                    (dv <= hi_) if inc_ else (dv < hi_)
+                )
+                if not m.any():
+                    continue
+                edges = _edges(lo_, hi_)
+                b = np.searchsorted(edges, dv[m], side="right")
+                cost = np.bincount(b, weights=cv[m], minlength=_BINS)
+                cnt = np.bincount(b, minlength=_BINS)
+                nz = np.nonzero(cnt)[0]
+                out_g.append(np.full(len(nz), gv, dtype=object))
+                out_b.append(nz.astype(np.int64))
+                out_c.append(cost[nz])
+                out_n.append(cnt[nz].astype(np.int64))
+            if not out_g:
+                return pa.table(
+                    {
+                        "g": pa.array([], type=pa.string()),
+                        "bin": pa.array([], type=pa.int64()),
+                        "cost": pa.array([], type=pa.float64()),
+                        "n": pa.array([], type=pa.int64()),
+                    }
+                )
+            return pa.table(
+                {
+                    "g": pa.array(
+                        np.concatenate(out_g).tolist(), type=pa.string()
+                    ),
+                    "bin": pa.array(np.concatenate(out_b)),
+                    "cost": pa.array(np.concatenate(out_c)),
+                    "n": pa.array(np.concatenate(out_n)),
+                }
+            )
+
+        rows = (
+            ds.map_batches(hist_partial, batch_format="pyarrow")
+            .groupby(["g", "bin"])
+            .aggregate(Sum("cost", alias_name="cost"), Sum("n", alias_name="n"))
+        ).to_pandas()
+
+        next_active = []
+        for gv in active:
+            s = state[gv]
+            sub = rows[rows["g"] == gv]
+            cost = np.zeros(_BINS)
+            cnt = np.zeros(_BINS, dtype=np.int64)
+            cost[sub["bin"].to_numpy()] = sub["cost"].to_numpy()
+            cnt[sub["bin"].to_numpy()] = sub["n"].to_numpy()
+            if int(cnt.sum()) <= per_group_driver:
+                s["mode"] = "finish"
+                continue
+            cum_top = np.cumsum(cost[::-1])[::-1]
+            need = s["rem"] - s["above"]
+            over = np.nonzero(cum_top > need)[0]
+            if len(over) == 0:
+                s["mode"] = "all"  # float drift: range fits
+                continue
+            b = int(over[-1])
+            s["above"] += float(cum_top[b] - cost[b])
+            edges = _edges(s["lo"], s["hi"])
+            new_lo = float(edges[b - 1]) if b > 0 else s["lo"]
+            if b == _BINS - 1:
+                new_hi, new_inc = s["hi"], s["inc"]
+            else:
+                new_hi, new_inc = float(edges[b]), False
+            if (new_lo == s["lo"] and new_hi == s["hi"]) or new_lo >= new_hi:
+                s["mode"] = "finish"
+                continue
+            s["lo"], s["hi"], s["inc"] = new_lo, new_hi, new_inc
+            next_active.append(gv)
+        active = next_active
+
+    # exact finish for all 'finish' groups in ONE shared pass
+    fin_groups = {g: state[g] for g in state if state[g]["mode"] == "finish"}
+    if fin_groups:
+        ranges = {g: (s["lo"], s["hi"], s["inc"]) for g, s in fin_groups.items()}
+
+        def vc_partial(batch: pa.Table, ranges=ranges) -> pa.Table:
+            d = density_of(batch)
+            c = batch[cost_col].to_numpy(zero_copy_only=False).astype(np.float64)
+            g = groups_of(batch)
+            gs: list = []
+            vs: list = []
+            cs: list = []
+            for gv, (lo_, hi_, inc_) in ranges.items():
+                sel = g == gv
+                if not sel.any():
+                    continue
+                dv, cv = d[sel], c[sel]
+                m = np.isfinite(dv) & (dv >= lo_) & (
+                    (dv <= hi_) if inc_ else (dv < hi_)
+                )
+                if not m.any():
+                    continue
+                u, inv = np.unique(dv[m], return_inverse=True)
+                gs.append(np.full(len(u), gv, dtype=object))
+                vs.append(u)
+                cs.append(np.bincount(inv, weights=cv[m]))
+            if not gs:
+                return pa.table(
+                    {
+                        "g": pa.array([], type=pa.string()),
+                        "v": pa.array([], type=pa.float64()),
+                        "cost": pa.array([], type=pa.float64()),
+                    }
+                )
+            return pa.table(
+                {
+                    "g": pa.array(np.concatenate(gs).tolist(), type=pa.string()),
+                    "v": pa.array(np.concatenate(vs)),
+                    "cost": pa.array(np.concatenate(cs)),
+                }
+            )
+
+        vrows = (
+            ds.map_batches(vc_partial, batch_format="pyarrow")
+            .groupby(["g", "v"])
+            .aggregate(Sum("cost", alias_name="cost"))
+        ).to_pandas()
+        for gv, s in fin_groups.items():
+            sub = vrows[vrows["g"] == gv]
+            vs = sub["v"].to_numpy()
+            cs = sub["cost"].to_numpy()
+            order = np.argsort(vs)[::-1]
+            vs, cs = vs[order], cs[order]
+            cum = np.cumsum(cs)
+            need = s["rem"] - s["above"]
+            over = np.nonzero(cum > need)[0]
+            if len(over) == 0:
+                s["mode"] = "band_all"
+                s["thresh"] = float(vs[-1]) if len(vs) else s["lo"]
+            else:
+                j = int(over[0])
+                s["mode"] = "band"
+                s["thresh"] = float(vs[j])
+                s["band_budget"] = need - (float(cum[j - 1]) if j > 0 else 0.0)
+
+    # boundary bands: one shared bounded fetch of (g, id, cost) at each
+    # band group's threshold density
+    band_groups = {g: s for g, s in state.items() if s["mode"] == "band"}
+    cutoffs: dict = {}
+    if band_groups:
+        thr = {g: s["thresh"] for g, s in band_groups.items()}
+
+        def band_partial(batch: pa.Table, thr=thr) -> pa.Table:
+            d = density_of(batch)
+            g = groups_of(batch)
+            c = batch[cost_col].to_numpy(zero_copy_only=False).astype(np.float64)
+            ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            mask = np.zeros(len(d), dtype=bool)
+            for gv, t in thr.items():
+                mask |= (g == gv) & (d == t)
+            return pa.table(
+                {
+                    "g": pa.array(g[mask].tolist(), type=pa.string()),
+                    "id": pa.array(ids[mask]),
+                    "c": pa.array(c[mask]),
+                }
+            )
+
+        brows = (
+            ds.map_batches(band_partial, batch_format="pyarrow")
+        ).to_pandas()
+        for gv, s in band_groups.items():
+            sub = brows[brows["g"] == gv].sort_values("id")
+            spent = 0.0
+            cut = _BAND_NONE
+            for _, r in sub.iterrows():
+                if spent + r["c"] > s["band_budget"]:
+                    break
+                spent += r["c"]
+                cut = int(r["id"])
+            cutoffs[gv] = cut
+
+    # final broadcast filter
+    final = {}
+    for gv, s in state.items():
+        if s["mode"] == "none":
+            final[gv] = ("none", 0.0, None)
+        elif s["mode"] == "all":
+            final[gv] = ("all", 0.0, None)
+        elif s["mode"] == "band_all":
+            final[gv] = ("thresh_all", s["thresh"], None)
+        else:
+            final[gv] = ("thresh", s["thresh"], cutoffs.get(gv, _BAND_NONE))
+
+    def keep(batch: pa.Table) -> pa.Table:
+        d = density_of(batch)
+        g = groups_of(batch)
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        mask = np.zeros(len(d), dtype=bool)
+        for gv in np.unique(g.astype(str)):
+            sel = g == gv
+            mode, thresh, cut = final.get(gv, ("all", 0.0, None))
+            if mode == "none":
+                continue
+            if mode == "all":
+                mask[sel] = True
+                continue
+            inf_m = ~np.isfinite(d)
+            if mode == "thresh_all":
+                mask[sel] = (inf_m | (d >= thresh))[sel]
+            elif cut == _BAND_NONE:
+                mask[sel] = (inf_m | (d > thresh))[sel]
+            else:
+                mask[sel] = (
+                    inf_m | (d > thresh) | ((d == thresh) & (ids <= int(cut)))
+                )[sel]
+        return batch.filter(pa.array(mask))
+
+    return ds.map_batches(keep, batch_format="pyarrow")

@@ -175,3 +175,96 @@ def test_budget_negative_ids_boundary(ray_session):
             keep.add(int(r.id))
         assert out["c"].sum() <= B
         assert set(out["id"].astype(np.int64)) == keep
+
+
+# ---------------------------------------------------------------------------
+# grouped_budget_select
+# ---------------------------------------------------------------------------
+
+def _grouped_ref(df, budget):
+    import numpy as np
+
+    out = []
+    for g, grp in df.groupby("g"):
+        b = budget[g] if isinstance(budget, dict) else budget
+        grp = grp.sort_values(["density", "id"], ascending=[False, True],
+                              kind="mergesort")
+        run = grp["cost"].cumsum()
+        out.append(grp[run <= b])
+    import pandas as pd
+
+    return (
+        pd.concat(out).sort_values("id").reset_index(drop=True)
+        if out
+        else df.iloc[0:0]
+    )
+
+
+def _grouped_frame(n=30_000, seed=5):
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(seed)
+    return pd.DataFrame(
+        {
+            "id": np.arange(n, dtype=np.int64),
+            "g": rng.choice(["py", "js", "go", "rs"], n, p=[0.5, 0.3, 0.15, 0.05]),
+            # integer-ish densities -> heavy ties, exercises the band path
+            "density": rng.integers(0, 500, n).astype(np.float64),
+            "cost": rng.integers(1, 50, n).astype(np.float64),
+        }
+    )
+
+
+def test_grouped_budget_matches_per_group_running_sum(ray_session):
+    import ray.data
+
+    from kenlm_ray.ops.budget import grouped_budget_select
+
+    df = _grouped_frame()
+    budget = {"py": 40_000.0, "js": 15_000.0, "go": 5_000.0, "rs": 1e12}
+    got = (
+        grouped_budget_select(
+            ray.data.from_pandas(df).repartition(8),
+            group_col="g",
+            score_col="density",
+            cost_col="cost",
+            budget=budget,
+            id_col="id",
+            density_col="density",
+            driver_budget=2_000,  # force several refinement passes
+        )
+        .to_pandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    ref = _grouped_ref(df, budget)
+    assert len(got) == len(ref), (len(got), len(ref))
+    assert (got["id"].to_numpy() == ref["id"].to_numpy()).all()
+
+
+def test_grouped_budget_scalar_budget_and_partitioning(ray_session):
+    import ray.data
+
+    from kenlm_ray.ops.budget import grouped_budget_select
+
+    df = _grouped_frame(n=8_000, seed=11)
+    a = (
+        grouped_budget_select(
+            ray.data.from_pandas(df).repartition(3),
+            group_col="g", score_col="density", cost_col="cost",
+            budget=9_000.0, id_col="id", density_col="density",
+        )
+        .to_pandas()["id"].sort_values().to_numpy()
+    )
+    b = (
+        grouped_budget_select(
+            ray.data.from_pandas(df).repartition(17),
+            group_col="g", score_col="density", cost_col="cost",
+            budget=9_000.0, id_col="id", density_col="density",
+        )
+        .to_pandas()["id"].sort_values().to_numpy()
+    )
+    assert (a == b).all()
+    ref = _grouped_ref(df, 9_000.0)
+    assert (a == ref["id"].to_numpy()).all()
