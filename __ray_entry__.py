@@ -3219,6 +3219,102 @@ def _q_code_filter_summary(sf_dir):
     return code_filter_summary(ds)
 
 
+def _q_module_popularity(sf_dir):
+    """Import-dependency analytics over the import-enriched synthetic
+    code corpus: (module, n_repos, n_files) usage ranking
+    (ops/imports — distinct pairs dedupe in batch before the
+    catalog-bounded groupby).  Rows-only; tests/test_imports.py gates
+    per-language extraction and Python-fold parity."""
+    import ray.data
+
+    from kenlm_ray.ops.imports import inject_imports, module_popularity
+    from kenlm_ray.sources.synth_corpus import write_corpus
+
+    n = max(2000, _documents(sf_dir).count() * 4)
+    paths = write_corpus(
+        f"/tmp/kenlm_ray_cache/codecur_corpus_{n}", n, seed=9, n_shards=8
+    )
+    ds = ray.data.read_parquet(paths).map_batches(
+        inject_imports, batch_format="pyarrow"
+    )
+    return module_popularity(ds)
+
+
+def _q_module_coimport_pagerank(sf_dir):
+    """Weighted PageRank over the module co-import graph — composition
+    of ops/imports.coimport_edges with ops/graph.pagerank (edges
+    stream, ranks broadcast).  Rows-only."""
+    import ray.data
+
+    from kenlm_ray.ops.graph import pagerank
+    from kenlm_ray.ops.imports import coimport_edges, inject_imports
+    from kenlm_ray.sources.synth_corpus import write_corpus
+
+    n = max(2000, _documents(sf_dir).count() * 4)
+    paths = write_corpus(
+        f"/tmp/kenlm_ray_cache/codecur_corpus_{n}", n, seed=9, n_shards=8
+    )
+    edges = coimport_edges(
+        ray.data.read_parquet(paths).map_batches(
+            inject_imports, batch_format="pyarrow"
+        )
+    ).materialize()
+
+    # pagerank walks int64 node ids: hash module names to stable int63
+    # ids (sha1-derived, partitioning-invariant), rank, then map back
+    # via the module catalog (catalog-bounded).
+    import hashlib
+
+    import numpy as np
+    import pyarrow as pa
+
+    def _mid(names):
+        return np.array(
+            [
+                int.from_bytes(hashlib.sha1(s.encode()).digest()[:8], "little")
+                >> 1
+                for s in names
+            ],
+            dtype=np.int64,
+        )
+
+    def to_ids(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "src": pa.array(_mid(t["mod_a"].to_pylist())),
+                "dst": pa.array(_mid(t["mod_b"].to_pylist())),
+                "n": t["n"],
+            }
+        )
+
+    pr = pagerank(
+        edges.map_batches(to_ids, batch_format="pyarrow"),
+        src_col="src",
+        dst_col="dst",
+        weight_col="n",
+        symmetric=True,
+        num_iters=5,
+        node_out_col="mid",
+        rank_out_col="pr",
+    )
+    cat = edges.to_pandas()  # module catalog ≪ corpus
+    names = sorted(set(cat["mod_a"]) | set(cat["mod_b"]))
+    name_of = {int(i): s for i, s in zip(_mid(names), names)}
+
+    def back(t: pa.Table) -> pa.Table:
+        mids = t["mid"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "module": pa.array(
+                    [name_of[int(m)] for m in mids], type=pa.string()
+                ),
+                "pr": t["pr"],
+            }
+        )
+
+    return pr.map_batches(back, batch_format="pyarrow")
+
+
 def _q_notebook_extract_stats(sf_dir):
     """Jupyter-notebook cleaning over a notebook-enriched synthetic code
     corpus (stages/notebooks — pure map, per-row C-speed JSON parse
@@ -3732,6 +3828,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "snapshot_diff_docs": _q_snapshot_diff_docs,
         "incremental_quality_stats": _q_incremental_quality_stats,
         "notebook_extract_stats": _q_notebook_extract_stats,
+        "module_popularity": _q_module_popularity,
+        "module_coimport_pagerank": _q_module_coimport_pagerank,
         "late_event_flags": _q_late_event_flags,
         "watermark_window_counts": _q_watermark_window_counts,
         # rows-only checks (stateful / model-driven, not SQL-expressible)

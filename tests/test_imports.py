@@ -1,0 +1,90 @@
+"""Import extraction (ops/imports) vs hand-built expectations and a
+pure-Python fold over the import-injected synthetic corpus."""
+
+import pyarrow as pa
+
+from kenlm_ray.ops.imports import (
+    coimport_edges,
+    extract_file_imports,
+    inject_imports,
+    module_popularity,
+    repo_module_usage,
+)
+from kenlm_ray.sources.synth_corpus import gen_table
+
+
+def test_extract_per_language():
+    py = "import os\nfrom numpy.linalg import svd\nx = 1\n  import json\n"
+    assert extract_file_imports(py, "py") == ["json", "numpy.linalg", "os"]
+    js = (
+        "const a = require('lodash');\nimport x from 'react';\n"
+        "import './side.css';\n"
+    )
+    assert extract_file_imports(js, "js") == ["./side.css", "lodash", "react"]
+    java = "package p;\nimport java.util.List;\nimport static a.b.C;\n"
+    assert extract_file_imports(java, "java") == ["a.b.C", "java.util.List"]
+    go = 'import "fmt"\nimport (\n\t"os"\n\t"net/http"\n)\n'
+    assert extract_file_imports(go, "go") == ["fmt", "net/http", "os"]
+    rs = "use std::collections::HashMap;\npub use crate::x;\n"
+    assert extract_file_imports(rs, "rs") == ["crate::x", "std::collections::HashMap"]
+    # unknown lang / empty text
+    assert extract_file_imports(py, "cobol") == []
+    assert extract_file_imports("", "py") == []
+
+
+def _fold(tbl):
+    usage: dict = {}
+    for r, l, t in zip(
+        tbl["repo"].to_pylist(), tbl["lang"].to_pylist(), tbl["content"].to_pylist()
+    ):
+        for m in extract_file_imports(t, l):
+            usage[(r, m)] = usage.get((r, m), 0) + 1
+    return usage
+
+
+def test_repo_usage_matches_python_fold(ray_session):
+    import ray.data
+
+    tbl = inject_imports(gen_table(23, 0, 300))
+    ref = _fold(tbl)
+    got = (
+        repo_module_usage(ray.data.from_arrow(tbl).repartition(5))
+        .to_pandas()
+        .set_index(["repo", "module"])["n_files"]
+    )
+    assert len(got) == len(ref)
+    for k, v in ref.items():
+        assert int(got.loc[k]) == v, k
+
+
+def test_popularity_and_coimports(ray_session):
+    import ray.data
+
+    tbl = inject_imports(gen_table(3, 0, 200))
+    ds = ray.data.from_arrow(tbl).repartition(4)
+    pop = module_popularity(ds).to_pandas().set_index("module")
+    ref = _fold(tbl)
+    import collections
+
+    repos = collections.defaultdict(set)
+    files = collections.defaultdict(int)
+    for (r, m), v in ref.items():
+        repos[m].add(r)
+        files[m] += v
+    for m in files:
+        assert int(pop.loc[m, "n_repos"]) == len(repos[m]), m
+        assert int(pop.loc[m, "n_files"]) == files[m], m
+
+    edges = coimport_edges(ds).to_pandas()
+    ref_pairs: dict = {}
+    for l, t in zip(tbl["lang"].to_pylist(), tbl["content"].to_pylist()):
+        mods = extract_file_imports(t, l)
+        for i in range(len(mods)):
+            for j in range(i + 1, len(mods)):
+                k = (mods[i], mods[j])
+                ref_pairs[k] = ref_pairs.get(k, 0) + 1
+    got_pairs = {
+        (a, b): int(n)
+        for a, b, n in edges[["mod_a", "mod_b", "n"]].itertuples(index=False)
+    }
+    assert got_pairs == ref_pairs
