@@ -3219,6 +3219,24 @@ def _q_code_filter_summary(sf_dir):
     return code_filter_summary(ds)
 
 
+def _q_code_unit_stats(sf_dir):
+    """Function/class-level splitting over the synthetic code corpus:
+    per (lang, unit_kind) unit counts and line totals
+    (ops/code_units — pure row-expanding map, vocabulary-sized
+    groupby).  Rows-only; tests/test_code_units.py gates hand-built
+    boundaries per language, reassembly, and Python-fold parity."""
+    import ray.data
+
+    from kenlm_ray.ops.code_units import code_unit_stats
+    from kenlm_ray.sources.synth_corpus import write_corpus
+
+    n = max(2000, _documents(sf_dir).count() * 4)
+    paths = write_corpus(
+        f"/tmp/kenlm_ray_cache/codecur_corpus_{n}", n, seed=9, n_shards=8
+    )
+    return code_unit_stats(ray.data.read_parquet(paths))
+
+
 def _q_module_popularity(sf_dir):
     """Import-dependency analytics over the import-enriched synthetic
     code corpus: (module, n_repos, n_files) usage ranking
@@ -3829,6 +3847,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "incremental_quality_stats": _q_incremental_quality_stats,
         "notebook_extract_stats": _q_notebook_extract_stats,
         "module_popularity": _q_module_popularity,
+        "code_unit_stats": _q_code_unit_stats,
         "module_coimport_pagerank": _q_module_coimport_pagerank,
         "late_event_flags": _q_late_event_flags,
         "watermark_window_counts": _q_watermark_window_counts,

@@ -1,0 +1,175 @@
+"""Function/class-level code splitting: explode each source file into
+its top-level definition units (function-level training rows, unit-level
+dedup keys, per-function docstring/complexity analytics) — the
+granularity step between file-level curation and token-window chunking
+(ops/packing.chunk_documents).
+
+Unit boundaries are column-0 definition keywords per language (the
+regex approximation every lightweight pipeline uses when a full parser
+is unavailable — no tree-sitter in this container, and the boundary
+rule is deterministic and documented):
+
+  py    ^def NAME / ^async def NAME / ^class NAME
+  js    ^function NAME / ^async function NAME / ^class NAME /
+        ^(export )?(const|let|var) NAME = ( | =>
+  go    ^func NAME / ^func (recv) NAME
+  rs    ^(pub )?fn NAME / ^(pub )?struct|enum|impl NAME
+  java  ^(public|...) class|interface|enum NAME
+
+A unit runs from its definition line to the next boundary (or EOF);
+bytes before the first boundary are the ``prelude`` (imports, license
+headers).  Files in languages without a pattern pass through as one
+``file`` unit, never dropped.
+
+Shape: pure map that EXPANDS rows (map_batches returning a bigger
+table — Ray re-blocks downstream); per-row compiled-regex scan +
+zero-copy string slicing, no shuffle, no state.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data
+
+UNIT_PATTERNS: dict[str, "re.Pattern"] = {
+    "py": re.compile(r"(?m)^(?:async[ \t]+)?(?:def|class)[ \t]+(\w+)"),
+    "js": re.compile(
+        r"(?m)^(?:export[ \t]+)?(?:(?:async[ \t]+)?function[ \t]+(\w+)"
+        r"|class[ \t]+(\w+)"
+        r"|(?:const|let|var)[ \t]+(\w+)[ \t]*=[ \t]*(?:\(|async|function))"
+    ),
+    "go": re.compile(r"(?m)^func[ \t]+(?:\([^)]*\)[ \t]*)?(\w+)"),
+    "rs": re.compile(
+        r"(?m)^(?:pub[ \t]+)?(?:fn|struct|enum|impl(?:<[^>]*>)?)[ \t]+(\w+)"
+    ),
+    "java": re.compile(
+        r"(?m)^[ \t]*(?:public|protected|private)?[ \t]*(?:final[ \t]+|abstract[ \t]+)?"
+        r"(?:class|interface|enum)[ \t]+(\w+)"
+    ),
+}
+_ALIASES = {
+    "python": "py", "javascript": "js", "ts": "js", "typescript": "js",
+    "golang": "go", "rust": "rs",
+}
+
+UNIT_COLUMNS = ["unit_index", "unit_name", "unit_kind", "unit_body", "unit_lines"]
+
+
+def split_units(text: str, lang: str) -> "list[tuple[str, str, str]]":
+    """[(kind, name, body)] — 'prelude' (if nonempty), then one row per
+    top-level unit; whole file as one ('file', '', text) when the lang
+    has no pattern."""
+    pat = UNIT_PATTERNS.get(_ALIASES.get((lang or "").lower(), (lang or "").lower()))
+    if pat is None or not text:
+        return [("file", "", text)]
+    starts: list[int] = []
+    names: list[str] = []
+    for m in pat.finditer(text):
+        starts.append(m.start())
+        names.append(next((g for g in m.groups() if g), ""))
+    if not starts:
+        return [("file", "", text)]
+    out: list[tuple[str, str, str]] = []
+    if starts[0] > 0:
+        pre = text[: starts[0]]
+        if pre.strip():
+            out.append(("prelude", "", pre))
+    for i, (s, nm) in enumerate(zip(starts, names)):
+        e = starts[i + 1] if i + 1 < len(starts) else len(text)
+        out.append(("unit", nm, text[s:e]))
+    return out
+
+
+def explode_code_units(
+    ds: "ray.data.Dataset",
+    *,
+    lang_col: str = "lang",
+    text_col: str = "content",
+    keep_cols: "tuple[str, ...]" = ("repo", "path"),
+) -> "ray.data.Dataset":
+    """One output row per unit: keep_cols…, lang, unit_index,
+    unit_name, unit_kind, unit_body, unit_lines."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        langs = batch[lang_col].to_pylist()
+        texts = batch[text_col].to_pylist()
+        keeps = {k: batch[k].to_pylist() for k in keep_cols}
+        o_keep: dict[str, list] = {k: [] for k in keep_cols}
+        o_lang: list[str] = []
+        o_idx: list[int] = []
+        o_name: list[str] = []
+        o_kind: list[str] = []
+        o_body: list[str] = []
+        for i, (l, t) in enumerate(zip(langs, texts)):
+            units = split_units(t, l)
+            for j, (kind, nm, body) in enumerate(units):
+                for k in keep_cols:
+                    o_keep[k].append(keeps[k][i])
+                o_lang.append(l)
+                o_idx.append(j)
+                o_name.append(nm)
+                o_kind.append(kind)
+                o_body.append(body)
+        nl = np.array([b.count("\n") + 1 if b else 0 for b in o_body], dtype=np.int64)
+        cols: dict = {k: pa.array(v) for k, v in o_keep.items()}
+        cols[lang_col] = pa.array(o_lang, type=pa.string())
+        cols["unit_index"] = pa.array(np.array(o_idx, dtype=np.int64))
+        cols["unit_name"] = pa.array(o_name, type=pa.string())
+        cols["unit_kind"] = pa.array(o_kind, type=pa.string())
+        cols["unit_body"] = pa.array(o_body, type=pa.string())
+        cols["unit_lines"] = pa.array(nl)
+        return pa.table(cols)
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def code_unit_stats(
+    ds: "ray.data.Dataset", **kwargs
+) -> "ray.data.Dataset":
+    """(lang, unit_kind, n_units, total_lines, mean_lines) — partial
+    counts per batch, vocabulary-sized groupby."""
+    units = explode_code_units(ds, **kwargs)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        langs = np.asarray(batch["lang"].to_pylist(), dtype=object)
+        kinds = np.asarray(batch["unit_kind"].to_pylist(), dtype=object)
+        lines = batch["unit_lines"].to_numpy(zero_copy_only=False)
+        key = np.array([f"{l}\x00{k}" for l, k in zip(langs, kinds)], dtype=object)
+        u, inv = np.unique(key.astype(str), return_inverse=True)
+        cnt = np.bincount(inv, minlength=len(u)).astype(np.int64)
+        tot = np.zeros(len(u), dtype=np.int64)
+        np.add.at(tot, inv, lines)
+        ls = [s.split("\x00") for s in u]
+        return pa.table(
+            {
+                "lang": pa.array([x[0] for x in ls], type=pa.string()),
+                "unit_kind": pa.array([x[1] for x in ls], type=pa.string()),
+                "n_units": pa.array(cnt),
+                "total_lines": pa.array(tot),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    agg = (
+        units.map_batches(partial, batch_format="pyarrow")
+        .groupby(["lang", "unit_kind"])
+        .aggregate(
+            Sum("n_units", alias_name="n_units"),
+            Sum("total_lines", alias_name="total_lines"),
+        )
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        n = batch["n_units"].to_numpy(zero_copy_only=False).astype(np.float64)
+        t = batch["total_lines"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return batch.append_column(
+            "mean_lines", pa.array(np.round(t / np.maximum(n, 1), 4))
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")

@@ -1,0 +1,97 @@
+"""Function/class splitting (ops/code_units) vs hand-built files and a
+pure-Python fold over the synthetic code corpus."""
+
+import numpy as np
+import pyarrow as pa
+
+from kenlm_ray.ops.code_units import (
+    code_unit_stats,
+    explode_code_units,
+    split_units,
+)
+from kenlm_ray.sources.synth_corpus import gen_table
+
+
+def test_split_python():
+    src = (
+        "import os\n\n"
+        "def alpha(x):\n    return x\n\n"
+        "class Beta:\n    def method(self):\n        pass\n\n"
+        "async def gamma():\n    pass\n"
+    )
+    units = split_units(src, "py")
+    kinds = [u[0] for u in units]
+    names = [u[1] for u in units]
+    assert kinds == ["prelude", "unit", "unit", "unit"]
+    assert names == ["", "alpha", "Beta", "gamma"]
+    # indented method stays inside its class unit
+    beta = units[2][2]
+    assert "def method" in beta
+    # reassembly: prelude + units == original
+    assert "".join(u[2] for u in units) == src
+
+
+def test_split_other_langs_and_fallback():
+    go = 'package main\n\nfunc main() {\n}\nfunc (s *S) Helper() int {\n\treturn 1\n}\n'
+    names = [u[1] for u in split_units(go, "go") if u[0] == "unit"]
+    assert names == ["main", "Helper"]
+    js = "export function foo() {}\nconst bar = () => 1;\nclass Baz {}\n"
+    names = [u[1] for u in split_units(js, "js") if u[0] == "unit"]
+    assert names == ["foo", "bar", "Baz"]
+    rs = "pub fn run() {}\nstruct Point { x: i32 }\n"
+    names = [u[1] for u in split_units(rs, "rs") if u[0] == "unit"]
+    assert names == ["run", "Point"]
+    # no pattern -> whole file
+    assert split_units("SELECT 1;", "sql") == [("file", "", "SELECT 1;")]
+    assert split_units("", "py") == [("file", "", "")]
+
+
+def test_explode_matches_python_fold(ray_session):
+    import ray.data
+
+    tbl = gen_table(29, 0, 250)
+    got = (
+        explode_code_units(ray.data.from_arrow(tbl).repartition(5))
+        .to_pandas()
+        .sort_values(["repo", "path", "unit_index"])
+        .reset_index(drop=True)
+    )
+    n_units = 0
+    bodies = {}
+    for r, p, l, t in zip(
+        tbl["repo"].to_pylist(), tbl["path"].to_pylist(),
+        tbl["lang"].to_pylist(), tbl["content"].to_pylist(),
+    ):
+        us = split_units(t, l)
+        n_units += len(us)
+        bodies[(r, p)] = us
+    assert len(got) == n_units
+    for (r, p), us in bodies.items():
+        sub = got[(got["repo"] == r) & (got["path"] == p)]
+        assert len(sub) == len(us)
+        assert list(sub["unit_kind"]) == [u[0] for u in us]
+        assert list(sub["unit_body"]) == [u[2] for u in us]
+    # synth corpus has column-0 `def name_NN (` lines -> real splits
+    assert (got["unit_kind"] == "unit").sum() > 50
+
+
+def test_stats_aggregate(ray_session):
+    import ray.data
+
+    tbl = gen_table(29, 0, 150)
+    stats = code_unit_stats(ray.data.from_arrow(tbl)).to_pandas()
+    ref_n = {}
+    ref_lines = {}
+    for l, t in zip(tbl["lang"].to_pylist(), tbl["content"].to_pylist()):
+        for kind, _, body in split_units(t, l):
+            k = (l, kind)
+            ref_n[k] = ref_n.get(k, 0) + 1
+            ref_lines[k] = ref_lines.get(k, 0) + (body.count("\n") + 1 if body else 0)
+    got = stats.set_index(["lang", "unit_kind"])
+    assert len(got) == len(ref_n)
+    for k, v in ref_n.items():
+        assert int(got.loc[k, "n_units"]) == v
+        assert int(got.loc[k, "total_lines"]) == ref_lines[k]
+        assert abs(
+            float(got.loc[k, "mean_lines"]) - round(ref_lines[k] / v, 4)
+        ) < 1e-9
