@@ -3374,6 +3374,89 @@ def _q_notebook_extract_stats(sf_dir):
     )
 
 
+def _q_doc_upsert_apply(sf_dir):
+    """MERGE INTO semantics (ops/snapshot.apply_changes — latest
+    version wins per key, delete outranks upsert at equal version, one
+    coarse key-bucket exchange): base = documents minus doc_id%10==0;
+    changes = v1 upserts for doc_id%4==0, v2 deletes for doc_id%8==0."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+
+    from kenlm_ray.ops.snapshot import apply_changes
+
+    def _mod(t, m):
+        return pa.array(t["doc_id"].to_numpy(zero_copy_only=False) % m)
+
+    def base_fn(t: pa.Table) -> pa.Table:
+        return t.filter(pc.not_equal(_mod(t, 10), 0))
+
+    def changes_fn(t: pa.Table) -> pa.Table:
+        up = t.filter(pc.equal(_mod(t, 4), 0))
+        up_text = pc.binary_join_element_wise(up["text"], pa.scalar(" u1"), "")
+        c1 = pa.table(
+            {
+                "doc_id": up["doc_id"],
+                "text": up_text,
+                "version": pa.array(np.ones(up.num_rows, dtype=np.int64)),
+                "op": pa.array(["upsert"] * up.num_rows, type=pa.string()),
+            }
+        )
+        dl = t.filter(pc.equal(_mod(t, 8), 0))
+        c2 = pa.table(
+            {
+                "doc_id": dl["doc_id"],
+                "text": pa.array([""] * dl.num_rows, type=pa.string()),
+                "version": pa.array(np.full(dl.num_rows, 2, dtype=np.int64)),
+                "op": pa.array(["delete"] * dl.num_rows, type=pa.string()),
+            }
+        )
+        return pa.concat_tables([c1, c2])
+
+    base = _documents(sf_dir).map_batches(base_fn, batch_format="pyarrow")
+    changes = _documents(sf_dir).map_batches(changes_fn, batch_format="pyarrow")
+    return apply_changes(base, changes, key_cols=("doc_id",))
+
+
+def _q_doc_whitespace_metrics(sf_dir):
+    """Whitespace hygiene counts (ops/code_curation.whitespace_metrics)
+    on deterministically mutated documents (CRLF / trailing blanks /
+    tabs injected by doc_id % 3)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from kenlm_ray.ops.code_curation import whitespace_metrics
+
+    def mutate(t: pa.Table) -> pa.Table:
+        m = t["doc_id"].to_numpy(zero_copy_only=False) % 3
+        crlf = pc.replace_substring(t["text"], "\n", "\r\n")
+        trail = pc.binary_join_element_wise(t["text"], pa.scalar("  "), "")
+        tabs = pc.replace_substring(t["text"], " ", "\t")
+        text = pc.if_else(
+            pa.array(m == 0), crlf, pc.if_else(pa.array(m == 1), trail, tabs)
+        )
+        return pa.table({"doc_id": t["doc_id"], "text": text})
+
+    def metrics(t: pa.Table) -> pa.Table:
+        w = whitespace_metrics(t["text"])
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_crlf": pa.array(w["n_crlf"]),
+                "n_trailing_ws": pa.array(w["n_trailing_ws"]),
+                "n_tabs": pa.array(w["n_tabs"]),
+            }
+        )
+
+    return (
+        _documents(sf_dir)
+        .map_batches(mutate, batch_format="pyarrow")
+        .map_batches(metrics, batch_format="pyarrow")
+    )
+
+
 def _q_incremental_quality_stats(sf_dir):
     """Incremental quality-filter run over two synthetic corpus
     snapshots: rescore only added/modified files, carry unchanged
@@ -3845,6 +3928,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repo_fork_pairs": _q_repo_fork_pairs,
         "snapshot_diff_docs": _q_snapshot_diff_docs,
         "incremental_quality_stats": _q_incremental_quality_stats,
+        "doc_upsert_apply": _q_doc_upsert_apply,
+        "doc_whitespace_metrics": _q_doc_whitespace_metrics,
         "notebook_extract_stats": _q_notebook_extract_stats,
         "module_popularity": _q_module_popularity,
         "code_unit_stats": _q_code_unit_stats,
@@ -6234,6 +6319,49 @@ def oracle_sql() -> dict[str, str]:
                        len(regexp_extract_all(text, '(key|hash) \w+')) AS nm
                 FROM documents
             ) GROUP BY lang
+        """,
+        "doc_upsert_apply": """
+            WITH base AS (
+                SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 0
+            ),
+            ch AS (
+                SELECT doc_id, 1 AS version, 'upsert' AS op,
+                       text || ' u1' AS text
+                FROM documents WHERE doc_id % 4 = 0
+                UNION ALL
+                SELECT doc_id, 2 AS version, 'delete' AS op, '' AS text
+                FROM documents WHERE doc_id % 8 = 0
+            ),
+            latest AS (
+                SELECT doc_id, op, text FROM (
+                    SELECT *, row_number() OVER (
+                        PARTITION BY doc_id ORDER BY version DESC
+                    ) AS rn FROM ch
+                ) WHERE rn = 1
+            )
+            SELECT coalesce(b.doc_id, l.doc_id) AS doc_id,
+                   CASE WHEN l.doc_id IS NOT NULL THEN l.text
+                        ELSE b.text END AS text
+            FROM base b FULL OUTER JOIN latest l ON b.doc_id = l.doc_id
+            WHERE l.op IS NULL OR l.op <> 'delete'
+        """,
+        "doc_whitespace_metrics": r"""
+            WITH m AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 3 = 0
+                            THEN replace(text, chr(10), chr(13) || chr(10))
+                            WHEN doc_id % 3 = 1 THEN text || '  '
+                            ELSE replace(text, ' ', chr(9)) END AS t
+                FROM documents
+            )
+            SELECT doc_id,
+                   ((length(t) - length(replace(t, chr(13) || chr(10), ''))) / 2)::BIGINT
+                       AS n_crlf,
+                   (len(regexp_extract_all(t, '[ \t]+\n'))
+                    + CASE WHEN regexp_matches(t, '[ \t]$') THEN 1 ELSE 0 END)::BIGINT
+                       AS n_trailing_ws,
+                   (length(t) - length(replace(t, chr(9), '')))::BIGINT AS n_tabs
+            FROM m
         """,
         "snapshot_diff_docs": """
             WITH old AS (

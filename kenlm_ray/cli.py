@@ -511,6 +511,70 @@ def cmd_snapshot_diff(args) -> int:
     return 0
 
 
+def cmd_units(args) -> int:
+    """Explode code files into function/class-level unit rows."""
+    _ray_init()
+    import ray.data
+
+    from kenlm_ray.ops.code_units import explode_code_units
+
+    ds = ray.data.read_parquet(args.corpus)
+    keep = tuple(args.keep_cols.split(","))
+    explode_code_units(
+        ds, lang_col=args.lang_col, text_col=args.text_col, keep_cols=keep
+    ).write_parquet(args.out)
+    import json
+
+    print(json.dumps({"out": args.out}))
+    return 0
+
+
+def cmd_imports(args) -> int:
+    """Module popularity ranking (and optional co-import edges) from
+    lang-aware import extraction."""
+    _ray_init()
+    import ray.data
+
+    from kenlm_ray.ops.imports import coimport_edges, module_popularity
+
+    ds = ray.data.read_parquet(args.corpus)
+    module_popularity(
+        ds, lang_col=args.lang_col, text_col=args.text_col,
+        repo_col=args.repo_col,
+    ).write_parquet(args.out)
+    if args.edges_out:
+        coimport_edges(
+            ray.data.read_parquet(args.corpus),
+            lang_col=args.lang_col, text_col=args.text_col,
+        ).write_parquet(args.edges_out)
+    import json
+
+    print(json.dumps({"out": args.out, "edges": args.edges_out}))
+    return 0
+
+
+def cmd_normalize_ws(args) -> int:
+    """Whitespace normalization: CRLF->LF, BOM strip, trailing blanks;
+    writes the normalized table (+hygiene metric columns)."""
+    _ray_init()
+    import ray.data
+
+    from kenlm_ray.ops.code_curation import normalize_whitespace_stage
+
+    ds = ray.data.read_parquet(args.corpus)
+    ds.map_batches(
+        normalize_whitespace_stage(
+            text_col=args.text_col,
+            tabs_to_spaces=args.tabs_to_spaces,
+        ),
+        batch_format="pyarrow",
+    ).write_parquet(args.out)
+    import json
+
+    print(json.dumps({"out": args.out}))
+    return 0
+
+
 def cmd_benchmark(args) -> int:
     """Query-throughput benchmark — the reference's ``kenlm_benchmark``
     (lm/kenlm_benchmark_main.cc): ``--emit-ids`` converts a text corpus
@@ -1665,6 +1729,37 @@ def main(argv=None) -> int:
     sSD.add_argument("--keys", default="repo,path", help="comma-separated key columns")
     sSD.add_argument("--text-col", default="content")
     sSD.set_defaults(fn=cmd_snapshot_diff)
+
+    sUN = sub.add_parser(
+        "units", help="explode code files into function/class unit rows"
+    )
+    sUN.add_argument("corpus")
+    sUN.add_argument("out")
+    sUN.add_argument("--lang-col", default="lang")
+    sUN.add_argument("--text-col", default="content")
+    sUN.add_argument("--keep-cols", default="repo,path")
+    sUN.set_defaults(fn=cmd_units)
+
+    sIM = sub.add_parser(
+        "imports", help="module popularity + optional co-import edges"
+    )
+    sIM.add_argument("corpus")
+    sIM.add_argument("out")
+    sIM.add_argument("--edges-out", default=None)
+    sIM.add_argument("--lang-col", default="lang")
+    sIM.add_argument("--text-col", default="content")
+    sIM.add_argument("--repo-col", default="repo")
+    sIM.set_defaults(fn=cmd_imports)
+
+    sNW = sub.add_parser(
+        "normalize-ws",
+        help="CRLF->LF, BOM strip, trailing-blank removal (+metrics)",
+    )
+    sNW.add_argument("corpus")
+    sNW.add_argument("out")
+    sNW.add_argument("--text-col", default="content")
+    sNW.add_argument("--tabs-to-spaces", type=int, default=None)
+    sNW.set_defaults(fn=cmd_normalize_ws)
 
     args = p.parse_args(argv)
     return args.fn(args)

@@ -167,3 +167,94 @@ def snapshot_diff_summary(
         .groupby("status")
         .aggregate(Sum("n_keys", alias_name="n_keys"))
     )
+
+
+# ---------------------------------------------------------------------------
+# CDC apply: merge a change stream into a base snapshot (latest wins)
+# ---------------------------------------------------------------------------
+
+def apply_changes(
+    base: "ray.data.Dataset",
+    changes: "ray.data.Dataset",
+    *,
+    key_cols: "tuple[str, ...]" = ("repo", "path"),
+    version_col: str = "version",
+    op_col: str = "op",
+    num_buckets: int = 64,
+) -> "ray.data.Dataset":
+    """MERGE INTO semantics: apply a change stream (rows carrying
+    ``op`` in {'upsert', 'delete'} and a monotone ``version``) to a base
+    snapshot — the write side of incremental ingestion (snapshot_diff
+    is the read side).
+
+    Per key the HIGHEST version wins (ties: delete wins over upsert,
+    then stable on arrival — versions should be unique per key); a
+    winning delete removes the key, a winning upsert replaces the base
+    row, keys without changes pass through.
+
+    Shape: base rows tag version=-inf/op=keep; one coarse key-bucket
+    exchange (same _key_bucket as snapshot_diff) resolves every key in
+    a bucket with a vectorized per-key argmax — full rows cross the
+    wire ONCE (this op rewrites the table, so shipping rows is the
+    job), and neither side is ever collected on the driver.
+    """
+    keys = list(key_cols)
+    base_schema = base.schema()
+    value_cols = [c for c in base_schema.names if c not in keys]
+
+    def tag_base(batch: pa.Table) -> pa.Table:
+        b = _key_bucket(batch, keys, num_buckets)
+        out = batch.append_column("__v", pa.array(np.full(batch.num_rows, -1, dtype=np.int64)))
+        out = out.append_column("__del", pa.array(np.zeros(batch.num_rows, dtype=bool)))
+        return out.append_column("__b", pa.array(b))
+
+    def tag_change(batch: pa.Table) -> pa.Table:
+        b = _key_bucket(batch, keys, num_buckets)
+        v = batch[version_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if (v < 0).any():
+            raise ValueError("versions must be >= 0 (base rows use -1)")
+        ops = np.asarray(batch[op_col].to_pylist(), dtype=object)
+        bad = ~np.isin(ops.astype(str), ("upsert", "delete"))
+        if bad.any():
+            raise ValueError(f"unknown op values: {set(ops[bad])}")
+        cols = {k: batch[k] for k in keys}
+        for c in value_cols:
+            cols[c] = batch[c]
+        cols["__v"] = pa.array(v)
+        cols["__del"] = pa.array(ops.astype(str) == "delete")
+        cols["__b"] = pa.array(b)
+        return pa.table(cols)
+
+    both = base.map_batches(tag_base, batch_format="pyarrow").union(
+        changes.map_batches(tag_change, batch_format="pyarrow")
+    )
+
+    def resolve(g: pa.Table) -> pa.Table:
+        n = g.num_rows
+        out_cols = keys + value_cols
+        if n == 0:
+            return g.select(out_cols)
+        kid = np.zeros(n, dtype=np.int64)
+        for k in keys:
+            col = g[k]
+            arr = (
+                col.to_numpy(zero_copy_only=False)
+                if pa.types.is_integer(col.type)
+                else np.asarray(col.to_pylist(), dtype=object)
+            )
+            _, inv = np.unique(arr, return_inverse=True)
+            kid = kid * (int(inv.max()) + 1) + inv
+            _, kid = np.unique(kid, return_inverse=True)
+        v = g["__v"].to_numpy(zero_copy_only=False)
+        dl = g["__del"].to_numpy(zero_copy_only=False)
+        # winner per key: max (version, is_delete) — delete outranks an
+        # upsert at the same version
+        rank = v * 2 + dl.astype(np.int64)
+        order = np.lexsort((np.arange(n), -rank, kid))  # kid asc, rank desc
+        kid_s = kid[order]
+        first = np.concatenate([[True], kid_s[1:] != kid_s[:-1]])
+        winners = order[first]
+        keep = winners[~dl[winners]]
+        return g.take(pa.array(np.sort(keep))).select(out_cols)
+
+    return both.groupby("__b").map_groups(resolve, batch_format="pyarrow")

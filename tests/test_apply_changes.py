@@ -1,0 +1,146 @@
+"""CDC apply (ops/snapshot.apply_changes) vs a pandas latest-wins
+reference, plus whitespace normalization (ops/code_curation)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from kenlm_ray.ops.code_curation import (
+    normalize_whitespace_stage,
+    whitespace_metrics,
+)
+from kenlm_ray.ops.snapshot import apply_changes
+
+
+def test_apply_changes_latest_wins(ray_session):
+    import ray.data
+
+    base = pa.table(
+        {
+            "k": pa.array([1, 2, 3, 4], type=pa.int64()),
+            "text": ["a", "b", "c", "d"],
+        }
+    )
+    changes = pa.table(
+        {
+            "k": pa.array([2, 2, 3, 5, 5, 4, 6], type=pa.int64()),
+            "text": ["b1", "b2", "", "e1", "e2", "", "f1"],
+            "version": pa.array([1, 2, 1, 1, 2, 1, 3], type=pa.int64()),
+            "op": [
+                "upsert", "upsert", "delete", "upsert", "upsert",
+                "delete", "upsert",
+            ],
+        }
+    )
+    got = (
+        apply_changes(
+            ray.data.from_arrow(base).repartition(2),
+            ray.data.from_arrow(changes).repartition(3),
+            key_cols=("k",),
+        )
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    # k=1 untouched; k=2 upsert v2 wins; k=3 deleted; k=4 deleted;
+    # k=5 upsert v2 (insert); k=6 upsert (insert)
+    assert list(got["k"]) == [1, 2, 5, 6]
+    assert list(got["text"]) == ["a", "b2", "e2", "f1"]
+
+
+def test_delete_outranks_upsert_at_same_version(ray_session):
+    import ray.data
+
+    base = pa.table({"k": pa.array([1], type=pa.int64()), "text": ["x"]})
+    changes = pa.table(
+        {
+            "k": pa.array([1, 1], type=pa.int64()),
+            "text": ["y", ""],
+            "version": pa.array([5, 5], type=pa.int64()),
+            "op": ["upsert", "delete"],
+        }
+    )
+    got = apply_changes(
+        ray.data.from_arrow(base), ray.data.from_arrow(changes), key_cols=("k",)
+    ).to_pandas()
+    assert len(got) == 0
+
+
+def test_apply_changes_random_matches_pandas(ray_session):
+    import ray.data
+
+    rng = np.random.default_rng(7)
+    n_keys = 400
+    base_keys = np.arange(n_keys)[rng.random(n_keys) < 0.7]
+    base = pd.DataFrame({"k": base_keys, "text": [f"b{k}" for k in base_keys]})
+    n_ch = 900
+    ck = rng.integers(0, n_keys + 50, n_ch)
+    cv = rng.integers(0, 100, n_ch)
+    cop = np.where(rng.random(n_ch) < 0.25, "delete", "upsert")
+    ch = pd.DataFrame(
+        {
+            "k": ck,
+            "text": [f"c{k}v{v}" for k, v in zip(ck, cv)],
+            "version": cv,
+            "op": cop,
+        }
+    )
+    # make (k, version) unique to avoid tie ambiguity vs the reference
+    ch = ch.drop_duplicates(["k", "version"]).reset_index(drop=True)
+    got = (
+        apply_changes(
+            ray.data.from_pandas(base).repartition(4),
+            ray.data.from_pandas(ch).repartition(6),
+            key_cols=("k",),
+        )
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    latest = (
+        ch.sort_values(["k", "version"])
+        .groupby("k", as_index=False)
+        .last()
+    )
+    merged = base.merge(latest, on="k", how="outer", suffixes=("_b", "_c"))
+    keep = merged[merged["op"].isna() | (merged["op"] != "delete")].copy()
+    keep["text"] = np.where(
+        keep["op"].notna(), keep["text_c"], keep["text_b"]
+    )
+    ref = keep[["k", "text"]].sort_values("k").reset_index(drop=True)
+    assert list(got["k"]) == list(ref["k"])
+    assert list(got["text"]) == list(ref["text"])
+
+
+def test_whitespace_metrics_and_normalize(ray_session):
+    import ray.data
+
+    tbl = pa.table(
+        {
+            "content": [
+                "a \r\nb\t\r\nc  ",          # 2 crlf, 1 tab, trailing on c (and 'a ' before \r not counted)
+                "﻿x\n y \nz\n",           # bom, one trailing-ws line (' y ')
+                "clean\n",
+                "",
+            ]
+        }
+    )
+    m = whitespace_metrics(tbl["content"])
+    assert list(m["n_crlf"]) == [2, 0, 0, 0]
+    assert list(m["n_tabs"]) == [1, 0, 0, 0]
+    assert list(m["had_bom"]) == [False, True, False, False]
+    assert list(m["n_trailing_ws"]) == [1, 1, 0, 0]
+
+    out = (
+        ray.data.from_arrow(tbl)
+        .map_batches(normalize_whitespace_stage(), batch_format="pyarrow")
+        .to_pandas()
+    )
+    assert list(out["content"]) == ["a\nb\nc", "x\n y\nz\n", "clean\n", ""]
+    # idempotent
+    again = (
+        ray.data.from_arrow(pa.table({"content": out["content"].tolist()}))
+        .map_batches(normalize_whitespace_stage(), batch_format="pyarrow")
+        .to_pandas()
+    )
+    assert list(again["content"]) == list(out["content"])
