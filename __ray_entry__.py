@@ -3457,6 +3457,46 @@ def _q_doc_whitespace_metrics(sf_dir):
     )
 
 
+def _q_doc_code_complexity(sf_dir):
+    """Structural complexity metrics (ops/complexity) on documents with
+    deterministic per-doc indentation injected (doc_id % 4 leading
+    spaces per line); bracket depth is pytest-gated (not SQL-friendly),
+    so this query checks max_indent + n_branch."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from kenlm_ray.ops.complexity import complexity_metrics
+
+    def mutate(t: pa.Table) -> pa.Table:
+        k = t["doc_id"].to_numpy(zero_copy_only=False) % 4
+        text = t["text"]
+        for kk in (1, 2, 3):
+            pad = " " * kk
+            padded = pc.binary_join_element_wise(
+                pa.array([pad] * t.num_rows, type=pa.string()),
+                pc.replace_substring(text, "\n", "\n" + pad),
+                "",
+            )
+            text = pc.if_else(pa.array(k == kk), padded, text)
+        return pa.table({"doc_id": t["doc_id"], "text": text})
+
+    def metrics(t: pa.Table) -> pa.Table:
+        m = complexity_metrics(t["text"])
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "max_indent": pa.array(m["max_indent"]),
+                "n_branch": pa.array(m["n_branch"]),
+            }
+        )
+
+    return (
+        _documents(sf_dir)
+        .map_batches(mutate, batch_format="pyarrow")
+        .map_batches(metrics, batch_format="pyarrow")
+    )
+
+
 def _q_incremental_quality_stats(sf_dir):
     """Incremental quality-filter run over two synthetic corpus
     snapshots: rescore only added/modified files, carry unchanged
@@ -3930,6 +3970,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "incremental_quality_stats": _q_incremental_quality_stats,
         "doc_upsert_apply": _q_doc_upsert_apply,
         "doc_whitespace_metrics": _q_doc_whitespace_metrics,
+        "doc_code_complexity": _q_doc_code_complexity,
         "notebook_extract_stats": _q_notebook_extract_stats,
         "module_popularity": _q_module_popularity,
         "code_unit_stats": _q_code_unit_stats,
@@ -6361,6 +6402,26 @@ def oracle_sql() -> dict[str, str]:
                     + CASE WHEN regexp_matches(t, '[ \t]$') THEN 1 ELSE 0 END)::BIGINT
                        AS n_trailing_ws,
                    (length(t) - length(replace(t, chr(9), '')))::BIGINT AS n_tabs
+            FROM m
+        """,
+        "doc_code_complexity": r"""
+            WITH m AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 4 = 0 THEN text
+                            ELSE repeat(' ', (doc_id % 4)::INT)
+                                 || replace(text, chr(10),
+                                            chr(10) || repeat(' ', (doc_id % 4)::INT))
+                       END AS t
+                FROM documents
+            )
+            SELECT doc_id,
+                   COALESCE(list_max(list_transform(
+                       string_split(t, chr(10)),
+                       l -> length(l) - length(ltrim(l, ' ' || chr(9)))
+                   )), 0)::BIGINT AS max_indent,
+                   len(regexp_extract_all(
+                       t, '\b(if|for|while|case|catch|switch|elif)\b'
+                   ))::BIGINT AS n_branch
             FROM m
         """,
         "snapshot_diff_docs": """

@@ -1,0 +1,92 @@
+"""ops/complexity vs a pure-Python per-doc reference."""
+
+import re
+
+import numpy as np
+import pyarrow as pa
+
+from kenlm_ray.ops.complexity import (
+    BRANCH_RE,
+    complexity_metrics,
+    complexity_stage,
+)
+
+
+def ref_metrics(text: str) -> tuple[int, int, int]:
+    max_indent = 0
+    for line in text.split("\n"):
+        max_indent = max(max_indent, len(line) - len(line.lstrip(" \t")))
+    # RE2 (Arrow and DuckDB alike) treats \b / \w as ASCII-only
+    n_branch = len(re.findall(BRANCH_RE, text, flags=re.ASCII))
+    depth = bal = 0
+    for ch in text:
+        if ch in "([{":
+            bal += 1
+        elif ch in ")]}":
+            bal -= 1
+        depth = max(depth, bal)
+    return max_indent, n_branch, max(depth, 0)
+
+
+CASES = [
+    "",
+    "flat line no structure",
+    "def f(x):\n    if x:\n        return [x, (x, {1: 2})]\n",
+    "\tif a:\n\t\tfor b in c:\n\t\t\twhile d: pass\n",
+    ")))broken((( [deep [deeper [deepest]]]",
+    "unicode ↦ brackets ({[«]}) mixed",      # multi-byte safety
+    "no newline but   leading spaces only on one line",
+    "   \n\t\t\n  x",
+    "switch (x) { case 1: { if (y) { catch } } }",
+    "elif elsewhere iffy for_ _for forlorn",  # word boundaries
+]
+
+
+def test_metrics_match_python_reference():
+    m = complexity_metrics(pa.array(CASES))
+    for i, t in enumerate(CASES):
+        mi, nb, bd = ref_metrics(t)
+        assert m["max_indent"][i] == mi, (i, t)
+        assert m["n_branch"][i] == nb, (i, t)
+        assert m["max_bracket_depth"][i] == bd, (i, t)
+
+
+def test_nulls_and_chunked_and_sliced():
+    arr = pa.chunked_array([["a(b", None], ["   deep\n  x", "(((("]])
+    m = complexity_metrics(arr)
+    assert list(m["max_bracket_depth"]) == [1, 0, 0, 4]
+    assert list(m["max_indent"]) == [0, 0, 3, 0]
+    # sliced array (nonzero offset): must honor arr.offset
+    sl = pa.array(["if (", "  x", "(()"]).slice(1)
+    m2 = complexity_metrics(sl)
+    assert list(m2["max_indent"]) == [2, 0]
+    assert list(m2["max_bracket_depth"]) == [0, 2]
+
+
+def test_randomized_parity():
+    rng = np.random.default_rng(11)
+    alphabet = list("ab if for( ) [ ] { }\n\t  é→")
+    docs = [
+        "".join(rng.choice(alphabet, size=rng.integers(0, 300)))
+        for _ in range(200)
+    ]
+    m = complexity_metrics(pa.array(docs))
+    for i, t in enumerate(docs):
+        mi, nb, bd = ref_metrics(t)
+        assert m["max_indent"][i] == mi
+        assert m["n_branch"][i] == nb
+        assert m["max_bracket_depth"][i] == bd
+
+
+def test_stage_through_ray(ray_session):
+    import ray.data
+
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": list(range(len(CASES))), "content": CASES})
+    ).map_batches(complexity_stage(), batch_format="pyarrow")
+    got = ds.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    for i, t in enumerate(CASES):
+        mi, nb, bd = ref_metrics(t)
+        assert got["max_indent"][i] == mi
+        assert got["n_branch"][i] == nb
+        assert got["max_bracket_depth"][i] == bd
