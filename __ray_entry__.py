@@ -3374,17 +3374,13 @@ def _q_notebook_extract_stats(sf_dir):
     )
 
 
-def _q_doc_upsert_apply(sf_dir):
-    """MERGE INTO semantics (ops/snapshot.apply_changes — latest
-    version wins per key, delete outranks upsert at equal version, one
-    coarse key-bucket exchange): base = documents minus doc_id%10==0;
-    changes = v1 upserts for doc_id%4==0, v2 deletes for doc_id%8==0."""
+def _upsert_base_changes(sf_dir):
+    """Shared input builders for doc_upsert_apply / versioned_doc_table:
+    base = documents minus doc_id%10==0; changes = v1 upserts for
+    doc_id%4==0, v2 deletes for doc_id%8==0."""
     import numpy as np
     import pyarrow as pa
     import pyarrow.compute as pc
-    import ray.data
-
-    from kenlm_ray.ops.snapshot import apply_changes
 
     def _mod(t, m):
         return pa.array(t["doc_id"].to_numpy(zero_copy_only=False) % m)
@@ -3416,7 +3412,41 @@ def _q_doc_upsert_apply(sf_dir):
 
     base = _documents(sf_dir).map_batches(base_fn, batch_format="pyarrow")
     changes = _documents(sf_dir).map_batches(changes_fn, batch_format="pyarrow")
+    return base, changes
+
+
+def _q_doc_upsert_apply(sf_dir):
+    """MERGE INTO semantics (ops/snapshot.apply_changes — latest
+    version wins per key, delete outranks upsert at equal version, one
+    coarse key-bucket exchange) over the _upsert_base_changes inputs."""
+    from kenlm_ray.ops.snapshot import apply_changes
+
+    base, changes = _upsert_base_changes(sf_dir)
     return apply_changes(base, changes, key_cols=("doc_id",))
+
+
+def _q_versioned_doc_table(sf_dir):
+    """Versioned-table MERGE (state/manifest.ManifestTable): commit the
+    base snapshot, commit_changes the same upsert/delete stream as
+    doc_upsert_apply, read the latest version back — the whole
+    commit -> atomic publish -> CDC merge -> time-travel-read machinery
+    must reproduce the plain apply_changes oracle (same SQL)."""
+    import shutil
+    import tempfile
+
+    from kenlm_ray.state.manifest import ManifestTable
+
+    base, changes = _upsert_base_changes(sf_dir)
+    root = tempfile.mkdtemp(prefix="kenlm_ray_vtable_")
+    try:
+        mt = ManifestTable(root)
+        mt.commit(base, mode="overwrite")
+        mt.commit_changes(changes, key_cols=("doc_id",))
+        # collect before the temp table root disappears (result is
+        # oracle-sized: the merged documents table at test scale)
+        return mt.read().to_pandas()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
 
 
 def _q_doc_whitespace_metrics(sf_dir):
@@ -3971,6 +4001,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_upsert_apply": _q_doc_upsert_apply,
         "doc_whitespace_metrics": _q_doc_whitespace_metrics,
         "doc_code_complexity": _q_doc_code_complexity,
+        "versioned_doc_table": _q_versioned_doc_table,
         "notebook_extract_stats": _q_notebook_extract_stats,
         "module_popularity": _q_module_popularity,
         "code_unit_stats": _q_code_unit_stats,
@@ -4257,7 +4288,7 @@ def _bfs_sql(max_hops: int = 6) -> str:
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
+    return _oracle_aliases({
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 2)                        AS sum_qty,
@@ -6551,4 +6582,11 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'tail' END AS bucket
             FROM toks t JOIN cuts c USING (lang)
         """,
-    }
+    })
+
+
+def _oracle_aliases(sql: "dict[str, str]") -> "dict[str, str]":
+    # versioned_doc_table routes the SAME merge through the manifest
+    # commit/publish/time-travel machinery — identical expected output
+    sql["versioned_doc_table"] = sql["doc_upsert_apply"]
+    return sql

@@ -575,6 +575,39 @@ def cmd_normalize_ws(args) -> int:
     return 0
 
 
+def cmd_table(args) -> int:
+    """Versioned-table operations (state/manifest.ManifestTable):
+    commit / merge a change stream / log / head / vacuum."""
+    import json
+
+    from kenlm_ray.state.manifest import ManifestTable
+
+    mt = ManifestTable(args.root)
+    if args.action == "log":
+        for m in mt.log():
+            print(json.dumps({k: m[k] for k in ("version", "mode", "fragments")}))
+        return 0
+    if args.action == "vacuum":
+        print(json.dumps({"removed": mt.vacuum(keep_last=args.keep_last)}))
+        return 0
+    _ray_init()
+    import ray.data
+
+    if args.action == "head":
+        ds = mt.read(args.version)
+        print(ds.to_pandas().head(args.n).to_string())
+        return 0
+    if not args.data:
+        raise SystemExit("commit/merge need a parquet path argument")
+    ds = ray.data.read_parquet(args.data)
+    if args.action == "commit":
+        v = mt.commit(ds, mode=args.mode)
+    else:  # merge
+        v = mt.commit_changes(ds, key_cols=tuple(args.key_cols.split(",")))
+    print(json.dumps({"version": v}))
+    return 0
+
+
 def cmd_benchmark(args) -> int:
     """Query-throughput benchmark — the reference's ``kenlm_benchmark``
     (lm/kenlm_benchmark_main.cc): ``--emit-ids`` converts a text corpus
@@ -1760,6 +1793,21 @@ def main(argv=None) -> int:
     sNW.add_argument("--text-col", default="content")
     sNW.add_argument("--tabs-to-spaces", type=int, default=None)
     sNW.set_defaults(fn=cmd_normalize_ws)
+
+    sTB = sub.add_parser(
+        "table",
+        help="versioned parquet table: commit/merge/log/head/vacuum",
+    )
+    sTB.add_argument("action", choices=["commit", "merge", "log", "head", "vacuum"])
+    sTB.add_argument("root")
+    sTB.add_argument("data", nargs="?", default=None,
+                     help="parquet path (commit/merge)")
+    sTB.add_argument("--mode", default="append", choices=["append", "overwrite"])
+    sTB.add_argument("--key-cols", default="repo,path")
+    sTB.add_argument("--version", type=int, default=None)
+    sTB.add_argument("-n", type=int, default=10)
+    sTB.add_argument("--keep-last", type=int, default=1)
+    sTB.set_defaults(fn=cmd_table)
 
     args = p.parse_args(argv)
     return args.fn(args)

@@ -1,0 +1,102 @@
+"""Versioned manifest tables (state/manifest.py): atomic commits, time
+travel, CDC merge commits, conflict detection, vacuum."""
+
+import json
+import os
+
+import pyarrow as pa
+import pytest
+
+from kenlm_ray.state.manifest import ManifestTable, VersionConflict
+
+
+def _tbl(ids, texts):
+    return pa.table({"k": pa.array(ids, type=pa.int64()), "text": list(texts)})
+
+
+def _read_sorted(mt, version=None):
+    df = mt.read(version).to_pandas().sort_values("k").reset_index(drop=True)
+    return list(df["k"]), list(df["text"])
+
+
+def test_append_overwrite_time_travel(ray_session, tmp_path):
+    import ray.data
+
+    mt = ManifestTable(str(tmp_path / "t"))
+    v0 = mt.commit(ray.data.from_arrow(_tbl([1, 2], "ab")))
+    v1 = mt.commit(ray.data.from_arrow(_tbl([3], "c")), mode="append")
+    assert (v0, v1) == (0, 1)
+    assert _read_sorted(mt, 0) == ([1, 2], ["a", "b"])
+    assert _read_sorted(mt) == ([1, 2, 3], ["a", "b", "c"])
+    v2 = mt.commit(ray.data.from_arrow(_tbl([9], "z")), mode="overwrite")
+    assert v2 == 2
+    assert _read_sorted(mt) == ([9], ["z"])
+    # time travel: every earlier state still readable
+    assert _read_sorted(mt, 1) == ([1, 2, 3], ["a", "b", "c"])
+    assert [m["version"] for m in mt.log()] == [0, 1, 2]
+
+
+def test_commit_changes_merge(ray_session, tmp_path):
+    import ray.data
+
+    mt = ManifestTable(str(tmp_path / "t"))
+    mt.commit(ray.data.from_arrow(_tbl([1, 2, 3], "abc")))
+    changes = pa.table(
+        {
+            "k": pa.array([2, 3, 4], type=pa.int64()),
+            "text": ["b2", "", "d"],
+            "version": pa.array([1, 1, 1], type=pa.int64()),
+            "op": ["upsert", "delete", "upsert"],
+        }
+    )
+    v = mt.commit_changes(ray.data.from_arrow(changes), key_cols=("k",))
+    assert v == 1
+    assert _read_sorted(mt) == ([1, 2, 4], ["a", "b2", "d"])
+    assert _read_sorted(mt, 0) == ([1, 2, 3], ["a", "b", "c"])
+    assert mt.manifest()["meta"]["op"] == "merge"
+
+
+def test_version_conflict_and_crash_retry(ray_session, tmp_path):
+    import ray.data
+
+    mt = ManifestTable(str(tmp_path / "t"))
+    mt.commit(ray.data.from_arrow(_tbl([1], "a")))
+    # a racing writer publishes v1 between our version pick and publish
+    with open(os.path.join(mt.manifest_dir, "v000001.json"), "w") as f:
+        json.dump({"version": 1, "fragments": []}, f)
+    with pytest.raises(VersionConflict):
+        mt._publish(1, {"version": 1, "fragments": []})
+    os.unlink(os.path.join(mt.manifest_dir, "v000001.json"))
+    # a crashed attempt left an orphan fragment dir for v1: retry must
+    # not surface its junk rows
+    orphan = os.path.join(mt.fragment_dir, "v000001-append")
+    os.makedirs(orphan)
+    import pyarrow.parquet as pq
+
+    pq.write_table(_tbl([999], "J"), os.path.join(orphan, "junk.parquet"))
+    mt.commit(ray.data.from_arrow(_tbl([2], "b")))
+    assert _read_sorted(mt) == ([1, 2], ["a", "b"])
+
+
+def test_vacuum(ray_session, tmp_path):
+    import ray.data
+
+    mt = ManifestTable(str(tmp_path / "t"))
+    mt.commit(ray.data.from_arrow(_tbl([1], "a")))
+    mt.commit(ray.data.from_arrow(_tbl([2], "b")), mode="overwrite")
+    removed = mt.vacuum(keep_last=1)
+    assert removed == [os.path.join("fragments", "v000000-append")]
+    assert mt.versions() == [1]
+    assert _read_sorted(mt) == ([2], ["b"])
+    with pytest.raises(FileNotFoundError):
+        mt.read(0)
+
+
+def test_empty_dataset_commit(ray_session, tmp_path):
+    import ray.data
+
+    mt = ManifestTable(str(tmp_path / "t"))
+    mt.commit(ray.data.from_arrow(_tbl([1], "a")))
+    empty = ray.data.from_arrow(_tbl([], [])).filter(lambda r: False)
+    mt.commit(empty, mode="append")
+    assert _read_sorted(mt) == ([1], ["a"])
