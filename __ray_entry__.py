@@ -3449,6 +3449,48 @@ def _q_versioned_doc_table(sf_dir):
         shutil.rmtree(root, ignore_errors=True)
 
 
+def _q_wds_roundtrip_docs(sf_dir):
+    """WebDataset tar shard sink + reader (sources/wds.py): pack the
+    documents table into tar shards, read the shards back — the
+    roundtrip must reproduce the source table exactly (oracle: plain
+    SELECT).  Exercises member encode/decode, null handling and the
+    deterministic shard naming end-to-end."""
+    import shutil
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from kenlm_ray.sources.wds import read_tar_shards, write_tar_shards
+
+    out = tempfile.mkdtemp(prefix="kenlm_ray_wds_")
+    try:
+        import ray.data
+
+        docs = ray.data.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "text", "lang"],
+        )
+        write_tar_shards(docs, out, key_col="doc_id").materialize()
+
+        def restore(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "doc_id": pc.cast(t["__key__"], pa.int64()),
+                    "text": t["text"],
+                    "lang": t["lang"],
+                }
+            )
+
+        return (
+            read_tar_shards(out)
+            .map_batches(restore, batch_format="pyarrow")
+            .to_pandas()
+        )
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
 def _q_doc_whitespace_metrics(sf_dir):
     """Whitespace hygiene counts (ops/code_curation.whitespace_metrics)
     on deterministically mutated documents (CRLF / trailing blanks /
@@ -4002,6 +4044,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_whitespace_metrics": _q_doc_whitespace_metrics,
         "doc_code_complexity": _q_doc_code_complexity,
         "versioned_doc_table": _q_versioned_doc_table,
+        "wds_roundtrip_docs": _q_wds_roundtrip_docs,
         "notebook_extract_stats": _q_notebook_extract_stats,
         "module_popularity": _q_module_popularity,
         "code_unit_stats": _q_code_unit_stats,
@@ -6589,4 +6632,6 @@ def _oracle_aliases(sql: "dict[str, str]") -> "dict[str, str]":
     # versioned_doc_table routes the SAME merge through the manifest
     # commit/publish/time-travel machinery — identical expected output
     sql["versioned_doc_table"] = sql["doc_upsert_apply"]
+    # the tar-shard roundtrip must be the identity on its input columns
+    sql["wds_roundtrip_docs"] = "SELECT doc_id, text, lang FROM documents"
     return sql

@@ -575,6 +575,35 @@ def cmd_normalize_ws(args) -> int:
     return 0
 
 
+def cmd_wds(args) -> int:
+    """WebDataset tar shards: pack parquet -> shards / unpack -> parquet."""
+    _ray_init()
+    import json
+
+    import ray.data
+
+    from kenlm_ray.sources.wds import read_tar_shards, write_tar_shards
+
+    if args.action == "pack":
+        manifest = write_tar_shards(
+            ray.data.read_parquet(args.src),
+            args.dst,
+            key_col=args.key_col,
+            shard_max_bytes=args.shard_max_mb << 20,
+            shard_max_items=args.shard_max_items,
+            batch_size=args.batch_size,
+        ).to_pandas()
+        print(json.dumps({
+            "shards": len(manifest),
+            "items": int(manifest["n_items"].sum()),
+            "bytes": int(manifest["n_bytes"].sum()),
+        }))
+    else:  # unpack
+        read_tar_shards(args.src).write_parquet(args.dst)
+        print(json.dumps({"out": args.dst}))
+    return 0
+
+
 def cmd_table(args) -> int:
     """Versioned-table operations (state/manifest.ManifestTable):
     commit / merge a change stream / log / head / vacuum."""
@@ -1808,6 +1837,18 @@ def main(argv=None) -> int:
     sTB.add_argument("-n", type=int, default=10)
     sTB.add_argument("--keep-last", type=int, default=1)
     sTB.set_defaults(fn=cmd_table)
+
+    sWD = sub.add_parser(
+        "wds", help="WebDataset tar shards: pack/unpack parquet corpora"
+    )
+    sWD.add_argument("action", choices=["pack", "unpack"])
+    sWD.add_argument("src")
+    sWD.add_argument("dst")
+    sWD.add_argument("--key-col", default="doc_id")
+    sWD.add_argument("--shard-max-mb", type=int, default=256)
+    sWD.add_argument("--shard-max-items", type=int, default=100_000)
+    sWD.add_argument("--batch-size", type=int, default=1024)
+    sWD.set_defaults(fn=cmd_wds)
 
     args = p.parse_args(argv)
     return args.fn(args)

@@ -1,0 +1,199 @@
+"""WebDataset-style tar shard sink and reader.
+
+Large-scale multimodal training loaders stream POSIX tar shards where
+one sample is a group of member files sharing a basename —
+``{key}.{field}`` (the WebDataset convention).  This module writes Ray
+Datasets to such shards and reads them back, using only stdlib
+``tarfile`` — no external deps.
+
+Field encoding by column type: string -> UTF-8 bytes under
+``{key}.{col}.txt``; binary -> raw bytes under ``{key}.{col}.bin``
+(image/audio payloads from ``stages/multimodal.py`` pass through
+untouched); everything else -> JSON under ``{key}.{col}.json``.  Nulls
+write no member (WebDataset's missing-field convention); the reader
+restores them as None.
+
+Distributed shape: the sink is a ``map_batches`` stage — each task
+packs its batch into one or more tar files capped by
+``shard_max_bytes`` / ``shard_max_items`` and emits ONE manifest row
+per shard (path, n_items, n_bytes), so the pipeline output is a small
+manifest Dataset, not the payload.  Shard names are deterministic
+(sha1 of the shard's first key + item count): a re-run of the same
+input overwrites the same files instead of duplicating them, which
+makes the sink resumable/idempotent per batch.  Batch size bounds
+memory (a batch is packed in-heap before hitting disk) — size batches
+so batch bytes x concurrency fits the worker heap, exactly like the
+multimodal decode stages.  The reader is one task per shard
+(``flat_map`` over the shard list), so read parallelism == shard
+count; tars stream sequentially within a task.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import io
+import json
+import os
+import tarfile
+
+import numpy as np
+import pyarrow as pa
+
+
+def _field_member(col: str, value) -> "tuple[str, bytes] | None":
+    if value is None:
+        return None
+    if isinstance(value, str):
+        return f"{col}.txt", value.encode("utf-8")
+    if isinstance(value, (bytes, bytearray, memoryview)):
+        return f"{col}.bin", bytes(value)
+    if isinstance(value, (np.integer, np.floating, np.bool_)):
+        value = value.item()
+    if isinstance(value, np.ndarray):
+        value = value.tolist()
+    return f"{col}.json", json.dumps(value, sort_keys=True).encode("utf-8")
+
+
+def _decode_member(name: str, data: bytes):
+    base, _, tail = name.partition(".")
+    col, _, ext = tail.rpartition(".")
+    if ext == "txt":
+        return base, col, data.decode("utf-8")
+    if ext == "bin":
+        return base, col, data
+    if ext == "json":
+        return base, col, json.loads(data.decode("utf-8"))
+    raise ValueError(f"unknown member extension in {name!r}")
+
+
+class TarShardWriter:
+    """map_batches callable: pack each batch into tar shard(s) under
+    ``out_dir``; emits one manifest row per shard."""
+
+    def __init__(
+        self,
+        out_dir: str,
+        *,
+        key_col: str,
+        shard_max_bytes: int = 256 << 20,
+        shard_max_items: int = 100_000,
+    ):
+        self.out_dir = out_dir
+        self.key_col = key_col
+        self.shard_max_bytes = shard_max_bytes
+        self.shard_max_items = shard_max_items
+        os.makedirs(out_dir, exist_ok=True)
+
+    def _flush(self, samples: "list[tuple[str, list]]") -> dict:
+        first_key = samples[0][0]
+        digest = hashlib.sha1(
+            f"{first_key}|{len(samples)}".encode()
+        ).hexdigest()[:16]
+        path = os.path.join(self.out_dir, f"shard-{digest}.tar")
+        tmp = path + ".tmp"
+        with tarfile.open(tmp, "w") as tf:
+            for key, members in samples:
+                for name, data in members:
+                    info = tarfile.TarInfo(name=f"{key}.{name}")
+                    info.size = len(data)
+                    tf.addfile(info, io.BytesIO(data))
+        os.replace(tmp, path)
+        return {
+            "shard": path,
+            "n_items": len(samples),
+            "n_bytes": os.path.getsize(path),
+        }
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cols = [c for c in batch.schema.names if c != self.key_col]
+        keys = batch[self.key_col].to_pylist()
+        manifest = []
+        samples: "list[tuple[str, list]]" = []
+        size = 0
+        for i, key in enumerate(keys):
+            key = str(key)
+            if "/" in key or key.startswith("."):
+                raise ValueError(f"tar sample key unsafe: {key!r}")
+            members = []
+            for c in cols:
+                m = _field_member(c, batch[c][i].as_py())
+                if m is not None:
+                    members.append(m)
+            sz = sum(len(d) + 512 for _, d in members)
+            if samples and (
+                size + sz > self.shard_max_bytes
+                or len(samples) >= self.shard_max_items
+            ):
+                manifest.append(self._flush(samples))
+                samples, size = [], 0
+            samples.append((key, members))
+            size += sz
+        if samples:
+            manifest.append(self._flush(samples))
+        return pa.table(
+            {
+                "shard": pa.array([m["shard"] for m in manifest]),
+                "n_items": pa.array([m["n_items"] for m in manifest], pa.int64()),
+                "n_bytes": pa.array([m["n_bytes"] for m in manifest], pa.int64()),
+            }
+        )
+
+
+def write_tar_shards(
+    ds,
+    out_dir: str,
+    *,
+    key_col: str,
+    batch_size: int = 1024,
+    shard_max_bytes: int = 256 << 20,
+    shard_max_items: int = 100_000,
+):
+    """Write ``ds`` as WebDataset tar shards; returns the manifest
+    Dataset (one row per shard) — consume it to drive the write."""
+    return ds.map_batches(
+        TarShardWriter(
+            out_dir,
+            key_col=key_col,
+            shard_max_bytes=shard_max_bytes,
+            shard_max_items=shard_max_items,
+        ),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+    )
+
+
+def _read_shard(row: dict) -> "list[dict]":
+    rows: "dict[str, dict]" = {}
+    order: "list[str]" = []
+    with tarfile.open(row["shard"], "r") as tf:
+        for member in tf:
+            if not member.isfile():
+                continue
+            data = tf.extractfile(member).read()
+            key, col, value = _decode_member(member.name, data)
+            if key not in rows:
+                rows[key] = {"__key__": key}
+                order.append(key)
+            rows[key][col] = value
+    return [rows[k] for k in order]
+
+
+def read_tar_shards(paths_or_dir, *, keep_key: bool = True):
+    """Dataset over tar shards (a directory or an explicit path list);
+    one read task per shard.  Samples come back as rows keyed by
+    ``__key__`` (dropped when ``keep_key=False``); missing members are
+    None via Arrow's usual union-of-schemas null fill."""
+    import ray.data
+
+    if isinstance(paths_or_dir, str):
+        paths = [
+            os.path.join(paths_or_dir, n)
+            for n in sorted(os.listdir(paths_or_dir))
+            if n.endswith(".tar")
+        ]
+    else:
+        paths = list(paths_or_dir)
+    ds = ray.data.from_items([{"shard": p} for p in paths]).flat_map(_read_shard)
+    if not keep_key:
+        ds = ds.drop_columns(["__key__"])
+    return ds
