@@ -3491,6 +3491,77 @@ def _q_wds_roundtrip_docs(sf_dir):
         shutil.rmtree(out, ignore_errors=True)
 
 
+def _q_doc_html_strip(sf_dir):
+    """HTML -> visible text (ops/markup.strip_html) over documents
+    wrapped in a deterministic HTML template (tags, a script element
+    with a '<' inside, comments, entities).  The oracle replays the
+    exact regex chain in DuckDB (both are RE2), generated from the SAME
+    pattern constants (_html_strip_sql)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from kenlm_ray.ops.markup import strip_html
+
+    def mutate(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        k = pa.array(
+            (t["doc_id"].to_numpy(zero_copy_only=False) % 7).astype(str)
+        )
+        body = pc.replace_substring(t["text"], "\n", "</p><p>")
+        html = pc.binary_join_element_wise(
+            pa.array(['<html><body class="k"><h1>Title '] * t.num_rows),
+            k,
+            pa.array(["</h1><p>"] * t.num_rows),
+            body,
+            pa.array(
+                ['</p><script>if(1<2){x="<b>"}</script>'
+                 "<!-- c -->&amp; &lt;tail&gt;&nbsp;</body></html>"]
+                * t.num_rows
+            ),
+            "",
+        )
+        return pa.table({"doc_id": t["doc_id"], "html": html})
+
+    def strip(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"doc_id": t["doc_id"], "plain": strip_html(t["html"])}
+        )
+
+    return (
+        _documents(sf_dir)
+        .map_batches(mutate, batch_format="pyarrow")
+        .map_batches(strip, batch_format="pyarrow")
+    )
+
+
+def _html_strip_sql() -> str:
+    """DuckDB replay of strip_html over the same HTML template,
+    generated from ops/markup's pattern constants."""
+    from kenlm_ray.ops.markup import HTML_ENTITIES, HTML_STEPS
+
+    def q(s: str) -> str:
+        return s.replace("'", "''")
+
+    expr = (
+        "'<html><body class=\"k\"><h1>Title ' || (doc_id % 7)::VARCHAR"
+        " || '</h1><p>' || replace(text, chr(10), '</p><p>')"
+        " || '</p><script>if(1<2){x=\"<b>\"}</script>"
+        "<!-- c -->&amp; &lt;tail&gt;&nbsp;</body></html>'"
+    )
+    for pat, rep in HTML_STEPS:
+        expr = f"regexp_replace({expr}, '{q(pat)}', '{q(rep)}', 'g')"
+    for lit, rep in HTML_ENTITIES:
+        expr = f"replace({expr}, '{q(lit)}', '{q(rep)}')"
+    nl_pat = r"[ \t]*\n[ \t]*"
+    expr = f"regexp_replace({expr}, '{q(nl_pat)}', chr(10), 'g')"
+    expr = f"regexp_replace({expr}, '[ \\t]+', ' ', 'g')"
+    expr = (
+        f"trim({expr}, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12))"
+    )
+    return f"SELECT doc_id, {expr} AS plain FROM documents"
+
+
 def _q_doc_whitespace_metrics(sf_dir):
     """Whitespace hygiene counts (ops/code_curation.whitespace_metrics)
     on deterministically mutated documents (CRLF / trailing blanks /
@@ -4045,6 +4116,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_code_complexity": _q_doc_code_complexity,
         "versioned_doc_table": _q_versioned_doc_table,
         "wds_roundtrip_docs": _q_wds_roundtrip_docs,
+        "doc_html_strip": _q_doc_html_strip,
         "notebook_extract_stats": _q_notebook_extract_stats,
         "module_popularity": _q_module_popularity,
         "code_unit_stats": _q_code_unit_stats,
@@ -6634,4 +6706,5 @@ def _oracle_aliases(sql: "dict[str, str]") -> "dict[str, str]":
     sql["versioned_doc_table"] = sql["doc_upsert_apply"]
     # the tar-shard roundtrip must be the identity on its input columns
     sql["wds_roundtrip_docs"] = "SELECT doc_id, text, lang FROM documents"
+    sql["doc_html_strip"] = _html_strip_sql()
     return sql

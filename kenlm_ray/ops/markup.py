@@ -1,0 +1,112 @@
+"""Markup stripping: HTML / Markdown -> plain text, fully vectorized.
+
+Web-crawl curation extracts visible text before any language-ID /
+perplexity / dedup stage sees the document.  Full DOM parsing
+(trafilatura/bs4) isn't available in this environment and is per-row
+Python anyway; this module implements the regex-pipeline subset those
+tools bottom out in, as pure ``pyarrow.compute`` kernels (RE2) so the
+whole stage is one zero-copy ``map_batches`` with no shuffle and no row
+loops.  Every pattern is RE2-compatible and mirrors 1:1 into DuckDB's
+``regexp_replace(..., 'g')`` for the SQL oracle.
+
+``strip_html`` order (order is semantic, keep it):
+  1. drop <script>/<style> elements WITH their contents ((?is) dotall),
+  2. drop <!-- comments -->,
+  3. drop every remaining <tag>,
+  4. decode the common entities — ``&amp;`` LAST, single pass (the
+     standard non-recursive convention: ``&amp;lt;`` becomes the
+     literal text ``&lt;``).
+
+``strip_markdown`` subset: fence markers (``` / ~~~ lines), inline
+backticks, ATX heading hashes, images to their alt text, links to their
+anchor text, bold/italic markers.  Content inside fences is KEPT (it is
+text, often code worth scoring); only the markers go.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# (pattern, replacement) — applied in order, all-occurrence, RE2
+HTML_STEPS: "tuple[tuple[str, str], ...]" = (
+    (r"(?is)<script\b[^>]*>.*?</script>", " "),
+    (r"(?is)<style\b[^>]*>.*?</style>", " "),
+    (r"(?s)<!--.*?-->", " "),
+    # quoted-attribute aware: a '>' inside "..." or '...' doesn't end the tag
+    (r"""(?s)<(?:[^>"']|"[^"]*"|'[^']*')*>""", " "),
+)
+
+HTML_ENTITIES: "tuple[tuple[str, str], ...]" = (
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&nbsp;", " "),
+    ("&amp;", "&"),  # last — single-pass decode
+)
+
+MD_STEPS: "tuple[tuple[str, str], ...]" = (
+    (r"(?m)^(```|~~~)[^\n]*$", ""),          # fence marker lines
+    (r"`([^`\n]*)`", r"\1"),                  # inline code spans
+    (r"(?m)^#{1,6}[ \t]+", ""),               # ATX heading hashes
+    (r"!\[([^\]\n]*)\]\(([^)\n]*)\)", r"\1"),  # images -> alt
+    (r"\[([^\]\n]*)\]\(([^)\n]*)\)", r"\1"),   # links -> anchor text
+    (r"\*\*([^*\n]+)\*\*", r"\1"),            # bold
+    (r"\*([^*\n]+)\*", r"\1"),                # italic
+)
+
+
+def _apply(content, steps, *, collapse_ws: bool):
+    if isinstance(content, pa.ChunkedArray):
+        content = content.combine_chunks()
+    out = pc.fill_null(content, "")
+    for pat, rep in steps:
+        out = pc.replace_substring_regex(out, pat, rep)
+    if collapse_ws:
+        out = _collapse_ws(out)
+    return out
+
+
+def _collapse_ws(out):
+    """Runs of blanks -> one space, blanks around newlines dropped,
+    ends trimmed — the usual visible-text normalization."""
+    out = pc.replace_substring_regex(out, r"[ \t]*\n[ \t]*", "\n")
+    out = pc.replace_substring_regex(out, r"[ \t]+", " ")
+    return pc.utf8_trim_whitespace(out)
+
+
+def strip_html(content, *, decode_entities: bool = True,
+               collapse_ws: bool = True):
+    """Visible text of an HTML fragment (see module docstring)."""
+    out = _apply(content, HTML_STEPS, collapse_ws=False)
+    if decode_entities:
+        for lit, rep in HTML_ENTITIES:
+            out = pc.replace_substring(out, lit, rep)
+    if collapse_ws:
+        out = _collapse_ws(out)
+    return out
+
+
+def strip_markdown(content, *, collapse_ws: bool = False):
+    """Markdown with structural markers removed (content kept)."""
+    return _apply(content, MD_STEPS, collapse_ws=collapse_ws)
+
+
+def strip_markup_stage(*, text_col: str = "content", kind: str = "html",
+                       out_col: "str | None" = None):
+    """map_batches fn replacing (or adding ``out_col``) the stripped text."""
+    if kind not in ("html", "markdown"):
+        raise ValueError(f"kind must be html|markdown, got {kind!r}")
+    fn_strip = strip_html if kind == "html" else strip_markdown
+
+    def fn(batch: pa.Table) -> pa.Table:
+        stripped = fn_strip(batch[text_col])
+        target = out_col or text_col
+        if target in batch.schema.names:
+            return batch.set_column(
+                batch.schema.get_field_index(target), target, stripped
+            )
+        return batch.append_column(target, stripped)
+
+    return fn

@@ -1,0 +1,72 @@
+"""ops/markup HTML/Markdown stripping vs expected outputs."""
+
+import pyarrow as pa
+
+from kenlm_ray.ops.markup import strip_html, strip_markdown, strip_markup_stage
+
+
+def test_strip_html_basics():
+    docs = pa.array(
+        [
+            "<html><body><p>Hello <b>world</b></p></body></html>",
+            "before<script type='js'>var x = '<p>not text</p>';</script>after",
+            "a<style>p { color: red }</style>b",
+            "keep <!-- secret\nmultiline comment --> this",
+            "5 &lt; 6 &amp;&amp; 7 &gt; 2, &quot;q&quot; &#39;s&#39;&nbsp;end",
+            "&amp;lt; stays literal",
+            "",
+            "no markup at all",
+        ]
+    )
+    got = strip_html(docs).to_pylist()
+    assert got[0] == "Hello world"
+    assert got[1] == "before after"
+    assert got[2] == "a b"
+    assert got[3] == "keep this"
+    assert got[4] == "5 < 6 && 7 > 2, \"q\" 's' end"
+    assert got[5] == "&lt; stays literal"
+    assert got[6] == ""
+    assert got[7] == "no markup at all"
+
+
+def test_strip_html_multiline_script_and_attrs():
+    doc = '<div class="x" data-y=\'<z>\'>A</div>\n<script>\nif (a<b) { emit("<div>") }\n</script>\nB'
+    got = strip_html(pa.array([doc])).to_pylist()[0]
+    assert got == "A\n\nB"
+
+
+def test_strip_markdown():
+    docs = pa.array(
+        [
+            "# Title\nSome **bold** and *italic* text",
+            "a [link](http://x) and ![img](y.png) here",
+            "```python\ncode stays\n```\ntail",
+            "inline `code` span",
+        ]
+    )
+    got = strip_markdown(docs).to_pylist()
+    assert got[0] == "Title\nSome bold and italic text"
+    assert got[1] == "a link and img here"
+    assert got[2] == "\ncode stays\n\ntail"
+    assert got[3] == "inline code span"
+
+
+def test_stage_through_ray(ray_session):
+    import ray.data
+
+    tbl = pa.table(
+        {
+            "doc_id": [1, 2],
+            "content": ["<p>x</p>", None],
+        }
+    )
+    out = (
+        ray.data.from_arrow(tbl)
+        .map_batches(
+            strip_markup_stage(kind="html", out_col="plain"),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+    )
+    assert list(out["plain"]) == ["x", ""]
+    assert list(out["content"])[0] == "<p>x</p>"
