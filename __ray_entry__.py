@@ -3562,6 +3562,21 @@ def _html_strip_sql() -> str:
     return f"SELECT doc_id, {expr} AS plain FROM documents"
 
 
+def _q_bm25_top20_docs(sf_dir):
+    """BM25 ranked retrieval (ops/bm25.bm25_topk): top-20 documents for
+    a fixed bag-of-words query, scores rounded to 6 decimals before
+    selection so ordering is summation-order independent (same rounding
+    in the SQL oracle)."""
+    from kenlm_ray.ops.bm25 import bm25_topk
+
+    return bm25_topk(
+        _documents(sf_dir),
+        ["data", "key", "merge", "window"],
+        k=20,
+        round_decimals=6,
+    )
+
+
 def _q_doc_whitespace_metrics(sf_dir):
     """Whitespace hygiene counts (ops/code_curation.whitespace_metrics)
     on deterministically mutated documents (CRLF / trailing blanks /
@@ -4117,6 +4132,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "versioned_doc_table": _q_versioned_doc_table,
         "wds_roundtrip_docs": _q_wds_roundtrip_docs,
         "doc_html_strip": _q_doc_html_strip,
+        "bm25_top20_docs": _q_bm25_top20_docs,
         "notebook_extract_stats": _q_notebook_extract_stats,
         "module_popularity": _q_module_popularity,
         "code_unit_stats": _q_code_unit_stats,
@@ -6707,4 +6723,36 @@ def _oracle_aliases(sql: "dict[str, str]") -> "dict[str, str]":
     # the tar-shard roundtrip must be the identity on its input columns
     sql["wds_roundtrip_docs"] = "SELECT doc_id, text, lang FROM documents"
     sql["doc_html_strip"] = _html_strip_sql()
+    sql["bm25_top20_docs"] = r"""
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(regexp_split_to_array(text, '[\t\n\r ]+'),
+                               x -> x <> '') AS w
+            FROM documents
+        ),
+        flat AS (SELECT doc_id, t.tok FROM toks, unnest(w) AS t(tok)),
+        terms(term) AS (VALUES ('data'), ('key'), ('merge'), ('window')),
+        dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM flat GROUP BY doc_id),
+        meta AS (
+            SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+                   (SELECT count(*) FROM flat)::DOUBLE
+                       / (SELECT count(*) FROM documents) AS avgdl
+        ),
+        tf AS (
+            SELECT doc_id, tok AS term, count(*)::DOUBLE AS tf
+            FROM flat JOIN terms ON tok = term GROUP BY doc_id, tok
+        ),
+        df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+        sc AS (
+            SELECT tf.doc_id,
+                   round(sum(
+                       ln((meta.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+                       * tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / meta.avgdl))
+                   ), 6) AS score
+            FROM tf JOIN df USING (term) JOIN dl USING (doc_id), meta
+            GROUP BY tf.doc_id
+        )
+        SELECT doc_id, score FROM sc WHERE score > 0
+        ORDER BY score DESC, doc_id LIMIT 20
+    """
     return sql

@@ -1,0 +1,138 @@
+"""BM25 ranked retrieval over a document column.
+
+Okapi BM25 (Robertson/Sparck-Jones, the +1 idf variant Lucene uses):
+
+    idf(t)  = ln( (N - df + 0.5) / (df + 0.5) + 1 )
+    s(d)    = sum_t idf(t) * tf / (tf + k1 * (1 - b + b * dl/avgdl))
+
+Used in curation for reference-corpus similarity ranking (pull the raw
+documents most similar to a small in-domain query set) and as the
+classic retrieval baseline next to the embedding kNN paths
+(``ops/knn.py``).  Complements ``tf_idf`` (per-term weights table) with
+end-to-end scoring + top-k for a concrete query.
+
+Distributed shape:
+
+  1. **stats pass** — per batch: one zero-copy tokenize
+     (``functions.tokenize.tokenize_column``, the strict reference
+     delimiter set), murmur64 token hashes matched against the query
+     terms' hashes, emitting one fixed-size partial row per term
+     (df contribution) plus one meta row (doc count, token count).
+     One tiny ``groupby(term).sum`` — the exchange is
+     O(n_terms x n_blocks), never row-scale.
+  2. **score pass** — idf/avgdl broadcast once via ``ray.put``; each
+     batch re-tokenizes and scores vectorized (bincount per term),
+     pre-cutting to its local top-k, so the final
+     ``sort().limit(k)`` sees at most k x n_blocks candidate rows.
+
+Ordering is fully deterministic: (score desc, id asc), with optional
+``round_decimals`` applied BEFORE selection so results are reproducible
+across summation orders (and SQL-oracle comparable).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from kenlm_ray.functions.hashing import murmur64_stream
+from kenlm_ray.functions.tokenize import tokenize_column
+
+
+def _term_hashes(terms: "list[str]") -> np.ndarray:
+    blobs = [t.encode("utf-8") for t in terms]
+    data = np.frombuffer(b"".join(blobs), dtype=np.uint8)
+    lens = np.array([len(b) for b in blobs], dtype=np.int64)
+    starts = np.concatenate([[0], np.cumsum(lens[:-1])]).astype(np.int64)
+    return murmur64_stream(data, starts, lens)
+
+
+def _tf_matrix(batch: pa.Table, text_col: str, th: np.ndarray):
+    """(tf [n_docs x n_terms], doclen [n_docs]) for the query terms."""
+    ts = tokenize_column(batch[text_col])
+    n = batch.num_rows
+    doclen = np.bincount(ts.doc_ids, minlength=n).astype(np.float64)
+    tf = np.zeros((n, len(th)), dtype=np.float64)
+    if ts.n_tokens:
+        h = ts.hashes()
+        for j, t in enumerate(th):
+            m = h == t
+            if m.any():
+                tf[:, j] = np.bincount(ts.doc_ids[m], minlength=n)
+    return tf, doclen
+
+
+def bm25_topk(
+    ds,
+    terms: "list[str]",
+    *,
+    k: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    round_decimals: "int | None" = None,
+):
+    """Top-k documents of ``ds`` for the bag-of-words query ``terms``.
+
+    Returns a Dataset of (id_col, score) — k rows, (score desc, id asc).
+    """
+    import ray
+    from ray.data.aggregate import Sum
+
+    th = _term_hashes(terms)
+
+    def stats(batch: pa.Table) -> pa.Table:
+        tf, doclen = _tf_matrix(batch, text_col, th)
+        df = (tf > 0).sum(axis=0).astype(np.int64)
+        return pa.table(
+            {
+                "term": pa.array(list(terms) + [""]),
+                "df": pa.array(np.concatenate([df, [0]])),
+                "n_docs": pa.array([0] * len(terms) + [batch.num_rows], pa.int64()),
+                "sum_len": pa.array(
+                    [0] * len(terms) + [int(doclen.sum())], pa.int64()
+                ),
+            }
+        )
+
+    agg = (
+        ds.map_batches(stats, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(
+            Sum("df", alias_name="df"),
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("sum_len", alias_name="sum_len"),
+        )
+        .to_pandas()
+    )  # n_terms + 1 rows — model-sized driver reduce
+    meta = agg[agg["term"] == ""].iloc[0]
+    n_docs = float(meta["n_docs"])
+    avgdl = float(meta["sum_len"]) / max(n_docs, 1.0)
+    df_by_term = dict(zip(agg["term"], agg["df"]))
+    df = np.array([df_by_term.get(t, 0) for t in terms], dtype=np.float64)
+    idf = np.log((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+    state = ray.put((idf, avgdl))
+
+    def score(batch: pa.Table) -> pa.Table:
+        idf_, avgdl_ = ray.get(state)
+        tf, doclen = _tf_matrix(batch, text_col, th)
+        denom = tf + k1 * (1.0 - b + b * (doclen / max(avgdl_, 1e-12)))[:, None]
+        with np.errstate(invalid="ignore", divide="ignore"):
+            s = (idf_[None, :] * np.where(tf > 0, tf / denom, 0.0)).sum(axis=1)
+        if round_decimals is not None:
+            s = np.round(s, round_decimals)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        hit = s > 0
+        ids, s = ids[hit], s[hit]
+        # local pre-cut: (score desc, id asc), keep k
+        order = np.lexsort((ids, -s))[:k]
+        return pa.table(
+            {id_col: pa.array(ids[order]), "score": pa.array(s[order])}
+        )
+
+    return (
+        ds.map_batches(score, batch_format="pyarrow")
+        .sort(["score", id_col], descending=[True, False])
+        .limit(k)
+    )

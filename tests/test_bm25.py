@@ -1,0 +1,73 @@
+"""ops/bm25 vs a pure-Python BM25 reference."""
+
+import math
+
+import numpy as np
+import pyarrow as pa
+
+from kenlm_ray.ops.bm25 import bm25_topk
+
+DOCS = [
+    "data merge window data data",
+    "key key key value",
+    "window data",
+    "nothing relevant here",
+    "",
+    "merge window merge window merge",
+    "data",
+]
+TERMS = ["data", "key", "merge"]
+
+
+def ref_bm25(docs, terms, k1=1.2, b=0.75):
+    toks = [d.split() for d in docs]
+    n = len(docs)
+    avgdl = sum(len(t) for t in toks) / n
+    scores = {}
+    for j, term in enumerate(terms):
+        df = sum(1 for t in toks if term in t)
+        idf = math.log((n - df + 0.5) / (df + 0.5) + 1.0)
+        for i, t in enumerate(toks):
+            tf = t.count(term)
+            if tf:
+                dl = len(t)
+                scores[i] = scores.get(i, 0.0) + idf * tf / (
+                    tf + k1 * (1 - b + b * dl / avgdl)
+                )
+    return scores
+
+
+def test_bm25_matches_reference(ray_session):
+    import ray.data
+
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": list(range(len(DOCS))), "text": DOCS})
+    ).repartition(3)
+    got = bm25_topk(ds, TERMS, k=10).to_pandas()
+    ref = ref_bm25(DOCS, TERMS)
+    want = sorted(ref.items(), key=lambda kv: (-kv[1], kv[0]))
+    assert list(got["doc_id"]) == [i for i, _ in want]
+    np.testing.assert_allclose(got["score"], [s for _, s in want], rtol=1e-12)
+
+
+def test_k_cut_and_partition_invariance(ray_session):
+    import ray.data
+
+    tbl = pa.table({"doc_id": list(range(len(DOCS))), "text": DOCS})
+    outs = []
+    for parts in (1, 4):
+        ds = ray.data.from_arrow(tbl).repartition(parts)
+        got = bm25_topk(ds, TERMS, k=3, round_decimals=6).to_pandas()
+        outs.append((list(got["doc_id"]), list(got["score"])))
+    assert outs[0] == outs[1]
+    assert len(outs[0][0]) == 3
+
+
+def test_absent_term_and_empty_docs(ray_session):
+    import ray.data
+
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": [0, 1], "text": ["", "zzz"]})
+    )
+    got = bm25_topk(ds, ["missing"], k=5).to_pandas()
+    assert len(got) == 0
