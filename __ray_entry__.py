@@ -3237,6 +3237,29 @@ def _q_code_unit_stats(sf_dir):
     return code_unit_stats(ray.data.read_parquet(paths))
 
 
+def _q_repo_file_order(sf_dir):
+    """Dependency-ordered file ranking per repo (ops/repo_order):
+    imports resolved against sibling files, Kahn topo sort with
+    lexicographic ties/cycle-breaks.  Only (repo, path, imports)
+    metadata crosses the groupby(repo) exchange — content never
+    shuffles.  Rows-only; tests/test_repo_order.py gates chain/
+    package/cycle/tie semantics and distributed == local."""
+    import ray.data
+
+    from kenlm_ray.ops.imports import inject_imports
+    from kenlm_ray.ops.repo_order import repo_file_order
+    from kenlm_ray.sources.synth_corpus import write_corpus
+
+    n = max(2000, _documents(sf_dir).count() * 4)
+    paths = write_corpus(
+        f"/tmp/kenlm_ray_cache/codecur_corpus_{n}", n, seed=9, n_shards=8
+    )
+    ds = ray.data.read_parquet(paths).map_batches(
+        inject_imports, batch_format="pyarrow"
+    )
+    return repo_file_order(ds)
+
+
 def _q_module_popularity(sf_dir):
     """Import-dependency analytics over the import-enriched synthetic
     code corpus: (module, n_repos, n_files) usage ranking
@@ -4135,6 +4158,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_top20_docs": _q_bm25_top20_docs,
         "notebook_extract_stats": _q_notebook_extract_stats,
         "module_popularity": _q_module_popularity,
+        "repo_file_order": _q_repo_file_order,
         "code_unit_stats": _q_code_unit_stats,
         "module_coimport_pagerank": _q_module_coimport_pagerank,
         "late_event_flags": _q_late_event_flags,

@@ -199,6 +199,10 @@ def run_queries() -> dict[str, float]:
         "late_event_flags",
         "snapshot_diff_docs",
         "event_transitions",
+        "doc_upsert_apply",
+        "doc_html_strip",
+        "bm25_top20_docs",
+        "doc_code_complexity",
     ]
     # best-of-QUERY_ROUNDS with the rounds INTERLEAVED (all queries once,
     # then all again): a co-tenant noise burst lands inside one round and

@@ -1,0 +1,65 @@
+"""ops/repo_order: dependency-ordered file ranking within repos."""
+
+import pyarrow as pa
+
+from kenlm_ray.ops.repo_order import order_repo_files, repo_file_order
+
+
+def test_linear_chain():
+    paths = ["app.py", "core.py", "util.py"]
+    langs = ["python"] * 3
+    imports = [["core"], ["util"], []]
+    order = order_repo_files(paths, langs, imports)
+    assert [paths[i] for i in order] == ["util.py", "core.py", "app.py"]
+
+
+def test_ties_lexicographic_and_external_ignored():
+    paths = ["b.py", "a.py", "c.py"]
+    langs = ["python"] * 3
+    imports = [["numpy"], ["os"], []]  # all external
+    order = order_repo_files(paths, langs, imports)
+    assert [paths[i] for i in order] == ["a.py", "b.py", "c.py"]
+
+
+def test_package_init_and_nested_modules():
+    paths = ["pkg/__init__.py", "pkg/mod.py", "main.py"]
+    langs = ["python"] * 3
+    imports = [[], ["pkg"], ["pkg.mod"]]
+    order = order_repo_files(paths, langs, imports)
+    got = [paths[i] for i in order]
+    assert got.index("pkg/__init__.py") < got.index("pkg/mod.py")
+    assert got.index("pkg/mod.py") < got.index("main.py")
+
+
+def test_cycle_broken_deterministically():
+    paths = ["x.py", "y.py"]
+    langs = ["python"] * 2
+    imports = [["y"], ["x"]]  # mutual
+    order = order_repo_files(paths, langs, imports)
+    assert [paths[i] for i in order] == ["x.py", "y.py"]
+
+
+def test_distributed_matches_local(ray_session):
+    import ray.data
+
+    rows = []
+    for r in ("r1", "r2"):
+        rows += [
+            {"repo": r, "path": "app.py", "lang": "python",
+             "content": "import core\nimport numpy\n"},
+            {"repo": r, "path": "core.py", "lang": "python",
+             "content": "from util import helper\n"},
+            {"repo": r, "path": "util.py", "lang": "python",
+             "content": "x = 1\n"},
+        ]
+    ds = ray.data.from_items(rows).repartition(3)
+    got = (
+        repo_file_order(ds)
+        .to_pandas()
+        .sort_values(["repo", "rank"])
+        .reset_index(drop=True)
+    )
+    for r in ("r1", "r2"):
+        sub = got[got["repo"] == r]
+        assert list(sub["path"]) == ["util.py", "core.py", "app.py"]
+        assert list(sub["rank"]) == [0, 1, 2]
