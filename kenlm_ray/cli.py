@@ -622,6 +622,9 @@ def cmd_table(args) -> int:
     _ray_init()
     import ray.data
 
+    if args.action == "compact":
+        print(json.dumps({"version": mt.compact()}))
+        return 0
     if args.action == "head":
         ds = mt.read(args.version)
         print(ds.to_pandas().head(args.n).to_string())
@@ -1827,7 +1830,10 @@ def main(argv=None) -> int:
         "table",
         help="versioned parquet table: commit/merge/log/head/vacuum",
     )
-    sTB.add_argument("action", choices=["commit", "merge", "log", "head", "vacuum"])
+    sTB.add_argument(
+        "action",
+        choices=["commit", "merge", "log", "head", "vacuum", "compact"],
+    )
     sTB.add_argument("root")
     sTB.add_argument("data", nargs="?", default=None,
                      help="parquet path (commit/merge)")

@@ -159,10 +159,38 @@ class ManifestTable:
             # zero-block dataset: write_parquet may create nothing;
             # keep the manifest honest with an empty fragment dir
             os.makedirs(frag_abs, exist_ok=True)
+        if mode == "append" and prev is not None:
+            # appended fragments must be column-compatible with the table
+            import pyarrow.parquet as pq
+
+            old_cols = set(self.manifest(prev).get("columns") or [])
+            new_files = [
+                os.path.join(frag_abs, n)
+                for n in sorted(os.listdir(frag_abs))
+                if n.endswith(".parquet")
+            ]
+            if old_cols and new_files:
+                new_cols = set(pq.read_schema(new_files[0]).names)
+                if new_cols != old_cols:
+                    shutil.rmtree(frag_abs)
+                    raise ValueError(
+                        f"append schema mismatch: table has {sorted(old_cols)}, "
+                        f"commit has {sorted(new_cols)}"
+                    )
         fragments = [] if mode == "overwrite" else (
             list(self.manifest(prev)["fragments"]) if prev is not None else []
         )
         fragments.append(frag_rel)
+        columns = None
+        files = sorted(
+            n for n in os.listdir(frag_abs) if n.endswith(".parquet")
+        )
+        if files:
+            import pyarrow.parquet as pq
+
+            columns = sorted(pq.read_schema(os.path.join(frag_abs, files[0])).names)
+        elif prev is not None:
+            columns = self.manifest(prev).get("columns")
         self._publish(
             version,
             {
@@ -170,11 +198,27 @@ class ManifestTable:
                 "parent": prev,
                 "mode": mode,
                 "fragments": fragments,
+                "columns": columns,
                 "ts": time.time(),
                 "meta": meta or {},
             },
         )
         return version
+
+    def compact(self, *, target_rows_per_file: int = 1_000_000,
+                meta: "dict | None" = None) -> int:
+        """Rewrite the latest version's fragments into one fresh
+        fragment set (small-file compaction) and publish it as an
+        overwrite commit — readers of old versions are untouched and
+        ``vacuum`` reclaims the small files once history is dropped."""
+        ds = self.read()
+        try:
+            n = ds.count()
+            blocks = max(1, -(-n // target_rows_per_file))
+            ds = self.read().repartition(blocks)
+        except Exception:
+            pass
+        return self.commit(ds, mode="overwrite", meta={"op": "compact", **(meta or {})})
 
     def commit_changes(
         self,

@@ -100,3 +100,41 @@ def test_empty_dataset_commit(ray_session, tmp_path):
     empty = ray.data.from_arrow(_tbl([], [])).filter(lambda r: False)
     mt.commit(empty, mode="append")
     assert _read_sorted(mt) == ([1], ["a"])
+
+
+def test_compact_preserves_content_and_reduces_files(ray_session, tmp_path):
+    import ray.data
+
+    mt = ManifestTable(str(tmp_path / "t"))
+    for i in range(4):
+        mt.commit(
+            ray.data.from_arrow(_tbl([i * 2, i * 2 + 1], "xy")).repartition(2)
+        )
+    n_files_before = sum(
+        len(os.listdir(os.path.join(mt.root, f)))
+        for f in mt.manifest()["fragments"]
+    )
+    v = mt.compact()
+    assert mt.manifest(v)["meta"]["op"] == "compact"
+    ks, _ = _read_sorted(mt)
+    assert ks == list(range(8))
+    n_files_after = sum(
+        len(os.listdir(os.path.join(mt.root, f)))
+        for f in mt.manifest()["fragments"]
+    )
+    assert n_files_after < n_files_before
+    # pre-compaction history still readable until vacuumed
+    assert _read_sorted(mt, 3)[0] == list(range(8))
+
+
+def test_append_schema_mismatch_rejected(ray_session, tmp_path):
+    import ray.data
+
+    mt = ManifestTable(str(tmp_path / "t"))
+    mt.commit(ray.data.from_arrow(_tbl([1], "a")))
+    bad = pa.table({"k": pa.array([2], type=pa.int64()), "other": ["x"]})
+    with pytest.raises(ValueError, match="schema mismatch"):
+        mt.commit(ray.data.from_arrow(bad), mode="append")
+    # overwrite with a new schema is allowed
+    v = mt.commit(ray.data.from_arrow(bad), mode="overwrite")
+    assert mt.manifest(v)["columns"] == ["k", "other"]
