@@ -3600,6 +3600,89 @@ def _q_bm25_top20_docs(sf_dir):
     )
 
 
+def _q_doc_markdown_strip(sf_dir):
+    """Markdown marker stripping (ops/markup.strip_markdown) over
+    documents wrapped in a deterministic Markdown template; the oracle
+    replays the exact regex chain (generated from MD_STEPS — both
+    engines are RE2, incl. \\1 backreference rewrites)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from kenlm_ray.ops.markup import strip_markdown
+
+    def mutate(t: pa.Table) -> pa.Table:
+        md = pc.binary_join_element_wise(
+            pa.array(["## Heading\n**intro** with [a link](http://x) and `c`\n```\n"]
+                     * t.num_rows),
+            t["text"],
+            pa.array(["\n```\n![img](p.png) *tail*"] * t.num_rows),
+            "",
+        )
+        return pa.table({"doc_id": t["doc_id"], "md": md})
+
+    def strip(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"doc_id": t["doc_id"], "plain": strip_markdown(t["md"])}
+        )
+
+    return (
+        _documents(sf_dir)
+        .map_batches(mutate, batch_format="pyarrow")
+        .map_batches(strip, batch_format="pyarrow")
+    )
+
+
+def _markdown_strip_sql() -> str:
+    """DuckDB replay of strip_markdown over the same template,
+    generated from ops/markup.MD_STEPS."""
+    from kenlm_ray.ops.markup import MD_STEPS
+
+    def q(s: str) -> str:
+        return s.replace("'", "''")
+
+    expr = (
+        "'## Heading' || chr(10) || '**intro** with [a link](http://x)"
+        " and `c`' || chr(10) || '```' || chr(10) || text || chr(10) ||"
+        " '```' || chr(10) || '![img](p.png) *tail*'"
+    )
+    for pat, rep in MD_STEPS:
+        expr = f"regexp_replace({expr}, '{q(pat)}', '{q(rep)}', 'g')"
+    return f"SELECT doc_id, {expr} AS plain FROM documents"
+
+
+def _q_doc_normalized_ws(sf_dir):
+    """Whitespace normalization OUTPUT check (normalize_whitespace_stage
+    text, not just the metric counts): CRLF->LF, BOM strip, trailing
+    blanks dropped, tabs->4 spaces, over deterministically mutated
+    documents (same mutation as doc_whitespace_metrics)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from kenlm_ray.ops.code_curation import normalize_whitespace_stage
+
+    def mutate(t: pa.Table) -> pa.Table:
+        m = t["doc_id"].to_numpy(zero_copy_only=False) % 3
+        crlf = pc.replace_substring(t["text"], "\n", "\r\n")
+        trail = pc.binary_join_element_wise(t["text"], pa.scalar("  "), "")
+        tabs = pc.replace_substring(t["text"], " ", "\t")
+        text = pc.if_else(
+            pa.array(m == 0), crlf, pc.if_else(pa.array(m == 1), trail, tabs)
+        )
+        return pa.table({"doc_id": t["doc_id"], "text": text})
+
+    def norm(t: pa.Table) -> pa.Table:
+        out = normalize_whitespace_stage(
+            text_col="text", tabs_to_spaces=4, emit_metrics=False
+        )(t)
+        return out.select(["doc_id", "text"])
+
+    return (
+        _documents(sf_dir)
+        .map_batches(mutate, batch_format="pyarrow")
+        .map_batches(norm, batch_format="pyarrow")
+    )
+
+
 def _q_doc_whitespace_metrics(sf_dir):
     """Whitespace hygiene counts (ops/code_curation.whitespace_metrics)
     on deterministically mutated documents (CRLF / trailing blanks /
@@ -4155,6 +4238,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "versioned_doc_table": _q_versioned_doc_table,
         "wds_roundtrip_docs": _q_wds_roundtrip_docs,
         "doc_html_strip": _q_doc_html_strip,
+        "doc_markdown_strip": _q_doc_markdown_strip,
+        "doc_normalized_ws": _q_doc_normalized_ws,
         "bm25_top20_docs": _q_bm25_top20_docs,
         "notebook_extract_stats": _q_notebook_extract_stats,
         "module_popularity": _q_module_popularity,
@@ -6747,6 +6832,28 @@ def _oracle_aliases(sql: "dict[str, str]") -> "dict[str, str]":
     # the tar-shard roundtrip must be the identity on its input columns
     sql["wds_roundtrip_docs"] = "SELECT doc_id, text, lang FROM documents"
     sql["doc_html_strip"] = _html_strip_sql()
+    sql["doc_markdown_strip"] = _markdown_strip_sql()
+    sql["doc_normalized_ws"] = r"""
+        WITH m AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 3 = 0
+                        THEN replace(text, chr(10), chr(13) || chr(10))
+                        WHEN doc_id % 3 = 1 THEN text || '  '
+                        ELSE replace(text, ' ', chr(9)) END AS t
+            FROM documents
+        )
+        SELECT doc_id,
+               replace(
+                   regexp_replace(
+                       regexp_replace(
+                           regexp_replace(
+                               replace(t, chr(13) || chr(10), chr(10)),
+                               '^' || chr(65279), ''),
+                           '[ \t]+(\n)', '\1', 'g'),
+                       '[ \t]+$', ''),
+                   chr(9), '    ') AS text
+        FROM m
+    """
     sql["bm25_top20_docs"] = r"""
         WITH toks AS (
             SELECT doc_id,
