@@ -3600,6 +3600,24 @@ def _q_bm25_top20_docs(sf_dir):
     )
 
 
+def _q_chunk_dedup_stats(sf_dir):
+    """Content-defined chunking dedup estimator (ops/cdc): rolling-hash
+    chunk boundaries (edit-stable), chunk-hash dedup counters — only
+    (hash, bytes) pairs cross the exchange, chunk bytes never shuffle.
+    Rows-only (wraparound-u64 polynomial hashes aren't SQL-expressible);
+    tests/test_cdc.py gates the kernel vs a naive O(n*w) reference,
+    coverage/clamps, and edit stability."""
+    import pandas as pd
+
+    from kenlm_ray.ops.cdc import chunk_dedup_stats
+
+    stats = chunk_dedup_stats(
+        _documents(sf_dir), text_col="text", min_size=16, max_size=512,
+        mean_bits=5,
+    )
+    return pd.DataFrame([stats])
+
+
 def _q_doc_markdown_strip(sf_dir):
     """Markdown marker stripping (ops/markup.strip_markdown) over
     documents wrapped in a deterministic Markdown template; the oracle
@@ -4239,6 +4257,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "wds_roundtrip_docs": _q_wds_roundtrip_docs,
         "doc_html_strip": _q_doc_html_strip,
         "doc_markdown_strip": _q_doc_markdown_strip,
+        "chunk_dedup_stats": _q_chunk_dedup_stats,
         "doc_normalized_ws": _q_doc_normalized_ws,
         "bm25_top20_docs": _q_bm25_top20_docs,
         "notebook_extract_stats": _q_notebook_extract_stats,

