@@ -162,27 +162,36 @@ def write_tar_shards(
     )
 
 
-def _read_shard(row: dict) -> "list[dict]":
+def _read_shard_table(batch: pa.Table) -> pa.Table:
+    """One Arrow table per shard batch — no per-sample Python rows
+    leave the task; binary columns stay bytes, json columns decode."""
     rows: "dict[str, dict]" = {}
     order: "list[str]" = []
-    with tarfile.open(row["shard"], "r") as tf:
-        for member in tf:
-            if not member.isfile():
-                continue
-            data = tf.extractfile(member).read()
-            key, col, value = _decode_member(member.name, data)
-            if key not in rows:
-                rows[key] = {"__key__": key}
-                order.append(key)
-            rows[key][col] = value
-    return [rows[k] for k in order]
+    cols: "list[str]" = []
+    for path in batch["shard"].to_pylist():
+        with tarfile.open(path, "r") as tf:
+            for member in tf:
+                if not member.isfile():
+                    continue
+                data = tf.extractfile(member).read()
+                key, col, value = _decode_member(member.name, data)
+                if key not in rows:
+                    rows[key] = {"__key__": key}
+                    order.append(key)
+                if col not in cols:
+                    cols.append(col)
+                rows[key][col] = value
+    arrays = {"__key__": pa.array(order, type=pa.string())}
+    for c in sorted(cols):
+        arrays[c] = pa.array([rows[k].get(c) for k in order])
+    return pa.table(arrays)
 
 
 def read_tar_shards(paths_or_dir, *, keep_key: bool = True):
     """Dataset over tar shards (a directory or an explicit path list);
-    one read task per shard.  Samples come back as rows keyed by
-    ``__key__`` (dropped when ``keep_key=False``); missing members are
-    None via Arrow's usual union-of-schemas null fill."""
+    one read task per shard (``batch_size=1`` over the shard list).
+    Samples come back keyed by ``__key__`` (dropped when
+    ``keep_key=False``); missing members are None."""
     import ray.data
 
     if isinstance(paths_or_dir, str):
@@ -193,7 +202,11 @@ def read_tar_shards(paths_or_dir, *, keep_key: bool = True):
         ]
     else:
         paths = list(paths_or_dir)
-    ds = ray.data.from_items([{"shard": p} for p in paths]).flat_map(_read_shard)
+    ds = ray.data.from_arrow(
+        pa.table({"shard": pa.array(paths, type=pa.string())})
+    ).repartition(max(len(paths), 1)).map_batches(
+        _read_shard_table, batch_format="pyarrow", batch_size=1
+    )
     if not keep_key:
         ds = ds.drop_columns(["__key__"])
     return ds
