@@ -3600,6 +3600,27 @@ def _q_bm25_top20_docs(sf_dir):
     )
 
 
+def _q_temperature_rebalance(sf_dir):
+    """Temperature-based language rebalancing (XLM-R sampling rule,
+    ops/sample.temperature_rebalance): per-lang targets ∝ p^0.3 with
+    largest-remainder rounding and cap redistribution, realized by the
+    variable-k deterministic stratified sample.  Rows-only (splitmix
+    ranks aren't SQL-expressible); tests/test_temperature.py gates
+    exact counts, alpha extremes, caps and partitioning invariance."""
+    import ray.data
+    from ray.data.aggregate import Count
+
+    from kenlm_ray.ops.sample import temperature_rebalance
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "lang"]
+    )
+    sampled, _ = temperature_rebalance(
+        docs, "lang", "doc_id", total_budget=200, alpha=0.3, seed=11
+    )
+    return sampled.groupby("lang").aggregate(Count(alias_name="n_kept"))
+
+
 def _q_chunk_dedup_stats(sf_dir):
     """Content-defined chunking dedup estimator (ops/cdc): rolling-hash
     chunk boundaries (edit-stable), chunk-hash dedup counters — only
@@ -4258,6 +4279,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_html_strip": _q_doc_html_strip,
         "doc_markdown_strip": _q_doc_markdown_strip,
         "chunk_dedup_stats": _q_chunk_dedup_stats,
+        "temperature_lang_rebalance": _q_temperature_rebalance,
         "doc_normalized_ws": _q_doc_normalized_ws,
         "bm25_top20_docs": _q_bm25_top20_docs,
         "notebook_extract_stats": _q_notebook_extract_stats,

@@ -167,3 +167,116 @@ def _factorize(values: np.ndarray) -> "tuple[np.ndarray, np.ndarray]":
     """Dense integer codes for an arbitrary (string/int) key array."""
     uniq, codes = np.unique(values, return_inverse=True)
     return codes, uniq
+
+
+def stratified_sample_counts(
+    ds: "ray.data.Dataset",
+    group_col: str,
+    id_col: str,
+    k_by_group: "dict",
+    *,
+    seed: int = 0,
+) -> "ray.data.Dataset":
+    """Exact per-group sample with a DIFFERENT k per group (the
+    variable-k generalization of :func:`stratified_sample`; same
+    bottom-k-by-seeded-hash shape, same wire cost: at most k_g rows per
+    (group, batch) cross the shuffle).  Groups absent from
+    ``k_by_group`` are dropped; groups smaller than their k keep all
+    rows.  ``k_by_group`` is catalog-sized (one entry per language /
+    domain) and ships in the task closure."""
+    kmap = {str(k): int(v) for k, v in k_by_group.items()}
+
+    def local_cut(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return batch.append_column("__rank", pa.array([], pa.int64()))
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        r = _rank(ids, seed)
+        signed = (r - np.uint64(1 << 63)).view(np.int64)
+        g = batch[group_col].to_numpy(zero_copy_only=False)
+        codes, uniq = _factorize(g)
+        kg = np.array([kmap.get(str(u), 0) for u in uniq], dtype=np.int64)
+        order = np.lexsort((signed, codes))
+        gs = codes[order]
+        new = np.diff(gs, prepend=gs[0] - 1) != 0
+        idx_in_group = np.arange(len(gs)) - np.maximum.accumulate(
+            np.where(new, np.arange(len(gs)), 0)
+        )
+        keep = order[idx_in_group < kg[gs]]
+        out = batch.take(pa.array(np.sort(keep)))
+        rr = signed[np.sort(keep)]
+        return out.append_column("__rank", pa.array(rr))
+
+    def final_cut(grp: pa.Table) -> pa.Table:
+        if len(grp) == 0:
+            return grp
+        k = kmap.get(str(grp[group_col][0].as_py()), 0)
+        r = grp["__rank"].to_numpy(zero_copy_only=False)
+        if len(r) > k:
+            keep = np.sort(np.argpartition(r, k)[:k]) if k else np.array([], np.int64)
+            grp = grp.take(pa.array(keep))
+        return grp.drop_columns(["__rank"])
+
+    return (
+        ds.map_batches(local_cut, batch_format="pyarrow")
+        .groupby(group_col)
+        .map_groups(final_cut, batch_format="pyarrow")
+    )
+
+
+def temperature_rebalance(
+    ds: "ray.data.Dataset",
+    group_col: str,
+    id_col: str,
+    *,
+    total_budget: int,
+    alpha: float = 0.3,
+    seed: int = 0,
+):
+    """Temperature-based group rebalancing (the multilingual sampling
+    rule of XLM-R / mBERT: sample groups proportional to p_g^alpha):
+    alpha=1 keeps the natural distribution, alpha=0 is uniform across
+    groups, 0<alpha<1 upweights the tail.  Downsampling only (a group
+    never yields more than its rows — upsampling is epoch repetition,
+    done by ops/mix.py); per-group targets use largest-remainder
+    rounding so kept counts sum to min(total_budget, feasible).
+
+    Returns (sampled_ds, k_by_group).  One tiny count groupby plus the
+    stratified_sample_counts shuffle.
+    """
+    from ray.data.aggregate import Count
+
+    counts = {
+        str(r[group_col]): int(r["count()"])
+        for r in ds.groupby(group_col).aggregate(Count()).take_all()
+    }  # catalog-sized driver reduce (one row per group)
+    groups = sorted(counts)
+    n = np.array([counts[g] for g in groups], dtype=np.float64)
+    p = n / n.sum()
+    w = p**alpha
+    w = w / w.sum()
+    # iterate: groups capped at their size redistribute budget
+    k = np.zeros(len(groups), dtype=np.int64)
+    remaining = total_budget
+    active = np.ones(len(groups), dtype=bool)
+    for _ in range(len(groups)):
+        if remaining <= 0 or not active.any():
+            break
+        share = w * active
+        if share.sum() == 0:
+            break
+        tgt = share / share.sum() * remaining
+        base = np.floor(tgt).astype(np.int64)
+        rem = remaining - int(base.sum())
+        frac_order = np.argsort(-(tgt - base), kind="stable")
+        base[frac_order[:rem]] += 1
+        newly_capped = active & (k + base >= n.astype(np.int64))
+        k = np.minimum(k + base, n.astype(np.int64))
+        remaining = total_budget - int(k.sum())
+        if not newly_capped.any():
+            break
+        active &= ~newly_capped
+    k_by_group = {g: int(kk) for g, kk in zip(groups, k)}
+    return (
+        stratified_sample_counts(ds, group_col, id_col, k_by_group, seed=seed),
+        k_by_group,
+    )

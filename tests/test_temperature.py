@@ -1,0 +1,85 @@
+"""Temperature rebalancing + variable-k stratified sampling."""
+
+import numpy as np
+import pyarrow as pa
+
+from kenlm_ray.ops.sample import stratified_sample_counts, temperature_rebalance
+
+
+def _corpus():
+    # skewed: en 600, fr 150, de 40, sw 10
+    rows = []
+    i = 0
+    for g, n in (("en", 600), ("fr", 150), ("de", 40), ("sw", 10)):
+        for _ in range(n):
+            rows.append({"doc_id": i, "lang": g})
+            i += 1
+    return pa.table(
+        {
+            "doc_id": pa.array([r["doc_id"] for r in rows], pa.int64()),
+            "lang": [r["lang"] for r in rows],
+        }
+    )
+
+
+def test_variable_k_exact_counts(ray_session):
+    import ray.data
+
+    ds = ray.data.from_arrow(_corpus()).repartition(5)
+    k = {"en": 100, "fr": 50, "de": 200, "sw": 3}
+    got = (
+        stratified_sample_counts(ds, "lang", "doc_id", k, seed=7)
+        .to_pandas()
+        .groupby("lang")
+        .size()
+        .to_dict()
+    )
+    assert got == {"en": 100, "fr": 50, "de": 40, "sw": 3}
+
+
+def test_partitioning_invariance(ray_session):
+    import ray.data
+
+    tbl = _corpus()
+    k = {"en": 30, "fr": 20, "de": 10, "sw": 5}
+    outs = []
+    for parts in (1, 7):
+        ds = ray.data.from_arrow(tbl).repartition(parts)
+        df = (
+            stratified_sample_counts(ds, "lang", "doc_id", k, seed=3)
+            .to_pandas()
+            .sort_values("doc_id")
+        )
+        outs.append(list(df["doc_id"]))
+    assert outs[0] == outs[1]
+
+
+def test_temperature_extremes(ray_session):
+    import ray.data
+
+    ds = ray.data.from_arrow(_corpus())
+    # alpha=1: proportional to natural sizes
+    _, k1 = temperature_rebalance(
+        ds, "lang", "doc_id", total_budget=80, alpha=1.0
+    )
+    assert sum(k1.values()) == 80
+    assert k1["en"] == 60 and k1["fr"] == 15 and k1["de"] == 4 and k1["sw"] == 1
+    # alpha=0: uniform across groups (capped by group size)
+    sampled, k0 = temperature_rebalance(
+        ds, "lang", "doc_id", total_budget=80, alpha=0.0
+    )
+    assert sum(k0.values()) == 80
+    assert k0["sw"] == 10  # capped at its size; budget redistributed
+    assert k0["de"] >= 20 and k0["fr"] >= 20 and k0["en"] >= 20
+    got = sampled.to_pandas().groupby("lang").size().to_dict()
+    assert got == k0
+
+
+def test_budget_larger_than_corpus(ray_session):
+    import ray.data
+
+    ds = ray.data.from_arrow(_corpus())
+    _, k = temperature_rebalance(
+        ds, "lang", "doc_id", total_budget=10_000, alpha=0.5
+    )
+    assert k == {"en": 600, "fr": 150, "de": 40, "sw": 10}
