@@ -3260,6 +3260,61 @@ def _q_repo_file_order(sf_dir):
     return repo_file_order(ds)
 
 
+def _q_repo_context_docs(sf_dir):
+    """End-to-end repo-context assembly: dependency-ordered ranks
+    (ops/repo_order) joined back to content (partitioned hash join on
+    (repo, path)) and concatenated per repo in rank order
+    (ops/text.concat_documents) — the StarCoder2-style repo-context
+    document builder.  Returns (repo, n_docs, n_chars).  Rows-only;
+    the pieces are individually gated (test_repo_order, concat's ✓SQL
+    query, join's ✓SQL queries)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+
+    from kenlm_ray.ops.imports import inject_imports
+    from kenlm_ray.ops.join import hash_join
+    from kenlm_ray.ops.repo_order import repo_file_order
+    from kenlm_ray.ops.text import concat_documents
+    from kenlm_ray.sources.synth_corpus import write_corpus
+
+    n = max(2000, _documents(sf_dir).count() * 4)
+    paths = write_corpus(
+        f"/tmp/kenlm_ray_cache/codecur_corpus_{n}", n, seed=9, n_shards=8
+    )
+    corpus = ray.data.read_parquet(paths).map_batches(
+        inject_imports, batch_format="pyarrow"
+    )
+    ranks = repo_file_order(corpus)
+    joined = hash_join(
+        ranks,
+        ray.data.read_parquet(paths, columns=["repo", "path", "content"]),
+        on=["repo", "path"],
+        left_cols={
+            "repo": pa.string(), "path": pa.string(), "rank": pa.int64()
+        },
+        right_cols={
+            "repo": pa.string(), "path": pa.string(), "content": pa.string()
+        },
+        how="inner",
+    )
+    ctx = concat_documents(
+        joined, group_col="repo", order_col="rank", text_col="content",
+        sep="\n\n",
+    )
+
+    def summarize(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "repo": t["repo"],
+                "n_docs": t["n_docs"],
+                "n_chars": pc.utf8_length(t["text"]),
+            }
+        )
+
+    return ctx.map_batches(summarize, batch_format="pyarrow")
+
+
 def _q_module_popularity(sf_dir):
     """Import-dependency analytics over the import-enriched synthetic
     code corpus: (module, n_repos, n_files) usage ranking
@@ -4285,6 +4340,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "notebook_extract_stats": _q_notebook_extract_stats,
         "module_popularity": _q_module_popularity,
         "repo_file_order": _q_repo_file_order,
+        "repo_context_docs": _q_repo_context_docs,
         "code_unit_stats": _q_code_unit_stats,
         "module_coimport_pagerank": _q_module_coimport_pagerank,
         "late_event_flags": _q_late_event_flags,
