@@ -3676,6 +3676,54 @@ def _q_temperature_rebalance(sf_dir):
     return sampled.groupby("lang").aggregate(Count(alias_name="n_kept"))
 
 
+_SECRET_TOK = "kJ8xQ2mVp9ZrT4wLnY6bEDcF1aGhU3sO"
+_LOWENT_TOK = "aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa"
+
+
+def _q_doc_secret_scan(sf_dir):
+    """High-entropy token scan (ops/secrets): candidates = tokens with
+    >= 20 bytes, flagged when byte-level Shannon entropy >= 3.5
+    bits/byte — deterministic secret/low-entropy tokens injected per
+    doc_id % 4; the oracle recomputes the same entropy per candidate
+    occurrence in SQL (corpus is ASCII, so chars == bytes)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from kenlm_ray.ops.secrets import high_entropy_metrics
+
+    def mutate(t: pa.Table) -> pa.Table:
+        k = t["doc_id"].to_numpy(zero_copy_only=False) % 4
+        suffix = {
+            0: " " + _SECRET_TOK,
+            1: " " + _LOWENT_TOK,
+            2: " " + _SECRET_TOK + " " + _SECRET_TOK,
+            3: "",
+        }
+        text = t["text"]
+        for kk in (0, 1, 2):
+            appended = pc.binary_join_element_wise(
+                text, pa.scalar(suffix[kk]), ""
+            )
+            text = pc.if_else(pa.array(k == kk), appended, text)
+        return pa.table({"doc_id": t["doc_id"], "text": text})
+
+    def scan(t: pa.Table) -> pa.Table:
+        m = high_entropy_metrics(t["text"])
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_candidates": pa.array(m["n_candidates"]),
+                "n_high_entropy": pa.array(m["n_high_entropy"]),
+            }
+        )
+
+    return (
+        _documents(sf_dir)
+        .map_batches(mutate, batch_format="pyarrow")
+        .map_batches(scan, batch_format="pyarrow")
+    )
+
+
 def _q_chunk_dedup_stats(sf_dir):
     """Content-defined chunking dedup estimator (ops/cdc): rolling-hash
     chunk boundaries (edit-stable), chunk-hash dedup counters — only
@@ -4334,6 +4382,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_html_strip": _q_doc_html_strip,
         "doc_markdown_strip": _q_doc_markdown_strip,
         "chunk_dedup_stats": _q_chunk_dedup_stats,
+        "doc_secret_scan": _q_doc_secret_scan,
         "temperature_lang_rebalance": _q_temperature_rebalance,
         "doc_normalized_ws": _q_doc_normalized_ws,
         "bm25_top20_docs": _q_bm25_top20_docs,
@@ -6930,6 +6979,47 @@ def _oracle_aliases(sql: "dict[str, str]") -> "dict[str, str]":
     sql["wds_roundtrip_docs"] = "SELECT doc_id, text, lang FROM documents"
     sql["doc_html_strip"] = _html_strip_sql()
     sql["doc_markdown_strip"] = _markdown_strip_sql()
+    sql["doc_secret_scan"] = rf"""
+        WITH m AS (
+            SELECT doc_id,
+                   text || CASE doc_id % 4
+                       WHEN 0 THEN ' {_SECRET_TOK}'
+                       WHEN 1 THEN ' {_LOWENT_TOK}'
+                       WHEN 2 THEN ' {_SECRET_TOK} {_SECRET_TOK}'
+                       ELSE '' END AS t
+            FROM documents
+        ),
+        toks AS (
+            SELECT doc_id, tk.tok FROM (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(t, '[\t\n\r ]+'),
+                                   x -> x <> '') AS w
+                FROM m
+            ), unnest(w) AS tk(tok)
+        ),
+        occ AS (
+            SELECT doc_id, tok, count(*)::BIGINT AS nocc
+            FROM toks WHERE strlen(tok) >= 20 GROUP BY doc_id, tok
+        ),
+        freq AS (
+            SELECT doc_id, tok, ch.c, count(*)::DOUBLE AS n
+            FROM occ, unnest(regexp_extract_all(tok, '.')) AS ch(c)
+            GROUP BY doc_id, tok, ch.c
+        ),
+        ent AS (
+            SELECT doc_id, tok,
+                   -sum((n / strlen(tok)) * log2(n / strlen(tok))) AS e
+            FROM freq GROUP BY doc_id, tok
+        )
+        SELECT d.doc_id,
+               COALESCE(sum(occ.nocc), 0)::BIGINT AS n_candidates,
+               COALESCE(sum(CASE WHEN ent.e >= 3.5 THEN occ.nocc
+                                 ELSE 0 END), 0)::BIGINT AS n_high_entropy
+        FROM documents d
+        LEFT JOIN occ ON d.doc_id = occ.doc_id
+        LEFT JOIN ent ON occ.doc_id = ent.doc_id AND occ.tok = ent.tok
+        GROUP BY d.doc_id
+    """
     sql["doc_normalized_ws"] = r"""
         WITH m AS (
             SELECT doc_id,

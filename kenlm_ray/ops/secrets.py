@@ -1,0 +1,98 @@
+"""High-entropy token detection (truffleHog-style secret scanning).
+
+The regex scrubber (``stages/scrub.py``) catches labeled secrets
+(``api_key = ...``); leaked credentials without a telltale name are
+caught by ENTROPY: a random 40-char hex/base64 blob has ~4-6 bits of
+Shannon entropy per byte, while natural-language and identifier tokens
+sit far lower.  This is the classic truffleHog / detect-secrets
+high-entropy scan, as a vectorized batch kernel:
+
+  1. tokenize (the engine's strict delimiter set, zero-copy),
+  2. candidates = tokens with ``len >= min_len`` (secrets are long;
+     the threshold also keeps the candidate set tiny on real text),
+  3. per-candidate byte-level Shannon entropy via ONE 2-D
+     ``np.add.at`` histogram over the padded token matrix — no
+     per-token Python,
+  4. per-doc counters: ``n_candidates``, ``n_high_entropy``
+     (entropy >= threshold, in bits/byte).
+
+Pure map — no shuffle, no state; compose with ``stages/scrub`` to drop
+or mask flagged docs.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from kenlm_ray.functions.tokenize import tokenize_column
+
+SECRET_COLUMNS = ["n_candidates", "n_high_entropy"]
+
+
+def token_byte_entropy(mat: np.ndarray, lens: np.ndarray) -> np.ndarray:
+    """Shannon entropy (bits/byte) of each padded row's first len bytes."""
+    c = len(lens)
+    if c == 0:
+        return np.zeros(0, dtype=np.float64)
+    counts = np.zeros((c, 256), dtype=np.int64)
+    col = np.arange(mat.shape[1])
+    rows, cols = np.nonzero(col[None, :] < lens[:, None])
+    np.add.at(counts, (rows, mat[rows, cols]), 1)
+    p = counts / lens[:, None]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        term = np.where(p > 0, -p * np.log2(p), 0.0)
+    return term.sum(axis=1)
+
+
+def high_entropy_metrics(
+    content: "pa.Array | pa.ChunkedArray",
+    *,
+    min_len: int = 20,
+    threshold_bits: float = 3.5,
+) -> dict:
+    """Per-doc candidate / high-entropy token counters."""
+    import pyarrow.compute as pc
+
+    if isinstance(content, pa.ChunkedArray):
+        content = content.combine_chunks()
+    content = pc.fill_null(content, "")
+    ts = tokenize_column(content)
+    n = len(content)
+    out_c = np.zeros(n, dtype=np.int64)
+    out_h = np.zeros(n, dtype=np.int64)
+    if ts.n_tokens:
+        lens = ts.lengths()
+        cand = np.flatnonzero(lens >= min_len)
+        if len(cand):
+            # gather only candidate tokens into the padded matrix
+            sub = ts.__class__(
+                data=ts.data,
+                starts=ts.starts[cand],
+                ends=ts.ends[cand],
+                doc_ids=ts.doc_ids[cand],
+                sent_ids=ts.sent_ids[cand],
+                n_docs=ts.n_docs,
+            )
+            mat, ml = sub.padded_matrix(max_token_len=512)
+            ent = token_byte_entropy(mat, ml.astype(np.int64))
+            d = ts.doc_ids[cand]
+            np.add.at(out_c, d, 1)
+            np.add.at(out_h, d[ent >= threshold_bits], 1)
+    return {"n_candidates": out_c, "n_high_entropy": out_h}
+
+
+def secret_scan_stage(*, text_col: str = "content", min_len: int = 20,
+                      threshold_bits: float = 3.5):
+    """map_batches fn appending the SECRET_COLUMNS counters."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        m = high_entropy_metrics(
+            batch[text_col], min_len=min_len, threshold_bits=threshold_bits
+        )
+        out = batch
+        for k in SECRET_COLUMNS:
+            out = out.append_column(k, pa.array(m[k]))
+        return out
+
+    return fn

@@ -1,0 +1,71 @@
+"""ops/secrets high-entropy token detection vs a pure-Python reference."""
+
+import math
+
+import numpy as np
+import pyarrow as pa
+
+from kenlm_ray.ops.secrets import high_entropy_metrics, secret_scan_stage
+
+
+def ref_metrics(text, min_len=20, thr=3.5):
+    n_c = n_h = 0
+    for tok in text.replace("\t", " ").replace("\r", " ").replace("\n", " ").split(" "):
+        b = tok.encode("utf-8")
+        if len(b) < min_len:
+            continue
+        n_c += 1
+        counts = {}
+        for x in b:
+            counts[x] = counts.get(x, 0) + 1
+        ent = -sum(
+            (c / len(b)) * math.log2(c / len(b)) for c in counts.values()
+        )
+        if ent >= thr:
+            n_h += 1
+    return n_c, n_h
+
+
+SECRET = "kJ8xQ2mVp9ZrT4wLnY6bEDcF1aGhU3sO"      # random-looking, high entropy
+LOWENT = "aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa"      # long but entropy 0
+
+
+def test_detects_injected_secret():
+    docs = [
+        f"config line token = {SECRET} end",
+        f"padding {LOWENT} more words",
+        "short words only here",
+        "",
+        f"{SECRET} {SECRET} twice and {LOWENT}",
+    ]
+    m = high_entropy_metrics(pa.array(docs))
+    for i, d in enumerate(docs):
+        nc, nh = ref_metrics(d)
+        assert m["n_candidates"][i] == nc, (i, d)
+        assert m["n_high_entropy"][i] == nh, (i, d)
+    assert m["n_high_entropy"][0] == 1
+    assert m["n_high_entropy"][1] == 0
+    assert m["n_high_entropy"][4] == 2
+
+
+def test_randomized_parity():
+    rng = np.random.default_rng(5)
+    vocab = ["word", "x" * 25, SECRET, LOWENT, "mid_length_token_here",
+             "9f8a7b6c5d4e3f2a1b0c9d8e7f6a5b4c3d2e1f0a"]
+    docs = [" ".join(rng.choice(vocab, size=rng.integers(0, 30)))
+            for _ in range(100)]
+    m = high_entropy_metrics(pa.array(docs))
+    for i, d in enumerate(docs):
+        nc, nh = ref_metrics(d)
+        assert m["n_candidates"][i] == nc
+        assert m["n_high_entropy"][i] == nh
+
+
+def test_stage_through_ray(ray_session):
+    import ray.data
+
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": [0, 1], "content": [f"k={SECRET}", "plain"]})
+    ).map_batches(secret_scan_stage(), batch_format="pyarrow")
+    got = ds.to_pandas().sort_values("doc_id")
+    assert list(got["n_high_entropy"]) == [1, 0]
