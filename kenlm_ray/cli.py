@@ -575,6 +575,36 @@ def cmd_normalize_ws(args) -> int:
     return 0
 
 
+def cmd_secrets(args) -> int:
+    """High-entropy secret scan: append counters (and optionally drop
+    flagged docs)."""
+    _ray_init()
+    import json
+
+    import ray.data
+
+    from kenlm_ray.ops.secrets import secret_scan_stage
+
+    ds = ray.data.read_parquet(args.corpus).map_batches(
+        secret_scan_stage(
+            text_col=args.text_col,
+            min_len=args.min_len,
+            threshold_bits=args.threshold,
+        ),
+        batch_format="pyarrow",
+    )
+    if args.drop_flagged:
+        import pyarrow.compute as pc
+
+        ds = ds.map_batches(
+            lambda t: t.filter(pc.equal(t["n_high_entropy"], 0)),
+            batch_format="pyarrow",
+        )
+    ds.write_parquet(args.out)
+    print(json.dumps({"out": args.out}))
+    return 0
+
+
 def cmd_wds(args) -> int:
     """WebDataset tar shards: pack parquet -> shards / unpack -> parquet."""
     _ray_init()
@@ -1855,6 +1885,17 @@ def main(argv=None) -> int:
     sWD.add_argument("--shard-max-items", type=int, default=100_000)
     sWD.add_argument("--batch-size", type=int, default=1024)
     sWD.set_defaults(fn=cmd_wds)
+
+    sSC = sub.add_parser(
+        "secrets", help="high-entropy secret scan (truffleHog-style)"
+    )
+    sSC.add_argument("corpus")
+    sSC.add_argument("out")
+    sSC.add_argument("--text-col", default="content")
+    sSC.add_argument("--min-len", type=int, default=20)
+    sSC.add_argument("--threshold", type=float, default=3.5)
+    sSC.add_argument("--drop-flagged", action="store_true")
+    sSC.set_defaults(fn=cmd_secrets)
 
     args = p.parse_args(argv)
     return args.fn(args)
