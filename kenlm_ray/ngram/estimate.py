@@ -476,6 +476,59 @@ def discount_stats(
     return _chen_goodman_discounts(counts, discount_fallback)
 
 
+def discount_stats_fused(
+    adjs: "dict[int, ray.data.Dataset]",
+    orders: "list[int]",
+    exclude_bos: "set[int]",
+    *,
+    discount_fallback: "tuple | None" = (0.5, 1.0, 1.5),
+) -> "dict[int, list[float]]":
+    """Phase [2b] for SEVERAL orders in ONE pipeline execution: the
+    per-order count-of-count histograms are tiny (4 buckets each), so
+    unioning the per-batch partials with an order tag and running a
+    single groupby costs one barrier instead of one per order — the
+    same math as :func:`discount_stats`, order by order."""
+    parts = []
+    for n in orders:
+
+        def hist_map(t: pa.Table, _n=n, _ex=(n in exclude_bos)) -> pa.Table:
+            if _ex:
+                t = t.filter(
+                    pc.invert(
+                        pc.equal(t["i1"], pa.scalar(BOS_ID, type=pa.uint32()))
+                    )
+                )
+            return (
+                pa.table(
+                    {
+                        "o": pa.array(np.full(len(t), _n, dtype=np.int32)),
+                        "bucket": pc.min_element_wise(
+                            t["adjusted"], pa.scalar(5)
+                        ),
+                        "n": pa.array(np.ones(len(t), dtype=np.int64)),
+                    }
+                )
+                .group_by(["o", "bucket"])
+                .aggregate([("n", "sum")])
+            )
+
+        parts.append(adjs[n].map_batches(hist_map, batch_format="pyarrow"))
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.union(p)
+    hist = (
+        u.groupby(["o", "bucket"])
+        .aggregate(Sum("n_sum", alias_name="t"))
+        .to_pandas()
+    )
+    out: "dict[int, list[float]]" = {}
+    for n in orders:
+        sub = hist[hist["o"] == n]
+        counts = {int(r["bucket"]): int(r["t"]) for _, r in sub.iterrows()}
+        out[n] = _chen_goodman_discounts(counts, discount_fallback)
+    return out
+
+
 def _apply_discount(adjusted: np.ndarray, D: list[float]) -> np.ndarray:
     d = np.zeros(len(adjusted), dtype=np.float64)
     d[adjusted == 1] = D[0]
@@ -663,34 +716,66 @@ def estimate_mkn(
         ),
         batch_format="pyarrow",
     )
-    # checkpoint the adjusted-count tables: they are consumed by several
-    # downstream materializations (discounts, probs, gammas) and are small
-    # relative to the corpus (distinct grams, not occurrences) — the
-    # sanctioned use of materialize() on reused intermediates.
-    adjs = {n: d.materialize() for n, d in adjs.items()}
+    # checkpoint the higher-order adjusted-count tables: each feeds
+    # several downstream executions (fused discounts, probs, gammas) and
+    # is small relative to the corpus (distinct grams, not occurrences) —
+    # the sanctioned use of materialize() on reused intermediates.  The
+    # unigram table is vocab-sized and interpolation pulls it to the
+    # driver anyway, so its whole phase (discount stats + initial probs)
+    # runs driver-side in ONE pipeline execution instead of four; the
+    # higher-order discount histograms fuse into one more.
+    adjs = {n: (d.materialize() if n > 1 else d) for n, d in adjs.items()}
+    uni_df = adjs[1].to_pandas()
+    uni_adj = uni_df["adjusted"].to_numpy().astype(np.int64)
     discounts = {
-        n: discount_stats(
-            adjs[n],
-            exclude_bos=(n < order),
-            discount_fallback=discount_fallback,
+        1: _chen_goodman_discounts(
+            {j: int((uni_adj == j).sum()) for j in (1, 2, 3, 4)},
+            discount_fallback,
         )
-        for n in range(1, order + 1)
     }
+    if order > 1:
+        discounts.update(
+            discount_stats_fused(
+                adjs,
+                list(range(2, order + 1)),
+                exclude_bos=set(range(2, order)),
+                discount_fallback=discount_fallback,
+            )
+        )
 
+    # order-1 initial probs, driver-side (initial_probs ctx-less branch):
+    # the denominator sums adjusted counts of ALL rows incl. pruned; a
+    # pruned gram's discount is its whole adjusted count (mass joins
+    # gamma) and its p̂ row is dropped
+    disc1 = _apply_discount(uni_adj, discounts[1])
+    pruned1 = (
+        uni_df["pruned"].to_numpy().astype(bool)
+        if "pruned" in uni_df.columns
+        else np.zeros(len(uni_df), dtype=bool)
+    )
+    disc1 = np.where(pruned1, uni_adj.astype(np.float64), disc1)
+    denom1 = float(uni_adj.sum())
+    uni_gamma = float(disc1.sum()) / denom1 if denom1 else 1.0
+    keep1 = ~pruned1
+
+    # probs/gammas for orders >= 2 stay LAZY: each is a cheap map (or
+    # lazy hash_join) over the ctx_agg that initial_probs materializes
+    # internally, so every consumer fuses it into its own execution
+    # instead of paying a materialization barrier per order
     probs = {}
     gammas = {}
-    for n in range(1, order + 1):
-        p, g = initial_probs(
+    for n in range(2, order + 1):
+        probs[n], gammas[n] = initial_probs(
             adjs[n], n, discounts[n], num_partitions=num_partitions
         )
-        probs[n], gammas[n] = p.materialize(), g.materialize()
 
     # phase 4: interpolate — unigrams on the driver (vocab-sized)
-    p1 = probs[1].to_pandas()
-    g1 = gammas[1].to_pandas()
-    uni_gamma = float(g1["gamma"].iloc[0])
-    uni_ids = p1["i1"].to_numpy().astype(np.int64)
-    uni_pp = p1["pseudo_prob"].to_numpy().astype(np.float64)
+    uni_ids = uni_df["i1"].to_numpy().astype(np.int64)[keep1]
+    uni_pp = (
+        (uni_adj[keep1].astype(np.float64) - disc1[keep1]) / denom1
+        if denom1
+        else np.zeros(int(keep1.sum()), dtype=np.float64)
+    )
     # survived unigram ids ∪ {<unk>, </s>} — the interpolated distribution
     vocab_ids = np.unique(np.concatenate([uni_ids, [UNK_ID, EOS_ID]]))
     V = len(vocab_ids)
