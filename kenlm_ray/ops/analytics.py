@@ -2020,11 +2020,15 @@ def copurchase_lift(sf_dir: str, top_k: int = 100) -> "ray.data.Dataset":
 
     Shape: part order-frequencies via a part-keyed count (partial-
     combined in batch) with a distributed sort+limit top-k cut; the k
-    partkeys broadcast sorted; each batch folds its (order, part) rows
-    into an order x k presence bitmap and ONE matmul counts every
-    pair's support — no per-order loop, orders never span batches
-    after the orderkey-bucket regroup.  Output: part_x, part_y
-    (part_x < part_y), n_pair (int64), lift (round 6).
+    partkeys broadcast sorted; the presence table is then FILTERED to
+    top-k parts (a map, ~k/|parts| selectivity, no shuffle) before any
+    pair counting.  The filtered (order, part-index) table is pulled to
+    the driver when it fits a row cap (chunked order x k bitmap matmuls
+    accumulate the k x k co-occurrence matrix — one execution, no
+    second all-to-all); above the cap it falls back to the
+    orderkey-bucket regroup + per-group bitmap matmul so orders never
+    span groups.  Output: part_x, part_y (part_x < part_y),
+    n_pair (int64), lift (round 6).
     """
     from ray.data.aggregate import Count, Sum
 
@@ -2085,29 +2089,47 @@ def copurchase_lift(sf_dir: str, top_k: int = 100) -> "ray.data.Dataset":
     k = len(parts_s)
     look_ref = ray.put(parts_s)
 
-    def pairs(g: pa.Table) -> pa.Table:
+    # filter presence to the top-k parts FIRST: selectivity ~ k/|parts|,
+    # a pure map — the expensive pair counting then runs over the small
+    # survivor table instead of re-shuffling the whole presence table
+    def topk_filter(batch: pa.Table) -> pa.Table:
         lk = ray.get(look_ref)
+        ok_ = batch["l_orderkey"].to_numpy(zero_copy_only=False)
+        pk = batch["l_partkey"].to_numpy(zero_copy_only=False)
+        idx = np.minimum(np.searchsorted(lk, pk), max(len(lk) - 1, 0))
+        hit = lk[idx] == pk
+        return pa.table(
+            {
+                "l_orderkey": pa.array(ok_[hit].astype(np.int64)),
+                "w": pa.array(idx[hit].astype(np.int64)),
+            }
+        )
+
+    filt = pres.map_batches(topk_filter, batch_format="pyarrow").materialize()
+
+    def pair_table(o: np.ndarray, w: np.ndarray) -> pa.Table:
+        """(order, part-idx) rows -> (code, c) pair counts via chunked
+        order x k bitmaps (bitmap assignment is idempotent; rows are
+        distinct anyway).  Peak extra memory ~ chunk*k float32."""
         empty = pa.table(
             {
                 "code": pa.array([], type=pa.int64()),
                 "c": pa.array([], type=pa.int64()),
             }
         )
-        if len(g) == 0:
+        if len(o) == 0:
             return empty
-        ok_ = g["l_orderkey"].to_numpy(zero_copy_only=False)
-        pk = g["l_partkey"].to_numpy(zero_copy_only=False)
-        idx = np.minimum(np.searchsorted(lk, pk), max(len(lk) - 1, 0))
-        hit = lk[idx] == pk
-        if not hit.any():
-            return empty
-        o = ok_[hit]
-        w = idx[hit]
-        # dense order codes for the bitmap rows
+        co = np.zeros((k, k), dtype=np.float64)
         ouniq, oinv = np.unique(o, return_inverse=True)
-        bitmap = np.zeros((len(ouniq), k), dtype=np.float32)
-        bitmap[oinv, w] = 1.0
-        co = bitmap.T @ bitmap
+        srt = np.argsort(oinv, kind="stable")
+        oinv_s, w_s = oinv[srt], w[srt]
+        chunk = 100_000
+        for lo in range(0, len(ouniq), chunk):
+            hi = min(lo + chunk, len(ouniq))
+            a, b = np.searchsorted(oinv_s, [lo, hi])
+            bm = np.zeros((hi - lo, k), dtype=np.float32)
+            bm[oinv_s[a:b] - lo, w_s[a:b]] = 1.0
+            co += bm.T @ bm
         iu, ju = np.triu_indices(k, 1)
         cnt = co[iu, ju].astype(np.int64)
         nz = cnt > 0
@@ -2115,20 +2137,50 @@ def copurchase_lift(sf_dir: str, top_k: int = 100) -> "ray.data.Dataset":
             return empty
         return pa.table(
             {
-                "code": pa.array(iu[nz].astype(np.int64) * k + ju[nz]),
+                "code": pa.array((iu[nz].astype(np.int64) * k + ju[nz])),
                 "c": pa.array(cnt[nz]),
             }
         )
 
-    agg = (
-        pres.map_batches(bucket, batch_format="pyarrow")
-        .groupby("__pb")
-        .map_groups(
-            lambda g: pairs(g.drop_columns(["__pb"])), batch_format="pyarrow"
+    # survivors bounded by |distinct (order, top-k part)| — tiny for
+    # realistic k; driver path when under the cap (one execution, no
+    # second all-to-all), bucket-regroup fallback above it
+    PAIR_DRIVER_ROWS = 5_000_000
+    if filt.count() <= PAIR_DRIVER_ROWS:
+        # drop empty blocks: they can carry a zero-column schema that
+        # poisons concat_tables
+        tabs = [t for t in (ray.get(r) for r in filt.to_arrow_refs()) if t.num_rows]
+        tb = (
+            pa.concat_tables(tabs)
+            if tabs
+            else pa.table(
+                {
+                    "l_orderkey": pa.array([], type=pa.int64()),
+                    "w": pa.array([], type=pa.int64()),
+                }
+            )
         )
-        .groupby("code")
-        .aggregate(Sum("c", alias_name="n_pair"))
-    )
+        pt = pair_table(
+            tb["l_orderkey"].to_numpy(zero_copy_only=False),
+            tb["w"].to_numpy(zero_copy_only=False),
+        )
+        agg = ray.data.from_arrow(
+            pa.table({"code": pt["code"], "n_pair": pt["c"]})
+        )
+    else:
+        agg = (
+            filt.map_batches(bucket, batch_format="pyarrow")
+            .groupby("__pb")
+            .map_groups(
+                lambda g: pair_table(
+                    g["l_orderkey"].to_numpy(zero_copy_only=False),
+                    g["w"].to_numpy(zero_copy_only=False),
+                ),
+                batch_format="pyarrow",
+            )
+            .groupby("code")
+            .aggregate(Sum("c", alias_name="n_pair"))
+        )
 
     ref = ray.put((parts_s, counts_s))
 

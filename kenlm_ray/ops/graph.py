@@ -25,6 +25,64 @@ import ray.data
 from ray.data.aggregate import Count, Sum
 
 
+def _pagerank_local(
+    tbl: pa.Table,
+    src_col: str,
+    dst_col: str,
+    weight_col: "str | None",
+    symmetric: bool,
+    num_iters: int,
+    damping: float,
+    node_out_col: str,
+    rank_out_col: str,
+) -> "ray.data.Dataset":
+    """Driver fast path of :func:`pagerank` — the same update rule over
+    an in-memory edge table (bounded by ``small_graph_rows``)."""
+    s = tbl[src_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    t = tbl[dst_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    if weight_col is not None:
+        w = tbl[weight_col].to_numpy(zero_copy_only=False).astype(np.float64)
+    else:
+        w = np.ones(len(s), dtype=np.float64)
+    if symmetric:
+        s, t, w = (
+            np.concatenate([s, t]),
+            np.concatenate([t, s]),
+            np.concatenate([w, w]),
+        )
+    nodes = np.unique(np.concatenate([s, t]))
+    N = len(nodes)
+    if N == 0:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    node_out_col: pa.array([], type=pa.int64()),
+                    rank_out_col: pa.array([], type=pa.float64()),
+                }
+            )
+        )
+    si = np.searchsorted(nodes, s)
+    ti = np.searchsorted(nodes, t)
+    wdeg = np.bincount(si, weights=w, minlength=N)
+    dangling_mask = wdeg <= 0.0
+    ranks = np.full(N, 1.0 / N, dtype=np.float64)
+    for _ in range(num_iters):
+        rate = np.zeros(N, dtype=np.float64)
+        nz = ~dangling_mask
+        rate[nz] = ranks[nz] / wdeg[nz]
+        incoming = np.bincount(ti, weights=w * rate[si], minlength=N)
+        dangling = float(ranks[dangling_mask].sum())
+        ranks = (1.0 - damping) / N + damping * (dangling / N + incoming)
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                node_out_col: pa.array(nodes),
+                rank_out_col: pa.array(np.round(ranks, 6)),
+            }
+        )
+    )
+
+
 def pagerank(
     edges: "ray.data.Dataset",
     *,
@@ -36,6 +94,7 @@ def pagerank(
     damping: float = 0.85,
     node_out_col: str = "node",
     rank_out_col: str = "pr",
+    small_graph_rows: int = 2_000_000,
 ) -> "ray.data.Dataset":
     """Weighted PageRank with exactly ``num_iters`` synchronous
     iterations from the uniform start r0 = 1/N:
@@ -52,11 +111,30 @@ def pagerank(
     The edge Dataset is scanned ``num_iters + 1`` times — pass a
     materialized Dataset.  Returns ``(node, pr)`` with pr rounded to 6
     places (float-sum determinism bound for oracle comparison).
+
+    Edge lists at or under ``small_graph_rows`` take a driver fast
+    path: one pull of the (3-column numeric) edge table, then every
+    iteration is a local bincount — identical math, zero per-iteration
+    pipeline executions.  Above the bound, edges stay distributed and
+    only node-sized vectors move (the broadcast-rank MapReduce shape).
     """
     if num_iters < 0:
         raise ValueError("num_iters must be >= 0")
     cols = [src_col, dst_col] + ([weight_col] if weight_col else [])
     edges = edges.select_columns(cols).materialize()
+
+    if edges.count() <= small_graph_rows:
+        # drop empty blocks: they can carry a zero-column schema that
+        # poisons concat_tables
+        parts = [
+            t for t in (ray.get(r) for r in edges.to_arrow_refs()) if t.num_rows
+        ]
+        tbl = pa.concat_tables(parts) if parts else None
+        if tbl is not None:
+            return _pagerank_local(
+                tbl, src_col, dst_col, weight_col, symmetric,
+                num_iters, damping, node_out_col, rank_out_col,
+            )
 
     def _arrays(batch: pa.Table):
         s = batch[src_col].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -157,6 +235,7 @@ def bfs_distances(
     max_hops: int = 6,
     node_out_col: str = "node",
     dist_out_col: str = "dist",
+    small_graph_rows: int = 2_000_000,
 ) -> "ray.data.Dataset":
     """Multi-source BFS hop distances, capped at ``max_hops``: for every
     node reachable from ``sources`` within the cap, the minimum hop
@@ -168,10 +247,72 @@ def bfs_distances(
 
     Returns ``(node, dist)`` (int64, 0 for the sources themselves),
     unreached nodes omitted.  Stops early when a hop adds no new node.
+
+    Edge lists at or under ``small_graph_rows`` run every hop as a
+    local bincount on the driver (identical frontier semantics, zero
+    per-hop pipeline executions).
     """
     if max_hops < 0:
         raise ValueError("max_hops must be >= 0")
     edges = edges.select_columns([src_col, dst_col]).materialize()
+
+    if edges.count() <= small_graph_rows:
+        tabs = [
+            t for t in (ray.get(r) for r in edges.to_arrow_refs()) if t.num_rows
+        ]
+        s = (
+            np.concatenate(
+                [t[src_col].to_numpy(zero_copy_only=False) for t in tabs]
+            ).astype(np.int64)
+            if tabs
+            else np.array([], dtype=np.int64)
+        )
+        t_ = (
+            np.concatenate(
+                [t[dst_col].to_numpy(zero_copy_only=False) for t in tabs]
+            ).astype(np.int64)
+            if tabs
+            else np.array([], dtype=np.int64)
+        )
+        if symmetric:
+            s, t_ = np.concatenate([s, t_]), np.concatenate([t_, s])
+        nodes_l = np.unique(np.concatenate([s, t_]))
+        if len(nodes_l) == 0:
+            return ray.data.from_arrow(
+                pa.table(
+                    {
+                        node_out_col: pa.array([], type=pa.int64()),
+                        dist_out_col: pa.array([], type=pa.int64()),
+                    }
+                )
+            )
+        si_l = np.searchsorted(nodes_l, s)
+        ti_l = np.searchsorted(nodes_l, t_)
+        dist_l = np.full(len(nodes_l), -1, dtype=np.int64)
+        src_ids = np.asarray(sorted(set(int(x) for x in sources)), dtype=np.int64)
+        pos = np.searchsorted(nodes_l, src_ids)
+        ok = pos < len(nodes_l)
+        pos, src_ok = pos[ok], src_ids[ok]
+        match = nodes_l[pos] == src_ok
+        dist_l[pos[match]] = 0
+        for h in range(1, max_hops + 1):
+            frontier = dist_l == (h - 1)
+            if not frontier.any():
+                break
+            nxt = np.unique(ti_l[frontier[si_l]])
+            newly = nxt[dist_l[nxt] < 0] if len(nxt) else nxt
+            if len(newly) == 0:
+                break
+            dist_l[newly] = h
+        sel = dist_l >= 0
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    node_out_col: pa.array(nodes_l[sel]),
+                    dist_out_col: pa.array(dist_l[sel]),
+                }
+            )
+        )
 
     def node_partial(batch: pa.Table) -> pa.Table:
         s = batch[src_col].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -246,6 +387,59 @@ def bfs_distances(
     )
 
 
+def _triangles_local(
+    a: np.ndarray, b: np.ndarray, node_out_col: str
+) -> "ray.data.Dataset":
+    """Driver fast path of :func:`triangle_counts` over an in-memory
+    canonical (a < b, distinct) edge list: identical degree-orientation
+    wedge counting, one process."""
+    nodes = np.unique(np.concatenate([a, b]))
+    N = len(nodes)
+    ia = np.searchsorted(nodes, a)
+    ib = np.searchsorted(nodes, b)
+    deg = np.bincount(np.concatenate([ia, ib]), minlength=N).astype(np.int64)
+    # orient low (degree, id) -> high; canonical a < b keeps ties a -> b
+    fwd = deg[ia] <= deg[ib]
+    lo = np.where(fwd, ia, ib)
+    hi = np.where(fwd, ib, ia)
+    order = np.lexsort((hi, lo))
+    p, nb = lo[order], hi[order]
+    starts = (
+        np.flatnonzero(np.concatenate([[True], p[1:] != p[:-1]]))
+        if len(p)
+        else np.array([], dtype=np.int64)
+    )
+    lens = np.diff(np.append(starts, len(p)))
+    tri = np.zeros(N, dtype=np.int64)
+    # edge-membership keys: index pairs fit int64 (N bounded by the
+    # small-graph row cap)
+    key = np.sort(ia.astype(np.int64) * N + ib)
+    for s, L in zip(starts[lens >= 2], lens[lens >= 2]):
+        L = int(L)
+        r, c = np.triu_indices(L, k=1)
+        u, w = nb[s + r], nb[s + c]
+        x, y = np.minimum(u, w), np.maximum(u, w)
+        k2 = x.astype(np.int64) * N + y
+        posk = np.minimum(np.searchsorted(key, k2), max(len(key) - 1, 0))
+        hitk = (key[posk] == k2) if len(key) else np.zeros(len(k2), dtype=bool)
+        if hitk.any():
+            tri[p[s]] += int(hitk.sum())
+            np.add.at(tri, x[hitk], 1)
+            np.add.at(tri, y[hitk], 1)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        cl = np.where(deg >= 2, 2.0 * tri / (deg * (deg - 1.0)), 0.0)
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                node_out_col: pa.array(nodes),
+                "deg": pa.array(deg),
+                "n_tri": pa.array(tri),
+                "clustering": pa.array(np.round(cl, 6)),
+            }
+        )
+    )
+
+
 def triangle_counts(
     edges: "ray.data.Dataset",
     *,
@@ -253,6 +447,7 @@ def triangle_counts(
     dst_col: str = "dst",
     num_partitions: int = 64,
     node_out_col: str = "node",
+    small_graph_rows: int = 2_000_000,
 ) -> "ray.data.Dataset":
     """Per-node triangle counts and local clustering coefficient of an
     undirected graph given as an edge list (either direction, self-loops
@@ -318,6 +513,30 @@ def triangle_counts(
         )
         .materialize()  # scanned for degrees, orientation, and matching
     )
+
+    if canonical.count() <= small_graph_rows:
+        tabs = [
+            t
+            for t in (ray.get(r) for r in canonical.to_arrow_refs())
+            if t.num_rows
+        ]
+        if not tabs:
+            return ray.data.from_arrow(
+                pa.table(
+                    {
+                        node_out_col: pa.array([], type=pa.int64()),
+                        "deg": pa.array([], type=pa.int64()),
+                        "n_tri": pa.array([], type=pa.int64()),
+                        "clustering": pa.array([], type=pa.float64()),
+                    }
+                )
+            )
+        tb = pa.concat_tables(tabs)
+        return _triangles_local(
+            tb["a"].to_numpy(zero_copy_only=False).astype(np.int64),
+            tb["b"].to_numpy(zero_copy_only=False).astype(np.int64),
+            node_out_col,
+        )
 
     # degree vector (node-sized broadcast, as in pagerank)
     from ray.data.aggregate import Sum

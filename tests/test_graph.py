@@ -247,3 +247,57 @@ def test_random_walks_validity_determinism_and_weights(ray_session):
     # two walks per start node exist and start at step 0 on the node
     starts = {w: steps[0][1] for w, steps in by_walk.items()}
     assert collections.Counter(starts.values()) == {0: 50, 1: 50}
+
+
+def test_pagerank_distributed_path_matches_local_fast_path(ray_session):
+    """small_graph_rows gates a driver fast path; force the distributed
+    path (bound=0) and assert it matches the local one exactly (both
+    round to 6 places — the stated determinism bound)."""
+    import ray.data
+
+    from kenlm_ray.ops.graph import pagerank
+
+    edges = [
+        (0, 1, 1.0), (1, 2, 2.0), (2, 0, 1.0),
+        (0, 2, 3.0), (3, 4, 1.0), (2, 4, 1.0), (5, 5, 2.0),
+    ]
+    rows = [{"src": s, "dst": t, "w": float(w)} for s, t, w in edges]
+    ds = ray.data.from_items(rows).repartition(3)
+    kw = dict(src_col="src", dst_col="dst", weight_col="w",
+              symmetric=True, num_iters=4, damping=0.85)
+    local = pagerank(ds, **kw).to_pandas().sort_values("node")
+    dist = pagerank(ds, small_graph_rows=0, **kw).to_pandas().sort_values("node")
+    assert list(local["node"]) == list(dist["node"])
+    assert np.allclose(local["pr"].to_numpy(), dist["pr"].to_numpy(), atol=2e-6)
+
+
+def test_triangles_and_bfs_distributed_paths_match_local(ray_session):
+    import ray.data
+
+    from kenlm_ray.ops.graph import bfs_distances, triangle_counts
+
+    edges = [
+        (0, 1), (1, 2), (2, 0), (2, 3), (3, 4), (4, 2),
+        (5, 6), (1, 3), (0, 3),
+    ]
+    ds = ray.data.from_items(
+        [{"src": s, "dst": t} for s, t in edges]
+    ).repartition(3)
+
+    tl = triangle_counts(ds).to_pandas().sort_values("node").reset_index(drop=True)
+    td = (
+        triangle_counts(ds, small_graph_rows=0)
+        .to_pandas().sort_values("node").reset_index(drop=True)
+    )
+    assert tl.equals(td)
+
+    bl = (
+        bfs_distances(ds, sources=[0], symmetric=True, max_hops=4)
+        .to_pandas().sort_values("node").reset_index(drop=True)
+    )
+    bd = (
+        bfs_distances(ds, sources=[0], symmetric=True, max_hops=4,
+                      small_graph_rows=0)
+        .to_pandas().sort_values("node").reset_index(drop=True)
+    )
+    assert bl.equals(bd)
