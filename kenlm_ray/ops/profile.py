@@ -144,9 +144,11 @@ def profile_columns(
                     for a in out_v
                 ]
             )
-            from kenlm_ray.functions.hashing import hash_bytes_array
+            from kenlm_ray.functions.hashing import murmur64_stream
+            from kenlm_ray.functions.tokenize import _string_buffers
 
-            h = hash_bytes_array(vv.to_pylist())
+            off, data = _string_buffers(vv)
+            h = murmur64_stream(data, off[:-1], off[1:] - off[:-1])
             return pa.table(
                 {
                     "column": cc,

@@ -31,7 +31,6 @@ import numpy as np
 import pyarrow as pa
 
 import ray.data
-from ray.data.aggregate import Sum
 
 from kenlm_ray.functions.tokenize import tokenize_column
 
@@ -112,6 +111,8 @@ def duplicated_window_positions(
         batch_format="pyarrow",
     )
 
+    P = 64  # coarse hash buckets — never one aggregate group per hash
+
     def partial(batch: pa.Table) -> pa.Table:
         t = pa.table(
             {
@@ -119,14 +120,36 @@ def duplicated_window_positions(
                 "n": pa.array(np.ones(len(batch), dtype=np.int64)),
             }
         )
-        return t.group_by(["h"]).aggregate([("n", "sum")])
+        t = t.group_by(["h"]).aggregate([("n", "sum")])
+        hb = t["h"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        return t.append_column(
+            "__pb", pa.array((hb % np.uint64(P)).astype(np.int64))
+        )
+
+    def dup_reduce(g: pa.Table) -> pa.Table:
+        """Per coarse bucket: one argsort + add.reduceat totals every
+        hash at once and keeps the >= 2 ones — not a Sum aggregator per
+        distinct window hash (millions of tiny groups at corpus scale;
+        the per-group aggregate bookkeeping dominated)."""
+        if g.num_rows == 0:
+            return pa.table({"h": pa.array([], type=pa.int64())})
+        h = g["h"].to_numpy(zero_copy_only=False)
+        n = g["n_sum"].to_numpy(zero_copy_only=False)
+        order = np.argsort(h, kind="stable")
+        h_s, n_s = h[order], n[order]
+        starts = np.flatnonzero(
+            np.concatenate([[True], h_s[1:] != h_s[:-1]])
+        )
+        tot = np.add.reduceat(n_s, starts)
+        return pa.table({"h": pa.array(h_s[starts][tot >= 2])})
 
     dup_hashes = (
         wins.map_batches(partial, batch_format="pyarrow")
-        .groupby("h")
-        .aggregate(Sum("n_sum", alias_name="n"))
-        .filter(expr="n >= 2")
-        .select_columns(["h"])
+        .groupby("__pb")
+        .map_groups(
+            lambda g: dup_reduce(g.drop_columns(["__pb"])),
+            batch_format="pyarrow",
+        )
     )
     dup_pos = hash_join(
         wins,
@@ -158,14 +181,40 @@ def duplicated_window_positions(
 
     def min_partial(batch: pa.Table) -> pa.Table:
         t = pa.table({"h": batch["h"], "m": batch["packed"]})
-        return t.group_by(["h"]).aggregate([("m", "min")])
+        t = t.group_by(["h"]).aggregate([("m", "min")])
+        hb = t["h"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        return t.append_column(
+            "__pb", pa.array((hb % np.uint64(P)).astype(np.int64))
+        )
 
-    from ray.data.aggregate import Min
+    def min_reduce(g: pa.Table) -> pa.Table:
+        """Same coarse-bucket shape as dup_reduce, minimum.reduceat."""
+        if g.num_rows == 0:
+            return pa.table(
+                {"h": pa.array([], type=pa.int64()),
+                 "packed": pa.array([], type=pa.int64())}
+            )
+        h = g["h"].to_numpy(zero_copy_only=False)
+        m = g["m_min"].to_numpy(zero_copy_only=False)
+        order = np.argsort(h, kind="stable")
+        h_s, m_s = h[order], m[order]
+        starts = np.flatnonzero(
+            np.concatenate([[True], h_s[1:] != h_s[:-1]])
+        )
+        return pa.table(
+            {
+                "h": pa.array(h_s[starts]),
+                "packed": pa.array(np.minimum.reduceat(m_s, starts)),
+            }
+        )
 
     firsts = (
         packed_pos.map_batches(min_partial, batch_format="pyarrow")
-        .groupby("h")
-        .aggregate(Min("m_min", alias_name="packed"))
+        .groupby("__pb")
+        .map_groups(
+            lambda g: min_reduce(g.drop_columns(["__pb"])),
+            batch_format="pyarrow",
+        )
     )
     return hash_join(
         packed_pos,
