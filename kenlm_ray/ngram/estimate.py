@@ -127,10 +127,14 @@ def build_vocab(
         )
         return t.group_by("w").aggregate([("c", "sum")])
 
-    agg = (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby("w")
-        .aggregate(Sum("c_sum", alias_name="count"))
+    from kenlm_ray.ops.groupagg import group_reduce
+
+    # vocab-type cardinality is data-sized: coarse-bucket reduce (see
+    # ops/groupagg.py), never one aggregate group per distinct word
+    agg = group_reduce(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["w"],
+        [("c_sum", "sum", "count")],
     )
     # Arrow end-to-end: the word strings are never converted to Python
     # objects — filter/sort/concat run on Arrow buffers and the hash
@@ -239,10 +243,13 @@ def raw_counts(
         t = t.append_column("c", pa.array(np.ones(len(t), dtype=np.int64)))
         return t.group_by(keys).aggregate([("c", "sum")])
 
-    return (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby(keys)
-        .aggregate(Sum("c_sum", alias_name="count"))
+    from kenlm_ray.ops.groupagg import group_reduce
+
+    # n-gram-type cardinality is data-sized (ops/groupagg.py shape)
+    return group_reduce(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        keys,
+        [("c_sum", "sum", "count")],
     )
 
 
@@ -283,12 +290,13 @@ def raw_counts_all(
         t = pa.concat_tables(parts)
         return t.group_by(allkeys).aggregate([("c", "sum")])
 
-    fused = (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby(allkeys)
-        .aggregate(Sum("c_sum", alias_name="count"))
-        .materialize()
-    )
+    from kenlm_ray.ops.groupagg import group_reduce
+
+    fused = group_reduce(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        allkeys,
+        [("c_sum", "sum", "count")],
+    ).materialize()
 
     def slice_of(n: int) -> "ray.data.Dataset":
         cols = _icols(n) + ["count"]
@@ -332,10 +340,12 @@ def adjusted_counts(
         t = pa.table({**cols, "e": pa.array(np.ones(len(batch), dtype=np.int64))})
         return t.group_by(keys).aggregate([("e", "sum")])
 
-    left_ext = (
-        raw_np1.map_batches(suffix_project, batch_format="pyarrow")
-        .groupby(keys)
-        .aggregate(Sum("e_sum", alias_name="left_ext"))
+    from kenlm_ray.ops.groupagg import group_reduce
+
+    left_ext = group_reduce(
+        raw_np1.map_batches(suffix_project, batch_format="pyarrow"),
+        keys,
+        [("e_sum", "sum", "left_ext")],
     )
     id_keys = {k: pa.uint32() for k in keys}
     joined = hash_join(
@@ -598,8 +608,12 @@ def initial_probs(
     # materialize: ctx_agg feeds BOTH the prob join and the gamma map —
     # lazy branching would run the groupby shuffle twice (context-sized
     # table, the sanctioned reuse-intermediate case)
-    ctx_agg = rows.groupby(ctx).aggregate(
-        Sum("adjusted", alias_name="denom"), Sum("disc", alias_name="disc_mass")
+    from kenlm_ray.ops.groupagg import group_reduce
+
+    ctx_agg = group_reduce(
+        rows,
+        ctx,
+        [("adjusted", "sum", "denom"), ("disc", "sum", "disc_mass")],
     ).materialize()
     id_keys = {k: pa.uint32() for k in keys}
     id_ctx = {k: pa.uint32() for k in ctx}
@@ -986,12 +1000,12 @@ def rest_costs(result: dict, order: int) -> "dict[int, object]":
             cols["cand"] = t[_col]
             return pa.table(cols)
 
-        from ray.data.aggregate import Max
+        from kenlm_ray.ops.groupagg import group_reduce
 
-        sfx = (
-            cand.map_batches(proj, batch_format="pyarrow")
-            .groupby(keys)
-            .aggregate(Max("cand", alias_name="cand_max"))
+        sfx = group_reduce(
+            cand.map_batches(proj, batch_format="pyarrow"),
+            keys,
+            [("cand", "max", "cand_max")],
         )
         if n == 1:
             sm = sfx.to_pandas()  # vocab-bounded driver reduce

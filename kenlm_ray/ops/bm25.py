@@ -78,7 +78,6 @@ def bm25_topk(
     Returns a Dataset of (id_col, score) — k rows, (score desc, id asc).
     """
     import ray
-    from ray.data.aggregate import Sum
 
     th = _term_hashes(terms)
 
@@ -96,16 +95,17 @@ def bm25_topk(
             }
         )
 
-    agg = (
-        ds.map_batches(stats, batch_format="pyarrow")
-        .groupby("term")
-        .aggregate(
-            Sum("df", alias_name="df"),
-            Sum("n_docs", alias_name="n_docs"),
-            Sum("sum_len", alias_name="sum_len"),
-        )
-        .to_pandas()
-    )  # n_terms + 1 rows — model-sized driver reduce
+    from kenlm_ray.ops.groupagg import group_reduce
+
+    agg = group_reduce(
+        ds.map_batches(stats, batch_format="pyarrow"),
+        ["term"],
+        [
+            ("df", "sum", "df"),
+            ("n_docs", "sum", "n_docs"),
+            ("sum_len", "sum", "sum_len"),
+        ],
+    ).to_pandas()  # n_terms + 1 rows — model-sized driver reduce
     meta = agg[agg["term"] == ""].iloc[0]
     n_docs = float(meta["n_docs"])
     avgdl = float(meta["sum_len"]) / max(n_docs, 1.0)

@@ -41,9 +41,15 @@ def exact_dedup_groups(
             }
         )
 
+    from kenlm_ray.ops.groupagg import group_reduce
+
     hashed = ds.map_batches(hash_batch, batch_format="pyarrow")
-    agg = hashed.groupby("h").aggregate(
-        Min(id_col, alias_name=id_col), Count(alias_name="dup_count")
+    # content-hash cardinality = corpus-sized: coarse-bucket reduce, not
+    # one aggregate group per distinct hash (see ops/groupagg.py)
+    agg = group_reduce(
+        hashed,
+        ["h"],
+        [(id_col, "min", id_col), (id_col, "count", "dup_count")],
     )
     return agg.drop_columns(["h"])
 

@@ -1,0 +1,143 @@
+"""High-cardinality grouped aggregation as a coarse-bucket exchange.
+
+``ray.data.Dataset.groupby(key).aggregate(...)`` costs per-GROUP
+bookkeeping in the reduce stage: measured on this host, Sum over 5M rows
+/ 2.16M distinct keys takes 53.3 s, while the identical reduction as
+64 coarse hash buckets with one vectorized Arrow ``Table.group_by`` per
+bucket takes 0.47 s (113x).  Per-key aggregates are therefore the wrong
+shape whenever the key cardinality is data-sized (content hashes, token
+types, n-grams, user ids) rather than catalog-sized.
+
+:func:`group_reduce` is the reusable primitive: map-side Arrow
+pre-combine per batch (shuffle volume = distinct keys per batch, not
+rows), ONE groupby over ``num_buckets`` coarse key-hash buckets, and a
+final Arrow C++ hash aggregate per bucket.  Semantically identical to
+groupby(keys).aggregate(...) for the supported reductions (sum / min /
+max / count), which are all associative and commutative.
+
+Engine addition (no kpu/kenlm analog; the reference's equivalent wide
+reductions are its disk-based suffix sorts, lm/builder/sort.hh).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data
+
+_MERGE_FN = {"sum": "sum", "min": "min", "max": "max", "count": "sum"}
+
+
+def _key_hash(tbl: pa.Table, keys: "list[str]") -> np.ndarray:
+    """uint64 hash per row combining the key columns — ints/floats by
+    bit mixing, strings/binary via the vectorized murmur kernel."""
+    from kenlm_ray.functions.hashing import murmur64_stream
+    from kenlm_ray.functions.tokenize import _string_buffers
+
+    n = tbl.num_rows
+    h = np.full(n, 0x9E3779B97F4A7C15, dtype=np.uint64)
+    for k in keys:
+        col = tbl[k]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        t = col.type
+        if pa.types.is_string(t) or pa.types.is_large_string(t) or (
+            pa.types.is_binary(t) or pa.types.is_large_binary(t)
+        ):
+            off, data = _string_buffers(col)
+            ch = murmur64_stream(data, off[:-1], off[1:] - off[:-1])
+        elif pa.types.is_floating(t):
+            ch = (
+                col.to_numpy(zero_copy_only=False)
+                .astype(np.float64)
+                .view(np.uint64)
+            )
+        else:  # ints, bools, temporal types
+            # fill nulls FIRST: to_numpy on a nullable int array yields
+            # float64 (NaN for nulls), so the same key would hash as
+            # int64 bits in null-free batches and float64 bits in
+            # batches with nulls — non-deterministic bucketing
+            import pyarrow.compute as pc
+
+            ch = (
+                pc.fill_null(col.cast(pa.int64()), 0)
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+                .view(np.uint64)
+            )
+        if col.null_count:
+            import pyarrow.compute as pc
+
+            ch = ch.copy()
+            ch[np.asarray(pc.is_null(col))] = np.uint64(0x8445D61A4E774912)
+        with np.errstate(over="ignore"):
+            x = h ^ ch
+            x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+            x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+            h = x ^ (x >> np.uint64(31))
+    return h
+
+
+def group_reduce(
+    ds: "ray.data.Dataset",
+    keys: "list[str]",
+    aggs: "list[tuple[str, str, str]]",
+    *,
+    num_buckets: int = 64,
+) -> "ray.data.Dataset":
+    """groupby(keys).aggregate(...) re-shaped for data-sized key
+    cardinality.  ``aggs`` entries are ``(col, fn, out_name)`` with fn
+    in {"sum", "min", "max", "count"} ("count" counts rows per group;
+    its ``col`` is ignored).  Output columns: ``keys`` + out_names.
+
+    The exchange carries per-batch pre-combined partials keyed into
+    ``num_buckets`` coarse buckets; each bucket finishes with one Arrow
+    C++ hash aggregate — never one reduce group per distinct key.
+    """
+    for _c, fn, _o in aggs:
+        if fn not in _MERGE_FN:
+            raise ValueError(f"unsupported agg fn {fn!r}")
+    has_count = any(fn == "count" for _c, fn, _o in aggs)
+    # partial spec: count becomes sum over a ones column
+    part_spec = [
+        ("__one" if fn == "count" else c, "sum" if fn == "count" else fn)
+        for c, fn, _o in aggs
+    ]
+    part_names = [f"{c}_{fn}" for c, fn in part_spec]
+    merge_spec = [
+        (pn, _MERGE_FN[fn]) for pn, (_c, fn, _o) in zip(part_names, aggs)
+    ]
+    merged_names = [f"{pn}_{mf}" for pn, mf in merge_spec]
+    out_names = [o for _c, _fn, o in aggs]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch
+        if has_count:
+            t = t.append_column(
+                "__one", pa.array(np.ones(t.num_rows, dtype=np.int64))
+            )
+        g = t.group_by(keys).aggregate(part_spec)
+        g = g.select(keys + part_names)
+        return g.append_column(
+            "__gb",
+            pa.array(
+                (_key_hash(g, keys) % np.uint64(num_buckets)).astype(
+                    np.int64
+                )
+            ),
+        )
+
+    def finish(g: pa.Table) -> pa.Table:
+        out = g.group_by(keys).aggregate(merge_spec)
+        out = out.select(keys + merged_names)
+        return out.rename_columns(keys + out_names)
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("__gb")
+        .map_groups(
+            lambda g: finish(g.drop_columns(["__gb"])),
+            batch_format="pyarrow",
+        )
+    )

@@ -95,21 +95,12 @@ def normalized_dedup_groups(
     Shape: fingerprint map -> per-batch partial min -> groupby(sha) min
     -> partitioned join back onto the fingerprints.  Only hashes and
     ids shuffle.  Output: id_col, group_id."""
-    import numpy as np
-
-    from ray.data.aggregate import Min
+    from kenlm_ray.ops.groupagg import group_reduce
 
     fps = normalized_fingerprints(ds, text_col, id_col)
-
-    def partial(batch: pa.Table) -> pa.Table:
-        t = pa.table({"norm_sha256": batch["norm_sha256"], "m": batch[id_col]})
-        return t.group_by(["norm_sha256"]).aggregate([("m", "min")])
-
-    reps = (
-        fps.map_batches(partial, batch_format="pyarrow")
-        .groupby("norm_sha256")
-        .aggregate(Min("m_min", alias_name="group_id"))
-    )
+    # norm-hash cardinality = corpus-sized: coarse-bucket reduce (see
+    # ops/groupagg.py), with the per-batch pre-combine done inside
+    reps = group_reduce(fps, ["norm_sha256"], [(id_col, "min", "group_id")])
     from kenlm_ray.ops.join import hash_join
 
     return hash_join(

@@ -208,8 +208,12 @@ def tf_idf(
         g = g.select([id_col, "token", "one_sum"])
         return g.rename_columns([id_col, "token", "tf"])
 
+    from kenlm_ray.ops.groupagg import group_reduce
+
     tf = ds.map_batches(tf_partial, batch_format="pyarrow")
-    df = tf.groupby("token").aggregate(Count(alias_name="df"))
+    # token-type cardinality is data-sized: coarse-bucket reduce (see
+    # ops/groupagg.py), not one aggregate group per distinct token
+    df = group_reduce(tf, ["token"], [("tf", "count", "df")])
     joined = hash_join(
         tf,
         df,
@@ -1196,8 +1200,10 @@ def token_pmi(
         )
         return t.group_by(["d", "token"]).aggregate([])
 
+    from kenlm_ray.ops.groupagg import group_reduce
+
     pres = ds.map_batches(presence, batch_format="pyarrow")
-    df_tbl = pres.groupby("token").aggregate(Count(alias_name="df"))
+    df_tbl = group_reduce(pres, ["token"], [("d", "count", "df")])
     # distributed top-k cut: only k rows reach the driver
     top = (
         df_tbl.sort(["df", "token"], descending=[True, False])

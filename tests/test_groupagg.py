@@ -1,0 +1,116 @@
+"""group_reduce parity vs Ray's native groupby.aggregate and pandas."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+import ray.data
+
+from kenlm_ray.ops.groupagg import group_reduce
+
+
+def _ds(tbl, parts=4):
+    return ray.data.from_arrow(tbl).repartition(parts).materialize()
+
+
+def test_group_reduce_matches_pandas_int_keys(ray_session):
+    rng = np.random.default_rng(7)
+    n = 50_000
+    k = rng.integers(0, 9_000, n)
+    v = rng.integers(-50, 50, n)
+    w = rng.random(n)
+    ds = _ds(pa.table({"k": k, "v": v, "w": w}))
+    got = (
+        group_reduce(
+            ds,
+            ["k"],
+            [
+                ("v", "sum", "v_sum"),
+                ("v", "min", "v_min"),
+                ("w", "max", "w_max"),
+                ("v", "count", "n"),
+            ],
+        )
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    exp = (
+        pd.DataFrame({"k": k, "v": v, "w": w})
+        .groupby("k")
+        .agg(v_sum=("v", "sum"), v_min=("v", "min"), w_max=("w", "max"), n=("v", "size"))
+        .reset_index()
+    )
+    assert len(got) == len(exp)
+    assert (got["k"].to_numpy() == exp["k"].to_numpy()).all()
+    assert (got["v_sum"].to_numpy() == exp["v_sum"].to_numpy()).all()
+    assert (got["v_min"].to_numpy() == exp["v_min"].to_numpy()).all()
+    assert np.allclose(got["w_max"].to_numpy(), exp["w_max"].to_numpy())
+    assert (got["n"].to_numpy() == exp["n"].to_numpy()).all()
+
+
+def test_group_reduce_string_and_composite_keys(ray_session):
+    rng = np.random.default_rng(3)
+    n = 20_000
+    g1 = np.array([f"tok{int(i):04d}" for i in rng.integers(0, 800, n)])
+    g2 = rng.integers(0, 5, n)
+    v = rng.integers(0, 10, n)
+    ds = _ds(pa.table({"a": g1, "b": g2, "v": v}))
+    got = (
+        group_reduce(ds, ["a", "b"], [("v", "sum", "s"), ("v", "count", "c")])
+        .to_pandas()
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+    )
+    exp = (
+        pd.DataFrame({"a": g1, "b": g2, "v": v})
+        .groupby(["a", "b"])
+        .agg(s=("v", "sum"), c=("v", "size"))
+        .reset_index()
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got.astype({"s": np.int64, "c": np.int64}),
+        exp.astype({"s": np.int64, "c": np.int64}),
+    )
+
+
+def test_group_reduce_empty_and_single_group(ray_session):
+    empty = _ds(
+        pa.table({"k": pa.array([], type=pa.int64()),
+                  "v": pa.array([], type=pa.int64())}),
+        parts=1,
+    )
+    assert group_reduce(empty, ["k"], [("v", "sum", "s")]).count() == 0
+    one = _ds(pa.table({"k": [9, 9, 9], "v": [1, 2, 3]}), parts=2)
+    rows = group_reduce(one, ["k"], [("v", "sum", "s"), ("v", "count", "c")]).take_all()
+    assert rows == [{"k": 9, "s": 6, "c": 3}]
+
+
+def test_group_reduce_nullable_int_keys_bucket_deterministically(ray_session):
+    """Regression: to_numpy on a nullable int column yields float64, so
+    a key present in both a null-free and a null-carrying batch hashed
+    to different buckets and came out as two rows."""
+    t = pa.table(
+        {
+            "k": pa.array([1, None, 1, None, -5], type=pa.int64()),
+            "v": pa.array([10, 1, 20, 2, 7], type=pa.int64()),
+        }
+    )
+    got = sorted(
+        group_reduce(_ds(t, parts=3), ["k"], [("v", "sum", "s")]).take_all(),
+        key=lambda r: (r["k"] is None, r["k"]),
+    )
+    assert got == [
+        {"k": -5, "s": 7},
+        {"k": 1, "s": 30},
+        {"k": None, "s": 3},
+    ]
+
+
+def test_group_reduce_rejects_unknown_fn(ray_session):
+    ds = _ds(pa.table({"k": [1], "v": [1]}), parts=1)
+    with pytest.raises(ValueError, match="unsupported"):
+        group_reduce(ds, ["k"], [("v", "mean", "m")])
