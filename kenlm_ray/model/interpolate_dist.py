@@ -166,12 +166,13 @@ def interpolate_models_dist(
         pa.table({"gram": pa.array(sorted({w for (w,) in m.grams[1]}))})
         for m in models
     ] + [pa.table({"gram": pa.array([UNK, EOS])})]
-    vocab = (
-        ray.data.from_arrow(pa.concat_tables(vocab_parts))
-        .groupby("gram")
-        .aggregate(Count(alias_name="__c"))
-        .map_batches(lambda b: b.select(["gram"]), batch_format="pyarrow")
-    )
+    from kenlm_ray.ops.groupagg import group_reduce
+
+    vocab = group_reduce(
+        ray.data.from_arrow(pa.concat_tables(vocab_parts)),
+        ["gram"],
+        [("gram", "count", "__c")],
+    ).map_batches(lambda b: b.select(["gram"]), batch_format="pyarrow")
 
     def key_cols_1(batch: pa.Table) -> pa.Table:
         H = _tok_hash_matrix(batch["gram"], 1)
@@ -270,16 +271,17 @@ def interpolate_models_dist(
             tbl = arpa_order_table(models[i], n)
             if len(tbl):
                 parts.append(tbl.select(["gram"]))
-        union_n = (
+        from kenlm_ray.ops.groupagg import group_reduce as _gr
+
+        union_n = _gr(
             ray.data.from_arrow(
                 pa.concat_tables(parts)
                 if parts
                 else pa.table({"gram": pa.array([], pa.string())})
-            )
-            .groupby("gram")
-            .aggregate(Count(alias_name="__c"))
-            .map_batches(lambda b: b.select(["gram"]), batch_format="pyarrow")
-        )
+            ),
+            ["gram"],
+            [("gram", "count", "__c")],
+        ).map_batches(lambda b: b.select(["gram"]), batch_format="pyarrow")
 
         def key_cols_n(batch: pa.Table, n=n) -> pa.Table:
             H = _tok_hash_matrix(batch["gram"], n)
@@ -407,10 +409,12 @@ def interpolate_models_dist(
                 {"ctxkey": batch["ctxkey"], "p": batch["p"], "plow": pa.array(pl)}
             )
 
-        g_agg = (
-            g_join.map_batches(gfix, batch_format="pyarrow")
-            .groupby("ctxkey")
-            .aggregate(Sum("p", alias_name="seen"), Sum("plow", alias_name="lower"))
+        from kenlm_ray.ops.groupagg import group_reduce as _gr2
+
+        g_agg = _gr2(
+            g_join.map_batches(gfix, batch_format="pyarrow"),
+            ["ctxkey"],
+            [("p", "sum", "seen"), ("plow", "sum", "lower")],
         )
 
         def gam(batch: pa.Table) -> pa.Table:

@@ -172,12 +172,13 @@ def interpolate_distributed(
             union = t if union is None else union.union(t)
         if union is None:
             break
-        union = (
-            union.repartition(num_partitions)
-            .groupby(keys)
-            .aggregate(Count(alias_name="__c"))
-            .drop_columns(["__c"])
-        )
+        from kenlm_ray.ops.groupagg import group_reduce
+
+        union = group_reduce(
+            union.repartition(num_partitions),
+            keys,
+            [(keys[0], "count", "__c")],
+        ).drop_columns(["__c"])
 
         merged_ref = ray.put(merged.packed)
 
@@ -208,13 +209,11 @@ def interpolate_distributed(
         probs_ds[n] = probs_n
 
         ctx_cols = keys[:-1]
-        sums = (
-            probs_n.groupby(ctx_cols)
-            .aggregate(
-                Sum("p_mix", alias_name="seen"), Sum("l_low", alias_name="lower")
-            )
-            .to_pandas()  # one row per context — model-sized
-        )
+        sums = group_reduce(
+            probs_n,
+            ctx_cols,
+            [("p_mix", "sum", "seen"), ("l_low", "sum", "lower")],
+        ).to_pandas()  # one row per context — model-sized
         seen = sums["seen"].to_numpy()
         lower = sums["lower"].to_numpy()
         denom = 1.0 - lower

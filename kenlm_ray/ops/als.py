@@ -70,7 +70,9 @@ def als_explicit(
     ratings = ds.select_columns([user_col, item_col, rating_col]).materialize()
 
     def ids_of(col: str) -> np.ndarray:
-        rows = (
+        from kenlm_ray.ops.groupagg import group_reduce
+
+        rows = group_reduce(
             ratings.map_batches(
                 lambda t, _c=col: pa.table(
                     {
@@ -82,11 +84,10 @@ def als_explicit(
                     }
                 ),
                 batch_format="pyarrow",
-            )
-            .groupby("id")
-            .aggregate(Count())
-            .take_all()
-        )
+            ),
+            ["id"],
+            [("id", "count", "_n")],
+        ).take_all()
         return np.sort(np.array([r["id"] for r in rows], dtype=np.int64))
 
     user_ids = ids_of(user_col)

@@ -57,12 +57,14 @@ def connected_components(
         s = np.unique(batch["src"].to_numpy(zero_copy_only=False))
         return pa.table({"node": pa.array(s), "label": pa.array(s)})
 
-    labels = (
-        edges.map_batches(init_labels, batch_format="pyarrow")
-        .groupby("node")
-        .aggregate(Min("label", alias_name="label"))
-        .materialize()
-    )
+    from kenlm_ray.ops.groupagg import group_reduce
+
+    # node cardinality is data-sized (ops/groupagg.py shape)
+    labels = group_reduce(
+        edges.map_batches(init_labels, batch_format="pyarrow"),
+        ["node"],
+        [("label", "min", "label")],
+    ).materialize()
 
     prev_sum = None
     for _ in range(max_iter):
@@ -86,12 +88,11 @@ def connected_components(
             ),
             batch_format="pyarrow",
         )
-        labels = (
-            msgs.union(labels)
-            .groupby("node")
-            .aggregate(Min("label", alias_name="label"))
-            .materialize()
-        )
+        labels = group_reduce(
+            msgs.union(labels),
+            ["node"],
+            [("label", "min", "label")],
+        ).materialize()
         s = labels.aggregate(Sum("label", alias_name="s"))["s"]
         if s == prev_sum:
             break

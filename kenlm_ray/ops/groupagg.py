@@ -113,6 +113,19 @@ def group_reduce(
 
     def partial(batch: pa.Table) -> pa.Table:
         t = batch
+        # canonicalize float keys: -0.0 == 0.0 by value but differs at
+        # the bit level, so it would split across buckets AND across
+        # Arrow hash groups; adding +0.0 maps -0.0 to +0.0 (IEEE) while
+        # leaving every other value (including NaN) unchanged
+        import pyarrow.compute as pc
+
+        for k in keys:
+            if pa.types.is_floating(t.schema.field(k).type):
+                t = t.set_column(
+                    t.schema.get_field_index(k),
+                    k,
+                    pc.add(t[k], pa.scalar(0.0, type=t.schema.field(k).type)),
+                )
         if has_count:
             t = t.append_column(
                 "__one", pa.array(np.ones(t.num_rows, dtype=np.int64))

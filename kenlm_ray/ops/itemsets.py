@@ -201,16 +201,16 @@ def frequent_itemsets(
             }
         )
 
-    counted = (
-        pres.groupby("__pb")
-        .map_groups(
+    from kenlm_ray.ops.groupagg import group_reduce
+
+    counted = group_reduce(
+        pres.groupby("__pb").map_groups(
             lambda g: count_candidates(g.drop_columns(["__pb"])),
             batch_format="pyarrow",
-        )
-        .groupby("cid")
-        .aggregate(Sum("c", alias_name="support"))
-        .take_all()
-    )
+        ),
+        ["cid"],
+        [("c", "sum", "support")],
+    ).take_all()
     thr_g = min_support * N
     out_s, out_k, out_c = [], [], []
     for r in counted:

@@ -88,12 +88,13 @@ def _distinct_value_counts(ds, col: str, lo=-np.inf, hi=np.inf, hi_inclusive=Tru
         u, c = np.unique(v, return_counts=True)
         return pa.table({"v": pa.array(u), "n": pa.array(c.astype(np.int64))})
 
-    rows = (
-        ds.map_batches(vc_partial, batch_format="pyarrow")
-        .groupby("v")
-        .aggregate(Sum("n", alias_name="n"))
-        .take_all()
-    )
+    from kenlm_ray.ops.groupagg import group_reduce
+
+    rows = group_reduce(
+        ds.map_batches(vc_partial, batch_format="pyarrow"),
+        ["v"],
+        [("n", "sum", "n")],
+    ).take_all()
     return [(r["v"], r["n"]) for r in rows]
 
 
@@ -159,12 +160,13 @@ def topk_threshold(
         u, c = np.unique(v, return_counts=True)
         return pa.table({"v": pa.array(u), "n": pa.array(c.astype(np.int64))})
 
-    rows = (
-        ds.map_batches(vc_partial, batch_format="pyarrow")
-        .groupby("v")
-        .aggregate(Sum("n", alias_name="n"))
-        .take_all()
-    )
+    from kenlm_ray.ops.groupagg import group_reduce
+
+    rows = group_reduce(
+        ds.map_batches(vc_partial, batch_format="pyarrow"),
+        ["v"],
+        [("n", "sum", "n")],
+    ).take_all()
     uvals = np.array([r["v"] for r in rows])
     ucnt = np.array([r["n"] for r in rows], dtype=np.int64)
     order = np.argsort(uvals)[::-1]
@@ -384,12 +386,13 @@ def group_percent_rank(
 
     from ray.data.aggregate import Sum as _Sum
 
-    rows = (
-        ds.map_batches(vc_partial, batch_format="pyarrow")
-        .groupby(["g", "v"])
-        .aggregate(_Sum("n_sum", alias_name="n"))
-        .take_all()
-    )
+    from kenlm_ray.ops.groupagg import group_reduce as _gr
+
+    rows = _gr(
+        ds.map_batches(vc_partial, batch_format="pyarrow"),
+        ["g", "v"],
+        [("n_sum", "sum", "n")],
+    ).take_all()
     if len(rows) > driver_budget:
         raise ValueError(
             f"distinct (group, value) count {len(rows)} exceeds "
@@ -593,12 +596,13 @@ def group_top_fraction(
         )
         return t.group_by(["g", "v"]).aggregate([("n", "sum")])
 
-    rows = (
-        ds.map_batches(vc_partial, batch_format="pyarrow")
-        .groupby(["g", "v"])
-        .aggregate(_Sum("n_sum", alias_name="n"))
-        .take_all()
-    )
+    from kenlm_ray.ops.groupagg import group_reduce as _gr
+
+    rows = _gr(
+        ds.map_batches(vc_partial, batch_format="pyarrow"),
+        ["g", "v"],
+        [("n_sum", "sum", "n")],
+    ).take_all()
     if len(rows) > driver_budget:
         raise ValueError(
             f"distinct (group, value) count {len(rows)} exceeds "

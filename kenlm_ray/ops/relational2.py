@@ -631,15 +631,16 @@ def returned_item_losses(
             }
         )
 
-    per_cust = (
+    from kenlm_ray.ops.groupagg import group_reduce
+
+    per_cust = group_reduce(
         li.map_batches(li_partial, batch_format="pyarrow")
         .union(orders.map_batches(o_prep, batch_format="pyarrow"))
         .groupby("__pb")
-        .map_groups(per_bucket, batch_format="pyarrow")
-        .groupby("ck")
-        .aggregate(Sum("r", alias_name="r"))
-        .map_batches(finish, batch_format="pyarrow")
-    ).to_pandas()  # quarter-active returned-customer set; bounded, and
+        .map_groups(per_bucket, batch_format="pyarrow"),
+        ["ck"],
+        [("r", "sum", "r")],
+    ).map_batches(finish, batch_format="pyarrow").to_pandas()  # quarter-active returned-customer set; bounded, and
     # a per-bucket top-k pre-cut would bound it further at 100 TB
     per_cust = per_cust.sort_values(
         ["lost_revenue", "c_custkey"], ascending=[False, True], kind="mergesort"

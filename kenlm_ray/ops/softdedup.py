@@ -260,10 +260,13 @@ def soft_dedup_weights(
             }
         )
 
-    per_doc = (
-        joined.map_batches(weigh, batch_format="pyarrow")
-        .groupby(id_col)
-        .aggregate(Sum("k", alias_name="n_tokens"), Sum("klnc", alias_name="tot"))
+    from kenlm_ray.ops.groupagg import group_reduce
+
+    # doc-id cardinality is corpus-sized (ops/groupagg.py shape)
+    per_doc = group_reduce(
+        joined.map_batches(weigh, batch_format="pyarrow"),
+        [id_col],
+        [("k", "sum", "n_tokens"), ("klnc", "sum", "tot")],
     )
 
     def finish(batch: pa.Table) -> pa.Table:

@@ -204,10 +204,12 @@ def chi2_independence(
         t = t.append_column("c", pa.array(np.ones(len(t), dtype=np.int64)))
         return t.group_by([col_a, col_b]).aggregate([("c", "sum")])
 
-    cont = (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby([col_a, col_b])
-        .aggregate(Sum("c_sum", alias_name="n"))
+    from kenlm_ray.ops.groupagg import group_reduce
+
+    cont = group_reduce(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        [col_a, col_b],
+        [("c_sum", "sum", "n")],
     )
 
     def finish(batch: pa.Table) -> pa.Table:
@@ -387,12 +389,13 @@ def psi_drift(
         )
         return t.group_by(["g", "b"]).aggregate([("c", "sum")])
 
-    rows = (
-        ds.map_batches(binned, batch_format="pyarrow")
-        .groupby(["g", "b"])
-        .aggregate(Sum("c_sum", alias_name="c"))
-        .take_all()
-    )
+    from kenlm_ray.ops.groupagg import group_reduce
+
+    rows = group_reduce(
+        ds.map_batches(binned, batch_format="pyarrow"),
+        ["g", "b"],
+        [("c_sum", "sum", "c")],
+    ).take_all()
     groups = sorted({r["g"] for r in rows})
     gidx = {g: i for i, g in enumerate(groups)}
     counts = np.zeros((len(groups), n_bins), dtype=np.float64)
@@ -682,14 +685,13 @@ def auc(
         )
         return t.group_by(["v"]).aggregate([("p", "sum"), ("q", "sum")])
 
-    rows = (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby("v")
-        .aggregate(
-            _Sum("p_sum", alias_name="pos"), _Sum("q_sum", alias_name="neg")
-        )
-        .take_all()
-    )
+    from kenlm_ray.ops.groupagg import group_reduce
+
+    rows = group_reduce(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["v"],
+        [("p_sum", "sum", "pos"), ("q_sum", "sum", "neg")],
+    ).take_all()
     v = np.array([r["v"] for r in rows], dtype=np.float64)
     pos = np.array([r["pos"] for r in rows], dtype=np.float64)
     neg = np.array([r["neg"] for r in rows], dtype=np.float64)

@@ -508,11 +508,14 @@ def tfidf_cosine_pairs(
         t = pa.table({id_col: batch[id_col], "q": pa.array(v * v)})
         return t.group_by([id_col]).aggregate([("q", "sum")])
 
+    from kenlm_ray.ops.groupagg import group_reduce
+
     nrows = (
-        w.map_batches(norm_partial, batch_format="pyarrow")
-        .groupby(id_col)
-        .aggregate(Sum("q_sum", alias_name="q"))
-        .take_all()
+        group_reduce(
+            w.map_batches(norm_partial, batch_format="pyarrow"),
+            [id_col],
+            [("q_sum", "sum", "q")],
+        ).take_all()
     )
     nd = np.sort(np.array([r[id_col] for r in nrows], dtype=np.int64))
     qmap = {r[id_col]: r["q"] for r in nrows}
@@ -816,10 +819,13 @@ def unigram_entropy(
         )
         return t.group_by([group_col, "tok"]).aggregate([("c", "sum")])
 
-    counts = (
-        ds.map_batches(tok_counts, batch_format="pyarrow")
-        .groupby([group_col, "tok"])
-        .aggregate(Sum("c_sum", alias_name="c"))
+    from kenlm_ray.ops.groupagg import group_reduce
+
+    # (group, token-type) cardinality is data-sized (ops/groupagg.py)
+    counts = group_reduce(
+        ds.map_batches(tok_counts, batch_format="pyarrow"),
+        [group_col, "tok"],
+        [("c_sum", "sum", "c")],
     )
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -928,10 +934,13 @@ def zipf_slopes(
             }
         )
 
-    counts = (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby([group_col, "h"])
-        .aggregate(Sum("c", alias_name="count"))
+    from kenlm_ray.ops.groupagg import group_reduce
+
+    # (group, window-hash) cardinality is data-sized (ops/groupagg.py)
+    counts = group_reduce(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        [group_col, "h"],
+        [("c", "sum", "count")],
     )
 
     def hist(batch: pa.Table) -> pa.Table:

@@ -62,13 +62,13 @@ def sliding_window_counts(
             [("value", "sum"), ("n", "sum")]
         )
 
-    return (
-        ds.map_batches(emit, batch_format="pyarrow")
-        .groupby([key_col, "window_start"])
-        .aggregate(
-            Sum("value_sum", alias_name="total_value"),
-            Sum("n_sum", alias_name="n_events"),
-        )
+    from kenlm_ray.ops.groupagg import group_reduce
+
+    # (key, window) cardinality is data-sized (ops/groupagg.py shape)
+    return group_reduce(
+        ds.map_batches(emit, batch_format="pyarrow"),
+        [key_col, "window_start"],
+        [("value_sum", "sum", "total_value"), ("n_sum", "sum", "n_events")],
     )
 
 

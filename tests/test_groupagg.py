@@ -110,6 +110,22 @@ def test_group_reduce_nullable_int_keys_bucket_deterministically(ray_session):
     ]
 
 
+def test_group_reduce_negative_zero_float_key_merges(ray_session):
+    """-0.0 and 0.0 are value-equal: they must form ONE group (the old
+    per-key groupby's comparison semantics), not split by bit pattern."""
+    t = pa.table(
+        {
+            "v": pa.array([0.0, -0.0, 0.0, -0.0, 1.5], type=pa.float64()),
+            "n": pa.array([1, 2, 3, 4, 5], type=pa.int64()),
+        }
+    )
+    got = sorted(
+        group_reduce(_ds(t, parts=3), ["v"], [("n", "sum", "s")]).take_all(),
+        key=lambda r: r["v"],
+    )
+    assert got == [{"v": 0.0, "s": 10}, {"v": 1.5, "s": 5}]
+
+
 def test_group_reduce_rejects_unknown_fn(ray_session):
     ds = _ds(pa.table({"k": [1], "v": [1]}), parts=1)
     with pytest.raises(ValueError, match="unsupported"):
