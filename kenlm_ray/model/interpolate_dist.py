@@ -249,16 +249,19 @@ def interpolate_models_dist(
 
     # per-model resolved order-1 tables (normalized-key -> p), deduped:
     # distinct union grams can normalize to the same <unk>-gram
+    from kenlm_ray.ops.groupagg import group_reduce as _grk
+
     resolved: list["ray.data.Dataset"] = []
     for i in range(K):
         resolved.append(
-            base.map_batches(
-                lambda b, i=i: pa.table({"k": b[f"nk{i}"], "p": b[f"r{i}"]}),
-                batch_format="pyarrow",
-            )
-            .groupby("k")
-            .aggregate(Max("p", alias_name="p"))
-            .materialize()
+            _grk(
+                base.map_batches(
+                    lambda b, i=i: pa.table({"k": b[f"nk{i}"], "p": b[f"r{i}"]}),
+                    batch_format="pyarrow",
+                ),
+                ["k"],
+                [("p", "max", "p")],
+            ).materialize()
         )
 
     merged: dict[int, "ray.data.Dataset"] = {1: merged_1}
@@ -371,15 +374,14 @@ def interpolate_models_dist(
             lambda b: b.select(["gram", "rawkey", "p"]), batch_format="pyarrow"
         ).materialize()
         for i in range(K):
-            resolved[i] = (
+            resolved[i] = _grk(
                 rows.map_batches(
                     lambda b, i=i: pa.table({"k": b[f"nk{i}"], "p": b[f"r{i}"]}),
                     batch_format="pyarrow",
-                )
-                .groupby("k")
-                .aggregate(Max("p", alias_name="p"))
-                .materialize()
-            )
+                ),
+                ["k"],
+                [("p", "max", "p")],
+            ).materialize()
 
         # gamma(ctx) = (1 - sum p) / (1 - sum p_lower_merged)
         g_in = rows.map_batches(

@@ -60,8 +60,15 @@ def _key_hash(tbl: pa.Table, keys: "list[str]") -> np.ndarray:
             # batches with nulls — non-deterministic bucketing
             import pyarrow.compute as pc
 
+            # uint64 values >= 2^63 would overflow a cast to int64 —
+            # reinterpret the bits instead of converting the value
+            i64 = (
+                col.view(pa.int64())
+                if pa.types.is_uint64(t)
+                else col.cast(pa.int64())
+            )
             ch = (
-                pc.fill_null(col.cast(pa.int64()), 0)
+                pc.fill_null(i64, 0)
                 .to_numpy(zero_copy_only=False)
                 .astype(np.int64)
                 .view(np.uint64)

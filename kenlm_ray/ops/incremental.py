@@ -51,17 +51,10 @@ def _fingerprints(ds, text_col: str, id_col: str):
 
 def _dedup_within(fps, id_col: str):
     """One representative (min id) per hash among the arrivals."""
-    from ray.data.aggregate import Min
+    from kenlm_ray.ops.groupagg import group_reduce
 
-    def partial(batch: pa.Table) -> pa.Table:
-        t = pa.table({"h": batch["h"], "m": batch[id_col]})
-        return t.group_by(["h"]).aggregate([("m", "min")])
-
-    return (
-        fps.map_batches(partial, batch_format="pyarrow")
-        .groupby("h")
-        .aggregate(Min("m_min", alias_name=id_col))
-    )
+    # hash cardinality = arrival-batch-sized (ops/groupagg.py shape)
+    return group_reduce(fps, ["h"], [(id_col, "min", id_col)])
 
 
 def init_dedup_state(

@@ -94,10 +94,12 @@ def source_overlap_matrix(
             {"h": pa.array(h_o[first]), "src": pa.array(s_o[first])}
         )
 
-    distinct = (
-        ds.map_batches(distinct_pairs, batch_format="pyarrow")
-        .groupby(["h", "src"])
-        .aggregate(Count(alias_name="n"))
+    from kenlm_ray.ops.groupagg import group_reduce
+
+    distinct = group_reduce(
+        ds.map_batches(distinct_pairs, batch_format="pyarrow"),
+        ["h", "src"],
+        [("h", "count", "n")],
     )
 
     def to_mask(batch: pa.Table) -> pa.Table:
@@ -106,12 +108,12 @@ def source_overlap_matrix(
             {"h": batch["h"], "mask": pa.array(np.int64(1) << src)}
         )
 
-    masks = (
-        distinct.map_batches(to_mask, batch_format="pyarrow")
-        .groupby("h")
+    masks = group_reduce(
+        distinct.map_batches(to_mask, batch_format="pyarrow"),
+        ["h"],
         # after the global distinct each bit occurs once per hash, so
         # Sum == bitwise OR
-        .aggregate(Sum("mask", alias_name="mask"))
+        [("mask", "sum", "mask")],
     )
 
     n = len(names)

@@ -1010,10 +1010,14 @@ def min_cost_supplier(sf_dir: str, size: int = 25) -> "ray.data.Dataset":
             }
         )
 
+    from kenlm_ray.ops.groupagg import group_reduce
+
     return (
-        li.map_batches(pair_partial, batch_format="pyarrow")
-        .groupby("code")
-        .aggregate(Sum("s", alias_name="s"), Sum("n", alias_name="n"))
+        group_reduce(
+            li.map_batches(pair_partial, batch_format="pyarrow"),
+            ["code"],
+            [("s", "sum", "s"), ("n", "sum", "n")],
+        )
         .map_batches(to_part_rows, batch_format="pyarrow")
         .groupby("__pb")
         .map_groups(per_bucket, batch_format="pyarrow")

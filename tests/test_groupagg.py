@@ -126,6 +126,22 @@ def test_group_reduce_negative_zero_float_key_merges(ray_session):
     assert got == [{"v": 0.0, "s": 10}, {"v": 1.5, "s": 5}]
 
 
+def test_group_reduce_uint64_keys_above_int63(ray_session):
+    """uint64 keys >= 2^63 must bucket by bit reinterpretation, not an
+    overflowing value cast."""
+    t = pa.table(
+        {
+            "k": pa.array([2**64 - 1, 2**64 - 1, 5], type=pa.uint64()),
+            "v": pa.array([1, 2, 3], type=pa.int64()),
+        }
+    )
+    got = sorted(
+        group_reduce(_ds(t, parts=2), ["k"], [("v", "sum", "s")]).take_all(),
+        key=lambda r: r["k"],
+    )
+    assert got == [{"k": 5, "s": 3}, {"k": 2**64 - 1, "s": 3}]
+
+
 def test_group_reduce_rejects_unknown_fn(ray_session):
     ds = _ds(pa.table({"k": [1], "v": [1]}), parts=1)
     with pytest.raises(ValueError, match="unsupported"):
