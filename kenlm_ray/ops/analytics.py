@@ -400,12 +400,14 @@ def supplier_distinct_parts(sf_dir: str) -> "ray.data.Dataset":
         lens = np.diff(np.append(starts, len(s))).astype(np.int64)
         return pa.table({"l_suppkey": pa.array(s[starts]), "n": pa.array(lens)})
 
-    return (
+    from kenlm_ray.ops.groupagg import group_reduce
+
+    return group_reduce(
         ds.map_batches(partial, batch_format="pyarrow")
         .groupby("__pb")
-        .map_groups(part_counts, batch_format="pyarrow")
-        .groupby("l_suppkey")
-        .aggregate(Sum("n", alias_name="n_parts"))
+        .map_groups(part_counts, batch_format="pyarrow"),
+        ["l_suppkey"],
+        [("n", "sum", "n_parts")],
     )
 
 
@@ -432,10 +434,14 @@ def customers_without_orders(
     def batch_distinct(batch: pa.Table) -> pa.Table:
         return batch.select(["o_custkey"]).group_by(["o_custkey"]).aggregate([])
 
+    from kenlm_ray.ops.groupagg import group_reduce
+
     have = (
-        orders.map_batches(batch_distinct, batch_format="pyarrow")
-        .groupby("o_custkey")
-        .aggregate(Count(alias_name="__c"))
+        group_reduce(
+            orders.map_batches(batch_distinct, batch_format="pyarrow"),
+            ["o_custkey"],
+            [("o_custkey", "count", "__c")],
+        )
         .to_pandas()["o_custkey"]
         .to_numpy()
     )
@@ -512,12 +518,13 @@ def _distinct_partkeys(sf_dir: str, expr: str) -> "ray.data.Dataset":
     def batch_distinct(batch: pa.Table) -> pa.Table:
         return batch.select(["l_partkey"]).group_by(["l_partkey"]).aggregate([])
 
-    return (
-        li.map_batches(batch_distinct, batch_format="pyarrow")
-        .groupby("l_partkey")
-        .aggregate(Count(alias_name="__c"))
-        .drop_columns(["__c"])
-    )
+    from kenlm_ray.ops.groupagg import group_reduce
+
+    return group_reduce(
+        li.map_batches(batch_distinct, batch_format="pyarrow"),
+        ["l_partkey"],
+        [("l_partkey", "count", "__c")],
+    ).drop_columns(["__c"])
 
 
 def parts_hi_lo_intersect(
@@ -982,10 +989,12 @@ def parts_hi_lo_except_all(
             }
         )
 
-    agg = (
-        base.map_batches(partial, batch_format="pyarrow")
-        .groupby("l_partkey")
-        .aggregate(Sum("n_hi", alias_name="n_hi"), Sum("n_lo", alias_name="n_lo"))
+    from kenlm_ray.ops.groupagg import group_reduce
+
+    agg = group_reduce(
+        base.map_batches(partial, batch_format="pyarrow"),
+        ["l_partkey"],
+        [("n_hi", "sum", "n_hi"), ("n_lo", "sum", "n_lo")],
     )
 
     def emit(t: pa.Table) -> pa.Table:
@@ -1105,10 +1114,14 @@ def orders_above_customer_avg(
         )
         return t.group_by(["o_custkey"]).aggregate([("s", "sum"), ("n", "sum")])
 
+    from kenlm_ray.ops.groupagg import group_reduce
+
     avgs = (
-        base.map_batches(partial_avg, batch_format="pyarrow")
-        .groupby("o_custkey")
-        .aggregate(Sum("s_sum", alias_name="s"), Sum("n_sum", alias_name="n"))
+        group_reduce(
+            base.map_batches(partial_avg, batch_format="pyarrow"),
+            ["o_custkey"],
+            [("s_sum", "sum", "s"), ("n_sum", "sum", "n")],
+        )
         .map_batches(
             lambda t: pa.table(
                 {
@@ -1327,16 +1340,17 @@ def rfm_segments(
             [("day", "max"), ("n", "sum"), ("v", "sum")]
         )
 
-    base = (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby(user_col)
-        .aggregate(
-            Max("day_max", alias_name="recency"),
-            Sum("n_sum", alias_name="frequency"),
-            Sum("v_sum", alias_name="monetary"),
-        )
-        .materialize()  # user-sized; scanned by three ntile passes
-    )
+    from kenlm_ray.ops.groupagg import group_reduce
+
+    base = group_reduce(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        [user_col],
+        [
+            ("day_max", "max", "recency"),
+            ("n_sum", "sum", "frequency"),
+            ("v_sum", "sum", "monetary"),
+        ],
+    ).materialize()  # user-sized; scanned by three ntile passes
 
     out = base
     for metric, name in (
@@ -2076,10 +2090,12 @@ def copurchase_lift(sf_dir: str, top_k: int = 100) -> "ray.data.Dataset":
         t = t.append_column("c", pa.array(np.ones(len(t), dtype=np.int64)))
         return t.group_by(["l_partkey"]).aggregate([("c", "sum")])
 
-    freq = (
-        pres.map_batches(freq_partial, batch_format="pyarrow")
-        .groupby("l_partkey")
-        .aggregate(Sum("c_sum", alias_name="n"))
+    from kenlm_ray.ops.groupagg import group_reduce
+
+    freq = group_reduce(
+        pres.map_batches(freq_partial, batch_format="pyarrow"),
+        ["l_partkey"],
+        [("c_sum", "sum", "n")],
     )
     top = freq.sort(["n", "l_partkey"], descending=[True, False]).limit(top_k).to_pandas()
     parts = top["l_partkey"].to_numpy(dtype=np.int64)

@@ -40,12 +40,12 @@ def word_frequencies(
         )
         return t.group_by("w").aggregate([("c", "sum")])
 
-    from ray.data.aggregate import Sum
+    from kenlm_ray.ops.groupagg import group_reduce
 
-    agg = (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby("w")
-        .aggregate(Sum("c_sum", alias_name="count"))
+    agg = group_reduce(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["w"],
+        [("c_sum", "sum", "count")],
     )
     out: "dict[str, int]" = {}
     for t in ray.get(agg.to_arrow_refs()):

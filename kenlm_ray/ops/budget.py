@@ -174,12 +174,13 @@ def budget_select(
             }
         )
 
-    rows = (
-        ds.map_batches(vc_partial, batch_format="pyarrow")
-        .groupby("v")
-        .aggregate(Sum("cost", alias_name="cost"))
-        .take_all()
-    )
+    from kenlm_ray.ops.groupagg import group_reduce
+
+    rows = group_reduce(
+        ds.map_batches(vc_partial, batch_format="pyarrow"),
+        ["v"],
+        [("cost", "sum", "cost")],
+    ).take_all()
     vs = np.array([r["v"] for r in rows])
     cs = np.array([r["cost"] for r in rows])
     order = np.argsort(vs)[::-1]
@@ -413,10 +414,12 @@ def grouped_budget_select(
                 }
             )
 
-        rows = (
-            ds.map_batches(hist_partial, batch_format="pyarrow")
-            .groupby(["g", "bin"])
-            .aggregate(Sum("cost", alias_name="cost"), Sum("n", alias_name="n"))
+        from kenlm_ray.ops.groupagg import group_reduce as _gr
+
+        rows = _gr(
+            ds.map_batches(hist_partial, batch_format="pyarrow"),
+            ["g", "bin"],
+            [("cost", "sum", "cost"), ("n", "sum", "n")],
         ).to_pandas()
 
         next_active = []
@@ -493,10 +496,12 @@ def grouped_budget_select(
                 }
             )
 
-        vrows = (
-            ds.map_batches(vc_partial, batch_format="pyarrow")
-            .groupby(["g", "v"])
-            .aggregate(Sum("cost", alias_name="cost"))
+        from kenlm_ray.ops.groupagg import group_reduce as _gr2
+
+        vrows = _gr2(
+            ds.map_batches(vc_partial, batch_format="pyarrow"),
+            ["g", "v"],
+            [("cost", "sum", "cost")],
         ).to_pandas()
         for gv, s in fin_groups.items():
             sub = vrows[vrows["g"] == gv]

@@ -79,12 +79,13 @@ def group_quantile_cutoffs(
         t = t.filter(pa.compute.is_finite(t["v"]))
         return t.group_by(["g", "v"]).aggregate([("n", "sum")])
 
-    hist = (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby(["g", "v"])
-        .aggregate(Sum("n_sum", alias_name="n"))
-        .take_all()
-    )
+    from kenlm_ray.ops.groupagg import group_reduce
+
+    hist = group_reduce(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["g", "v"],
+        [("n_sum", "sum", "n")],
+    ).take_all()
     by_group: "dict[object, list[tuple[float, int]]]" = {}
     for row in hist:
         by_group.setdefault(row["g"], []).append((row["v"], row["n"]))

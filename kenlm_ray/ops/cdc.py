@@ -182,9 +182,17 @@ def chunk_dedup_stats(ds, **kw):
     (hash, bytes) pairs cross the exchange."""
     from ray.data.aggregate import Count, Max, Sum
 
+    from kenlm_ray.ops.groupagg import group_reduce
+
     chunks = cdc_chunks(ds, **kw)
-    per_hash = chunks.groupby("chunk_hash").aggregate(
-        Count(alias_name="n_copies"), Max("n_bytes", alias_name="n_bytes")
+    # chunk-hash cardinality is corpus-sized (ops/groupagg.py shape)
+    per_hash = group_reduce(
+        chunks,
+        ["chunk_hash"],
+        [
+            ("chunk_hash", "count", "n_copies"),
+            ("n_bytes", "max", "n_bytes"),
+        ],
     )
 
     def fold(batch: pa.Table) -> pa.Table:

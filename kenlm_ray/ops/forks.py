@@ -230,15 +230,17 @@ def fork_candidates(
             }
         )
 
-    def dedupe(g: pa.Table) -> pa.Table:
-        return g.slice(0, 1)
+    from kenlm_ray.ops.groupagg import group_reduce
 
-    return (
+    # pair dedupe across bands: agreement is identical wherever the
+    # pair collides, so max == first; group_reduce, not one map_groups
+    # call per candidate pair
+    return group_reduce(
         sigs.map_batches(band_rows, batch_format="pyarrow")
         .groupby(["band", "bh"])
-        .map_groups(bucket_pairs, batch_format="pyarrow")
-        .groupby(["repo_a", "repo_b"])
-        .map_groups(dedupe, batch_format="pyarrow")
+        .map_groups(bucket_pairs, batch_format="pyarrow"),
+        ["repo_a", "repo_b"],
+        [("est_jaccard", "max", "est_jaccard")],
     )
 
 
@@ -357,15 +359,17 @@ def fork_pairs_exact(
             }
         )
 
-    counts = (
+    from kenlm_ray.ops.groupagg import group_reduce
+
+    counts = group_reduce(
         ds.map_batches(hash_rows, batch_format="pyarrow")
         .groupby("__hb")
         .map_groups(
             lambda g: per_bucket(g.drop_columns(["__hb"])),
             batch_format="pyarrow",
-        )
-        .groupby("key")
-        .aggregate(Sum("cnt", alias_name="cnt"))
+        ),
+        ["key"],
+        [("cnt", "sum", "cnt")],
     ).to_pandas()  # bounded: |pairs| + |roster| rows
     sizes: dict = {}
     inter_by_key: dict = {}

@@ -161,12 +161,13 @@ def pagerank(
         sums = np.bincount(inv, weights=wd, minlength=len(u))
         return pa.table({"node": pa.array(u), "wd": pa.array(sums)})
 
-    deg_rows = (
-        edges.map_batches(degree_partial, batch_format="pyarrow")
-        .groupby("node")
-        .aggregate(Sum("wd", alias_name="wd"))
-        .take_all()
-    )
+    from kenlm_ray.ops.groupagg import group_reduce
+
+    deg_rows = group_reduce(
+        edges.map_batches(degree_partial, batch_format="pyarrow"),
+        ["node"],
+        [("wd", "sum", "wd")],
+    ).take_all()
     nodes = np.sort(np.array([r["node"] for r in deg_rows], dtype=np.int64))
     wd_map = {r["node"]: r["wd"] for r in deg_rows}
     wdeg = np.array([wd_map[n] for n in nodes], dtype=np.float64)
@@ -320,12 +321,13 @@ def bfs_distances(
         u = np.unique(np.concatenate([s, t]))
         return pa.table({"node": pa.array(u)})
 
-    node_rows = (
-        edges.map_batches(node_partial, batch_format="pyarrow")
-        .groupby("node")
-        .aggregate(Count())
-        .take_all()
-    )
+    from kenlm_ray.ops.groupagg import group_reduce
+
+    node_rows = group_reduce(
+        edges.map_batches(node_partial, batch_format="pyarrow"),
+        ["node"],
+        [("node", "count", "_n")],
+    ).take_all()
     nodes = np.sort(np.array([r["node"] for r in node_rows], dtype=np.int64))
     N = len(nodes)
     if N == 0:
@@ -551,12 +553,13 @@ def triangle_counts(
         u, c = np.unique(nodes_, return_counts=True)
         return pa.table({"node": pa.array(u), "d": pa.array(c.astype(np.int64))})
 
-    deg_rows = (
-        canonical.map_batches(deg_partial, batch_format="pyarrow")
-        .groupby("node")
-        .aggregate(Sum("d", alias_name="d"))
-        .take_all()
-    )
+    from kenlm_ray.ops.groupagg import group_reduce
+
+    deg_rows = group_reduce(
+        canonical.map_batches(deg_partial, batch_format="pyarrow"),
+        ["node"],
+        [("d", "sum", "d")],
+    ).take_all()
     nodes = np.sort(np.array([r["node"] for r in deg_rows], dtype=np.int64))
     dmap = {r["node"]: r["d"] for r in deg_rows}
     deg = np.array([dmap[n] for n in nodes], dtype=np.int64)
@@ -703,16 +706,16 @@ def triangle_counts(
         u, c = np.unique(tri_nodes, return_counts=True)
         return pa.table({"node": pa.array(u), "t": pa.array(c.astype(np.int64))})
 
-    tri_rows = (
-        both.groupby("__pb")
-        .map_groups(
+    from kenlm_ray.ops.groupagg import group_reduce as _gr
+
+    tri_rows = _gr(
+        both.groupby("__pb").map_groups(
             lambda g: match_bucket(g.drop_columns(["__pb"])),
             batch_format="pyarrow",
-        )
-        .groupby("node")
-        .aggregate(Sum("t", alias_name="t"))
-        .take_all()
-    )
+        ),
+        ["node"],
+        [("t", "sum", "t")],
+    ).take_all()
     tmap = {r["node"]: r["t"] for r in tri_rows}
     n_tri = np.array([tmap.get(n, 0) for n in nodes], dtype=np.int64)
     with np.errstate(divide="ignore", invalid="ignore"):
@@ -810,16 +813,17 @@ def random_walks(
         u = np.unique(batch["u"].to_numpy(zero_copy_only=False))
         return pa.table({"node": pa.array(u)})
 
-    from ray.data.aggregate import Count
+    from kenlm_ray.ops.groupagg import group_reduce as _gr
 
     start_nodes = np.sort(
         np.array(
             [
                 r["node"]
-                for r in ebuck.map_batches(starts, batch_format="pyarrow")
-                .groupby("node")
-                .aggregate(Count())
-                .take_all()
+                for r in _gr(
+                    ebuck.map_batches(starts, batch_format="pyarrow"),
+                    ["node"],
+                    [("node", "count", "_n")],
+                ).take_all()
             ],
             dtype=np.int64,
         )

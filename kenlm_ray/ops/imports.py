@@ -107,10 +107,13 @@ def repo_module_usage(
             }
         )
 
-    return (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby(["repo", "module"])
-        .aggregate(Sum("n_files", alias_name="n_files"))
+    from kenlm_ray.ops.groupagg import group_reduce
+
+    # (repo, module) cardinality is corpus-sized (ops/groupagg.py)
+    return group_reduce(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["repo", "module"],
+        [("n_files", "sum", "n_files")],
     )
 
 
@@ -131,13 +134,12 @@ def module_popularity(
             }
         )
 
-    return (
-        usage.map_batches(partial, batch_format="pyarrow")
-        .groupby("module")
-        .aggregate(
-            Sum("n_repos", alias_name="n_repos"),
-            Sum("n_files", alias_name="n_files"),
-        )
+    from kenlm_ray.ops.groupagg import group_reduce
+
+    return group_reduce(
+        usage.map_batches(partial, batch_format="pyarrow"),
+        ["module"],
+        [("n_repos", "sum", "n_repos"), ("n_files", "sum", "n_files")],
     )
 
 
@@ -180,10 +182,12 @@ def coimport_edges(
             }
         )
 
-    return (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby(["mod_a", "mod_b"])
-        .aggregate(Sum("n", alias_name="n"))
+    from kenlm_ray.ops.groupagg import group_reduce
+
+    return group_reduce(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["mod_a", "mod_b"],
+        [("n", "sum", "n")],
     )
 
 

@@ -343,8 +343,10 @@ def _lsh_near_dup_pairs(
         .map_groups(bucket_pairs, batch_format="pandas")
     )
     # a pair can collide in several tables — dedupe (values identical)
-    return pairs.groupby(["id_a", "id_b"]).aggregate(
-        Min("cos_sim", alias_name="cos_sim")
+    from kenlm_ray.ops.groupagg import group_reduce
+
+    return group_reduce(
+        pairs, ["id_a", "id_b"], [("cos_sim", "min", "cos_sim")]
     )
 
 
@@ -484,7 +486,9 @@ def lsh_index_knn(
 
     scored = cand.map_batches(score, batch_format="pyarrow")
     # a vector matching in several tables appears once per table — dedupe
-    dedup = scored.groupby(id_col).aggregate(Max("cos_sim", alias_name="cos_sim"))
+    from kenlm_ray.ops.groupagg import group_reduce
+
+    dedup = group_reduce(scored, [id_col], [("cos_sim", "max", "cos_sim")])
     return dedup.sort(["cos_sim", id_col], descending=[True, False]).limit(k)
 
 

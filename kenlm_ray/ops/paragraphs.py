@@ -129,10 +129,13 @@ def paragraph_df(
         )
         return t.group_by(["para_hash"]).aggregate([("n", "sum")])
 
-    return (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby("para_hash")
-        .aggregate(Sum("n_sum", alias_name="df"))
+    from kenlm_ray.ops.groupagg import group_reduce
+
+    # paragraph-hash cardinality is corpus-sized (ops/groupagg.py shape)
+    return group_reduce(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["para_hash"],
+        [("n_sum", "sum", "df")],
     )
 
 
@@ -245,7 +248,11 @@ def _stats_via_join(
         how="semi",
         num_partitions=num_partitions,
     )
-    dup_counts = hits.groupby(id_col).aggregate(Count(alias_name="n_dup"))
+    from kenlm_ray.ops.groupagg import group_reduce
+
+    dup_counts = group_reduce(
+        hits, [id_col], [("para_hash", "count", "n_dup")]
+    )
     joined = hash_join(
         ds.map_batches(totals, batch_format="pyarrow"),
         dup_counts,
@@ -310,12 +317,13 @@ def _spare_packed(
         )
         return t.group_by(["para_hash"]).aggregate([("m", "min")])
 
-    agg = (
-        ds.map_batches(firsts, batch_format="pyarrow")
-        .groupby("para_hash")
-        .aggregate(Min("m_min", alias_name="spare"))
-        .take_all()
-    )
+    from kenlm_ray.ops.groupagg import group_reduce
+
+    agg = group_reduce(
+        ds.map_batches(firsts, batch_format="pyarrow"),
+        ["para_hash"],
+        [("m_min", "min", "spare")],
+    ).take_all()
     # align to the sorted dup array by re-sorting on hash
     pairs = sorted((int(r["para_hash"]), int(r["spare"])) for r in agg)
     return np.array([p[1] for p in pairs], dtype=np.int64)
@@ -483,13 +491,13 @@ def _remove_via_join(
         num_partitions=num_partitions,
     )
     if keep_first:
-        spare = (
-            hits.groupby("para_hash")
-            .aggregate(Min("packed", alias_name="spare"))
-            .map_batches(
-                lambda t: t.select(["spare"]).rename_columns(["packed"]),
-                batch_format="pyarrow",
-            )
+        from kenlm_ray.ops.groupagg import group_reduce as _gr
+
+        spare = _gr(
+            hits, ["para_hash"], [("packed", "min", "spare")]
+        ).map_batches(
+            lambda t: t.select(["spare"]).rename_columns(["packed"]),
+            batch_format="pyarrow",
         )
         hits = hash_join(
             hits,

@@ -299,10 +299,12 @@ def heavy_hitters_exact(
             {"key": pa.array(cand[nz]), "c": pa.array(c[nz])}
         )
 
-    counted = (
-        ds.map_batches(recount, batch_format="pyarrow")
-        .groupby("key")
-        .aggregate(Sum("c", alias_name="n_occurrences"))
+    from kenlm_ray.ops.groupagg import group_reduce
+
+    counted = group_reduce(
+        ds.map_batches(recount, batch_format="pyarrow"),
+        ["key"],
+        [("c", "sum", "n_occurrences")],
     )
 
     def cut(t: pa.Table) -> pa.Table:
@@ -521,10 +523,14 @@ def bloom_build(
         pos = np.unique(_bloom_positions(h, m_bits, k))
         return pa.table({"pos": pa.array(pos.astype(np.int64))})
 
+    from kenlm_ray.ops.groupagg import group_reduce
+
     rows = (
-        ds.map_batches(positions, batch_format="pyarrow")
-        .groupby("pos")
-        .count()
+        group_reduce(
+            ds.map_batches(positions, batch_format="pyarrow"),
+            ["pos"],
+            [("pos", "count", "_n")],
+        )
         .select_columns(["pos"])
         .take_all()
     )

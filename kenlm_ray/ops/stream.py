@@ -178,10 +178,11 @@ def watermark_window_counts(
             }
         )
 
-    from ray.data.aggregate import Sum
+    from kenlm_ray.ops.groupagg import group_reduce
 
-    return (
-        flags.map_batches(partial, batch_format="pyarrow")
-        .groupby("window_start")
-        .aggregate(Sum("on_time", alias_name="on_time"), Sum("late", alias_name="late"))
+    # window cardinality grows with stream length (ops/groupagg.py)
+    return group_reduce(
+        flags.map_batches(partial, batch_format="pyarrow"),
+        ["window_start"],
+        [("on_time", "sum", "on_time"), ("late", "sum", "late")],
     )

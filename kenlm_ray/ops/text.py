@@ -1406,14 +1406,16 @@ def doc_trigram_novelty(
         du, dc = np.unique(docs, return_counts=True)
         return pa.table({"d": pa.array(du), "novel": pa.array(dc.astype(np.int64))})
 
-    novel = (
+    from kenlm_ray.ops.groupagg import group_reduce as _grd
+
+    novel = _grd(
         ds.map_batches(presence, batch_format="pyarrow")
         .groupby("b")
         .map_groups(
             lambda g: reduce_bucket(g.drop_columns(["b"])), batch_format="pyarrow"
-        )
-        .groupby("d")
-        .aggregate(_Sum("novel", alias_name="n_novel"))
+        ),
+        ["d"],
+        [("novel", "sum", "n_novel")],
     )
 
     def totals(batch: pa.Table) -> pa.Table:

@@ -579,12 +579,13 @@ def kaplan_meier(
         )
         return t.group_by(["t", "ob"]).aggregate([("c", "sum")])
 
-    rows = (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby(["t", "ob"])
-        .aggregate(Sum("c_sum", alias_name="c"))
-        .take_all()
-    )
+    from kenlm_ray.ops.groupagg import group_reduce
+
+    rows = group_reduce(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["t", "ob"],
+        [("c_sum", "sum", "c")],
+    ).take_all()
     if not rows:
         return ray.data.from_arrow(
             pa.table(
@@ -699,12 +700,13 @@ def grouped_kaplan_meier(
         )
         return t.group_by(["g", "t", "ob"]).aggregate([("c", "sum")])
 
-    rows = (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby(["g", "t", "ob"])
-        .aggregate(Sum("c_sum", alias_name="c"))
-        .take_all()
-    )
+    from kenlm_ray.ops.groupagg import group_reduce
+
+    rows = group_reduce(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["g", "t", "ob"],
+        [("c_sum", "sum", "c")],
+    ).take_all()
     out_g, out_t, out_n, out_d, out_s = [], [], [], [], []
     by_g: dict = {}
     for r in rows:

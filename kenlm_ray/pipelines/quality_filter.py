@@ -290,16 +290,22 @@ def repo_stats(scored: "ray.data.Dataset") -> "ray.data.Dataset":
             ]
         )
 
-    from ray.data.aggregate import Sum
+    from kenlm_ray.ops.groupagg import group_reduce
 
+    # repo cardinality at the north rule's 10^12-file scale is ~10^8 —
+    # data-sized, so the coarse-bucket reduce shape (ops/groupagg.py)
     part = scored.map_batches(partial, batch_format="pyarrow")
-    agg = part.groupby("repo").aggregate(
-        Sum("files_sum", alias_name="files"),
-        Sum("kept_sum", alias_name="kept"),
-        Sum("ppl_sum_sum", alias_name="ppl_sum"),
-        Sum("ppl_n_sum", alias_name="ppl_n"),
-        Sum("tokens_sum", alias_name="tokens"),
-        Sum("oov_sum", alias_name="oov"),
+    agg = group_reduce(
+        part,
+        ["repo"],
+        [
+            ("files_sum", "sum", "files"),
+            ("kept_sum", "sum", "kept"),
+            ("ppl_sum_sum", "sum", "ppl_sum"),
+            ("ppl_n_sum", "sum", "ppl_n"),
+            ("tokens_sum", "sum", "tokens"),
+            ("oov_sum", "sum", "oov"),
+        ],
     )
 
     def finalize(batch: pa.Table) -> pa.Table:
