@@ -690,22 +690,42 @@ def customer_top_orders(sf_dir: str, k: int = 3) -> "ray.data.Dataset":
         keep = order[pos_in_run < k]
         return batch.take(pa.array(np.sort(keep)))
 
+    P = 32
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        ck = batch["o_custkey"].to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "__pb", pa.array((ck % P).astype(np.int64))
+        )
+
     def final_topk(t: pa.Table) -> pa.Table:
+        """One lexsort + run-position cut per COARSE custkey bucket —
+        not one map_groups call per customer (ops/groupagg.py shape)."""
         if len(t) == 0:
             return t.append_column("rn", pa.array([], type=pa.int64()))
+        ck = t["o_custkey"].to_numpy(zero_copy_only=False)
         price = t["o_totalprice"].to_numpy(zero_copy_only=False)
         okey = t["o_orderkey"].to_numpy(zero_copy_only=False)
-        order = np.lexsort((okey, -price))
-        sel = order[:k]
-        out = t.take(pa.array(sel))
+        order = np.lexsort((okey, -price, ck))
+        cks = ck[order]
+        starts = np.concatenate([[True], cks[1:] != cks[:-1]])
+        run_id = np.cumsum(starts) - 1
+        start_pos = np.flatnonzero(starts)
+        pos_in_run = np.arange(len(cks)) - start_pos[run_id]
+        keep = pos_in_run < k
+        out = t.take(pa.array(order[keep]))
         return out.append_column(
-            "rn", pa.array(np.arange(1, len(sel) + 1, dtype=np.int64))
+            "rn", pa.array((pos_in_run[keep] + 1).astype(np.int64))
         )
 
     return (
         ds.map_batches(partial_topk, batch_format="pyarrow")
-        .groupby("o_custkey")
-        .map_groups(final_topk, batch_format="pyarrow")
+        .map_batches(bucket, batch_format="pyarrow")
+        .groupby("__pb")
+        .map_groups(
+            lambda g: final_topk(g.drop_columns(["__pb"])),
+            batch_format="pyarrow",
+        )
     )
 
 

@@ -49,6 +49,8 @@ def word_frequencies(
     )
     out: "dict[str, int]" = {}
     for t in ray.get(agg.to_arrow_refs()):
+        if t.num_rows == 0:  # Ray collapses empty blocks to zero-schema
+            continue
         for w, c in zip(t["w"].to_pylist(), t["count"].to_pylist()):
             out[w] = int(c)
     return out

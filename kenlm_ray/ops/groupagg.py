@@ -120,6 +120,12 @@ def group_reduce(
 
     def partial(batch: pa.Table) -> pa.Table:
         t = batch
+        # Ray can emit zero-column empty blocks between operators (the
+        # "new schema: ." warnings); the downstream Aggregate skips
+        # them, and so must we — group_by would raise KeyError on the
+        # missing key columns
+        if t.num_rows == 0 and any(k not in t.column_names for k in keys):
+            return pa.table({})
         # canonicalize float keys: -0.0 == 0.0 by value but differs at
         # the bit level, so it would split across buckets AND across
         # Arrow hash groups; adding +0.0 maps -0.0 to +0.0 (IEEE) while
@@ -149,6 +155,8 @@ def group_reduce(
         )
 
     def finish(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0 and any(k not in g.column_names for k in keys):
+            return pa.table({})
         out = g.group_by(keys).aggregate(merge_spec)
         out = out.select(keys + merged_names)
         return out.rename_columns(keys + out_names)

@@ -142,6 +142,31 @@ def test_group_reduce_uint64_keys_above_int63(ray_session):
     assert got == [{"k": 5, "s": 3}, {"k": 2**64 - 1, "s": 3}]
 
 
+def test_group_reduce_skips_zero_column_empty_blocks(ray_session):
+    """Ray emits zero-column empty blocks between operators (the
+    'new schema: .' warnings); group_by would KeyError on the missing
+    key columns, so group_reduce must skip them like Aggregate does."""
+    ds = ray.data.from_items([{"i": i} for i in range(8)]).repartition(4)
+
+    def mk(b):
+        i = b["i"].to_numpy(zero_copy_only=False)
+        if (i == 1).any():
+            return pa.table({})
+        return pa.table(
+            {"k": pa.array(i % 2), "v": pa.array(i.astype(np.int64))}
+        )
+
+    out = sorted(
+        group_reduce(
+            ds.map_batches(mk, batch_format="pyarrow"),
+            ["k"],
+            [("v", "sum", "s")],
+        ).take_all(),
+        key=lambda r: r["k"],
+    )
+    assert out == [{"k": 0, "s": 12}, {"k": 1, "s": 15}]
+
+
 def test_group_reduce_rejects_unknown_fn(ray_session):
     ds = _ds(pa.table({"k": [1], "v": [1]}), parts=1)
     with pytest.raises(ValueError, match="unsupported"):
