@@ -4207,6 +4207,81 @@ def _q_retention_cohorts(sf_dir):
     return retention_cohorts(ds)
 
 
+_SPLIT_FRACTIONS = {"train": 0.8, "valid": 0.1, "test": 0.1}
+_SPLIT_SALT = "v1"
+
+
+def _q_doc_split_counts(sf_dir):
+    """Deterministic train/valid/test split audit (ops/split.py):
+    sha256-threshold assignment keyed on doc_id, per-split row count +
+    char-weight sum.  Pure map + 3-row final groupby — zero data
+    shuffle; the hex-prefix rule is replicated verbatim in the SQL
+    oracle, so the gate is value-exact."""
+    import ray.data
+
+    from kenlm_ray.ops.split import split_counts
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "n_chars"]
+    )
+    return split_counts(
+        docs,
+        key_col="doc_id",
+        fractions=_SPLIT_FRACTIONS,
+        salt=_SPLIT_SALT,
+        weight_col="n_chars",
+    )
+
+
+def _q_source_split_leakage(sf_dir):
+    """Leakage-safe grouped split: keyed on SOURCE (not doc_id) so every
+    doc of a source lands in one split — the repo/domain contamination
+    guard.  Output: split, n_sources, n_docs."""
+    import pyarrow as pa
+    from ray.data.aggregate import Count, Sum
+
+    import ray.data
+
+    from kenlm_ray.ops.split import assign_splits
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "source"]
+    )
+    assigned = assign_splits(
+        docs,
+        key_col="source",
+        fractions=_SPLIT_FRACTIONS,
+        salt=_SPLIT_SALT,
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["split", "source"]).aggregate([("doc_id", "count")])
+        return g.rename_columns(["split", "source", "n"])
+
+    pairs = (
+        assigned.map_batches(partial, batch_format="pyarrow")
+        .groupby(["split", "source"])
+        .aggregate(Sum("n", alias_name="n_docs"))
+    )
+    return pairs.groupby("split").aggregate(
+        Count(alias_name="n_sources"), Sum("n_docs", alias_name="n_docs")
+    )
+
+
+def _split_case_sql(key_expr: str) -> str:
+    """The engine's split rule as a DuckDB CASE — thresholds generated
+    by the SAME kenlm_ray.ops.split.split_thresholds call the engine
+    uses, so engine and oracle can never drift."""
+    from kenlm_ray.ops.split import split_thresholds
+
+    th = split_thresholds(_SPLIT_FRACTIONS)
+    h = f"substr(sha256('{_SPLIT_SALT}' || {key_expr}), 1, 16)"
+    branches = " ".join(
+        f"WHEN {h} < '{bound}' THEN '{name}'" for name, bound in th[:-1]
+    )
+    return f"CASE {branches} ELSE '{th[-1][0]}' END"
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "pricing_summary": _q_pricing_summary,
@@ -4431,6 +4506,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ivf_knn_top10": _q_ivf_knn,
         "phrase_filter_trigrams": _q_phrase_filter,
         "repo_top_ppl_salted": _q_repo_top_ppl,
+        "doc_split_counts": _q_doc_split_counts,
+        "source_split_leakage": _q_source_split_leakage,
     }
 
 
@@ -6967,6 +7044,23 @@ def oracle_sql() -> dict[str, str]:
                         WHEN t.n_tokens <= c.c2 THEN 'middle'
                         ELSE 'tail' END AS bucket
             FROM toks t JOIN cuts c USING (lang)
+        """,
+        "doc_split_counts": f"""
+            SELECT split, count(*)::BIGINT AS n_rows,
+                   sum(n_chars)::BIGINT AS weight_sum
+            FROM (
+                SELECT {_split_case_sql("CAST(doc_id AS VARCHAR)")} AS split,
+                       n_chars
+                FROM documents
+            ) GROUP BY split
+        """,
+        "source_split_leakage": f"""
+            SELECT split, count(DISTINCT source)::BIGINT AS n_sources,
+                   count(*)::BIGINT AS n_docs
+            FROM (
+                SELECT {_split_case_sql("source")} AS split, source
+                FROM documents
+            ) GROUP BY split
         """,
     })
 

