@@ -1448,6 +1448,22 @@ def _q_event_moving_avg(sf_dir):
     return event_moving_avg(ds, window=3)
 
 
+def _q_event_value_ewma(sf_dir):
+    """Per-user adjusted EWMA of event values ordered by (ts, event_id)
+    (ops/windows.grouped_ewma — coarse key buckets, one lexsort +
+    segmented pow-weight cumsum per bucket; stable pandas fallback only
+    for pathological run lengths)."""
+    import ray.data
+
+    from kenlm_ray.ops.windows import grouped_ewma
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "user_id", "ts", "value"],
+    )
+    return grouped_ewma(ds, alpha=0.2)
+
+
 def _q_customer_top_orders(sf_dir):
     from kenlm_ray.ops.analytics import customer_top_orders
 
@@ -4409,6 +4425,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_priority_pivot": _q_order_priority_pivot,
         "latest_event_per_user": _q_latest_event_per_user,
         "event_moving_avg": _q_event_moving_avg,
+        "event_value_ewma": _q_event_value_ewma,
         "quantity_mode_per_flag": _q_quantity_mode_per_flag,
         "heavy_hitter_exact_suppkeys": _q_heavy_hitters_exact,
         "returnflag_revenue_share": _q_returnflag_revenue_share,
@@ -6311,6 +6328,21 @@ def oracle_sql() -> dict[str, str]:
                        ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6)
                        AS moving_avg
             FROM events
+        """,
+        "event_value_ewma": """
+            WITH r AS (
+                SELECT event_id, user_id, value,
+                       row_number() OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                       ) - 1 AS rn
+                FROM events
+            )
+            SELECT event_id, user_id,
+                   round(sum(value * pow(0.8, -rn)) OVER w
+                         / sum(pow(0.8, -rn)) OVER w, 6) AS ewma
+            FROM r
+            WINDOW w AS (PARTITION BY user_id ORDER BY rn
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         """,
         "quantity_mode_per_flag": """
             SELECT l_returnflag, l_quantity AS mode_qty, n AS mode_n FROM (

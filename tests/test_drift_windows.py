@@ -91,3 +91,45 @@ def test_moving_max_matches_pandas_skewed(ray_session):
     )
     ref = df.sort_values("event_id").reset_index(drop=True)
     assert np.allclose(got["mov_max"].to_numpy(), ref["ref"].to_numpy())
+
+
+def test_grouped_ewma_matches_pandas_skewed(ray_session):
+    from kenlm_ray.ops.windows import grouped_ewma
+
+    rng = np.random.RandomState(5)
+    n = 4000
+    users = np.where(rng.rand(n) < 0.5, 3, rng.randint(0, 30, n)).astype(
+        np.int64
+    )
+    # duplicate timestamps force the (ts, event_id) tie-break
+    ts = pd.to_datetime(rng.randint(0, 500, n), unit="s")
+    vals = rng.rand(n) * 1000
+    ids = np.arange(n, dtype=np.int64)
+    got = (
+        grouped_ewma(
+            _ds({"event_id": ids, "user_id": users,
+                 "ts": pa.array(ts, pa.timestamp("us")), "value": vals}),
+            alpha=0.2, ndigits=9,
+        )
+        .to_pandas().sort_values("event_id").reset_index(drop=True)
+    )
+    df = pd.DataFrame(
+        {"event_id": ids, "user_id": users, "ts": ts, "value": vals}
+    ).sort_values(["user_id", "ts", "event_id"])
+    df["ref"] = df.groupby("user_id")["value"].transform(
+        lambda s: s.ewm(alpha=0.2, adjust=True).mean()
+    )
+    ref = df.sort_values("event_id").reset_index(drop=True)
+    assert np.allclose(got["ewma"].to_numpy(), ref["ref"].to_numpy(),
+                       rtol=1e-9, atol=1e-9)
+
+
+def test_grouped_ewma_alpha_validation(ray_session):
+    import pytest
+
+    from kenlm_ray.ops.windows import grouped_ewma
+
+    with pytest.raises(ValueError):
+        grouped_ewma(_ds({"event_id": [1], "user_id": [1],
+                          "ts": pa.array([0], pa.timestamp("us")),
+                          "value": [1.0]}), alpha=1.0)
