@@ -246,6 +246,21 @@ def minhash_lsh_pairs(
         )
 
     sigs = ds.map_batches(to_sigs, batch_format="pyarrow").materialize()
+    # Sort exchanges schedule map-side × reduce-side block fragments — a
+    # fixed cost quadratic in block count and independent of data size
+    # (measured: an 11.5M-row narrow exchange drops 3.7 s -> 0.9 s when
+    # 256 blocks coalesce to 64; four such exchanges follow).  The narrow
+    # band/pair tables inherit the corpus read's block count, sized for
+    # content bytes rather than 16-B rows, so coalesce the materialized
+    # signature table to ~200k band rows per block (capped by cluster
+    # parallelism); every downstream exchange inherits the corrected
+    # count.  Conditional: a small input already below the target is
+    # left untouched.
+    n_docs = sigs.count()
+    cap = max(64, 4 * int(ray.cluster_resources().get("CPU", 32)))
+    exch_blocks = int(min(max(1, (n_docs * bands) // 200_000 + 1), cap))
+    if sigs.num_blocks() > exch_blocks:
+        sigs = sigs.repartition(exch_blocks).materialize()
 
     def to_bands(batch: pa.Table) -> pa.Table:
         sig = _sig_matrix(batch["sig"], num_perm)

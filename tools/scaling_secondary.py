@@ -1,0 +1,133 @@
+"""Secondary scaling evidence: the shuffle-heavy pipelines.
+
+The flagship quality filter (bench.py --scaling) is map/actor-dominated;
+the north rule's two-cluster-size criterion is stronger evidence if a
+SHUFFLE-dominated pipeline scales too.  This script times two such
+chains over the 720k-doc synthetic corpus at N and 4N CPUs in fresh
+subprocesses (interleaved, best-of-R per leg — same noise control as
+bench.py) and prints one JSON line:
+
+  - minhash: shingle -> 64-perm MinHash -> banded LSH buckets -> pair
+    dedup (ops/dedup.minhash_lsh_pairs) — one all-to-all of banded
+    signature rows.
+  - mkn: order-2 modified-Kneser-Ney estimation over the corpus
+    (ngram/estimate.estimate_mkn) — grouped adjusted-count exchanges.
+
+Usage:  python tools/scaling_secondary.py            # both pairs
+        SCALE_JOB=minhash SCALE_CPUS=8 python tools/scaling_secondary.py --inner
+Record: BASELINE.md "Secondary scaling" table.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+ROWS = int(os.environ.get("SCALE_ROWS", "720000"))
+ROUNDS = int(os.environ.get("SCALE_ROUNDS", "2"))
+PAIR = (
+    int(os.environ.get("SCALE_N", "8")),
+    int(os.environ.get("SCALE_4N", "32")),
+)
+
+
+def _corpus_paths() -> "list[str]":
+    from kenlm_ray.sources.synth_corpus import write_corpus
+
+    return write_corpus(f"/tmp/kenlm_ray_bench/sf0.1_{ROWS}", ROWS, seed=42,
+                        n_shards=64)
+
+
+def _run_inner() -> None:
+    import ray
+
+    ncpu = int(os.environ["SCALE_CPUS"])
+    job = os.environ["SCALE_JOB"]
+    ray.init(address="local", num_cpus=ncpu, include_dashboard=False,
+             logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    import ray.data
+
+    paths = _corpus_paths()
+    ray.data.read_parquet(paths).count()  # warm page cache, untimed
+    t0 = time.time()
+    if job == "minhash":
+        import numpy as np
+        import pyarrow as pa
+
+        from kenlm_ray.functions.hashing import hash_bytes_array
+        from kenlm_ray.ops.dedup import minhash_lsh_pairs
+
+        def add_id(batch: "pa.Table") -> "pa.Table":
+            # int64 doc id from (repo, path) — minhash ids are integers
+            rp = pa.compute.binary_join_element_wise(
+                batch["repo"], batch["path"], "\x00"
+            )
+            h = hash_bytes_array(rp.to_pylist())
+            return pa.table(
+                {"doc_id": pa.array((h >> np.uint64(1)).astype(np.int64)),
+                 "content": batch["content"]}
+            )
+
+        ds = ray.data.read_parquet(
+            paths, columns=["repo", "path", "content"]
+        ).map_batches(add_id, batch_format="pyarrow")
+        n = minhash_lsh_pairs(
+            ds, text_col="content", id_col="doc_id", jaccard_threshold=0.7
+        ).count()
+    elif job == "mkn":
+        from kenlm_ray.ngram.estimate import estimate_mkn
+
+        ds = ray.data.read_parquet(paths, columns=["content"])
+        res = estimate_mkn(ds, order=2, num_partitions=32, text_col="content")
+        n = res["arpa_tables"][2].count()
+    else:
+        raise SystemExit(f"unknown SCALE_JOB {job}")
+    wall = time.time() - t0
+    ray.shutdown()
+    print(json.dumps({"job": job, "cpus": ncpu, "sec": round(wall, 3),
+                      "rows_out": n, "rows_per_sec": round(ROWS / wall, 1)}))
+
+
+def main() -> None:
+    lo, hi = PAIR
+    order: "list[tuple[str, int]]" = []
+    for _ in range(ROUNDS):  # interleave legs so pairs share noise windows
+        for job in ("minhash", "mkn"):
+            order += [(job, lo), (job, hi)]
+    runs: "dict[tuple[str, int], list[float]]" = {}
+    for job, ncpu in order:
+        env = dict(os.environ, SCALE_JOB=job, SCALE_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--inner"],
+            env=env, capture_output=True, text=True, check=True,
+        ).stdout
+        d = json.loads(out.strip().splitlines()[-1])
+        runs.setdefault((job, ncpu), []).append(d["sec"])
+    result: dict = {"metric": "secondary scaling (shuffle-heavy pipelines)",
+                    "rows": ROWS, "pair": [lo, hi], "rounds": ROUNDS}
+    for job in ("minhash", "mkn"):
+        best_lo = min(runs[(job, lo)])
+        best_hi = min(runs[(job, hi)])
+        result[job] = {
+            f"sec_{lo}": best_lo,
+            f"sec_{hi}": best_hi,
+            "efficiency": round((best_lo / best_hi) / (hi / lo), 3),
+            "all_runs_sec": {str(lo): runs[(job, lo)],
+                             str(hi): runs[(job, hi)]},
+        }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    if "--inner" in sys.argv:
+        _run_inner()
+    else:
+        main()
