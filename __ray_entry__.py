@@ -1395,8 +1395,9 @@ def _q_dsir_selected_docs(sf_dir):
 
 def _q_shuffled_docs_head(sf_dir):
     """First 100 doc_ids of the seeded reproducible global shuffle
-    (rows-only: the splitmix64 permutation is not SQL-expressible;
-    test_groupcap.py gates permutation + invariance properties)."""
+    (value-exact oracle: splitmix64 re-expressed in DuckDB via
+    _splitmix_rank_sub's HUGEINT 32-bit-limb wraparound multiply;
+    test_groupcap.py additionally gates permutation + invariance)."""
     from kenlm_ray.ops.groupcap import deterministic_shuffle
 
     return (
@@ -4767,8 +4768,70 @@ def _bfs_sql(max_hops: int = 6) -> str:
     return base + "\n" + "\nUNION ALL ".join(layers)
 
 
+def _splitmix_rank_sub(inner: str, col: str, seed: int) -> str:
+    """A subquery that appends ``__rank`` = splitmix64(seed ^ col) to
+    ``inner``, bit-exact vs kenlm_ray.ops.sample._rank /
+    groupcap._splitmix.  uint64 wraparound multiply is done in HUGEINT
+    via 32-bit limbs ((a*c) mod 2^64 = (a_lo*c_lo + ((a_lo*c_hi +
+    a_hi*c_lo) mod 2^32)*2^32) mod 2^64); xor-shifts use xor() plus
+    integer division (values are non-negative in HUGEINT).  Chained
+    subqueries keep each step's expression linear in size."""
+    m64, m32 = "18446744073709551616", "4294967296"
+
+    def xr(a: str, b: str) -> str:
+        return (
+            f"CAST(xor(CAST(({a}) AS UBIGINT), CAST(({b}) AS UBIGINT)) "
+            "AS HUGEINT)"
+        )
+
+    def mul64(a: str, c: int) -> str:
+        cl, ch = c % (1 << 32), c >> 32
+        return (
+            f"(( (({a}) % {m32}) * {cl} + "
+            f"((( (({a}) % {m32}) * {ch} + (({a}) // {m32}) * {cl} )) "
+            f"% {m32}) * {m32} ) % {m64})"
+        )
+
+    z0 = xr(f"CAST({col} AS HUGEINT)", str(seed))
+    z1 = mul64(xr("__z0", f"__z0 // {1 << 30}"), 0xBF58476D1CE4E5B9)
+    z2 = mul64(xr("__z1", f"__z1 // {1 << 27}"), 0x94D049BB133111EB)
+    rank = xr("__z2", f"__z2 // {1 << 31}")
+    return f"""(
+        SELECT * EXCLUDE (__z2), CAST({rank} AS UBIGINT) AS __rank
+        FROM (
+          SELECT * EXCLUDE (__z1), {z2} AS __z2
+          FROM (
+            SELECT * EXCLUDE (__z0), {z1} AS __z1
+            FROM (SELECT *, {z0} AS __z0 FROM {inner})
+          )
+        )
+    )"""
+
+
 def oracle_sql() -> dict[str, str]:
     return _oracle_aliases({
+        "deterministic_sample_orders": f"""
+            SELECT o_orderkey, o_totalprice
+            FROM {_splitmix_rank_sub(
+                "(SELECT o_orderkey, o_totalprice FROM orders)",
+                "o_orderkey", 7)}
+            ORDER BY __rank LIMIT 100
+        """,
+        "stratified_docs_sample": f"""
+            SELECT doc_id, lang FROM (
+                SELECT doc_id, lang,
+                       row_number() OVER (PARTITION BY lang
+                                          ORDER BY __rank) AS rn
+                FROM {_splitmix_rank_sub(
+                    "(SELECT doc_id, lang FROM documents)", "doc_id", 7)}
+            ) WHERE rn <= 30
+        """,
+        "shuffled_docs_head": f"""
+            SELECT doc_id
+            FROM {_splitmix_rank_sub(
+                "(SELECT doc_id FROM documents)", "doc_id", 7)}
+            ORDER BY __rank LIMIT 100
+        """,
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 2)                        AS sum_qty,
