@@ -4768,34 +4768,55 @@ def _bfs_sql(max_hops: int = 6) -> str:
     return base + "\n" + "\nUNION ALL ".join(layers)
 
 
+# --- uint64 arithmetic re-expressed in DuckDB SQL (HUGEINT carrier) ---
+# Shared by the splitmix64 / MurmurHash64A / n-gram-recurrence oracle
+# generators below: uint64 wraparound multiply is done in HUGEINT via
+# 32-bit limbs ((a*c) mod 2^64 = (a_lo*c_lo + ((a_lo*c_hi + a_hi*c_lo)
+# mod 2^32)*2^32) mod 2^64); xor-shifts use xor() plus integer division
+# (values are non-negative in HUGEINT).
+
+_SQL_M64 = "18446744073709551616"
+_SQL_M32 = "4294967296"
+_MUR_M = 0xC6A4A7935BD1E995  # kenlm_ray.functions.hashing._M
+
+
+def _sql_xor(a: str, b: str) -> str:
+    return (
+        f"CAST(xor(CAST(({a}) AS UBIGINT), CAST(({b}) AS UBIGINT)) "
+        "AS HUGEINT)"
+    )
+
+
+def _sql_mul64c(a: str, c: int) -> str:
+    """(a * c) mod 2^64 for HUGEINT expression a and uint64 constant c."""
+    cl, ch = c % (1 << 32), c >> 32
+    return (
+        f"(( (({a}) % {_SQL_M32}) * {cl} + "
+        f"((( (({a}) % {_SQL_M32}) * {ch} + (({a}) // {_SQL_M32}) * {cl} )) "
+        f"% {_SQL_M32}) * {_SQL_M32} ) % {_SQL_M64})"
+    )
+
+
+def _sql_mul64v(a: str, b: str) -> str:
+    """(a * b) mod 2^64 for two HUGEINT expressions < 2^64 (all limb
+    products fit HUGEINT: (2^32-1)^2 < 2^64)."""
+    return (
+        f"(( (({a}) % {_SQL_M32}) * (({b}) % {_SQL_M32}) + "
+        f"((( (({a}) % {_SQL_M32}) * (({b}) // {_SQL_M32}) + "
+        f"(({a}) // {_SQL_M32}) * (({b}) % {_SQL_M32}) )) "
+        f"% {_SQL_M32}) * {_SQL_M32} ) % {_SQL_M64})"
+    )
+
+
 def _splitmix_rank_sub(inner: str, col: str, seed: int) -> str:
     """A subquery that appends ``__rank`` = splitmix64(seed ^ col) to
     ``inner``, bit-exact vs kenlm_ray.ops.sample._rank /
-    groupcap._splitmix.  uint64 wraparound multiply is done in HUGEINT
-    via 32-bit limbs ((a*c) mod 2^64 = (a_lo*c_lo + ((a_lo*c_hi +
-    a_hi*c_lo) mod 2^32)*2^32) mod 2^64); xor-shifts use xor() plus
-    integer division (values are non-negative in HUGEINT).  Chained
-    subqueries keep each step's expression linear in size."""
-    m64, m32 = "18446744073709551616", "4294967296"
-
-    def xr(a: str, b: str) -> str:
-        return (
-            f"CAST(xor(CAST(({a}) AS UBIGINT), CAST(({b}) AS UBIGINT)) "
-            "AS HUGEINT)"
-        )
-
-    def mul64(a: str, c: int) -> str:
-        cl, ch = c % (1 << 32), c >> 32
-        return (
-            f"(( (({a}) % {m32}) * {cl} + "
-            f"((( (({a}) % {m32}) * {ch} + (({a}) // {m32}) * {cl} )) "
-            f"% {m32}) * {m32} ) % {m64})"
-        )
-
-    z0 = xr(f"CAST({col} AS HUGEINT)", str(seed))
-    z1 = mul64(xr("__z0", f"__z0 // {1 << 30}"), 0xBF58476D1CE4E5B9)
-    z2 = mul64(xr("__z1", f"__z1 // {1 << 27}"), 0x94D049BB133111EB)
-    rank = xr("__z2", f"__z2 // {1 << 31}")
+    groupcap._splitmix.  Chained subqueries keep each step's expression
+    linear in size."""
+    z0 = _sql_xor(f"CAST({col} AS HUGEINT)", str(seed))
+    z1 = _sql_mul64c(_sql_xor("__z0", f"__z0 // {1 << 30}"), 0xBF58476D1CE4E5B9)
+    z2 = _sql_mul64c(_sql_xor("__z1", f"__z1 // {1 << 27}"), 0x94D049BB133111EB)
+    rank = _sql_xor("__z2", f"__z2 // {1 << 31}")
     return f"""(
         SELECT * EXCLUDE (__z2), CAST({rank} AS UBIGINT) AS __rank
         FROM (
@@ -4806,6 +4827,189 @@ def _splitmix_rank_sub(inner: str, col: str, seed: int) -> str:
           )
         )
     )"""
+
+
+def _sql_le_bytes(hx: str, start_byte: str, nbytes: int) -> str:
+    """Parse ``nbytes`` little-endian bytes of hex-string expression
+    ``hx`` at 0-based byte offset ``start_byte`` -> HUGEINT.  Reverses
+    byte order then parses as big-endian hex ('0x…'::UBIGINT); substr
+    past the string end yields '' so a short tail just drops its high
+    bytes."""
+    parts = (
+        f"list_aggregate(list_transform(generate_series({nbytes - 1}, 0, -1), "
+        f"j -> substr({hx}, (({start_byte}) + j) * 2 + 1, 2)), "
+        "'string_agg', '')"
+    )
+    return f"CAST(CAST('0x' || {parts} AS UBIGINT) AS HUGEINT)"
+
+
+def _murmur64_sql(tok: str) -> str:
+    """MurmurHash64A(utf8(tok), seed=0) -> HUGEINT expression, bit-exact
+    vs kenlm_ray.functions.hashing.murmur64 (validated incl. multi-byte
+    UTF-8 and 8/24-byte boundaries).  The 8-byte-chunk fold runs as
+    list_reduce over the chunk list with h0 prepended as the initial
+    accumulator."""
+    hx = f"hex(encode({tok}))"
+    ln = f"octet_length(encode({tok}))"
+    h0 = _sql_mul64c(f"CAST({ln} AS HUGEINT)", _MUR_M)  # seed 0: 0^(len*m)
+    chunk = _sql_le_bytes(hx, "i * 8", 8)
+    k1 = _sql_mul64c("kv", _MUR_M)
+    k2 = _sql_xor(k1, f"({k1}) // {1 << 47}")
+    k3 = _sql_mul64c(k2, _MUR_M)
+    step = _sql_mul64c(_sql_xor("h", k3), _MUR_M)
+    folded = f"""list_reduce(
+        list_prepend({h0},
+            list_transform(generate_series(0, ({ln}) // 8 - 1),
+                           i -> {chunk})),
+        (h, kv) -> {step})"""
+    tail = _sql_le_bytes(hx, f"(({ln}) // 8) * 8", 7)
+    with_tail = f"""CASE WHEN ({ln}) % 8 = 0 THEN ({folded})
+        ELSE {_sql_mul64c(_sql_xor(f'({folded})', tail), _MUR_M)} END"""
+    # finalize (h ^= h>>47; h *= m; h ^= h>>47) — bind the pre-finalize
+    # value once as a lambda variable via a 1-element list_reduce
+    f1 = _sql_xor("__mh", f"__mh // {1 << 47}")
+    f2 = _sql_mul64c(f1, _MUR_M)
+    fin = _sql_xor(f2, f"({f2}) // {1 << 47}")
+    return (
+        f"list_reduce([CAST(({with_tail}) AS HUGEINT), 0::HUGEINT], "
+        f"(__mh, __zero) -> {fin})"
+    )
+
+
+_NGRAM_MULT = 8978948897894561157   # functions/hashing.NGRAM_MULT
+_WORD_MULT = 17894857484156487943   # functions/hashing.WORD_MULT
+
+
+def _sql_ngram_step(h: str, w: str) -> str:
+    """ngram_hash_step(h, w) = (h*NGRAM_MULT) ^ ((1+w)*WORD_MULT) mod
+    2^64 (functions/hashing.py:184, mirroring the reference's
+    CombineWordHash).  h may be '0' for the empty prefix."""
+    return _sql_xor(
+        _sql_mul64c(h, _NGRAM_MULT),
+        _sql_mul64c(f"((1 + ({w})) % {_SQL_M64})", _WORD_MULT),
+    )
+
+
+def _sql_token_hashes(doc_table: str = "documents",
+                      text_col: str = "text") -> str:
+    """Subquery: (doc_id, i, th) — 1-based token index and HUGEINT
+    MurmurHash64A of each whitespace token, matching
+    functions/tokenize.tokenize_column + TokenStream.hashes()."""
+    return rf"""(
+        SELECT doc_id, i, {_murmur64_sql('tok')} AS th
+        FROM (
+            SELECT doc_id,
+                   unnest(w) AS tok,
+                   unnest(generate_series(1, len(w))) AS i
+            FROM (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array({text_col},
+                                   '[\t\n\r ]+'), x -> x <> '') AS w
+                FROM {doc_table}
+            )
+        )
+    )"""
+
+
+# Shared simhash-fingerprint CTE chain (WITH … fp(doc_id, f HUGEINT)):
+# token murmur hashes -> bigram shingle recurrence hashes -> per-bit
+# votes -> 64-bit fingerprint, matching ops/dedup.simhash_column
+# (shingle_n=2; ties votes==0 -> bit 0 on both sides).
+_SIMHASH_CTES: str
+
+
+def _build_simhash_ctes() -> str:
+    step2 = _sql_ngram_step(_sql_ngram_step("0", "__prev"), "__cur")
+    pw = ", ".join(f"({b}, {1 << b}::HUGEINT)" for b in range(64))
+    return f"""WITH th AS (SELECT * FROM {_sql_token_hashes()}),
+            sh AS (
+                SELECT doc_id, CAST({step2} AS UBIGINT) AS h
+                FROM (
+                    SELECT doc_id, th AS __cur,
+                           lag(th) OVER (PARTITION BY doc_id ORDER BY i)
+                               AS __prev
+                    FROM th
+                ) WHERE __prev IS NOT NULL
+            ),
+            pw AS (SELECT * FROM (VALUES {pw}) pw(b, p)),
+            votes AS (
+                SELECT doc_id, p,
+                       sum(CASE WHEN (h // CAST(p AS UBIGINT)) % 2 = 1
+                                THEN 1 ELSE -1 END) AS v
+                FROM sh, pw GROUP BY doc_id, p
+            ),
+            fp AS (
+                SELECT doc_id,
+                       sum(CASE WHEN v > 0 THEN p ELSE 0::HUGEINT END) AS f
+                FROM votes GROUP BY doc_id
+            )"""
+
+
+_SIMHASH_CTES = _build_simhash_ctes()
+
+
+def _build_minhash_pairs_sql() -> str:
+    """Oracle for ops/dedup.minhash_lsh_pairs(jaccard_threshold=0.7):
+    3-gram shingle murmur hashes -> 64 universal-hash minima (the numpy
+    kernel wraps a*s mod 2^64 BEFORE the Mersenne mod — reproduced
+    exactly) -> 16-band/4-row LSH candidates -> full-signature agreement
+    >= threshold.  The banded candidate step is reproduced (not skipped)
+    so band-collision recall matches the engine exactly; a,b come from
+    the same seeded rng (_minhash_params(64, 1)) inlined as VALUES."""
+    from kenlm_ray.ops.dedup import _MERSENNE, _minhash_params
+
+    a, b = _minhash_params(64, seed=1)
+    perms = ", ".join(
+        f"({p}, {int(a[p])}::HUGEINT, {int(b[p])}::HUGEINT)"
+        for p in range(64)
+    )
+    tri = _sql_ngram_step(
+        _sql_ngram_step(_sql_ngram_step("0", "w2"), "w1"), "w0"
+    )
+    hv = (
+        f"(({_sql_mul64v('pm.a', 'tri.sm')} + pm.b) % {_SQL_M64}) "
+        f"% {_MERSENNE}"
+    )
+    return f"""
+        WITH th AS (SELECT * FROM {_sql_token_hashes()}),
+        tri AS (
+            SELECT DISTINCT doc_id,
+                   CAST({tri} AS HUGEINT) % {_MERSENNE} AS sm
+            FROM (
+                SELECT doc_id, th AS w0,
+                       lag(th, 1) OVER win AS w1,
+                       lag(th, 2) OVER win AS w2
+                FROM th WINDOW win AS (PARTITION BY doc_id ORDER BY i)
+            ) WHERE w2 IS NOT NULL
+        ),
+        perms AS (SELECT * FROM (VALUES {perms}) pm(p, a, b)),
+        sig AS (
+            SELECT tri.doc_id, pm.p, min({hv}) AS s
+            FROM tri, perms pm GROUP BY tri.doc_id, pm.p
+        ),
+        bandkey AS (
+            SELECT doc_id, p // 4 AS band,
+                   string_agg(s::VARCHAR, ',' ORDER BY p) AS bk
+            FROM sig GROUP BY doc_id, band
+        ),
+        cand AS (
+            SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+            FROM bandkey x JOIN bandkey y
+              ON x.band = y.band AND x.bk = y.bk
+             AND x.doc_id < y.doc_id
+        ),
+        agree AS (
+            SELECT c.id_a, c.id_b,
+                   sum(CASE WHEN sa.s = sb.s THEN 1 ELSE 0 END) / 64.0
+                       AS est_jaccard
+            FROM cand c
+            JOIN sig sa ON sa.doc_id = c.id_a
+            JOIN sig sb ON sb.doc_id = c.id_b AND sb.p = sa.p
+            GROUP BY c.id_a, c.id_b
+        )
+        SELECT id_a, id_b, est_jaccard
+        FROM agree WHERE est_jaccard >= 0.7
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -4831,6 +5035,58 @@ def oracle_sql() -> dict[str, str]:
             FROM {_splitmix_rank_sub(
                 "(SELECT doc_id FROM documents)", "doc_id", 7)}
             ORDER BY __rank LIMIT 100
+        """,
+        "simhash_fingerprints": f"""
+            {_SIMHASH_CTES}
+            SELECT d.doc_id,
+                   CAST(COALESCE(fp.f, 0) AS UBIGINT) AS simhash
+            FROM documents d LEFT JOIN fp ON d.doc_id = fp.doc_id
+        """,
+        "minhash_near_dup_pairs": _build_minhash_pairs_sql(),
+        "simhash_near_dup_pairs": f"""
+            {_SIMHASH_CTES},
+            sf AS (
+                SELECT d.doc_id,
+                       CAST(COALESCE(fp.f, 0) AS UBIGINT) AS f
+                FROM documents d LEFT JOIN fp ON d.doc_id = fp.doc_id
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   bit_count(xor(a.f, b.f))::BIGINT AS hamming
+            FROM sf a JOIN sf b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.f, b.f)) <= 3
+        """,
+        "winnow_fingerprints": f"""
+            WITH th AS (SELECT * FROM {_sql_token_hashes()}),
+            lg AS (
+                SELECT doc_id, i, th AS w0,
+                       lag(th, 1) OVER win AS w1,
+                       lag(th, 2) OVER win AS w2,
+                       lag(th, 3) OVER win AS w3,
+                       lag(th, 4) OVER win AS w4
+                FROM th WINDOW win AS (PARTITION BY doc_id ORDER BY i)
+            ),
+            s1 AS (SELECT *, {_sql_ngram_step('0', 'w4')} AS h1
+                   FROM lg WHERE w4 IS NOT NULL),
+            s2 AS (SELECT *, {_sql_ngram_step('h1', 'w3')} AS h2 FROM s1),
+            s3 AS (SELECT *, {_sql_ngram_step('h2', 'w2')} AS h3 FROM s2),
+            s4 AS (SELECT *, {_sql_ngram_step('h3', 'w1')} AS h4 FROM s3),
+            sh AS (
+                SELECT doc_id,
+                       row_number() OVER (PARTITION BY doc_id ORDER BY i)
+                           - 1 AS j,
+                       count(*) OVER (PARTITION BY doc_id) AS cnt,
+                       CAST({_sql_ngram_step('h4', 'w0')} AS UBIGINT) AS h
+                FROM s4
+            ),
+            w AS (
+                SELECT doc_id, j, cnt,
+                       min(h) OVER (PARTITION BY doc_id ORDER BY j
+                                    ROWS BETWEEN CURRENT ROW
+                                    AND 7 FOLLOWING) AS m
+                FROM sh
+            )
+            SELECT DISTINCT doc_id, m AS fingerprint
+            FROM w WHERE j <= greatest(cnt - 8, 0)
         """,
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,
