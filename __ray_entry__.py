@@ -1370,12 +1370,13 @@ def _q_ccnet_ppl_buckets(sf_dir):
 def _q_dsir_selected_docs(sf_dir):
     """DSIR importance resampling (Xie et al. 2023): select 100 docs
     from the documents table whose hashed-n-gram profile looks like the
-    lexicographically-first language's docs.  Rows-only (murmur-hashed
-    features aren't SQL); test_dsir.py gates profile/weight exactness
-    vs brute force, target-bias on vocab-distinct corpora, and
-    partitioning invariance.  (The testdata's lang column is
-    near-independent of its word-salad text — see
-    classifier_lang_predictions — so HERE the weights are near zero
+    lexicographically-first language's docs.  Value-exact SQL oracle
+    (_build_dsir_sql: murmur features, log-ratio profiles, splitmix
+    Gumbel draw all re-expressed in DuckDB); test_dsir.py additionally
+    gates profile/weight exactness vs brute force, target-bias on
+    vocab-distinct corpora, and partitioning invariance.  (The
+    testdata's lang column is near-independent of its word-salad text —
+    see classifier_lang_predictions — so HERE the weights are near zero
     and the draw tracks base rates; determinism is the check.)"""
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
@@ -5012,8 +5013,67 @@ def _build_minhash_pairs_sql() -> str:
     """
 
 
+def _build_dsir_sql() -> str:
+    """Oracle for ops/dsir.dsir_select(k=100, seed=11) over documents
+    with target = the lexicographically-first lang: hashed unigram +
+    bigram features (murmur mod 10k; bigram = ngram_hash_step(h_prev,
+    h_cur)), Laplace-smoothed log-ratio profiles, per-doc lambda, and
+    Gumbel-top-k with u = (splitmix64(11 ^ doc_id)+1)/2^64.  Float sums
+    accumulate in a different order than the numpy kernel — equality
+    holds through the driver's isclose compare; the Gumbel noise keeps
+    selection boundaries far apart."""
+    step = _sql_ngram_step("__prev", "__cur")
+    g = ("(-ln(-ln((CAST(__rank AS DOUBLE) + 1.0) "
+         "/ 18446744073709551616.0)))")
+    return f"""
+        WITH th AS (SELECT * FROM {_sql_token_hashes()}),
+        uni AS (SELECT doc_id, CAST(th AS UBIGINT) % 10000 AS b FROM th),
+        bi AS (
+            SELECT doc_id, CAST({step} AS UBIGINT) % 10000 AS b
+            FROM (
+                SELECT doc_id, th AS __cur,
+                       lag(th) OVER (PARTITION BY doc_id ORDER BY i)
+                           AS __prev
+                FROM th
+            ) WHERE __prev IS NOT NULL
+        ),
+        feat AS (SELECT * FROM uni UNION ALL SELECT * FROM bi),
+        tlang AS (SELECT min(lang) AS l FROM documents),
+        tcnt AS (
+            SELECT f.b, count(*)::DOUBLE AS t
+            FROM feat f JOIN documents d ON f.doc_id = d.doc_id, tlang
+            WHERE d.lang = tlang.l GROUP BY f.b
+        ),
+        rcnt AS (SELECT b, count(*)::DOUBLE AS r FROM feat GROUP BY b),
+        tot AS (SELECT (SELECT COALESCE(sum(t), 0) FROM tcnt) AS tt,
+                       (SELECT sum(r) FROM rcnt) AS rr),
+        lw AS (
+            SELECT rc.b,
+                   ln((COALESCE(tc.t, 0) + 1.0) / (tot.tt + 10000.0))
+                 - ln((rc.r + 1.0) / (tot.rr + 10000.0)) AS w
+            FROM rcnt rc LEFT JOIN tcnt tc ON rc.b = tc.b, tot
+        ),
+        docb AS (
+            SELECT doc_id, b, count(*)::DOUBLE AS c
+            FROM feat GROUP BY doc_id, b
+        ),
+        lam AS (
+            SELECT doc_id, sum(c * w) AS lam
+            FROM docb JOIN lw USING (b) GROUP BY doc_id
+        ),
+        scored AS (
+            SELECT d.doc_id, d.lang, COALESCE(l.lam, 0.0) AS lam
+            FROM documents d LEFT JOIN lam l ON d.doc_id = l.doc_id
+        )
+        SELECT doc_id, lang
+        FROM {_splitmix_rank_sub("(SELECT * FROM scored)", "doc_id", 11)}
+        ORDER BY lam + {g} DESC LIMIT 100
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     return _oracle_aliases({
+        "dsir_selected_docs": _build_dsir_sql(),
         "deterministic_sample_orders": f"""
             SELECT o_orderkey, o_totalprice
             FROM {_splitmix_rank_sub(
@@ -5043,6 +5103,18 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d LEFT JOIN fp ON d.doc_id = fp.doc_id
         """,
         "minhash_near_dup_pairs": _build_minhash_pairs_sql(),
+        "mixed_corpus_stats": f"""
+            SELECT 0::BIGINT AS mix_source, 0::BIGINT AS "copy",
+                   count(*)::BIGINT AS n FROM documents
+            UNION ALL
+            SELECT 1, 0, count(*) FROM documents WHERE lang = 'en'
+            UNION ALL
+            SELECT 1, 1, count(*)
+            FROM {_splitmix_rank_sub(
+                "(SELECT doc_id FROM documents WHERE lang = 'en')",
+                "doc_id", 11 ^ 7920)}
+            WHERE __rank < 9223372036854775808
+        """,
         "simhash_near_dup_pairs": f"""
             {_SIMHASH_CTES},
             sf AS (

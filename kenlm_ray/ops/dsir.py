@@ -30,7 +30,10 @@ reference lm/vocab.cc parity) and the reference's n-gram recurrence
 Engine addition: kpu/kenlm's role in data selection is the importance
 LM (perplexity filtering); DSIR is the published resampling-based
 alternative over the same corpus shape, so it belongs in the same
-toolbox.  Not SQL-expressible (hashed features) — pytest-gated.
+toolbox.  Value-exact SQL oracle: __ray_entry__._build_dsir_sql
+re-expresses the murmur-hashed features, log-ratio profiles and the
+splitmix Gumbel draw in DuckDB; test_dsir.py additionally gates
+profile/weight exactness vs brute force.
 """
 
 from __future__ import annotations
