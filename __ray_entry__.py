@@ -3746,9 +3746,10 @@ def _q_chunk_dedup_stats(sf_dir):
     """Content-defined chunking dedup estimator (ops/cdc): rolling-hash
     chunk boundaries (edit-stable), chunk-hash dedup counters — only
     (hash, bytes) pairs cross the exchange, chunk bytes never shuffle.
-    Rows-only (wraparound-u64 polynomial hashes aren't SQL-expressible);
-    tests/test_cdc.py gates the kernel vs a naive O(n*w) reference,
-    coverage/clamps, and edit stability."""
+    Value-exact SQL oracle (_build_cdc_stats_sql: per-byte polynomial
+    window hash, recursive clamp walk, murmur chunk hashes — all in
+    DuckDB); tests/test_cdc.py additionally gates the kernel vs a naive
+    O(n*w) reference, coverage/clamps, and edit stability."""
     import pandas as pd
 
     from kenlm_ray.ops.cdc import chunk_dedup_stats
@@ -4847,11 +4848,17 @@ def _sql_le_bytes(hx: str, start_byte: str, nbytes: int) -> str:
 def _murmur64_sql(tok: str) -> str:
     """MurmurHash64A(utf8(tok), seed=0) -> HUGEINT expression, bit-exact
     vs kenlm_ray.functions.hashing.murmur64 (validated incl. multi-byte
-    UTF-8 and 8/24-byte boundaries).  The 8-byte-chunk fold runs as
+    UTF-8 and 8/24-byte boundaries)."""
+    return _murmur64_hex_sql(f"hex(encode({tok}))",
+                             f"octet_length(encode({tok}))")
+
+
+def _murmur64_hex_sql(hx: str, ln: str) -> str:
+    """MurmurHash64A(seed=0) over bytes given as a hex-string expression
+    + byte-length expression -> HUGEINT.  The 8-byte-chunk fold runs as
     list_reduce over the chunk list with h0 prepended as the initial
-    accumulator."""
-    hx = f"hex(encode({tok}))"
-    ln = f"octet_length(encode({tok}))"
+    accumulator; hex slicing lets callers hash byte SLICES (DuckDB has
+    no BLOB substr)."""
     h0 = _sql_mul64c(f"CAST({ln} AS HUGEINT)", _MUR_M)  # seed 0: 0^(len*m)
     chunk = _sql_le_bytes(hx, "i * 8", 8)
     k1 = _sql_mul64c("kv", _MUR_M)
@@ -5013,6 +5020,139 @@ def _build_minhash_pairs_sql() -> str:
     """
 
 
+def _sql_chain_pow(col: str, base: int, max_exp_bits: int = 13) -> str:
+    """SELECT j, base^j mod 2^64 AS <col> FROM jser — binary
+    exponentiation as chained conditional multiplies by Python-
+    precomputed base^(2^k) constants (no recursion: a recursive power
+    CTE re-evaluates its sources every round)."""
+    pw, b = [], base
+    for _ in range(max_exp_bits):
+        pw.append(b)
+        b = (b * b) % (1 << 64)
+    inner = "SELECT j, 1::HUGEINT AS a0 FROM jser"
+    for k in range(max_exp_bits):
+        step = _sql_mul64c(f"a{k}", pw[k])
+        inner = (
+            f"SELECT j, CASE WHEN (j // {1 << k}) % 2 = 1 THEN {step} "
+            f"ELSE a{k} END AS a{k + 1} FROM ({inner})"
+        )
+    return f"SELECT j, a{max_exp_bits} AS {col} FROM ({inner})"
+
+
+def _build_cdc_stats_sql() -> str:
+    """Oracle for ops/cdc.chunk_dedup_stats(min_size=16, max_size=512,
+    mean_bits=5): the multiplicative-polynomial window hash (w=16) is
+    re-expressed per byte (HUGEINT window sum mod 2^64 times p^rel via
+    binary-exponentiation power tables), candidate boundaries are
+    H mod 32 == 31, the min/max clamp walk is a recursive CTE stepping
+    through a MATERIALIZED next-candidate-at-or-after table (the walk
+    is memoryless given the last cut, so one lookup per chunk), and
+    chunk hashes are MurmurHash64A over hex byte slices.  Matches the
+    numpy kernel exactly at sf0.001/sf0.01 (docs <= ~600 B; the jser
+    power table covers docs to 8 KiB)."""
+    from kenlm_ray.ops.cdc import _P, _Q
+
+    MIN, MAX, BITS, W = 16, 512, 5, 16
+    term = _sql_mul64v(
+        "(CAST(CAST('0x' || substr(d.hx, b.rel * 2 + 1, 2) AS UBIGINT) "
+        "AS HUGEINT) + 1)",
+        "q",
+    )
+    hmul = _sql_mul64v(f"(w.s % {_SQL_M64})", "p")
+    chash = _murmur64_hex_sql(
+        "substr(d2.hx, ch.s * 2 + 1, (ch.e - ch.s) * 2)", "(ch.e - ch.s)"
+    )
+    return f"""
+        WITH RECURSIVE
+        docs AS MATERIALIZED (
+            SELECT doc_id, hex(encode(text)) AS hx,
+                   octet_length(encode(text)) AS L
+            FROM documents WHERE octet_length(encode(text)) > 0
+        ),
+        jser AS (
+            SELECT unnest(generate_series(0,
+                (SELECT max(L) FROM docs) - 1)) AS j
+        ),
+        qpow AS ({_sql_chain_pow('q', int(_Q))}),
+        ppow AS ({_sql_chain_pow('p', int(_P))}),
+        bytes AS (
+            SELECT doc_id, L, unnest(generate_series(0, L - 1)) AS rel
+            FROM docs
+        ),
+        term AS (
+            SELECT b.doc_id, b.L, b.rel, {term} AS t
+            FROM bytes b
+            JOIN docs d ON d.doc_id = b.doc_id
+            JOIN qpow ON qpow.j = b.rel
+        ),
+        wsum AS (
+            SELECT doc_id, L, rel,
+                   sum(t) OVER (PARTITION BY doc_id ORDER BY rel
+                                ROWS BETWEEN {W - 1} PRECEDING
+                                AND CURRENT ROW) AS s
+            FROM term
+        ),
+        hh AS (
+            SELECT w.doc_id, w.L, w.rel,
+                   CAST({hmul} AS UBIGINT) AS h
+            FROM wsum w JOIN ppow ON ppow.j = w.rel
+            WHERE w.rel >= {W - 1}
+        ),
+        cand AS MATERIALIZED (
+            SELECT doc_id, rel + 1 AS c FROM hh
+            WHERE h % {1 << BITS} = {(1 << BITS) - 1}
+        ),
+        pos AS (
+            SELECT doc_id, L, unnest(generate_series(0, L)) AS pos
+            FROM docs
+        ),
+        nxt AS MATERIALIZED (
+            SELECT p.doc_id, p.L, p.pos,
+                   min(c.c) OVER (PARTITION BY p.doc_id ORDER BY p.pos
+                                  ROWS BETWEEN CURRENT ROW
+                                  AND UNBOUNDED FOLLOWING) AS nc
+            FROM pos p LEFT JOIN cand c
+              ON c.doc_id = p.doc_id AND c.c = p.pos
+        ),
+        walk(doc_id, L, cut) AS (
+            SELECT doc_id, L, 0::BIGINT FROM docs
+            UNION ALL
+            SELECT w.doc_id, w.L,
+                   CASE WHEN n.nc IS NOT NULL AND n.nc - w.cut <= {MAX}
+                            THEN n.nc
+                        WHEN w.L - w.cut > {MAX} THEN w.cut + {MAX}
+                        ELSE w.L END
+            FROM walk w
+            JOIN nxt n ON n.doc_id = w.doc_id
+                      AND n.pos = least(w.cut + {MIN}, w.L)
+            WHERE w.cut < w.L
+        ),
+        chunks AS (
+            SELECT doc_id, cut AS s,
+                   lead(cut) OVER (PARTITION BY doc_id ORDER BY cut) AS e
+            FROM walk
+        ),
+        hashed AS (
+            SELECT ch.doc_id, ch.s, ch.e - ch.s AS n_bytes,
+                   CAST({chash} AS UBIGINT) AS chunk_hash
+            FROM chunks ch JOIN docs d2 USING (doc_id)
+            WHERE ch.e IS NOT NULL
+        ),
+        per_hash AS (
+            SELECT chunk_hash, count(*)::BIGINT AS n_copies,
+                   max(n_bytes)::BIGINT AS n_bytes
+            FROM hashed GROUP BY chunk_hash
+        )
+        SELECT sum(n_copies)::BIGINT AS total_chunks,
+               count(*)::BIGINT AS distinct_chunks,
+               sum(n_copies * n_bytes)::BIGINT AS raw_bytes,
+               sum(n_bytes)::BIGINT AS stored_bytes,
+               sum(n_copies * n_bytes)::DOUBLE
+                   / greatest(sum(n_bytes)::DOUBLE, 1.0) AS dedup_ratio
+        FROM per_hash
+    """
+
+
 def _build_dsir_sql() -> str:
     """Oracle for ops/dsir.dsir_select(k=100, seed=11) over documents
     with target = the lexicographically-first lang: hashed unigram +
@@ -5074,6 +5214,7 @@ def _build_dsir_sql() -> str:
 def oracle_sql() -> dict[str, str]:
     return _oracle_aliases({
         "dsir_selected_docs": _build_dsir_sql(),
+        "chunk_dedup_stats": _build_cdc_stats_sql(),
         "deterministic_sample_orders": f"""
             SELECT o_orderkey, o_totalprice
             FROM {_splitmix_rank_sub(
