@@ -341,9 +341,11 @@ def _q_media_decode_stats(sf_dir):
 
 def _q_diverse_exemplars(sf_dir):
     """Greedy k-center diversity selection over the embeddings table:
-    20 exemplars + covering-radius curve.  Rows-only (the sequential
-    greedy argmax is not SQL-expressible); test_coreset.py gates parity
-    with the numpy reference and partitioning invariance."""
+    20 exemplars + covering-radius curve.  Value-exact SQL oracle
+    (_KCENTER_SQL: recursive CTE carrying the chosen set as list
+    columns, list_inner_product cosine); test_coreset.py additionally
+    gates parity with the numpy reference and partitioning
+    invariance."""
     import pandas as pd
     import ray.data
 
@@ -1840,7 +1842,9 @@ def _q_als_factors(sf_dir):
 def _q_part_walks(sf_dir):
     """Deterministic weighted random-walk corpus over the co-purchase
     graph (ops/graph.random_walks — join-per-step, adjacency never
-    broadcast; rows-only: stochastic output has no SQL twin)."""
+    broadcast).  Value-exact SQL oracle: the splitmix64 counter
+    draw and weighted-cumulative hop picks re-expressed in DuckDB
+    (_build_walks_sql)."""
     from kenlm_ray.ops.analytics import copurchase_lift
     from kenlm_ray.ops.graph import random_walks
 
@@ -5211,8 +5215,227 @@ def _build_dsir_sql() -> str:
     """
 
 
+_SPAN_DEDUP_SQL = r"""
+    WITH docs AS MATERIALIZED (
+        SELECT doc_id, hex(encode(text)) AS hx,
+               octet_length(encode(text)) AS L,
+               length(text) AS n_chars_total
+        FROM documents
+    ),
+    bytes AS MATERIALIZED (
+        SELECT doc_id, rel,
+               CAST('0x' || substr(hx, rel * 2 + 1, 2) AS UBIGINT) AS b
+        FROM (SELECT doc_id, hx,
+                     unnest(generate_series(0, L - 1)) AS rel
+              FROM docs WHERE L > 0)
+    ),
+    flags AS (
+        SELECT doc_id, rel, b,
+               b NOT IN (0, 9, 10, 13, 32) AS is_tok,
+               NOT (b BETWEEN 128 AND 191) AS is_char
+        FROM bytes
+    ),
+    tokb AS (  -- token ordinal (0-based) for every token byte
+        SELECT doc_id, rel, is_char, is_tok,
+               sum(start_flag) OVER (PARTITION BY doc_id ORDER BY rel)
+                   - 1 AS tok_id
+        FROM (
+            SELECT doc_id, rel, is_char, is_tok,
+                   CASE WHEN is_tok AND NOT coalesce(
+                            lag(is_tok) OVER (PARTITION BY doc_id
+                                              ORDER BY rel), false)
+                        THEN 1 ELSE 0 END AS start_flag
+            FROM flags
+        )
+    ),
+    tokpos AS (  -- byte [start, end) of every token
+        SELECT doc_id, tok_id, min(rel) AS sb, max(rel) + 1 AS eb
+        FROM tokb WHERE is_tok GROUP BY doc_id, tok_id
+    ),
+    toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(text, '[\t\n\r ]+'),
+                           x -> x <> '') AS t
+        FROM documents
+    ),
+    grams AS (
+        SELECT doc_id, i, array_to_string(t[i:i+4], ' ') AS g
+        FROM (SELECT doc_id, t,
+                     unnest(generate_series(1, len(t) - 4)) AS i
+              FROM toks WHERE len(t) >= 5)
+    ),
+    dup AS (SELECT g FROM grams GROUP BY g HAVING count(*) >= 2),
+    pos AS (
+        SELECT doc_id, i - 1 AS p
+        FROM grams WHERE g IN (SELECT g FROM dup)
+    ),
+    islands AS (
+        SELECT doc_id, p,
+               sum(brk) OVER (PARTITION BY doc_id ORDER BY p
+                              ROWS UNBOUNDED PRECEDING) AS isl
+        FROM (
+            SELECT doc_id, p,
+                   CASE WHEN p - lag(p) OVER (
+                       PARTITION BY doc_id ORDER BY p
+                   ) >= 5 THEN 1 ELSE 0 END AS brk
+            FROM pos
+        )
+    ),
+    spans AS (  -- token [s, e) of every maximal duplicated span
+        SELECT doc_id, min(p) AS s, max(p) + 5 AS e
+        FROM islands GROUP BY doc_id, isl
+    ),
+    spanb AS (  -- byte [sb, eb) cut for every span (span byte ranges
+                -- are disjoint: islands merge anything closer than L)
+        SELECT sp.doc_id, sp.e - sp.s AS cut_toks, ts.sb, te.eb
+        FROM spans sp
+        JOIN tokpos ts ON ts.doc_id = sp.doc_id AND ts.tok_id = sp.s
+        JOIN tokpos te ON te.doc_id = sp.doc_id AND te.tok_id = sp.e - 1
+    ),
+    cutchars AS (  -- utf8 chars removed = non-continuation bytes cut
+        SELECT s.doc_id, sum(CASE WHEN f.is_char THEN 1 ELSE 0 END) AS cc
+        FROM spanb s JOIN flags f
+          ON f.doc_id = s.doc_id AND f.rel >= s.sb AND f.rel < s.eb
+        GROUP BY s.doc_id
+    ),
+    cuttoks AS (
+        SELECT doc_id, sum(cut_toks)::BIGINT AS n_cut
+        FROM spanb GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(ct.n_cut, 0)::BIGINT AS n_cut_tokens,
+           (d.n_chars_total - coalesce(cc.cc, 0))::BIGINT AS clean_chars
+    FROM docs d
+    LEFT JOIN cuttoks ct ON ct.doc_id = d.doc_id
+    LEFT JOIN cutchars cc ON cc.doc_id = d.doc_id
+"""
+
+
+_KCENTER_SQL = """
+    WITH RECURSIVE
+    en AS MATERIALIZED (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)
+                   / greatest(sqrt(list_inner_product(
+                         list_transform(embedding, y -> CAST(y AS DOUBLE)),
+                         list_transform(embedding, y -> CAST(y AS DOUBLE)))),
+                       1e-30)) AS nv
+        FROM embeddings
+    ),
+    state(it, ids, vecs, ds) AS (
+        SELECT 0,
+               [s.vec_id], [s.nv], [CAST(-1.0 AS DOUBLE)]
+        FROM (SELECT * FROM en ORDER BY vec_id LIMIT 1) s
+        UNION ALL
+        SELECT st.it + 1,
+               list_append(st.ids, p.vec_id),
+               list_append(st.vecs, p.nv),
+               list_append(st.ds, p.dmin)
+        FROM state st, LATERAL (
+            SELECT en.vec_id, en.nv,
+                   1.0 - list_max(list_transform(st.vecs,
+                       c -> list_inner_product(en.nv, c))) AS dmin
+            FROM en
+            WHERE NOT list_contains(st.ids, en.vec_id)
+            ORDER BY dmin DESC, en.vec_id ASC LIMIT 1
+        ) p
+        WHERE st.it < 19 AND p.dmin > 0.0
+    ),
+    last AS (SELECT ids, ds FROM state ORDER BY it DESC LIMIT 1)
+    SELECT CAST(j - 1 AS BIGINT) AS pick_order,
+           ids[j] AS vec_id,
+           CASE WHEN ds[j] < 0 THEN -1.0 ELSE round(ds[j], 9) END
+               AS radius_before
+    FROM last, (SELECT unnest(generate_series(1, 20)) AS j)
+    WHERE j <= len(ids)
+"""
+
+
+def _build_walks_sql() -> str:
+    """Oracle for ops/graph.random_walks over the copurchase_lift
+    top-100 edges (symmetric, weighted, walks_per_node=2, walk_len=4,
+    seed=11): the per-(walk, step) splitmix64 counter draw is
+    re-expressed in SQL, next hops are weighted-cumulative picks (first
+    edge in (u, v) order whose cumulative weight exceeds r*total —
+    integer weights make the cumsums exact, so the comparison matches
+    the numpy searchsorted bit-for-bit up to the measure-zero
+    base+r*total rounding edge)."""
+    GOLD = 0x9E3779B97F4A7C15
+    seed_c = (11 * 0xD1342543DE82EF95) % (1 << 64)
+
+    def mix(x: str) -> str:  # graph._splitmix: add-golden then 2 rounds
+        z0 = f"((({x}) + {GOLD}) % {_SQL_M64})"
+        z1 = _sql_mul64c(_sql_xor(z0, f"({z0}) // {1 << 30}"),
+                         0xBF58476D1CE4E5B9)
+        z2 = _sql_mul64c(_sql_xor(z1, f"({z1}) // {1 << 27}"),
+                         0x94D049BB133111EB)
+        return _sql_xor(z2, f"({z2}) // {1 << 31}")
+
+    def r_expr(step: int) -> str:
+        k = seed_c ^ (step << 40)
+        x = _sql_xor("CAST(p.wid AS HUGEINT)", str(k))
+        return (f"(CAST(CAST({mix(x)} AS UBIGINT) AS DOUBLE) "
+                "/ 18446744073709551616.0)")
+
+    steps_sql, outs = [], ["SELECT wid, 0 AS step, node FROM pos0"]
+    for s in range(1, 5):
+        steps_sql.append(f"""
+            pos{s} AS (
+                SELECT p.wid,
+                       coalesce(min(e.v) FILTER (
+                           WHERE e.cum > {r_expr(s)} * e.total
+                       ), max(e.v)) AS node
+                FROM pos{s - 1} p JOIN ecum e ON e.u = p.node
+                GROUP BY p.wid
+            )""")
+        outs.append(f"SELECT wid, {s} AS step, node FROM pos{s}")
+    return f"""
+        WITH pres AS (
+            SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        ),
+        top AS (
+            SELECT l_partkey, count(*)::BIGINT AS n FROM pres GROUP BY 1
+            ORDER BY n DESC, l_partkey LIMIT 100
+        ),
+        p2 AS (
+            SELECT pr.l_orderkey, pr.l_partkey
+            FROM pres pr JOIN top USING (l_partkey)
+        ),
+        lift_pairs AS (
+            SELECT a.l_partkey AS part_x, b.l_partkey AS part_y,
+                   count(*)::DOUBLE AS w
+            FROM p2 a JOIN p2 b
+              ON a.l_orderkey = b.l_orderkey
+             AND a.l_partkey < b.l_partkey
+            GROUP BY 1, 2
+        ),
+        edges AS (
+            SELECT part_x AS u, part_y AS v, w FROM lift_pairs
+            UNION ALL
+            SELECT part_y, part_x, w FROM lift_pairs
+        ),
+        ecum AS MATERIALIZED (
+            SELECT u, v, w,
+                   sum(w) OVER (PARTITION BY u ORDER BY v) AS cum,
+                   sum(w) OVER (PARTITION BY u) AS total
+            FROM edges
+        ),
+        pos0 AS (
+            SELECT u * 2 + j.j AS wid, u AS node
+            FROM (SELECT DISTINCT u FROM edges),
+                 (SELECT unnest([0, 1]) AS j) j
+        ),{",".join(steps_sql)}
+        SELECT wid::BIGINT AS walk_id, step::BIGINT AS step,
+               node::BIGINT AS node
+        FROM ({" UNION ALL ".join(outs)})
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     return _oracle_aliases({
+        "part_copurchase_walks": _build_walks_sql(),
+        "diverse_doc_exemplars": _KCENTER_SQL,
+        "span_dedup_docs": _SPAN_DEDUP_SQL,
         "dsir_selected_docs": _build_dsir_sql(),
         "chunk_dedup_stats": _build_cdc_stats_sql(),
         "deterministic_sample_orders": f"""
@@ -5244,6 +5467,42 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d LEFT JOIN fp ON d.doc_id = fp.doc_id
         """,
         "minhash_near_dup_pairs": _build_minhash_pairs_sql(),
+        "phrase_filter_trigrams": r"""
+            -- Keep trigrams covered by the phrase table with sentence
+            -- agreement (ops/model_filter._phrase_match).  One phrase
+            -- per sentence here, so a trigram passes for sentence s iff
+            -- it is a 3-token window of that phrase repeated (suffix +
+            -- whole-phrase* + prefix == a window of P·P·P).
+            WITH heads AS (
+                SELECT list_filter(string_split_regex(
+                           coalesce(string_split(text, chr(10))[1], ''),
+                           '[\t\n\r ]+'), x -> x <> '')[1:8] AS ph
+                FROM (SELECT text FROM documents ORDER BY doc_id
+                      LIMIT 200)
+            ),
+            rep AS (
+                SELECT list_concat(list_concat(ph, ph), ph) AS r
+                FROM heads WHERE len(ph) > 0
+            ),
+            keys AS (
+                SELECT DISTINCT r[i] AS w1, r[i+1] AS w2, r[i+2] AS w3
+                FROM rep, (SELECT unnest(generate_series(1, 22)) AS i)
+                WHERE i + 2 <= len(r)
+            ),
+            toks AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(text,
+                                   '[\t\n\r ]+'), x -> x <> '') AS w
+                FROM documents
+            ),
+            tri AS (
+                SELECT w[i] AS w1, w[i+1] AS w2, w[i+2] AS w3,
+                       count(*)::BIGINT AS count
+                FROM toks, unnest(range(1, len(w) - 1)) AS u(i)
+                GROUP BY w1, w2, w3
+            )
+            SELECT tri.* FROM tri JOIN keys USING (w1, w2, w3)
+        """,
         "mixed_corpus_stats": f"""
             SELECT 0::BIGINT AS mix_source, 0::BIGINT AS "copy",
                    count(*)::BIGINT AS n FROM documents
