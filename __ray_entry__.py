@@ -791,6 +791,34 @@ def _q_incremental_dedup(sf_dir):
         shutil.rmtree(state, ignore_errors=True)
 
 
+def _q_incremental_neardup(sf_dir):
+    """Cross-run NEAR-dup (MinHash band state): run 1 = first half of
+    the corpus against empty state; run 2 = second half plus 50 repeats
+    of the first — the repeats (agreement 1.0) and any organic
+    near-dups of run-1 docs must vanish.  Returns kept doc ids."""
+    import shutil
+    import tempfile
+
+    from kenlm_ray.ops.incremental import (
+        incremental_neardup,
+        init_neardup_state,
+    )
+
+    docs = _documents(sf_dir)
+    n = docs.count()
+    half = n // 2
+    first = docs.filter(expr=f"doc_id < {half}")
+    arrival = docs.filter(expr=f"doc_id >= {half} or doc_id < 50")
+    state = tempfile.mkdtemp(prefix="kenlm_ray_incneardup_")
+    try:
+        init_neardup_state(state)
+        incremental_neardup(first, state)
+        kept, _stats = incremental_neardup(arrival, state)
+        return kept.select_columns(["doc_id"]).materialize()
+    finally:
+        shutil.rmtree(state, ignore_errors=True)
+
+
 def _q_lang_length_histogram(sf_dir):
     from kenlm_ray.ops.analytics import lang_length_histogram
 
@@ -4520,6 +4548,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_docs_sample": _q_stratified_docs_sample,
         "mixed_corpus_stats": _q_mixed_corpus_stats,
         "incremental_dedup_kept": _q_incremental_dedup,
+        "incremental_neardup_kept": _q_incremental_neardup,
         "top_quality_docs": _q_top_quality_docs,
         "user_funnel": _q_user_funnel,
         "top_docs_per_lang": _q_top_docs_per_lang,
@@ -4960,14 +4989,11 @@ def _build_simhash_ctes() -> str:
 _SIMHASH_CTES = _build_simhash_ctes()
 
 
-def _build_minhash_pairs_sql() -> str:
-    """Oracle for ops/dedup.minhash_lsh_pairs(jaccard_threshold=0.7):
-    3-gram shingle murmur hashes -> 64 universal-hash minima (the numpy
-    kernel wraps a*s mod 2^64 BEFORE the Mersenne mod — reproduced
-    exactly) -> 16-band/4-row LSH candidates -> full-signature agreement
-    >= threshold.  The banded candidate step is reproduced (not skipped)
-    so band-collision recall matches the engine exactly; a,b come from
-    the same seeded rng (_minhash_params(64, 1)) inlined as VALUES."""
+def _minhash_sig_block() -> str:
+    """Shared CTE block ``th, tri, perms, sig`` — per-doc 64-perm MinHash
+    signatures over 3-gram shingles, matching ops/dedup
+    .minhash_signatures (numpy's mod-2^64 wrap before the Mersenne
+    mod reproduced exactly; a,b from the same seeded rng)."""
     from kenlm_ray.ops.dedup import _MERSENNE, _minhash_params
 
     a, b = _minhash_params(64, seed=1)
@@ -4982,8 +5008,7 @@ def _build_minhash_pairs_sql() -> str:
         f"(({_sql_mul64v('pm.a', 'tri.sm')} + pm.b) % {_SQL_M64}) "
         f"% {_MERSENNE}"
     )
-    return f"""
-        WITH th AS (SELECT * FROM {_sql_token_hashes()}),
+    return f"""th AS (SELECT * FROM {_sql_token_hashes()}),
         tri AS (
             SELECT DISTINCT doc_id,
                    CAST({tri} AS HUGEINT) % {_MERSENNE} AS sm
@@ -4998,7 +5023,56 @@ def _build_minhash_pairs_sql() -> str:
         sig AS (
             SELECT tri.doc_id, pm.p, min({hv}) AS s
             FROM tri, perms pm GROUP BY tri.doc_id, pm.p
+        )"""
+
+
+def _build_incneardup_sql() -> str:
+    """Oracle for the incremental_neardup_kept query: run-1 state = all
+    first-half docs (empty-state run keeps everything by the cross-run
+    contract); an arrival doc is dropped iff it shares a full 4-perm
+    band with some first-half doc AND its 64-perm agreement >= 0.7.
+    String-agg band keys stand in for the engine's seeded uint64 band
+    hash (equal slices <=> equal keys; a hash collision could only ADD
+    a candidate, which the exact agreement verify then rejects)."""
+    return f"""
+        WITH {_minhash_sig_block()},
+        h AS (SELECT count(*) // 2 AS half FROM documents),
+        bandkey AS (
+            SELECT doc_id, p // 4 AS band,
+                   string_agg(s::VARCHAR, ',' ORDER BY p) AS bk
+            FROM sig GROUP BY doc_id, band
         ),
+        cand AS (
+            SELECT DISTINCT n.doc_id AS nid, o.doc_id AS oid
+            FROM bandkey n
+            JOIN bandkey o ON n.band = o.band AND n.bk = o.bk
+            CROSS JOIN h
+            WHERE o.doc_id < h.half
+              AND (n.doc_id >= h.half OR n.doc_id < 50)
+        ),
+        dropped AS (
+            SELECT DISTINCT c.nid
+            FROM cand c
+            JOIN sig sn ON sn.doc_id = c.nid
+            JOIN sig so ON so.doc_id = c.oid AND so.p = sn.p
+            GROUP BY c.nid, c.oid
+            HAVING sum(CASE WHEN sn.s = so.s THEN 1 ELSE 0 END) / 64.0
+                   >= 0.7
+        )
+        SELECT doc_id FROM documents, h
+        WHERE (doc_id >= h.half OR doc_id < 50)
+          AND doc_id NOT IN (SELECT nid FROM dropped)
+    """
+
+
+def _build_minhash_pairs_sql() -> str:
+    """Oracle for ops/dedup.minhash_lsh_pairs(jaccard_threshold=0.7):
+    16-band/4-row LSH candidates over the shared signature block ->
+    full-signature agreement >= threshold.  The banded candidate step
+    is reproduced (not skipped) so band-collision recall matches the
+    engine exactly."""
+    return f"""
+        WITH {_minhash_sig_block()},
         bandkey AS (
             SELECT doc_id, p // 4 AS band,
                    string_agg(s::VARCHAR, ',' ORDER BY p) AS bk
@@ -5467,6 +5541,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d LEFT JOIN fp ON d.doc_id = fp.doc_id
         """,
         "minhash_near_dup_pairs": _build_minhash_pairs_sql(),
+        "incremental_neardup_kept": _build_incneardup_sql(),
         "phrase_filter_trigrams": r"""
             -- Keep trigrams covered by the phrase table with sentence
             -- agreement (ops/model_filter._phrase_match).  One phrase

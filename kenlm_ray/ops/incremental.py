@@ -207,3 +207,297 @@ def incremental_dedup(
         "kept": n_new,
     }
     return kept_docs, stats
+
+
+# ---------------------------------------------------------------------------
+# Incremental (cross-run) NEAR-dup — the MinHash analog of the exact path
+# ---------------------------------------------------------------------------
+
+def init_neardup_state(
+    state_dir: str,
+    *,
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    jaccard_threshold: float = 0.7,
+    seed: int = 1,
+    m_bits: int = 1 << 20,
+    k: int = 4,
+) -> None:
+    """Empty cross-run near-dup state: MinHash parameters + band-bucket
+    shards + signature shards + a Bloom filter over band buckets."""
+    os.makedirs(os.path.join(state_dir, "bands"), exist_ok=True)
+    os.makedirs(os.path.join(state_dir, "sigs"), exist_ok=True)
+    np.save(
+        os.path.join(state_dir, "bloom.npy"),
+        np.zeros(m_bits // 64, dtype=np.uint64),
+    )
+    _write_meta(
+        state_dir,
+        {
+            "num_perm": num_perm,
+            "bands": bands,
+            "shingle_n": shingle_n,
+            "jaccard_threshold": jaccard_threshold,
+            "seed": seed,
+            "m_bits": m_bits,
+            "k": k,
+            "n_shards": 0,
+            "n_docs": 0,
+        },
+    )
+
+
+def _band_keys(sig: np.ndarray, bands: int) -> np.ndarray:
+    """(n, bands) uint64 band-bucket keys — band index seeds the chained
+    hash so bands never cross-collide (the ops/dedup.minhash_lsh_pairs
+    convention)."""
+    from kenlm_ray.functions.hashing import ngram_hash_step
+
+    n, num_perm = sig.shape
+    rows_per_band = num_perm // bands
+    out = np.empty((n, bands), dtype=np.uint64)
+    for bi in range(bands):
+        bh = np.full(n, np.uint64(bi + 1), dtype=np.uint64)
+        seg = sig[:, bi * rows_per_band : (bi + 1) * rows_per_band]
+        for c in range(seg.shape[1]):
+            bh = ngram_hash_step(bh, seg[:, c])
+        out[:, bi] = bh
+    return out
+
+
+def incremental_neardup(
+    new_docs: "ray.data.Dataset",
+    state_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> "tuple[ray.data.Dataset, dict]":
+    """Docs from ``new_docs`` that are NOT near-duplicates of anything
+    kept by earlier runs; appends the survivors' signatures to the
+    state.  Cross-run only by contract — within-arrival near-dups pass
+    through (run ops/dedup.minhash_lsh_pairs + keep-representatives on
+    the arrival first if in-run collapsing is wanted too).
+
+    Scale shape mirrors the exact path: a map-side Bloom gate over the
+    16 band-bucket keys keeps docs whose EVERY band misses out of the
+    join entirely; only bloom-hit band rows meet the committed band
+    shards in one bucket-keyed hash join, and only the colliding
+    (new, old) candidate pairs fetch old signatures for the exact
+    agreement verify.  Signatures cross the wire once per colliding
+    candidate; the corpus never reshuffles.  Docs with no shingles
+    (fewer than ``shingle_n`` tokens) are always kept and leave no
+    state.  kept_docs is MATERIALIZED before any state mutation, and
+    meta.json is replaced atomically (commit point), so a failed or
+    re-run arrival never sees its own docs as 'known'."""
+    from kenlm_ray.ops.dedup import _minhash_params, minhash_signatures
+    from kenlm_ray.ops.join import hash_join
+
+    with open(os.path.join(state_dir, "meta.json")) as f:
+        meta = json.load(f)
+    a, b = _minhash_params(meta["num_perm"], meta["seed"])
+    bands, num_perm = meta["bands"], meta["num_perm"]
+    shingle_n, thr = meta["shingle_n"], meta["jaccard_threshold"]
+    words = np.load(os.path.join(state_dir, "bloom.npy"))
+    words_ref = ray.put(words)
+    kk = meta["k"]
+
+    def to_sig_rows(batch: pa.Table) -> pa.Table:
+        sig, cnt = minhash_signatures(
+            batch, text_col, shingle_n, num_perm, a, b
+        )
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        has = cnt > 0
+        sig, ids = sig[has], ids[has]
+        return pa.table(
+            {
+                id_col: pa.array(ids),
+                "sig": pa.array([s.tobytes() for s in sig], type=pa.binary()),
+            }
+        )
+
+    sigs = new_docs.map_batches(to_sig_rows, batch_format="pyarrow").materialize()
+
+    from kenlm_ray.ops.dedup import _sig_matrix
+
+    def to_band_rows(batch: pa.Table) -> pa.Table:
+        from kenlm_ray.ops.sketch import bloom_probe
+
+        sig = _sig_matrix(batch["sig"], num_perm)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        bk = _band_keys(sig, bands)
+        flat = bk.ravel()
+        hit = bloom_probe(
+            pa.array(flat.view(np.int64)), ray.get(words_ref), k=kk
+        )
+        keep = np.asarray(hit)
+        return pa.table(
+            {
+                "bucket": pa.array(flat[keep]),
+                id_col: pa.array(np.repeat(ids, bands)[keep]),
+            }
+        )
+
+    hit_bands = sigs.map_batches(to_band_rows, batch_format="pyarrow")
+
+    band_files: list = []
+    sig_files: list = []
+    import glob as _glob
+
+    for i in range(meta["n_shards"]):
+        band_files.extend(
+            sorted(_glob.glob(os.path.join(state_dir, "bands", f"shard_{i}", "*.parquet")))
+        )
+        sig_files.extend(
+            sorted(_glob.glob(os.path.join(state_dir, "sigs", f"shard_{i}", "*.parquet")))
+        )
+    if band_files:
+        known_bands = ray.data.read_parquet(band_files)
+        cand = hash_join(
+            hit_bands,
+            known_bands,
+            on=["bucket"],
+            left_cols={"bucket": pa.uint64(), id_col: pa.int64()},
+            right_cols={"bucket": pa.uint64(), "old_id": pa.int64()},
+            how="inner",
+        ).drop_columns(["bucket"])
+        # a (new, old) pair can collide in several bands — dedupe before
+        # the signature fetch bounds the verify join
+        from kenlm_ray.ops.groupagg import group_reduce
+
+        cand = group_reduce(
+            cand, [id_col, "old_id"], [("old_id", "count", "_nb")]
+        ).drop_columns(["_nb"]).materialize()
+    else:
+        cand = ray.data.from_arrow(
+            pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    "old_id": pa.array([], pa.int64()),
+                }
+            )
+        ).materialize()
+
+    dropped_ids = np.empty(0, dtype=np.int64)
+    if cand.count() > 0:
+        old_sigs = ray.data.read_parquet(sig_files) if sig_files else None
+        withold = hash_join(
+            cand,
+            old_sigs.map_batches(
+                lambda t: pa.table({"old_id": t[id_col], "old_sig": t["sig"]}),
+                batch_format="pyarrow",
+            ),
+            on=["old_id"],
+            left_cols={id_col: pa.int64(), "old_id": pa.int64()},
+            right_cols={"old_id": pa.int64(), "old_sig": pa.binary()},
+            how="inner",
+        )
+        pairs = hash_join(
+            withold,
+            sigs.map_batches(
+                lambda t: pa.table({id_col: t[id_col], "new_sig": t["sig"]}),
+                batch_format="pyarrow",
+            ),
+            on=[id_col],
+            left_cols={
+                id_col: pa.int64(),
+                "old_id": pa.int64(),
+                "old_sig": pa.binary(),
+            },
+            right_cols={id_col: pa.int64(), "new_sig": pa.binary()},
+            how="inner",
+        )
+
+        def verify(batch: pa.Table) -> pa.Table:
+            if len(batch) == 0:
+                return pa.table({id_col: pa.array([], pa.int64())})
+            ns = _sig_matrix(batch["new_sig"], num_perm)
+            os_ = _sig_matrix(batch["old_sig"], num_perm)
+            est = (ns == os_).mean(axis=1)
+            ids = batch[id_col].to_numpy(zero_copy_only=False)
+            return pa.table({id_col: pa.array(ids[est >= thr])})
+
+        dropped_ids = np.unique(
+            np.array(
+                [
+                    r[id_col]
+                    for r in pairs.map_batches(
+                        verify, batch_format="pyarrow"
+                    ).take_all()
+                ],
+                dtype=np.int64,
+            )
+        )
+    drop_ref = ray.put(dropped_ids)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        dset = ray.get(drop_ref)
+        if len(dset) == 0:
+            return batch
+        idx = np.searchsorted(dset, ids)
+        dup = (idx < len(dset)) & (dset[np.minimum(idx, len(dset) - 1)] == ids)
+        return batch.filter(pa.array(~dup))
+
+    kept_docs = new_docs.map_batches(keep, batch_format="pyarrow").materialize()
+
+    # ---- commit (same ordering as the exact path) ----
+    kept_sigs = sigs.map_batches(keep, batch_format="pyarrow").materialize()
+
+    def all_band_rows(batch: pa.Table) -> pa.Table:
+        sig = _sig_matrix(batch["sig"], num_perm)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        bk = _band_keys(sig, bands)
+        return pa.table(
+            {
+                "bucket": pa.array(bk.ravel()),
+                "old_id": pa.array(
+                    np.repeat(ids, bands).astype(np.int64)
+                ),
+            }
+        )
+
+    shard = meta["n_shards"]
+    new_bands = kept_sigs.map_batches(
+        all_band_rows, batch_format="pyarrow"
+    ).materialize()
+    for sub, ds_ in (("bands", new_bands), ("sigs", kept_sigs)):
+        path = os.path.join(state_dir, sub, f"shard_{shard}")
+        tmp = path + ".tmp"
+        for stale in (tmp, path):
+            if os.path.exists(stale):
+                shutil.rmtree(stale)
+        os.makedirs(tmp)
+        ds_.write_parquet(tmp)
+        os.rename(tmp, path)
+    from kenlm_ray.ops.sketch import bloom_build
+
+    add = bloom_build(
+        new_bands.map_batches(
+            lambda t: pa.table(
+                {
+                    "bucket": pa.array(
+                        t["bucket"].to_numpy(zero_copy_only=False)
+                        .astype(np.uint64).view(np.int64)
+                    )
+                }
+            ),
+            batch_format="pyarrow",
+        ),
+        "bucket",
+        m_bits=meta["m_bits"],
+        k=kk,
+    )
+    bloom_path = os.path.join(state_dir, "bloom.npy")
+    np.save(bloom_path + ".tmp.npy", words | add)
+    os.replace(bloom_path + ".tmp.npy", bloom_path)
+    n_kept_sigs = kept_sigs.count()
+    meta.update(n_shards=shard + 1, n_docs=meta["n_docs"] + n_kept_sigs)
+    _write_meta(state_dir, meta)
+
+    stats = {
+        "arrival_docs": new_docs.count(),
+        "candidates": cand.count(),
+        "dropped": int(len(dropped_ids)),
+        "kept": kept_docs.count(),
+    }
+    return kept_docs, stats

@@ -1,0 +1,91 @@
+"""Cross-run near-dup (ops/incremental.incremental_neardup): MinHash
+band state across arrivals, Bloom-gated probes, commit-safe ordering."""
+import json
+import os
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray.data
+
+from kenlm_ray.ops.incremental import incremental_neardup, init_neardup_state
+
+
+def _docs(rows):
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": pa.array([r[1] for r in rows], pa.string()),
+            }
+        )
+    )
+
+
+BASE = ("the quick brown fox jumps over the lazy dog and then runs far "
+        "away into the deep dark forest tonight looking for dinner")
+NEAR = BASE.replace("dinner", "supper")  # one-token edit: high jaccard
+FRESH = ("completely different words about database engines and arrow "
+         "batches streaming through a cluster with backpressure enabled")
+
+
+@pytest.fixture()
+def state(tmp_path):
+    d = str(tmp_path / "nd_state")
+    init_neardup_state(d)
+    return d
+
+
+def test_cross_run_near_dups_dropped(ray_session, state):
+    kept1, s1 = incremental_neardup(_docs([(1, BASE), (2, FRESH)]), state)
+    assert sorted(r["doc_id"] for r in kept1.take_all()) == [1, 2]
+    assert s1["dropped"] == 0
+
+    # arrival 2: exact copy of 1, near-copy of 1, genuinely new doc
+    kept2, s2 = incremental_neardup(
+        _docs([(10, BASE), (11, NEAR), (12, "totally novel text about "
+               "unrelated mountains rivers and valleys under the moon "
+               "glowing softly over the quiet landscape at midnight")]),
+        state,
+    )
+    ids = sorted(r["doc_id"] for r in kept2.take_all())
+    assert 10 not in ids          # exact copy dropped
+    assert 11 not in ids          # near copy dropped
+    assert ids == [12]
+    assert s2["dropped"] == 2
+
+
+def test_within_arrival_passthrough(ray_session, state):
+    # contract: within-arrival near-dups are NOT collapsed
+    kept, _ = incremental_neardup(_docs([(1, BASE), (2, BASE)]), state)
+    assert sorted(r["doc_id"] for r in kept.take_all()) == [1, 2]
+
+
+def test_no_shingle_docs_always_kept(ray_session, state):
+    kept1, _ = incremental_neardup(_docs([(1, "hi"), (2, "")]), state)
+    assert sorted(r["doc_id"] for r in kept1.take_all()) == [1, 2]
+    kept2, _ = incremental_neardup(_docs([(3, "hi")]), state)
+    assert [r["doc_id"] for r in kept2.take_all()] == [3]
+
+
+def test_rerun_after_commit_drops_everything(ray_session, state):
+    incremental_neardup(_docs([(1, BASE)]), state)
+    kept, s = incremental_neardup(_docs([(1, BASE)]), state)
+    assert kept.count() == 0 and s["dropped"] == 1
+
+
+def test_state_growth_and_meta(ray_session, state):
+    incremental_neardup(_docs([(1, BASE)]), state)
+    incremental_neardup(_docs([(2, FRESH)]), state)
+    meta = json.load(open(os.path.join(state, "meta.json")))
+    assert meta["n_shards"] == 2 and meta["n_docs"] == 2
+    assert os.path.isdir(os.path.join(state, "bands", "shard_1"))
+    assert os.path.isdir(os.path.join(state, "sigs", "shard_1"))
+
+
+def test_distant_docs_survive(ray_session, state):
+    incremental_neardup(_docs([(1, BASE)]), state)
+    kept, s = incremental_neardup(_docs([(2, FRESH)]), state)
+    assert [r["doc_id"] for r in kept.take_all()] == [2]
+    assert s["dropped"] == 0
