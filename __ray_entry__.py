@@ -791,6 +791,25 @@ def _q_incremental_dedup(sf_dir):
         shutil.rmtree(state, ignore_errors=True)
 
 
+def _q_bitext_margin_pairs(sf_dir):
+    """Margin-criterion bitext mining (Artetxe & Schwenk ratio margin)
+    between the embeddings table's two label halves: each x's
+    best-margin y with margin >= 1.0 (ops/bitext.margin_mine —
+    broadcast smaller side, two streaming passes, coarse-bucket top-k
+    merge)."""
+    import ray.data
+
+    from kenlm_ray.ops.bitext import margin_mine
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding", "label"],
+    )
+    x = ds.filter(expr="label < 5").drop_columns(["label"])
+    y = ds.filter(expr="label >= 5").drop_columns(["label"])
+    return margin_mine(x, y, k=4, threshold=1.0)
+
+
 def _q_incremental_neardup(sf_dir):
     """Cross-run NEAR-dup (MinHash band state): run 1 = first half of
     the corpus against empty state; run 2 = second half plus 50 repeats
@@ -4549,6 +4568,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mixed_corpus_stats": _q_mixed_corpus_stats,
         "incremental_dedup_kept": _q_incremental_dedup,
         "incremental_neardup_kept": _q_incremental_neardup,
+        "bitext_margin_pairs": _q_bitext_margin_pairs,
         "top_quality_docs": _q_top_quality_docs,
         "user_funnel": _q_user_funnel,
         "top_docs_per_lang": _q_top_docs_per_lang,
@@ -5539,6 +5559,52 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id,
                    CAST(COALESCE(fp.f, 0) AS UBIGINT) AS simhash
             FROM documents d LEFT JOIN fp ON d.doc_id = fp.doc_id
+        """,
+        "bitext_margin_pairs": """
+            WITH n AS (
+                SELECT vec_id, label,
+                       list_transform(embedding, v -> CAST(v AS DOUBLE)
+                           / greatest(sqrt(list_inner_product(
+                                 list_transform(embedding,
+                                     w -> CAST(w AS DOUBLE)),
+                                 list_transform(embedding,
+                                     w -> CAST(w AS DOUBLE)))),
+                               1e-30)) AS nv
+                FROM embeddings
+            ),
+            x AS (SELECT * FROM n WHERE label < 5),
+            y AS (SELECT * FROM n WHERE label >= 5),
+            c AS MATERIALIZED (
+                SELECT x.vec_id AS xid, y.vec_id AS yid,
+                       list_inner_product(x.nv, y.nv) AS cos
+                FROM x, y
+            ),
+            xk AS (
+                SELECT xid, avg(cos) AS xm FROM (
+                    SELECT xid, cos, row_number() OVER (
+                        PARTITION BY xid ORDER BY cos DESC) AS rn
+                    FROM c
+                ) WHERE rn <= 4 GROUP BY xid
+            ),
+            yk AS (
+                SELECT yid, avg(cos) AS ym FROM (
+                    SELECT yid, cos, row_number() OVER (
+                        PARTITION BY yid ORDER BY cos DESC) AS rn
+                    FROM c
+                ) WHERE rn <= 4 GROUP BY yid
+            ),
+            m AS (
+                SELECT c.xid, c.yid,
+                       c.cos / (xk.xm / 2.0 + yk.ym / 2.0) AS margin
+                FROM c JOIN xk USING (xid) JOIN yk ON yk.yid = c.yid
+            ),
+            best AS (
+                SELECT xid, yid, margin, row_number() OVER (
+                    PARTITION BY xid ORDER BY margin DESC, yid) AS rn
+                FROM m
+            )
+            SELECT xid AS x_id, yid AS y_id, round(margin, 6) AS margin
+            FROM best WHERE rn = 1 AND margin >= 1.0
         """,
         "minhash_near_dup_pairs": _build_minhash_pairs_sql(),
         "incremental_neardup_kept": _build_incneardup_sql(),

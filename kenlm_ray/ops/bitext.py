@@ -1,0 +1,189 @@
+"""Bitext mining by the ratio-margin criterion (Artetxe & Schwenk 2019,
+"Margin-based Parallel Corpus Mining with Multilingual Sentence
+Embeddings"; the LASER/CCMatrix/CCAligned curation recipe).
+
+For sides X and Y (e.g. two languages' sentence embeddings), the score
+of a candidate pair is cosine similarity NORMALIZED by how crowded each
+point's neighborhood is:
+
+    margin(x, y) = cos(x, y) / (mean_{z in NNk(x, Y)} cos(x, z) / 2
+                              + mean_{z in NNk(y, X)} cos(y, z) / 2)
+
+A pair only wins if it stands out ABOVE its neighborhoods — plain
+cosine thresholds over-fire in dense regions and under-fire in sparse
+ones (the hubness problem the paper addresses).  Mined pairs are each
+x's best-margin y with margin >= threshold.
+
+Distributed shape (the ops/knn.embedding_near_dup family): the SMALLER
+side is L2-normalized, sorted by id (deterministic argmax tie-break)
+and broadcast ONCE via ray.put; two streaming passes over the larger
+side follow.  Pass A computes every y's k-NN mean over X: each X batch
+emits its batch-local top-k cosines per y (k rows per y per batch) and
+a coarse-bucket groupby + lexsort + run-position cut merges them to
+global top-k means — no per-y groups, no full similarity matrix ever
+materialized.  Pass B re-scans X computing each batch's margin row and
+emitting at most one (x, y, margin) per x.  Neither side reshuffles.
+At the scale where neither side fits the object store, pre-bucket both
+sides with the IVF/LSH partitioners in ops/knn and mine per bucket pair
+(documented trade-off: recall bounded by the bucketing).
+
+Engine addition; kpu/kenlm has no analog — this is the embedding-side
+complement of its n-gram filter role for parallel-corpus curation.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data
+
+_SPLIT1 = np.uint64(0xBF58476D1CE4E5B9)
+_SPLIT2 = np.uint64(0x94D049BB133111EB)
+
+
+def _bucket_of(ids: np.ndarray, P: int) -> np.ndarray:
+    with np.errstate(over="ignore"):
+        x = ids.astype(np.uint64)
+        x = (x ^ (x >> np.uint64(30))) * _SPLIT1
+        x = (x ^ (x >> np.uint64(27))) * _SPLIT2
+        x ^= x >> np.uint64(31)
+    return (x % np.uint64(P)).astype(np.int64)
+
+
+def _norm_rows(batch: pa.Table, emb_col: str) -> np.ndarray:
+    m = np.asarray(
+        batch[emb_col].to_numpy(zero_copy_only=False).tolist(),
+        dtype=np.float64,
+    )
+    if m.ndim == 1:  # zero rows
+        return m.reshape(0, 0)
+    return m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
+
+
+def margin_mine(
+    x_ds: "ray.data.Dataset",
+    y_ds: "ray.data.Dataset",
+    *,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 4,
+    threshold: float = 1.0,
+    num_partitions: int = 32,
+) -> "ray.data.Dataset":
+    """(x_id, y_id, margin) — each x's best-margin y with margin >=
+    ``threshold``; margin rounded to 6 decimals.  y_ds is the broadcast
+    side and must fit the object store (see module docstring for the
+    beyond-that path)."""
+    rows = y_ds.select_columns([id_col, emb_col]).take_all()
+    y_ids = np.array([r[id_col] for r in rows], dtype=np.int64)
+    order = np.argsort(y_ids)
+    y_ids = y_ids[order]
+    y_mat = np.asarray(
+        [rows[i][emb_col] for i in order], dtype=np.float64
+    )
+    y_mat = y_mat / np.maximum(
+        np.linalg.norm(y_mat, axis=1, keepdims=True), 1e-30
+    )
+    y_ref = ray.put((y_ids, y_mat))
+    P = num_partitions
+
+    # ---- pass A: per-y global top-k mean over X ----
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        yi, ym = ray.get(y_ref)
+        xm = _norm_rows(batch, emb_col)
+        if xm.shape[0] == 0:
+            return pa.table(
+                {
+                    "yid": pa.array([], pa.int64()),
+                    "cos": pa.array([], pa.float64()),
+                    "__pb": pa.array([], pa.int64()),
+                }
+            )
+        sims = ym @ xm.T  # (n_y, batch)
+        kk = min(k, sims.shape[1])
+        top = -np.partition(-sims, kk - 1, axis=1)[:, :kk]
+        yid = np.repeat(yi, kk)
+        return pa.table(
+            {
+                "yid": pa.array(yid),
+                "cos": pa.array(top.ravel()),
+                "__pb": pa.array(_bucket_of(yid, P)),
+            }
+        )
+
+    def merge_topk(g: pa.Table) -> pa.Table:
+        if len(g) == 0:
+            return pa.table(
+                {"yid": pa.array([], pa.int64()),
+                 "ym": pa.array([], pa.float64())}
+            )
+        yid = g["yid"].to_numpy(zero_copy_only=False)
+        cos = g["cos"].to_numpy(zero_copy_only=False)
+        o = np.lexsort((-cos, yid))
+        yid, cos = yid[o], cos[o]
+        new = np.diff(yid, prepend=yid[0] - 1) != 0
+        pos = np.arange(len(yid)) - np.maximum.accumulate(
+            np.where(new, np.arange(len(yid)), 0)
+        )
+        sel = pos < k
+        yid, cos, pos = yid[sel], cos[sel], pos[sel]
+        starts = np.flatnonzero(np.diff(yid, prepend=yid[0] - 1) != 0)
+        counts = np.diff(np.append(starts, len(yid)))
+        sums = np.add.reduceat(cos, starts)
+        return pa.table(
+            {
+                "yid": pa.array(yid[starts]),
+                "ym": pa.array(sums / counts),
+            }
+        )
+
+    ymeans_tbl = (
+        x_ds.map_batches(partial_topk, batch_format="pyarrow")
+        .groupby("__pb")
+        .map_groups(
+            lambda g: merge_topk(g.drop_columns(["__pb"])),
+            batch_format="pyarrow",
+        )
+        .take_all()
+    )
+    ym_ids = np.array([r["yid"] for r in ymeans_tbl], dtype=np.int64)
+    ym_vals = np.array([r["ym"] for r in ymeans_tbl], dtype=np.float64)
+    o = np.argsort(ym_ids)
+    ym_ref = ray.put((ym_ids[o], ym_vals[o]))
+
+    # ---- pass B: per-x margins against the broadcast side ----
+    def mine(batch: pa.Table) -> pa.Table:
+        yi, ymat = ray.get(y_ref)
+        myi, myv = ray.get(ym_ref)
+        xm = _norm_rows(batch, emb_col)
+        empty = pa.table(
+            {
+                "x_id": pa.array([], pa.int64()),
+                "y_id": pa.array([], pa.int64()),
+                "margin": pa.array([], pa.float64()),
+            }
+        )
+        if xm.shape[0] == 0 or len(yi) == 0:
+            return empty
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        sims = xm @ ymat.T  # (batch, n_y)
+        kk = min(k, sims.shape[1])
+        xmean = -np.partition(-sims, kk - 1, axis=1)[:, :kk].mean(axis=1)
+        # align per-y means to the broadcast y order
+        idx = np.searchsorted(myi, yi)
+        ymean = myv[idx]
+        margins = sims / (xmean[:, None] / 2.0 + ymean[None, :] / 2.0)
+        j = np.argmax(margins, axis=1)  # first max = lowest y id (sorted)
+        best = margins[np.arange(len(ids)), j]
+        keep = best >= threshold
+        return pa.table(
+            {
+                "x_id": pa.array(ids[keep]),
+                "y_id": pa.array(yi[j[keep]]),
+                "margin": pa.array(np.round(best[keep], 6)),
+            }
+        )
+
+    return x_ds.map_batches(mine, batch_format="pyarrow")

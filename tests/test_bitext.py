@@ -1,0 +1,94 @@
+"""ops/bitext.margin_mine — ratio-margin bitext mining parity vs a
+numpy brute-force reference, planted-pair recovery, and partitioning
+invariance."""
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray.data
+
+from kenlm_ray.ops.bitext import margin_mine
+
+
+def _brute(x_ids, x, y_ids, y, k=4, threshold=1.0):
+    xn = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-30)
+    yn = y / np.maximum(np.linalg.norm(y, axis=1, keepdims=True), 1e-30)
+    o = np.argsort(y_ids)
+    y_ids, yn = y_ids[o], yn[o]
+    sims = xn @ yn.T
+    kk = min(k, sims.shape[1])
+    xm = -np.partition(-sims, kk - 1, axis=1)[:, :kk].mean(axis=1)
+    ym = -np.partition(-sims.T, kk - 1, axis=1)[:, :kk].mean(axis=1)
+    margins = sims / (xm[:, None] / 2 + ym[None, :] / 2)
+    j = np.argmax(margins, axis=1)
+    best = margins[np.arange(len(x_ids)), j]
+    keep = best >= threshold
+    return {
+        (int(a), int(b)): round(float(m), 6)
+        for a, b, m in zip(x_ids[keep], y_ids[j[keep]], best[keep])
+    }
+
+
+def _mk(ids, mat):
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(ids.astype(np.int64)),
+                "embedding": pa.array(
+                    [r.tolist() for r in mat], pa.list_(pa.float64())
+                ),
+            }
+        )
+    )
+
+
+@pytest.fixture(scope="module")
+def data():
+    rng = np.random.default_rng(5)
+    x = rng.normal(size=(60, 16))
+    y = rng.normal(size=(50, 16))
+    # plant three translation pairs: y close to x
+    for xi, yi in ((3, 7), (10, 20), (41, 44)):
+        y[yi] = x[xi] + rng.normal(scale=0.01, size=16)
+    return (np.arange(60), x, np.arange(100, 150), y)
+
+
+def test_matches_brute_force(ray_session, data):
+    x_ids, x, y_ids, y = data
+    got = {
+        (r["x_id"], r["y_id"]): r["margin"]
+        for r in margin_mine(_mk(x_ids, x), _mk(y_ids, y)).take_all()
+    }
+    want = _brute(x_ids, x, y_ids, y)
+    assert set(got) == set(want)
+    for k2 in want:
+        assert got[k2] == pytest.approx(want[k2], abs=2e-6)
+
+
+def test_planted_pairs_mined(ray_session, data):
+    x_ids, x, y_ids, y = data
+    got = {
+        (r["x_id"], r["y_id"])
+        for r in margin_mine(_mk(x_ids, x), _mk(y_ids, y)).take_all()
+    }
+    for xi, yi in ((3, 107), (10, 120), (41, 144)):
+        assert (xi, yi) in got
+
+
+def test_partitioning_invariance(ray_session, data):
+    x_ids, x, y_ids, y = data
+    a = margin_mine(_mk(x_ids, x), _mk(y_ids, y)).take_all()
+    b = margin_mine(
+        _mk(x_ids, x).repartition(7), _mk(y_ids, y).repartition(3)
+    ).take_all()
+    key = lambda rows: sorted((r["x_id"], r["y_id"], r["margin"])
+                              for r in rows)
+    assert key(a) == key(b)
+
+
+def test_threshold_filters(ray_session, data):
+    x_ids, x, y_ids, y = data
+    hi = margin_mine(_mk(x_ids, x), _mk(y_ids, y), threshold=1.3).take_all()
+    lo = margin_mine(_mk(x_ids, x), _mk(y_ids, y), threshold=1.0).take_all()
+    assert len(hi) < len(lo)
+    assert all(r["margin"] >= 1.3 for r in hi)
