@@ -791,6 +791,51 @@ def _q_incremental_dedup(sf_dir):
         shutil.rmtree(state, ignore_errors=True)
 
 
+#: doc_id%4 -> deterministic card-scan injection (shared with the SQL
+#: oracle): valid Visa test number / Luhn-broken / valid MC test number
+#: plus a too-short run / nothing.
+_CARD_TAILS = [
+    "\ncard 4111 1111 1111 1111 end",
+    "\ncard 4111 1111 1111 1112 end",
+    "\ncard 5500-0000-0000-0004 and 1234 5678 end",
+    "",
+]
+
+
+def _q_doc_card_scan(sf_dir):
+    """Luhn-validated payment-card scan (ops/secrets.card_scan):
+    deterministic card strings (valid / checksum-broken / too-short)
+    are appended per doc_id%4 in BOTH the Ray query and the SQL oracle,
+    like doc_secret_scan — the corpus itself is card-free word salad."""
+    import pyarrow as pa
+    import ray.data
+
+    from kenlm_ray.ops.secrets import card_scan
+
+    def inject(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        tails = [_CARD_TAILS[int(i) % 4] for i in ids]
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "text": pc.binary_join_element_wise(
+                    batch["text"], pa.array(tails, pa.string()), ""
+                ),
+            }
+        )
+
+    return (
+        _documents(sf_dir)
+        .map_batches(inject, batch_format="pyarrow")
+        .map_batches(
+            lambda b: card_scan(b, text_col="text"),
+            batch_format="pyarrow",
+        )
+    )
+
+
 def _q_bitext_margin_pairs(sf_dir):
     """Margin-criterion bitext mining (Artetxe & Schwenk ratio margin)
     between the embeddings table's two label halves: each x's
@@ -4569,6 +4614,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "incremental_dedup_kept": _q_incremental_dedup,
         "incremental_neardup_kept": _q_incremental_neardup,
         "bitext_margin_pairs": _q_bitext_margin_pairs,
+        "doc_card_scan": _q_doc_card_scan,
         "top_quality_docs": _q_top_quality_docs,
         "user_funnel": _q_user_funnel,
         "top_docs_per_lang": _q_top_docs_per_lang,
@@ -5605,6 +5651,49 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT xid AS x_id, yid AS y_id, round(margin, 6) AS margin
             FROM best WHERE rn = 1 AND margin >= 1.0
+        """,
+        "doc_card_scan": f"""
+            WITH m AS (
+                SELECT doc_id,
+                       text || CASE doc_id % 4
+                           WHEN 0 THEN '{_CARD_TAILS[0]}'
+                           WHEN 1 THEN '{_CARD_TAILS[1]}'
+                           WHEN 2 THEN '{_CARD_TAILS[2]}'
+                           ELSE '' END AS t
+                FROM documents
+            ),
+            runs AS (
+                SELECT doc_id,
+                       unnest(regexp_extract_all(t,
+                           '[0-9][0-9 -]*[0-9]')) AS r
+                FROM m
+            ),
+            cand AS (
+                SELECT doc_id, r
+                FROM runs
+                WHERE length(regexp_replace(r, '[^0-9]', '', 'g'))
+                      BETWEEN 13 AND 19
+            ),
+            luhn AS (
+                SELECT doc_id,
+                       (list_sum(list_transform(list_reverse(
+                            list_transform(regexp_extract_all(r, '[0-9]'),
+                                           x -> CAST(x AS INT))),
+                            (d, i) -> CASE WHEN i % 2 = 0 THEN
+                                CASE WHEN d * 2 > 9 THEN d * 2 - 9
+                                     ELSE d * 2 END
+                                ELSE d END)) % 10 = 0) AS v
+                FROM cand
+            ),
+            agg AS (
+                SELECT doc_id, count(*)::BIGINT AS nc,
+                       sum(CASE WHEN v THEN 1 ELSE 0 END)::BIGINT AS nv
+                FROM luhn GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   coalesce(agg.nc, 0)::BIGINT AS n_card_candidates,
+                   coalesce(agg.nv, 0)::BIGINT AS n_luhn_valid
+            FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
         """,
         "minhash_near_dup_pairs": _build_minhash_pairs_sql(),
         "incremental_neardup_kept": _build_incneardup_sql(),

@@ -96,3 +96,86 @@ def secret_scan_stage(*, text_col: str = "content", min_len: int = 20,
         return out
 
     return fn
+
+
+# ---------------------------------------------------------------------------
+# Luhn-validated payment-card scan
+# ---------------------------------------------------------------------------
+
+def _luhn_valid(digit_mat: np.ndarray, lens: np.ndarray) -> np.ndarray:
+    """Vectorized Luhn checksum over a right-aligned digit matrix.
+
+    ``digit_mat`` (n, w) holds each candidate's digits LEFT-aligned with
+    -1 padding; ``lens`` the digit counts.  Doubling applies to every
+    2nd digit from the RIGHT (positions len-2, len-4, ... 0-based from
+    the left)."""
+    n, w = digit_mat.shape
+    if n == 0:
+        return np.zeros(0, dtype=bool)
+    cols = np.arange(w)
+    from_right = lens[:, None] - 1 - cols[None, :]  # 0 = rightmost
+    valid = from_right >= 0
+    d = np.where(valid, digit_mat, 0)
+    doubled = np.where((from_right % 2 == 1) & valid, d * 2, d)
+    doubled = np.where(doubled > 9, doubled - 9, doubled)
+    return doubled.sum(axis=1) % 10 == 0
+
+
+def card_scan(batch: pa.Table, *, text_col: str = "text",
+              id_col: str = "doc_id") -> pa.Table:
+    """Per-doc payment-card counters: candidate runs (maximal
+    ``[0-9][0-9 -]*[0-9]`` runs carrying 13-19 digits — the RE2-greedy
+    semantics the SQL oracle mirrors with regexp_extract_all) and how
+    many pass the Luhn checksum.  Bare digit-run regexes over code
+    corpora fire on timestamps/hashes constantly; the checksum is what
+    separates a card number from noise.  Detection is one byte-class
+    pass over the batch's flat string buffer (no per-row regex), and
+    only the rare digit runs pay the per-candidate work."""
+    from kenlm_ray.functions.tokenize import _string_buffers
+
+    col = batch[text_col]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    offsets, data = _string_buffers(col)
+    base = int(offsets[0]) if len(offsets) else 0
+    view = data[base:int(offsets[-1])] if len(offsets) else data[:0]
+    n_docs = len(batch)
+    n_cand = np.zeros(n_docs, dtype=np.int64)
+    n_valid = np.zeros(n_docs, dtype=np.int64)
+    if len(view):
+        is_digit = (view >= 48) & (view <= 57)
+        allowed = is_digit | (view == 32) | (view == 45)
+        # force run breaks at document boundaries
+        doc_starts = (offsets[:-1] - base).astype(np.int64)
+        brk = np.zeros(len(view) + 1, dtype=bool)
+        brk[doc_starts[doc_starts < len(view)]] = True
+        a = allowed.copy()
+        run_start = np.flatnonzero(
+            a & (~np.concatenate([[False], a[:-1]]) | brk[: len(view)])
+        )
+        a_end = np.flatnonzero(
+            a & (~np.concatenate([a[1:], [False]]) | brk[1:])
+        )
+        doc_of = np.searchsorted(doc_starts, run_start, side="right") - 1
+        # vectorized digit-count gate BEFORE any per-run work: allowed
+        # runs include every whitespace gap, so candidates must be
+        # filtered by cumsum arithmetic, not a run loop
+        dcs = np.concatenate([[0], np.cumsum(is_digit.astype(np.int64))])
+        ndig = dcs[a_end + 1] - dcs[run_start]
+        sel = (ndig >= 13) & (ndig <= 19)
+        for s, e2, d in zip(run_start[sel], a_end[sel] + 1, doc_of[sel]):
+            seg = view[s:e2]
+            digs = np.flatnonzero((seg >= 48) & (seg <= 57))
+            n_cand[d] += 1
+            dd = (seg[digs] - 48).astype(np.int64)
+            mat = np.full((1, len(dd)), -1, dtype=np.int64)
+            mat[0, : len(dd)] = dd
+            if _luhn_valid(mat, np.array([len(dd)]))[0]:
+                n_valid[d] += 1
+    return pa.table(
+        {
+            id_col: batch[id_col],
+            "n_card_candidates": pa.array(n_cand),
+            "n_luhn_valid": pa.array(n_valid),
+        }
+    )

@@ -1,0 +1,66 @@
+"""ops/secrets.card_scan — Luhn-validated payment-card counters."""
+import numpy as np
+import pyarrow as pa
+
+from kenlm_ray.ops.secrets import _luhn_valid, card_scan
+
+
+def _scan(texts):
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    out = card_scan(t, text_col="text")
+    return (
+        out["n_card_candidates"].to_pylist(),
+        out["n_luhn_valid"].to_pylist(),
+    )
+
+
+def test_known_numbers():
+    nc, nv = _scan(
+        [
+            "pay with 4111 1111 1111 1111 now",     # valid visa
+            "pay with 4111 1111 1111 1112 now",     # checksum broken
+            "amex 3782 822463 10005 ok",            # valid 15-digit
+            "code 1234 5678 only",                  # 8 digits: no cand
+            "id 12345678901234567890x",             # 20 digits: no cand
+            "no digits at all",
+            "two: 4111-1111-1111-1111 and 5500-0000-0000-0004",
+        ]
+    )
+    # ' and ' contains letters, so the last doc's two cards are two runs
+    assert nc == [1, 1, 1, 0, 0, 0, 2]
+    assert nv == [1, 0, 1, 0, 0, 0, 2]
+
+
+def test_two_separate_cards():
+    nc, nv = _scan(["a 4111-1111-1111-1111 x 5500-0000-0000-0004 b"])
+    assert nc == [2] and nv == [2]
+
+
+def test_adjacent_cards_merge_and_disqualify():
+    # space-separated cards merge into one 32-digit run: not a candidate
+    nc, nv = _scan(["4111 1111 1111 1111 5500 0000 0000 0004"])
+    assert nc == [0] and nv == [0]
+
+
+def test_doc_boundary_breaks_runs():
+    # runs never span documents even when buffers are contiguous
+    nc, nv = _scan(["4111 1111 1111", " 1111 something"])
+    assert nc == [0, 0]
+
+
+def test_luhn_vector_kernel():
+    digs = [
+        [4, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1],  # valid
+        [4, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 2],  # invalid
+    ]
+    w = max(len(d) for d in digs)
+    mat = np.full((2, w), -1, dtype=np.int64)
+    for i, d in enumerate(digs):
+        mat[i, : len(d)] = d
+    got = _luhn_valid(mat, np.array([16, 16]))
+    assert got.tolist() == [True, False]
