@@ -836,6 +836,22 @@ def _q_doc_card_scan(sf_dir):
     )
 
 
+def _q_hard_negatives(sf_dir):
+    """Hard-negative mining for contrastive training: each embedding's
+    top-2 most-similar DIFFERENT-label vectors
+    (ops/bitext.hard_negative_mine — broadcast candidates, one matmul
+    + label mask per batch)."""
+    import ray.data
+
+    from kenlm_ray.ops.bitext import hard_negative_mine
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding", "label"],
+    )
+    return hard_negative_mine(ds, k=2)
+
+
 def _q_bitext_margin_pairs(sf_dir):
     """Margin-criterion bitext mining (Artetxe & Schwenk ratio margin)
     between the embeddings table's two label halves: each x's
@@ -4614,6 +4630,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "incremental_dedup_kept": _q_incremental_dedup,
         "incremental_neardup_kept": _q_incremental_neardup,
         "bitext_margin_pairs": _q_bitext_margin_pairs,
+        "hard_negative_pairs": _q_hard_negatives,
         "doc_card_scan": _q_doc_card_scan,
         "top_quality_docs": _q_top_quality_docs,
         "user_funnel": _q_user_funnel,
@@ -5694,6 +5711,32 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(agg.nc, 0)::BIGINT AS n_card_candidates,
                    coalesce(agg.nv, 0)::BIGINT AS n_luhn_valid
             FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
+        """,
+        "hard_negative_pairs": """
+            WITH n AS (
+                SELECT vec_id, label,
+                       list_transform(embedding, v -> CAST(v AS DOUBLE)
+                           / greatest(sqrt(list_inner_product(
+                                 list_transform(embedding,
+                                     w -> CAST(w AS DOUBLE)),
+                                 list_transform(embedding,
+                                     w -> CAST(w AS DOUBLE)))),
+                               1e-30)) AS nv
+                FROM embeddings
+            ),
+            c AS (
+                SELECT a.vec_id AS aid, b.vec_id AS nid,
+                       list_inner_product(a.nv, b.nv) AS cos
+                FROM n a JOIN n b ON a.label <> b.label
+            ),
+            r AS (
+                SELECT aid, nid, cos, row_number() OVER (
+                    PARTITION BY aid ORDER BY cos DESC, nid) AS rn
+                FROM c
+            )
+            SELECT aid AS anchor_id, nid AS negative_id,
+                   round(cos, 6) AS cos, rn::BIGINT AS rank
+            FROM r WHERE rn <= 2
         """,
         "minhash_near_dup_pairs": _build_minhash_pairs_sql(),
         "incremental_neardup_kept": _build_incneardup_sql(),

@@ -187,3 +187,79 @@ def margin_mine(
         )
 
     return x_ds.map_batches(mine, batch_format="pyarrow")
+
+
+def hard_negative_mine(
+    ds: "ray.data.Dataset",
+    *,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    k: int = 1,
+) -> "ray.data.Dataset":
+    """Hard-negative mining for contrastive training: for every vector,
+    its ``k`` most-similar vectors carrying a DIFFERENT label — the
+    pairs a metric-learning loss gains most from (easy negatives are
+    already far; hard ones define the decision boundary).
+
+    Shape: the (id, label, normalized-vec) table is broadcast once via
+    ``ray.put`` (the knn_brute_force convention — at the scale where it
+    no longer fits, pre-bucket with ops/knn.build_lsh_index and mine
+    within buckets); per batch ONE matmul + a label-mask + argpartition
+    emits k rows per anchor.  Ties break toward the lower candidate id
+    (candidates are sorted by id).  Output: (anchor_id, negative_id,
+    cos, rank) with rank 1-based by similarity."""
+    rows = ds.select_columns([id_col, emb_col, label_col]).take_all()
+    ids = np.array([r[id_col] for r in rows], dtype=np.int64)
+    order = np.argsort(ids)
+    ids = ids[order]
+    labels = np.array([rows[i][label_col] for i in order])
+    mat = np.asarray([rows[i][emb_col] for i in order], dtype=np.float64)
+    mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-30)
+    ref = ray.put((ids, labels, mat))
+
+    def mine(batch: pa.Table) -> pa.Table:
+        cids, clab, cmat = ray.get(ref)
+        xm = _norm_rows(batch, emb_col)
+        empty = pa.table(
+            {
+                "anchor_id": pa.array([], pa.int64()),
+                "negative_id": pa.array([], pa.int64()),
+                "cos": pa.array([], pa.float64()),
+                "rank": pa.array([], pa.int64()),
+            }
+        )
+        if xm.shape[0] == 0:
+            return empty
+        aid = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        alab = batch[label_col].to_numpy(zero_copy_only=False)
+        sims = xm @ cmat.T
+        # mask same-label candidates (and self, which shares its label)
+        sims[alab[:, None] == clab[None, :]] = -np.inf
+        kk = min(k, sims.shape[1])
+        out_a, out_n, out_c, out_r = [], [], [], []
+        # stable top-k: sort by (-cos, candidate index) per anchor
+        part = np.argpartition(-sims, kk - 1, axis=1)[:, : max(kk * 4, kk)]
+        for i in range(len(aid)):
+            cand = part[i]
+            cand = cand[np.isfinite(sims[i, cand])]
+            if len(cand) == 0:
+                continue
+            o = np.lexsort((cand, -sims[i, cand]))[:kk]
+            sel = cand[o]
+            out_a.extend([aid[i]] * len(sel))
+            out_n.extend(cids[sel].tolist())
+            out_c.extend(np.round(sims[i, sel], 6).tolist())
+            out_r.extend(range(1, len(sel) + 1))
+        if not out_a:
+            return empty
+        return pa.table(
+            {
+                "anchor_id": pa.array(out_a, pa.int64()),
+                "negative_id": pa.array(out_n, pa.int64()),
+                "cos": pa.array(out_c, pa.float64()),
+                "rank": pa.array(out_r, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(mine, batch_format="pyarrow")

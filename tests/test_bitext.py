@@ -92,3 +92,67 @@ def test_threshold_filters(ray_session, data):
     lo = margin_mine(_mk(x_ids, x), _mk(y_ids, y), threshold=1.0).take_all()
     assert len(hi) < len(lo)
     assert all(r["margin"] >= 1.3 for r in hi)
+
+
+def test_hard_negative_mine(ray_session):
+    from kenlm_ray.ops.bitext import hard_negative_mine
+
+    rng = np.random.default_rng(9)
+    mat = rng.normal(size=(40, 8))
+    labels = np.arange(40) % 3
+    mat[7] = mat[3] + rng.normal(scale=0.001, size=8)  # labels 1 vs 0
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(np.arange(40, dtype=np.int64)),
+                "embedding": pa.array([r.tolist() for r in mat],
+                                      pa.list_(pa.float64())),
+                "label": pa.array(labels.astype(np.int64)),
+            }
+        )
+    )
+    got = hard_negative_mine(ds, k=2).take_all()
+    per_anchor = {}
+    for r in got:
+        per_anchor.setdefault(r["anchor_id"], []).append(r)
+    # every anchor has exactly k rows, ranked
+    assert all(len(v) == 2 for v in per_anchor.values())
+    assert len(per_anchor) == 40
+    # planted cross-label near pair is each other's top negative
+    assert per_anchor[3][0]["negative_id"] == 7
+    assert per_anchor[7][0]["negative_id"] == 3
+    # negatives never share the anchor's label (and never self)
+    for r in got:
+        assert labels[r["anchor_id"]] != labels[r["negative_id"]]
+    # brute-force parity on ranks and ids
+    nm = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = nm @ nm.T
+    for a in range(40):
+        cand = np.flatnonzero(labels != labels[a])
+        order = cand[np.lexsort((cand, -sims[a, cand]))][:2]
+        assert [r["negative_id"] for r in sorted(
+            per_anchor[a], key=lambda x: x["rank"])] == order.tolist()
+
+
+def test_hard_negative_partition_invariance(ray_session):
+    from kenlm_ray.ops.bitext import hard_negative_mine
+
+    rng = np.random.default_rng(10)
+    mat = rng.normal(size=(30, 8))
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(np.arange(30, dtype=np.int64)),
+            "embedding": pa.array([r.tolist() for r in mat],
+                                  pa.list_(pa.float64())),
+            "label": pa.array((np.arange(30) % 2).astype(np.int64)),
+        }
+    )
+    key = lambda rows: sorted(
+        (r["anchor_id"], r["rank"], r["negative_id"], r["cos"])
+        for r in rows
+    )
+    a = hard_negative_mine(ray.data.from_arrow(tbl), k=3).take_all()
+    b = hard_negative_mine(
+        ray.data.from_arrow(tbl).repartition(6), k=3
+    ).take_all()
+    assert key(a) == key(b)
