@@ -116,54 +116,86 @@ def build_vocab(
 
     def partial(batch: pa.Table) -> pa.Table:
         stream = tokenize_column(batch[text_col])
-        # empty batches flow through the same group_by so every block has
-        # the post-aggregate schema ("c_sum") — a mixed ("c" vs "c_sum")
-        # schema kills the downstream aggregate
-        t = pa.table(
+        if stream.n_tokens == 0:
+            return pa.table(
+                {
+                    "w": pa.array([], type=pa.string()),
+                    "c_sum": pa.array([], type=pa.int64()),
+                }
+            )
+        # group by the memoized token HASH (argsort + run detection)
+        # instead of an Arrow string group_by — the string hash pass was
+        # build_vocab's hot spot, and only each batch's DISTINCT tokens
+        # get their bytes materialized here.  Batch-local murmur
+        # collisions merge words, matching the module's global
+        # collision-raise contract below.
+        h = stream.hashes()
+        order = np.argsort(h, kind="stable")
+        hs = h[order]
+        run = np.flatnonzero(np.concatenate([[True], hs[1:] != hs[:-1]]))
+        counts = np.diff(np.append(run, len(hs)))
+        rep = order[run]  # first occurrence of each distinct hash
+        s = stream.starts[rep]
+        lens = stream.ends[rep] - s
+        offsets = np.zeros(len(rep) + 1, dtype=np.int32)
+        np.cumsum(lens, out=offsets[1:])
+        total = int(offsets[-1])
+        flat = np.empty(total, dtype=np.uint8)
+        if total:
+            pos = np.repeat(s, lens) + (
+                np.arange(total) - np.repeat(offsets[:-1], lens)
+            )
+            flat[:] = stream.data[pos]
+        w = pa.StringArray.from_buffers(
+            len(rep), pa.py_buffer(offsets.tobytes()),
+            pa.py_buffer(flat.tobytes()),
+        )
+        return pa.table(
             {
-                "w": stream.to_arrow() if stream.n_tokens else pa.array([], type=pa.string()),
-                "c": pa.array(np.ones(stream.n_tokens, dtype=np.int64)),
+                "h": pa.array(hs[run]),
+                "w": w,
+                "c_sum": pa.array(counts.astype(np.int64)),
             }
         )
-        return t.group_by("w").aggregate([("c", "sum")])
 
     from kenlm_ray.ops.groupagg import group_reduce
 
     # vocab-type cardinality is data-sized: coarse-bucket reduce (see
-    # ops/groupagg.py), never one aggregate group per distinct word
+    # ops/groupagg.py), never one aggregate group per distinct word.
+    # The exchange is keyed by the u64 token murmur (the SAME hash the
+    # VocabMap looks words up by), not the string — fixed-width
+    # aggregate keys beat variable-length strings at millions of types,
+    # and the driver inherits the hashes instead of re-hashing the
+    # whole vocab.  (Measured at 2.65M types / 32 cpus: the wall is
+    # dominated by the 4.3M-row exchange itself, which is already the
+    # per-batch-distinct minimum.)
+    # A murmur collision between distinct words merges them here (the
+    # whole id pipeline already requires injectivity on the vocab —
+    # P(collision) ~ |V|^2/2^65, ~1e-7 at 3M types).
     agg = group_reduce(
         ds.map_batches(partial, batch_format="pyarrow"),
-        ["w"],
-        [("c_sum", "sum", "count")],
+        ["h"],
+        [("c_sum", "sum", "count"), ("w", "min", "w")],
     )
     # Arrow end-to-end: the word strings are never converted to Python
-    # objects — filter/sort/concat run on Arrow buffers and the hash
-    # reads the UTF-8 data buffer directly (same kernel the tokenizer
-    # uses), so the driver's cost per type is word bytes + offsets, not
-    # a Python str object.
+    # objects — filter/sort/concat run on Arrow buffers, so the
+    # driver's cost per type is word bytes + offsets, not a Python str.
     tables = [t for t in ray.get(agg.to_arrow_refs()) if t.num_rows]
     if tables:
         vt = pa.concat_tables(tables).combine_chunks()
     else:
         vt = pa.table(
-            {"w": pa.array([], type=pa.string()),
-             "count": pa.array([], type=pa.int64())}
+            {"h": pa.array([], type=pa.uint64()),
+             "count": pa.array([], type=pa.int64()),
+             "w": pa.array([], type=pa.string())}
         )
     keep = pc.and_(
         pc.greater_equal(vt["count"], pa.scalar(min_count, type=pa.int64())),
         pc.invert(pc.is_in(vt["w"], value_set=pa.array([UNK, BOS, EOS]))),
     )
-    rest = vt.filter(keep)["w"].combine_chunks().cast(pa.string())
-    from kenlm_ray.functions.hashing import murmur64_stream
-    from kenlm_ray.functions.tokenize import _string_buffers
-
-    if len(rest):
-        offsets, data = _string_buffers(rest)
-        rest_hashes = murmur64_stream(
-            data, offsets[:-1], offsets[1:] - offsets[:-1]
-        )
-    else:
-        rest_hashes = np.empty(0, dtype=np.uint64)
+    kept = vt.filter(keep)
+    rest = kept["w"].combine_chunks().cast(pa.string())
+    rest_hashes = kept["h"].to_numpy(zero_copy_only=False).astype(np.uint64)
     order = np.argsort(rest_hashes, kind="stable")
     words = pa.concat_arrays(
         [pa.array([UNK, BOS, EOS], type=pa.string()),
