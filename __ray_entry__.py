@@ -2929,11 +2929,24 @@ def _q_supplier_approx_distinct(sf_dir):
 
     from kenlm_ray.ops.sketch import grouped_hll_distinct
 
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
     ds = ray.data.read_parquet(
         os.path.join(sf_dir, "lineitem.parquet"),
         columns=["l_suppkey", "l_partkey"],
     )
-    return grouped_hll_distinct(ds, "l_suppkey", "l_partkey", p=10)
+    # round to 3 decimals so summation-order ulps cannot flip the
+    # value-exact oracle compare (the sketch itself is deterministic)
+    return grouped_hll_distinct(ds, "l_suppkey", "l_partkey", p=10).map_batches(
+        lambda t: pa.table(
+            {
+                "l_suppkey": t["l_suppkey"],
+                "approx_distinct": pc.round(t["approx_distinct"], 3),
+            }
+        ),
+        batch_format="pyarrow",
+    )
 
 
 def _q_deterministic_sample(sf_dir):
@@ -2949,6 +2962,12 @@ def _q_deterministic_sample(sf_dir):
 
 
 def _q_approx_distinct(sf_dir):
+    """HyperLogLog distinct-customer estimate.  The sketch is fully
+    deterministic (mix64 hash, per-register byte-max — order- and
+    partitioning-invariant), so the SQL oracle reproduces the registers
+    and the estimator exactly; both sides round to 3 decimals so
+    summation-order ulps cannot flip the compare."""
+    import pandas as pd
     import ray.data
 
     from kenlm_ray.ops.sketch import hll_distinct
@@ -2956,7 +2975,8 @@ def _q_approx_distinct(sf_dir):
     ds = ray.data.read_parquet(
         os.path.join(sf_dir, "orders.parquet"), columns=["o_custkey"]
     )
-    return hll_distinct(ds, "o_custkey")
+    est = hll_distinct(ds, "o_custkey").take_all()[0]["approx_distinct"]
+    return pd.DataFrame([{"approx_distinct": round(est, 3)}])
 
 
 def _q_approx_quantiles(sf_dir):
@@ -5588,8 +5608,74 @@ def _build_walks_sql() -> str:
     """
 
 
+def _build_hll_sql(inner: str, val: str, p: int, *,
+                   group: "str | None" = None,
+                   out: str = "approx_distinct") -> str:
+    """Oracle builder for the HyperLogLog queries: the sketch is a pure
+    function of the value set (mix64 hash -> register byte-max), so the
+    registers, the raw estimator and the linear-counting branch are all
+    reproduced exactly; exact clz via floor(log2) on 32-bit halves
+    mirrors ops/sketch.hll_partial.  ``group`` adds a per-key variant
+    (grouped_hll_distinct)."""
+    m1, m2 = 0xFF51AFD7ED558CCD, 0xC4CEB9FE1A85EC53
+    m = 1 << p
+    alpha = f"(0.7213 / (1 + 1.079 / {m}.0))"
+    gsel = f"{group}, " if group else ""
+    gby = f"GROUP BY {group}" if group else ""
+    z0 = f"CAST({val} AS HUGEINT)"
+    z1 = _sql_mul64c(_sql_xor(z0, f"({z0}) // {1 << 33}"), m1)
+    z2 = _sql_mul64c(_sql_xor("__z1", f"__z1 // {1 << 33}"), m2)
+    h = _sql_xor("__z2", f"__z2 // {1 << 33}")
+    distinct_cols = f"{gsel}{val}".rstrip(", ")
+    return f"""
+        WITH hx AS (
+            SELECT {gsel}{h} AS h FROM (
+                SELECT {gsel}{z2} AS __z2 FROM (
+                    SELECT {gsel}{z1} AS __z1
+                    FROM (SELECT DISTINCT {distinct_cols} FROM {inner})
+                )
+            )
+        ),
+        rr AS (
+            SELECT {gsel}h // {1 << (64 - p)} AS idx,
+                   ((h % {1 << (64 - p)}) * {m} + {m - 1}) AS rest
+            FROM hx
+        ),
+        rk AS (
+            SELECT {gsel}idx,
+                   CASE WHEN rest // {1 << 32} > 0
+                        THEN 31 - floor(log2((rest // {1 << 32})::DOUBLE))
+                        ELSE 63 - floor(log2(greatest(
+                                 (rest % {1 << 32})::DOUBLE, 1.0)))
+                   END + 1 AS rank
+            FROM rr
+        ),
+        regs AS (SELECT {gsel}idx, max(rank) AS r FROM rk
+                 GROUP BY {gsel}idx),
+        s AS (
+            SELECT {gsel}sum(power(2.0, -r)) AS sp,
+                   count(*)::BIGINT AS present
+            FROM regs {gby}
+        ),
+        est AS (
+            SELECT {gsel}{alpha} * {m}.0 * {m}.0
+                   / (sp + ({m} - present)) AS raw,
+                   {m} - present AS zeros
+            FROM s
+        )
+        SELECT {gsel}round(CASE WHEN raw <= 2.5 * {m} AND zeros > 0
+                     THEN {m}.0 * ln({m}.0 / zeros)
+                     ELSE raw END, 3) AS {out}
+        FROM est
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     return _oracle_aliases({
+        "approx_distinct_custkeys": _build_hll_sql(
+            "orders", "o_custkey", 12),
+        "supplier_approx_distinct_parts": _build_hll_sql(
+            "lineitem", "l_partkey", 10, group="l_suppkey"),
         "part_copurchase_walks": _build_walks_sql(),
         "diverse_doc_exemplars": _KCENTER_SQL,
         "span_dedup_docs": _SPAN_DEDUP_SQL,
