@@ -205,6 +205,10 @@ def run_queries() -> dict[str, float]:
         "doc_html_strip",
         "bm25_top20_docs",
         "doc_code_complexity",
+        "bitext_margin_pairs",
+        "hard_negative_pairs",
+        "doc_card_scan",
+        "chunk_dedup_stats",
     ]
     # best-of-QUERY_ROUNDS with the rounds INTERLEAVED (all queries once,
     # then all again): a co-tenant noise burst lands inside one round and
