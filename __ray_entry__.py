@@ -3157,11 +3157,15 @@ def _q_unigram_rest_costs(sf_dir):
     from kenlm_ray.ngram.estimate import estimate_mkn, rest_costs
 
     result = estimate_mkn(_documents(sf_dir), order=2, num_partitions=8)
-    uni = rest_costs(result, 2)[1]
-    uni = uni.filter(pc.invert(pc.equal(uni["w1"], pa.scalar("<s>"))))
-    return pa.table(
-        {"w1": uni["w1"], "rest": pc.round(uni["rest"], ndigits=6)}
-    )
+    uni = rest_costs(result, 2)[1]  # Dataset since round 4
+
+    def fin(t: "pa.Table") -> "pa.Table":
+        t = t.filter(pc.invert(pc.equal(t["w1"], pa.scalar("<s>"))))
+        return pa.table(
+            {"w1": t["w1"], "rest": pc.round(t["rest"], ndigits=6)}
+        )
+
+    return uni.map_batches(fin, batch_format="pyarrow")
 
 
 def _q_phrase_filter(sf_dir):

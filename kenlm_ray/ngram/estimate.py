@@ -44,7 +44,6 @@ the driver (vocab-sized); all higher orders stay distributed.
 
 from __future__ import annotations
 
-import math
 from dataclasses import dataclass
 
 import numpy as np
@@ -71,6 +70,31 @@ def _wcols(n: int) -> list[str]:
 
 
 @dataclass
+class VocabLookup:
+    """The counting-side slice of a VocabMap: just the (sorted hash, id)
+    arrays — 12 B/type.  This is what `raw_counts*` broadcast to workers;
+    word STRINGS never ride the counting broadcast (they are only needed
+    for the final ARPA projection gather, a separate `ray.put` of the
+    Arrow string array)."""
+
+    lookup_hashes: np.ndarray  # uint64 sorted
+    lookup_ids: np.ndarray  # uint32 aligned with lookup_hashes
+
+    @property
+    def nbytes(self) -> int:
+        return int(self.lookup_hashes.nbytes + self.lookup_ids.nbytes)
+
+    def ids_for_hashes(self, th: np.ndarray) -> np.ndarray:
+        if len(self.lookup_hashes) == 0:
+            return np.zeros(len(th), dtype=np.uint32)
+        idx = np.minimum(
+            np.searchsorted(self.lookup_hashes, th), len(self.lookup_hashes) - 1
+        )
+        found = self.lookup_hashes[idx] == th
+        return np.where(found, self.lookup_ids[idx], np.uint32(UNK_ID))
+
+
+@dataclass
 class VocabMap:
     """Driver-side vocabulary: id-indexed word store + broadcastable
     (sorted hash, id) lookup arrays.  Specials get fixed ids (<unk>=0,
@@ -91,6 +115,10 @@ class VocabMap:
     @property
     def size(self) -> int:
         return len(self.words)
+
+    def lookup(self) -> VocabLookup:
+        """Broadcastable counting slice (hashes + ids, no word bytes)."""
+        return VocabLookup(self.lookup_hashes, self.lookup_ids)
 
     def ids_for_hashes(self, th: np.ndarray) -> np.ndarray:
         if len(self.lookup_hashes) == 0:
@@ -266,7 +294,8 @@ def raw_counts(
     """Phase [1]: raw order-n counts over padded sentences (partial combine
     per batch, then hash-shuffle sum over uint32 id keys)."""
     keys = _icols(n)
-    vocab_ref = ray.put(vocab)
+    # broadcast only the 12 B/type (hash, id) slice — never word bytes
+    vocab_ref = ray.put(vocab.lookup() if isinstance(vocab, VocabMap) else vocab)
 
     def partial(batch: pa.Table) -> pa.Table:
         v = ray.get(vocab_ref)
@@ -303,7 +332,8 @@ def raw_counts_all(
     corpus scans; this makes it exactly 1 after the vocab pass)."""
     keys = _icols(order)
     allkeys = ["n"] + keys
-    vocab_ref = ray.put(vocab)
+    # broadcast only the 12 B/type (hash, id) slice — never word bytes
+    vocab_ref = ray.put(vocab.lookup() if isinstance(vocab, VocabMap) else vocab)
 
     def partial(batch: pa.Table) -> pa.Table:
         v = ray.get(vocab_ref)
@@ -762,21 +792,57 @@ def estimate_mkn(
         ),
         batch_format="pyarrow",
     )
-    # checkpoint the higher-order adjusted-count tables: each feeds
-    # several downstream executions (fused discounts, probs, gammas) and
-    # is small relative to the corpus (distinct grams, not occurrences) —
-    # the sanctioned use of materialize() on reused intermediates.  The
-    # unigram table is vocab-sized and interpolation pulls it to the
-    # driver anyway, so its whole phase (discount stats + initial probs)
-    # runs driver-side in ONE pipeline execution instead of four; the
-    # higher-order discount histograms fuse into one more.
-    adjs = {n: (d.materialize() if n > 1 else d) for n, d in adjs.items()}
-    uni_df = adjs[1].to_pandas()
-    uni_adj = uni_df["adjusted"].to_numpy().astype(np.int64)
+    # checkpoint EVERY order's adjusted-count table: each feeds several
+    # downstream executions (discount histograms, probs, gammas, the
+    # unigram scalar pass) and is small relative to the corpus (distinct
+    # grams, not occurrences) — the sanctioned use of materialize() on
+    # reused intermediates.  The unigram phase below stays DISTRIBUTED:
+    # the driver only ever sees a fixed set of scalars (round-4 fix of
+    # the O(vocab) to_pandas that made MKN the one `weak` scale mark).
+    adjs = {n: d.materialize() for n, d in adjs.items()}
+    has_prune1 = "pruned" in adjs[1].schema().names
+
+    # ONE fixed-width partials pass over the unigram table computes every
+    # scalar the phase needs (the per-row discount is a pure function of
+    # the adjusted-count bucket, so Σdisc is linear in the bucket counts):
+    #   t1..t4       count-of-counts over ALL rows (StatCollector,
+    #                adjust_counts.cc:76-88 — pruned rows included)
+    #   denom        Σ adjusted over ALL rows (initial_probabilities.cc:
+    #                159-190: the denominator includes pruned grams)
+    #   pruned_adj   Σ adjusted over pruned rows (their mass joins gamma)
+    #   k1,k2,k3p    unpruned row counts by discount bucket (1, 2, >=3)
+    #   n_kept       surviving distinct unigrams
+    #   unk/eos_kept survivor-membership flags for the vocab-size V
+    def uni_partials(batch: pa.Table) -> pa.Table:
+        adj = batch["adjusted"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if has_prune1:
+            pr = batch["pruned"].to_numpy(zero_copy_only=False).astype(bool)
+        else:
+            pr = np.zeros(len(adj), dtype=bool)
+        ids = batch["i1"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ka = adj[~pr]
+        vals = {
+            "t1": (adj == 1).sum(), "t2": (adj == 2).sum(),
+            "t3": (adj == 3).sum(), "t4": (adj == 4).sum(),
+            "denom": adj.sum(), "pruned_adj": adj[pr].sum(),
+            "k1": (ka == 1).sum(), "k2": (ka == 2).sum(),
+            "k3p": (ka >= 3).sum(), "n_kept": (~pr).sum(),
+            "unk_kept": ((ids == UNK_ID) & ~pr).sum(),
+            "eos_kept": ((ids == EOS_ID) & ~pr).sum(),
+        }
+        return pa.table(
+            {k: pa.array([int(v)], type=pa.int64()) for k, v in vals.items()}
+        )
+
+    s = (
+        adjs[1]
+        .map_batches(uni_partials, batch_format="pyarrow")
+        .to_pandas()  # one row per block — O(num_blocks), never O(vocab)
+        .sum()
+    )
     discounts = {
         1: _chen_goodman_discounts(
-            {j: int((uni_adj == j).sum()) for j in (1, 2, 3, 4)},
-            discount_fallback,
+            {j: int(s[f"t{j}"]) for j in (1, 2, 3, 4)}, discount_fallback
         )
     }
     if order > 1:
@@ -789,20 +855,17 @@ def estimate_mkn(
             )
         )
 
-    # order-1 initial probs, driver-side (initial_probs ctx-less branch):
-    # the denominator sums adjusted counts of ALL rows incl. pruned; a
-    # pruned gram's discount is its whole adjusted count (mass joins
-    # gamma) and its p̂ row is dropped
-    disc1 = _apply_discount(uni_adj, discounts[1])
-    pruned1 = (
-        uni_df["pruned"].to_numpy().astype(bool)
-        if "pruned" in uni_df.columns
-        else np.zeros(len(uni_df), dtype=bool)
+    # order-1 initial probs + interpolation, scalar algebra only:
+    #   Σdisc = k1·D1 + k2·D2 + k3p·D3 + pruned_adj   (γ = Σdisc/denom)
+    #   Σp̂   = (denom − Σdisc)/denom = 1 − γ
+    D1 = discounts[1]
+    denom1 = float(s["denom"])
+    disc_total = (
+        float(s["k1"]) * D1[0] + float(s["k2"]) * D1[1]
+        + float(s["k3p"]) * D1[2] + float(s["pruned_adj"])
     )
-    disc1 = np.where(pruned1, uni_adj.astype(np.float64), disc1)
-    denom1 = float(uni_adj.sum())
-    uni_gamma = float(disc1.sum()) / denom1 if denom1 else 1.0
-    keep1 = ~pruned1
+    uni_gamma = disc_total / denom1 if denom1 else 1.0
+    sum_pp = (denom1 - disc_total) / denom1 if denom1 else 0.0
 
     # probs/gammas for orders >= 2 stay LAZY: each is a cheap map (or
     # lazy hash_join) over the ctx_agg that initial_probs materializes
@@ -815,34 +878,68 @@ def estimate_mkn(
             adjs[n], n, discounts[n], num_partitions=num_partitions
         )
 
-    # phase 4: interpolate — unigrams on the driver (vocab-sized)
-    uni_ids = uni_df["i1"].to_numpy().astype(np.int64)[keep1]
-    uni_pp = (
-        (uni_adj[keep1].astype(np.float64) - disc1[keep1]) / denom1
-        if denom1
-        else np.zeros(int(keep1.sum()), dtype=np.float64)
-    )
-    # survived unigram ids ∪ {<unk>, </s>} — the interpolated distribution
-    vocab_ids = np.unique(np.concatenate([uni_ids, [UNK_ID, EOS_ID]]))
-    V = len(vocab_ids)
-    pp_sorted = np.zeros(V, dtype=np.float64)
-    pos = np.searchsorted(vocab_ids, uni_ids)
-    pp_sorted[pos] = uni_pp
+    # phase 4 base: the interpolated unigram distribution as a DATASET
+    # (i1, prob) over survivors ∪ {<unk>, </s>} — the order-2 join below
+    # consumes it as a keyed hash join (round 4: replaces the vocab-sized
+    # driver broadcast of (ids, probs) arrays)
+    missing_specials = [
+        wid
+        for wid, seen in ((UNK_ID, int(s["unk_kept"])), (EOS_ID, int(s["eos_kept"])))
+        if not seen
+    ]
+    V = int(s["n_kept"]) + len(missing_specials)
     if interpolate_unigrams:
         v_unif = max(vocab_pad, V)
-        interp1 = pp_sorted + uni_gamma / v_unif
-        if v_unif == V:
-            # float-drift fix only; with vocab_pad > V the sum is
-            # DELIBERATELY < 1 (mass reserved for padded unseen types —
-            # interpolate.cc:145 never renormalizes)
-            interp1 /= interp1.sum()
+        g_over_v = uni_gamma / v_unif if v_unif else 0.0
+        # with vocab_pad > V the sum is DELIBERATELY < 1 (mass reserved
+        # for padded unseen types — interpolate.cc:145 never
+        # renormalizes); at v_unif == V the true sum is exactly 1, so
+        # norm is a pure float-drift fix
+        norm = (sum_pp + V * g_over_v) if v_unif == V else 1.0
+        unk_boost = 0.0
     else:
         # SRI convention: all interpolation mass to <unk>
-        interp1 = pp_sorted.copy()
-        interp1[np.searchsorted(vocab_ids, UNK_ID)] += uni_gamma
-        interp1 /= interp1.sum()
-    # broadcast (sorted ids, interpolated probs) for the order-2 join
-    interp_lower_ref = ray.put((vocab_ids, interp1))
+        g_over_v = 0.0
+        unk_boost = uni_gamma
+        norm = sum_pp + uni_gamma
+    norm = norm if norm else 1.0
+
+    def uni_interp(batch: pa.Table) -> pa.Table:
+        if has_prune1:
+            keep = ~batch["pruned"].to_numpy(zero_copy_only=False).astype(bool)
+            batch = batch.filter(pa.array(keep))
+        adj_i = batch["adjusted"].to_numpy(zero_copy_only=False).astype(np.int64)
+        disc = _apply_discount(adj_i, D1)
+        pp = (
+            (adj_i.astype(np.float64) - disc) / denom1
+            if denom1
+            else np.zeros(len(batch), dtype=np.float64)
+        )
+        p = pp + g_over_v
+        if unk_boost:
+            ids = batch["i1"].to_numpy(zero_copy_only=False).astype(np.int64)
+            p = np.where(ids == UNK_ID, p + unk_boost, p)
+        return pa.table({"i1": batch["i1"], "prob": pa.array(p / norm)})
+
+    interp_uni = adjs[1].map_batches(uni_interp, batch_format="pyarrow")
+    if missing_specials:
+        synth = np.array(missing_specials, dtype=np.int64)
+        sp = np.full(len(synth), g_over_v, dtype=np.float64)
+        if unk_boost:
+            sp = np.where(synth == UNK_ID, sp + unk_boost, sp)
+        interp_uni = interp_uni.union(
+            ray.data.from_arrow(
+                pa.table(
+                    {
+                        "i1": pa.array(synth.astype(np.uint32)),
+                        "prob": pa.array(sp / norm),
+                    }
+                )
+            )
+        )
+    # two consumers (order-2 lower join + the unigram ARPA table) —
+    # materialize once; vocab-sized but distributed, never on the driver
+    interp_uni = interp_uni.materialize()
     # Arrow string array broadcasts zero-copy (no object-array pickle of
     # every word) and the gather is pc.take on Arrow buffers
     words_ref = ray.put(vocab.words)
@@ -859,41 +956,30 @@ def estimate_mkn(
         out["log10_backoff"] = batch["log10_backoff"]
         return pa.table(out)
 
-    prev_interp_ds: "ray.data.Dataset | None" = None
+    prev_interp_ds: "ray.data.Dataset" = interp_uni
     for n in range(2, order + 1):
         keys = _icols(n)
         sfx = keys[1:]
         id_keys = {k: pa.uint32() for k in keys}
-        if n == 2:
-
-            def add_lower2(batch: pa.Table, _last=keys[-1]) -> pa.Table:
-                lid, lp = ray.get(interp_lower_ref)
-                wids = batch[_last].to_numpy(zero_copy_only=False).astype(np.int64)
-                idx = np.minimum(np.searchsorted(lid, wids), len(lid) - 1)
-                p = np.where(lid[idx] == wids, lp[idx], 0.0)
-                return batch.append_column("p_lower", pa.array(p))
-
-            with_lower = probs[2].map_batches(add_lower2, batch_format="pyarrow")
-        else:
-            lower = prev_interp_ds.map_batches(
-                lambda t, _n=n: _sel(
-                    t,
-                    {
-                        **{f"i{i+2}": f"i{i+1}" for i in range(_n - 1)},
-                        "p_lower": "prob",
-                    },
-                ),
-                batch_format="pyarrow",
-            )
-            with_lower = hash_join(
-                probs[n],
-                lower,
-                on=list(sfx),
-                left_cols={**id_keys, "pseudo_prob": pa.float64()},
-                right_cols={**{k: pa.uint32() for k in sfx}, "p_lower": pa.float64()},
-                how="left",
-                num_partitions=num_partitions,
-            )
+        lower = prev_interp_ds.map_batches(
+            lambda t, _n=n: _sel(
+                t,
+                {
+                    **{f"i{i+2}": f"i{i+1}" for i in range(_n - 1)},
+                    "p_lower": "prob",
+                },
+            ),
+            batch_format="pyarrow",
+        )
+        with_lower = hash_join(
+            probs[n],
+            lower,
+            on=list(sfx),
+            left_cols={**id_keys, "pseudo_prob": pa.float64()},
+            right_cols={**{k: pa.uint32() for k in sfx}, "p_lower": pa.float64()},
+            how="left",
+            num_partitions=num_partitions,
+        )
         gamma_n = gammas[n].map_batches(
             lambda t, _c=tuple(keys[:-1]): _sel(
                 t, {**{k: k for k in _c}, "gamma_ctx": "gamma"}
@@ -959,49 +1045,67 @@ def estimate_mkn(
             lambda t, _n=n: project_words(t, _n), batch_format="pyarrow"
         )
 
-    # unigram ARPA table: needs gamma_2 per word (context table of order 2)
-    if order >= 2:
-        g2 = gammas[2].to_pandas()
-        g2_ids = g2["i1"].to_numpy().astype(np.int64)
-        g2_order = np.argsort(g2_ids, kind="stable")
-        g2_ids = g2_ids[g2_order]
-        g2_gam = g2["gamma"].to_numpy().astype(np.float64)[g2_order]
-
-        def g2_of(wid: int) -> "float | None":
-            i = np.searchsorted(g2_ids, wid)
-            if i < len(g2_ids) and g2_ids[i] == wid:
-                return float(g2_gam[i])
-            return None
-    else:
-
-        def g2_of(wid: int) -> "float | None":
-            return None
-
-    uni_rows = []
-    for j, wid in enumerate(vocab_ids):
-        if wid == BOS_ID:
-            continue
-        prob = math.log10(max(interp1[j], 1e-12))
-        # the reference never writes a backoff for grams ending in <unk>
-        # (lm/builder/interpolate.cc:101-127 "Not a context" -> 1.0); the
-        # oracle hardcodes 0.0 the same way
-        bo = None if wid == UNK_ID else g2_of(int(wid))
-        uni_rows.append(
+    # unigram ARPA table — a Dataset (round 4: replaces the O(vocab)
+    # driver row loop): survivors+specials left-join gamma_2 (the word's
+    # backoff context weight), then one broadcast word gather per batch
+    bos_ds = ray.data.from_arrow(
+        pa.table(
             {
-                "w1": vocab.word_at(wid),
-                "log10_prob": prob,
-                "log10_backoff": math.log10(max(bo, 1e-12)) if bo is not None else 0.0,
+                "i1": pa.array([BOS_ID], type=pa.uint32()),
+                "prob": pa.array([float("nan")], type=pa.float64()),
             }
         )
-    bos_g = g2_of(BOS_ID)
-    uni_rows.append(
-        {
-            "w1": BOS,
-            "log10_prob": -99.0,
-            "log10_backoff": math.log10(max(bos_g if bos_g is not None else 1.0, 1e-12)),
-        }
     )
-    arpa_tables[1] = pa.Table.from_pylist(uni_rows)
+    uni_all = interp_uni.union(bos_ds)
+    if order >= 2:
+        with_g2 = hash_join(
+            uni_all,
+            gammas[2].map_batches(
+                lambda t: _sel(t, {"i1": "i1", "gamma_bo": "gamma"}),
+                batch_format="pyarrow",
+            ),
+            on=["i1"],
+            left_cols={"i1": pa.uint32(), "prob": pa.float64()},
+            right_cols={"i1": pa.uint32(), "gamma_bo": pa.float64()},
+            how="left",
+            num_partitions=num_partitions,
+        )
+    else:
+        with_g2 = uni_all.map_batches(
+            lambda t: t.append_column(
+                "gamma_bo", pa.array(np.full(len(t), np.nan))
+            ),
+            batch_format="pyarrow",
+        )
+
+    def uni_arpa(batch: pa.Table) -> pa.Table:
+        words = ray.get(words_ref)
+        ids = batch["i1"].to_numpy(zero_copy_only=False).astype(np.int64)
+        p = batch["prob"].to_numpy(zero_copy_only=False).astype(np.float64)
+        g = batch["gamma_bo"].to_numpy(zero_copy_only=False).astype(np.float64)
+        # the <s> unigram carries the conventional -99 (never predicted)
+        lp = np.where(
+            ids == BOS_ID,
+            -99.0,
+            np.log10(np.maximum(np.nan_to_num(p, nan=1.0), 1e-12)),
+        )
+        # the reference never writes a backoff for grams ending in <unk>
+        # (lm/builder/interpolate.cc:101-127 "Not a context" -> 1.0); a
+        # word that is no bigram context backs off by 1.0 -> log10 = 0
+        bo = np.where(
+            np.isnan(g) | (ids == UNK_ID),
+            0.0,
+            np.log10(np.maximum(np.nan_to_num(g, nan=1.0), 1e-12)),
+        )
+        return pa.table(
+            {
+                "w1": pc.take(words, batch["i1"]),
+                "log10_prob": pa.array(lp),
+                "log10_backoff": pa.array(bo),
+            }
+        )
+
+    arpa_tables[1] = with_g2.map_batches(uni_arpa, batch_format="pyarrow")
     return {"arpa_tables": arpa_tables, "discounts": discounts, "vocab": vocab}
 
 
@@ -1016,9 +1120,9 @@ def rest_costs(result: dict, order: int) -> "dict[int, object]":
     estimated model is suffix-closed with no ARPA holes, so no blank
     handling is needed (unlike the binary writer's fixpoint).
 
-    Returns {n: grams + ``rest`` for n = 1..order-1}: order 1 as a driver
-    pa.Table (vocab-sized — the same driver-manageable assumption as
-    estimate_mkn's unigram phase), higher orders as Datasets.
+    Returns {n: Dataset(w1..wn, rest) for n = 1..order-1} — every order
+    stays distributed (order 1 included, round 4: the former vocab-sized
+    driver reduce is now the same suffix-keyed hash join as the rest).
     """
     tables = result["arpa_tables"]
     out: dict[int, object] = {}
@@ -1039,42 +1143,38 @@ def rest_costs(result: dict, order: int) -> "dict[int, object]":
             keys,
             [("cand", "max", "cand_max")],
         )
-        if n == 1:
-            sm = sfx.to_pandas()  # vocab-bounded driver reduce
-            cmax = dict(zip(sm["w1"], sm["cand_max"]))
-            uni = tables[1]
-            words = uni["w1"].to_pylist()
-            probs = uni["log10_prob"].to_numpy(zero_copy_only=False)
-            rest = np.array(
-                [max(p, cmax.get(w, -np.inf)) for w, p in zip(words, probs)],
-                dtype=np.float64,
-            )
-            out[1] = pa.table({"w1": pa.array(words), "rest": pa.array(rest)})
-        else:
-            str_keys = {k: pa.string() for k in keys}
-            joined = hash_join(
-                tables[n],
-                sfx,
-                on=keys,
-                left_cols={**str_keys, "log10_prob": pa.float64()},
-                right_cols={**str_keys, "cand_max": pa.float64()},
-                how="left",
-                num_partitions=16,
-            )
+        left = tables[n]
+        if isinstance(left, pa.Table):  # pre-round-4 results kept working
+            left = ray.data.from_arrow(left)
+        str_keys = {k: pa.string() for k in keys}
+        joined = hash_join(
+            left.map_batches(
+                lambda t, _k=tuple(keys): _sel(
+                    t, {**{k: k for k in _k}, "log10_prob": "log10_prob"}
+                ),
+                batch_format="pyarrow",
+            ),
+            sfx,
+            on=keys,
+            left_cols={**str_keys, "log10_prob": pa.float64()},
+            right_cols={**str_keys, "cand_max": pa.float64()},
+            how="left",
+            num_partitions=16,
+        )
 
-            def fin(t: pa.Table, _keys=tuple(keys)) -> pa.Table:
-                p = t["log10_prob"].to_numpy(zero_copy_only=False)
-                cm = t["cand_max"].to_numpy(zero_copy_only=False).astype(
-                    np.float64
-                )
-                cm = np.where(np.isnan(cm), -np.inf, cm)
-                cols = {k: t[k] for k in _keys}
-                cols["rest"] = pa.array(np.maximum(p, cm))
-                return pa.table(cols)
+        def fin(t: pa.Table, _keys=tuple(keys)) -> pa.Table:
+            p = t["log10_prob"].to_numpy(zero_copy_only=False)
+            cm = t["cand_max"].to_numpy(zero_copy_only=False).astype(
+                np.float64
+            )
+            cm = np.where(np.isnan(cm), -np.inf, cm)
+            cols = {k: t[k] for k in _keys}
+            cols["rest"] = pa.array(np.maximum(p, cm))
+            return pa.table(cols)
 
-            out[n] = joined.map_batches(fin, batch_format="pyarrow").materialize()
-            cand = out[n]
-            cand_col = "rest"
+        out[n] = joined.map_batches(fin, batch_format="pyarrow").materialize()
+        cand = out[n]
+        cand_col = "rest"
     return out
 
 
