@@ -1,10 +1,11 @@
 """Multimodal column stages — Ray-side plumbing for image/audio/video
 payloads carried as opaque ``binary`` columns with typed metadata.
 
-Uncompressed container formats are decoded FOR REAL in pure numpy —
-no codec library needed: BMP (BI_RGB 24/32-bit) images and RIFF/WAVE
-PCM audio, recognized by their magic bytes.  Compressed codecs
-(PNG/JPEG via pillow, lossy audio via soundfile, video via pyav) sit
+BMP (BI_RGB 24/32-bit), PNG (stdlib zlib inflate + numpy defilter —
+all five spec filters, gray/RGB/alpha/palette) and RIFF/WAVE PCM audio
+decode FOR REAL with no codec library, recognized by their magic
+bytes.  Remaining compressed codecs (JPEG/WebP via pillow, lossy audio
+via soundfile, video via pyav) sit
 behind an import-try; when the library is absent, ``decode='fake'``
 produces deterministic fake decodes (seeded by the payload hash) so
 the batch plumbing — schema, actor pool, batch sizing for large binary
@@ -73,6 +74,160 @@ def encode_bmp(rgb: np.ndarray) -> bytes:
     return header + info + pix
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _png_chunks(payload: bytes):
+    """Yield (type, data) for every chunk; CRCs are not verified (the
+    zlib adler32 in the IDAT stream already covers pixel integrity)."""
+    pos = 8
+    while pos + 8 <= len(payload):
+        size, ctype = struct.unpack_from(">I4s", payload, pos)
+        yield ctype, payload[pos + 8 : pos + 8 + size]
+        pos += 12 + size  # length + type + data + crc
+        if ctype == b"IEND":
+            break
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """Pure stdlib-zlib + numpy PNG decode -> (h, w, 3) uint8 RGB.
+
+    Supports non-interlaced 8-bit gray/RGB/gray+alpha/RGBA and 1/2/4/8-bit
+    palette and grayscale (PNG spec ISO/IEC 15948 §9: filters 0-4).  The
+    alpha channel is DROPPED (matching PIL ``convert("RGB")``'s channel
+    slice, which ImageDecode used when pillow was present).  16-bit and
+    Adam7-interlaced images raise ValueError."""
+    import zlib
+
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    ihdr = None
+    plte = None
+    idat = []
+    for ctype, data in _png_chunks(payload):
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"PLTE":
+            plte = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+        elif ctype == b"IDAT":
+            idat.append(data)
+    if ihdr is None or not idat:
+        raise ValueError("missing IHDR/IDAT chunk")
+    w, h, depth, color, comp, filt, interlace = ihdr
+    if comp != 0 or filt != 0:
+        raise ValueError("nonstandard PNG compression/filter method")
+    if interlace != 0:
+        raise ValueError("Adam7-interlaced PNG not supported")
+    if color not in _PNG_CHANNELS:
+        raise ValueError(f"unknown PNG color type {color}")
+    if depth != 8 and not (depth in (1, 2, 4) and color in (0, 3)):
+        raise ValueError(f"unsupported PNG bit depth {depth} for color {color}")
+    channels = _PNG_CHANNELS[color]
+    raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
+    stride = (w * channels * depth + 7) // 8  # filtered bytes per row
+    bpp = max(1, channels * depth // 8)  # filter step (spec: >= 1 byte)
+    if len(raw) < h * (stride + 1):
+        raise ValueError("truncated PNG pixel stream")
+    rows = raw[: h * (stride + 1)].reshape(h, stride + 1)
+    ftypes = rows[:, 0]
+    data = rows[:, 1:].astype(np.int64)
+    recon = np.zeros((h, stride), dtype=np.int64)
+    prev = np.zeros(stride, dtype=np.int64)
+    for y in range(h):
+        f, cur = int(ftypes[y]), data[y]
+        if f == 0:
+            line = cur
+        elif f == 1:  # Sub: recon[x] = cur[x] + recon[x-bpp] -> per-lane cumsum
+            line = cur.copy()
+            for lane in range(bpp):
+                line[lane::bpp] = np.cumsum(line[lane::bpp]) & 0xFF
+        elif f == 2:  # Up
+            line = (cur + prev) & 0xFF
+        elif f in (3, 4):  # Average / Paeth: sequential along x, lanes vectorized
+            line = np.zeros(stride, dtype=np.int64)
+            zero = np.zeros(bpp, dtype=np.int64)
+            for j in range(0, stride, bpp):
+                k = min(j + bpp, stride)
+                a = line[j - bpp : j - bpp + (k - j)] if j else zero[: k - j]
+                b = prev[j:k]
+                if f == 3:
+                    line[j:k] = (cur[j:k] + (a + b) // 2) & 0xFF
+                else:
+                    c = prev[j - bpp : j - bpp + (k - j)] if j else zero[: k - j]
+                    p = a + b - c
+                    pa_, pb_, pc_ = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+                    pred = np.where(
+                        (pa_ <= pb_) & (pa_ <= pc_), a, np.where(pb_ <= pc_, b, c)
+                    )
+                    line[j:k] = (cur[j:k] + pred) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter type {f}")
+        recon[y] = line
+        prev = line
+    px = recon.astype(np.uint8)
+    if depth < 8:  # unpack sub-byte gray/palette samples
+        bits = np.unpackbits(px, axis=1)
+        samples = bits.reshape(h, -1, depth)
+        weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint8)
+        px = (samples * weights).sum(axis=2).astype(np.uint8)[:, :w]
+        if color == 0:  # scale gray to full 8-bit range
+            px = (px.astype(np.uint16) * (255 // ((1 << depth) - 1))).astype(np.uint8)
+    if color == 3:
+        if plte is None:
+            raise ValueError("palette PNG without PLTE chunk")
+        return np.ascontiguousarray(plte[px.reshape(h, w)])
+    img = px.reshape(h, w, channels)
+    if color == 0:
+        return np.ascontiguousarray(np.repeat(img, 3, axis=2))
+    if color == 4:
+        return np.ascontiguousarray(np.repeat(img[:, :, :1], 3, axis=2))
+    return np.ascontiguousarray(img[:, :, :3])  # RGB / RGBA->drop alpha
+
+
+def encode_png(rgb: np.ndarray, filter_strategy: str = "none") -> bytes:
+    """(h, w, 3) uint8 RGB -> 8-bit truecolor PNG (test/fixture writer).
+    ``filter_strategy='cycle'`` applies filter type y%5 to row y so a
+    decode roundtrip exercises every defilter kernel."""
+    import zlib
+
+    h, w, _ = rgb.shape
+    arr = rgb.astype(np.int64)
+    flat = arr.reshape(h, w * 3)
+    out_rows = []
+    prev = np.zeros(w * 3, dtype=np.int64)
+    for y in range(h):
+        cur = flat[y]
+        f = (y % 5) if filter_strategy == "cycle" else 0
+        left = np.concatenate([np.zeros(3, dtype=np.int64), cur[:-3]])
+        ul = np.concatenate([np.zeros(3, dtype=np.int64), prev[:-3]])
+        if f == 0:
+            enc = cur
+        elif f == 1:
+            enc = cur - left
+        elif f == 2:
+            enc = cur - prev
+        elif f == 3:
+            enc = cur - (left + prev) // 2
+        else:
+            p = left + prev - ul
+            pa_, pb_, pc_ = np.abs(p - left), np.abs(p - prev), np.abs(p - ul)
+            pred = np.where(
+                (pa_ <= pb_) & (pa_ <= pc_), left, np.where(pb_ <= pc_, prev, ul)
+            )
+            enc = cur - pred
+        out_rows.append(bytes([f]) + (enc & 0xFF).astype(np.uint8).tobytes())
+        prev = cur
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        crc = zlib.crc32(ctype + data) & 0xFFFFFFFF
+        return struct.pack(">I", len(data)) + ctype + data + struct.pack(">I", crc)
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    idat = zlib.compress(b"".join(out_rows), 6)
+    return _PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat) + chunk(b"IEND", b"")
+
+
 def decode_wav(payload: bytes) -> "tuple[np.ndarray, int]":
     """RIFF/WAVE PCM (8/16/32-bit int or 32-bit float) -> (samples
     float32 in [-1, 1] shaped (n, channels), sample_rate).  Walks the
@@ -128,32 +283,35 @@ def _try_import_pil():
 
 
 def decode_image_payload(p: bytes, pil, mode: str, fake_decode) -> np.ndarray:
-    """Shared decode dispatch: real BMP -> pillow (if present) -> fake
-    (or NotImplementedError in mode='real').  Used by ImageDecode and
-    ops/imagededup.ImageDHash so the format support never diverges."""
+    """Shared decode dispatch: real BMP/PNG (pure numpy + stdlib zlib) ->
+    pillow (if present) -> fake (or NotImplementedError in mode='real').
+    Used by ImageDecode and ops/imagededup.ImageDHash so the format
+    support never diverges."""
     if p[:2] == b"BM":
         return decode_bmp(p)  # real, pure numpy
+    if p[:8] == _PNG_SIG:
+        return decode_png(p)  # real, stdlib zlib + numpy defilter
     if pil is not None:
         import io
 
         return np.asarray(pil.open(io.BytesIO(p)).convert("RGB"))
     if mode == "real":
         raise NotImplementedError(
-            "real decode of codec image formats requires pillow, "
-            "which this environment does not provide — BMP decodes "
-            "natively; use mode='fake' for other formats"
+            "real decode of JPEG/WebP/... requires pillow, which this "
+            "environment does not provide — BMP and PNG decode natively; "
+            "use mode='fake' for other formats"
         )
     return fake_decode(p)
 
 
 class ImageDecode:
     """Actor-pool stage: binary payload -> (height, width, channels,
-    mean_luma float32, thumb binary).  BMP payloads (magic "BM") decode
-    FOR REAL in pure numpy; PNG/JPEG need pillow (import-try); anything
-    else falls back to the deterministic fake in ``mode='auto'``/'fake'.
-    ``mode='real'`` decodes BMP but refuses codec formats when pillow is
-    absent.  Small batch sizes are mandatory for multi-MB payloads (see
-    build_multimodal_pipeline)."""
+    mean_luma float32, thumb binary).  BMP and PNG payloads decode FOR
+    REAL in pure numpy (+ stdlib zlib); JPEG/WebP need pillow
+    (import-try); anything else falls back to the deterministic fake in
+    ``mode='auto'``/'fake'.  ``mode='real'`` decodes BMP/PNG but refuses
+    other codec formats when pillow is absent.  Small batch sizes are
+    mandatory for multi-MB payloads (see build_multimodal_pipeline)."""
 
     def __init__(self, mode: str = "auto", thumb_size: int = 8):
         self.mode = mode
