@@ -186,31 +186,40 @@ def build_vocab(
             }
         )
 
-    from kenlm_ray.ops.groupagg import group_reduce
-
-    # vocab-type cardinality is data-sized: coarse-bucket reduce (see
-    # ops/groupagg.py), never one aggregate group per distinct word.
-    # The exchange is keyed by the u64 token murmur (the SAME hash the
-    # VocabMap looks words up by), not the string — fixed-width
-    # aggregate keys beat variable-length strings at millions of types,
-    # and the driver inherits the hashes instead of re-hashing the
-    # whole vocab.  (Measured at 2.65M types / 32 cpus: the wall is
-    # dominated by the 4.3M-row exchange itself, which is already the
-    # per-batch-distinct minimum.)
+    # The reduce runs ON THE DRIVER: per-block partials (distinct tokens
+    # per block — Heaps' law keeps that far below block tokens) are
+    # pulled and merged with ONE multithreaded Arrow group_by keyed by
+    # the u64 token murmur (the SAME hash the VocabMap looks words up
+    # by).  The driver holds the finished vocab either way (the
+    # reference's in-RAM GrowableVocab, lm/vocab.hh:237-278 — the
+    # documented driver-manageable assumption), so a cluster exchange
+    # before the pull only reduces pull volume by the cross-block
+    # duplication factor; measured at 2.65M types / 64 blocks / 32 cpus
+    # that factor is 1.6x and the Dataset groupby exchange costs 3x the
+    # whole driver merge (9.5 s vs ~1 s for a 53 MB exchange — Ray's
+    # sort-based shuffle floor, see ops/groupagg.py for when it IS
+    # worth paying).
     # A murmur collision between distinct words merges them here (the
     # whole id pipeline already requires injectivity on the vocab —
     # P(collision) ~ |V|^2/2^65, ~1e-7 at 3M types).
-    agg = group_reduce(
-        ds.map_batches(partial, batch_format="pyarrow"),
-        ["h"],
-        [("c_sum", "sum", "count"), ("w", "min", "w")],
-    )
+    tables = [
+        t
+        for t in ray.get(
+            ds.map_batches(partial, batch_format="pyarrow").to_arrow_refs()
+        )
+        if t.num_rows
+    ]
     # Arrow end-to-end: the word strings are never converted to Python
-    # objects — filter/sort/concat run on Arrow buffers, so the
+    # objects — group_by/filter/sort/concat run on Arrow buffers, so the
     # driver's cost per type is word bytes + offsets, not a Python str.
-    tables = [t for t in ray.get(agg.to_arrow_refs()) if t.num_rows]
     if tables:
-        vt = pa.concat_tables(tables).combine_chunks()
+        g = (
+            pa.concat_tables(tables)
+            .combine_chunks()
+            .group_by("h")
+            .aggregate([("c_sum", "sum"), ("w", "min")])
+        )
+        vt = _sel(g, {"h": "h", "count": "c_sum_sum", "w": "w_min"})
     else:
         vt = pa.table(
             {"h": pa.array([], type=pa.uint64()),
@@ -792,14 +801,20 @@ def estimate_mkn(
         ),
         batch_format="pyarrow",
     )
-    # checkpoint EVERY order's adjusted-count table: each feeds several
-    # downstream executions (discount histograms, probs, gammas, the
-    # unigram scalar pass) and is small relative to the corpus (distinct
-    # grams, not occurrences) — the sanctioned use of materialize() on
-    # reused intermediates.  The unigram phase below stays DISTRIBUTED:
-    # the driver only ever sees a fixed set of scalars (round-4 fix of
-    # the O(vocab) to_pandas that made MKN the one `weak` scale mark).
-    adjs = {n: d.materialize() for n, d in adjs.items()}
+    # checkpoint the adjusted-count tables BELOW the top order: each
+    # embeds a hash join + suffix reduce and feeds several consumers —
+    # the sanctioned use of materialize() on reused intermediates.  The
+    # TOP order is a pure projection of the already-materialized fused
+    # gram table (adjusted = raw, no join), so its consumers fuse the
+    # cheap filter+rename into their own executions instead of paying a
+    # materialization barrier and a second copy.  The unigram phase
+    # below stays DISTRIBUTED: the driver only ever sees a fixed set of
+    # scalars (round-4 fix of the O(vocab) to_pandas that made MKN the
+    # one `weak` scale mark).
+    adjs = {
+        n: (d if (n == order and order > 1) else d.materialize())
+        for n, d in adjs.items()
+    }
     has_prune1 = "pruned" in adjs[1].schema().names
 
     # ONE fixed-width partials pass over the unigram table computes every
@@ -813,6 +828,12 @@ def estimate_mkn(
     #   k1,k2,k3p    unpruned row counts by discount bucket (1, 2, >=3)
     #   n_kept       surviving distinct unigrams
     #   unk/eos_kept survivor-membership flags for the vocab-size V
+    # It shares ONE groupby barrier with every higher order's
+    # count-of-count histogram (channel o = -1 in the same (o, bucket,
+    # n) union the histograms use — the fused discount_stats shape).
+    _SCALARS = ("t1", "t2", "t3", "t4", "denom", "pruned_adj",
+                "k1", "k2", "k3p", "n_kept", "unk_kept", "eos_kept")
+
     def uni_partials(batch: pa.Table) -> pa.Table:
         adj = batch["adjusted"].to_numpy(zero_copy_only=False).astype(np.int64)
         if has_prune1:
@@ -821,39 +842,69 @@ def estimate_mkn(
             pr = np.zeros(len(adj), dtype=bool)
         ids = batch["i1"].to_numpy(zero_copy_only=False).astype(np.int64)
         ka = adj[~pr]
-        vals = {
-            "t1": (adj == 1).sum(), "t2": (adj == 2).sum(),
-            "t3": (adj == 3).sum(), "t4": (adj == 4).sum(),
-            "denom": adj.sum(), "pruned_adj": adj[pr].sum(),
-            "k1": (ka == 1).sum(), "k2": (ka == 2).sum(),
-            "k3p": (ka >= 3).sum(), "n_kept": (~pr).sum(),
-            "unk_kept": ((ids == UNK_ID) & ~pr).sum(),
-            "eos_kept": ((ids == EOS_ID) & ~pr).sum(),
-        }
-        return pa.table(
-            {k: pa.array([int(v)], type=pa.int64()) for k, v in vals.items()}
+        vals = [
+            (adj == 1).sum(), (adj == 2).sum(), (adj == 3).sum(),
+            (adj == 4).sum(), adj.sum(), adj[pr].sum(),
+            (ka == 1).sum(), (ka == 2).sum(), (ka >= 3).sum(),
+            (~pr).sum(), ((ids == UNK_ID) & ~pr).sum(),
+            ((ids == EOS_ID) & ~pr).sum(),
+        ]
+        t = pa.table(
+            {
+                "o": pa.array(np.full(len(vals), -1, dtype=np.int32)),
+                "bucket": pa.array(np.arange(len(vals), dtype=np.int64)),
+                "n": pa.array(np.asarray(vals, dtype=np.int64)),
+            }
         )
+        # same group_by construction as the histogram maps below ->
+        # identical union schema (aggregate column order is undocumented)
+        return t.group_by(["o", "bucket"]).aggregate([("n", "sum")])
 
-    s = (
-        adjs[1]
-        .map_batches(uni_partials, batch_format="pyarrow")
-        .to_pandas()  # one row per block — O(num_blocks), never O(vocab)
-        .sum()
+    parts = [adjs[1].map_batches(uni_partials, batch_format="pyarrow")]
+    _exclude_bos = set(range(2, order))
+    for n in range(2, order + 1):
+
+        def hist_map(t: pa.Table, _n=n, _ex=(n in _exclude_bos)) -> pa.Table:
+            if _ex:
+                t = t.filter(
+                    pc.invert(
+                        pc.equal(t["i1"], pa.scalar(BOS_ID, type=pa.uint32()))
+                    )
+                )
+            return (
+                pa.table(
+                    {
+                        "o": pa.array(np.full(len(t), _n, dtype=np.int32)),
+                        "bucket": pc.min_element_wise(
+                            t["adjusted"], pa.scalar(5)
+                        ),
+                        "n": pa.array(np.ones(len(t), dtype=np.int64)),
+                    }
+                )
+                .group_by(["o", "bucket"])
+                .aggregate([("n", "sum")])
+            )
+
+        parts.append(adjs[n].map_batches(hist_map, batch_format="pyarrow"))
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.union(p)
+    hist = (
+        u.groupby(["o", "bucket"])
+        .aggregate(Sum("n_sum", alias_name="t"))
+        .to_pandas()
     )
+    sc = hist[hist["o"] == -1].set_index("bucket")["t"]
+    s = {name: int(sc.get(i, 0)) for i, name in enumerate(_SCALARS)}
     discounts = {
         1: _chen_goodman_discounts(
-            {j: int(s[f"t{j}"]) for j in (1, 2, 3, 4)}, discount_fallback
+            {j: s[f"t{j}"] for j in (1, 2, 3, 4)}, discount_fallback
         )
     }
-    if order > 1:
-        discounts.update(
-            discount_stats_fused(
-                adjs,
-                list(range(2, order + 1)),
-                exclude_bos=set(range(2, order)),
-                discount_fallback=discount_fallback,
-            )
-        )
+    for n in range(2, order + 1):
+        sub = hist[hist["o"] == n]
+        counts = {int(r["bucket"]): int(r["t"]) for _, r in sub.iterrows()}
+        discounts[n] = _chen_goodman_discounts(counts, discount_fallback)
 
     # order-1 initial probs + interpolation, scalar algebra only:
     #   Σdisc = k1·D1 + k2·D2 + k3p·D3 + pruned_adj   (γ = Σdisc/denom)
@@ -937,9 +988,9 @@ def estimate_mkn(
                 )
             )
         )
-    # two consumers (order-2 lower join + the unigram ARPA table) —
-    # materialize once; vocab-sized but distributed, never on the driver
-    interp_uni = interp_uni.materialize()
+    # two consumers (order-2 lower join + the unigram ARPA table) each
+    # re-run this cheap map over the MATERIALIZED adjs[1] — no extra
+    # barrier; vocab-sized data stays distributed, never on the driver
     # Arrow string array broadcasts zero-copy (no object-array pickle of
     # every word) and the gather is pc.take on Arrow buffers
     words_ref = ray.put(vocab.words)
@@ -1005,7 +1056,12 @@ def estimate_mkn(
             out["prob"] = pa.array(ph + gl * pl)
             return pa.table(out)
 
-        prev_interp_ds = with_gamma.map_batches(interp, batch_format="pyarrow").materialize()
+        prev_interp_ds = with_gamma.map_batches(interp, batch_format="pyarrow")
+        if n < order:
+            # two consumers (this order's backoff join + the next
+            # order's lower join) — materialize; at the TOP order the
+            # single consumer fuses it lazily (no barrier)
+            prev_interp_ds = prev_interp_ds.materialize()
         # backoff of an n-gram = log10 gamma_{n+1}(gram) (absent → no row)
         if n < order:
             gnext = gammas[n + 1].map_batches(

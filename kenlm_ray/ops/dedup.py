@@ -238,11 +238,17 @@ def minhash_lsh_pairs(
         ids = batch[id_col].to_numpy(zero_copy_only=False)
         has = cnt > 0
         sig, ids = sig[has], ids[has]
+        # pack the signature matrix into a binary column via the Arrow
+        # buffer protocol — one memcpy, no per-row Python bytes objects
+        n = len(ids)
+        off = np.arange(n + 1, dtype=np.int32) * (num_perm * 8)
+        sig_col = pa.BinaryArray.from_buffers(
+            pa.binary(), n,
+            [None, pa.py_buffer(off.tobytes()),
+             pa.py_buffer(np.ascontiguousarray(sig).tobytes())],
+        )
         return pa.table(
-            {
-                id_col: pa.array(ids.astype(np.int64)),
-                "sig": pa.array([s.tobytes() for s in sig], type=pa.binary()),
-            }
+            {id_col: pa.array(ids.astype(np.int64)), "sig": sig_col}
         )
 
     sigs = ds.map_batches(to_sigs, batch_format="pyarrow").materialize()

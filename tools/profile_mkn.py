@@ -1,0 +1,88 @@
+"""Phase-level wall profile of order-2 MKN estimation (scaling triage).
+
+Usage: PROF_CPUS=32 python tools/profile_mkn.py
+Prints one JSON line of per-phase walls at the chosen cpu count over the
+720k-doc synthetic corpus (same input as tools/scaling_secondary.py).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    import ray
+
+    ncpu = int(os.environ.get("PROF_CPUS", "32"))
+    rows = int(os.environ.get("PROF_ROWS", "720000"))
+    ray.init(address="local", num_cpus=ncpu, include_dashboard=False,
+             logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    import ray.data
+
+    from kenlm_ray.sources.synth_corpus import write_corpus
+
+    paths = write_corpus(f"/tmp/kenlm_ray_bench/sf0.1_{rows}", rows, seed=42,
+                         n_shards=64)
+    ray.data.read_parquet(paths).count()  # warm page cache, untimed
+
+    from kenlm_ray.ngram.estimate import (
+        adjusted_counts, build_vocab, discount_stats_fused, raw_counts_all,
+    )
+
+    t: dict = {"cpus": ncpu}
+    ds = ray.data.read_parquet(paths, columns=["content"])
+
+    t0 = time.time()
+    vocab = build_vocab(ds, text_col="content")
+    t["build_vocab"] = round(time.time() - t0, 2)
+    t["vocab_types"] = vocab.size
+
+    t0 = time.time()
+    raws = raw_counts_all(ds, 2, vocab, text_col="content")
+    t["raw_counts_all"] = round(time.time() - t0, 2)
+
+    t0 = time.time()
+    adjs = {}
+    for n in (1, 2):
+        adjs[n] = adjusted_counts(raws[n], raws.get(n + 1), n,
+                                  num_partitions=32)
+    adjs[1] = adjs[1].map_batches(lambda x: x, batch_format="pyarrow")
+    adjs = {n: d.materialize() for n, d in adjs.items()}
+    t["adjusted_counts"] = round(time.time() - t0, 2)
+
+    t0 = time.time()
+    from kenlm_ray.ngram import estimate as E
+    import pyarrow as pa
+    import numpy as np
+
+    def uni_partials(batch):
+        adj = batch["adjusted"].to_numpy(zero_copy_only=False)
+        return pa.table({"denom": pa.array([int(adj.sum())])})
+
+    adjs[1].map_batches(uni_partials, batch_format="pyarrow").to_pandas()
+    t["uni_scalar_pass"] = round(time.time() - t0, 2)
+
+    t0 = time.time()
+    discount_stats_fused(adjs, [2], exclude_bos=set())
+    t["discounts2"] = round(time.time() - t0, 2)
+
+    t0 = time.time()
+    probs2, gammas2 = E.initial_probs(adjs[2], 2, [0.5, 1.0, 1.5],
+                                      num_partitions=32)
+    n2 = probs2.count()
+    t["initial_probs2_count"] = round(time.time() - t0, 2)
+    t["order2_rows"] = n2
+    print(json.dumps(t))
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()

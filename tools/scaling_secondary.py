@@ -62,15 +62,21 @@ def _run_inner() -> None:
         import numpy as np
         import pyarrow as pa
 
-        from kenlm_ray.functions.hashing import hash_bytes_array
+        from kenlm_ray.functions.hashing import murmur64_stream
+        from kenlm_ray.functions.tokenize import _string_buffers
         from kenlm_ray.ops.dedup import minhash_lsh_pairs
 
         def add_id(batch: "pa.Table") -> "pa.Table":
-            # int64 doc id from (repo, path) — minhash ids are integers
+            # int64 doc id from (repo, path) — minhash ids are integers;
+            # hash straight off the Arrow string buffers (same murmur
+            # values as hash_bytes_array, no Python list round-trip)
             rp = pa.compute.binary_join_element_wise(
                 batch["repo"], batch["path"], "\x00"
             )
-            h = hash_bytes_array(rp.to_pylist())
+            if isinstance(rp, pa.ChunkedArray):
+                rp = rp.combine_chunks()
+            off, data = _string_buffers(rp)
+            h = murmur64_stream(data, off[:-1], off[1:] - off[:-1])
             return pa.table(
                 {"doc_id": pa.array((h >> np.uint64(1)).astype(np.int64)),
                  "content": batch["content"]}
