@@ -513,18 +513,20 @@ def _q_doc_trigram_novelty(sf_dir):
 
 
 def _q_lang_chars_quantiles(sf_dir):
-    """Per-language approximate n_chars quantiles via mergeable
-    per-(batch,group) equi-depth digests (ops/sketch.
-    grouped_approx_quantiles — constant bytes per digest cross the
-    shuffle, raw values never do; rows-only: approximate by design)."""
+    """Per-language EXACT n_chars quantiles via the bounded (group,
+    value) histogram exchange (ops/sketch.grouped_exact_quantiles —
+    integer-valued columns have bounded distinct support, so the exact
+    histogram beats a lossy digest at the same shuffle bytes; the
+    mergeable-digest op grouped_approx_quantiles remains for unbounded
+    value spaces, pytest-gated)."""
     import ray.data
 
-    from kenlm_ray.ops.sketch import grouped_approx_quantiles
+    from kenlm_ray.ops.sketch import grouped_exact_quantiles
 
     ds = ray.data.read_parquet(
         os.path.join(sf_dir, "documents.parquet"), columns=["lang", "n_chars"]
     )
-    return grouped_approx_quantiles(ds, "lang", "n_chars", [0.1, 0.5, 0.9])
+    return grouped_exact_quantiles(ds, "lang", "n_chars", [0.1, 0.5, 0.9])
 
 
 def _q_token_pmi(sf_dir):
@@ -682,14 +684,20 @@ def _q_heavy_hitters_exact(sf_dir):
 
 def _q_packed_examples(sf_dir):
     """Sequence packing: docs -> 1024-token training examples; per-
-    example doc count + token fill."""
+    example doc count + token fill.  The gate input is coalesced to one
+    block so the greedy scan runs in global doc_id order — packing is
+    per-block by design (examples never straddle blocks at scale), and
+    pinning the block structure makes the output a pure function of the
+    table, matched value-exactly by the recursive-CTE oracle."""
     import numpy as np
     import pyarrow as pa
     from ray.data.aggregate import Count, Sum
 
     from kenlm_ray.ops.packing import pack_sequences
 
-    packed = pack_sequences(_documents(sf_dir), budget_tokens=1024)
+    packed = pack_sequences(
+        _documents(sf_dir).repartition(1), budget_tokens=1024
+    )
     return (
         packed.groupby("example_id")
         .aggregate(
@@ -2980,14 +2988,20 @@ def _q_approx_distinct(sf_dir):
 
 
 def _q_approx_quantiles(sf_dir):
+    """EXACT price quantiles via the bounded value histogram
+    (ops/sketch.exact_quantiles): TPC-H prices are fixed-point (two
+    decimals), so the distinct support is bounded and the histogram
+    exchange is exact at any row count.  The lossy mergeable digest
+    (approx_quantiles) remains for unbounded value spaces,
+    pytest-gated."""
     import ray.data
 
-    from kenlm_ray.ops.sketch import approx_quantiles
+    from kenlm_ray.ops.sketch import exact_quantiles
 
     ds = ray.data.read_parquet(
         os.path.join(sf_dir, "lineitem.parquet"), columns=["l_extendedprice"]
     )
-    return approx_quantiles(ds, "l_extendedprice", [0.25, 0.5, 0.75], k=512)
+    return exact_quantiles(ds, "l_extendedprice", [0.25, 0.5, 0.75])
 
 
 def _q_tf_idf(sf_dir):
@@ -3813,9 +3827,10 @@ def _q_temperature_rebalance(sf_dir):
     """Temperature-based language rebalancing (XLM-R sampling rule,
     ops/sample.temperature_rebalance): per-lang targets ∝ p^0.3 with
     largest-remainder rounding and cap redistribution, realized by the
-    variable-k deterministic stratified sample.  Rows-only (splitmix
-    ranks aren't SQL-expressible); tests/test_temperature.py gates
-    exact counts, alpha extremes, caps and partitioning invariance."""
+    variable-k deterministic stratified sample.  Value-exact oracle:
+    the target arithmetic is closed-form and caps never bind at gate
+    scales; tests/test_temperature.py gates exact counts, alpha
+    extremes, caps and partitioning invariance."""
     import ray.data
     from ray.data.aggregate import Count
 
@@ -4211,7 +4226,9 @@ def _q_doc_code_blob_metrics(sf_dir):
 def _q_mixed_language_stats(sf_dir):
     """Per-line langid aggregated per doc: majority language + line
     consistency + mixed flag (stages/langid.MixedLangStats — one split +
-    one trigram-kernel pass per batch).  Rows-only (model-driven)."""
+    one trigram-kernel pass per batch).  Value-exact oracle: the
+    deterministic byte-trigram kernel is re-expressed declaratively in
+    SQL with the embedded-seed weights as literals."""
     import ray.data
 
     from kenlm_ray.stages.langid import MixedLangStats
@@ -5674,8 +5691,250 @@ def _build_hll_sql(inner: str, val: str, p: int, *,
     """
 
 
+def _langid_weight_values() -> "tuple[str, str]":
+    """SQL VALUES literals reproducing stages/langid's deterministic
+    embedded-seed weights bit-for-bit (repr round-trips float64; the
+    model is trained at import time from fixed seed texts, so the
+    oracle embeds the SAME numbers the stage multiplies by)."""
+    import numpy as np
+
+    from kenlm_ray.stages.langid import (
+        LANGS, N_FEATURES, _SEED, feature_buckets_scalar, get_weights,
+    )
+
+    W = get_weights()
+    langs_rows, wt_rows = [], []
+    for li, lang in enumerate(LANGS):
+        counts = np.ones(N_FEATURES)
+        for b in feature_buckets_scalar(_SEED[lang].encode()):
+            counts[b] += 1
+        w0 = float(np.log(np.float64(1.0) / counts.sum()))
+        langs_rows.append(f"({li}, '{lang}', {w0!r})")
+        for b in np.flatnonzero(counts > 1):
+            wt_rows.append(f"({li}, {int(b)}, {float(W[li, int(b)])!r})")
+    return ",".join(langs_rows), ",".join(wt_rows)
+
+
+def _langid_oracle_sql() -> str:
+    """Value-exact langid oracle: the byte-trigram kernel re-expressed
+    declaratively.  The testdata corpus is ASCII, so chars == bytes and
+    ascii(substr(..)) reads the byte values the numpy kernel hashes;
+    score_l = Σ_occ W[l,b] regrouped as Σ_matched (W−W0)·c + nfeat·W0
+    (unmatched buckets carry the add-1 baseline W0 = log(1/tot_l))."""
+    from kenlm_ray.stages.langid import MAX_BYTES, N_FEATURES, TEMPERATURE
+
+    lv, wv = _langid_weight_values()
+    return f"""
+        WITH langs(li, lang, w0) AS (VALUES {lv}),
+        wt(li, b, w) AS (VALUES {wv}),
+        d AS (SELECT doc_id, substr(text, 1, {MAX_BYTES}) AS t
+              FROM documents),
+        occ AS (
+            SELECT doc_id,
+                   (ascii(substr(t, i, 1)) * 961
+                    + ascii(substr(t, i+1, 1)) * 31
+                    + ascii(substr(t, i+2, 1))) % {N_FEATURES} AS b
+            FROM d, unnest(range(1, greatest(length(t) - 1, 1))) AS u(i)
+        ),
+        feat AS (SELECT doc_id, b, count(*)::BIGINT AS c
+                 FROM occ GROUP BY 1, 2),
+        nf AS (SELECT doc_id, sum(c) AS nfeat FROM feat GROUP BY 1),
+        sc0 AS (
+            SELECT f.doc_id, l.li, l.lang, l.w0,
+                   sum(CASE WHEN w.w IS NULL THEN 0.0
+                            ELSE (w.w - l.w0) * f.c END) AS smatch
+            FROM feat f
+            CROSS JOIN langs l
+            LEFT JOIN wt w ON w.li = l.li AND w.b = f.b
+            GROUP BY f.doc_id, l.li, l.lang, l.w0
+        ),
+        sc AS (
+            SELECT s0.doc_id, s0.li, s0.lang,
+                   (s0.smatch + nf.nfeat * s0.w0) / nf.nfeat
+                   * {TEMPERATURE!r} AS s
+            FROM sc0 s0 JOIN nf USING (doc_id)
+        ),
+        win AS (
+            SELECT doc_id, li, lang, s,
+                   max(s) OVER (PARTITION BY doc_id) AS smax,
+                   row_number() OVER (PARTITION BY doc_id
+                                      ORDER BY s DESC, li ASC) AS rn
+            FROM sc
+        ),
+        z AS (SELECT doc_id, sum(exp(s - smax)) AS z FROM win GROUP BY 1),
+        pick AS (
+            SELECT w.doc_id, w.lang,
+                   CAST(exp(w.s - w.smax) / z.z AS FLOAT) AS conf
+            FROM win w JOIN z USING (doc_id) WHERE w.rn = 1
+        )
+        SELECT d.doc_id, d.text,
+               coalesce(p.lang, 'und') AS langid,
+               coalesce(p.conf, CAST(0.0 AS FLOAT)) AS langid_conf
+        FROM (SELECT doc_id, text FROM documents) d
+        LEFT JOIN pick p USING (doc_id)
+    """
+
+
+def _mixed_lang_oracle_sql() -> str:
+    """Value-exact per-line langid oracle (MixedLangStats): the same
+    trigram kernel applied per non-blank line (blank = Unicode-ws trim,
+    here the ASCII subset), majority vote with LANGS-order tie-break,
+    consistency = majority/classified (is_mixed compares UNROUNDED)."""
+    from kenlm_ray.stages.langid import MAX_BYTES, N_FEATURES
+
+    lv, wv = _langid_weight_values()
+    ws = "' ' || chr(9) || chr(13) || chr(11) || chr(12)"
+    return f"""
+        WITH langs(li, lang, w0) AS (VALUES {lv}),
+        wt(li, b, w) AS (VALUES {wv}),
+        lines0 AS (
+            SELECT doc_id, unnest(ls) AS line,
+                   unnest(range(1, len(ls) + 1)) AS ln
+            FROM (SELECT doc_id, string_split(text, chr(10)) AS ls
+                  FROM documents)
+        ),
+        lines AS (
+            SELECT doc_id, ln, substr(line, 1, {MAX_BYTES}) AS t
+            FROM lines0
+            WHERE trim(line, {ws}) <> ''
+        ),
+        locc AS (
+            SELECT doc_id, ln,
+                   (ascii(substr(t, i, 1)) * 961
+                    + ascii(substr(t, i+1, 1)) * 31
+                    + ascii(substr(t, i+2, 1))) % {N_FEATURES} AS b
+            FROM lines, unnest(range(1, greatest(length(t) - 1, 1))) AS u(i)
+        ),
+        lfeat AS (SELECT doc_id, ln, b, count(*)::BIGINT AS c
+                  FROM locc GROUP BY 1, 2, 3),
+        lnf AS (SELECT doc_id, ln, sum(c) AS nfeat FROM lfeat GROUP BY 1, 2),
+        lsc AS (
+            SELECT f.doc_id, f.ln, l.li, l.lang, l.w0,
+                   sum(CASE WHEN w.w IS NULL THEN 0.0
+                            ELSE (w.w - l.w0) * f.c END) AS smatch
+            FROM lfeat f
+            CROSS JOIN langs l
+            LEFT JOIN wt w ON w.li = l.li AND w.b = f.b
+            GROUP BY 1, 2, 3, 4, 5
+        ),
+        lbest AS (
+            SELECT s.doc_id, s.ln, s.li, s.lang,
+                   row_number() OVER (
+                       PARTITION BY s.doc_id, s.ln
+                       ORDER BY (s.smatch + nf.nfeat * s.w0) DESC, s.li ASC
+                   ) AS rn
+            FROM lsc s JOIN lnf nf USING (doc_id, ln)
+        ),
+        class AS (SELECT doc_id, ln, li, lang FROM lbest WHERE rn = 1),
+        histo AS (SELECT doc_id, li, lang, count(*)::BIGINT AS cnt
+                  FROM class GROUP BY 1, 2, 3),
+        maj AS (
+            SELECT doc_id, lang AS majority_lang, cnt,
+                   sum(cnt) OVER (PARTITION BY doc_id) AS classified,
+                   row_number() OVER (PARTITION BY doc_id
+                                      ORDER BY cnt DESC, li ASC) AS rn
+            FROM histo
+        ),
+        nl AS (SELECT doc_id, count(*)::BIGINT AS n_lines
+               FROM lines GROUP BY 1),
+        agg AS (
+            SELECT doc_id, majority_lang, cnt * 1.0 / classified AS cons
+            FROM maj WHERE rn = 1
+        )
+        SELECT d.doc_id, coalesce(nl.n_lines, 0)::BIGINT AS n_lines,
+               coalesce(a.majority_lang, 'und') AS majority_lang,
+               round(coalesce(a.cons, 1.0), 6) AS lang_consistency,
+               coalesce(a.cons, 1.0) < 0.8 AS is_mixed
+        FROM (SELECT doc_id FROM documents) d
+        LEFT JOIN nl USING (doc_id)
+        LEFT JOIN agg a USING (doc_id)
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     return _oracle_aliases({
+        "langid": _langid_oracle_sql(),
+        "mixed_language_stats": _mixed_lang_oracle_sql(),
+        # ops/sample.temperature_rebalance targets: p_g^0.3 shares with
+        # largest-remainder rounding (fraction ties broken in sorted
+        # group order, matching the stable argsort).  budget=200 is far
+        # below every group size at the gate's scales, so the cap-
+        # redistribution rounds never trigger (those stay pytest-gated
+        # in tests/test_temperature.py); the deterministic sample then
+        # keeps exactly k_g rows per group.
+        # exact histogram quantiles (ops/sketch.grouped_exact_quantiles /
+        # exact_quantiles) — np.quantile type-7 linear == quantile_cont
+        "lang_chars_quantiles": """
+            WITH g AS (
+                SELECT lang,
+                       quantile_cont(n_chars, [0.1, 0.5, 0.9]) AS vs
+                FROM documents GROUP BY lang
+            )
+            SELECT lang, unnest([0.1, 0.5, 0.9]) AS q,
+                   unnest(vs) AS value
+            FROM g
+        """,
+        "approx_price_quantiles": """
+            WITH g AS (
+                SELECT quantile_cont(l_extendedprice,
+                                     [0.25, 0.5, 0.75]) AS vs
+                FROM lineitem
+            )
+            SELECT unnest([0.25, 0.5, 0.75]) AS q, unnest(vs) AS value
+            FROM g
+        """,
+        # ops/packing.pack_sequences greedy scan in doc_id order (the
+        # query pins one block) as a linear recursive CTE: new example
+        # iff the running fill is 0 or would exceed the budget; a row
+        # that fills to >= budget closes its example.
+        "packed_examples": r"""
+            WITH RECURSIVE docs AS (
+              SELECT doc_id, nt, row_number() OVER (ORDER BY doc_id) AS rn
+              FROM (SELECT doc_id,
+                           len(list_filter(
+                               regexp_split_to_array(text, '[\t\n\r ]+'),
+                               x -> x <> ''))::BIGINT AS nt
+                    FROM documents)
+            ),
+            walk AS (
+              SELECT rn, doc_id, nt, doc_id AS example_id,
+                     CASE WHEN nt >= 1024 THEN 0 ELSE nt END AS used
+              FROM docs WHERE rn = 1
+              UNION ALL
+              SELECT d.rn, d.doc_id, d.nt,
+                     CASE WHEN w.used = 0 OR w.used + d.nt > 1024
+                          THEN d.doc_id ELSE w.example_id END,
+                     CASE WHEN (CASE WHEN w.used = 0 OR w.used + d.nt > 1024
+                                     THEN d.nt ELSE w.used + d.nt END) >= 1024
+                          THEN 0
+                          ELSE (CASE WHEN w.used = 0 OR w.used + d.nt > 1024
+                                     THEN d.nt ELSE w.used + d.nt END) END
+              FROM walk w JOIN docs d ON d.rn = w.rn + 1
+            )
+            SELECT example_id, count(*)::BIGINT AS n_docs,
+                   sum(nt)::BIGINT AS fill_tokens
+            FROM walk GROUP BY 1
+        """,
+        "temperature_lang_rebalance": """
+            WITH c AS (SELECT lang, count(*)::BIGINT AS n
+                       FROM documents GROUP BY 1),
+            w1 AS (SELECT lang, n,
+                          power(n * 1.0 / (SELECT sum(n) FROM c), 0.3)
+                          AS wraw
+                   FROM c),
+            w2 AS (SELECT lang, n,
+                          wraw / (SELECT sum(wraw) FROM w1) * 200 AS tgt
+                   FROM w1),
+            t AS (SELECT lang, n, tgt, floor(tgt) AS base FROM w2),
+            r AS (SELECT *, row_number() OVER (
+                      ORDER BY (tgt - base) DESC, lang ASC) AS rk
+                  FROM t)
+            SELECT lang,
+                   CAST(base + CASE WHEN rk <= 200 - (SELECT sum(base)
+                                                      FROM t)
+                               THEN 1 ELSE 0 END AS BIGINT) AS n_kept
+            FROM r
+        """,
         "approx_distinct_custkeys": _build_hll_sql(
             "orders", "o_custkey", 12),
         "supplier_approx_distinct_parts": _build_hll_sql(

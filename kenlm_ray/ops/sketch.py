@@ -696,3 +696,108 @@ def grouped_approx_quantiles(
             batch_format="pyarrow",
         )
     )
+
+
+def _hist_quantiles(
+    v: np.ndarray, c: np.ndarray, qs: "list[float]"
+) -> np.ndarray:
+    """Type-7 (numpy-default linear) quantiles from a SORTED value
+    histogram (values v, counts c) without expanding the multiset:
+    rank r's value is v[searchsorted(cumsum, r, 'right')]."""
+    cum = np.cumsum(c)
+    n = int(cum[-1])
+    out = np.empty(len(qs), dtype=np.float64)
+    for j, q in enumerate(qs):
+        h = (n - 1) * float(q)
+        i = int(np.floor(h))
+        x0 = v[np.searchsorted(cum, i, side="right")]
+        x1 = v[np.searchsorted(cum, min(i + 1, n - 1), side="right")]
+        out[j] = x0 + (h - i) * (x1 - x0)
+    return out
+
+
+def grouped_exact_quantiles(
+    ds: "ray.data.Dataset",
+    group_col: str,
+    col: str,
+    qs: "list[float]",
+) -> "ray.data.Dataset":
+    """EXACT per-group quantiles via a bounded (group, value) histogram.
+
+    The right shape when the value column has bounded distinct support
+    (integer lengths, fixed-point prices, enum-ish measures): the
+    exchange carries one row per distinct (group, value) — never raw
+    rows — so a 100-TB table with 10^5 distinct values shuffles 10^5
+    rows per group and the answer is exact, where a mergeable digest
+    (``grouped_approx_quantiles``) would pay ~1/k CDF error for the
+    same bytes.  Quantile rule matches ``np.quantile`` linear
+    interpolation (SQL ``quantile_cont``).  Output: group_col,
+    q (float64), value (float64).
+    """
+    from kenlm_ray.ops.groupagg import group_reduce
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                group_col: batch[group_col],
+                "v": batch[col].cast(pa.float64()),
+                "c": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+            }
+        )
+        return t.group_by([group_col, "v"]).aggregate([("c", "sum")])
+
+    hist = group_reduce(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        [group_col, "v"],
+        [("c_sum", "sum", "c")],
+    )
+
+    def finish(g: pa.Table) -> pa.Table:
+        v = g["v"].to_numpy(zero_copy_only=False).astype(np.float64)
+        c = g["c"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(v, kind="stable")
+        vals = _hist_quantiles(v[order], c[order], qs)
+        key = g[group_col][0]
+        return pa.table(
+            {
+                group_col: pa.array([key.as_py()] * len(qs), type=g[group_col].type),
+                "q": pa.array(np.asarray(qs, dtype=np.float64)),
+                "value": pa.array(vals),
+            }
+        )
+
+    return hist.groupby(group_col).map_groups(finish, batch_format="pyarrow")
+
+
+def exact_quantiles(
+    ds: "ray.data.Dataset", col: str, qs: "list[float]"
+) -> "pa.Table":
+    """EXACT whole-table quantiles via a bounded value histogram (see
+    grouped_exact_quantiles; one driver-side finish over the distinct
+    values).  Returns a small pa.Table (q, value)."""
+    from kenlm_ray.ops.groupagg import group_reduce
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "v": batch[col].cast(pa.float64()),
+                "c": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+            }
+        )
+        return t.group_by(["v"]).aggregate([("c", "sum")])
+
+    hist = group_reduce(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["v"],
+        [("c_sum", "sum", "c")],
+    ).to_pandas()  # distinct values — bounded by assumption
+    v = hist["v"].to_numpy().astype(np.float64)
+    c = hist["c"].to_numpy().astype(np.int64)
+    order = np.argsort(v, kind="stable")
+    vals = _hist_quantiles(v[order], c[order], qs)
+    return pa.table(
+        {
+            "q": pa.array(np.asarray(qs, dtype=np.float64)),
+            "value": pa.array(vals),
+        }
+    )

@@ -362,3 +362,31 @@ def test_grouped_approx_quantiles_accuracy_and_exact_small_groups(ray_session):
         .iloc[0]
     )
     assert gotz["value"] == 50.0
+
+
+def test_exact_quantiles_histogram(ray_session):
+    """exact_quantiles / grouped_exact_quantiles == np.quantile on the
+    expanded multiset (type-7 linear), any partitioning."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from kenlm_ray.ops.sketch import exact_quantiles, grouped_exact_quantiles
+
+    rng = np.random.default_rng(3)
+    vals = rng.integers(0, 50, 5000).astype(np.int64)  # heavy duplication
+    groups = np.array(["a", "b", "c"])[rng.integers(0, 3, 5000)]
+    tbl = pa.table({"g": pa.array(groups), "v": pa.array(vals)})
+    ds = ray.data.from_arrow(tbl).repartition(7)
+    qs = [0.1, 0.5, 0.9]
+
+    got = exact_quantiles(ds, "v", qs).to_pandas()
+    want = np.quantile(vals.astype(np.float64), qs)
+    assert np.allclose(got["value"].to_numpy(), want, rtol=1e-12)
+
+    gq = grouped_exact_quantiles(ds, "g", "v", qs).to_pandas()
+    assert len(gq) == 9
+    for g in "abc":
+        sub = gq[gq["g"] == g].sort_values("q")
+        want = np.quantile(vals[groups == g].astype(np.float64), qs)
+        assert np.allclose(sub["value"].to_numpy(), want, rtol=1e-12), g
