@@ -1381,9 +1381,82 @@ def cmd_quality(args) -> int:
     return 0
 
 
+def cmd_cat(args) -> int:
+    """cat that interprets compressed files (util/cat_compressed_main.cc:
+    18-45): per-file magic sniff (gzip / bzip2 / xz — the codecs
+    DetectMagic supports, read_compressed.cc:342-357), streamed to
+    stdout in bounded chunks; stdin when no file is given."""
+    import sys
+
+    def copy(fh) -> None:
+        while True:
+            chunk = fh.read(16384)
+            if not chunk:
+                break
+            sys.stdout.buffer.write(chunk)
+
+    if not args.files:
+        copy(sys.stdin.buffer)
+        return 0
+    for path in args.files:
+        with open(path, "rb") as raw:
+            magic = raw.read(6)
+        if magic[:2] == b"\x1f\x8b":
+            import gzip
+
+            fh = gzip.open(path, "rb")
+        elif magic[:3] == b"BZh":
+            import bz2
+
+            fh = bz2.open(path, "rb")
+        elif magic == b"\xfd7zXZ\x00":
+            import lzma
+
+            fh = lzma.open(path, "rb")
+        else:
+            fh = open(path, "rb")
+        with fh:
+            copy(fh)
+    return 0
+
+
+def cmd_phrase_vocab(args) -> int:
+    """Per-sentence vocabulary from a Moses phrase table
+    (lm/filter/phrase_table_vocab_main.cc): source text from the file
+    argument, phrase table on stdin, one sorted vocab line per source
+    sentence on stdout."""
+    import sys
+
+    from kenlm_ray.model.arpa import _open_maybe_gzip
+    from kenlm_ray.ops.phrase_vocab import phrase_table_vocab_lines
+
+    with _open_maybe_gzip(args.source) as f:
+        sentences = [ln.rstrip("\n") for ln in f]
+    table_lines = [ln.rstrip("\n") for ln in sys.stdin]
+    for line in phrase_table_vocab_lines(
+        table_lines, sentences, max_length=args.max_length
+    ):
+        print(line)
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="kenlm_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
+
+    cc = sub.add_parser(
+        "cat", help="decompress-to-stdout (cat_compressed)"
+    )
+    cc.add_argument("files", nargs="*")
+    cc.set_defaults(fn=cmd_cat)
+
+    pv = sub.add_parser(
+        "phrase-vocab",
+        help="per-sentence vocab from a Moses phrase table on stdin",
+    )
+    pv.add_argument("source", help="source text, one sentence per line")
+    pv.add_argument("--max-length", type=int, default=7)
+    pv.set_defaults(fn=cmd_phrase_vocab)
 
     sp = sub.add_parser("pack")
     sp.add_argument("arpa")

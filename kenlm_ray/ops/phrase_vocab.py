@@ -1,0 +1,151 @@
+"""Phrase-table vocabulary extraction — the reference's
+``phrase_table_vocab`` utility (/root/reference/lm/filter/
+phrase_table_vocab_main.cc:1-170) re-expressed Ray-Data-first.
+
+Semantics (transcribed, not copied):
+  * Each SOURCE-text sentence is canonicalized (tokens split on
+    ``{\\0, space, \\t}``, re-joined single-spaced) and seeds its own
+    vocabulary with its OWN tokens (``TargetWords::Introduce``).
+  * Every consecutive token span of length <= ``max_length`` (7) of
+    every sentence is indexed: canonical phrase -> sentence ids
+    (``Input::AddSentence``).
+  * Each Moses phrase-table line ``source ||| target ||| ...``
+    contributes its TARGET tokens to the vocabulary of every sentence
+    whose phrase index contains the (single-space canonical) source
+    phrase — with exactly one trailing space stripped from the source
+    field, like the reference.
+  * Output: one row per sentence id with its vocabulary.  The
+    reference prints hash-set order; the SET is the contract, so we
+    emit a sorted list column (deterministic).
+
+Distributed shape: the phrase index is built from the source text
+(sentences to filter FOR — bounded, the small side) and broadcast via
+``ray.put``; the phrase TABLE (the big side, GBs in Moses systems)
+streams through ``map_batches`` emitting only matched (sentence,
+token) pairs, deduped per batch, finished by one grouped distinct
+union keyed by sentence id.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+
+def canonical_tokens(line: str) -> "list[str]":
+    """Reference tokenization: split on {NUL, space, tab}, drop empties
+    (util::TokenIter<AnyCharacter, true> over "\\0 \\t")."""
+    line = line.replace("\t", " ").replace("\x00", " ")
+    return [t for t in line.split(" ") if t]
+
+
+def build_phrase_index(
+    sentences: "list[str]", max_length: int = 7
+) -> "tuple[dict, list[list[str]]]":
+    """(phrase -> [sentence ids], per-sentence seed tokens).  Phrases
+    are canonical single-space joins of consecutive token spans of
+    length 1..max_length (phrase_table_vocab_main.cc:96-108)."""
+    index: "dict[str, list[int]]" = {}
+    seeds: "list[list[str]]" = []
+    for sid, line in enumerate(sentences):
+        toks = canonical_tokens(line)
+        seeds.append(toks)
+        for i in range(len(toks)):
+            for j in range(i + 1, min(len(toks), i + max_length) + 1):
+                index.setdefault(" ".join(toks[i:j]), []).append(sid)
+    return index, seeds
+
+
+def phrase_table_vocab(
+    table_ds: "ray.data.Dataset",
+    source_sentences: "list[str]",
+    *,
+    line_col: str = "line",
+    max_length: int = 7,
+) -> "ray.data.Dataset":
+    """Per-sentence vocabulary rows (sentence_id int64, vocab
+    list<string> sorted) from a phrase-table Dataset of raw lines."""
+    index, seeds = build_phrase_index(source_sentences, max_length)
+    idx_ref = ray.put(index)
+
+    def match(batch: pa.Table) -> pa.Table:
+        idx = ray.get(idx_ref)
+        sids: "list[int]" = []
+        words: "list[str]" = []
+        seen: "set[tuple[int, str]]" = set()
+        for line in batch[line_col].to_pylist():
+            if line is None:
+                continue
+            parts = line.split("|||")
+            if len(parts) < 2:
+                continue  # no target field (the reference assumes one)
+            source = parts[0]
+            if source.endswith(" "):
+                source = source[:-1]
+            sentences = idx.get(source)
+            if not sentences:
+                continue
+            targets = [t for t in parts[1].split(" ") if t]
+            for sid in sentences:
+                for t in targets:
+                    if (sid, t) not in seen:
+                        seen.add((sid, t))
+                        sids.append(sid)
+                        words.append(t)
+        return pa.table(
+            {
+                "sentence_id": pa.array(sids, type=pa.int64()),
+                "word": pa.array(words, type=pa.string()),
+            }
+        )
+
+    pair_seed = pa.table(
+        {
+            "sentence_id": pa.array(
+                np.repeat(
+                    np.arange(len(seeds), dtype=np.int64),
+                    [len(s) for s in seeds],
+                )
+            ),
+            "word": pa.array(
+                [w for s in seeds for w in s], type=pa.string()
+            ),
+        }
+    )
+    pairs = table_ds.map_batches(match, batch_format="pyarrow").union(
+        ray.data.from_arrow(pair_seed)
+    )
+
+    def finish(g: pa.Table) -> pa.Table:
+        sid = g["sentence_id"][0].as_py()
+        vocab = sorted(set(g["word"].to_pylist()))
+        return pa.table(
+            {
+                "sentence_id": pa.array([sid], type=pa.int64()),
+                "vocab": pa.array([vocab], type=pa.list_(pa.string())),
+            }
+        )
+
+    return pairs.groupby("sentence_id").map_groups(
+        finish, batch_format="pyarrow"
+    )
+
+
+def phrase_table_vocab_lines(
+    table_lines: "list[str]", source_sentences: "list[str]",
+    max_length: int = 7,
+) -> "list[str]":
+    """CLI-shaped wrapper: returns one space-joined vocab line per
+    source sentence (sorted tokens; the reference prints hash-set
+    order — the set is the contract)."""
+    ds = ray.data.from_items([{"line": ln} for ln in table_lines])
+    out = phrase_table_vocab(ds, source_sentences, max_length=max_length)
+    by_id = {
+        r["sentence_id"]: r["vocab"] for r in out.take_all()
+    }
+    return [
+        " ".join(by_id.get(i, [])) for i in range(len(source_sentences))
+    ]

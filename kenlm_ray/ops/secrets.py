@@ -50,14 +50,17 @@ def high_entropy_metrics(
     *,
     min_len: int = 20,
     threshold_bits: float = 3.5,
+    stream=None,
 ) -> dict:
-    """Per-doc candidate / high-entropy token counters."""
+    """Per-doc candidate / high-entropy token counters.  Pass a
+    precomputed ``stream`` (TokenStream of exactly ``content``) to
+    reuse the tokenize pass — the fused flagship scorer path."""
     import pyarrow.compute as pc
 
     if isinstance(content, pa.ChunkedArray):
         content = content.combine_chunks()
     content = pc.fill_null(content, "")
-    ts = tokenize_column(content)
+    ts = stream if stream is not None else tokenize_column(content)
     n = len(content)
     out_c = np.zeros(n, dtype=np.int64)
     out_h = np.zeros(n, dtype=np.int64)

@@ -106,6 +106,8 @@ def build_quality_pipeline(
     classifier_model=None,
     toxicity_blocklist: "list[str] | None" = None,
     toxicity_threshold: float = 0.05,
+    toxicity_mode: str = "scrubbed",
+    with_secrets: bool = False,
 ) -> "ray.data.Dataset":
     """Assemble the lazy scored-Dataset plan over a corpus Dataset.
 
@@ -119,12 +121,33 @@ def build_quality_pipeline(
     fastText-style quality/domain classifier, ops/classifier.py).
     Off by default; the default flagship schema is unchanged.
 
-    ``toxicity_blocklist``: optional word list — appends the
-    `stages/toxicity.py` flag stage over the scrubbed content
-    (``toxicity_score``/``is_toxic`` columns), the toxicity half of the
-    north star's scrub step.  Off by default."""
+    ``toxicity_blocklist``: optional word list — emits
+    ``toxicity_score``/``is_toxic`` columns, the toxicity half of the
+    north star's scrub step.  Off by default.  ``toxicity_mode``:
+    "scrubbed" (default) appends the `stages/toxicity.py` flag stage
+    over the POST-SCRUB content; "fused" folds the blocklist membership
+    into the PplScorer actor's own TokenStream (zero extra tokenize
+    passes or content hops — scores RAW content, which differs from
+    "scrubbed" only on tokens the PII scrub rewrites).
+
+    ``with_secrets``: emit the secret-scan counters (``n_candidates``/
+    ``n_high_entropy``) from the scorer's TokenStream — the fused
+    variant of ops/secrets.secret_scan_stage.  Off by default."""
     cfg = cfg or QualityConfig()
     model_path = model_path or seed_model_path()
+    if toxicity_mode not in ("scrubbed", "fused"):
+        raise ValueError(f"unknown toxicity_mode {toxicity_mode!r}")
+    fused_tox = toxicity_blocklist is not None and toxicity_mode == "fused"
+    tox_hashes_ref = None
+    if fused_tox:
+        import numpy as _np
+        import ray as _ray
+
+        from kenlm_ray.functions.hashing import hash_bytes_array
+
+        tox_hashes_ref = _ray.put(
+            _np.sort(hash_bytes_array(list(toxicity_blocklist)))
+        )
     if dedupe:
         from kenlm_ray.ops.dedup import exact_dedup
 
@@ -147,13 +170,18 @@ def build_quality_pipeline(
     # dominant shared cost of the two heaviest stages) run ONCE per doc
     # instead of twice, and the content column crosses the object store
     # one fewer time
+    scorer_kwargs = {
+        "size_gate": gate,
+        "with_metrics": fuse_heuristics,
+        "with_secrets": with_secrets,
+    }
+    if fused_tox:
+        scorer_kwargs["toxicity_hashes"] = tox_hashes_ref
+        scorer_kwargs["toxicity_threshold"] = toxicity_threshold
     ds = ds.map_batches(
         PplScorer,
         fn_constructor_args=(model_path,),
-        fn_constructor_kwargs={
-            "size_gate": gate,
-            "with_metrics": fuse_heuristics,
-        },
+        fn_constructor_kwargs=scorer_kwargs,
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=scorer_concurrency,
@@ -172,7 +200,7 @@ def build_quality_pipeline(
         batch_size=batch_size,
     )
     ds = ds.map_batches(decide_stage, batch_format="pyarrow", batch_size=batch_size)
-    if toxicity_blocklist is not None:
+    if toxicity_blocklist is not None and not fused_tox:
         import numpy as np
         import ray as _ray
 
@@ -217,6 +245,8 @@ def build_quality_pipeline(
             ["toxicity_score", "is_toxic"]
             if toxicity_blocklist is not None
             else []
+        ) + (
+            ["n_candidates", "n_high_entropy"] if with_secrets else []
         ) + (
             ["clf_label", "clf_conf"] if classifier_model is not None else []
         )

@@ -27,6 +27,9 @@ class PplScorer:
         text_col: str = "content",
         size_gate: "tuple[int, int] | None" = None,
         with_metrics: bool = False,
+        toxicity_hashes=None,
+        toxicity_threshold: float = 0.05,
+        with_secrets: bool = False,
     ):
         """``size_gate=(min_bytes, max_bytes)``: documents outside the
         bounds are NOT scored (they are doomed by the cheap size rules
@@ -36,7 +39,17 @@ class PplScorer:
         ``with_metrics=True``: also emit the heuristics metric columns,
         computed from the SAME TokenStream (tokenize + token hashing run
         once for scoring AND repetition stats — the dominant shared cost;
-        replaces the separate heuristics task stage)."""
+        replaces the separate heuristics task stage).
+
+        ``toxicity_hashes``: optional SORTED u64 blocklist hash array
+        (or its ``ray.put`` ObjectRef) — emit ``toxicity_score`` /
+        ``is_toxic`` from the SAME TokenStream (the memoized token
+        hashes make the membership test a searchsorted).  Fused
+        toxicity scores RAW content — the standalone post-scrub stage
+        (build_quality_pipeline toxicity_mode="scrubbed") differs only
+        on tokens a PII scrub rewrites.  ``with_secrets=True``: emit
+        the ``n_candidates`` / ``n_high_entropy`` secret-scan counters
+        from the same stream (ops/secrets.high_entropy_metrics)."""
         import ray
 
         if isinstance(model_ref, ray.ObjectRef):
@@ -62,6 +75,42 @@ class PplScorer:
         self.text_col = text_col
         self.size_gate = size_gate
         self.with_metrics = with_metrics
+        if toxicity_hashes is not None and isinstance(
+            toxicity_hashes, ray.ObjectRef
+        ):
+            toxicity_hashes = ray.get(toxicity_hashes)
+        self.tox_hashes = toxicity_hashes
+        self.tox_threshold = toxicity_threshold
+        self.with_secrets = with_secrets
+
+    def _scan_extras(self, col, stream) -> dict:
+        """Toxicity / secret-scan counters from the scorer's OWN
+        TokenStream — zero extra tokenize passes, zero extra content
+        hops (round-4 fusion; the standalone stages remain for the
+        post-scrub variant)."""
+        out: dict = {}
+        if self.tox_hashes is not None:
+            from kenlm_ray.stages.toxicity import blocklist_hits
+
+            nt, hit = blocklist_hits(col, self.tox_hashes, stream=stream)
+            score = np.where(nt > 0, hit / np.maximum(nt, 1), 0.0)
+            out["toxicity_score"] = np.round(score, 6)
+            out["is_toxic"] = score > self.tox_threshold
+        if self.with_secrets:
+            from kenlm_ray.ops.secrets import high_entropy_metrics
+
+            m = high_entropy_metrics(col, stream=stream)
+            out["n_candidates"] = m["n_candidates"]
+            out["n_high_entropy"] = m["n_high_entropy"]
+        return out
+
+    def _extra_spec(self) -> "list[tuple[str, type]]":
+        spec: "list[tuple[str, type]]" = []
+        if self.tox_hashes is not None:
+            spec += [("toxicity_score", np.float64), ("is_toxic", np.bool_)]
+        if self.with_secrets:
+            spec += [("n_candidates", np.int64), ("n_high_entropy", np.int64)]
+        return spec
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         col = batch[self.text_col]
@@ -69,6 +118,7 @@ class PplScorer:
             col = col.combine_chunks()
         metrics = None
         sel = None
+        scans: dict = {}
         n = len(batch)
         if self.size_gate is not None:
             from kenlm_ray.functions.tokenize import _string_buffers
@@ -96,6 +146,7 @@ class PplScorer:
                     from kenlm_ray.stages.heuristics import compute_heuristics
 
                     metrics = compute_heuristics(sub, stream=stream)
+                scans = self._scan_extras(sub, stream)
         else:
             stream = tokenize_column(col)
             sc = self.lm.score_stream(stream)
@@ -106,6 +157,15 @@ class PplScorer:
                 from kenlm_ray.stages.heuristics import compute_heuristics
 
                 metrics = compute_heuristics(col, stream=stream)
+            scans = self._scan_extras(col, stream)
+        for name, dt in self._extra_spec():
+            if sel is not None or not scans:
+                arr = np.zeros(n, dtype=dt)
+                if scans:
+                    arr[sel] = scans[name]
+            else:
+                arr = np.asarray(scans[name], dtype=dt)
+            batch = batch.append_column(name, pa.array(arr))
         if self.with_metrics:
             from kenlm_ray.stages.heuristics import (
                 INT_METRICS,

@@ -42,15 +42,19 @@ DEFAULT_BLOCKLIST = ("slow", "stale", "broken")
 
 
 def blocklist_hits(
-    col: "pa.Array | pa.ChunkedArray", bh: np.ndarray
+    col: "pa.Array | pa.ChunkedArray", bh: np.ndarray, *, stream=None
 ) -> "tuple[np.ndarray, np.ndarray]":
     """(n_tokens, n_flagged) int64 arrays for a string column against a
     SORTED u64 blocklist hash array — the shared membership kernel
     behind `toxicity_flags` and the pipeline's inline toxicity stage.
-    Null rows count as zero tokens."""
+    Null rows count as zero tokens.  Pass a precomputed ``stream``
+    (TokenStream of exactly ``col``) to reuse the tokenize+hash pass —
+    the fused flagship scorer path; its memoized token hashes make the
+    membership test a searchsorted, nearly free."""
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
-    stream = tokenize_column(col.fill_null(""))
+    if stream is None:
+        stream = tokenize_column(col.fill_null(""))
     th = stream.hashes()
     n = len(col)
     n_tokens = np.bincount(stream.doc_ids, minlength=n).astype(np.int64)

@@ -1,0 +1,86 @@
+"""phrase_table_vocab (lm/filter/phrase_table_vocab_main.cc semantics):
+per-sentence vocab = own tokens ∪ targets of every phrase-table line
+whose source phrase occurs as a consecutive token span (length <= 7)."""
+
+import ray.data
+
+from kenlm_ray.ops.phrase_vocab import (
+    build_phrase_index,
+    canonical_tokens,
+    phrase_table_vocab,
+    phrase_table_vocab_lines,
+)
+
+
+def test_canonical_tokens_delimiters():
+    assert canonical_tokens("a\tb\x00c  d ") == ["a", "b", "c", "d"]
+    assert canonical_tokens("") == []
+
+
+def test_phrase_index_spans_and_cap():
+    idx, seeds = build_phrase_index(["a b c"], max_length=2)
+    assert seeds == [["a", "b", "c"]]
+    assert set(idx) == {"a", "b", "c", "a b", "b c"}  # no "a b c" (cap 2)
+    assert idx["b"] == [0]
+    # same phrase in two sentences lists both
+    idx2, _ = build_phrase_index(["x y", "y z"], max_length=7)
+    assert idx2["y"] == [0, 1]
+
+
+def test_phrase_table_vocab_end_to_end(ray_session):
+    sentences = ["the quick brown fox", "jumps over the lazy dog"]
+    table = [
+        "quick brown ||| rapide brun ||| 0.5",  # trailing space stripped
+        "lazy dog ||| chien paresseux ||| 0.1",
+        "the ||| le la ||| 1.0",  # matches both sentences
+        "missing phrase ||| xxx ||| 1",  # no match
+        "no target field",  # skipped (reference assumes ||| present)
+    ]
+    got = phrase_table_vocab_lines(table, sentences)
+    assert got[0].split() == sorted(
+        set("the quick brown fox".split()) | {"rapide", "brun", "le", "la"}
+    )
+    assert got[1].split() == sorted(
+        set("jumps over the lazy dog".split())
+        | {"chien", "paresseux", "le", "la"}
+    )
+
+
+def test_phrase_table_vocab_dataset_shape(ray_session):
+    ds = ray.data.from_items(
+        [{"line": "b c ||| T1 |||"}, {"line": "zzz ||| T2 |||"}]
+    )
+    out = phrase_table_vocab(ds, ["a b c", "b c d"]).take_all()
+    by_id = {r["sentence_id"]: r["vocab"] for r in out}
+    assert by_id[0] == sorted({"a", "b", "c", "T1"})
+    assert by_id[1] == sorted({"b", "c", "d", "T1"})
+
+
+def test_cli_cat_and_phrase_vocab(tmp_path, capfd, monkeypatch, ray_session):
+    import bz2
+    import gzip
+    import io
+    import lzma
+    import sys
+
+    from kenlm_ray.cli import main
+
+    plain = tmp_path / "a.txt"
+    plain.write_text("hello\n")
+    gz = tmp_path / "b.gz"
+    gz.write_bytes(gzip.compress(b"world\n"))
+    bz = tmp_path / "c.bz2"
+    bz.write_bytes(bz2.compress(b"again\n"))
+    xz = tmp_path / "d.xz"
+    xz.write_bytes(lzma.compress(b"xz!\n"))
+    assert main(["cat", str(plain), str(gz), str(bz), str(xz)]) == 0
+    assert capfd.readouterr().out == "hello\nworld\nagain\nxz!\n"
+
+    src = tmp_path / "src.txt"
+    src.write_text("the quick fox\n")
+    monkeypatch.setattr(
+        sys, "stdin", io.StringIO("quick fox ||| schnell fuchs ||| 1\n")
+    )
+    assert main(["phrase-vocab", str(src)]) == 0
+    out = capfd.readouterr().out.strip().split()
+    assert out == sorted({"the", "quick", "fox", "schnell", "fuchs"})

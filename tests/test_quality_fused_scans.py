@@ -1,0 +1,133 @@
+"""Round-4 fusion: toxicity + secret-scan counters from the PplScorer's
+own TokenStream.  Gates: (a) fused outputs equal the standalone stages
+wherever the PII scrub is a no-op, (b) enabling the extras leaves every
+pre-existing scorer column byte-identical, (c) the size gate zeroes the
+extras like every other scored column."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray.data
+
+from kenlm_ray.ops.secrets import secret_scan_stage
+from kenlm_ray.pipelines.quality_filter import (
+    build_quality_pipeline, seed_model_path,
+)
+from kenlm_ray.sources.synth_corpus import write_corpus
+from kenlm_ray.stages.toxicity import DEFAULT_BLOCKLIST
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("fused_corpus"))
+    return write_corpus(d, 120, seed=11, n_shards=4)
+
+
+def _sorted(df):
+    return df.sort_values(["repo", "path"]).reset_index(drop=True)
+
+
+def test_fused_equals_scrubbed_stage_when_scrub_noop(ray_session, corpus):
+    """The synthetic corpus carries no PII, so scrub is the identity
+    and fused (raw-content) toxicity must equal the post-scrub stage."""
+    ds = ray.data.read_parquet(corpus)
+    bl = list(DEFAULT_BLOCKLIST)
+    a = _sorted(
+        build_quality_pipeline(
+            ds, seed_model_path(), toxicity_blocklist=bl,
+            toxicity_mode="scrubbed",
+        ).to_pandas()
+    )
+    b = _sorted(
+        build_quality_pipeline(
+            ds, seed_model_path(), toxicity_blocklist=bl,
+            toxicity_mode="fused",
+        ).to_pandas()
+    )
+    assert list(a.columns) == list(b.columns)
+    for c in a.columns:
+        av, bv = a[c].to_numpy(), b[c].to_numpy()
+        if av.dtype.kind == "f":
+            assert np.allclose(av, bv, equal_nan=True), c
+        else:
+            assert (av == bv).all(), c
+    assert a["toxicity_score"].max() > 0  # the blocklist actually fires
+
+
+def test_extras_leave_score_columns_identical(ray_session, corpus):
+    ds = ray.data.read_parquet(corpus)
+    base = _sorted(build_quality_pipeline(ds, seed_model_path()).to_pandas())
+    extra = _sorted(
+        build_quality_pipeline(
+            ds, seed_model_path(),
+            toxicity_blocklist=list(DEFAULT_BLOCKLIST),
+            toxicity_mode="fused", with_secrets=True,
+        ).to_pandas()
+    )
+    for c in base.columns:
+        av, bv = base[c].to_numpy(), extra[c].to_numpy()
+        if av.dtype.kind == "f":
+            assert np.allclose(av, bv, equal_nan=True), c
+        else:
+            assert (av == bv).all(), c
+    assert {"n_candidates", "n_high_entropy"} <= set(extra.columns)
+
+
+def test_fused_secrets_match_standalone_stage(ray_session):
+    rows = [
+        {"repo": "r", "path": f"p{i}", "commit": "c", "lang": "en",
+         "content": t}
+        for i, t in enumerate(
+            [
+                "short words only here " * 20,
+                "key kJ8xQ2mVp9ZrT4wLnY6bEDcF1aGhU3sO embedded " * 10,
+                "aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa low entropy " * 10,
+            ]
+        )
+    ]
+    ds = ray.data.from_items(rows)
+    fused = (
+        build_quality_pipeline(
+            ds, seed_model_path(), with_secrets=True, project=False
+        )
+        .to_pandas()
+        .sort_values("path")
+        .reset_index(drop=True)
+    )
+    want = (
+        ds.map_batches(secret_scan_stage(), batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("path")
+        .reset_index(drop=True)
+    )
+    assert fused["n_candidates"].tolist() == want["n_candidates"].tolist()
+    assert fused["n_high_entropy"].tolist() == want["n_high_entropy"].tolist()
+    assert fused["n_high_entropy"].sum() > 0
+
+
+def test_size_gate_zeroes_extras(ray_session):
+    rows = [
+        {"repo": "r", "path": "tiny", "commit": "c", "lang": "en",
+         "content": "x"},
+        {"repo": "r", "path": "ok", "commit": "c", "lang": "en",
+         "content": "hello world " * 50
+         + " kJ8xQ2mVp9ZrT4wLnY6bEDcF1aGhU3sO"},
+    ]
+    from kenlm_ray.pipelines.quality_filter import QualityConfig
+
+    cfg = QualityConfig()
+    assert len("x") < cfg.min_bytes
+    out = (
+        build_quality_pipeline(
+            ray.data.from_items(rows), seed_model_path(),
+            toxicity_blocklist=list(DEFAULT_BLOCKLIST),
+            toxicity_mode="fused", with_secrets=True, project=False,
+        )
+        .to_pandas()
+        .set_index("path")
+    )
+    assert out.loc["tiny", "toxicity_score"] == 0.0
+    assert not out.loc["tiny", "is_toxic"]
+    assert out.loc["tiny", "n_candidates"] == 0
+    assert out.loc["ok", "n_candidates"] > 0
