@@ -1395,28 +1395,30 @@ def cmd_cat(args) -> int:
                 break
             sys.stdout.buffer.write(chunk)
 
-    if not args.files:
-        copy(sys.stdin.buffer)
-        return 0
-    for path in args.files:
-        with open(path, "rb") as raw:
-            magic = raw.read(6)
+    def decompressed(raw, magic):
         if magic[:2] == b"\x1f\x8b":
             import gzip
 
-            fh = gzip.open(path, "rb")
-        elif magic[:3] == b"BZh":
+            return gzip.GzipFile(fileobj=raw)
+        if magic[:3] == b"BZh":
             import bz2
 
-            fh = bz2.open(path, "rb")
-        elif magic == b"\xfd7zXZ\x00":
+            return bz2.BZ2File(raw)
+        if magic[:6] == b"\xfd7zXZ\x00":
             import lzma
 
-            fh = lzma.open(path, "rb")
-        else:
-            fh = open(path, "rb")
-        with fh:
-            copy(fh)
+            return lzma.LZMAFile(raw)
+        return raw
+
+    if not args.files:
+        import io
+
+        buf = io.BufferedReader(sys.stdin.buffer.raw)
+        copy(decompressed(buf, buf.peek(6)[:6]))
+        return 0
+    for path in args.files:
+        with open(path, "rb") as raw:
+            copy(decompressed(raw, raw.peek(6)[:6]))
     return 0
 
 
