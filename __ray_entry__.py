@@ -5862,6 +5862,41 @@ def oracle_sql() -> dict[str, str]:
         # redistribution rounds never trigger (those stay pytest-gated
         # in tests/test_temperature.py); the deterministic sample then
         # keeps exactly k_g rows per group.
+        # Okapi BM25 (+1 idf, Lucene variant) — scores rounded to 6
+        # BEFORE the hit cut and the (score desc, id asc) top-20, same
+        # as ops/bm25.bm25_topk(round_decimals=6)
+        "bm25_top20_docs": f"""
+            WITH toks AS ({_TOKS}),
+            d AS (SELECT doc_id, len(w)::DOUBLE AS dl, w FROM toks),
+            meta AS (SELECT count(*)::DOUBLE AS n, sum(dl) AS sl FROM d),
+            terms(t) AS (VALUES ('data'), ('key'), ('merge'), ('window')),
+            tf AS (
+                SELECT d.doc_id, terms.t, d.dl,
+                       len(list_filter(d.w, x -> x = terms.t))::DOUBLE AS tf
+                FROM d CROSS JOIN terms
+            ),
+            df AS (SELECT t,
+                          sum(CASE WHEN tf > 0 THEN 1 ELSE 0 END)::DOUBLE
+                          AS df
+                   FROM tf GROUP BY 1),
+            idf AS (SELECT t,
+                           ln(((SELECT n FROM meta) - df + 0.5)
+                              / (df + 0.5) + 1.0) AS idf
+                    FROM df),
+            sc AS (
+                SELECT tf.doc_id,
+                       round(sum(CASE WHEN tf.tf > 0 THEN
+                           idf.idf * tf.tf / (tf.tf + 1.2 * (1 - 0.75
+                               + 0.75 * tf.dl / greatest(
+                                   (SELECT sl FROM meta)
+                                   / greatest((SELECT n FROM meta), 1.0),
+                                   1e-12)))
+                           ELSE 0 END), 6) AS score
+                FROM tf JOIN idf USING (t) GROUP BY tf.doc_id
+            )
+            SELECT doc_id, score FROM sc WHERE score > 0
+            ORDER BY score DESC, doc_id ASC LIMIT 20
+        """,
         # exact histogram quantiles (ops/sketch.grouped_exact_quantiles /
         # exact_quantiles) — np.quantile type-7 linear == quantile_cont
         "lang_chars_quantiles": """

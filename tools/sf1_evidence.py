@@ -1,0 +1,146 @@
+"""sf1-scale (7.2M docs, 10x the bench corpus) evidence for the
+shuffle-heavy families: does wall grow ~linearly (fixed overheads
+amortize) from 720k to 7.2M docs?
+
+Runs each job once in a fresh process at 32 CPUs over the cached
+synthetic corpora and prints one JSON line per job plus a summary.
+Record: BASELINE.md "sf1 shuffle-heavy" table.
+
+Usage:  python tools/sf1_evidence.py            # all three jobs
+        SF1_JOB=mkn SF1_ROWS=7200000 python tools/sf1_evidence.py --inner
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+JOBS = ("mkn", "minhash", "softdedup")
+SIZES = (720_000, 7_200_000)
+
+
+def _paths(rows: int) -> "list[str]":
+    from kenlm_ray.sources.synth_corpus import write_corpus
+
+    return write_corpus(
+        f"/tmp/kenlm_ray_bench/sf0.1_{rows}", rows, seed=42,
+        n_shards=64 if rows <= 1_000_000 else 256,
+    )
+
+
+def _run_inner() -> None:
+    import ray
+
+    rows = int(os.environ["SF1_ROWS"])
+    job = os.environ["SF1_JOB"]
+    ray.init(address="local", num_cpus=32, include_dashboard=False,
+             logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    import ray.data
+
+    paths = _paths(rows)
+    ray.data.read_parquet(paths).count()  # warm page cache, untimed
+    t0 = time.time()
+    if job == "mkn":
+        from kenlm_ray.ngram.estimate import estimate_mkn
+
+        ds = ray.data.read_parquet(paths, columns=["content"])
+        res = estimate_mkn(ds, order=2, num_partitions=64,
+                           text_col="content")
+        n = res["arpa_tables"][2].count()
+    elif job == "minhash":
+        import numpy as np
+        import pyarrow as pa
+
+        from kenlm_ray.functions.hashing import murmur64_stream
+        from kenlm_ray.functions.tokenize import _string_buffers
+        from kenlm_ray.ops.dedup import minhash_lsh_pairs
+
+        def add_id(batch: "pa.Table") -> "pa.Table":
+            rp = pa.compute.binary_join_element_wise(
+                batch["repo"], batch["path"], "\x00"
+            )
+            if isinstance(rp, pa.ChunkedArray):
+                rp = rp.combine_chunks()
+            off, data = _string_buffers(rp)
+            h = murmur64_stream(data, off[:-1], off[1:] - off[:-1])
+            return pa.table(
+                {"doc_id": pa.array((h >> np.uint64(1)).astype(np.int64)),
+                 "content": batch["content"]}
+            )
+
+        ds = ray.data.read_parquet(
+            paths, columns=["repo", "path", "content"]
+        ).map_batches(add_id, batch_format="pyarrow")
+        n = minhash_lsh_pairs(
+            ds, text_col="content", id_col="doc_id",
+            jaccard_threshold=0.7,
+        ).count()
+    elif job == "softdedup":
+        import numpy as np
+        import pyarrow as pa
+
+        from kenlm_ray.functions.hashing import murmur64_stream
+        from kenlm_ray.functions.tokenize import _string_buffers
+        from kenlm_ray.ops.softdedup import soft_dedup_weights
+
+        def add_id2(batch: "pa.Table") -> "pa.Table":
+            rp = pa.compute.binary_join_element_wise(
+                batch["repo"], batch["path"], "\x00"
+            )
+            if isinstance(rp, pa.ChunkedArray):
+                rp = rp.combine_chunks()
+            off, data = _string_buffers(rp)
+            h = murmur64_stream(data, off[:-1], off[1:] - off[:-1])
+            return pa.table(
+                {"doc_id": pa.array((h >> np.uint64(1)).astype(np.int64)),
+                 "content": batch["content"]}
+            )
+
+        ds = ray.data.read_parquet(
+            paths, columns=["repo", "path", "content"]
+        ).map_batches(add_id2, batch_format="pyarrow")
+        n = soft_dedup_weights(ds, text_col="content").count()
+    else:
+        raise SystemExit(f"unknown SF1_JOB {job}")
+    wall = time.time() - t0
+    ray.shutdown()
+    print(json.dumps({"job": job, "rows": rows, "sec": round(wall, 2),
+                      "rows_out": n,
+                      "docs_per_sec": round(rows / wall, 1)}))
+
+
+def main() -> None:
+    results: dict = {"metric": "sf1 shuffle-heavy evidence",
+                     "cpus": 32, "sizes": list(SIZES)}
+    for job in JOBS:
+        results[job] = {}
+        for rows in SIZES:
+            env = dict(os.environ, SF1_JOB=job, SF1_ROWS=str(rows))
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--inner"],
+                env=env, capture_output=True, text=True, check=True,
+            ).stdout
+            d = json.loads(out.strip().splitlines()[-1])
+            results[job][str(rows)] = d
+            print(json.dumps(d), flush=True)
+        small = results[job][str(SIZES[0])]
+        big = results[job][str(SIZES[1])]
+        results[job]["wall_growth_at_10x_data"] = round(
+            big["sec"] / small["sec"], 2
+        )
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    if "--inner" in sys.argv:
+        _run_inner()
+    else:
+        main()
