@@ -4832,6 +4832,341 @@ def _mkn_bigram_sql(prune: bool, tail: str = "bigram") -> str:
     """
 
 
+
+_PPL_DISCOUNT = """
+            SELECT
+              greatest(0.0, least(1.0, CASE WHEN t1 > 0 AND t2 > 0
+                THEN 1.0 - 2.0 * (t1 / (t1 + 2.0 * t2)) * t2 / t1 ELSE 0.5 END)) AS D1,
+              greatest(0.0, least(2.0, CASE WHEN t1 > 0 AND t2 > 0
+                THEN 2.0 - 3.0 * (t1 / (t1 + 2.0 * t2)) * t3 / t2 ELSE 1.0 END)) AS D2,
+              greatest(0.0, least(3.0, CASE WHEN t1 > 0 AND t2 > 0 AND t3 > 0
+                THEN 3.0 - 4.0 * (t1 / (t1 + 2.0 * t2)) * t4 / t3 ELSE 1.5 END)) AS D3
+"""
+
+
+def _ppl_sql_parts() -> str:
+    """WITH-body CTE chain reproducing the flagship's in-domain model
+    AND its scorer, value-exactly:
+
+      [train]  order-3 interpolated modified-Kneser-Ney over the
+               documents view, docs as single sentences via the
+               trainer's str.split() (model/train_quick.train_kn — the
+               spec behind pipelines/quality_filter.domain_model_path).
+      [pack]   the PackedModel's on-disk value semantics
+               (model/pack.pack_model(backoff_bits=8)): log10 probs and
+               unigram backoffs rounded to float32; bigram backoffs
+               quantized to 256 equal-frequency bins (train_bins sort →
+               contiguous buckets → mean centers, quantize = nearest
+               center via midpoint search) — the "quantized backoff
+               weights" of the north star, reproduced bin for bin.
+      [score]  the backoff walk (model/scorer.VectorLM.score_sentences,
+               lm/model.cc:245-296 semantics): per line-sentence, per
+               scored position (tokens + </s>), logprob = f32 prob of
+               the longest found n-gram + the f32 backoffs of the
+               context suffixes the walk stopped at, accumulated f64.
+
+    Verified bit-exact against PplScorer on sf0.01 (0 of 500 docs
+    differ; max rel 2e-16).
+    """
+    return f"""
+        sents AS (
+            SELECT list_filter(
+                     list_transform(
+                       regexp_split_to_array(text,
+                         '[\\x00\\t\\n\\x0b\\x0c\\r ]+'),
+                       x -> CASE WHEN x IN ('<s>', '</s>', '<unk>')
+                            THEN '<unk>' ELSE x END),
+                     x -> x <> '') AS w
+            FROM documents
+        ),
+        ttoks AS (
+            SELECT ['<s>'] || w || ['</s>'] AS t FROM sents WHERE len(w) > 0
+        ),
+        tri AS (
+            SELECT t[i] AS w1, t[i+1] AS w2, t[i+2] AS w3,
+                   count(*)::DOUBLE AS c
+            FROM ttoks, unnest(range(1, len(t) - 1)) AS u(i)
+            GROUP BY 1, 2, 3
+        ),
+        big_raw AS (
+            SELECT t[i] AS w1, t[i+1] AS w2, count(*)::DOUBLE AS c
+            FROM ttoks, unnest(range(1, len(t))) AS u(i)
+            GROUP BY 1, 2
+        ),
+        lext2 AS (
+            SELECT w2 AS w1, w3 AS w2, count(*)::DOUBLE AS le
+            FROM tri GROUP BY 1, 2
+        ),
+        adj2 AS (
+            SELECT b.w1, b.w2,
+                   CASE WHEN b.w1 = '<s>' THEN b.c
+                        ELSE coalesce(l.le, b.c) END AS c
+            FROM big_raw b LEFT JOIN lext2 l USING (w1, w2)
+        ),
+        adj1 AS (
+            SELECT w2 AS w, count(*)::DOUBLE AS c FROM big_raw GROUP BY w2
+        ),
+        h1 AS (
+            SELECT sum((c = 1)::INT)::DOUBLE AS t1, sum((c = 2)::INT)::DOUBLE AS t2,
+                   sum((c = 3)::INT)::DOUBLE AS t3, sum((c = 4)::INT)::DOUBLE AS t4
+            FROM adj1
+        ),
+        h2 AS (
+            SELECT sum((c = 1)::INT)::DOUBLE AS t1, sum((c = 2)::INT)::DOUBLE AS t2,
+                   sum((c = 3)::INT)::DOUBLE AS t3, sum((c = 4)::INT)::DOUBLE AS t4
+            FROM adj2 WHERE w1 <> '<s>'
+        ),
+        h3 AS (
+            SELECT sum((c = 1)::INT)::DOUBLE AS t1, sum((c = 2)::INT)::DOUBLE AS t2,
+                   sum((c = 3)::INT)::DOUBLE AS t3, sum((c = 4)::INT)::DOUBLE AS t4
+            FROM tri
+        ),
+        d1 AS ({_PPL_DISCOUNT} FROM h1),
+        d2 AS ({_PPL_DISCOUNT} FROM h2),
+        d3 AS ({_PPL_DISCOUNT} FROM h3),
+        u1 AS (
+            SELECT w, c,
+                   CASE WHEN c = 1 THEN (SELECT D1 FROM d1)
+                        WHEN c = 2 THEN (SELECT D2 FROM d1)
+                        ELSE (SELECT D3 FROM d1) END AS dc
+            FROM adj1
+        ),
+        s1 AS (SELECT sum(c) AS tot, sum(dc) AS dmass FROM u1),
+        vsz AS (
+            SELECT (count(*) + CASE WHEN count(*) FILTER (w = '<unk>') > 0
+                               THEN 0 ELSE 1 END)::DOUBLE AS V
+            FROM adj1
+        ),
+        p1raw AS (
+            SELECT w,
+                   (c - dc) / (SELECT tot FROM s1)
+                     + (SELECT dmass / tot FROM s1) / (SELECT V FROM vsz) AS p
+            FROM u1
+            UNION ALL
+            SELECT '<unk>' AS w,
+                   (SELECT dmass / tot FROM s1) / (SELECT V FROM vsz) AS p
+            WHERE NOT EXISTS (SELECT 1 FROM adj1 WHERE w = '<unk>')
+        ),
+        p1 AS (
+            SELECT w, p / (SELECT sum(p) FROM p1raw) AS p FROM p1raw
+        ),
+        ctx2 AS (
+            SELECT w1, sum(c) AS s,
+                   sum(CASE WHEN c = 1 THEN (SELECT D1 FROM d2)
+                            WHEN c = 2 THEN (SELECT D2 FROM d2)
+                            ELSE (SELECT D3 FROM d2) END) AS dmass
+            FROM adj2 GROUP BY w1
+        ),
+        p2 AS (
+            SELECT a.w1, a.w2,
+                   (a.c - CASE WHEN a.c = 1 THEN (SELECT D1 FROM d2)
+                               WHEN a.c = 2 THEN (SELECT D2 FROM d2)
+                               ELSE (SELECT D3 FROM d2) END) / x.s
+                     + (x.dmass / x.s) * p1.p AS p
+            FROM adj2 a
+            JOIN ctx2 x ON a.w1 = x.w1
+            JOIN p1 ON a.w2 = p1.w
+        ),
+        ctx3 AS (
+            SELECT w1, w2, sum(c) AS s,
+                   sum(CASE WHEN c = 1 THEN (SELECT D1 FROM d3)
+                            WHEN c = 2 THEN (SELECT D2 FROM d3)
+                            ELSE (SELECT D3 FROM d3) END) AS dmass
+            FROM tri GROUP BY w1, w2
+        ),
+        p3 AS (
+            SELECT a.w1, a.w2, a.w3,
+                   (a.c - CASE WHEN a.c = 1 THEN (SELECT D1 FROM d3)
+                               WHEN a.c = 2 THEN (SELECT D2 FROM d3)
+                               ELSE (SELECT D3 FROM d3) END) / x.s
+                     + (x.dmass / x.s) * p2.p AS p
+            FROM tri a
+            JOIN ctx3 x ON a.w1 = x.w1 AND a.w2 = x.w2
+            JOIN p2 ON a.w2 = p2.w1 AND a.w3 = p2.w2
+        ),
+        uni32 AS (
+            SELECT w, CAST(log10(greatest(p, 1e-12)) AS REAL) AS lp
+            FROM p1
+        ),
+        ubo32 AS (
+            SELECT u.w,
+                   CAST(coalesce(log10(greatest(g.g, 1e-12)), 0.0) AS REAL)
+                   AS bo
+            FROM (SELECT w FROM p1 UNION ALL SELECT '<s>') u
+            LEFT JOIN (SELECT w1 AS w, dmass / s AS g FROM ctx2) g
+              USING (w)
+        ),
+        big32 AS (
+            SELECT w1, w2, CAST(log10(greatest(p, 1e-12)) AS REAL) AS lp
+            FROM p2
+        ),
+        bov AS (
+            SELECT b.w1, b.w2,
+                   CAST(CASE WHEN g.g IS NOT NULL
+                        THEN log10(greatest(g.g, 1e-12))
+                        ELSE 0.0 END AS REAL) AS bo
+            FROM p2 b
+            LEFT JOIN (SELECT w1, w2, dmass / s AS g FROM ctx3) g
+              USING (w1, w2)
+        ),
+        bn AS (SELECT count(*)::BIGINT AS n FROM bov),
+        bsort AS (
+            SELECT bo, row_number() OVER (ORDER BY bo) - 1 AS rn0 FROM bov
+        ),
+        bedge AS (
+            SELECT i, (i * (SELECT n FROM bn)) // 256 AS lo,
+                   greatest(((i + 1) * (SELECT n FROM bn)) // 256,
+                            (i * (SELECT n FROM bn)) // 256 + 1) AS hi
+            FROM (SELECT unnest(range(0, 256)) AS i)
+        ),
+        bcent AS (
+            SELECT e.i, CAST(avg(s.bo) AS REAL) AS c
+            FROM bedge e JOIN bsort s ON s.rn0 >= e.lo AND s.rn0 < e.hi
+            GROUP BY e.i
+        ),
+        bmid AS (
+            SELECT a.i, CAST((a.c + b.c) / 2.0 AS REAL) AS mid
+            FROM bcent a JOIN bcent b ON b.i = a.i + 1
+        ),
+        boq AS (
+            SELECT v.w1, v.w2,
+                   (SELECT c FROM bcent WHERE i =
+                       (SELECT count(*) FROM bmid WHERE mid < v.bo)) AS bo
+            FROM bov v
+        ),
+        tri32 AS (
+            SELECT w1, w2, w3, CAST(log10(greatest(p, 1e-12)) AS REAL) AS lp
+            FROM p3
+        ),
+        dlines AS (
+            SELECT doc_id, unnest(string_split(text, chr(10))) AS line
+            FROM documents
+        ),
+        dsents AS (
+            SELECT doc_id,
+                   row_number() OVER (PARTITION BY doc_id) AS ln,
+                   list_filter(
+                     regexp_split_to_array(line, '[\\x00\\t\\r ]+'),
+                     x -> x <> '') AS w
+            FROM dlines
+        ),
+        dext AS (
+            SELECT doc_id, ln,
+                   ['<s>'] || list_transform(w, x ->
+                       CASE WHEN x IN ('<s>', '</s>', '<unk>')
+                            THEN '<unk>' ELSE x END)
+                   || ['</s>'] AS t
+            FROM dsents WHERE len(w) > 0
+        ),
+        pos0 AS (
+            SELECT doc_id, ln, i,
+                   t[i] AS w0, t[i-1] AS wm1,
+                   CASE WHEN i >= 3 THEN t[i-2] ELSE NULL END AS wm2
+            FROM dext, unnest(range(2, len(t) + 1)) AS u(i)
+        ),
+        vocabw AS (SELECT w FROM p1 UNION ALL SELECT '<s>' AS w),
+        spos AS (
+            SELECT p.doc_id, p.ln, p.i,
+                   CASE WHEN v0.w IS NULL THEN '<unk>' ELSE p.w0 END AS w0,
+                   CASE WHEN v1.w IS NULL THEN '<unk>' ELSE p.wm1 END AS wm1,
+                   CASE WHEN p.wm2 IS NULL THEN NULL
+                        WHEN v2.w IS NULL THEN '<unk>'
+                        ELSE p.wm2 END AS wm2
+            FROM pos0 p
+            LEFT JOIN vocabw v0 ON v0.w = p.w0
+            LEFT JOIN vocabw v1 ON v1.w = p.wm1
+            LEFT JOIN vocabw v2 ON v2.w = p.wm2
+        ),
+        looked AS (
+            SELECT p.doc_id, p.ln, p.i, p.w0,
+                   t3.lp AS lp3, b2.lp AS lp2, u.lp AS lp1,
+                   ub.bo AS bo1, bq.bo AS bo2,
+                   (p.wm2 IS NOT NULL) AS room2
+            FROM spos p
+            LEFT JOIN tri32 t3 ON p.wm2 = t3.w1 AND p.wm1 = t3.w2
+                               AND p.w0 = t3.w3
+            LEFT JOIN big32 b2 ON p.wm1 = b2.w1 AND p.w0 = b2.w2
+            LEFT JOIN uni32 u ON p.w0 = u.w
+            LEFT JOIN ubo32 ub ON p.wm1 = ub.w
+            LEFT JOIN boq bq ON p.wm2 = bq.w1 AND p.wm1 = bq.w2
+        ),
+        pscored AS (
+            SELECT doc_id, ln, i, w0 = '<unk>' AS is_oov,
+                   CASE
+                     WHEN lp3 IS NOT NULL AND lp2 IS NOT NULL AND room2
+                       THEN CAST(lp3 AS DOUBLE)
+                     WHEN lp2 IS NOT NULL
+                       THEN CAST(lp2 AS DOUBLE)
+                            + CASE WHEN room2
+                                   THEN CAST(coalesce(bo2, 0.0) AS DOUBLE)
+                                   ELSE 0.0 END
+                     ELSE CAST(lp1 AS DOUBLE)
+                          + CAST(coalesce(bo1, 0.0) AS DOUBLE)
+                          + CASE WHEN room2
+                                 THEN CAST(coalesce(bo2, 0.0) AS DOUBLE)
+                                 ELSE 0.0 END
+                   END AS lp
+            FROM looked
+        ),
+        per_doc AS (
+            SELECT doc_id, sum(lp) AS logprob_sum,
+                   count(*)::BIGINT AS token_count,
+                   sum(is_oov::INT)::BIGINT AS oov_count,
+                   sum(CASE WHEN is_oov THEN lp ELSE 0.0 END) AS oov_lp
+            FROM pscored GROUP BY doc_id
+        )
+    """
+
+
+def _ppl_score_oracle_sql() -> str:
+    return f"""
+        WITH {_ppl_sql_parts()}
+        SELECT d.doc_id, d.text,
+               coalesce(p.logprob_sum, 0.0) AS logprob_sum,
+               coalesce(p.token_count, 0) AS token_count,
+               coalesce(p.oov_count, 0) AS oov_count,
+               CASE WHEN p.token_count > 0
+                    THEN power(10.0, -p.logprob_sum / p.token_count)
+                    END AS ppl,
+               CASE WHEN p.token_count - p.oov_count > 0
+                    THEN power(10.0, -(p.logprob_sum - p.oov_lp)
+                               / (p.token_count - p.oov_count))
+                    END AS ppl_excl_oov
+        FROM documents d LEFT JOIN per_doc p USING (doc_id)
+    """
+
+
+def _ccnet_oracle_sql() -> str:
+    """CCNet recipe on top of the scoring chain: per-lang terciles of
+    ppl ROUNDED to 2 decimals (the cutoff histogram's 100-TB-exact
+    quantization, ops/ccnet.py), ties at a cutoff go DOWN, NaN/unseen
+    -> 'tail'; the emitted ppl column stays unrounded."""
+    return f"""
+        WITH {_ppl_sql_parts()},
+        dppl AS (
+            SELECT d.doc_id, d.lang,
+                   CASE WHEN p.token_count > 0
+                        THEN power(10.0, -p.logprob_sum / p.token_count)
+                        END AS ppl
+            FROM documents d LEFT JOIN per_doc p USING (doc_id)
+        ),
+        cuts AS (
+            SELECT lang,
+                   quantile_cont(round(ppl, 2), 1.0 / 3) AS c1,
+                   quantile_cont(round(ppl, 2), 2.0 / 3) AS c2
+            FROM dppl WHERE ppl IS NOT NULL AND isfinite(ppl)
+            GROUP BY lang
+        )
+        SELECT d.doc_id, d.lang, d.ppl,
+               CASE WHEN d.ppl IS NULL OR NOT isfinite(d.ppl)
+                         OR c.lang IS NULL THEN 'tail'
+                    WHEN round(d.ppl, 2) > c.c2 THEN 'tail'
+                    WHEN round(d.ppl, 2) > c.c1 THEN 'middle'
+                    ELSE 'head' END AS bucket
+        FROM dppl d LEFT JOIN cuts c USING (lang)
+    """
+
+
 def _pagerank_sql(num_iters: int = 5, damping: float = 0.85) -> str:
     """Unrolled-CTE twin of ops/graph.pagerank over the copurchase_lift
     edge set (top-100 parts, weights = distinct-order co-purchase
@@ -5853,6 +6188,8 @@ def _mixed_lang_oracle_sql() -> str:
 
 def oracle_sql() -> dict[str, str]:
     return _oracle_aliases({
+        "ppl_score": _ppl_score_oracle_sql(),
+        "ccnet_ppl_buckets": _ccnet_oracle_sql(),
         "langid": _langid_oracle_sql(),
         "mixed_language_stats": _mixed_lang_oracle_sql(),
         # ops/sample.temperature_rebalance targets: p_g^0.3 shares with
