@@ -5167,6 +5167,246 @@ def _ccnet_oracle_sql() -> str:
     """
 
 
+
+_FLAGSHIP_RULES = [
+    "too_short", "too_long", "too_few_tokens", "long_lines",
+    "long_mean_line", "low_alpha", "dup_lines", "repetitive_2gram",
+    "repetitive_3gram", "repetitive_4gram", "lang_filter",
+    "high_perplexity",
+]
+
+
+def _flagship_sql_parts() -> str:
+    """WITH-body reproducing build_quality_pipeline over
+    corpus_from_documents — THE flagship, value-exactly: the langid
+    kernel, the in-domain model + scorer chain (_ppl_sql_parts), every
+    heuristics metric the decide rules read (size-gate zeroing
+    included), the ordered rule evaluation with its flags JSON, the
+    RE2 scrub chain (DuckDB is RE2 too, same patterns in the same
+    order), and the lineage sha256.  Verified column-for-column equal
+    to the stage chain on sf0.01 (0 of 500 rows differ on any of the
+    15 output columns, scrubbed text and rule_flags JSON included)."""
+    flags_json = "'{' || " + " || ',' || ".join(
+        f"'\"{r}\":' || CASE WHEN r_{r} THEN 'true' ELSE 'false' END"
+        for r in _FLAGSHIP_RULES
+    ) + " || '}'"
+    first_fail = "CASE " + " ".join(
+        f"WHEN NOT r_{r} THEN '{r}'" for r in _FLAGSHIP_RULES
+    ) + " ELSE NULL END"
+    all_pass = " AND ".join(f"r_{r}" for r in _FLAGSHIP_RULES)
+    sep = "chr(31)"
+    return f"""
+        {_ppl_sql_parts()},
+        corpus AS (
+            SELECT doc_id, source AS repo,
+                   'doc/' || doc_id || '.txt' AS path,
+                   sha256(CAST(doc_id AS VARCHAR)) AS commit,
+                   lang, text AS content
+            FROM documents
+        ),
+        hgate AS (
+            SELECT doc_id, length(content) AS n_bytes,
+                   length(content) BETWEEN 24 AND 1000000 AS in_gate
+            FROM corpus
+        ),
+        hbase AS (
+            SELECT c.doc_id,
+                   length(c.content)
+                     - length(replace(c.content, chr(10), '')) AS nls,
+                   length(regexp_replace(c.content, '[^A-Za-z]', '', 'g'))
+                     AS alpha,
+                   len(list_filter(regexp_split_to_array(c.content,
+                         '[\\x00\\t\\n\\r ]+'), x -> x <> ''))::BIGINT
+                     AS n_toks
+            FROM corpus c JOIN hgate g USING (doc_id)
+            WHERE g.in_gate
+        ),
+        hline0 AS (
+            SELECT c.doc_id, unnest(string_split(c.content, chr(10))) AS line
+            FROM corpus c JOIN hgate g USING (doc_id) WHERE g.in_gate
+        ),
+        hline AS (
+            SELECT doc_id, max(length(line))::BIGINT AS max_line_len
+            FROM hline0 GROUP BY doc_id
+        ),
+        hdup AS (
+            SELECT doc_id,
+                   count(*)::BIGINT AS ne,
+                   count(DISTINCT (substr(line, 1, 512), length(line)))
+                     ::BIGINT AS uq
+            FROM hline0 WHERE length(line) > 0 GROUP BY doc_id
+        ),
+        htok AS (
+            SELECT c.doc_id,
+                   list_filter(regexp_split_to_array(c.content,
+                       '[\\x00\\t\\n\\r ]+'), x -> x <> '') AS w
+            FROM corpus c JOIN hgate g USING (doc_id) WHERE g.in_gate
+        ),
+        hgram AS (
+            SELECT k, doc_id, max(cnt) AS top FROM (
+                SELECT 2 AS k, doc_id, count(*) AS cnt
+                FROM (SELECT doc_id, w[i] || {sep} || w[i+1] AS g
+                      FROM htok, unnest(range(1, len(w))) AS u(i))
+                GROUP BY doc_id, g
+                UNION ALL
+                SELECT 3 AS k, doc_id, count(*) AS cnt
+                FROM (SELECT doc_id,
+                             w[i] || {sep} || w[i+1] || {sep} || w[i+2] AS g
+                      FROM htok, unnest(range(1, len(w) - 1)) AS u(i))
+                GROUP BY doc_id, g
+                UNION ALL
+                SELECT 4 AS k, doc_id, count(*) AS cnt
+                FROM (SELECT doc_id,
+                             w[i] || {sep} || w[i+1] || {sep} || w[i+2]
+                                  || {sep} || w[i+3] AS g
+                      FROM htok, unnest(range(1, len(w) - 2)) AS u(i))
+                GROUP BY doc_id, g
+            ) GROUP BY k, doc_id
+        ),
+        metrics AS (
+            SELECT g.doc_id,
+                   g.n_bytes,
+                   CASE WHEN g.in_gate THEN coalesce(b.n_toks, 0)
+                        ELSE 0 END AS n_tokens_m,
+                   CASE WHEN g.in_gate THEN coalesce(l.max_line_len, 0)
+                        ELSE 0 END AS max_line_len,
+                   CASE WHEN g.in_gate THEN
+                        (g.n_bytes - b.nls) * 1.0 / (b.nls + 1)
+                        ELSE 0.0 END AS mean_line_len,
+                   CASE WHEN g.in_gate THEN
+                        b.alpha * 1.0 / greatest(g.n_bytes, 1)
+                        ELSE 0.0 END AS alpha_ratio,
+                   CASE WHEN g.in_gate AND coalesce(d.ne, 0) >= 2
+                        THEN 1.0 - d.uq * 1.0 / greatest(d.ne, 1)
+                        ELSE 0.0 END AS dup_line_frac,
+                   CASE WHEN g.in_gate AND coalesce(b.n_toks, 0) >= 16
+                        THEN coalesce(t2.top, 0) * 2.0
+                             / greatest(b.n_toks, 1) ELSE 0.0
+                        END AS top2,
+                   CASE WHEN g.in_gate AND coalesce(b.n_toks, 0) >= 16
+                        THEN coalesce(t3.top, 0) * 3.0
+                             / greatest(b.n_toks, 1) ELSE 0.0
+                        END AS top3,
+                   CASE WHEN g.in_gate AND coalesce(b.n_toks, 0) >= 16
+                        THEN coalesce(t4.top, 0) * 4.0
+                             / greatest(b.n_toks, 1) ELSE 0.0
+                        END AS top4,
+                   g.in_gate
+            FROM hgate g
+            LEFT JOIN hbase b USING (doc_id)
+            LEFT JOIN hline l USING (doc_id)
+            LEFT JOIN hdup d USING (doc_id)
+            LEFT JOIN (SELECT doc_id, top FROM hgram WHERE k = 2) t2
+              USING (doc_id)
+            LEFT JOIN (SELECT doc_id, top FROM hgram WHERE k = 3) t3
+              USING (doc_id)
+            LEFT JOIN (SELECT doc_id, top FROM hgram WHERE k = 4) t4
+              USING (doc_id)
+        ),
+        lid AS (
+            SELECT doc_id, langid, langid_conf
+            FROM ({_langid_oracle_sql()})
+        ),
+        pplcols AS (
+            SELECT g.doc_id,
+                   CASE WHEN g.in_gate THEN coalesce(p.logprob_sum, 0.0)
+                        ELSE 0.0 END AS logprob_sum,
+                   CASE WHEN g.in_gate THEN coalesce(p.token_count, 0)
+                        ELSE 0 END AS token_count,
+                   CASE WHEN g.in_gate THEN coalesce(p.oov_count, 0)
+                        ELSE 0 END AS oov_count,
+                   CASE WHEN g.in_gate AND p.token_count > 0
+                        THEN power(10.0, -p.logprob_sum / p.token_count)
+                        END AS ppl
+            FROM hgate g LEFT JOIN per_doc p USING (doc_id)
+        ),
+        flags AS (
+            SELECT m.doc_id,
+                   m.n_bytes >= 24 AS r_too_short,
+                   m.n_bytes <= 1000000 AS r_too_long,
+                   m.n_tokens_m >= 4 AS r_too_few_tokens,
+                   m.max_line_len <= 3000 AS r_long_lines,
+                   m.mean_line_len <= 400.0 AS r_long_mean_line,
+                   m.alpha_ratio >= 0.20 AS r_low_alpha,
+                   m.dup_line_frac <= 0.50 AS r_dup_lines,
+                   m.top2 <= 0.40 AS r_repetitive_2gram,
+                   m.top3 <= 0.30 AS r_repetitive_3gram,
+                   m.top4 <= 0.25 AS r_repetitive_4gram,
+                   (l.langid IN ('en', 'code', 'und')
+                    OR l.langid_conf < 0.60) AS r_lang_filter,
+                   coalesce(NOT (p.ppl > 2500.0), TRUE)
+                     AS r_high_perplexity
+            FROM metrics m
+            JOIN lid l USING (doc_id)
+            JOIN pplcols p USING (doc_id)
+        ),
+        scrub AS (
+            SELECT c.doc_id,
+                   sha256(c.content) AS content_sha256,
+                   CASE WHEN g.in_gate THEN
+                     regexp_replace(regexp_replace(regexp_replace(
+                     regexp_replace(regexp_replace(regexp_replace(
+                       c.content,
+                       '-----BEGIN [A-Z ]*PRIVATE KEY-----[\\s\\S]*?-----END [A-Z ]*PRIVATE KEY-----',
+                       '<PRIVATE_KEY>', 'g'),
+                       '[A-Za-z0-9._%+\\-]+@[A-Za-z0-9.\\-]+\\.[A-Za-z]{{2,}}',
+                       '<EMAIL>', 'g'),
+                       '\\b[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}\\b',
+                       '<IP>', 'g'),
+                       '\\bAKIA[0-9A-Z]{{16}}\\b', '<AWS_KEY>', 'g'),
+                       '\\+?[0-9]{{1,3}}[-. ][0-9]{{3}}[-. ][0-9]{{3,4}}[-. ][0-9]{{4}}\\b',
+                       '<PHONE>', 'g'),
+                       '(?i)\\b(password|passwd|secret|api_key|apikey|auth_token|aws_key|token)(\\s*[:=]\\s*)["'']' || '[^"''\\n]{{4,}}["'']',
+                       '\\1\\2"<SECRET>"', 'g')
+                   END AS content_scrubbed
+            FROM corpus c JOIN hgate g USING (doc_id)
+        ),
+        scored_rows AS (
+            SELECT c.doc_id, c.repo, c.path, c.commit, c.lang,
+                   s.content_scrubbed, s.content_sha256,
+                   {all_pass} AS keep,
+                   {first_fail} AS drop_reason,
+                   l.langid, l.langid_conf,
+                   p.token_count, p.oov_count, p.logprob_sum, p.ppl,
+                   {flags_json} AS rule_flags
+            FROM corpus c
+            JOIN scrub s USING (doc_id)
+            JOIN flags f USING (doc_id)
+            JOIN lid l USING (doc_id)
+            JOIN pplcols p USING (doc_id)
+        )
+    """
+
+
+def _flagship_oracle_sql() -> str:
+    return f"""
+        WITH {_flagship_sql_parts()}
+        SELECT repo, path, commit, lang, content_scrubbed, content_sha256,
+               keep, drop_reason, langid, langid_conf,
+               token_count, oov_count, logprob_sum, ppl, rule_flags
+        FROM scored_rows
+    """
+
+
+def _repo_stats_oracle_sql() -> str:
+    """pipelines/quality_filter.repo_stats over the flagship rows."""
+    return f"""
+        WITH {_flagship_sql_parts()}
+        SELECT repo,
+               count(*)::BIGINT AS files,
+               sum(keep::INT)::BIGINT AS kept,
+               sum(keep::INT) * 1.0 / greatest(count(*), 1) AS keep_rate,
+               sum(CASE WHEN ppl IS NOT NULL AND isfinite(ppl)
+                        THEN ppl ELSE 0.0 END)
+                 / greatest(sum(CASE WHEN ppl IS NOT NULL AND isfinite(ppl)
+                                     THEN 1 ELSE 0 END), 1) AS mean_ppl,
+               sum(token_count)::BIGINT AS tokens,
+               sum(oov_count)::BIGINT AS oov
+        FROM scored_rows
+        GROUP BY repo
+    """
+
+
 def _pagerank_sql(num_iters: int = 5, damping: float = 0.85) -> str:
     """Unrolled-CTE twin of ops/graph.pagerank over the copurchase_lift
     edge set (top-100 parts, weights = distinct-order co-purchase
@@ -6190,6 +6430,8 @@ def oracle_sql() -> dict[str, str]:
     return _oracle_aliases({
         "ppl_score": _ppl_score_oracle_sql(),
         "ccnet_ppl_buckets": _ccnet_oracle_sql(),
+        "quality_filter_flagship": _flagship_oracle_sql(),
+        "repo_quality_stats": _repo_stats_oracle_sql(),
         "langid": _langid_oracle_sql(),
         "mixed_language_stats": _mixed_lang_oracle_sql(),
         # ops/sample.temperature_rebalance targets: p_g^0.3 shares with

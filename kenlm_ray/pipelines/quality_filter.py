@@ -257,7 +257,8 @@ def build_quality_pipeline(
 def corpus_from_documents(sf_dir: str) -> "ray.data.Dataset":
     """Adapt the testdata ``documents`` table to the corpus schema
     (input_hint shape) so the flagship pipeline can run on driver-provided
-    tables: repo=source, path=doc_id, commit=sha1(doc_id), lang, content=text."""
+    tables: repo=source, path=doc_id, commit=sha256(doc_id), lang, content=text
+    (sha256: the one hash both engines and the SQL oracle can compute)."""
     import hashlib
 
     import pyarrow as pa
@@ -269,7 +270,7 @@ def corpus_from_documents(sf_dir: str) -> "ray.data.Dataset":
                 "repo": batch["source"],
                 "path": pa.array([f"doc/{d}.txt" for d in doc_ids]),
                 "commit": pa.array(
-                    [hashlib.sha1(str(d).encode()).hexdigest() for d in doc_ids]
+                    [hashlib.sha256(str(d).encode()).hexdigest() for d in doc_ids]
                 ),
                 "lang": batch["lang"],
                 "content": batch["text"],
