@@ -1469,7 +1469,8 @@ def _q_lang_length_buckets(sf_dir):
 def _q_ccnet_ppl_buckets(sf_dir):
     """The full CCNet recipe (Wenzek et al. 2020): actor-pool LM
     perplexity -> per-language ppl terciles -> head/middle/tail.
-    Rows-only (model-driven); test_ccnet.py gates cutoff exactness,
+    Value-exact oracle (the SQL trains the same model and walks the
+    same backoffs); test_ccnet.py gates cutoff exactness,
     tie semantics, and partitioning invariance."""
     import ray.data
 
@@ -4642,7 +4643,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "module_coimport_pagerank": _q_module_coimport_pagerank,
         "late_event_flags": _q_late_event_flags,
         "watermark_window_counts": _q_watermark_window_counts,
-        # rows-only checks (stateful / model-driven, not SQL-expressible)
+        # formerly the rows-only section; round 4 flipped the
+        # model-scored members (flagship, repo stats, ccnet, ppl,
+        # langid) to value-exact oracles — the remainder is
+        # rng-seeded / iterative-numeric / multi-run / binary-media
         "quality_filter_flagship": _q_quality_filter,
         "repo_quality_stats": _q_repo_stats,
         "ccnet_ppl_buckets": _q_ccnet_ppl_buckets,
