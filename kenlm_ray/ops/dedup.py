@@ -208,6 +208,8 @@ def minhash_lsh_pairs(
     seed: int = 1,
     max_bucket: int = 200,
     num_partitions: int = 64,
+    collect_pairs_cap: int = 20_000_000,
+    broadcast_sig_bytes: int = 512 << 20,
 ) -> "ray.data.Dataset":
     """Near-duplicate pairs via MinHash-LSH, signatures shipped ONCE.
 
@@ -222,12 +224,22 @@ def minhash_lsh_pairs(
     representative (connected-component coverage) without the O(B^2)
     pair explosion.  Stage 3: dedupe pairs (a pair can collide in many
     bands; dedupe BEFORE the sig fetch bounds verify work).
-    Stage 4: one exploded shuffle fetches both sides' signatures — pair
-    halves keyed by the id they need, unioned with the sig table, coarse
-    groupby(id % P) attaches signatures (searchsorted, no pandas merge),
-    then coarse groupby(pair % P) pairs the halves and keeps pairs with
-    full-signature agreement >= ``jaccard_threshold``.  Signature bytes
-    cross the wire exactly once (plus one copy per surviving candidate).
+    Stage 4, SIZE-GATED (the broadcast-vs-exchange switch of
+    ops/cluster.py drop_near_duplicates): candidate pairs are
+    output-sized (``max_bucket`` star degradation bounds them), so when
+    they fit (``collect_pairs_cap``) the candidate-touched ids are pulled
+    to the driver and only THOSE signatures leave the sig table — the
+    corpus-sized signature exchange the old tail paid is gone.  If the
+    needed signatures also fit ``broadcast_sig_bytes`` they are broadcast
+    once (``ray.put``) and pairs are verified map-side with ZERO further
+    exchanges; otherwise the exploded half-row exchange below runs over
+    the needed-id-filtered sig stream.  Unbounded fallback (candidates
+    above the cap): one exploded shuffle fetches both sides' signatures —
+    pair halves keyed by the id they need, unioned with the sig table,
+    coarse groupby(id % P) attaches signatures (searchsorted, no pandas
+    merge), then coarse groupby(pair % P) pairs the halves and keeps
+    pairs with full-signature agreement >= ``jaccard_threshold``.  In
+    every path signature bytes cross the wire at most once.
     """
     a, b = _minhash_params(num_perm, seed)
     rows_per_band = num_perm // bands
@@ -277,7 +289,7 @@ def minhash_lsh_pairs(
                 {
                     "bucket": pa.array([], type=pa.uint64()),
                     id_col: pa.array([], type=pa.int64()),
-                    "__pb": pa.array([], type=pa.int64()),
+                    "__pb": pa.array([], type=pa.int32()),
                 }
             )
         buckets, out_ids = [], []
@@ -295,7 +307,9 @@ def minhash_lsh_pairs(
             {
                 "bucket": pa.array(bk),
                 id_col: pa.array(np.concatenate(out_ids).astype(np.int64)),
-                "__pb": pa.array((bk % np.uint64(P)).astype(np.int64)),
+                # partition keys are int32: P is tiny and the band table is
+                # the widest exchange in the pipeline — every byte counts
+                "__pb": pa.array((bk % np.uint64(P)).astype(np.int32)),
             }
         )
 
@@ -316,7 +330,7 @@ def minhash_lsh_pairs(
             {
                 "id_a": pa.array(ia),
                 "id_b": pa.array(ib),
-                "__pb2": pa.array((mix % np.uint64(P)).astype(np.int64)),
+                "__pb2": pa.array((mix % np.uint64(P)).astype(np.int32)),
             }
         )
 
@@ -324,7 +338,7 @@ def minhash_lsh_pairs(
         {
             "id_a": pa.array([], type=pa.int64()),
             "id_b": pa.array([], type=pa.int64()),
-            "__pb2": pa.array([], type=pa.int64()),
+            "__pb2": pa.array([], type=pa.int32()),
         }
     )
 
@@ -402,23 +416,42 @@ def minhash_lsh_pairs(
                 "id_a": pa.array(np.concatenate([ida, ida])),
                 "id_b": pa.array(np.concatenate([idb, idb])),
                 "sig": pa.array([b""] * (2 * n), type=pa.binary()),
-                "__pk": pa.array(key % np.int64(P)),
+                "__pk": pa.array((key % np.int64(P)).astype(np.int32)),
             }
         )
 
-    def sig_rows(t: pa.Table) -> pa.Table:
-        n = len(t)
-        key = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        return pa.table(
-            {
-                "key": pa.array(key),
-                "which": pa.array(np.full(n, SIG_ROW, dtype=np.int8)),
-                "id_a": pa.array(np.zeros(n, dtype=np.int64)),
-                "id_b": pa.array(np.zeros(n, dtype=np.int64)),
-                "sig": t["sig"],
-                "__pk": pa.array(key % np.int64(P)),
-            }
-        )
+    def make_sig_rows(needed_ref):
+        """Sig-table half-rows, optionally semi-join-filtered to the
+        candidate-touched ids (broadcast sorted array) — the exchange then
+        carries candidate-proportional signature bytes, not corpus-sized."""
+
+        def sig_rows(t: pa.Table) -> pa.Table:
+            key = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            sig = t["sig"]
+            if needed_ref is not None:
+                need = ray.get(needed_ref)
+                if len(need):
+                    idx = np.minimum(np.searchsorted(need, key), len(need) - 1)
+                    hit = need[idx] == key
+                else:
+                    hit = np.zeros(len(key), dtype=bool)
+                key = key[hit]
+                if isinstance(sig, pa.ChunkedArray):
+                    sig = sig.combine_chunks()
+                sig = sig.take(pa.array(np.flatnonzero(hit)))
+            n = len(key)
+            return pa.table(
+                {
+                    "key": pa.array(key),
+                    "which": pa.array(np.full(n, SIG_ROW, dtype=np.int8)),
+                    "id_a": pa.array(np.zeros(n, dtype=np.int64)),
+                    "id_b": pa.array(np.zeros(n, dtype=np.int64)),
+                    "sig": sig,
+                    "__pk": pa.array((key % np.int64(P)).astype(np.int32)),
+                }
+            )
+
+        return sig_rows
 
     def attach(t: pa.Table) -> pa.Table:
         """Within a key-partition: searchsorted the sig rows onto the
@@ -429,7 +462,7 @@ def minhash_lsh_pairs(
                 "id_a": pa.array([], type=pa.int64()),
                 "id_b": pa.array([], type=pa.int64()),
                 "sig": pa.array([], type=pa.binary()),
-                "__pp": pa.array([], type=pa.int64()),
+                "__pp": pa.array([], type=pa.int32()),
             }
         )
         if len(t) == 0:
@@ -457,7 +490,11 @@ def minhash_lsh_pairs(
                 "id_a": need_t["id_a"],
                 "id_b": need_t["id_b"],
                 "sig": svals.take(pa.array(idx)),
-                "__pp": pa.array(((ida * np.int64(1000003)) ^ idb) % np.int64(P)),
+                "__pp": pa.array(
+                    (((ida * np.int64(1000003)) ^ idb) % np.int64(P)).astype(
+                        np.int32
+                    )
+                ),
             }
         )
 
@@ -505,8 +542,87 @@ def minhash_lsh_pairs(
             }
         )
 
+    PAIR_OUT_EMPTY = pa.table(
+        {
+            "id_a": pa.array([], type=pa.int64()),
+            "id_b": pa.array([], type=pa.int64()),
+            "est_jaccard": pa.array([], type=pa.float64()),
+        }
+    )
+
+    # --- size-gated verify (see docstring stage 4) ---------------------
+    cands = cands.materialize()
+    n_cands = cands.count()
+    if n_cands == 0:
+        return ray.data.from_arrow(PAIR_OUT_EMPTY)
+
+    needed_ref = None
+    if n_cands <= collect_pairs_cap:
+        id_tbls = ray.get(
+            cands.select_columns(["id_a", "id_b"]).to_arrow_refs()
+        )
+        id_tbl = pa.concat_tables([t for t in id_tbls if len(t)])
+        needed = np.unique(
+            np.concatenate(
+                [
+                    id_tbl["id_a"].to_numpy(zero_copy_only=False),
+                    id_tbl["id_b"].to_numpy(zero_copy_only=False),
+                ]
+            ).astype(np.int64)
+        )
+        needed_ref = ray.put(needed)
+        if len(needed) * num_perm * 8 <= broadcast_sig_bytes:
+            # broadcast-verify: pull ONLY the candidate-touched signatures
+            # (candidate-proportional, gate-bounded), ship them once via
+            # the object store, verify pairs map-side — zero exchanges.
+            def pick(t: pa.Table) -> pa.Table:
+                need = ray.get(needed_ref)
+                key = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+                idx = np.minimum(np.searchsorted(need, key), len(need) - 1)
+                hit = need[idx] == key
+                return t.filter(pa.array(hit))
+
+            sig_tbls = ray.get(
+                sigs.map_batches(pick, batch_format="pyarrow").to_arrow_refs()
+            )
+            sig_tbl = pa.concat_tables([t for t in sig_tbls if len(t)])
+            skey = sig_tbl[id_col].to_numpy(zero_copy_only=False).astype(
+                np.int64
+            )
+            order = np.argsort(skey, kind="stable")
+            pack_ref = ray.put(
+                (
+                    skey[order],
+                    np.ascontiguousarray(
+                        _sig_matrix(sig_tbl["sig"], num_perm)[order]
+                    ),
+                )
+            )
+
+            def verify(t: pa.Table) -> pa.Table:
+                if len(t) == 0:
+                    return PAIR_OUT_EMPTY
+                skey_s, mat = ray.get(pack_ref)
+                ida = t["id_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+                idb = t["id_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+                ia = np.searchsorted(skey_s, ida)
+                ib = np.searchsorted(skey_s, idb)
+                est = (mat[ia] == mat[ib]).mean(axis=1)
+                keep = est >= jaccard_threshold
+                return pa.table(
+                    {
+                        "id_a": pa.array(ida[keep]),
+                        "id_b": pa.array(idb[keep]),
+                        "est_jaccard": pa.array(est[keep], type=pa.float64()),
+                    }
+                )
+
+            return cands.map_batches(verify, batch_format="pyarrow")
+
+    # exchange fallback: candidates above the broadcast gate — the halves
+    # machinery, over the needed-id-filtered sig stream when available.
     halves = cands.map_batches(explode_pairs, batch_format="pyarrow").union(
-        sigs.map_batches(sig_rows, batch_format="pyarrow")
+        sigs.map_batches(make_sig_rows(needed_ref), batch_format="pyarrow")
     )
     attached = (
         halves.groupby("__pk").map_groups(attach, batch_format="pyarrow")

@@ -249,6 +249,39 @@ def test_minhash_finds_near_dups(ray_session):
     assert (0, 2) not in got and (1, 2) not in got
 
 
+def test_minhash_verify_paths_agree(ray_session):
+    """The size-gated verify tail (broadcast sigs / needed-id-filtered
+    exchange / unbounded exchange) must produce identical pair sets."""
+    import ray.data
+
+    from kenlm_ray.ops.dedup import minhash_lsh_pairs
+
+    rng = __import__("random").Random(7)
+    words = [f"w{i}" for i in range(40)]
+    docs = []
+    for i in range(60):
+        base = [rng.choice(words) for _ in range(50)]
+        docs.append({"doc_id": 2 * i, "text": " ".join(base)})
+        mut = list(base)
+        for j in rng.sample(range(50), 3):
+            mut[j] = rng.choice(words)
+        docs.append({"doc_id": 2 * i + 1, "text": " ".join(mut)})
+
+    def run(**kw):
+        df = minhash_lsh_pairs(
+            ray.data.from_items(docs), jaccard_threshold=0.5, **kw
+        ).to_pandas()
+        return sorted(
+            zip(df["id_a"], df["id_b"], df["est_jaccard"].round(9))
+        )
+
+    broadcast = run()
+    filtered_exchange = run(broadcast_sig_bytes=0)
+    unbounded = run(collect_pairs_cap=0)
+    assert broadcast == filtered_exchange == unbounded
+    assert len(broadcast) > 0
+
+
 def test_hash_join(ray_session):
     import ray.data
 

@@ -1,0 +1,73 @@
+"""Pair-set fingerprint for ops/dedup.minhash_lsh_pairs over the 720k-doc
+scaling corpus — the byte-identical protocol used to validate kernel /
+exchange changes (sorted (id_a, id_b, est_jaccard) -> sha256).
+
+Usage:  FP_CPUS=8 FP_ROWS=720000 python tools/minhash_fingerprint.py
+Prints one JSON line {"rows":..., "n_pairs":..., "sha256":..., "sec":...}.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    import numpy as np
+    import pyarrow as pa
+    import ray
+    import ray.data
+
+    rows = int(os.environ.get("FP_ROWS", "720000"))
+    ncpu = int(os.environ.get("FP_CPUS", "8"))
+    ray.init(address="local", num_cpus=ncpu, include_dashboard=False,
+             logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    from kenlm_ray.functions.hashing import murmur64_stream
+    from kenlm_ray.functions.tokenize import _string_buffers
+    from kenlm_ray.ops.dedup import minhash_lsh_pairs
+    from kenlm_ray.sources.synth_corpus import write_corpus
+
+    paths = write_corpus(f"/tmp/kenlm_ray_bench/sf0.1_{rows}", rows, seed=42,
+                         n_shards=64)
+
+    def add_id(batch: "pa.Table") -> "pa.Table":
+        rp = pa.compute.binary_join_element_wise(
+            batch["repo"], batch["path"], "\x00"
+        )
+        if isinstance(rp, pa.ChunkedArray):
+            rp = rp.combine_chunks()
+        off, data = _string_buffers(rp)
+        h = murmur64_stream(data, off[:-1], off[1:] - off[:-1])
+        return pa.table(
+            {"doc_id": pa.array((h >> np.uint64(1)).astype(np.int64)),
+             "content": batch["content"]}
+        )
+
+    ds = ray.data.read_parquet(
+        paths, columns=["repo", "path", "content"]
+    ).map_batches(add_id, batch_format="pyarrow")
+    t0 = time.time()
+    pairs = minhash_lsh_pairs(
+        ds, text_col="content", id_col="doc_id", jaccard_threshold=0.7
+    ).take_all()
+    sec = time.time() - t0
+    rows_np = sorted(
+        (r["id_a"], r["id_b"], round(r["est_jaccard"], 9)) for r in pairs
+    )
+    h = hashlib.sha256(repr(rows_np).encode()).hexdigest()
+    ray.shutdown()
+    print(json.dumps({"rows": rows, "cpus": ncpu, "n_pairs": len(rows_np),
+                      "sha256": h, "sec": round(sec, 3)}))
+
+
+if __name__ == "__main__":
+    main()
