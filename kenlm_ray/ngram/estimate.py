@@ -44,6 +44,7 @@ the driver (vocab-sized); all higher orders stay distributed.
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 
 import numpy as np
@@ -137,10 +138,151 @@ class VocabMap:
         return self.words[int(i)].as_py()
 
 
+@dataclass
+class ShardedVocabLookup:
+    """Counting-side lookup over hash-range vocab shards.
+
+    Same contract as VocabLookup.ids_for_hashes, but the (sorted hash)
+    arrays live in the object store as one object per hash range — the
+    sharded broadcast for vocabularies too large for a single
+    driver-held slice.  ``offsets[s]`` is the first id of shard ``s``
+    (global rank order = (shard, within-shard hash order) because shards
+    are the TOP bits of the hash); a found hash's id is
+    ``offsets[s] + searchsorted position`` — ids are never stored."""
+
+    shard_refs: list  # per-range ObjectRef -> (hashes uint64 sorted, words)
+    offsets: np.ndarray  # int64 per shard: first id of the shard
+    shift: int  # shard index = hash >> shift
+
+    def ids_for_hashes(self, th: np.ndarray) -> np.ndarray:
+        out = np.full(len(th), UNK_ID, dtype=np.uint32)
+        if len(th) == 0:
+            return out
+        vp = (th >> np.uint64(self.shift)).astype(np.int64)
+        for s in np.unique(vp):
+            hashes, _ = ray.get(self.shard_refs[int(s)])
+            mask = vp == s
+            if len(hashes) == 0:
+                continue
+            t = th[mask]
+            idx = np.minimum(np.searchsorted(hashes, t), len(hashes) - 1)
+            found = hashes[idx] == t
+            ids = (self.offsets[int(s)] + idx).astype(np.uint32)
+            out[mask] = np.where(found, ids, np.uint32(UNK_ID))
+        return out
+
+
+@dataclass
+class ShardedVocab:
+    """Vocabulary held as hash-range shards in the object store — the
+    large-vocab fallback of ``build_vocab`` (the driver never merges or
+    holds the full (hash, word) table; it holds P shard refs + P counts).
+
+    Duck-types the VocabMap surface the estimation pipeline uses:
+    ``lookup()`` (broadcastable counting slice), ``ids_for_hashes``,
+    ``size``, and — for the ARPA projection / small-scale interop paths
+    only — a driver-assembled ``words`` property (documented cost: one
+    concat of the word shards; the counting path never touches it)."""
+
+    shard_refs: list  # per-range ObjectRef -> (hashes uint64, words pa.Array)
+    counts: np.ndarray  # int64 kept types per shard
+    offsets: np.ndarray  # int64 first id per shard (starts at 3)
+    shift: int
+
+    @property
+    def size(self) -> int:
+        return 3 + int(self.counts.sum())
+
+    def lookup(self) -> ShardedVocabLookup:
+        return ShardedVocabLookup(self.shard_refs, self.offsets, self.shift)
+
+    def ids_for_hashes(self, th: np.ndarray) -> np.ndarray:
+        return self.lookup().ids_for_hashes(th)
+
+    @property
+    def words(self) -> "pa.Array":
+        shards = ray.get(list(self.shard_refs))
+        return pa.concat_arrays(
+            [pa.array([UNK, BOS, EOS], type=pa.string())]
+            + [s[1].combine_chunks().cast(pa.string())
+               if isinstance(s[1], pa.ChunkedArray) else s[1]
+               for s in shards if len(s[0])]
+        )
+
+    def word_at(self, i: int) -> str:
+        return self.words[int(i)].as_py()
+
+    def id_of(self, word: str) -> int:
+        idx = pc.index(self.words, pa.scalar(word)).as_py()
+        return idx if idx >= 0 else UNK_ID
+
+
+@ray.remote
+def _vocab_split_block(t: "pa.Table", shift: int, P: int):
+    """One partial block -> P hash-range sub-tables (the map side of the
+    vocab exchange; objects flow shard-task-ward through the store)."""
+    h = t["h"].to_numpy(zero_copy_only=False).astype(np.uint64)
+    vp = (h >> np.uint64(shift)).astype(np.int64)
+    order = np.argsort(vp, kind="stable")
+    vps = vp[order]
+    bounds = np.searchsorted(vps, np.arange(P + 1, dtype=np.int64))
+    ts = t.take(pa.array(order))
+    return tuple(ts.slice(bounds[i], bounds[i + 1] - bounds[i]) for i in range(P))
+
+
+@ray.remote(num_returns=2)
+def _vocab_merge_shard(min_count: int, *tables: "pa.Table"):
+    """Reduce side of the vocab exchange: merge one hash range's partials,
+    filter, sort by hash.  Returns (kept count, (hashes, words)) — the
+    second return object IS the shard; it never visits the driver."""
+    tabs = [t for t in tables if len(t)]
+    if not tabs:
+        return 0, (np.empty(0, dtype=np.uint64), pa.array([], type=pa.string()))
+    g = (
+        pa.concat_tables(tabs)
+        .combine_chunks()
+        .group_by("h")
+        .aggregate([("c_sum", "sum"), ("w", "min")])
+    )
+    keep = pc.and_(
+        pc.greater_equal(g["c_sum_sum"], pa.scalar(min_count, type=pa.int64())),
+        pc.invert(pc.is_in(g["w_min"], value_set=pa.array([UNK, BOS, EOS]))),
+    )
+    kept = g.filter(keep)
+    hs = kept["h"].to_numpy(zero_copy_only=False).astype(np.uint64)
+    order = np.argsort(hs, kind="stable")
+    words = kept["w_min"].combine_chunks().cast(pa.string()).take(pa.array(order))
+    return len(hs), (hs[order], words)
+
+
 def build_vocab(
-    ds: "ray.data.Dataset", min_count: int = 1, text_col: str = "text"
-) -> VocabMap:
-    """Distributed unigram count → VocabMap of retained words."""
+    ds: "ray.data.Dataset",
+    min_count: int = 1,
+    text_col: str = "text",
+    *,
+    driver_merge_bytes: "int | None" = None,
+    num_partitions: int = 64,
+) -> "VocabMap | ShardedVocab":
+    """Distributed unigram count → VocabMap of retained words.
+
+    SIZE-GATED (the broadcast-vs-partitioned switch of
+    ops/cluster.drop_near_duplicates): the per-block partials are
+    materialized first and their total byte size read from block
+    metadata.  At or below ``driver_merge_bytes`` (default 32 MiB, env
+    ``KENLM_RAY_VOCAB_DRIVER_BYTES``) the driver-side Arrow group_by
+    merge runs and a driver-held VocabMap is returned — the reference's
+    in-RAM GrowableVocab assumption (lm/vocab.hh:237-278); below the
+    threshold the task/exchange floor of the distributed path dominates.
+    Above it (measured: the shard exchange is already at parity by 53 MB
+    of partials / 2.65M types — 3.8-4.3 s vs 4.5-5.2 s at 32 CPUs, ids
+    identical — and at 10^8-10^9 types a driver merge and monolithic
+    12 B/type broadcast are multi-GB and infeasible) the merge
+    becomes a hash-range exchange over raw Ray tasks (split each partial
+    block by the hash's top bits, one merge task per range) and a
+    ``ShardedVocab`` of per-range object-store shards is returned; ids
+    are positional (shard offset + within-shard rank), identical to the
+    driver path's global-hash-rank assignment, so both paths produce the
+    same id for every word (pytest-gated)."""
 
     def partial(batch: pa.Table) -> pa.Table:
         stream = tokenize_column(batch[text_col])
@@ -186,11 +328,42 @@ def build_vocab(
             }
         )
 
+    parts = ds.map_batches(partial, batch_format="pyarrow").materialize()
+    if driver_merge_bytes is None:
+        driver_merge_bytes = int(
+            os.environ.get("KENLM_RAY_VOCAB_DRIVER_BYTES", str(32 << 20))
+        )
+    if parts.size_bytes() > driver_merge_bytes:
+        # -- distributed fallback: hash-range exchange via raw tasks ----
+        P = 1 << max(1, (num_partitions - 1).bit_length())
+        shift = 64 - (P - 1).bit_length()
+        block_refs = parts.to_arrow_refs()
+        splits = [
+            _vocab_split_block.options(num_returns=P).remote(r, shift, P)
+            for r in block_refs
+        ]
+        if P == 1:  # options(num_returns=1) returns a bare ref
+            splits = [[s] for s in splits]
+        count_refs, shard_refs = [], []
+        for i in range(P):
+            c, s = _vocab_merge_shard.options(num_returns=2).remote(
+                min_count, *[sp[i] for sp in splits]
+            )
+            count_refs.append(c)
+            shard_refs.append(s)
+        counts = np.array(ray.get(count_refs), dtype=np.int64)
+        offsets = np.int64(3) + np.concatenate(
+            [[0], np.cumsum(counts)[:-1]]
+        ).astype(np.int64)
+        return ShardedVocab(
+            shard_refs=shard_refs, counts=counts, offsets=offsets, shift=shift
+        )
+
     # The reduce runs ON THE DRIVER: per-block partials (distinct tokens
     # per block — Heaps' law keeps that far below block tokens) are
     # pulled and merged with ONE multithreaded Arrow group_by keyed by
     # the u64 token murmur (the SAME hash the VocabMap looks words up
-    # by).  The driver holds the finished vocab either way (the
+    # by).  The driver holds the finished vocab in this path (the
     # reference's in-RAM GrowableVocab, lm/vocab.hh:237-278 — the
     # documented driver-manageable assumption), so a cluster exchange
     # before the pull only reduces pull volume by the cross-block
@@ -202,13 +375,7 @@ def build_vocab(
     # A murmur collision between distinct words merges them here (the
     # whole id pipeline already requires injectivity on the vocab —
     # P(collision) ~ |V|^2/2^65, ~1e-7 at 3M types).
-    tables = [
-        t
-        for t in ray.get(
-            ds.map_batches(partial, batch_format="pyarrow").to_arrow_refs()
-        )
-        if t.num_rows
-    ]
+    tables = [t for t in ray.get(parts.to_arrow_refs()) if t.num_rows]
     # Arrow end-to-end: the word strings are never converted to Python
     # objects — group_by/filter/sort/concat run on Arrow buffers, so the
     # driver's cost per type is word bytes + offsets, not a Python str.
@@ -304,7 +471,11 @@ def raw_counts(
     per batch, then hash-shuffle sum over uint32 id keys)."""
     keys = _icols(n)
     # broadcast only the 12 B/type (hash, id) slice — never word bytes
-    vocab_ref = ray.put(vocab.lookup() if isinstance(vocab, VocabMap) else vocab)
+    vocab_ref = ray.put(
+        vocab.lookup()
+        if isinstance(vocab, (VocabMap, ShardedVocab))
+        else vocab
+    )
 
     def partial(batch: pa.Table) -> pa.Table:
         v = ray.get(vocab_ref)
@@ -342,7 +513,11 @@ def raw_counts_all(
     keys = _icols(order)
     allkeys = ["n"] + keys
     # broadcast only the 12 B/type (hash, id) slice — never word bytes
-    vocab_ref = ray.put(vocab.lookup() if isinstance(vocab, VocabMap) else vocab)
+    vocab_ref = ray.put(
+        vocab.lookup()
+        if isinstance(vocab, (VocabMap, ShardedVocab))
+        else vocab
+    )
 
     def partial(batch: pa.Table) -> pa.Table:
         v = ray.get(vocab_ref)
@@ -738,6 +913,7 @@ def estimate_mkn(
     interpolate_unigrams: bool = True,
     vocab_pad: int = 0,
     discount_fallback: "tuple | None" = (0.5, 1.0, 1.5),
+    vocab_driver_merge_bytes: "int | None" = None,
 ) -> dict:
     """Full pipeline: returns {"arpa_tables": {n: Dataset(w1..wn,
     log10_prob, log10_backoff)}, "discounts": {n: [D1,D2,D3]},
@@ -774,7 +950,13 @@ def estimate_mkn(
             raise ValueError("unigram prune threshold must be 0 (lmplz rule)")
         if any(b < a for a, b in zip(prune_thresholds, prune_thresholds[1:])):
             raise ValueError("prune_thresholds must be non-decreasing")
-    vocab = build_vocab(ds, min_count=min_count, text_col=text_col)
+    vocab = build_vocab(
+        ds,
+        min_count=min_count,
+        text_col=text_col,
+        driver_merge_bytes=vocab_driver_merge_bytes,
+        num_partitions=num_partitions,
+    )
     pruning = prune_thresholds is not None or limit_vocab is not None
     thresholds = prune_thresholds or [0] * order
     disallowed = None

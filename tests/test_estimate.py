@@ -243,3 +243,50 @@ def test_write_arpa_sharded_roundtrip(both, tmp_path):
     b_ = VectorLM(pack_model(re, quant_bits=None, backoff_bits=None))
     for line in CORPUS_LINES:
         assert a.score_text(line) == pytest.approx(b_.score_text(line), abs=1e-5)
+
+
+def test_sharded_vocab_fallback_matches_driver_path(ray_session):
+    """build_vocab's size-gated distributed path (hash-range shard
+    exchange + ShardedVocab) must assign the same id to every word as
+    the driver-merge path, and a full estimate_mkn run through it must
+    reproduce the driver-path ARPA tables exactly."""
+    import ray.data
+
+    from kenlm_ray.ngram.estimate import (
+        ShardedVocab,
+        VocabMap,
+        build_vocab,
+        estimate_mkn,
+    )
+
+    lines = CORPUS_LINES + ["rare1 b c", "a rare2", "zeta eta theta d c"]
+    ds = ray.data.from_items([{"text": ln} for ln in lines])
+
+    driver = build_vocab(ds, min_count=1)
+    sharded = build_vocab(ds, min_count=1, driver_merge_bytes=0,
+                          num_partitions=8)
+    assert isinstance(driver, VocabMap) and isinstance(sharded, ShardedVocab)
+    assert sharded.size == driver.size
+    assert driver.words.to_pylist() == sharded.words.to_pylist()
+
+    from kenlm_ray.functions.hashing import hash_bytes_array
+
+    toks = sorted({w for ln in lines for w in ln.split()} | {"absent-word"})
+    th = hash_bytes_array([t.encode() for t in toks])
+    assert np.array_equal(driver.ids_for_hashes(th), sharded.ids_for_hashes(th))
+
+    # min_count filtering must agree between the paths too
+    d2 = build_vocab(ds, min_count=2)
+    s2 = build_vocab(ds, min_count=2, driver_merge_bytes=0, num_partitions=4)
+    assert d2.words.to_pylist() == s2.words.to_pylist()
+
+    # end-to-end: same ARPA through the forced fallback
+    a = estimate_mkn(ds, order=2, num_partitions=4)
+    b = estimate_mkn(ds, order=2, num_partitions=4,
+                     vocab_driver_merge_bytes=0)
+    for n in (1, 2):
+        ta = a["arpa_tables"][n].to_pandas().sort_values(
+            [f"w{i+1}" for i in range(n)]).reset_index(drop=True)
+        tb = b["arpa_tables"][n].to_pandas().sort_values(
+            [f"w{i+1}" for i in range(n)]).reset_index(drop=True)
+        assert ta.equals(tb), f"order-{n} tables differ"

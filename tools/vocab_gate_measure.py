@@ -1,0 +1,69 @@
+"""Measure build_vocab's two paths on the 720k-doc scaling corpus: the
+driver-merge default vs the forced distributed hash-range shard exchange
+(driver_merge_bytes=0), verifying identical id assignment on a probe set.
+
+Usage: VG_CPUS=32 VG_ROWS=720000 python tools/vocab_gate_measure.py
+Prints one JSON line; record in SCALING.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    import numpy as np
+    import ray
+    import ray.data
+
+    rows = int(os.environ.get("VG_ROWS", "720000"))
+    ncpu = int(os.environ.get("VG_CPUS", "32"))
+    ray.init(address="local", num_cpus=ncpu, include_dashboard=False,
+             logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    from kenlm_ray.ngram.estimate import build_vocab
+    from kenlm_ray.sources.synth_corpus import write_corpus
+
+    paths = write_corpus(f"/tmp/kenlm_ray_bench/sf0.1_{rows}", rows, seed=42,
+                         n_shards=64)
+    ds = ray.data.read_parquet(paths, columns=["content"])
+    ds.count()  # warm page cache, untimed
+
+    t0 = time.time()
+    driver = build_vocab(ds, text_col="content")
+    t_driver = time.time() - t0
+
+    t0 = time.time()
+    sharded = build_vocab(ds, text_col="content", driver_merge_bytes=0,
+                          num_partitions=64)
+    t_sharded = time.time() - t0
+
+    assert sharded.size == driver.size
+    # probe parity: every 97th vocab hash + 10k absent hashes
+    probe = np.concatenate(
+        [driver.lookup_hashes[::97],
+         np.arange(10_000, dtype=np.uint64) * np.uint64(0x9E3779B97F4A7C15)]
+    )
+    same = bool(
+        np.array_equal(driver.ids_for_hashes(probe),
+                       sharded.ids_for_hashes(probe))
+    )
+    ray.shutdown()
+    print(json.dumps({
+        "rows": rows, "cpus": ncpu, "vocab_size": driver.size,
+        "sec_driver_merge": round(t_driver, 3),
+        "sec_sharded_fallback": round(t_sharded, 3),
+        "ids_identical": same,
+    }))
+
+
+if __name__ == "__main__":
+    main()
