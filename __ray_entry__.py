@@ -2923,6 +2923,13 @@ def _q_simhash(sf_dir):
 
 
 def _q_heavy_hitters(sf_dir):
+    """Misra-Gries heavy hitters over l_suppkey.  k=2000 exceeds the
+    distinct-suppkey cardinality at every gate scale (<=1000 at sf0.1),
+    so the sketch provably never compresses — per-batch partials are
+    exact batch counts and the merge is an exact sum — making the
+    output value-exact against a plain GROUP BY oracle while running
+    the real sketch code path (at web scale k << keys and the
+    documented lower-bound semantics apply)."""
     import ray.data
 
     from kenlm_ray.ops.sketch import heavy_hitters
@@ -2930,7 +2937,7 @@ def _q_heavy_hitters(sf_dir):
     ds = ray.data.read_parquet(
         os.path.join(sf_dir, "lineitem.parquet"), columns=["l_suppkey"]
     )
-    return heavy_hitters(ds, "l_suppkey", k=500)
+    return heavy_hitters(ds, "l_suppkey", k=2000)
 
 
 def _q_supplier_approx_distinct(sf_dir):
@@ -3411,11 +3418,16 @@ def _q_repo_file_order(sf_dir):
     imports resolved against sibling files, Kahn topo sort with
     lexicographic ties/cycle-breaks.  Only (repo, path, imports)
     metadata crosses the groupby(repo) exchange — content never
-    shuffles.  Rows-only; tests/test_repo_order.py gates chain/
-    package/cycle/tie semantics and distributed == local."""
+    shuffles.  inject_sibling_imports plants real intra-repo edges
+    (hub/selector star + a 2-cycle per repo, so the stall/release
+    logic runs on this data).  Value-exact oracle: greedy Kahn is the
+    lexicographically-smallest topological order — a recursive CTE
+    over the constrained (edge-incident) files plus a closed-form
+    merge of the isolated files; tests/test_repo_order.py additionally
+    gates chain/package/cycle/tie semantics and distributed == local."""
     import ray.data
 
-    from kenlm_ray.ops.imports import inject_imports
+    from kenlm_ray.ops.imports import inject_imports, inject_sibling_imports
     from kenlm_ray.ops.repo_order import repo_file_order
     from kenlm_ray.sources.synth_corpus import write_corpus
 
@@ -3423,8 +3435,10 @@ def _q_repo_file_order(sf_dir):
     paths = write_corpus(
         f"/tmp/kenlm_ray_cache/codecur_corpus_{n}", n, seed=9, n_shards=8
     )
-    ds = ray.data.read_parquet(paths).map_batches(
-        inject_imports, batch_format="pyarrow"
+    ds = inject_sibling_imports(
+        ray.data.read_parquet(paths).map_batches(
+            inject_imports, batch_format="pyarrow"
+        )
     )
     return repo_file_order(ds)
 
@@ -3526,7 +3540,7 @@ def _q_module_coimport_pagerank(sf_dir):
     ).materialize()
 
     # pagerank walks int64 node ids: hash module names to stable int63
-    # ids (sha1-derived, partitioning-invariant), rank, then map back
+    # ids (sha256-derived, partitioning-invariant), rank, then map back
     # via the module catalog (catalog-bounded).
     import hashlib
 
@@ -3536,7 +3550,7 @@ def _q_module_coimport_pagerank(sf_dir):
     def _mid(names):
         return np.array(
             [
-                int.from_bytes(hashlib.sha1(s.encode()).digest()[:8], "little")
+                int.from_bytes(hashlib.sha256(s.encode()).digest()[:8], "little")
                 >> 1
                 for s in names
             ],
@@ -5411,6 +5425,336 @@ def _repo_stats_oracle_sql() -> str:
     """
 
 
+def _codecur_corpus_cte(name: str = "corpus") -> str:
+    """CTE over the /tmp synthetic code corpus the code-curation queries
+    run on.  The Ray query writes (or reuses) the corpus BEFORE the
+    harness runs the oracle SQL, so the files exist; the filename filter
+    pins the glob to the corpus size the current sf dir produces
+    (n = max(2000, 4 * |documents|) — the same formula the queries use)."""
+    return f"""{name} AS (
+        SELECT repo, path, commit, lang, content
+        FROM read_parquet(
+            '/tmp/kenlm_ray_cache/codecur_corpus_*/corpus-*.parquet',
+            filename=true)
+        WHERE filename LIKE '%/codecur_corpus_' ||
+              CAST(greatest(2000, (SELECT count(*) FROM documents) * 4)
+                   AS VARCHAR) || '/corpus-%'
+    )"""
+
+
+_PY_IMPORT_FROM_RE = r"'^[ \t]*from[ \t]+([A-Za-z_][A-Za-z0-9_.]*)[ \t]+import'"
+_PY_IMPORT_RE = r"'^[ \t]*import[ \t]+([A-Za-z_][A-Za-z0-9_.]*)'"
+_MODLIST_SQL = ("['os','sys','json','numpy','pandas','ray.data','pyarrow',"
+                "'collections.abc','hashlib','itertools']")
+
+
+def _inject_imports_ctes(pre: str = "", extra_union: str = "") -> str:
+    """CTE chain reproducing ops/imports.inject_imports + per-file
+    distinct-module extraction (python patterns; inject_imports forces
+    lang='py'): h = LE8(sha256(commit)); k = h%4+1 modules injected from
+    the fixed 10-module universe; union with the modules the ORIGINAL
+    content's lines already match; distinct, sorted, capped at 256
+    (extract_file_imports[:256]).  ``pre`` inserts extra CTEs after
+    ``hdr``; ``extra_union`` adds a branch to the per-file module union
+    (both used by the repo_file_order oracle's sibling imports)."""
+    return f"""
+    hdr AS (
+        SELECT repo, path, commit, content,
+               {_sql_le_bytes('sha256(commit)', '0', 8)} AS h
+        FROM corpus
+    ),{pre}
+    injected AS (
+        SELECT repo, path, commit,
+            list_transform(
+                generate_series(0, CAST(h % 4 AS INTEGER)),
+                i -> ({_MODLIST_SQL})[
+                    CAST(((h // ([1,256,65536,16777216]::HUGEINT[])[i + 1])
+                          % 10) AS INTEGER) + 1]
+            ) AS inj
+        FROM hdr
+    ),
+    content_mods AS (
+        SELECT repo, path, commit,
+            coalesce(
+                nullif(regexp_extract(line, {_PY_IMPORT_FROM_RE}, 1), ''),
+                nullif(regexp_extract(line, {_PY_IMPORT_RE}, 1), '')
+            ) AS module
+        FROM hdr, unnest(string_split(content, chr(10))) AS u(line)
+    ),
+    file_mods AS (
+        SELECT DISTINCT repo, path, commit, module FROM (
+            SELECT repo, path, commit, unnest(inj) AS module FROM injected
+            UNION ALL
+            SELECT repo, path, commit, module FROM content_mods
+            WHERE module IS NOT NULL{extra_union}
+        )
+    ),
+    capped AS (
+        SELECT repo, path, commit, module FROM (
+            SELECT *, row_number() OVER (PARTITION BY repo, path, commit
+                                         ORDER BY module) AS rn
+            FROM file_mods
+        ) WHERE rn <= 256
+    )"""
+
+
+def _repo_file_order_oracle_sql() -> str:
+    """ops/repo_order.repo_file_order over the sibling-import-enriched
+    corpus (_q_repo_file_order).  Greedy min-heap Kahn with
+    lexicographic ties and min-remaining cycle release IS the
+    lexicographically-smallest topological order, so: a recursive CTE
+    runs the sequential greedy over the CONSTRAINED (edge-incident)
+    files only — one row per repo carrying (chosen, effective-key)
+    lists; isolated files never enter the recursion and merge in closed
+    form: with cummax_k = max effective key over the first k picks
+    (release picks get a +infinity sentinel — when the ready set
+    stalls, every remaining isolated file drains first), rank(s_k) =
+    k + |{{free: path < cummax_k}}| and rank(free) = pos_in_frees +
+    |{{k: cummax_k < path}}|."""
+    sib_pre = """
+    hubs AS (SELECT repo, min(path) AS hub FROM hdr GROUP BY 1),
+    smins AS (
+        SELECT d.repo, min(d.path) AS smin
+        FROM hdr d JOIN hubs hb ON hb.repo = d.repo
+        WHERE d.h % 29 = 0 AND d.path <> hb.hub
+        GROUP BY 1
+    ),
+    stems AS (
+        SELECT repo, path,
+               list_aggregate(list_filter(string_split(
+                   regexp_replace(path, '\\.(py|js|ts|java|go|rs)$', ''),
+                   '/'), x -> x <> ''), 'string_agg', '.') AS stem
+        FROM corpus
+    ),
+    sib AS (
+        SELECT d.repo, d.path, d.commit, s.stem AS module
+        FROM hdr d
+        JOIN hubs hb ON hb.repo = d.repo
+        JOIN smins sm ON sm.repo = d.repo
+        JOIN stems s ON s.repo = d.repo AND s.path = sm.smin
+        WHERE d.path = hb.hub
+        UNION ALL
+        SELECT d.repo, d.path, d.commit, s.stem AS module
+        FROM hdr d
+        JOIN hubs hb ON hb.repo = d.repo
+        JOIN stems s ON s.repo = d.repo AND s.path = hb.hub
+        WHERE d.h % 29 = 0 AND d.path <> hb.hub
+    ),"""
+    sib_union = """
+            UNION ALL
+            SELECT repo, path, commit, module FROM sib"""
+    return f"""
+        WITH RECURSIVE {_codecur_corpus_cte()},
+        {_inject_imports_ctes(pre=sib_pre, extra_union=sib_union)},
+        files AS (
+            SELECT repo, path,
+                   row_number() OVER (PARTITION BY repo ORDER BY path) - 1
+                       AS idx
+            FROM corpus
+        ),
+        stem_keys AS (
+            SELECT repo, path, stem AS key FROM stems
+            UNION ALL
+            SELECT repo, path,
+                   regexp_replace(stem, '\\.(\\_\\_init\\_\\_|index)$', '')
+                       AS key
+            FROM stems
+            WHERE (stem LIKE '%.\\_\\_init\\_\\_' ESCAPE '\\'
+                   OR stem LIKE '%.index')
+        ),
+        providers AS (
+            SELECT repo, key, path FROM (
+                SELECT repo, key, path,
+                       row_number() OVER (PARTITION BY repo, key
+                                          ORDER BY path) AS rn
+                FROM stem_keys
+            ) WHERE rn = 1
+        ),
+        dep_pairs AS (
+            SELECT DISTINCT fi.repo, fi.path AS ipath, fj.path AS jpath
+            FROM file_mods fm
+            JOIN files fi ON fi.repo = fm.repo AND fi.path = fm.path
+            JOIN providers pr ON pr.repo = fm.repo
+              AND pr.key = ltrim(replace(replace(fm.module, '::', '.'),
+                                         '/', '.'), '.')
+            JOIN files fj ON fj.repo = pr.repo AND fj.path = pr.path
+            WHERE fj.idx <> fi.idx
+        ),
+        cons AS (
+            SELECT repo, path,
+                   row_number() OVER (PARTITION BY repo ORDER BY path) - 1
+                       AS cidx
+            FROM (
+                SELECT DISTINCT repo, ipath AS path FROM dep_pairs
+                UNION
+                SELECT DISTINCT repo, jpath AS path FROM dep_pairs
+            )
+        ),
+        cdep_pairs AS (
+            SELECT dp.repo, ci.cidx AS i, cj.cidx AS j
+            FROM dep_pairs dp
+            JOIN cons ci ON ci.repo = dp.repo AND ci.path = dp.ipath
+            JOIN cons cj ON cj.repo = dp.repo AND cj.path = dp.jpath
+        ),
+        cdeps AS (
+            SELECT repo, i, list(j ORDER BY j) AS dj
+            FROM cdep_pairs GROUP BY 1, 2
+        ),
+        cstate0 AS (
+            SELECT c.repo,
+                   list(c.path ORDER BY c.cidx) AS cpaths,
+                   list(coalesce(d.dj, []) ORDER BY c.cidx) AS deps,
+                   count(*)::INTEGER AS n
+            FROM cons c
+            LEFT JOIN cdeps d ON d.repo = c.repo AND d.i = c.cidx
+            GROUP BY c.repo
+        ),
+        ord AS (
+            SELECT repo, cpaths, deps, n, []::INTEGER[] AS chosen,
+                   []::VARCHAR[] AS ek
+            FROM cstate0
+            UNION ALL
+            SELECT repo, cpaths, deps, n,
+                chosen || [coalesce(nxt, rel)],
+                ek || [CASE WHEN nxt IS NULL THEN repeat('~', 400)
+                            ELSE cpaths[coalesce(nxt, rel) + 1] END]
+            FROM (
+                SELECT repo, cpaths, deps, n, chosen, ek,
+                    list_min(list_filter(range(0, n),
+                        i -> NOT list_contains(chosen, i)
+                             AND list_has_all(chosen, deps[i + 1]))) AS nxt,
+                    list_min(list_filter(range(0, n),
+                        i -> NOT list_contains(chosen, i))) AS rel
+                FROM ord WHERE len(chosen) < n
+            )
+        ),
+        cfinal AS (
+            SELECT repo, cpaths, chosen, ek, n FROM ord
+            WHERE len(chosen) = n
+        ),
+        cseq AS (
+            SELECT repo, k, path,
+                   max(e) OVER (PARTITION BY repo ORDER BY k) AS cummax
+            FROM (
+                SELECT repo,
+                       unnest(list_transform(range(0, n),
+                           r -> struct_pack(k := r,
+                                            path := cpaths[chosen[r + 1] + 1],
+                                            e := ek[r + 1])),
+                              recursive := true)
+                FROM cfinal
+            )
+        ),
+        frees AS (
+            SELECT f.repo, f.path,
+                   row_number() OVER (PARTITION BY f.repo
+                                      ORDER BY f.path) - 1 AS fpos
+            FROM files f
+            LEFT JOIN cons c ON c.repo = f.repo AND c.path = f.path
+            WHERE c.path IS NULL
+        ),
+        cranks AS (
+            SELECT s.repo, s.path,
+                   s.k + coalesce((
+                       SELECT count(*) FROM frees f
+                       WHERE f.repo = s.repo AND f.path < s.cummax
+                   ), 0) AS rank
+            FROM cseq s
+        ),
+        franks AS (
+            SELECT f.repo, f.path,
+                   f.fpos + coalesce((
+                       SELECT count(*) FROM cseq s
+                       WHERE s.repo = f.repo AND s.cummax < f.path
+                   ), 0) AS rank
+            FROM frees f
+        )
+        SELECT repo, path, rank::BIGINT AS rank FROM cranks
+        UNION ALL
+        SELECT repo, path, rank::BIGINT AS rank FROM franks
+    """
+
+
+def _module_popularity_oracle_sql() -> str:
+    """ops/imports.module_popularity over the import-enriched corpus:
+    (module, n_repos, n_files)."""
+    return f"""
+        WITH {_codecur_corpus_cte()},
+        {_inject_imports_ctes()},
+        usage AS (
+            SELECT repo, module, count(*)::BIGINT AS n_files
+            FROM capped GROUP BY 1, 2
+        )
+        SELECT module, count(*)::BIGINT AS n_repos,
+               sum(n_files)::BIGINT AS n_files
+        FROM usage GROUP BY 1
+    """
+
+
+def _module_coimport_pagerank_oracle_sql(
+    num_iters: int = 5, damping: float = 0.85
+) -> str:
+    """ops/imports.coimport_edges (max 64 imports/file) composed with
+    ops/graph.pagerank (symmetric, 5 iters, no dangling mass in a
+    symmetric graph) — unrolled linear CTE, ranks on module names (the
+    int63 mid indirection in the query is a bijection)."""
+    base = f"""
+        WITH {_codecur_corpus_cte()},
+        {_inject_imports_ctes()},
+        capped64 AS (
+            SELECT repo, path, commit, module FROM (
+                SELECT *, row_number() OVER (PARTITION BY repo, path, commit
+                                             ORDER BY module) AS rn
+                FROM file_mods
+            ) WHERE rn <= 64
+        ),
+        prs AS (
+            SELECT a.module AS s, b.module AS t, count(*)::DOUBLE AS w
+            FROM capped64 a JOIN capped64 b
+              ON a.repo = b.repo AND a.path = b.path
+             AND a.commit = b.commit AND a.module < b.module
+            GROUP BY 1, 2
+        ),
+        edges AS (
+            SELECT s, t, w FROM prs
+            UNION ALL SELECT t AS s, s AS t, w FROM prs
+        ),
+        nodes AS (SELECT DISTINCT s AS node FROM edges),
+        nn AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+        deg AS (SELECT s AS node, sum(w) AS wd FROM edges GROUP BY 1),
+        r0 AS (SELECT node, 1.0/nn.n AS r FROM nodes, nn)"""
+    for i in range(1, num_iters + 1):
+        base += f""",
+        r{i} AS (
+            SELECT e.t AS node,
+                   {1.0 - damping}/nn.n
+                   + {damping}*sum(r{i-1}.r * e.w / d.wd) AS r
+            FROM edges e
+            JOIN r{i-1} ON r{i-1}.node = e.s
+            JOIN deg d ON d.node = e.s, nn
+            GROUP BY e.t, nn.n
+        )"""
+    return base + f"""
+        SELECT node AS module, round(r, 6) AS pr FROM r{num_iters}
+    """
+
+
+def _repo_top_ppl_oracle_sql() -> str:
+    """ops/salted.repo_top_ppl(k=3): per repo, the 3 lowest-perplexity
+    kept files of the flagship scored rows (ties broken by path)."""
+    return f"""
+        WITH {_flagship_sql_parts()},
+        ranked AS (
+            SELECT repo, path, ppl,
+                   row_number() OVER (PARTITION BY repo
+                                      ORDER BY ppl, path) AS rn
+            FROM scored_rows
+            WHERE keep AND ppl IS NOT NULL AND isfinite(ppl)
+        )
+        SELECT repo, path, ppl FROM ranked WHERE rn <= 3
+    """
+
+
 def _pagerank_sql(num_iters: int = 5, damping: float = 0.85) -> str:
     """Unrolled-CTE twin of ops/graph.pagerank over the copurchase_lift
     edge set (top-100 parts, weights = distinct-order co-purchase
@@ -6436,6 +6780,17 @@ def oracle_sql() -> dict[str, str]:
         "ccnet_ppl_buckets": _ccnet_oracle_sql(),
         "quality_filter_flagship": _flagship_oracle_sql(),
         "repo_quality_stats": _repo_stats_oracle_sql(),
+        "repo_top_ppl_salted": _repo_top_ppl_oracle_sql(),
+        "module_popularity": _module_popularity_oracle_sql(),
+        "module_coimport_pagerank": _module_coimport_pagerank_oracle_sql(),
+        "repo_file_order": _repo_file_order_oracle_sql(),
+        # k=2000 > distinct suppkeys at every gate scale: Misra-Gries
+        # provably never compresses, so the sketch output is exact
+        "heavy_hitter_suppkeys": """
+            SELECT l_suppkey::BIGINT AS key,
+                   count(*)::BIGINT AS approx_count
+            FROM lineitem GROUP BY 1
+        """,
         "langid": _langid_oracle_sql(),
         "mixed_language_stats": _mixed_lang_oracle_sql(),
         # ops/sample.temperature_rebalance targets: p_g^0.3 shares with

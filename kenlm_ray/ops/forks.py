@@ -475,7 +475,7 @@ def inject_forks(batch: pa.Table, *, repo_col: str = "repo",
 
     commits = batch["commit"].to_pylist()
     h = np.array(
-        [int.from_bytes(hashlib.sha1(str(c).encode()).digest()[:8], "little")
+        [int.from_bytes(hashlib.sha256(str(c).encode()).digest()[:8], "little")
          for c in commits],
         dtype=np.uint64,
     )

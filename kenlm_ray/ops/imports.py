@@ -212,7 +212,7 @@ def inject_imports(batch: pa.Table, *, text_col: str = "content",
     content = batch[text_col].to_pylist()
     out = []
     for s, t in zip(ids, content):
-        h = int.from_bytes(hashlib.sha1(str(s).encode()).digest()[:8], "little")
+        h = int.from_bytes(hashlib.sha256(str(s).encode()).digest()[:8], "little")
         k = h % 4 + 1
         mods = [_MODULES[(h >> (8 * i)) % len(_MODULES)] for i in range(k)]
         hdr = "".join(
@@ -228,3 +228,124 @@ def inject_imports(batch: pa.Table, *, text_col: str = "content",
         tbl.schema.get_field_index(lang_col), lang_col,
         pa.array(["py"] * batch.num_rows, type=pa.string()),
     )
+
+
+def _h64(ids: "list") -> np.ndarray:
+    """LE8(sha256(str(id))) — the deterministic per-row enrichment key
+    (partitioning-invariant; sha256 so DuckDB oracles can reproduce it)."""
+    import hashlib
+
+    return np.array(
+        [int.from_bytes(hashlib.sha256(str(s).encode()).digest()[:8], "little")
+         for s in ids],
+        dtype=np.uint64,
+    )
+
+
+def inject_sibling_imports(
+    ds: "ray.data.Dataset",
+    *,
+    sel_mod: int = 29,
+    repo_col: str = "repo",
+    path_col: str = "path",
+    text_col: str = "content",
+    id_col: str = "commit",
+) -> "ray.data.Dataset":
+    """Deterministic INTRA-repo import enrichment, so dependency-order
+    pipelines exercise real edges on the synthetic corpus (whose base
+    imports are stdlib-ish names that never resolve to sibling files).
+
+    Per repo: the HUB file (lexicographically smallest path) is the
+    import target; every SELECTOR file (h = LE8(sha256(commit)),
+    h % sel_mod == 0, path != hub) prepends ``import <hub stem>``; the
+    hub itself prepends ``import <smallest selector's stem>`` — a
+    deliberate 2-cycle so the topo sort's cycle-release path runs on
+    real data.  The (hub, min-selector) catalog is a per-repo min/min
+    aggregate — partitioning-invariant and repo-catalog-sized."""
+    from kenlm_ray.ops.repo_order import _stem_keys
+
+    NOSEL = "\x7f"  # sorts above every real path byte
+
+    def cat_partial(batch: pa.Table) -> pa.Table:
+        repos = batch[repo_col].to_pylist()
+        paths = batch[path_col].to_pylist()
+        h = _h64(batch[id_col].to_pylist())
+        sel = (h % np.uint64(sel_mod)) == 0
+        hub: dict = {}
+        two: dict = {}  # repo -> two smallest selector paths in block
+        for i, (r, p) in enumerate(zip(repos, paths)):
+            if r not in hub or p < hub[r]:
+                hub[r] = p
+            if sel[i]:
+                a, b = two.get(r, (NOSEL, NOSEL))
+                if p < a:
+                    a, b = p, a
+                elif p < b:
+                    b = p
+                two[r] = (a, b)
+        ks = sorted(hub)
+        return pa.table(
+            {
+                "repo": pa.array(ks, type=pa.string()),
+                "hub": pa.array([hub[k] for k in ks], type=pa.string()),
+                "s1": pa.array(
+                    [two.get(k, (NOSEL, NOSEL))[0] for k in ks],
+                    type=pa.string(),
+                ),
+                "s2": pa.array(
+                    [two.get(k, (NOSEL, NOSEL))[1] for k in ks],
+                    type=pa.string(),
+                ),
+            }
+        )
+
+    # the hub might itself be h-selected, so each block keeps its TWO
+    # smallest selector paths; the driver folds the catalog (repo count
+    # x blocks rows — catalog-sized) and picks the smallest selector
+    # that is not the hub.
+    part_rows = (
+        ds.map_batches(cat_partial, batch_format="pyarrow").take_all()
+    )
+    hub_of: dict = {}
+    sels: dict = {}
+    for r in part_rows:
+        k = r["repo"]
+        if k not in hub_of or r["hub"] < hub_of[k]:
+            hub_of[k] = r["hub"]
+        for p in (r["s1"], r["s2"]):
+            if p != NOSEL:
+                sels.setdefault(k, []).append(p)
+    catalog = {}
+    for k, hub in hub_of.items():
+        smin = min((p for p in sels.get(k, []) if p != hub), default=None)
+        catalog[k] = (hub, smin)
+    cat_ref = ray.put(catalog)
+
+    def stem(p: str) -> str:
+        keys = _stem_keys(p, "py")
+        return keys[0] if keys else ""
+
+    def apply(batch: pa.Table) -> pa.Table:
+        cat = ray.get(cat_ref)
+        repos = batch[repo_col].to_pylist()
+        paths = batch[path_col].to_pylist()
+        texts = batch[text_col].to_pylist()
+        h = _h64(batch[id_col].to_pylist())
+        sel = (h % np.uint64(sel_mod)) == 0
+        out = []
+        for i, (r, p, t) in enumerate(zip(repos, paths, texts)):
+            hub, smin = cat.get(r, (None, None))
+            if p == hub:
+                out.append(
+                    f"import {stem(smin)}\n" + t if smin else t
+                )
+            elif sel[i] and hub:
+                out.append(f"import {stem(hub)}\n" + t)
+            else:
+                out.append(t)
+        return batch.set_column(
+            batch.schema.get_field_index(text_col), text_col,
+            pa.array(out, type=pa.string()),
+        )
+
+    return ds.map_batches(apply, batch_format="pyarrow")

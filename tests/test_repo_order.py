@@ -63,3 +63,36 @@ def test_distributed_matches_local(ray_session):
         sub = got[got["repo"] == r]
         assert list(sub["path"]) == ["util.py", "core.py", "app.py"]
         assert list(sub["rank"]) == [0, 1, 2]
+
+
+def test_inject_sibling_imports_plants_real_edges(ray_session):
+    """The enrichment must create resolvable intra-repo edges (hub star
+    + 2-cycle), be partitioning-invariant, and change the dependency
+    order away from plain path order in at least one repo."""
+    import ray.data
+
+    from kenlm_ray.ops.imports import inject_imports, inject_sibling_imports
+    from kenlm_ray.sources.synth_corpus import write_corpus
+
+    paths = write_corpus("/tmp/kenlm_ray_cache/codecur_corpus_2000", 2000,
+                         seed=9, n_shards=8)
+
+    def run(parts):
+        ds = ray.data.read_parquet(paths).map_batches(
+            inject_imports, batch_format="pyarrow"
+        )
+        if parts:
+            ds = ds.repartition(parts)
+        out = repo_file_order(inject_sibling_imports(ds)).to_pandas()
+        return out.sort_values(["repo", "path"]).reset_index(drop=True)
+
+    a = run(0)
+    b = run(5)
+    assert a.equals(b), "sibling injection is partitioning-dependent"
+    # at least one repo deviates from plain lexicographic path order
+    dev = 0
+    for _, g in a.groupby("repo"):
+        ranks = g.sort_values("path")["rank"].to_numpy()
+        if not (ranks == range(len(ranks))).all():
+            dev += 1
+    assert dev > 0, "no repo has a non-trivial dependency order"
