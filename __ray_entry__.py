@@ -3378,8 +3378,11 @@ def _q_code_filter_summary(sf_dir):
     vendored / lockfile / minified / blob) over the marker-enriched
     synthetic code corpus: one row per drop_reason with file + byte
     volume (ops/code_curation — pure map partials, tiny groupby).
-    Rows-only (corpus is synthetic); tests/test_code_curation.py gates
-    every metric and the decide fold against a pure-Python oracle."""
+    Value-exact oracle: marker injection (splitmix64 buckets), every
+    metric, and the ordered decide fold replayed in SQL with the
+    regex/constant tables generated from the module's own definitions;
+    tests/test_code_curation.py additionally gates each metric against
+    a pure-Python oracle."""
     import ray.data
 
     from kenlm_ray.ops.code_curation import code_filter_summary, inject_code_markers
@@ -4194,9 +4197,11 @@ def _q_repo_fork_pairs(sf_dir):
     """Repo-level fork detection over the fork-enriched synthetic code
     corpus: MinHash over each repo's file-hash set -> LSH banding ->
     exact set-Jaccard verify (ops/forks.fork_detect — the fact table
-    ships only repo-sized signature partials).  Rows-only (synthetic
-    corpus); tests/test_forks.py gates exact-Jaccard parity vs Python
-    sets and planted-fork recall."""
+    ships only repo-sized signature partials).  Value-exact oracle:
+    fork injection, signature math (mod-2^64 wrap + Mersenne), band
+    fold, star degrade, estimate gate and exact verify all replayed in
+    SQL; tests/test_forks.py additionally gates exact-Jaccard parity
+    vs Python sets and planted-fork recall."""
     import ray.data
 
     from kenlm_ray.ops.forks import fork_detect, inject_forks
@@ -5675,6 +5680,267 @@ def _repo_file_order_oracle_sql() -> str:
     """
 
 
+def _code_filter_summary_oracle_sql() -> str:
+    """ops/code_curation.code_filter_summary over the marker-enriched
+    corpus (_q_code_filter_summary): inject_code_markers (splitmix64
+    bucket of LE8(sha256(commit))), the per-file curation metrics
+    (byte-exact: ASCII byte classes == RE2 char classes on 1-byte
+    chars), and the ordered first-failure decide fold — all regex/
+    constant tables generated from the module's own definitions so the
+    two sides cannot drift."""
+    import re as _re
+
+    from kenlm_ray.ops.code_curation import (
+        CodeFilterConfig,
+        GENERATED_MARKERS,
+        LICENSE_PHRASES,
+        LOCKFILE_NAMES,
+        SPDX_COPYLEFT_PREFIXES,
+        SPDX_PERMISSIVE,
+        VENDORED_DIRS,
+        _APACHE_HEADER,
+        _GEN_HEADER,
+        _GPL_HEADER,
+        _MIT_HEADER,
+    )
+
+    cfg = CodeFilterConfig()
+
+    def lit(s: str) -> str:
+        return "'" + s.replace("'", "''").replace("\n", "' || chr(10) || '") + "'"
+
+    gen_re = "(?i)(" + "|".join(_re.escape(p) for p in GENERATED_MARKERS) + ")"
+    vend_re = r"(?i)(^|/)(" + "|".join(
+        d.replace(".", r"\.").replace("-", "[-_]?") for d in VENDORED_DIRS
+    ) + r")/"
+    min_re = r"(?i)\.min\.(js|css)$|(^|/)[^/]*\.(map|bundle\.js)$"
+    lock_re = "(?i)^(" + "|".join(
+        nm.replace(".", r"\.") for nm in LOCKFILE_NAMES
+    ) + ")$"
+    phrase_cases = "\n".join(
+        f"WHEN contains(lower(head), {lit(p)}) THEN '{c}'"
+        for p, c in LICENSE_PHRASES
+    )
+    perm_list = ", ".join(f"'{s}'" for s in SPDX_PERMISSIVE)
+    copyleft_pred = " OR ".join(
+        [f"spdx_stripped LIKE '{p}%'" for p in SPDX_COPYLEFT_PREFIXES]
+        + ["spdx_stripped IN ('gpl', 'agpl', 'lgpl')"]
+    )
+    b64_payload = "QUJDREVGR0hJSktMTU5PUFFSU1RVVldYWVph" * 4
+
+    # splitmix64(h + GOLDEN) % 100 — ops/code_curation._splitmix
+    z0 = f"(({_sql_le_bytes('sha256(commit)', '0', 8)}" \
+         " + 11400714819323198485) % 18446744073709551616)"
+    z1 = _sql_mul64c(_sql_xor("__z0", f"__z0 // {1 << 30}"), 0xBF58476D1CE4E5B9)
+    z2 = _sql_mul64c(_sql_xor("__z1", f"__z1 // {1 << 27}"), 0x94D049BB133111EB)
+    sm = _sql_xor("__z2", f"__z2 // {1 << 31}")
+
+    return f"""
+        WITH {_codecur_corpus_cte()},
+        b0 AS (SELECT path, commit, lang, content, {z0} AS __z0 FROM corpus),
+        b1 AS (SELECT * EXCLUDE (__z0), {z1} AS __z1 FROM b0),
+        b2 AS (SELECT * EXCLUDE (__z1), {z2} AS __z2 FROM b1),
+        bk AS (
+            SELECT * EXCLUDE (__z2),
+                   CAST(({sm}) % 100 AS INTEGER) AS bucket
+            FROM b2
+        ),
+        enriched AS (
+            SELECT lang,
+                CASE
+                    WHEN bucket BETWEEN 38 AND 44 THEN 'vendor/' || path
+                    WHEN bucket BETWEEN 45 AND 48 THEN
+                        regexp_replace(path, '/[^/]*$', '/package-lock.json')
+                    ELSE path
+                END AS path,
+                CASE
+                    WHEN bucket < 15 THEN {lit(_MIT_HEADER)} || content
+                    WHEN bucket < 23 THEN {lit(_APACHE_HEADER)} || content
+                    WHEN bucket < 30 THEN {lit(_GPL_HEADER)} || content
+                    WHEN bucket < 38 THEN {lit(_GEN_HEADER)} || content
+                    WHEN bucket BETWEEN 49 AND 53 THEN
+                        content || chr(10) || '{b64_payload}' || chr(10)
+                    ELSE content
+                END AS content
+            FROM bk
+        ),
+        m0 AS (
+            SELECT lang, path, content,
+                   substr(content, 1, 2048) AS head,
+                   octet_length(encode(content))::BIGINT AS doc_len,
+                   (octet_length(encode(content))
+                    - octet_length(encode(replace(content, chr(10), ''))))::BIGINT
+                       AS nls
+            FROM enriched
+        ),
+        m1 AS (
+            SELECT *,
+                nullif(regexp_extract(head,
+                    'SPDX-License-Identifier:[ \\t]*([A-Za-z0-9.+\\-]+)', 1),
+                    '') AS spdx_id,
+                CASE {phrase_cases} ELSE 'none' END AS phrase_class,
+                regexp_matches(head, {lit(gen_re)}) AS is_generated,
+                regexp_matches(path, {lit(vend_re)}) AS is_vendored,
+                regexp_matches(path, {lit(min_re)}) AS is_minified,
+                regexp_matches(regexp_replace(path, '^.*/', ''),
+                               {lit(lock_re)}) AS is_lockfile,
+                coalesce(list_max(list_transform(
+                    string_split(content, chr(10)),
+                    x -> octet_length(encode(x)))), 0)::BIGINT AS max_line_len,
+                greatest(nls + 1, 1)::BIGINT AS n_lines,
+                length(regexp_replace(content, '[^0-9A-Za-z]', '', 'g'))
+                    ::BIGINT AS alnum_n,
+                length(regexp_replace(content, '[^0-9]', '', 'g'))
+                    ::BIGINT AS digit_n,
+                (doc_len - octet_length(encode(regexp_replace(content,
+                    '[A-Za-z0-9+/=]{{64,}}', '', 'g'))))::BIGINT AS b64_cov,
+                (doc_len - octet_length(encode(regexp_replace(content,
+                    '[0-9a-fA-F]{{64,}}', '', 'g'))))::BIGINT AS hex_cov
+            FROM m0
+        ),
+        m2 AS (
+            SELECT *,
+                CASE WHEN spdx_id IS NULL THEN phrase_class ELSE (
+                    CASE WHEN spdx_stripped IN ({perm_list})
+                             THEN 'permissive'
+                         WHEN {copyleft_pred} THEN 'copyleft'
+                         ELSE 'unknown_license' END
+                ) END AS license_class,
+                (doc_len - nls) * 1.0 / n_lines AS mean_line_len,
+                alnum_n * 1.0 / greatest(doc_len, 1) AS alnum_frac,
+                digit_n * 1.0 / greatest(doc_len, 1) AS digit_frac,
+                b64_cov * 1.0 / greatest(doc_len, 1) AS b64_frac,
+                hex_cov * 1.0 / greatest(doc_len, 1) AS hex_frac
+            FROM (
+                SELECT *,
+                    regexp_replace(regexp_replace(lower(spdx_id),
+                        '-only$', ''), '-or-later$', '') AS spdx_stripped
+                FROM m1
+            )
+        ),
+        decided AS (
+            SELECT doc_len,
+                CASE
+                    WHEN license_class = 'copyleft' THEN 'license_copyleft'
+                    WHEN is_generated THEN 'generated'
+                    WHEN is_vendored OR is_minified THEN 'vendored_path'
+                    WHEN is_lockfile THEN 'lockfile'
+                    WHEN max_line_len > {cfg.max_line_len} THEN 'long_line'
+                    WHEN mean_line_len > {cfg.max_mean_line_len}
+                        THEN 'mean_line'
+                    WHEN alnum_frac < {cfg.min_alnum_frac} THEN 'alnum'
+                    WHEN digit_frac > {cfg.max_digit_frac} THEN 'digits'
+                    WHEN greatest(b64_frac, hex_frac) > {cfg.max_blob_frac}
+                        THEN 'blob'
+                    ELSE ''
+                END AS drop_reason
+            FROM m2
+        )
+        SELECT drop_reason, count(*)::BIGINT AS files,
+               sum(doc_len)::BIGINT AS bytes
+        FROM decided GROUP BY 1
+    """
+
+
+def _repo_fork_pairs_oracle_sql() -> str:
+    """ops/forks.fork_detect(tau=0.5, num_perm=64, bands=16) over the
+    fork-enriched corpus (_q_repo_fork_pairs): inject_forks
+    (LE8(sha256(commit)) % 1000 < 600 -> repo||'-fork' copies), per-repo
+    MinHash over the distinct content-murmur set (numpy's mod-2^64 wrap
+    before the Mersenne mod), the splitmix-style 4-step band fold
+    (unrolled chained subqueries over the mul64/xor limb macros),
+    banded candidates with the first-200-members star degrade, >= tau
+    estimated signature agreement, and the exact set-Jaccard verify
+    with sizes.  items/sigs are MATERIALIZED: both feed multiple
+    consumers and hold the content murmur (the expensive kernel)."""
+    from kenlm_ray.ops.dedup import _MERSENNE, _minhash_params
+
+    a, b = _minhash_params(64, seed=1)
+    le8 = _sql_le_bytes("sha256(commit)", "0", 8)
+    murc = _murmur64_sql("content")
+    perms = ", ".join(
+        f"({p}, {int(a[p])}::HUGEINT, {int(b[p])}::HUGEINT)"
+        for p in range(64)
+    )
+    hv = (f"(({_sql_mul64v('pm.a', 'it.sm')} + pm.b) % {_SQL_M64})"
+          f" % {_MERSENNE}")
+    return f"""
+WITH {_codecur_corpus_cte()},
+forked AS (
+    SELECT repo, content FROM corpus
+    UNION ALL
+    SELECT repo || '-fork' AS repo, content FROM corpus
+    WHERE ({le8}) % 1000 < 600
+),
+items AS MATERIALIZED (
+    SELECT DISTINCT repo, CAST({murc} AS HUGEINT) AS h FROM forked
+),
+itemsm AS (SELECT repo, h, h % {_MERSENNE} AS sm FROM items),
+perms AS (SELECT * FROM (VALUES {perms}) pm(p, a, b)),
+sigs AS MATERIALIZED (
+    SELECT it.repo, pm.p, min({hv}) AS s
+    FROM itemsm it, perms pm GROUP BY 1, 2
+),
+bh AS (
+    SELECT repo, band, __a4 AS bhv
+    FROM (
+      SELECT * EXCLUDE (__a3), CAST(xor(CAST(((( ((CAST(xor(CAST((__a3) AS UBIGINT), CAST((s3) AS UBIGINT)) AS HUGEINT)) % 4294967296) * 484763065 + ((( ((CAST(xor(CAST((__a3) AS UBIGINT), CAST((s3) AS UBIGINT)) AS HUGEINT)) % 4294967296) * 3210233709 + ((CAST(xor(CAST((__a3) AS UBIGINT), CAST((s3) AS UBIGINT)) AS HUGEINT)) // 4294967296) * 484763065 )) % 4294967296) * 4294967296 ) % 18446744073709551616)) AS UBIGINT), CAST((((( ((CAST(xor(CAST((__a3) AS UBIGINT), CAST((s3) AS UBIGINT)) AS HUGEINT)) % 4294967296) * 484763065 + ((( ((CAST(xor(CAST((__a3) AS UBIGINT), CAST((s3) AS UBIGINT)) AS HUGEINT)) % 4294967296) * 3210233709 + ((CAST(xor(CAST((__a3) AS UBIGINT), CAST((s3) AS UBIGINT)) AS HUGEINT)) // 4294967296) * 484763065 )) % 4294967296) * 4294967296 ) % 18446744073709551616)) // 536870912) AS UBIGINT)) AS HUGEINT) AS __a4 FROM (
+      SELECT * EXCLUDE (__a2), CAST(xor(CAST(((( ((CAST(xor(CAST((__a2) AS UBIGINT), CAST((s2) AS UBIGINT)) AS HUGEINT)) % 4294967296) * 484763065 + ((( ((CAST(xor(CAST((__a2) AS UBIGINT), CAST((s2) AS UBIGINT)) AS HUGEINT)) % 4294967296) * 3210233709 + ((CAST(xor(CAST((__a2) AS UBIGINT), CAST((s2) AS UBIGINT)) AS HUGEINT)) // 4294967296) * 484763065 )) % 4294967296) * 4294967296 ) % 18446744073709551616)) AS UBIGINT), CAST((((( ((CAST(xor(CAST((__a2) AS UBIGINT), CAST((s2) AS UBIGINT)) AS HUGEINT)) % 4294967296) * 484763065 + ((( ((CAST(xor(CAST((__a2) AS UBIGINT), CAST((s2) AS UBIGINT)) AS HUGEINT)) % 4294967296) * 3210233709 + ((CAST(xor(CAST((__a2) AS UBIGINT), CAST((s2) AS UBIGINT)) AS HUGEINT)) // 4294967296) * 484763065 )) % 4294967296) * 4294967296 ) % 18446744073709551616)) // 536870912) AS UBIGINT)) AS HUGEINT) AS __a3 FROM (
+      SELECT * EXCLUDE (__a1), CAST(xor(CAST(((( ((CAST(xor(CAST((__a1) AS UBIGINT), CAST((s1) AS UBIGINT)) AS HUGEINT)) % 4294967296) * 484763065 + ((( ((CAST(xor(CAST((__a1) AS UBIGINT), CAST((s1) AS UBIGINT)) AS HUGEINT)) % 4294967296) * 3210233709 + ((CAST(xor(CAST((__a1) AS UBIGINT), CAST((s1) AS UBIGINT)) AS HUGEINT)) // 4294967296) * 484763065 )) % 4294967296) * 4294967296 ) % 18446744073709551616)) AS UBIGINT), CAST((((( ((CAST(xor(CAST((__a1) AS UBIGINT), CAST((s1) AS UBIGINT)) AS HUGEINT)) % 4294967296) * 484763065 + ((( ((CAST(xor(CAST((__a1) AS UBIGINT), CAST((s1) AS UBIGINT)) AS HUGEINT)) % 4294967296) * 3210233709 + ((CAST(xor(CAST((__a1) AS UBIGINT), CAST((s1) AS UBIGINT)) AS HUGEINT)) // 4294967296) * 484763065 )) % 4294967296) * 4294967296 ) % 18446744073709551616)) // 536870912) AS UBIGINT)) AS HUGEINT) AS __a2 FROM (
+      SELECT *, CAST(xor(CAST(((( ((CAST(xor(CAST((11400714819323198485::HUGEINT) AS UBIGINT), CAST((s0) AS UBIGINT)) AS HUGEINT)) % 4294967296) * 484763065 + ((( ((CAST(xor(CAST((11400714819323198485::HUGEINT) AS UBIGINT), CAST((s0) AS UBIGINT)) AS HUGEINT)) % 4294967296) * 3210233709 + ((CAST(xor(CAST((11400714819323198485::HUGEINT) AS UBIGINT), CAST((s0) AS UBIGINT)) AS HUGEINT)) // 4294967296) * 484763065 )) % 4294967296) * 4294967296 ) % 18446744073709551616)) AS UBIGINT), CAST((((( ((CAST(xor(CAST((11400714819323198485::HUGEINT) AS UBIGINT), CAST((s0) AS UBIGINT)) AS HUGEINT)) % 4294967296) * 484763065 + ((( ((CAST(xor(CAST((11400714819323198485::HUGEINT) AS UBIGINT), CAST((s0) AS UBIGINT)) AS HUGEINT)) % 4294967296) * 3210233709 + ((CAST(xor(CAST((11400714819323198485::HUGEINT) AS UBIGINT), CAST((s0) AS UBIGINT)) AS HUGEINT)) // 4294967296) * 484763065 )) % 4294967296) * 4294967296 ) % 18446744073709551616)) // 536870912) AS UBIGINT)) AS HUGEINT) AS __a1 FROM (
+        SELECT repo, p // 4 AS band,
+               max(CASE WHEN p % 4 = 0 THEN s END) AS s0,
+               max(CASE WHEN p % 4 = 1 THEN s END) AS s1,
+               max(CASE WHEN p % 4 = 2 THEN s END) AS s2,
+               max(CASE WHEN p % 4 = 3 THEN s END) AS s3
+        FROM sigs GROUP BY 1, 2
+      ))))
+    )
+),
+members AS (
+    SELECT band, bhv, repo,
+           row_number() OVER (PARTITION BY band, bhv ORDER BY repo) AS rn
+    FROM bh
+),
+cand0 AS (
+    SELECT DISTINCT x.repo AS repo_a, y.repo AS repo_b
+    FROM members x JOIN members y
+      ON x.band = y.band AND x.bhv = y.bhv AND x.repo < y.repo
+    WHERE x.rn <= 200 AND y.rn <= 200
+),
+agree AS (
+    SELECT c.repo_a, c.repo_b,
+           avg(CASE WHEN sa.s = sb.s THEN 1.0 ELSE 0.0 END) AS est
+    FROM cand0 c
+    JOIN sigs sa ON sa.repo = c.repo_a
+    JOIN sigs sb ON sb.repo = c.repo_b AND sb.p = sa.p
+    GROUP BY 1, 2
+),
+cands AS (SELECT repo_a, repo_b FROM agree WHERE est >= 0.5),
+sz AS (SELECT repo, count(*)::BIGINT AS n FROM items GROUP BY 1),
+inter AS (
+    SELECT c.repo_a, c.repo_b, count(*)::BIGINT AS inter
+    FROM cands c
+    JOIN items x ON x.repo = c.repo_a
+    JOIN items y ON y.repo = c.repo_b AND y.h = x.h
+    GROUP BY 1, 2
+)
+SELECT c.repo_a, c.repo_b,
+       coalesce(i.inter, 0)::BIGINT AS inter,
+       za.n AS size_a, zb.n AS size_b,
+       CASE WHEN za.n + zb.n - coalesce(i.inter, 0) = 0 THEN 0.0
+            ELSE coalesce(i.inter, 0) * 1.0
+                 / (za.n + zb.n - coalesce(i.inter, 0)) END AS jaccard
+FROM cands c
+LEFT JOIN inter i ON i.repo_a = c.repo_a AND i.repo_b = c.repo_b
+JOIN sz za ON za.repo = c.repo_a
+JOIN sz zb ON zb.repo = c.repo_b
+WHERE CASE WHEN za.n + zb.n - coalesce(i.inter, 0) = 0 THEN 0.0
+           ELSE coalesce(i.inter, 0) * 1.0
+                / (za.n + zb.n - coalesce(i.inter, 0)) END >= 0.5
+"""
+
+
 def _module_popularity_oracle_sql() -> str:
     """ops/imports.module_popularity over the import-enriched corpus:
     (module, n_repos, n_files)."""
@@ -6783,6 +7049,8 @@ def oracle_sql() -> dict[str, str]:
         "repo_top_ppl_salted": _repo_top_ppl_oracle_sql(),
         "module_popularity": _module_popularity_oracle_sql(),
         "module_coimport_pagerank": _module_coimport_pagerank_oracle_sql(),
+        "code_filter_summary": _code_filter_summary_oracle_sql(),
+        "repo_fork_pairs": _repo_fork_pairs_oracle_sql(),
         "repo_file_order": _repo_file_order_oracle_sql(),
         # k=2000 > distinct suppkeys at every gate scale: Misra-Gries
         # provably never compresses, so the sketch output is exact
