@@ -41,7 +41,12 @@ def _key_bucket(batch: pa.Table, on: "list[str]", P: int) -> np.ndarray:
             if v.dtype.kind in "iu":
                 x = v.astype(np.uint64)
             elif v.dtype.kind == "f":
-                x = np.asarray(v, dtype=np.float64).view(np.uint64)
+                # -0.0 == 0.0 by value but differs at the bit level:
+                # without the +0.0 canonicalization (IEEE: -0.0 + 0.0 =
+                # +0.0) the two sides of a matching pair can land in
+                # different buckets and the match is silently lost
+                # (same fix as groupagg.group_reduce's partial)
+                x = (np.asarray(v, dtype=np.float64) + 0.0).view(np.uint64)
             elif v.dtype.kind == "b":
                 x = v.astype(np.uint64)
             else:  # rare: datetimes/objects
@@ -132,14 +137,23 @@ def hash_join(
     # Arrow nulls via null take indices, so every block keeps the
     # declared schema.
 
+    def _keyframe(g: pa.Table) -> "pd.DataFrame":
+        d = {}
+        for c in on:
+            v = g[c].to_numpy(zero_copy_only=False)
+            if v.dtype.kind == "f":
+                # SQL equality has -0.0 = 0.0; canonicalize before the
+                # pandas hashtable sees the keys so a -0.0/+0.0 pair
+                # matches (output key column then carries +0.0, which is
+                # value-equal to either input)
+                v = v + 0.0
+            d[c] = v
+        return pd.DataFrame(d)
+
     def _match(lg: pa.Table, rg: pa.Table):
-        ldf = pd.DataFrame(
-            {c: lg[c].to_numpy(zero_copy_only=False) for c in on}
-        )
+        ldf = _keyframe(lg)
         ldf["__li"] = np.arange(len(lg), dtype=np.int64)
-        rdf = pd.DataFrame(
-            {c: rg[c].to_numpy(zero_copy_only=False) for c in on}
-        )
+        rdf = _keyframe(rg)
         rdf["__ri"] = np.arange(len(rg), dtype=np.int64)
         return ldf, rdf
 

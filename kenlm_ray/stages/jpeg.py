@@ -1,0 +1,591 @@
+"""Baseline JPEG codec in pure numpy + stdlib (no pillow, no C ext).
+
+Decoder: baseline sequential DCT (SOF0, and SOF1 extended-sequential —
+identical decoding path), 8-bit samples, 1-component grayscale or
+3-component YCbCr with 4:4:4 / 4:2:2 / 4:2:0 chroma subsampling,
+restart markers, multi-table DQT/DHT segments.  Progressive (SOF2),
+arithmetic coding and 12-bit precision raise ``ValueError`` — the
+engine's multimodal stages surface that as a decode error row, they do
+not crash the pipeline (stages/multimodal.ImageDecode).
+
+Encoder: baseline sequential, Annex K quantization tables scaled by the
+IJG quality formula, Annex K "typical" huffman tables, 4:4:4 or 4:2:0.
+It exists so the test suite can fabricate REAL JPEG bytes in an
+environment with no imaging library; it is not a performance path.
+
+Everything follows the public ITU-T T.81 spec (the reference engine has
+no JPEG analog; this closes the engine-brief multimodal item).  The
+entropy-decode loop is per-block Python — acceptable because multimodal
+payload batches are small (build_multimodal_pipeline sizes batches for
+multi-MB payloads) and each block is 64 coefficients; the IDCT, color
+transform and upsampling are vectorized numpy over whole planes.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# ---------------------------------------------------------------- tables
+
+ZIGZAG = np.array(
+    [0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+     12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+     35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+     58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63],
+    dtype=np.int32,
+)
+
+# Annex K.1 luminance / chrominance quantization tables (natural order)
+QL_BASE = np.array(
+    [16, 11, 10, 16, 24, 40, 51, 61, 12, 12, 14, 19, 26, 58, 60, 55,
+     14, 13, 16, 24, 40, 57, 69, 56, 14, 17, 22, 29, 51, 87, 80, 62,
+     18, 22, 37, 56, 68, 109, 103, 77, 24, 35, 55, 64, 81, 104, 113, 92,
+     49, 64, 78, 87, 103, 121, 120, 101, 72, 92, 95, 98, 112, 100, 103, 99],
+    dtype=np.int64,
+)
+QC_BASE = np.array(
+    [17, 18, 24, 47, 99, 99, 99, 99, 18, 21, 26, 66, 99, 99, 99, 99,
+     24, 26, 56, 99, 99, 99, 99, 99, 47, 66, 99, 99, 99, 99, 99, 99,
+     99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+     99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99],
+    dtype=np.int64,
+)
+
+# Annex K.3 typical huffman tables: (bits[1..16], values)
+DC_L_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+DC_L_VALS = list(range(12))
+DC_C_BITS = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+DC_C_VALS = list(range(12))
+AC_L_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+AC_L_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06,
+    0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24, 0x33, 0x62, 0x72,
+    0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44, 0x45,
+    0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75,
+    0x76, 0x77, 0x78, 0x79, 0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+    0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2, 0xF3, 0xF4,
+    0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+AC_C_BITS = [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77]
+AC_C_VALS = [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12, 0x41,
+    0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+    0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15, 0x62, 0x72, 0xD1,
+    0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+    0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44,
+    0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+    0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74,
+    0x75, 0x76, 0x77, 0x78, 0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+    0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A,
+    0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+    0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+    0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2, 0xF3, 0xF4,
+    0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
+# 8x8 DCT-II basis: A[u, x] = c(u)/2 * cos((2x+1) u pi / 16)
+_x = np.arange(8)
+_A = np.cos((2 * _x[None, :] + 1) * _x[:, None] * np.pi / 16) / 2.0
+_A[0, :] *= 1 / np.sqrt(2)
+
+
+def _idct2(blocks: np.ndarray) -> np.ndarray:
+    """Inverse 2-D DCT over an (n, 8, 8) stack, vectorized."""
+    return np.einsum("ux,nuv,vy->nxy", _A, blocks, _A, optimize=True)
+
+
+def _fdct2(blocks: np.ndarray) -> np.ndarray:
+    return np.einsum("xu,nxy,yv->nuv", _A.T, blocks, _A.T, optimize=True)
+
+
+# ---------------------------------------------------------------- decode
+
+
+def _build_decode_table(bits, vals):
+    """Canonical huffman -> dict[(length, code)] = value."""
+    table = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+class _BitReader:
+    """MSB-first reader over entropy-coded data with FF00 unstuffing and
+    restart-marker awareness."""
+
+    def __init__(self, data: bytes, start: int):
+        self.data = data
+        self.pos = start
+        self.bitbuf = 0
+        self.nbits = 0
+        self.marker = None  # pending marker (restart or terminating)
+
+    def _fill(self):
+        d = self.data
+        while self.nbits <= 24:
+            if self.marker is not None or self.pos >= len(d):
+                self.bitbuf = (self.bitbuf << 8) & 0xFFFFFFFF
+                self.nbits += 8
+                continue
+            b = d[self.pos]
+            if b == 0xFF:
+                nxt = d[self.pos + 1] if self.pos + 1 < len(d) else 0xD9
+                if nxt == 0x00:
+                    self.pos += 2
+                else:
+                    self.marker = nxt
+                    self.bitbuf = (self.bitbuf << 8) & 0xFFFFFFFF
+                    self.nbits += 8
+                    continue
+            else:
+                self.pos += 1
+            self.bitbuf = ((self.bitbuf << 8) | b) & 0xFFFFFFFF
+            self.nbits += 8
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            self._fill()
+        self.nbits -= 1
+        return (self.bitbuf >> self.nbits) & 1
+
+    def receive(self, n: int) -> int:
+        if n == 0:
+            return 0
+        while self.nbits < n:
+            self._fill()
+        self.nbits -= n
+        return (self.bitbuf >> self.nbits) & ((1 << n) - 1)
+
+    def decode_huff(self, table) -> int:
+        length = 0
+        code = 0
+        while True:
+            code = (code << 1) | self.read_bit()
+            length += 1
+            if length > 16:
+                raise ValueError("invalid huffman stream")
+            v = table.get((length, code))
+            if v is not None:
+                return v
+
+    def sync_restart(self):
+        """Consume a pending RSTn marker and realign to byte boundary."""
+        self.bitbuf = 0
+        self.nbits = 0
+        if self.marker is None:
+            # the reader may not have buffered as far as the marker yet;
+            # after discarding pad bits the next unread bytes MUST be it
+            d = self.data
+            if (
+                self.pos + 1 < len(d)
+                and d[self.pos] == 0xFF
+                and 0xD0 <= d[self.pos + 1] <= 0xD7
+            ):
+                self.marker = d[self.pos + 1]
+        if self.marker is not None and 0xD0 <= self.marker <= 0xD7:
+            self.pos += 2  # skip FF Dn
+            self.marker = None
+
+
+def _extend(v: int, s: int) -> int:
+    return v - ((1 << s) - 1) if s and v < (1 << (s - 1)) else v
+
+
+def decode_jpeg(payload: bytes) -> np.ndarray:
+    """Decode baseline JPEG bytes -> (H, W, 3) uint8 RGB (grayscale is
+    replicated across channels, matching decode_image_payload's
+    contract)."""
+    d = payload
+    if d[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    pos = 2
+    qt: dict[int, np.ndarray] = {}
+    huff_dc: dict[int, dict] = {}
+    huff_ac: dict[int, dict] = {}
+    frame = None
+    restart_interval = 0
+    scan = None
+    while pos < len(d):
+        if d[pos] != 0xFF:
+            pos += 1
+            continue
+        m = d[pos + 1]
+        pos += 2
+        if m in (0xD8, 0x01) or 0xD0 <= m <= 0xD7:
+            continue
+        if m == 0xD9:
+            break
+        seglen = (d[pos] << 8) | d[pos + 1]
+        seg = d[pos + 2 : pos + seglen]
+        if m == 0xDB:  # DQT
+            i = 0
+            while i < len(seg):
+                pq, tq = seg[i] >> 4, seg[i] & 0xF
+                i += 1
+                if pq:
+                    t = np.frombuffer(seg[i : i + 128], dtype=">u2").astype(np.int64)
+                    i += 128
+                else:
+                    t = np.frombuffer(seg[i : i + 64], dtype=np.uint8).astype(np.int64)
+                    i += 64
+                z = np.zeros(64, dtype=np.int64)
+                z[ZIGZAG] = t  # stored zigzag -> natural order
+                qt[tq] = z
+        elif m == 0xC4:  # DHT
+            i = 0
+            while i < len(seg):
+                tc, th = seg[i] >> 4, seg[i] & 0xF
+                bits = list(seg[i + 1 : i + 17])
+                nv = sum(bits)
+                vals = list(seg[i + 17 : i + 17 + nv])
+                (huff_ac if tc else huff_dc)[th] = _build_decode_table(bits, vals)
+                i += 17 + nv
+        elif m in (0xC0, 0xC1):  # SOF0/1 baseline & extended sequential
+            prec = seg[0]
+            if prec != 8:
+                raise ValueError(f"unsupported sample precision {prec}")
+            H = (seg[1] << 8) | seg[2]
+            W = (seg[3] << 8) | seg[4]
+            nc = seg[5]
+            comps = []
+            for c in range(nc):
+                cid, hv, tq = seg[6 + 3 * c], seg[7 + 3 * c], seg[8 + 3 * c]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq})
+            frame = {"H": H, "W": W, "comps": comps}
+        elif m in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError("only baseline sequential JPEG is supported")
+        elif m == 0xDD:  # DRI
+            restart_interval = (seg[0] << 8) | seg[1]
+        elif m == 0xDA:  # SOS
+            ns = seg[0]
+            scomps = []
+            for c in range(ns):
+                cs, tt = seg[1 + 2 * c], seg[2 + 2 * c]
+                scomps.append({"id": cs, "td": tt >> 4, "ta": tt & 0xF})
+            scan = (scomps, pos + seglen)
+            break
+        pos += seglen
+    if frame is None or scan is None:
+        raise ValueError("truncated JPEG (no frame/scan)")
+
+    scomps, data_start = scan
+    comps = frame["comps"]
+    H, W = frame["H"], frame["W"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = (W + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (H + 8 * vmax - 1) // (8 * vmax)
+
+    by_id = {c["id"]: c for c in comps}
+    order = []
+    for sc in scomps:
+        c = by_id[sc["id"]]
+        order.append((c, huff_dc[sc["td"]], huff_ac[sc["ta"]]))
+        c["coef"] = []  # list of (mcu_row, mcu_col, v, h, zigzag coefs)
+
+    r = _BitReader(d, data_start)
+    pred = {c["id"]: 0 for c in comps}
+    n_mcu = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and n_mcu and n_mcu % restart_interval == 0:
+                r.sync_restart()
+                pred = {c["id"]: 0 for c in comps}
+            for c, tdc, tac in order:
+                for v in range(c["v"]):
+                    for h in range(c["h"]):
+                        zz = np.zeros(64, dtype=np.int64)
+                        s = r.decode_huff(tdc)
+                        diff = _extend(r.receive(s), s)
+                        pred[c["id"]] += diff
+                        zz[0] = pred[c["id"]]
+                        k = 1
+                        while k < 64:
+                            rs = r.decode_huff(tac)
+                            rr, ss = rs >> 4, rs & 0xF
+                            if ss == 0:
+                                if rr == 15:
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += rr
+                            if k > 63:
+                                raise ValueError("AC index overflow")
+                            zz[k] = _extend(r.receive(ss), ss)
+                            k += 1
+                        c["coef"].append((my, mx, v, h, zz))
+            n_mcu += 1
+
+    planes = []
+    for c in comps:
+        q = qt[c["tq"]]
+        ph = mcuy * c["v"] * 8
+        pw = mcux * c["h"] * 8
+        entries = c["coef"]
+        blocks = np.zeros((len(entries), 64), dtype=np.float64)
+        # reorder zigzag -> natural FIRST; q is in natural order, so
+        # dequantization must happen after the reorder
+        blocks[:, ZIGZAG] = np.stack([e[4] for e in entries])
+        blocks *= q[None, :]
+        pix = _idct2(blocks.reshape(-1, 8, 8)) + 128.0
+        plane = np.zeros((ph, pw), dtype=np.float64)
+        for (my, mx, v, h, _), blk in zip(entries, pix):
+            y0 = (my * c["v"] + v) * 8
+            x0 = (mx * c["h"] + h) * 8
+            plane[y0 : y0 + 8, x0 : x0 + 8] = blk
+        # upsample to full resolution
+        plane = np.repeat(np.repeat(plane, vmax // c["v"], axis=0), hmax // c["h"], axis=1)
+        planes.append(plane[:H, :W])
+
+    if len(planes) == 1:
+        y = np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
+        return np.stack([y, y, y], axis=-1)
+    if len(planes) != 3:
+        raise ValueError(f"unsupported component count {len(planes)}")
+    y, cb, cr = planes
+    r_ = y + 1.402 * (cr - 128.0)
+    g_ = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b_ = y + 1.772 * (cb - 128.0)
+    rgb = np.stack([r_, g_, b_], axis=-1)
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+# ---------------------------------------------------------------- encode
+
+
+def _build_encode_table(bits, vals):
+    """Canonical huffman -> dict[value] = (code, length)."""
+    table = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nacc = 0
+
+    def write(self, code: int, length: int):
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nacc += length
+        while self.nacc >= 8:
+            self.nacc -= 8
+            b = (self.acc >> self.nacc) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)  # byte stuffing
+
+    def flush(self):
+        if self.nacc:
+            pad = 8 - self.nacc
+            self.write((1 << pad) - 1, pad)  # pad with 1-bits
+
+
+def _quality_scale(base: np.ndarray, quality: int) -> np.ndarray:
+    quality = min(100, max(1, quality))
+    s = 5000 // quality if quality < 50 else 200 - 2 * quality
+    return np.clip((base * s + 50) // 100, 1, 255)
+
+
+def _mag_cat(v: int) -> int:
+    return 0 if v == 0 else int(abs(v)).bit_length()
+
+
+def _encode_plane_blocks(blocks, q, dc_tab, ac_tab, w, pred):
+    """Quantize + entropy-code an (n, 8, 8) stack; returns new DC pred."""
+    coefs = _fdct2(blocks)
+    qz = np.round(coefs.reshape(-1, 64) / q[None, :]).astype(np.int64)
+    for row in qz:
+        z = row[ZIGZAG]  # natural -> zigzag scan order
+        diff = int(z[0]) - pred
+        pred = int(z[0])
+        s = _mag_cat(diff)
+        code, ln = dc_tab[s]
+        w.write(code, ln)
+        if s:
+            w.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
+        run = 0
+        nz = np.flatnonzero(z[1:]) + 1
+        last = nz[-1] if len(nz) else 0
+        k = 1
+        while k <= last:
+            v = int(z[k])
+            if v == 0:
+                run += 1
+                k += 1
+                continue
+            while run > 15:
+                code, ln = ac_tab[0xF0]
+                w.write(code, ln)
+                run -= 16
+            s = _mag_cat(v)
+            code, ln = ac_tab[(run << 4) | s]
+            w.write(code, ln)
+            w.write(v if v >= 0 else v + (1 << s) - 1, s)
+            run = 0
+            k += 1
+        if last < 63:
+            code, ln = ac_tab[0x00]
+            w.write(code, ln)
+    return pred
+
+
+def _tile(plane: np.ndarray) -> np.ndarray:
+    """(H8, W8) plane -> (n, 8, 8) stack in raster block order."""
+    h8, w8 = plane.shape[0] // 8, plane.shape[1] // 8
+    return (
+        plane.reshape(h8, 8, w8, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+    )
+
+
+def encode_jpeg(
+    rgb: np.ndarray,
+    quality: int = 85,
+    subsample: str = "444",
+    restart_interval: int = 0,
+) -> bytes:
+    """Encode (H, W, 3) uint8 RGB (or (H, W) grayscale) as baseline JPEG.
+    ``restart_interval`` > 0 emits a DRI segment and RSTn markers every
+    that many MCUs (exists mainly so the decoder's restart path has real
+    bytes to test against)."""
+    gray = rgb.ndim == 2
+    if gray:
+        y = rgb.astype(np.float64)
+    else:
+        r, g, b = (rgb[..., i].astype(np.float64) for i in range(3))
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    H, W = y.shape
+    ql = _quality_scale(QL_BASE, quality)
+    qc = _quality_scale(QC_BASE, quality)
+    sub = 2 if (subsample == "420" and not gray) else 1
+
+    def pad(p, mult):
+        ph = -p.shape[0] % mult
+        pw = -p.shape[1] % mult
+        return np.pad(p, ((0, ph), (0, pw)), mode="edge")
+
+    out = bytearray(b"\xff\xd8")  # SOI
+
+    def seg(marker, body):
+        out.extend(bytes([0xFF, marker]))
+        out.extend((len(body) + 2).to_bytes(2, "big"))
+        out.extend(body)
+
+    seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    # DQT: tables stored in zigzag order
+    seg(0xDB, bytes([0x00]) + bytes(ql[ZIGZAG].astype(np.uint8)))
+    if not gray:
+        seg(0xDB, bytes([0x01]) + bytes(qc[ZIGZAG].astype(np.uint8)))
+    # SOF0
+    nc = 1 if gray else 3
+    sof = bytearray([8]) + H.to_bytes(2, "big") + W.to_bytes(2, "big") + bytes([nc])
+    sof += bytes([1, (sub << 4) | sub, 0])
+    if not gray:
+        sof += bytes([2, 0x11, 1, 3, 0x11, 1])
+    seg(0xC0, bytes(sof))
+    # DHT
+    def dht(tc, th, bits, vals):
+        seg(0xC4, bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals))
+
+    dht(0, 0, DC_L_BITS, DC_L_VALS)
+    dht(1, 0, AC_L_BITS, AC_L_VALS)
+    if not gray:
+        dht(0, 1, DC_C_BITS, DC_C_VALS)
+        dht(1, 1, AC_C_BITS, AC_C_VALS)
+    # SOS
+    sos = bytearray([nc, 1, 0x00])
+    if not gray:
+        sos += bytes([2, 0x11, 3, 0x11])
+    if restart_interval:
+        seg(0xDD, restart_interval.to_bytes(2, "big"))
+    sos += bytes([0, 63, 0])
+    seg(0xDA, bytes(sos))
+
+    dc_l = _build_encode_table(DC_L_BITS, DC_L_VALS)
+    ac_l = _build_encode_table(AC_L_BITS, AC_L_VALS)
+    w = _BitWriter()
+    n_mcu_done = 0
+    rst_idx = 0
+
+    def maybe_restart():
+        # called BEFORE encoding each MCU; emits RSTn between intervals
+        nonlocal rst_idx
+        if (
+            restart_interval
+            and n_mcu_done
+            and n_mcu_done % restart_interval == 0
+        ):
+            w.flush()
+            w.out.extend(bytes([0xFF, 0xD0 + (rst_idx % 8)]))
+            rst_idx += 1
+            return True
+        return False
+
+    if gray:
+        yp = pad(y, 8) - 128.0
+        py = 0
+        for blk in _tile(yp):
+            if maybe_restart():
+                py = 0
+            py = _encode_plane_blocks(blk[None], ql, dc_l, ac_l, w, py)
+            n_mcu_done += 1
+    else:
+        dc_c = _build_encode_table(DC_C_BITS, DC_C_VALS)
+        ac_c = _build_encode_table(AC_C_BITS, AC_C_VALS)
+        mcu = 8 * sub
+        yp = pad(y, mcu) - 128.0
+        if sub == 2:
+            cbp = pad(cb, mcu)
+            crp = pad(cr, mcu)
+            # 2x2 box average subsampling
+            cbs = cbp.reshape(cbp.shape[0] // 2, 2, cbp.shape[1] // 2, 2).mean(axis=(1, 3)) - 128.0
+            crs = crp.reshape(crp.shape[0] // 2, 2, crp.shape[1] // 2, 2).mean(axis=(1, 3)) - 128.0
+        else:
+            cbs = pad(cb, 8) - 128.0
+            crs = pad(cr, 8) - 128.0
+        # interleave per MCU: sub*sub Y blocks then one Cb, one Cr
+        mcuy, mcux = yp.shape[0] // mcu, yp.shape[1] // mcu
+        py = pcb = pcr = 0
+        for my in range(mcuy):
+            for mx in range(mcux):
+                if maybe_restart():
+                    py = pcb = pcr = 0
+                yb = []
+                for v in range(sub):
+                    for h in range(sub):
+                        y0, x0 = my * mcu + v * 8, mx * mcu + h * 8
+                        yb.append(yp[y0 : y0 + 8, x0 : x0 + 8])
+                py = _encode_plane_blocks(np.stack(yb), ql, dc_l, ac_l, w, py)
+                cb_b = cbs[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8]
+                cr_b = crs[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8]
+                pcb = _encode_plane_blocks(cb_b[None], qc, dc_c, ac_c, w, pcb)
+                pcr = _encode_plane_blocks(cr_b[None], qc, dc_c, ac_c, w, pcr)
+                n_mcu_done += 1
+    w.flush()
+    out.extend(w.out)
+    out.extend(b"\xff\xd9")  # EOI
+    return bytes(out)

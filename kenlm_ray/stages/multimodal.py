@@ -2,9 +2,11 @@
 payloads carried as opaque ``binary`` columns with typed metadata.
 
 BMP (BI_RGB 24/32-bit), PNG (stdlib zlib inflate + numpy defilter —
-all five spec filters, gray/RGB/alpha/palette) and RIFF/WAVE PCM audio
-decode FOR REAL with no codec library, recognized by their magic
-bytes.  Remaining compressed codecs (JPEG/WebP via pillow, lossy audio
+all five spec filters, gray/RGB/alpha/palette), baseline sequential
+JPEG (pure-numpy huffman + IDCT, 4:4:4/4:2:2/4:2:0, restart markers —
+stages/jpeg.py) and RIFF/WAVE PCM audio decode FOR REAL with no codec
+library, recognized by their magic bytes.  Remaining compressed codecs
+(progressive JPEG/WebP via pillow, lossy audio
 via soundfile, video via pyav) sit
 behind an import-try; when the library is absent, ``decode='fake'``
 produces deterministic fake decodes (seeded by the payload hash) so
@@ -291,26 +293,41 @@ def decode_image_payload(p: bytes, pil, mode: str, fake_decode) -> np.ndarray:
         return decode_bmp(p)  # real, pure numpy
     if p[:8] == _PNG_SIG:
         return decode_png(p)  # real, stdlib zlib + numpy defilter
+    if p[:2] == b"\xff\xd8":
+        # real, pure numpy: baseline sequential JPEG (huffman + IDCT,
+        # 4:4:4/4:2:2/4:2:0, restarts).  Progressive or arithmetic
+        # streams raise ValueError and fall through to pillow/fake.
+        from kenlm_ray.stages.jpeg import decode_jpeg
+
+        try:
+            return decode_jpeg(p)
+        except ValueError:
+            if pil is None and mode == "real":
+                raise NotImplementedError(
+                    "only baseline sequential JPEG decodes natively; "
+                    "progressive/arithmetic streams need pillow"
+                )
     if pil is not None:
         import io
 
         return np.asarray(pil.open(io.BytesIO(p)).convert("RGB"))
     if mode == "real":
         raise NotImplementedError(
-            "real decode of JPEG/WebP/... requires pillow, which this "
-            "environment does not provide — BMP and PNG decode natively; "
-            "use mode='fake' for other formats"
+            "real decode of WebP/... requires pillow, which this "
+            "environment does not provide — BMP, PNG and baseline JPEG "
+            "decode natively; use mode='fake' for other formats"
         )
     return fake_decode(p)
 
 
 class ImageDecode:
     """Actor-pool stage: binary payload -> (height, width, channels,
-    mean_luma float32, thumb binary).  BMP and PNG payloads decode FOR
-    REAL in pure numpy (+ stdlib zlib); JPEG/WebP need pillow
-    (import-try); anything else falls back to the deterministic fake in
-    ``mode='auto'``/'fake'.  ``mode='real'`` decodes BMP/PNG but refuses
-    other codec formats when pillow is absent.  Small batch sizes are
+    mean_luma float32, thumb binary).  BMP, PNG and baseline JPEG
+    payloads decode FOR REAL in pure numpy (+ stdlib zlib);
+    progressive JPEG/WebP need pillow (import-try); anything else
+    falls back to the deterministic fake in ``mode='auto'``/'fake'.
+    ``mode='real'`` decodes BMP/PNG/baseline-JPEG but refuses other
+    codec formats when pillow is absent.  Small batch sizes are
     mandatory for multi-MB payloads (see build_multimodal_pipeline)."""
 
     def __init__(self, mode: str = "auto", thumb_size: int = 8):

@@ -1,0 +1,154 @@
+"""Baseline JPEG codec (stages/jpeg.py): pure numpy huffman + IDCT, no
+codec library.  Closes the r4 verdict's last multimodal gap — image
+stages now decode the dominant web image format for real, and
+image_near_dup_pairs exercises REAL pixels decoded from JPEG bytes."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray.data
+
+from kenlm_ray.stages.jpeg import decode_jpeg, encode_jpeg
+from kenlm_ray.stages.multimodal import ImageDecode, decode_image_payload
+
+
+def _smooth(seed, h=48, w=56):
+    """JPEG-friendly image: gradients + a low-frequency blob."""
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = np.stack(
+        [
+            xx * 255.0 / w,
+            yy * 255.0 / h,
+            128 + 100 * np.sin(xx / 9.0) * np.cos(yy / 7.0),
+        ],
+        axis=-1,
+    )
+    img += rng.normal(0, 3, img.shape)
+    return np.clip(img, 0, 255).astype(np.uint8)
+
+
+def _psnr(a, b):
+    mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+    return 10 * np.log10(255.0**2 / mse)
+
+
+@pytest.mark.parametrize("sub", ["444", "420"])
+def test_roundtrip_color(sub):
+    img = _smooth(0)
+    for q, floor in ((95, 32.0), (75, 28.0)):
+        dec = decode_jpeg(encode_jpeg(img, quality=q, subsample=sub))
+        assert dec.shape == img.shape and dec.dtype == np.uint8
+        assert _psnr(dec, img) > floor, (sub, q)
+
+
+def test_roundtrip_gray_replicates_channels():
+    g = _smooth(1)[..., 0]
+    dec = decode_jpeg(encode_jpeg(g, quality=92))
+    assert dec.shape == (*g.shape, 3)
+    assert (dec[..., 0] == dec[..., 1]).all() and (dec[..., 0] == dec[..., 2]).all()
+    assert _psnr(dec[..., 0], g) > 32.0
+
+
+def test_odd_dimensions_not_multiple_of_mcu():
+    """45x61 is not a multiple of 8 or 16 — pad/crop paths both ways."""
+    img = _smooth(2, h=45, w=61)
+    for sub in ("444", "420"):
+        dec = decode_jpeg(encode_jpeg(img, quality=90, subsample=sub))
+        assert dec.shape == (45, 61, 3)
+        assert _psnr(dec, img) > 28.0
+
+
+@pytest.mark.parametrize("sub", ["444", "420"])
+def test_restart_markers_bit_exact_vs_unrestarted(sub):
+    """RSTn handling must reproduce EXACTLY the pixels of the same
+    stream coded without restarts (predictors reset, byte realign)."""
+    img = _smooth(3, h=40, w=40)
+    ref = decode_jpeg(encode_jpeg(img, quality=88, subsample=sub))
+    for ri in (1, 2, 5):
+        out = decode_jpeg(
+            encode_jpeg(img, quality=88, subsample=sub, restart_interval=ri)
+        )
+        assert np.array_equal(ref, out), ri
+
+
+def test_rejects_progressive_and_garbage():
+    img = _smooth(4, h=16, w=16)
+    enc = bytearray(encode_jpeg(img))
+    i = enc.find(b"\xff\xc0")
+    enc[i + 1] = 0xC2  # flip SOF0 -> SOF2 (progressive)
+    with pytest.raises(ValueError):
+        decode_jpeg(bytes(enc))
+    with pytest.raises(ValueError):
+        decode_jpeg(b"\x00\x01not a jpeg")
+
+
+def test_decode_image_payload_dispatch():
+    """Magic-byte dispatch reaches the native JPEG path in mode='real'
+    with no pillow present."""
+    img = _smooth(5)
+    out = decode_image_payload(
+        encode_jpeg(img, quality=95), None, "real", lambda p: None
+    )
+    assert out.shape == img.shape and _psnr(out, img) > 30.0
+
+
+def test_image_near_dup_pairs_jpeg_real_pixels(ray_session):
+    """dHash planted-pair over REAL decoded JPEG pixels in mode='real'
+    (r4 verdict #4's done-criterion): a single-pixel edit survives the
+    lossy roundtrip within hamming 6; an independent image does not
+    pair."""
+    from kenlm_ray.ops.imagededup import image_near_dup_pairs
+
+    base = _smooth(7)
+    near = base.copy()
+    near[5, 5] = 255 - near[5, 5]
+    # structurally different (gradients reversed) — same-seed-family
+    # noise images would legitimately near-dup after the dHash downscale
+    far = np.ascontiguousarray(base[::-1, ::-1])
+    tbl = pa.table(
+        {
+            "media_id": pa.array(np.arange(3, dtype=np.int64)),
+            "payload": pa.array(
+                [encode_jpeg(r, quality=95) for r in (base, near, far)],
+                type=pa.binary(),
+            ),
+        }
+    )
+    pairs = (
+        image_near_dup_pairs(
+            ray.data.from_arrow(tbl), max_hamming=6, num_partitions=4,
+            concurrency=None, mode="real",
+        )
+        .to_pandas()
+        .sort_values(["id_a", "id_b"])
+    )
+    assert [(0, 1)] == list(zip(pairs["id_a"], pairs["id_b"]))
+
+
+def test_image_decode_stage_jpeg(ray_session):
+    """ImageDecode actor stage over JPEG payloads reports true dims and
+    a luma close to the source mean."""
+    imgs = [_smooth(i, h=24 + i, w=32 + i) for i in range(3)]
+    tbl = pa.table(
+        {
+            "media_id": pa.array(np.arange(3, dtype=np.int64)),
+            "payload": pa.array(
+                [encode_jpeg(im, quality=92) for im in imgs], type=pa.binary()
+            ),
+        }
+    )
+    out = (
+        ray.data.from_arrow(tbl)
+        .map_batches(ImageDecode("real"), batch_format="pyarrow", batch_size=2)
+        .to_pandas()
+        .sort_values("media_id")
+    )
+    for i, im in enumerate(imgs):
+        assert out["height"].iloc[i] == im.shape[0]
+        assert out["width"].iloc[i] == im.shape[1]
+        luma = np.mean(
+            0.299 * im[..., 0] + 0.587 * im[..., 1] + 0.114 * im[..., 2]
+        )
+        assert abs(out["mean_luma"].iloc[i] - luma) < 3.0
