@@ -3402,8 +3402,11 @@ def _q_code_unit_stats(sf_dir):
     """Function/class-level splitting over the synthetic code corpus:
     per (lang, unit_kind) unit counts and line totals
     (ops/code_units — pure row-expanding map, vocabulary-sized
-    groupby).  Rows-only; tests/test_code_units.py gates hand-built
-    boundaries per language, reassembly, and Python-fold parity."""
+    groupby).  Value-exact oracle: the unit patterns are line-anchored,
+    so unit boundaries are matching LINES — per-line unnest + lead()
+    window reproduces every unit/prelude/file line count in SQL;
+    tests/test_code_units.py additionally gates hand-built boundaries
+    per language, reassembly, and Python-fold parity."""
     import ray.data
 
     from kenlm_ray.ops.code_units import code_unit_stats
@@ -3451,9 +3454,11 @@ def _q_repo_context_docs(sf_dir):
     (ops/repo_order) joined back to content (partitioned hash join on
     (repo, path)) and concatenated per repo in rank order
     (ops/text.concat_documents) — the StarCoder2-style repo-context
-    document builder.  Returns (repo, n_docs, n_chars).  Rows-only;
-    the pieces are individually gated (test_repo_order, concat's ✓SQL
-    query, join's ✓SQL queries)."""
+    document builder.  Returns (repo, n_docs, n_chars).  Value-exact
+    oracle: every file gets exactly one rank and the inner join keeps
+    all rows, so n_chars — length of the rank-ordered join — is
+    order-independent (sum(length) + 2*(n-1)); the ORDER itself is
+    gated by test_repo_order and the repo_file_order ✓SQL oracle."""
     import pyarrow as pa
     import pyarrow.compute as pc
     import ray.data
@@ -3601,9 +3606,11 @@ def _q_notebook_extract_stats(sf_dir):
     """Jupyter-notebook cleaning over a notebook-enriched synthetic code
     corpus (stages/notebooks — pure map, per-row C-speed JSON parse
     gated by a vectorized path pre-filter): per-source cell/output
-    totals of the converted rows.  Rows-only; tests/test_notebooks.py
-    gates the known cell structure, nbformat 3+4, and malformed
-    passthrough."""
+    totals of the converted rows.  Value-exact oracle: the injected
+    rows are LE8(sha256(commit)) % 6 == 0 and make_notebook's cell
+    structure is closed-form in seed = h % 1000 — pure arithmetic in
+    SQL; tests/test_notebooks.py additionally gates the cell
+    structure, nbformat 3+4, and malformed passthrough."""
     import pyarrow as pa
     import ray.data
     from ray.data.aggregate import Count, Sum
@@ -6005,6 +6012,139 @@ def _module_coimport_pagerank_oracle_sql(
     """
 
 
+def _code_unit_stats_oracle_sql() -> str:
+    """ops/code_units.code_unit_stats: split_units re-expressed per
+    line — the unit patterns are all line-anchored ((?m)^…), so a unit
+    START is exactly a matching LINE; unit k spanning lines [m_k,
+    m_{{k+1}}) has m_{{k+1}} - m_k + 1 body lines (the body keeps the
+    trailing newline; the last unit runs to EOF), the prelude (when a
+    match exists past line 1 and the prefix is non-blank) has m_1
+    lines, and a no-match document is one ('file', N-or-0-lines) row.
+    Patterns mirror UNIT_PATTERNS (ops/code_units.py:39) minus the
+    capture groups (only the boolean match matters for stats)."""
+    ws = "' ' || chr(9) || chr(13) || chr(11) || chr(12)"
+    return f"""
+        WITH {_codecur_corpus_cte()},
+        splits AS (
+            SELECT repo, path, commit, lang,
+                   string_split(content, chr(10)) AS ls
+            FROM corpus
+        ),
+        doclines AS (
+            -- parallel unnests of equal length zip element-wise
+            SELECT repo, path, commit, lang, unnest(ls) AS line,
+                   unnest(generate_series(1, len(ls))) AS i
+            FROM splits
+        ),
+        flags AS (
+            SELECT *, CASE
+                WHEN lower(lang) IN ('py', 'python') THEN regexp_matches(
+                    line, '^(async[ \t]+)?(def|class)[ \t]+\\w')
+                WHEN lower(lang) IN ('js', 'javascript', 'ts', 'typescript')
+                THEN regexp_matches(line,
+                    '^(export[ \t]+)?((async[ \t]+)?function[ \t]+\\w'
+                    || '|class[ \t]+\\w'
+                    || '|(const|let|var)[ \t]+\\w+[ \t]*=[ \t]*'
+                    || '(\\(|async|function))')
+                WHEN lower(lang) IN ('go', 'golang') THEN regexp_matches(
+                    line, '^func[ \t]+(\\([^)]*\\)[ \t]*)?\\w')
+                WHEN lower(lang) IN ('rs', 'rust') THEN regexp_matches(
+                    line,
+                    '^(pub[ \t]+)?(fn|struct|enum|impl(<[^>]*>)?)[ \t]+\\w')
+                WHEN lower(lang) = 'java' THEN regexp_matches(
+                    line,
+                    '^[ \t]*(public|protected|private)?[ \t]*'
+                    || '(final[ \t]+|abstract[ \t]+)?'
+                    || '(class|interface|enum)[ \t]+\\w')
+                ELSE false END AS hit
+            FROM doclines
+        ),
+        docs AS (
+            SELECT repo, path, commit, lang, max(i) AS n_lines,
+                   count(*) FILTER (WHERE hit) AS k,
+                   min(CASE WHEN hit THEN i END) AS m1
+            FROM flags GROUP BY 1, 2, 3, 4
+        ),
+        unit_rows AS (
+            SELECT f.lang,
+                   COALESCE(lead(f.i) OVER (
+                       PARTITION BY f.repo, f.path, f.commit ORDER BY f.i
+                   ), d.n_lines) - f.i + 1 AS lines
+            FROM flags f
+            JOIN docs d ON d.repo = f.repo AND d.path = f.path
+                       AND d.commit = f.commit
+            WHERE f.hit
+        ),
+        prelude_rows AS (
+            SELECT d.lang, d.m1 AS lines
+            FROM docs d
+            WHERE d.k > 0 AND d.m1 > 1 AND EXISTS (
+                SELECT 1 FROM flags f
+                WHERE f.repo = d.repo AND f.path = d.path
+                  AND f.commit = d.commit AND f.i < d.m1
+                  AND trim(f.line, {ws}) <> ''
+            )
+        ),
+        file_rows AS (
+            SELECT d.lang,
+                   CASE WHEN c.content = '' THEN 0 ELSE d.n_lines END AS lines
+            FROM docs d
+            JOIN corpus c ON c.repo = d.repo AND c.path = d.path
+                         AND c.commit = d.commit
+            WHERE d.k = 0
+        ),
+        allrows AS (
+            SELECT lang, 'unit' AS unit_kind, lines FROM unit_rows
+            UNION ALL SELECT lang, 'prelude', lines FROM prelude_rows
+            UNION ALL SELECT lang, 'file', lines FROM file_rows
+        )
+        SELECT lang, unit_kind, count(*)::BIGINT AS n_units,
+               sum(lines)::BIGINT AS total_lines,
+               round(sum(lines)::DOUBLE / greatest(count(*), 1), 4)
+                   AS mean_lines
+        FROM allrows GROUP BY 1, 2
+    """
+
+
+def _notebook_extract_stats_oracle_sql() -> str:
+    """stages/notebooks: inject_notebooks turns the rows with
+    LE8(sha256(commit)) % 6 == 0 into make_notebook(h % 1000) JSON,
+    whose cell structure is closed-form in the seed — (seed%5)+1 code
+    cells, seed%3 markdown cells, one output per even code-cell index
+    (= seed%5 // 2 + 1).  notebook_clean_stage counts exactly those."""
+    return f"""
+        WITH {_codecur_corpus_cte()},
+        hdr AS (
+            SELECT repo, {_sql_le_bytes('sha256(commit)', '0', 8)} AS h
+            FROM corpus
+        ),
+        nb AS (
+            SELECT repo, CAST(h % 1000 AS BIGINT) AS seed
+            FROM hdr WHERE h % 6 = 0
+        )
+        SELECT repo, count(*)::BIGINT AS n_notebooks,
+               sum(seed % 5 + 1)::BIGINT AS code_cells,
+               sum(seed % 3)::BIGINT AS md_cells,
+               sum(seed % 5 // 2 + 1)::BIGINT AS outputs_stripped
+        FROM nb GROUP BY 1
+    """
+
+
+def _repo_context_docs_oracle_sql() -> str:
+    """Repo-context assembly summary: every corpus file gets exactly one
+    rank (repo_file_order is a total order per repo) and the inner join
+    back to content keeps all rows, so n_docs is the repo's file count
+    and n_chars — the codepoint length of the rank-ordered '\\n\\n'
+    join — is order-independent: sum(length) + 2*(n_docs - 1)."""
+    return f"""
+        WITH {_codecur_corpus_cte()}
+        SELECT repo, count(*)::BIGINT AS n_docs,
+               (sum(length(content)) + 2 * (count(*) - 1))::BIGINT
+                   AS n_chars
+        FROM corpus GROUP BY repo
+    """
+
+
 def _repo_top_ppl_oracle_sql() -> str:
     """ops/salted.repo_top_ppl(k=3): per repo, the 3 lowest-perplexity
     kept files of the flagship scored rows (ties broken by path)."""
@@ -7052,6 +7192,9 @@ def oracle_sql() -> dict[str, str]:
         "code_filter_summary": _code_filter_summary_oracle_sql(),
         "repo_fork_pairs": _repo_fork_pairs_oracle_sql(),
         "repo_file_order": _repo_file_order_oracle_sql(),
+        "code_unit_stats": _code_unit_stats_oracle_sql(),
+        "notebook_extract_stats": _notebook_extract_stats_oracle_sql(),
+        "repo_context_docs": _repo_context_docs_oracle_sql(),
         # k=2000 > distinct suppkeys at every gate scale: Misra-Gries
         # provably never compresses, so the sketch output is exact
         "heavy_hitter_suppkeys": """

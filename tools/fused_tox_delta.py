@@ -1,0 +1,130 @@
+"""Quantify the fused-vs-scrubbed toxicity delta on a SCRUB-HEAVY corpus
+(r4 verdict next-round #7).
+
+toxicity_mode='fused' folds blocklist membership into the PplScorer's
+TokenStream over RAW content; the standalone stage scores POST-SCRUB
+content.  The two differ only on rows the PII scrub rewrites, and only
+when the rewrite changes the token count or touches a blocklist token
+(it targets emails/IPs/keys, which are disjoint from any plausible
+blocklist).  This script plants PII in a configurable fraction of rows
+(far above real-corpus rates), runs both modes, and reports the score
+delta distribution plus decision-flip count.
+
+Usage: python tools/fused_tox_delta.py            # 20k rows, 40% PII
+Record: COVERAGE.md round-5 section.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+ROWS = int(os.environ.get("DELTA_ROWS", "20000"))
+PII_FRAC = float(os.environ.get("DELTA_PII_FRAC", "0.4"))
+
+
+def main() -> None:
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=16, include_dashboard=False,
+                 logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    import ray.data
+
+    from kenlm_ray.pipelines.quality_filter import (
+        build_quality_pipeline,
+        seed_model_path,
+    )
+    from kenlm_ray.sources.synth_corpus import write_corpus
+    from kenlm_ray.stages.toxicity import DEFAULT_BLOCKLIST
+
+    paths = write_corpus(f"/tmp/kenlm_ray_bench/tox_delta_{ROWS}", ROWS,
+                         seed=23, n_shards=8)
+    base = ray.data.read_parquet(paths)
+
+    # plant PII (emails, IPs, bearer tokens) mid-content in PII_FRAC of
+    # rows, and blocklist words in half of ALL rows so the toxicity path
+    # fires on both sides of the scrub boundary
+    bl = list(DEFAULT_BLOCKLIST)
+
+    def plant(batch: pa.Table) -> pa.Table:
+        rng = np.random.default_rng(
+            int(batch["path"][0].as_py().encode()[-4:].hex(), 16)
+        )
+        content = batch["content"].to_pylist()
+        out = []
+        for i, c in enumerate(content):
+            words = c.split(" ")
+            if rng.random() < 0.5 and len(words) > 4:
+                words.insert(
+                    int(rng.integers(0, len(words))),
+                    bl[int(rng.integers(0, len(bl)))],
+                )
+            if rng.random() < PII_FRAC and len(words) > 4:
+                pii = [
+                    f"user{i}@example.com",
+                    "10.0.%d.%d" % (rng.integers(0, 255), rng.integers(0, 255)),
+                    "Bearer kJ8xQ2mVp9ZrT4wLnY6bEDcF1aGhU3sO",
+                ]
+                words.insert(
+                    int(rng.integers(0, len(words))),
+                    pii[int(rng.integers(0, 3))],
+                )
+            out.append(" ".join(words))
+        return batch.set_column(
+            batch.schema.get_field_index("content"), "content",
+            pa.array(out, type=batch["content"].type),
+        )
+
+    planted_dir = f"/tmp/kenlm_ray_bench/tox_delta_planted_{ROWS}"
+    base.map_batches(plant, batch_format="pyarrow").write_parquet(planted_dir)
+    ds = ray.data.read_parquet(planted_dir)
+    mp = seed_model_path()
+
+    def run(mode: str):
+        return (
+            build_quality_pipeline(
+                ds, mp, toxicity_blocklist=bl, toxicity_mode=mode,
+            )
+            .to_pandas()
+            .sort_values(["repo", "path"])
+            .reset_index(drop=True)
+        )
+
+    a = run("scrubbed")
+    b = run("fused")
+    sa = a["toxicity_score"].to_numpy()
+    sb = b["toxicity_score"].to_numpy()
+    d = np.abs(sa - sb)
+    flips = int((a["is_toxic"].to_numpy() != b["is_toxic"].to_numpy()).sum())
+
+    from kenlm_ray.stages.scrub import scrub_stage
+
+    sc = ds.map_batches(scrub_stage, batch_format="pyarrow").to_pandas()
+    scrub_changed = int((sc["content"] != sc["content_scrubbed"]).sum())
+    print(json.dumps({
+        "rows": ROWS,
+        "pii_frac": PII_FRAC,
+        "rows_score_differs": int((d > 1e-12).sum()),
+        "max_abs_delta": float(d.max()),
+        "mean_abs_delta": float(d.mean()),
+        "p99_abs_delta": float(np.quantile(d, 0.99)),
+        "is_toxic_flips": flips,
+        "rows_toxic_scrubbed": int(a["is_toxic"].sum()),
+        "rows_toxic_fused": int(b["is_toxic"].sum()),
+        "rows_scrub_modified": scrub_changed,
+    }))
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()
