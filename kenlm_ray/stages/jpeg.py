@@ -9,7 +9,8 @@ engine's multimodal stages surface that as a decode error row, they do
 not crash the pipeline (stages/multimodal.ImageDecode).
 
 Encoder: baseline sequential, Annex K quantization tables scaled by the
-IJG quality formula, Annex K "typical" huffman tables, 4:4:4 or 4:2:0.
+IJG quality formula, Annex K "typical" huffman tables, 4:4:4, 4:2:2 or
+4:2:0.
 It exists so the test suite can fabricate REAL JPEG bytes in an
 environment with no imaging library; it is not a performance path.
 
@@ -481,7 +482,13 @@ def encode_jpeg(
     H, W = y.shape
     ql = _quality_scale(QL_BASE, quality)
     qc = _quality_scale(QC_BASE, quality)
-    sub = 2 if (subsample == "420" and not gray) else 1
+    if gray:
+        sh = sv = 1
+    else:
+        try:
+            sh, sv = {"444": (1, 1), "420": (2, 2), "422": (2, 1)}[subsample]
+        except KeyError:
+            raise ValueError(f"unknown subsample {subsample!r}")
 
     def pad(p, mult):
         ph = -p.shape[0] % mult
@@ -503,7 +510,7 @@ def encode_jpeg(
     # SOF0
     nc = 1 if gray else 3
     sof = bytearray([8]) + H.to_bytes(2, "big") + W.to_bytes(2, "big") + bytes([nc])
-    sof += bytes([1, (sub << 4) | sub, 0])
+    sof += bytes([1, (sh << 4) | sv, 0])
     if not gray:
         sof += bytes([2, 0x11, 1, 3, 0x11, 1])
     seg(0xC0, bytes(sof))
@@ -556,28 +563,39 @@ def encode_jpeg(
     else:
         dc_c = _build_encode_table(DC_C_BITS, DC_C_VALS)
         ac_c = _build_encode_table(AC_C_BITS, AC_C_VALS)
-        mcu = 8 * sub
-        yp = pad(y, mcu) - 128.0
-        if sub == 2:
-            cbp = pad(cb, mcu)
-            crp = pad(cr, mcu)
-            # 2x2 box average subsampling
-            cbs = cbp.reshape(cbp.shape[0] // 2, 2, cbp.shape[1] // 2, 2).mean(axis=(1, 3)) - 128.0
-            crs = crp.reshape(crp.shape[0] // 2, 2, crp.shape[1] // 2, 2).mean(axis=(1, 3)) - 128.0
-        else:
-            cbs = pad(cb, 8) - 128.0
-            crs = pad(cr, 8) - 128.0
-        # interleave per MCU: sub*sub Y blocks then one Cb, one Cr
-        mcuy, mcux = yp.shape[0] // mcu, yp.shape[1] // mcu
+        mw, mh = 8 * sh, 8 * sv
+
+        def padhw(p):
+            return np.pad(
+                p, ((0, -p.shape[0] % mh), (0, -p.shape[1] % mw)), mode="edge"
+            )
+
+        yp = padhw(y) - 128.0
+
+        def subsampled(p):
+            # sv x sh box-average subsampling (no-op at 1x1)
+            p = padhw(p)
+            if sh == sv == 1:
+                return p - 128.0
+            return (
+                p.reshape(p.shape[0] // sv, sv, p.shape[1] // sh, sh)
+                .mean(axis=(1, 3))
+                - 128.0
+            )
+
+        cbs = subsampled(cb)
+        crs = subsampled(cr)
+        # interleave per MCU: sh*sv Y blocks then one Cb, one Cr
+        mcuy, mcux = yp.shape[0] // mh, yp.shape[1] // mw
         py = pcb = pcr = 0
         for my in range(mcuy):
             for mx in range(mcux):
                 if maybe_restart():
                     py = pcb = pcr = 0
                 yb = []
-                for v in range(sub):
-                    for h in range(sub):
-                        y0, x0 = my * mcu + v * 8, mx * mcu + h * 8
+                for v in range(sv):
+                    for h in range(sh):
+                        y0, x0 = my * mh + v * 8, mx * mw + h * 8
                         yb.append(yp[y0 : y0 + 8, x0 : x0 + 8])
                 py = _encode_plane_blocks(np.stack(yb), ql, dc_l, ac_l, w, py)
                 cb_b = cbs[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8]

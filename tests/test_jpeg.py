@@ -34,7 +34,7 @@ def _psnr(a, b):
     return 10 * np.log10(255.0**2 / mse)
 
 
-@pytest.mark.parametrize("sub", ["444", "420"])
+@pytest.mark.parametrize("sub", ["444", "422", "420"])
 def test_roundtrip_color(sub):
     img = _smooth(0)
     for q, floor in ((95, 32.0), (75, 28.0)):
@@ -60,7 +60,7 @@ def test_odd_dimensions_not_multiple_of_mcu():
         assert _psnr(dec, img) > 28.0
 
 
-@pytest.mark.parametrize("sub", ["444", "420"])
+@pytest.mark.parametrize("sub", ["444", "422", "420"])
 def test_restart_markers_bit_exact_vs_unrestarted(sub):
     """RSTn handling must reproduce EXACTLY the pixels of the same
     stream coded without restarts (predictors reset, byte realign)."""
