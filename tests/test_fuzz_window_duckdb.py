@@ -1,0 +1,173 @@
+"""Seeded-random fuzz of the sort-free window/rank primitives
+(ops/percentile) against DuckDB's window functions — extends the r4
+verdict-#8 hardening beyond join/group_reduce to the third primitive
+family the registry's rank/tile oracles sit on.
+
+Value pools are duplicate-heavy on purpose: the interesting semantics
+are all in the tie handling (NTILE boundary ids, PERCENT_RANK tie
+groups, ROW_NUMBER id tie-breaks).  ids are unique ints (the documented
+contract of every op here)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray.data
+
+
+def _case(rng, n):
+    """(value float64 from a small pool incl. negatives/-0.0, unique
+    shuffled int64 ids)."""
+    pool = np.array([-3.5, -0.0, 0.0, 1.25, 1.25, 2.0, 7.5, 7.5, 7.5, 100.0])
+    v = pool[rng.integers(0, len(pool), size=n)]
+    ids = rng.permutation(n).astype(np.int64) * 7 + 3
+    return pa.table({"v": pa.array(v), "id": pa.array(ids)})
+
+
+def _ds(tbl, rng):
+    cuts = sorted(rng.integers(0, tbl.num_rows + 1, size=3))
+    parts, pos = [], 0
+    for c in list(cuts) + [tbl.num_rows]:
+        parts.append(tbl.slice(pos, c - pos))
+        pos = c
+    return ray.data.from_arrow(parts)
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_fuzz_ntile_vs_duckdb(ray_session, seed):
+    import duckdb
+
+    from kenlm_ray.ops.percentile import ntile_assign
+
+    rng = np.random.default_rng(3000 + seed)
+    n = int(rng.integers(5, 120))
+    n_tiles = int(rng.integers(2, 7))
+    tbl = _case(rng, n)
+    got = (
+        ntile_assign(_ds(tbl, rng), "v", "id", n_tiles)
+        .to_pandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("T", tbl)
+    want = con.execute(
+        "SELECT id, NTILE(?) OVER (ORDER BY v DESC, id ASC) AS tile "
+        "FROM T ORDER BY id",
+        [n_tiles],
+    ).df()
+    con.close()
+    assert got["tile"].tolist() == want["tile"].tolist(), seed
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_fuzz_percent_rank_and_cume_dist_vs_duckdb(ray_session, seed):
+    import duckdb
+
+    from kenlm_ray.ops.percentile import percent_rank
+
+    rng = np.random.default_rng(4000 + seed)
+    n = int(rng.integers(2, 150))
+    tbl = _case(rng, n)
+    con = duckdb.connect()
+    con.register("T", tbl)
+    for mode, sql_fn in (
+        ("percent_rank", "PERCENT_RANK()"),
+        ("cume_dist", "CUME_DIST()"),
+    ):
+        got = (
+            percent_rank(_ds(tbl, rng), "v", mode=mode)
+            .to_pandas()
+            .sort_values("id")
+            .reset_index(drop=True)
+        )
+        want = con.execute(
+            f"SELECT id, {sql_fn} OVER (ORDER BY v) AS r FROM T ORDER BY id"
+        ).df()
+        # the op rounds to 6 digits — compare within the rounding radius
+        assert np.allclose(
+            got["pct_rank"].to_numpy(), want["r"].to_numpy(), atol=6e-7
+        ), (mode, seed)
+    con.close()
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_fuzz_group_percent_rank_vs_duckdb(ray_session, seed):
+    import duckdb
+
+    from kenlm_ray.ops.percentile import group_percent_rank
+
+    rng = np.random.default_rng(5000 + seed)
+    n = int(rng.integers(4, 150))
+    tbl = _case(rng, n)
+    g = rng.integers(0, 4, size=n).astype(np.int64)
+    tbl = tbl.append_column("g", pa.array(g))
+    got = (
+        group_percent_rank(_ds(tbl, rng), "g", "v")
+        .to_pandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("T", tbl)
+    want = con.execute(
+        "SELECT id, PERCENT_RANK() OVER (PARTITION BY g ORDER BY v) AS r "
+        "FROM T ORDER BY id"
+    ).df()
+    con.close()
+    assert np.allclose(
+        got["pct_rank"].to_numpy(), want["r"].to_numpy(), atol=6e-7
+    ), seed
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_fuzz_top_fraction_vs_duckdb(ray_session, seed):
+    import duckdb
+
+    from kenlm_ray.ops.percentile import top_fraction
+
+    rng = np.random.default_rng(6000 + seed)
+    n = int(rng.integers(5, 150))
+    frac = float(rng.choice([0.1, 0.25, 0.5, 0.9]))
+    tbl = _case(rng, n)
+    got = sorted(
+        top_fraction(_ds(tbl, rng), "v", frac, "id").to_pandas()["id"].tolist()
+    )
+    con = duckdb.connect()
+    con.register("T", tbl)
+    want = sorted(
+        con.execute(
+            "SELECT id FROM (SELECT id, ROW_NUMBER() OVER "
+            "(ORDER BY v DESC, id ASC) AS rn FROM T) WHERE rn <= ?",
+            [int(n * frac)],
+        ).df()["id"].tolist()
+    )
+    con.close()
+    assert got == want, seed
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_fuzz_global_row_number_vs_duckdb(ray_session, seed):
+    import duckdb
+
+    from kenlm_ray.ops.percentile import global_row_number
+
+    rng = np.random.default_rng(7000 + seed)
+    n = int(rng.integers(3, 150))
+    tbl = _case(rng, n)
+    got = (
+        global_row_number(_ds(tbl, rng), "v", "id")
+        .to_pandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("T", tbl)
+    want = con.execute(
+        "SELECT id, ROW_NUMBER() OVER (ORDER BY v, id) AS rn "
+        "FROM T ORDER BY id"
+    ).df()
+    con.close()
+    assert got["rn"].tolist() == want["rn"].tolist(), seed
