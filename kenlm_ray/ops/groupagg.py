@@ -106,14 +106,24 @@ def group_reduce(
         if fn not in _MERGE_FN:
             raise ValueError(f"unsupported agg fn {fn!r}")
     has_count = any(fn == "count" for _c, fn, _o in aggs)
-    # partial spec: count becomes sum over a ones column
-    part_spec = [
-        ("__one" if fn == "count" else c, "sum" if fn == "count" else fn)
-        for c, fn, _o in aggs
-    ]
+    # partial spec: count becomes sum over a ones column.  Distinct aggs
+    # can SHARE a partial — e.g. two "count" entries (over different
+    # cols) both reduce to ('__one', 'sum'), and the same (col, fn) may
+    # appear under two output names — so partials are deduplicated and
+    # each agg maps to its partial by index (duplicate partial column
+    # names would otherwise corrupt the exchange).
+    part_index: "dict[tuple[str, str], int]" = {}
+    part_spec: "list[tuple[str, str]]" = []
+    agg_part: "list[int]" = []
+    for c, fn, _o in aggs:
+        key = ("__one", "sum") if fn == "count" else (c, fn)
+        if key not in part_index:
+            part_index[key] = len(part_spec)
+            part_spec.append(key)
+        agg_part.append(part_index[key])
     part_names = [f"{c}_{fn}" for c, fn in part_spec]
     merge_spec = [
-        (pn, _MERGE_FN[fn]) for pn, (_c, fn, _o) in zip(part_names, aggs)
+        (pn, _MERGE_FN[fn]) for pn, (_c, fn) in zip(part_names, part_spec)
     ]
     merged_names = [f"{pn}_{mf}" for pn, mf in merge_spec]
     out_names = [o for _c, _fn, o in aggs]
@@ -158,8 +168,12 @@ def group_reduce(
         if g.num_rows == 0 and any(k not in g.column_names for k in keys):
             return pa.table({})
         out = g.group_by(keys).aggregate(merge_spec)
-        out = out.select(keys + merged_names)
-        return out.rename_columns(keys + out_names)
+        # two aggs may share one merged partial (e.g. double "count") —
+        # gather per-agg columns by partial index, not by name
+        arrays = [out[k] for k in keys] + [
+            out[merged_names[pi]] for pi in agg_part
+        ]
+        return pa.Table.from_arrays(arrays, names=keys + out_names)
 
     return (
         ds.map_batches(partial, batch_format="pyarrow")
