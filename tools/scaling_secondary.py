@@ -34,6 +34,7 @@ PAIR = (
     int(os.environ.get("SCALE_N", "8")),
     int(os.environ.get("SCALE_4N", "32")),
 )
+JOBS = tuple(os.environ.get("SCALE_JOBS", "minhash,mkn").split(","))
 
 
 def _corpus_paths() -> "list[str]":
@@ -106,7 +107,7 @@ def main() -> None:
     lo, hi = PAIR
     order: "list[tuple[str, int]]" = []
     for _ in range(ROUNDS):  # interleave legs so pairs share noise windows
-        for job in ("minhash", "mkn"):
+        for job in JOBS:
             order += [(job, lo), (job, hi)]
     runs: "dict[tuple[str, int], list[float]]" = {}
     for job, ncpu in order:
@@ -119,7 +120,7 @@ def main() -> None:
         runs.setdefault((job, ncpu), []).append(d["sec"])
     result: dict = {"metric": "secondary scaling (shuffle-heavy pipelines)",
                     "rows": ROWS, "pair": [lo, hi], "rounds": ROUNDS}
-    for job in ("minhash", "mkn"):
+    for job in JOBS:
         best_lo = min(runs[(job, lo)])
         best_hi = min(runs[(job, hi)])
         result[job] = {
