@@ -1,0 +1,87 @@
+"""Seeded-random fuzz of ops/asof.asof_join against DuckDB's native
+ASOF JOIN — extends the DuckDB fuzz campaign (join/group, window/rank)
+to the as-of operator.  The right side is generated UNIQUE per
+(by, on): SQL leaves the tie winner unspecified there, and asof_join
+documents the same caveat (its ``right_tiebreak`` variant is gated by
+its own deterministic pytest in test_ops)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray.data
+
+
+def _sides(rng):
+    n_l = int(rng.integers(2, 80))
+    keys = rng.integers(0, 5, size=n_l).astype(np.int64)
+    lt = pa.table(
+        {
+            "uid": pa.array(keys),
+            "t": pa.array(rng.integers(0, 50, size=n_l).astype(np.int64)),
+            "lv": pa.array(rng.integers(0, 1000, size=n_l).astype(np.int64)),
+        }
+    )
+    # unique (uid, t) pairs on the right
+    pairs = set()
+    while len(pairs) < int(rng.integers(1, 40)):
+        pairs.add((int(rng.integers(0, 5)), int(rng.integers(0, 50))))
+    pl = sorted(pairs)
+    rt = pa.table(
+        {
+            "uid": pa.array([p[0] for p in pl], type=pa.int64()),
+            "t": pa.array([p[1] for p in pl], type=pa.int64()),
+            "rv": pa.array(
+                rng.integers(0, 1000, size=len(pl)).astype(np.int64)
+            ),
+        }
+    )
+    return lt, rt
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_fuzz_asof_join_vs_duckdb(ray_session, seed):
+    import duckdb
+
+    from kenlm_ray.ops.asof import asof_join
+
+    rng = np.random.default_rng(8000 + seed)
+    direction = "backward" if seed % 2 == 0 else "forward"
+    lt, rt = _sides(rng)
+    got = (
+        asof_join(
+            ray.data.from_arrow(lt),
+            ray.data.from_arrow(rt),
+            by="uid",
+            on="t",
+            direction=direction,
+            left_cols=["uid", "t", "lv"],
+            right_cols=["t", "rv"],
+            num_partitions=int(rng.integers(2, 7)),
+        )
+        .to_pandas()
+        .sort_values(["uid", "t", "lv"])
+        .reset_index(drop=True)
+    )
+    op = ">=" if direction == "backward" else "<="
+    con = duckdb.connect()
+    con.register("L", lt)
+    con.register("R", rt)
+    want = (
+        con.execute(
+            f"""SELECT l.uid, l.t, l.lv, r.t AS t_right, r.rv
+                FROM L l ASOF JOIN R r
+                  ON l.uid = r.uid AND l.t {op} r.t
+                ORDER BY l.uid, l.t, l.lv"""
+        )
+        .df()
+        .reset_index(drop=True)
+    )
+    con.close()
+    assert sorted(got.columns) == sorted(want.columns), (seed, got.columns)
+    got = got[want.columns.tolist()]
+    assert len(got) == len(want), (seed, len(got), len(want))
+    for c in want.columns:
+        assert got[c].tolist() == want[c].tolist(), (seed, c)
