@@ -1,0 +1,69 @@
+"""Seeded-random fuzz of ops/interval.interval_join_agg against the
+equivalent DuckDB range-predicate aggregate — completes the DuckDB fuzz
+campaign over the engine's join family (hash/semi/anti/full, as-of,
+interval).  Timestamp pools are tie-heavy on purpose: the op's boundary
+probes must match SQL BETWEEN's inclusive-both-ends tie semantics."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray.data
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_fuzz_interval_join_agg_vs_duckdb(ray_session, seed):
+    import duckdb
+
+    from kenlm_ray.ops.interval import interval_join_agg
+
+    rng = np.random.default_rng(9000 + seed)
+    window = int(rng.integers(1, 12))
+    n_l = int(rng.integers(2, 70))
+    n_r = int(rng.integers(1, 90))
+    lt = pa.table(
+        {
+            "uid": pa.array(rng.integers(0, 4, size=n_l).astype(np.int64)),
+            "ts": pa.array(rng.integers(0, 30, size=n_l).astype(np.int64)),
+            "pid": pa.array(np.arange(n_l, dtype=np.int64)),
+        }
+    )
+    rt = pa.table(
+        {
+            "uid": pa.array(rng.integers(0, 4, size=n_r).astype(np.int64)),
+            "ts": pa.array(rng.integers(0, 30, size=n_r).astype(np.int64)),
+            "val": pa.array(rng.integers(0, 100, size=n_r).astype(np.float64)),
+        }
+    )
+    got = (
+        interval_join_agg(
+            ray.data.from_arrow(lt),
+            ray.data.from_arrow(rt),
+            key="uid",
+            ts_col="ts",
+            window_us=window,
+            value_col="val",
+            id_col="pid",
+            num_partitions=int(rng.integers(2, 7)),
+        )
+        .to_pandas()
+        .sort_values("rid")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("L", lt)
+    con.register("R", rt)
+    want = con.execute(
+        f"""SELECT l.pid,
+                   count(r.ts)::BIGINT AS n_matches,
+                   coalesce(sum(r.val), 0.0) AS value_sum
+            FROM L l LEFT JOIN R r
+              ON l.uid = r.uid AND r.ts BETWEEN l.ts - {window} AND l.ts
+            GROUP BY l.pid ORDER BY l.pid"""
+    ).df()
+    con.close()
+    assert got["rid"].tolist() == want["pid"].tolist(), seed
+    assert got["n_matches"].tolist() == want["n_matches"].tolist(), seed
+    assert np.allclose(got["value_sum"], want["value_sum"]), seed
