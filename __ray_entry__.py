@@ -777,7 +777,13 @@ def _q_top_quality_docs(sf_dir):
 def _q_incremental_dedup(sf_dir):
     """Cross-run dedup: state built from the first half of the corpus;
     the 'arrival' is the second half plus 50 repeats of the first —
-    repeats must vanish.  Returns kept doc ids."""
+    repeats must vanish.  Returns kept doc ids.  Value-exact oracle:
+    the Bloom gate never changes the result (hits anti-join the exact
+    hash table), so the two-phase run is a pure function of the
+    documents table — sha256 sets + min-id reps in SQL.  Value-exact oracle:
+    the Bloom gate never changes the result (hits anti-join the exact
+    hash table), so the two-phase run is a pure function of the
+    documents table — sha256 sets + min-id reps in SQL."""
     import shutil
     import tempfile
 
@@ -4102,9 +4108,11 @@ def _q_incremental_quality_stats(sf_dir):
     """Incremental quality-filter run over two synthetic corpus
     snapshots: rescore only added/modified files, carry unchanged
     verdicts via partitioned semi-joins
-    (pipelines/incremental_quality). Returns the per-status key counts;
-    rows-only — tests/test_incremental_quality.py proves incremental ==
-    full-run verdict equality row for row."""
+    (pipelines/incremental_quality). Returns the per-status key counts.
+    Value-exact oracle: the stats are the snapshot_diff classification
+    of the two /tmp snapshots (sorted content-hash multisets per key);
+    tests/test_incremental_quality.py additionally proves incremental
+    == full-run verdict equality row for row."""
     import ray.data
 
     from kenlm_ray.pipelines.incremental_quality import incremental_quality
@@ -7201,6 +7209,72 @@ def oracle_sql() -> dict[str, str]:
             SELECT l_suppkey::BIGINT AS key,
                    count(*)::BIGINT AS approx_count
             FROM lineitem GROUP BY 1
+        """,
+        # pipelines/incremental_quality: the per-status key counts are
+        # the snapshot_diff classification of the two /tmp corpus
+        # snapshots (written by the Ray query before the oracle runs) —
+        # per (repo, path) key, unchanged iff the sorted content-hash
+        # multisets match (ops/snapshot.py:124-136); only statuses that
+        # occur produce a row.  The scoring half of the pipeline does
+        # not affect the stats output.
+        "incremental_quality_stats": """
+            WITH o AS (
+                SELECT repo, path,
+                       list_sort(list(sha256(content))) AS hs
+                FROM read_parquet(
+                    '/tmp/kenlm_ray_cache/incq_old_*/corpus-*.parquet',
+                    filename=true)
+                WHERE filename LIKE '%/incq_old_' ||
+                      CAST(greatest(1000,
+                           (SELECT count(*) FROM documents) * 2)
+                           AS VARCHAR) || '/corpus-%'
+                GROUP BY 1, 2
+            ),
+            nw AS (
+                SELECT repo, path,
+                       list_sort(list(sha256(content))) AS hs
+                FROM read_parquet(
+                    '/tmp/kenlm_ray_cache/incq_new_*/corpus-*.parquet',
+                    filename=true)
+                WHERE filename LIKE '%/incq_new_' ||
+                      CAST(greatest(1000,
+                           (SELECT count(*) FROM documents) * 2)
+                           AS VARCHAR) || '/corpus-%'
+                GROUP BY 1, 2
+            ),
+            j AS (
+                SELECT CASE WHEN o.repo IS NULL THEN 'added'
+                            WHEN nw.repo IS NULL THEN 'removed'
+                            WHEN o.hs = nw.hs THEN 'unchanged'
+                            ELSE 'modified' END AS status
+                FROM o FULL OUTER JOIN nw
+                  ON o.repo = nw.repo AND o.path = nw.path
+            )
+            SELECT status, count(*)::BIGINT AS n_keys
+            FROM j GROUP BY 1
+        """,
+        # ops/incremental: state = sha256 set of the first half
+        # (min-id rep per hash); kept = arrival min-id reps whose hash
+        # is not in state.  The Bloom gate never changes the result
+        # (hits anti-join the exact hash table), so the whole two-phase
+        # run is a pure function of the documents table.
+        "incremental_dedup_kept": """
+            WITH half AS (
+                SELECT CAST(count(*) AS BIGINT) // 2 AS h FROM documents
+            ),
+            firsth AS (
+                SELECT DISTINCT sha256(text) AS fh FROM documents
+                WHERE doc_id < (SELECT h FROM half)
+            ),
+            arrival AS (
+                SELECT doc_id, sha256(text) AS fh FROM documents
+                WHERE doc_id >= (SELECT h FROM half) OR doc_id < 50
+            ),
+            reps AS (
+                SELECT fh, min(doc_id) AS doc_id FROM arrival GROUP BY fh
+            )
+            SELECT r.doc_id FROM reps r
+            WHERE r.fh NOT IN (SELECT fh FROM firsth)
         """,
         "langid": _langid_oracle_sql(),
         "mixed_language_stats": _mixed_lang_oracle_sql(),
